@@ -1,0 +1,105 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  OCR_BENCH_PAGES     synthetic corpus size for the extraction headline
+                      (default 6000, scans embedded)
+
+The extraction corpus is generated distributed (mapInArrow over range)
+and cached as parquet under .bench_cache/ so the timed section measures
+scan -> extract -> sink, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("OCR_BENCH_PAGES", "6000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_running_user_value",
+    "events_hourly",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "flagship_extract",
+]
+
+
+def _noop_sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_corpus(spark, path: str, n: int) -> None:
+    marker = os.path.join(path, "_OK_%d" % n)
+    if os.path.exists(marker):
+        return
+    from ocr_spark.sources.corpus import pages_df
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    pages_df(spark, n, seed=42, embed_scan=True, scan_shape=(96, 128)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    open(marker, "w").close()
+
+
+def main() -> None:
+    from ocr_spark.operators.extract import with_main_text
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("ocr-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = os.path.join(CACHE, f"pages_{N_PAGES}")
+    _ensure_corpus(spark, corpus_path, N_PAGES)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, SF_DIR)
+        df.count()  # warm: plan + scan once
+        t0 = time.perf_counter()
+        _noop_sink(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # extraction throughput headline: parquet scan -> DOM extraction -> sink
+    pages = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    _noop_sink(with_main_text(pages).select("url", "extracted"))
+    dt = time.perf_counter() - t0
+    timings["corpus_extract"] = round(dt, 3)
+    docs_per_sec = round(N_PAGES / dt, 1)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extraction_docs_per_sec": docs_per_sec,
+                "extraction_pages": N_PAGES,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

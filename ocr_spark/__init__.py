@@ -1,0 +1,20 @@
+"""ocr_spark — a PySpark-native main-content extraction engine.
+
+A from-scratch re-expression of the capabilities of giuliolunati/ocr
+(a single-threaded C toolkit for scanned-book OCR preprocessing, see
+/root/reference) as a distributed Spark DataFrame pipeline over
+Common-Crawl-style page tables ``(url, warc_ts, html, text, lang)``.
+
+Layout:
+  kernels/    pure-numpy float32 transcriptions of the reference's
+              per-page numeric semantics (the normative oracle)
+  functions/  text/html scalar function library (boilerplate strip,
+              lang-id, quality scoring, fingerprints, minhash, ...)
+  sources/    corpus generator + testdata loaders + catalog adapter
+  operators/  Spark stages: Arrow-UDF wrappers, pipeline assembly,
+              dedup, similarity search, checkpoint manifests
+  plans/      plan-inspection helpers (pushdown / codegen asserts)
+  streaming/  Structured Streaming variants
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,185 @@
+"""DOM-path text-density boilerplate stripping (main-content extraction).
+
+The reference repo (giuliolunati/ocr) contains no HTML handling — this
+stage comes from BASELINE.json's north rule, built from public
+heuristics (jusText/Readability-style block density rules):
+
+1. parse HTML into text *blocks* — maximal text runs grouped under
+   their nearest block-level ancestor (the "DOM path" unit);
+2. score each block: character length after whitespace collapse,
+   link density (chars under <a> / total chars), and whether any
+   ancestor on the DOM path is a boilerplate container
+   (nav/footer/aside/header/form) or a non-content subtree
+   (script/style/noscript/svg/template);
+3. keep blocks that are long enough, link-sparse, and outside
+   boilerplate paths; join the survivors with "\n".
+
+Pure stdlib (html.parser), deterministic, no network — the per-row
+invariant "byte-identical extracted text per url" is defined by THIS
+module; the numpy/Spark layers must reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+BLOCK_TAGS = frozenset(
+    "p div li dd dt h1 h2 h3 h4 h5 h6 td th pre blockquote article section main figcaption summary".split()
+)
+SKIP_TAGS = frozenset("script style noscript svg template head title".split())
+BOILER_TAGS = frozenset("nav footer aside header form button select option label".split())
+VOID_TAGS = frozenset(
+    "img br hr meta link input area base col embed source track wbr param".split()
+)
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+_WS = re.compile(r"\s+")
+
+
+@dataclass
+class Block:
+    """One candidate content block with its density features."""
+
+    text: str          # whitespace-collapsed text
+    n_chars: int       # len(text)
+    link_chars: int    # collapsed chars contributed under <a>
+    boiler: bool       # any boilerplate ancestor on the DOM path
+    path: str          # "/"-joined tag path of the owning block element
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 1.0
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0
+        self.boiler_depth = 0
+        self.link_depth = 0
+        # fragments of the currently-open block: (text, in_link)
+        self._frags: list[tuple[str, bool]] = []
+        self._frag_boiler = False
+        self._open_path = ""
+        self.blocks: list[Block] = []
+
+    # -- block assembly ------------------------------------------------
+    def _flush(self) -> None:
+        if not self._frags:
+            return
+        raw = "".join(t for t, _ in self._frags)
+        text = _WS.sub(" ", raw).strip()
+        if text:
+            total = len(_WS.sub(" ", raw).strip())
+            link_raw = "".join(t for t, in_link in self._frags if in_link)
+            link = len(_WS.sub(" ", link_raw).strip())
+            self.blocks.append(
+                Block(
+                    text=text,
+                    n_chars=total,
+                    link_chars=min(link, total),
+                    boiler=self._frag_boiler,
+                    path="/".join(self.stack),
+                )
+            )
+        self._frags = []
+        self._frag_boiler = False
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        self.stack.append(tag)
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+        if tag in BOILER_TAGS:
+            self.boiler_depth += 1
+        if tag == "a":
+            self.link_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS or tag not in self.stack:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        while self.stack:
+            t = self.stack.pop()
+            if t in SKIP_TAGS:
+                self.skip_depth -= 1
+            if t in BOILER_TAGS:
+                self.boiler_depth -= 1
+            if t == "a":
+                self.link_depth -= 1
+            if t in BLOCK_TAGS and t != tag:
+                self._flush()
+            if t == tag:
+                break
+
+    def handle_data(self, data: str) -> None:
+        if not data or self.skip_depth > 0:
+            return
+        self._frags.append((data, self.link_depth > 0))
+        if self.boiler_depth > 0:
+            self._frag_boiler = True
+
+    def close(self) -> None:  # type: ignore[override]
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed markup: keep whatever blocks were assembled
+        p._flush()
+    return p.blocks
+
+
+def extract_main_text(
+    html: str | bytes | None,
+    min_chars: int = MIN_BLOCK_CHARS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> str:
+    """The normative main-content extraction: returns '\\n'-joined good blocks."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    good = [
+        b.text
+        for b in parse_blocks(html)
+        if not b.boiler and b.n_chars >= min_chars and b.link_density <= max_link_density
+    ]
+    return "\n".join(good)
+
+
+# -- embedded scan payloads ------------------------------------------------
+
+_DATA_PNM = re.compile(
+    rb'data:image/x-portable-(?:anymap|graymap|arbitrarymap);base64,([A-Za-z0-9+/=]+)'
+)
+
+
+def extract_embedded_pnm(html: str | bytes | None) -> bytes | None:
+    """Pull the first base64 PNM/PAM data-URI payload out of a page, if any."""
+    if html is None:
+        return None
+    raw = html if isinstance(html, (bytes, bytearray)) else html.encode("utf-8")
+    m = _DATA_PNM.search(raw)
+    if not m:
+        return None
+    try:
+        return base64.b64decode(m.group(1))
+    except Exception:
+        return None

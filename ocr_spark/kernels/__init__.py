@@ -1,0 +1,14 @@
+"""Pure-numpy float32 kernels transcribing the reference C semantics.
+
+These kernels are the *normative oracle* for the pixel path: Spark
+stages (ocr_spark/operators/stages.py) must match them byte-identically,
+and they themselves are cross-checked against the compiled reference
+binary where feasible (tests/test_c_crosscheck.py).
+
+Conventions:
+- an image channel is a C-contiguous np.float32 array of shape (h, w);
+- operations preserve the reference's float32 order of evaluation;
+- C round() (half-away-from-zero) is `c_round`, NOT np.round.
+"""
+
+from ocr_spark.kernels.util import c_round, c_roundf  # noqa: F401

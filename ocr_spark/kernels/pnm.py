@@ -1,0 +1,141 @@
+"""PNM (P5/P6) and PAM (P7) codec in numpy.
+
+Transcribes the reference reader/writer semantics
+(/root/reference/image.c:115-261): 8-bit only (MAXVAL must be 255),
+planar float32 channels, gray+alpha stored with alpha in channel 0,
+values clamped to [0,255] only at write time (image.c:253-255).
+
+An image is represented as a dict:
+  {"chan": [a0..a4 | None], "width": int, "height": int}
+where chan[0]=ALPHA, chan[1..3]=gray or R,G,B, chan[4]=SEL
+(common.h:26-41). Helpers below also expose a simple (h,w) single-
+channel fast path used by the Spark stages.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*(\S+)")
+
+
+def _read_tokens(buf: bytes, start: int, n: int) -> tuple[list[bytes], int]:
+    toks = []
+    pos = start
+    while len(toks) < n:
+        m = _TOKEN.match(buf, pos)
+        if not m:
+            raise ValueError("pnm: truncated header")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks, pos
+
+
+def decode(buf: bytes) -> dict:
+    """Parse P5/P6 PNM or P7 PAM into planar float32 channels."""
+    if buf[:1] != b"P":
+        raise ValueError("pnm: wrong magic")
+    magic = int(buf[1:2])
+    if magic in (5, 6):
+        toks, pos = _read_tokens(buf, 2, 3)
+        width, height, prec = (int(t) for t in toks)
+        depth = 1 if magic == 5 else 3
+        pos += 1  # single whitespace byte after precision (image.c:132-135)
+    elif magic == 7:
+        pos = 2
+        width = height = prec = depth = -1
+        while True:
+            (tok,), pos = _read_tokens(buf, pos, 1)
+            if tok == b"ENDHDR":
+                nl = buf.index(b"\n", pos)
+                pos = nl + 1
+                break
+            elif tok == b"WIDTH":
+                (v,), pos = _read_tokens(buf, pos, 1)
+                width = int(v)
+            elif tok == b"HEIGHT":
+                (v,), pos = _read_tokens(buf, pos, 1)
+                height = int(v)
+            elif tok == b"MAXVAL":
+                (v,), pos = _read_tokens(buf, pos, 1)
+                prec = int(v)
+            elif tok == b"DEPTH":
+                (v,), pos = _read_tokens(buf, pos, 1)
+                depth = int(v)
+            elif tok == b"TUPLTYPE":
+                (v,), pos = _read_tokens(buf, pos, 1)
+                depth = {
+                    b"GRAYSCALE": 1,
+                    b"GRAYSCALE_ALPHA": 2,
+                    b"RGB": 3,
+                    b"RGB_ALPHA": 4,
+                }[v]
+    else:
+        raise ValueError("pnm: invalid magic")
+    if prec != 255:
+        raise ValueError("pnm: precision != 255")
+    n = width * height * depth
+    raster = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    interleaved = raster.reshape(height, width, depth).astype(np.float32)
+    chan: list[np.ndarray | None] = [None] * 5
+    # channel order per image.c:186-192: gray/RGB/RGBA planes land in
+    # chan[1..3], alpha in chan[0]; gray+alpha puts plane 1 in alpha.
+    if depth == 1:
+        chan[1] = np.ascontiguousarray(interleaved[:, :, 0])
+    elif depth == 2:
+        chan[1] = np.ascontiguousarray(interleaved[:, :, 0])
+        chan[0] = np.ascontiguousarray(interleaved[:, :, 1])
+    elif depth == 3:
+        for z in range(3):
+            chan[z + 1] = np.ascontiguousarray(interleaved[:, :, z])
+    elif depth == 4:
+        for z in range(3):
+            chan[z + 1] = np.ascontiguousarray(interleaved[:, :, z])
+        chan[0] = np.ascontiguousarray(interleaved[:, :, 3])
+    else:
+        raise ValueError("pnm: invalid depth")
+    return {"chan": chan, "width": width, "height": height}
+
+
+def encode(img: dict) -> bytes:
+    """Serialize planar channels to PNM/PAM, clamping to [0,255] (image.c:248-258)."""
+    chan = img["chan"]
+    width, height = img["width"], img["height"]
+    has_alpha = chan[0] is not None
+    is_rgb = chan[2] is not None
+    depth = (3 if is_rgb else 1) + (1 if has_alpha else 0)
+    if depth == 1:
+        header = b"P5\n%d %d\n255\n" % (width, height)
+        planes = [chan[1]]
+    elif depth == 3:
+        header = b"P6\n%d %d\n255\n" % (width, height)
+        planes = [chan[1], chan[2], chan[3]]
+    else:
+        tup = b"GRAYSCALE_ALPHA" if depth == 2 else b"RGB_ALPHA"
+        header = (
+            b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH %d\nMAXVAL 255\nTUPLTYPE %s\nENDHDR\n"
+            % (width, height, depth, tup)
+        )
+        planes = [chan[1], chan[0]] if depth == 2 else [chan[1], chan[2], chan[3], chan[0]]
+    stacked = np.stack([np.asarray(p, dtype=np.float32) for p in planes], axis=-1)
+    # (float)v -> uchar truncates after clamping, matching image.c:253-255
+    clamped = np.clip(stacked, 0, 255).astype(np.uint8)
+    return header + clamped.tobytes()
+
+
+# -- single-channel fast path ----------------------------------------------
+
+def decode_gray(buf: bytes) -> np.ndarray:
+    """Decode a P5 page straight to an (h, w) float32 array."""
+    img = decode(buf)
+    if img["chan"][2] is not None:
+        raise ValueError("decode_gray: not a gray image")
+    return img["chan"][1]
+
+
+def encode_gray(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, dtype=np.float32)
+    h, w = arr.shape
+    return encode({"chan": [None, arr, None, None, None], "width": w, "height": h})

@@ -1,0 +1,27 @@
+"""Shared numeric helpers for the kernel library."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def c_round(x):
+    """C round()/roundf(): round half away from zero (np.round is banker's).
+
+    The reference rounds via the C library in double precision
+    (e.g. /root/reference/misc.c:49, dithering.c:53); inputs here are
+    float32/float64, output dtype follows the input dtype.
+    """
+    x = np.asarray(x)
+    out = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    return out.astype(x.dtype, copy=False)
+
+
+# roundf on float32 operands behaves identically to round on the
+# promoted double for our value ranges; keep an alias for clarity at
+# call sites that transcribe roundf() (e.g. dithering.c:34).
+c_roundf = c_round
+
+
+def as_f32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float32))

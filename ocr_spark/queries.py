@@ -1,0 +1,600 @@
+"""Query registry: one entry per engine capability, with DuckDB oracles.
+
+Each QUERIES[name] is a callable (spark, sf_dir) -> DataFrame; each
+ORACLE[name] is ANSI SQL DuckDB runs over the same parquet tables.
+Column names/aliases are identical on both sides (the driver hashes
+values after sorting columns by name). Float aggregates are rounded on
+BOTH sides to absorb association-order drift between engines.
+
+Design rules (scale-first):
+- built-in Column expressions wherever semantics allow (JVM codegen);
+- Python only via Arrow-batched pandas UDFs (html parsing, pixels);
+- small dimensions are broadcast explicitly; wide joins get keys that
+  Catalyst/AQE can reorder and skew-split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import documents_as_pages, with_main_text
+from ocr_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship: main-content extraction (the engine's reason to exist)
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_extract",
+    """
+    SELECT doc_id,
+           'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+               || CAST(doc_id AS VARCHAR) AS url,
+           text AS extracted
+    FROM documents
+    """,
+)
+def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic page (JVM exprs) -> DOM-density extraction UDF.
+
+    The oracle is exact: the extractor must recover the main content
+    byte-identically from the boilerplate-wrapped page.
+    """
+    pages = documents_as_pages(load_table(spark, sf_dir, "documents"))
+    out = with_main_text(pages)
+    return out.select("doc_id", "url", F.col("extracted"))
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md §2.12): scan/filter/agg/join/window/setops
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(l.l_orderkey, o.o_orderdate)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_segment_totals",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "window_top2_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 2
+    """,
+)
+def window_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "window_running_user_value",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), 3) AS running_value
+    FROM events
+    """,
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 3).alias("running_value")
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analogue of the streaming path)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "except_open_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_open_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set semantics), matching the oracle
+    return open_.subtract(closed)
+
+
+@query(
+    "distinct_types_per_brand",
+    """
+    SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
+           COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+)
+def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"), F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+@query(
+    "topk_documents",
+    """
+    SELECT doc_id, n_chars, lang FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+)
+def topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.orderBy(F.desc("n_chars"), F.asc("doc_id")).select("doc_id", "n_chars", "lang").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops over `documents`)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "value", "table", "row")
+_SW_SQL = "('the', 'a', 'value', 'table', 'row')"
+
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND((n_chars - len(string_split(text, ' ')) + 1)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round((F.col("n_chars") - n_tokens + 1) / n_tokens.cast("double"), 4).alias("avg_word_len"),
+    )
+
+
+@query(
+    "doc_stopword_ratio",
+    f"""
+    SELECT doc_id,
+           ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+    FROM documents
+    """,
+)
+def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id", F.round(hits / F.size(toks).cast("double"), 4).alias("stop_ratio")
+    )
+
+
+@query(
+    "doc_quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.7
+                 + (len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length + stopword-density quality heuristic (public C4/Gopher-style rules)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    quality = F.least(F.lit(1.0), n / F.lit(100.0)) * 0.7 + (hits / n.cast("double")) * 0.3
+    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content. Map-side partial agg, one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference pointwise/histogram ops as SQL-checkable analogues
+# (pixel-exact variants live in ocr_spark/kernels and are pytest-golden-
+#  checked; these entries prove the same arithmetic contract on a column)
+# ---------------------------------------------------------------------------
+
+@query(
+    "contrast_stretch_nchars",
+    """
+    SELECT doc_id,
+           CASE WHEN n_chars <= 100 THEN 0.0
+                WHEN n_chars >= 400 THEN 255.0
+                ELSE ROUND((n_chars - 100) * (255.0 / 300.0), 4) END AS v
+    FROM documents
+    """,
+)
+def contrast_stretch_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contrast_image semantics (misc.c:106-151) with black=100, white=400."""
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        F.when(F.col("n_chars") <= 100, F.lit(0.0))
+        .when(F.col("n_chars") >= 400, F.lit(255.0))
+        .otherwise(F.round((F.col("n_chars") - 100) * (255.0 / 300.0), 4))
+    )
+    return d.select("doc_id", v.alias("v"))
+
+
+@query(
+    "threshold_binarize_nchars",
+    """
+    SELECT doc_id, CASE WHEN n_chars <= 250 THEN 0 ELSE 255 END AS v
+    FROM documents
+    """,
+)
+def threshold_binarize_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """black==white hard-threshold branch of contrast_image (misc.c:111-121)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.when(F.col("n_chars") <= 250, F.lit(0)).otherwise(F.lit(255)).alias("v")
+    )
+
+
+@query(
+    "quantize_nchars",
+    """
+    SELECT doc_id,
+           ROUND(ROUND((n_chars - 128) * 0.25) / 0.25 + 128, 2) AS v
+    FROM documents
+    """,
+)
+def quantize_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantize_image semantics (dithering.c:22-37) with steps=0.25."""
+    d = load_table(spark, sf_dir, "documents")
+    v = F.round(F.round((F.col("n_chars") - 128) * 0.25, 0) / 0.25 + 128, 2)
+    return d.select("doc_id", v.alias("v"))
+
+
+@query(
+    "histogram_nchars",
+    """
+    SELECT CAST(FLOOR(n_chars / 32) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level histogram = a real Spark hash aggregate (misc.c:86-104 analogue)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.floor(F.col("n_chars") / 32).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "histogram_reference_quirk",
+    """
+    SELECT CASE WHEN n_chars / 255.0 < 0 THEN 0
+                WHEN n_chars / 255.0 > 1 THEN 255
+                ELSE CAST(TRUNC(n_chars / 255.0) AS INT) END AS bin,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def histogram_reference_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicates the reference's buggy 0..1 binning (misc.c:95-98) faithfully."""
+    d = load_table(spark, sf_dir, "documents")
+    v = F.col("n_chars") / 255.0
+    bin_ = (
+        F.when(v < 0, F.lit(0)).when(v > 1, F.lit(255)).otherwise(v.cast("int"))
+    )
+    return d.groupBy(bin_.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# vector ops over `embeddings` (cumsum/diff/argmax = vector.c analogues)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cumsum_embedding",
+    """
+    SELECT vec_id, idx,
+           ROUND(SUM(val) OVER (PARTITION BY vec_id ORDER BY idx), 3) AS csum
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+                 unnest(embedding) AS val
+          FROM embeddings WHERE vec_id < 50)
+    """,
+)
+def cumsum_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumul_vector (vector.c:72-78) as explode + running-sum window."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    ex = e.select("vec_id", F.posexplode("embedding").alias("idx", "val"))
+    w = Window.partitionBy("vec_id").orderBy("idx")
+    return ex.select("vec_id", "idx", F.round(F.sum("val").over(w), 3).alias("csum"))
+
+
+@query(
+    "diff_embedding",
+    """
+    SELECT vec_id, idx, ROUND(val - lag_val, 4) AS delta FROM (
+      SELECT vec_id, idx, val,
+             LAG(val) OVER (PARTITION BY vec_id ORDER BY idx) AS lag_val
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+                   unnest(embedding) AS val
+            FROM embeddings WHERE vec_id < 50))
+    WHERE lag_val IS NOT NULL
+    """,
+)
+def diff_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff_vector (vector.c:80-86) as lag window."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    ex = e.select("vec_id", F.posexplode("embedding").alias("idx", "val"))
+    w = Window.partitionBy("vec_id").orderBy("idx")
+    return (
+        ex.withColumn("lag_val", F.lag("val").over(w))
+        .where(F.col("lag_val").isNotNull())
+        .select("vec_id", "idx", F.round(F.col("val") - F.col("lag_val"), 4).alias("delta"))
+    )
+
+
+@query(
+    "argmax_embedding",
+    """
+    SELECT vec_id,
+           list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS argmax_idx
+    FROM embeddings
+    """,
+)
+def argmax_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_of_max (vector.c:214-222): first index of the maximum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1)
+        .cast("bigint")
+        .alias("argmax_idx"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a broadcast query vector.
+
+    The scale path: broadcast the (tiny) query side, keep the corpus
+    side partition-parallel; dot products run as JVM higher-order
+    functions (zip_with/aggregate) — no Python in the loop.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    return (
+        joined.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

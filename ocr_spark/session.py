@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is a public Spark conf. Defaults are tuned so the same
+code path works on local[N] (tests/bench) and on a real multi-executor
+cluster (spark-submit --py-files ocr_spark.zip):
+
+- AQE on: runtime coalescing of post-shuffle partitions + skew-join
+  splitting, so plans survive data-volume changes without retuning.
+- Arrow on: every Python crossing is a columnar Arrow batch; there is
+  no row-at-a-time Python anywhere in the engine.
+- maxRecordsPerBatch bounded: pages carry multi-100kB html/binary
+  payloads, so Arrow batches are capped by rows to bound worker memory
+  (at 100 TB scale the same cap keeps per-task peak memory flat).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# Pages carry big binary payloads; cap Arrow batches so a batch of
+# pages stays ~tens of MB regardless of page size.
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app: str = "ocr-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("OCR_SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,153 @@
+"""Deterministic Common-Crawl-style pages corpus (BASELINE.json input_hint).
+
+Schema: (url string, warc_ts timestamp, html binary, text string, lang string).
+
+Generation is *per-row deterministic*: page i is a pure function of
+(seed, i), so the corpus is generated distributed via mapInArrow over
+spark.range(n) — no driver-side materialization, no shared state. At
+10^12 documents this is exactly how you'd synthesize load: the range is
+split across executors and every worker derives its rows locally.
+
+Host ids are Zipf-skewed (few hosts own most pages) so host-keyed
+stages exhibit the skew the salting policy defends against.
+"""
+
+from __future__ import annotations
+
+import base64
+import html as _html
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_spark.kernels import fixtures, pnm
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+LANGS = ["en", "es", "de", "fr", "it"]
+N_HOSTS = 1000
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog press roll scan page glyph line margin "
+    "ink paper book column row light shade edge curve serif stem bowl counter axis "
+    "field plate folio quire verso recto gutter spine deckle vellum chase galley "
+    "furniture quoin brayer tympan frisket platen forme sort kern ligature descender "
+    "ascender baseline median cap gauge pica point em en quad slug lead reglet"
+).split()
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def _paragraph(rng: np.random.Generator, n_words: int) -> str:
+    words = [_VOCAB[int(i)] for i in rng.integers(0, len(_VOCAB), n_words)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def make_page(
+    doc_id: int,
+    seed: int = 42,
+    embed_scan: bool = False,
+    scan_shape: tuple[int, int] = (96, 128),
+) -> dict:
+    """Build one page row as a plain dict (pure function of (seed, doc_id))."""
+    rng = np.random.default_rng([seed, doc_id])
+    u = float(rng.uniform())
+    host = int(N_HOSTS * u**4)  # Zipf-ish: heavy mass on low host ids
+    url = f"https://host{host}.example/p{doc_id}"
+    lang = LANGS[doc_id % len(LANGS)]
+    n_para = 2 + doc_id % 4
+    paragraphs = [_paragraph(rng, int(rng.integers(10, 28))) for _ in range(n_para)]
+    text = "\n".join(paragraphs)
+
+    nav = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in ("home", "new", "tags", "rss"))
+    related = "".join(
+        f'<a href="/p{int(i)}">{_VOCAB[int(i) % len(_VOCAB)]} {int(i)}</a> '
+        for i in rng.integers(0, 10_000, 8)
+    )
+    main = "\n".join(f"<p>{_html.escape(p)}</p>" for p in paragraphs)
+    scan_tag = ""
+    if embed_scan:
+        page_img = fixtures.shaded(scan_shape[0], scan_shape[1], seed, doc_id)
+        b64 = base64.b64encode(pnm.encode_gray(page_img)).decode("ascii")
+        scan_tag = f'<img alt="scan" src="data:image/x-portable-graymap;base64,{b64}">'
+    doc = f"""<!DOCTYPE html>
+<html lang="{lang}"><head><title>doc {doc_id}</title>
+<script>var t={doc_id};</script><style>p{{margin:0}}</style></head>
+<body>
+<header><h1>host{host} gazette</h1><p>issue {doc_id % 365} of the daily archive</p></header>
+<nav><ul>{nav}</ul></nav>
+<main>
+{main}
+{scan_tag}
+</main>
+<div class="promo">subscribe now</div>
+<div class="related">{related}</div>
+<aside><p>advertisement: buy {_VOCAB[doc_id % len(_VOCAB)]} today and save big</p></aside>
+<footer><p>© 2025 host{host}.example — all rights reserved — contact legal privacy terms</p></footer>
+</body></html>"""
+    return {
+        "url": url,
+        "warc_ts": EPOCH + timedelta(seconds=17 * doc_id),
+        "html": doc.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def pages_batch(
+    ids: np.ndarray, seed: int = 42, embed_scan: bool = False,
+    scan_shape: tuple[int, int] = (96, 128),
+) -> pa.RecordBatch:
+    rows = [make_page(int(i), seed, embed_scan, scan_shape) for i in ids]
+    return pa.RecordBatch.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def pages_df(
+    spark,
+    n: int,
+    seed: int = 42,
+    embed_scan: bool = False,
+    scan_shape: tuple[int, int] = (96, 128),
+    partitions: int | None = None,
+):
+    """Distributed corpus: spark.range(n) -> mapInArrow(generate)."""
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            # emit in sub-batches to bound memory when scans are embedded
+            step = 64 if embed_scan else 1024
+            for lo in range(0, len(ids), step):
+                yield pages_batch(ids[lo : lo + step], seed, embed_scan, scan_shape)
+
+    rng_df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInArrow(gen, out_schema)
+
+
+def pages_pylist(n: int, seed: int = 42, embed_scan: bool = False,
+                 scan_shape: tuple[int, int] = (96, 128)) -> list[dict]:
+    """Driver-side corpus for pytest (small n only)."""
+    return [make_page(i, seed, embed_scan, scan_shape) for i in range(n)]

@@ -1,0 +1,31 @@
+"""Loaders for the driver-generated testdata tables.
+
+Tables (one parquet file each, TESTDATA.md): region nation customer
+supplier part orders lineitem events documents embeddings.
+
+At cluster scale these reads become Iceberg/parquet directory scans;
+everything downstream only sees a DataFrame, so the swap is a one-line
+change here (see sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

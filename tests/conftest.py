@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from ocr_spark.session import get_spark
+
+    s = get_spark("ocr-spark-tests", cpus=8, shuffle_partitions=8)
+    yield s

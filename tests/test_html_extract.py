@@ -1,0 +1,87 @@
+"""Boilerplate stripping: unit behavior + byte-identical corpus round-trip."""
+
+from __future__ import annotations
+
+from ocr_spark.functions.html_extract import (
+    extract_embedded_pnm,
+    extract_main_text,
+    parse_blocks,
+)
+from ocr_spark.kernels import pnm
+from ocr_spark.sources.corpus import make_page, pages_pylist
+
+LONG = "This paragraph is long enough to be considered main content by the rules."
+
+
+def test_keeps_long_content_block():
+    html = f"<html><body><main><p>{LONG}</p></main></body></html>"
+    assert extract_main_text(html) == LONG
+
+
+def test_drops_boilerplate_paths():
+    html = (
+        f"<html><body><nav><p>{LONG}</p></nav>"
+        f"<header><p>{LONG}</p></header>"
+        f"<footer><p>{LONG}</p></footer>"
+        f"<aside><p>{LONG}</p></aside>"
+        f"<main><p>{LONG}</p></main></body></html>"
+    )
+    assert extract_main_text(html) == LONG
+
+
+def test_drops_short_blocks():
+    html = f"<body><p>short</p><p>{LONG}</p><div>subscribe now</div></body>"
+    assert extract_main_text(html) == LONG
+
+
+def test_drops_link_dense_blocks():
+    links = " ".join(f'<a href="/{i}">linky link number {i}</a>' for i in range(8))
+    html = f"<body><div>{links}</div><p>{LONG}</p></body>"
+    assert extract_main_text(html) == LONG
+
+
+def test_drops_script_style_content():
+    html = f"<body><script>var x = 'not content at all, never ever';</script><p>{LONG}</p></body>"
+    assert extract_main_text(html) == LONG
+
+
+def test_whitespace_collapsed_within_block():
+    html = f"<body><p>  a\n\n b\tc   {LONG}</p></body>"
+    assert extract_main_text(html) == f"a b c {LONG}"
+
+
+def test_entities_unescaped():
+    html = f"<body><p>&lt;tag&gt; &amp; more — {LONG}</p></body>"
+    assert extract_main_text(html) == f"<tag> & more — {LONG}"
+
+
+def test_multiple_blocks_newline_joined():
+    html = f"<body><main><p>{LONG}</p><p>{LONG}</p></main></body>"
+    assert extract_main_text(html) == f"{LONG}\n{LONG}"
+
+
+def test_nested_blocks_split_correctly():
+    blocks = parse_blocks("<div>outer text here<p>inner paragraph text</p>tail text</div>")
+    assert [b.text for b in blocks] == ["outer text here", "inner paragraph text", "tail text"]
+
+
+def test_malformed_html_no_crash():
+    assert isinstance(extract_main_text("<p><b>unclosed <div>" + LONG), str)
+    assert extract_main_text(None) == ""
+    assert extract_main_text(b"\xff\xfe garbage bytes") == ""
+
+
+def test_corpus_roundtrip_byte_identical():
+    """The per-row invariant: extracted text == generation-time ground truth."""
+    for row in pages_pylist(200, seed=42):
+        assert extract_main_text(row["html"]) == row["text"]
+
+
+def test_corpus_roundtrip_with_embedded_scan():
+    for i in (0, 3, 11):
+        row = make_page(i, embed_scan=True)
+        assert extract_main_text(row["html"]) == row["text"]
+        scan = extract_embedded_pnm(row["html"])
+        arr = pnm.decode_gray(scan)
+        assert arr.shape == (96, 128)
+        assert arr.dtype.name == "float32"

@@ -1,0 +1,64 @@
+"""PNM/PAM codec vs the reference reader/writer semantics (image.c:115-261)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import fixtures, pnm
+
+
+def test_p5_roundtrip():
+    arr = fixtures.grad(13, 17)
+    buf = pnm.encode_gray(arr)
+    assert buf.startswith(b"P5\n17 13\n255\n")
+    back = pnm.decode_gray(buf)
+    # floor + clamp at write time (image.c:253-255); grad values have
+    # fractional parts so compare against the truncated original
+    assert np.array_equal(back, np.clip(arr, 0, 255).astype(np.uint8).astype(np.float32))
+
+
+def test_p5_clamping():
+    arr = np.array([[-5.0, 0.0, 254.9, 300.0]], dtype=np.float32)
+    back = pnm.decode_gray(pnm.encode_gray(arr))
+    assert back.tolist() == [[0.0, 0.0, 254.0, 255.0]]
+
+
+def test_p6_rgb_roundtrip():
+    rng = np.random.default_rng(1)
+    chan = [None, *(rng.integers(0, 256, (5, 7)).astype(np.float32) for _ in range(3)), None]
+    img = {"chan": chan, "width": 7, "height": 5}
+    back = pnm.decode(pnm.encode(img))
+    for z in (1, 2, 3):
+        assert np.array_equal(back["chan"][z], chan[z])
+    assert back["chan"][0] is None
+
+
+def test_p7_gray_alpha_roundtrip():
+    """Gray+alpha stores alpha in chan[0] (image.c:186-192)."""
+    g = np.arange(6, dtype=np.float32).reshape(2, 3)
+    a = np.full((2, 3), 255.0, dtype=np.float32)
+    img = {"chan": [a, g, None, None, None], "width": 3, "height": 2}
+    buf = pnm.encode(img)
+    assert b"GRAYSCALE_ALPHA" in buf
+    back = pnm.decode(buf)
+    assert np.array_equal(back["chan"][1], g)
+    assert np.array_equal(back["chan"][0], a)
+
+
+def test_p7_rgba_roundtrip():
+    img = fixtures.rgba(8, 6)
+    back = pnm.decode(pnm.encode(img))
+    for z in range(4):
+        assert np.array_equal(back["chan"][z], np.clip(img["chan"][z], 0, 255).astype(np.uint8))
+
+
+def test_header_comments_and_whitespace():
+    buf = b"P5\n# a comment\n 3 \n# another\n2\n255\n" + bytes(6)
+    arr = pnm.decode_gray(buf)
+    assert arr.shape == (2, 3)
+
+
+def test_maxval_must_be_255():
+    with pytest.raises(ValueError):
+        pnm.decode(b"P5\n2 2\n65535\n" + bytes(8))

@@ -1,0 +1,51 @@
+"""Spark-side extraction: distributed corpus -> UDF -> byte-identical text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extract import salted_repartition, with_embedded_scan, with_main_text
+from ocr_spark.sources.corpus import pages_df
+
+
+def test_pages_df_deterministic_and_extractable(spark):
+    df = pages_df(spark, 64, seed=42, partitions=4)
+    out = with_main_text(df).select("url", "text", "extracted")
+    rows = out.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.extracted == r.text, r.url
+
+
+def test_pages_df_regeneration_identical(spark):
+    a = pages_df(spark, 32, seed=42, partitions=2).orderBy("url").collect()
+    b = pages_df(spark, 32, seed=42, partitions=5).orderBy("url").collect()
+    assert [(r.url, r.text, bytes(r.html)) for r in a] == [
+        (r.url, r.text, bytes(r.html)) for r in b
+    ]
+
+
+def test_embedded_scan_extraction(spark):
+    df = pages_df(spark, 8, seed=42, embed_scan=True, scan_shape=(32, 48), partitions=2)
+    out = with_embedded_scan(df).select("url", "scan")
+    rows = out.collect()
+    assert len(rows) == 8
+    from ocr_spark.kernels import pnm
+
+    for r in rows:
+        arr = pnm.decode_gray(bytes(r.scan))
+        assert arr.shape == (32, 48)
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    df = pages_df(spark, 256, seed=42, partitions=2)
+    parts = (
+        salted_repartition(df, 16, "url")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in parts]
+    assert len(counts) > 4  # actually spread over partitions
+    assert max(counts) < 256  # no single hot partition took everything

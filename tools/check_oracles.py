@@ -1,0 +1,91 @@
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Runs every QUERIES[name] on Spark and ORACLE[name] on DuckDB at the
+given sf dir, then compares row count, column names, and
+order-insensitive values (rows sorted by all columns, compared after
+string normalization). Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from ocr_spark.queries import ORACLE, QUERIES
+from ocr_spark.session import get_spark
+from ocr_spark.sources.tables import TABLES
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: v.decode() if isinstance(v, bytes) else v)
+        df[c] = df[c].map(_norm_val)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _norm_val(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return ""
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    return str(v)
+
+
+def main(sf_dir: str, only: list[str] | None = None) -> int:
+    spark = get_spark("check-oracles", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    failures = 0
+    names = only or list(QUERIES)
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            got = _norm(fn(spark, sf_dir).toPandas())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in ORACLE:
+            print(f"ok   {name}: rows={len(got)} (rows-only, no oracle)")
+            continue
+        try:
+            want = _norm(con.sql(ORACLE[name]).df())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        if not got.equals(want):
+            neq = (got != want).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(got)} rows differ; first:")
+            print(pd.concat([got[neq].head(3).add_suffix("_spark"),
+                             want[neq].head(3).add_suffix("_duck")], axis=1))
+            failures += 1
+            continue
+        print(f"ok   {name}: rows={len(got)}")
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(main(sf, sys.argv[2:] or None))
