@@ -1,0 +1,131 @@
+"""Quantization + 3 dithering algorithms (dithering.c).
+
+Cites: quantize dithering.c:22-37 (in pointwise.py);
+dither_floyd_bidir dithering.c:39-81; dither_cumulative
+dithering.c:83-111; dither_blue_noise dithering.c:113-133;
+blue-noise threshold matrix dithering.c:3-20 (data table, 256 bytes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.kernels.util import c_round
+
+F32 = np.float32
+
+# 16x16 blue-noise threshold matrix — verbatim data constant from the
+# reference (dithering.c:3-20); it is a lookup table, not code.
+BLUE_NOISE_16 = np.array(
+    [
+        43, 222, 57, 208, 83, 189, 29, 76, 136, 39, 221, 150, 71, 85, 227, 98, 67,
+        166, 252, 138, 175, 232, 113, 154, 198, 92, 169, 25, 213, 54, 16, 238, 203, 10,
+        109, 97, 37, 62, 217, 9, 240, 51, 121, 102, 195, 162, 140, 117, 177, 79, 153,
+        23, 237, 125, 167, 19, 82, 180, 233, 3, 254, 38, 187, 28, 130, 219, 52, 199,
+        184, 72, 146, 103, 134, 205, 66, 147, 127, 88, 61, 242, 44, 93, 249, 114, 1,
+        226, 41, 251, 188, 31, 46, 80, 210, 225, 106, 155, 190, 14, 137, 161, 84, 207,
+        58, 91, 220, 158, 111, 176, 17, 165, 7, 74, 119, 214, 64, 181, 30, 128, 173,
+        11, 120, 20, 229, 247, 53, 139, 201, 234, 24, 148, 40, 228, 104, 246, 151, 200,
+        70, 142, 86, 192, 124, 96, 34, 174, 81, 239, 95, 191, 75, 18, 50, 99, 241,
+        183, 59, 4, 216, 68, 245, 110, 56, 204, 6, 123, 163, 223, 135, 209, 42, 32,
+        168, 108, 152, 45, 185, 159, 133, 170, 143, 255, 60, 178, 2, 115, 157, 218, 129,
+        253, 196, 22, 224, 12, 212, 47, 26, 107, 36, 89, 194, 78, 236, 94, 13, 73,
+        87, 141, 118, 101, 77, 235, 197, 69, 215, 149, 230, 55, 27, 145, 202, 49, 231,
+        179, 63, 248, 156, 90, 182, 116, 244, 131, 15, 171, 122, 186, 105, 164, 35, 206,
+        0, 33, 144, 126, 21, 5, 160, 48, 100, 211, 250, 65, 8, 243, 132, 112, 172,
+        193,
+    ],
+    dtype=np.uint8,
+).reshape(16, 16)
+
+
+def floyd_bidir(arr: np.ndarray, step: float) -> np.ndarray:
+    """Serpentine Floyd–Steinberg error diffusion (dithering.c:39-81).
+
+    Quantize round(v/step)*step; diffuse error/16 with weights
+    7 (ahead), 1 (down-ahead), 3 (down-behind), 5 (down); L->R on even
+    rows, mirrored R->L on the following row. Inherently sequential
+    within a page; parallelism lives across table rows.
+    """
+    p = np.asarray(arr, dtype=F32).copy()
+    h, w = p.shape
+    step = F32(step)
+
+    def q(v: F32) -> F32:
+        # *p= round(*p/step)*step: round() on the promoted double, the
+        # product double*float32 rounds once on store
+        return F32(np.float64(c_round(F32(v / step))) * np.float64(step))
+
+    for y in range(0, h, 2):
+        row = p[y]
+        nxt = p[y + 1] if y + 1 < h else None
+        for x in range(w):
+            v = row[x]
+            nv = q(v)
+            row[x] = nv
+            e = F32(F32(v - nv) / F32(16))
+            if x + 1 < w:
+                row[x + 1] = F32(row[x + 1] + F32(7) * e)
+                if nxt is not None:
+                    nxt[x + 1] = F32(nxt[x + 1] + e)
+            if nxt is not None:
+                if x > 0:
+                    nxt[x - 1] = F32(nxt[x - 1] + F32(3) * e)
+                nxt[x] = F32(nxt[x] + F32(5) * e)
+        if y + 1 >= h:
+            break
+        row = p[y + 1]
+        nxt = p[y + 2] if y + 2 < h else None
+        for x in range(w - 1, -1, -1):
+            v = row[x]
+            nv = q(v)
+            row[x] = nv
+            e = F32(F32(v - nv) / F32(16))
+            if x > 0:
+                row[x - 1] = F32(row[x - 1] + F32(7) * e)
+                if nxt is not None:
+                    # dithering.c:72: *(p+w-1) — down-ahead in R->L order
+                    nxt[x - 1] = F32(nxt[x - 1] + e)
+            if nxt is not None:
+                if x > 0:
+                    nxt[x - 1] = F32(nxt[x - 1] + F32(3) * e)
+                nxt[x] = F32(nxt[x] + F32(5) * e)
+    return p
+
+
+def cumulative(arr: np.ndarray, step: float) -> np.ndarray:
+    """Dither via rounded double-precision 2-D running sums
+    (dithering.c:83-111): out = second difference of rounded
+    cumulative sums, fully vectorizable row-recurrence."""
+    p = np.asarray(arr, dtype=F32)
+    h, w = p.shape
+    stepf = F32(step)
+    out = np.empty_like(p)
+    prev = np.zeros(w + 1, dtype=np.float64)  # T[y-1][0..w]
+    for y in range(h):
+        v = (p[y] / stepf).astype(F32).astype(np.float64)
+        # cur[x+1] = v + prev[x+1] - prev[x] + cur[x]  (dithering.c:102)
+        cur = np.empty(w + 1, dtype=np.float64)
+        cur[0] = 0.0
+        inc = (v + prev[1:]) - prev[:-1]
+        np.cumsum(inc, out=cur[1:])
+        r_prev = c_round(prev)
+        r_cur = c_round(cur)
+        vals = (r_prev[:-1] - r_prev[1:]) - r_cur[:-1] + r_cur[1:]
+        out[y] = (vals * np.float64(stepf)).astype(F32)
+        prev = cur
+    return out
+
+
+def blue_noise(arr: np.ndarray, step: float) -> np.ndarray:
+    """Ordered dithering against the 16x16 blue-noise matrix
+    (dithering.c:113-133), tiled over the image."""
+    p = np.asarray(arr, dtype=F32)
+    h, w = p.shape
+    stepf = F32(step)
+    tile = BLUE_NOISE_16[
+        np.arange(h)[:, None] % 16, np.arange(w)[None, :] % 16
+    ].astype(np.float64)
+    v = (p / stepf).astype(F32).astype(np.float64)
+    r = c_round(v + tile / 255.0 - 0.5)
+    return (r * np.float64(stepf)).astype(F32)

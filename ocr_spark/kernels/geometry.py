@@ -1,0 +1,277 @@
+"""Geometry: rotate / crop / split / shear / skew / deskew / margin.
+
+Cites: image_rotate_90 transform.c:3-38; rotate_image transform.c:40-46;
+splitx/y transform.c:48-98; image_crop transform.c:100-124; skew_image
+transform.c:126-134; skew_score transform.c:136-155; detect_skew_image
+transform.c:157-201; shearx transform.c:203-240; sheary
+transform.c:242-311; find_margin transform.c:313-356.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+F32 = np.float32
+
+
+def rotate_90(arr: np.ndarray, angle: int) -> np.ndarray:
+    if angle in (90, -270):
+        return np.ascontiguousarray(np.rot90(arr, -1))
+    if angle in (180, -180):
+        return np.ascontiguousarray(np.rot90(arr, 2))
+    if angle in (270, -90):
+        return np.ascontiguousarray(np.rot90(arr, 1))
+    raise ValueError(f"rotate_90: unsupported angle {angle}")  # assert(0) in C
+
+
+def rotate(arr: np.ndarray, angle: float) -> np.ndarray:
+    """Rounds to the nearest multiple of 90 (transform.c:40-46).
+
+    n == 0 hits assert(0) in the reference; we raise instead.
+    """
+    n = int(np.floor(abs(angle) / 90 + 0.5)) * (1 if angle >= 0 else -1)
+    n = (int(math.fmod(n, 4))) * 90  # C % truncates toward zero
+    return rotate_90(arr, n)
+
+
+def crop(arr: np.ndarray, x1: int, y1: int, x2: int, y2: int) -> np.ndarray:
+    h, w = arr.shape
+    if x1 < 0 or x2 <= x1 or x2 > w:
+        raise ValueError("crop: wrong x parameters")
+    if y1 < 0 or y2 <= y1 or y2 > h:
+        raise ValueError("crop: wrong y parameters")
+    return np.ascontiguousarray(np.asarray(arr, F32)[y1:y2, x1:x2])
+
+
+def splitx(arr: np.ndarray, x: float) -> tuple[np.ndarray, np.ndarray]:
+    """1 page -> 2 pages at fraction x (x>1 means 1/x), transform.c:48-73."""
+    if x <= 0 or x == 1:
+        raise ValueError("splitx: x must be > 0 and != 1")
+    if x > 1:
+        x = 1 / x
+    h, w = arr.shape
+    w1 = int(w * F32(x))
+    a = np.asarray(arr, F32)
+    return np.ascontiguousarray(a[:, :w1]), np.ascontiguousarray(a[:, w1:])
+
+
+def splity(arr: np.ndarray, y: float) -> tuple[np.ndarray, np.ndarray]:
+    if y <= 0 or y == 1:
+        raise ValueError("splity: y must be > 0 and != 1")
+    if y > 1:
+        y = 1 / y
+    h, w = arr.shape
+    h1 = int(h * F32(y))
+    a = np.asarray(arr, F32)
+    return np.ascontiguousarray(a[:h1]), np.ascontiguousarray(a[h1:])
+
+
+def shearx(arr: np.ndarray, t: float) -> np.ndarray:
+    """Horizontal shear: row y shifts by (y - h/2)*t with linear interp
+    and edge replication (transform.c:203-240)."""
+    p = np.asarray(arr, dtype=F32).copy()
+    h, w = p.shape
+    t = F32(t)
+    assert abs(t) <= 1
+    for y in range(h):
+        buf = p[y].copy()
+        dr = F32((y - h // 2) * t)
+        di = int(np.floor(dr))
+        df = F32(np.float64(dr) - di)
+        cb, ca = df, F32(F32(1) - df)
+        row = p[y]
+        if di > 0:
+            n = w - di  # interpolated prefix (transform.c:226)
+            if n > 0:
+                xs = np.arange(n)
+                row[:n] = (cb * buf[xs + di] + ca * buf[xs + di - 1]).astype(F32)
+                row[n:] = row[n - 1]
+            # n <= 0 cannot happen for |t|<=1 on sane sizes
+        else:
+            lo = 1 - di  # first interpolated x (transform.c:234)
+            if lo <= w - 1:
+                xs = np.arange(lo, w)
+                row[lo:] = (cb * buf[xs + di] + ca * buf[xs + di - 1]).astype(F32)
+                row[:lo] = row[lo]
+            else:
+                pass  # degenerate: all replication, C would read OOB
+    return p
+
+
+def sheary(arr: np.ndarray, t: float) -> np.ndarray:
+    """Vertical shear about the center column, two sweeps (down for the
+    side shifting from below, up for the other) so it's in-place safe
+    (transform.c:242-311)."""
+    p = np.asarray(arr, dtype=F32).copy()
+    h, w = p.shape
+    t = F32(t)
+    assert abs(t) <= 1
+    xs = np.arange(w)
+    dr = ((w // 2 - xs) * t).astype(F32)
+    dy = np.floor(dr).astype(np.int64)
+    df = (dr.astype(np.float64) - np.floor(dr.astype(np.float64))).astype(F32)
+    df = (dr - dy.astype(F32)).astype(F32)  # dr - floor(dr), float32
+
+    if t > 0:
+        down_cols = xs < w // 2
+    else:
+        down_cols = xs >= w // 2
+    up_cols = ~down_cols
+
+    src = p  # in-place: down pass reads rows below (unmodified), up pass above
+    # down pass (transform.c:264-280)
+    dc = xs[down_cols]
+    for y in range(h):
+        ys_d = y + dy[dc]
+        has_next = (ys_d + 1) <= h - 1
+        yy = np.clip(ys_d, 0, h - 1)
+        nxt = np.clip(ys_d + 1, 0, h - 1)
+        f = df[dc]
+        interp = (src[yy, dc] * (F32(1) - f) + src[nxt, dc] * f).astype(F32)
+        # transform.c:272 reads *(p+d) even when y+dy > h-1 — UB in the
+        # reference; observed through a zero-padded allocation it reads
+        # 0.0, which is the semantics we define
+        plain = np.where(ys_d <= h - 1, src[yy, dc], F32(0))
+        p[y, dc] = np.where(has_next, interp, plain)
+    # up pass (transform.c:284-306)
+    uc = xs[up_cols]
+    for y in range(h - 1, -1, -1):
+        ys = y + dy[uc]
+        over = (ys + 1) >= h          # buf = *p (d==0 asserted in C)
+        under = ys < 0                # buf = *(p+d+w)
+        yy = np.clip(ys, 0, h - 1)
+        nxt_i = ys + 1
+        nxt = np.clip(nxt_i, 0, h - 1)
+        f = df[uc]
+        interp = (src[yy, uc] * (F32(1) - f) + src[nxt, uc] * f).astype(F32)
+        # transform.c:298 reads *(p+d+w) even when y+dy+1 < 0 — UB in
+        # the reference; zero-padded observation reads 0.0
+        under_val = np.where(nxt_i >= 0, src[nxt, uc], F32(0))
+        vals = np.where(over, src[y, uc], np.where(under, under_val, interp))
+        p[y, uc] = vals
+    return p
+
+
+def skew(arr: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Small-angle rotation as three shears (Paeth), transform.c:126-134."""
+    if abs(angle_deg) > 45:
+        raise ValueError("skew: angle must be between -45 and 45")
+    ang = F32(np.float64(F32(angle_deg)) * (math.pi / 180))
+    b = F32(math.sin(np.float64(ang)))
+    a = F32(np.float64(b) / (1 + math.cos(np.float64(ang))))
+    out = shearx(arr, a)
+    out = sheary(out, b)
+    return shearx(out, a)
+
+
+def _skew_score(d: int, test: np.ndarray) -> float:
+    """Sum of squared projection profile after virtual shear by d px
+    end-to-end (transform.c:136-155). Accumulation replicated in
+    float32 scan order via np.add.at."""
+    h, w = test.shape
+    v = np.zeros(h + w, dtype=F32)
+    ad = abs(d)
+    # segment boundaries: x < w*(i+1)/(|d|+1)  (integer division)
+    bounds = np.array([(w * (i + 1)) // (ad + 1) for i in range(ad + 1)])
+    seg = np.searchsorted(bounds, np.arange(w), side="right")
+    ys = np.arange(h)[:, None]
+    if d >= 0:
+        j = ys + seg[None, :]
+    else:
+        j = ys + (w - seg[None, :])
+    np.add.at(v, j.ravel(), np.abs(test, dtype=F32).ravel())
+    vv = v.astype(F32) * v.astype(F32)
+    return float(np.cumsum(vv, dtype=F32)[-1])
+
+
+def detect_skew(arr: np.ndarray) -> float:
+    """Deskew detection (transform.c:157-201): horizontal-edge image,
+    RMS gate, bracketing search over displacement maximizing the
+    squared profile; returns degrees."""
+    p = np.asarray(arr, dtype=F32)
+    h, w = p.shape
+    t_img = np.abs(p[: h - 1] - p[1:]).astype(F32)
+    tt = (t_img * t_img).astype(F32)
+    s = np.cumsum(tt.ravel(), dtype=F32)[-1]  # float32 sequential sum
+    s = F32(math.sqrt(np.float64(s) / w / (h - 1)))
+    test = np.where(t_img < s, F32(0), t_img)
+
+    def trunc_div3(x: int) -> int:
+        return x // 3 if x >= 0 else -((-x) // 3)
+
+    a = w // 10
+    b = -a
+    sa = _skew_score(a, test)
+    sb = _skew_score(b, test)
+    while abs(a - b) > 1:
+        if sa > sb:
+            b = trunc_div3(5 * a - 2 * b)
+            sb = _skew_score(b, test)
+        else:
+            a = trunc_div3(5 * b - 2 * a)
+            sa = _skew_score(a, test)
+    if sb > sa:
+        sa, a = sb, b
+    if a == 0:
+        t = F32(0)
+    elif a > 0:
+        t = F32(a + 1)
+    else:
+        t = F32(a - 1)
+    return float(F32(math.atan(np.float64(F32(t / F32(w)))) * 180 / math.pi))
+
+
+def deskew(arr: np.ndarray) -> tuple[np.ndarray, float]:
+    """CLI deskew = detect + skew (grafix.c:283-287)."""
+    ang = detect_skew(arr)
+    return skew(arr, ang), ang
+
+
+def find_margin(v: np.ndarray, w: int) -> int:
+    """Projection-profile margin cut (transform.c:313-356): log scale,
+    2-pass adaptive threshold, run-length scores, best cut position."""
+    p = np.asarray(v, dtype=F32).copy()
+    l = len(p)
+    if w < 0 or w > l:
+        raise ValueError("find_margin: invalid width")
+    p = np.log((p + F32(1)).astype(np.float64)).astype(F32)  # p[i]+1 adds in f32
+    t = F32(np.cumsum(p, dtype=F32)[-1] / F32(l))
+    low = p <= t
+    n1 = F32(low.sum())
+    t1 = F32(np.cumsum(np.where(low, p, F32(0)), dtype=F32)[-1])
+    t = F32((t + t1 / n1) / F32(2))
+    # forward run lengths; forbidden positions get l+1
+    j = 0
+    for i in range(l):
+        if p[i] > t:
+            j = 0
+            p[i] = F32(l + 1)
+        else:
+            j += 1
+            p[i] = F32(j)
+    j = 0
+    for i in range(l - 1, -1, -1):
+        if p[i] > l:
+            j = 0
+        else:
+            j += 1
+            p[i] = F32(p[i] - j)
+    t = -l
+    j = 0
+    for i in range(0, l - w - 1):
+        a = int(p[i])
+        if a > l:
+            continue
+        b = int(p[i + w + 1])
+        if b > l:
+            continue
+        a -= b
+        p[i] = F32(a)
+        if a > t:
+            t, j = a, i
+    i = j
+    while i < l and p[i] == t:
+        i += 1
+    return (j + i) // 2

@@ -1,0 +1,137 @@
+"""Resampling pyramid: half / redouble / double.
+
+Cites: image_half_x scale.c:3-50; image_half_y scale.c:52-106;
+image_half scale.c:108-113; image_redouble_x scale.c:115-186;
+image_redouble_y scale.c:188-263; image_redouble scale.c:265-270;
+image_double scale.c:272-323. Kernel coefficients and evaluation
+order transcribed exactly (float32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F32 = np.float32
+
+
+def half_x(arr: np.ndarray) -> np.ndarray:
+    p = np.asarray(arr, dtype=F32)
+    h, wi = p.shape
+    wo = (wi + 2 - wi % 2) // 2
+    out = np.empty((h, wo), dtype=F32)
+    if wi % 2:  # odd: 5-tap [1,4,6,4,1]/16, edges copied*s (scale.c:14-30)
+        a, b, c = F32(1.0 / 16), F32(4.0 / 16), F32(6.0 / 16)
+        s = F32(F32(F32(F32(a + b) + c) + b) + a)
+        out[:, 0] = p[:, 0] * s
+        xs = np.arange(1, wo - 1)
+        pi = 2 * xs
+        out[:, 1 : wo - 1] = (
+            c * p[:, pi] + b * (p[:, pi - 1] + p[:, pi + 1]) + a * (p[:, pi - 2] + p[:, pi + 2])
+        ).astype(F32)
+        out[:, wo - 1] = p[:, wi - 1] * s
+    else:  # even: 4-tap [1,3,3,1]/8 (scale.c:31-46)
+        a, b = F32(1.0 / 8), F32(3.0 / 8)
+        out[:, 0] = p[:, 0]
+        xs = np.arange(1, wo - 1)
+        pi = 2 * xs - 1
+        out[:, 1 : wo - 1] = (
+            b * (p[:, pi] + p[:, pi + 1]) + a * (p[:, pi - 1] + p[:, pi + 2])
+        ).astype(F32)
+        out[:, wo - 1] = p[:, wi - 1]
+    return out
+
+
+def half_y(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(half_x(np.asarray(arr, F32).T).T)
+
+
+def half(arr: np.ndarray) -> np.ndarray:
+    """half_x then half_y (scale.c:108-113)."""
+    return half_y(half_x(arr))
+
+
+def redouble_x(arr: np.ndarray, odd: int) -> np.ndarray:
+    p = np.asarray(arr, dtype=F32)
+    h, wi = p.shape
+    odd = odd % 2
+    assert wi >= 3
+    wo = wi * 2 - 2 + odd
+    out = np.empty((h, wo), dtype=F32)
+    if odd:  # scale.c:130-163
+        a, b = F32(-1.0 / 8), F32(10.0 / 8)
+        s = F32(F32(a + b) + a)
+        c, d = F32(-3.0 / 16), F32(11.0 / 16)
+        out[:, 0] = p[:, 0] * s
+        # i=1, o=1 (scale.c:140-141)
+        out[:, 1] = (d * (p[:, 0] + p[:, 1]) + c * (p[:, 0] * F32(2) - p[:, 1] + p[:, 2])).astype(F32)
+        # i=1, o=2 (scale.c:144)
+        out[:, 2] = (p[:, 1] * b + (p[:, 0] + p[:, 2]) * a).astype(F32)
+        xs = np.arange(2, wi - 1)
+        out[:, 2 * xs - 1] = (d * (p[:, xs - 1] + p[:, xs]) + c * (p[:, xs - 2] + p[:, xs + 1])).astype(F32)
+        out[:, 2 * xs] = (p[:, xs] * b + (p[:, xs - 1] + p[:, xs + 1]) * a).astype(F32)
+        # i=wi-1, o=wo-2 (scale.c:157-158)
+        out[:, wo - 2] = (
+            d * (p[:, wi - 2] + p[:, wi - 1])
+            + c * (p[:, wi - 3] + p[:, wi - 1] * F32(2) - p[:, wi - 2])
+        ).astype(F32)
+        out[:, wo - 1] = p[:, wi - 1] * s
+    else:  # scale.c:165-183
+        a, b, c = F32(1.0 / 16), F32(18.0 / 16), F32(-3.0 / 16)
+        out[:, 0] = p[:, 0]
+        xs = np.arange(1, wi - 1)
+        out[:, 2 * xs - 1] = (p[:, xs - 1] * a + p[:, xs] * b + p[:, xs + 1] * c).astype(F32)
+        out[:, 2 * xs] = (p[:, xs - 1] * c + p[:, xs] * b + p[:, xs + 1] * a).astype(F32)
+        out[:, wo - 1] = p[:, wi - 1]
+    return out
+
+
+def redouble_y(arr: np.ndarray, odd: int) -> np.ndarray:
+    return np.ascontiguousarray(redouble_x(np.asarray(arr, F32).T, odd).T)
+
+
+def redouble(arr: np.ndarray, oddx: int, oddy: int) -> np.ndarray:
+    """redouble_x then redouble_y (scale.c:265-270)."""
+    return redouble_y(redouble_x(arr, oddx), oddy)
+
+
+def double(arr: np.ndarray, k: float) -> np.ndarray:
+    """2x bicubic-style upsample with hardness blend k (scale.c:272-323).
+
+    Each output 2x2 block mixes 4 diagonal input neighbors with edge
+    clamping; kernel (9,3,3,1)/16 lerped toward (8,2,2,3)/15 by k.
+    """
+    p = np.asarray(arr, dtype=F32)
+    h, w = p.shape
+    k = F32(k)
+    a, b, c = F32(9.0 / 16), F32(3.0 / 16), F32(1.0 / 16)
+    a1, b1, c1 = F32(8.0 / 15), F32(2.0 / 15), F32(3.0 / 15)
+    a = F32(a * (F32(1) - k) + a1 * k)
+    b = F32(b * (F32(1) - k) + b1 * k)
+    c = F32(c * (F32(1) - k) + c1 * k)
+
+    ys = np.arange(h)
+    xs = np.arange(w)
+    yu = np.maximum(ys - 1, 0)   # row above, clamped
+    yd = np.minimum(ys + 1, h - 1)
+    xl = np.maximum(xs - 1, 0)
+    xr = np.minimum(xs + 1, w - 1)
+
+    cur = p                       # in[y, x]
+    curl = p[:, xl]               # in[y, x-1]
+    curr = p[:, xr]               # in[y, x+1]
+    up = p[yu, :]                 # in[y-1, x]
+    upl = p[np.ix_(yu, xl)]
+    upr = p[np.ix_(yu, xr)]
+    dn = p[yd, :]
+    dnl = p[np.ix_(yd, xl)]
+    dnr = p[np.ix_(yd, xr)]
+
+    out = np.empty((2 * h, 2 * w), dtype=F32)
+    # row 2y (scale.c:287-303): even col a*cur + b*(curl+up) + c*upl;
+    #                           odd col a*cur + b*(curr+up) + c*upr
+    out[0::2, 0::2] = (a * cur + b * (curl + up) + c * upl).astype(F32)
+    out[0::2, 1::2] = (a * cur + b * (curr + up) + c * upr).astype(F32)
+    # row 2y+1 (scale.c:304-319)
+    out[1::2, 0::2] = (a * cur + b * (curl + dn) + c * dnl).astype(F32)
+    out[1::2, 1::2] = (a * cur + b * (curr + dn) + c * dnr).astype(F32)
+    return out

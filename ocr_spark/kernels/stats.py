@@ -1,0 +1,148 @@
+"""Background estimation, vertical mean, and page statistics.
+
+Cites: image_background misc.c:19-68; mean_y misc.c:153-178;
+calc_statistics misc.c:196-270.
+
+All recurrences are vectorized across the independent axis (whole rows
+or columns move through numpy at once); only the genuinely sequential
+axis is a Python loop, which is the same asymptotic work the C does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.kernels.util import c_round
+
+F32 = np.float32
+
+
+def background(arr: np.ndarray, d: float) -> np.ndarray:
+    """Morphological background by decaying max propagation (misc.c:19-68).
+
+    Four sweeps: L->R and R->L per row, then top->down combine, then a
+    bottom->up pass over the *rounded* intermediate. The decay factor
+    follows the C float/double dance exactly: d = (float)(0.333/d);
+    d = (float)exp(-d).
+    """
+    a = np.asarray(arr, dtype=F32)
+    h, w = a.shape
+    dd = F32(np.float64(0.333) / np.float64(F32(d)))
+    dec = F32(np.exp(-np.float64(dd)))
+
+    v = a.copy()
+    # horizontal decaying max, both directions (misc.c:36-43);
+    # vectorized over rows, sequential over x
+    for x in range(1, w):
+        np.maximum(v[:, x], v[:, x - 1] * dec, out=v[:, x])
+    for x in range(w - 2, -1, -1):
+        np.maximum(v[:, x], v[:, x + 1] * dec, out=v[:, x])
+    # top->down combine with previous row's unrounded values (misc.c:44-47)
+    for y in range(1, h):
+        np.maximum(v[y], v[y - 1] * dec, out=v[y])
+    out = c_round(v)
+    # bottom->up pass (misc.c:53-64): v0 starts as the last row's
+    # UNROUNDED values; each upper row re-reads its ROUNDED pass-1
+    # output, maxes with below*dec, and is re-rounded.
+    v0 = v[h - 1]
+    for y in range(h - 2, -1, -1):
+        v1 = np.maximum(out[y], v0 * dec)
+        out[y] = c_round(v1)
+        v0 = v1
+    return out.astype(F32)
+
+
+def mean_y(arr: np.ndarray, d: int) -> np.ndarray:
+    """Vertical running mean of window d via prefix sums (misc.c:153-178).
+
+    Output row (y - d/2) = (S[y] - S[y-d]) / d for y >= d, where S is
+    the float32 row prefix sum; other rows keep their original values.
+    Operates on chan[1] only in the reference (misc.c:167).
+    """
+    a = np.asarray(arr, dtype=F32)
+    h, w = a.shape
+    out = a.copy()
+    s = np.cumsum(a, axis=0, dtype=F32)  # S[y] = rows 0..y, float32 seq adds
+    df = F32(d)
+    for y in range(d, h):
+        lo = s[y - d]  # ring slot holds S[y-d] (zeros-initialized ring)
+        out[y - d // 2] = ((s[y] - lo) / df).astype(F32)
+    return out
+
+
+def calc_statistics(arr: np.ndarray) -> dict:
+    """The auto-threshold engine (misc.c:196-270).
+
+    One pass over horizontally+vertically adjacent pixel pairs builds
+    three histograms with a range-update trick (+1 at min bin, -1 at
+    max bin, prefix-summed later): `ha` per-pixel area counts, `hb`
+    border counts, `thr` squared-contrast-weighted counts. Returns
+    {black, graythr, white, area, thickness, t}.
+
+    Faithful quirks preserved:
+    - pixel values are truncated to C `short` before binning;
+    - the last row contributes w copies of its FIRST pixel to `ha`
+      (the pointer never advances through the y==h-1 row, misc.c:223);
+    - `thr`/`hb` accumulate in float32 in exact scan order
+      (np.add.at applies updates sequentially).
+    """
+    a = np.asarray(arr, dtype=F32)
+    h, w = a.shape
+    ai = a.astype(np.int16)  # (short) truncation toward zero
+
+    # area histogram: every pixel of rows 0..h-2 once, plus w copies of
+    # the last row's first pixel
+    ha = np.bincount(np.clip(ai[: h - 1].ravel(), 0, 255), minlength=256).astype(np.int64)
+    ha[np.clip(ai[h - 1, 0], 0, 255)] += w
+    ha = ha.astype(F32)
+
+    # pair stats over (y,x) for y<h-1, x<w-1: horizontal then vertical
+    ph, qh = ai[: h - 1, : w - 1], ai[: h - 1, 1:]
+    pv, qv = ai[: h - 1, : w - 1], ai[1:, : w - 1]
+    lo_h, hi_h = np.minimum(ph, qh), np.maximum(ph, qh)
+    lo_v, hi_v = np.minimum(pv, qv), np.maximum(pv, qv)
+    # interleave updates in scan order: per pixel [h-lo, h-hi, v-lo, v-hi]
+    idx = np.stack(
+        [lo_h.ravel(), hi_h.ravel(), lo_v.ravel(), hi_v.ravel()], axis=1
+    ).ravel()
+    idx = np.clip(idx, 0, 255).astype(np.int64)
+    dh = (hi_h.astype(np.int64) - lo_h) ** 2
+    dv = (hi_v.astype(np.int64) - lo_v) ** 2
+    ones = np.ones_like(dh)
+    hb_vals = np.stack([ones, -ones, ones, -ones], axis=2).reshape(-1).astype(F32)
+    thr_vals = np.stack([dh, -dh, dv, -dv], axis=2).reshape(-1).astype(F32)
+
+    hb = np.zeros(256, dtype=F32)
+    thr = np.zeros(256, dtype=F32)
+    np.add.at(hb, idx, hb_vals)
+    np.add.at(thr, idx, thr_vals)
+
+    # prefix sums in float32 (cumul_vector, vector.c:72-78)
+    thr_c = np.cumsum(thr, dtype=F32)
+    hb_c = np.cumsum(hb, dtype=F32)
+    t = int(np.argmax(thr_c))  # index_of_max: first max (vector.c:214-222)
+
+    graythr = F32(np.float64(t) / 255.0)
+    border = F32(hb_c[t] * F32(0.8))
+    ha_c = np.cumsum(ha, dtype=F32)  # cumul_vector(ha) ran before use (misc.c:246)
+    area = F32(ha_c[t])
+    thickness = F32(F32(2) * area / border) if border != 0 else F32(np.inf)
+    black_acc = F32(0)
+    for i in range(t):  # sums the CUMULATIVE histogram (misc.c:250-253)
+        black_acc = F32(black_acc + ha_c[i])
+    # (t - black/area) evaluates in float, then /255.0 in double (misc.c:254)
+    inner = F32(F32(t) - F32(black_acc / area)) if area != 0 else F32(0)
+    black = F32(np.float64(inner) / 255.0)
+    white = F32(np.float64(255.0) * w * h - np.float64(area * F32(t)))
+    for i in range(t + 1, 256):  # also cumulative (misc.c:256-259)
+        white = F32(white - ha_c[i])
+    denom = np.float64(w * h - np.float64(area)) * 255.0
+    white = F32(np.float64(white) / denom) if denom != 0 else F32(0)
+    return {
+        "black": float(black),
+        "graythr": float(graythr),
+        "white": float(white),
+        "area": float(area),
+        "thickness": float(thickness),
+        "t": t,
+    }

@@ -1,0 +1,60 @@
+"""Neighborhood ops: 3x3 convolution and NaN-masked Laplacian.
+
+Cites: convolve_3x3 convolution.c:3-34; laplacian poisson.c:3-60.
+Float32 evaluation order is preserved term-for-term.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F32 = np.float32
+
+
+def convolve_3x3(arr: np.ndarray, a: float, b: float, c: float, d: float) -> np.ndarray:
+    """Symmetric 3x3 kernel [[d,c,d],[b,a,b],[d,c,d]], interior only
+    (1-px border untouched), reading original values (convolution.c:3-34)."""
+    p = np.asarray(arr, dtype=F32)
+    a, b, c, d = F32(a), F32(b), F32(c), F32(d)
+    out = p.copy()
+    C = p[1:-1, 1:-1]
+    L, R = p[1:-1, :-2], p[1:-1, 2:]
+    U, D = p[:-2, 1:-1], p[2:, 1:-1]
+    UL, UR = p[:-2, :-2], p[:-2, 2:]
+    DL, DR = p[2:, :-2], p[2:, 2:]
+    # term order: a*C + b*(L+R) + c*(U+D) + d*(((UL+DL)+UR)+DR)
+    # (convolution.c:23-26: *i0 + *i2 + *(i0+2) + *(i2+2))
+    out[1:-1, 1:-1] = (
+        a * C + b * (L + R) + c * (U + D) + d * (((UL + DL) + UR) + DR)
+    ).astype(F32)
+    return out
+
+
+def laplacian(arr: np.ndarray, k: float, alpha: np.ndarray | None = None) -> np.ndarray:
+    """o = 128 + k*(4-neighbor sum - 4*center), NaN-padded borders;
+    alpha < 255 pixels count as missing; if the horizontal pair is
+    missing fall back to vertical-only second difference and vice
+    versa (poisson.c:3-60). NaN centers propagate NaN, as in the C.
+    """
+    p = np.asarray(arr, dtype=F32)
+    h, w = p.shape
+    k = F32(k)
+    src = p.copy()
+    if alpha is not None:
+        src = np.where(np.asarray(alpha, F32) < 255, np.nan, src).astype(F32)
+    pad = np.full((h + 2, w + 2), np.nan, dtype=F32)
+    pad[1:-1, 1:-1] = src
+    cen = pad[1:-1, 1:-1]
+    with np.errstate(invalid="ignore"):
+        sh = pad[1:-1, :-2] + pad[1:-1, 2:]
+        sv = pad[:-2, 1:-1] + pad[2:, 1:-1]
+        nan_h = np.isnan(sh)
+        nan_v = np.isnan(sv)
+        out = np.full((h, w), F32(128), dtype=F32)
+        both = (~nan_h) & (~nan_v)
+        only_v = nan_h & (~nan_v)
+        only_h = (~nan_h) & nan_v
+        out[both] = (F32(128) + k * ((sh[both] + sv[both]) - cen[both] * F32(4))).astype(F32)
+        out[only_v] = (F32(128) + k * (sv[only_v] - cen[only_v] * F32(2))).astype(F32)
+        out[only_h] = (F32(128) + k * (sh[only_h] - cen[only_h] * F32(2))).astype(F32)
+    return out

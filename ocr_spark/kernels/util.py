@@ -9,11 +9,14 @@ def c_round(x):
     """C round()/roundf(): round half away from zero (np.round is banker's).
 
     The reference rounds via the C library in double precision
-    (e.g. /root/reference/misc.c:49, dithering.c:53); inputs here are
-    float32/float64, output dtype follows the input dtype.
+    (e.g. /root/reference/misc.c:49, dithering.c:53). Promote to
+    float64 first: for any float32 input, x±0.5 is exact in double, so
+    floor/ceil of the promoted sum reproduces round() bit-for-bit;
+    output dtype follows the input dtype.
     """
     x = np.asarray(x)
-    out = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    x64 = x.astype(np.float64)
+    out = np.where(x64 >= 0, np.floor(x64 + 0.5), np.ceil(x64 - 0.5))
     return out.astype(x.dtype, copy=False)
 
 

@@ -1,0 +1,126 @@
+"""Helpers to cross-check kernels against the compiled reference binary.
+
+Compiles /root/reference/*.c to .cache/grafix on demand (gcc -O3 -lm,
+mirroring the reference makefile) and runs CLI pipelines on PNM bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GRAFIX = os.path.join(REPO, ".cache", "grafix")
+REF = "/root/reference"
+
+
+def ensure_grafix() -> str | None:
+    if os.path.exists(GRAFIX):
+        return GRAFIX
+    os.makedirs(os.path.dirname(GRAFIX), exist_ok=True)
+    srcs = [
+        f"{REF}/{f}"
+        for f in (
+            "grafix.c image.c transform.c scale.c convolution.c poisson.c "
+            "misc.c vector.c dithering.c select.c draw.c"
+        ).split()
+    ]
+    try:
+        subprocess.run(
+            ["gcc", "-O3", "-o", GRAFIX, *srcs, "-lm"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return None
+    return GRAFIX if os.path.exists(GRAFIX) else None
+
+
+SHIM = os.path.join(REPO, ".cache", "refshim")
+
+
+def ensure_shim() -> str | None:
+    if os.path.exists(SHIM):
+        return SHIM
+    os.makedirs(os.path.dirname(SHIM), exist_ok=True)
+    shim_src = os.path.join(REPO, "tests", "shim.c")
+    srcs = [
+        f"{REF}/{f}"
+        for f in (
+            "image.c transform.c scale.c convolution.c poisson.c "
+            "misc.c vector.c dithering.c select.c draw.c"
+        ).split()
+    ]
+    try:
+        subprocess.run(
+            ["gcc", "-O3", f"-I{REF}", "-o", SHIM, shim_src, *srcs, "-lm"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return None
+    return SHIM if os.path.exists(SHIM) else None
+
+
+def run_shim(op: str, arrays: list[np.ndarray], params: list[str]) -> np.ndarray:
+    """Run a reference kernel on float32 arrays, float32-exact I/O."""
+    shim = ensure_shim()
+    assert shim, "refshim unavailable"
+    a0 = np.ascontiguousarray(arrays[0], dtype=np.float32)
+    h, w = a0.shape
+    payload = b"".join(np.ascontiguousarray(a, np.float32).tobytes() for a in arrays)
+    proc = subprocess.run(
+        [shim, op, str(h), str(w), *params],
+        input=payload,
+        capture_output=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    out = proc.stdout
+    oh, ow = np.frombuffer(out, dtype=np.int32, count=2)
+    return np.frombuffer(out, dtype=np.float32, offset=8, count=oh * ow).reshape(oh, ow)
+
+
+def run_shim_scalar(op: str, arrays: list[np.ndarray], params: list[str]) -> str:
+    shim = ensure_shim()
+    assert shim, "refshim unavailable"
+    a0 = np.ascontiguousarray(arrays[0], dtype=np.float32)
+    h, w = a0.shape
+    payload = b"".join(np.ascontiguousarray(a, np.float32).tobytes() for a in arrays)
+    proc = subprocess.run(
+        [shim, op, str(h), str(w), *params],
+        input=payload,
+        capture_output=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    return proc.stdout.decode()
+
+
+def run_grafix(pnm_in: bytes, words: list[str]) -> tuple[bytes, str]:
+    """grafix in.pnm <words...> w out.pnm; returns (out bytes, stderr)."""
+    binary = ensure_grafix()
+    assert binary, "grafix binary unavailable"
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.pnm")
+        outp = os.path.join(td, "out.pnm")
+        with open(inp, "wb") as f:
+            f.write(pnm_in)
+        proc = subprocess.run(
+            [binary, inp, *words, "w", outp],
+            capture_output=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()
+        with open(outp, "rb") as f:
+            return f.read(), proc.stderr.decode()
+
+
+def to_uint8(arr: np.ndarray) -> np.ndarray:
+    """The write-time clamp+truncate (image.c:253-255)."""
+    return np.clip(np.asarray(arr, np.float32), 0, 255).astype(np.uint8)

@@ -1,0 +1,123 @@
+/* Test shim: calls reference kernels directly for float32-exact
+ * cross-checks (like the reference's own test.c harness).
+ *
+ * Protocol: argv = OP H W [PARAMS...]; stdin = H*W float32 LE pixels
+ * (two blocks for binary ops); stdout = int32 H', int32 W', then
+ * H'*W' float32 results. Channels get 4 rows of slack so the
+ * reference's bottom-edge OOB writes (dithering.c:73-76) land in
+ * owned memory instead of corrupting the heap.
+ *
+ * Compiled against /root/reference/*.c (minus grafix.c's main).
+ */
+#include "common.h"
+#include <string.h>
+
+static image *read_img(int h, int w) {
+  /* generous zeroed slack on BOTH sides: sheary reads up to w/2*|t|
+   * rows past the bottom edge (transform.c:269-273) and before the
+   * top edge (transform.c:289-299) — UB in the reference; kernels
+   * observed through this shim see zeros there, and ours match that */
+  int pad = w / 2 + 4;
+  image *im = image_make(1, w, h + 2 * pad);
+  im->chan[1] += (size_t)pad * w; /* never freed; shim exits */
+  im->height = h;
+  if ((size_t)(w * h) != fread(im->chan[1], sizeof(float), w * h, stdin)) {
+    error("shim: short read");
+  }
+  return im;
+}
+
+static void write_img(image *im) {
+  int dims[2];
+  dims[0] = im->height;
+  dims[1] = im->width;
+  fwrite(dims, sizeof(int), 2, stdout);
+  fwrite(im->chan[1], sizeof(float), im->width * im->height, stdout);
+}
+
+static void write_vec(vector *v) {
+  int dims[2];
+  dims[0] = 1;
+  dims[1] = v->len;
+  fwrite(dims, sizeof(int), 2, stdout);
+  fwrite(v->data, sizeof(float), v->len, stdout);
+}
+
+int main(int argc, char **argv) {
+  if (argc < 4) error("usage: shim OP H W [PARAMS...]");
+  char *op = argv[1];
+  int h = atoi(argv[2]);
+  int w = atoi(argv[3]);
+  double p1 = argc > 4 ? atof(argv[4]) : 0;
+  double p2 = argc > 5 ? atof(argv[5]) : 0;
+  double p3 = argc > 6 ? atof(argv[6]) : 0;
+  double p4 = argc > 7 ? atof(argv[7]) : 0;
+  image *im = read_img(h, w);
+  if (!strcmp(op, "dither_floyd")) { dither_floyd_bidir(im, p1); write_img(im); }
+  else if (!strcmp(op, "dither_cum")) { dither_cumulative(im, p1); write_img(im); }
+  else if (!strcmp(op, "dither_blue")) { dither_blue_noise(im, p1); write_img(im); }
+  else if (!strcmp(op, "quantize")) { quantize_image(im, p1); write_img(im); }
+  else if (!strcmp(op, "mean_y")) { mean_y(im, (uint)p1); write_img(im); }
+  else if (!strcmp(op, "convolve")) { convolve_3x3(im, p1, p2, p3, p4); write_img(im); }
+  else if (!strcmp(op, "laplacian")) { laplacian(im, p1); write_img(im); }
+  else if (!strcmp(op, "background")) { write_img(image_background(im, p1)); }
+  else if (!strcmp(op, "contrast")) { contrast_image(im, p1, p2); write_img(im); }
+  else if (!strcmp(op, "half")) { write_img(image_half(im)); }
+  else if (!strcmp(op, "half_x")) { write_img(image_half_x(im)); }
+  else if (!strcmp(op, "half_y")) { write_img(image_half_y(im)); }
+  else if (!strcmp(op, "redouble_x")) { write_img(image_redouble_x(im, (int)p1)); }
+  else if (!strcmp(op, "redouble_y")) { write_img(image_redouble_y(im, (int)p1)); }
+  else if (!strcmp(op, "redouble")) { write_img(image_redouble(im, (int)p1, (int)p2)); }
+  else if (!strcmp(op, "double")) { write_img(image_double(im, p1)); }
+  else if (!strcmp(op, "shearx")) { shearx_image(im, p1); write_img(im); }
+  else if (!strcmp(op, "sheary")) { sheary_image(im, p1); write_img(im); }
+  else if (!strcmp(op, "skew")) { skew_image(im, p1); write_img(im); }
+  else if (!strcmp(op, "detect_skew")) {
+    float a = detect_skew_image(im);
+    printf("%g", a);
+  }
+  else if (!strcmp(op, "deconv3x1")) { deconvolve_3x1(im, p1, p2, p3, (int)p4); write_img(im); }
+  else if (!strcmp(op, "deconv1x3")) { deconvolve_1x3(im, p1, p2, p3, (int)p4); write_img(im); }
+  else if (!strcmp(op, "divide")) {
+    image *b = read_img(h, w);
+    divide_image(im, b);
+    write_img(im);
+  }
+  else if (!strcmp(op, "diff")) {
+    image *b = read_img(h, w);
+    diff_image(im, b);
+    write_img(im);
+  }
+  else if (!strcmp(op, "patch")) {
+    image *b = read_img(h, w);
+    patch_image(im, b);
+    write_img(im);
+  }
+  else if (!strcmp(op, "darker")) {
+    image *b = read_img(h, w);
+    darker_image(im, b);
+    write_img(im);
+  }
+  /* channel 1: the CLI's hardcoded chan-0 (grafix.c:379) would deref
+   * NULL on gray images — another latent reference bug */
+  else if (!strcmp(op, "histogram")) { write_vec(histogram_of_image(im, 1)); }
+  else if (!strcmp(op, "find_margin")) {
+    /* input row 0 is the profile; len = w */
+    vector *v = make_vector(w);
+    v->len = w;
+    memcpy(v->data, im->chan[1], w * sizeof(float));
+    printf("%d", find_margin(v, (int)p1));
+  }
+  else if (!strcmp(op, "poisson")) {
+    image *guess = read_img(h, w);
+    solve_poisson(guess, im, p1, (int)p2, p3);
+    write_img(guess);
+  }
+  else if (!strcmp(op, "deconv3x3")) {
+    write_img(deconvolve_3x3(im, p1, p2, p3, p4,
+                             argc > 8 ? atoi(argv[8]) : 100,
+                             argc > 9 ? atof(argv[9]) : 0.1));
+  }
+  else error("shim: unknown op");
+  return 0;
+}

@@ -1,0 +1,273 @@
+"""Byte-level cross-checks: numpy kernels vs the compiled reference.
+
+Each case runs the reference CLI (`.cache/grafix`, built from
+/root/reference with -O3 as per its makefile) on a PNM fixture and
+compares the written bytes against our kernel + write-clamp. This
+validates the transcription; the kernels themselves are the normative
+oracle for the Spark stages.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import dither, fixtures, geometry, pnm, pointwise, scale, stats, stencil
+from tests.ref_binary import ensure_grafix, run_grafix, to_uint8
+
+pytestmark = pytest.mark.skipif(ensure_grafix() is None, reason="gcc/grafix unavailable")
+
+
+def _pages():
+    return [
+        ("glyphs", to_uint8(fixtures.glyphs(96, 128)).astype(np.float32)),
+        ("shaded", to_uint8(fixtures.shaded(96, 128)).astype(np.float32)),
+        ("grad", to_uint8(fixtures.grad(48, 64)).astype(np.float32)),
+        ("noise", to_uint8(fixtures.noise(47, 63, key=3)).astype(np.float32)),
+        ("small", to_uint8(fixtures.noise(13, 17, key=9)).astype(np.float32)),
+    ]
+
+
+PAGES = _pages()
+
+
+def _check(page: np.ndarray, words: list[str], mine: np.ndarray) -> None:
+    out, _ = run_grafix(pnm.encode_gray(page), words)
+    ref = pnm.decode_gray(out)
+    got = to_uint8(mine)
+    want = to_uint8(ref)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    ndiff = int((got != want).sum())
+    assert ndiff == 0, f"{words}: {ndiff}/{got.size} px differ (max |Δ|={int(np.max(np.abs(got.astype(int)-want.astype(int))))})"
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_background(name, page):
+    _check(page, ["bg", "8"], stats.background(page, 8.0))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_fix_bg(name, page):
+    _check(page, ["fix-bg", "12"], pointwise.divide(page, stats.background(page, 12.0)))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_bin_auto(name, page):
+    s = stats.calc_statistics(page)
+    _check(page, ["bin", "auto"], pointwise.binarize(page, s["graythr"]))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_contrast(name, page):
+    _check(page, ["con", "60", "200"], pointwise.contrast(page, 60, 200))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_contrast_inverted(name, page):
+    _check(page, ["con", "200", "60"], pointwise.contrast(page, 200, 60))
+
+
+def test_statistics_exact_printout():
+    for name, page in PAGES:
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "in.pnm")
+            with open(p, "wb") as f:
+                f.write(pnm.encode_gray(page))
+            proc = subprocess.run(
+                [ensure_grafix(), p, "stat", "pop"], capture_output=True, timeout=60
+            )
+        s = stats.calc_statistics(page)
+        mine = "black: %g gray: %g white: %g thickness: %g area: %g" % (
+            s["black"], s["graythr"], s["white"], s["thickness"], s["area"],
+        )
+        assert proc.stdout.decode().strip() == mine, name
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_convolve_3x3(name, page):
+    # CLI `test X` = convolve_3x3(im, 4, -1, -1, 0) (grafix.c:494-498)
+    _check(page, ["test", "0"], stencil.convolve_3x3(page, 4, -1, -1, 0))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_laplacian(name, page):
+    _check(page, ["lapl"], stencil.laplacian(page, -0.25))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_half(name, page):
+    _check(page, ["half"], scale.half(page))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+@pytest.mark.parametrize("hard", ["0", "0.5", "1"])
+def test_double(name, page, hard):
+    _check(page, ["double", hard], scale.double(page, float(hard)))
+
+
+# NOTE: the CLI `dither` path crashes in the reference itself — its
+# bottom-edge error diffusion writes past the channel buffer
+# (dithering.c:73-76 guards y+1<h where p already sits in row y+1),
+# aborting in glibc before the output is written. The shim below calls
+# dither_floyd_bidir with slack rows so the in-image raster (which the
+# OOB writes never touch) is comparable — float32 bit-exact.
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+@pytest.mark.parametrize("angle", ["90", "180", "270", "-90"])
+def test_rot90(name, page, angle):
+    _check(page, ["rot", angle], geometry.rotate_90(page, int(angle)))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_crop(name, page):
+    h, w = page.shape
+    x1, y1, x2, y2 = 3, 2, w - 4, h - 3
+    _check(page, ["cropx", str(x1 + 2), str(x2 + 2)], geometry.crop(page, x1 + 2, 0, x2 + 2, h))
+    _check(page, ["cropy", str(y1 + 2), str(y2 + 2)], geometry.crop(page, 0, y1 + 2, w, y2 + 2))
+
+
+# NOTE: CLI-level skew/deskew byte comparisons are inherently flaky:
+# sheary reads past the channel allocation (transform.c:269-273, UB) and
+# the CLI binary sees heap garbage there. The shim tests below observe
+# the same kernels through a zero-padded allocation — deterministic and
+# float32-exact. detect_skew itself (no OOB) is also shim-checked.
+
+
+@pytest.mark.parametrize("angle", [-2.0, 0.9, 2.5])
+def test_deskew_angle_matches_cli(angle):
+    page = to_uint8(fixtures.glyphs(96, 128)).astype(np.float32)
+    skewed = to_uint8(geometry.skew(page, angle)).astype(np.float32)
+    _, err = run_grafix(pnm.encode_gray(skewed), ["deskew"])
+    # reference prints "skew: %g" on stderr (grafix.c:285)
+    c_angle = float(err.split("skew:")[1].split()[0])
+    mine = geometry.detect_skew(skewed)
+    assert f"{mine:g}" == f"{c_angle:g}"
+
+
+def test_splitx_matches():
+    page = to_uint8(fixtures.twopage(96, 256)).astype(np.float32)
+    left, right = geometry.splitx(page, 0.5)
+    buf = pnm.encode_gray(page)
+    # splitx leaves the LEFT half (im1) on top of the stack
+    # (grafix.c:470-477: push/swap dance puts out1 above out2)
+    out_l, _ = run_grafix(buf, ["splitx", "0.5"])
+    assert np.array_equal(pnm.decode_gray(out_l), to_uint8(left).astype(np.float32))
+    out_r, _ = run_grafix(buf, ["splitx", "0.5", "pop"])
+    assert np.array_equal(pnm.decode_gray(out_r), to_uint8(right).astype(np.float32))
+
+
+@pytest.mark.parametrize("name,page", PAGES, ids=[n for n, _ in PAGES])
+def test_grid(name, page):
+    _check(page, ["grid", "16"], pointwise.draw_grid(page, 16, 16))
+
+
+@pytest.mark.parametrize("name,page", PAGES[:2], ids=[n for n, _ in PAGES[:2]])
+def test_diff_pipeline(name, page):
+    # diff of image with its own background: bg pushes, diff folds im(2)-im(1)
+    bg = stats.background(page, 8.0)
+    _check(page, ["bg", "8", "diff"], pointwise.diff(page, bg))
+
+
+# ---------------------------------------------------------------------------
+# float32 bit-exact comparisons through the shim (tests/shim.c), which
+# calls reference kernels directly — no PNM quantization in the loop
+# ---------------------------------------------------------------------------
+
+from tests.ref_binary import ensure_shim, run_shim, run_shim_scalar  # noqa: E402
+
+shim_only = pytest.mark.skipif(ensure_shim() is None, reason="refshim unavailable")
+
+
+def _exact(op: str, arrays, params, mine) -> None:
+    ref = run_shim(op, arrays, [str(p) for p in params])
+    assert ref.shape == mine.shape, (op, ref.shape, mine.shape)
+    ndiff = int((ref != mine).sum())
+    assert ndiff == 0, (
+        f"{op}{params}: {ndiff}/{ref.size} values differ, "
+        f"max|Δ|={float(np.nanmax(np.abs(ref - mine))):g}"
+    )
+
+
+FPAGES = [
+    ("noise_even", np.clip(fixtures.noise(96, 128, key=1), 0, 255).astype(np.float32)),
+    ("noise_odd", np.clip(fixtures.noise(47, 63, key=2), 0, 255).astype(np.float32)),
+    ("glyphs", fixtures.glyphs(96, 128)),
+    ("shaded", fixtures.shaded(95, 127)),
+    ("tiny", np.clip(fixtures.noise(8, 9, key=4), 0, 255).astype(np.float32)),
+]
+
+
+@shim_only
+@pytest.mark.parametrize("name,page", FPAGES, ids=[n for n, _ in FPAGES])
+def test_f32_exact_battery(name, page):
+    _exact("dither_floyd", [page], [64], dither.floyd_bidir(page, 64.0))
+    _exact("dither_floyd", [page], [32.5], dither.floyd_bidir(page, 32.5))
+    _exact("dither_cum", [page], [64], dither.cumulative(page, 64.0))
+    _exact("dither_blue", [page], [48], dither.blue_noise(page, 48.0))
+    _exact("quantize", [page], [0.25], pointwise.quantize(page, 0.25))
+    _exact("quantize", [page], [3], pointwise.quantize(page, 3.0))
+    _exact("mean_y", [page], [5], stats.mean_y(page, 5))
+    _exact("mean_y", [page], [2], stats.mean_y(page, 2))
+    _exact("background", [page], [8], stats.background(page, 8.0))
+    _exact("contrast", [page], [60, 200], pointwise.contrast(page, 60, 200))
+    _exact("convolve", [page], [4, -1, -1, 0], stencil.convolve_3x3(page, 4, -1, -1, 0))
+    _exact("convolve", [page], [0.5, 0.125, 0.125, 0.0625],
+           stencil.convolve_3x3(page, 0.5, 0.125, 0.125, 0.0625))
+    _exact("laplacian", [page], [-0.25], stencil.laplacian(page, -0.25))
+    _exact("half", [page], [], scale.half(page))
+    _exact("half_x", [page], [], scale.half_x(page))
+    _exact("half_y", [page], [], scale.half_y(page))
+    _exact("double", [page], [0.5], scale.double(page, 0.5))
+    for ox, oy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        _exact("redouble", [page], [ox, oy], scale.redouble(page, ox, oy))
+    _exact("shearx", [page], [0.05], geometry.shearx(page, 0.05))
+    _exact("shearx", [page], [-0.12], geometry.shearx(page, -0.12))
+    _exact("sheary", [page], [0.07], geometry.sheary(page, 0.07))
+    _exact("sheary", [page], [-0.03], geometry.sheary(page, -0.03))
+    _exact("skew", [page], [1.7], geometry.skew(page, 1.7))
+    _exact("skew", [page], [-2.4], geometry.skew(page, -2.4))
+
+
+@shim_only
+@pytest.mark.parametrize("name,page", FPAGES[:3], ids=[n for n, _ in FPAGES[:3]])
+def test_f32_exact_binary_ops(name, page):
+    other = stats.background(page, 8.0)
+    _exact("divide", [page, other], [], pointwise.divide(page, other))
+    _exact("diff", [page, other], [], pointwise.diff(page, other))
+    _exact("patch", [page, other], [], pointwise.patch(page, other))
+    _exact("darker", [page, other], [], pointwise.darker(page, other))
+
+
+@shim_only
+def test_f32_exact_histogram():
+    page = np.clip(fixtures.noise(48, 64, key=7), 0, 255).astype(np.float32)
+    ref = run_shim("histogram", [page], [])
+    mine = pointwise.histogram(page).reshape(1, -1)
+    assert np.array_equal(ref, mine)
+    scaled = (page / np.float32(255)).astype(np.float32)
+    ref = run_shim("histogram", [scaled], [])
+    assert np.array_equal(ref, pointwise.histogram(scaled).reshape(1, -1))
+
+
+@shim_only
+def test_f32_exact_detect_skew():
+    for angle in (-2.0, 0.9, 2.5):
+        page = fixtures.glyphs(96, 128)
+        skewed = geometry.skew(page, angle)
+        ref = run_shim_scalar("detect_skew", [skewed], [])
+        assert f"{geometry.detect_skew(skewed):g}" == ref
+
+
+@shim_only
+def test_f32_exact_find_margin():
+    rng = np.random.default_rng(5)
+    profile = (rng.uniform(0, 50, 128)).astype(np.float32)
+    profile[30:40] = 0.01  # a quiet margin region
+    row = profile.reshape(1, -1)
+    ref = int(run_shim_scalar("find_margin", [row], ["8"]))
+    assert geometry.find_margin(profile, 8) == ref
