@@ -1,0 +1,99 @@
+"""Connected-component labeling (glyph boxes) — hand-rolled union-find.
+
+The reference has no CCL; BASELINE.json's north star adds it for
+glyph/line bounding boxes (scipy is not available, so this is a
+run-based two-pass 8-connectivity labeler: per row, dark runs are
+unioned with overlapping runs of the previous row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _find(parent: list[int], i: int) -> int:
+    while parent[i] != i:
+        parent[i] = parent[parent[i]]
+        i = parent[i]
+    return i
+
+
+def label_boxes(mask: np.ndarray, min_area: int = 1) -> list[tuple[int, int, int, int]]:
+    """8-connected components of a boolean mask -> bounding boxes.
+
+    Returns [(x0, y0, x1, y1)] with exclusive right/bottom edges,
+    sorted by (y0, x0). Deterministic for a given mask.
+    """
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    parent: list[int] = []
+    boxes: list[list[int]] = []  # per-label [x0, y0, x1, y1]
+    areas: list[int] = []
+    prev_runs: list[tuple[int, int, int]] = []  # (xs, xe, label)
+
+    for y in range(h):
+        row = m[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        # run starts/ends via diff on the padded row
+        padded = np.empty(w + 2, dtype=bool)
+        padded[0] = padded[-1] = False
+        padded[1:-1] = row
+        d = np.diff(padded.astype(np.int8))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur_runs: list[tuple[int, int, int]] = []
+        for xs, xe in zip(starts.tolist(), ends.tolist()):
+            label = -1
+            # 8-connectivity: previous-row runs [pxs, pxe] (inclusive)
+            # touch this run if pxe >= xs-1 and pxs <= xe (xe exclusive)
+            for pxs, pxe, plabel in prev_runs:
+                if pxs > xe:
+                    break  # prev runs sorted by xs
+                if pxe >= xs - 1:
+                    root = _find(parent, plabel)
+                    if label == -1:
+                        label = root
+                    elif root != label:
+                        # union: attach larger index under smaller
+                        a, b = (root, label) if root > label else (label, root)
+                        parent[a] = b
+                        label = b
+            if label == -1:
+                label = len(parent)
+                parent.append(label)
+                boxes.append([xs, y, xe, y + 1])
+                areas.append(0)
+            b = boxes[label]
+            if xs < b[0]:
+                b[0] = xs
+            if y < b[1]:
+                b[1] = y
+            if xe > b[2]:
+                b[2] = xe
+            if y + 1 > b[3]:
+                b[3] = y + 1
+            areas[label] += xe - xs
+            cur_runs.append((xs, xe - 1, label))
+        prev_runs = cur_runs
+
+    # merge boxes into roots
+    merged: dict[int, list[int]] = {}
+    marea: dict[int, int] = {}
+    for i in range(len(parent)):
+        r = _find(parent, i)
+        if r not in merged:
+            merged[r] = list(boxes[i])
+            marea[r] = 0
+        else:
+            mb = merged[r]
+            b = boxes[i]
+            mb[0] = min(mb[0], b[0])
+            mb[1] = min(mb[1], b[1])
+            mb[2] = max(mb[2], b[2])
+            mb[3] = max(mb[3], b[3])
+        marea[r] += areas[i]
+    out = [tuple(b) for r, b in merged.items() if marea[r] >= min_area]
+    out.sort(key=lambda b: (b[1], b[0]))
+    return out

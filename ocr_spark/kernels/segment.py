@@ -1,0 +1,85 @@
+"""Layout segmentation: projection-profile line cuts + glyph boxes.
+
+Generalizes the reference's projection-profile machinery — skew_score
+profiles (transform.c:136-155), mean_y smoothing (misc.c:153-178) and
+find_margin run-length cuts (transform.c:313-356) — into line/column
+segmentation over a binarized page, plus CCL glyph boxes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.kernels import ccl
+
+F32 = np.float32
+
+
+def dark_mask(binary_page: np.ndarray) -> np.ndarray:
+    """After `bin auto` (contrast threshold) ink is 0, paper 255."""
+    return np.asarray(binary_page) < 128
+
+
+def line_bands(
+    binary_page: np.ndarray, min_gap: int = 1, min_height: int = 3
+) -> list[tuple[int, int]]:
+    """Text-line bands from the horizontal dark-pixel profile.
+
+    A line is a maximal run of rows whose dark count exceeds 2% of the
+    page width; bands separated by fewer than min_gap background rows
+    are merged; bands shorter than min_height rows (shear/deskew edge
+    artifacts, speckle) are dropped.
+    """
+    m = dark_mask(binary_page)
+    h, w = m.shape
+    profile = m.sum(axis=1)
+    thr = max(1, int(0.02 * w))
+    on = profile >= thr
+    bands: list[tuple[int, int]] = []
+    y = 0
+    while y < h:
+        if on[y]:
+            y0 = y
+            while y < h and on[y]:
+                y += 1
+            bands.append((y0, y))
+        else:
+            y += 1
+    if min_gap > 1 and bands:
+        merged = [bands[0]]
+        for y0, y1 in bands[1:]:
+            if y0 - merged[-1][1] < min_gap:
+                merged[-1] = (merged[-1][0], y1)
+            else:
+                merged.append((y0, y1))
+        bands = merged
+    return [(y0, y1) for y0, y1 in bands if y1 - y0 >= min_height]
+
+
+def column_cut(binary_page: np.ndarray, text_width: int) -> int:
+    """Best vertical cut position for a text block of width `text_width`,
+    via find_margin on the vertical ink profile (transform.c:313-356)."""
+    from ocr_spark.kernels.geometry import find_margin
+
+    m = dark_mask(binary_page)
+    profile = m.sum(axis=0).astype(F32)
+    return find_margin(profile, text_width)
+
+
+def glyph_boxes(binary_page: np.ndarray, min_area: int = 2) -> list[tuple[int, int, int, int]]:
+    """CCL bounding boxes of ink components."""
+    return ccl.label_boxes(dark_mask(binary_page), min_area=min_area)
+
+
+def page_layout(binary_page: np.ndarray) -> dict:
+    """Full layout summary used by the pipeline output schema."""
+    bands = line_bands(binary_page)
+    boxes = glyph_boxes(binary_page)
+    m = dark_mask(binary_page)
+    return {
+        "n_lines": len(bands),
+        "n_glyphs": len(boxes),
+        "ink_ratio": float(m.mean()),
+        "bands": bands,
+        "boxes": boxes,
+    }

@@ -1,0 +1,279 @@
+"""Arrow-UDF stages wrapping the numpy kernels.
+
+Design rules:
+- an image travels the DataFrame as (img: binary little-endian float32,
+  h: int, w: int) — decoded to (h, w) arrays only inside workers;
+- the full per-page chain runs FUSED in one Arrow batch pass
+  (`scan_features_udf` / `process_scan_udf`): one JVM->Python crossing
+  per batch, kernels composed in-process — at 100 TB this is the
+  difference between 1 and N python round-trips per page;
+- individual kernels are still exposed via `apply_kernel` for
+  composable use and for golden tests of the Spark plumbing itself;
+- 1 row -> 2 rows (splitx) uses mapInArrow; N-ary darker-fold uses
+  applyInPandas over a group key.
+
+Kernel cites live in ocr_spark/kernels/*.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.kernels import dither as kdither
+from ocr_spark.kernels import geometry as kgeo
+from ocr_spark.kernels import pnm as kpnm
+from ocr_spark.kernels import pointwise as kpoint
+from ocr_spark.kernels import scale as kscale
+from ocr_spark.kernels import segment as kseg
+from ocr_spark.kernels import stats as kstats
+from ocr_spark.kernels import stencil as ksten
+
+F32 = np.float32
+
+
+def img_to_bytes(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype=F32).tobytes()
+
+
+def bytes_to_img(buf: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=F32, count=h * w).reshape(h, w)
+
+
+# registry: name -> (fn(arr, *params) -> arr)
+KERNELS = {
+    "contrast": kpoint.contrast,
+    "binarize": kpoint.binarize,
+    "quantize": kpoint.quantize,
+    "draw_grid": lambda a, sx, sy: kpoint.draw_grid(a, int(sx), int(sy)),
+    "background": kstats.background,
+    "fix_bg": lambda a, d: kpoint.divide(a, kstats.background(a, d)),
+    "mean_y": lambda a, d: kstats.mean_y(a, int(d)),
+    "convolve_3x3": ksten.convolve_3x3,
+    "laplacian": lambda a, k: ksten.laplacian(a, k),
+    "half": lambda a: kscale.half(a),
+    "half_x": lambda a: kscale.half_x(a),
+    "half_y": lambda a: kscale.half_y(a),
+    "redouble": lambda a, ox, oy: kscale.redouble(a, int(ox), int(oy)),
+    "double": kscale.double,
+    "rotate_90": lambda a, ang: kgeo.rotate_90(a, int(ang)),
+    "crop": lambda a, x1, y1, x2, y2: kgeo.crop(a, int(x1), int(y1), int(x2), int(y2)),
+    "shearx": kgeo.shearx,
+    "sheary": kgeo.sheary,
+    "skew": kgeo.skew,
+    "deskew": lambda a: kgeo.deskew(a)[0],
+    "dither_floyd": kdither.floyd_bidir,
+    "dither_cumulative": kdither.cumulative,
+    "dither_blue_noise": kdither.blue_noise,
+}
+
+IMG_SCHEMA = StructType(
+    [
+        StructField("img", BinaryType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+    ]
+)
+
+
+def apply_kernel(df: DataFrame, name: str, *params: float,
+                 img_col: str = "img", h_col: str = "h", w_col: str = "w") -> DataFrame:
+    """Apply one named kernel to the image columns (Arrow-batched).
+
+    Emits new (img, h, w) replacing the originals; all other columns
+    pass through untouched (mapInArrow with column passthrough).
+    """
+    fn = KERNELS[name]
+    in_schema = df.schema
+    out_fields = [f for f in in_schema.fields if f.name not in (img_col, h_col, w_col)]
+    out_schema = StructType(out_fields + list(IMG_SCHEMA.fields))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            imgs = tbl.pop(img_col)
+            hs = tbl.pop(h_col)
+            ws = tbl.pop(w_col)
+            out_img, out_h, out_w = [], [], []
+            for buf, h, w in zip(imgs, hs, ws):
+                arr = fn(bytes_to_img(buf, h, w), *params)
+                out_img.append(img_to_bytes(arr))
+                out_h.append(arr.shape[0])
+                out_w.append(arr.shape[1])
+            tbl["img"] = out_img
+            tbl["h"] = out_h
+            tbl["w"] = out_w
+            yield pa.RecordBatch.from_pydict(
+                {f.name: tbl[f.name] for f in out_schema.fields},
+                schema=pa.schema(
+                    [pa.field(f.name, _pa_type(f)) for f in out_schema.fields]
+                ),
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+def _pa_type(field) -> pa.DataType:
+    m = {
+        "binary": pa.binary(),
+        "integer": pa.int32(),
+        "long": pa.int64(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    return m[field.dataType.typeName()]
+
+
+# ---------------------------------------------------------------------------
+# fused per-page OCR stage
+# ---------------------------------------------------------------------------
+
+SCAN_FEATURES_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("graythr", DoubleType()),
+        StructField("black", DoubleType()),
+        StructField("white", DoubleType()),
+        StructField("area", DoubleType()),
+        StructField("thickness", DoubleType()),
+        StructField("skew_deg", DoubleType()),
+        StructField("n_lines", IntegerType()),
+        StructField("n_glyphs", IntegerType()),
+        StructField("ink_ratio", DoubleType()),
+    ]
+)
+
+
+def ocr_page(pnm_bytes: bytes | None, bg_d: float = 8.0, do_deskew: bool = True):
+    """The fused per-page numeric chain (pure, driver/worker agnostic):
+
+    decode PNM -> fix-bg (background estimate + divide, misc.c:19-84)
+    -> calc_statistics (misc.c:196-270) -> bin auto (grafix.c:189-200)
+    -> detect_skew + skew (transform.c:126-201) -> re-binarize ->
+    line bands + CCL glyph boxes. Returns (features dict, binary page).
+    """
+    if pnm_bytes is None:
+        return None, None
+    page = kpnm.decode_gray(bytes(pnm_bytes))
+    h, w = page.shape
+    flat = kpoint.divide(page, kstats.background(page, bg_d))
+    s = kstats.calc_statistics(flat)
+    binp = kpoint.binarize(flat, s["graythr"])
+    angle = 0.0
+    if do_deskew:
+        angle = kgeo.detect_skew(binp)
+        if angle != 0.0:
+            binp = kgeo.skew(binp, angle)
+            binp = kpoint.binarize(binp, 0.5)  # re-threshold interp gray
+    lay = kseg.page_layout(binp)
+    feats = {
+        "width": w,
+        "height": h,
+        "graythr": s["graythr"],
+        "black": s["black"],
+        "white": s["white"],
+        "area": s["area"],
+        "thickness": s["thickness"],
+        "skew_deg": float(angle),
+        "n_lines": lay["n_lines"],
+        "n_glyphs": lay["n_glyphs"],
+        "ink_ratio": lay["ink_ratio"],
+    }
+    return feats, binp
+
+
+@F.pandas_udf(SCAN_FEATURES_SCHEMA)
+def scan_features_udf(scan: pd.Series) -> pd.DataFrame:
+    rows = []
+    for buf in scan:
+        feats, _ = ocr_page(buf)
+        rows.append(feats or {f.name: None for f in SCAN_FEATURES_SCHEMA.fields})
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(BinaryType())
+def process_scan_udf(scan: pd.Series) -> pd.Series:
+    """Full chain, returning the processed page as PNM bytes (goldens)."""
+    out = []
+    for buf in scan:
+        _, binp = ocr_page(buf)
+        out.append(kpnm.encode_gray(binp) if binp is not None else None)
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# 1 -> 2 rows: double-page split (transform.c:48-73)
+# ---------------------------------------------------------------------------
+
+def split_scans(df: DataFrame, frac: float = 0.5,
+                img_col: str = "img", h_col: str = "h", w_col: str = "w") -> DataFrame:
+    """splitx every page at `frac`: each row becomes two rows with
+    side = 0 (left, pag) and 1 (right, pag+1)."""
+    in_fields = [f for f in df.schema.fields if f.name not in (img_col, h_col, w_col)]
+    out_schema = StructType(
+        in_fields + list(IMG_SCHEMA.fields) + [StructField("side", IntegerType())]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            imgs = tbl.pop(img_col)
+            hs = tbl.pop(h_col)
+            ws = tbl.pop(w_col)
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for i, (buf, h, w) in enumerate(zip(imgs, hs, ws)):
+                left, right = kgeo.splitx(bytes_to_img(buf, h, w), frac)
+                for side, half in ((0, left), (1, right)):
+                    for f in in_fields:
+                        out[f.name].append(tbl[f.name][i])
+                    out["img"].append(img_to_bytes(half))
+                    out["h"].append(half.shape[0])
+                    out["w"].append(half.shape[1])
+                    out["side"].append(side)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: out[f.name] for f in out_schema.fields},
+                schema=pa.schema([pa.field(f.name, _pa_type(f)) for f in out_schema.fields]),
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# N-ary darker fold (misc.c:180-194; CLI fold grafix.c:273-281)
+# ---------------------------------------------------------------------------
+
+def darker_fold(df: DataFrame, key_col: str,
+                img_col: str = "img", h_col: str = "h", w_col: str = "w") -> DataFrame:
+    """groupBy(key).pixelwise-min over same-shaped images (UDAF via
+    applyInPandas; map-side nothing to combine — one shuffle on key)."""
+    out_schema = StructType(
+        [df.schema[key_col]] + list(IMG_SCHEMA.fields)
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = int(pdf[h_col].iloc[0])
+        w = int(pdf[w_col].iloc[0])
+        acc = None
+        for buf in pdf[img_col]:
+            arr = bytes_to_img(buf, h, w)
+            acc = arr if acc is None else kpoint.darker(acc, arr)
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "img": [img_to_bytes(acc)], "h": [h], "w": [w]}
+        )
+
+    return df.groupBy(key_col).applyInPandas(fold, out_schema)

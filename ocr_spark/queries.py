@@ -598,3 +598,90 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# pixel-path queries (rows-only checks: numpy kernels are not SQL-
+# expressible; byte-identity is enforced by tests/test_c_crosscheck.py
+# and tests/test_spark_pipeline.py instead)
+# ---------------------------------------------------------------------------
+
+@query("px_pipeline_features")
+def px_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline (DOM strip + fused OCR chain: fix-bg,
+    calc_statistics, bin auto, deskew, line bands, CCL glyph boxes)
+    over a deterministic embedded-scan corpus."""
+    from ocr_spark.operators.pipeline import extract_pages
+    from ocr_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 64, seed=42, embed_scan=True, scan_shape=(64, 96))
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        F.length("extracted").alias("text_len"),
+        "n_lines",
+        "n_glyphs",
+        F.round("graythr", 6).alias("graythr"),
+        F.round("skew_deg", 4).alias("skew_deg"),
+        F.round("ink_ratio", 6).alias("ink_ratio"),
+    )
+
+
+@query("px_kernel_checksums")
+def px_kernel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One checksum row per (page, kernel) across the battery —
+    fix_bg, binarize, half, double, dither (all three), skew, rot90 —
+    pinning the distributed kernel outputs bit-for-bit."""
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.stages import KERNELS, apply_kernel, img_to_bytes
+
+    arrays = [fixtures.shaded(48, 64, 42, k) for k in range(8)]
+    base = spark.createDataFrame(
+        [(k, img_to_bytes(a), a.shape[0], a.shape[1]) for k, a in enumerate(arrays)],
+        "key int, img binary, h int, w int",
+    )
+    battery = [
+        ("fix_bg", (8.0,)),
+        ("binarize", (0.5,)),
+        ("half", ()),
+        ("double", (0.5,)),
+        ("dither_floyd", (64.0,)),
+        ("dither_cumulative", (64.0,)),
+        ("dither_blue_noise", (64.0,)),
+        ("skew", (1.5,)),
+        ("rotate_90", (90,)),
+        ("convolve_3x3", (4.0, -1.0, -1.0, 0.0)),
+        ("laplacian", (-0.25,)),
+        ("mean_y", (5,)),
+    ]
+    outs = []
+    for name, params in battery:
+        df = apply_kernel(base, name, *params)
+        outs.append(
+            df.select(
+                "key",
+                F.lit(name).alias("op"),
+                F.md5(F.col("img")).alias("img_md5"),
+                F.col("h"),
+                F.col("w"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+@query("px_split_pages")
+def px_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitx 1-row->2-rows over double-page scans (transform.c:48-73)."""
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.stages import img_to_bytes, split_scans
+
+    arrays = [fixtures.twopage(64, 160, 42, k) for k in range(8)]
+    base = spark.createDataFrame(
+        [(k, img_to_bytes(a), a.shape[0], a.shape[1]) for k, a in enumerate(arrays)],
+        "key int, img binary, h int, w int",
+    )
+    out = split_scans(base, 0.5)
+    return out.select("key", "side", F.md5("img").alias("img_md5"), "h", "w")

@@ -1,0 +1,80 @@
+"""CCL + segmentation unit tests with known ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.kernels import ccl, fixtures, pointwise, segment, stats
+
+
+def test_ccl_simple_shapes():
+    m = np.zeros((10, 12), bool)
+    m[1:3, 1:4] = True
+    m[5:8, 6:9] = True
+    assert ccl.label_boxes(m) == [(1, 1, 4, 3), (6, 5, 9, 8)]
+
+
+def test_ccl_diagonal_merge():
+    m = np.zeros((5, 5), bool)
+    m[0, 0] = True
+    m[1, 1] = True  # touches only diagonally -> same component (8-conn)
+    assert ccl.label_boxes(m) == [(0, 0, 2, 2)]
+
+
+def test_ccl_u_shape_union():
+    # U shape: two arms join at the bottom -> one component
+    m = np.zeros((4, 5), bool)
+    m[0:3, 0] = True
+    m[0:3, 4] = True
+    m[3, :] = True
+    assert ccl.label_boxes(m) == [(0, 0, 5, 4)]
+
+
+def test_ccl_min_area():
+    m = np.zeros((4, 4), bool)
+    m[0, 0] = True
+    m[2:4, 2:4] = True
+    assert ccl.label_boxes(m, min_area=2) == [(2, 2, 4, 4)]
+
+
+def test_ccl_empty_and_full():
+    assert ccl.label_boxes(np.zeros((3, 3), bool)) == []
+    assert ccl.label_boxes(np.ones((3, 3), bool)) == [(0, 0, 3, 3)]
+
+
+def test_glyph_recovery_on_fixture():
+    """Every generated glyph box recovered exactly after binarization."""
+    page, truth = fixtures.glyphs_with_boxes(96, 128, 42, 0)
+    s = stats.calc_statistics(page)
+    binp = pointwise.binarize(page, s["graythr"])
+    boxes = segment.glyph_boxes(binp)
+    assert boxes == sorted(truth, key=lambda b: (b[1], b[0]))
+
+
+def test_line_bands_on_fixture():
+    page, truth = fixtures.glyphs_with_boxes(96, 128, 42, 0)
+    s = stats.calc_statistics(page)
+    binp = pointwise.binarize(page, s["graythr"])
+    bands = segment.line_bands(binp)
+    truth_lines = sorted({(b[1]) for b in truth})
+    assert len(bands) == len(truth_lines)
+    # each band covers exactly the glyph rows of its line
+    for (y0, y1), ty in zip(bands, truth_lines):
+        line_boxes = [b for b in truth if b[1] == ty]
+        assert y0 == ty
+        assert y1 == max(b[3] for b in line_boxes)
+
+
+def test_deskew_restores_layout():
+    """skew -> deskew round-trip recovers the line count."""
+    from ocr_spark.kernels import geometry
+
+    page, _ = fixtures.glyphs_with_boxes(96, 128, 42, 0)
+    s = stats.calc_statistics(page)
+    binp = pointwise.binarize(page, s["graythr"])
+    n_lines = len(segment.line_bands(binp))
+    skewed = geometry.skew(binp, 2.0)
+    angle = geometry.detect_skew(skewed)
+    assert abs(angle + 2.0) < 0.7  # detected ~ -applied
+    fixed = pointwise.binarize(geometry.skew(skewed, angle), 0.5)
+    assert len(segment.line_bands(fixed)) == n_lines

@@ -1,0 +1,117 @@
+"""Spark pipeline plumbing: distributed output == in-process kernels, byte-identical."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.kernels import fixtures, pnm
+from ocr_spark.operators.stages import (
+    apply_kernel,
+    bytes_to_img,
+    darker_fold,
+    img_to_bytes,
+    ocr_page,
+    split_scans,
+)
+from ocr_spark.sources.corpus import pages_df
+
+
+def _img_df(spark, arrays):
+    rows = [
+        (i, img_to_bytes(a), a.shape[0], a.shape[1]) for i, a in enumerate(arrays)
+    ]
+    return spark.createDataFrame(rows, "key int, img binary, h int, w int")
+
+
+def _collect_imgs(df):
+    return {
+        r.key: bytes_to_img(bytes(r.img), r.h, r.w) for r in df.collect()
+    }
+
+
+ARRAYS = [
+    fixtures.glyphs(96, 128, key=0),
+    fixtures.shaded(95, 127, key=1),
+    np.clip(fixtures.noise(48, 64, key=2), 0, 255).astype(np.float32),
+]
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        ("fix_bg", (8.0,)),
+        ("binarize", (0.5,)),
+        ("half", ()),
+        ("double", (0.5,)),
+        ("dither_floyd", (64.0,)),
+        ("skew", (1.5,)),
+        ("deskew", ()),
+        ("convolve_3x3", (4.0, -1.0, -1.0, 0.0)),
+        ("rotate_90", (90,)),
+    ],
+)
+def test_apply_kernel_matches_local(spark, name, params):
+    from ocr_spark.operators.stages import KERNELS
+
+    df = apply_kernel(_img_df(spark, ARRAYS), name, *params)
+    got = _collect_imgs(df)
+    for i, a in enumerate(ARRAYS):
+        want = KERNELS[name](a, *params)
+        assert np.array_equal(got[i], want), f"{name} page {i}"
+
+
+def test_split_scans_two_rows(spark):
+    page = fixtures.twopage(96, 256)
+    df = split_scans(_img_df(spark, [page]), 0.5)
+    rows = {r.side: bytes_to_img(bytes(r.img), r.h, r.w) for r in df.collect()}
+    from ocr_spark.kernels import geometry
+
+    left, right = geometry.splitx(page, 0.5)
+    assert np.array_equal(rows[0], left)
+    assert np.array_equal(rows[1], right)
+
+
+def test_darker_fold_matches_local(spark):
+    arrays = [np.clip(fixtures.noise(16, 16, key=k), 0, 255).astype(np.float32) for k in range(4)]
+    rows = [(0, img_to_bytes(a), 16, 16) for a in arrays]
+    df = spark.createDataFrame(rows, "key int, img binary, h int, w int")
+    out = _collect_imgs(darker_fold(df, "key"))
+    want = arrays[0]
+    for a in arrays[1:]:
+        want = np.minimum(want, a)
+    assert np.array_equal(out[0], want)
+
+
+def test_full_pipeline_matches_inprocess(spark):
+    """Distributed extract_pages == driver-side reference composition."""
+    from ocr_spark.functions.html_extract import extract_embedded_pnm, extract_main_text
+    from ocr_spark.operators.pipeline import extract_pages
+    from ocr_spark.sources.corpus import pages_pylist
+
+    n = 12
+    df = pages_df(spark, n, seed=42, embed_scan=True, scan_shape=(64, 96), partitions=3)
+    got = {r.url: r for r in extract_pages(df).collect()}
+    assert len(got) == n
+
+    for row in pages_pylist(n, seed=42, embed_scan=True, scan_shape=(64, 96)):
+        r = got[row["url"]]
+        # byte-identical text per url (the north-rule invariant)
+        assert r.extracted == row["text"], row["url"]
+        feats, _ = ocr_page(extract_embedded_pnm(row["html"]))
+        assert r.graythr == feats["graythr"]
+        assert r.skew_deg == feats["skew_deg"]
+        assert r.n_lines == feats["n_lines"]
+        assert r.n_glyphs == feats["n_glyphs"]
+        assert r.ink_ratio == feats["ink_ratio"]
+        assert extract_main_text(row["html"]) == row["text"]
+
+
+def test_pipeline_plan_no_shuffle(spark):
+    """The extraction pipeline must be a single narrow stage."""
+    from ocr_spark.operators.pipeline import extract_pages
+
+    df = pages_df(spark, 8, seed=42, embed_scan=True, scan_shape=(32, 48), partitions=2)
+    plan = extract_pages(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
