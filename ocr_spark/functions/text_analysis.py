@@ -1,0 +1,86 @@
+"""Text-analysis functions: language-ID, fingerprinting, token stats.
+
+All pure JVM Column expressions (split/filter/aggregate) — these run
+inside WholeStageCodegen with zero Python, so per-doc cost is a few
+hundred ns and the stage scales linearly with executors.
+
+The language-ID here is the classic stopword-ratio heuristic: score each
+candidate language by the fraction of tokens found in its (tiny,
+hard-coded) stopword list and pick the argmax with a fixed priority
+order on ties. On the synthetic corpus the vocabularies overlap, so the
+interesting output is the score vector itself; the decision rule is the
+deterministic contract the oracle mirrors. A production n-gram model is
+the same shape (score per language -> argmax), just with a bigger
+broadcast table of n-gram weights.
+
+Fingerprinting: k-gram polynomial rolling hash (same exact-BIGINT fold
+as operators/dedup.poly_hash, cite: reference uses no hashing at all —
+this family is the training-data-pipeline extension layer). ``fp_min``
+is a 1-permutation MinHash of the char k-gram set; ``fp_full`` hashes
+the whole text. Winnowing (window-min selection) reduces to a windowed
+min over ``kgram_hashes`` and is provided as ``winnow_fingerprints``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import MOD, poly_hash, tokens
+
+# language -> stopword list; keep ASCII-only so ascii() hashing and both
+# engines agree. Priority on ties: the order of this dict.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "en", "es", "un"),
+    "fr": ("le", "la", "de", "et", "en", "est", "un"),
+}
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Stopword-hit fraction per candidate language (double per lang)."""
+    t = tokens(text_col)
+    out: dict[str, Column] = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(
+            F.filter(t, lambda w: w.isin(*words))  # noqa: B023 — bound per iter
+        )
+        out[lang] = F.round(hits.cast("double") / F.size(t), 4)
+    return out
+
+
+def lang_pred(scores: dict[str, Column]) -> Column:
+    """Argmax language with fixed priority order (dict order) on ties."""
+    langs = list(scores)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def kgram_hashes(text_col: Column, k: int = 8) -> Column:
+    """Hashes of all char k-grams of lower(text) (array<long>, in order)."""
+    lo = F.lower(text_col)
+    idx = F.sequence(F.lit(1), F.length(lo) - (k - 1))
+    return F.transform(idx, lambda i: poly_hash(F.substring(lo, i, k)))
+
+
+def winnow_fingerprints(text_col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set: min k-gram hash per window of w, distinct.
+
+    Standard document-fingerprint selection (Schleimer et al.): every
+    substring match of length >= k+w-1 shares a selected fingerprint.
+    """
+    hs = kgram_hashes(text_col, k)
+    wins = F.sequence(F.lit(0), F.size(hs) - w)
+    mins = F.transform(
+        wins, lambda i: F.array_min(F.slice(hs, i + 1, w))
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all JVM expressions (no Python):
+
+1. ``ann_topk`` — exact brute-force cosine top-k (the baseline; one
+   broadcast of the query vector, one pass, one global top-k).
+2. ``ivf_topk`` — IVF: assign every vector to its nearest of C
+   centroids (broadcast join), probe only the nprobe cells nearest the
+   query. At 10^12 vectors this turns a full scan into
+   nprobe/C of the data; the cell assignment is a write-time
+   partition/bucket key so probes prune parquet files (partition
+   pruning does the skipping, not a runtime filter).
+3. ``sign_sketch`` — random-hyperplane LSH (SimHash for vectors):
+   8 deterministic integer hyperplanes -> 8 sign bits -> bucket id.
+   Near-duplicate search probes buckets within Hamming<=1. Integer
+   plane weights keep the fold exact so the DuckDB oracle reproduces
+   every bit.
+
+Cosine folds are sequential left-folds in double (see
+operators/dedup.cosine) so Spark and the oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import cosine
+
+SKETCH_PLANES = 8
+
+
+def plane_weight(p: int, k: int) -> int:
+    """Deterministic integer hyperplane weight in [-3, 3]."""
+    return (p * 31 + k * 17) % 7 - 3
+
+
+def sign_sketch(vec: Column, dim: int, planes: int = SKETCH_PLANES) -> Column:
+    """LSH sign-bucket id (long) from deterministic integer hyperplanes."""
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        dot = F.lit(0.0)
+        for k in range(dim):
+            w = plane_weight(p, k)
+            if w:
+                dot = dot + F.element_at(vec, k + 1).cast("double") * F.lit(float(w))
+        out = out + F.when(dot >= 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def duck_sketch_sql(vec_expr: str, dim: int, planes: int = SKETCH_PLANES) -> str:
+    """DuckDB SQL mirroring ``sign_sketch`` term-for-term.
+
+    Zero-weight terms are skipped exactly as in the Column build so the
+    double fold order (and therefore every sign bit) is identical.
+    """
+    bits = []
+    for p in range(planes):
+        terms = [
+            f"CAST({vec_expr}[{k + 1}] AS DOUBLE) * {float(plane_weight(p, k))}"
+            for k in range(dim)
+            if plane_weight(p, k)
+        ]
+        dot = "0.0 + " + " + ".join(terms)
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine, argmax).
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic seed choice (k-means refinement would slot in the same
+    dataflow: broadcast centroids, assign, re-aggregate). Returns
+    (id, e, cell).
+    """
+    v = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    cents = v.where(F.col("id") < n_centroids).select(
+        F.col("id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("sim")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "e", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: probe the nprobe cells nearest the query vector.
+
+    Returns (vec_id, cell, cos) — the k nearest vectors to ``query_id``
+    among vectors assigned to the probed cells (query itself excluded).
+    """
+    assigned = ivf_assign(vecs, n_centroids, id_col, vec_col)
+    q = assigned.where(F.col("id") == query_id).select(
+        F.col("e").alias("qe")
+    )
+    cents = (
+        vecs.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .select("cent_id", cosine(F.col("ce"), F.col("qe")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(nprobe)
+    )
+    probed = assigned.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("cell"))), "cell"
+    )
+    return (
+        probed.where(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket_topk(
+    vecs: DataFrame,
+    dim: int,
+    query_id: int = 0,
+    k: int = 10,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH multi-probe top-k: candidates within Hamming<=h buckets.
+
+    Returns (vec_id, hamming, cos): exact cosine over the candidate set
+    whose sketch differs from the query's in at most ``max_hamming``
+    bits. At scale the sketch is a bucketed write-time key; the probe
+    reads 1 + planes buckets instead of the corpus.
+    """
+    v = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        sign_sketch(F.col(vec_col), dim).alias("sk"),
+    )
+    q = v.where(F.col("id") == query_id).select(
+        F.col("e").alias("qe"), F.col("sk").alias("qsk")
+    )
+    return (
+        v.where(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sk").bitwiseXOR(F.col("qsk")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id").alias("vec_id"),
+            "hamming",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

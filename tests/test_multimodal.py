@@ -1,0 +1,77 @@
+"""Multimodal plumbing: real PNM decode/resize/frame-sample over Spark,
+stub contracts for codec-less formats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.kernels import fixtures, pnm, scale
+from ocr_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.media_corpus(spark, 12).cache()
+
+
+def test_media_corpus_schema(media):
+    assert set(media.columns) >= {"url", "media", "kind", "media_meta"}
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"pnm", "ocrv"}
+
+
+def test_image_features_match_numpy(media):
+    imgs = media.where(F.col("kind") == "pnm")
+    rows = {r.url: r for r in mm.image_features(imgs).collect()}
+    for r in imgs.select("url", "media").collect():
+        arr = pnm.decode_gray(bytes(r.media))
+        got = rows[r.url]
+        assert (got.height, got.width) == arr.shape
+        assert got.mean == pytest.approx(float(arr.mean()))
+        assert got.p_dark == pytest.approx(float((arr < 128).mean()))
+
+
+def test_resize_half_is_reference_exact(media):
+    imgs = media.where(F.col("kind") == "pnm")
+    out = {r.url: r for r in mm.resize_images(imgs, "half").collect()}
+    for r in imgs.select("url", "media").collect():
+        arr = pnm.decode_gray(bytes(r.media))
+        want = pnm.encode_gray(scale.half(arr))
+        assert bytes(out[r.url].media) == want
+
+
+def test_frame_sampling_fanout(media):
+    vids = media.where(F.col("kind") == "ocrv")
+    n_vids = vids.count()
+    frames = mm.sample_frames(vids, every_k=2)
+    got = frames.collect()
+    # 4 frames per container, every 2nd -> 2 rows per video
+    assert len(got) == 2 * n_vids
+    assert {r.frame_idx for r in got} == {0, 2}
+    # each sampled frame is itself a decodable PNM
+    some = got[0]
+    arr = pnm.decode_gray(bytes(some.frame))
+    assert arr.ndim == 2 and arr.dtype == np.float32
+
+
+def test_frame_roundtrip_exact():
+    frames = [fixtures.shaded(16, 24, 42, j) for j in range(3)]
+    buf = mm.encode_ocrv(frames)
+    back = [pnm.decode_gray(b) for b in mm.decode_ocrv(buf)]
+    for a, b in zip(frames, back):
+        # encode clamps/rounds to u8 — decode(encode(x)) is the fixpoint
+        assert np.array_equal(pnm.decode_gray(pnm.encode_gray(a)), b)
+
+
+def test_audio_stub_contract(spark, media):
+    # fake path: deterministic, correct schema, explodes to bands
+    out = mm.audio_features(media.limit(3)).collect()
+    assert len(out) == 3 * 8
+    assert all(isinstance(r.energy, float) for r in out)
+    # real path raises the documented NotImplementedError
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm.decode_audio(b"\x00\x01", "wav")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image(b"\xff\xd8", "jpeg")
