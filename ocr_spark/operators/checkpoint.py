@@ -1,0 +1,144 @@
+"""Checkpoint manifests + resumable extraction runs (north_rule contract).
+
+Unit of resumability: a **shard** = ``pmod(xxhash64(url), n_shards)`` —
+a pure function of the row, so it never needs a join to recompute and
+it partition-prunes on the output table. Shards are processed in
+**waves** (a few shards per Spark job). Each wave:
+
+1. writes its data with *dynamic partition overwrite* (only the wave's
+   shard partitions are replaced — a re-run of a half-failed wave is
+   idempotent, giving exactly-once per shard);
+2. then appends one manifest row per shard
+   ``(run_id, wave, shard, n_rows, n_urls, bytes, wall_ms,
+   docs_per_sec, wrote_at)`` to the manifests table.
+
+Because the manifest append happens strictly *after* the wave's data
+commit, a crash at any point leaves shards either fully recorded or
+fully absent: restart reads the manifests table, anti-joins the shard
+list, and continues. On Iceberg both writes are snapshot commits and
+the manifests table gains time-travel lineage for free; the parquet
+fallback here exercises the identical code path (sources/tables.py
+doc: the catalog swap is one adapter line).
+
+Waves bound the failure blast radius at 10^12-document scale: one bad
+wave loses minutes of work, not the job; and the per-wave manifest rows
+double as the throughput telemetry the north rule asks for.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.pipeline import extract_pages
+
+N_SHARDS = 64
+
+
+def shard_col(n_shards: int = N_SHARDS) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+
+
+def completed_shards(spark: SparkSession, out_dir: str) -> set[int]:
+    man_dir = os.path.join(out_dir, "manifests")
+    if not os.path.exists(man_dir):
+        return set()
+    rows = (
+        spark.read.parquet(man_dir).select("shard").distinct().collect()
+    )
+    return {r.shard for r in rows}
+
+
+def _chunk(xs: list[int], n: int) -> list[list[int]]:
+    return [xs[i : i + n] for i in range(0, len(xs), n)]
+
+
+def checkpointed_run(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_shards: int = N_SHARDS,
+    shards_per_wave: int = 16,
+    max_waves: int | None = None,
+    extractor=None,
+) -> dict:
+    """Run (or resume) a manifest-checkpointed extraction.
+
+    ``max_waves`` exists to simulate interruption in tests and to bound
+    a maintenance window in production; a subsequent call resumes.
+    Returns a summary dict with the shards processed this call.
+    """
+    extractor = extractor or (
+        lambda df: extract_pages(df, with_scan_features=False)
+    )
+    data_dir = os.path.join(out_dir, "data")
+    man_dir = os.path.join(out_dir, "manifests")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = completed_shards(spark, out_dir)
+    todo = [s for s in range(n_shards) if s not in done]
+    waves = _chunk(todo, shards_per_wave)
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    src = pages.withColumn("shard", shard_col(n_shards))
+    processed: list[int] = []
+    for wave_no, shards in enumerate(waves):
+        t0 = time.perf_counter()
+        wave_src = src.where(F.col("shard").isin(shards)).repartition(
+            len(shards), "shard"
+        )
+        out = extractor(wave_src.drop("shard")).withColumn(
+            "shard", shard_col(n_shards)
+        )
+        out.persist()
+        try:
+            out.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+            wall_ms = (time.perf_counter() - t0) * 1000.0
+            man = (
+                out.groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct("url").alias("n_urls"),
+                    F.sum(F.octet_length("extracted")).alias("bytes"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("wave", F.lit(wave_no))
+                .withColumn("wall_ms", F.lit(round(wall_ms, 1)))
+                .withColumn(
+                    "docs_per_sec",
+                    F.round(F.col("n_rows") / F.lit(wall_ms / 1000.0), 1),
+                )
+                .withColumn(
+                    "wrote_at",
+                    F.lit(datetime.now(timezone.utc).isoformat()),
+                )
+            )
+            man.write.mode("append").parquet(man_dir)
+        finally:
+            out.unpersist()
+        processed.extend(shards)
+    return {
+        "run_id": run_id,
+        "resumed_from": len(done),
+        "shards_processed": processed,
+        "shards_remaining": len(todo) - len(processed),
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def verify_complete(
+    spark: SparkSession, pages: DataFrame, out_dir: str
+) -> int:
+    """Number of source urls missing from the checkpointed output
+    (0 == complete). Left-anti join on url — the restart-safety audit."""
+    got = read_extracted(spark, out_dir).select("url")
+    return pages.select("url").join(got, "url", "left_anti").count()

@@ -1,0 +1,152 @@
+"""Structured Streaming surfaces: continuous page extraction, windowed
+event aggregation with watermarks, and a custom stateful operator.
+
+The reference is strictly batch (SURVEY.md §2.12), so this layer is the
+engine's forward extension: the same extraction dataflow run
+incrementally. Design points:
+
+- **Continuous extraction** (``extraction_stream``): ``readStream`` over
+  the pages table directory -> the identical ``with_main_text`` Arrow
+  UDF -> parquet sink with a checkpoint location. Source offsets +
+  sink commit log give exactly-once per micro-batch; re-running
+  ``availableNow`` after new files land processes only the delta —
+  the streaming twin of operators/checkpoint.py.
+- **Windowed aggregation** (``events_hourly_stream``): event-time
+  tumbling windows on ``ts`` with a watermark for late data. The
+  transformation is expression-for-expression the batch
+  ``events_hourly`` query, so batch/stream parity is testable.
+- **Custom stateful operator** (``running_user_totals``):
+  ``applyInPandasWithState`` keeping per-user running (count, sum)
+  across micro-batches — the minimal template for sessionization /
+  trend state at scale (state lives in the state store, partitioned by
+  key; nothing accumulates on the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def pages_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+
+
+def extraction_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Incremental extraction: new page files -> extracted text sink.
+
+    Returns the StreamingQuery (availableNow trigger: drain what exists,
+    then stop — the batch-backfill idiom; drop the trigger for 24/7).
+    """
+    from ocr_spark.operators.extract import with_main_text
+
+    pages = pages_stream(spark, src_dir)
+    out = with_main_text(pages).select("url", "warc_ts", "lang", "extracted")
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_DDL).parquet(src_dir)
+
+
+def events_hourly_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h event-time windows with late-data watermark.
+
+    Works on both a static and a streaming events DataFrame — parity
+    between the two is the streaming correctness test.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 hour").alias("win"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across batches.
+
+    State store scales with distinct keys per partition; emitted rows
+    are the updated keys of each micro-batch (update semantics).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
+    """Drain a streaming frame into an in-memory table (tests/debug)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

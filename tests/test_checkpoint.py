@@ -1,0 +1,90 @@
+"""Checkpoint manifests + resume: interruption, exactly-once, idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import checkpoint as cp
+from ocr_spark.sources.corpus import pages_df
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, 160, seed=42, embed_scan=False).cache()
+
+
+def test_interrupt_then_resume_exactly_once(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt"))
+
+    # "crash" after 2 waves of 3 shards (of 12)
+    first = cp.checkpointed_run(
+        spark, pages, out, run_id="r1", n_shards=12, shards_per_wave=3,
+        max_waves=2,
+    )
+    assert len(first["shards_processed"]) == 6
+    assert first["shards_remaining"] == 6
+    assert cp.verify_complete(spark, pages, out) > 0  # genuinely partial
+
+    # resume: must process ONLY the remaining shards
+    second = cp.checkpointed_run(
+        spark, pages, out, run_id="r2", n_shards=12, shards_per_wave=3,
+    )
+    assert second["resumed_from"] == 6
+    assert set(second["shards_processed"]).isdisjoint(first["shards_processed"])
+    assert second["shards_remaining"] == 0
+
+    # complete + exactly once per url
+    assert cp.verify_complete(spark, pages, out) == 0
+    got = cp.read_extracted(spark, out)
+    assert got.count() == pages.count()
+    assert got.select("url").distinct().count() == pages.count()
+
+    # manifests carry full lineage: every shard exactly one row, both runs
+    man = spark.read.parquet(f"{out}/manifests")
+    assert man.count() == 12
+    assert {r.run_id for r in man.select("run_id").distinct().collect()} == {
+        "r1",
+        "r2",
+    }
+    row = man.first()
+    assert row.n_rows == row.n_urls > 0
+    assert row.wall_ms > 0 and row.docs_per_sec > 0 and row.bytes > 0
+
+    # idempotence: a third run is a no-op
+    third = cp.checkpointed_run(
+        spark, pages, out, run_id="r3", n_shards=12, shards_per_wave=3,
+    )
+    assert third["shards_processed"] == []
+    assert spark.read.parquet(f"{out}/manifests").count() == 12
+
+
+def test_shard_is_pure_function_of_url(spark, pages):
+    a = pages.withColumn("shard", cp.shard_col(16)).select("url", "shard")
+    b = pages.withColumn("shard", cp.shard_col(16)).select(
+        "url", F.col("shard").alias("shard2")
+    )
+    joined = a.join(b, "url")
+    assert joined.where(F.col("shard") != F.col("shard2")).count() == 0
+    n = joined.select("shard").distinct().count()
+    assert n == 16  # 160 urls spread over all 16 shards
+
+
+def test_extracted_content_matches_direct_run(spark, pages, tmp_path_factory):
+    from ocr_spark.operators.pipeline import extract_pages
+
+    out = str(tmp_path_factory.mktemp("ckpt2"))
+    cp.checkpointed_run(
+        spark, pages, out, run_id="x", n_shards=4, shards_per_wave=4
+    )
+    want = {
+        r.url: r.extracted
+        for r in extract_pages(pages, with_scan_features=False)
+        .select("url", "extracted")
+        .collect()
+    }
+    got = {
+        r.url: r.extracted
+        for r in cp.read_extracted(spark, out).select("url", "extracted").collect()
+    }
+    assert got == want

@@ -1,0 +1,113 @@
+"""Structured Streaming: incremental extraction exactly-once, windowed
+aggregation batch/stream parity, custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.corpus import pages_df
+from ocr_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    d = {
+        "src": str(root / "src"),
+        "out": str(root / "out"),
+        "ckpt": str(root / "ckpt"),
+    }
+    os.makedirs(d["src"])
+    return d
+
+
+def _await(q):
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+
+def test_incremental_extraction_exactly_once(spark, dirs):
+    from ocr_spark.operators.extract import with_main_text
+
+    all_pages = pages_df(spark, 60, seed=42, embed_scan=False).cache()
+    first = all_pages.where(F.col("url").substr(-1, 1).isin("0", "1", "2", "3"))
+    rest = all_pages.subtract(first)
+
+    # wave 1: initial files -> stream drains them
+    first.write.mode("append").parquet(dirs["src"])
+    _await(sp.extraction_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"]))
+    got1 = spark.read.parquet(dirs["out"])
+    assert got1.count() == first.count()
+
+    # wave 2: new files land -> availableNow processes ONLY the delta
+    rest.write.mode("append").parquet(dirs["src"])
+    _await(sp.extraction_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"]))
+    got2 = spark.read.parquet(dirs["out"])
+    assert got2.count() == all_pages.count()
+    assert got2.select("url").distinct().count() == all_pages.count()
+
+    # content parity with the batch pipeline, byte-identical per url
+    want = {
+        r.url: r.extracted
+        for r in with_main_text(all_pages).select("url", "extracted").collect()
+    }
+    got = {r.url: r.extracted for r in got2.select("url", "extracted").collect()}
+    assert got == want
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("events_src"))
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("append").parquet(src)
+
+    stream = sp.events_hourly_windows(sp.events_stream(spark, src))
+    q = sp.run_to_memory(stream, "hourly_stream", output_mode="complete")
+    _await(q)
+    got = spark.sql("SELECT * FROM hourly_stream").collect()
+
+    want = sp.events_hourly_windows(events).collect()
+    key = lambda r: (r.hour_start, r.event_type)  # noqa: E731
+    assert {key(r): (r.n_events, r.sum_value) for r in got} == {
+        key(r): (r.n_events, r.sum_value) for r in want
+    }
+    assert len(got) > 10
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ev2"))
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 20
+    ).cache()
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.subtract(half1)
+    half1.write.mode("append").parquet(src)
+
+    totals = sp.running_user_totals(sp.events_stream(spark, src))
+    q1 = sp.run_to_memory(totals, "totals1", output_mode="update")
+    _await(q1)
+
+    # second micro-batch continues FROM STATE (not from scratch): rerun
+    # a fresh query over the same files plus new ones would reset state,
+    # so drive one query across two batches via a second availableNow
+    # run with the same checkpoint — memory sink lacks checkpoints, so
+    # instead verify cumulative semantics within one drain:
+    half2.write.mode("append").parquet(src)
+    totals2 = sp.running_user_totals(sp.events_stream(spark, src))
+    q2 = sp.run_to_memory(totals2, "totals2", output_mode="update")
+    _await(q2)
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n,"
+        " max_by(total_value, n_events) AS tv FROM totals2 GROUP BY user_id"
+    ).collect()
+
+    want = {
+        r.user_id: (r.n, round(r.tv, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert {r.user_id: (r.n, r.tv) for r in got} == want
