@@ -1,0 +1,95 @@
+"""Physical-plan audits: the plans we ship are the plans we designed.
+
+Each assertion encodes a scale contract from SURVEY.md §4: filters and
+column pruning reach the parquet scan, small dimensions broadcast, the
+extraction pipeline stays a single narrow stage, and Python only ever
+appears as Arrow-batched UDF stages (never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: scan reads only the 3 referenced columns
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_small_dimension_joins_broadcast(spark):
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q5_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join may shuffle, but nation/region never should
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_extraction_pipeline_is_shuffle_free(spark):
+    from ocr_spark.operators.pipeline import extract_pages
+    from ocr_spark.sources.corpus import pages_df
+
+    plan = _plan(extract_pages(pages_df(spark, 32, embed_scan=True)))
+    assert "Exchange" not in plan  # one narrow stage end-to-end
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+
+
+def test_flagship_query_no_rowwise_python(spark):
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["flagship_extract"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_dedup_family_all_jvm(spark):
+    from ocr_spark.queries import QUERIES
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_jaccard_ngram"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+
+
+def test_ann_broadcasts_query_side(spark):
+    from ocr_spark.queries import QUERIES
+
+    for name in ("ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Broadcast" in plan, f"{name} missing broadcast"
+        assert "Python" not in plan
+
+
+def test_agg_is_partial_then_final_single_shuffle(spark):
+    from ocr_spark.queries import QUERIES
+
+    import re
+
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF))
+    # map-side partial agg + final agg with exactly ONE exchange between
+    # them (AQE wraps the plan, so codegen markers only appear post-run).
+    # "formatted" prints each node in tree + detail, so count detail
+    # headers "(N) Operator".
+    aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(aggs) == 2
+    assert len(exchanges) == 1
+    assert "SortAggregate" not in plan

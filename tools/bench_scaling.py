@@ -1,0 +1,110 @@
+"""Two-parallelism scaling benchmark (north_rule: efficiency >= 0.8 at
+N -> 4N executors; sandbox evidence per BASELINE.md: local[8] vs
+local[32] on the SAME input).
+
+Each parallelism level runs in its own subprocess (fresh JVM — no
+executor-thread reuse between levels). The timed section is
+scan -> DOM extraction UDF -> noop sink over a pre-generated cached
+corpus; generation and Python-worker warmup are excluded (one warm pass
+first). Split size is pinned (1 MiB maxPartitionBytes) so read
+parallelism reflects file splits, as it would on a real cluster reading
+many WARC-derived files, instead of collapsing into one 128 MiB split.
+
+Usage:  python tools/bench_scaling.py [n_pages] [repeats]
+Prints one JSON line and (with --write-md) refreshes the scaling table
+in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+from ocr_spark.session import get_spark
+from ocr_spark.operators.extract import with_main_text
+
+cpus = {cpus}
+spark = get_spark("scaling-%d" % cpus, cpus=cpus,
+                  extra={{"spark.sql.files.maxPartitionBytes": "16777216",
+                         "spark.sql.files.openCostInBytes": "1048576"}})
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({corpus!r})
+df = with_main_text(pages).select("url", "extracted")
+sink = lambda d: d.write.format("noop").mode("overwrite").save()
+sink(df)  # warm: plan + python workers + page cache
+times = []
+for _ in range({repeats}):
+    t0 = time.perf_counter()
+    sink(df)
+    times.append(time.perf_counter() - t0)
+n = pages.count()
+best = min(times)
+print(json.dumps({{"cpus": cpus, "pages": n, "sec_best": round(best, 3),
+                  "sec_all": [round(t, 3) for t in times],
+                  "docs_per_sec": round(n / best, 1),
+                  "scan_partitions": df.rdd.getNumPartitions()}}))
+"""
+
+
+def ensure_corpus(n_pages: int) -> str:
+    path = os.path.join(ROOT, ".bench_cache", f"pages_{n_pages}")
+    marker = os.path.join(path, f"_OK_{n_pages}")
+    if not os.path.exists(marker):
+        sys.path.insert(0, ROOT)
+        from ocr_spark.session import get_spark
+        from ocr_spark.sources.corpus import pages_df
+
+        spark = get_spark("scaling-gen", cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        pages_df(spark, n_pages, seed=42, embed_scan=True, scan_shape=(96, 128)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(marker, "w").close()
+        spark.stop()
+    return path
+
+
+def run_level(cpus: int, corpus: str, repeats: int) -> dict:
+    code = CHILD.format(root=ROOT, cpus=cpus, corpus=corpus, repeats=repeats)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        env={**os.environ, "PYTHONPATH": ROOT},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    corpus = ensure_corpus(n_pages)
+    lo = run_level(4, corpus, repeats)
+    hi = run_level(16, corpus, repeats)
+    eff = (lo["sec_best"] / hi["sec_best"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "n_cores": 4,
+        "n4_cores": 16,
+        "pages": n_pages,
+        "low": lo,
+        "high": hi,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
