@@ -1,0 +1,91 @@
+"""Selection masks (SURVEY.md §2.4): set/rect/alpha_to_sel.
+
+Cites: alpha_to_sel select.c:3-22; set_selection select.c:24-36;
+select_rectangle select.c:38-97; CLI fractional scaling
+grafix.c:433-451. fill_selection lives in pointwise.py (select.c:99-128).
+
+The SEL plane is an ordinary float32 (h, w) array here — in the Spark
+schema it is one more channel field of the image struct, so these are
+plain array transforms inside the page UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+F32 = np.float32
+
+
+def set_selection(shape: tuple[int, int], v: float) -> np.ndarray:
+    """Constant selection mask (select.c:24-36)."""
+    return np.full(shape, F32(v), dtype=F32)
+
+
+def select_rectangle(
+    sel: np.ndarray | None,
+    shape: tuple[int, int],
+    v: float,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+) -> np.ndarray:
+    """Weighted rectangle select (select.c:38-97).
+
+    signbit(v) (including -0.0) selects the OUTSIDE with -v — the
+    intersect/subtract trick; negative coords wrap from bottom/right
+    (x0<0 += w; x1<=0 += w). Returns the new mask.
+    """
+    h, w = shape
+    out = (
+        set_selection(shape, 0.0) if sel is None else np.asarray(sel, F32).copy()
+    )
+    if x0 < 0:
+        x0 += w
+    if x1 <= 0:
+        x1 += w
+    if y0 < 0:
+        y0 += h
+    if y1 <= 0:
+        y1 += h
+    if not (0 <= x0 <= w and 0 <= x1 <= w and 0 <= y0 <= h and 0 <= y1 <= h):
+        raise ValueError("select_rectangle: invalid corners")
+    if x1 < x0 or y1 < y0:
+        raise ValueError("select_rectangle: invalid corners")
+    if math.copysign(1.0, v) < 0:  # signbit, catches -0.0
+        t = F32(-v)
+        out[:y0, :] = t
+        out[y0:y1, :x0] = t
+        out[y0:y1, x1:] = t
+        out[y1:, :] = t
+    else:
+        out[y0:y1, x0:x1] = F32(v)
+    return out
+
+
+def scale_rect_args(
+    vals: list[float],
+    fractional: list[bool],
+    w: int,
+    h: int,
+) -> list:
+    """CLI `rect*` argument scaling (grafix.c:433-451): args 1..4 given
+    as decimals are scaled by width (odd positions) / height (even);
+    arg 0 (the weight) never scales."""
+    out = []
+    for i, (t, frac) in enumerate(zip(vals, fractional)):
+        if frac and i > 0:
+            t = t * (w if i % 2 else h)
+        out.append(t if i == 0 else int(t))
+    return out
+
+
+def alpha_to_sel(
+    sel: np.ndarray | None, shape: tuple[int, int]
+) -> np.ndarray:
+    """ALPHA := SEL, or 1.0 if no SEL (select.c:3-22)."""
+    if sel is None:
+        return np.ones(shape, dtype=F32)
+    return np.asarray(sel, F32).copy()

@@ -1,0 +1,458 @@
+"""Inverse filters & PDE solvers (SURVEY.md §2.6): float32-exact
+transcription of the reference semantics.
+
+Cites: solve_tridiagonal vector.c:107-153; vector_convolution_3
+vector.c:88-105; vector_deconvolution_3 vector.c:155-195;
+poisson_vector vector.c:197-212; deconvolve_3x1 convolution.c:36-81;
+deconvolve_1x3 convolution.c:83-124; deconvolve_3x3_step
+convolution.c:126-185; deconvolve_3x3 convolution.c:187-276;
+image_poisson_step poisson.c:62-188; solve_poisson poisson.c:190-268.
+
+Float32 discipline: the reference's `real` is float32; libm calls
+(hypot/atan2/sin/cos/sqrt) evaluate in double and are narrowed on
+store. Error accumulators are double (convolution.c:135,
+poisson.c:74). Evaluation order is preserved term-for-term; the only
+permitted deviation is the order of summation inside the *double*
+RMS-error accumulators (numpy pairwise vs C sequential — last-ulp
+differences only, and tests pin convergence-free paths where this
+cannot change control flow).
+
+Vectorization strategy: the sequential dimension of each solver (x for
+row systems, the sweep index for Gauss–Seidel) is looped in Python;
+everything orthogonal (rows, the checkerboard color planes) is numpy.
+Red–black sweeps are exactly synchronous per color — a sweep updates
+only cells with (x+y+n) odd and reads only the opposite color
+(convolution.c:144-147, poisson.c:139-183), so a masked whole-array
+update reproduces the in-place C loop bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ocr_spark.kernels import scale
+from ocr_spark.kernels.stencil import convolve_3x3, laplacian
+
+F32 = np.float32
+F64 = np.float64
+
+
+# ---------------------------------------------------------------------------
+# tridiagonal QR by Givens rotations (vector.c:107-153)
+# ---------------------------------------------------------------------------
+
+def solve_tridiagonal(aa: np.ndarray, bb: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Mutates float32 aa/bb/cc in place; returns rotation angles th."""
+    n = len(bb)
+    cc[n - 1] = F32(0)
+    th = np.zeros(n - 1, dtype=F32)
+    for i in range(n - 1):
+        p = bb[i]
+        q = aa[i + 1]
+        if q == 0:
+            r = F32(0)
+        else:
+            r = F32(math.hypot(float(p), float(q)))
+            bb[i] = r
+            aa[i + 1] = F32(0)
+            p = F32(r - p)
+            q = F32(-q)
+            r = F32(math.atan2(float(p), float(q)))
+        th[i] = r
+        p = F32(math.sin(float(r)))
+        q = F32(math.cos(float(r)))
+        r = F32(F32(p * cc[i]) + F32(q * bb[i + 1]))
+        cc[i] = F32(cc[i] - F32(F32(F32(2) * r) * p))
+        bb[i + 1] = F32(bb[i + 1] - F32(F32(F32(2) * r) * q))
+        if i >= n - 2:
+            continue
+        r = F32(q * cc[i + 1])
+        aa[i] = F32(F32(F32(-2) * r) * p)
+        cc[i + 1] = F32(cc[i + 1] - F32(F32(F32(2) * r) * q))
+    return th
+
+
+def _tridiagonal_apply(
+    v: np.ndarray, th: np.ndarray, aa: np.ndarray, bb: np.ndarray, cc: np.ndarray
+) -> None:
+    """Apply stored rotations + back-substitution to rows of v (in place).
+
+    v is (rows, n) float32; rows are independent (convolution.c:62-73),
+    so each step is vectorized across rows while i stays sequential.
+    """
+    n = v.shape[1]
+    two = F32(2)
+    sins = np.array([F32(math.sin(float(t))) for t in th], dtype=F32)
+    coss = np.array([F32(math.cos(float(t))) for t in th], dtype=F32)
+    for i in range(n - 1):
+        p, q = sins[i], coss[i]
+        r = p * v[:, i] + q * v[:, i + 1]
+        v[:, i] -= two * r * p
+        v[:, i + 1] -= two * r * q
+    for i in range(n - 1, -1, -1):
+        if i + 2 < n:
+            v[:, i] -= aa[i] * v[:, i + 2]
+        if i + 1 < n:
+            v[:, i] -= cc[i] * v[:, i + 1]
+        v[:, i] /= bb[i]
+
+
+def _system(n: int, a: float, b: float, c: float) -> tuple:
+    aa = np.full(n, F32(a), dtype=F32)
+    bb = np.full(n, F32(b), dtype=F32)
+    cc = np.full(n, F32(c), dtype=F32)
+    return aa, bb, cc
+
+
+def deconvolve_3x1(
+    arr: np.ndarray, a: float, b: float, c: float, border: int
+) -> np.ndarray:
+    """Exact inverse of the horizontal 3-tap [a b c] per row
+    (convolution.c:36-81). Identity-pinned boundary columns; border=0
+    leaves the first/last *row* untouched, border!=0 processes all."""
+    out = np.asarray(arr, dtype=F32).copy()
+    h, n = out.shape
+    border = 1 if border else 0
+    aa, bb, cc = _system(n, a, b, c)
+    bb[0] = F32(1)
+    cc[0] = F32(0)
+    bb[n - 1] = F32(1)
+    aa[n - 1] = F32(0)
+    th = solve_tridiagonal(aa, bb, cc)
+    lo, hi = 1 - border, h - 1 + border
+    v = out[lo:hi].copy()
+    _tridiagonal_apply(v, th, aa, bb, cc)
+    out[lo:hi] = v
+    return out
+
+
+def deconvolve_1x3(
+    arr: np.ndarray, a: float, b: float, c: float, border: int
+) -> np.ndarray:
+    """Vertical variant (convolution.c:83-124): columns are the systems."""
+    out = np.asarray(arr, dtype=F32).copy()
+    h, w = out.shape
+    border = 1 if border else 0
+    aa, bb, cc = _system(h, a, b, c)
+    bb[0] = F32(1)
+    cc[0] = F32(0)
+    bb[h - 1] = F32(1)
+    aa[h - 1] = F32(0)
+    th = solve_tridiagonal(aa, bb, cc)
+    lo, hi = 1 - border, w - 1 + border
+    v = np.ascontiguousarray(out[:, lo:hi].T)
+    _tridiagonal_apply(v, th, aa, bb, cc)
+    out[:, lo:hi] = v.T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 1-D vector ops (vector.c:88-105, 155-195, 197-212)
+# ---------------------------------------------------------------------------
+
+def vector_convolution_3(
+    v: np.ndarray, a: float, b: float, c: float, border: int
+) -> np.ndarray:
+    """3-tap convolution reading original values; border!=0 scales the
+    two edge samples by (a+b+c) (vector.c:88-105)."""
+    src = np.asarray(v, dtype=F32)
+    out = src.copy()
+    a, b, c = F32(a), F32(b), F32(c)
+    if len(src) >= 3:
+        out[1:-1] = a * src[:-2] + b * src[1:-1] + c * src[2:]
+    if border:
+        t = F32(F32(a + b) + c)
+        out[0] = F32(src[0] * t)
+        out[-1] = F32(src[-1] * t)
+    return out
+
+
+def vector_deconvolution_3(
+    v: np.ndarray, a: float, b: float, c: float, border: int
+) -> np.ndarray:
+    """Inverse 3-tap with 3 boundary modes (vector.c:155-195):
+    border=-1: both edge rows scaled by a+b+c; border=1: Neumann-ish
+    (a+b / b+c); border=0: identity-pinned."""
+    out = np.asarray(v, dtype=F32).copy()
+    n = len(out)
+    aa, bb, cc = _system(n, a, b, c)
+    t = F32(F32(F32(a) + F32(b)) + F32(c))
+    if border == -1:
+        if t == 0:
+            raise ValueError("vector_deconvolution_3: a+b+c = 0 && border")
+        bb[0] = t
+        cc[0] = F32(0)
+        bb[n - 1] = t
+        aa[n - 1] = F32(0)
+    elif border == 1:
+        bb[0] = F32(F32(a) + F32(b))
+        bb[n - 1] = F32(F32(b) + F32(c))
+    else:
+        bb[0] = F32(1)
+        cc[0] = F32(0)
+        bb[n - 1] = F32(1)
+        aa[n - 1] = F32(0)
+    th = solve_tridiagonal(aa, bb, cc)
+    rows = out.reshape(1, n)
+    _tridiagonal_apply(rows, th, aa, bb, cc)
+    return rows[0]
+
+
+def poisson_vector(target: np.ndarray, nlap: np.ndarray) -> np.ndarray:
+    """1-D Poisson solve: double prefix-sum + linear endpoint ramp
+    (vector.c:197-212). Returns the new target; nlap is consumed."""
+    d = np.asarray(target, dtype=F32).copy()
+    ln = len(d)
+    if len(nlap) != ln - 2:
+        raise ValueError("poisson_vector: len mismatch")
+    lap = np.asarray(nlap, dtype=F32).copy()
+    lap = np.cumsum(lap, dtype=F32)  # cumul_vector: sequential f32
+    lap[0] = F32(lap[0] - d[0])
+    # second cumul re-runs over the mutated vector
+    lap = np.cumsum(lap, dtype=F32)
+    t = d[ln - 1]
+    d[1] = d[0]
+    d[2:] = -lap[: ln - 2]
+    t = F32(F32(t - d[ln - 1]) / F32(ln - 1))
+    d[1:] += np.arange(1, ln, dtype=F32) * t
+    return d
+
+
+# ---------------------------------------------------------------------------
+# 2-D red-black Gauss–Seidel deconvolution (convolution.c:126-276)
+# ---------------------------------------------------------------------------
+
+def deconvolve_3x3_step(
+    im: np.ndarray,
+    om: np.ndarray,
+    a: float,
+    b: float,
+    c: float,
+    d: float,
+    steps: int,
+    maxerr: float,
+) -> float:
+    """Damped red-black relaxation sweeps on om (in place), RMS probe
+    every 16 sweeps with early exit (convolution.c:126-185)."""
+    a, b, c, d = F32(a), F32(b), F32(c), F32(d)
+    maxerr = F32(maxerr)
+    h, w = im.shape
+    # C: a*a / (a*a + 2*b*b + 2*c*c + 4*d*d), left-assoc (convolution.c:133)
+    k = F32(
+        F32(a * a)
+        / F32(
+            F32(F32(F32(a * a) + F32(F32(F32(2) * b) * b)) + F32(F32(F32(2) * c) * c))
+            + F32(F32(F32(4) * d) * d)
+        )
+    )
+
+    def row_t(y: int, dx: int):
+        """Residual t for row y's color cells, float32 ops then double.
+
+        Reads CURRENT om — the d-term touches diagonals (same color,
+        row y-1 already updated this sweep), so the C loop is
+        row-sequential Gauss–Seidel and we must be too
+        (convolution.c:147-152)."""
+        xs = slice(1 + dx, w - 1, 2)
+        lft = om[y, dx : w - 2 : 2]
+        rgt = om[y, 2 + dx : w : 2]
+        up = om[y - 1, xs]
+        dn = om[y + 1, xs]
+        upr = om[y - 1, 2 + dx : w : 2]
+        upl = om[y - 1, dx : w - 2 : 2]
+        dnr = om[y + 1, 2 + dx : w : 2]
+        dnl = om[y + 1, dx : w - 2 : 2]
+        num = (
+            im[y, xs]
+            - b * (lft + rgt)
+            - c * (up + dn)
+            - d * (((upr + upl) + dnr) + dnl)
+        ).astype(F32)
+        t32 = (num / a).astype(F32)
+        return xs, t32.astype(F64) - om[y, xs].astype(F64)
+
+    err1 = 0.0
+    n = 0
+    while n != steps - 1:
+        if n % 16 < 2:
+            if n % 16 == 0:
+                err1 = 0.0
+            for y in range(1, h - 1):
+                _, t = row_t(y, (n + y) % 2)
+                err1 += float((t * t).sum())
+            if n % 16 == 1:
+                err1 /= (w - 2) * (h - 2)
+                err1 = math.sqrt(err1)
+                if err1 <= maxerr:
+                    break
+        else:
+            for y in range(1, h - 1):
+                xs, t = row_t(y, (n + y) % 2)
+                om[y, xs] = (om[y, xs].astype(F64) + t * F64(k)).astype(F32)
+                err1 += float((t * t).sum())
+        n += 1
+    return err1
+
+
+def deconvolve_3x3(
+    im: np.ndarray,
+    a: float,
+    b: float,
+    c: float,
+    d: float,
+    steps: int,
+    maxerr: float,
+) -> np.ndarray:
+    """Multigrid V-cycle deconvolution (convolution.c:187-276):
+    border=source, interior=border-mean seed; if max(w,h)>64, 3 cycles
+    of {7 smooth, residual, restrict(half), recurse with analytically
+    coarsened kernel, prolong(redouble), re-pin borders}, then final
+    smoothing to (steps, maxerr)."""
+    src = np.asarray(im, dtype=F32)
+    h, w = src.shape
+    a, b, c, d = F32(a), F32(b), F32(c), F32(d)
+    om = src.copy()
+    # border mean accumulated sequentially in float32, exact C order:
+    # top row, then (left,right) per middle row, then bottom row
+    seq = np.concatenate(
+        [src[0, :], src[1 : h - 1, [0, w - 1]].ravel(), src[h - 1, :]]
+    ).astype(F32)
+    mean = F32(np.cumsum(seq, dtype=F32)[-1] / F32(2 * (w + h) - 4))
+    om[1 : h - 1, 1 : w - 1] = mean
+    if max(w, h) > 64:
+        for n in (3, 2, 1):
+            deconvolve_3x3_step(src, om, a, b, c, d, 7, 0.0)
+            im2 = convolve_3x3(om.copy(), a, b, c, d)
+            im2 = (src - im2).astype(F32)
+            him = scale.half(im2)
+            hom = deconvolve_3x3(
+                him,
+                F32(F32(F32(F32(a * F32(9)) / F32(16)) + F32(F32(b * F32(3)) / F32(4)))
+                    + F32(F32(c * F32(3)) / F32(4))) + d,
+                F32(F32(F32(F32(a * F32(3)) / F32(32)) + F32(F32(b * F32(3)) / F32(8)))
+                    + F32(c / F32(8))) + F32(d / F32(2)),
+                F32(F32(F32(F32(a * F32(3)) / F32(32)) + F32(b / F32(8)))
+                    + F32(F32(c * F32(3)) / F32(8))) + F32(d / F32(2)),
+                F32(F32(F32(a / F32(64)) + F32(b / F32(16))) + F32(c / F32(16)))
+                + F32(d / F32(4)),
+                steps // 2,
+                F32(F32(maxerr * F32(n)) * F32(0.5)),
+            )
+            om2 = scale.redouble(hom, w % 2, h % 2)
+            om[1 : h - 1, 1 : w - 1] += om2[1 : h - 1, 1 : w - 1]
+            om[0, :] = src[0, :]
+            om[h - 1, :] = src[h - 1, :]
+            om[1 : h - 1, 0] = src[1 : h - 1, 0]
+            om[1 : h - 1, w - 1] = src[1 : h - 1, w - 1]
+    deconvolve_3x3_step(src, om, a, b, c, d, steps, maxerr)
+    return om
+
+
+# ---------------------------------------------------------------------------
+# Poisson solver (poisson.c:62-268)
+# ---------------------------------------------------------------------------
+
+def image_poisson_step(
+    target: np.ndarray,
+    guess: np.ndarray,
+    k: float,
+    steps: int,
+    maxerr: float,
+    mask: np.ndarray | None = None,
+) -> float:
+    """Red-black Gauss–Seidel for laplacian(guess) ~ target with
+    alpha-mask support and 1-D edge updates (poisson.c:62-188)."""
+    k = F32(k)
+    h, w = target.shape
+    t32 = target.astype(F32, copy=False)
+    yy, xx = np.mgrid[0:h, 0:w]
+    sel = np.ones((h, w), dtype=bool) if mask is None else (
+        np.asarray(mask, F32) >= 1
+    )
+    inner = (yy >= 1) & (yy <= h - 2) & (xx >= 1) & (xx <= w - 2)
+    ledge = (xx == 0) & (yy >= 1) & (yy <= h - 2)
+    redge = (xx == w - 1) & (yy >= 1) & (yy <= h - 2)
+    tedge = (yy == 0) & (xx >= 1) & (xx <= w - 2)
+    bedge = (yy == h - 1) & (xx >= 1) & (xx <= w - 2)
+    err1 = 0.0
+    n = 0
+    while n != steps - 1:
+        q = ((t32 - F32(128)) / k).astype(F32)
+        gl = np.roll(guess, 1, 1)
+        gr = np.roll(guess, -1, 1)
+        gu = np.roll(guess, 1, 0)
+        gd = np.roll(guess, -1, 0)
+        horiz = (((gl + gr) - q) / F32(2)).astype(F32)
+        vert = (((gu + gd) - q) / F32(2)).astype(F32)
+        full = (((((gl + gr) + gu) + gd) - q) / F32(4)).astype(F32)
+        if n % 16 == 0:
+            # full-grid residual probe (poisson.c:80-137); n++ keeps parity
+            est = np.where(inner, full, np.where(
+                ledge | redge, vert, np.where(tedge | bedge, horiz, guess)
+            )).astype(F32)
+            cells = (inner | ledge | redge | tedge | bedge) & sel
+            t = est.astype(F64) - guess.astype(F64)
+            count = int(cells.sum())
+            if count == 0:
+                raise ValueError("image_poisson_step: empty mask")
+            err1 = math.sqrt(float((t[cells] ** 2).sum()) / count)
+            n += 1
+            if err1 <= maxerr:
+                break
+        else:
+            color = (((xx + yy + n) & 1) == 1) & sel
+            guess[inner & color] = full[inner & color]
+            guess[(ledge | redge) & color] = vert[(ledge | redge) & color]
+            guess[(tedge | bedge) & color] = horiz[(tedge | bedge) & color]
+        n += 1
+    return err1
+
+
+def solve_poisson(
+    guess: np.ndarray,
+    target: np.ndarray,
+    k: float,
+    steps: int,
+    maxerr: float,
+    mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Multigrid Poisson (poisson.c:190-268): 2 V-cycles when
+    log2(max(w,h)/8) > 1 — {8 smooth, laplacian residual, restrict
+    (mask carried), recurse k/4 steps*4, prolong, corner-pin 128,
+    masked add} — then final smoothing. Mutates and returns guess."""
+    h, w = target.shape
+    k = F32(k)
+    guess = np.asarray(guess, dtype=F32)
+    t32 = np.asarray(target, dtype=F32)
+    recur = F32(math.log2(max(w, h) / 8.0))
+    if recur > 1:
+        for n in (2, 1):
+            image_poisson_step(t32, guess, k, 8, 0.0, mask)
+            ta1 = laplacian(guess.copy(), k, None)
+            if mask is not None:
+                sel = np.asarray(mask, F32) >= 1
+                ta1 = np.where(sel, (t32 - ta1) + F32(128), F32(128)).astype(F32)
+            else:
+                ta1 = ((t32 - ta1) + F32(128)).astype(F32)
+            ta2 = scale.half(ta1)
+            hmask = scale.half(np.asarray(mask, F32)) if mask is not None else None
+            h2 = (h + 2 - h % 2) // 2
+            w2 = (w + 2 - w % 2) // 2
+            gu2 = np.full((h2, w2), F32(128), dtype=F32)
+            sub_err = F32(
+                F64(F32(n * maxerr))
+                * math.sqrt(float(F32(F32(recur - F32(1)) / recur)))
+            )
+            solve_poisson(gu2, ta2, F32(k / F32(4)), steps * 4, sub_err, hmask)
+            gu1 = scale.redouble(gu2, w % 2, h % 2)
+            gu1[0, 0] = gu1[0, w - 1] = gu1[h - 1, 0] = gu1[h - 1, w - 1] = F32(128)
+            add = (gu1 - F32(128)).astype(F32)
+            if mask is not None:
+                sel = np.asarray(mask, F32) >= 1
+                guess[sel] += add[sel]
+            else:
+                guess += add
+    image_poisson_step(t32, guess, k, steps, maxerr, mask)
+    return guess

@@ -39,6 +39,8 @@ from ocr_spark.kernels import pnm as kpnm
 from ocr_spark.kernels import pointwise as kpoint
 from ocr_spark.kernels import scale as kscale
 from ocr_spark.kernels import segment as kseg
+from ocr_spark.kernels import select as ksel
+from ocr_spark.kernels import solvers as ksol
 from ocr_spark.kernels import stats as kstats
 from ocr_spark.kernels import stencil as ksten
 
@@ -78,7 +80,34 @@ KERNELS = {
     "dither_floyd": kdither.floyd_bidir,
     "dither_cumulative": kdither.cumulative,
     "dither_blue_noise": kdither.blue_noise,
+    # §2.6 inverse filters & PDE solvers (kernels/solvers.py)
+    "deconvolve_3x1": lambda a, p, q, r, b: ksol.deconvolve_3x1(a, p, q, r, int(b)),
+    "deconvolve_1x3": lambda a, p, q, r, b: ksol.deconvolve_1x3(a, p, q, r, int(b)),
+    "deconvolve_3x3": lambda a, p, q, r, s, st, me: ksol.deconvolve_3x3(
+        a, p, q, r, s, int(st), me
+    ),
+    "solve_poisson": lambda a, k, st, me: ksol.solve_poisson(
+        np.full_like(a, 128.0), a, k, int(st), me
+    ),
+    # s-paste flow (grafix.c:459-463): laplacian then gradient-domain solve
+    "s_paste": lambda a, k, st: ksol.solve_poisson(
+        a.copy(), ksten.laplacian(a.copy(), k), k, int(st), 0.0
+    ),
+    # §2.4 selection ops composed with fill (select.c; pointwise.py)
+    "fill_rect": lambda a, v, x0, y0, x1, y1, fill: _fill_rect(
+        a, v, int(x0), int(y0), int(x1), int(y1), fill
+    ),
 }
+
+
+def _fill_rect(a, v, x0, y0, x1, y1, fill):
+    sel = ksel.select_rectangle(None, a.shape, v, x0, y0, x1, y1)
+    img = {
+        "chan": [None, a.copy(), None, None, sel],
+        "width": a.shape[1],
+        "height": a.shape[0],
+    }
+    return kpoint.fill_selection(img, np.nan, fill, np.nan, np.nan)["chan"][1]
 
 IMG_SCHEMA = StructType(
     [

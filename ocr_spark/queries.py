@@ -653,6 +653,12 @@ def px_kernel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("convolve_3x3", (4.0, -1.0, -1.0, 0.0)),
         ("laplacian", (-0.25,)),
         ("mean_y", (5,)),
+        # §2.6 solvers + §2.4 selection through the same Spark plumbing
+        ("deconvolve_3x1", (0.25, 0.5, 0.25, 1)),
+        ("deconvolve_1x3", (0.2, 0.6, 0.2, 1)),
+        ("deconvolve_3x3", (4.0, -1.0, -1.0, 0.0, 8, 0.0)),
+        ("s_paste", (-0.25, 20)),
+        ("fill_rect", (0.5, 8, 8, 32, 28, 200.0)),
     ]
     outs = []
     for name, params in battery:

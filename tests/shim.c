@@ -12,6 +12,14 @@
 #include "common.h"
 #include <string.h>
 
+/* These reference functions have no prototype in common.h (they are
+ * unreachable from the CLI — vector.c:88-105,155-195; transform.c:313)
+ * so declare them here; implicit declarations would pass doubles where
+ * the definitions expect floats. */
+void vector_convolution_3(vector *v, real a, real b, real c, int border);
+void vector_deconvolution_3(vector *v, real a, real b, real c, int border);
+int find_margin(vector *v, int w);
+
 static image *read_img(int h, int w) {
   /* generous zeroed slack on BOTH sides: sheary reads up to w/2*|t|
    * rows past the bottom edge (transform.c:269-273) and before the
@@ -117,6 +125,39 @@ int main(int argc, char **argv) {
     write_img(deconvolve_3x3(im, p1, p2, p3, p4,
                              argc > 8 ? atoi(argv[8]) : 100,
                              argc > 9 ? atof(argv[9]) : 0.1));
+  }
+  else if (!strcmp(op, "fill_rect")) {
+    /* select_rectangle then fill channel 1 (select.c:38-97, 99-128) */
+    select_rectangle(im, p1, (int)p2, (int)p3, (int)p4,
+                     argc > 8 ? atoi(argv[8]) : 0);
+    fill_selection(im, NAN, argc > 9 ? atof(argv[9]) : 0, NAN, NAN);
+    write_img(im);
+  }
+  else if (!strcmp(op, "vconv3")) {
+    /* row 0 = the vector */
+    vector *v = make_vector(w);
+    v->len = w;
+    memcpy(v->data, im->chan[1], w * sizeof(float));
+    vector_convolution_3(v, p1, p2, p3, (int)p4);
+    write_vec(v);
+  }
+  else if (!strcmp(op, "vdeconv3")) {
+    vector *v = make_vector(w);
+    v->len = w;
+    memcpy(v->data, im->chan[1], w * sizeof(float));
+    vector_deconvolution_3(v, p1, p2, p3, (int)p4);
+    write_vec(v);
+  }
+  else if (!strcmp(op, "vpoisson")) {
+    /* 2xW image: row 0 = target (len w), row 1[0..w-3] = nlap */
+    vector *t = make_vector(w);
+    vector *l = make_vector(w - 2);
+    t->len = w;
+    l->len = w - 2;
+    memcpy(t->data, im->chan[1], w * sizeof(float));
+    memcpy(l->data, im->chan[1] + w, (w - 2) * sizeof(float));
+    poisson_vector(t, l);
+    write_vec(t);
   }
   else error("shim: unknown op");
   return 0;

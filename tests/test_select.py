@@ -1,0 +1,73 @@
+"""§2.4 selection ops vs the compiled C reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import fixtures
+from ocr_spark.kernels import pointwise as kpoint
+from ocr_spark.kernels import select as ksel
+from tests.ref_binary import ensure_shim, run_shim
+
+pytestmark = pytest.mark.skipif(
+    ensure_shim() is None, reason="gcc/reference unavailable"
+)
+
+
+def _fill_rect_ours(a, v, x0, y0, x1, y1, fill):
+    sel = ksel.select_rectangle(None, a.shape, v, x0, y0, x1, y1)
+    img = {
+        "chan": [None, a.copy(), None, None, sel],
+        "width": a.shape[1],
+        "height": a.shape[0],
+    }
+    return kpoint.fill_selection(img, np.nan, fill, np.nan, np.nan)["chan"][1]
+
+
+@pytest.mark.parametrize(
+    "v,rect",
+    [
+        (1.0, (4, 3, 20, 17)),      # inside overwrite
+        (0.5, (4, 3, 20, 17)),      # inside blend
+        (-1.0, (4, 3, 20, 17)),     # outside overwrite (signbit)
+        (-0.5, (4, 3, 20, 17)),     # outside blend
+        (1.0, (-10, -8, 0, 0)),     # negative coords wrap (select.c:49-52)
+    ],
+)
+def test_fill_rect_matches_reference(v, rect):
+    arr = fixtures.shaded(24, 32, 42, 20)
+    x0, y0, x1, y1 = rect
+    ref = run_shim(
+        "fill_rect",
+        [arr],
+        [str(v), str(x0), str(y0), str(x1), str(y1), "200"],
+    )
+    ours = _fill_rect_ours(arr, v, x0, y0, x1, y1, 200.0)
+    assert bytes(ours.tobytes()) == bytes(ref.tobytes())
+
+
+def test_minus_zero_selects_outside_zero():
+    # v = -0.0: outside := 0 (intersect trick, select.c:63)
+    arr = fixtures.shaded(16, 16, 42, 21)
+    sel = ksel.select_rectangle(None, arr.shape, -0.0, 4, 4, 12, 12)
+    assert sel[0, 0] == 0.0 and sel[5, 5] == 0.0  # outside set to -(-0.0)=0, inside untouched (0 init)
+    sel2 = ksel.select_rectangle(
+        ksel.set_selection(arr.shape, 1.0), arr.shape, -0.0, 4, 4, 12, 12
+    )
+    assert sel2[0, 0] == 0.0 and sel2[5, 5] == 1.0
+
+
+def test_alpha_to_sel():
+    shape = (8, 10)
+    assert (ksel.alpha_to_sel(None, shape) == 1.0).all()
+    m = ksel.set_selection(shape, 0.25)
+    assert (ksel.alpha_to_sel(m, shape) == 0.25).all()
+
+
+def test_scale_rect_args_fractional():
+    # grafix.c:433-451: decimal args scale by width (odd idx) / height
+    vals = ksel.scale_rect_args(
+        [0.5, 0.25, 0.5, 1.0, 1.0], [True, True, True, False, False], 100, 60
+    )
+    assert vals == [0.5, 25, 30, 1, 1]

@@ -1,0 +1,156 @@
+"""§2.6 solver kernels vs the compiled C reference, float32 byte-exact.
+
+All cross-checks pin maxerr=0 so the RMS convergence probe can never
+break early — the sweep count is then deterministic and outputs must
+match bit-for-bit (the probe's double-sum order is the one tolerated
+deviation, and with maxerr=0 it cannot alter control flow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import fixtures, solvers
+from tests.ref_binary import ensure_shim, run_shim
+
+pytestmark = pytest.mark.skipif(
+    ensure_shim() is None, reason="gcc/reference unavailable"
+)
+
+
+def _exact(ours: np.ndarray, ref: np.ndarray, what: str) -> None:
+    assert ours.shape == ref.shape, what
+    ours64 = ours.astype(np.float64)
+    ref64 = ref.astype(np.float64)
+    if not np.array_equal(ours.tobytes(), ref.tobytes()):
+        bad = np.flatnonzero(ours.tobytes() != ref.tobytes())
+        diff = np.abs(ours64 - ref64)
+        raise AssertionError(
+            f"{what}: maxdiff={diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+        )
+
+
+CASES = [fixtures.shaded(40, 56, 42, 1), fixtures.noise(33, 47, 42, 2),
+         fixtures.grad(24, 31)]
+
+
+@pytest.mark.parametrize("border", [0, 1])
+def test_deconvolve_3x1_exact(border):
+    for i, arr in enumerate(CASES):
+        ref = run_shim("deconv3x1", [arr], ["0.25", "0.5", "0.25", str(border)])
+        ours = solvers.deconvolve_3x1(arr, 0.25, 0.5, 0.25, border)
+        _exact(ours, ref, f"deconv3x1[{i}] border={border}")
+
+
+@pytest.mark.parametrize("border", [0, 1])
+def test_deconvolve_1x3_exact(border):
+    for i, arr in enumerate(CASES):
+        ref = run_shim("deconv1x3", [arr], ["0.2", "0.6", "0.2", str(border)])
+        ours = solvers.deconvolve_1x3(arr, 0.2, 0.6, 0.2, border)
+        _exact(ours, ref, f"deconv1x3[{i}] border={border}")
+
+
+def test_deconvolve_inverts_convolution():
+    # deconvolve_3x1(a,b,c) inverts a horizontal [a b c] blur on
+    # interior columns (identity-pinned edges) — property, not golden.
+    from ocr_spark.kernels.stencil import convolve_3x3
+
+    arr = fixtures.shaded(32, 48, 42, 3)
+    blurred = convolve_3x3(arr, 0.5, 0.25, 0.0, 0.0)  # horizontal-only
+    restored = solvers.deconvolve_3x1(blurred, 0.25, 0.5, 0.25, 0)
+    # identity-pinned edge columns leak a small error inward; the bulk
+    # interior restores to float32 noise level
+    assert np.allclose(restored[4:-4, 4:-4], arr[4:-4, 4:-4], atol=0.1)
+
+
+@pytest.mark.parametrize("border", [-1, 0, 1])
+def test_vector_deconvolution_exact(border):
+    v = fixtures.shaded(1, 64, 42, 4)[0]
+    ref = run_shim("vdeconv3", [v.reshape(1, -1)], ["0.25", "0.5", "0.25", str(border)])
+    ours = solvers.vector_deconvolution_3(v, 0.25, 0.5, 0.25, border)
+    _exact(ours.reshape(1, -1), ref, f"vdeconv3 border={border}")
+
+
+@pytest.mark.parametrize("border", [0, 1])
+def test_vector_convolution_exact(border):
+    v = fixtures.noise(1, 57, 42, 5)[0]
+    ref = run_shim("vconv3", [v.reshape(1, -1)], ["0.3", "0.4", "0.3", str(border)])
+    ours = solvers.vector_convolution_3(v, 0.3, 0.4, 0.3, border)
+    _exact(ours.reshape(1, -1), ref, f"vconv3 border={border}")
+
+
+def test_vector_conv_deconv_roundtrip():
+    # conv border=1 scales edges by (a+b+c); deconv border=-1 is its
+    # exact inverse mode (vector.c:94-96 vs vector.c:167-170)
+    v = fixtures.shaded(1, 80, 42, 6)[0]
+    blurred = solvers.vector_convolution_3(v, 0.25, 0.5, 0.25, 1)
+    back = solvers.vector_deconvolution_3(blurred, 0.25, 0.5, 0.25, -1)
+    assert np.allclose(back, v, atol=0.1)
+
+
+def test_poisson_vector_exact():
+    w = 50
+    target = fixtures.shaded(1, w, 42, 7)[0]
+    nlap = fixtures.noise(1, w, 42, 8)[0] / np.float32(64.0)
+    packed = np.zeros((2, w), np.float32)
+    packed[0] = target
+    packed[1, : w - 2] = nlap[: w - 2]
+    ref = run_shim("vpoisson", [packed], [])
+    ours = solvers.poisson_vector(target, nlap[: w - 2].copy())
+    _exact(ours.reshape(1, -1), ref, "vpoisson")
+
+
+@pytest.mark.parametrize("shape", [(24, 20), (40, 33)])
+def test_deconvolve_3x3_small_exact(shape):
+    # max(w,h) <= 64: no multigrid recursion; fixed sweeps (maxerr=0)
+    arr = fixtures.shaded(*shape, 42, 9)
+    ref = run_shim(
+        "deconv3x3", [arr], ["4", "-1", "-1", "0", "12", "0"]
+    )
+    ours = solvers.deconvolve_3x3(arr, 4, -1, -1, 0, 12, 0.0)
+    _exact(ours, ref, f"deconv3x3 {shape}")
+
+
+def test_deconvolve_3x3_multigrid_exact():
+    # max(w,h) > 64: 3 V-cycles with restriction/prolongation + one
+    # recursion level; d != 0 exercises the diagonal (row-sequential)
+    # Gauss-Seidel path.
+    arr = fixtures.shaded(72, 88, 42, 10)
+    ref = run_shim(
+        "deconv3x3", [arr], ["4", "-1", "-1", "0.5", "8", "0"]
+    )
+    ours = solvers.deconvolve_3x3(arr, 4, -1, -1, 0.5, 8, 0.0)
+    _exact(ours, ref, "deconv3x3 multigrid")
+
+
+@pytest.mark.parametrize("shape", [(14, 12), (24, 20)])
+def test_solve_poisson_small_exact(shape):
+    # log2(max/8) <= 1: no recursion
+    target = fixtures.shaded(*shape, 42, 11)
+    guess = fixtures.grad(*shape)
+    ref = run_shim("poisson", [target, guess], ["-0.25", "10", "0"])
+    ours = solvers.solve_poisson(guess.copy(), target, -0.25, 10, 0.0)
+    _exact(ours, ref, f"poisson {shape}")
+
+
+def test_solve_poisson_multigrid_exact():
+    # log2(max(56,48)/8) = 2.8 > 1: two V-cycles + recursion
+    target = fixtures.shaded(48, 56, 42, 12)
+    guess = fixtures.grad(48, 56)
+    ref = run_shim("poisson", [target, guess], ["-0.25", "6", "0"])
+    ours = solvers.solve_poisson(guess.copy(), target, -0.25, 6, 0.0)
+    _exact(ours, ref, "poisson multigrid")
+
+
+def test_s_paste_flow_reconstructs():
+    # s-paste semantics (grafix.c:459-463): laplacian of a source, then
+    # solve_poisson reconstructs the source up to the harmonic component
+    # pinned by the initial guess; with guess = source the solve is a
+    # near-fixpoint (residual ~0 under the same k).
+    from ocr_spark.kernels.stencil import laplacian
+
+    src = fixtures.shaded(32, 32, 42, 13)
+    lap = laplacian(src.copy(), -0.25)
+    out = solvers.solve_poisson(src.copy(), lap, -0.25, 40, 0.0)
+    assert np.abs(out[2:-2, 2:-2] - src[2:-2, 2:-2]).max() < 1.0
