@@ -1,0 +1,510 @@
+"""The reference's CLI word language as a plan front-end.
+
+A grafix invocation `grafix PAGE.pnm <words…> w OUT.pnm` is an eager
+RPN program over a 256-slot operand stack of images/vectors
+(grafix.c:88-136, dispatcher grafix.c:159-531). Here the same word
+list compiles to a **per-page program** executed by a little stack
+machine over numpy values — and the corpus dimension stays Spark's:
+`run_words_df` runs the whole program fused inside one Arrow UDF pass
+per page (one JVM→Python crossing for the entire word list, the
+Spark analogue of the C CLI's single process).
+
+Faithfulness notes (each verified against the compiled reference in
+tests/test_grafix_words.py):
+- the token typer replicates `type()` (grafix.c:126-136) including its
+  atof/atoi quirks ("0.0"/"-0" special cases);
+- `con auto` with cached statistics leaves the contrast registers x,y
+  STALE from the previous command (grafix.c:223-237) — the interpreter
+  carries the same registers;
+- `bin auto` multiplies thresholds ≤ 1 by 255 (grafix.c:198);
+- `pop`/`unpop` share the C slot-graveyard semantics (grafix.c:103-119);
+- `odd`/`even` skip words until the matching `even`/`odd`/`all`
+  (grafix.c:315-321, 398-404) based on the page number;
+- CLI `histo*` parses a channel argument then passes 0 (grafix.c:376-381)
+  — on gray pages the reference would dereference a NULL ALPHA channel
+  (latent crash), so like tests/shim.c we read the gray channel and
+  keep the kernel's faithful 0..1 binning quirk (misc.c:95-98).
+
+Values on the stack: a gray page is {"arr": (h,w) float32, "pag": int,
+"ex": float, "sel": mask|None, "alpha": mask|None, "stats": dict|None};
+vectors are 1-D float32 arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from ocr_spark.kernels import dither as kdither
+from ocr_spark.kernels import geometry as kgeo
+from ocr_spark.kernels import pointwise as kpoint
+from ocr_spark.kernels import scale as kscale
+from ocr_spark.kernels import select as ksel
+from ocr_spark.kernels import solvers as ksol
+from ocr_spark.kernels import stats as kstats
+from ocr_spark.kernels import stencil as ksten
+
+F32 = np.float32
+
+
+def token_type(a: str | None) -> str:
+    """grafix.c:126-136."""
+    if not a:
+        return ""
+    if "." in a:
+        if a in ("0.0", "-0.0") or _atof(a) != 0:
+            return "d"
+        return "f"
+    if a in ("0", "-0") or _atoi(a) != 0:
+        return "i"
+    if a == "-":
+        return "-"
+    return "w"
+
+
+def _atof(a: str) -> float:
+    import re
+
+    m = re.match(r"\s*[-+]?(\d+\.?\d*([eE][-+]?\d+)?|\.\d+([eE][-+]?\d+)?)", a or "")
+    return float(m.group(0)) if m else 0.0
+
+
+def _atoi(a: str) -> int:
+    import re
+
+    m = re.match(r"\s*[-+]?\d+", a or "")
+    return int(m.group(0)) if m else 0
+
+
+def page_value(arr: np.ndarray, pag: int = 0, ex: float = 25.0) -> dict:
+    return {
+        "arr": np.asarray(arr, F32).copy(),
+        "pag": int(pag),
+        "ex": float(ex),
+        "sel": None,
+        "alpha": None,
+        "stats": None,
+    }
+
+
+class GrafixMachine:
+    """One page through one word program (grafix.c:159-531)."""
+
+    def __init__(self, extra_images: dict[str, np.ndarray] | None = None):
+        self.extra = extra_images or {}
+        self.slots: list = []  # the C stack array; sp indexes into it
+        self.sp = 0
+        self.x = 0.0  # the C locals x, y — persist across words
+        self.y = 0.0
+        self.default_ex = 25.0
+        self.outputs: dict[str, object] = {}
+
+    # --- stack ops (grafix.c:97-124) ---
+    def push(self, v) -> None:
+        if self.sp < len(self.slots):
+            self.slots[self.sp] = v  # push frees the stale slot
+        else:
+            self.slots.append(v)
+        self.sp += 1
+
+    def pop(self):
+        if self.sp < 1:
+            raise ValueError("Stack underflow")
+        self.sp -= 1
+        return self.slots[self.sp]
+
+    def unpop(self) -> None:
+        self.sp += 1  # restores the stale slot (grafix.c:116-119)
+
+    def swap(self) -> None:
+        if self.sp < 2:
+            raise ValueError("Stack underflow")
+        s = self.slots
+        s[self.sp - 1], s[self.sp - 2] = s[self.sp - 2], s[self.sp - 1]
+
+    def im(self, i: int) -> dict:
+        if self.sp < i:
+            raise ValueError("Missing image")
+        return self.slots[self.sp - i]
+
+    # --- statistics cache (misc.c:265-269) ---
+    def _stats(self, img: dict) -> dict:
+        if img["stats"] is None:
+            img["stats"] = kstats.calc_statistics(img["arr"])
+        return img["stats"]
+
+    def _invalidate(self, img: dict) -> None:
+        img["stats"] = None
+
+    def run(self, words: list[str]) -> dict:
+        i = 0
+        n = len(words)
+        while i < n:
+            w = words[i]
+
+            def need(k: int = 1) -> list[str]:
+                return words[i + 1 : i + 1 + k]
+
+            if w == "-" or w == "all":
+                i += 1
+                continue
+            if w == "quit":
+                break
+            if w in ("odd", "even"):
+                # skip to the matching keyword when parity mismatches
+                pag = self.im(1)["pag"] if self.sp else 0
+                skip = (pag % 2 == 0) if w == "odd" else (pag % 2 == 1)
+                i += 1
+                if skip:
+                    stops = {"even", "all"} if w == "odd" else {"odd", "all"}
+                    while i < n and words[i] not in stops:
+                        i += 1
+                continue
+            if w == "pop":
+                self.pop()
+            elif w == "unpop":
+                self.unpop()
+            elif w == "swap":
+                self.swap()
+            elif w == "copy":
+                src = self.im(1)
+                c = dict(src)
+                c["arr"] = src["arr"].copy()
+                self.push(c)
+            elif w == "alpha":
+                self.im(1)["alpha"] = np.zeros_like(self.im(1)["arr"])
+            elif w == "opaque":
+                self.im(1)["alpha"] = None
+            elif w.startswith("chan"):
+                (a,) = need()
+                i += 1
+                z = _atoi(a)
+                img = self.im(1)
+                chans = {0: img["alpha"], 1: img["arr"], 4: img["sel"]}
+                src = chans.get(z)
+                if src is None:
+                    raise ValueError(f"chan: channel {z} empty")
+                self.push(page_value(src, img["pag"], img["ex"]))
+            elif w == "bg":
+                (a,) = need()
+                i += 1
+                self.push(
+                    page_value(
+                        kstats.background(self.im(1)["arr"], _atof(a)),
+                        self.im(1)["pag"],
+                        self.im(1)["ex"],
+                    )
+                )
+            elif w == "fix-bg":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                bg = kstats.background(img["arr"], _atof(a))
+                img["arr"] = kpoint.divide(img["arr"], bg)
+                self._invalidate(img)
+            elif w == "bin":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                if a == "auto":
+                    self.x = float(self._stats(img)["graythr"])
+                else:
+                    self.x = _atof(a)
+                if not self.x > 1:
+                    self.x *= 255
+                img["arr"] = kpoint.contrast(img["arr"], self.x, self.x)
+                self._invalidate(img)
+            elif w.startswith("con"):
+                img = self.im(1)
+                (a,) = need()
+                i += 1
+                if a == "auto":
+                    # grafix.c:225-230: x,y updated ONLY when stats were
+                    # not cached — otherwise stale registers are used
+                    if img["stats"] is None:
+                        st = self._stats(img)
+                        self.x = float(st["black"])
+                        self.y = float(st["white"])
+                else:
+                    (b,) = need()
+                    i += 1
+                    self.x = _atof(a)
+                    self.y = _atof(b)
+                img["arr"] = kpoint.contrast(img["arr"], self.x, self.y)
+                self._invalidate(img)
+            elif w == "cropx":
+                a, b = need(2)
+                i += 2
+                img = self.im(1)
+                h, wid = img["arr"].shape
+                self.x = _atof(a)
+                if self.x <= 1:
+                    self.x *= wid
+                self.y = _atof(b)
+                if self.y <= 1:
+                    self.y *= wid
+                img["arr"] = kgeo.crop(img["arr"], int(self.x), 0, int(self.y), h)
+                self._invalidate(img)
+            elif w == "cropy":
+                a, b = need(2)
+                i += 2
+                img = self.im(1)
+                h, wid = img["arr"].shape
+                self.x = _atof(a)
+                if self.x <= 1:
+                    self.x *= h
+                self.y = _atof(b)
+                if self.y <= 1:
+                    self.y *= h
+                img["arr"] = kgeo.crop(img["arr"], 0, int(self.x), wid, int(self.y))
+                self._invalidate(img)
+            elif w == "darker":
+                first = True
+                while i + 1 < n and "." in words[i + 1]:
+                    name = words[i + 1]
+                    i += 1
+                    other = self.extra[name]
+                    if first:
+                        self.push(page_value(other))
+                        first = False
+                    else:
+                        img = self.im(1)
+                        img["arr"] = kpoint.darker(img["arr"], np.asarray(other, F32))
+            elif w == "deskew":
+                img = self.im(1)
+                ang = kgeo.detect_skew(img["arr"])
+                img["arr"] = kgeo.skew(img["arr"], ang)
+                self._invalidate(img)
+            elif w == "diff":
+                a2, a1 = self.im(2), self.im(1)
+                a2["arr"] = kpoint.diff(a2["arr"], a1["arr"])
+                self._invalidate(a2)
+                self.pop()
+            elif w.startswith("div"):
+                a2, a1 = self.im(2), self.im(1)
+                a2["arr"] = kpoint.divide(a2["arr"], a1["arr"])
+                self._invalidate(a2)
+                self.pop()
+            elif w == "dither":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                img["arr"] = kdither.floyd_bidir(img["arr"], _atof(a))
+                self._invalidate(img)
+            elif w == "double":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                out = page_value(
+                    kscale.double(img["arr"], _atof(a)), img["pag"], img["ex"] * 2
+                )
+                self.push(out)
+                self.swap()
+                self.pop()
+            elif w == "half":
+                img = self.im(1)
+                out = page_value(kscale.half(img["arr"]), img["pag"], img["ex"])
+                self.push(out)
+                self.swap()
+                self.pop()
+            elif w == "ex":
+                (a,) = need()
+                i += 1
+                self.x = _atof(a)
+                if self.sp:
+                    img = self.im(1)
+                    if self.x < 1:
+                        self.x *= img["arr"].shape[0]
+                    img["ex"] = self.x
+                self.default_ex = self.x
+            elif w == "fill":
+                vals = []
+                for a in need(4):
+                    t = token_type(a)
+                    if t == "i":
+                        vals.append(float(_atoi(a)))
+                    elif t == "d":
+                        vals.append(_atof(a) * 255)
+                    elif t == "-":
+                        vals.append(float("nan"))
+                    else:
+                        raise ValueError("fill: wrong parameter")
+                i += 4
+                img = self.im(1)
+                chans = [img["alpha"], img["arr"], None, None, img["sel"]]
+                out = kpoint.fill_selection(
+                    {"chan": chans, "width": img["arr"].shape[1],
+                     "height": img["arr"].shape[0]},
+                    *vals,
+                )
+                img["alpha"] = out["chan"][0]
+                img["arr"] = out["chan"][1]
+                self._invalidate(img)
+            elif w == "grid":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                h, wid = img["arr"].shape
+                self.x = _atof(a)
+                self.y = self.x
+                if self.x <= 1:
+                    self.x *= wid
+                if self.y <= 1:
+                    self.y *= h
+                img["arr"] = kpoint.draw_grid(img["arr"], int(self.x), int(self.y))
+                self._invalidate(img)
+            elif w.startswith("histo"):
+                need()  # channel arg parsed but ignored (grafix.c:378-379)
+                i += 1
+                self.push(kpoint.histogram(self.im(1)["arr"]))
+            elif w.startswith("lapl"):
+                img = self.im(1)
+                img["arr"] = ksten.laplacian(img["arr"], -0.25, img["alpha"])
+                self._invalidate(img)
+            elif w.startswith("pag"):
+                (a,) = need()
+                i += 1
+                self.im(1)["pag"] = _atoi(a)
+            elif w.startswith("pois"):
+                (a,) = need()
+                i += 1
+                guess, target = self.im(2), self.im(1)
+                guess["arr"] = ksol.solve_poisson(
+                    guess["arr"], target["arr"], -0.25, 0, _atof(a),
+                    target["alpha"],
+                )
+                self._invalidate(guess)
+                self.pop()
+            elif w == "s-paste":
+                top = self.im(1)
+                top["arr"] = ksten.laplacian(top["arr"], -0.25, top["alpha"])
+                guess = self.im(2)
+                guess["arr"] = ksol.solve_poisson(
+                    guess["arr"], top["arr"], -0.25, 0, 0.01, top["alpha"]
+                )
+                self._invalidate(guess)
+                self.pop()
+            elif w.startswith("rect"):
+                args = need(5)
+                i += 5
+                img = self.im(1)
+                h, wid = img["arr"].shape
+                t = []
+                for j, a in enumerate(args):
+                    c = token_type(a)
+                    v = _atof(a)
+                    if c == "d" and j > 0:
+                        v *= wid if j % 2 else h
+                    t.append(v)
+                img["sel"] = ksel.select_rectangle(
+                    img["sel"], img["arr"].shape, t[0],
+                    int(t[1]), int(t[2]), int(t[3]), int(t[4]),
+                )
+            elif w.startswith("rot"):
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                out = page_value(
+                    kgeo.rotate(img["arr"], _atof(a)), img["pag"], img["ex"]
+                )
+                self.push(out)
+                self.swap()
+                self.pop()
+            elif w == "skew":
+                (a,) = need()
+                i += 1
+                img = self.im(1)
+                img["arr"] = kgeo.skew(img["arr"], _atof(a))
+                self._invalidate(img)
+            elif w in ("splitx", "splity"):
+                (a,) = need()
+                i += 1
+                img = self.pop()
+                fn = kgeo.splitx if w == "splitx" else kgeo.splity
+                first, second = fn(img["arr"], _atof(a))
+                # transform.c:69-70: first half gets pag, second pag+1;
+                # C stack order leaves the FIRST half on top
+                self.push(page_value(second, img["pag"] + 1, img["ex"]))
+                self.push(page_value(first, img["pag"], img["ex"]))
+            elif w.startswith("stat"):
+                self._stats(self.im(1))
+            elif w == "test":
+                need()
+                i += 1
+                img = self.im(1)
+                img["arr"] = ksten.convolve_3x3(img["arr"], 4, -1, -1, 0)
+                self._invalidate(img)
+            elif w == "w":
+                (name,) = need()
+                i += 1
+                v = self.pop()
+                self.outputs[name] = (
+                    v["arr"] if isinstance(v, dict) else np.asarray(v)
+                )
+            elif "." in w:  # FILENAME.EXT — load from the extra dict
+                self.push(page_value(self.extra[w]))
+            else:
+                raise ValueError(f"Command not found: {w}")
+            i += 1
+        return self.outputs
+
+
+def run_words(
+    arr: np.ndarray,
+    words: list[str],
+    pag: int = 0,
+    extra_images: dict[str, np.ndarray] | None = None,
+) -> dict:
+    """Run a grafix word program on one page; returns the `w` outputs
+    plus '_top' = the final stack top if any."""
+    m = GrafixMachine(extra_images)
+    m.push(page_value(arr, pag))
+    out = m.run(words)
+    if m.sp:
+        top = m.im(1)
+        out.setdefault("_top", top["arr"] if isinstance(top, dict) else top)
+    return out
+
+
+def run_words_df(df, words: list[str], out_name: str = "out.pnm"):
+    """Corpus-level execution: the whole word program fused in ONE
+    Arrow pass per page (mapInArrow over (img, h, w, pag)).
+
+    The program is compiled once on the driver (closure over `words`);
+    each batch loops pages, full pixel math vectorized per page. At
+    cluster scale this is the CLI semantics at 10^12-page throughput:
+    no shuffle, no extra Python crossings, plan = scan -> UDF -> sink.
+    """
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tb = batch.to_pydict()
+            imgs, hs, ws, pags = [], [], [], []
+            for buf, h, w, pag in zip(tb["img"], tb["h"], tb["w"], tb["pag"]):
+                arr = np.frombuffer(buf, dtype=F32, count=h * w).reshape(h, w)
+                outs = run_words(arr, words, pag)
+                got = outs.get(out_name, outs.get("_top"))
+                got = np.asarray(got, F32)
+                if got.ndim == 1:
+                    got = got.reshape(1, -1)
+                imgs.append(got.tobytes())
+                hs.append(got.shape[0])
+                ws.append(got.shape[1])
+                pags.append(pag)
+            yield pa.RecordBatch.from_pydict(
+                {"img": imgs, "h": hs, "w": ws, "pag": pags},
+                schema=pa.schema(
+                    [
+                        pa.field("img", pa.binary()),
+                        pa.field("h", pa.int32()),
+                        pa.field("w", pa.int32()),
+                        pa.field("pag", pa.int32()),
+                    ]
+                ),
+            )
+
+    return df.select("img", "h", "w", "pag").mapInArrow(
+        run, "img binary, h int, w int, pag int"
+    )

@@ -678,6 +678,24 @@ def px_kernel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query("px_grafix_program")
+def px_grafix_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CLI word language as a fused corpus plan
+    (plans/grafix.py): `fix-bg 8 stat bin auto` over embedded scans,
+    one Arrow pass per page, checksummed per page."""
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.stages import img_to_bytes
+    from ocr_spark.plans.grafix import run_words_df
+
+    arrays = [fixtures.shaded(48, 64, 42, k) for k in range(12)]
+    base = spark.createDataFrame(
+        [(k, img_to_bytes(a), a.shape[0], a.shape[1]) for k, a in enumerate(arrays)],
+        "pag int, img binary, h int, w int",
+    )
+    out = run_words_df(base, ["fix-bg", "8", "stat", "bin", "auto"])
+    return out.select("pag", F.md5("img").alias("img_md5"), "h", "w")
+
+
 @query("px_split_pages")
 def px_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """splitx 1-row->2-rows over double-page scans (transform.c:48-73)."""

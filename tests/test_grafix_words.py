@@ -1,0 +1,172 @@
+"""The CLI word-language front-end (plans/grafix.py) vs the compiled
+reference binary: whole word PROGRAMS, not single kernels — stack
+discipline, control flow, register staleness, and multi-output runs
+all have to line up for these to pass byte-for-byte."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import fixtures, pnm
+from ocr_spark.plans.grafix import GrafixMachine, page_value, run_words, token_type
+from tests.ref_binary import ensure_grafix, run_grafix, to_uint8
+
+pytestmark = pytest.mark.skipif(
+    ensure_grafix() is None, reason="gcc/reference unavailable"
+)
+
+
+def _page(key: int = 1, h: int = 64, w: int = 80) -> np.ndarray:
+    return to_uint8(fixtures.shaded(h, w, 42, key)).astype(np.float32)
+
+
+def _run_ref(page: np.ndarray, words: list[str]) -> np.ndarray:
+    out, _ = run_grafix(pnm.encode_gray(page), words)
+    return pnm.decode_gray(out)
+
+
+def _parity(page: np.ndarray, words: list[str], pag: int = 0) -> None:
+    want = to_uint8(_run_ref(page, words))
+    got = to_uint8(run_words(page, words, pag=pag)["_top"])
+    assert got.shape == want.shape, (words, got.shape, want.shape)
+    ndiff = int((got != want).sum())
+    assert ndiff == 0, f"{words}: {ndiff}/{got.size} px differ"
+
+
+# Programs the REAL binary can complete: `dither` and `sheary` (inside
+# skew/deskew on some inputs) write past their heap buffers in the
+# reference (dithering.c:73-76, transform.c:269-299) and segfault the
+# CLI; those paths are cross-checked kernel-by-kernel through the
+# padded shim (tests/test_c_crosscheck.py) and program-level through
+# machine-vs-kernel composition below.
+PROGRAMS = [
+    ["fix-bg", "8", "bin", "auto"],
+    ["bg", "8", "div"],
+    ["copy", "bg", "6", "div", "diff"],
+    ["con", "50", "200"],
+    ["half", "double", "0.5"],
+    ["cropx", "0.1", "0.9", "cropy", "10", "50"],
+    ["rect", "0.5", "4", "4", "40", "30", "fill", "-", "210", "-", "-"],
+    ["rect", "-1.0", "8", "8", "-8", "-8", "fill", "-", "32", "-", "-"],
+    ["test", "1"],
+    ["grid", "10"],
+    ["stat", "bin", "auto"],
+    ["copy", "bin", "100", "diff"],
+    ["deskew"],
+]
+
+
+@pytest.mark.parametrize("words", PROGRAMS, ids=[" ".join(p) for p in PROGRAMS])
+def test_program_parity(words):
+    _parity(_page(), words)
+
+
+def test_con_auto_stale_register_quirk():
+    # grafix.c:223-237: `stat` caches stats, so a following `con auto`
+    # leaves x,y at whatever the previous command parsed. Program:
+    # cropx 10 70 sets x=10, y=70; stat caches; con auto then applies
+    # contrast(10, 70) — NOT contrast(black, white).
+    words = ["cropx", "10", "70", "stat", "con", "auto"]
+    _parity(_page(2), words)
+
+
+def test_odd_even_control_flow():
+    page = _page(3)
+    # pag 0 (no digits in in.pnm): `odd` skips to all; `even` executes
+    _parity(page, ["odd", "bin", "128", "all", "grid", "16"])
+    _parity(page, ["even", "bin", "128", "all", "grid", "16"])
+
+
+def test_splitx_outputs_both_pages():
+    page = _page(4)
+    # C leaves the FIRST half on top (test also pins pag assignment)
+    ref_first = _run_ref(page, ["splitx", "0.5"])
+    ref_second = _run_ref(page, ["splitx", "0.5", "pop"])
+    m = GrafixMachine()
+    m.push(page_value(page, pag=6))
+    m.run(["splitx", "0.5"])
+    top = m.im(1)
+    below = m.im(2)
+    assert np.array_equal(to_uint8(top["arr"]), to_uint8(ref_first))
+    assert np.array_equal(to_uint8(below["arr"]), to_uint8(ref_second))
+    assert top["pag"] == 6 and below["pag"] == 7
+
+
+def test_pop_unpop_graveyard():
+    page = _page(5)
+    _parity(page, ["copy", "bin", "100", "pop", "unpop"])
+
+
+def test_histogram_vector_output():
+    # The real CLI crashes here: `histo` hardcodes channel 0 = ALPHA
+    # (grafix.c:379) which is NULL on gray pages. Our machine reads the
+    # gray channel (like tests/shim.c) with the kernel's faithful
+    # binning quirk — pin against the kernel.
+    from ocr_spark.kernels import pointwise as kpoint
+
+    page = _page(6)
+    got = run_words(page, ["histo", "1"])["_top"]
+    assert np.array_equal(got, kpoint.histogram(page))
+
+
+def test_machine_composes_like_kernels():
+    # Programs whose reference run segfaults (dither/skew heap UB):
+    # verify the machine applies OUR shim-crosschecked kernels in the
+    # documented order instead.
+    from ocr_spark.kernels import dither as kdither
+    from ocr_spark.kernels import geometry as kgeo
+    from ocr_spark.kernels import pointwise as kpoint
+    from ocr_spark.kernels import stats as kstats
+
+    page = _page(8)
+    got = run_words(page, ["con", "50", "200", "dither", "128"])["_top"]
+    want = kdither.floyd_bidir(kpoint.contrast(page, 50, 200), 128)
+    assert np.array_equal(got, want)
+
+    got = run_words(page, ["skew", "2.5", "rot", "90"])["_top"]
+    want = kgeo.rotate(kgeo.skew(page, 2.5), 90)
+    assert np.array_equal(got, want)
+
+    thr = float(kstats.calc_statistics(page)["graythr"]) * 255
+    got = run_words(page, ["stat", "bin", "auto", "dither", "64"])["_top"]
+    want = kdither.floyd_bidir(kpoint.contrast(page, thr, thr), 64)
+    assert np.array_equal(got, want)
+
+
+def test_s_paste_tolerant():
+    # convergence-controlled (maxerr=0.01): double-sum association may
+    # change the stopping sweep, so compare within 1 gray level.
+    page = _page(7, 48, 48)
+    want = to_uint8(_run_ref(page, ["copy", "s-paste"]))
+    got = to_uint8(run_words(page, ["copy", "s-paste"])["_top"])
+    assert got.shape == want.shape
+    frac_close = float((np.abs(got.astype(int) - want.astype(int)) <= 1).mean())
+    assert frac_close > 0.99, frac_close
+
+
+def test_token_type_matches_c():
+    assert token_type("0.0") == "d"
+    assert token_type("-0.0") == "d"
+    assert token_type("1.5") == "d"
+    assert token_type("a.pnm") == "f"
+    assert token_type("0") == "i"
+    assert token_type("-0") == "i"
+    assert token_type("42") == "i"
+    assert token_type("-") == "-"
+    assert token_type("auto") == "w"
+
+
+def test_spark_fused_execution(spark):
+    from ocr_spark.operators.stages import img_to_bytes
+    from ocr_spark.plans.grafix import run_words_df
+
+    pages = [(k, img_to_bytes(_page(k)), 64, 80) for k in range(6)]
+    df = spark.createDataFrame(pages, "pag int, img binary, h int, w int")
+    words = ["fix-bg", "8", "bin", "auto", "dither", "128"]
+    rows = run_words_df(df, words).collect()
+    assert len(rows) == 6
+    for r in rows:
+        want = run_words(_page(r.pag), words, pag=r.pag)["_top"]
+        got = np.frombuffer(bytes(r.img), np.float32).reshape(r.h, r.w)
+        assert np.array_equal(got, want)
