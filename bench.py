@@ -34,7 +34,10 @@ HEADLINE = [
     "window_running_user_value",
     "events_hourly",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
     "flagship_extract",
 ]
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.dedup import MOD, poly_hash, tokens
+from ocr_spark.operators.dedup import MOD, fast_hash, poly_hash, tokens
 
 # language -> stopword list; keep ASCII-only so ascii() hashing and both
 # engines agree. Priority on ties: the order of this dict.
@@ -69,7 +69,62 @@ def kgram_hashes(text_col: Column, k: int = 8) -> Column:
     """Hashes of all char k-grams of lower(text) (array<long>, in order)."""
     lo = F.lower(text_col)
     idx = F.sequence(F.lit(1), F.length(lo) - (k - 1))
-    return F.transform(idx, lambda i: poly_hash(F.substring(lo, i, k)))
+    return F.transform(idx, lambda i: fast_hash(F.substring(lo, i, k)))
+
+
+def fingerprint_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+):
+    """Per-doc fingerprints at corpus scale:
+    (doc_id, fp_full, fp_min, n_winnow).
+
+    Row-exploded k-gram hashing + window-min winnowing. The array-HOF
+    variant (`winnow_fingerprints`) slices the hash array once per
+    window, which Catalyst inlines into a per-window recompute of the
+    whole k-gram hashing — quadratic per doc. Exploding positions to
+    rows hashes each k-gram exactly once; the winnow min is a frame
+    window (rowsBetween 0..w-1) and the counts are codegen aggregates.
+    One shuffle by doc_id, uniformly distributed.
+    """
+    from pyspark.sql import Window
+
+    lo = docs.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("s")
+    )
+    kg = lo.select(
+        "id",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.length("s") - (k - 1))).alias("i"),
+    ).select(
+        "id", "i", fast_hash(F.expr(f"substring(s, i, {k})")).alias("h")
+    )
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    part = Window.partitionBy("id")
+    kg = kg.select(
+        "id",
+        "i",
+        "h",
+        F.min("h").over(win).alias("wmin"),
+        F.max("i").over(part).alias("maxi"),
+    )
+    grouped = kg.groupBy("id").agg(
+        F.min("h").alias("fp_min"),
+        F.count_distinct(
+            F.when(F.col("i") <= F.col("maxi") - (w - 1), F.col("wmin"))
+        ).alias("n_winnow"),
+    )
+    full = docs.select(
+        F.col(id_col).alias("id"),
+        poly_hash(F.lower(F.col(text_col))).alias("fp_full"),
+    )
+    return full.join(grouped, "id").select(
+        F.col("id").alias(id_col), "fp_full", "fp_min",
+        F.col("n_winnow").cast("bigint").alias("n_winnow"),
+    )
 
 
 def winnow_fingerprints(text_col: Column, k: int = 8, w: int = 4) -> Column:

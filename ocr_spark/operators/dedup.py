@@ -49,12 +49,33 @@ LSH_ROWS = 4
 
 
 def poly_hash(col: Column) -> Column:
-    """Exact polynomial hash of a string column (BIGINT, mod 1e9+7)."""
+    """Exact polynomial hash of a string column (BIGINT, mod 1e9+7).
+
+    Higher-order-function fold — interpreted per char, so use it only
+    where it runs once per row (e.g. whole-document fingerprints).
+    Hot paths (per-shingle / per-token hashing) use fast_hash below.
+    """
     codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * BASE + c) % MOD,
+    )
+
+
+def fast_hash(col: Column) -> Column:
+    """Codegen content hash in [0, MOD): first 15 hex chars of md5 as a
+    BIGINT, mod 1e9+7.
+
+    md5 is a JVM intrinsic inside WholeStageCodegen — ~100x cheaper per
+    call than the interpreted polynomial fold. The DuckDB oracle
+    reproduces it exactly (md5 hex is engine-independent; hex->int is a
+    16-ary fold). At production scale you'd use xxhash64 the same way;
+    md5 is the cross-engine-checkable stand-in.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+        % MOD
     )
 
 
@@ -78,13 +99,49 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 def shingle_hashes(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingle hashes (array<long>), sorted.
 
-    Sorting makes downstream array_intersect deterministic and lets the
-    oracle mirror with list_sort.
+    Array-expression form for small inputs/tests. Corpus-scale pair
+    mining uses shingle_rows: nested HOFs re-evaluate the inlined
+    token-split per lambda element (Catalyst projection collapse), so
+    this form costs O(shingles * |text|) per doc.
     """
     sh = word_shingles(col, n)
     return F.array_sort(
-        F.array_distinct(F.transform(sh, lambda s: poly_hash(s)))
+        F.array_distinct(F.transform(sh, lambda s: fast_hash(s)))
     )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, h) shingle-hash rows, computed with zero HOFs.
+
+    posexplode tokens -> window lead(n-1) to form shingles -> codegen
+    md5 hash -> distinct. One shuffle (by id, uniform); every token is
+    split and hashed exactly once. This is the corpus-scale base for
+    minhash, LSH, and Jaccard verification.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("i", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("i")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    sh = (
+        t.select("id", "i", "tok", *leads)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("s"),
+        )
+    )
+    return sh.select("id", fast_hash(F.col("s")).alias("h")).distinct()
+
+
+def shingle_sets(inv: DataFrame) -> DataFrame:
+    """(id, hs sorted array) from shingle rows — the Jaccard-verify side."""
+    return inv.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
 
 
 def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
@@ -124,15 +181,44 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by exact Jaccard.
 
-    shingle -> hash -> K-min signature -> band buckets -> bucket self-join
-    -> exact-Jaccard verify. Returns (doc_a, doc_b, jaccard).
+    shingle -> hash -> explode -> K min-aggregates -> band buckets ->
+    bucket self-join -> exact-Jaccard verify. Returns
+    (doc_a, doc_b, jaccard).
+
+    WHY exploded aggregation, not array expressions: referencing an
+    array column k times inside higher-order functions makes Catalyst's
+    projection collapse INLINE the producing expression k times — the
+    16-element signature over 16-times-referenced shingle arrays would
+    recompute the shingle hashing ~256x per row (measured: minutes at
+    5k docs). Exploding to (id, h) rows and taking K codegen min()
+    aggregates evaluates the hashing exactly once per shingle and is
+    also the shape that scales: partial map-side mins, one shuffle by
+    id, no skew (hash-distributed keys).
     """
-    base = docs.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col)).alias("hs")
-    ).where(F.size("hs") > 0)
-    sig = base.select("id", "hs", band_keys(minhash_signature(F.col("hs"))).alias("bk"))
+    inv = shingle_rows(docs, id_col, text_col)
+    sig = inv.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(7919 * j)) % F.lit(MOD))
+            .alias(f"s{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
     buckets = sig.select(
-        "id", F.posexplode("bk").alias("band", "key")
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"s{b * LSH_ROWS + r}").cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
     )
     cand = (
         buckets.alias("a")
@@ -145,7 +231,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    sets = base.select(F.col("id"), F.col("hs"))
+    sets = shingle_sets(inv)
     verified = (
         cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
@@ -164,42 +250,51 @@ def jaccard_ngram_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_df: int = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard dedup via an inverted-index candidate join.
+    """Exact n-gram Jaccard dedup via a prefix-filtered inverted-index
+    join.
 
-    Explode distinct shingle hashes, drop shingles with document
-    frequency > max_df (stop-shingles would otherwise drive the self-join
-    quadratic — the classic skew defusal for inverted-index joins), then
-    self-join on shingle to form candidates and verify exact Jaccard on
-    the full shingle sets.
+    Prefix filtering (the ppjoin bound): J(A,B) >= 0.5 implies
+    |A∩B| >= |A|/2, so any qualifying pair shares an element within
+    each side's first floor(n/2)+1 hashes in the global hash order.
+    Indexing only prefixes keeps exact recall at threshold 0.5 while
+    cutting the self-join's index (and its worst-case pair blow-up)
+    ~4x; hash order also decorrelates the prefix from shingle
+    frequency, so no stop-shingle ever dominates a posting list.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col)).alias("hs")
-    ).where(F.size("hs") > 0)
-    inv = base.select("id", F.explode("hs").alias("h"))
-    rare = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= max_df
+    from pyspark.sql import Window
+
+    inv = shingle_rows(docs, id_col, text_col)
+    byid = Window.partitionBy("id")
+    pre = (
+        inv.select(
+            "id",
+            "h",
+            F.row_number().over(byid.orderBy("h")).alias("r"),
+            F.count(F.lit(1)).over(byid).alias("nsh"),
+        )
+        .where(F.col("r") <= F.floor(F.col("nsh") / 2) + 1)
+        .select("id", "h")
     )
-    inv = inv.join(F.broadcast(rare.select("h")), "h")
     cand = (
-        inv.alias("a")
+        pre.alias("a")
         .join(
-            inv.alias("b"),
+            pre.alias("b"),
             (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    sets = shingle_sets(inv)
     return (
-        cand.join(base.alias("sa"), F.col("doc_a") == F.col("sa.id"))
-        .join(base.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs"))).alias(
-                "n_shared"
-            ),
+            F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+            .cast("bigint")
+            .alias("n_shared"),
             F.round(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -214,11 +309,12 @@ def simhash(text_col: Column) -> Column:
     """24-bit SimHash over token polynomial hashes (BIGINT column).
 
     bit_i = 1 iff sum over tokens of (+1 if bit_i(h(token)) else -1) > 0.
-    24 bits is the oracle-parity demo width (the polynomial hash yields
-    30 usable bits); the production variant is the same expression over
-    xxhash64 at 64 bits.
+    24 bits is the oracle-parity demo width (fast_hash yields 30 usable
+    bits); the production variant is the same expression over xxhash64
+    at 64 bits. Array-expression form — for corpus-scale pair mining
+    use simhash_pairs, which aggregates exploded rows instead.
     """
-    hs = F.transform(tokens(text_col), lambda t: poly_hash(t))
+    hs = F.transform(tokens(text_col), lambda t: fast_hash(t))
     bits = [
         F.when(
             F.aggregate(
@@ -250,8 +346,28 @@ def simhash_pairs(
     least one exact band (pigeonhole), so the bucket join on
     (band, bits) has no false negatives. Returns (doc_a, doc_b,
     hamming).
+
+    Same exploded-aggregation shape as minhash_lsh_pairs (see its
+    docstring): token hashes explode to rows and the 24 bit-votes are
+    codegen sum() aggregates — one hash eval per token, not 24.
     """
-    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("id", fast_hash(F.col("tok")).alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h") / F.lit(p)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i, p in enumerate(_POW2)
+        ]
+    )
+    sh_expr = None
+    for i, p in enumerate(_POW2):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(p)).otherwise(0)
+        sh_expr = term if sh_expr is None else (sh_expr + term)
+    sh = votes.select("id", sh_expr.cast("long").alias("sh"))
     nibbles = sh.select(
         "id",
         "sh",

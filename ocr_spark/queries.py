@@ -726,6 +726,16 @@ def _duck_polyhash(s: str) -> str:
     )
 
 
+def _duck_md5hash(s: str) -> str:
+    """Mirror of operators/dedup.fast_hash: int(md5_hex[:15], 16) % MOD."""
+    return (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({s}), 1, 15), ''), "
+        "hc -> CAST(strpos('0123456789abcdef', hc) - 1 AS BIGINT))), "
+        "(hacc, hv) -> hacc*16 + hv) % 1000000007)"
+    )
+
+
 _DUCK_SHINGLES = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
@@ -733,7 +743,7 @@ _DUCK_SHINGLES = f"""
              list_sort(list_distinct(list_transform(
                list_transform(generate_series(1, len(t)-2),
                               i -> array_to_string(t[i:i+2], ' ')),
-               s -> {_duck_polyhash('s')}))) AS hs
+               s -> {_duck_md5hash('s')}))) AS hs
       FROM toks
     )
 """
@@ -784,12 +794,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_ngram",
     f"""
     WITH {_DUCK_SHINGLES},
-    inv AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-    rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= 100),
-    inv2 AS (SELECT inv.doc_id, inv.h FROM inv JOIN rare USING (h)),
+    pre AS (SELECT doc_id, unnest(hs[1 : len(hs)//2 + 1]) AS h FROM sh),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, n_shared, jaccard FROM (
       SELECT doc_a, doc_b,
@@ -821,7 +829,7 @@ def _duck_simhash_bits() -> str:
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    th AS (SELECT doc_id, list_transform(t, w -> {_duck_polyhash('w')}) AS hsv
+    th AS (SELECT doc_id, list_transform(t, w -> {_duck_md5hash('w')}) AS hsv
            FROM toks),
     shh AS (SELECT doc_id, CAST({_duck_simhash_bits()} AS BIGINT) AS sh FROM th),
     nib AS (
@@ -936,7 +944,7 @@ ORACLE["doc_lang_id"] = _duck_lang_sql()
     WITH lo AS (SELECT doc_id, lower(text) AS s FROM documents),
     kg AS (SELECT doc_id, s,
                   list_transform(generate_series(1, len(s) - 7),
-                                 i -> {_duck_polyhash('s[i:i+7]')}) AS hs
+                                 i -> {_duck_md5hash('s[i:i+7]')}) AS hs
            FROM lo),
     win AS (SELECT doc_id, s, hs,
                    list_transform(generate_series(1, len(hs) - 3),
@@ -950,20 +958,11 @@ ORACLE["doc_lang_id"] = _duck_lang_sql()
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-8-gram rolling-hash fingerprints + winnowing set size."""
-    from ocr_spark.functions.text_analysis import (
-        kgram_hashes,
-        winnow_fingerprints,
-    )
-    from ocr_spark.operators.dedup import poly_hash
+    """Char-8-gram rolling-hash fingerprints + winnowing set size
+    (row-exploded + window-min; see fingerprint_stats docstring)."""
+    from ocr_spark.functions.text_analysis import fingerprint_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        poly_hash(F.lower(F.col("text"))).alias("fp_full"),
-        F.array_min(kgram_hashes(F.col("text"))).alias("fp_min"),
-        F.size(winnow_fingerprints(F.col("text"))).cast("bigint").alias("n_winnow"),
-    )
+    return fingerprint_stats(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
