@@ -1030,3 +1030,130 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ann_lsh_topk"] = _duck_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# relational coverage, round 2: as-of join, cube, grouping sets, intersect
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_click_before_error",
+    """
+    WITH c AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.click_value
+    FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent click at or before each error, per user).
+
+    Spark lacks a native ASOF join; the scalable pattern is
+    union-tag-and-carry: union both sides, one window per user ordered
+    by event time, carry the last click with ignorenulls. ONE shuffle
+    by user_id total — vs the naive join+max-per-error which shuffles
+    the full pair blow-up. DuckDB's native ASOF JOIN is the oracle.
+    """
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+        .select(
+            "user_id", "ts", "click_value",
+            F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("kind"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = clicks.unionByName(errors).select(
+        "*",
+        F.last("click_value", ignorenulls=True).over(w).alias("cv"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("cts"),
+    )
+    return (
+        tagged.where((F.col("kind") == 1) & F.col("cv").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+            F.date_format("cts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.col("cv").alias("click_value"),
+        )
+    )
+
+
+@query(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims: Spark expands grouping sets map-side, still
+    one shuffle (Expand -> partial agg -> exchange -> final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views = __import__(
+        "ocr_spark.sources.tables", fromlist=["register_views"]
+    ).register_views
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "intersect_active_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1997'
+    """,
+)
+def intersect_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers ordering in both 1996 and 1997."""
+    o = load_table(spark, sf_dir, "orders")
+    y = lambda yy: o.where(  # noqa: E731
+        F.date_format("o_orderdate", "yyyy") == yy
+    ).select("o_custkey")
+    return y("1996").intersect(y("1997"))
