@@ -47,7 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("OCR_SPARK_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
