@@ -1,0 +1,152 @@
+"""Property tests (hypothesis): algebraic invariants of the kernel
+library, independent of the C cross-checks (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.kernels import dither, geometry, pointwise, scale, stats
+
+F32 = np.float32
+
+
+def _img(seed: int, h: int, w: int, integral: bool = False) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 255, size=(h, w)).astype(F32)
+    return np.round(a).astype(F32) if integral else a
+
+
+dims = st.tuples(st.integers(8, 48), st.integers(8, 48))
+seeds = st.integers(0, 2**31 - 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_rot90_four_times_identity(seed, hw):
+    a = _img(seed, *hw)
+    out = a
+    for _ in range(4):
+        out = geometry.rotate_90(out, 90)
+    assert np.array_equal(out, a)
+    assert np.array_equal(
+        geometry.rotate_90(geometry.rotate_90(a, 90), 270), a
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_crop_composition(seed, hw):
+    h, w = (max(hw[0], 16), max(hw[1], 16))
+    a = _img(seed, h, w)
+    once = geometry.crop(a, 2, 3, w - 2, h - 3)
+    twice = geometry.crop(once, 1, 1, once.shape[1] - 1, once.shape[0] - 1)
+    direct = geometry.crop(a, 3, 4, w - 3, h - 4)
+    assert np.array_equal(twice, direct)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_diff_then_patch_identity(seed, hw):
+    # diff: a-b+128; patch: a+b-128 — exact on integer-valued float32
+    a = _img(seed, *hw, integral=True)
+    b = _img(seed + 1, *hw, integral=True)
+    d = pointwise.diff(a.copy(), b)
+    back = pointwise.patch(d, b)
+    assert np.array_equal(back, a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_contrast_clamps_to_range(seed, hw):
+    a = _img(seed, *hw)
+    out = pointwise.contrast(a, 60.0, 180.0)
+    assert out.min() >= 0 and out.max() <= 255
+    # monotone: increasing input never decreases output
+    flat = np.sort(a.ravel())
+    mono = pointwise.contrast(flat.reshape(1, -1), 60.0, 180.0)[0]
+    assert (np.diff(mono) >= 0).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_half_shape_contract(seed, hw):
+    # scale.c:10: out = (in + 2 - in%2) / 2 per axis
+    h, w = hw
+    a = _img(seed, h, w)
+    out = scale.half(a)
+    assert out.shape == ((h + 2 - h % 2) // 2, (w + 2 - w % 2) // 2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, st.integers(6, 24), st.integers(6, 24), st.booleans(), st.booleans())
+def test_redouble_shape_contract(seed, h, w, oddx, oddy):
+    # scale.c:124: out = in*2 - 2 + odd per axis
+    a = _img(seed, h, w)
+    out = scale.redouble(a, int(oddx), int(oddy))
+    assert out.shape == (h * 2 - 2 + int(oddy), w * 2 - 2 + int(oddx))
+
+
+@settings(max_examples=15, deadline=None)
+@given(seeds, st.integers(16, 40), st.integers(16, 40), st.sampled_from([32.0, 64.0, 128.0]))
+def test_dither_preserves_mean(seed, h, w, step):
+    # error diffusion conserves mass up to edge spill (the reference
+    # diffuses error past the border, dithering.c:73-76)
+    a = _img(seed, h, w)
+    out = dither.floyd_bidir(a, step)
+    assert abs(float(out.mean()) - float(a.mean())) < step / 2
+    # output is quantized to multiples of step (within float32)
+    q = out / step
+    assert np.allclose(q, np.round(q), atol=1e-3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, dims)
+def test_background_dominates_input(seed, hw):
+    # decaying max-propagation never drops below the (rounded) input
+    a = _img(seed, *hw)
+    bg = stats.background(a, 8.0)
+    assert (bg >= np.floor(a) - 0.5).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(seeds, st.integers(10, 60), st.integers(10, 60), st.floats(0.2, 0.8))
+def test_split_partitions_the_page(seed, h, w, frac):
+    a = _img(seed, h, w)
+    left, right = geometry.splitx(a, float(F32(frac)))
+    assert left.shape[0] == right.shape[0] == h
+    assert left.shape[1] + right.shape[1] == w
+    assert np.array_equal(np.concatenate([left, right], axis=1), a)
+    top, bot = geometry.splity(a, float(F32(frac)))
+    assert np.array_equal(np.concatenate([top, bot], axis=0), a)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seeds)
+def test_deskew_recovers_small_skew(seed):
+    from ocr_spark.kernels import fixtures
+
+    page = fixtures.glyphs(96, 128)
+    theta = float(F32((seed % 40 - 20) / 10.0))  # [-2.0, 2.0)
+    skewed = geometry.skew(page, theta)
+    detected = geometry.detect_skew(skewed)
+    # detect_skew returns the corrective angle: applying it restores.
+    # The reference's bracketing search (transform.c:185-195) starts at
+    # +-w/10 displacement, so sub-degree angles resolve coarsely — the
+    # kernel itself is bit-identical to the C (test_c_crosscheck); this
+    # property pins the search's practical accuracy envelope.
+    assert abs(detected + theta) < 1.0, (theta, detected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(min_size=0, max_size=64))
+def test_hashes_in_range(s):
+    import duckdb
+
+    from ocr_spark.operators.dedup import MOD
+
+    # mirror of the engine-side arithmetic, checked against DuckDB's md5
+    h = int(duckdb.sql(f"SELECT substr(md5(?),1,15)", params=[s]).fetchone()[0], 16) % MOD
+    assert 0 <= h < MOD
