@@ -172,6 +172,21 @@ class GrafixMachine:
                 c = dict(src)
                 c["arr"] = src["arr"].copy()
                 self.push(c)
+            elif w == "image":  # DEPTH WIDTH HEIGHT (grafix.c:383-392)
+                _d, wid, hei = (int(_atoi(a)) for a in need(3))
+                i += 3
+                self.push(page_value(np.zeros((hei, wid), F32)))
+            elif w == "clone":  # DEPTH WIDTH HEIGHT (grafix.c:212-221)
+                _d, wid, hei = (int(_atoi(a)) for a in need(3))
+                i += 3
+                src = self.im(1)
+                shape = (
+                    hei or src["arr"].shape[0],
+                    wid or src["arr"].shape[1],
+                )
+                self.push(
+                    page_value(np.zeros(shape, F32), src["pag"], src["ex"])
+                )
             elif w == "alpha":
                 self.im(1)["alpha"] = np.zeros_like(self.im(1)["arr"])
             elif w == "opaque":
@@ -439,9 +454,14 @@ class GrafixMachine:
                 (name,) = need()
                 i += 1
                 v = self.pop()
-                self.outputs[name] = (
-                    v["arr"] if isinstance(v, dict) else np.asarray(v)
-                )
+                if isinstance(v, dict):
+                    # grafix.c:513: sprintf(name, arg, pag) — %d in the
+                    # filename is instantiated with the page number
+                    if "%" in name:
+                        name = name % v["pag"]
+                    self.outputs[name] = v["arr"]
+                else:
+                    self.outputs[name] = np.asarray(v)
             elif "." in w:  # FILENAME.EXT — load from the extra dict
                 self.push(page_value(self.extra[w]))
             else:

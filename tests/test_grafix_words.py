@@ -170,3 +170,18 @@ def test_spark_fused_execution(spark):
         want = run_words(_page(r.pag), words, pag=r.pag)["_top"]
         got = np.frombuffer(bytes(r.img), np.float32).reshape(r.h, r.w)
         assert np.array_equal(got, want)
+
+
+def test_image_clone_and_w_pag_formatting():
+    page = _page(9)
+    m = GrafixMachine()
+    m.push(page_value(page, pag=7))
+    m.run(["image", "1", "10", "8", "pop"])
+    m.run(["clone", "0", "0", "0"])
+    top = m.im(1)
+    assert top["arr"].shape == page.shape and (top["arr"] == 0).all()
+    assert top["pag"] == 7
+    m.run(["pop"])
+    # w with %d formats the filename with the page number (grafix.c:513)
+    out = run_words(page, ["bin", "128", "w", "out-%d.pnm"], pag=12)
+    assert "out-12.pnm" in out
