@@ -87,9 +87,11 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
     pages = spark.read.parquet(corpus_path)
     _noop_sink(with_main_text(pages).select("url", "extracted"))  # warm
-    t0 = time.perf_counter()
-    _noop_sink(with_main_text(pages).select("url", "extracted"))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _noop_sink(with_main_text(pages).select("url", "extracted"))
+        dt = min(dt, time.perf_counter() - t0)
     timings["corpus_extract"] = round(dt, 3)
     docs_per_sec = round(N_PAGES / dt, 1)
 

@@ -1157,3 +1157,38 @@ def intersect_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy") == yy
     ).select("o_custkey")
     return y("1996").intersect(y("1997"))
+
+
+@query(
+    "pdf_extract",
+    """
+    SELECT doc_id, text AS extracted FROM documents
+    """,
+)
+def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF parse path (north_rule): documents -> real uncompressed
+    PDF-1.4 binaries (writer UDF) -> text extraction (parser UDF) ->
+    byte-identical text per doc. Two Arrow stages over a binary column;
+    swap the parser body for pdfium and the plumbing is unchanged."""
+    import pandas as pd
+
+    from ocr_spark.functions.pdf_extract import extract_pdf_df, make_pdf
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_pdf(batches):
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+                ]
+                blobs.append(make_pdf([lines]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pdf": blobs})
+
+    pdfs = d.mapInPandas(to_pdf, "doc_id long, pdf binary")
+    out = extract_pdf_df(pdfs)
+    return out.select(
+        "doc_id", F.regexp_replace("extracted", "\n", " ").alias("extracted")
+    )

@@ -1,0 +1,80 @@
+"""PDF writer/parser roundtrip + the Spark extraction stage."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ocr_spark.functions.pdf_extract import (
+    extract_pdf_df,
+    extract_pdf_text,
+    make_pdf,
+)
+
+
+def test_roundtrip_multipage_lines():
+    pages = [["hello world", "second line"], ["page two only"]]
+    buf = make_pdf(pages)
+    assert buf.startswith(b"%PDF-1.4")
+    assert extract_pdf_text(buf) == "hello world\nsecond line\npage two only"
+
+
+def test_escapes_and_octal():
+    tricky = ["paren (x) and \\ backslash", "tab\tand (nested (deep))"]
+    buf = make_pdf([tricky])
+    assert extract_pdf_text(buf) == "\n".join(tricky)
+    # octal escape parsing
+    raw = buf.replace(b"(paren", b"(\\160aren")  # \160 = 'p'
+    assert extract_pdf_text(raw).startswith("paren (x)")
+
+
+def test_xref_offsets_are_correct():
+    buf = make_pdf([["abc"]])
+    # every xref entry must point at "N 0 obj"
+    m = re.search(rb"xref\n0 (\d+)\n", buf)
+    n = int(m.group(1))
+    entries = re.findall(rb"(\d{10}) 00000 n", buf)
+    assert len(entries) == n - 1
+    for i, off in enumerate(entries, start=1):
+        at = int(off)
+        assert buf[at:].startswith(b"%d 0 obj" % i), i
+
+
+def test_compressed_stream_raises_documented_stub():
+    buf = make_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    with pytest.raises(NotImplementedError, match="FlateDecode"):
+        extract_pdf_text(buf)
+
+
+def test_tj_array_operator():
+    # hand-built stream using TJ with kerning numbers
+    buf = make_pdf([["placeholder"]])
+    stream = b"BT /F1 12 Tf 72 720 Td [(ab) -120 (cd)] TJ ET"
+    buf = re.sub(
+        rb"stream\r?\n.*?\r?\nendstream",
+        b"stream\n" + stream + b"\nendstream",
+        buf,
+        count=1,
+        flags=re.S,
+    )
+    assert extract_pdf_text(buf) == "abcd"
+
+
+def test_spark_pdf_extraction_roundtrip(spark):
+    rows = [(i, f"doc {i} body words here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import pandas as pd
+
+    def to_pdf(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pdf": [make_pdf([[t]]) for t in pdf["text"]],
+                }
+            )
+
+    pdfs = df.mapInPandas(to_pdf, "doc_id long, pdf binary")
+    out = {r.doc_id: r.extracted for r in extract_pdf_df(pdfs).collect()}
+    assert out == {i: t for i, t in rows}
