@@ -95,6 +95,20 @@ def main() -> None:
     timings["corpus_extract"] = round(dt, 3)
     docs_per_sec = round(N_PAGES / dt, 1)
 
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        scaling = {
+            "efficiency_N_to_4N": s.get("value"),
+            "n_cores": s.get("n_cores"),
+            "n4_cores": s.get("n4_cores"),
+            "docs_per_sec_N": s.get("low", {}).get("docs_per_sec"),
+            "docs_per_sec_4N": s.get("high", {}).get("docs_per_sec"),
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -107,6 +121,7 @@ def main() -> None:
                 "extraction_docs_per_sec": docs_per_sec,
                 "extraction_pages": N_PAGES,
                 "cpus": CPUS,
+                "scaling": scaling,
             }
         )
     )

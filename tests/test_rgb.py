@@ -1,0 +1,57 @@
+"""Multi-channel (RGB / P6) parity: the reference applies pointwise ops
+to channels 1..3; our dict-level kernels must match through a full
+P6 read -> op -> write cycle against the real binary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import fixtures, pnm
+from ocr_spark.kernels import pointwise as kpoint
+from tests.ref_binary import ensure_grafix, run_grafix, to_uint8
+
+
+pytestmark = pytest.mark.skipif(
+    ensure_grafix() is None, reason="gcc/reference unavailable"
+)
+
+
+def _rgb_img(seed: int = 42, h: int = 24, w: int = 32) -> dict:
+    rng = np.random.default_rng(seed)
+    chans = [None] * 5
+    for z in (1, 2, 3):
+        chans[z] = np.round(
+            rng.uniform(0, 255, size=(h, w))
+        ).astype(np.float32)
+    return {"chan": chans, "width": w, "height": h}
+
+
+def test_p6_roundtrip_exact():
+    img = _rgb_img()
+    back = pnm.decode(pnm.encode(img))
+    for z in (1, 2, 3):
+        assert np.array_equal(back["chan"][z], img["chan"][z])
+    assert back["chan"][0] is None
+
+
+def test_rgb_contrast_matches_reference():
+    img = _rgb_img(7)
+    out, _ = run_grafix(pnm.encode(img), ["con", "60", "190"])
+    ref = pnm.decode(out)
+    ours = kpoint.apply_gray_channels(img, kpoint.contrast, 60.0, 190.0)
+    for z in (1, 2, 3):
+        assert np.array_equal(
+            to_uint8(ours["chan"][z]), to_uint8(ref["chan"][z])
+        ), f"channel {z}"
+
+
+def test_rgb_fill_selection_whole_image():
+    img = _rgb_img(9)
+    out, _ = run_grafix(pnm.encode(img), ["fill", "-", "10", "20", "30"])
+    ref = pnm.decode(out)
+    ours = kpoint.fill_selection(img, float("nan"), 10, 20, 30)
+    for z in (1, 2, 3):
+        assert np.array_equal(
+            to_uint8(ours["chan"][z]), to_uint8(ref["chan"][z])
+        ), f"channel {z}"
