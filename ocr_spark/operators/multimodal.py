@@ -131,17 +131,23 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("mean", DoubleType()),
         StructField("std", DoubleType()),
         StructField("p_dark", DoubleType()),
+        StructField("error", StringType()),
     ]
 )
 
 
-def image_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+def image_features(
+    df: DataFrame, payload_col: str = "media", permissive: bool = True
+) -> DataFrame:
     """Decode PNM payloads and emit per-image features.
 
     Batch shape: each pandas batch holds <= session Arrow-row-cap rows;
     the loop is over images in the batch (table rows), all pixel math
     vectorized — the 'no per-row Python' contract refers to table rows
     staying on the Arrow path, which they do.
+
+    permissive=True: corrupt payloads yield NULL features + an error
+    string (dead-letter channel) instead of failing the stage.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,17 +156,26 @@ def image_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             for url, payload, kind in zip(
                 pdf["url"], pdf[payload_col], pdf["kind"]
             ):
-                img = decode_image(bytes(payload), kind)
-                rows.append(
-                    (
-                        url,
-                        img.shape[1],
-                        img.shape[0],
-                        float(img.mean()),
-                        float(img.std()),
-                        float((img < 128).mean()),
+                try:
+                    img = decode_image(bytes(payload), kind)
+                    rows.append(
+                        (
+                            url,
+                            img.shape[1],
+                            img.shape[0],
+                            float(img.mean()),
+                            float(img.std()),
+                            float((img < 128).mean()),
+                            None,
+                        )
                     )
-                )
+                except Exception as exc:  # noqa: BLE001 — dead-letter
+                    if not permissive:
+                        raise
+                    rows.append(
+                        (url, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )

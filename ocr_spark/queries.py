@@ -1192,3 +1192,46 @@ def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.regexp_replace("extracted", "\n", " ").alias("extracted")
     )
+
+
+@query(
+    "doc_sample_stable",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_duck_md5hash('text')} % 100 < 10
+    """,
+)
+def doc_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (10%): the training-data
+    pipeline primitive — the same document lands in the same split on
+    every run and on every cluster (unlike rand()-based sampling), so
+    held-out sets stay held out across reprocessing."""
+    from ocr_spark.operators.dedup import fast_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(fast_hash(F.col("text")) % 100 < 10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "doc_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+|[.,!?;:]')) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer proxy: word runs + punctuation as separate
+    tokens (regexp_extract_all, JVM-side). The real BPE merge table
+    would be a broadcast map over exactly this pre-tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("bigint").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), 0)).cast("bigint").alias("n_punct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[.,!?;:]"), 0)).cast("bigint").alias("n_tokens"),
+    )

@@ -75,3 +75,16 @@ def test_audio_stub_contract(spark, media):
         mm.decode_audio(b"\x00\x01", "wav")
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_image(b"\xff\xd8", "jpeg")
+
+
+def test_image_features_permissive_dead_letter(spark, media):
+    from pyspark.sql import functions as F
+
+    imgs = media.where(F.col("kind") == "pnm").limit(2)
+    bad = imgs.limit(1).withColumn("media", F.lit(b"garbage"))
+    mixed = imgs.unionByName(bad)
+    rows = mm.image_features(mixed).collect()
+    errs = [r for r in rows if r.error is not None]
+    oks = [r for r in rows if r.error is None]
+    assert len(errs) == 1 and len(oks) == 2
+    assert errs[0].mean is None

@@ -78,3 +78,19 @@ def test_spark_pdf_extraction_roundtrip(spark):
     pdfs = df.mapInPandas(to_pdf, "doc_id long, pdf binary")
     out = {r.doc_id: r.extracted for r in extract_pdf_df(pdfs).collect()}
     assert out == {i: t for i, t in rows}
+
+
+def test_permissive_mode_dead_letters_corrupt_rows(spark):
+    import pandas as pd
+
+    good = make_pdf([["fine document"]])
+    rows = [(0, good), (1, b"NOT A PDF AT ALL"), (2, good)]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    out = {r.doc_id: r for r in extract_pdf_df(df).collect()}
+    assert out[0].extracted == "fine document" and out[0].error is None
+    assert out[1].extracted is None and "ValueError" in out[1].error
+    assert out[2].extracted == "fine document"
+    # fail-fast mode raises through the stage
+    strict = extract_pdf_df(df, permissive=False)
+    with pytest.raises(Exception):
+        strict.collect()
