@@ -141,6 +141,140 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _update_sessions(key, pdfs, state: GroupState):
+    """Gap-based sessionization: emit a session whenever a >30min gap
+    closes it; keep the open tail in state. Event-time driven, so the
+    logic is identical replayed from batch or streamed live."""
+    import pandas as pd
+
+    rows = []
+    for pdf in pdfs:
+        rows.append(pdf[["ts", "value"]])
+    if not rows:
+        if state.hasTimedOut and state.exists:
+            s0, s1, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [_fmt_us(s0)],
+                    "session_end": [_fmt_us(s1)],
+                    "n_events": [n],
+                    "total_value": [round(tot, 2)],
+                }
+            )
+        return
+    ev = pd.concat(rows).sort_values("ts")
+    # pandas datetime64[ns] -> microseconds since epoch
+    us = (ev["ts"].astype("int64") // 1000).tolist()
+    vals = ev["value"].tolist()
+    out = []
+    if state.exists:
+        s0, s1, n, tot = state.get
+    else:
+        s0 = s1 = None
+    for t, v in zip(us, vals):
+        if s0 is None:
+            s0, s1, n, tot = t, t, 0, 0.0
+        elif t - s1 > _GAP_US:
+            out.append((key[0], _fmt_us(s0), _fmt_us(s1), n, round(tot, 2)))
+            s0, s1, n, tot = t, t, 0, 0.0
+        s1 = t
+        n += 1
+        tot += float(v)
+    state.update((s0, s1, n, tot))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "total_value",
+            ],
+        )
+
+
+def _fmt_us(us: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessions per user via applyInPandasWithState.
+
+    Emits CLOSED sessions (a later event arrived past the 30-min gap);
+    the open session per user stays in the state store. At scale the
+    state is partitioned by user_id — nothing accumulates centrally.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch reference implementation of the same session semantics
+    (closed sessions only) via window functions — the parity oracle for
+    the stateful streaming operator."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.lag(us).over(w)
+    marked = events.select(
+        "user_id", "ts", "value",
+        F.when(
+            gap.isNull() | (us - gap > gap_minutes * 60 * 1_000_000),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "sess_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("_end_ts"),
+    )
+    # closed = not the user's last session
+    w2 = Window.partitionBy("user_id")
+    return (
+        agg.withColumn("_max_end", F.max("_end_ts").over(w2))
+        .where(F.col("_end_ts") < F.col("_max_end"))
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
     """Drain a streaming frame into an in-memory table (tests/debug)."""
     return (

@@ -111,3 +111,27 @@ def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
         .collect()
     }
     assert {r.user_id: (r.n, r.tv) for r in got} == want
+
+
+def test_sessionization_stream_matches_batch(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ev3"))
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 30
+    ).cache()
+    events.write.mode("append").parquet(src)
+
+    sessions = sp.sessionize(sp.events_stream(spark, src))
+    q = sp.run_to_memory(sessions, "sessions_stream", output_mode="append")
+    _await(q)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in sp.sessionize_batch(events).collect()
+    }
+    assert got == want
+    assert len(got) > 20  # non-trivial session structure
