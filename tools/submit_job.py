@@ -1,0 +1,38 @@
+"""Standalone extraction job for spark-submit (north_star deployment
+shape: `spark-submit --py-files ocr_spark.zip tools/submit_job.py ...`).
+
+Args: SRC_PARQUET OUT_DIR [N_SHARDS]
+
+Runs the checkpointed extraction (operators/checkpoint.py) over a pages
+parquet directory — the exact entry point a cluster cron would invoke;
+re-running after an interruption resumes from the manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    src, out = sys.argv[1], sys.argv[2]
+    n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    spark = SparkSession.builder.appName("ocr-spark-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ocr_spark.operators.checkpoint import checkpointed_run, verify_complete
+
+    pages = spark.read.parquet(src)
+    summary = checkpointed_run(
+        spark, pages, out, run_id="submit", n_shards=n_shards,
+        shards_per_wave=max(4, n_shards // 4),
+    )
+    missing = verify_complete(spark, pages, out)
+    print(json.dumps({**summary, "missing_urls": missing}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
