@@ -27,7 +27,6 @@ double as the throughput telemetry the north rule asks for.
 
 from __future__ import annotations
 
-import os
 import time
 from datetime import datetime, timezone
 
@@ -35,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.pipeline import extract_pages
+from ocr_spark.sources.catalog import get_catalog
 
 N_SHARDS = 64
 
@@ -44,12 +44,10 @@ def shard_col(n_shards: int = N_SHARDS) -> F.Column:
 
 
 def completed_shards(spark: SparkSession, out_dir: str) -> set[int]:
-    man_dir = os.path.join(out_dir, "manifests")
-    if not os.path.exists(man_dir):
+    cat = get_catalog(spark, out_dir)
+    if not cat.exists("manifests"):
         return set()
-    rows = (
-        spark.read.parquet(man_dir).select("shard").distinct().collect()
-    )
+    rows = cat.read("manifests").select("shard").distinct().collect()
     return {r.shard for r in rows}
 
 
@@ -76,9 +74,7 @@ def checkpointed_run(
     extractor = extractor or (
         lambda df: extract_pages(df, with_scan_features=False)
     )
-    data_dir = os.path.join(out_dir, "data")
-    man_dir = os.path.join(out_dir, "manifests")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cat = get_catalog(spark, out_dir)
 
     done = completed_shards(spark, out_dir)
     todo = [s for s in range(n_shards) if s not in done]
@@ -98,7 +94,7 @@ def checkpointed_run(
         )
         out.persist()
         try:
-            out.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+            cat.overwrite_partitions(out, "data", ["shard"])
             wall_ms = (time.perf_counter() - t0) * 1000.0
             man = (
                 out.groupBy("shard")
@@ -119,7 +115,7 @@ def checkpointed_run(
                     F.lit(datetime.now(timezone.utc).isoformat()),
                 )
             )
-            man.write.mode("append").parquet(man_dir)
+            cat.append(man, "manifests")
         finally:
             out.unpersist()
         processed.extend(shards)
@@ -132,7 +128,7 @@ def checkpointed_run(
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+    return get_catalog(spark, out_dir).read("data")
 
 
 def verify_complete(

@@ -1235,3 +1235,43 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[.,!?;:]"), 0)).cast("bigint").alias("n_punct_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[.,!?;:]"), 0)).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "knn_classify",
+    f"""
+    WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             ROUND({_duck_cosine('v.e', 'q.qe')}, 6) AS cos
+      FROM v CROSS JOIN q WHERE v.vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 15
+    )
+    SELECT label, COUNT(*) AS votes, ROUND(MAX(cos), 6) AS best_cos
+    FROM scored GROUP BY label
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote for a query vector: exact top-15 by cosine then a
+    per-label tally — the brute tier of an embedding classifier (the
+    IVF/LSH tiers in operators/ann.py prune the same scan at scale)."""
+    from ocr_spark.operators.dedup import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    top = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(15)
+    )
+    return top.groupBy("label").agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.round(F.max("cos"), 6).alias("best_cos"),
+    )
