@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.dedup import MOD, fast_hash, poly_hash, tokens
+from ocr_spark.operators.dedup import MOD, fast_hash, poly_hash, round_det, tokens
 
 # language -> stopword list; keep ASCII-only so ascii() hashing and both
 # engines agree. Priority on ties: the order of this dict.
@@ -46,7 +46,7 @@ def lang_scores(text_col: Column) -> dict[str, Column]:
         hits = F.size(
             F.filter(t, lambda w: w.isin(*words))  # noqa: B023 — bound per iter
         )
-        out[lang] = F.round(hits.cast("double") / F.size(t), 4)
+        out[lang] = round_det(hits.cast("double") / F.size(t), 4)
     return out
 
 

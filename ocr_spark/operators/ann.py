@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.dedup import cosine
+from ocr_spark.operators.dedup import cosine, round_det
 
 SKETCH_PLANES = 8
 
@@ -129,7 +129,7 @@ def ivf_topk(
         .select(
             F.col("id").alias("vec_id"),
             "cell",
-            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
+            round_det(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
@@ -170,7 +170,7 @@ def lsh_bucket_topk(
         .select(
             F.col("id").alias("vec_id"),
             "hamming",
-            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
+            round_det(cosine(F.col("e"), F.col("qe")), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

@@ -173,6 +173,18 @@ def _jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
 
 
+def round_det(col: Column, digits: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — deterministic cross-engine rounding.
+
+    Spark ROUND applies HALF_UP to the double's shortest decimal
+    representation; DuckDB rounds the raw double — they disagree on
+    exact .5 grid points (hit often by rationals like k/n). This form
+    is plain IEEE ops, identical on both engines.
+    """
+    p = 10 ** digits
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -238,7 +250,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
+            round_det(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -295,7 +307,7 @@ def jaccard_ngram_pairs(
             F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
             .cast("bigint")
             .alias("n_shared"),
-            F.round(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
+            round_det(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -453,7 +465,7 @@ def cosine_neardup_pairs(
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
-            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos"),
+            round_det(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

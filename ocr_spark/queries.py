@@ -348,8 +348,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_stopword_ratio",
     f"""
     SELECT doc_id,
-           ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
-                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+           FLOOR(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS stop_ratio
     FROM documents
     """,
 )
@@ -357,8 +358,9 @@ def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    ratio = hits / F.size(toks).cast("double")
     return d.select(
-        "doc_id", F.round(hits / F.size(toks).cast("double"), 4).alias("stop_ratio")
+        "doc_id", (F.floor(ratio * 10000 + 0.5) / 10000).alias("stop_ratio")
     )
 
 
@@ -366,9 +368,10 @@ def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_score",
     f"""
     SELECT doc_id,
-           ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.7
-                 + (len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
-                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 4) AS quality
+           FLOOR((LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.7
+                  + (len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3)
+                 * 10000 + 0.5) / 10000 AS quality
     FROM documents
     """,
 )
@@ -379,7 +382,12 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     quality = F.least(F.lit(1.0), n / F.lit(100.0)) * 0.7 + (hits / n.cast("double")) * 0.3
-    return d.select("doc_id", F.round(quality, 4).alias("quality"))
+    # floor(x*1e4+0.5)/1e4 instead of ROUND: Spark rounds the shortest
+    # decimal repr HALF_UP while DuckDB rounds the raw double — they
+    # disagree on exact .xxxx5 values; the explicit floor form is the
+    # same IEEE ops on both engines, so results are bit-identical.
+    quality = F.floor(quality * 10000 + 0.5) / 10000
+    return d.select("doc_id", quality.alias("quality"))
 
 
 @query(
@@ -749,8 +757,9 @@ _DUCK_SHINGLES = f"""
 """
 
 _DUCK_JACCARD = (
-    "ROUND(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
-    " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 4)"
+    "(FLOOR(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+    " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+    " * 10000 + 0.5) / 10000)"
 )
 
 
@@ -881,7 +890,7 @@ def _duck_cosine(a: str, b: str) -> str:
     WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
     SELECT vec_a, vec_b, cos FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND({_duck_cosine('a.e', 'b.e')}, 6) AS cos
+             FLOOR({_duck_cosine('a.e', 'b.e')} * 1000000 + 0.5) / 1000000 AS cos
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
     WHERE cos >= 0.4
     """,
@@ -901,9 +910,9 @@ def _duck_lang_sql() -> str:
     from ocr_spark.functions.text_analysis import STOPWORDS
 
     score_cols = ", ".join(
-        "ROUND(CAST(len(list_filter(t, w -> w IN ("
+        "(FLOOR(CAST(len(list_filter(t, w -> w IN ("
         + ", ".join(f"'{w}'" for w in words)
-        + "))) AS DOUBLE) / len(t), 4) AS s_" + lang
+        + "))) AS DOUBLE) / len(t) * 10000 + 0.5) / 10000) AS s_" + lang
         for lang, words in STOPWORDS.items()
     )
     langs = list(STOPWORDS)
@@ -989,7 +998,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM cents c CROSS JOIN q
              ORDER BY sim DESC, cent_id ASC LIMIT 3))
     SELECT p.id AS vec_id, p.cell AS cell,
-           ROUND({_duck_cosine('p.e', 'q.qe')}, 6) AS cos
+           FLOOR({_duck_cosine('p.e', 'q.qe')} * 1000000 + 0.5) / 1000000 AS cos
     FROM assigned p JOIN qc ON p.cell = qc.cell CROSS JOIN q
     WHERE p.id <> 0
     ORDER BY cos DESC, vec_id ASC LIMIT 10
@@ -1014,7 +1023,7 @@ def _duck_lsh_sql() -> str:
     SELECT vec_id, hamming, cos FROM (
       SELECT v.id AS vec_id,
              CAST(bit_count(xor(v.sk, q.qsk)) AS INTEGER) AS hamming,
-             ROUND({_duck_cosine('v.e', 'q.qe')}, 6) AS cos
+             FLOOR({_duck_cosine('v.e', 'q.qe')} * 1000000 + 0.5) / 1000000 AS cos
       FROM v CROSS JOIN q WHERE v.id <> 0)
     WHERE hamming <= 1
     ORDER BY cos DESC, vec_id ASC LIMIT 10
@@ -1244,11 +1253,11 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     scored AS (
       SELECT v.vec_id, v.label,
-             ROUND({_duck_cosine('v.e', 'q.qe')}, 6) AS cos
+             FLOOR({_duck_cosine('v.e', 'q.qe')} * 1000000 + 0.5) / 1000000 AS cos
       FROM v CROSS JOIN q WHERE v.vec_id <> 0
       ORDER BY cos DESC, vec_id ASC LIMIT 15
     )
-    SELECT label, COUNT(*) AS votes, ROUND(MAX(cos), 6) AS best_cos
+    SELECT label, COUNT(*) AS votes, MAX(cos) AS best_cos
     FROM scored GROUP BY label
     """,
 )
@@ -1257,6 +1266,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label tally — the brute tier of an embedding classifier (the
     IVF/LSH tiers in operators/ann.py prune the same scan at scale)."""
     from ocr_spark.operators.dedup import cosine
+    from ocr_spark.operators.dedup import round_det as _round_det
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
@@ -1266,12 +1276,12 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+            _round_det(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(15)
     )
     return top.groupBy("label").agg(
         F.count(F.lit(1)).alias("votes"),
-        F.round(F.max("cos"), 6).alias("best_cos"),
+        F.max("cos").alias("best_cos"),
     )
