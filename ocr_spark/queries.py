@@ -1285,3 +1285,115 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("votes"),
         F.max("cos").alias("best_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage, round 3: outer/semi/anti joins, subquery, percentile
+# ---------------------------------------------------------------------------
+
+@query(
+    "left_outer_customer_orders",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (COUNT skips nulls)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND strftime(o.o_orderdate, '%Y') = '2001')
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no 2001 orders (left_anti = NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.date_format("o_orderdate", "yyyy") == "2001"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "semi_join_parts_ordered",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def semi_join_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts that appear in at least one lineitem."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a filter (Spark SQL form, same as the oracle)."""
+    register_views = __import__(
+        "ocr_spark.sources.tables", fromlist=["register_views"]
+    ).register_views
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "percentiles_order_value",
+    """
+    SELECT o_orderstatus,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group; Spark percentile()
+    and DuckDB quantile_cont share linear-interpolation semantics."""
+    from ocr_spark.operators.dedup import round_det
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        round_det(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        round_det(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
