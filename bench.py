@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "doc_fingerprint",
     "flagship_extract",
+    "pipeline_training_corpus",
 ]
 
 

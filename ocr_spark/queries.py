@@ -1397,3 +1397,84 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
         round_det(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone: the composed training-data pipeline as ONE oracled query
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_training_corpus",
+    f"""
+    WITH extracted AS (
+      SELECT doc_id, text AS extracted FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, extracted,
+             FLOOR((LEAST(1.0, len(string_split(extracted, ' ')) / 100.0) * 0.7
+                    + (len(list_filter(string_split(extracted, ' '),
+                           x -> x IN ('the','a','of','and','to','in','is')))
+                       / CAST(len(string_split(extracted, ' ')) AS DOUBLE)) * 0.3)
+                   * 10000 + 0.5) / 10000 AS quality
+      FROM extracted
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.3),
+    deduped AS (
+      SELECT doc_id, extracted, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(extracted) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT doc_id, quality,
+           len(string_split(extracted, ' ')) AS n_tokens
+    FROM deduped
+    WHERE {_duck_md5hash('extracted')} % 100 < 80
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline, end to end in one lazy plan:
+
+    pages -> DOM-density extraction (Arrow UDF) -> quality score (JVM
+    exprs) -> quality gate -> exact dedup keep-lowest-id (window over
+    content hash) -> deterministic 80% train split (content-hash
+    sampling) -> (doc_id, quality, n_tokens).
+
+    Every stage after the UDF is codegen; the only shuffles are the
+    dedup window (by content hash, uniform) — the shape this engine
+    exists to run at 10^12 docs. The oracle replays every step in SQL,
+    including the extraction invariant (extracted == documents.text).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import fast_hash, round_det
+
+    pages = documents_as_pages(load_table(spark, sf_dir, "documents"))
+    ex = with_main_text(pages).select("doc_id", "extracted")
+    toks = F.split(F.col("extracted"), " ")
+    n = F.size(toks)
+    hits = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"))
+    )
+    quality = round_det(
+        F.least(F.lit(1.0), n / F.lit(100.0)) * 0.7
+        + (hits / n.cast("double")) * 0.3,
+        4,
+    )
+    scored = ex.select("doc_id", "extracted", quality.alias("quality"))
+    kept = scored.where(F.col("quality") >= 0.3)
+    w = Window.partitionBy(F.md5(F.col("extracted").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        deduped.where(fast_hash(F.col("extracted")) % 100 < 80)
+        .select(
+            "doc_id",
+            "quality",
+            F.size(F.split(F.col("extracted"), " ")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+    )
