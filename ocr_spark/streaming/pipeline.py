@@ -275,6 +275,21 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(pages: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash
+    wins, across micro-batches (state-store backed dropDuplicates).
+
+    The dedup key is md5(text) — content, not url, so re-crawled
+    duplicates under different urls are suppressed too. Unbounded state
+    by design here; production bounds it with
+    ``dropDuplicatesWithinWatermark`` once a crawl-recency horizon
+    exists.
+    """
+    return pages.withColumn(
+        "text_hash", F.md5(F.col("text").cast("binary"))
+    ).dropDuplicates(["text_hash"])
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
     """Drain a streaming frame into an in-memory table (tests/debug)."""
     return (

@@ -135,3 +135,37 @@ def test_sessionization_stream_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) > 20  # non-trivial session structure
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dedup_stream")
+    src, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    pages = pages_df(spark, 30, seed=42, embed_scan=False).cache()
+
+    def drain():
+        q = (
+            sp.dedup_stream(sp.pages_stream(spark, src))
+            .select("url", "text_hash")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        _await(q)
+
+    # batch 1: all 30 pages
+    pages.write.mode("append").parquet(src)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == pages.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+
+    # batch 2: the SAME pages re-crawled under new urls -> all suppressed
+    pages.withColumn("url", F.concat(F.col("url"), F.lit("?recrawl"))).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == n1  # state remembered batch 1
