@@ -1478,3 +1478,63 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction + aggregation
+    (get_json_object is JVM-side; no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "doc_gopher_filters",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN (n_chars - len(string_split(text, ' ')) + 1)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN len(regexp_extract_all(text, '[^a-z0-9 .]'))
+                     / CAST(n_chars AS DOUBLE) < 0.1
+                THEN 1 ELSE 0 END AS ok_symbol_ratio
+    FROM documents
+    """,
+)
+def doc_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates as flags: word-count bounds, mean
+    word length bounds, symbol ratio cap — the standard pre-training
+    filter battery, all codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks)
+    mean_wl = (F.col("n_chars") - nw + 1) / nw.cast("double")
+    sym = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 .]"), 0))
+    return d.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        F.when((nw >= 10) & (nw <= 1000), 1).otherwise(0).alias("ok_word_count"),
+        F.when((mean_wl >= 3) & (mean_wl <= 10), 1)
+        .otherwise(0)
+        .alias("ok_mean_word_len"),
+        F.when(sym / F.col("n_chars").cast("double") < 0.1, 1)
+        .otherwise(0)
+        .alias("ok_symbol_ratio"),
+    )
