@@ -72,6 +72,11 @@ def documents_as_pages(df: DataFrame) -> DataFrame:
     codegen, no Python), so the only Python crossing in the flagship
     query is the extraction UDF itself.
     """
+    # a single-file documents table would otherwise become ONE split and
+    # serialize the downstream UDF onto one core; spread rows before the
+    # page synthesis (uniform key — no skew)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, "doc_id")
     url = F.concat(
         F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
         F.lit(".example/d"), F.col("doc_id").cast("string"),

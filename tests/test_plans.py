@@ -54,11 +54,16 @@ def test_extraction_pipeline_is_shuffle_free(spark):
 
 
 def test_flagship_query_no_rowwise_python(spark):
+    import re
+
     from ocr_spark.queries import QUERIES
 
     plan = _plan(QUERIES["flagship_extract"](spark, SF))
     assert "BatchEvalPython" not in plan
-    assert "Exchange" not in plan
+    # exactly ONE exchange: the input-spreading repartition that keeps a
+    # single-file documents table from serializing the UDF onto one core
+    # (documents_as_pages); everything downstream stays narrow
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
 
 
 def test_dedup_family_all_jvm(spark):
