@@ -1,0 +1,44 @@
+"""Bucketed tables: co-located joins without a runtime shuffle.
+
+At 100 TB the fact-fact join (lineitem x orders on orderkey) is the
+dominant shuffle. Bucketing both tables by the join key at WRITE time
+(`bucketBy(n, key).sortBy(key)`) moves that shuffle into ingestion:
+readers see matching hash-distributions, so Catalyst plans a
+SortMergeJoin with NO Exchange on either side — repeated joins pay the
+partitioning once instead of per query.
+
+Rules that make this work (and that the test pins):
+- both sides bucketed by the same key into the same bucket count;
+- spark.sql.sources.bucketing.enabled on (default);
+- the join key must be the bucket key (no expressions on top).
+
+Parquet+metastore tables (saveAsTable) carry the bucket spec; on
+Iceberg the same contract is `PARTITIONED BY (bucket(n, key))`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key_l: str, key_r: str
+) -> DataFrame:
+    l = spark.table(left_table)
+    r = spark.table(right_table)
+    return l.join(r, l[key_l] == r[key_r])

@@ -1,0 +1,74 @@
+"""Bucketed co-located join: no Exchange on either side of the join."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.bucketed import bucketed_join, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(o, "b_orders", "o_orderkey", 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey"
+        )
+        plan = _plan(j.select("l_orderkey", "o_totalprice"))
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_unbucketed_join_shuffles_both_sides(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_result_matches_plain(spark, bucketed):
+    j = bucketed_join(
+        spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey"
+    )
+    got = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]
+    )
+    assert (got.n, got.s) == (want.n, want.s)
