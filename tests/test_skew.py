@@ -1,0 +1,45 @@
+"""AQE skew-join splitting: the runtime half of the skew-defusal story
+(the compile-time half — salted repartition for UDF stages — is pinned
+in test_spark_extract.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# tuned down so the skew detector fires on test-sized data; production
+# uses the defaults (256 MiB threshold / factor 5)
+_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "8",
+}
+
+
+def test_aqe_splits_skewed_join(spark):
+    old = {k: spark.conf.get(k, None) for k in _CONFS}
+    for k, v in _CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # 98% of the left side lands on key 1 -> one hot shuffle partition
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 100 < 98, 1).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        # correctness: hot key joins fully, tail keys survive
+        assert len(rows) == 294040
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
