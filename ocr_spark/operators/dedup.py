@@ -469,3 +469,61 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pair edges: (id, cluster)
+    where cluster = min id reachable — the canonical-keeper assignment
+    that turns pair mining into actual deduplication.
+
+    Pregel-lite min-label propagation: each iteration joins labels
+    across edges and takes the min; converges in O(diameter) rounds
+    (checked per round, early exit). Near-dup graphs are unions of
+    small cliques, so 2-3 rounds in practice; each round is one
+    shuffle on uniformly-hashed ids. At 10^12 scale this is the
+    standard large-star/small-star shape; the loop stays on the driver
+    but touches only counts, never rows.
+    """
+    e = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.u == labels.id)
+            .select(F.col("v").alias("id"), F.col("cluster"))
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        new_labels = (
+            labels.select("id", F.col("cluster").alias("old"))
+            .join(prop.select("id", F.col("cluster").alias("new")), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce(F.col("new"), F.col("old"))).alias(
+                    "cluster"
+                ),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1538,3 +1538,56 @@ def doc_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ok_symbol_ratio"),
     )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, hs,
+             list_transform(generate_series(0, 15), j ->
+               list_aggregate(list_transform(hs,
+                 h -> ((2*j+1)*h + 7919*j) % 1000000007), 'min')) AS sig
+      FROM sh WHERE len(hs) > 0
+    ),
+    buckets AS (
+      SELECT doc_id, bb.band AS band,
+             array_to_string(list_transform(sig[bb.band*4+1 : bb.band*4+4],
+                                            v -> CAST(v AS VARCHAR)), ':') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, {_DUCK_JACCARD} AS jaccard
+        FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                  JOIN sh y ON cand.doc_b = y.doc_id)
+      WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, cluster) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.cluster FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id AS doc_id, MIN(cluster) AS cluster
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster=min reachable id). Oracle: recursive CTE closure."""
+    from ocr_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )

@@ -179,3 +179,15 @@ def test_cosine_expression_matches_numpy(spark, vecs):
         .c
     )
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    # component {1,2,3,4} as a chain, component {10,11}, pair (20,21)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
