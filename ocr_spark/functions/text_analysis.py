@@ -13,12 +13,15 @@ deterministic contract the oracle mirrors. A production n-gram model is
 the same shape (score per language -> argmax), just with a bigger
 broadcast table of n-gram weights.
 
-Fingerprinting: k-gram polynomial rolling hash (same exact-BIGINT fold
-as operators/dedup.poly_hash, cite: reference uses no hashing at all —
-this family is the training-data-pipeline extension layer). ``fp_min``
-is a 1-permutation MinHash of the char k-gram set; ``fp_full`` hashes
-the whole text. Winnowing (window-min selection) reduces to a windowed
-min over ``kgram_hashes`` and is provided as ``winnow_fingerprints``.
+Fingerprinting: char k-grams hashed with operators/dedup.fast_hash
+(codegen md5 path; the reference uses no hashing at all — this family
+is the training-data-pipeline extension layer). ``fp_min`` is a
+1-permutation MinHash of the char k-gram set; ``fp_full`` hashes the
+whole text with the polynomial rolling-hash fold (poly_hash — one
+evaluation per row, where the interpreted fold is fine). Winnowing
+(window-min selection) is ``fingerprint_stats`` at corpus scale
+(row-exploded + frame windows) and ``winnow_fingerprints`` as the
+small-input array form.
 """
 
 from __future__ import annotations

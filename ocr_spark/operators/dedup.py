@@ -8,28 +8,32 @@ driver.
 
 Cross-engine-exact hashing
 --------------------------
-The DuckDB oracle must reproduce every hash bit, so the content hash is a
-polynomial fold over ASCII codes in exact BIGINT arithmetic:
+The DuckDB oracle must reproduce every hash bit. Two hashes, both in
+[0, 1e9+7):
 
-    h(s) = fold(codes(s), 0, (acc, c) -> (acc*131 + c) mod 1_000_000_007)
-
-acc < 1e9+7 and 131*acc + c < 2^63, so the fold never overflows and both
-engines produce identical values. At production scale you would swap this
-for ``xxhash64`` (one JVM intrinsic call instead of an O(len) fold); the
-polynomial form is the oracle-parity variant and every query below takes
-the hash as an injected expression so the swap is one line.
+- ``fast_hash`` (the hot path): first 15 hex chars of md5 as a BIGINT
+  mod 1e9+7 — a JVM codegen intrinsic on the Spark side, a 16-ary
+  hex fold on the DuckDB side. Production swaps in ``xxhash64`` the
+  same way; md5 is the cross-engine-checkable stand-in.
+- ``poly_hash`` (cold path, once-per-row uses): an exact BIGINT
+  polynomial fold over ASCII codes — interpreted per char, kept for
+  the rolling-hash fingerprint heritage (fp_full).
 
 Scale notes (10^12 docs)
 ------------------------
-- MinHash/LSH: the only shuffles are the band-bucket self-join and the
-  final pair-verify join, both on uniformly-distributed hash keys (no
-  host skew survives hashing). Band buckets with pathological fan-out
-  (a shingle shared by millions of docs) are capped via a per-bucket
-  count filter before the self-join — same trick as the inverted-index
-  join below.
+- All pair-mining dataflows are EXPLODED-ROW + codegen-aggregate
+  shaped (see minhash_lsh_pairs docstring for the measured
+  projection-collapse blow-up that nested array HOFs cause).
+- MinHash/LSH shuffles only on uniformly-distributed hash keys (no
+  host skew survives hashing); the Jaccard inverted-index join uses
+  ppjoin prefix filtering (exact recall at the 0.5 threshold), and
+  hash-sorted prefixes decorrelate posting lists from shingle
+  frequency so no stop-shingle explodes.
 - The candidate self-joins emit (small_id, big_id) ordered pairs, so
   dedup of the pair space is a by-product of the join condition, not a
   distinct over the cross product.
+- ``connected_components`` turns pairs into canonical-keeper clusters
+  (min-label propagation, O(diameter) rounds).
 """
 
 from __future__ import annotations
