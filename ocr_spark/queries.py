@@ -1591,3 +1591,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster"
     )
+
+
+def _duck_md5hash64(s: str) -> str:
+    """Full-width (60-bit) md5-derived BIGINT — the HLL hash."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({s}), 1, 15), ''), "
+        "hc -> CAST(strpos('0123456789abcdef', hc) - 1 AS BIGINT))), "
+        "(hacc, hv) -> hacc*16 + hv)"
+    )
+
+
+@query(
+    "hll_user_sketch",
+    f"""
+    WITH h AS (
+      SELECT {_duck_md5hash64('CAST(user_id AS VARCHAR)')} AS h64
+      FROM events
+    ),
+    parts AS (SELECT h64 % 64 AS bucket, h64 // 64 AS w FROM h)
+    SELECT bucket,
+           MAX(CASE WHEN w = 0 THEN 55
+                    ELSE 55 - length(bin(w)) END) AS max_rho
+    FROM parts GROUP BY bucket
+    """,
+)
+def hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sketch operator: a deterministic HyperLogLog.
+
+    64 registers over a 60-bit md5-derived hash; the rank (leading-zero
+    count of the 54-bit suffix) is extracted via the binary-string
+    length — integer ops only, so the DuckDB oracle reproduces every
+    register bit-for-bit (most sketches can't be oracle-checked because
+    their hashes are engine-private; this one can). Registers mergeable
+    by MAX — the distributed-combine property that makes HLL the
+    standard cardinality sketch at 10^12 scale. The estimate derived
+    from these registers is tested against exact distinct in pytest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h64 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    parts = ev.select(
+        (h64 % 64).alias("bucket"), (h64 / F.lit(64)).cast("long").alias("w")
+    )
+    rho = F.when(F.col("w") == 0, 55).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("w")))
+    )
+    return parts.groupBy("bucket").agg(
+        F.max(rho).cast("bigint").alias("max_rho")
+    )

@@ -1,0 +1,61 @@
+"""HLL sketch: register parity is oracle-checked (queries.py); here the
+estimate derived from the registers must track exact cardinality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _estimate(registers: dict[int, int], m: int = 64) -> float:
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    e = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    from ocr_spark.queries import QUERIES
+
+    regs = {
+        r.bucket: r.max_rho for r in QUERIES["hll_user_sketch"](spark, SF).collect()
+    }
+    exact = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    est = _estimate(regs)
+    assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
+def test_hll_registers_merge_by_max(spark):
+    # mergeability: sketch(A ∪ B) == elementwise-max(sketch(A), sketch(B))
+    from ocr_spark.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    full = {r.bucket: r.max_rho for r in QUERIES["hll_user_sketch"](spark, SF).collect()}
+
+    def sketch(df):
+        h64 = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+            16, 10,
+        ).cast("long")
+        parts = df.select((h64 % 64).alias("bucket"), (h64 / 64).cast("long").alias("w"))
+        rho = F.when(F.col("w") == 0, 55).otherwise(F.lit(55) - F.length(F.bin("w")))
+        return {
+            r.bucket: r.mr
+            for r in parts.groupBy("bucket").agg(F.max(rho).alias("mr")).collect()
+        }
+
+    a = sketch(ev.where(F.col("event_id") % 2 == 0))
+    b = sketch(ev.where(F.col("event_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full
