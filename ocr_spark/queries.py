@@ -1644,3 +1644,53 @@ def hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.groupBy("bucket").agg(
         F.max(rho).cast("bigint").alias("max_rho")
     )
+
+
+@query(
+    "cms_token_sketch",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT rr.r AS row,
+             ({_duck_md5hash64("CAST(rr.r AS VARCHAR) || ':' || tok")}) % 128 AS col
+      FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr
+    )
+    SELECT row, col, COUNT(*) AS cnt
+    FROM hashed GROUP BY row, col
+    """,
+)
+def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: 4 rows x 128 counters.
+
+    Row-salted md5 hashing (integer-exact, oracle-mirrored bit-for-bit
+    like hll_user_sketch). Counters are additive, so the sketch merges
+    across partitions/streams by SUM — point-frequency estimates are
+    min over rows, always >= truth (tested). The heavy-hitter primitive
+    for token/host frequency at corpus scale without a giant exact
+    group-by.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows = toks.crossJoin(
+        spark.createDataFrame([(r,) for r in range(4)], "row int")
+    )
+    h64 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row").cast("string"), F.lit(":"), F.col("tok")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        rows.select("row", (h64 % 128).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

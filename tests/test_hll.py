@@ -59,3 +59,45 @@ def test_hll_registers_merge_by_max(spark):
     b = sketch(ev.where(F.col("event_id") % 2 == 1))
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == full
+
+
+def test_cms_point_estimates_dominate_truth(spark):
+    # CMS guarantee: est(token) = min over rows of counter >= true count
+    import hashlib
+
+    from ocr_spark.queries import QUERIES
+
+    cms = {
+        (r.row, r.col): r.cnt
+        for r in QUERIES["cms_token_sketch"](spark, SF).collect()
+    }
+    truth = {
+        r.tok: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(20)
+        .collect()
+    }
+
+    def est(tok: str) -> int:
+        vals = []
+        for r in range(4):
+            h = int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:15], 16)
+            vals.append(cms.get((r, h % 128), 0))
+        return min(vals)
+
+    total = sum(
+        r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for tok, n in truth.items():
+        e = est(tok)
+        assert e >= n, (tok, e, n)           # never underestimates
+        assert e - n <= total * 2 / 128 * 4  # CMS error bound (loose)
