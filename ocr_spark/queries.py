@@ -667,6 +667,16 @@ def px_kernel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("deconvolve_3x3", (4.0, -1.0, -1.0, 0.0, 8, 0.0)),
         ("s_paste", (-0.25, 20)),
         ("fill_rect", (0.5, 8, 8, 32, 28, 200.0)),
+        ("contrast", (60.0, 190.0)),
+        ("quantize", (4.0,)),
+        ("background", (8.0,)),
+        ("draw_grid", (10, 10)),
+        ("redouble", (1, 0)),
+        ("half_x", ()),
+        ("half_y", ()),
+        ("shearx", (0.05,)),
+        ("sheary", (0.05,)),
+        ("deskew", ()),
     ]
     outs = []
     for name, params in battery:

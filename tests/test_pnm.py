@@ -62,3 +62,26 @@ def test_header_comments_and_whitespace():
 def test_maxval_must_be_255():
     with pytest.raises(ValueError):
         pnm.decode(b"P5\n2 2\n65535\n" + bytes(8))
+
+
+def test_decoder_rejects_garbage_cleanly():
+    """Malformed payloads raise promptly (no hangs, no wrong-shape
+    arrays) — the contract the permissive dead-letter paths rely on."""
+    import numpy as np
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.kernels import pnm
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def fuzz(buf):
+        try:
+            out = pnm.decode(buf)
+        except Exception:
+            return  # clean rejection
+        # if it decoded, the result must be structurally sane
+        assert out["width"] > 0 and out["height"] > 0
+
+    fuzz()
