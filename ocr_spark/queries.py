@@ -1704,3 +1704,20 @@ def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query("px_darker_fold")
+def px_darker_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary darker fold (CLI `darker F1 F2...`, grafix.c:273-281):
+    pixelwise min across each group of scans via applyInPandas — the
+    UDAF shape for page-stack compositing."""
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.stages import darker_fold, img_to_bytes
+
+    arrays = [
+        (k % 4, img_to_bytes(fixtures.shaded(32, 48, 42, k)), 32, 48)
+        for k in range(16)
+    ]
+    base = spark.createDataFrame(arrays, "key int, img binary, h int, w int")
+    out = darker_fold(base, "key")
+    return out.select("key", F.md5("img").alias("img_md5"), "h", "w")
