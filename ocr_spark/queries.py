@@ -1721,3 +1721,39 @@ def px_darker_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.createDataFrame(arrays, "key int, img binary, h int, w int")
     out = darker_fold(base, "key")
     return out.select("key", F.md5("img").alias("img_md5"), "h", "w")
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           FLOOR(list_aggregate(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE))), 'max') * 10000 + 0.5) / 10000
+             AS scale,
+           list_transform(embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE)
+                  / list_aggregate(list_transform(embedding,
+                        vv -> abs(CAST(vv AS DOUBLE))), 'max')
+                  * 127 + 0.5) AS INTEGER)) AS q
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (q = floor(v/amax*127+.5),
+    scale = amax): 4x storage cut for ANN candidate scans; dequantized
+    recall is pinned in pytest. All JVM expressions; the floor form
+    keeps Spark and DuckDB bit-identical (see operators/dedup.round_det).
+    """
+    from ocr_spark.operators.dedup import round_det
+
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") / amax * 127 + F.lit(0.5)).cast("int"),
+    )
+    return e.select(
+        "vec_id", round_det(amax, 4).alias("scale"), q.alias("q")
+    )

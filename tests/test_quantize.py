@@ -1,0 +1,41 @@
+"""int8 embedding quantization: reconstruction error + ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_quantization_roundtrip_and_recall(spark):
+    from ocr_spark.queries import QUERIES
+
+    qrows = {r.vec_id: r for r in QUERIES["embedding_quantize_int8"](spark, SF).collect()}
+    full = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    # reconstruction: |v - q*scale/127| <= scale/127 (half-step bound + rounding slack)
+    for vid, v in list(full.items())[:50]:
+        r = qrows[vid]
+        deq = np.array(r.q, dtype=np.float64) * r.scale / 127.0
+        assert np.abs(deq - v).max() <= r.scale / 127.0 + 1e-4
+        assert max(abs(x) for x in r.q) <= 127
+
+    # ANN recall: top-10 by dequantized cosine overlaps >= 8/10 with full
+    def topk(vecs: dict, qid: int = 0, k: int = 10):
+        qv = vecs[qid]
+        sims = {
+            i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for i, v in vecs.items()
+            if i != qid
+        }
+        return [i for i, _ in sorted(sims.items(), key=lambda kv: -kv[1])[:k]]
+
+    deq_all = {
+        vid: np.array(qrows[vid].q, dtype=np.float64) * qrows[vid].scale / 127.0
+        for vid in full
+    }
+    overlap = len(set(topk(full)) & set(topk(deq_all)))
+    assert overlap >= 8, overlap
