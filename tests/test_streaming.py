@@ -169,3 +169,56 @@ def test_streaming_dedup_across_batches(spark, tmp_path_factory):
     ).parquet(src)
     drain()
     assert spark.read.parquet(out).count() == n1  # state remembered batch 1
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path_factory):
+    from datetime import datetime
+
+    root = tmp_path_factory.mktemp("late")
+    src, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def ev(eid, hour, minute=0):
+        return (
+            eid, datetime(2024, 1, 1, hour, minute), 1, "click", 1.0, "{}"
+        )
+
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+
+    def drain():
+        agg = sp.events_hourly_windows(sp.events_stream(spark, src))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        _await(q)
+
+    # batch 1: hours 0..9 (1 event each) -> watermark = 09:00 - 2h = 07:00;
+    # append mode emits only windows that closed: hours 0..6
+    spark.createDataFrame([ev(i, i) for i in range(10)], ddl).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got1 = {r.hour_start: r.n_events for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {f"2024-01-01 0{h}:00:00" for h in range(7)}
+    assert all(n == 1 for n in got1.values())
+
+    # batch 2: a LATE event for hour 1 (behind the watermark -> dropped)
+    # plus on-time events for hours 10..12 (advance watermark to 10:00,
+    # closing hours 7..9 WITHOUT any late contribution)
+    late_and_new = [ev(100, 1, 30)] + [ev(200 + h, h) for h in (10, 11, 12)]
+    spark.createDataFrame(late_and_new, ddl).write.mode("append").parquet(src)
+    drain()
+    got2 = {r.hour_start: r.n_events for r in spark.read.parquet(out).collect()}
+    # hour 1 was emitted in batch 1 with n=1; the late event added nothing
+    assert got2["2024-01-01 01:00:00"] == 1
+    # hours 7..9 closed by the advanced watermark, each n=1 (no late leak)
+    for h in (7, 8, 9):
+        assert got2[f"2024-01-01 0{h}:00:00"] == 1
+    # each window emitted exactly once
+    assert len(got2) == spark.read.parquet(out).count()
