@@ -32,11 +32,15 @@ def background(arr: np.ndarray, d: float) -> np.ndarray:
 
     v = a.copy()
     # horizontal decaying max, both directions (misc.c:36-43);
-    # vectorized over rows, sequential over x
+    # vectorized over rows, sequential over x. Run on the TRANSPOSE so
+    # each step touches a contiguous row instead of a strided column —
+    # identical elementwise ops (bit-exact), ~20x less memory latency.
+    vt = np.ascontiguousarray(v.T)
     for x in range(1, w):
-        np.maximum(v[:, x], v[:, x - 1] * dec, out=v[:, x])
+        np.maximum(vt[x], vt[x - 1] * dec, out=vt[x])
     for x in range(w - 2, -1, -1):
-        np.maximum(v[:, x], v[:, x + 1] * dec, out=v[:, x])
+        np.maximum(vt[x], vt[x + 1] * dec, out=vt[x])
+    v = np.ascontiguousarray(vt.T)
     # top->down combine with previous row's unrounded values (misc.c:44-47)
     for y in range(1, h):
         np.maximum(v[y], v[y - 1] * dec, out=v[y])
@@ -102,20 +106,54 @@ def calc_statistics(arr: np.ndarray) -> dict:
     lo_h, hi_h = np.minimum(ph, qh), np.maximum(ph, qh)
     lo_v, hi_v = np.minimum(pv, qv), np.maximum(pv, qv)
     # interleave updates in scan order: per pixel [h-lo, h-hi, v-lo, v-hi]
-    idx = np.stack(
-        [lo_h.ravel(), hi_h.ravel(), lo_v.ravel(), hi_v.ravel()], axis=1
-    ).ravel()
-    idx = np.clip(idx, 0, 255).astype(np.int64)
+    npairs = (h - 1) * (w - 1)
+    idx = np.empty(4 * npairs, dtype=np.int64)
+    idx[0::4] = lo_h.ravel()
+    idx[1::4] = hi_h.ravel()
+    idx[2::4] = lo_v.ravel()
+    idx[3::4] = hi_v.ravel()
+    np.clip(idx, 0, 255, out=idx)
     dh = (hi_h.astype(np.int64) - lo_h) ** 2
     dv = (hi_v.astype(np.int64) - lo_v) ** 2
-    ones = np.ones_like(dh)
-    hb_vals = np.stack([ones, -ones, ones, -ones], axis=2).reshape(-1).astype(F32)
-    thr_vals = np.stack([dh, -dh, dv, -dv], axis=2).reshape(-1).astype(F32)
+    thr_vals = np.empty(4 * npairs, dtype=F32)
+    thr_vals[0::4] = dh.ravel()
+    thr_vals[1::4] = -dh.ravel()
+    thr_vals[2::4] = dv.ravel()
+    thr_vals[3::4] = -dv.ravel()
+    abs_vals = np.empty(4 * npairs, dtype=np.float64)
+    abs_vals[0::4] = dh.ravel()
+    abs_vals[1::4] = dh.ravel()
+    abs_vals[2::4] = dv.ravel()
+    abs_vals[3::4] = dv.ravel()
 
-    hb = np.zeros(256, dtype=F32)
-    thr = np.zeros(256, dtype=F32)
-    np.add.at(hb, idx, hb_vals)
-    np.add.at(thr, idx, thr_vals)
+    # hb: +-1 counts. Every partial sum is an integer < 2^24, so the
+    # C's float32 accumulation never rounds and an int64 bincount is
+    # bit-identical to the sequential float adds — at bincount speed.
+    lo_all = np.concatenate(
+        [np.clip(lo_h.ravel(), 0, 255), np.clip(lo_v.ravel(), 0, 255)]
+    ).astype(np.int64)
+    hi_all = np.concatenate(
+        [np.clip(hi_h.ravel(), 0, 255), np.clip(hi_v.ravel(), 0, 255)]
+    ).astype(np.int64)
+    hb = (
+        np.bincount(lo_all, minlength=256) - np.bincount(hi_all, minlength=256)
+    ).astype(F32)
+
+    # thr: +-d^2 weights CAN exceed 2^24 mid-accumulation, where float32
+    # rounds and order starts to matter. A bin's partial sums are
+    # bounded by its sum of |increments|: bins under 2^24 can never
+    # round, so the exact float64 bincount is bit-identical there (all
+    # values are integers). Only the rare over-2^24 bins replay the C's
+    # sequential float32 order via np.add.at on their own updates.
+    abs_sums = np.bincount(idx, weights=abs_vals, minlength=256)
+    exact = np.bincount(idx, weights=thr_vals.astype(np.float64), minlength=256)
+    thr = exact.astype(F32)
+    risky = abs_sums >= 2**24
+    if risky.any():
+        mask = risky[idx]
+        seq = np.zeros(256, dtype=F32)
+        np.add.at(seq, idx[mask], thr_vals[mask])
+        thr[risky] = seq[risky]
 
     # prefix sums in float32 (cumul_vector, vector.c:72-78)
     thr_c = np.cumsum(thr, dtype=F32)

