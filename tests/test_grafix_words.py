@@ -185,3 +185,57 @@ def test_image_clone_and_w_pag_formatting():
     # w with %d formats the filename with the page number (grafix.c:513)
     out = run_words(page, ["bin", "128", "w", "out-%d.pnm"], pag=12)
     assert "out-12.pnm" in out
+
+
+# ---------------------------------------------------------------------------
+# differential fuzzing: random word programs vs the compiled binary
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# self-contained fragments that keep the stack at exactly one image and
+# avoid the reference's crashing words (dither/sheary-UB/histo-NULL).
+# Fuzzing also found: `rect ... fill ...` followed by `copy` SEGFAULTS
+# the reference — image_copy (image.c:84-95) memcpys the SEL channel
+# that image_clone (image.c:66-82) never allocates (depth covers only
+# chans 0..3). Our machine copies SEL fine; the rect/fill fragment is
+# therefore terminal-only here (still covered deterministically in
+# PROGRAMS above).
+_FRAGMENTS = [
+    lambda d: ["fix-bg", str(2 + d % 14)],
+    lambda d: ["bg", str(4 + d % 10), "div"],
+    lambda d: ["bin", str(40 + d % 180)],
+    lambda d: ["bin", "auto"],
+    lambda d: ["con", str(d % 100), str(150 + d % 100)],
+    lambda d: ["half"],
+    lambda d: ["double", f"0.{1 + d % 9}"],
+    lambda d: ["rot", str([90, 180, 270][d % 3])],
+    lambda d: ["grid", str(6 + d % 20)],
+    lambda d: ["test", "1"],
+    lambda d: ["copy", "bin", str(60 + d % 120), "diff"],
+    lambda d: ["stat", "bin", "auto"],
+    lambda d: ["cropx", str(2 + d % 6), str(70 - d % 6)],
+    lambda d: ["cropy", str(2 + d % 6), str(58 - d % 6)],
+]
+_TERMINAL_FRAGMENTS = [
+    lambda d: ["rect", "0.5", "2", "2", "30", "30",
+               "fill", "-", str(d % 256), "-", "-"],
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=4),
+    st.integers(0, 50),
+    st.integers(0, 10 ** 6) | st.none(),
+)
+def test_random_program_parity(picks, page_key, terminal):
+    words: list[str] = []
+    for p in picks:
+        words += _FRAGMENTS[p % len(_FRAGMENTS)](p // len(_FRAGMENTS))
+    if terminal is not None:
+        words += _TERMINAL_FRAGMENTS[terminal % len(_TERMINAL_FRAGMENTS)](
+            terminal
+        )
+    _parity(_page(page_key), words)
