@@ -219,7 +219,9 @@ _FRAGMENTS = [
     lambda d: ["cropy", str(2 + d % 6), str(58 - d % 6)],
 ]
 _TERMINAL_FRAGMENTS = [
-    lambda d: ["rect", "0.5", "2", "2", "30", "30",
+    # fractional corners scale with the (possibly shrunken) page, so the
+    # rect stays valid after any half/crop prefix
+    lambda d: ["rect", "0.5", "0.1", "0.1", "0.9", "0.9",
                "fill", "-", str(d % 256), "-", "-"],
 ]
 
