@@ -77,14 +77,20 @@ def _atoi(a: str) -> int:
     return int(m.group(0)) if m else 0
 
 
-def page_value(arr: np.ndarray, pag: int = 0, ex: float = 25.0) -> dict:
+def page_value(
+    arr: np.ndarray, pag: int = 0, ex: float = 25.0, stats: dict | None = None
+) -> dict:
     return {
         "arr": np.asarray(arr, F32).copy(),
         "pag": int(pag),
         "ex": float(ex),
         "sel": None,
         "alpha": None,
-        "stats": None,
+        # image_clone memcpys the whole struct (image.c:75), so every
+        # clone-derived image INHERITS the cached statistics, and the C
+        # never invalidates them on mutation — producers below pass the
+        # source's stats through.
+        "stats": stats,
     }
 
 
@@ -134,9 +140,6 @@ class GrafixMachine:
             img["stats"] = kstats.calc_statistics(img["arr"])
         return img["stats"]
 
-    def _invalidate(self, img: dict) -> None:
-        img["stats"] = None
-
     def run(self, words: list[str]) -> dict:
         i = 0
         n = len(words)
@@ -185,7 +188,9 @@ class GrafixMachine:
                     wid or src["arr"].shape[1],
                 )
                 self.push(
-                    page_value(np.zeros(shape, F32), src["pag"], src["ex"])
+                    page_value(
+                        np.zeros(shape, F32), src["pag"], src["ex"], src["stats"]
+                    )
                 )
             elif w == "alpha":
                 self.im(1)["alpha"] = np.zeros_like(self.im(1)["arr"])
@@ -200,15 +205,15 @@ class GrafixMachine:
                 src = chans.get(z)
                 if src is None:
                     raise ValueError(f"chan: channel {z} empty")
-                self.push(page_value(src, img["pag"], img["ex"]))
+                self.push(page_value(src, img["pag"], img["ex"], img["stats"]))
             elif w == "bg":
                 (a,) = need()
                 i += 1
+                src = self.im(1)
                 self.push(
                     page_value(
-                        kstats.background(self.im(1)["arr"], _atof(a)),
-                        self.im(1)["pag"],
-                        self.im(1)["ex"],
+                        kstats.background(src["arr"], _atof(a)),
+                        src["pag"], src["ex"], src["stats"],
                     )
                 )
             elif w == "fix-bg":
@@ -217,7 +222,6 @@ class GrafixMachine:
                 img = self.im(1)
                 bg = kstats.background(img["arr"], _atof(a))
                 img["arr"] = kpoint.divide(img["arr"], bg)
-                self._invalidate(img)
             elif w == "bin":
                 (a,) = need()
                 i += 1
@@ -229,7 +233,6 @@ class GrafixMachine:
                 if not self.x > 1:
                     self.x *= 255
                 img["arr"] = kpoint.contrast(img["arr"], self.x, self.x)
-                self._invalidate(img)
             elif w.startswith("con"):
                 img = self.im(1)
                 (a,) = need()
@@ -247,7 +250,6 @@ class GrafixMachine:
                     self.x = _atof(a)
                     self.y = _atof(b)
                 img["arr"] = kpoint.contrast(img["arr"], self.x, self.y)
-                self._invalidate(img)
             elif w == "cropx":
                 a, b = need(2)
                 i += 2
@@ -260,7 +262,6 @@ class GrafixMachine:
                 if self.y <= 1:
                     self.y *= wid
                 img["arr"] = kgeo.crop(img["arr"], int(self.x), 0, int(self.y), h)
-                self._invalidate(img)
             elif w == "cropy":
                 a, b = need(2)
                 i += 2
@@ -273,7 +274,6 @@ class GrafixMachine:
                 if self.y <= 1:
                     self.y *= h
                 img["arr"] = kgeo.crop(img["arr"], 0, int(self.x), wid, int(self.y))
-                self._invalidate(img)
             elif w == "darker":
                 first = True
                 while i + 1 < n and "." in words[i + 1]:
@@ -290,36 +290,35 @@ class GrafixMachine:
                 img = self.im(1)
                 ang = kgeo.detect_skew(img["arr"])
                 img["arr"] = kgeo.skew(img["arr"], ang)
-                self._invalidate(img)
             elif w == "diff":
                 a2, a1 = self.im(2), self.im(1)
                 a2["arr"] = kpoint.diff(a2["arr"], a1["arr"])
-                self._invalidate(a2)
                 self.pop()
             elif w.startswith("div"):
                 a2, a1 = self.im(2), self.im(1)
                 a2["arr"] = kpoint.divide(a2["arr"], a1["arr"])
-                self._invalidate(a2)
                 self.pop()
             elif w == "dither":
                 (a,) = need()
                 i += 1
                 img = self.im(1)
                 img["arr"] = kdither.floyd_bidir(img["arr"], _atof(a))
-                self._invalidate(img)
             elif w == "double":
                 (a,) = need()
                 i += 1
                 img = self.im(1)
                 out = page_value(
-                    kscale.double(img["arr"], _atof(a)), img["pag"], img["ex"] * 2
+                    kscale.double(img["arr"], _atof(a)),
+                    img["pag"], img["ex"] * 2, img["stats"],
                 )
                 self.push(out)
                 self.swap()
                 self.pop()
             elif w == "half":
                 img = self.im(1)
-                out = page_value(kscale.half(img["arr"]), img["pag"], img["ex"])
+                out = page_value(
+                    kscale.half(img["arr"]), img["pag"], img["ex"], img["stats"]
+                )
                 self.push(out)
                 self.swap()
                 self.pop()
@@ -355,7 +354,6 @@ class GrafixMachine:
                 )
                 img["alpha"] = out["chan"][0]
                 img["arr"] = out["chan"][1]
-                self._invalidate(img)
             elif w == "grid":
                 (a,) = need()
                 i += 1
@@ -368,7 +366,6 @@ class GrafixMachine:
                 if self.y <= 1:
                     self.y *= h
                 img["arr"] = kpoint.draw_grid(img["arr"], int(self.x), int(self.y))
-                self._invalidate(img)
             elif w.startswith("histo"):
                 need()  # channel arg parsed but ignored (grafix.c:378-379)
                 i += 1
@@ -376,7 +373,6 @@ class GrafixMachine:
             elif w.startswith("lapl"):
                 img = self.im(1)
                 img["arr"] = ksten.laplacian(img["arr"], -0.25, img["alpha"])
-                self._invalidate(img)
             elif w.startswith("pag"):
                 (a,) = need()
                 i += 1
@@ -389,7 +385,6 @@ class GrafixMachine:
                     guess["arr"], target["arr"], -0.25, 0, _atof(a),
                     target["alpha"],
                 )
-                self._invalidate(guess)
                 self.pop()
             elif w == "s-paste":
                 top = self.im(1)
@@ -398,7 +393,6 @@ class GrafixMachine:
                 guess["arr"] = ksol.solve_poisson(
                     guess["arr"], top["arr"], -0.25, 0, 0.01, top["alpha"]
                 )
-                self._invalidate(guess)
                 self.pop()
             elif w.startswith("rect"):
                 args = need(5)
@@ -421,7 +415,8 @@ class GrafixMachine:
                 i += 1
                 img = self.im(1)
                 out = page_value(
-                    kgeo.rotate(img["arr"], _atof(a)), img["pag"], img["ex"]
+                    kgeo.rotate(img["arr"], _atof(a)),
+                    img["pag"], img["ex"], img["stats"],
                 )
                 self.push(out)
                 self.swap()
@@ -431,7 +426,6 @@ class GrafixMachine:
                 i += 1
                 img = self.im(1)
                 img["arr"] = kgeo.skew(img["arr"], _atof(a))
-                self._invalidate(img)
             elif w in ("splitx", "splity"):
                 (a,) = need()
                 i += 1
@@ -440,8 +434,8 @@ class GrafixMachine:
                 first, second = fn(img["arr"], _atof(a))
                 # transform.c:69-70: first half gets pag, second pag+1;
                 # C stack order leaves the FIRST half on top
-                self.push(page_value(second, img["pag"] + 1, img["ex"]))
-                self.push(page_value(first, img["pag"], img["ex"]))
+                self.push(page_value(second, img["pag"] + 1, img["ex"], img["stats"]))
+                self.push(page_value(first, img["pag"], img["ex"], img["stats"]))
             elif w.startswith("stat"):
                 self._stats(self.im(1))
             elif w == "test":
@@ -449,7 +443,6 @@ class GrafixMachine:
                 i += 1
                 img = self.im(1)
                 img["arr"] = ksten.convolve_3x3(img["arr"], 4, -1, -1, 0)
-                self._invalidate(img)
             elif w == "w":
                 (name,) = need()
                 i += 1

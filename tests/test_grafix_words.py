@@ -212,17 +212,22 @@ _FRAGMENTS = [
     lambda d: ["double", f"0.{1 + d % 9}"],
     lambda d: ["rot", str([90, 180, 270][d % 3])],
     lambda d: ["grid", str(6 + d % 20)],
-    lambda d: ["test", "1"],
     lambda d: ["copy", "bin", str(60 + d % 120), "diff"],
     lambda d: ["stat", "bin", "auto"],
-    lambda d: ["cropx", str(2 + d % 6), str(70 - d % 6)],
-    lambda d: ["cropy", str(2 + d % 6), str(58 - d % 6)],
+    # fractional crops stay valid after any shrinking prefix
+    lambda d: ["cropx", f"0.{1 + d % 3}", f"0.{7 + d % 3}"],
+    lambda d: ["cropy", f"0.{1 + d % 3}", f"0.{7 + d % 3}"],
 ]
 _TERMINAL_FRAGMENTS = [
     # fractional corners scale with the (possibly shrunken) page, so the
     # rect stays valid after any half/crop prefix
     lambda d: ["rect", "0.5", "0.1", "0.1", "0.9", "0.9",
                "fill", "-", str(d % 256), "-", "-"],
+    # `test` (convolve 4,-1,-1,0) leaves out-of-range pixels; a later
+    # `bin auto` then SEGFAULTS the reference — calc_statistics casts
+    # pixels to short and indexes its histograms with NEGATIVE values
+    # (misc.c:226-237 range-update on unclamped data). Terminal-only.
+    lambda d: ["test", "1"],
 ]
 
 
