@@ -195,54 +195,67 @@ from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 # self-contained fragments that keep the stack at exactly one image and
-# avoid the reference's crashing words (dither/sheary-UB/histo-NULL).
-# Fuzzing also found: `rect ... fill ...` followed by `copy` SEGFAULTS
-# the reference — image_copy (image.c:84-95) memcpys the SEL channel
-# that image_clone (image.c:66-82) never allocates (depth covers only
-# chans 0..3). Our machine copies SEL fine; the rect/fill fragment is
-# therefore terminal-only here (still covered deterministically in
-# PROGRAMS above).
-_FRAGMENTS = [
+# avoid the reference's crashing words. Crash classes found by this
+# fuzzer (all documented reference bugs, not ours):
+# - dither / sheary: heap-overflowing writes (excluded entirely);
+# - histo: NULL chan[0] deref on gray pages (excluded);
+# - rect/fill then copy: image_copy memcpys the never-allocated SEL
+#   plane (rect/fill is terminal-only);
+# - ANY op that leaves pixels outside [0,255] (diff biases at 128,
+#   `test` convolve, double's sharpening overshoot) followed by a
+#   statistics consumer: calc_statistics short-casts pixels and indexes
+#   its histograms with negative values (misc.c:226-237) -> segfault.
+#   Stats-consuming fragments therefore only run FIRST, on the original
+#   in-range page.
+_STATS_FRAGMENTS = [
+    lambda d: ["bin", "auto"],
+    lambda d: ["stat", "bin", "auto"],
+    lambda d: ["fix-bg", str(2 + d % 14), "bin", "auto"],
+]
+_SAFE_FRAGMENTS = [
     lambda d: ["fix-bg", str(2 + d % 14)],
     lambda d: ["bg", str(4 + d % 10), "div"],
     lambda d: ["bin", str(40 + d % 180)],
-    lambda d: ["bin", "auto"],
     lambda d: ["con", str(d % 100), str(150 + d % 100)],
     lambda d: ["half"],
     lambda d: ["double", f"0.{1 + d % 9}"],
     lambda d: ["rot", str([90, 180, 270][d % 3])],
     lambda d: ["grid", str(6 + d % 20)],
     lambda d: ["copy", "bin", str(60 + d % 120), "diff"],
-    lambda d: ["stat", "bin", "auto"],
     # fractional crops stay valid after any shrinking prefix
     lambda d: ["cropx", f"0.{1 + d % 3}", f"0.{7 + d % 3}"],
     lambda d: ["cropy", f"0.{1 + d % 3}", f"0.{7 + d % 3}"],
 ]
 _TERMINAL_FRAGMENTS = [
-    # fractional corners scale with the (possibly shrunken) page, so the
-    # rect stays valid after any half/crop prefix
     lambda d: ["rect", "0.5", "0.1", "0.1", "0.9", "0.9",
                "fill", "-", str(d % 256), "-", "-"],
-    # `test` (convolve 4,-1,-1,0) leaves out-of-range pixels; a later
-    # `bin auto` then SEGFAULTS the reference — calc_statistics casts
-    # pixels to short and indexes its histograms with NEGATIVE values
-    # (misc.c:226-237 range-update on unclamped data). Terminal-only.
     lambda d: ["test", "1"],
 ]
 
 
 @settings(max_examples=30, deadline=None)
 @given(
-    st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=4),
+    st.integers(0, 10 ** 6) | st.none(),
+    st.lists(st.integers(0, 10 ** 6), min_size=0, max_size=3),
     st.integers(0, 50),
     st.integers(0, 10 ** 6) | st.none(),
 )
-def test_random_program_parity(picks, page_key, terminal):
+def test_random_program_parity(stats_pick, picks, page_key, terminal):
     words: list[str] = []
+    if stats_pick is not None:
+        words += _STATS_FRAGMENTS[stats_pick % len(_STATS_FRAGMENTS)](
+            stats_pick
+        )
     for p in picks:
-        words += _FRAGMENTS[p % len(_FRAGMENTS)](p // len(_FRAGMENTS))
+        words += _SAFE_FRAGMENTS[p % len(_SAFE_FRAGMENTS)](
+            p // len(_SAFE_FRAGMENTS)
+        )
     if terminal is not None:
         words += _TERMINAL_FRAGMENTS[terminal % len(_TERMINAL_FRAGMENTS)](
             terminal
         )
+    if not words:
+        words = ["bin", "128"]
     _parity(_page(page_key), words)
+
+
