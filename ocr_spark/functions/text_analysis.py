@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.dedup import MOD, fast_hash, poly_hash, round_det, tokens
+from ocr_spark.operators.dedup import fast_hash, poly_hash, round_det, tokens
 
 # language -> stopword list; keep ASCII-only so ascii() hashing and both
 # engines agree. Priority on ties: the order of this dict.

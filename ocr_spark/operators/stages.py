@@ -28,7 +28,6 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
-    StringType,
     StructField,
     StructType,
 )

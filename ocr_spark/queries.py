@@ -641,7 +641,7 @@ def px_kernel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix_bg, binarize, half, double, dither (all three), skew, rot90 —
     pinning the distributed kernel outputs bit-for-bit."""
     from ocr_spark.kernels import fixtures
-    from ocr_spark.operators.stages import KERNELS, apply_kernel, img_to_bytes
+    from ocr_spark.operators.stages import apply_kernel, img_to_bytes
 
     arrays = [fixtures.shaded(48, 64, 42, k) for k in range(8)]
     base = spark.createDataFrame(
