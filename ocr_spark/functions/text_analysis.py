@@ -69,9 +69,16 @@ def lang_pred(scores: dict[str, Column]) -> Column:
 
 
 def kgram_hashes(text_col: Column, k: int = 8) -> Column:
-    """Hashes of all char k-grams of lower(text) (array<long>, in order)."""
+    """Hashes of all char k-grams of lower(text) (array<long>, in order).
+
+    Texts shorter than k chars yield an empty array — without the guard
+    F.sequence(1, length-k+1) DESCENDS when length < k (default step
+    -1) and hashes partial substrings the oracle never sees (ADVICE r1).
+    """
     lo = F.lower(text_col)
-    idx = F.sequence(F.lit(1), F.length(lo) - (k - 1))
+    idx = F.when(
+        F.length(lo) >= k, F.sequence(F.lit(1), F.length(lo) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: fast_hash(F.substring(lo, i, k)))
 
 
@@ -97,7 +104,7 @@ def fingerprint_stats(
 
     lo = docs.select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("s")
-    )
+    ).where(F.length("s") >= k)  # shorter docs have no k-gram (ADVICE r1)
     kg = lo.select(
         "id",
         "s",
@@ -137,7 +144,9 @@ def winnow_fingerprints(text_col: Column, k: int = 8, w: int = 4) -> Column:
     substring match of length >= k+w-1 shares a selected fingerprint.
     """
     hs = kgram_hashes(text_col, k)
-    wins = F.sequence(F.lit(0), F.size(hs) - w)
+    wins = F.when(
+        F.size(hs) >= w, F.sequence(F.lit(0), F.size(hs) - w)
+    ).otherwise(F.array().cast("array<int>"))
     mins = F.transform(
         wins, lambda i: F.array_min(F.slice(hs, i + 1, w))
     )

@@ -22,7 +22,7 @@ operators/dedup.cosine) so Spark and the oracle agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.dedup import cosine, round_det
@@ -86,12 +86,16 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(cents)).select(
         "id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("sim")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "e", F.col("cent_id").alias("cell"))
-    )
+    # max_by on (sim, -cent_id): highest sim, lowest cent_id on ties —
+    # a hash aggregate with map-side partials instead of the
+    # row_number() window's per-id Sort (VERDICT r1 #8). `e` is
+    # functionally dependent on id, so any_value is deterministic here.
+    return scored.groupBy("id").agg(
+        F.any_value("e").alias("e"),
+        F.max_by(
+            "cent_id", F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cell"),
+    ).select("id", "e", "cell")
 
 
 def ivf_topk(

@@ -96,12 +96,26 @@ def checkpointed_run(
         try:
             cat.overwrite_partitions(out, "data", ["shard"])
             wall_ms = (time.perf_counter() - t0) * 1000.0
+            # One manifest row per shard in the wave, INCLUDING shards
+            # whose wave produced zero rows — otherwise an empty shard
+            # never appears in completed_shards and every resume re-runs
+            # it forever (ADVICE r1). Left-join the wave's shard list
+            # against the per-shard aggregates, coalescing counts to 0.
+            wave_shards = spark.createDataFrame(
+                [(int(s),) for s in shards], "shard int"
+            )
+            agg = out.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("url").alias("n_urls"),
+                F.sum(F.octet_length("extracted")).alias("bytes"),
+            )
             man = (
-                out.groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.countDistinct("url").alias("n_urls"),
-                    F.sum(F.octet_length("extracted")).alias("bytes"),
+                wave_shards.join(agg, "shard", "left")
+                .select(
+                    "shard",
+                    F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                    F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
+                    F.coalesce("bytes", F.lit(0)).alias("bytes"),
                 )
                 .withColumn("run_id", F.lit(run_id))
                 .withColumn("wave", F.lit(wave_no))

@@ -88,9 +88,17 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Docs with fewer than n tokens yield an empty array: F.sequence with
+    end < start defaults step to -1 (a DESCENDING range), which would
+    feed element_at indices <= 0 and throw — one short row would kill
+    the whole stage (ADVICE r1).
+    """
     t = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -449,18 +457,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def cosine_neardup_pairs(
+def cosine_neardup_pairs_allpairs(
     vecs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos) with cos >= t.
+    """Exact all-pairs cosine near-dup — the TEST ORACLE form.
 
-    Exact all-pairs within id-ordered halves. At corpus scale the pair
-    space is first pruned by LSH sign-buckets (see ann.sign_sketch) and
-    this exact verify runs only inside buckets; the verify math is this
-    same expression.
+    O(n^2) join; correct at any size but not the shipped plan (see
+    cosine_neardup_pairs). Kept to prove pair-set equality of the
+    banded plan in pytest.
     """
     v = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     return (
@@ -470,6 +477,103 @@ def cosine_neardup_pairs(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
             round_det(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_pivots: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos) with
+    cos >= t — EXACT recall without the O(n^2) cross join.
+
+    Pivot-band pruning by the spherical triangle inequality: angular
+    distance d(a,b) = arccos(cos(a,b)) is a metric, so cos(a,b) >= t
+    implies |theta_p(a) - theta_p(b)| <= W := arccos(t) for EVERY pivot
+    direction p, where theta_p(x) = arccos(cos(x, pivot_p)). Bucketing
+    each vector at floor(theta_p / W) per pivot, any qualifying pair is
+    within +-1 bucket in every pivot coordinate — so an equi-join on
+    the band key (one side probing the 2^m upper-adjacent offset
+    combos, least/greatest id dedup) has NO false negatives at any
+    threshold, unlike sign-LSH probing: measured on the sf0.01
+    embeddings, Hamming<=1 over the 8-plane sketch finds only 15 of the
+    59 qualifying pairs at t=0.4 (their Hamming distribution runs to 7),
+    which is why the r1-suggested LSH prune is NOT shipped.
+
+    Scale shape: theta computation is one codegen pass (no shuffle);
+    candidates come from a shuffle hash equi-join on band keys instead
+    of a broadcast-nested-loop cross join. Pruning power is the ratio
+    of the corpus' angular spread to W — weak at t=0.4 (W=66deg spans
+    the bulk of a random-vector corpus, so this dataset degenerates to
+    ~1 bucket) and strong in the realistic near-dup regime t>=0.9
+    (W=26deg, and real near-dup corpora cluster tightly); more pivots
+    multiply the grid resolution at 2^m probe cost. Within-bucket
+    blow-up is bounded by sub-banding on further pivots; residual skew
+    is AQE skew-join territory.
+    """
+    import itertools
+    import math
+
+    from ocr_spark.operators.ann import plane_weight
+
+    # +1e-9 absorbs the ~1e-15 float error of the theta fold so a pair
+    # exactly AT the threshold can never straddle 2 buckets.
+    w_band = math.acos(threshold) + 1e-9
+    v = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    for p in range(n_pivots):
+        piv = F.array(
+            *[F.lit(float(plane_weight(p, k))) for k in range(dim)]
+        )
+        th = F.acos(
+            F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("e"), piv)))
+        )
+        v = v.withColumn(f"h{p}", F.floor(th / F.lit(w_band)).cast("int"))
+    v = v.persist()
+    home = v.select(
+        "id",
+        F.concat_ws(
+            ":", *[F.col(f"h{p}").cast("string") for p in range(n_pivots)]
+        ).alias("key"),
+    )
+    probe_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    (F.col(f"h{p}") + F.lit(off[p])).cast("string")
+                    for p in range(n_pivots)
+                ],
+            )
+            for off in itertools.product((0, 1), repeat=n_pivots)
+        ]
+    )
+    probe = v.select("id", F.explode(probe_keys).alias("key"))
+    cand = (
+        home.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("vec_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("vec_b"),
+        )
+        .distinct()
+    )
+    sets = v.select("id", "e")
+    return (
+        cand.join(sets.alias("sa"), F.col("vec_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("vec_b") == F.col("sb.id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            round_det(cosine(F.col("sa.e"), F.col("sb.e")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

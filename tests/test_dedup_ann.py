@@ -137,7 +137,7 @@ def vecs(spark):
 
 
 def test_cosine_neardup_finds_planted_pair(vecs):
-    rows = cosine_neardup_pairs(vecs, threshold=0.95).collect()
+    rows = cosine_neardup_pairs(vecs, threshold=0.95, dim=8).collect()
     assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 30)}
 
 
