@@ -72,13 +72,20 @@ def main() -> None:
     corpus_path = os.path.join(CACHE, f"pages_{N_PAGES}")
     _ensure_corpus(spark, corpus_path, N_PAGES)
 
+    # Median-of-3 after a warm pass: the host shows hour-scale ambient
+    # noise and the first timed run pays JIT + page-cache, so a single
+    # sample is the noisiest possible driver-visible number (r1 bench
+    # anomaly). Medians keep one outlier from defining the round.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = QUERIES[name](spark, SF_DIR)
         df.count()  # warm: plan + scan once
-        t0 = time.perf_counter()
-        _noop_sink(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _noop_sink(df)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     # extraction throughput headline: parquet scan -> DOM extraction -> sink.
     # Size splits so read parallelism reflects the page files (a binary-
@@ -88,11 +95,12 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
     pages = spark.read.parquet(corpus_path)
     _noop_sink(with_main_text(pages).select("url", "extracted"))  # warm
-    dt = float("inf")
-    for _ in range(2):
+    ext_samples = []
+    for _ in range(3):
         t0 = time.perf_counter()
         _noop_sink(with_main_text(pages).select("url", "extracted"))
-        dt = min(dt, time.perf_counter() - t0)
+        ext_samples.append(time.perf_counter() - t0)
+    dt = sorted(ext_samples)[1]
     timings["corpus_extract"] = round(dt, 3)
     docs_per_sec = round(N_PAGES / dt, 1)
 

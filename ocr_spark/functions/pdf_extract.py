@@ -9,8 +9,10 @@ honest sandbox stand-in for a production parser: the Spark plumbing
 (binary column in, text column out, Arrow batches, same extraction
 invariant "byte-identical text per doc") is identical whether the body
 is this parser or pdfium behind the same function signature.
-FlateDecode streams raise NotImplementedError naming the production
-dependency, mirroring operators/multimodal.py's codec policy.
+FlateDecode streams decompress via stdlib zlib (the real PDF
+compression path); other filters (DCT, LZW, ASCII85) raise
+NotImplementedError naming the filter, mirroring
+operators/multimodal.py's codec policy.
 
 Layout model: one text line per Td/TD/T* advance, lines joined with
 "\\n"; multiple show operators on one line concatenate; TJ kerning
@@ -20,6 +22,7 @@ numbers are ignored for text recovery (they only shift glyphs).
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -35,9 +38,11 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def make_pdf(pages: list[list[str]]) -> bytes:
-    """Build an uncompressed PDF-1.4: one content stream per page, each
-    line shown with Tj after a TD line advance."""
+def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Build a PDF-1.4: one content stream per page, each line shown
+    with Tj after a TD line advance. ``compress=True`` Flate-encodes
+    the content streams (deterministic for a fixed zlib level) —
+    exercising the reader's real decompression path."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -55,10 +60,13 @@ def make_pdf(pages: list[list[str]]) -> bytes:
             ops.append(f"({_esc(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
+        if compress:
+            stream = zlib.compress(stream, 6)
+            meta = b"<< /Length %d /Filter /FlateDecode >>" % len(stream)
+        else:
+            meta = b"<< /Length %d >>" % len(stream)
         content_ids.append(
-            add(
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-            )
+            add(meta + b"\nstream\n%s\nendstream" % stream)
         )
     pages_id = len(objs) + len(pages) + 1
     for cid in content_ids:
@@ -141,11 +149,25 @@ def extract_pdf_text(buf: bytes) -> str:
     for m in _STREAM.finditer(buf):
         meta, stream = m.group(1), m.group(2)
         if b"/Filter" in meta:
-            # PRODUCTION: zlib.decompress for /FlateDecode
-            raise NotImplementedError(
-                "compressed PDF stream: needs FlateDecode (zlib) in the "
-                "production build"
-            )
+            # /FlateDecode (plain or 1-element array) via stdlib zlib;
+            # other/chained filters (DCT, LZW, ASCII85...) stay
+            # unsupported and dead-letter through the permissive path.
+            arr = re.search(rb"/Filter\s*\[([^\]]*)\]", meta)
+            if arr:
+                filters = re.findall(rb"/(\w+)", arr.group(1))
+            else:
+                one = re.search(rb"/Filter\s*/(\w+)", meta)
+                filters = [one.group(1)] if one else []
+            if filters == [b"FlateDecode"]:
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error as exc:
+                    raise ValueError(f"corrupt FlateDecode stream: {exc}")
+            else:
+                raise NotImplementedError(
+                    "unsupported PDF stream filter(s): "
+                    + b",".join(filters).decode("latin-1", "replace")
+                )
         if b"BT" not in stream:
             continue
         cur: list[str] = []

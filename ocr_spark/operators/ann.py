@@ -140,6 +140,76 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    vecs: DataFrame,
+    path: str,
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors partitioned BY CELL at write time,
+    centroids alongside.
+
+    ``partitionBy("cell")`` makes the cell a storage key, so a probe's
+    ``cell IN (...)`` filter becomes parquet PARTITION PRUNING — the
+    nprobe/C data reduction happens in file listing, before a single
+    row is read (the r1 ivf_topk computed cells at query time, which
+    still scanned everything). On Iceberg the same contract is
+    ``PARTITIONED BY (cell)``; centroids are a driver-sized side table
+    by construction (C ~ sqrt(n) even at 10^12 vectors).
+    """
+    assigned = ivf_assign(vecs, n_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents = vecs.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over a written IVF index, reading ONLY the probed cells.
+
+    Cell selection is control-plane: the centroid table is tiny and
+    collected to the driver (bounded by n_centroids), the probe list
+    becomes a LITERAL ``cell IN (...)`` predicate, and the scan's
+    PartitionFilters prune every other cell's files statically
+    (pinned by tests/test_round2.py::test_ivf_probe_partition_pruning).
+    """
+    import math
+
+    cents = spark.read.parquet(path + "_centroids").collect()
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def _cos(ce):
+        dot = sum(float(a) * float(b) for a, b in zip(ce, query_vec))
+        n = math.sqrt(sum(float(a) * float(a) for a in ce))
+        return dot / (n * qn)
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r.ce), r.cent_id))
+    cells = [int(r.cent_id) for r in ranked[:nprobe]]
+
+    data = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    if exclude_id is not None:
+        data = data.where(F.col("id") != exclude_id)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        data.select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            round_det(cosine(F.col("e"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     vecs: DataFrame,
     dim: int,

@@ -41,9 +41,24 @@ def test_xref_offsets_are_correct():
         assert buf[at:].startswith(b"%d 0 obj" % i), i
 
 
-def test_compressed_stream_raises_documented_stub():
+def test_flate_compressed_roundtrip():
+    pages = [["hello flate", "second line"], ["page two"]]
+    buf = make_pdf(pages, compress=True)
+    assert b"/Filter /FlateDecode" in buf
+    assert extract_pdf_text(buf) == extract_pdf_text(make_pdf(pages))
+
+
+def test_corrupt_flate_stream_is_an_error():
+    # /Filter claims Flate but the bytes are plain text -> zlib fails,
+    # surfaced as ValueError (dead-lettered by the permissive stage)
     buf = make_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
-    with pytest.raises(NotImplementedError, match="FlateDecode"):
+    with pytest.raises(ValueError, match="corrupt FlateDecode"):
+        extract_pdf_text(buf)
+
+
+def test_unsupported_filter_raises_documented_stub():
+    buf = make_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
         extract_pdf_text(buf)
 
 
@@ -84,12 +99,18 @@ def test_permissive_mode_dead_letters_corrupt_rows(spark):
     import pandas as pd
 
     good = make_pdf([["fine document"]])
-    rows = [(0, good), (1, b"NOT A PDF AT ALL"), (2, good)]
+    flate = make_pdf([["compressed fine"]], compress=True)
+    # a REAL compressed stream, truncated mid-deflate -> zlib error in
+    # the worker, quarantined not fatal (VERDICT r1 #9)
+    bad_flate = flate.replace(b"stream\n", b"stream\nZZ", 1)
+    rows = [(0, good), (1, b"NOT A PDF AT ALL"), (2, good), (3, flate), (4, bad_flate)]
     df = spark.createDataFrame(rows, "doc_id long, pdf binary")
     out = {r.doc_id: r for r in extract_pdf_df(df).collect()}
     assert out[0].extracted == "fine document" and out[0].error is None
     assert out[1].extracted is None and "ValueError" in out[1].error
     assert out[2].extracted == "fine document"
+    assert out[3].extracted == "compressed fine" and out[3].error is None
+    assert out[4].extracted is None and "FlateDecode" in out[4].error
     # fail-fast mode raises through the stage
     strict = extract_pdf_df(df, permissive=False)
     with pytest.raises(Exception):

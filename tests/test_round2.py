@@ -168,6 +168,28 @@ def test_ivf_assign_no_window_node(spark):
     assert "Window" not in plan  # max_by aggregate, not row_number sort
 
 
+def test_ivf_probe_partition_pruning(spark, tmp_path_factory):
+    """IVF as a STORAGE layout: cells are write-time partitions, and a
+    probe's literal cell list becomes parquet partition pruning — the
+    nprobe/C reduction happens at file listing (VERDICT r1 #6)."""
+    from ocr_spark.operators.ann import ivf_probe_topk, ivf_topk, ivf_write
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf_idx") / "ivf")
+    ivf_write(vecs, path)
+    q = [float(x) for x in vecs.where("vec_id = 0").collect()[0].embedding]
+    df = ivf_probe_topk(spark, path, q, exclude_id=0)
+    got = [(r.vec_id, r.cell, r.cos) for r in df.collect()]
+    want = [(r.vec_id, r.cell, r.cos) for r in ivf_topk(vecs).collect()]
+    assert got == want  # storage probe == query-time IVF, same ranking
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:800]
+    assert len(m.group(1).split(",")) == 3  # nprobe of 10 cells listed
+
+
 def test_hll_bucket_split_integer_exact(spark):
     # w must be an integer floor-div of the 60-bit hash; double division
     # differs by +-1 above 2^53 (ADVICE r1). Pin on a value > 2^53.
