@@ -1780,6 +1780,112 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "host_frequency_cap",
+    """
+    SELECT doc_id, host FROM (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 97 AS VARCHAR) AS host,
+             row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def host_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frequency cap (keep the first K=3 docs per host) — the
+    standard pretraining guard against a single domain dominating the
+    corpus.
+
+    rank <= K over a window triggers Spark's WindowGroupLimit rewrite:
+    each map-side partition keeps only K rows per host BEFORE the
+    shuffle (pinned in tests/test_round2.py), so a 10^9-page host costs
+    K rows of state, not a sort of its whole partition. Host keys skew
+    hard in web corpora — this operator is exactly where the
+    bounded-state plan matters.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 97).cast("string"))
+    w = Window.partitionBy(F.col("doc_id") % 97).orderBy("doc_id")
+    return (
+        d.select("doc_id", host.alias("host"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "host")
+    )
+
+
+@query(
+    "decontaminate_ngrams",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 5),
+    corp AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 5)
+    SELECT corp.doc_id, COUNT(*) AS n_overlap
+    FROM corp JOIN bench ON corp.h = bench.h
+    GROUP BY corp.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    3-gram with a held-out benchmark set (here: docs 0-4 stand in for
+    the eval set).
+
+    The benchmark shingle-hash set is tiny by construction (eval sets
+    are thousands of docs, the corpus is 10^12), so it BROADCASTS and
+    the overlap count is a map-side hash join + partial-aggregated
+    groupBy on doc_id — one shuffle, no giant-side distinct.
+    """
+    from ocr_spark.operators.dedup import shingle_rows
+
+    inv = shingle_rows(load_table(spark, sf_dir, "documents"))
+    bench = inv.where(F.col("id") < 5).select("h").distinct()
+    corp = inv.where(F.col("id") >= 5)
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+_STRATA_RATES = {"en": 50, "de": 100, "es": 25, "fr": 10}
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {_duck_md5hash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents)
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 50 WHEN 'de' THEN 100
+        WHEN 'es' THEN 25 WHEN 'fr' THEN 10 ELSE 0 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates via a
+    content-hash bucket (en 50%, de 100%, es 25%, fr 10%) — the
+    rebalancing step of corpus mixing.
+
+    Hash-bucket sampling (not rand()) is reproducible across runs,
+    engines, and retries — the property exactly-once pipelines need —
+    and is a pure map-side filter: no shuffle, no state, prunes at
+    full scan speed at any corpus size.
+    """
+    from ocr_spark.operators.dedup import fast_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = fast_hash(F.col("doc_id").cast("string")) % 100
+    expr = None
+    for lang, r in _STRATA_RATES.items():
+        c = F.when(F.col("lang") == lang, F.lit(r))
+        expr = c if expr is None else expr.when(F.col("lang") == lang, F.lit(r))
+    expr = expr.otherwise(F.lit(0))
+    return d.where(bucket < expr).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # pixel-query oracles: the px_* outputs are deterministic (fixed-seed
 # fixtures + bit-exact kernels, pinned by tests/test_goldens.py), so

@@ -237,3 +237,75 @@ def test_calc_statistics_risky_bin_replay_matches_exact(monkeypatch):
     monkeypatch.setattr(stats, "F32_EXACT_LIMIT", 1)
     got = stats.calc_statistics(img)
     assert got == want
+
+
+def test_host_cap_window_group_limit(spark):
+    """rank<=K rewrites to WindowGroupLimit with a PARTIAL (map-side)
+    phase: each input partition keeps K rows per host before the
+    shuffle — bounded state under web-scale host skew."""
+    from ocr_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["host_frequency_cap"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def _flood_fill_boxes(mask, min_area=1):
+    """Brute-force 8-connectivity CCL (test oracle for kernels/ccl.py)."""
+    import numpy as np
+
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    seen = np.zeros_like(m)
+    out = []
+    for sy in range(h):
+        for sx in range(w):
+            if not m[sy, sx] or seen[sy, sx]:
+                continue
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            x0 = x1 = sx
+            y0 = y1 = sy
+            area = 0
+            while stack:
+                y, x = stack.pop()
+                area += 1
+                x0, x1 = min(x0, x), max(x1, x)
+                y0, y1 = min(y0, y), max(y1, y)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx < w and m[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+            if area >= min_area:
+                out.append((x0, y0, x1 + 1, y1 + 1))
+    out.sort(key=lambda b: (b[1], b[0]))
+    return out
+
+
+def test_ccl_matches_flood_fill_oracle():
+    import numpy as np
+
+    from ocr_spark.kernels.ccl import label_boxes
+
+    rng = np.random.default_rng(33)
+    for trial in range(120):
+        h, w = rng.integers(1, 40, 2)
+        m = rng.random((h, w)) < rng.uniform(0.05, 0.7)
+        for ma in (1, 3):
+            assert label_boxes(m, min_area=ma) == _flood_fill_boxes(m, ma), (
+                trial,
+                ma,
+            )
+    for m in (
+        np.zeros((4, 4), bool),
+        np.ones((4, 4), bool),
+        np.eye(6, dtype=bool),
+    ):
+        assert label_boxes(m) == _flood_fill_boxes(m)
