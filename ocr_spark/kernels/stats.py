@@ -198,17 +198,21 @@ def calc_statistics(arr: np.ndarray) -> dict:
         """Sequential float32 replay of EVERY update in the C's scan
         order (cheapest when most updates hit risky bins: a straight
         np.add.at beats masked fancy-indexing). Non-risky bins come out
-        rounded, but callers only read the risky ones."""
-        if "idx32" not in _lazy:
-            idx = np.empty(4 * npairs, dtype=np.int32)
-            for arr, slot in _slots:
-                idx[slot::4] = arr.ravel()
-            np.clip(idx, 0, 255, out=idx)
-            _lazy["idx32"] = idx
-        idx = _lazy["idx32"]
-        vals = np.empty(4 * npairs, dtype=F32)
-        for (_, slot), v in zip(_slots, slot_vals):
-            vals[slot::4] = v if np.isscalar(v) else v.ravel()
+        rounded, but callers only read the risky ones. in_range-only
+        caller, so the int16 lo/hi need no clip and index directly;
+        np.stack builds the interleave ~30% faster than 4 strided
+        slice-assignments."""
+        if "idx16" not in _lazy:
+            _lazy["idx16"] = np.stack(
+                (lo_h, hi_h, lo_v, hi_v), axis=-1
+            ).reshape(-1)
+        idx = _lazy["idx16"]
+        if np.isscalar(slot_vals[0]):
+            vals = np.empty(4 * npairs, dtype=F32)
+            for (_, slot), v in zip(_slots, slot_vals):
+                vals[slot::4] = v
+        else:
+            vals = np.stack(slot_vals, axis=-1).reshape(-1)
         seq = np.zeros(256, dtype=F32)
         np.add.at(seq, idx, vals)
         return seq
@@ -256,8 +260,14 @@ def calc_statistics(arr: np.ndarray) -> dict:
     if hb_risky.any() or thr_risky.any():
         if in_range:
             if thr_risky.any():
-                dh = (hi_h.astype(np.int64) - lo_h) ** 2
-                dv = (hi_v.astype(np.int64) - lo_v) ** 2
+                # (hi-lo)^2 <= 255^2 is exact in float32, so the d^2
+                # weights can be built float32-direct (no int64 pass)
+                dh = hi_h.astype(F32)
+                np.subtract(dh, lo_h, out=dh)
+                np.multiply(dh, dh, out=dh)
+                dv = hi_v.astype(F32)
+                np.subtract(dv, lo_v, out=dv)
+                np.multiply(dv, dv, out=dv)
                 seq = _replay(thr_risky, (dh, -dh, dv, -dv))
                 thr[thr_risky] = seq[thr_risky]
             if hb_risky.any():
