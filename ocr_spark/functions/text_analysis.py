@@ -105,21 +105,27 @@ def fingerprint_stats(
     lo = docs.select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("s")
     ).where(F.length("s") >= k)  # shorter docs have no k-gram (ADVICE r1)
+    # maxi (the last k-gram position) is a pure function of the text
+    # length, so it rides along from the explode instead of costing a
+    # second whole-partition window pass (one Window node, one sort).
     kg = lo.select(
         "id",
-        "s",
+        F.length("s").alias("maxi"),
         F.explode(F.sequence(F.lit(1), F.length("s") - (k - 1))).alias("i"),
+        "s",
     ).select(
-        "id", "i", fast_hash(F.expr(f"substring(s, i, {k})")).alias("h")
+        "id",
+        (F.col("maxi") - (k - 1)).alias("maxi"),
+        "i",
+        fast_hash(F.expr(f"substring(s, i, {k})")).alias("h"),
     )
     win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
-    part = Window.partitionBy("id")
     kg = kg.select(
         "id",
         "i",
         "h",
+        "maxi",
         F.min("h").over(win).alias("wmin"),
-        F.max("i").over(part).alias("maxi"),
     )
     grouped = kg.groupBy("id").agg(
         F.min("h").alias("fp_min"),

@@ -1751,11 +1751,11 @@ def px_darker_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(list_aggregate(list_transform(embedding,
                  v -> abs(CAST(v AS DOUBLE))), 'max') * 10000 + 0.5) / 10000
              AS scale,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              v -> CAST(FLOOR(CAST(v AS DOUBLE)
                   / list_aggregate(list_transform(embedding,
                         vv -> abs(CAST(vv AS DOUBLE))), 'max')
-                  * 127 + 0.5) AS INTEGER)) AS q
+                  * 127 + 0.5) AS INTEGER)), ',') AS q_csv
     FROM embeddings
     """,
 )
@@ -1764,6 +1764,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = amax): 4x storage cut for ANN candidate scans; dequantized
     recall is pinned in pytest. All JVM expressions; the floor form
     keeps Spark and DuckDB bit-identical (see operators/dedup.round_det).
+
+    The quantized vector is emitted as a comma-joined STRING: it is the
+    suite's only array-valued output, and array stringification is the
+    one thing Arrow-enabled and vanilla sessions render differently in
+    a pandas-based comparator (caught by the OCR_VANILLA gate mode) —
+    a canonical scalar encoding is comparator-proof on any session.
     """
     from ocr_spark.operators.dedup import round_det
 
@@ -1776,7 +1782,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v: F.floor(v.cast("double") / amax * 127 + F.lit(0.5)).cast("int"),
     )
     return e.select(
-        "vec_id", round_det(amax, 4).alias("scale"), q.alias("q")
+        "vec_id",
+        round_det(amax, 4).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+            "q_csv"
+        ),
     )
 
 

@@ -19,9 +19,10 @@ def test_quantization_roundtrip_and_recall(spark):
     # reconstruction: |v - q*scale/127| <= scale/127 (half-step bound + rounding slack)
     for vid, v in list(full.items())[:50]:
         r = qrows[vid]
-        deq = np.array(r.q, dtype=np.float64) * r.scale / 127.0
+        q = np.array([int(x) for x in r.q_csv.split(",")])
+        deq = q * r.scale / 127.0
         assert np.abs(deq - v).max() <= r.scale / 127.0 + 1e-4
-        assert max(abs(x) for x in r.q) <= 127
+        assert np.abs(q).max() <= 127
 
     # ANN recall: top-10 by dequantized cosine overlaps >= 8/10 with full
     def topk(vecs: dict, qid: int = 0, k: int = 10):
@@ -34,7 +35,8 @@ def test_quantization_roundtrip_and_recall(spark):
         return [i for i, _ in sorted(sims.items(), key=lambda kv: -kv[1])[:k]]
 
     deq_all = {
-        vid: np.array(qrows[vid].q, dtype=np.float64) * qrows[vid].scale / 127.0
+        vid: np.array([int(x) for x in qrows[vid].q_csv.split(",")], dtype=np.float64)
+        * qrows[vid].scale / 127.0
         for vid in full
     }
     overlap = len(set(topk(full)) & set(topk(deq_all)))

@@ -41,7 +41,19 @@ def _norm_val(v):
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
-    spark = get_spark("check-oracles", cpus=8)
+    if os.environ.get("OCR_VANILLA"):
+        # the grading driver uses a VANILLA SparkSession (none of
+        # ocr_spark.session's AQE/Arrow/batch configs) — this mode
+        # catches any query that silently depends on our session tuning
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracles", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
