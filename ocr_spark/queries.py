@@ -1896,6 +1896,166 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < expr).select("doc_id", "lang")
 
 
+@query(
+    "url_canonical_dedup",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://Host' || CAST((doc_id // 3) % 97 AS VARCHAR)
+               || '.example/d' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed'
+                       WHEN doc_id % 3 = 2 THEN '#section-2'
+                       ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(url, '[?#].*$', '')) AS curl
+      FROM pages)
+    SELECT curl, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+    FROM canon GROUP BY curl
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: strip query/fragment, lowercase,
+    keep the smallest doc_id per canonical url — the first dedup tier
+    of every web-crawl pipeline (the same page arrives as ?utm
+    variants and #fragment links).
+
+    Pure map-side canonicalization (regexp + lower in codegen), one
+    hash-aggregate by the canonical key. min() as the keeper rule is
+    deterministic and mergeable, so the same op distributes at
+    10^12 urls with plain partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Host"),
+        (F.floor(F.col("doc_id") / 3).cast("long") % 97).cast("string"),
+        F.lit(".example/d"),
+        F.floor(F.col("doc_id") / 3).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("#section-2"))
+        .otherwise(F.lit("")),
+    )
+    curl = F.lower(F.regexp_replace(url, r"[?#].*$", ""))
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+@query(
+    "paragraph_dedup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(t[(j*8+1):(j*8+8)], ' ') AS chunk
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
+      WHERE j*8 < len(t)),
+    hashed AS (
+      SELECT doc_id, {_duck_md5hash("chunk")} AS h FROM chunks)
+    SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+    FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def paragraph_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4 recipe at paragraph granularity):
+    8-token spans hashed across the corpus; spans appearing in 2+ docs
+    are the removal list boilerplate-dedup applies.
+
+    Exploded-row shape (no HOF slice-recompute: see the dedup module's
+    projection-collapse note): posexplode tokens -> chunk id = i//8 ->
+    order-preserving span rebuild via sort_array(collect_list(
+    struct(i, tok))) per (doc, chunk) -> codegen md5 -> count distinct
+    docs per span hash. Two shuffles, both on uniform hash keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    ex = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    spans = (
+        ex.groupBy("doc_id", F.floor(F.col("i") / 8).alias("j"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    return (
+        spans.select("doc_id", fast_hash(F.col("chunk")).alias("h"))
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "pii_scrub",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact bob' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-' ||
+                       CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+             '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails and phone-shaped tokens
+    (patterns kept to the regex subset with identical Java/RE2
+    semantics — char classes, quantifiers, no lookaround).
+
+    Pure map-side codegen (regexp_count / regexp_replace); at corpus
+    scale this is a free rider on any existing scan. The seeded PII is
+    injected deterministically so the testdata exercises the rules.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    seeded = d.select("doc_id", text.alias("text"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("scrubbed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pixel-query oracles: the px_* outputs are deterministic (fixed-seed
 # fixtures + bit-exact kernels, pinned by tests/test_goldens.py), so
