@@ -1657,24 +1657,12 @@ def hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cardinality sketch at 10^12 scale. The estimate derived
     from these registers is tested against exact distinct in pytest.
     """
-    ev = load_table(spark, sf_dir, "events")
-    h64 = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    # shiftright = integer floor-div by 64: double division of a 60-bit
-    # long loses integer precision above 2^53 (ADVICE r1) — this must
-    # match the oracle's `h64 // 64` bit-for-bit.
-    parts = ev.select(
-        (h64 % 64).alias("bucket"), F.shiftright(h64, 6).alias("w")
-    )
-    rho = F.when(F.col("w") == 0, 55).otherwise(
-        F.lit(55) - F.length(F.bin(F.col("w")))
-    )
-    return parts.groupBy("bucket").agg(
-        F.max(rho).cast("bigint").alias("max_rho")
-    )
+    # Shared with the streaming surface (same registers on a stream in
+    # complete mode — mergeability by MAX). Integer shiftright, not
+    # double division: h64 // 64 must match bit-for-bit (ADVICE r1).
+    from ocr_spark.streaming.pipeline import hll_registers
+
+    return hll_registers(load_table(spark, sf_dir, "events"))
 
 
 @query(

@@ -101,6 +101,33 @@ def events_hourly_windows(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def hll_registers(events: DataFrame) -> DataFrame:
+    """64-register HyperLogLog over user_id (same expression as the
+    batch query hll_user_sketch): bucket = h % 64, register = MAX rank.
+
+    MAX is commutative/idempotent, so the register table is mergeable
+    across partitions, batches, and restarts — on a stream in complete
+    mode the output equals the batch sketch over all data seen so far,
+    which is exactly the property that lets 10^12-row cardinality be
+    tracked with 64 longs per key. Batch/stream parity is pinned in
+    tests/test_streaming.py.
+    """
+    h64 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    parts = events.select(
+        (h64 % 64).alias("bucket"), F.shiftright(h64, 6).alias("w")
+    )
+    rho = F.when(F.col("w") == 0, 55).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("w")))
+    )
+    return parts.groupBy("bucket").agg(
+        F.max(rho).cast("bigint").alias("max_rho")
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )

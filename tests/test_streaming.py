@@ -222,3 +222,41 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path_factory):
         assert got2[f"2024-01-01 0{h}:00:00"] == 1
     # each window emitted exactly once
     assert len(got2) == spark.read.parquet(out).count()
+
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path_factory):
+    """Sketch mergeability on a stream: the MAX-merged register table
+    in complete mode equals the batch sketch over the same events —
+    delivered across two availableNow waves to prove cross-batch
+    merging, not just one-shot aggregation."""
+    root = tmp_path_factory.mktemp("hll_stream")
+    src, ckpt = str(root / "src"), str(root / "ckpt")
+    os.makedirs(src)
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    a.write.mode("append").parquet(src)
+
+    stream = sp.hll_registers(sp.events_stream(spark, src))
+
+    def drain(name):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    drain("hll1")
+    b.write.mode("append").parquet(src)
+    drain("hll2")
+
+    got = {
+        (r.bucket, r.max_rho) for r in spark.sql("SELECT * FROM hll2").collect()
+    }
+    want = {(r.bucket, r.max_rho) for r in sp.hll_registers(events).collect()}
+    assert got == want and len(want) > 0
