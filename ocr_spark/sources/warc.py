@@ -1,0 +1,169 @@
+"""WARC (Web ARChive) source — the container format Common Crawl
+actually ships (ISO 28500): a concatenation of records, each a header
+block (``WARC/1.0`` + name:value lines), CRLF CRLF, a Content-Length
+byte payload, CRLF CRLF.
+
+Reader contract: ``read_warc(spark, path)`` -> one row per *response*
+record ``(url, warc_ts, html, warc_file, record_offset)`` — exactly the
+input_hint page-table shape plus provenance columns for lineage.
+Parsing walks Content-Length (never regex-splits the payload, which is
+binary and can contain anything, including "WARC/1.0"). A malformed
+record ends its file's parse and emits a dead-letter row (error column)
+instead of failing the task — at 10^12 records one truncated file must
+never kill a stage.
+
+Scale shape: the unit of parallelism is the WARC file — a real crawl is
+tens of thousands of ~1 GiB files, so ``binaryFile`` + mapInPandas
+(one file per Arrow batch row) keeps every executor on whole files with
+zero shuffle. For multi-GiB members a production build would swap the
+per-file load for a range-reading datasource; the row contract is
+unchanged.
+
+The writer exists to build deterministic fixtures (same policy as
+functions/pdf_extract.make_pdf) and round-trips bit-exactly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CRLF = b"\r\n"
+
+
+def make_warc(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Build a WARC/1.0 byte stream from (url, iso_ts, html) triples.
+
+    Each record is a ``response`` with an HTTP/1.1 header; the stored
+    Content-Length covers the full HTTP block, per the spec.
+    """
+    out = bytearray()
+    for url, ts, html in records:
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/html" + CRLF
+            + b"Content-Length: " + str(len(html)).encode() + CRLF
+            + CRLF
+            + html
+        )
+        hdr = (
+            b"WARC/1.0" + CRLF
+            + b"WARC-Type: response" + CRLF
+            + b"WARC-Target-URI: " + url.encode() + CRLF
+            + b"WARC-Date: " + ts.encode() + CRLF
+            + b"Content-Type: application/http; msgtype=response" + CRLF
+            + b"Content-Length: " + str(len(http)).encode() + CRLF
+            + CRLF
+        )
+        out += hdr + http + CRLF + CRLF
+    return bytes(out)
+
+
+def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
+    """All response records of one WARC byte stream.
+
+    Returns dicts (url, warc_ts, html, warc_file, record_offset,
+    error); on a malformed record one error row is emitted and the rest
+    of the file is skipped (offsets are unrecoverable without the
+    length chain).
+    """
+    rows: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos : pos + 5] != b"WARC/":
+            rows.append(_dead(filename, pos, "bad magic"))
+            break
+        hdr_end = buf.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            rows.append(_dead(filename, pos, "truncated header"))
+            break
+        headers: dict[str, str] = {}
+        for line in buf[pos:hdr_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            rows.append(_dead(filename, pos, "missing content-length"))
+            break
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n:
+            rows.append(_dead(filename, pos, "truncated body"))
+            break
+        if headers.get("warc-type") == "response":
+            body = buf[body_start:body_end]
+            # strip the HTTP header block; payload follows CRLFCRLF
+            sep = body.find(CRLF + CRLF)
+            html = body[sep + 4 :] if sep >= 0 else body
+            ts = headers.get("warc-date", "")
+            try:
+                warc_ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                warc_ts = warc_ts.astimezone(timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                warc_ts = None
+            rows.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_ts": warc_ts,
+                    "html": html,
+                    "warc_file": filename,
+                    "record_offset": pos,
+                    "error": None,
+                }
+            )
+        pos = body_end + 4  # past the record's closing CRLF CRLF
+    return rows
+
+
+def _dead(filename: str, pos: int, why: str) -> dict:
+    return {
+        "url": None,
+        "warc_ts": None,
+        "html": None,
+        "warc_file": filename,
+        "record_offset": pos,
+        "error": why,
+    }
+
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("warc_file", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under ``path`` -> page rows (one task per file)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                out.extend(parse_warc(bytes(content), fname))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)

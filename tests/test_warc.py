@@ -1,0 +1,65 @@
+"""WARC container source: roundtrip, binary-safety, dead-letters, and
+the WARC -> extraction integration path."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.warc import make_warc, parse_warc, read_warc
+
+RECS = [
+    ("https://a.example/1", "2024-01-02T03:04:05Z", b"<html><body>alpha</body></html>"),
+    ("https://b.example/2", "2024-01-02T03:04:06Z", b"<html>beta \xff\x00 bin</html>"),
+    # payload containing a fake record magic — must NOT split the record
+    ("https://c.example/3", "2024-01-02T03:04:07Z", b"WARC/1.0\r\n\r\nnot a record"),
+]
+
+
+def test_roundtrip_parse():
+    rows = parse_warc(make_warc(RECS), "f.warc")
+    assert [r["url"] for r in rows] == [u for u, _, _ in RECS]
+    assert [r["html"] for r in rows] == [h for _, _, h in RECS]
+    assert all(r["error"] is None for r in rows)
+    assert rows[0]["warc_ts"].isoformat() == "2024-01-02T03:04:05"
+    assert rows[1]["record_offset"] > 0
+
+
+def test_truncated_file_dead_letters():
+    buf = make_warc(RECS)[:-40]  # cut into the last record's body
+    rows = parse_warc(buf, "t.warc")
+    good = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["error"] == "truncated body"
+    rows2 = parse_warc(b"GARBAGE" + make_warc(RECS), "g.warc")
+    assert rows2[0]["error"] == "bad magic" and len(rows2) == 1
+
+
+def test_spark_reader_and_extraction(spark, tmp_path_factory):
+    from ocr_spark.operators.extract import with_main_text
+
+    d = str(tmp_path_factory.mktemp("warc"))
+    # two files -> two parallel parse tasks
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(make_warc(RECS[:2]))
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(make_warc(RECS[2:]))
+    pages = read_warc(spark, d)
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {u for u, _, _ in RECS}
+    assert bytes(rows["https://b.example/2"].html) == RECS[1][2]
+    assert all(r.error is None for r in rows.values())
+    # provenance columns carried per record (file + byte offset)
+    assert {os.path.basename(r.warc_file) for r in rows.values()} == {
+        "a.warc",
+        "b.warc",
+    }
+    assert all(r.record_offset >= 0 for r in rows.values())
+
+    # integration: WARC rows feed the extraction UDF unchanged
+    out = with_main_text(
+        pages.where(F.col("error").isNull()).select("url", "html")
+    ).collect()
+    assert {r.url for r in out} == {u for u, _, _ in RECS}
