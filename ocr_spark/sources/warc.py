@@ -70,6 +70,36 @@ def make_warc(records: list[tuple[str, str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def gzip_members(records: list[tuple[str, str, bytes]]) -> bytes:
+    """A .warc.gz stream: each record its own gzip member (the Common
+    Crawl layout — member boundaries let a range request decompress one
+    record without its neighbors)."""
+    import gzip
+
+    out = bytearray()
+    for rec in records:
+        out += gzip.compress(make_warc([rec]), 6)
+    return bytes(out)
+
+
+def _maybe_gunzip(buf: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (or pass through plain)."""
+    if buf[:2] != b"\x1f\x8b":
+        return buf
+    import zlib
+
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(buf[pos:])
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
 def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
     """All response records of one WARC byte stream.
 
@@ -78,6 +108,7 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
     of the file is skipped (offsets are unrecoverable without the
     length chain).
     """
+    buf = _maybe_gunzip(buf)
     rows: list[dict] = []
     pos = 0
     n = len(buf)

@@ -63,3 +63,19 @@ def test_spark_reader_and_extraction(spark, tmp_path_factory):
         pages.where(F.col("error").isNull()).select("url", "html")
     ).collect()
     assert {r.url for r in out} == {u for u, _, _ in RECS}
+
+
+def test_gzipped_warc_members(spark, tmp_path_factory):
+    """.warc.gz: one gzip member per record (the Common Crawl layout);
+    the reader transparently decompresses the multi-member stream."""
+    from ocr_spark.sources.warc import gzip_members
+
+    d = str(tmp_path_factory.mktemp("warcgz"))
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(gzip_members(RECS))
+    rows = {r.url: r for r in read_warc(spark, d).collect()}
+    assert set(rows) == {u for u, _, _ in RECS}
+    assert bytes(rows["https://c.example/3"].html) == RECS[2][2]
+    assert all(r.error is None for r in rows.values())
+    # plain parse of the gz bytes also works (unit path)
+    assert len(parse_warc(gzip_members(RECS), "x")) == 3
