@@ -88,11 +88,15 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)
 
     # extraction throughput headline: parquet scan -> DOM extraction -> sink.
-    # Size splits so read parallelism reflects the page files (a binary-
-    # heavy 90 MB corpus collapses into ~1 split at the 128 MiB default —
-    # on a real cluster reading thousands of WARC-derived files the split
-    # count comes for free; here we pin it).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
+    # Split sizing: the default 128 MiB collapses the binary-heavy corpus
+    # into ~3 splits (starving 32 cores), while 2 MiB made 192 tiny tasks
+    # whose fixed per-python-task cost (~150 ms even for an identity
+    # Arrow UDF — measured, parallelizes across cores but still ~45% of
+    # wall at 125 pages/task) dominated. 8 MiB = 64 tasks = 2 balanced
+    # waves of 32 with ~375 pages (~340 ms compute) per task: measured
+    # 2.04s -> 1.53s on an A/B/A/B quiet-box run. Same ≥seconds-of-work-
+    # per-task rule a real cluster uses.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     pages = spark.read.parquet(corpus_path)
     _noop_sink(with_main_text(pages).select("url", "extracted"))  # warm
     ext_samples = []
