@@ -154,6 +154,7 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                     "html": html,
                     "warc_file": filename,
                     "record_offset": pos,
+                    "record_length": body_end + 4 - pos,
                     "error": None,
                 }
             )
@@ -168,6 +169,7 @@ def _dead(filename: str, pos: int, why: str) -> dict:
         "html": None,
         "warc_file": filename,
         "record_offset": pos,
+        "record_length": 0,
         "error": why,
     }
 
@@ -179,6 +181,7 @@ WARC_SCHEMA = StructType(
         StructField("html", BinaryType()),
         StructField("warc_file", StringType()),
         StructField("record_offset", LongType()),
+        StructField("record_length", LongType()),
         StructField("error", StringType()),
     ]
 )
@@ -198,3 +201,53 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+def warc_index(pages: DataFrame) -> DataFrame:
+    """CDX-style lookup index from parsed pages: (url, warc_file,
+    record_offset, record_length).
+
+    This is the Common Crawl access pattern: the index (tiny — 4
+    scalars per page) is the only thing a url-lookup service scans;
+    the WARC payload bytes are fetched later by RANGE READS of exactly
+    the records needed (read_warc_ranges). Offsets address the
+    UNCOMPRESSED stream; for .warc.gz the writer-side member index
+    plays this role (CC's cluster.idx), same contract.
+    """
+    from pyspark.sql import functions as F
+
+    return pages.where(F.col("error").isNull()).select(
+        "url", "warc_file", "record_offset", "record_length"
+    )
+
+
+def read_warc_ranges(spark: SparkSession, index: DataFrame) -> DataFrame:
+    """Fetch ONLY the indexed records: seek to each (file, offset) and
+    parse record_length bytes — no full-file scans.
+
+    The executor-side open+seek touches record_length bytes per row
+    (a few KB) regardless of WARC file size, so point lookups over a
+    petabyte crawl cost O(rows requested). Rows stay partitioned as
+    the index was; repartitioning by warc_file first turns random
+    seeks into mostly-sequential per-file access when fetching many
+    records.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for f, off, ln in zip(
+                pdf["warc_file"], pdf["record_offset"], pdf["record_length"]
+            ):
+                path = f[len("file:") :] if f.startswith("file:") else f
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    recs = parse_warc(fh.read(int(ln)), f)
+                for r in recs:  # offsets are file-absolute for lineage
+                    r["record_offset"] += int(off)
+                out.extend(recs)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return index.mapInPandas(run, WARC_SCHEMA)

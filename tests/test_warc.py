@@ -79,3 +79,26 @@ def test_gzipped_warc_members(spark, tmp_path_factory):
     assert all(r.error is None for r in rows.values())
     # plain parse of the gz bytes also works (unit path)
     assert len(parse_warc(gzip_members(RECS), "x")) == 3
+
+
+def test_cdx_index_range_reads(spark, tmp_path_factory):
+    """CDX pattern: build the (url, file, offset, length) index once,
+    then fetch SPECIFIC records by byte-range seek — no full-file
+    parse on the lookup path."""
+    from ocr_spark.sources.warc import read_warc_ranges, warc_index
+
+    d = str(tmp_path_factory.mktemp("warc_cdx"))
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(make_warc(RECS))
+    pages = read_warc(spark, d)
+    idx = warc_index(pages)
+    assert idx.columns == ["url", "warc_file", "record_offset", "record_length"]
+    want_urls = {RECS[0][0], RECS[2][0]}
+    sel = idx.where(F.col("url").isin(list(want_urls)))
+    got = {r.url: r for r in read_warc_ranges(spark, sel).collect()}
+    assert set(got) == want_urls
+    assert bytes(got[RECS[2][0]].html) == RECS[2][2]
+    assert all(r.error is None for r in got.values())
+    # offsets in the fetched rows stay file-absolute
+    full = {r.url: r.record_offset for r in pages.collect()}
+    assert all(got[u].record_offset == full[u] for u in want_urls)
