@@ -92,7 +92,12 @@ def _maybe_gunzip(buf: bytes) -> bytes:
     pos = 0
     while pos < len(buf):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(buf[pos:])
+        try:
+            out += d.decompress(buf[pos:])
+        except zlib.error:
+            # trailing garbage / truncated member: keep what decoded;
+            # the record parser dead-letters the cut-off tail
+            break
         consumed = len(buf) - pos - len(d.unused_data)
         if consumed <= 0:
             break

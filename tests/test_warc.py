@@ -102,3 +102,20 @@ def test_cdx_index_range_reads(spark, tmp_path_factory):
     # offsets in the fetched rows stay file-absolute
     full = {r.url: r.record_offset for r in pages.collect()}
     assert all(got[u].record_offset == full[u] for u in want_urls)
+
+
+def test_gz_trailing_garbage_dead_letters():
+    """Garbage after the last gzip member must not kill the task: the
+    decoded prefix parses, the tail dead-letters."""
+    from ocr_spark.sources.warc import gzip_members
+
+    buf = gzip_members(RECS[:2]) + b"\x1f\x8bGARBAGE-NOT-A-MEMBER"
+    rows = parse_warc(buf, "g.warc.gz")
+    good = [r for r in rows if r["error"] is None]
+    assert [r["url"] for r in good] == [u for u, _, _ in RECS[:2]]
+    # truncated member mid-stream: earlier members still decode
+    cut = gzip_members(RECS)
+    rows2 = parse_warc(cut[: len(cut) - 25], "c.warc.gz")
+    assert [r["url"] for r in rows2 if r["error"] is None] == [
+        u for u, _, _ in RECS[:2]
+    ]
