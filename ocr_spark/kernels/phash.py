@@ -1,0 +1,76 @@
+"""Perceptual image hash (pHash, DCT variant) — the image-side
+near-duplicate fingerprint (the reference has no hashing; this is the
+multimodal tier of the training-data extension layer, same role as
+SimHash for text).
+
+Classic construction (public domain algorithm, e.g. the pHash project
+and ImageHash library descriptions): downsample to 32x32 by area mean,
+2D DCT-II, keep the 8x8 lowest-frequency block, drop the DC term, set
+bit_i = coefficient_i > median(AC coefficients). 64 bits; small content
+edits (brightness, contrast, noise, resize) flip few bits, unrelated
+images are ~32 bits apart.
+
+Determinism: everything is float64 with exact-shape matmuls — no
+library DCT — so the hash is bit-stable across runs/platforms for a
+given array, which is what lets the Spark query carry a literal-VALUES
+oracle (tools/gen_px_oracles.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N = 32
+_K = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n x n), float64."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+_DCT = _dct_matrix(_N)
+
+
+def area_resize(arr: np.ndarray, n: int = _N) -> np.ndarray:
+    """Deterministic area-mean downsample to n x n (float64).
+
+    Splits rows/cols into n nearly-equal contiguous bands (the same
+    integer boundaries numpy's array_split uses) and averages each
+    cell — monotone, exact, no interpolation kernel to disagree about.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape
+    yb = np.linspace(0, h, n + 1).astype(np.int64)
+    xb = np.linspace(0, w, n + 1).astype(np.int64)
+    # guard degenerate dims (h or w < n): repeat edge boundaries merge
+    out = np.empty((n, n), dtype=np.float64)
+    for i in range(n):
+        y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
+        row = a[min(y0, h - 1) : min(y1, h), :]
+        for j in range(n):
+            x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
+            out[i, j] = row[:, min(x0, w - 1) : min(x1, w)].mean()
+    return out
+
+
+def phash(arr: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale array."""
+    small = area_resize(arr, _N)
+    freq = _DCT @ small @ _DCT.T
+    block = freq[:_K, :_K].ravel()
+    ac = block[1:]  # drop DC
+    med = float(np.median(ac))
+    bits = 0
+    for i, c in enumerate(ac):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -314,3 +314,101 @@ def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
         "media_meta",
         F.struct("kind", "width", "height", "n_frames", "sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (the multimodal tier of the dedup family)
+# ---------------------------------------------------------------------------
+
+def with_phash(
+    df: DataFrame, img_col: str = "img", h_col: str = "h", w_col: str = "w"
+) -> DataFrame:
+    """Add a 64-bit perceptual hash column (`ph`, long) per image row.
+
+    One Arrow batch pass (raw float32 frames decoded worker-side); the
+    hash itself is kernels/phash.phash — deterministic float64 DCT, so
+    downstream plans can carry literal oracles.
+    """
+    from ocr_spark.kernels.phash import phash
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields) + ", ph long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for buf, hh, ww in zip(pdf[img_col], pdf[h_col], pdf[w_col]):
+                arr = np.frombuffer(bytes(buf), np.float32).reshape(
+                    int(hh), int(ww)
+                )
+                hs.append(phash(arr))
+            pdf = pdf.copy()
+            pdf["ph"] = pd.Series(hs, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+PHASH_BANDS = 8
+PHASH_BAND_BITS = 8
+
+
+def phash_pairs(
+    df: DataFrame,
+    id_col: str = "key",
+    img_col: str = "img",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: (img_a, img_b, hamming)
+    with hamming <= max_hamming.
+
+    Same pigeonhole banding as text SimHash (operators/dedup): 8
+    eight-bit bands over the 64-bit hash — any pair within Hamming 7
+    shares at least one exact band, so the bucket equi-join has no
+    false negatives at the threshold; exact Hamming verifies. The UDF
+    runs once per image; all pair mining is JVM codegen.
+    """
+    hashed = with_phash(df, img_col=img_col).select(
+        F.col(id_col).alias("id"), "ph"
+    )
+    bands = hashed.select(
+        "id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ph"), b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("nib"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bn"),
+    ).select("id", "ph", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("img_a"),
+            F.col("b.id").alias("img_b"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "img_a",
+            "img_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

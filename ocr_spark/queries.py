@@ -1884,6 +1884,29 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < expr).select("doc_id", "lang")
 
 
+@query("px_phash_neardup")
+def px_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual-hash (DCT pHash) pair mining over
+    image rows — brightness/contrast-shifted rescans of the same page
+    collide, different pages don't. UDF hashes once per image; pair
+    mining is the same pigeonhole band join as text SimHash.
+    Deterministic fixtures -> literal-VALUES oracle."""
+    import numpy as np
+
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.multimodal import phash_pairs
+    from ocr_spark.operators.stages import img_to_bytes
+
+    rows = []
+    for k in range(6):
+        base = fixtures.shaded(64, 96, 42, k).astype(np.float32)
+        rows.append((k, img_to_bytes(base), 64, 96))
+        shifted = np.clip(base + 7.0, 0, 255).astype(np.float32)
+        rows.append((k + 10, img_to_bytes(shifted), 64, 96))
+    df = spark.createDataFrame(rows, "key int, img binary, h int, w int")
+    return phash_pairs(df)
+
+
 @query(
     "url_canonical_dedup",
     """

@@ -88,3 +88,39 @@ def test_image_features_permissive_dead_letter(spark, media):
     oks = [r for r in rows if r.error is None]
     assert len(errs) == 1 and len(oks) == 2
     assert errs[0].mean is None
+
+
+def test_phash_invariance_and_separation():
+    import numpy as np
+
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.kernels.phash import hamming64, phash
+
+    base = fixtures.shaded(64, 96, 42, 1).astype(np.float32)
+    h0 = phash(base)
+    # perceptual edits stay close
+    assert hamming64(h0, phash(np.clip(base + 9, 0, 255))) <= 4
+    assert hamming64(h0, phash(np.clip(base * 1.08, 0, 255))) <= 4
+    # a true 2x upscale of the SAME content is near-identical
+    up = np.kron(base, np.ones((2, 2), dtype=np.float32))
+    assert hamming64(h0, phash(up)) <= 4
+    # different content is far
+    other = fixtures.shaded(64, 96, 42, 5).astype(np.float32)
+    assert hamming64(h0, phash(other)) >= 12
+
+
+def test_phash_pairs_spark(spark):
+    import numpy as np
+
+    from ocr_spark.kernels import fixtures
+    from ocr_spark.operators.multimodal import phash_pairs
+    from ocr_spark.operators.stages import img_to_bytes
+
+    rows = []
+    for k in range(4):
+        base = fixtures.shaded(48, 64, 42, k).astype(np.float32)
+        rows.append((k, img_to_bytes(base), 48, 64))
+        rows.append((k + 10, img_to_bytes(np.clip(base + 6, 0, 255)), 48, 64))
+    df = spark.createDataFrame(rows, "key int, img binary, h int, w int")
+    got = {(r.img_a, r.img_b) for r in phash_pairs(df).collect()}
+    assert got == {(k, k + 10) for k in range(4)}
