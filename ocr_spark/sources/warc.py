@@ -245,6 +245,17 @@ def read_warc_ranges(spark: SparkSession, index: DataFrame) -> DataFrame:
                 pdf["warc_file"], pdf["record_offset"], pdf["record_length"]
             ):
                 path = f[len("file:") :] if f.startswith("file:") else f
+                if path.endswith(".gz"):
+                    # index offsets address the UNCOMPRESSED stream; a
+                    # raw seek into a .gz would read mid-member garbage.
+                    # CC solves this with a compressed-member index
+                    # (cluster.idx); refuse loudly rather than
+                    # dead-letter silently.
+                    raise ValueError(
+                        "read_warc_ranges: range reads over .warc.gz "
+                        "need a gzip-member index (offsets here address "
+                        "the uncompressed stream)"
+                    )
                 with open(path, "rb") as fh:
                     fh.seek(int(off))
                     recs = parse_warc(fh.read(int(ln)), f)

@@ -119,3 +119,16 @@ def test_gz_trailing_garbage_dead_letters():
     assert [r["url"] for r in rows2 if r["error"] is None] == [
         u for u, _, _ in RECS[:2]
     ]
+
+
+def test_range_reads_refuse_gz(spark, tmp_path_factory):
+    from ocr_spark.sources.warc import gzip_members, read_warc_ranges, warc_index
+
+    d = str(tmp_path_factory.mktemp("warc_gz_refuse"))
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(gzip_members(RECS))
+    idx = warc_index(read_warc(spark, d))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="gzip-member index"):
+        read_warc_ranges(spark, idx).collect()
