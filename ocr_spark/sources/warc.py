@@ -82,6 +82,42 @@ def gzip_members(records: list[tuple[str, str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def parse_warc_auto(buf: bytes, filename: str = "") -> list[dict]:
+    """Dispatch: gzipped streams parse member-by-member so that each
+    row's (record_offset, record_length) address the COMPRESSED member
+    — the contract CC's cluster.idx uses, which is what makes
+    read_warc_ranges work on .warc.gz (seek, read the member, gunzip,
+    parse). Plain streams parse directly with byte offsets."""
+    if buf[:2] != b"\x1f\x8b":
+        return parse_warc(buf, filename)
+    import zlib
+
+    rows: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"\x1f\x8b":
+            rows.append(_dead(filename, pos, "bad gzip magic"))
+            break
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            plain = d.decompress(buf[pos:])
+        except zlib.error:
+            rows.append(_dead(filename, pos, "corrupt gzip member"))
+            break
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0 or not d.eof:
+            rows.append(_dead(filename, pos, "truncated gzip member"))
+            break
+        for r in parse_warc(plain, filename):
+            if r["error"] is None:
+                r["record_offset"] = pos
+                r["record_length"] = consumed
+            rows.append(r)
+        pos += consumed
+    return rows
+
+
 def _maybe_gunzip(buf: bytes) -> bytes:
     """Decompress a multi-member gzip stream (or pass through plain)."""
     if buf[:2] != b"\x1f\x8b":
@@ -200,7 +236,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                out.extend(parse_warc(bytes(content), fname))
+                out.extend(parse_warc_auto(bytes(content), fname))
             yield pd.DataFrame(
                 out, columns=[f.name for f in WARC_SCHEMA.fields]
             )
@@ -232,10 +268,12 @@ def read_warc_ranges(spark: SparkSession, index: DataFrame) -> DataFrame:
 
     The executor-side open+seek touches record_length bytes per row
     (a few KB) regardless of WARC file size, so point lookups over a
-    petabyte crawl cost O(rows requested). Rows stay partitioned as
-    the index was; repartitioning by warc_file first turns random
-    seeks into mostly-sequential per-file access when fetching many
-    records.
+    petabyte crawl cost O(rows requested). Works on both plain WARC
+    (byte offsets) and .warc.gz (offsets address the gzip MEMBER, the
+    cluster.idx contract — the fetched member is decompressed and
+    parsed in isolation). Rows stay partitioned as the index was;
+    repartitioning by warc_file first turns random seeks into
+    mostly-sequential per-file access when fetching many records.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,20 +283,9 @@ def read_warc_ranges(spark: SparkSession, index: DataFrame) -> DataFrame:
                 pdf["warc_file"], pdf["record_offset"], pdf["record_length"]
             ):
                 path = f[len("file:") :] if f.startswith("file:") else f
-                if path.endswith(".gz"):
-                    # index offsets address the UNCOMPRESSED stream; a
-                    # raw seek into a .gz would read mid-member garbage.
-                    # CC solves this with a compressed-member index
-                    # (cluster.idx); refuse loudly rather than
-                    # dead-letter silently.
-                    raise ValueError(
-                        "read_warc_ranges: range reads over .warc.gz "
-                        "need a gzip-member index (offsets here address "
-                        "the uncompressed stream)"
-                    )
                 with open(path, "rb") as fh:
                     fh.seek(int(off))
-                    recs = parse_warc(fh.read(int(ln)), f)
+                    recs = parse_warc_auto(fh.read(int(ln)), f)
                 for r in recs:  # offsets are file-absolute for lineage
                     r["record_offset"] += int(off)
                 out.extend(recs)

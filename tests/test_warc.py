@@ -121,14 +121,23 @@ def test_gz_trailing_garbage_dead_letters():
     ]
 
 
-def test_range_reads_refuse_gz(spark, tmp_path_factory):
+def test_range_reads_on_gz_members(spark, tmp_path_factory):
+    """.warc.gz range reads: the index rows address COMPRESSED member
+    extents (the cluster.idx contract), so a seek+read+gunzip of one
+    member fetches exactly one record."""
     from ocr_spark.sources.warc import gzip_members, read_warc_ranges, warc_index
 
-    d = str(tmp_path_factory.mktemp("warc_gz_refuse"))
+    d = str(tmp_path_factory.mktemp("warc_gz_ranges"))
     with open(os.path.join(d, "a.warc.gz"), "wb") as f:
         f.write(gzip_members(RECS))
-    idx = warc_index(read_warc(spark, d))
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="gzip-member index"):
-        read_warc_ranges(spark, idx).collect()
+    pages = read_warc(spark, d)
+    idx = warc_index(pages)
+    # member extents tile the file: offsets ascend, lengths sum to size
+    ext = sorted((r.record_offset, r.record_length) for r in idx.collect())
+    size = os.path.getsize(os.path.join(d, "a.warc.gz"))
+    assert ext[0][0] == 0 and sum(l for _, l in ext) == size
+    assert all(ext[i][0] + ext[i][1] == ext[i + 1][0] for i in range(len(ext) - 1))
+    sel = idx.where(F.col("url") == RECS[1][0])
+    got = read_warc_ranges(spark, sel).collect()
+    assert len(got) == 1 and bytes(got[0].html) == RECS[1][2]
+    assert got[0].error is None
