@@ -499,12 +499,16 @@ def cosine_neardup_pairs(
     direction p, where theta_p(x) = arccos(cos(x, pivot_p)). Bucketing
     each vector at floor(theta_p / W) per pivot, any qualifying pair is
     within +-1 bucket in every pivot coordinate — so an equi-join on
-    the band key (one side probing the 2^m upper-adjacent offset
-    combos, least/greatest id dedup) has NO false negatives at any
-    threshold, unlike sign-LSH probing: measured on the sf0.01
-    embeddings, Hamming<=1 over the 8-plane sketch finds only 15 of the
-    59 qualifying pairs at t=0.4 (their Hamming distribution runs to 7),
-    which is why the r1-suggested LSH prune is NOT shipped.
+    the band key, with one side probing ALL 3^m {-1,0,+1} offset
+    combos, has NO false negatives at any threshold. (The offsets must
+    cover both signs per pivot: with m >= 2 a pair's bucket deltas can
+    be MIXED, e.g. +1 on pivot 1 and -1 on pivot 2, which an upper-
+    only {0,1}^m probe set misses in both join roles — caught by the
+    random-config recall test.) This is unlike sign-LSH probing:
+    measured on the sf0.01 embeddings, Hamming<=1 over the 8-plane
+    sketch finds only 15 of the 59 qualifying pairs at t=0.4 (their
+    Hamming distribution runs to 7), which is why the r1-suggested LSH
+    prune is NOT shipped.
 
     Scale shape: theta computation is one codegen pass (no shuffle);
     candidates come from a shuffle hash equi-join on band keys instead
@@ -550,7 +554,7 @@ def cosine_neardup_pairs(
                     for p in range(n_pivots)
                 ],
             )
-            for off in itertools.product((0, 1), repeat=n_pivots)
+            for off in itertools.product((-1, 0, 1), repeat=n_pivots)
         ]
     )
     probe = v.select("id", F.explode(probe_keys).alias("key"))
@@ -558,11 +562,11 @@ def cosine_neardup_pairs(
         home.alias("a")
         .join(
             probe.alias("b"),
-            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") != F.col("b.id")),
+            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("vec_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("vec_b"),
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
         )
         .distinct()
     )

@@ -309,3 +309,33 @@ def test_ccl_matches_flood_fill_oracle():
         np.eye(6, dtype=bool),
     ):
         assert label_boxes(m) == _flood_fill_boxes(m)
+
+
+def test_banded_neardup_random_configs_exact_recall(spark):
+    """Exact-recall property across random dims/thresholds/pivot
+    counts: the pivot-band join equals all-pairs on every config."""
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        dim = int(rng.choice([8, 16, 32]))
+        thr = float(rng.choice([0.3, 0.5, 0.7, 0.9]))
+        npiv = int(rng.choice([1, 2, 3]))
+        rows = []
+        for i in range(50):
+            v = rng.normal(size=dim)
+            rows.append((i, [float(x) for x in v]))
+        # plant a few correlated vectors
+        base = np.array(rows[0][1])
+        for j, eps in ((40, 0.05), (41, 0.4), (42, 1.0)):
+            rows[j] = (j, [float(x) for x in base + rng.normal(size=dim) * eps])
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r.vec_a, r.vec_b, r.cos)
+            for r in cosine_neardup_pairs(
+                vecs, threshold=thr, dim=dim, n_pivots=npiv
+            ).collect()
+        }
+        want = {
+            (r.vec_a, r.vec_b, r.cos)
+            for r in cosine_neardup_pairs_allpairs(vecs, threshold=thr).collect()
+        }
+        assert got == want, (trial, dim, thr, npiv)

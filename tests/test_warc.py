@@ -141,3 +141,26 @@ def test_range_reads_on_gz_members(spark, tmp_path_factory):
     got = read_warc_ranges(spark, sel).collect()
     assert len(got) == 1 and bytes(got[0].html) == RECS[1][2]
     assert got[0].error is None
+
+
+def test_parser_never_raises_fuzz():
+    """Any byte-level corruption (truncation at every boundary region,
+    bit flips, garbage prefixes) must yield rows + dead-letters, never
+    an exception — one bad record cannot kill a 10^12-row stage."""
+    import numpy as np
+
+    from ocr_spark.sources.warc import gzip_members, parse_warc_auto
+
+    rng = np.random.default_rng(7)
+    plain = make_warc(RECS)
+    gz = gzip_members(RECS)
+    for buf in (plain, gz):
+        for cut in range(0, len(buf), 37):
+            rows = parse_warc_auto(buf[:cut], "fz")
+            assert isinstance(rows, list)
+        for _ in range(60):
+            b = bytearray(buf)
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            rows = parse_warc_auto(bytes(b), "flip")
+            assert isinstance(rows, list)
