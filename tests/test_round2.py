@@ -339,3 +339,42 @@ def test_banded_neardup_random_configs_exact_recall(spark):
             for r in cosine_neardup_pairs_allpairs(vecs, threshold=thr).collect()
         }
         assert got == want, (trial, dim, thr, npiv)
+
+
+def test_jaccard_prefix_filter_exact_recall_random(spark):
+    """ppjoin prefix-filter recall property: on random corpora the
+    inverted-index join must find EXACTLY the brute-force J>=0.5 pairs
+    (the prefix bound is a theorem, but the implementation's row
+    numbering/ordering is what this guards)."""
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(3, 14))
+        docs.append((i, " ".join(rng.choice(vocab, size=n))))
+    # planted: doc 40/41 share most tokens with doc 0
+    toks0 = docs[0][1].split(" ")
+    docs.append((40, " ".join(toks0 + ["w29"])))
+    docs.append((41, " ".join(toks0[:-1] + ["w28", "w27"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_ngram_pairs(df, threshold=0.5).collect()
+    }
+
+    # brute force over distinct trigram sets
+    def tri(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            a, b = tri(ta), tri(tb)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if round(j, 4) >= 0.5:
+                lo, hi = min(ia, ib), max(ia, ib)
+                want[(lo, hi)] = j
+    assert set(got) == set(want), (set(got) ^ set(want))
