@@ -1884,6 +1884,75 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < expr).select("doc_id", "lang")
 
 
+@query(
+    "warc_roundtrip_extract",
+    """
+    SELECT doc_id,
+           'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+               || CAST(doc_id AS VARCHAR) AS url,
+           text AS extracted
+    FROM documents
+    """,
+)
+def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full container path: documents -> HTML page -> WARC/1.0 record
+    bytes (JVM string/binary exprs — headers, HTTP block, exact
+    Content-Lengths) -> record parser -> DOM-density extraction.
+
+    Proves the WARC layer byte-preserves payloads end-to-end: the
+    oracle demands the ORIGINAL text per url after two encodes and two
+    parses. Record synthesis is pure codegen (the docs are ASCII, so
+    char length == byte length); the parser and extractor are the same
+    production code paths sources/warc.py and functions/html_extract.py
+    run over real crawl files.
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.operators.extract import documents_as_pages, with_main_text
+    from ocr_spark.sources.warc import parse_warc
+
+    pages = documents_as_pages(load_table(spark, sf_dir, "documents"))
+    html_s = F.col("html").cast("string")
+    crlf = "\r\n"
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf),
+        F.lit("Content-Length: "),
+        F.octet_length("html").cast("string"),
+        F.lit(crlf + crlf),
+        html_s,
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: "),
+        F.col("url"),
+        F.lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf),
+        F.lit("Content-Type: application/http; msgtype=response" + crlf),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit(crlf + crlf),
+        http,
+        F.lit(crlf + crlf),
+    ).cast("binary")
+    encoded = pages.select("doc_id", rec.alias("warc"))
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            urls, htmls = [], []
+            for buf in pdf["warc"]:
+                rows = parse_warc(bytes(buf), "inline")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                urls.append(rows[0]["url"])
+                htmls.append(rows[0]["html"])
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "url": urls, "html": htmls}
+            )
+
+    parsed = encoded.mapInPandas(parse, "doc_id long, url string, html binary")
+    return with_main_text(parsed).select("doc_id", "url", "extracted")
+
+
 @query("px_phash_neardup")
 def px_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash (DCT pHash) pair mining over
