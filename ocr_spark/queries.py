@@ -1715,6 +1715,69 @@ def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_token_filter",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT rr.r AS salt,
+             ({_duck_md5hash64("CAST(rr.r AS VARCHAR) || '|' || tok")}) % 512
+               AS b
+      FROM toks CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+    )
+    SELECT CAST(b // 32 AS BIGINT) AS word,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INTEGER)) AS BIGINT)
+             AS bits
+    FROM bits GROUP BY 1
+    """,
+)
+def bloom_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter over the distinct token set: 512 bits as
+    16 32-bit words (shifts stay under either engine's sign bit), 3
+    salted hashes per token — the third mergeable-sketch
+    primitive (HLL = cardinality, CMS = frequency, Bloom = membership).
+
+    bit_or is commutative/idempotent, so the filter merges across
+    partitions, shards, and days with plain aggregation — the shape
+    that lets a 10^12-token corpus keep an incremental "have we seen
+    this token/url" filter. No false negatives by construction
+    (pytest); fp rate follows the standard (1-e^(-kn/m))^k bound.
+    Integer-exact md5 hashing keeps the DuckDB oracle bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).distinct()
+    salted = toks.crossJoin(
+        spark.createDataFrame([(r,) for r in range(3)], "salt int")
+    )
+    h64 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("salt").cast("string"), F.lit("|"), F.col("tok")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = h64 % 512
+    return (
+        salted.select(b.alias("b"))
+        .select(
+            F.shiftright(F.col("b"), 5).alias("word"),
+            # pyspark's shiftleft only takes a literal shift; the SQL
+            # form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
 @query("px_darker_fold")
 def px_darker_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-ary darker fold (CLI `darker F1 F2...`, grafix.c:273-281):

@@ -101,3 +101,42 @@ def test_cms_point_estimates_dominate_truth(spark):
         e = est(tok)
         assert e >= n, (tok, e, n)           # never underestimates
         assert e - n <= total * 2 / 128 * 4  # CMS error bound (loose)
+
+
+def test_bloom_filter_membership_properties(spark):
+    """Bloom: zero false negatives for inserted tokens; false-positive
+    rate on fresh tokens near the (1-e^(-kn/m))^k bound."""
+    import math
+
+    from ocr_spark.queries import QUERIES
+
+    rows = QUERIES["bloom_token_filter"](spark, "/root/testdata/sf0.001").collect()
+    words = {r.word: r.bits for r in rows}
+
+    import hashlib
+
+    def bits_of(tok):
+        out = []
+        for salt in range(3):
+            h = int(hashlib.md5(f"{salt}|{tok}".encode()).hexdigest()[:15], 16)
+            b = h % 512
+            out.append((b // 32, b % 32))
+        return out
+
+    def member(tok):
+        return all(words.get(w, 0) & (1 << p) for w, p in bits_of(tok))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = {
+        t
+        for r in docs.select("text").collect()
+        for t in r.text.split(" ")
+    }
+    assert all(member(t) for t in toks)  # no false negatives
+
+    n_set = sum(bin(b).count("1") for b in words.values())
+    fresh = [f"unseen-token-{i}" for i in range(3000)]
+    fp = sum(member(t) for t in fresh) / len(fresh)
+    k, m = 3, 512
+    bound = (n_set / m) ** k  # density^k; n_set/m is the realized fill
+    assert fp <= bound * 1.8 + 0.02, (fp, bound, n_set)
