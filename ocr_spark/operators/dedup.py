@@ -219,6 +219,41 @@ def minhash_lsh_pairs(
     also the shape that scales: partial map-side mins, one shuffle by
     id, no skew (hash-distributed keys).
     """
+    buckets, sets = minhash_band_index(docs, id_col, text_col)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round_det(_jaccard(F.col("sa.hs"), F.col("sb.hs")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def minhash_band_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent LSH index of a corpus: (bands, shingle_sets).
+
+    bands: (id, band, key) bucket rows; sets: (id, hs) for exact
+    verify. Both are plain tables — write them once per crawl snapshot
+    and every future increment reuses them (incremental_minhash_pairs)
+    instead of re-hashing the history.
+    """
     inv = shingle_rows(docs, id_col, text_col)
     sig = inv.groupBy("id").agg(
         *[
@@ -227,7 +262,7 @@ def minhash_lsh_pairs(
             for j in range(MINHASH_K)
         ]
     )
-    buckets = sig.select(
+    bands = sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -244,21 +279,47 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "key"),
     )
+    return bands, shingle_sets(inv)
+
+
+def incremental_minhash_pairs(
+    old_bands: DataFrame,
+    old_sets: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup pairs introduced by a corpus INCREMENT, plus the
+    updated index: (pairs, bands', sets').
+
+    The daily-crawl shape: history is touched only through its (small
+    per-bucket) band index — the new batch's bands probe old ∪ new
+    buckets, so work scales with the increment, not the corpus.
+    New-new pairs are included; old-old pairs were already reported
+    when their batch arrived (exactly-once over time). Pair semantics
+    and verification are identical to minhash_lsh_pairs.
+    """
+    new_bands, new_sets = minhash_band_index(new_docs, id_col, text_col)
+    all_bands = old_bands.unionByName(new_bands)
     cand = (
-        buckets.alias("a")
+        new_bands.alias("a")
         .join(
-            buckets.alias("b"),
+            all_bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id")),
         )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        )
         .distinct()
     )
-    sets = shingle_sets(inv)
-    verified = (
-        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
-        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+    all_sets = old_sets.unionByName(new_sets)
+    pairs = (
+        cand.join(all_sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(all_sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",
             "doc_b",
@@ -266,7 +327,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+    return pairs, all_bands, all_sets
 
 
 def jaccard_ngram_pairs(

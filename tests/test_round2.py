@@ -378,3 +378,46 @@ def test_jaccard_prefix_filter_exact_recall_random(spark):
                 lo, hi = min(ia, ib), max(ia, ib)
                 want[(lo, hi)] = j
     assert set(got) == set(want), (set(got) ^ set(want))
+
+
+def test_incremental_minhash_equals_batch(spark, tmp_path_factory):
+    """Two crawl increments via the persisted band index yield, across
+    increments, the same pair set as one batch run over everything."""
+    from ocr_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    wave0 = docs.where(F.col("doc_id") < 200)
+    wave1 = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    wave2 = docs.where(F.col("doc_id") >= 350)
+    root = tmp_path_factory.mktemp("lsh_idx")
+
+    bands0, sets0 = minhash_band_index(wave0)
+    pairs0 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(wave0).collect()
+    }
+    # persist the index, reuse it for each increment (write/read parquet
+    # — the crawl-snapshot shape)
+    bands0.write.parquet(str(root / "bands0"))
+    sets0.write.parquet(str(root / "sets0"))
+
+    got = set(pairs0)
+    b = spark.read.parquet(str(root / "bands0"))
+    s = spark.read.parquet(str(root / "sets0"))
+    for i, wave in ((1, wave1), (2, wave2)):
+        pairs, b, s = incremental_minhash_pairs(b, s, wave)
+        got |= {(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()}
+        b.write.parquet(str(root / f"bands{i}"))
+        s.write.parquet(str(root / f"sets{i}"))
+        b = spark.read.parquet(str(root / f"bands{i}"))
+        s = spark.read.parquet(str(root / f"sets{i}"))
+
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
