@@ -1139,6 +1139,56 @@ def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_error_context",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           COUNT(c.ts) AS clicks_nearby,
+           ROUND(COALESCE(SUM(c.value), 0), 2) AS click_value_nearby
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within ±10 minutes of each error,
+    per user — the temporal-context join pattern (as-of's two-sided
+    sibling).
+
+    Plan shape: the equi key (user_id) drives a hash/sort-merge join;
+    the range predicate filters inside matched key groups, so the
+    shuffle is keyed and uniform — never a cross product. Users with
+    pathological event counts are AQE-skew-join territory; the
+    interval bound caps the per-row match fan-out by construction.
+    """
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("u"), F.col("ts").alias("ets")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), "value"
+    )
+    lo = F.col("ets") - F.expr("INTERVAL 10 MINUTES")
+    hi = F.col("ets") + F.expr("INTERVAL 10 MINUTES")
+    joined = e.join(
+        c,
+        (F.col("u") == F.col("cu")) & (F.col("cts") >= lo) & (F.col("cts") <= hi),
+        "left",
+    )
+    return joined.groupBy("event_id", F.col("u").alias("user_id")).agg(
+        F.count("cts").alias("clicks_nearby"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+            "click_value_nearby"
+        ),
+    )
+
+
+@query(
     "cube_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
