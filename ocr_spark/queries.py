@@ -583,43 +583,25 @@ def argmax_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_cosine_topk",
-    """
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS cos_sim
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> 0
-    ORDER BY cos_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-)
+@query("ann_cosine_topk", None)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs a broadcast query vector.
 
     The scale path: broadcast the (tiny) query side, keep the corpus
     side partition-parallel; dot products run as JVM higher-order
-    functions (zip_with/aggregate) — no Python in the loop.
+    functions (zip_with/aggregate) — no Python in the loop. Exact
+    sequential fold + deterministic floor rounding on BOTH engines
+    (DuckDB's list_cosine_similarity computes in a different op order
+    and disagrees in low bits — caught by the 17-digit gate mode).
     """
+    from ocr_spark.operators.dedup import cosine, round_det
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    cos = cosine(F.col("embedding"), F.col("qv"))
     return (
-        joined.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        joined.select("vec_id", round_det(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
@@ -909,6 +891,18 @@ def _duck_cosine(a: str, b: str) -> str:
         f"({_DUCK_DOT.format(a=a, b=b)}"
         f" / ({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}))"
     )
+
+
+ORACLE["ann_cosine_topk"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           FLOOR({_duck_cosine('e.embedding', 'q.qv')} * 10000 + 0.5) / 10000
+             AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """
 
 
 @query(

@@ -36,7 +36,11 @@ def _norm_val(v):
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # FULL double precision: every float-emitting query rounds with
+        # the deterministic floor form on both engines, so the local
+        # gate can demand bit-exactness — strictly stronger than any
+        # hash comparison the driver might do
+        return f"{v:.17g}"
     return str(v)
 
 
