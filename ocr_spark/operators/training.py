@@ -1,0 +1,320 @@
+"""Training-corpus assembly operators: sequence packing, quantized
+k-means, BM25 retrieval, temperature resampling.
+
+These are the post-filter stages of an LLM data pipeline — after
+extraction/dedup/quality gates, the corpus is packed into fixed-size
+training sequences, clustered for domain analysis / semantic curation,
+made searchable for audits, and rebalanced across hosts.
+
+Cross-engine determinism rules (the DuckDB oracle is compared
+bit-exact at 17 significant digits):
+- Integer arithmetic wherever a sum's association order is engine-
+  dependent: k-means runs on components quantized to 1e-6 grid BIGINTs
+  (integer sums commute; float sums do not), centroid division uses an
+  explicit floor formula identical under Spark's and DuckDB's
+  C-style ``%``.
+- Where floats are unavoidable, only IEEE-correctly-rounded ops are
+  used (+ - * / sqrt floor) in a FIXED operand order on both engines:
+  BM25 uses the odds-ratio idf ``(N-df+.5)/(df+.5)`` instead of its
+  log (ln is not correctly rounded and differs across libm builds),
+  and temperature thresholds use sqrt (correctly rounded per IEEE 754)
+  rather than pow.
+
+Scale notes per operator are on the functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import fast_hash, tokens
+
+PACK_BUDGET = 256           # tokens per packed training sequence
+PACK_BUCKET = 100           # docs per prefix-sum bucket (see pack_sequences)
+KM_SCALE = 1_000_000        # k-means quantization grid (1e-6)
+BM25_K1 = 1.25   # exact binary double (5/4): literal parses identically
+BM25_B = 0.75    # exact binary double (3/4)
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<float> -> array<bigint> on a 1e-6 grid, round-half-up.
+
+    floor(x*1e6 + 0.5) is plain IEEE ops — identical on Spark and
+    DuckDB (engine ROUND functions disagree on .5 grid points).
+    """
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def floor_div(num: Column, den: Column) -> Column:
+    """Exact floor division for BIGINTs via ``(n - pmod(n, d)) / d``.
+
+    Spark's integer ``div`` truncates toward zero and DuckDB's ``//``
+    floors — they disagree on negative numerators (centroid sums go
+    negative). ``((n % d) + d) % d`` is the positive remainder under
+    BOTH engines' C-style ``%``, making the subtraction divide exactly.
+    """
+    pmod = ((num % den) + den) % den
+    return ((num - pmod) / den).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Pack the corpus token stream into fixed-``budget`` training
+    sequences (GPT-style concat-and-chunk): docs are concatenated in
+    doc_id order and the stream is cut every ``budget`` tokens; a doc
+    crossing a cut contributes to both neighbours.
+
+    Returns one row per sequence: (seq_id, n_docs, first_doc,
+    last_doc, n_tokens) — all BIGINT, no float anywhere.
+
+    Scale: the global prefix sum is two-tier, never a single-partition
+    window. Tier 1 groups docs into buckets of PACK_BUCKET ids and
+    aggregates per-bucket token totals (tiny: corpus/100 rows); the
+    bucket-level running offset is a window over THAT aggregate (one
+    row per bucket — driver-size, not corpus-size). Tier 2
+    broadcast-joins each doc to its bucket offset and finishes the
+    cumsum with a window partitioned BY BUCKET (bounded partitions,
+    uniform keys). The per-doc sequence fan-out is an exploded
+    integer range of length (n_tokens/budget + 1) — O(stream/budget)
+    extra rows total.
+    """
+    per_doc = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    bucket_tot = per_doc.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_off = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_d = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        per_doc.join(F.broadcast(bucket_off), "bucket")
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                F.col("boff") + F.coalesce(F.sum("n_tok").over(w_d), F.lit(0))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id", "n_tok", "start", (F.col("start") + F.col("n_tok")).alias("end")
+        )
+    )
+    spans = placed.select(
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                floor_div(F.col("start"), F.lit(budget)),
+                floor_div(F.col("end") - 1, F.lit(budget)),
+            )
+        ).alias("seq_id"),
+    )
+    contrib = F.least(F.col("end"), (F.col("seq_id") + 1) * budget) - F.greatest(
+        F.col("start"), F.col("seq_id") * budget
+    )
+    return (
+        spans.select("doc_id", "seq_id", contrib.alias("contrib"))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("contrib").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantized k-means (Lloyd, fixed iterations, deterministic init)
+# ---------------------------------------------------------------------------
+
+def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (vec_id, qv: array<bigint>) row to the nearest of k
+    broadcast centroids (cluster, cv) by squared L2; ties break to the
+    smallest cluster id via lexicographic (dist, cluster) min.
+
+    The distance is an integer fold (zip_with squares -> sum), so it is
+    association-order-free and bit-identical on any engine. Plan: one
+    broadcast nested-loop against k rows (constant build side), then a
+    partial-aggregated groupBy on vec_id — no wide shuffle beyond the
+    id hash.
+    """
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "qv", "cluster", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"), F.first("qv").alias("qv"))
+        .select("vec_id", "qv", F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"))
+    )
+
+
+def kmeans_recenter(assigned: DataFrame, dim: int) -> DataFrame:
+    """New centroids as element-wise floor-mean of members, still on the
+    integer grid: posexplode components -> groupBy (cluster, dim) sum
+    + count -> floor_div -> order-preserving array rebuild.
+
+    Exploded-row shape (never nested HOF re-aggregation — the measured
+    Catalyst projection-collapse blowup), map-side partial sums, one
+    shuffle on (cluster, dim) — uniform small keyspace.
+    """
+    ex = assigned.select(
+        "cluster", F.posexplode(F.col("qv")).alias("d", "x")
+    )
+    comp = ex.groupBy("cluster", "d").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        comp.select(
+            "cluster", "d", floor_div(F.col("s"), F.col("n")).alias("c")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+
+
+def kmeans_quantized(
+    emb: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Lloyd's k-means over quantized embeddings: init = the k vectors
+    with the smallest vec_id, ``iters`` rounds of assign/recenter, all
+    integer arithmetic (see module docstring). Returns (vec_id,
+    cluster, dist) after the final assignment.
+
+    Scale: centroids are k rows — always broadcast, recomputed per
+    round from a (cluster, dim)-keyed partial-aggregated shuffle; the
+    corpus side is scanned once per round with no corpus-wide shuffle
+    on anything but uniform hashes. Rounds are a fixed small constant
+    (training-data curation uses 2-10), so the lineage stays shallow.
+    """
+    vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    centroids = (
+        vecs.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv"))
+    )
+    assigned = kmeans_assign(vecs, centroids)
+    for _ in range(iters - 1):
+        centroids = kmeans_recenter(assigned, dim)
+        assigned = kmeans_assign(vecs, centroids)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (rational idf)
+# ---------------------------------------------------------------------------
+
+def bm25_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """BM25 of a fixed query against every document, with the idf kept
+    as the raw odds ratio (N - df + 0.5)/(df + 0.5) — NOT its log:
+    every op in the score is then IEEE-correctly-rounded (+ - * /),
+    so scores are bit-identical across engines. Rank order differs
+    from log-idf only when term idfs differ by orders of magnitude
+    AND tfs invert — irrelevant for corpus-audit retrieval.
+
+    Per-term partial scores become fixed COLUMNS (conditional
+    aggregation), summed in a written, fixed order — never a
+    groupBy-sum over doubles, whose association order is engine- and
+    partitioning-dependent.
+
+    Scale: token explode -> (doc, term) counts is map-side partial;
+    df and avgdl are scalar/broadcast; the final score is a map-side
+    expression over one row per doc. One uniform shuffle.
+    """
+    per_doc = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    n_docs = per_doc.select(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = ex.groupBy("doc_id").pivot("term", terms).count().na.fill(0)
+    df_ = ex.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    dfs = df_.groupBy().pivot("term", terms).sum("df").na.fill(0)
+    dfs = dfs.select([F.col(t).alias(f"df_{t}") for t in terms])
+    scored = (
+        per_doc.join(tf, "doc_id", "left")
+        .na.fill(0)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(dfs))
+    )
+    score = None
+    for t in terms:
+        tf_t = F.col(t).cast("double")
+        idf = (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        denom = tf_t + BM25_K1 * (
+            F.lit(1.0) - BM25_B + BM25_B * F.col("dl") / (F.col("tot") / F.col("n"))
+        )
+        part = idf * (tf_t * (BM25_K1 + 1.0)) / denom
+        score = part if score is None else score + part
+    return scored.select("doc_id", "dl", score.alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling across hosts
+# ---------------------------------------------------------------------------
+
+def temperature_thresholds(hosts: DataFrame) -> DataFrame:
+    """Per-host keep thresholds for alpha=0.5 temperature rebalancing:
+    thr_h = floor(100*sqrt(n_min/n_h) + 0.5) — the rarest host keeps
+    100%, a host 4x larger keeps ~50%, flattening the Zipf head the
+    way multilingual/domain mixtures are rebalanced for training.
+
+    sqrt and / are IEEE-correctly-rounded, so thresholds are
+    bit-identical cross-engine (pow is not — avoided).
+
+    Input: (host, n_h). The n_min scalar is a broadcast single row.
+    """
+    n_min = hosts.groupBy().agg(F.min("n_h").alias("n_min"))
+    thr = F.floor(
+        F.lit(100.0)
+        * F.sqrt(F.col("n_min").cast("double") / F.col("n_h").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    return hosts.crossJoin(F.broadcast(n_min)).select(
+        "host", "n_h", thr.alias("thr")
+    )
+
+
+def temperature_resample(docs: DataFrame) -> DataFrame:
+    """Deterministic host-temperature downsample of a documents table
+    whose host is doc_id % 97 (the corpus url scheme): keep a doc when
+    its content-hash bucket falls under its host's threshold.
+
+    Pure map-side filter after a broadcast join against the (tiny)
+    per-host threshold table — reproducible across runs, engines and
+    retries, prunes at scan speed at any corpus size.
+    """
+    hosts = docs.groupBy((F.col("doc_id") % 97).alias("host")).agg(
+        F.count("*").alias("n_h")
+    )
+    thr = temperature_thresholds(hosts)
+    bucket = fast_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 97).alias("host"))
+        .join(F.broadcast(thr), "host")
+        .where(bucket < F.col("thr"))
+        .select("doc_id", "host", "thr")
+    )

@@ -2255,3 +2255,201 @@ from ocr_spark.px_goldens import PX_GOLDENS, px_oracle_sql  # noqa: E402
 
 for _px_name in PX_GOLDENS:
     ORACLE[_px_name] = px_oracle_sql(_px_name)
+
+
+# ---------------------------------------------------------------------------
+# training-corpus assembly (operators/training.py): sequence packing,
+# quantized k-means, BM25 retrieval, host-temperature resampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_training_sequences",
+    """
+    WITH per AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    placed AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s0
+      FROM per),
+    spans AS (
+      SELECT doc_id, s0, s0 + n_tok AS e0,
+             unnest(generate_series(s0 // 256, (s0 + n_tok - 1) // 256))
+               AS seq_id
+      FROM placed)
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(LEAST(e0, (seq_id + 1) * 256)
+                    - GREATEST(s0, seq_id * 256)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY seq_id
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: the corpus token stream in
+    doc_id order, cut every 256 tokens -> one row per training
+    sequence (n_docs, first/last doc, token count). All-integer; the
+    global prefix sum is the scalable two-tier form (bucket totals ->
+    bucket offsets -> within-bucket window), never a single-partition
+    window. See operators/training.pack_sequences.
+    """
+    from ocr_spark.operators.training import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_KM_QV = (
+    "list_transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+_KM_DIST = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, 64), "
+    "i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "kmeans_embedding_clusters",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, {_KM_QV} AS qv FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qv AS cv
+           FROM qv WHERE vec_id < 8),
+    d1 AS (
+      SELECT v.vec_id, c.cluster, {_KM_DIST} AS dist
+      FROM qv v CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1),
+    comp AS (
+      SELECT a.cluster, g.d, SUM(v.qv[g.d]) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a1 a JOIN qv v ON a.vec_id = v.vec_id
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+      GROUP BY a.cluster, g.d),
+    c1 AS (
+      SELECT cluster,
+             list(CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                  ORDER BY d) AS cv
+      FROM comp GROUP BY cluster),
+    d2 AS (
+      SELECT v.vec_id, c.cluster, {_KM_DIST} AS dist
+      FROM qv v CROSS JOIN c1 c),
+    a2 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT vec_id, cluster, dist FROM a2
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized k-means (k=8, 2 Lloyd rounds, init = lowest vec_ids)
+    over the embeddings table -> (vec_id, cluster, dist).
+
+    Components live on a 1e-6 integer grid, so every sum commutes and
+    the result is bit-identical regardless of partitioning/association
+    order — the trick that makes distributed k-means oracle-checkable.
+    Centroids are always k broadcast rows; see operators/training.
+    """
+    from ocr_spark.operators.training import kmeans_quantized
+
+    return kmeans_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
+_BM25_TERMS = ["dup", "hash", "scan", "window"]
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(COUNT(*) FILTER (term = '{t}') AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(COUNT(DISTINCT CASE WHEN term = '{t}' THEN doc_id END)"
+        f" AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    parts = " + ".join(
+        f"(((n.n - f.df_{t} + 0.5) / (f.df_{t} + 0.5))"
+        f" * (COALESCE(t.tf_{t}, 0) * 2.25)"
+        f" / (COALESCE(t.tf_{t}, 0)"
+        f" + 1.25 * (1.0 - 0.75 + 0.75 * p.dl / (n.tot / n.n))))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH per AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS tot FROM per),
+    ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+    tf AS (SELECT doc_id, {tf_cols}
+           FROM ex WHERE term IN ('dup','hash','scan','window')
+           GROUP BY doc_id),
+    df AS (SELECT {df_cols} FROM ex)
+    SELECT doc_id, dl, score FROM (
+      SELECT p.doc_id, p.dl, {parts} AS score
+      FROM per p LEFT JOIN tf t ON p.doc_id = t.doc_id
+           CROSS JOIN n CROSS JOIN df f)
+    ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
+@query("bm25_topk", _bm25_oracle())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed audit query 'dup hash scan window'
+    (one rare + three common terms), k1=1.25 b=0.75, rational
+    odds-ratio idf (no ln: not correctly rounded; see
+    operators/training.bm25_scores for the determinism argument).
+    Per-term scores are fixed columns summed in written order — never
+    a float groupBy-sum.
+    """
+    from ocr_spark.operators.training import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, _BM25_TERMS)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "temperature_resample_hosts",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id % 97 AS host, CAST(COUNT(*) AS BIGINT) AS n_h
+      FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_h) AS n_min FROM hosts),
+    thr AS (
+      SELECT host,
+             CAST(FLOOR(100.0 * sqrt(CAST(n_min AS DOUBLE)
+                                     / CAST(n_h AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS thr
+      FROM hosts CROSS JOIN m)
+    SELECT d.doc_id, t.host, t.thr
+    FROM documents d JOIN thr t ON d.doc_id % 97 = t.host
+    WHERE {_duck_md5hash("CAST(d.doc_id AS VARCHAR)")} % 100 < t.thr
+    """,
+)
+def temperature_resample_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 host-temperature downsample: per-host keep threshold
+    floor(100*sqrt(n_min/n_h)+0.5) applied to a content-hash bucket —
+    flattens the Zipf host head the way training mixtures are
+    rebalanced. Broadcast threshold join + map-side filter; sqrt is
+    IEEE-correctly-rounded so thresholds match DuckDB bit-for-bit.
+    """
+    from ocr_spark.operators.training import temperature_resample
+
+    return temperature_resample(load_table(spark, sf_dir, "documents"))

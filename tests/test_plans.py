@@ -98,3 +98,28 @@ def test_agg_is_partial_then_final_single_shuffle(spark):
     assert len(aggs) == 2
     assert len(exchanges) == 1
     assert "SortAggregate" not in plan
+
+
+def test_training_ops_plans(spark):
+    """Training-assembly queries: all-JVM, broadcasts where a small
+    side exists, and the corpus-wide prefix-sum window is partitioned
+    (only the bucket-level aggregate — corpus/100 rows — may sort
+    globally)."""
+    from ocr_spark.queries import QUERIES
+
+    for name in (
+        "pack_training_sequences",
+        "kmeans_embedding_clusters",
+        "bm25_topk",
+        "temperature_resample_hosts",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name  # pure codegen ops
+
+    pack = _plan(QUERIES["pack_training_sequences"](spark, SF))
+    # the per-doc cumsum window is keyed by bucket, never corpus-global
+    assert "windowspecdefinition(bucket#" in pack
+    for name in ("bm25_topk", "temperature_resample_hosts",
+                 "kmeans_embedding_clusters"):
+        assert "BroadcastExchange" in _plan(QUERIES[name](spark, SF)), name

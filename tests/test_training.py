@@ -1,0 +1,204 @@
+"""Training-corpus assembly operators (operators/training.py).
+
+Property/equivalence tests against independent naive Python
+implementations on randomized corpora — the oracle gate alone can be
+degenerate at one scale (see the pivot-band false-negative lesson),
+so every pruning/packing claim here is re-derived brute-force.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.training import (
+    BM25_B,
+    BM25_K1,
+    KM_SCALE,
+    bm25_scores,
+    kmeans_quantized,
+    pack_sequences,
+    quantize_vec,
+    temperature_resample,
+    temperature_thresholds,
+)
+
+WORDS = "alpha beta gamma delta eps zeta eta theta".split()
+
+
+def _docs(spark, n, seed, max_len=40):
+    rng = random.Random(seed)
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choices(WORDS, k=rng.randint(1, max_len))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _naive_pack(lengths, budget):
+    """Reference concat-and-chunk: returns {seq_id: (n_docs, first,
+    last, n_tokens)}."""
+    out = {}
+    pos = 0
+    for doc_id, n in enumerate(lengths):
+        for s in range(pos // budget, (pos + n - 1) // budget + 1):
+            lo, hi = max(pos, s * budget), min(pos + n, (s + 1) * budget)
+            nd, fd, ld, nt = out.get(s, (0, doc_id, doc_id, 0))
+            out[s] = (nd + 1, min(fd, doc_id), max(ld, doc_id), nt + hi - lo)
+        pos += n
+    return out
+
+
+@pytest.mark.parametrize("seed,budget", [(1, 16), (2, 64), (3, 7)])
+def test_pack_matches_naive(spark, seed, budget):
+    d = _docs(spark, 137, seed)
+    lengths = [
+        len(r.text.split(" "))
+        for r in d.orderBy("doc_id").collect()
+    ]
+    got = {
+        r.seq_id: (r.n_docs, r.first_doc, r.last_doc, r.n_tokens)
+        for r in pack_sequences(d, budget=budget).collect()
+    }
+    assert got == _naive_pack(lengths, budget)
+
+
+def test_pack_conserves_tokens_and_fills(spark):
+    d = _docs(spark, 211, seed=9)
+    total = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    rows = sorted(pack_sequences(d, budget=32).collect(), key=lambda r: r.seq_id)
+    assert sum(r.n_tokens for r in rows) == total
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    # every sequence except the last is exactly full
+    assert all(r.n_tokens == 32 for r in rows[:-1])
+    assert 0 < rows[-1].n_tokens <= 32
+
+
+# ---------------------------------------------------------------------------
+# quantized k-means
+# ---------------------------------------------------------------------------
+
+def _naive_kmeans(vecs, k, iters):
+    """Integer-grid Lloyd mirror: dict vec_id -> (cluster, dist)."""
+    q = {i: [math.floor(x * KM_SCALE + 0.5) for x in v] for i, v in vecs.items()}
+    cents = {c: list(q[c]) for c in range(k)}
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    a = assign()
+    for _ in range(iters - 1):
+        new = {}
+        for c in {c for c, _ in a.values()}:
+            members = [q[i] for i, (ci, _) in a.items() if ci == c]
+            new[c] = [
+                (s - ((s % n) + n) % n) // n
+                for s in (sum(col) for col in zip(*members))
+                for n in [len(members)]
+            ]
+        cents = new
+        a = assign()
+    return a
+
+
+def test_kmeans_matches_naive(spark):
+    rng = random.Random(42)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_quantized(emb, k=4, iters=3, dim=8).collect()
+    }
+    assert got == _naive_kmeans(vecs, k=4, iters=3)
+
+
+def test_kmeans_quantize_round_half_up(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0000005, -0.0000005, 0.25])]
+    )
+    qv = emb.select(quantize_vec(F.col("embedding")).alias("q")).first().q
+    # floor(x*1e6+0.5): +0.5 ulps round toward +inf on both signs
+    assert qv == [1, 0, 250000]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_naive(spark):
+    d = _docs(spark, 90, seed=5)
+    terms = ["alpha", "zeta"]
+    docs = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+
+    def score(toks):
+        s = 0.0
+        for t in terms:
+            tf = float(toks.count(t))
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        return s
+
+    got = {r.doc_id: r.score for r in bm25_scores(d, terms).collect()}
+    assert set(got) == set(docs)
+    for i, toks in docs.items():
+        assert got[i] == pytest.approx(score(toks), rel=1e-12)
+
+
+def test_bm25_rare_term_dominates(spark):
+    rows = [Row(doc_id=i, text="alpha beta alpha beta") for i in range(40)]
+    rows.append(Row(doc_id=99, text="rareword beta alpha beta"))
+    d = spark.createDataFrame(rows)
+    top = (
+        bm25_scores(d, ["rareword", "alpha"])
+        .orderBy(F.desc("score"), "doc_id")
+        .first()
+    )
+    assert top.doc_id == 99
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_thresholds_properties(spark):
+    hosts = spark.createDataFrame(
+        [Row(host=h, n_h=n) for h, n in [(0, 5), (1, 20), (2, 80), (3, 5)]]
+    )
+    thr = {r.host: r.thr for r in temperature_thresholds(hosts).collect()}
+    assert thr[0] == thr[3] == 100          # rarest hosts keep everything
+    assert thr[1] == round(100 * math.sqrt(5 / 20))
+    assert thr[2] == round(100 * math.sqrt(5 / 80))
+    assert thr[2] < thr[1] < thr[0]         # monotone in host size
+
+
+def test_temperature_resample_flattens(spark):
+    # host = doc_id % 97; doc_ids chosen so host 0 has 60 docs, host 1 has 6
+    ids = [97 * i for i in range(60)] + [97 * i + 1 for i in range(6)]
+    d = spark.createDataFrame([Row(doc_id=i, text="x") for i in ids])
+    kept = temperature_resample(d).groupBy("host").count().collect()
+    by_host = {r.host: r["count"] for r in kept}
+    # host 1 keeps all 6 (thr=100); host 0 keeps roughly sqrt(6/60)=32%
+    assert by_host.get(1) == 6
+    assert 0 < by_host.get(0, 0) < 60
