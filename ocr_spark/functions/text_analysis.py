@@ -105,6 +105,13 @@ def fingerprint_stats(
     lo = docs.select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("s")
     ).where(F.length("s") >= k)  # shorter docs have no k-gram (ADVICE r1)
+    # A single-file documents table is ONE split, and the per-position
+    # k-gram hashing below runs BEFORE any shuffle — i.e. on one core
+    # (measured: 3.5s -> 0.5s at sf0.1 from this line). Spreading on id
+    # here is free downstream: the winnow window partitions by id, so
+    # this Exchange REPLACES the window's own rather than adding one.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    lo = lo.repartition(par, "id")
     # maxi (the last k-gram position) is a pure function of the text
     # length, so it rides along from the explode instead of costing a
     # second whole-partition window pass (one Window node, one sort).

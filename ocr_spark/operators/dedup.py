@@ -134,7 +134,13 @@ def shingle_rows(
     """
     from pyspark.sql import Window
 
-    t = docs.select(
+    # spread before the explode: a single-file corpus is ONE split, and
+    # everything upstream of the window's Exchange would run on one
+    # core. The window partitions by id, so pre-shuffling on id
+    # REPLACES that Exchange (no extra shuffle) and parallelizes the
+    # tokenize/explode too.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("i", "tok"),
     )
