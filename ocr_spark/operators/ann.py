@@ -83,6 +83,11 @@ def ivf_assign(
     cents = v.where(F.col("id") < n_centroids).select(
         F.col("id").alias("cent_id"), F.col("e").alias("ce")
     )
+    # a single-file embeddings table is ONE split; the per-centroid
+    # similarity folds below would run on one core. The groupBy("id")
+    # shuffles by id anyway, so spreading on id up front replaces that
+    # Exchange instead of adding one.
+    v = v.repartition(vecs.sparkSession.sparkContext.defaultParallelism, "id")
     scored = v.crossJoin(F.broadcast(cents)).select(
         "id", "e", "cent_id", cosine(F.col("e"), F.col("ce")).alias("sim")
     )
@@ -113,8 +118,11 @@ def ivf_topk(
     among vectors assigned to the probed cells (query itself excluded).
     """
     assigned = ivf_assign(vecs, n_centroids, id_col, vec_col)
-    q = assigned.where(F.col("id") == query_id).select(
-        F.col("e").alias("qe")
+    # the query vector comes straight from the source table: taking it
+    # from `assigned` would re-evaluate the whole assignment subtree
+    # (crossJoin + folds) just to read back one unchanged vector.
+    q = vecs.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qe")
     )
     cents = (
         vecs.where(F.col(id_col) < n_centroids)
