@@ -234,13 +234,20 @@ def lsh_bucket_topk(
     bits. At scale the sketch is a bucketed write-time key; the probe
     reads 1 + planes buckets instead of the corpus.
     """
+    # No input spread here (unlike ivf_assign): there is no downstream
+    # shuffle to piggyback on, and an added Exchange measured SLOWER
+    # than the one-core sketch over this row count — at corpus scale
+    # the sketch is a write-time bucket key anyway (sources/bucketed).
+    # The query row comes straight from the source scan — routing it
+    # through a shuffle would serialize the broadcast job behind it.
     v = vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
         sign_sketch(F.col(vec_col), dim).alias("sk"),
     )
-    q = v.where(F.col("id") == query_id).select(
-        F.col("e").alias("qe"), F.col("sk").alias("qsk")
+    q = vecs.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qe"),
+        sign_sketch(F.col(vec_col), dim).alias("qsk"),
     )
     return (
         v.where(F.col("id") != query_id)
