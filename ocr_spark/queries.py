@@ -1524,8 +1524,16 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = with_main_text(pages).select("doc_id", "extracted")
     toks = F.split(F.col("extracted"), " ")
     n = F.size(toks)
-    hits = F.size(
-        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"))
+    # token-equality stopword count as ONE codegen regexp (lookarounds
+    # pin whole-token matches; equivalence vs the filter-HOF form
+    # asserted at sf0.1). The HOF lambda is interpreted, and quality is
+    # referenced by a Filter AND a later projection — collapsed
+    # projections re-evaluated the interpreted fold per reference
+    # (measured: the dedup-window step cost 3.6s of pure recompute on
+    # 5k rows; regexp_count made the whole pipeline 2.3s -> ~1s).
+    hits = F.regexp_count(
+        F.col("extracted"),
+        F.lit(r"(?:^|(?<= ))(?:the|a|of|and|to|in|is)(?= |$)"),
     )
     quality = round_det(
         F.least(F.lit(1.0), n / F.lit(100.0)) * 0.7
