@@ -2461,3 +2461,56 @@ def temperature_resample_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import temperature_resample
 
     return temperature_resample(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_classifier_hashed",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM({_duck_md5hash("'w:' || term")} % 1001 - 500)
+                  AS BIGINT) AS margin
+      FROM ex GROUP BY doc_id)
+    SELECT doc_id, n_tokens, margin,
+           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering via the hashing trick: a linear
+    classifier whose per-token weight is derived from the token's
+    content hash (w(t) = fast_hash('w:'+t) % 1001 - 500 — the stand-in
+    for learned fastText-style weights, which would broadcast-join a
+    real weight table in exactly this dataflow). The margin is an
+    INTEGER sum — order-free, bit-exact cross-engine; no sigmoid (exp
+    is not correctly rounded; thresholding the margin is equivalent).
+
+    Scale: explode -> map-side partial sums -> one uniform shuffle by
+    doc_id. A learned vocabulary table would be a broadcast join on
+    the token before the sum; hash weights need no table at all.
+    """
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    ex = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    w = fast_hash(F.concat(F.lit("w:"), F.col("term"))) % 1001 - 500
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(w).alias("margin"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "margin",
+            F.when(F.col("margin") > 0, 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -202,3 +202,33 @@ def test_temperature_resample_flattens(spark):
     # host 1 keeps all 6 (thr=100); host 0 keeps roughly sqrt(6/60)=32%
     assert by_host.get(1) == 6
     assert 0 < by_host.get(0, 0) < 60
+
+
+# ---------------------------------------------------------------------------
+# hashed quality classifier
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_matches_naive(spark):
+    import hashlib
+
+    from ocr_spark.queries import QUERIES
+
+    def fh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000000007
+
+    got = {
+        r.doc_id: (r.n_tokens, r.margin, r.keep)
+        for r in QUERIES["quality_classifier_hashed"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(docs)
+    for doc_id, text in docs[:50]:
+        toks = text.split(" ")
+        margin = sum(fh("w:" + t) % 1001 - 500 for t in toks)
+        assert got[doc_id] == (len(toks), margin, 1 if margin > 0 else 0)
