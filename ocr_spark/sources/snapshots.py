@@ -1,0 +1,199 @@
+"""Snapshot catalog: Iceberg's table contract over plain parquet files.
+
+The north rule runs this engine over Iceberg tables; the sandbox cannot
+fetch the Iceberg runtime jar, so sources/catalog.py falls back to bare
+parquet directories — which lose the three Iceberg properties the
+pipeline actually leans on:
+
+1. **atomic commits** — readers never see a half-written table;
+2. **snapshot time travel** — re-read the exact corpus a training run
+   consumed, by snapshot id;
+3. **metadata-tracked dynamic partition overwrite** — the idempotent
+   replay primitive the checkpoint layer uses, without listing-races.
+
+``SnapshotCatalog`` restores all three with an Iceberg-style metadata
+log: every commit writes its data files under an immutable
+``data/v{N}/`` directory (hive-partitioned when partition_by is set),
+then publishes ``_snapshots/v{N}.json`` — the FULL list of live files
+(relative paths) plus operation + parent — via write-temp-then-rename
+(atomic on POSIX; on object stores this last hop is the one conditional
+PUT, which is exactly what Iceberg's metadata pointer swap is).
+Readers resolve the latest snapshot first and read only its files, so
+a crashed writer leaves garbage data files but never a visible
+half-commit; ``rollback`` publishes a new snapshot pointing at an old
+file set (history is never rewritten — Iceberg's model).
+
+Scan planning is manifest-driven: live files are grouped by their
+commit directory and each group is read with ``basePath`` pinned to
+that commit dir, so hive partition columns resolve correctly across
+commits; groups are unioned by name. The number of live commit dirs is
+bounded by the snapshot log length (compaction = one ``overwrite`` of
+the full table). Single-writer per table is assumed (the driver), as
+in the checkpoint layer; concurrent writers need a real catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    """Versioned parquet tables with time travel and rollback."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+
+    # -- paths ---------------------------------------------------------
+    def _table(self, table: str) -> str:
+        return os.path.join(self.warehouse, *table.split("."))
+
+    def _snapdir(self, table: str) -> str:
+        return os.path.join(self._table(table), "_snapshots")
+
+    # -- snapshot log --------------------------------------------------
+    def snapshots(self, table: str) -> list[dict]:
+        """All snapshots, oldest first: [{id, op, parent, files, ts}]."""
+        d = self._snapdir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(
+            (n for n in os.listdir(d) if n.endswith(".json")),
+            key=lambda n: int(n[1:-5]),
+        ):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    def current_snapshot(self, table: str) -> dict | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def _publish(self, table: str, op: str, files: list[str]) -> dict:
+        snaps = self.snapshots(table)
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        snap = {
+            "id": sid,
+            "op": op,
+            "parent": snaps[-1]["id"] if snaps else None,
+            "files": sorted(files),
+            "ts": time.time(),
+        }
+        d = self._snapdir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".v{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, os.path.join(d, f"v{sid}.json"))  # the atomic hop
+        return snap
+
+    # -- commit data ---------------------------------------------------
+    def _write_commit(
+        self, df: DataFrame, table: str, partition_by: list[str] | None
+    ) -> tuple[str, list[str]]:
+        """Write df under an immutable data/v{N} dir; return (dir,
+        relative file paths)."""
+        snaps = self.snapshots(table)
+        version = (snaps[-1]["id"] + 1) if snaps else 1
+        commit_rel = os.path.join("data", f"v{version}")
+        commit_dir = os.path.join(self._table(table), commit_rel)
+        # a crashed writer may have left an orphaned (never-published)
+        # data dir at this version — skip past it; orphans are garbage,
+        # never visible (only published snapshot jsons reach readers)
+        while os.path.exists(commit_dir):
+            version += 1
+            commit_rel = os.path.join("data", f"v{version}")
+            commit_dir = os.path.join(self._table(table), commit_rel)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(commit_dir)
+        files = []
+        for root, _dirs, names in os.walk(commit_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), self._table(table))
+                    files.append(rel)
+        return commit_rel, files
+
+    @staticmethod
+    def _partition_of(rel_path: str) -> tuple:
+        """Hive k=v segments of a data file's relative path."""
+        return tuple(s for s in rel_path.split(os.sep) if "=" in s)
+
+    # -- the four verbs (+ time travel) --------------------------------
+    def exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
+
+    def append(self, df: DataFrame, table: str) -> None:
+        _rel, new_files = self._write_commit(df, table, None)
+        cur = self.current_snapshot(table)
+        live = (cur["files"] if cur else []) + new_files
+        self._publish(table, "append", live)
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite, resolved in METADATA: prior
+        files whose hive path carries a partition tuple present in the
+        new commit are dropped from the published file list — no
+        directory listing race, idempotent on replay (same input =>
+        same replaced set)."""
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        cur = self.current_snapshot(table)
+        prior = cur["files"] if cur else []
+        if any(not self._partition_of(f) for f in prior):
+            # an unpartitioned (appended) file can span partitions, so
+            # file-granularity replacement would be wrong — same reason
+            # Iceberg ties dynamic overwrite to the table's partition
+            # spec. Keep the verbs consistent per table.
+            raise ValueError(
+                f"table {table} has unpartitioned commits; "
+                "overwrite_partitions cannot replace inside them"
+            )
+        _rel, new_files = self._write_commit(df, table, partition_by)
+        replaced = {self._partition_of(f) for f in new_files}
+        kept = [f for f in prior if self._partition_of(f) not in replaced]
+        self._publish(table, "overwrite_partitions", kept + new_files)
+
+    def read(self, table: str) -> DataFrame:
+        return self.read_at(table, None)
+
+    def read_at(self, table: str, snapshot_id: int | None) -> DataFrame:
+        """The table as of a snapshot id (None = current)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            by_id = {s["id"]: s for s in snaps}
+            if snapshot_id not in by_id:
+                raise KeyError(f"unknown snapshot {snapshot_id} for {table}")
+            snap = by_id[snapshot_id]
+        root = self._table(table)
+        by_commit: dict[str, list[str]] = {}
+        for rel in snap["files"]:
+            commit = os.sep.join(rel.split(os.sep)[:2])  # data/vN
+            by_commit.setdefault(commit, []).append(os.path.join(root, rel))
+        parts = [
+            self.spark.read.option("basePath", os.path.join(root, commit))
+            .parquet(*sorted(paths))
+            for commit, paths in sorted(by_commit.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def rollback(self, table: str, snapshot_id: int) -> dict:
+        """Publish a NEW snapshot pointing at an old snapshot's files —
+        history stays append-only, like Iceberg's rollback."""
+        by_id = {s["id"]: s for s in self.snapshots(table)}
+        if snapshot_id not in by_id:
+            raise KeyError(f"unknown snapshot {snapshot_id} for {table}")
+        return self._publish(table, "rollback", by_id[snapshot_id]["files"])

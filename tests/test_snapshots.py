@@ -1,0 +1,77 @@
+"""SnapshotCatalog: Iceberg's table contract (atomic commits, time
+travel, metadata-tracked dynamic overwrite, rollback) over parquet."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.snapshots import SnapshotCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path))
+
+
+def test_append_creates_snapshots_and_reads_back(spark, cat):
+    cat.append(spark.range(10).select("id"), "db.t")
+    cat.append(spark.range(10, 15).select("id"), "db.t")
+    assert cat.read("db.t").count() == 15
+    snaps = cat.snapshots("db.t")
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    assert snaps[0]["op"] == "append"
+
+
+def test_time_travel_reads_exact_old_corpus(spark, cat):
+    cat.append(spark.range(10).select("id"), "db.t")
+    cat.append(spark.range(100, 103).select("id"), "db.t")
+    v1 = cat.read_at("db.t", 1)
+    assert sorted(r.id for r in v1.collect()) == list(range(10))
+    assert cat.read_at("db.t", 2).count() == 13
+    with pytest.raises(KeyError):
+        cat.read_at("db.t", 99)
+
+
+def test_dynamic_overwrite_is_metadata_resolved(spark, cat):
+    df = spark.range(9).select("id", (F.col("id") % 3).alias("p"))
+    cat.overwrite_partitions(df, "db.u", ["p"])
+    repl = spark.range(100, 102).select("id", F.lit(0).alias("p"))
+    cat.overwrite_partitions(repl, "db.u", ["p"])
+    out = cat.read("db.u")
+    assert out.where(F.col("p") == 0).count() == 2      # replaced
+    assert out.where(F.col("p") != 0).count() == 6      # untouched
+    # old files stay on disk (snapshot 1 still readable = time travel)
+    assert cat.read_at("db.u", 1).where(F.col("p") == 0).count() == 3
+
+
+def test_rollback_publishes_new_snapshot(spark, cat):
+    cat.append(spark.range(5).select("id"), "db.t")
+    cat.append(spark.range(5, 9).select("id"), "db.t")
+    snap = cat.rollback("db.t", 1)
+    assert snap["id"] == 3 and snap["op"] == "rollback"
+    assert cat.read("db.t").count() == 5                # back to v1
+    assert cat.read_at("db.t", 2).count() == 9          # history intact
+
+
+def test_mixed_append_overwrite_refused(spark, cat):
+    cat.append(spark.range(6).select("id", (F.col("id") % 2).alias("p")), "db.m")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        cat.overwrite_partitions(
+            spark.range(2).select("id", F.lit(0).alias("p")), "db.m", ["p"]
+        )
+
+
+def test_crashed_writer_is_invisible(spark, cat, tmp_path):
+    """Data files without a published snapshot json never reach readers
+    — the atomic-rename metadata hop is the commit point."""
+    cat.append(spark.range(4).select("id"), "db.t")
+    # simulate a writer that died after writing data, before publishing
+    stray = os.path.join(str(tmp_path), "db", "t", "data", "v2")
+    spark.range(100).select("id").write.parquet(stray)
+    assert cat.read("db.t").count() == 4
+    # and the next real commit is unaffected in what it publishes
+    assert cat.current_snapshot("db.t")["id"] == 1
