@@ -43,8 +43,8 @@ def shard_col(n_shards: int = N_SHARDS) -> F.Column:
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
 
 
-def completed_shards(spark: SparkSession, out_dir: str) -> set[int]:
-    cat = get_catalog(spark, out_dir)
+def completed_shards(spark: SparkSession, out_dir: str, cat=None) -> set[int]:
+    cat = cat or get_catalog(spark, out_dir)
     if not cat.exists("manifests"):
         return set()
     rows = cat.read("manifests").select("shard").distinct().collect()
@@ -64,6 +64,7 @@ def checkpointed_run(
     shards_per_wave: int = 16,
     max_waves: int | None = None,
     extractor=None,
+    catalog=None,
 ) -> dict:
     """Run (or resume) a manifest-checkpointed extraction.
 
@@ -74,9 +75,14 @@ def checkpointed_run(
     extractor = extractor or (
         lambda df: extract_pages(df, with_scan_features=False)
     )
-    cat = get_catalog(spark, out_dir)
+    # any object with the four catalog verbs works: the parquet/Iceberg
+    # adapter (default) or sources/snapshots.SnapshotCatalog, which
+    # upgrades each wave into an ATOMIC snapshot commit with
+    # time-travel lineage (wave-by-wave corpus history) — the Iceberg
+    # behavior, testable without the runtime jar (test_snapshots).
+    cat = catalog or get_catalog(spark, out_dir)
 
-    done = completed_shards(spark, out_dir)
+    done = completed_shards(spark, out_dir, cat)
     todo = [s for s in range(n_shards) if s not in done]
     waves = _chunk(todo, shards_per_wave)
     if max_waves is not None:
