@@ -40,6 +40,13 @@ HEADLINE = [
     "doc_fingerprint",
     "flagship_extract",
     "pipeline_training_corpus",
+    # training-assembly tier (added round 2 — BASELINE.md records the
+    # 13-query subtotal comparable with earlier rounds)
+    "pack_training_sequences",
+    "kmeans_embedding_clusters",
+    "bm25_topk",
+    "temperature_resample_hosts",
+    "quality_classifier_hashed",
 ]
 
 
