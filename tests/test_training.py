@@ -232,3 +232,37 @@ def test_quality_classifier_matches_naive(spark):
         toks = text.split(" ")
         margin = sum(fh("w:" + t) % 1001 - 500 for t in toks)
         assert got[doc_id] == (len(toks), margin, 1 if margin > 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# edge cases
+# ---------------------------------------------------------------------------
+
+def test_pack_empty_corpus(spark):
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(d).count() == 0
+
+
+def test_kmeans_more_clusters_than_vectors(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 0.0]) for i in range(3)]
+    )
+    out = kmeans_quantized(emb, k=8, iters=2, dim=2).collect()
+    # 3 vectors, 3 usable centroids — every vector self-assigns
+    assert {r.vec_id: r.cluster for r in out} == {0: 0, 1: 1, 2: 2}
+    assert all(r.dist == 0 for r in out)
+
+
+def test_bm25_term_absent_from_corpus(spark):
+    d = _docs(spark, 20, seed=7)
+    out = bm25_scores(d, ["alpha", "notaword"]).collect()
+    assert len(out) == 20
+    # absent term contributes exactly 0 (tf=0 numerator), never NaN/null
+    assert all(r.score is not None and r.score == r.score for r in out)
+
+
+def test_temperature_single_host(spark):
+    d = spark.createDataFrame([Row(doc_id=97 * i, text="x") for i in range(9)])
+    out = temperature_resample(d).collect()
+    # one host: thr = 100, everything kept
+    assert len(out) == 9 and all(r.thr == 100 for r in out)
