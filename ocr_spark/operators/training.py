@@ -197,7 +197,11 @@ def kmeans_recenter(assigned: DataFrame, dim: int) -> DataFrame:
 
 
 def kmeans_quantized(
-    emb: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    driver_centroids: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over quantized embeddings: init = the k vectors
     with the smallest vec_id, ``iters`` rounds of assign/recenter, all
@@ -207,17 +211,31 @@ def kmeans_quantized(
     Scale: centroids are k rows — always broadcast, recomputed per
     round from a (cluster, dim)-keyed partial-aggregated shuffle; the
     corpus side is scanned once per round with no corpus-wide shuffle
-    on anything but uniform hashes. Rounds are a fixed small constant
-    (training-data curation uses 2-10), so the lineage stays shallow.
+    on anything but uniform hashes.
+
+    ``driver_centroids=True`` collects each round's k centroid rows to
+    the driver and re-creates them as a literal table — cutting the
+    lineage so the plan stays FLAT in the round count (what Spark ML's
+    KMeans does; k x dim integers is control-plane-sized, the same
+    bounded-collect contract as the checkpoint layer). Identical
+    results (integer arithmetic — no order sensitivity to launder);
+    use it beyond a handful of rounds. Default False keeps the single
+    lazy plan the oracle gate checks.
     """
     vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
     centroids = (
         vecs.where(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv"))
     )
+    spark = emb.sparkSession
     assigned = kmeans_assign(vecs, centroids)
     for _ in range(iters - 1):
         centroids = kmeans_recenter(assigned, dim)
+        if driver_centroids:
+            rows = [(int(r["cluster"]), list(r["cv"])) for r in centroids.collect()]
+            centroids = spark.createDataFrame(
+                rows, "cluster int, cv array<bigint>"
+            )
         assigned = kmeans_assign(vecs, centroids)
     return assigned.select("vec_id", "cluster", "dist")
 

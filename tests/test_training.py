@@ -266,3 +266,24 @@ def test_temperature_single_host(spark):
     out = temperature_resample(d).collect()
     # one host: thr = 100, everything kept
     assert len(out) == 9 and all(r.thr == 100 for r in out)
+
+
+def test_kmeans_driver_centroids_identical(spark):
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(80)
+        ]
+    )
+    lazy = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_quantized(emb, k=4, iters=4, dim=8).collect()
+    }
+    flat = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_quantized(
+            emb, k=4, iters=4, dim=8, driver_centroids=True
+        ).collect()
+    }
+    assert lazy == flat
