@@ -64,7 +64,9 @@ def floor_div(num: Column, den: Column) -> Column:
 # sequence packing (concat-and-chunk)
 # ---------------------------------------------------------------------------
 
-def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, start_offset: int = 0
+) -> DataFrame:
     """Pack the corpus token stream into fixed-``budget`` training
     sequences (GPT-style concat-and-chunk): docs are concatenated in
     doc_id order and the stream is cut every ``budget`` tokens; a doc
@@ -105,7 +107,9 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             "doc_id",
             "n_tok",
             (
-                F.col("boff") + F.coalesce(F.sum("n_tok").over(w_d), F.lit(0))
+                F.lit(start_offset)
+                + F.col("boff")
+                + F.coalesce(F.sum("n_tok").over(w_d), F.lit(0))
             ).alias("start"),
         )
         .select(
@@ -135,6 +139,29 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
             F.sum("contrib").alias("n_tokens"),
         )
+    )
+
+
+def merge_packed(*packed: DataFrame) -> DataFrame:
+    """Merge per-increment packing outputs into the full-corpus view.
+
+    The daily-crawl shape: yesterday's sequences never change — only
+    the boundary sequence (where the old stream ended mid-budget) is
+    touched by a new increment, and its two partial rows merge by
+    seq_id with plain aggregates. So incremental packing is: run
+    ``pack_sequences(new_docs, start_offset=previous_token_total)``
+    (new doc_ids sort after old ones), append the rows, and merge —
+    no repacking of history, equivalence with a full repack is exact
+    (tests/test_training.py pins it).
+    """
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), packed)
+    return allp.groupBy("seq_id").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.min("first_doc").alias("first_doc"),
+        F.max("last_doc").alias("last_doc"),
+        F.sum("n_tokens").alias("n_tokens"),
     )
 
 

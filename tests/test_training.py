@@ -287,3 +287,40 @@ def test_kmeans_driver_centroids_identical(spark):
         ).collect()
     }
     assert lazy == flat
+
+
+def test_incremental_pack_equals_full_repack(spark):
+    """Daily-crawl shape: pack the first crawl, pack the increment with
+    start_offset = previous token total, merge — identical to a full
+    repack, history untouched."""
+    from ocr_spark.operators.training import merge_packed
+
+    full = _docs(spark, 150, seed=11)
+    old = full.where(F.col("doc_id") < 100)
+    new = full.where(F.col("doc_id") >= 100)
+    total_old = old.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+
+    expect = {
+        r.seq_id: (r.n_docs, r.first_doc, r.last_doc, r.n_tokens)
+        for r in pack_sequences(full, budget=32).collect()
+    }
+    got = {
+        r.seq_id: (r.n_docs, r.first_doc, r.last_doc, r.n_tokens)
+        for r in merge_packed(
+            pack_sequences(old, budget=32),
+            pack_sequences(new, budget=32, start_offset=int(total_old)),
+        ).collect()
+    }
+    assert got == expect
+    # and history really is untouched: only the boundary sequence of
+    # the old run is also present in the increment's output
+    old_ids = {r.seq_id for r in pack_sequences(old, budget=32).collect()}
+    new_ids = {
+        r.seq_id
+        for r in pack_sequences(
+            new, budget=32, start_offset=int(total_old)
+        ).collect()
+    }
+    assert len(old_ids & new_ids) <= 1
