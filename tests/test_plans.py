@@ -123,3 +123,23 @@ def test_training_ops_plans(spark):
     for name in ("bm25_topk", "temperature_resample_hosts",
                  "kmeans_embedding_clusters"):
         assert "BroadcastExchange" in _plan(QUERIES[name](spark, SF)), name
+
+
+def test_extraction_udf_never_duplicated(spark):
+    """Regression guard for the pushdown-cloning pathology: Catalyst
+    once pushed the composed pipeline's quality filter below the
+    input-spread Exchange by CLONING the extraction UDF there (full
+    corpus extracted twice). The fence (extract._main_text_udf_fenced)
+    must keep every extraction plan at exactly ONE ArrowEvalPython."""
+    import re
+
+    from ocr_spark.queries import QUERIES
+
+    for name in (
+        "pipeline_training_corpus",
+        "flagship_extract",
+        "warc_roundtrip_extract",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+        assert n == 1, f"{name}: {n} ArrowEvalPython nodes"
