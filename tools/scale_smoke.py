@@ -1,0 +1,115 @@
+"""Scale smoke: do the heavyweight operators behave linearly 10x up?
+
+Synthesizes deterministic corpora entirely JVM-side (codegen exprs, no
+Python, no files) at two sizes, times the operators that dominate the
+bench, and prints per-size wall + the size-normalized ratio
+(ratio ~ 1.0 == linear; the driver SFs stop at sf0.1, so this is the
+evidence that the dataflow shapes — not just the constants — hold).
+
+    python tools/scale_smoke.py [small_docs] [factor]   # default 5000 10
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch small "
+    "data customer join big filter stream sort window order query group "
+    "spark column vector the line dup"
+).split()
+
+
+def synth_docs(spark, n: int):
+    """documents-shaped table, pure codegen: ~40-80 hashed-pick tokens."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_tok = (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(41)) + 40).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.col("id") * 131 + i.cast("long")), F.lit(30)) + 1)
+            .cast("int"),
+        ),
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(toks, " ").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.col("id"), d.cast("long")), F.lit(2001)) / 1000.0
+            - 1.0
+        ).cast("float"),
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+    )
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+    from ocr_spark.operators.training import (
+        kmeans_quantized,
+        pack_sequences,
+    )
+    from ocr_spark.functions.text_analysis import fingerprint_stats
+    from ocr_spark.queries import QUERIES  # noqa: F401 (session parity)
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("scale-smoke", cpus=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def sink(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    ops = {
+        "minhash_lsh": lambda d, e: minhash_lsh_pairs(d),
+        "fingerprints": lambda d, e: fingerprint_stats(d),
+        "pack_sequences": lambda d, e: pack_sequences(d),
+        "kmeans": lambda d, e: kmeans_quantized(e),
+    }
+
+    out: dict[str, dict] = {}
+    for label, n in (("small", small), ("large", small * factor)):
+        docs = synth_docs(spark, n).persist()
+        embs = synth_embeddings(spark, n).persist()
+        docs.count(), embs.count()
+        for op, fn in ops.items():
+            sink(fn(docs, embs))  # warm
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sink(fn(docs, embs))
+                samples.append(time.perf_counter() - t0)
+            out.setdefault(op, {})[label] = round(sorted(samples)[1], 3)
+        docs.unpersist(), embs.unpersist()
+
+    for op, t in out.items():
+        t["ratio_vs_linear"] = round(t["large"] / (t["small"] * factor), 3)
+    print(json.dumps({"small_docs": small, "factor": factor, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
