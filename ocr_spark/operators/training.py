@@ -363,3 +363,72 @@ def temperature_resample(docs: DataFrame) -> DataFrame:
         .where(bucket < F.col("thr"))
         .select("doc_id", "host", "thr")
     )
+
+
+def bm25_multi_query(
+    docs: DataFrame, queries: list[tuple[int, str]]
+) -> DataFrame:
+    """BM25 for a TABLE of queries against the corpus — the inverted-
+    index retrieval shape (one query = bm25_scores' fixed-column form;
+    a workload joins instead).
+
+    Dataflow: corpus -> (term, doc) tf index + per-term df + scalar
+    N/avgdl; query terms exploded WITH POSITION and joined to the index
+    on term (the query side is tiny -> broadcast). Per (query, doc) the
+    matched per-term scores fold in QUERY-POSITION order — a
+    deterministic sequential fold, not a groupBy-sum over doubles; and
+    since an unmatched term's contribution is exactly 0.0 (tf=0
+    numerator) and x + 0.0 == x in IEEE, folding only matched terms is
+    bit-identical to folding all of them. Returns top-3 per query:
+    (q_id, doc_id, score, rank).
+
+    Scale: the tf index is the span-dedup shuffle shape (uniform term
+    keys, map-side combine); the query side broadcasts; the per-group
+    fold is bounded by query length. Top-k per query is a
+    WindowGroupLimit candidate (bounded state per partition).
+    """
+    from pyspark.sql import Window
+
+    per_doc = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    n_docs = per_doc.select(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    df_ = ex.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(queries, "q_id int, qtext string")
+    qterms = qdf.select(
+        "q_id", F.posexplode(F.split("qtext", " ")).alias("pos", "term")
+    )
+
+    idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    denom = F.col("tf").cast("double") + BM25_K1 * (
+        F.lit(1.0) - BM25_B + BM25_B * F.col("dl") / (F.col("tot") / F.col("n"))
+    )
+    part = idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom
+
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_.join(F.broadcast(qterms.select("term")).distinct(), "term")), "term")
+        .join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select("q_id", "doc_id", "pos", part.alias("part"))
+    )
+    scored = matched.groupBy("q_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "part"))),
+                lambda s: s.part,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "doc_id", "score", "rank")
+    )

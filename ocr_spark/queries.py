@@ -2514,3 +2514,66 @@ def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("margin") > 0, 1).otherwise(0).alias("keep"),
         )
     )
+
+
+_MQ = [(0, "dup hash"), (1, "scan window table"), (2, "merge sort"),
+       (3, "the fast row")]
+_MQ_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _MQ)
+
+
+@query(
+    "bm25_multi_query_top3",
+    f"""
+    WITH per AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS tot FROM per),
+    ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex GROUP BY 1, 2),
+    dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM ex GROUP BY 1),
+    qs(q_id, qtext) AS (VALUES {_MQ_VALUES}),
+    qt AS (SELECT q_id,
+                  unnest(generate_series(1, len(string_split(qtext, ' ')))) - 1
+                    AS pos,
+                  unnest(string_split(qtext, ' ')) AS term
+           FROM qs),
+    matched AS (
+      SELECT qt.q_id, tf.doc_id, qt.pos,
+             (((n.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (CAST(tf.tf AS DOUBLE) * 2.25)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.25 * (1.0 - 0.75 + 0.75 * per.dl / (n.tot / n.n))))
+               AS part
+      FROM tf JOIN qt ON tf.term = qt.term
+           JOIN dfs ON dfs.term = qt.term
+           JOIN per ON per.doc_id = tf.doc_id
+           CROSS JOIN n),
+    scored AS (
+      SELECT q_id, doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(part ORDER BY pos)),
+                         (acc, v) -> acc + v) AS score
+      FROM matched GROUP BY q_id, doc_id)
+    SELECT q_id, doc_id, score, rank FROM (
+      SELECT q_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, doc_id) AS INT)
+               AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def bm25_multi_query_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index retrieval: a table of 4 queries joined to the
+    corpus tf index, per-(query, doc) scores folded in query-position
+    order (deterministic — and unmatched terms contribute exactly 0.0,
+    so folding matched-only is bit-identical), top-3 per query. See
+    operators/training.bm25_multi_query.
+    """
+    from ocr_spark.operators.training import bm25_multi_query
+
+    return bm25_multi_query(load_table(spark, sf_dir, "documents"), _MQ)

@@ -324,3 +324,25 @@ def test_incremental_pack_equals_full_repack(spark):
         ).collect()
     }
     assert len(old_ids & new_ids) <= 1
+
+
+def test_multi_query_bm25_matches_single_query_form(spark):
+    """The inverted-index (join) form and the fixed-column form are
+    bit-identical for the same query: unmatched terms add exactly 0.0,
+    and both fold in query-term order."""
+    from ocr_spark.operators.training import bm25_multi_query
+
+    d = _docs(spark, 70, seed=13)
+    single = {
+        r.doc_id: r.score
+        for r in bm25_scores(d, ["alpha", "zeta"]).collect()
+    }
+    multi = {
+        r.doc_id: r.score
+        for r in bm25_multi_query(d, [(0, "alpha zeta")])
+        .where(F.col("q_id") == 0)
+        .drop("rank")
+        .collect()
+    }
+    for doc_id, score in multi.items():
+        assert score == single[doc_id]   # bit-exact, no tolerance
