@@ -65,7 +65,10 @@ def floor_div(num: Column, den: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def pack_sequences(
-    docs: DataFrame, budget: int = PACK_BUDGET, start_offset: int = 0
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    start_offset: int = 0,
+    bucket: int = PACK_BUCKET,
 ) -> DataFrame:
     """Pack the corpus token stream into fixed-``budget`` training
     sequences (GPT-style concat-and-chunk): docs are concatenated in
@@ -76,7 +79,8 @@ def pack_sequences(
     last_doc, n_tokens) — all BIGINT, no float anywhere.
 
     Scale: the global prefix sum is two-tier, never a single-partition
-    window. Tier 1 groups docs into buckets of PACK_BUCKET ids and
+    window. Tier 1 groups docs into buckets of ``bucket`` ids (raise it
+    so corpus/bucket stays driver-window-sized — 10^5 at 10^12 docs) and
     aggregates per-bucket token totals (tiny: corpus/100 rows); the
     bucket-level running offset is a window over THAT aggregate (one
     row per bucket — driver-size, not corpus-size). Tier 2
@@ -89,7 +93,7 @@ def pack_sequences(
     per_doc = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
-        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+        (F.col("doc_id") / bucket).cast("long").alias("bucket"),
     )
     bucket_tot = per_doc.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -346,3 +346,31 @@ def test_multi_query_bm25_matches_single_query_form(spark):
     }
     for doc_id, score in multi.items():
         assert score == single[doc_id]   # bit-exact, no tolerance
+
+
+def test_pack_skew_giant_doc_and_custom_bucket(spark):
+    """One 10k-token doc among tiny ones: the fan-out explodes it into
+    ~300 sequence rows (bounded by tokens/budget), totals stay exact;
+    and a non-default bucket size packs identically."""
+    rows = [Row(doc_id=i, text=" ".join(["w"] * 5)) for i in range(50)]
+    rows.append(Row(doc_id=50, text=" ".join(["w"] * 10000)))
+    d = spark.createDataFrame(rows)
+    for bucket in (100, 7):
+        out = sorted(
+            pack_sequences(d, budget=32, bucket=bucket).collect(),
+            key=lambda r: r.seq_id,
+        )
+        assert sum(r.n_tokens for r in out) == 50 * 5 + 10000
+        assert all(r.n_tokens == 32 for r in out[:-1])
+        # the giant doc spans many sequences but each row is tiny
+        assert max(r.n_docs for r in out) <= 51
+
+
+def test_temperature_extreme_hot_host(spark):
+    # 1 host with 10000 docs vs one with 4: hot host keeps ~2%
+    ids = [97 * i for i in range(10000)] + [97 * i + 1 for i in range(4)]
+    d = spark.createDataFrame([Row(doc_id=i, text="x") for i in ids])
+    kept = {r.host: r["count"] for r in
+            temperature_resample(d).groupBy("host").count().collect()}
+    assert kept.get(1) == 4
+    assert kept.get(0, 0) < 500       # sqrt(4/10000) = 2% expected
