@@ -326,3 +326,50 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_DDL = "doc_id long, text string, lang string"
+
+
+def docs_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+
+
+def curation_gate(docs: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Streaming corpus curation: hashed-classifier margin gate + host-
+    temperature downsample, applied to a document STREAM.
+
+    Both filters are pure row functions plus a STREAM-STATIC broadcast
+    join (the per-host thresholds come from a batch aggregate of the
+    historical corpus — aggregating the stream itself would make keep
+    decisions depend on arrival time, killing replay determinism).
+    Works identically on a batch DataFrame — parity pinned by test.
+    """
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    w = fast_hash(F.concat(F.lit("w:"), F.col("term"))) % 1001 - 500
+    # margin via explode+sum would need stream aggregation state; the
+    # equivalent HOF fold is fine HERE because each doc's token list is
+    # referenced once (no projection-collapse multiplier) and the gate
+    # is a one-pass map — bounded work per row, no state.
+    margin = F.aggregate(
+        F.transform(
+            tokens(F.col("text")),
+            lambda t: fast_hash(F.concat(F.lit("w:"), t)) % 1001 - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    bucket = fast_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.withColumn("host", F.col("doc_id") % 97)
+        .withColumn("margin", margin)
+        .where(F.col("margin") > 0)
+        .join(F.broadcast(thresholds), "host")
+        .where(bucket < F.col("thr"))
+        .select("doc_id", "host", "margin", "thr")
+    )

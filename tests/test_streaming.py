@@ -260,3 +260,60 @@ def test_hll_registers_stream_matches_batch(spark, tmp_path_factory):
     }
     want = {(r.bucket, r.max_rho) for r in sp.hll_registers(events).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_curation_gate_matches_batch(spark, tmp_path_factory):
+    """Classifier + temperature gates on a document stream == the same
+    gates on the full batch table (stream-static join thresholds)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ocr_spark.operators.training import temperature_thresholds
+    from ocr_spark.streaming.pipeline import (
+        curation_gate,
+        docs_stream,
+        run_to_memory,
+    )
+
+    tmp = tmp_path_factory.mktemp("curation")
+    src = str(tmp / "src")
+    rng = random.Random(3)
+    words = "alpha beta gamma delta eps zeta".split()
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(rng.choices(words, k=rng.randint(1, 20))),
+            lang="en",
+        )
+        for i in range(300)
+    ]
+    batch = spark.createDataFrame(rows)
+    # two arrival waves
+    batch.where(F.col("doc_id") < 150).write.parquet(src + "/w1")
+    batch.where(F.col("doc_id") >= 150).write.parquet(src + "/w2")
+    moved = spark.read.parquet(src + "/w1", src + "/w2")
+
+    thr = temperature_thresholds(
+        batch.groupBy((F.col("doc_id") % 97).alias("host")).agg(
+            F.count("*").alias("n_h")
+        )
+    ).select("host", "thr")
+
+    expect = {
+        (r.doc_id, r.host, r.margin, r.thr)
+        for r in curation_gate(moved, thr).collect()
+    }
+    assert expect  # non-degenerate
+
+    q = run_to_memory(
+        curation_gate(docs_stream(spark, src + "/w*"), thr),
+        "curated",
+        output_mode="append",
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.doc_id, r.host, r.margin, r.thr)
+        for r in spark.sql("SELECT * FROM curated").collect()
+    }
+    assert got == expect
