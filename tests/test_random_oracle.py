@@ -1,0 +1,83 @@
+"""Randomized-corpus oracle parity.
+
+The driver's gate runs on fixed testdata; the bit-exactness claims
+(integer-grid k-means, rational-idf BM25, floor-form rounding, guard
+paths for short docs) are supposed to hold for ARBITRARY data. This
+test generates a fresh random corpus — including degenerate rows the
+shipped testdata lacks (1-token docs, duplicate texts) — and runs the
+real check_oracles comparison on the determinism-critical queries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch small "
+    "data customer join big filter stream sort window order query group "
+    "spark column vector the line dup a of and to in is"
+).split()
+
+CRITICAL = [
+    "pack_training_sequences",
+    "kmeans_embedding_clusters",
+    "bm25_topk",
+    "bm25_multi_query_top3",
+    "temperature_resample_hosts",
+    "quality_classifier_hashed",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "neardup_cosine",
+    "embedding_quantize_int8",
+]
+
+
+@pytest.fixture(scope="module")
+def random_sf_dir(tmp_path_factory):
+    rng = random.Random(20260817)
+    nprng = np.random.default_rng(20260817)
+    d = tmp_path_factory.mktemp("random_sf")
+
+    texts = []
+    for i in range(400):
+        if i % 37 == 0:
+            n = rng.randint(1, 2)        # shorter than every k-gram/shingle
+        else:
+            n = rng.randint(3, 60)
+        texts.append(" ".join(rng.choices(VOCAB, k=n)))
+    for i in range(0, 400, 50):
+        texts[i + 1] = texts[i]          # exact duplicates for dedup paths
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "es", "fr"]) for _ in range(400)],
+            "source": ["rand"] * 400,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    emb = nprng.uniform(-1, 1, size=(200, 64)).astype(np.float32)
+    for i in range(0, 200, 40):
+        emb[i + 1] = emb[i] * np.float32(0.95)   # near-dups for cosine tiers
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": [e for e in emb],
+            "label": np.array([i % 5 for i in range(200)], dtype=np.int64),
+        }
+    )
+    embeddings.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_critical_queries_bit_exact_on_random_corpus(spark, random_sf_dir):
+    from tools.check_oracles import main
+
+    assert main(random_sf_dir, CRITICAL) == 0
