@@ -2577,3 +2577,102 @@ def bm25_multi_query_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import bm25_multi_query
 
     return bm25_multi_query(load_table(spark, sf_dir, "documents"), _MQ)
+
+
+@query(
+    "doc_repetition_filters",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [] END AS gs,
+             CAST(len(t) AS BIGINT) AS n_words
+      FROM toks),
+    bi AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [] END AS bg
+      FROM toks),
+    top_bi AS (
+      SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bi
+      FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(bg) AS g FROM bi)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT tri.doc_id,
+           tri.n_words,
+           FLOOR((CASE WHEN len(gs) > 0
+                  THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                  ELSE 0.0 END) * 10000 + 0.5) / 10000 AS dup_trigram_frac,
+           FLOOR((CASE WHEN top_bi.n_bi > 0
+                  THEN CAST(top_bi.top_c AS DOUBLE) / top_bi.n_bi
+                  ELSE 0.0 END) * 10000 + 0.5) / 10000 AS top_bigram_frac
+    FROM tri LEFT JOIN top_bi ON tri.doc_id = top_bi.doc_id
+    """,
+)
+def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: within-doc duplicate-trigram fraction
+    (1 - distinct/total) and most-common-bigram mass fraction — the
+    boilerplate/looping-text gates doc_gopher_filters lacks.
+
+    Shapes: the trigram side reuses shingle_rows' exploded window form
+    WITHOUT array_distinct (counts need duplicates); the bigram side is
+    exploded rows -> two-level counts. Uniform doc_id/bigram keys,
+    map-side partials, floor-form rounding both engines.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import round_det, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    t = d.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lead1 = F.lead("tok", 1).over(w)
+    lead2 = F.lead("tok", 2).over(w)
+    grams = t.select(
+        "doc_id",
+        "tok",
+        lead1.alias("t1"),
+        lead2.alias("t2"),
+    )
+    tri = grams.where(F.col("t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g")
+    )
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.count_distinct("g").alias("n_tri_distinct"),
+    )
+    bi_counts = (
+        grams.where(F.col("t1").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "t1").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    base = d.select("doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"))
+    dup_tri = F.when(
+        F.col("n_tri") > 0,
+        F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
+    ).otherwise(F.lit(0.0))
+    top_bi = F.when(
+        F.col("n_bi") > 0, F.col("top_c").cast("double") / F.col("n_bi")
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(tri_stats, "doc_id", "left")
+        .join(bi_counts, "doc_id", "left")
+        .na.fill({"n_tri": 0, "n_tri_distinct": 0, "top_c": 0, "n_bi": 0})
+        .select(
+            "doc_id",
+            "n_words",
+            round_det(dup_tri, 4).alias("dup_trigram_frac"),
+            round_det(top_bi, 4).alias("top_bigram_frac"),
+        )
+    )

@@ -374,3 +374,34 @@ def test_temperature_extreme_hot_host(spark):
             temperature_resample(d).groupBy("host").count().collect()}
     assert kept.get(1) == 4
     assert kept.get(0, 0) < 500       # sqrt(4/10000) = 2% expected
+
+
+def test_repetition_filters_flag_looping_text(spark, tmp_path):
+    """A doc that loops one phrase scores near 1.0 on both signals;
+    diverse text scores low; a 1-token doc yields exact zeros."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                ("buy now " * 50).strip(),
+                "alpha beta gamma delta eps zeta eta theta iota kappa",
+                "x",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from ocr_spark.queries import QUERIES
+
+    out = {
+        r.doc_id: (r.dup_trigram_frac, r.top_bigram_frac)
+        for r in QUERIES["doc_repetition_filters"](spark, sf).collect()
+    }
+    assert out[0][0] > 0.95 and out[0][1] > 0.4     # looping text
+    assert out[1][0] == 0.0 and out[1][1] < 0.2     # diverse text
+    assert out[2] == (0.0, 0.0)                     # degenerate doc
