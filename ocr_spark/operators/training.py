@@ -436,3 +436,65 @@ def bm25_multi_query(
         .where(F.col("rank") <= 3)
         .select("q_id", "doc_id", "score", "rank")
     )
+
+
+def kmeans_maximin_init(vecs: DataFrame, k: int) -> DataFrame:
+    """Deterministic farthest-first (maximin) center selection — the
+    k-means++ alternative with no randomness to mirror: center 0 is
+    vec_id 0; each next center is the vector maximizing its minimum
+    integer distance to the chosen set (ties -> smallest vec_id),
+    already-chosen ids excluded.
+
+    Each step is one broadcast of the j chosen rows + a min/argmax
+    aggregate over the corpus — k-1 linear passes, no corpus shuffle
+    beyond the partial-agg hash. Returns (cluster, cv, cid) with
+    cluster = selection order.
+    """
+    chosen = vecs.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("int").alias("cluster"),
+        F.col("qv").alias("cv"),
+        F.col("vec_id").alias("cid"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    for j in range(1, k):
+        cand = vecs.join(
+            chosen.select(F.col("cid").alias("vec_id")), "vec_id", "left_anti"
+        )
+        mind = (
+            cand.crossJoin(F.broadcast(chosen.select("cv")))
+            .select("vec_id", "qv", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("mind"), F.first("qv").alias("qv"))
+        )
+        winner = mind.groupBy().agg(
+            F.max_by(
+                F.struct(F.col("vec_id"), F.col("qv")),
+                F.struct(F.col("mind"), (-F.col("vec_id")).alias("ni")),
+            ).alias("w")
+        ).select(
+            F.lit(j).cast("int").alias("cluster"),
+            F.col("w.qv").alias("cv"),
+            F.col("w.vec_id").alias("cid"),
+        )
+        chosen = chosen.unionByName(winner)
+    return chosen
+
+
+def kmeans_quantized_maximin(
+    emb: DataFrame, k: int = 4, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """kmeans_quantized with farthest-first init instead of
+    lowest-ids: spreads initial centers across the data's hull, the
+    standard fix for lowest-id init collapsing into one dense region.
+    Same integer-exact guarantees; returns (vec_id, cluster, dist)."""
+    vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    centroids = kmeans_maximin_init(vecs, k).select("cluster", "cv")
+    assigned = kmeans_assign(vecs, centroids)
+    for _ in range(iters - 1):
+        centroids = kmeans_recenter(assigned, dim)
+        assigned = kmeans_assign(vecs, centroids)
+    return assigned.select("vec_id", "cluster", "dist")

@@ -2676,3 +2676,87 @@ def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(top_bi, 4).alias("top_bigram_frac"),
         )
     )
+
+
+def _km_maximin_oracle(k: int = 4) -> str:
+    parts = [
+        f"qv AS (SELECT vec_id, {_KM_QV} AS qv FROM embeddings)",
+        "cents1 AS (SELECT CAST(0 AS INT) AS cluster, qv AS cv,"
+        " vec_id AS cid FROM qv WHERE vec_id = 0)",
+    ]
+    for j in range(1, k):
+        parts.append(
+            f"""mind{j} AS (
+      SELECT v.vec_id, MIN({_KM_DIST}) AS mind
+      FROM qv v CROSS JOIN cents{j} c
+      WHERE v.vec_id NOT IN (SELECT cid FROM cents{j})
+      GROUP BY v.vec_id)"""
+        )
+        parts.append(
+            f"""w{j} AS (
+      SELECT CAST({j} AS INT) AS cluster, q.qv AS cv, p.vec_id AS cid
+      FROM (SELECT vec_id FROM (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+              FROM mind{j}) WHERE rn = 1) p
+           JOIN qv q ON q.vec_id = p.vec_id)"""
+        )
+        parts.append(
+            f"cents{j + 1} AS (SELECT * FROM cents{j} "
+            f"UNION ALL SELECT * FROM w{j})"
+        )
+    parts.append(
+        f"""d1 AS (
+      SELECT v.vec_id, c.cluster, {_KM_DIST} AS dist
+      FROM qv v CROSS JOIN (SELECT cluster, cv FROM cents{k}) c)"""
+    )
+    parts.append(
+        """a1 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1)"""
+    )
+    parts.append(
+        """comp AS (
+      SELECT a.cluster, g.d, SUM(v.qv[g.d]) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a1 a JOIN qv v ON a.vec_id = v.vec_id
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+      GROUP BY a.cluster, g.d)"""
+    )
+    parts.append(
+        """c1 AS (
+      SELECT cluster,
+             list(CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                  ORDER BY d) AS cv
+      FROM comp GROUP BY cluster)"""
+    )
+    parts.append(
+        f"""d2 AS (
+      SELECT v.vec_id, c.cluster, {_KM_DIST} AS dist
+      FROM qv v CROSS JOIN c1 c)"""
+    )
+    parts.append(
+        """a2 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d2) WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    SELECT vec_id, cluster, dist FROM a2"
+
+
+@query("kmeans_maximin_clusters", _km_maximin_oracle())
+def kmeans_maximin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means with deterministic farthest-first (maximin) init, k=4,
+    2 Lloyd rounds — centers start spread across the data hull instead
+    of the lowest ids. Integer-exact throughout; the oracle unrolls the
+    k-1 selection steps as chained CTEs. See
+    operators/training.kmeans_maximin_init.
+    """
+    from ocr_spark.operators.training import kmeans_quantized_maximin
+
+    return kmeans_quantized_maximin(load_table(spark, sf_dir, "embeddings"))

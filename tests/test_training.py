@@ -405,3 +405,62 @@ def test_repetition_filters_flag_looping_text(spark, tmp_path):
     assert out[0][0] > 0.95 and out[0][1] > 0.4     # looping text
     assert out[1][0] == 0.0 and out[1][1] < 0.2     # diverse text
     assert out[2] == (0.0, 0.0)                     # degenerate doc
+
+
+def test_kmeans_maximin_init_matches_naive(spark):
+    """Farthest-first selection mirrored in plain Python: greedy argmax
+    of min integer distance, ties to smallest id, chosen excluded."""
+    from ocr_spark.operators.training import (
+        kmeans_maximin_init,
+        quantize_vec,
+    )
+
+    rng = random.Random(99)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)}
+    q = {i: [math.floor(x * KM_SCALE + 0.5) for x in v] for i, v in vecs.items()}
+
+    chosen = [0]
+    for _ in range(3):
+        best = max(
+            (
+                (min(sum((a - b) * (a - b) for a, b in zip(q[i], q[c]))
+                     for c in chosen), -i), i)
+            for i in q if i not in chosen
+        )[1]
+        chosen.append(best)
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    got = (
+        kmeans_maximin_init(
+            emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv")),
+            k=4,
+        )
+        .orderBy("cluster")
+        .collect()
+    )
+    assert [r.cid for r in got] == chosen
+    assert [r.cluster for r in got] == [0, 1, 2, 3]
+
+
+def test_maximin_init_spreads_centers(spark):
+    """Three tight blobs + lowest ids all in one blob: maximin picks
+    one center per blob; lowest-id init would take all from blob A."""
+    pts = (
+        [[0.0 + i * 0.001, 0.0] for i in range(5)]       # blob A: ids 0-4
+        + [[10.0, 10.0 + i * 0.001] for i in range(5)]   # blob B: ids 5-9
+        + [[-10.0, 10.0 + i * 0.001] for i in range(5)]  # blob C: ids 10-14
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a) for a in p]) for i, p in enumerate(pts)]
+    )
+    from ocr_spark.operators.training import kmeans_quantized_maximin
+
+    out = kmeans_quantized_maximin(emb, k=3, iters=2, dim=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    # three clusters, each exactly one blob
+    blobs = [set(range(0, 5)), set(range(5, 10)), set(range(10, 15))]
+    assert sorted(by_cluster.values(), key=min) == blobs
