@@ -2760,3 +2760,76 @@ def kmeans_maximin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import kmeans_quantized_maximin
 
     return kmeans_quantized_maximin(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "full_outer_nation_sides",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nk,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customer vs supplier counts per nation,
+    surviving nations present on only one side (COALESCE 0)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "window_range_frame_order_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_30d
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def window_range_frame_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    the trailing-30-day order value in integer cents — RANGE frames
+    include ALL peers within the value bound regardless of row count,
+    the semantics rows-frames cannot express. Cents as BIGINT keeps the
+    windowed sum order-free (exact)."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.sum(cents).over(w).alias("cents_30d"),
+    )
