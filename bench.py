@@ -98,12 +98,12 @@ def main() -> None:
     # Split sizing: the default 128 MiB collapses the binary-heavy corpus
     # into ~3 splits (starving 32 cores), while 2 MiB made 192 tiny tasks
     # whose fixed per-python-task cost (~150 ms even for an identity
-    # Arrow UDF — measured, parallelizes across cores but still ~45% of
-    # wall at 125 pages/task) dominated. 8 MiB = 64 tasks = 2 balanced
-    # waves of 32 with ~375 pages (~340 ms compute) per task: measured
-    # 2.04s -> 1.53s on an A/B/A/B quiet-box run. Same ≥seconds-of-work-
-    # per-task rule a real cluster uses.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    # Arrow UDF — measured) dominated. 16 MiB = 32 tasks = ONE balanced
+    # wave of ~750 pages (~650 ms compute) per task: interleaved A/B vs
+    # 8 MiB (2 waves) measured 1.63s vs 2.06s median — one wave wins
+    # once per-task compute safely dominates the fixed cost. Same
+    # ≥seconds-of-work-per-task rule a real cluster uses.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     pages = spark.read.parquet(corpus_path)
     _noop_sink(with_main_text(pages).select("url", "extracted"))  # warm
     ext_samples = []
