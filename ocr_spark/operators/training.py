@@ -253,7 +253,13 @@ def kmeans_quantized(
     use it beyond a handful of rounds. Default False keeps the single
     lazy plan the oracle gate checks.
     """
-    vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    # spread the (single-split) embeddings scan before the per-centroid
+    # integer folds — the assign groupBy shuffles by vec_id anyway, so
+    # this Exchange replaces that one (same fix as ivf_assign)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    vecs = emb.repartition(par, "vec_id").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    )
     centroids = (
         vecs.where(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv"))
@@ -491,7 +497,10 @@ def kmeans_quantized_maximin(
     lowest-ids: spreads initial centers across the data's hull, the
     standard fix for lowest-id init collapsing into one dense region.
     Same integer-exact guarantees; returns (vec_id, cluster, dist)."""
-    vecs = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    vecs = emb.repartition(par, "vec_id").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    )
     centroids = kmeans_maximin_init(vecs, k).select("cluster", "cv")
     assigned = kmeans_assign(vecs, centroids)
     for _ in range(iters - 1):
