@@ -2833,3 +2833,59 @@ def window_range_frame_order_value(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
         F.sum(cents).over(w).alias("cents_30d"),
     )
+
+
+@query(
+    "doc_chunk_windows",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               CASE WHEN len(t) <= 64 THEN 0
+                    ELSE CAST(CEIL((len(t) - 64) / 32.0) AS BIGINT) END))
+               AS chunk_id
+      FROM toks)
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * 32 + 1 :
+                             LEAST(chunk_id * 32 + 64, len(t))], ' ')
+             AS chunk,
+           CAST(LEAST(chunk_id * 32 + 64, len(t)) - chunk_id * 32 AS BIGINT)
+             AS n_tokens
+    FROM idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/packing-style overlapping chunking: token windows of 64 with
+    stride 32 per document — every token is covered, consecutive chunks
+    overlap by half, the last window is the remainder (never empty,
+    never duplicated: the chunk count is ceil((n-64)/32)+1 for n>64,
+    else 1).
+
+    Pure fan-out: an exploded integer range + array_join of a slice —
+    no shuffle at all (chunk rows inherit the scan partitioning); at
+    corpus scale this is a map-only 2x row multiplier. The slice is
+    referenced ONCE per output row, so no projection-collapse
+    recompute.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    n_chunks = F.when(n <= 64, F.lit(0).cast("long")).otherwise(
+        F.ceil((n - 64) / F.lit(32.0))
+    )
+    ex = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * 32).cast("int")
+    end = F.least(start + 64, F.size("t"))
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(
+            F.slice("t", start + 1, (end - start).cast("int")), " "
+        ).alias("chunk"),
+        (end - start).cast("bigint").alias("n_tokens"),
+    )

@@ -464,3 +464,38 @@ def test_maximin_init_spreads_centers(spark):
     # three clusters, each exactly one blob
     blobs = [set(range(0, 5)), set(range(5, 10)), set(range(10, 15))]
     assert sorted(by_cluster.values(), key=min) == blobs
+
+
+def test_chunk_windows_cover_and_overlap(spark, tmp_path):
+    """Every token covered; consecutive chunks overlap by 32; last
+    chunk is the remainder; short docs give exactly one chunk."""
+    import pandas as pd
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(150)),   # 150 tokens -> 4 chunks
+        1: " ".join(f"t{i}" for i in range(64)),    # exactly one window
+        2: "one two",                               # short
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from ocr_spark.queries import QUERIES
+
+    rows = QUERIES["doc_chunk_windows"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk.split(" ")
+    assert len(by_doc[0]) == 4          # ceil((150-64)/32)+1
+    assert len(by_doc[1]) == 1 and len(by_doc[1][0]) == 64
+    assert by_doc[2] == {0: ["one", "two"]}
+    toks0 = texts[0].split(" ")
+    for cid, chunk in by_doc[0].items():
+        assert chunk == toks0[cid * 32 : cid * 32 + 64]
+    covered = sorted({t for c in by_doc[0].values() for t in c})
+    assert covered == sorted(set(toks0))        # full coverage
