@@ -2889,3 +2889,52 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk"),
         (end - start).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "corpus_report_card",
+    """
+    WITH base AS (
+      SELECT lang, doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           FLOOR(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100
+             AS mean_tok,
+           FLOOR((1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000 AS dup_frac
+    FROM base GROUP BY lang
+    """,
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report card — the summary row a curation run
+    publishes next to its manifests: doc/token counts, distinct-text
+    cardinality (exact here; the HLL sketch query is the at-scale
+    variant), token-length extrema/mean, exact-dup fraction.
+
+    One partial+final aggregate, every stat map-side combinable
+    (COUNT DISTINCT of the content hash rewrites to a two-level
+    expand+agg); floor-form rounding on both engines.
+    """
+    from ocr_spark.operators.dedup import round_det
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    base = d.select("lang", "doc_id", F.md5(F.col("text").cast("binary")).alias("h"), n_tok.alias("n_tok"))
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("h").alias("n_distinct_texts"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        round_det(F.sum("n_tok").cast("double") / F.count("*") * 100, 0)
+        .cast("double").alias("mean_tok_x100"),
+        round_det(
+            F.lit(1.0) - F.count_distinct("h").cast("double") / F.count("*"), 4
+        ).alias("dup_frac"),
+    ).withColumn("mean_tok", F.col("mean_tok_x100") / 100).drop("mean_tok_x100")
