@@ -499,3 +499,43 @@ def test_chunk_windows_cover_and_overlap(spark, tmp_path):
         assert chunk == toks0[cid * 32 : cid * 32 + 64]
     covered = sorted({t for c in by_doc[0].values() for t in c})
     assert covered == sorted(set(toks0))        # full coverage
+
+
+def test_host_pagerank_matches_naive(spark):
+    """Integer PageRank mirrored in plain Python over the same
+    synthesized affine link graph."""
+    from ocr_spark.queries import QUERIES
+
+    got = {
+        r.host: r.rank
+        for r in QUERIES["host_pagerank"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    hosts = sorted(
+        {
+            r[0] % 97
+            for r in duckdb.sql(
+                "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet'"
+            ).fetchall()
+        }
+    )
+    hs = set(hosts)
+    edges = set()
+    for h in hosts:
+        for dst in ((3 * h + 1) % 97, (5 * h + 2) % 97, (7 * h + 3) % 97):
+            if dst != h and dst in hs:
+                edges.add((h, dst))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {h: 1000000 for h in hosts}
+    for _ in range(3):
+        inflow = {h: 0 for h in hosts}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {h: 150000 + (inflow[h] * 85) // 100 for h in hosts}
+    assert got == r
+    assert all(v >= 150000 for v in got.values())
