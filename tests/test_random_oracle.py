@@ -34,6 +34,11 @@ CRITICAL = [
     "doc_lang_id",
     "neardup_cosine",
     "embedding_quantize_int8",
+    "kmeans_maximin_clusters",
+    "doc_repetition_filters",
+    "doc_chunk_windows",
+    "corpus_report_card",
+    "host_pagerank",
 ]
 
 
