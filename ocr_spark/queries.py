@@ -3035,3 +3035,93 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("h").alias("host"), F.col("r").alias("rank"))
+
+
+@query(
+    "pmi_cooccurrence_top20",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i, t
+      FROM toks),
+    pairs AS (
+      SELECT LEAST(w, t[i + d]) AS w1, GREATEST(w, t[i + d]) AS w2
+      FROM pos CROSS JOIN (SELECT unnest([1, 2]) AS d) ds
+      WHERE i + d <= len(t)),
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pairs GROUP BY w1, w2),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM uni)
+    SELECT w1, w2, c,
+           CAST((c * big_n * 1000000
+                 - (((c * big_n * 1000000) % (u1.n * u2.n)) + u1.n * u2.n)
+                   % (u1.n * u2.n)) // (u1.n * u2.n) AS BIGINT)
+             AS pmi_scaled
+    FROM pc JOIN uni u1 ON pc.w1 = u1.w
+         JOIN uni u2 ON pc.w2 = u2.w
+         CROSS JOIN tot
+    WHERE c >= 5
+    ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: corpus co-occurrence (window <=2,
+    canonical pair order) scored by scaled PMI odds — floor(1e6 *
+    c*N / (n1*n2)), all integer (no log: same rationale as BM25's
+    rational idf; monotone in PMI so the ranking is identical).
+
+    Shapes: pair counts are the span-dedup shuffle (uniform pair
+    keys, map-side combine); unigram counts broadcast (vocab-sized);
+    N is a scalar. At 10^12-token scale c*N*1e6 needs DECIMAL(38) or
+    a pre-divide — noted, the sandbox corpus is far inside int64.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    t = d.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    grams = t.select(
+        "w", F.lead("w", 1).over(w).alias("l1"), F.lead("w", 2).over(w).alias("l2")
+    )
+    pairs = (
+        grams.select(
+            F.explode(
+                F.filter(F.array("l1", "l2"), lambda x: x.isNotNull())
+            ).alias("o"),
+            "w",
+        )
+        .select(F.least("w", "o").alias("w1"), F.greatest("w", "o").alias("w2"))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = uni.groupBy().agg(F.sum("n").alias("big_n"))
+    scored = (
+        pc.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            floor_div(
+                F.col("c") * F.col("big_n") * 1000000,
+                F.col("n1") * F.col("n2"),
+            ).alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_scaled"), "w1", "w2").limit(20)

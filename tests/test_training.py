@@ -539,3 +539,30 @@ def test_host_pagerank_matches_naive(spark):
         r = {h: 150000 + (inflow[h] * 85) // 100 for h in hosts}
     assert got == r
     assert all(v >= 150000 for v in got.values())
+
+
+def test_pmi_finds_collocation(spark, tmp_path):
+    """Tokens that only ever appear together dominate scaled PMI."""
+    import pandas as pd
+
+    rng = random.Random(4)
+    filler = "alpha beta gamma delta eps zeta eta theta".split()
+    rows = []
+    for i in range(30):
+        # 'san francisco' always adjacent; filler order shuffled so no
+        # filler pair co-occurs consistently
+        f = rng.sample(filler, k=6)
+        rows.append(" ".join(f[:3] + ["san", "francisco"] + f[3:]))
+    pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": rows,
+            "lang": ["en"] * 30,
+            "source": ["t"] * 30,
+            "n_chars": [len(r) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from ocr_spark.queries import QUERIES
+
+    top = QUERIES["pmi_cooccurrence_top20"](spark, str(tmp_path)).first()
+    assert (top.w1, top.w2) == ("francisco", "san")
