@@ -84,11 +84,27 @@ def main() -> None:
     def sink(df):
         df.write.format("noop").mode("overwrite").save()
 
+    def chunks(d):
+        t = F.split(F.col("text"), " ")
+        n = F.size(t)
+        n_chunks = F.when(n <= 64, F.lit(0).cast("long")).otherwise(
+            F.ceil((n - 64) / F.lit(32.0)))
+        ex = d.select("doc_id", t.alias("t"),
+                      F.explode(F.sequence(F.lit(0).cast("long"), n_chunks))
+                       .alias("chunk_id"))
+        start = (F.col("chunk_id") * 32).cast("int")
+        end = F.least(start + 64, F.size("t"))
+        return ex.select("doc_id", "chunk_id",
+                         F.array_join(F.slice("t", start + 1,
+                                              (end - start).cast("int")), " ")
+                          .alias("chunk"))
+
     ops = {
         "minhash_lsh": lambda d, e: minhash_lsh_pairs(d),
         "fingerprints": lambda d, e: fingerprint_stats(d),
         "pack_sequences": lambda d, e: pack_sequences(d),
         "kmeans": lambda d, e: kmeans_quantized(e),
+        "chunking": lambda d, e: chunks(d),
     }
 
     out: dict[str, dict] = {}
