@@ -3125,3 +3125,48 @@ def pmi_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_scaled"), "w1", "w2").limit(20)
+
+
+@query(
+    "global_rank_doc_length",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS rank
+    FROM documents
+    """,
+)
+def global_rank_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-global rank without a corpus-global sort: the
+    curriculum-ordering primitive (rank by a score, then feed packing).
+
+    Two-tier, same as pack_sequences' prefix sum: docs bucket by a
+    coarse key range (n_chars div 64); per-bucket COUNTS (tiny
+    aggregate) get a running offset via a window over the aggregate
+    (bucket-level rows only); each doc's within-bucket row_number
+    (window PARTITIONED by bucket — bounded, uniform) adds to its
+    bucket offset. The oracle is the single-window definition; the
+    implementation never materializes a one-partition sort. At any
+    scale the only corpus-wide shuffle is the bucket hash.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from ocr_spark.operators.training import floor_div
+
+    bucket = floor_div(F.col("n_chars"), F.lit(64)).alias("bucket")
+    db = d.select("doc_id", "n_chars", bucket)
+    counts = db.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("off")
+    )
+    w_d = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    return (
+        db.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("off") + F.row_number().over(w_d)).cast("bigint").alias("rank"),
+        )
+    )

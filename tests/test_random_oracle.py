@@ -39,6 +39,7 @@ CRITICAL = [
     "doc_chunk_windows",
     "corpus_report_card",
     "host_pagerank",
+    "global_rank_doc_length",
 ]
 
 
