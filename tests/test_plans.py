@@ -143,3 +143,30 @@ def test_extraction_udf_never_duplicated(spark):
         plan = _plan(QUERIES[name](spark, SF))
         n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
         assert n == 1, f"{name}: {n} ArrowEvalPython nodes"
+
+
+def test_round2_late_queries_plan_hygiene(spark):
+    """PageRank / PMI / chunking / report card / global rank: all-JVM,
+    no cartesian products, and the global-rank window is
+    bucket-partitioned (the whole point of the two-tier form)."""
+    import re
+
+    from ocr_spark.queries import QUERIES
+
+    for name in (
+        "host_pagerank",
+        "pmi_cooccurrence_top20",
+        "doc_chunk_windows",
+        "corpus_report_card",
+        "global_rank_doc_length",
+        "doc_repetition_filters",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    chunk = _plan(QUERIES["doc_chunk_windows"](spark, SF))
+    assert not re.findall(r"^\(\d+\) Exchange", chunk, re.M)  # map-only
+
+    rank = _plan(QUERIES["global_rank_doc_length"](spark, SF))
+    assert "windowspecdefinition(bucket#" in rank

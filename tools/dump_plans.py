@@ -95,6 +95,21 @@ COMMENTARY = {
         "query-position order (no float groupBy-sum); top-3 per query "
         "via a bounded window."
     ),
+    "host_pagerank": (
+        "3 damped power iterations, each one join + one partially-"
+        "aggregated sum on uniform dst keys; ranks in integer "
+        "micro-units so every sum commutes. No cartesian anywhere."
+    ),
+    "doc_chunk_windows": (
+        "Map-only fan-out: exploded integer range + single-reference "
+        "array slice; zero Exchanges — chunk rows inherit the scan "
+        "partitioning."
+    ),
+    "global_rank_doc_length": (
+        "Exact global rank with NO one-partition sort: bucket counts "
+        "-> running offsets over the tiny aggregate -> bucket-"
+        "partitioned row_number + offset."
+    ),
 }
 
 
