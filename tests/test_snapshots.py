@@ -109,3 +109,35 @@ def test_checkpointed_run_over_snapshot_catalog(spark, tmp_path):
     mid = cat.read_at("manifests", n_snaps_mid).count()
     assert mid == 6                                        # 2 waves x 3 shards
     assert cat.read("manifests").count() == 8
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The spark-submit curation job: stages monotonically shrink the
+    corpus, packed tokens equal the survivors' token count, outputs are
+    snapshot-published (time-travel-able)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from tools.curate_corpus import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "wh")
+    summary = curate(spark, docs, out)
+
+    assert (
+        summary["docs_in"]
+        >= summary["after_quality_gate"]
+        >= summary["after_exact_dedup"]
+        >= summary["after_temperature_resample"]
+        > 0
+    )
+    cat = SnapshotCatalog(spark, out)
+    kept = cat.read("curated.docs")
+    assert kept.count() == summary["after_temperature_resample"]
+    total_tokens = kept.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert summary["packed_tokens"] == total_tokens
+    assert cat.read("curated.sequences").count() == summary["sequences"]

