@@ -3170,3 +3170,50 @@ def global_rank_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.row_number().over(w_d)).cast("bigint").alias("rank"),
         )
     )
+
+
+ORACLE["kmeans_cluster_purity"] = f"""
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(cnt) AS BIGINT) AS top_label_n,
+           FLOOR(CAST(MAX(cnt) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+             AS purity
+    FROM (
+      SELECT a.cluster, e.label, a.vec_id,
+             COUNT(*) OVER (PARTITION BY a.cluster, e.label) AS cnt
+      FROM ({ORACLE["kmeans_embedding_clusters"]}) a
+           JOIN embeddings e ON a.vec_id = e.vec_id)
+    GROUP BY cluster
+    """
+
+
+def _q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: label purity per k-means cluster —
+    the metric that decides whether embedding clusters are usable for
+    domain curation. Assignments from the oracle-checked quantized
+    k-means; purity = top-label share, floor-rounded both engines.
+
+    Scale: (cluster, label) counts are a tiny partial-agg shuffle on
+    top of the k-means dataflow; k x |labels| rows."""
+    from ocr_spark.operators.dedup import round_det
+    from ocr_spark.operators.training import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb)
+    lab = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    counts = lab.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    return counts.groupBy("cluster").agg(
+        F.sum("c").alias("n_vecs"),
+        F.max("c").alias("top_label_n"),
+        round_det(F.max("c").cast("double") / F.sum("c") * 10000, 0)
+        .cast("double")
+        .alias("p4"),
+    ).select(
+        "cluster",
+        "n_vecs",
+        "top_label_n",
+        (F.col("p4") / 10000).alias("purity"),
+    )
+
+
+QUERIES["kmeans_cluster_purity"] = _q_kmeans_purity

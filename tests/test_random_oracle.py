@@ -40,6 +40,8 @@ CRITICAL = [
     "corpus_report_card",
     "host_pagerank",
     "global_rank_doc_length",
+    "pmi_cooccurrence_top20",
+    "kmeans_cluster_purity",
 ]
 
 
