@@ -197,3 +197,53 @@ class SnapshotCatalog:
         if snapshot_id not in by_id:
             raise KeyError(f"unknown snapshot {snapshot_id} for {table}")
         return self._publish(table, "rollback", by_id[snapshot_id]["files"])
+
+
+class SnapshotMaintenance:
+    """Table-maintenance verbs (Iceberg's rewrite_data_files /
+    expire_snapshots): bound the commit-dir count and reclaim space
+    without ever breaking readers of retained snapshots."""
+
+    def __init__(self, cat: SnapshotCatalog):
+        self.cat = cat
+
+    def compact(self, table: str) -> dict:
+        """Rewrite the CURRENT file set as one fresh commit and publish
+        it — readers of older snapshots are untouched (their files
+        stay); scan planning afterwards touches one commit dir."""
+        df = self.cat.read(table)
+        _rel, files = self.cat._write_commit(df, table, None)
+        return self.cat._publish(table, "compact", files)
+
+    def expire_snapshots(self, table: str, keep_last: int) -> dict:
+        """Drop all but the last ``keep_last`` snapshot entries and
+        DELETE data files no retained snapshot references. The current
+        snapshot is always retained. Returns counts.
+
+        Files are removed only when unreachable from every retained
+        snapshot — the invariant that makes expiry safe to run while
+        retained-snapshot readers are active (their file lists are
+        immutable)."""
+        snaps = self.cat.snapshots(table)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        retained = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        live = {f for s in retained for f in s["files"]}
+        root = self.cat._table(table)
+        removed = 0
+        for s in expired:
+            for f in s["files"]:
+                if f not in live:
+                    p = os.path.join(root, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed += 1
+        d = self.cat._snapdir(table)
+        for s in expired:
+            os.remove(os.path.join(d, f"v{s['id']}.json"))
+        return {
+            "expired_snapshots": len(expired),
+            "retained_snapshots": len(retained),
+            "deleted_files": removed,
+        }

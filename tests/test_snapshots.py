@@ -141,3 +141,24 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     ).first()[0]
     assert summary["packed_tokens"] == total_tokens
     assert cat.read("curated.sequences").count() == summary["sequences"]
+
+
+def test_compact_and_expire(spark, cat):
+    from ocr_spark.sources.snapshots import SnapshotMaintenance
+
+    for lo in (0, 5, 10, 15):
+        cat.append(spark.range(lo, lo + 5).select("id"), "db.t")
+    maint = SnapshotMaintenance(cat)
+    snap = maint.compact("db.t")
+    assert snap["op"] == "compact"
+    assert cat.read("db.t").count() == 20
+    # time travel to a pre-compaction snapshot still works
+    assert cat.read_at("db.t", 2).count() == 10
+
+    res = maint.expire_snapshots("db.t", keep_last=1)
+    assert res["expired_snapshots"] == 4 and res["deleted_files"] > 0
+    assert cat.read("db.t").count() == 20             # current unaffected
+    with pytest.raises(KeyError):
+        cat.read_at("db.t", 2)                        # history expired
+    # and the survivors' files all exist (readable end to end)
+    assert sorted(r.id for r in cat.read("db.t").collect()) == list(range(20))
