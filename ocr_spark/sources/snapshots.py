@@ -27,8 +27,9 @@ Scan planning is manifest-driven: live files are grouped by their
 commit directory and each group is read with ``basePath`` pinned to
 that commit dir, so hive partition columns resolve correctly across
 commits; groups are unioned by name. The number of live commit dirs is
-bounded by the snapshot log length (compaction = one ``overwrite`` of
-the full table). Single-writer per table is assumed (the driver), as
+bounded by the snapshot log length (``SnapshotMaintenance.compact``
+rewrites the live set as one commit; ``expire_snapshots`` reclaims
+files unreachable from retained history). Single-writer per table is assumed (the driver), as
 in the checkpoint layer; concurrent writers need a real catalog.
 """
 

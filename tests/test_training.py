@@ -566,3 +566,19 @@ def test_pmi_finds_collocation(spark, tmp_path):
 
     top = QUERIES["pmi_cooccurrence_top20"](spark, str(tmp_path)).first()
     assert (top.w1, top.w2) == ("francisco", "san")
+
+
+def test_floor_div_matches_python_floordiv(spark):
+    """floor_div must floor (Python //), not truncate (Spark div), for
+    every sign combination — the centroid-mean correctness hinge."""
+    from ocr_spark.operators.training import floor_div
+
+    rows = [
+        Row(n=n, d=d)
+        for n in [-17, -8, -1, 0, 1, 8, 17, -1000001, 999999]
+        for d in [1, 2, 3, 7, 64, 97]
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select("n", "d", floor_div(F.col("n"), F.col("d")).alias("q")).collect()
+    for r in out:
+        assert r.q == r.n // r.d, (r.n, r.d, r.q)
