@@ -93,6 +93,22 @@ def pack_sequences(
     per_doc = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return pack_sequences_from_counts(per_doc, budget, start_offset, bucket)
+
+
+def pack_sequences_from_counts(
+    per_doc: DataFrame,
+    budget: int = PACK_BUDGET,
+    start_offset: int = 0,
+    bucket: int = PACK_BUCKET,
+) -> DataFrame:
+    """pack_sequences core over precomputed (doc_id, n_tok) rows — the
+    composition point for pipelines that already counted tokens (e.g.
+    the extraction pipeline's n_tokens output)."""
+    per_doc = per_doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
         (F.col("doc_id") / bucket).cast("long").alias("bucket"),
     )
     bucket_tot = per_doc.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))

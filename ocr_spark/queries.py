@@ -3217,3 +3217,51 @@ def _q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["kmeans_cluster_purity"] = _q_kmeans_purity
+
+
+ORACLE["pipeline_pack_training_sequences"] = f"""
+    WITH per AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok
+      FROM ({ORACLE["pipeline_training_corpus"]})),
+    placed AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s0
+      FROM per),
+    spans AS (
+      SELECT doc_id, s0, s0 + n_tok AS e0,
+             unnest(generate_series(s0 // 256, (s0 + n_tok - 1) // 256))
+               AS seq_id
+      FROM placed)
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(LEAST(e0, (seq_id + 1) * 256)
+                    - GREATEST(s0, seq_id * 256)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY seq_id
+    """
+
+
+def _q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the FULL curation chain feeding packing in
+    ONE lazy plan — extraction UDF -> quality gate -> exact dedup ->
+    hash sample -> concat-and-chunk sequences. The oracle replays every
+    stage in SQL (extraction via its exact invariant) and then the
+    packing windows — the whole training-data assembly, SQL-checkable
+    end to end.
+
+    Plan shape: one ArrowEvalPython (fence-pinned), the dedup window's
+    content-hash shuffle, then the two-tier pack windows — no
+    corpus-global sort, no second UDF pass.
+    """
+    from ocr_spark.operators.training import pack_sequences_from_counts
+
+    kept = QUERIES["pipeline_training_corpus"](spark, sf_dir)
+    return pack_sequences_from_counts(
+        kept.select("doc_id", F.col("n_tokens").alias("n_tok"))
+    )
+
+
+QUERIES["pipeline_pack_training_sequences"] = _q_pipeline_pack
