@@ -3259,9 +3259,18 @@ def _q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import pack_sequences_from_counts
 
     kept = QUERIES["pipeline_training_corpus"](spark, sf_dir)
-    return pack_sequences_from_counts(
-        kept.select("doc_id", F.col("n_tokens").alias("n_tok"))
-    )
+    # The packing prefix-sum consumes its input TWICE (bucket totals +
+    # per-doc placement), and Spark physical plans are trees — shared
+    # lineage is re-evaluated per consumer, which would run the
+    # extraction UDF twice (caught by the plan guard). A lazy
+    # localCheckpoint materializes the curated (doc_id, n_tok) rows
+    # once and both branches read the checkpoint. At fleet scale the
+    # boundary is a catalog write instead (tools/curate_corpus.py):
+    # localCheckpoint is executor-local and non-reliable.
+    counts = kept.select(
+        "doc_id", F.col("n_tokens").alias("n_tok")
+    ).localCheckpoint(eager=False)
+    return pack_sequences_from_counts(counts)
 
 
 QUERIES["pipeline_pack_training_sequences"] = _q_pipeline_pack

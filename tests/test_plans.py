@@ -137,12 +137,17 @@ def test_extraction_udf_never_duplicated(spark):
 
     for name in (
         "pipeline_training_corpus",
+        "pipeline_pack_training_sequences",
         "flagship_extract",
         "warc_roundtrip_extract",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
-        assert n == 1, f"{name}: {n} ArrowEvalPython nodes"
+        # pipeline_pack hides its single UDF eval behind a lazy
+        # localCheckpoint (lineage truncated -> 0 visible nodes); every
+        # other extraction plan must show exactly one.
+        limit = 1 if name != "pipeline_pack_training_sequences" else 0
+        assert n == limit, f"{name}: {n} ArrowEvalPython nodes"
 
 
 def test_round2_late_queries_plan_hygiene(spark):
