@@ -175,3 +175,21 @@ def test_round2_late_queries_plan_hygiene(spark):
 
     rank = _plan(QUERIES["global_rank_doc_length"](spark, SF))
     assert "windowspecdefinition(bucket#" in rank
+
+
+def test_no_query_duplicates_python_udfs(spark):
+    """Systematic audit over EVERY registered query: no physical plan
+    may contain more than one ArrowEvalPython node — shared-lineage
+    re-evaluation of a python stage is the single most expensive silent
+    plan regression this engine can have."""
+    import re
+
+    from ocr_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, SF))
+        n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+        if n > 1:
+            offenders[name] = n
+    assert not offenders, offenders
