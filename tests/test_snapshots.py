@@ -162,3 +162,48 @@ def test_compact_and_expire(spark, cat):
         cat.read_at("db.t", 2)                        # history expired
     # and the survivors' files all exist (readable end to end)
     assert sorted(r.id for r in cat.read("db.t").collect()) == list(range(20))
+
+
+def test_three_wave_incremental_packing_via_catalog(spark, tmp_path):
+    """Daily-crawl integration: three arrival waves, each packed with
+    the running token offset and APPENDED through the snapshot catalog;
+    the merged view equals a full repack, and each wave is one
+    time-travelable commit."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import merge_packed, pack_sequences
+
+    rng = random.Random(6)
+    words = "a b c d e f g h".split()
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choices(words, k=rng.randint(1, 30))))
+        for i in range(120)
+    ]
+    full = spark.createDataFrame(rows)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+
+    offset = 0
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        wave = full.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        cat.append(pack_sequences(wave, budget=32, start_offset=offset),
+                   "packed.seqs")
+        offset += wave.select(
+            F.sum(F.size(F.split("text", " ")))
+        ).first()[0]
+
+    merged = {
+        r.seq_id: (r.n_docs, r.first_doc, r.last_doc, r.n_tokens)
+        for r in merge_packed(cat.read("packed.seqs")).collect()
+    }
+    expect = {
+        r.seq_id: (r.n_docs, r.first_doc, r.last_doc, r.n_tokens)
+        for r in pack_sequences(full, budget=32).collect()
+    }
+    assert merged == expect
+    assert len(cat.snapshots("packed.seqs")) == 3
+    # wave-1 view is stable history
+    w1 = cat.read_at("packed.seqs", 1).count()
+    assert 0 < w1 < cat.read("packed.seqs").count()
