@@ -106,7 +106,10 @@ def pack_sequences_from_counts(
     """pack_sequences core over precomputed (doc_id, n_tok) rows — the
     composition point for pipelines that already counted tokens (e.g.
     the extraction pipeline's n_tokens output)."""
-    per_doc = per_doc.select(
+    # n_tok == 0 would make the span range DESCENDING (F.sequence
+    # defaults step to -1 when end < start — the ADVICE-r1 bug class)
+    # and emit garbage rows; zero-token docs occupy no sequence at all.
+    per_doc = per_doc.where(F.col("n_tok") > 0).select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
         (F.col("doc_id") / bucket).cast("long").alias("bucket"),

@@ -582,3 +582,21 @@ def test_floor_div_matches_python_floordiv(spark):
     out = df.select("n", "d", floor_div(F.col("n"), F.col("d")).alias("q")).collect()
     for r in out:
         assert r.q == r.n // r.d, (r.n, r.d, r.q)
+
+
+def test_pack_from_counts_zero_token_docs(spark):
+    """Zero-count rows must vanish, not explode a descending sequence
+    (the F.sequence end<start bug class)."""
+    from ocr_spark.operators.training import pack_sequences_from_counts
+
+    counts = spark.createDataFrame(
+        [Row(doc_id=0, n_tok=10), Row(doc_id=1, n_tok=0),
+         Row(doc_id=2, n_tok=0), Row(doc_id=3, n_tok=30)]
+    )
+    rows = sorted(
+        pack_sequences_from_counts(counts, budget=16).collect(),
+        key=lambda r: r.seq_id,
+    )
+    assert sum(r.n_tokens for r in rows) == 40
+    assert all(r.n_tokens > 0 for r in rows)
+    assert {r.first_doc for r in rows} <= {0, 3}
