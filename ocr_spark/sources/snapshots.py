@@ -138,6 +138,13 @@ class SnapshotCatalog:
         live = (cur["files"] if cur else []) + new_files
         self._publish(table, "append", live)
 
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        """Replace the whole table in one atomic snapshot (no partition
+        spec) — the idempotent publish for unpartitioned outputs; prior
+        snapshots stay time-travelable."""
+        _rel, new_files = self._write_commit(df, table, None)
+        self._publish(table, "overwrite", new_files)
+
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
     ) -> None:

@@ -207,3 +207,26 @@ def test_three_wave_incremental_packing_via_catalog(spark, tmp_path):
     # wave-1 view is stable history
     w1 = cat.read_at("packed.seqs", 1).count()
     assert 0 < w1 < cat.read("packed.seqs").count()
+
+
+def test_overwrite_verb_is_idempotent_republish(spark, cat):
+    cat.append(spark.range(5).select("id"), "db.o")
+    cat.overwrite(spark.range(100, 103).select("id"), "db.o")
+    assert sorted(r.id for r in cat.read("db.o").collect()) == [100, 101, 102]
+    assert cat.read_at("db.o", 1).count() == 5      # history intact
+    cat.overwrite(spark.range(100, 103).select("id"), "db.o")
+    assert cat.read("db.o").count() == 3            # no doubling
+
+
+def test_curate_rerun_does_not_double_sequences(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.curate_corpus import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "wh")
+    s1 = curate(spark, docs, out)
+    s2 = curate(spark, docs, out)
+    assert s2["sequences"] == s1["sequences"]
+    assert s2["after_temperature_resample"] == s1["after_temperature_resample"]

@@ -73,9 +73,11 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
         kept.select("doc_id", "text", "lang", "margin"), "curated.docs", ["lang"]
     )
 
-    # 4. pack the survivors into training sequences
+    # 4. pack the survivors into training sequences (overwrite: a
+    # re-run republishes the same sequences instead of doubling them;
+    # old runs stay readable by snapshot id)
     seqs = pack_sequences(kept.select("doc_id", "text"))
-    cat.append(seqs, "curated.sequences")
+    cat.overwrite(seqs, "curated.sequences")
     n_seqs = cat.read("curated.sequences").count()
     n_tokens = seqs.agg(F.sum("n_tokens")).first()[0]
 
