@@ -94,3 +94,28 @@ def test_critical_queries_bit_exact_on_random_corpus(spark, random_sf_dir):
     from tools.check_oracles import main
 
     assert main(random_sf_dir, CRITICAL) == 0
+
+
+def test_gate_detects_value_mismatch(spark, random_sf_dir):
+    """Meta-test: the comparison harness must FAIL on a wrong oracle —
+    guards against the gate ever going vacuously green."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.queries import ORACLE, QUERIES
+    from tools.check_oracles import main
+
+    name = "_meta_bad"
+    QUERIES[name] = lambda s, d: s.range(3).select(
+        F.col("id").alias("v")
+    )
+    try:
+        ORACLE[name] = "SELECT unnest(generate_series(0, 2)) + 1 AS v"
+        assert main(random_sf_dir, [name]) == 1     # value mismatch
+        ORACLE[name] = "SELECT unnest(generate_series(0, 3)) AS v"
+        assert main(random_sf_dir, [name]) == 1     # row-count mismatch
+        ORACLE[name] = "SELECT unnest(generate_series(0, 2)) AS wrong"
+        assert main(random_sf_dir, [name]) == 1     # column mismatch
+        ORACLE[name] = "SELECT unnest(generate_series(0, 2)) AS v"
+        assert main(random_sf_dir, [name]) == 0     # and green when right
+    finally:
+        del QUERIES[name], ORACLE[name]
