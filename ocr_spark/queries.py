@@ -3274,3 +3274,65 @@ def _q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pipeline_pack_training_sequences"] = _q_pipeline_pack
+
+
+ORACLE["semdedup_pairs"] = f"""
+    WITH assigned AS (
+      SELECT vec_id, cluster FROM ({ORACLE["kmeans_embedding_clusters"]})
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
+           FLOOR({_duck_cosine('ea.embedding', 'eb.embedding')} * 10000 + 0.5)
+             / 10000 AS cos
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE FLOOR({_duck_cosine('ea.embedding', 'eb.embedding')} * 10000 + 0.5)
+            / 10000 >= 0.4
+    """
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped embedding near-dup pairs — k-means
+    assignment (oracle-checked, bit-exact) bounds the candidate space
+    to within-cluster pairs, then exact cosine verifies at t=0.4.
+
+    The deliberate contrast with `neardup_cosine` (pivot-band, EXACT
+    recall): SemDeDup trades cross-cluster recall for a candidate set
+    bounded by max cluster size — the curve the SemDeDup paper's
+    recipe rides at 10^9+ embeddings, where even banded exact recall
+    is too wide. Both live here so the tradeoff is measurable.
+
+    Scale: the self-join keys on cluster id; AQE skew-split handles a
+    fat cluster, and per-cluster candidate count is (|C| choose 2) —
+    choose k so clusters stay ~10^3-10^4.
+    """
+    from ocr_spark.operators.ann import cosine
+    from ocr_spark.operators.dedup import round_det
+    from ocr_spark.operators.training import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb).select("vec_id", "cluster")
+    withv = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.alias("a")
+    b = withv.alias("b")
+    cos = round_det(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.4)
+    )
+
+
+QUERIES["semdedup_pairs"] = _q_semdedup

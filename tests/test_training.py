@@ -600,3 +600,22 @@ def test_pack_from_counts_zero_token_docs(spark):
     assert sum(r.n_tokens for r in rows) == 40
     assert all(r.n_tokens > 0 for r in rows)
     assert {r.first_doc for r in rows} <= {0, 3}
+
+
+def test_semdedup_subset_of_exact_recall(spark):
+    """Cluster-scoped near-dup pairs are a SUBSET of the exact-recall
+    pivot-band pairs at the same threshold — the measurable recall
+    tradeoff the SemDeDup recipe makes."""
+    from ocr_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["semdedup_pairs"](spark, sf).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b) if hasattr(r, "id_a") else (r.vec_a, r.vec_b)
+        for r in QUERIES["neardup_cosine"](spark, sf).collect()
+    }
+    assert sem and sem <= exact
+    assert len(sem) < len(exact)       # strictly lossy — documented
