@@ -42,6 +42,7 @@ CRITICAL = [
     "global_rank_doc_length",
     "pmi_cooccurrence_top20",
     "kmeans_cluster_purity",
+    "semdedup_pairs",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
