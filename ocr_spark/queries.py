@@ -3305,7 +3305,11 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the self-join keys on cluster id; AQE skew-split handles a
     fat cluster, and per-cluster candidate count is (|C| choose 2) —
-    choose k so clusters stay ~10^3-10^4.
+    choose k so clusters stay ~10^3-10^4. NOTE: in this one lazy plan
+    the assignment subtree is re-derived for each join side (Spark
+    plans are trees); at corpus scale write the assignments to the
+    catalog first and self-join the table — the same materialization
+    boundary the capstone and curate_corpus use.
     """
     from ocr_spark.operators.ann import cosine
     from ocr_spark.operators.dedup import round_det
