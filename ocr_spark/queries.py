@@ -3340,3 +3340,77 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["semdedup_pairs"] = _q_semdedup
+
+
+@query(
+    "doc_bigram_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST((c2.c * 1000000
+                   - (((c2.c * 1000000) % c1.c) + c1.c) % c1.c) // c1.c
+                  AS BIGINT) AS p_scaled
+      FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           JOIN c1 ON b.w1 = c1.w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS BIGINT) AS sum_p,
+           CAST((SUM(p_scaled) - ((SUM(p_scaled) % COUNT(*)) + COUNT(*))
+                 % COUNT(*)) // COUNT(*) AS BIGINT) AS mean_p_scaled
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring — the perplexity-filter stage,
+    made integer-exact: the model is the corpus's own bigram table,
+    each doc bigram scores floor(1e6 * c(w1 w2)/c(w1 *)) (the scaled
+    conditional probability — monotone in log-likelihood per term, no
+    log/exp anywhere), and the doc score is the integer mean. Low
+    mean = improbable word sequences = the junk perplexity filters cut.
+
+    Scale: the bigram model is the span-dedup shuffle (uniform pair
+    keys, map-side combine); scoring joins each doc bigram to the
+    model on the pair key — at web scale the model table is
+    hash-joined (vocab^2 head is small; the long tail is c=1). Docs
+    with <2 tokens have no bigrams and drop (guarded range).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    t = d.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        t.select("doc_id", "w1", F.lead("w1", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            floor_div(F.col("c2") * 1000000, F.col("c1")).alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("p_scaled").alias("sum_p"),
+        floor_div(F.sum("p_scaled"), F.count("*")).alias("mean_p_scaled"),
+    )

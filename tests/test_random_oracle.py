@@ -43,6 +43,7 @@ CRITICAL = [
     "pmi_cooccurrence_top20",
     "kmeans_cluster_purity",
     "semdedup_pairs",
+    "doc_bigram_lm_score",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM

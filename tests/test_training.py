@@ -619,3 +619,46 @@ def test_semdedup_subset_of_exact_recall(spark):
     }
     assert sem and sem <= exact
     assert len(sem) < len(exact)       # strictly lossy — documented
+
+
+def test_bigram_lm_scores_improbable_text_lower(spark, tmp_path):
+    """A doc of corpus-frequent bigrams outscores a doc of bigrams
+    that appear exactly once."""
+    import pandas as pd
+
+    rows = ["the cat sat"] * 20 + ["zig zag qux"]
+    pd.DataFrame(
+        {
+            "doc_id": range(21),
+            "text": rows,
+            "lang": ["en"] * 21,
+            "source": ["t"] * 21,
+            "n_chars": [len(r) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from ocr_spark.queries import QUERIES
+
+    out = {
+        r.doc_id: r.mean_p_scaled
+        for r in QUERIES["doc_bigram_lm_score"](spark, str(tmp_path)).collect()
+    }
+    assert out[0] == 1000000            # every bigram deterministic
+    assert out[20] == 1000000           # unique bigrams are ALSO p=1 when
+                                        # their prefix appears once...
+    # ...so add a doc mixing a frequent prefix with a rare continuation
+    rows.append("the dog sat")
+    pd.DataFrame(
+        {
+            "doc_id": range(22),
+            "text": rows,
+            "lang": ["en"] * 22,
+            "source": ["t"] * 22,
+            "n_chars": [len(r) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {
+        r.doc_id: r.mean_p_scaled
+        for r in QUERIES["doc_bigram_lm_score"](spark, str(tmp_path)).collect()
+    }
+    # 'the dog' = 1/21 of 'the *' -> low; 'the cat' docs drop slightly
+    assert out[21] < out[0] < 1000000
