@@ -3414,3 +3414,54 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_scaled").alias("sum_p"),
         floor_div(F.sum("p_scaled"), F.count("*")).alias("mean_p_scaled"),
     )
+
+
+ORACLE["doc_quality_panel"] = f"""
+    SELECT q.doc_id,
+           q.quality,
+           c.margin, c.keep,
+           r.dup_trigram_frac, r.top_bigram_frac,
+           COALESCE(l.mean_p_scaled, 0) AS mean_p_scaled,
+           g.ok_word_count, g.ok_mean_word_len, g.ok_symbol_ratio
+    FROM ({ORACLE["doc_quality_score"]}) q
+    JOIN ({ORACLE["quality_classifier_hashed"]}) c ON q.doc_id = c.doc_id
+    JOIN ({ORACLE["doc_repetition_filters"]}) r ON q.doc_id = r.doc_id
+    LEFT JOIN ({ORACLE["doc_bigram_lm_score"]}) l ON q.doc_id = l.doc_id
+    JOIN ({ORACLE["doc_gopher_filters"]}) g ON q.doc_id = g.doc_id
+    """
+
+
+def _q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete per-document quality panel in one result: heuristic
+    score, hashed-classifier margin, Gopher length/symbol gates,
+    repetition fractions, bigram-LM mean — the row a curation run
+    writes next to each doc for threshold tuning and audits. The
+    oracle composes the five stage oracles as subqueries, so panel
+    bit-exactness inherits from each stage's.
+
+    Scale: every stage keys on doc_id with uniform hashes; the joins
+    co-locate on the same key, so AQE collapses them into one shuffle
+    stage chain. Docs with no bigrams get mean_p_scaled 0 (left join)."""
+    q = QUERIES["doc_quality_score"](spark, sf_dir)
+    c = QUERIES["quality_classifier_hashed"](spark, sf_dir).select(
+        "doc_id", "margin", "keep"
+    )
+    r = QUERIES["doc_repetition_filters"](spark, sf_dir).select(
+        "doc_id", "dup_trigram_frac", "top_bigram_frac"
+    )
+    l = QUERIES["doc_bigram_lm_score"](spark, sf_dir).select(
+        "doc_id", "mean_p_scaled"
+    )
+    g = QUERIES["doc_gopher_filters"](spark, sf_dir).select(
+        "doc_id", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio"
+    )
+    return (
+        q.join(c, "doc_id")
+        .join(r, "doc_id")
+        .join(l, "doc_id", "left")
+        .join(g, "doc_id")
+        .withColumn("mean_p_scaled", F.coalesce("mean_p_scaled", F.lit(0)))
+    )
+
+
+QUERIES["doc_quality_panel"] = _q_quality_panel
