@@ -110,6 +110,22 @@ COMMENTARY = {
         "-> running offsets over the tiny aggregate -> bucket-"
         "partitioned row_number + offset."
     ),
+    "semdedup_pairs": (
+        "K-means assignment bounds candidates to within-cluster pairs "
+        "(equi-join on cluster, never a cross product); exact cosine "
+        "verifies. Lossy vs the pivot-band exact-recall join — subset "
+        "relation pinned by test."
+    ),
+    "doc_bigram_lm_score": (
+        "Bigram model = two partial-agg shuffles on uniform keys; "
+        "scoring joins doc bigrams to the model on the pair key; "
+        "integer floor-scaled probabilities keep every sum order-free."
+    ),
+    "doc_quality_panel": (
+        "Five quality stages co-located on doc_id — AQE collapses the "
+        "join chain onto one shuffle key; LM side left-joined with "
+        "coalesce for bigram-less docs."
+    ),
 }
 
 
