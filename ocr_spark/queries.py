@@ -3465,3 +3465,37 @@ def _q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_quality_panel"] = _q_quality_panel
+
+
+ORACLE["curation_decisions"] = f"""
+    SELECT doc_id,
+           CASE WHEN quality < 0.3 THEN 'low_quality'
+                WHEN keep = 0 THEN 'classifier_reject'
+                WHEN dup_trigram_frac > 0.5 THEN 'repetitive'
+                WHEN ok_word_count = 0 THEN 'length_gate'
+                WHEN mean_p_scaled < 10000 THEN 'improbable_text'
+                ELSE 'keep' END AS decision
+    FROM ({ORACLE["doc_quality_panel"]})
+    """
+
+
+def _q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The judgment row: the quality panel reduced to a keep/drop
+    decision with a REASON CODE (first failing gate, fixed precedence)
+    — the audit trail that explains every dropped document. Thresholds
+    are the tunable surface; the decision logic is one codegen CASE
+    over the panel, so re-tuning is a re-run of a map-side expression.
+    """
+    panel = QUERIES["doc_quality_panel"](spark, sf_dir)
+    decision = (
+        F.when(F.col("quality") < 0.3, "low_quality")
+        .when(F.col("keep") == 0, "classifier_reject")
+        .when(F.col("dup_trigram_frac") > 0.5, "repetitive")
+        .when(F.col("ok_word_count") == 0, "length_gate")
+        .when(F.col("mean_p_scaled") < 10000, "improbable_text")
+        .otherwise("keep")
+    )
+    return panel.select("doc_id", decision.alias("decision"))
+
+
+QUERIES["curation_decisions"] = _q_curation_decisions

@@ -45,6 +45,7 @@ CRITICAL = [
     "semdedup_pairs",
     "doc_bigram_lm_score",
     "doc_quality_panel",
+    "curation_decisions",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
