@@ -3499,3 +3499,73 @@ def _q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["curation_decisions"] = _q_curation_decisions
+
+
+@query(
+    "mixture_sampling_rates",
+    """
+    WITH avail AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total FROM avail),
+    tgt(lang, share_milli) AS (VALUES
+      ('en', 400), ('de', 300), ('es', 200), ('fr', 100)),
+    need AS (
+      SELECT a.lang, a.avail_tokens,
+             (t.share_milli * (tot.total // 2)) // 1000 AS needed_tokens
+      FROM avail a JOIN tgt t ON a.lang = t.lang CROSS JOIN tot)
+    SELECT lang, avail_tokens,
+           CAST(needed_tokens AS BIGINT) AS needed_tokens,
+           CAST(LEAST(1000, (needed_tokens * 1000) // avail_tokens)
+                AS BIGINT) AS rate_milli
+    FROM need
+    """,
+)
+def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture targeting: given target language shares (en 40 / de 30 /
+    es 20 / fr 10, in thousandths) for a training budget of half the
+    corpus tokens, solve each language's per-mille sampling rate —
+    capped at 1000 when a language can't supply its target (the
+    under-resourced-language case every mixture hits). All integer
+    (explicit floor division), so rates are bit-exact and a
+    hash-bucket filter `bucket < rate_milli` applies them
+    deterministically (stratified_sample's mechanism).
+
+    Scale: one partial-agg shuffle on lang; targets and the total are
+    driver-size.
+    """
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("avail_tokens")
+    )
+    tot = avail.groupBy().agg(F.sum("avail_tokens").alias("total"))
+    tgt = spark.createDataFrame(
+        [("en", 400), ("de", 300), ("es", 200), ("fr", 100)],
+        "lang string, share_milli int",
+    )
+    need = (
+        avail.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "avail_tokens",
+            floor_div(
+                F.col("share_milli").cast("long")
+                * floor_div(F.col("total"), F.lit(2)),
+                F.lit(1000),
+            ).alias("needed_tokens"),
+        )
+    )
+    return need.select(
+        "lang",
+        "avail_tokens",
+        "needed_tokens",
+        F.least(
+            F.lit(1000).cast("long"),
+            floor_div(F.col("needed_tokens") * 1000, F.col("avail_tokens")),
+        ).alias("rate_milli"),
+    )

@@ -46,6 +46,7 @@ CRITICAL = [
     "doc_bigram_lm_score",
     "doc_quality_panel",
     "curation_decisions",
+    "mixture_sampling_rates",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
