@@ -3569,3 +3569,68 @@ def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_div(F.col("needed_tokens") * 1000, F.col("avail_tokens")),
         ).alias("rate_milli"),
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    """
+    WITH uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni),
+    ranked AS (
+      SELECT w, c,
+             CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+             CAST(SUM(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM uni)
+    SELECT rank, w, c,
+           CAST((cum * 1000 - (((cum * 1000) % total) + total) % total)
+                // total AS BIGINT) AS cum_milli
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 20
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing analytics: the corpus vocabulary ranked by
+    frequency with the cumulative token-mass share (per mille,
+    integer) — read off how many vocab entries cover 90/99% of the
+    stream. The window runs over the VOCAB AGGREGATE (vocab-sized,
+    not corpus-sized — the documented exception to the no-global-
+    window rule; at 10^6+ vocab use the two-tier rank form like
+    global_rank_doc_length).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.groupBy().agg(F.sum("c").alias("total"))
+    w_r = Window.orderBy(F.desc("c"), "w")
+    ranked = uni.select(
+        "w",
+        "c",
+        F.row_number().over(w_r).cast("long").alias("rank"),
+        F.sum("c")
+        .over(w_r.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "w",
+            "c",
+            floor_div(F.col("cum") * 1000, F.col("total")).alias("cum_milli"),
+        )
+    )

@@ -47,6 +47,7 @@ CRITICAL = [
     "doc_quality_panel",
     "curation_decisions",
     "mixture_sampling_rates",
+    "vocab_coverage_curve",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
