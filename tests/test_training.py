@@ -662,3 +662,55 @@ def test_bigram_lm_scores_improbable_text_lower(spark, tmp_path):
     }
     # 'the dog' = 1/21 of 'the *' -> low; 'the cat' docs drop slightly
     assert out[21] < out[0] < 1000000
+
+
+def test_mixture_rates_cap_and_feasible(spark, tmp_path):
+    """A language that cannot supply its target rate-caps at 1000; an
+    abundant one gets the exact floor rate."""
+    import pandas as pd
+
+    rows, langs = [], []
+    for i in range(100):
+        rows.append("w " * 50)
+        langs.append("en")          # abundant
+    for i in range(2):
+        rows.append("w w")
+        langs.append("fr")          # scarce: can't supply 10% of T
+    pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [r.strip() for r in rows],
+            "lang": langs,
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from ocr_spark.queries import QUERIES
+
+    out = {
+        r.lang: (r.avail_tokens, r.needed_tokens, r.rate_milli)
+        for r in QUERIES["mixture_sampling_rates"](spark, str(tmp_path)).collect()
+    }
+    total = 100 * 50 + 2 * 2
+    t_budget = total // 2
+    assert out["fr"][2] == 1000                      # capped
+    assert out["fr"][1] == (100 * t_budget) // 1000  # needed > avail
+    assert out["fr"][1] > out["fr"][0]
+    en_needed = (400 * t_budget) // 1000
+    assert out["en"] == (5000, en_needed, (en_needed * 1000) // 5000)
+
+
+def test_vocab_curve_monotone_and_bounded(spark):
+    from ocr_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["vocab_coverage_curve"](
+            spark, "/root/testdata/sf0.01"
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 21))
+    cums = [r.cum_milli for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1000
+    cs = [r.c for r in rows]
+    assert cs == sorted(cs, reverse=True)
