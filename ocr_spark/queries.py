@@ -2197,6 +2197,134 @@ def paragraph_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    win0 AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 8)) AS s
+      FROM toks WHERE len(t) >= 8),
+    win AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             array_to_string(t[(s+1):(s+8)], ' ') AS wtext
+      FROM win0),
+    hashed AS (
+      SELECT doc_id, s, {_duck_md5hash("wtext")} AS h FROM win),
+    occ AS (
+      SELECT doc_id, s,
+             COUNT(DISTINCT doc_id) OVER (PARTITION BY h) AS nd
+      FROM hashed),
+    dup AS (SELECT doc_id, s FROM occ WHERE nd >= 2),
+    brk AS (
+      SELECT doc_id, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                       OR s > lag(s) OVER w + 7 THEN 1 ELSE 0 END AS b
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+    isl AS (
+      SELECT doc_id, s,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM brk)
+    SELECT doc_id,
+           MIN(s) AS span_start,
+           MAX(s) + 7 AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (the ExactSubstr recipe of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    SLIDING k-token window (k=8 here; ~50 in production) that recurs in
+    2+ distinct documents marks its covered tokens, and overlapping
+    marked windows merge into maximal per-doc removal spans
+    ``(doc_id, span_start, span_end, n_windows)``.
+
+    Unlike ``paragraph_dedup_spans`` (fixed i//8 chunk boundaries) the
+    windows slide, so duplicated passages are caught at ANY offset and
+    the gaps-and-islands merge yields contiguous removal ranges a
+    curation pass can cut verbatim.
+
+    Scale shape:
+    - Window texts are rebuilt from a k-row fan-out of exploded tokens
+      (each token joins the ≤k windows covering it) + groupBy(doc, s)
+      ordered rebuild — narrow rows through the shuffle. The obvious
+      alternative (explode window starts while carrying the whole token
+      array, slicing per row) copies the full array into every
+      generated UnsafeRow: a ~n× payload blowup per doc.
+    - "Appears in ≥2 docs" is a collect_set window over h — one uniform
+      hash shuffle, no self-join, so the hashed subtree is evaluated
+      once (a join back to a dup-hash set would evaluate it twice
+      unless the exchange is reused).
+    - Span merge is a per-doc lag/running-sum window: intervals all
+      have length k and arrive sorted by start, so the previous row's
+      end IS the running max end — no max-over-frame needed.
+    Shuffles: (doc_id,s) rebuild, h window, doc_id islands — all on
+    uniform keys; skew only if one page repeats a window millions of
+    times, which upstream ``doc_repetition_filters`` removes.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    t = tokens(F.col("text"))
+    ex = d.repartition(par, "doc_id").select(
+        "doc_id",
+        F.size(t).alias("n"),
+        F.posexplode(t).alias("i", "tok"),
+    )
+    # token i belongs to window starts max(0, i-k+1) .. min(i, n-k);
+    # the bounds are always ascending when n >= k (guarded: short docs
+    # emit no rows — the ADVICE.md descending-sequence trap).
+    fan = ex.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.explode(
+            F.when(
+                F.col("n") >= k,
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("i") - (k - 1)),
+                    F.least(F.col("i"), F.col("n") - k),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("s"),
+    )
+    win = fan.groupBy("doc_id", F.col("s").cast("long").alias("s")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("tok")))),
+                lambda r: r.tok,
+            ),
+            " ",
+        ).alias("wtext")
+    )
+    hashed = win.select("doc_id", "s", fast_hash(F.col("wtext")).alias("h"))
+    dup = hashed.withColumn(
+        "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+    ).where(F.col("nd") >= 2)
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev = F.lag("s").over(w)
+    brk = dup.select(
+        "doc_id",
+        "s",
+        F.when(prev.isNull() | (F.col("s") > prev + (k - 1)), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    isl = brk.withColumn("island", F.sum("b").over(w))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("span_start"),
+        (F.max("s") + (k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("island")
+
+
+@query(
     "pii_scrub",
     """
     WITH seeded AS (

@@ -48,6 +48,7 @@ CRITICAL = [
     "curation_decisions",
     "mixture_sampling_rates",
     "vocab_coverage_curve",
+    "exact_substring_spans",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM

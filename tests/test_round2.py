@@ -421,3 +421,56 @@ def test_incremental_minhash_equals_batch(spark, tmp_path_factory):
         for r in minhash_lsh_pairs(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_exact_substring_spans_brute_force(spark, tmp_path_factory):
+    """exact_substring_spans == a pure-python ExactSubstr on a tiny
+    corpus with planted duplicate passages at different offsets, plus
+    short docs (< k tokens) that must emit nothing and not crash."""
+    import random as rnd
+
+    import pandas as pd
+
+    from ocr_spark.queries import QUERIES
+
+    rng = rnd.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = [rng.choice(vocab) for _ in range(12)]  # planted passage
+    docs = []
+    for doc_id in range(16):
+        n = rng.choice([1, 3, 7, 8, 20, 40])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if doc_id % 3 == 0 and n >= 20:
+            at = rng.randrange(0, n - 12)
+            toks[at : at + 12] = shared
+        docs.append((doc_id, " ".join(toks)))
+
+    k = 8
+    windows = {}  # wtext -> set(doc_id)
+    per_doc = {}  # doc_id -> [start, ...]
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        for s in range(len(toks) - k + 1):
+            w = " ".join(toks[s : s + k])
+            windows.setdefault(w, set()).add(doc_id)
+            per_doc.setdefault(doc_id, []).append((s, w))
+    want = set()
+    for doc_id, occ in per_doc.items():
+        dup = sorted(s for s, w in occ if len(windows[w]) >= 2)
+        spans = []
+        for s in dup:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], s + k - 1, spans[-1][2] + 1)
+            else:
+                spans.append((s, s + k - 1, 1))
+        want |= {(doc_id, a, b, c) for a, b, c in spans}
+
+    root = tmp_path_factory.mktemp("exsub")
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        str(root / "documents.parquet")
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in QUERIES["exact_substring_spans"](spark, str(root)).collect()
+    }
+    assert got == want and len(want) > 0
