@@ -2325,6 +2325,108 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robots_prefix_filter",
+    """
+    WITH u0 AS (
+      SELECT doc_id, doc_id % 97 AS host,
+             '/s' || CAST(doc_id % 5 AS VARCHAR) AS p1,
+             '/s' || CAST(doc_id % 5 AS VARCHAR)
+               || '/t' || CAST(doc_id % 7 AS VARCHAR) AS p2
+      FROM documents),
+    urls AS (
+      SELECT doc_id, host, unnest(['/', p1, p2]) AS prefix FROM u0),
+    hosts AS (SELECT unnest(generate_series(0, 96)) AS host),
+    ms AS (SELECT host, unnest(generate_series(0, 4)) AS m FROM hosts),
+    rules AS (
+      SELECT host, '/' AS prefix, CAST(1 AS BIGINT) AS allow FROM hosts
+      UNION ALL
+      SELECT host, '/s' || CAST(m AS VARCHAR), (host + m) % 2 FROM ms
+      UNION ALL
+      SELECT host,
+             '/s' || CAST(m AS VARCHAR) || '/t' || CAST((host + m) % 7 AS VARCHAR),
+             (host + m + 1) % 2
+      FROM ms),
+    m2 AS (
+      SELECT u.doc_id, r.prefix, length(r.prefix) AS rule_len, r.allow,
+             row_number() OVER (PARTITION BY u.doc_id
+                                ORDER BY length(r.prefix) DESC) AS rn
+      FROM urls u JOIN rules r ON u.host = r.host AND u.prefix = r.prefix)
+    SELECT doc_id, prefix AS matched_prefix,
+           CAST(rule_len AS INT) AS rule_len, allow AS allowed
+    FROM m2 WHERE rn = 1
+    """,
+)
+def robots_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style longest-prefix-match URL filtering — the crawl
+    gate every fetch pipeline applies before a page enters the corpus.
+    Per-host allow/deny rules (synthesized deterministically: a root
+    allow, five /s<m> rules of alternating polarity, one deeper
+    /s<m>/t<k> override each) are matched against each document URL's
+    path; the LONGEST matching prefix decides
+    ``(doc_id, matched_prefix, rule_len, allowed)``.
+
+    Scale shape: a prefix theta-join (``path LIKE prefix || '%'``)
+    would be a BroadcastNestedLoopJoin — instead the path is exploded
+    at its SEGMENT BOUNDARIES (depth rows per URL, bounded by path
+    depth) and equi-joined on (host, prefix), which stays a broadcast
+    hash join: robots rule sets are small-per-host and the whole table
+    fits in a broadcast even at web scale (rules for ~10^8 hosts
+    shard-join on host instead; the plan is unchanged). The per-doc
+    longest match is a max_by aggregate, no window sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    a = F.col("doc_id") % 5
+    b = F.col("doc_id") % 7
+    p1 = F.concat(F.lit("/s"), a)
+    p2 = F.concat(p1, F.lit("/t"), b)
+    urls = d.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("host"),
+        F.explode(F.array(F.lit("/"), p1, p2)).alias("prefix"),
+    )
+
+    hosts = spark.range(0, 97).select(F.col("id").alias("host"))
+    root = hosts.select(
+        "host", F.lit("/").alias("prefix"), F.lit(1).cast("long").alias("allow")
+    )
+    ms = hosts.select(
+        "host", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("m")
+    )
+    r1 = ms.select(
+        "host",
+        F.concat(F.lit("/s"), F.col("m")).alias("prefix"),
+        ((F.col("host") + F.col("m")) % 2).alias("allow"),
+    )
+    r2 = ms.select(
+        "host",
+        F.concat(
+            F.lit("/s"), F.col("m"), F.lit("/t"),
+            (F.col("host") + F.col("m")) % 7,
+        ).alias("prefix"),
+        ((F.col("host") + F.col("m") + 1) % 2).alias("allow"),
+    )
+    rules = root.unionByName(r1).unionByName(r2)
+
+    matched = urls.join(F.broadcast(rules), ["host", "prefix"])
+    pick = F.struct(
+        F.length("prefix").alias("rule_len"),
+        F.col("prefix").alias("matched_prefix"),
+        F.col("allow").alias("allowed"),
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.max_by(pick, F.length("prefix")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.matched_prefix").alias("matched_prefix"),
+            F.col("r.rule_len").alias("rule_len"),
+            F.col("r.allowed").alias("allowed"),
+        )
+    )
+
+
+@query(
     "pii_scrub",
     """
     WITH seeded AS (

@@ -193,3 +193,24 @@ def test_no_query_duplicates_python_udfs(spark):
         if n > 1:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_robots_filter_broadcast_no_nested_loop(spark):
+    """Longest-prefix robots matching must stay an equi broadcast hash
+    join (segment-boundary explode), never a LIKE-prefix nested loop."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["robots_prefix_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_spans_single_window_sort_chain(spark):
+    """Span merge must reuse the doc_id exchange: lag + running sum +
+    final agg ride ONE shuffle; no python stages anywhere."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["exact_substring_spans"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 8  # spread, (doc,s) agg, h window, doc_id
