@@ -2427,6 +2427,64 @@ def robots_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "domain_quality_wilson",
+    """
+    WITH g AS (
+      SELECT doc_id % 97 AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 30
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM documents GROUP BY doc_id % 97),
+    w AS (
+      SELECT host, n_docs, n_pass,
+             CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+             CAST(n_docs AS DOUBLE) AS nd
+      FROM g)
+    SELECT host, n_docs, n_pass,
+           ((p + 2.0 / nd) / (1.0 + 4.0 / nd))
+             - ((2.0 * sqrt(((p * (1.0 - p)) / nd) + (1.0 / (nd * nd))))
+                / (1.0 + 4.0 / nd)) AS wilson_low
+    FROM w
+    """,
+)
+def domain_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level trust score: per-host pass rate of a quality gate
+    (>= 30 tokens) shrunk by the Wilson lower confidence bound at z=2 —
+    the RefinedWeb-style signal that decides whether a whole domain is
+    curated in, without letting 3-document hosts with a lucky 3/3 beat
+    10,000-document hosts at 95%.
+
+    Bit-exact across engines WITHOUT rounding: the bound uses only
+    IEEE-correctly-rounded operations (+ - * / sqrt) on exactly
+    representable inputs (integer counts, the constants 1.0/2.0/4.0),
+    in one pinned association mirrored token-for-token in the oracle —
+    the determinism recipe of operators/training.py, which never admits
+    ln/exp/pow (implementation-defined rounding).
+
+    Scale: one groupBy on host with map-side partial counts; the
+    result is one row per host (~10^8 at web scale — still a normal
+    aggregate). No window, no join, no python.
+    """
+    from ocr_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy((F.col("doc_id") % 97).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.size(tokens(F.col("text"))) >= 30, 1).otherwise(0)
+        ).alias("n_pass"),
+    )
+    p = F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+    nd = F.col("n_docs").cast("double")
+    one, two, four = F.lit(1.0), F.lit(2.0), F.lit(4.0)
+    wilson = ((p + two / nd) / (one + four / nd)) - (
+        (two * F.sqrt(((p * (one - p)) / nd) + (one / (nd * nd))))
+        / (one + four / nd)
+    )
+    return g.select("host", "n_docs", "n_pass", wilson.alias("wilson_low"))
+
+
+@query(
     "pii_scrub",
     """
     WITH seeded AS (
