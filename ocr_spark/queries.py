@@ -2196,9 +2196,7 @@ def paragraph_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "exact_substring_spans",
-    f"""
+_DUCK_EXSUB_SPANS = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     win0 AS (
       SELECT doc_id, t,
@@ -2229,8 +2227,10 @@ def paragraph_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(s) + 7 AS span_end,
            CAST(COUNT(*) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, island
-    """,
-)
+    """
+
+
+@query("exact_substring_spans", _DUCK_EXSUB_SPANS)
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (the ExactSubstr recipe of Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -2322,6 +2322,67 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("s") + (k - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("island")
+
+
+@query(
+    "exact_substring_dup_rate",
+    f"""
+    WITH spans AS ({_DUCK_EXSUB_SPANS}),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT) AS covered_tokens
+      FROM spans GROUP BY doc_id),
+    docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT d.doc_id, d.n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           (1000 * COALESCE(c.covered_tokens, 0)) // d.n_tokens AS dup_permille
+    FROM docs d LEFT JOIN cov c ON d.doc_id = c.doc_id
+    """,
+)
+def exact_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What curation actually consumes from ExactSubstr: the fraction
+    of each document's tokens covered by cross-document duplicate
+    spans, in exact integer permille — the drop/trim signal (e.g. drop
+    when dup_permille >= 800, trim spans when 200-800).
+
+    Composes ``exact_substring_spans``: per-doc span coverage summed,
+    left-joined back to every document (span-free docs read 0), the
+    rate as cross-engine floor division (operators/training.floor_div)
+    so the value is integer-exact under any partitioning.
+
+    Scale: adds one groupBy(doc_id) + one join on doc_id to the spans
+    dataflow — both on the key the spans already shuffle on.
+    """
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    spans = exact_substring_spans(spark, sf_dir)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "covered_tokens"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    out = docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")).alias(
+            "covered_tokens"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        floor_div(1000 * F.col("covered_tokens"), F.col("n_tokens")).alias(
+            "dup_permille"
+        ),
+    )
 
 
 @query(

@@ -50,6 +50,7 @@ CRITICAL = [
     "vocab_coverage_curve",
     "exact_substring_spans",
     "domain_quality_wilson",
+    "exact_substring_dup_rate",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
