@@ -2386,6 +2386,82 @@ def exact_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rendezvous_sharding",
+    f"""
+    WITH n AS (SELECT unnest(generate_series(0, 15)) AS node),
+    ex AS (
+      SELECT doc_id, node,
+             {_duck_md5hash(
+                 "CAST(doc_id AS VARCHAR) || ':' || CAST(node AS VARCHAR)"
+             )} AS w
+      FROM documents CROSS JOIN n),
+    r AS (
+      SELECT doc_id, node, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, node DESC) AS rn,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CASE WHEN node = 7 THEN -1 ELSE w END
+                                         DESC, node DESC) AS rn7
+      FROM ex),
+    a AS (SELECT doc_id, node AS shard FROM r WHERE rn = 1),
+    b AS (SELECT doc_id, node AS shard_drop7 FROM r WHERE rn7 = 1)
+    SELECT a.doc_id, a.shard, b.shard_drop7,
+           CASE WHEN a.shard <> b.shard_drop7 THEN 1 ELSE 0 END AS moved
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — how a 100 TB sink
+    assigns documents to output shards so that LOSING a shard remaps
+    ONLY that shard's documents (unlike ``hash(doc) % n``, which
+    remaps almost everything when n changes). Emits each doc's shard
+    under 16 nodes, its shard with node 7 removed, and whether it
+    moved — the oracle pins that movement is exactly the lost shard's
+    population.
+
+    Scale shape: node list explodes to a constant 16 rows per doc
+    (node count, not corpus size), weights are codegen md5, and both
+    assignments come from ONE groupBy(doc_id) with two max_by
+    aggregates (the removed-node variant demotes node 7's weight to
+    -1, below every real hash) — no window sort, no join between the
+    two assignments.
+    """
+    from ocr_spark.operators.dedup import fast_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("node")
+    ).select(
+        "doc_id",
+        "node",
+        fast_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("node").cast("string"),
+            )
+        ).alias("w"),
+    )
+    w7 = F.when(F.col("node") == 7, F.lit(-1).cast("long")).otherwise(
+        F.col("w")
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.max_by("node", F.struct(F.col("w"), F.col("node"))).alias("shard"),
+        F.max_by("node", F.struct(w7.alias("w"), F.col("node"))).alias(
+            "shard_drop7"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "shard",
+        "shard_drop7",
+        F.when(F.col("shard") != F.col("shard_drop7"), 1)
+        .otherwise(0)
+        .alias("moved"),
+    )
+
+
+@query(
     "robots_prefix_filter",
     """
     WITH u0 AS (

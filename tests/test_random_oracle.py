@@ -51,6 +51,7 @@ CRITICAL = [
     "exact_substring_spans",
     "domain_quality_wilson",
     "exact_substring_dup_rate",
+    "rendezvous_sharding",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM

@@ -474,3 +474,22 @@ def test_exact_substring_spans_brute_force(spark, tmp_path_factory):
         for r in QUERIES["exact_substring_spans"](spark, str(root)).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rendezvous_minimal_movement(spark):
+    """The HRW property the query exists for: dropping node 7 moves
+    EXACTLY the docs that were on shard 7, and every moved doc lands
+    on a surviving node — never a full reshuffle like hash(doc) % n."""
+    from ocr_spark.queries import QUERIES
+
+    rows = QUERIES["rendezvous_sharding"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (r.moved == 1) == (r.shard == 7)
+        assert r.shard_drop7 != 7
+        if r.shard != 7:
+            assert r.shard_drop7 == r.shard
+    # the doomed shard is non-empty at this SF, so the test is not vacuous
+    assert any(r.shard == 7 for r in rows)
