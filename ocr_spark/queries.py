@@ -2462,6 +2462,73 @@ def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_delta",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS id, {_duck_md5hash("text")} AS ha FROM documents),
+    b AS (
+      SELECT doc_id AS id,
+             {_duck_md5hash(
+                 "CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END"
+             )} AS hb
+      FROM documents WHERE doc_id % 10 <> 1
+      UNION ALL
+      SELECT doc_id + 100000 AS id, {_duck_md5hash("text || ' new'")} AS hb
+      FROM documents WHERE doc_id % 10 = 3)
+    SELECT COALESCE(a.id, b.id) AS id,
+           CASE WHEN b.hb IS NULL THEN 'removed'
+                WHEN a.ha IS NULL THEN 'added'
+                WHEN a.ha <> b.hb THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.id = b.id
+    """,
+)
+def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (CDC): classify every url across two crawl
+    snapshots as added / removed / changed / unchanged — the primitive
+    that turns monthly Common-Crawl reprocessing into incremental work
+    (only 'added' + 'changed' re-enter extraction; 'removed' tombstones
+    propagate to the index). Snapshot B is synthesized from A: every
+    id%10==1 page vanished, id%10==2 changed content, id%10==3 hosts
+    also published a new page.
+
+    Scale shape: each side reduces to (url, content_hash) BEFORE the
+    join — codegen md5, so the full-outer shuffle carries 16 bytes per
+    page, not page bodies. One shuffle per side on the join key; with
+    both snapshots bucketed by url at write time (sources/bucketed) the
+    Exchange disappears entirely.
+    """
+    from ocr_spark.operators.dedup import fast_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id"), fast_hash(F.col("text")).alias("ha")
+    )
+    b_kept = d.where(F.col("doc_id") % 10 != 1).select(
+        F.col("doc_id").alias("id"),
+        fast_hash(
+            F.when(
+                F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("hb"),
+    )
+    b_new = d.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 100000).alias("id"),
+        fast_hash(F.concat(F.col("text"), F.lit(" new"))).alias("hb"),
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.join(b, "id", "full_outer")
+    return j.select(
+        "id",
+        F.when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha").isNull(), "added")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+@query(
     "robots_prefix_filter",
     """
     WITH u0 AS (

@@ -52,6 +52,7 @@ CRITICAL = [
     "domain_quality_wilson",
     "exact_substring_dup_rate",
     "rendezvous_sharding",
+    "snapshot_delta",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
