@@ -126,6 +126,40 @@ COMMENTARY = {
         "join chain onto one shuffle key; LM side left-joined with "
         "coalesce for bigram-less docs."
     ),
+    "exact_substring_spans": (
+        "ExactSubstr: k-row fan-out of narrow token rows (never the "
+        "whole token array through Generate), (doc,start) rebuild, "
+        "collect_set-over-h window instead of a self-join (hashed "
+        "subtree evaluated once), island merge rides the doc_id "
+        "exchange — final agg adds no shuffle."
+    ),
+    "exact_substring_dup_rate": (
+        "Composes the spans: coverage groupBy + left join both on "
+        "doc_id, the key the spans already shuffle on; rate is "
+        "cross-engine floor division (integer-exact)."
+    ),
+    "robots_prefix_filter": (
+        "Longest-prefix robots match as a BROADCAST equi-join on "
+        "(host, prefix) via segment-boundary explode — never a "
+        "LIKE-prefix BroadcastNestedLoopJoin; longest match via "
+        "max_by, no window sort."
+    ),
+    "domain_quality_wilson": (
+        "One groupBy(host) with map-side partial counts; Wilson bound "
+        "computed with correctly-rounded ops in pinned association — "
+        "bit-exact without rounding, no window/join/python."
+    ),
+    "rendezvous_sharding": (
+        "Constant 16-row node fan-out per doc, codegen md5 weights, "
+        "BOTH assignments (full and drop-node) from one groupBy via "
+        "two max_by aggregates — no window sort, no self-join."
+    ),
+    "snapshot_delta": (
+        "Both snapshots reduce to (url, md5) before the full-outer "
+        "SortMergeJoin — 16-byte shuffle rows, page bodies never "
+        "cross the wire; url-bucketed writes would erase the "
+        "Exchanges entirely."
+    ),
 }
 
 
