@@ -1,0 +1,112 @@
+"""Crawl-side operators: robots gating and rendezvous output sharding.
+
+Extension tier (no reference counterpart — the reference is a
+single-machine OCR engine, see SURVEY.md §2): the operators a crawl
+ingest pipeline applies before documents reach extraction, and the
+sink-side shard assignment a 100 TB writer uses.
+
+Both are pure Column/DataFrame dataflows (codegen md5, broadcast
+equi-joins, max_by aggregates) — no python stages, no window sorts.
+queries.py wraps each in an oracle-checked query; tools/curate_corpus
+runs them as pipeline stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import fast_hash
+
+N_HOSTS = 97  # the corpus host scheme: host = doc_id % 97
+
+
+def robots_rules(spark) -> DataFrame:
+    """Synthesized per-host robots rule table ``(host, prefix, allow)``:
+    a root allow, five ``/s<m>`` rules of alternating polarity, and one
+    deeper ``/s<m>/t<k>`` override each. Deterministic in the host id —
+    the stand-in for a parsed robots.txt store. Small enough to
+    broadcast (real robots stores are ~10 rules/host; shard the join on
+    host past broadcast range)."""
+    hosts = spark.range(0, N_HOSTS).select(F.col("id").alias("host"))
+    root = hosts.select(
+        "host", F.lit("/").alias("prefix"), F.lit(1).cast("long").alias("allow")
+    )
+    ms = hosts.select(
+        "host", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("m")
+    )
+    r1 = ms.select(
+        "host",
+        F.concat(F.lit("/s"), F.col("m")).alias("prefix"),
+        ((F.col("host") + F.col("m")) % 2).alias("allow"),
+    )
+    r2 = ms.select(
+        "host",
+        F.concat(
+            F.lit("/s"), F.col("m"), F.lit("/t"),
+            (F.col("host") + F.col("m")) % 7,
+        ).alias("prefix"),
+        ((F.col("host") + F.col("m") + 1) % 2).alias("allow"),
+    )
+    return root.unionByName(r1).unionByName(r2)
+
+
+def robots_decisions(spark, docs: DataFrame) -> DataFrame:
+    """Longest-prefix robots match per document →
+    ``(doc_id, matched_prefix, rule_len, allowed)``.
+
+    The path is exploded at its SEGMENT BOUNDARIES (depth rows per
+    url, bounded by path depth) and equi-joined on (host, prefix) —
+    a broadcast hash join, never the LIKE-prefix nested loop a theta
+    join would plan. The longest match is a max_by aggregate, no
+    window sort. URL scheme mirrors the corpus synthesis:
+    path = /s{doc_id%5}/t{doc_id%7}/d{doc_id}, host = doc_id%97.
+    """
+    a = F.col("doc_id") % 5
+    b = F.col("doc_id") % 7
+    p1 = F.concat(F.lit("/s"), a)
+    p2 = F.concat(p1, F.lit("/t"), b)
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_HOSTS).alias("host"),
+        F.explode(F.array(F.lit("/"), p1, p2)).alias("prefix"),
+    )
+    matched = urls.join(F.broadcast(robots_rules(spark)), ["host", "prefix"])
+    pick = F.struct(
+        F.length("prefix").alias("rule_len"),
+        F.col("prefix").alias("matched_prefix"),
+        F.col("allow").alias("allowed"),
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.max_by(pick, F.length("prefix")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.matched_prefix").alias("matched_prefix"),
+            F.col("r.rule_len").alias("rule_len"),
+            F.col("r.allowed").alias("allowed"),
+        )
+    )
+
+
+def hrw_shard(id_col: Column, n_nodes: int = 16) -> Column:
+    """Rendezvous (highest-random-weight) shard id as a scalar Column —
+    the sink-side form: ``array_max`` over a CONSTANT-length node
+    array of (weight, node) structs, computed once per row inside one
+    projection (single-reference HOF — safe from the projection-
+    collapse recompute; see dedup.py's module note). Changing the node
+    set remaps only the lost/gained shard's rows (pinned by
+    tests/test_round2.py::test_rendezvous_minimal_movement on the
+    aggregate form in queries.rendezvous_sharding).
+    """
+    nodes = F.sequence(F.lit(0), F.lit(n_nodes - 1))
+    weighted = F.transform(
+        nodes,
+        lambda n: F.struct(
+            fast_hash(
+                F.concat(id_col.cast("string"), F.lit(":"), n.cast("string"))
+            ).alias("w"),
+            n.alias("node"),
+        ),
+    )
+    return F.array_max(weighted)["node"]

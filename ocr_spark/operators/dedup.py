@@ -706,3 +706,103 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (Lee et al. 2022): sliding duplicate windows -> removal spans
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans_df(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Sliding k-token windows recurring in 2+ docs, merged into maximal
+    per-doc removal spans (doc_id, span_start, span_end, n_windows).
+    Full scale commentary in queries.exact_substring_spans; the
+    dataflow: k-row narrow fan-out -> (doc, start) ordered rebuild ->
+    codegen hash -> collect_set-over-hash window (no self-join) ->
+    lag/running-sum island merge riding the doc_id exchange."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    t = tokens(F.col("text"))
+    ex = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.size(t).alias("n"),
+        F.posexplode(t).alias("i", "tok"),
+    )
+    # token i belongs to window starts max(0, i-k+1) .. min(i, n-k);
+    # bounds are ascending iff n >= k (guarded: the descending-sequence
+    # trap of ADVICE r1).
+    fan = ex.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.explode(
+            F.when(
+                F.col("n") >= k,
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("i") - (k - 1)),
+                    F.least(F.col("i"), F.col("n") - k),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("s"),
+    )
+    win = fan.groupBy("doc_id", F.col("s").cast("long").alias("s")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("tok")))),
+                lambda r: r.tok,
+            ),
+            " ",
+        ).alias("wtext")
+    )
+    hashed = win.select("doc_id", "s", fast_hash(F.col("wtext")).alias("h"))
+    dup = hashed.withColumn(
+        "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+    ).where(F.col("nd") >= 2)
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev = F.lag("s").over(w)
+    brk = dup.select(
+        "doc_id",
+        "s",
+        F.when(prev.isNull() | (F.col("s") > prev + (k - 1)), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    isl = brk.withColumn("island", F.sum("b").over(w))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("span_start"),
+        (F.max("s") + (k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("island")
+
+
+def exact_substring_dup_permille(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-doc duplicate-token rate from the ExactSubstr spans, exact
+    integer permille -> (doc_id, n_tokens, covered_tokens,
+    dup_permille); span-free docs read 0 through the left join."""
+    from ocr_spark.operators.training import floor_div
+
+    spans = exact_substring_spans_df(docs, k)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "covered_tokens"
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    out = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")).alias(
+            "covered_tokens"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        floor_div(1000 * F.col("covered_tokens"), F.col("n_tokens")).alias(
+            "dup_permille"
+        ),
+    )

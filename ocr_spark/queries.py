@@ -2261,67 +2261,12 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles: (doc_id,s) rebuild, h window, doc_id islands — all on
     uniform keys; skew only if one page repeats a window millions of
     times, which upstream ``doc_repetition_filters`` removes.
+    Dataflow lives in operators/dedup.exact_substring_spans_df (also a
+    drop stage in tools/curate_corpus.py).
     """
-    from pyspark.sql import Window
+    from ocr_spark.operators.dedup import exact_substring_spans_df
 
-    from ocr_spark.operators.dedup import fast_hash, tokens
-
-    k = 8
-    d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-
-    t = tokens(F.col("text"))
-    ex = d.repartition(par, "doc_id").select(
-        "doc_id",
-        F.size(t).alias("n"),
-        F.posexplode(t).alias("i", "tok"),
-    )
-    # token i belongs to window starts max(0, i-k+1) .. min(i, n-k);
-    # the bounds are always ascending when n >= k (guarded: short docs
-    # emit no rows — the ADVICE.md descending-sequence trap).
-    fan = ex.select(
-        "doc_id",
-        "i",
-        "tok",
-        F.explode(
-            F.when(
-                F.col("n") >= k,
-                F.sequence(
-                    F.greatest(F.lit(0), F.col("i") - (k - 1)),
-                    F.least(F.col("i"), F.col("n") - k),
-                ),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("s"),
-    )
-    win = fan.groupBy("doc_id", F.col("s").cast("long").alias("s")).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("tok")))),
-                lambda r: r.tok,
-            ),
-            " ",
-        ).alias("wtext")
-    )
-    hashed = win.select("doc_id", "s", fast_hash(F.col("wtext")).alias("h"))
-    dup = hashed.withColumn(
-        "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
-    ).where(F.col("nd") >= 2)
-
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev = F.lag("s").over(w)
-    brk = dup.select(
-        "doc_id",
-        "s",
-        F.when(prev.isNull() | (F.col("s") > prev + (k - 1)), 1)
-        .otherwise(0)
-        .alias("b"),
-    )
-    isl = brk.withColumn("island", F.sum("b").over(w))
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("s").alias("span_start"),
-        (F.max("s") + (k - 1)).alias("span_end"),
-        F.count(F.lit(1)).alias("n_windows"),
-    ).drop("island")
+    return exact_substring_spans_df(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -2355,34 +2300,11 @@ def exact_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: adds one groupBy(doc_id) + one join on doc_id to the spans
     dataflow — both on the key the spans already shuffle on.
+    Dataflow lives in operators/dedup.exact_substring_dup_permille.
     """
-    from ocr_spark.operators.dedup import tokens
-    from ocr_spark.operators.training import floor_div
+    from ocr_spark.operators.dedup import exact_substring_dup_permille
 
-    spans = exact_substring_spans(spark, sf_dir)
-    cov = spans.groupBy("doc_id").agg(
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
-            "covered_tokens"
-        )
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    out = docs.join(cov, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")).alias(
-            "covered_tokens"
-        ),
-    )
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        "covered_tokens",
-        floor_div(1000 * F.col("covered_tokens"), F.col("n_tokens")).alias(
-            "dup_permille"
-        ),
-    )
+    return exact_substring_dup_permille(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -2577,57 +2499,12 @@ def robots_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits in a broadcast even at web scale (rules for ~10^8 hosts
     shard-join on host instead; the plan is unchanged). The per-doc
     longest match is a max_by aggregate, no window sort.
+    Dataflow lives in operators/crawl.robots_decisions (also stage 0
+    of tools/curate_corpus.py).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from ocr_spark.operators.crawl import robots_decisions
 
-    a = F.col("doc_id") % 5
-    b = F.col("doc_id") % 7
-    p1 = F.concat(F.lit("/s"), a)
-    p2 = F.concat(p1, F.lit("/t"), b)
-    urls = d.select(
-        "doc_id",
-        (F.col("doc_id") % 97).alias("host"),
-        F.explode(F.array(F.lit("/"), p1, p2)).alias("prefix"),
-    )
-
-    hosts = spark.range(0, 97).select(F.col("id").alias("host"))
-    root = hosts.select(
-        "host", F.lit("/").alias("prefix"), F.lit(1).cast("long").alias("allow")
-    )
-    ms = hosts.select(
-        "host", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("m")
-    )
-    r1 = ms.select(
-        "host",
-        F.concat(F.lit("/s"), F.col("m")).alias("prefix"),
-        ((F.col("host") + F.col("m")) % 2).alias("allow"),
-    )
-    r2 = ms.select(
-        "host",
-        F.concat(
-            F.lit("/s"), F.col("m"), F.lit("/t"),
-            (F.col("host") + F.col("m")) % 7,
-        ).alias("prefix"),
-        ((F.col("host") + F.col("m") + 1) % 2).alias("allow"),
-    )
-    rules = root.unionByName(r1).unionByName(r2)
-
-    matched = urls.join(F.broadcast(rules), ["host", "prefix"])
-    pick = F.struct(
-        F.length("prefix").alias("rule_len"),
-        F.col("prefix").alias("matched_prefix"),
-        F.col("allow").alias("allowed"),
-    )
-    return (
-        matched.groupBy("doc_id")
-        .agg(F.max_by(pick, F.length("prefix")).alias("r"))
-        .select(
-            "doc_id",
-            F.col("r.matched_prefix").alias("matched_prefix"),
-            F.col("r.rule_len").alias("rule_len"),
-            F.col("r.allowed").alias("allowed"),
-        )
-    )
+    return robots_decisions(spark, load_table(spark, sf_dir, "documents"))
 
 
 @query(

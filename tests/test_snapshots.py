@@ -128,11 +128,16 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
 
     assert (
         summary["docs_in"]
+        >= summary["after_robots_gate"]
         >= summary["after_quality_gate"]
         >= summary["after_exact_dedup"]
+        >= summary["after_substr_dedup"]
         >= summary["after_temperature_resample"]
         > 0
     )
+    # the robots gate is a real gate on this corpus scheme (some hosts
+    # deny some /s<m>/t<k> paths)
+    assert summary["after_robots_gate"] < summary["docs_in"]
     cat = SnapshotCatalog(spark, out)
     kept = cat.read("curated.docs")
     assert kept.count() == summary["after_temperature_resample"]

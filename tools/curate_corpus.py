@@ -8,8 +8,10 @@ stage a lazy DataFrame op, outputs published through the snapshot
 catalog (atomic commits + time travel — an audit can re-read exactly
 the corpus any run produced):
 
-    quality gate (hashed classifier margin > 0)
+    robots gate (longest-prefix allow/deny per url)
+      -> quality gate (hashed classifier margin > 0)
       -> exact dedup (content hash, keep lowest doc_id)
+      -> ExactSubstr drop (docs >=20% duplicated token runs)
       -> host-temperature resample (alpha=0.5)
       -> sequence packing (256-token concat-and-chunk)
 
@@ -36,6 +38,14 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
 
     n_in = docs.count()
 
+    # 0. robots gate: longest-prefix match per url, keep allowed docs
+    from ocr_spark.operators.crawl import robots_decisions
+
+    allowed = robots_decisions(spark, docs).where(
+        F.col("allowed") == 1
+    ).select("doc_id")
+    fetched = docs.join(allowed, "doc_id")
+
     # 1. model-based quality gate (hashing-trick classifier)
     from ocr_spark.operators.dedup import tokens
 
@@ -47,7 +57,7 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    gated = docs.withColumn("margin", margin).where(F.col("margin") > 0)
+    gated = fetched.withColumn("margin", margin).where(F.col("margin") > 0)
 
     # 2. exact dedup, keep lowest doc_id per content hash
     from pyspark.sql import Window
@@ -59,14 +69,25 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
         .drop("rn")
     )
 
+    # 2b. ExactSubstr drop: docs whose token stream is >=20% covered by
+    # 8-token windows recurring elsewhere in the corpus (Lee et al. 2022)
+    from ocr_spark.operators.dedup import exact_substring_dup_permille
+
+    heavy = exact_substring_dup_permille(
+        deduped.select("doc_id", "text")
+    ).where(F.col("dup_permille") >= 200).select("doc_id")
+    undup = deduped.join(heavy, "doc_id", "left_anti")
+
     # 3. host-temperature downsample (host = doc_id % 97 corpus scheme)
-    kept_ids = temperature_resample(deduped.select("doc_id", "text")).select(
+    kept_ids = temperature_resample(undup.select("doc_id", "text")).select(
         "doc_id"
     )
-    kept = deduped.join(kept_ids, "doc_id")
+    kept = undup.join(kept_ids, "doc_id")
     kept.persist()
+    n_fetched = fetched.count()
     n_gated = gated.count()
     n_deduped = deduped.count()
+    n_undup = undup.count()
     n_kept = kept.count()
 
     cat.overwrite_partitions(
@@ -84,8 +105,10 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
     kept.unpersist()
     return {
         "docs_in": n_in,
+        "after_robots_gate": n_fetched,
         "after_quality_gate": n_gated,
         "after_exact_dedup": n_deduped,
+        "after_substr_dedup": n_undup,
         "after_temperature_resample": n_kept,
         "sequences": n_seqs,
         "packed_tokens": int(n_tokens or 0),
