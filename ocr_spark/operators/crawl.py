@@ -110,3 +110,76 @@ def hrw_shard(id_col: Column, n_nodes: int = 16) -> Column:
         ),
     )
     return F.array_max(weighted)["node"]
+
+
+def frontier_schedule(docs: DataFrame) -> DataFrame:
+    """Politeness-scheduled fetch plan →
+    ``(doc_id, host, slot, fetch_at_ms)``.
+
+    A crawl frontier orders each host's URLs by priority (here:
+    longest page first, doc_id tiebreak) and spaces fetches by the
+    host's crawl delay (robots ``Crawl-delay`` stand-in:
+    500 + (host%5)*250 ms). slot = per-host rank, fetch time =
+    slot * delay — the queue a polite fetcher drains.
+
+    Scale: ONE window partitioned by host (uniform key, ~10^8 hosts at
+    web scale — rank within host never materializes a global sort).
+    Hot hosts are the skew case; a per-host frequency cap upstream
+    (queries.host_frequency_cap) bounds the window's largest group.
+    """
+    from pyspark.sql import Window
+
+    h = F.col("doc_id") % N_HOSTS
+    delay = (F.lit(500) + (h % 5) * 250).cast("long")
+    urls = docs.select(
+        "doc_id", h.alias("host"), "n_chars", delay.alias("delay_ms")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    return urls.select(
+        "doc_id",
+        "host",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        ((F.row_number().over(w) - 1) * F.col("delay_ms"))
+        .cast("long")
+        .alias("fetch_at_ms"),
+    )
+
+
+def anchor_text_top3(docs: DataFrame) -> DataFrame:
+    """Per-target-host top-3 anchor terms →
+    ``(host, term, cnt, rnk)``.
+
+    Inbound anchor text is a classic relevance/quality signal (it
+    describes the TARGET page). Links are synthesized from the corpus
+    scheme (each doc links to 3 affine-mapped hosts, mirroring the
+    host_pagerank edge set); its anchor text is the doc's first two
+    tokens. Aggregate per (target host, term), rank within host.
+
+    Scale: the (host, term) aggregate shuffles on a uniform composite
+    key with map-side partial counts; the top-3 window runs over the
+    AGGREGATE (bounded by per-host distinct anchor vocabulary, not
+    corpus size). At 10^12 links the same plan holds — anchor
+    aggregation is the textbook reduce-side job.
+    """
+    from pyspark.sql import Window
+
+    links = docs.select(
+        F.explode(
+            F.array(
+                (3 * F.col("doc_id") + 1) % N_HOSTS,
+                (5 * F.col("doc_id") + 2) % N_HOSTS,
+                (7 * F.col("doc_id") + 3) % N_HOSTS,
+            )
+        ).alias("host"),
+        F.slice(F.split("text", " "), 1, 2).alias("anchor"),
+    )
+    terms = links.select("host", F.explode("anchor").alias("term"))
+    pc = terms.groupBy("host", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("host").orderBy(F.desc("cnt"), "term")
+    return (
+        pc.select(
+            "host", "term", "cnt",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

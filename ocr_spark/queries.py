@@ -4003,3 +4003,191 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_div(F.col("cum") * 1000, F.col("total")).alias("cum_milli"),
         )
     )
+
+
+def _bpe_oracle_ctes(rounds: int) -> str:
+    """Shared CTE chain for the BPE queries: enc0 (framed word vocab)
+    then per-round pair counts, deterministic best pair, and the
+    replace-applied next encoding."""
+    parts = [
+        """enc0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_aggregate(
+               list_transform(generate_series(1, length(w)),
+                              i -> chr(31) || substr(w, i, 1) || chr(30)),
+               'string_agg', '') AS enc
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""sy{r} AS (
+      SELECT cnt, string_split(substr(enc, 2, length(enc) - 2),
+                               chr(30) || chr(31)) AS s
+      FROM enc{p})"""
+        )
+        parts.append(
+            f"""pc{r} AS (
+      SELECT s[i] AS s1, s[i + 1] AS s2, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, s,
+                   unnest(CASE WHEN len(s) >= 2
+                          THEN generate_series(1, len(s) - 1)
+                          ELSE CAST([] AS BIGINT[]) END) AS i
+            FROM sy{r})
+      GROUP BY s1, s2)"""
+        )
+        parts.append(
+            f"""best{r} AS (
+      SELECT s1, s2, c FROM pc{r}
+      WHERE c = (SELECT MAX(c) FROM pc{r})
+      ORDER BY s1, s2 LIMIT 1)"""
+        )
+        parts.append(
+            f"""enc{r} AS (
+      SELECT w, cnt,
+             replace(enc,
+                     chr(31) || b.s1 || chr(30) || chr(31) || b.s2 || chr(30),
+                     chr(31) || b.s1 || b.s2 || chr(30)) AS enc
+      FROM enc{p}, best{r} b)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, s1 AS sym1, s2 AS sym2,"
+        f" c AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _bpe_oracle_ctes(rounds) + "\n    " + sel
+
+
+@query("bpe_learn_merges", _bpe_merges_oracle(4))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction (Sennrich et al. 2016): four
+    merge-learning rounds over the corpus word-frequency table →
+    ``(merge_rank, sym1, sym2, pair_count)``.
+
+    The operator the training stack runs between curation and
+    tokenization: the merge table IS the tokenizer. Dataflow in
+    operators/tokenizer.py — word-type vocabulary (corpus collapses
+    once), framed-string symbol encoding, merge application as one
+    codegen ``replace``, deterministic argmax (max count, lexicographic
+    tie-break) with no global sort, per-round lazy localCheckpoint so
+    executed work is linear in rounds.
+
+    Scale: rounds × (one vocab-sized explode + one (s1,s2) hash
+    aggregate with partial sums + one 1-row broadcast). Vocab is
+    10^7-10^8 rows at web scale — each round is a small uniform
+    shuffle; real trainers run 10^4-10^5 rounds with incremental
+    pair-count maintenance, which this dataflow admits (only words
+    containing the merged pair change — a broadcast semi-filter).
+    """
+    from ocr_spark.operators.tokenizer import learn_bpe_merges
+
+    merges, _ = learn_bpe_merges(load_table(spark, sf_dir, "documents"))
+    return merges
+
+
+@query(
+    "bpe_word_segmentations",
+    _bpe_oracle_ctes(4)
+    + """,
+    seg AS (
+      SELECT w, cnt,
+             array_to_string(
+               string_split(substr(enc, 2, length(enc) - 2),
+                            chr(30) || chr(31)), '|') AS seg
+      FROM enc4),
+    ranked AS (
+      SELECT w, cnt, seg,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk
+      FROM seg)
+    SELECT w, cnt, seg FROM ranked WHERE rnk <= 20
+    """,
+)
+def bpe_word_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer applied back to the vocabulary: top-20
+    words by frequency with their post-merge segmentation ('|'-joined
+    symbols) → ``(w, cnt, seg)``.
+
+    Demonstrates the APPLY side of BPE at zero marginal cost — the
+    final round's encoding is already the segmentation; production
+    tokenization of the full corpus is the same replace chain mapped
+    over documents. Top-20 runs over the VOCAB aggregate (the
+    documented exception to the no-global-window rule; two-tier rank
+    at 10^8 vocab).
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.tokenizer import learn_bpe_merges, segmentations
+
+    _, vocab = learn_bpe_merges(load_table(spark, sf_dir, "documents"))
+    seg = segmentations(vocab)
+    w = Window.orderBy(F.desc("cnt"), "w")
+    return (
+        seg.select("w", "cnt", "seg", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+
+
+@query(
+    "crawl_frontier_schedule",
+    """
+    WITH urls AS (
+      SELECT doc_id, doc_id % 97 AS host, n_chars,
+             CAST(500 + (doc_id % 97) % 5 * 250 AS BIGINT) AS delay_ms
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, host, delay_ms,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) - 1 AS slot
+      FROM urls)
+    SELECT doc_id, CAST(host AS BIGINT) AS host, CAST(slot AS BIGINT) AS slot,
+           CAST(slot * delay_ms AS BIGINT) AS fetch_at_ms
+    FROM ranked
+    """,
+)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: per-host priority rank ×
+    per-host crawl delay → the fetch timetable. Dataflow and scale
+    notes in operators/crawl.frontier_schedule.
+    """
+    from ocr_spark.operators.crawl import frontier_schedule
+
+    return frontier_schedule(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "anchor_text_top3",
+    """
+    WITH l1 AS (
+      SELECT unnest([(3 * doc_id + 1) % 97, (5 * doc_id + 2) % 97,
+                     (7 * doc_id + 3) % 97]) AS host,
+             text
+      FROM documents),
+    terms AS (
+      SELECT host, unnest(string_split(text, ' ')[1:2]) AS term FROM l1),
+    pc AS (
+      SELECT host, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM terms GROUP BY host, term),
+    r AS (
+      SELECT host, term, cnt,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY cnt DESC, term) AS rnk
+      FROM pc)
+    SELECT CAST(host AS BIGINT) AS host, term, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def anchor_text_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation: top-3 anchor terms per target
+    host over the synthesized link graph. Dataflow and scale notes in
+    operators/crawl.anchor_text_top3.
+    """
+    from ocr_spark.operators.crawl import anchor_text_top3
+
+    return anchor_text_top3(load_table(spark, sf_dir, "documents"))

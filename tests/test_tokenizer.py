@@ -1,0 +1,146 @@
+"""BPE merge learning + crawl frontier/anchor operators.
+
+Pins the semantics the oracle gate can't isolate: greedy
+left-to-right non-overlapping merge application on symbol runs,
+frame-boundary safety of the string-replace encoding (multi-char
+symbols never match across symbol boundaries), the deterministic
+argmax tie-break, and the politeness invariants of the frontier
+schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.crawl import anchor_text_top3, frontier_schedule
+from ocr_spark.operators.tokenizer import (
+    apply_merge,
+    best_pair,
+    learn_bpe_merges,
+    segmentations,
+    word_vocab,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _segs(vocab):
+    return {r["w"]: r["seg"] for r in segmentations(vocab).collect()}
+
+
+def test_greedy_run_merge_non_overlapping(spark):
+    # merge (a, a) applied to "aaaa" must yield aa|aa (greedy pairs),
+    # and "aaa" must yield aa|a — the replacement is never rescanned.
+    v = word_vocab(_docs(spark, ["aaaa aaa aaaa"]))
+    merged = apply_merge(v, best_pair(v))
+    segs = _segs(merged)
+    assert segs["aaaa"] == "aa|aa"
+    assert segs["aaa"] == "aa|a"
+
+
+def test_frame_boundaries_block_cross_symbol_matches(spark):
+    # Round 1 on this corpus merges (a, b) -> "ab". The word "aab"
+    # becomes a|ab. A second round that merges e.g. (a, ab) must match
+    # ONLY the symbol pair, not the raw substring "aab" inside other
+    # words' frames.
+    texts = ["ab ab ab ab aab aab b a"]
+    merges, vocab = learn_bpe_merges(_docs(spark, texts), rounds=2)
+    rows = {r["merge_rank"]: (r["sym1"], r["sym2"]) for r in merges.collect()}
+    assert rows[1] == ("a", "b")
+    segs = _segs(vocab)
+    assert segs["ab"] == "ab"
+    # "aab" after (a,b): a|ab; after round 2 ("a","ab"): "aab" as ONE
+    # symbol — and crucially round 2's replace must not have corrupted
+    # any other word.
+    assert rows[2] == ("a", "ab")
+    assert segs["aab"] == "aab"
+    assert segs["a"] == "a"
+    assert segs["b"] == "b"
+
+
+def test_argmax_tie_break_lexicographic(spark):
+    # "xy" and "ab" both occur twice -> pair counts tie at 2; the
+    # deterministic winner is the lexicographically smallest pair.
+    v = word_vocab(_docs(spark, ["xy ab xy ab"]))
+    s1, s2, c = best_pair(v).collect()[0]
+    assert (s1, s2) == ("a", "b")
+    assert c == 2
+
+
+def test_merge_counts_match_brute_force(spark):
+    # Python brute-force BPE on the same corpus must agree with the
+    # distributed dataflow round for round.
+    texts = ["low lower lowest low low newer newest new", "wider wide new"]
+    rounds = 5
+    merges, _ = learn_bpe_merges(_docs(spark, texts), rounds=rounds)
+    got = [
+        (r["merge_rank"], r["sym1"], r["sym2"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: [c for c in w] for w in vocab}
+    want = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        best_c = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == best_c)
+        want.append((r, a, b, best_c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == want
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", 100 + (i * 37) % 211) for i in range(300)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = frontier_schedule(docs).collect()
+    by_host: dict[int, list] = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(out) == 300
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["slot"])
+        delay = 500 + (host % 5) * 250
+        # slots dense from 0; fetch times are exact multiples spaced
+        # by the host's crawl delay (strictly increasing => polite)
+        assert [r["slot"] for r in rows] == list(range(len(rows)))
+        assert all(r["fetch_at_ms"] == r["slot"] * delay for r in rows)
+
+
+def test_anchor_top3_bounded_and_counted(spark):
+    docs = _docs(spark, [f"term{i % 4} common filler" for i in range(200)])
+    out = anchor_text_top3(docs).collect()
+    assert out, "anchor aggregation returned nothing"
+    per_host: dict[int, list] = {}
+    for r in out:
+        per_host.setdefault(r["host"], []).append(r)
+    for rows in per_host.values():
+        assert len(rows) <= 3
+        rows.sort(key=lambda r: r["rnk"])
+        # ranks dense from 1, counts non-increasing, tie-break by term
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["cnt"], b["term"]) >= (b["cnt"], a["term"]) or a[
+                "cnt"
+            ] > b["cnt"]
+            assert a["cnt"] >= b["cnt"]
