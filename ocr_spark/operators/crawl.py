@@ -183,3 +183,86 @@ def anchor_text_top3(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+def host_mirror_jaccard(docs: DataFrame, max_df: int = 50) -> DataFrame:
+    """Mirror-host detection: Jaccard overlap of per-host content-
+    sketch sets → ``(host_a, host_b, shared, n_a, n_b,
+    jaccard_permille)``.
+
+    Mirrors and CDN aliases are the host-level duplicate class URL
+    canonicalization misses; curation drops or merges them before
+    host-temperature sampling. Each document contributes one sketch
+    hash — the md5 of its leading 5-token shingle (full-text hashes
+    only catch byte-identical mirrors; a prefix shingle also catches
+    near-mirrors whose templates diverge later in the page, and is
+    the cheapest member of the sketch family — swap in the minhash
+    signature from dedup.py for tighter recall). The dataflow is the
+    inverted sketch join: distinct (host, hash) rows, self-join on
+    hash, count shared per host pair, exact integer Jaccard.
+
+    Scale: the self-join's blowup case is a BOILERPLATE sketch present
+    on thousands of hosts (quadratic postings). The df-cap drops
+    hashes on more than ``max_df`` hosts BEFORE the join — standard in
+    mirror detection (a hash that common carries no mirror signal);
+    the cap is part of the operator's definition so the oracle mirrors
+    it. The cap is applied as a broadcast LEFT ANTI join against the
+    OVER-cap hash set — which is tiny by construction at any corpus
+    size (only hashes on >max_df hosts), where the under-cap set is
+    corpus-sized (most hashes are unique) and must never be broadcast
+    or rebuilt per consumer. ``base`` (one small sketch row per
+    (host, doc-prefix)) is staged once with a lazy localCheckpoint so
+    the self-join's two sides, the cap aggregate, and the size table
+    share a single derivation instead of re-scanning the corpus five
+    times (at warehouse scale this staging is a table write).
+    Remaining keys are uniform; per-pair counts partial-aggregate
+    map-side.
+    """
+    base = (
+        docs.select(
+            (F.col("doc_id") % N_HOSTS).alias("host"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.split("text", " "), 1, 5), " "
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    over_cap = (
+        base.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    capped = base.join(F.broadcast(over_cap), "h", "left_anti")
+    sizes = base.groupBy("host").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.host") < F.col("b.host")))
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    from ocr_spark.operators.training import floor_div
+
+    na = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "host_a")
+        .join(F.broadcast(nb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            floor_div(
+                F.lit(1000) * F.col("shared"),
+                F.col("n_a") + F.col("n_b") - F.col("shared"),
+            ).alias("jaccard_permille"),
+        )
+    )

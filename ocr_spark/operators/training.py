@@ -526,3 +526,60 @@ def kmeans_quantized_maximin(
         centroids = kmeans_recenter(assigned, dim)
         assigned = kmeans_assign(vecs, centroids)
     return assigned.select("vec_id", "cluster", "dist")
+
+
+def span_corruption_masks(
+    docs: DataFrame, rate_permille: int = 150, span_len: int = 3
+) -> DataFrame:
+    """Deterministic T5-style span-corruption plan →
+    ``(doc_id, span_id, span_start, span_len)`` (1-based token index).
+
+    The pretraining-objective data-gen stage: ~rate_permille of each
+    document's tokens are masked in fixed-length spans. Spans are
+    non-overlapping BY CONSTRUCTION: the document is cut into
+    n_spans equal strata (stride = floor(n_tok / n_spans) >= span_len
+    tokens), and span i starts at a hash-derived offset within
+    stratum i — so no island-merge pass is needed and the plan is one
+    narrow projection + explode per doc (no shuffle at all beyond the
+    scan).
+
+    Determinism: the offset is fast_hash(doc_id ':' span_id) mod the
+    stratum slack — same mask plan on every run, every engine, any
+    partitioning; exactly the reproducibility a training run needs to
+    resume mid-epoch.
+
+    Docs with fewer than ``span_len * 1000 / rate_permille`` tokens
+    (n_spans == 0) emit no rows (the ascending-sequence guard).
+    """
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    n_spans = floor_div(n_tok * rate_permille, F.lit(span_len * 1000))
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tok"), n_spans.alias("n_spans")
+    ).where(F.col("n_spans") >= 1)
+    stride = floor_div(F.col("n_tok"), F.col("n_spans"))
+    ex = base.select(
+        "doc_id",
+        stride.alias("stride"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1)
+        ).alias("span_id"),
+    )
+    slack = F.col("stride") - span_len + 1
+    off = (
+        fast_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("span_id").cast("string"),
+            )
+        )
+        % slack
+    )
+    return ex.select(
+        "doc_id",
+        "span_id",
+        (F.col("span_id") * F.col("stride") + off + 1).alias("span_start"),
+        F.lit(span_len).cast("long").alias("span_len"),
+    )

@@ -4191,3 +4191,120 @@ def anchor_text_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.crawl import anchor_text_top3
 
     return anchor_text_top3(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "host_mirror_jaccard",
+    """
+    WITH base AS (
+      SELECT DISTINCT doc_id % 97 AS host,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h
+      FROM documents),
+    dfok AS (SELECT h FROM base GROUP BY h HAVING COUNT(*) <= 50),
+    capped AS (SELECT host, h FROM base JOIN dfok USING (h)),
+    sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY host),
+    sh AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM capped a JOIN capped b ON a.h = b.h AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(1000 * shared // (sa.n + sb.n - shared) AS BIGINT)
+             AS jaccard_permille
+    FROM sh JOIN sizes sa ON sh.host_a = sa.host
+            JOIN sizes sb ON sh.host_b = sb.host
+    """,
+)
+def host_mirror_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection: exact integer Jaccard over per-host
+    content-sketch sets (leading-5-token shingle hash per doc) via the
+    df-capped inverted join. Dataflow and the boilerplate-hash blowup
+    analysis in operators/crawl.host_mirror_jaccard.
+    """
+    from ocr_spark.operators.crawl import host_mirror_jaccard
+
+    return host_mirror_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "span_corruption_masks",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    ns AS (
+      SELECT doc_id, n_tok, n_tok * 150 // 3000 AS n_spans FROM base
+      WHERE n_tok * 150 // 3000 >= 1),
+    ex AS (
+      SELECT doc_id, n_tok // n_spans AS stride,
+             unnest(generate_series(0, n_spans - 1)) AS span_id
+      FROM ns)
+    SELECT doc_id, span_id,
+           span_id * stride
+             + ({_duck_md5hash("CAST(doc_id AS VARCHAR) || ':' || CAST(span_id AS VARCHAR)")}
+                % (stride - 2)) + 1 AS span_start,
+           CAST(3 AS BIGINT) AS span_len
+    FROM ex
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption mask plan (15% of tokens
+    in 3-token spans, non-overlapping by strata construction, offsets
+    hash-derived → resumable mid-epoch). Dataflow and scale notes in
+    operators/training.span_corruption_masks.
+    """
+    from ocr_spark.operators.training import span_corruption_masks
+
+    return span_corruption_masks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_compression",
+    _bpe_oracle_ctes(4)
+    + """
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * len(string_split(
+             substr(enc, 2, length(enc) - 2), chr(30) || chr(31))))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(1000 * (SUM(cnt * length(w))
+                        - SUM(cnt * len(string_split(
+                            substr(enc, 2, length(enc) - 2),
+                            chr(30) || chr(31)))))
+                // SUM(cnt * length(w)) AS BIGINT) AS saved_permille
+    FROM enc4
+    """,
+)
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level compression of the learned 4-merge BPE tokenizer:
+    total word occurrences, character count (= token count before any
+    merge), token count under the learned segmentation, and the
+    per-mille savings — the metric a tokenizer-sizing sweep plots
+    against merge count.
+
+    One aggregate over the final vocabulary (vocab-sized, partial
+    sums map-side); the merge chain itself is the bpe_learn_merges
+    dataflow.
+    """
+    from ocr_spark.operators.dedup import tokens  # noqa: F401
+    from ocr_spark.operators.tokenizer import _symbols, learn_bpe_merges
+    from ocr_spark.operators.training import floor_div
+
+    _, vocab = learn_bpe_merges(load_table(spark, sf_dir, "documents"))
+    agg = vocab.groupBy().agg(
+        F.sum("cnt").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+        F.sum(F.col("cnt") * F.size(_symbols(F.col("enc"))))
+        .alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "n_word_occurrences",
+        "n_chars",
+        "n_bpe_tokens",
+        floor_div(
+            F.lit(1000) * (F.col("n_chars") - F.col("n_bpe_tokens")),
+            F.col("n_chars"),
+        ).alias("saved_permille"),
+    )

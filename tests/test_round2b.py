@@ -1,0 +1,229 @@
+"""Late-round-2 operators: mirror-host Jaccard, span-corruption masks,
+BPE compression aggregate.
+
+Each pruning/derivation claim is re-derived against an independent
+naive Python implementation on randomized corpora (the oracle gate
+alone can be degenerate at one scale — the pivot-band lesson).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.crawl import N_HOSTS, host_mirror_jaccard
+from ocr_spark.operators.training import span_corruption_masks
+
+MOD = 1_000_000_007
+
+WORDS = "alpha beta gamma delta eps zeta eta theta iota kappa".split()
+
+
+def _fh(s: str) -> int:
+    """Python mirror of operators/dedup.fast_hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MOD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# host_mirror_jaccard
+# ---------------------------------------------------------------------------
+
+def _naive_mirror(rows, max_df=50):
+    sets: dict[int, set[str]] = {}
+    for doc_id, text in rows:
+        h = hashlib.md5(" ".join(text.split(" ")[:5]).encode()).hexdigest()
+        sets.setdefault(doc_id % N_HOSTS, set()).add(h)
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    capped = {
+        host: {h for h in s if df_count[h] <= max_df}
+        for host, s in sets.items()
+    }
+    out = {}
+    hosts = sorted(sets)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            shared = len(capped[a] & capped[b])
+            if shared:
+                na, nb = len(sets[a]), len(sets[b])
+                out[(a, b)] = (
+                    shared, na, nb, 1000 * shared // (na + nb - shared)
+                )
+    return out
+
+
+def test_host_mirror_matches_naive_random(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        rows.append((i, " ".join(rng.choices(WORDS, k=rng.randint(1, 12)))))
+    # plant a near-mirror pair: host 3 and host 10 share most prefixes
+    for j in range(8):
+        t = " ".join(rng.choices(WORDS, k=9))
+        rows.append((3 + 97 * (30 + j), t))
+        rows.append((10 + 97 * (30 + j), t + " tailA"))  # same 5-prefix
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.n_a, r.n_b, r.jaccard_permille)
+        for r in host_mirror_jaccard(_docs(spark, rows)).collect()
+    }
+    assert got == _naive_mirror(rows)
+    assert any(a == 3 and b == 10 for a, b in got)
+
+
+def test_host_mirror_df_cap_drops_boilerplate(spark):
+    """A prefix shared by every host must not create O(hosts^2) pairs:
+    with max_df below the host count the boilerplate hash vanishes."""
+    rows = [(i, "same same same same same unique%d" % i) for i in range(40)]
+    out = host_mirror_jaccard(_docs(spark, rows), max_df=10).collect()
+    assert out == []
+    # and with the cap above the host count the clique appears
+    out2 = host_mirror_jaccard(_docs(spark, rows), max_df=50).collect()
+    assert len(out2) == 40 * 39 // 2
+    assert all(r.jaccard_permille == 1000 for r in out2)
+
+
+def test_host_mirror_exact_mirror_is_1000_permille(spark):
+    rows = []
+    for j in range(6):
+        t = "m%d " % j + " ".join(WORDS[:6])
+        rows.append((5 + 97 * j, t))
+        rows.append((20 + 97 * j, t))
+    got = host_mirror_jaccard(_docs(spark, rows)).collect()
+    assert [(r.host_a, r.host_b, r.jaccard_permille) for r in got] == [
+        (5, 20, 1000)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_masks
+# ---------------------------------------------------------------------------
+
+def _naive_spans(rows, rate=150, span_len=3):
+    out = []
+    for doc_id, text in rows:
+        n_tok = len(text.split(" "))
+        n_spans = n_tok * rate // (span_len * 1000)
+        if n_spans < 1:
+            continue
+        stride = n_tok // n_spans
+        slack = stride - span_len + 1
+        for sid in range(n_spans):
+            off = _fh(f"{doc_id}:{sid}") % slack
+            out.append((doc_id, sid, sid * stride + off + 1, span_len))
+    return sorted(out)
+
+
+def test_span_masks_match_naive_and_invariants(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choices(WORDS, k=rng.randint(1, 90))))
+        for i in range(120)
+    ]
+    got = sorted(
+        (r.doc_id, r.span_id, r.span_start, r.span_len)
+        for r in span_corruption_masks(_docs(spark, rows)).collect()
+    )
+    assert got == _naive_spans(rows)
+    # invariants: in-bounds, non-overlapping, per-doc count
+    n_tok = {i: len(t.split(" ")) for i, t in rows}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, sid, start, sl in got:
+        assert 1 <= start and start + sl - 1 <= n_tok[doc_id]
+        by_doc.setdefault(doc_id, []).append((start, sl))
+    for doc_id, spans in by_doc.items():
+        assert len(spans) == n_tok[doc_id] * 150 // 3000
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= s1 + l1  # strata construction: no overlap
+    # short docs (< 20 tokens) emit nothing
+    assert all(n_tok[d] >= 20 for d in by_doc)
+
+
+def test_span_masks_partitioning_invariant(spark):
+    """The mask plan is pure per-row derivation — repartitioning the
+    input must not change a single span (the resume guarantee)."""
+    rng = random.Random(5)
+    rows = [(i, " ".join(rng.choices(WORDS, k=55))) for i in range(40)]
+    a = sorted(map(tuple, span_corruption_masks(_docs(spark, rows)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            span_corruption_masks(
+                _docs(spark, rows).repartition(13, "text")
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_span_masks_custom_rate_density(spark):
+    """Masked-token share lands at ~rate_permille (within one span per
+    doc of quantization)."""
+    rows = [(i, " ".join(WORDS[j % len(WORDS)] for j in range(200)))
+            for i in range(10)]
+    out = span_corruption_masks(
+        _docs(spark, rows), rate_permille=300, span_len=5
+    ).collect()
+    masked = sum(r.span_len for r in out)
+    total = 200 * 10
+    assert abs(masked / total - 0.300) < 5 / 200
+
+
+# ---------------------------------------------------------------------------
+# bpe_compression
+# ---------------------------------------------------------------------------
+
+def test_bpe_compression_matches_naive_encoder(spark):
+    """The corpus aggregate must equal a brute-force Python BPE (learn
+    merges greedily, apply left-to-right non-overlapping) on the same
+    corpus."""
+    from collections import Counter
+
+    from ocr_spark.operators.tokenizer import _symbols, learn_bpe_merges
+    from ocr_spark.operators.training import floor_div
+
+    texts = [
+        "low lower lowest low low newer newest new",
+        "wider wide new lowest lower",
+        "low new wide wider widest",
+    ]
+    docs = _docs(spark, list(enumerate(texts)))
+    merges, vocab = learn_bpe_merges(docs, rounds=4)
+    agg = (
+        vocab.groupBy()
+        .agg(
+            F.sum("cnt").alias("occ"),
+            F.sum(F.col("cnt") * F.length("w")).alias("chars"),
+            F.sum(F.col("cnt") * F.size(_symbols(F.col("enc")))).alias("toks"),
+        )
+        .collect()[0]
+    )
+    # naive
+    vc = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in vc}
+    for a, b in [
+        (r.sym1, r.sym2) for r in merges.orderBy("merge_rank").collect()
+    ]:
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert agg.occ == sum(vc.values())
+    assert agg.chars == sum(c * len(w) for w, c in vc.items())
+    assert agg.toks == sum(c * len(words[w]) for w, c in vc.items())
+    assert agg.chars >= agg.toks  # merges only ever shrink

@@ -160,6 +160,33 @@ COMMENTARY = {
         "cross the wire; url-bucketed writes would erase the "
         "Exchanges entirely."
     ),
+    "host_mirror_jaccard": (
+        "Inverted sketch join with a document-frequency cap: hashes "
+        "on >50 hosts (boilerplate — the quadratic-postings blowup "
+        "case) are removed BEFORE the self-join via a broadcast LEFT "
+        "ANTI against the over-cap set, which is tiny by construction "
+        "at any corpus size (the under-cap set is corpus-sized and is "
+        "never broadcast); the sketch table is staged once (lazy "
+        "localCheckpoint — a table write at warehouse scale) so the "
+        "self-join sides, cap aggregate, and host-size table share "
+        "one derivation; per-pair counts partial-aggregate map-side "
+        "and the host-size table (N_HOSTS rows) broadcasts."
+    ),
+    "span_corruption_masks": (
+        "Pure per-row derivation: tokenize -> arithmetic -> explode "
+        "of a per-doc stratum sequence, hash-derived offsets — zero "
+        "Exchange beyond the scan, so the mask plan is embarrassingly "
+        "parallel and reproducible under any partitioning (the "
+        "mid-epoch-resume property)."
+    ),
+    "bpe_compression": (
+        "The learned vocabulary is vocab-sized (words, not "
+        "occurrences); the compression figure is one global aggregate "
+        "with map-side partials over it — the expensive part is the "
+        "merge chain itself (bpe_learn_merges: per-round codegen "
+        "string ops + one tiny argmax broadcast), which this query "
+        "reuses unchanged."
+    ),
 }
 
 
