@@ -164,3 +164,45 @@ def winnow_fingerprints(text_col: Column, k: int = 8, w: int = 4) -> Column:
         wins, lambda i: F.array_min(F.slice(hs, i + 1, w))
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+# UTF-8 byte sequences mis-decoded as cp1252 -> the intended character.
+# The classic web-corpus "mojibake" class: a page authored in UTF-8 is
+# served (or re-crawled) with a cp1252 charset label, so every
+# multi-byte character surfaces as 2-3 latin-1 glyphs. Ordered list,
+# applied first-to-last; no entry's key is a substring of a later key,
+# so chain order only matters for documentation. ASCII text is a fixed
+# point (every key contains a non-ASCII lead byte glyph).
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # "â€™" -> ’
+    ("â€œ", "“"),  # "â€œ" -> “
+    ("â€“", "–"),  # "â€“" -> –
+    ("â€”", "—"),  # "â€”" -> —
+    ("Ã¡", "á"),        # "Ã¡" -> á
+    ("Ã©", "é"),        # "Ã©" -> é
+    ("Ã­", "í"),        # "Ã­" -> í
+    ("Ã³", "ó"),        # "Ã³" -> ó
+    ("Ãº", "ú"),        # "Ãº" -> ú
+    ("Ã±", "ñ"),        # "Ã±" -> ñ
+    ("Ã¼", "ü"),        # "Ã¼" -> ü
+    ("\u00c2\u00a0", " "),  # C2 A0: mis-decoded NBSP (Â+nbsp) -> space
+)
+
+
+def repair_mojibake(text_col: Column) -> Column:
+    """Undo cp1252-mis-decoded UTF-8 (``MOJIBAKE_TABLE``) in one codegen
+    replace chain.
+
+    Extraction-tier cleanup (ftfy's most common fix class, reduced to a
+    deterministic table so a DuckDB oracle can mirror it exactly). The
+    chain compiles to nested ``StringReplace`` expressions inside
+    WholeStageCodegen — a narrow map over the scan with zero shuffle
+    and zero Python, so at 100 TB it rides the extraction stage's
+    existing pass over the corpus. Repair is a no-op on clean ASCII and
+    idempotent on the table's outputs (no intended character re-forms a
+    key).
+    """
+    out = text_col
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out

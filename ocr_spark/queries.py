@@ -4308,3 +4308,124 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars"),
         ).alias("saved_permille"),
     )
+
+
+def _duck_repair_chain(expr: str) -> str:
+    """DuckDB mirror of functions/text_analysis.repair_mojibake: the
+    same MOJIBAKE_TABLE applied as a replace() chain in table order."""
+    from ocr_spark.functions.text_analysis import MOJIBAKE_TABLE
+
+    for bad, good in MOJIBAKE_TABLE:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+@query(
+    "mojibake_repair",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN replace(text, 'e', 'é')
+               WHEN 1 THEN replace(text, 'o', 'ó')
+               ELSE text END AS intended,
+             CASE doc_id % 3
+               WHEN 0 THEN replace(text, 'e', 'Ã©')
+               WHEN 1 THEN replace(text, 'o', 'Ã³')
+               ELSE text END AS corrupt
+      FROM documents),
+    r AS (
+      SELECT doc_id, intended, corrupt,
+             {_duck_repair_chain('corrupt')} AS repaired
+      FROM v)
+    SELECT doc_id,
+           CAST(length(corrupt) - length(intended) AS BIGINT) AS n_bad_seqs,
+           CAST(CASE WHEN repaired = intended THEN 1 ELSE 0 END AS BIGINT)
+             AS restored,
+           md5(repaired) AS repaired_hash
+    FROM r
+    """,
+)
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (cp1252-mis-decoded UTF-8) as a pure codegen
+    replace chain — functions/text_analysis.repair_mojibake.
+
+    The corpus is ASCII, so the query stages a deterministic
+    corrupt-then-repair roundtrip: docs in class doc_id%3==0 are
+    treated as if their intended text had 'é' where 'e' sits (class 1:
+    'ó' for 'o') and arrived double-encoded ('Ã©'/'Ã³'); class 2 stays
+    clean. Output per doc: the mojibake sequence count, whether repair
+    restored the intended text exactly (1 for every corrupted doc, and
+    trivially for clean ones), and the repaired-text hash. Mixed
+    classes keep the oracle non-degenerate.
+    """
+    from ocr_spark.functions.text_analysis import repair_mojibake
+
+    d = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+
+    def _variant(e_rep: str, o_rep: str):
+        return (
+            F.when(m == 0, F.replace(F.col("text"), F.lit("e"), F.lit(e_rep)))
+            .when(m == 1, F.replace(F.col("text"), F.lit("o"), F.lit(o_rep)))
+            .otherwise(F.col("text"))
+        )
+
+    v = d.select(
+        "doc_id",
+        _variant("é", "ó").alias("intended"),
+        _variant("Ã©", "Ã³").alias("corrupt"),
+    )
+    r = v.select(
+        "doc_id", "intended", "corrupt",
+        repair_mojibake(F.col("corrupt")).alias("repaired"),
+    )
+    return r.select(
+        "doc_id",
+        (F.length("corrupt") - F.length("intended")).cast("long")
+        .alias("n_bad_seqs"),
+        F.when(F.col("repaired") == F.col("intended"), 1).otherwise(0)
+        .cast("long").alias("restored"),
+        F.md5(F.col("repaired").cast("binary")).alias("repaired_hash"),
+    )
+
+
+@query(
+    "compaction_bin_plan",
+    """
+    WITH f AS (
+      SELECT doc_id % 97 AS part, doc_id AS file_id, n_chars AS bytes
+      FROM documents),
+    c AS (
+      SELECT part, file_id, bytes,
+             SUM(bytes) OVER (PARTITION BY part ORDER BY file_id)
+               - bytes AS cb
+      FROM f)
+    SELECT part, cb // 600 AS bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM c GROUP BY part, cb // 600
+    """,
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Iceberg rewrite_data_files
+    binpack): each doc stands in for a live data file (part =
+    doc_id % 97, size = n_chars); bins of ~600 bytes via the
+    parallel cumulative-size bucketing in
+    sources/snapshots.compact_bin_plan (dataflow + FFD-vs-prefix-sum
+    tradeoff documented there).
+    """
+    from ocr_spark.sources.snapshots import compact_bin_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    files = d.select(
+        (F.col("doc_id") % 97).alias("part"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return compact_bin_plan(files, 600).select(
+        "part", "bin",
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("bin_bytes").cast("long").alias("bin_bytes"),
+        "first_file", "last_file",
+    )

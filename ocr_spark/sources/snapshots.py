@@ -41,6 +41,7 @@ import time
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotCatalog:
@@ -255,3 +256,50 @@ class SnapshotMaintenance:
             "retained_snapshots": len(retained),
             "deleted_files": removed,
         }
+
+
+def compact_bin_plan(files: DataFrame, target_bytes: int = 2000) -> DataFrame:
+    """Distributed small-file compaction *plan* (Iceberg's
+    ``rewrite_data_files`` binpack strategy): group each partition's
+    files into contiguous output bins of ~``target_bytes`` →
+    ``(part, bin, n_files, bin_bytes, first_file, last_file)``.
+
+    Input: ``(part, file_id, bytes)`` — one row per live data file, as
+    a manifest scan produces. ``SnapshotMaintenance.compact`` rewrites
+    a whole (small) table in one commit; at warehouse scale the rewrite
+    must itself be a distributed job, and THIS is its planning stage:
+    every output bin becomes one rewrite task reading ``n_files``
+    inputs and writing one ~target-size file.
+
+    Bin assignment is cumulative-size bucketing, not first-fit-
+    decreasing: within a partition, files are taken in ``file_id``
+    order, and a file whose *preceding* cumulative size is ``c`` lands
+    in bin ``floor(c / target)``. FFD packs ~tighter but is inherently
+    sequential per partition; the cumulative form is one window prefix
+    sum — parallel across partitions, and parallelizable *within* one
+    via the two-tier bucket-offset prefix sum (pack_sequences) if a
+    single partition's manifest ever outgrows a task. The bound it
+    trades for that: a bin closes only after crossing the target, so
+    ``bin_bytes < target_bytes + max_file_bytes`` — the same guarantee
+    Iceberg's binpack gives via its lookback of 1. Bins are contiguous
+    in file_id by construction (cumsum is monotone), so each rewrite
+    task reads an ordered slice of the manifest.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.training import floor_div
+
+    w = Window.partitionBy("part").orderBy("file_id")
+    cum_before = F.sum("bytes").over(w) - F.col("bytes")
+    binned = files.select(
+        "part",
+        "file_id",
+        "bytes",
+        floor_div(cum_before, F.lit(target_bytes)).alias("bin"),
+    )
+    return binned.groupBy("part", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

@@ -227,3 +227,118 @@ def test_bpe_compression_matches_naive_encoder(spark):
     assert agg.chars == sum(c * len(w) for w, c in vc.items())
     assert agg.toks == sum(c * len(words[w]) for w, c in vc.items())
     assert agg.chars >= agg.toks  # merges only ever shrink
+
+
+# ---------------------------------------------------------------------------
+# repair_mojibake / compact_bin_plan
+# ---------------------------------------------------------------------------
+
+def test_mojibake_table_is_true_cp1252_misdecode():
+    """Every table key must be EXACTLY utf8(value).decode('cp1252') —
+    the real double-encoding, not a hand-typed lookalike (soft hyphen
+    and nbsp are invisible)."""
+    from ocr_spark.functions.text_analysis import MOJIBAKE_TABLE
+
+    for bad, good in MOJIBAKE_TABLE:
+        src = good if good != " " else " "  # nbsp normalizes to space
+        assert src.encode("utf-8").decode("cp1252") == bad
+
+
+def test_mojibake_repair_roundtrips_real_misdecodes(spark):
+    """Corrupt real unicode text with an INDEPENDENT cp1252 mis-decode
+    (encode utf-8, decode cp1252 — not the table) and require exact
+    restoration; clean ASCII must be a fixed point and repair
+    idempotent."""
+    from ocr_spark.functions.text_analysis import repair_mojibake
+
+    originals = [
+        "don’t “quote the café — it’s señor Muñoz’s",
+        "pi\u00f1ata \u00e1 \u00e9 \u00ed \u00f3 \u00fa \u00fc \u00f1",
+        "en–dash and\u00a0em—dash",  # incl. a real NBSP
+        "plain ascii survives untouched",
+    ]
+    rows = [
+        (i, t.encode("utf-8").decode("cp1252")) for i, t in enumerate(originals)
+    ]
+    out = {
+        r.doc_id: r.rep
+        for r in _docs(spark, rows)
+        .select("doc_id", repair_mojibake(F.col("text")).alias("rep"))
+        .collect()
+    }
+    for i, t in enumerate(originals):
+        expect = t.replace(" ", " ")
+        assert out[i] == expect, (out[i], expect)
+    # idempotence on repaired outputs
+    twice = {
+        r.doc_id: r.rep
+        for r in _docs(spark, list(out.items()))
+        .select("doc_id", repair_mojibake(F.col("text")).alias("rep"))
+        .collect()
+    }
+    assert twice == out
+
+
+def test_compact_bin_plan_invariants(spark):
+    """On a randomized manifest: totals preserved; every bin under
+    target + that partition's max file; bins contiguous and ordered by
+    file_id; partitioning of the input irrelevant."""
+    from ocr_spark.sources.snapshots import compact_bin_plan
+
+    rng = random.Random(11)
+    rows = [
+        (p, f_id, rng.randrange(20, 900))
+        for p in range(7)
+        for f_id in sorted(rng.sample(range(1000), rng.randrange(1, 40)))
+    ]
+    df = spark.createDataFrame(rows, "part long, file_id long, bytes long")
+    target = 1000
+    plan = compact_bin_plan(df, target).collect()
+
+    by_part: dict[int, list] = {}
+    for r in plan:
+        by_part.setdefault(r.part, []).append(r)
+    sizes: dict[int, list[int]] = {}
+    for p, _f, b in rows:
+        sizes.setdefault(p, []).append(b)
+
+    assert sum(r.bin_bytes for r in plan) == sum(b for *_x, b in rows)
+    assert sum(r.n_files for r in plan) == len(rows)
+    for p, bins in by_part.items():
+        bins.sort(key=lambda r: r.bin)
+        for r in bins:
+            assert r.bin_bytes < target + max(sizes[p])
+        # contiguous, ordered slices of the manifest
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file
+
+    plan2 = compact_bin_plan(df.repartition(13, "bytes"), target).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, plan2))
+
+
+def test_compact_bin_plan_matches_naive(spark):
+    """Bit-equal to the sequential cumulative-bucketing reference."""
+    from ocr_spark.sources.snapshots import compact_bin_plan
+
+    rng = random.Random(29)
+    rows = [
+        (p, f, rng.randrange(1, 500))
+        for p in range(5)
+        for f in range(rng.randrange(2, 30))
+    ]
+    df = spark.createDataFrame(rows, "part long, file_id long, bytes long")
+    target = 700
+    naive: dict[tuple[int, int], list] = {}
+    for p in sorted({r[0] for r in rows}):
+        cum = 0
+        for _p, f, b in sorted(r for r in rows if r[0] == p):
+            key = (p, cum // target)
+            naive.setdefault(key, []).append((f, b))
+            cum += b
+    expect = sorted(
+        (p, bn, len(fs), sum(b for _f, b in fs), min(f for f, _b in fs),
+         max(f for f, _b in fs))
+        for (p, bn), fs in naive.items()
+    )
+    got = sorted(map(tuple, compact_bin_plan(df, target).collect()))
+    assert got == expect

@@ -187,6 +187,21 @@ COMMENTARY = {
         "string ops + one tiny argmax broadcast), which this query "
         "reuses unchanged."
     ),
+    "mojibake_repair": (
+        "Encoding repair is a nested codegen StringReplace chain over "
+        "the scan — one narrow WholeStageCodegen map, zero Exchange, "
+        "zero Python; at 100 TB it rides the extraction pass. The "
+        "corrupt/intended staging columns exist only for the oracle "
+        "roundtrip."
+    ),
+    "compaction_bin_plan": (
+        "Manifest-scale input (one row per data file, not per doc-"
+        "byte): window prefix sum partitioned by table partition, "
+        "then a (part, bin) hash aggregate. Parallel across "
+        "partitions where FFD binpacking is sequential; bin_bytes < "
+        "target + max_file is the lookback-1 bound Iceberg's binpack "
+        "gives."
+    ),
 }
 
 
