@@ -4429,3 +4429,70 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_bytes").cast("long").alias("bin_bytes"),
         "first_file", "last_file",
     )
+
+
+@query(
+    "cluster_representatives",
+    f"""
+    WITH clus AS ({ORACLE["dedup_clusters"]}),
+    q AS ({ORACLE["doc_quality_score"]}),
+    j AS (
+      SELECT c.cluster,
+             (CAST(FLOOR(q.quality * 10000 + 0.5) AS BIGINT) + 1)
+               * 1000000000000 - c.doc_id AS p
+      FROM clus c JOIN q ON c.doc_id = q.doc_id),
+    a AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, MAX(p) AS mp
+      FROM j GROUP BY cluster)
+    SELECT cluster, n_members,
+           (1000000000000 - mp % 1000000000000) % 1000000000000 AS rep_doc,
+           CAST((mp + (1000000000000 - mp % 1000000000000)
+                   % 1000000000000) // 1000000000000 - 1 AS DOUBLE) / 10000
+             AS rep_quality
+    FROM a
+    """,
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: keep the
+    HIGHEST-quality member (tie → smallest doc_id) — the production
+    keeper rule, where dedup_clusters' min-id label is only the
+    cluster name. Closes the dedup dataflow: detect (MinHash-LSH) →
+    cluster (connected components) → pick representative → drop the
+    rest.
+
+    The argmax is an integer PRIORITY ENCODING, not a window:
+    p = (q10k+1)·10¹² − doc_id packs (quality desc, doc_id asc) into
+    one BIGINT whose plain MAX is the lexicographic winner — a
+    map-side-combining hash aggregate instead of a per-cluster sort
+    (the same shape as ivf_assign's max_by). The +1 keeps p positive
+    so % decode agrees across engines; quality is already on the
+    10⁻⁴ grid, so ·10⁴ round-trips exactly on both.
+
+    Scale: clusters join quality on uniform doc_id; the aggregate keys
+    on cluster ids, whose skew is bounded by the largest near-dup
+    cluster — the same bound the clustering itself already carries.
+    """
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir)
+    quality = QUERIES["doc_quality_score"](spark, sf_dir)
+    big = F.lit(10**12).cast("long")
+    j = clusters.join(quality, "doc_id").select(
+        "cluster",
+        (
+            (F.floor(F.col("quality") * 10000 + 0.5).cast("long") + 1) * big
+            - F.col("doc_id")
+        ).alias("p"),
+    )
+    a = j.groupBy("cluster").agg(
+        F.count("*").alias("n_members"), F.max("p").alias("mp")
+    )
+    rep_doc = (big - F.col("mp") % big) % big
+    return a.select(
+        "cluster",
+        "n_members",
+        rep_doc.alias("rep_doc"),
+        (
+            ((F.col("mp") + rep_doc) / big).cast("long") - 1
+        ).cast("double").alias("rep_quality_x"),
+    ).withColumn(
+        "rep_quality", (F.col("rep_quality_x") / 10000)
+    ).drop("rep_quality_x")

@@ -53,6 +53,11 @@ CRITICAL = [
     "exact_substring_dup_rate",
     "rendezvous_sharding",
     "snapshot_delta",
+    "host_mirror_jaccard",
+    "span_corruption_masks",
+    "mojibake_repair",
+    "compaction_bin_plan",
+    "cluster_representatives",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM

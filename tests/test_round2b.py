@@ -342,3 +342,54 @@ def test_compact_bin_plan_matches_naive(spark):
     )
     got = sorted(map(tuple, compact_bin_plan(df, target).collect()))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+# ---------------------------------------------------------------------------
+
+def test_cluster_representatives_keeper_rule(spark, tmp_path):
+    """Planted near-dup clusters: the highest-quality member must win;
+    exact-duplicate texts (tied quality) fall back to the smallest
+    doc_id; singletons (no near-dup edge) emit no row."""
+    import math
+
+    from ocr_spark.queries import QUERIES, _STOPWORDS
+
+    base = ("the quick value table row scan merge batch key agg part "
+            "hash data small filter stream sort window order query")
+    longer = base + " the a value table row extra tokens lift quality up"
+    texts = {
+        0: base,          # cluster A
+        1: longer,        # cluster A — higher quality (longer + stopwords)
+        2: "tie tie tie the a value table row scan merge batch key agg",
+        3: "tie tie tie the a value table row scan merge batch key agg",
+        4: "completely unrelated words zeta iota kappa omicron sigma tau",
+    }
+    pdf = __import__("pandas").DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.cluster: r
+        for r in QUERIES["cluster_representatives"](spark, str(tmp_path)).collect()
+    }
+
+    def quality(t: str) -> float:
+        tok = t.split(" ")
+        sw = sum(1 for x in tok if x in _STOPWORDS)
+        v = min(1.0, len(tok) / 100.0) * 0.7 + (sw / len(tok)) * 0.3
+        return math.floor(v * 10000 + 0.5) / 10000
+
+    assert set(rows) == {0, 2}  # cluster labels = min member id; 4 is singleton
+    a = rows[0]
+    assert (a.rep_doc, a.n_members) == (1, 2)
+    assert a.rep_quality == quality(texts[1]) and quality(texts[1]) > quality(texts[0])
+    b = rows[2]
+    assert (b.rep_doc, b.n_members) == (2, 2)  # tie -> min doc_id

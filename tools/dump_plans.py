@@ -202,6 +202,13 @@ COMMENTARY = {
         "target + max_file is the lookback-1 bound Iceberg's binpack "
         "gives."
     ),
+    "cluster_representatives": (
+        "Keeper rule without a window: (quality desc, doc_id asc) "
+        "packed into one BIGINT priority whose plain MAX — a map-side-"
+        "combining hash aggregate — is the lexicographic argmax; no "
+        "per-cluster sort. Upstream is the clustering's own dataflow "
+        "(exploded shingles -> band buckets -> CC rounds)."
+    ),
 }
 
 
