@@ -266,3 +266,41 @@ def host_mirror_jaccard(docs: DataFrame, max_df: int = 50) -> DataFrame:
             ).alias("jaccard_permille"),
         )
     )
+
+
+def outlink_edges(pages: DataFrame) -> DataFrame:
+    """Outlink extraction: hrefs from each page's html → resolved,
+    deduplicated link edges ``(url, outlink, internal)``.
+
+    The frontier-feeding stage of a crawl (outlinks discovered here
+    flow into frontier_schedule) and the edge source for the host
+    graph (host_pagerank, anchor_text). Entirely codegen string ops —
+    ``regexp_extract_all`` over the html, scheme filter (mailto:/
+    javascript: dropped), relative links resolved against the page's
+    own host, and the internal/external classification by host
+    equality — so the stage is a narrow map + explode + distinct that
+    rides the extraction pass at any corpus size (the distinct is the
+    only Exchange, keyed by the uniform (url, outlink) pair).
+
+    Input: ``(url, html: string)``; the page host is parsed from the
+    url itself, not trusted from a side column.
+    """
+    host = F.regexp_extract(F.col("url"), "https://([^/]+)", 1)
+    links = F.regexp_extract_all(F.col("html"), F.lit('href="([^"]+)"'), 1)
+    e = pages.select("url", host.alias("h"), F.explode(links).alias("l"))
+    e = e.where(
+        ~F.col("l").startswith("mailto:")
+        & ~F.col("l").startswith("javascript:")
+    )
+    resolved = F.when(
+        F.col("l").startswith("http"), F.col("l")
+    ).otherwise(F.concat(F.lit("https://"), F.col("h"), F.col("l")))
+    out = e.select(
+        "url",
+        resolved.alias("outlink"),
+        F.when(
+            resolved.startswith(F.concat(F.lit("https://"), F.col("h"), F.lit("/"))),
+            1,
+        ).otherwise(0).cast("long").alias("internal"),
+    )
+    return out.distinct()

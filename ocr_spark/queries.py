@@ -4496,3 +4496,63 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rep_quality", (F.col("rep_quality_x") / 10000)
     ).drop("rep_quality_x")
+
+
+@query(
+    "outlink_extraction",
+    """
+    WITH p AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+             '<nav><a href="/home">home</a>'
+               || '<a href="mailto:ops@example.com">mail</a></nav>'
+               || '<p>see <a href="/d'
+               || CAST((doc_id * 7 + 1) % 500 AS VARCHAR)
+               || '">next</a> and <a href="https://host'
+               || CAST(doc_id % 5 AS VARCHAR)
+               || '.example/promo">promo</a>'
+               || '<a href="javascript:void(0)">x</a></p>' AS html
+      FROM documents),
+    l AS (
+      SELECT url, regexp_extract(url, 'https://([^/]+)', 1) AS h,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS lk
+      FROM p),
+    r AS (
+      SELECT url, h,
+             CASE WHEN lk LIKE 'http%' THEN lk
+                  ELSE 'https://' || h || lk END AS outlink
+      FROM l
+      WHERE lk NOT LIKE 'mailto:%' AND lk NOT LIKE 'javascript:%')
+    SELECT DISTINCT url, outlink,
+           CAST(CASE WHEN outlink LIKE 'https://' || h || '/%'
+                     THEN 1 ELSE 0 END AS BIGINT) AS internal
+    FROM r
+    """,
+)
+def outlink_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (the frontier-feeding crawl stage): hrefs
+    parsed from per-page html, scheme-filtered, relative links resolved
+    against the page host, classified internal/external — dataflow in
+    operators/crawl.outlink_edges. The html here is synthesized with
+    doc-dependent links (a relative next-doc link, an absolute
+    cross-host link, plus mailto:/javascript: noise) so the oracle
+    exercises every branch.
+    """
+    from ocr_spark.operators.crawl import outlink_edges
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<nav><a href="/home">home</a>'
+              '<a href="mailto:ops@example.com">mail</a></nav>'
+              '<p>see <a href="/d'),
+        ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+        F.lit('">next</a> and <a href="https://host'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/promo">promo</a>'
+              '<a href="javascript:void(0)">x</a></p>'),
+    )
+    return outlink_edges(d.select(url.alias("url"), html.alias("html")))

@@ -393,3 +393,54 @@ def test_cluster_representatives_keeper_rule(spark, tmp_path):
     assert a.rep_quality == quality(texts[1]) and quality(texts[1]) > quality(texts[0])
     b = rows[2]
     assert (b.rep_doc, b.n_members) == (2, 2)  # tie -> min doc_id
+
+
+# ---------------------------------------------------------------------------
+# outlink_edges
+# ---------------------------------------------------------------------------
+
+def test_outlink_edges_resolution_and_classes(spark):
+    """Scheme filtering, relative resolution against the page's own
+    host, internal/external classification, and dedup of repeated
+    hrefs."""
+    from ocr_spark.operators.crawl import outlink_edges
+
+    rows = [
+        (
+            "https://host7.example/d1",
+            '<a href="/home">h</a><a href="/home">h again</a>'
+            '<a href="mailto:x@y">m</a><a href="javascript:void(0)">j</a>'
+            '<a href="https://host7.example/deep/page">in</a>'
+            '<a href="https://other.example/">out</a>'
+            '<a href="http://host7.example/plainhttp">scheme-differs</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {(r.outlink, r.internal) for r in outlink_edges(df).collect()}
+    assert got == {
+        ("https://host7.example/home", 1),
+        ("https://host7.example/deep/page", 1),
+        ("https://other.example/", 0),
+        # http:// absolute link is kept but is NOT this page's https host
+        ("http://host7.example/plainhttp", 0),
+    }
+
+
+def test_outlink_edges_counts_per_page(spark):
+    """The synthesized corpus page yields exactly its 3 real links; the
+    cross-host promo link is internal only when doc_id%97 == doc_id%5
+    (e.g. doc 0)."""
+    from ocr_spark.queries import QUERIES
+
+    out = QUERIES["outlink_extraction"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    per_url: dict[str, list] = {}
+    for r in rows:
+        per_url.setdefault(r.url, []).append(r)
+    assert all(len(v) == 3 for v in per_url.values())
+    d0 = {r.outlink: r.internal for r in per_url["https://host0.example/d0"]}
+    assert d0["https://host0.example/promo"] == 1  # 0%97 == 0%5
+    d1 = {r.outlink: r.internal for r in per_url["https://host1.example/d1"]}
+    assert d1["https://host1.example/promo"] == 1  # 1%97 == 1%5 == 1
+    d7 = {r.outlink: r.internal for r in per_url["https://host7.example/d7"]}
+    assert d7["https://host2.example/promo"] == 0  # 7%5 == 2 != 7

@@ -209,6 +209,13 @@ COMMENTARY = {
         "per-cluster sort. Upstream is the clustering's own dataflow "
         "(exploded shingles -> band buckets -> CC rounds)."
     ),
+    "outlink_extraction": (
+        "Frontier-feeding link discovery: regexp_extract_all over the "
+        "html, scheme filter, relative resolution, host-equality "
+        "classification — all codegen; the only Exchange is the "
+        "distinct on the uniform (url, outlink) pair, so the stage "
+        "rides the extraction pass."
+    ),
 }
 
 
