@@ -304,3 +304,67 @@ def outlink_edges(pages: DataFrame) -> DataFrame:
         ).otherwise(0).cast("long").alias("internal"),
     )
     return out.distinct()
+
+
+def budget_apportionment(demands: DataFrame, budget: int) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of an integer crawl
+    budget over hosts → ``(host, demand, base, extra, budget)`` with
+    ``sum(budget) == budget`` exactly.
+
+    The crawl-ops primitive behind per-host fetch quotas: proportional
+    shares floor to ``base = (B*d) // D``, and the shortfall
+    ``R = B - sum(base)`` (< n_hosts) goes one unit each to the R
+    hosts with the largest remainders ``(B*d) % D`` (tie → smaller
+    host id). All integer, so bit-exact on any engine and any
+    partitioning.
+
+    Scale: demands is an aggregate-level table (one row per host), but
+    at web scale that is still 10^7+ rows, so the remainder rank is
+    the TWO-TIER form (global_rank_doc_length): coarse remainder
+    buckets → tiny bucket-count window → within-bucket row_number
+    (bounded, uniform) + broadcast offsets. The only whole-table
+    shuffle is the bucket hash; totals are two scalar aggregates
+    broadcast back.
+    """
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.training import floor_div
+
+    # demands feeds the total, the shares, and the shortfall — stage it
+    # once (lazy localCheckpoint; a table write at warehouse scale) or
+    # the per-host aggregate re-scans the corpus per consumer
+    demands = demands.localCheckpoint(eager=False)
+    tot = demands.agg(F.sum("demand").cast("long").alias("dt"))
+    b = demands.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "demand",
+        floor_div(F.lit(budget) * F.col("demand"), F.col("dt")).alias("base"),
+        ((F.lit(budget) * F.col("demand")) % F.col("dt")).alias("rem"),
+        "dt",
+    ).localCheckpoint(eager=False)
+    rleft = b.agg((F.lit(budget) - F.sum("base")).cast("long").alias("rleft"))
+    # two-tier rank by (rem DESC, host ASC): coarse bucket = rem div
+    # width, ranked bucket-desc; offsets from the tiny bucket aggregate
+    width = F.floor(F.col("dt") / 256).cast("long") + 1
+    bk = b.select(
+        "host", "demand", "base", "rem",
+        floor_div(F.col("rem"), width).alias("bucket"),
+    )
+    counts = bk.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_b = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy(F.col("rem").desc(), "host")
+    ranked = bk.join(F.broadcast(offsets), "bucket").select(
+        "host", "demand", "base",
+        (F.col("off") + F.row_number().over(w_in)).alias("rk"),
+    )
+    extra = F.when(F.col("rk") <= F.col("rleft"), 1).otherwise(0).cast("long")
+    return ranked.crossJoin(F.broadcast(rleft)).select(
+        "host", "demand", "base",
+        extra.alias("extra"),
+        (F.col("base") + extra).alias("budget"),
+    )

@@ -4556,3 +4556,40 @@ def outlink_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<a href="javascript:void(0)">x</a></p>'),
     )
     return outlink_edges(d.select(url.alias("url"), html.alias("html")))
+
+
+@query(
+    "crawl_budget_apportionment",
+    """
+    WITH d AS (
+      SELECT doc_id % 97 AS host, CAST(COUNT(*) AS BIGINT) AS demand
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(demand) AS BIGINT) AS dt FROM d),
+    b AS (
+      SELECT host, demand, (1000 * demand) // dt AS base,
+             (1000 * demand) % dt AS rem
+      FROM d, t),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b),
+    x AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS rleft FROM b)
+    SELECT host, demand, CAST(base AS BIGINT) AS base,
+           CAST(CASE WHEN rk <= rleft THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rk <= rleft THEN 1 ELSE 0 END AS BIGINT)
+             AS budget
+    FROM r, x
+    """,
+)
+def crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget quotas (B=1000 fetch slots) by Hamilton
+    largest-remainder apportionment over per-host doc counts —
+    integer-exact, sum(budget)==B. The oracle is the single-window
+    definition; the shipped dataflow is the two-tier remainder rank in
+    operators/crawl.budget_apportionment (no one-partition sort).
+    """
+    from ocr_spark.operators.crawl import budget_apportionment
+
+    d = load_table(spark, sf_dir, "documents")
+    demands = d.groupBy((F.col("doc_id") % 97).alias("host")).agg(
+        F.count("*").alias("demand")
+    )
+    return budget_apportionment(demands, 1000)

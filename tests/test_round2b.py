@@ -444,3 +444,47 @@ def test_outlink_edges_counts_per_page(spark):
     assert d1["https://host1.example/promo"] == 1  # 1%97 == 1%5 == 1
     d7 = {r.outlink: r.internal for r in per_url["https://host7.example/d7"]}
     assert d7["https://host2.example/promo"] == 0  # 7%5 == 2 != 7
+
+
+# ---------------------------------------------------------------------------
+# budget_apportionment
+# ---------------------------------------------------------------------------
+
+def _naive_hamilton(demands: dict[int, int], budget: int) -> dict[int, int]:
+    dt = sum(demands.values())
+    base = {h: (budget * d) // dt for h, d in demands.items()}
+    rem = {h: (budget * d) % dt for h, d in demands.items()}
+    rleft = budget - sum(base.values())
+    order = sorted(demands, key=lambda h: (-rem[h], h))
+    out = dict(base)
+    for h in order[:rleft]:
+        out[h] += 1
+    return out
+
+
+def test_budget_apportionment_matches_naive_and_conserves(spark):
+    """Random demands (with planted ties): exact equality with the
+    sequential Hamilton reference, sum(budget) == B, and every quota
+    within one unit of its floor share."""
+    from ocr_spark.operators.crawl import budget_apportionment
+
+    rng = random.Random(41)
+    for trial in range(3):
+        demands = {h: rng.randrange(1, 400) for h in range(rng.randrange(5, 60))}
+        # plant exact remainder ties
+        ks = list(demands)
+        demands[ks[0]] = demands[ks[-1]]
+        budget = rng.randrange(50, 5000)
+        df = spark.createDataFrame(
+            list(demands.items()), "host long, demand long"
+        )
+        got = {
+            r.host: (r.base, r.budget)
+            for r in budget_apportionment(df, budget).collect()
+        }
+        expect = _naive_hamilton(demands, budget)
+        dt = sum(demands.values())
+        assert sum(b for _x, b in got.values()) == budget
+        for h, (base, b) in got.items():
+            assert base == (budget * demands[h]) // dt
+            assert b == expect[h], (trial, h)

@@ -216,6 +216,14 @@ COMMENTARY = {
         "distinct on the uniform (url, outlink) pair, so the stage "
         "rides the extraction pass."
     ),
+    "crawl_budget_apportionment": (
+        "Hamilton quotas, all integer: demands staged once (lazy "
+        "localCheckpoint), two scalar aggregates broadcast "
+        "back; the remainder rank is two-tier (coarse buckets -> tiny "
+        "bucket window -> bounded within-bucket row_number), so no "
+        "one-partition sort even at 10^7 hosts. sum(budget)==B by "
+        "construction."
+    ),
 }
 
 
