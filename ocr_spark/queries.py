@@ -4593,3 +4593,68 @@ def crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("demand")
     )
     return budget_apportionment(demands, 1000)
+
+
+@query(
+    "incremental_report_card",
+    """
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 10 <> 1
+      UNION ALL
+      SELECT lang, text || ' new' FROM documents WHERE doc_id % 10 = 3)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM b GROUP BY lang
+    """,
+)
+def incremental_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stats maintenance across the snapshot_delta CDC
+    synthesis: Spark computes snapshot A's per-language stats PLUS
+    signed delta rows (removed = negative, changed = new−old, added =
+    positive) merged by sources/snapshots.incremental_lang_stats; the
+    oracle recomputes snapshot B from scratch — so the driver's gate
+    IS the incremental-equals-full-recompute proof, bit-exact because
+    every stat is an integer sum.
+    """
+    from ocr_spark.sources.snapshots import incremental_lang_stats
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def tok(c):
+        return F.size(F.split(c, " ")).cast("long")
+
+    def chars(c):
+        return F.length(c).cast("long")
+
+    stats_a = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok(F.col("text"))).alias("n_tokens"),
+        F.sum(chars(F.col("text"))).alias("n_chars"),
+    )
+    m = F.col("doc_id") % 10
+    v2 = F.concat(F.col("text"), F.lit(" v2"))
+    newt = F.concat(F.col("text"), F.lit(" new"))
+    removed = d.where(m == 1).select(
+        "lang",
+        F.lit(-1).cast("long").alias("n_docs"),
+        (-tok(F.col("text"))).alias("n_tokens"),
+        (-chars(F.col("text"))).alias("n_chars"),
+    )
+    changed = d.where(m == 2).select(
+        "lang",
+        F.lit(0).cast("long").alias("n_docs"),
+        (tok(v2) - tok(F.col("text"))).alias("n_tokens"),
+        (chars(v2) - chars(F.col("text"))).alias("n_chars"),
+    )
+    added = d.where(m == 3).select(
+        "lang",
+        F.lit(1).cast("long").alias("n_docs"),
+        tok(newt).alias("n_tokens"),
+        chars(newt).alias("n_chars"),
+    )
+    changes = removed.unionByName(changed).unionByName(added)
+    return incremental_lang_stats(stats_a, changes)

@@ -303,3 +303,35 @@ def compact_bin_plan(files: DataFrame, target_bytes: int = 2000) -> DataFrame:
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+def incremental_lang_stats(stats_old: DataFrame, changes: DataFrame) -> DataFrame:
+    """Incremental corpus-statistics maintenance: merge a previous
+    snapshot's per-language stats ``(lang, n_docs, n_tokens, n_chars)``
+    with SIGNED delta contributions (same schema; removed docs carry
+    negative rows, changed docs carry the new−old difference) →
+    the next snapshot's stats, without re-reading the corpus.
+
+    The 100 TB point: a full report-card recompute is a complete
+    corpus pass, but every statistic here is an integer SUM — the one
+    aggregate class that is exactly subtractable — so the update is
+    delta-sized (CDC rows from snapshot_delta), and bit-exact under
+    any partitioning because integer addition commutes. Sketch-backed
+    stats (HLL distinct) are max-merge-only and deliberately NOT in
+    this schema; they re-merge from per-shard registers instead.
+
+    The union-then-aggregate shape keeps the merge a single map-side-
+    combining hash aggregate on lang — no join, no window.
+    """
+    u = stats_old.select("lang", "n_docs", "n_tokens", "n_chars").unionByName(
+        changes.select("lang", "n_docs", "n_tokens", "n_chars")
+    )
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .where(F.col("n_docs") > 0)
+    )

@@ -60,6 +60,7 @@ CRITICAL = [
     "cluster_representatives",
     "outlink_extraction",
     "crawl_budget_apportionment",
+    "incremental_report_card",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM

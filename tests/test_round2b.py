@@ -488,3 +488,71 @@ def test_budget_apportionment_matches_naive_and_conserves(spark):
         for h, (base, b) in got.items():
             assert base == (budget * demands[h]) // dt
             assert b == expect[h], (trial, h)
+
+
+# ---------------------------------------------------------------------------
+# incremental_lang_stats
+# ---------------------------------------------------------------------------
+
+def test_incremental_stats_equal_full_recompute(spark):
+    """Random corpus + random CDC (remove/change/add, incl. wiping one
+    language entirely): merged stats must equal a from-scratch
+    recompute; the wiped language must vanish from the output."""
+    from ocr_spark.sources.snapshots import incremental_lang_stats
+
+    rng = random.Random(17)
+    langs = ["en", "de", "fr", "xx"]
+    docs = {
+        i: (rng.choice(langs[:3]) if i % 7 else "xx",
+            " ".join(rng.choices(WORDS, k=rng.randrange(1, 30))))
+        for i in range(120)
+    }
+    new_state = dict(docs)
+    for i in list(docs):
+        r = rng.random()
+        if r < 0.2 or docs[i][0] == "xx":  # remove (xx wiped entirely)
+            del new_state[i]
+        elif r < 0.4:  # change
+            new_state[i] = (docs[i][0], docs[i][1] + " changed text")
+    for i in range(200, 220):  # add
+        new_state[i] = (rng.choice(langs[:3]),
+                        " ".join(rng.choices(WORDS, k=rng.randrange(1, 20))))
+
+    def stats(state):
+        out: dict[str, list[int]] = {}
+        for lang, text in state.values():
+            s = out.setdefault(lang, [0, 0, 0])
+            s[0] += 1
+            s[1] += len(text.split(" "))
+            s[2] += len(text)
+        return {k: tuple(v) for k, v in out.items()}
+
+    old = stats(docs)
+    stats_old = spark.createDataFrame(
+        [(k, *v) for k, v in old.items()],
+        "lang string, n_docs long, n_tokens long, n_chars long",
+    )
+    ch_rows = []
+    for i in set(docs) - set(new_state):
+        lang, t = docs[i]
+        ch_rows.append((lang, -1, -len(t.split(" ")), -len(t)))
+    for i in set(docs) & set(new_state):
+        if docs[i] != new_state[i]:
+            lang, t0 = docs[i]
+            _l, t1 = new_state[i]
+            ch_rows.append(
+                (lang, 0, len(t1.split(" ")) - len(t0.split(" ")),
+                 len(t1) - len(t0))
+            )
+    for i in set(new_state) - set(docs):
+        lang, t = new_state[i]
+        ch_rows.append((lang, 1, len(t.split(" ")), len(t)))
+    changes = spark.createDataFrame(
+        ch_rows, "lang string, n_docs long, n_tokens long, n_chars long"
+    )
+    got = {
+        r.lang: (r.n_docs, r.n_tokens, r.n_chars)
+        for r in incremental_lang_stats(stats_old, changes).collect()
+    }
+    assert got == stats(new_state)
+    assert "xx" not in got

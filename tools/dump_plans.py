@@ -224,6 +224,13 @@ COMMENTARY = {
         "one-partition sort even at 10^7 hosts. sum(budget)==B by "
         "construction."
     ),
+    "incremental_report_card": (
+        "Stats maintenance without the corpus pass: previous-snapshot "
+        "aggregates union signed CDC delta rows into ONE map-side-"
+        "combining hash aggregate on lang — integer sums are the "
+        "subtractable aggregate class, so incremental == full "
+        "recompute bit-exactly (the oracle IS the recompute)."
+    ),
 }
 
 
