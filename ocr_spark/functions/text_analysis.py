@@ -206,3 +206,45 @@ def repair_mojibake(text_col: Column) -> Column:
     for bad, good in MOJIBAKE_TABLE:
         out = F.replace(out, F.lit(bad), F.lit(good))
     return out
+
+
+def readability_cols(text_col: str = "text"):
+    """Flesch-Kincaid-grade readability signals as exact integer
+    columns: (words, sentences, syllables, fk_grade_x100).
+
+    The syllable count is the standard cheap proxy (maximal vowel-group
+    runs, y counted as a vowel); sentences are terminal-punctuation
+    occurrences clamped to >=1. The grade is the FK formula
+    0.39*(W/S) + 11.8*(Y/W) - 15.59 scaled to x100 and evaluated as ONE
+    integer floor-division over the common denominator S*W —
+    floor((39*W*W + 1180*Y*S) / (S*W)) - 1559 — so Spark and any SQL
+    oracle agree bit-for-bit (no float ever materializes; the
+    operators/training.floor_div recipe).
+
+    Returns a list of Columns to splat into a select.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import floor_div
+
+    words = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    ).cast("long")
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]', 0)")),
+    ).cast("long")
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    ).cast("long")
+    fk = floor_div(
+        39 * words * words + 1180 * syllables * sentences,
+        sentences * words,
+    ) - 1559
+    return [
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        fk.cast("long").alias("fk_grade_x100"),
+    ]

@@ -806,3 +806,76 @@ def exact_substring_dup_permille(docs: DataFrame, k: int = 8) -> DataFrame:
             "dup_permille"
         ),
     )
+
+
+def editdist_pairs(
+    titles: DataFrame,
+    max_dist: int = 2,
+    q: int = 3,
+    id_col: str = "id",
+    text_col: str = "title",
+) -> DataFrame:
+    """Edit-distance near-dup join (short strings: titles, anchors,
+    queries) with q-gram count filtering — exact recall for strings of
+    length >= q * (max_dist + 1).
+
+    Candidate pruning (Gravano et al., VLDB'01 q-gram bound): strings
+    within edit distance d share at least
+    ``max(|a|,|b|) - q + 1 - q*d`` positional q-grams; the weaker
+    unpositional bound "share >= 1 q-gram" already holds whenever
+    ``len >= q*(d+1)``, so an inverted-index join on distinct q-grams
+    (plus a |len(a)-len(b)| <= d length filter) has exact recall and
+    avoids the all-pairs cross join. Verification is the built-in
+    codegen ``levenshtein`` — no python stage anywhere.
+
+    Scale: the q-gram index is exploded rows (uniform md5'd join key —
+    a stop-gram's posting list is the only skew risk, and a df-cap on
+    posting lists can be layered like host_mirror_jaccard's); the
+    verify join touches only candidate pairs. Same dataflow family as
+    jaccard_ngram_pairs above.
+    """
+    t = titles.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    # exploded positions + codegen substring (no interpreted HOF lambda;
+    # the memory'd projection-collapse rule: arrays used once may HOF,
+    # but exploded rows keep the whole chain in WholeStageCodegen).
+    pos = t.select(
+        "id",
+        F.length("s").alias("ln"),
+        "s",
+        F.explode(
+            F.when(
+                F.length("s") >= q,
+                F.sequence(F.lit(1), F.length("s") - (q - 1)),
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("i"),
+    )
+    grams = pos.select(
+        "id",
+        "ln",
+        F.substring("s", F.col("i"), F.lit(q)).alias("g"),
+    ).distinct()
+    cand = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(t.alias("ta"), F.col("id_a") == F.col("ta.id"))
+        .join(t.alias("tb"), F.col("id_b") == F.col("tb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("ta.s"), F.col("tb.s"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

@@ -111,3 +111,37 @@ def documents_as_pages(df: DataFrame) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("expected_text"),
     )
+
+
+def table_cells(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Structured-table extraction: parse every ``<table>`` row/cell of
+    each page into long-form rows ``(url, row_idx, col_idx, cell)`` —
+    the stage that turns embedded HTML tables into a relational column
+    for downstream joins (the layout-parse half of the north rule,
+    next to the DOM-density main-text path).
+
+    Pure codegen dataflow: two regexp_extract_all + posexplode passes,
+    no python stage — <tr> bodies first, then <th>/<td> cells within
+    each row. Non-greedy matches keep nested markup out of cells;
+    cells are emitted verbatim (entity decode is with_main_text's
+    job). Scale: output is a narrow explode of the scan, pipelined in
+    the same stage — no shuffle at all.
+    """
+    rows = pages.select(
+        "url",
+        F.posexplode(
+            F.expr(f"regexp_extract_all({html_col}, '<tr>(.*?)</tr>', 1)")
+        ).alias("row_idx", "tr"),
+    )
+    return rows.select(
+        "url",
+        F.col("row_idx").cast("bigint").alias("row_idx"),
+        F.posexplode(
+            F.expr("regexp_extract_all(tr, '<t[dh]>(.*?)</t[dh]>', 1)")
+        ).alias("col_idx", "cell"),
+    ).select(
+        "url",
+        "row_idx",
+        F.col("col_idx").cast("bigint").alias("col_idx"),
+        "cell",
+    )

@@ -4658,3 +4658,285 @@ def incremental_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = removed.unionByName(changed).unionByName(added)
     return incremental_lang_stats(stats_a, changes)
+
+
+# ---------------------------------------------------------------------------
+# round-2 session-4: event analytics, edit-distance dedup, table extraction,
+# readability, data profiling, skew diagnostics
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS pus FROM e),
+    n AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                         THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess FROM n)
+    SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(make_timestamp(MAX(us)), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) — the classic
+    event-stream operator the streaming surface already has
+    (streaming/pipeline sessionization), here as the exact batch form:
+    per-user lag + running break-sum, all integer microsecond
+    arithmetic. Scale: one shuffle on user_id; no global window."""
+    from ocr_spark.operators.analytics import sessionize
+
+    _utc(spark)
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'view' GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS users_reached FROM s1
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel signup -> view -> click ->
+    purchase: stage k counts users whose first stage-(k-1) event is
+    followed by a later stage-k event. K aggregate+join passes on
+    user_id, inputs shrinking each pass (operators/analytics
+    funnel_counts)."""
+    from ocr_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+    )
+
+
+_TITLE_SQL = """
+      SELECT doc_id AS id,
+             CASE doc_id % 5
+               WHEN 1 THEN 'crawl extraction report number '
+                           || CAST(doc_id // 5 AS VARCHAR) || '!'
+               WHEN 2 THEN 'crawl extraction reprt number '
+                           || CAST(doc_id // 5 AS VARCHAR)
+               WHEN 3 THEN 'Crawl extraction report number '
+                           || CAST(doc_id // 5 AS VARCHAR)
+               WHEN 4 THEN 'crawl extraction report number '
+                           || CAST(doc_id // 5 AS VARCHAR) || ' x'
+               ELSE 'crawl extraction report number '
+                    || CAST(doc_id // 5 AS VARCHAR)
+             END AS title
+      FROM documents WHERE (doc_id // 5) % 10 = 0
+"""
+
+
+@query(
+    "title_editdist_dedup",
+    f"""
+    WITH t AS ({_TITLE_SQL})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.id < b.id AND abs(length(a.title) - length(b.title)) <= 2
+    WHERE levenshtein(a.title, b.title) <= 2
+    """,
+)
+def title_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance(<=2) near-dup join over synthesized titles (typo
+    variants: append, deletion, substitution — each CASE branch a
+    distinct edit class; ' x' vs '!' pairs land exactly at dist 2 and
+    cross-class pairs at 3 prove the cutoff). The oracle is the
+    all-pairs definition; the shipped plan is the q-gram inverted-index
+    join with length filtering (dedup.editdist_pairs) — exact recall
+    for titles >= q*(d+1) = 9 chars (these are ~30)."""
+    from ocr_spark.operators.dedup import editdist_pairs
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.expr("(doc_id DIV 5) % 10 = 0")
+    )
+    gid = F.expr("doc_id DIV 5").cast("string")
+    base = F.concat(F.lit("crawl extraction report number "), gid)
+    title = (
+        F.when(F.col("doc_id") % 5 == 1, F.concat(base, F.lit("!")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("crawl extraction reprt number "), gid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("Crawl extraction report number "), gid),
+        )
+        .when(F.col("doc_id") % 5 == 4, F.concat(base, F.lit(" x")))
+        .otherwise(base)
+    )
+    t = d.select(F.col("doc_id").alias("id"), title.alias("title"))
+    return editdist_pairs(t, max_dist=2, q=3)
+
+
+@query(
+    "html_table_extract",
+    """
+    WITH p AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+             '<h1>doc</h1><table><tr><th>key</th><th>val</th></tr>'
+               || '<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR)
+               || '</td></tr><tr><td>lang</td><td>' || lang
+               || '</td></tr></table>' AS html
+      FROM documents),
+    r AS (SELECT url, regexp_extract_all(html, '<tr>(.*?)</tr>', 1) AS trs
+          FROM p),
+    r2 AS (SELECT url, unnest(generate_series(1, len(trs))) AS ri, trs FROM r),
+    r3 AS (SELECT url, ri - 1 AS row_idx, trs[ri] AS tr FROM r2),
+    c AS (SELECT url, row_idx,
+                 regexp_extract_all(tr, '<t[dh]>(.*?)</t[dh]>', 1) AS cs
+          FROM r3),
+    c2 AS (SELECT url, row_idx, unnest(generate_series(1, len(cs))) AS ci, cs
+           FROM c)
+    SELECT url, CAST(row_idx AS BIGINT) AS row_idx,
+           CAST(ci - 1 AS BIGINT) AS col_idx, cs[ci] AS cell
+    FROM c2
+    """,
+)
+def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-table extraction: every <table> row/cell of each page
+    into long-form (url, row_idx, col_idx, cell) rows — the layout-
+    parse stage next to DOM-density main text. Pure codegen double
+    regexp/posexplode, zero shuffles (operators/extract.table_cells)."""
+    from ocr_spark.operators.extract import table_cells
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<h1>doc</h1><table><tr><th>key</th><th>val</th></tr>"
+                  "<tr><td>id</td><td>"),
+            F.col("doc_id").cast("string"),
+            F.lit("</td></tr><tr><td>lang</td><td>"),
+            F.col("lang"),
+            F.lit("</td></tr></table>"),
+        ).alias("html"),
+    )
+    return table_cells(pages)
+
+
+@query(
+    "doc_readability",
+    """
+    SELECT doc_id,
+           CAST(greatest(1, len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS words,
+           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                AS BIGINT) AS sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS syllables,
+           CAST(
+             (39 * greatest(1, len(regexp_split_to_array(trim(text), '\\s+')))
+                 * greatest(1, len(regexp_split_to_array(trim(text), '\\s+')))
+              + 1180 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     * greatest(1, len(regexp_extract_all(text, '[.!?]'))))
+             // (greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                 * greatest(1, len(regexp_split_to_array(trim(text), '\\s+'))))
+             - 1559 AS BIGINT) AS fk_grade_x100
+    FROM documents
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per doc as exact integers: words,
+    sentences (clamped >=1), vowel-group syllables, and the FK grade
+    x100 via one integer floor-division over the common denominator
+    (functions/text_analysis.readability_cols) — a standard corpus
+    quality dimension next to doc_quality_panel."""
+    from ocr_spark.functions.text_analysis import readability_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *readability_cols("text"))
+
+
+@query(
+    "column_profile_documents",
+    """
+    SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text),
+           MIN(text), MAX(text) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def column_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table (row /
+    non-null / distinct counts, typed min/max rendered as strings after
+    aggregation) — the profiling pass a curation pipeline runs before
+    trusting a new corpus drop. One wide aggregate job; constant-size
+    output (operators/analytics.column_profile)."""
+    from ocr_spark.operators.analytics import column_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return column_profile(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@query(
+    "shuffle_skew_report",
+    """
+    WITH pk AS (
+      SELECT CASE WHEN doc_id % 10 < 4 THEN 0 ELSE doc_id % 97 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rk FROM pk),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS total_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_rows FROM pk)
+    SELECT n_keys, total_rows, max_rows, CAST(r.c AS BIGINT) AS median_rows,
+           CAST(max_rows * 100 // r.c AS BIGINT) AS skew_ratio_x100,
+           CAST(max_rows * 10000 // total_rows AS BIGINT) AS top1_share_x10000
+    FROM r, a WHERE r.rk = (a.n_keys + 1) // 2
+    """,
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic over a deliberately zipf-ish key (40% of
+    docs collapse onto key 0): per-key counts reduced to max/median/
+    top-1-share scaled-integer ratios — the report an operator reads
+    before choosing salting or AQE skew-split for a hot-key join.
+    Exact integer arithmetic (operators/analytics.skew_report)."""
+    from ocr_spark.operators.analytics import skew_report
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.when(F.col("doc_id") % 10 < 4, F.lit(0).cast("long")).otherwise(
+        F.col("doc_id") % 97
+    )
+    return skew_report(d, key)

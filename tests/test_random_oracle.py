@@ -61,6 +61,13 @@ CRITICAL = [
     "outlink_extraction",
     "crawl_budget_apportionment",
     "incremental_report_card",
+    "title_editdist_dedup",
+    "html_table_extract",
+    "doc_readability",
+    "column_profile_documents",
+    "shuffle_skew_report",
+    # NOT events_sessionize / funnel_conversion: this corpus has no
+    # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
