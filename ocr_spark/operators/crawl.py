@@ -368,3 +368,44 @@ def budget_apportionment(demands: DataFrame, budget: int) -> DataFrame:
         extra.alias("extra"),
         (F.col("base") + extra).alias("budget"),
     )
+
+
+def url_trap_flags(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawler-trap URL classification — the frontier-side filter that
+    keeps session-id permutations, calendar pages, mirror loops and
+    path explosions from eating the crawl budget (the standard trap
+    taxonomy; see Heydon & Najork, "Mercator" §3 for the classes).
+
+    Flags (all exact 0/1 BIGINTs, RE2/Java-neutral regexes):
+      too_deep           path depth >= 6 segments
+      repeated_segment   a path segment occurs more than once (loop)
+      calendar           /YYYY/MM/ date pattern
+      has_session_param  ?sid= / PHPSESSID= / sessionid= query param
+      too_long           len(url) >= 120
+      is_trap            any of the above
+
+    Pure codegen row-local expressions, no shuffle — the operator
+    composes with robots_prefix gating in the same scan stage.
+    """
+    strip_host = f"regexp_replace({url_col}, '^https?://[^/]+', '')"
+    segs = F.expr(f"regexp_extract_all({strip_host}, '/([^/?]+)', 1)")
+    too_deep = (F.size(segs) >= 6).cast("long")
+    repeated = (F.size(segs) > F.size(F.array_distinct(segs))).cast("long")
+    calendar = F.col(url_col).rlike("/(19|20)[0-9]{2}/[0-9]{2}/").cast("long")
+    sid = F.col(url_col).rlike("[?&](sid|PHPSESSID|sessionid)=").cast("long")
+    too_long = (F.length(url_col) >= 120).cast("long")
+    out = pages.select(
+        F.col(url_col).alias("url"),
+        too_deep.alias("too_deep"),
+        repeated.alias("repeated_segment"),
+        calendar.alias("calendar"),
+        sid.alias("has_session_param"),
+        too_long.alias("too_long"),
+    )
+    return out.withColumn(
+        "is_trap",
+        F.greatest(
+            "too_deep", "repeated_segment", "calendar",
+            "has_session_param", "too_long",
+        ),
+    )

@@ -145,3 +145,55 @@ def table_cells(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.col("col_idx").cast("bigint").alias("col_idx"),
         "cell",
     )
+
+
+def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Head-metadata extraction: <title>, OpenGraph title, meta
+    description, rel=canonical href, and the robots-noindex gate — the
+    fields an index/curation pipeline reads before (or instead of)
+    full main-text extraction.
+
+    All five are single regexp_extract codegen expressions over the
+    scan (missing fields come out as '' in BOTH Spark and DuckDB —
+    verified dialect behavior), so the operator is shuffle-free and
+    composes into the extraction scan stage.
+    """
+    h = F.col(html_col)
+    return pages.select(
+        "url",
+        F.regexp_extract(h, "<title>(.*?)</title>", 1).alias("title"),
+        F.regexp_extract(
+            h, '<meta property="og:title" content="(.*?)"', 1
+        ).alias("og_title"),
+        F.regexp_extract(
+            h, '<meta name="description" content="(.*?)"', 1
+        ).alias("description"),
+        F.regexp_extract(
+            h, '<link rel="canonical" href="(.*?)"', 1
+        ).alias("canonical"),
+        h.contains('<meta name="robots" content="noindex"')
+        .cast("long")
+        .alias("noindex"),
+    )
+
+
+def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Sitemap-XML parsing: explode <url> blocks into
+    (sitemap_url, entry_idx, loc, lastmod) rows; lastmod is '' when the
+    optional tag is absent. Same two-level regexp/posexplode shape as
+    table_cells — block extraction first so per-entry fields can't
+    cross-match between entries. Shuffle-free."""
+    blocks = sitemaps.select(
+        F.col("url").alias("sitemap_url"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({xml_col}, '<url>(.*?)</url>', 1)")
+        ).alias("entry_idx", "block"),
+    )
+    return blocks.select(
+        "sitemap_url",
+        F.col("entry_idx").cast("bigint").alias("entry_idx"),
+        F.regexp_extract("block", "<loc>(.*?)</loc>", 1).alias("loc"),
+        F.regexp_extract("block", "<lastmod>(.*?)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+    )

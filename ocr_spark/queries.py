@@ -4940,3 +4940,226 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 97
     )
     return skew_report(d, key)
+
+
+@query(
+    "url_trap_detection",
+    """
+    WITH u AS (
+      SELECT CASE doc_id % 8
+               WHEN 2 THEN base || '/x/x/x/d' || i
+               WHEN 3 THEN base || '/2024/05/d' || i
+               WHEN 4 THEN base || '/p?sid=' || i
+               WHEN 5 THEN base || '/s1/s2/s3/s4/s5/s6/d' || i
+               WHEN 6 THEN base || '/l' || repeat('q', 130)
+               WHEN 7 THEN base || '/n/' || i
+               WHEN 1 THEN base || '/d' || i
+               ELSE base || '/a/b/c'
+             END AS url
+      FROM (SELECT doc_id,
+                   'https://host' || CAST(doc_id % 97 AS VARCHAR)
+                     || '.example' AS base,
+                   CAST(doc_id AS VARCHAR) AS i
+            FROM documents)),
+    f AS (
+      SELECT url,
+             regexp_extract_all(regexp_replace(url, '^https?://[^/]+', ''),
+                                '/([^/?]+)', 1) AS segs
+      FROM u),
+    g AS (
+      SELECT url,
+             CAST(CASE WHEN len(segs) >= 6 THEN 1 ELSE 0 END AS BIGINT)
+               AS too_deep,
+             CAST(CASE WHEN len(segs) > len(list_distinct(segs))
+                       THEN 1 ELSE 0 END AS BIGINT) AS repeated_segment,
+             CAST(CASE WHEN regexp_matches(url, '/(19|20)[0-9]{2}/[0-9]{2}/')
+                       THEN 1 ELSE 0 END AS BIGINT) AS calendar,
+             CAST(CASE WHEN regexp_matches(url, '[?&](sid|PHPSESSID|sessionid)=')
+                       THEN 1 ELSE 0 END AS BIGINT) AS has_session_param,
+             CAST(CASE WHEN length(url) >= 120 THEN 1 ELSE 0 END AS BIGINT)
+               AS too_long
+      FROM f)
+    SELECT *, greatest(too_deep, repeated_segment, calendar,
+                       has_session_param, too_long) AS is_trap
+    FROM g
+    """,
+)
+def url_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap URL classification over a synthesized frontier
+    (each doc_id%8 class exercises one trap branch: mirror-loop
+    repeated segments, calendar dates, session-id params, depth and
+    length explosions). Row-local codegen flags, no shuffle
+    (operators/crawl.url_trap_flags)."""
+    from ocr_spark.operators.crawl import url_trap_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example"),
+    )
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 8
+    url = (
+        F.when(m == 2, F.concat(base, F.lit("/x/x/x/d"), i))
+        .when(m == 3, F.concat(base, F.lit("/2024/05/d"), i))
+        .when(m == 4, F.concat(base, F.lit("/p?sid="), i))
+        .when(m == 5, F.concat(base, F.lit("/s1/s2/s3/s4/s5/s6/d"), i))
+        .when(m == 6, F.concat(base, F.lit("/l" + "q" * 130)))
+        .when(m == 7, F.concat(base, F.lit("/n/"), i))
+        .when(m == 1, F.concat(base, F.lit("/d"), i))
+        .otherwise(F.concat(base, F.lit("/a/b/c")))
+    )
+    return url_trap_flags(d.select(url.alias("url")))
+
+
+@query(
+    "page_metadata_extract",
+    """
+    WITH p AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '<head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN '<meta property="og:title" content="OG '
+                          || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+             || CASE WHEN doc_id % 4 <> 0
+                     THEN '<meta name="description" content="about '
+                          || lang || '">' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<link rel="canonical" href="https://host'
+                          || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+                          || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN '<meta name="robots" content="noindex">'
+                     ELSE '' END
+             || '</head>' AS html
+      FROM documents)
+    SELECT url,
+           regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+           regexp_extract(html,
+             '<meta property="og:title" content="(.*?)"', 1) AS og_title,
+           regexp_extract(html,
+             '<meta name="description" content="(.*?)"', 1) AS description,
+           regexp_extract(html,
+             '<link rel="canonical" href="(.*?)"', 1) AS canonical,
+           CAST(CASE WHEN contains(html,
+                  '<meta name="robots" content="noindex"')
+                THEN 1 ELSE 0 END AS BIGINT) AS noindex
+    FROM p
+    """,
+)
+def page_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (<title>, og:title, description,
+    canonical, robots-noindex) over pages whose synthesized heads
+    omit each field on a different doc_id residue — exercising the
+    ''-on-missing contract in both engines. Shuffle-free codegen
+    (operators/extract.page_metadata)."""
+    from ocr_spark.operators.extract import page_metadata
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<head><title>Doc "), i, F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), i,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(F.lit('<meta name="description" content="about '),
+                     F.col("lang"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://host'),
+                     (F.col("doc_id") % 97).cast("string"),
+                     F.lit(".example/d"), i, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta name="robots" content="noindex">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return page_metadata(d.select(url.alias("url"), html.alias("html")))
+
+
+_SITEMAP_ENTRY_SQL = """
+        '<url><loc>https://host' || CAST(doc_id % 97 AS VARCHAR)
+          || '.example/d' || CAST(doc_id * 3 + {j} AS VARCHAR) || '</loc>'
+          || CASE WHEN (doc_id + {j}) % 3 <> 0
+                  THEN '<lastmod>2024-'
+                       || lpad(CAST((doc_id + {j}) % 12 + 1 AS VARCHAR),
+                               2, '0')
+                       || '-01</lastmod>'
+                  ELSE '' END
+          || '</url>'
+"""
+
+
+@query(
+    "sitemap_parse",
+    f"""
+    WITH p AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example/sitemap' || CAST(doc_id AS VARCHAR)
+               || '.xml' AS url,
+             '<urlset>' || {_SITEMAP_ENTRY_SQL.format(j=0)}
+               || {_SITEMAP_ENTRY_SQL.format(j=1)}
+               || {_SITEMAP_ENTRY_SQL.format(j=2)}
+               || '</urlset>' AS xml
+      FROM documents),
+    b AS (SELECT url AS sitemap_url,
+                 regexp_extract_all(xml, '<url>(.*?)</url>', 1) AS bs
+          FROM p),
+    b2 AS (SELECT sitemap_url, unnest(generate_series(1, len(bs))) AS bi, bs
+           FROM b)
+    SELECT sitemap_url, CAST(bi - 1 AS BIGINT) AS entry_idx,
+           regexp_extract(bs[bi], '<loc>(.*?)</loc>', 1) AS loc,
+           regexp_extract(bs[bi], '<lastmod>(.*?)</lastmod>', 1) AS lastmod
+    FROM b2
+    """,
+)
+def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-XML parsing into (sitemap_url, entry_idx, loc, lastmod)
+    rows — the discovery feed beside outlink_extraction; a third of the
+    synthesized entries omit the optional <lastmod> to pin the
+    ''-on-missing contract. Two-level regexp/posexplode, shuffle-free
+    (operators/extract.sitemap_entries)."""
+    from ocr_spark.operators.extract import sitemap_entries
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 97).cast("string")
+
+    def entry(j: int):
+        return F.concat(
+            F.lit("<url><loc>https://host"), h, F.lit(".example/d"),
+            (F.col("doc_id") * 3 + j).cast("string"), F.lit("</loc>"),
+            F.when(
+                (F.col("doc_id") + j) % 3 != 0,
+                F.concat(
+                    F.lit("<lastmod>2024-"),
+                    F.lpad(((F.col("doc_id") + j) % 12 + 1).cast("string"),
+                           2, "0"),
+                    F.lit("-01</lastmod>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+
+    sitemaps = d.select(
+        F.concat(
+            F.lit("https://host"), h, F.lit(".example/sitemap"),
+            F.col("doc_id").cast("string"), F.lit(".xml"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<urlset>"), entry(0), entry(1), entry(2),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    return sitemap_entries(sitemaps)

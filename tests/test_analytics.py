@@ -272,3 +272,59 @@ def test_readability_exact(spark):
     assert r.words == 7 and r.sentences == 2
     w, s, y = r.words, r.sentences, r.syllables
     assert r.fk_grade_x100 == (39 * w * w + 1180 * y * s) // (s * w) - 1559
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap flags / page metadata / sitemap parsing
+# ---------------------------------------------------------------------------
+
+def test_url_trap_flags_handcrafted(spark):
+    from ocr_spark.operators.crawl import url_trap_flags
+
+    urls = [
+        ("https://a.example/a/b/c", 0),
+        ("https://a.example/x/x/y", 1),            # repeated
+        ("https://a.example/2023/11/post/", 1),    # calendar
+        ("https://a.example/p?PHPSESSID=9", 1),    # session param
+        ("https://a.example/1/2/3/4/5/6", 1),      # depth 6
+        ("https://a.example/" + "z" * 120, 1),     # long
+        ("https://a.example/2023/post", 0),        # year w/o month slash
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], ["url"])
+    got = {r.url: r for r in url_trap_flags(df).collect()}
+    for u, trap in urls:
+        assert got[u].is_trap == trap, u
+    r = got["https://a.example/x/x/y"]
+    assert (r.repeated_segment, r.too_deep, r.calendar) == (1, 0, 0)
+
+
+def test_page_metadata_missing_fields_empty(spark):
+    from ocr_spark.operators.extract import page_metadata
+
+    df = spark.createDataFrame(
+        [
+            ("u1", '<head><title>T</title>'
+                   '<meta property="og:title" content="OT">'
+                   '<meta name="robots" content="noindex"></head>'),
+            ("u2", "<head></head>"),
+        ],
+        ["url", "html"],
+    )
+    got = {r.url: r for r in page_metadata(df).collect()}
+    assert got["u1"].title == "T" and got["u1"].og_title == "OT"
+    assert got["u1"].noindex == 1 and got["u1"].canonical == ""
+    assert got["u2"].title == "" and got["u2"].noindex == 0
+
+
+def test_sitemap_entries_optional_lastmod(spark):
+    from ocr_spark.operators.extract import sitemap_entries
+
+    xml = ("<urlset><url><loc>https://a/1</loc>"
+           "<lastmod>2024-01-01</lastmod></url>"
+           "<url><loc>https://a/2</loc></url></urlset>")
+    df = spark.createDataFrame([("sm", xml)], ["url", "xml"])
+    got = sorted(sitemap_entries(df).collect(), key=lambda r: r.entry_idx)
+    assert [(r.entry_idx, r.loc, r.lastmod) for r in got] == [
+        (0, "https://a/1", "2024-01-01"),
+        (1, "https://a/2", ""),
+    ]

@@ -66,6 +66,9 @@ CRITICAL = [
     "doc_readability",
     "column_profile_documents",
     "shuffle_skew_report",
+    "url_trap_detection",
+    "page_metadata_extract",
+    "sitemap_parse",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
