@@ -1,0 +1,119 @@
+"""Corpus-mining operators: bitext candidate generation and
+deterministic dataset splits.
+
+Extension tier (no reference counterpart — SURVEY.md §2): the
+parallel-corpus mining and split-assignment stages of a multilingual
+training-data pipeline.
+
+`bitext_candidates` follows the STRAND family of systems (Resnik &
+Smith, CL 2003: structural/content anchors before any expensive
+alignment): documents in DIFFERENT languages that share rare content
+anchors (numbers, references, codes — tokens translation preserves)
+become candidate pairs for downstream aligners. The dataflow is the
+same inverted-index family as dedup.jaccard_ngram_pairs: explode
+anchors, df-cap the posting lists (a boilerplate anchor like a year
+would otherwise quadratically blow up one reducer), self-join on the
+anchor, count per pair.
+
+`dataset_split` is the standard content-hash split: a salted codegen
+md5 bucket in [0,100) so assignment is reproducible across runs,
+engines and partitionings, and adding documents never moves an
+existing document between splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import fast_hash
+
+ANCHOR_PATTERN = "(id|ref)-[0-9]+"
+
+
+def anchor_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    pattern: str = ANCHOR_PATTERN,
+) -> DataFrame:
+    """Distinct (doc_id, lang, anchor) rows — translation-invariant
+    content anchors extracted with one codegen regexp pass."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+            )
+        ).alias("anchor"),
+    )
+
+
+def bitext_candidates(
+    docs: DataFrame,
+    min_shared: int = 2,
+    df_cap: int = 16,
+    pattern: str = ANCHOR_PATTERN,
+) -> DataFrame:
+    """Cross-language candidate pairs sharing >= min_shared distinct
+    anchors, with posting lists document-frequency-capped at df_cap
+    (anchors more common than that carry no alignment signal and would
+    dominate the self-join — the same df-cap argument as
+    host_mirror_jaccard). Output: (doc_a, doc_b, lang_a, lang_b,
+    n_shared_anchors), doc_a < doc_b, lang_a != lang_b."""
+    inv = anchor_rows(docs, pattern=pattern)
+    kept = (
+        inv.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("anchor"))
+        )
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.anchor") == F.col("b.anchor"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
+        .where(F.col("n_shared_anchors") >= min_shared)
+    )
+    return pairs
+
+
+SPLIT_SALT = "split:"
+
+
+def dataset_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 98,
+    val_pct: int = 1,
+) -> DataFrame:
+    """Deterministic salted-hash split assignment: bucket =
+    fast_hash('split:' || key) % 100; [0,train) -> train,
+    [train,train+val) -> val, rest -> test. Content-keyed so the
+    assignment survives repartitioning, re-runs and corpus growth;
+    the salt decorrelates it from every other md5 use (sampling,
+    sharding) so split membership is independent of those."""
+    bucket = (
+        fast_hash(F.concat(F.lit(SPLIT_SALT), F.col(key_col).cast("string")))
+        % 100
+    )
+    return docs.select(
+        key_col,
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -5163,3 +5163,78 @@ def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xml"),
     )
     return sitemap_entries(sitemaps)
+
+
+@query(
+    "dataset_split_assignment",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_duck_md5hash("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+               AS bucket
+      FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment via a salted
+    content-hash bucket — reproducible across runs/engines/partitioning
+    and stable under corpus growth (operators/mining.dataset_split).
+    The salt decorrelates split membership from every other md5 use
+    (sampling, sharding), so downstream stages can't leak across."""
+    from ocr_spark.operators.mining import dataset_split
+
+    return dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bitext_candidate_mining",
+    """
+    WITH a AS (
+      SELECT doc_id, lang,
+             text || ' id-' || CAST(doc_id // 7 AS VARCHAR)
+                  || ' ref-' || CAST(doc_id // 13 AS VARCHAR)
+                  || ' num-' || CAST(doc_id // 3 AS VARCHAR) AS t
+      FROM documents),
+    r AS (SELECT doc_id, lang,
+                 unnest(list_distinct(
+                   regexp_extract_all(t, '(id|ref|num)-[0-9]+'))) AS anchor
+          FROM a),
+    k AS (SELECT doc_id, lang, anchor FROM
+            (SELECT *, COUNT(*) OVER (PARTITION BY anchor) AS df FROM r)
+          WHERE df <= 16),
+    p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.lang AS lang_a, y.lang AS lang_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared_anchors
+          FROM k x JOIN k y
+            ON x.anchor = y.anchor AND x.doc_id < y.doc_id
+               AND x.lang <> y.lang
+          GROUP BY 1, 2, 3, 4)
+    SELECT * FROM p WHERE n_shared_anchors >= 2
+    """,
+)
+def bitext_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAND-style bitext candidate generation: cross-language doc
+    pairs sharing >=2 rare content anchors (injected id-/ref-/num-
+    tokens — the translation-invariant numbers a real pipeline
+    extracts), mined with a df-capped inverted anchor join
+    (operators/mining.bitext_candidates). The oracle is the same
+    definition in SQL."""
+    from ocr_spark.operators.mining import bitext_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" id-"), F.expr("doc_id DIV 7").cast("string"),
+            F.lit(" ref-"), F.expr("doc_id DIV 13").cast("string"),
+            F.lit(" num-"), F.expr("doc_id DIV 3").cast("string"),
+        ).alias("text"),
+    )
+    return bitext_candidates(aug, pattern="(id|ref|num)-[0-9]+")

@@ -328,3 +328,49 @@ def test_sitemap_entries_optional_lastmod(spark):
         (0, "https://a/1", "2024-01-01"),
         (1, "https://a/2", ""),
     ]
+
+
+# ---------------------------------------------------------------------------
+# mining: dataset split / bitext candidates
+# ---------------------------------------------------------------------------
+
+def test_dataset_split_stable_and_complete(spark):
+    """Split is a function of the key alone: identical under union with
+    new docs, ratios roughly honored, every doc assigned exactly once."""
+    from ocr_spark.operators.mining import dataset_split
+    from ocr_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: (r.bucket, r.split)
+         for r in dataset_split(d).collect()}
+    assert len(a) == d.count()
+    # growth stability: assignment of the first half never changes
+    half = d.where(F.col("doc_id") < 25)
+    b = {r.doc_id: (r.bucket, r.split) for r in dataset_split(half).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    assert {s for _, s in a.values()} <= {"train", "val", "test"}
+    n_train = sum(1 for _, s in a.values() if s == "train")
+    assert n_train > len(a) * 0.9
+
+
+def test_bitext_candidates_df_cap_and_langs(spark):
+    """Hot anchors past the df cap generate no pairs; all output pairs
+    are cross-language with the exact shared-anchor count."""
+    from ocr_spark.operators.mining import bitext_candidates
+
+    rows = []
+    # docs 0/1: share rare anchors id-7 ref-9 (langs en/de) -> pair, n=2
+    rows.append((0, "en", "alpha id-7 ref-9"))
+    rows.append((1, "de", "beta id-7 ref-9 num-1"))
+    # doc 2: same lang as 0, same anchors -> no pair with 0 (lang equal),
+    # pair with 1 (n=2)
+    rows.append((2, "en", "gamma id-7 ref-9"))
+    # docs 10..30: all share the HOT anchor id-999 (df 21 > cap 16)
+    for i in range(10, 31):
+        rows.append((i, "en" if i % 2 else "fr", f"x id-999 ref-{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.lang_a, r.lang_b, r.n_shared_anchors)
+        for r in bitext_candidates(df).collect()
+    }
+    assert got == {(0, 1): ("en", "de", 2), (1, 2): ("de", "en", 2)}

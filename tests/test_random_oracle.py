@@ -69,6 +69,8 @@ CRITICAL = [
     "url_trap_detection",
     "page_metadata_extract",
     "sitemap_parse",
+    "dataset_split_assignment",
+    "bitext_candidate_mining",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
