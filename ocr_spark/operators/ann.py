@@ -264,3 +264,141 @@ def lsh_bucket_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): encode + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces
+PQ_K = 16     # codebook entries per subspace
+PQ_DSUB = 8   # dims per subspace (64-dim embeddings)
+
+
+def _sq_l2(sv: Column, cv: Column, dsub: int = PQ_DSUB) -> Column:
+    """Integer squared L2 over a fixed-width subvector as an UNROLLED
+    codegen sum (8 element_at terms) — never an interpreted HOF fold:
+    16 codes x 8 dims per subvector row would make the lambda
+    interpreter the bottleneck (the round-1 projection-collapse/HOF
+    lesson). Grid components are <=1e6 so the sum stays < 2^45."""
+    terms = [
+        (F.element_at(sv, i) - F.element_at(cv, i))
+        * (F.element_at(sv, i) - F.element_at(cv, i))
+        for i in range(1, dsub + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_subvectors(
+    vecs: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Slice each grid-quantized vector into m subvectors:
+    (id, sub, sv). Quantization reuses the k-means 1e-6 integer grid
+    (operators/training.quantize_vec), so every distance below is an
+    exact integer and the whole PQ pipeline is oracle-checkable."""
+    from ocr_spark.operators.training import quantize_vec
+
+    dsub = dim // m
+    q = vecs.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    # single-file embeddings parquet is one split; the encode below
+    # shuffles by id anyway, so spread here REPLACES that Exchange.
+    q = q.repartition(
+        vecs.sparkSession.sparkContext.defaultParallelism, "id"
+    )
+    return q.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qv",
+    ).select(
+        "id", "sub", F.expr(f"slice(qv, sub * {dsub} + 1, {dsub})").alias("sv")
+    )
+
+
+def pq_codebook(subs: DataFrame, k: int = PQ_K) -> DataFrame:
+    """Deterministic seed codebook: subvectors of the first k ids
+    (code = id), per subspace — the same seed-choice convention as
+    ivf_assign; per-subspace kmeans_quantized refinement slots into the
+    identical dataflow (broadcast codebook, assign, re-aggregate)."""
+    return subs.where(F.col("id") < k).select(
+        F.col("id").cast("int").alias("code"),
+        F.col("sub").alias("csub"),
+        F.col("sv").alias("cv"),
+    )
+
+
+def pq_encode(
+    vecs: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding (Jégou et al., TPAMI 2011 §II): per subspace, each
+    subvector maps to its nearest codebook entry -> (vec_id, sub_idx,
+    code, dist). 64 dims at m=8/k=16 compress to 8 nibbles (32x vs
+    float32) while ADC search stays a table lookup.
+
+    Plan shape: subvector explode -> ONE broadcast join against the
+    m*k codebook -> hash-aggregate min(struct(dist, code)) — map-side
+    partials, no window sort (the ivf_assign max_by convention)."""
+    subs = pq_subvectors(vecs, dim=dim, m=m, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebook(subs, k=k)
+    scored = subs.join(
+        F.broadcast(cb), F.col("sub") == F.col("csub")
+    ).select(
+        "id", "sub", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("dist")
+    )
+    best = scored.groupBy("id", "sub").agg(
+        F.min(F.struct("dist", "code")).alias("m")
+    )
+    return best.select(
+        F.col("id").alias("vec_id"),
+        F.col("sub").cast("bigint").alias("sub_idx"),
+        F.col("m.code").cast("bigint").alias("code"),
+        F.col("m.dist").cast("bigint").alias("dist"),
+    )
+
+
+def pq_adc_topk(
+    vecs: DataFrame,
+    query_id: int = 0,
+    topk: int = 10,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays unquantized
+    (its exact subvectors), database vectors are their PQ codes; the
+    per-(subspace, code) lookup table is m*k = 128 rows, broadcast.
+    approx_dist(v) = sum over subspaces of LUT[sub, code(v)] — one
+    broadcast join + one hash aggregate over the code table; at scale
+    the encode is a write-time artifact and only the LUT join runs at
+    query time. Integer-exact end to end."""
+    subs = pq_subvectors(vecs, dim=dim, m=m)
+    cb = pq_codebook(subs, k=k)
+    enc = pq_encode(vecs, dim=dim, m=m, k=k)
+    qsubs = subs.where(F.col("id") == query_id).select(
+        F.col("sub").alias("qsub"), F.col("sv").alias("qsv")
+    )
+    lut = cb.join(
+        F.broadcast(qsubs), F.col("csub") == F.col("qsub")
+    ).select(
+        F.col("csub").alias("lsub"),
+        F.col("code").cast("bigint").alias("lcode"),
+        _sq_l2(F.col("qsv"), F.col("cv")).alias("qd"),
+    )
+    scored = enc.join(
+        F.broadcast(lut),
+        (F.col("sub_idx") == F.col("lsub")) & (F.col("code") == F.col("lcode")),
+    ).groupBy("vec_id").agg(F.sum("qd").alias("adc_dist"))
+    return scored.orderBy("adc_dist", "vec_id").limit(topk)

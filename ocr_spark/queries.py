@@ -5238,3 +5238,69 @@ def bitext_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return bitext_candidates(aug, pattern="(id|ref|num)-[0-9]+")
+
+
+def _sq8(a: str, b: str) -> str:
+    """8-term unrolled integer squared-L2 between two DuckDB list
+    exprs (mirror of ann._sq_l2's codegen unroll)."""
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, 9)
+    )
+
+
+_PQ_BASE = f"""
+    qv AS (SELECT vec_id, {_KM_QV} AS qv FROM embeddings),
+    g AS (SELECT unnest(generate_series(0, 7)) AS s),
+    sv AS (SELECT vec_id, s, qv[s*8+1:(s+1)*8] AS sv FROM qv, g),
+    cb AS (SELECT CAST(vec_id AS INT) AS code, s, sv AS cv
+           FROM sv WHERE vec_id < 16),
+    d AS (SELECT v.vec_id, v.s, c.code, {_sq8('v.sv', 'c.cv')} AS dist
+          FROM sv v JOIN cb c ON v.s = c.s),
+    a AS (SELECT vec_id, s, code, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, code) AS rn
+            FROM d) WHERE rn = 1)
+"""
+
+
+@query(
+    "pq_encode_codes",
+    f"""
+    WITH {_PQ_BASE}
+    SELECT vec_id, CAST(s AS BIGINT) AS sub_idx,
+           CAST(code AS BIGINT) AS code, CAST(dist AS BIGINT) AS dist
+    FROM a
+    """,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim
+    grid-quantized embeddings -> 8 subspaces x 16-entry codebooks ->
+    (vec_id, sub_idx, code, dist), integer-exact. One broadcast
+    codebook join + min(struct) hash aggregate — no window sort
+    (operators/ann.pq_encode)."""
+    from ocr_spark.operators.ann import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH {_PQ_BASE},
+    lut AS (SELECT c.s, c.code, {_sq8('q.sv', 'c.cv')} AS qd
+            FROM cb c JOIN sv q ON q.vec_id = 0 AND q.s = c.s),
+    sc AS (SELECT a.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+           FROM a JOIN lut l ON a.s = l.s AND a.code = l.code
+           GROUP BY 1)
+    SELECT vec_id, adc_dist FROM sc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: exact query subvectors against a
+    broadcast 128-row (sub, code) lookup table; approx distance is one
+    LUT-join + hash-sum over the stored codes. The scale path of the
+    ANN family: the encode is a write-time artifact, query time touches
+    only nibble codes + LUT (operators/ann.pq_adc_topk)."""
+    from ocr_spark.operators.ann import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))

@@ -374,3 +374,67 @@ def test_bitext_candidates_df_cap_and_langs(spark):
         for r in bitext_candidates(df).collect()
     }
     assert got == {(0, 1): ("en", "de", 2), (1, 2): ("de", "en", 2)}
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _np_pq(sf_dir):
+    """Numpy reference for the PQ pipeline on the quantized grid."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    qv = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    sv = qv.reshape(len(qv), 8, 8)                       # (n, sub, dsub)
+    cb = sv[ids < 16]                                    # code == vec_id
+    # encode: nearest code per (vec, sub), ties -> lowest code
+    d = ((sv[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(-1)  # (n, code, sub)
+    codes = d.argmin(1)                                  # first minimum
+    dists = d.min(1)
+    return ids, sv, cb, codes, dists
+
+
+def test_pq_encode_matches_numpy(spark):
+    from ocr_spark.operators.ann import pq_encode
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ids, sv, cb, codes, dists = _np_pq(sf)
+    got = {
+        (r.vec_id, r.sub_idx): (r.code, r.dist)
+        for r in pq_encode(load_table(spark, sf, "embeddings")).collect()
+    }
+    assert len(got) == len(ids) * 8
+    for i, vid in enumerate(ids):
+        for s in range(8):
+            assert got[(vid, s)] == (codes[i, s], dists[i, s]), (vid, s)
+
+
+def test_pq_adc_topk_matches_numpy_and_selfmatch(spark):
+    import numpy as np
+
+    from ocr_spark.operators.ann import pq_adc_topk
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ids, sv, cb, codes, dists = _np_pq(sf)
+    q = sv[ids == 0][0]                                   # query subvectors
+    lut = ((q[None, :, :] - cb) ** 2).sum(-1)             # (code, sub)
+    adc = np.take_along_axis(lut.T[None, :, :],           # (1, sub, code)
+                             codes[:, :, None], axis=2)[:, :, 0].sum(1)
+    order = np.lexsort((ids, adc))[:10]
+    expect = [(int(ids[i]), int(adc[i])) for i in order]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(load_table(spark, sf, "embeddings")).collect()
+    ]
+    assert got == expect
+    # the query is its own codebook entry -> exact self-match at rank 1
+    assert got[0] == (0, 0)

@@ -71,6 +71,8 @@ CRITICAL = [
     "sitemap_parse",
     "dataset_split_assignment",
     "bitext_candidate_mining",
+    "pq_encode_codes",
+    "pq_adc_topk",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
