@@ -409,3 +409,83 @@ def url_trap_flags(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "has_session_param", "too_long",
         ),
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame, min_count: int = 2, max_out: int = 64
+) -> DataFrame:
+    """Co-citation analysis (Small 1973): two outlinks are related if
+    the same pages cite both — the classic relatedness signal for
+    seed expansion and mirror discovery. Output:
+    (link_a, link_b, n_citing) with link_a < link_b,
+    n_citing >= min_count.
+
+    Scale guard: a hub page with L outlinks contributes C(L,2) pairs,
+    so pages past ``max_out`` outlinks are dropped before pairing
+    (hubs carry little co-citation signal — every pair on a 10k-link
+    directory page is noise; rank-truncation to the first max_out is
+    the softer alternative, same dataflow). After the cap the
+    self-join is bounded per page and the pair key is uniform."""
+    from pyspark.sql import Window
+
+    e = edges.select("url", "outlink").distinct()
+    capped = (
+        e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("url"))
+        )
+        .where(F.col("deg") <= max_out)
+        .drop("deg")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.outlink") < F.col("b.outlink")),
+        )
+        .groupBy(
+            F.col("a.outlink").alias("link_a"),
+            F.col("b.outlink").alias("link_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_citing"))
+        .where(F.col("n_citing") >= min_count)
+    )
+    return pairs
+
+
+def recrawl_intervals(
+    fetch_log: DataFrame,
+    base_hours: int = 168,
+    min_hours: int = 6,
+    max_hours: int = 720,
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling (the Cho &
+    Garcia-Molina '03 insight: fetch frequency should track observed
+    change frequency): per url, estimate staleness from the fetch
+    history and emit the next fetch interval —
+    ``clamp(base * (unchanged+1) / (changed+1), min, max)`` in whole
+    hours, integer floor-division so the schedule is engine-exact.
+
+    Input: (url, fetch_idx, changed∈{0,1}) rows; output:
+    (url, n_fetches, n_changes, next_interval_hours). One hash
+    aggregate on url — no window, no skew (url is unique-ish)."""
+    from ocr_spark.operators.training import floor_div
+
+    agg = fetch_log.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("changed").cast("long").alias("n_changes"),
+    )
+    raw = floor_div(
+        F.lit(base_hours)
+        * (F.col("n_fetches") - F.col("n_changes") + 1),
+        F.col("n_changes") + 1,
+    )
+    return agg.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.least(
+            F.lit(max_hours).cast("long"),
+            F.greatest(F.lit(min_hours).cast("long"), raw),
+        ).alias("next_interval_hours"),
+    )

@@ -197,3 +197,30 @@ def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
             "lastmod"
         ),
     )
+
+
+# Named-entity decode order matters: '&amp;' must decode LAST or
+# double-encoded entities ('&amp;lt;') would wrongly decode twice;
+# this chain reproduces html.unescape for the named subset exactly
+# (pinned by test against the stdlib).
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_unescape_col(col: Column) -> Column:
+    """Codegen HTML entity decode for the six entities that dominate
+    web text (full numeric-entity decode stays in the python DOM
+    parser — a codegen chain cannot evaluate &#NNN; arithmetically).
+    A replace chain is whole-stage-codegen JVM string work, so pages
+    that only need entity cleanup never pay the Arrow/python hop.
+    """
+    out = col
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out

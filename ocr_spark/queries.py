@@ -5304,3 +5304,129 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.ann import pq_adc_topk
 
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "entity_unescape",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'a &amp;lt; b &lt;em&gt; &quot;q' || CAST(doc_id AS VARCHAR)
+               || '&quot; &#39;s&#39; x&nbsp;y &amp; ' || lang AS raw
+      FROM documents)
+    SELECT doc_id, raw,
+           replace(replace(replace(replace(replace(replace(
+             raw, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', CHR(39)), '&nbsp;', CHR(160)), '&amp;', '&') AS decoded
+    FROM t
+    """,
+)
+def entity_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen HTML entity decode (the six dominant named entities;
+    '&amp;' last so double-encoded text single-decodes exactly like
+    html.unescape — pinned by test). Keeps entity-only cleanup JVM-side
+    instead of paying the Arrow hop (operators/extract
+    html_unescape_col)."""
+    from ocr_spark.operators.extract import html_unescape_col
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("a &amp;lt; b &lt;em&gt; &quot;q"),
+        F.col("doc_id").cast("string"),
+        F.lit("&quot; &#39;s&#39; x&nbsp;y &amp; "),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        html_unescape_col(raw).alias("decoded"),
+    )
+
+
+@query(
+    "cocitation_top",
+    f"""
+    WITH eo AS ({ORACLE['outlink_extraction']}),
+    e AS (SELECT DISTINCT url, outlink FROM eo),
+    deg AS (SELECT url FROM e GROUP BY url HAVING COUNT(*) <= 64),
+    c AS (SELECT e.url, e.outlink FROM e JOIN deg USING (url)),
+    p AS (SELECT a.outlink AS link_a, b.outlink AS link_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_citing
+          FROM c a JOIN c b ON a.url = b.url AND a.outlink < b.outlink
+          GROUP BY 1, 2)
+    SELECT * FROM p WHERE n_citing >= 2
+    """,
+)
+def cocitation_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (Small 1973) over the outlink graph: links
+    cited together by >=2 pages, hub pages capped at 64 outlinks
+    before pairing (C(L,2) blowup guard). The oracle composes the
+    outlink_extraction oracle — same synthesized pages
+    (operators/crawl.cocitation_pairs)."""
+    from ocr_spark.operators.crawl import cocitation_pairs, outlink_edges
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<nav><a href="/home">home</a>'
+              '<a href="mailto:ops@example.com">mail</a></nav>'
+              '<p>see <a href="/d'),
+        ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+        F.lit('">next</a> and <a href="https://host'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/promo">promo</a>'
+              '<a href="javascript:void(0)">x</a></p>'),
+    )
+    edges = outlink_edges(d.select(url.alias("url"), html.alias("html")))
+    return cocitation_pairs(edges, min_count=2, max_out=64)
+
+
+@query(
+    "recrawl_schedule",
+    """
+    WITH log AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+               || CAST(doc_id AS VARCHAR) AS url,
+             j AS fetch_idx,
+             CASE WHEN (doc_id + j) % (doc_id % 5 + 2) = 0
+                  THEN 1 ELSE 0 END AS changed
+      FROM documents, (SELECT unnest(generate_series(0, 3)) AS j)),
+    a AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                 CAST(SUM(changed) AS BIGINT) AS n_changes
+          FROM log GROUP BY 1)
+    SELECT url, n_fetches, n_changes,
+           least(CAST(720 AS BIGINT), greatest(CAST(6 AS BIGINT),
+             (168 * (n_fetches - n_changes + 1)) // (n_changes + 1)))
+             AS next_interval_hours
+    FROM a
+    """,
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (Cho & Garcia-Molina '03): a
+    4-fetch synthetic history per url (change pattern varies with
+    doc_id so every clamp branch is hit), next interval =
+    clamp(168h * (unchanged+1)/(changed+1), 6h, 720h) via exact
+    integer floor division (operators/crawl.recrawl_intervals)."""
+    from ocr_spark.operators.crawl import recrawl_intervals
+
+    d = load_table(spark, sf_dir, "documents")
+    log = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("fetch_idx"),
+        "doc_id",
+    ).select(
+        "url",
+        "fetch_idx",
+        F.when(
+            (F.col("doc_id") + F.col("fetch_idx"))
+            % (F.col("doc_id") % 5 + 2) == 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("changed"),
+    ).drop("doc_id")
+    return recrawl_intervals(log)

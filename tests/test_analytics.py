@@ -438,3 +438,59 @@ def test_pq_adc_topk_matches_numpy_and_selfmatch(spark):
     assert got == expect
     # the query is its own codebook entry -> exact self-match at rank 1
     assert got[0] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# entity decode / co-citation / recrawl scheduling
+# ---------------------------------------------------------------------------
+
+def test_html_unescape_matches_stdlib(spark):
+    """The codegen chain must reproduce html.unescape exactly on the
+    named-entity subset, including double-encoded text and the
+    U+00A0 nbsp mapping."""
+    import html as htmlmod
+
+    from ocr_spark.operators.extract import html_unescape_col
+
+    samples = [
+        "a &amp;lt; b", "&lt;em&gt;", "&quot;x&quot;", "&#39;s&#39;",
+        "x&nbsp;y", "&amp;amp;", "plain", "&amp;nbsp;", "&lt;&lt;&gt;",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["raw"])
+    got = {
+        r.raw: r.dec
+        for r in df.select(
+            "raw", html_unescape_col(F.col("raw")).alias("dec")
+        ).collect()
+    }
+    for s in samples:
+        assert got[s] == htmlmod.unescape(s), repr(s)
+
+
+def test_cocitation_pairs_hub_cap(spark):
+    from ocr_spark.operators.crawl import cocitation_pairs
+
+    rows = [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"),
+            ("p2", "c"), ("p3", "b"), ("p3", "c")]
+    # hub page with 5 outlinks, cap 4 -> contributes nothing
+    rows += [("hub", x) for x in "abcde"]
+    df = spark.createDataFrame(rows, ["url", "outlink"])
+    got = {
+        (r.link_a, r.link_b): r.n_citing
+        for r in cocitation_pairs(df, min_count=2, max_out=4).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+
+
+def test_recrawl_intervals_clamps(spark):
+    from ocr_spark.operators.crawl import recrawl_intervals
+
+    rows = (
+        [("never", j, 0) for j in range(4)]        # 168*5//1=840 -> 720
+        + [("always", j, 1) for j in range(4)]     # 168*1//5=33
+        + [("half", 0, 1), ("half", 1, 0)]         # 168*2//2=168
+    )
+    df = spark.createDataFrame(rows, ["url", "fetch_idx", "changed"])
+    got = {r.url: r.next_interval_hours
+           for r in recrawl_intervals(df).collect()}
+    assert got == {"never": 720, "always": 33, "half": 168}

@@ -73,6 +73,9 @@ CRITICAL = [
     "bitext_candidate_mining",
     "pq_encode_codes",
     "pq_adc_topk",
+    "entity_unescape",
+    "cocitation_top",
+    "recrawl_schedule",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
