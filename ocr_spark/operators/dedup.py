@@ -879,3 +879,46 @@ def editdist_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    host_of=lambda c: c % 97,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level boilerplate shingle mining (the corpus-side cousin of
+    DOM boilerplate stripping, cf. CCNet's per-snapshot dedup of
+    repeated lines): shingles that recur across >= min_df documents of
+    the SAME host are navigation/footer templates, not content —
+    downstream extraction subtracts them.
+
+    Output: (host, h, df, n_docs, permille) where permille =
+    1000*df/n_docs (integer floor). `host_of` derives the host from
+    the doc key (zero-cost column expression — with a real url column
+    the host comes from the same row; either way NO doc->host join).
+
+    Scale: one (host, shingle) hash aggregate over the exploded rows
+    (uniform keys — md5 shingle hashes don't hot-spot) plus a per-host
+    count broadcast back; shingle_rows' single id-shuffle dominates.
+    """
+    from ocr_spark.operators.training import floor_div
+
+    inv = shingle_rows(docs, id_col, text_col)
+    per = (
+        inv.select(host_of(F.col("id")).alias("host"), "h")
+        .groupBy("host", "h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    hd = docs.groupBy(host_of(F.col(id_col)).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return per.join(hd, "host").select(
+        "host",
+        "h",
+        "df",
+        "n_docs",
+        floor_div(1000 * F.col("df"), F.col("n_docs")).alias("permille"),
+    )

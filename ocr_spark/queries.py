@@ -5430,3 +5430,170 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).alias("changed"),
     ).drop("doc_id")
     return recrawl_intervals(log)
+
+
+def _trustrank_oracle(iters: int = 3) -> str:
+    """_pagerank_oracle with the teleport mass restricted to a trusted
+    seed set (hosts with h % 7 == 0) — TrustRank (Gyöngyi et al.,
+    VLDB'04): authority flows outward from vetted seeds only, so spam
+    farms that manufacture in-links among themselves accumulate little
+    trust."""
+    parts = [
+        "hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents)",
+        """edges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h)""",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT h, CAST(CASE WHEN h % 7 = 0 THEN 1000000 ELSE 0 END"
+        " AS BIGINT) AS r FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""inflow{i} AS (
+      SELECT e.dst AS h,
+             CAST(SUM((p.r - ((p.r % o.deg) + o.deg) % o.deg) // o.deg)
+                  AS BIGINT) AS s
+      FROM edges e JOIN r{i - 1} p ON e.src = p.h
+           JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT hosts.h,
+             CASE WHEN hosts.h % 7 = 0 THEN 150000 ELSE 0 END
+               + CAST((COALESCE(s, 0) * 85
+                       - ((COALESCE(s, 0) * 85 % 100) + 100) % 100)
+                      // 100 AS BIGINT) AS r
+      FROM hosts LEFT JOIN inflow{i} ON hosts.h = inflow{i}.h)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT h AS host,
+           CAST(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS trusted,
+           r AS trust
+    FROM r{iters}"""
+    )
+
+
+@query("trustrank_hosts", _trustrank_oracle())
+def trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB'04) over the synthesized host
+    graph: identical integer-micro-unit power iteration as
+    host_pagerank but with the teleport mass restricted to a trusted
+    seed set (h % 7 == 0) — link spam that only cross-links within
+    itself gets ~zero trust, the spam-demotion signal curation mixes
+    with raw PageRank. Same scale shape: uniform dst-key shuffles,
+    map-side partial sums, fixed iteration count."""
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    trusted = (F.col("h") % 7 == 0)
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    edges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = hosts.select(
+        "h",
+        F.when(trusted, F.lit(1000000)).otherwise(F.lit(0))
+        .cast("long").alias("r"),
+    )
+    for _ in range(3):
+        inflow = (
+            edges.join(ranks.withColumnRenamed("h", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", floor_div(F.col("r"), F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            hosts.join(inflow.withColumnRenamed("dst", "h"), "h", "left")
+            .select(
+                "h",
+                (
+                    F.when(trusted, F.lit(150000)).otherwise(F.lit(0))
+                    .cast("long")
+                    + floor_div(
+                        F.coalesce(F.col("s"), F.lit(0)) * 85, F.lit(100)
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("h").alias("host"),
+        F.when(trusted, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("trusted"),
+        F.col("r").alias("trust"),
+    )
+
+
+@query(
+    "host_boilerplate_shingles",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    inv AS (SELECT doc_id % 97 AS host, unnest(hs) AS h FROM sh),
+    hd AS (SELECT doc_id % 97 AS host, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+    f AS (SELECT host, h, CAST(COUNT(*) AS BIGINT) AS df
+          FROM inv GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT f.host, f.h, f.df, hd.n_docs,
+           CAST((1000 * f.df) // hd.n_docs AS BIGINT) AS permille
+    FROM f JOIN hd ON f.host = hd.host
+    """,
+)
+def host_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate mining: shingles recurring across >=2
+    documents of the same host (navigation/footer templates — the
+    corpus-side complement of DOM boilerplate stripping, cf. CCNet's
+    repeated-line dedup), with the per-host recurrence permille.
+    (operators/dedup.boilerplate_shingles; host derives from the doc
+    key as a column expression — no doc->host join)."""
+    from ocr_spark.operators.dedup import boilerplate_shingles
+
+    return boilerplate_shingles(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "hll_host_sketches",
+    f"""
+    WITH h AS (
+      SELECT doc_id % 97 AS host, {_duck_md5hash64('text')} AS h64
+      FROM documents),
+    parts AS (SELECT host, h64 % 64 AS bucket, h64 // 64 AS w FROM h)
+    SELECT host, bucket,
+           MAX(CASE WHEN w = 0 THEN 55
+                    ELSE 55 - length(bin(w)) END) AS max_rho
+    FROM parts GROUP BY host, bucket
+    """,
+)
+def hll_host_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host HyperLogLog register tables over document content —
+    grouped sketches whose plain-MAX mergeability turns union
+    cardinality at any coarser grain (shard/day/corpus) into a
+    64-longs-per-group rollup; merge==direct is pinned in pytest
+    (streaming/pipeline.hll_registers_grouped, same registers as the
+    streaming surface)."""
+    from ocr_spark.streaming.pipeline import hll_registers_grouped
+
+    d = load_table(spark, sf_dir, "documents")
+    g = hll_registers_grouped(
+        d.select((F.col("doc_id") % 97).alias("host"), "text"),
+        "host",
+        "text",
+    )
+    return g.select(F.col("grp").alias("host"), "bucket", "max_rho")

@@ -373,3 +373,33 @@ def curation_gate(docs: DataFrame, thresholds: DataFrame) -> DataFrame:
         .where(bucket < F.col("thr"))
         .select("doc_id", "host", "margin", "thr")
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog register tables (64 buckets, same hash/
+    rank expressions as hll_registers): (group, bucket, max_rho).
+
+    The point of grouping sketches: registers merge by plain MAX, so
+    per-host (or per-shard, per-day) sketches roll up to any coarser
+    grain without touching raw data — union-cardinality at 10^12 rows
+    becomes a 64-longs-per-group aggregate. The merge-equals-direct
+    law is pinned in tests/test_analytics.py.
+    """
+    h64 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    parts = df.select(
+        F.col(group_col).alias("grp"),
+        (h64 % 64).alias("bucket"),
+        F.shiftright(h64, 6).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 55).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("w")))
+    )
+    return parts.groupBy("grp", "bucket").agg(
+        F.max(rho).cast("bigint").alias("max_rho")
+    )

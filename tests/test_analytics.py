@@ -494,3 +494,65 @@ def test_recrawl_intervals_clamps(spark):
     got = {r.url: r.next_interval_hours
            for r in recrawl_intervals(df).collect()}
     assert got == {"never": 720, "always": 33, "half": 168}
+
+
+# ---------------------------------------------------------------------------
+# trustrank / boilerplate shingles / grouped HLL
+# ---------------------------------------------------------------------------
+
+def test_trustrank_spam_gets_no_mass(spark):
+    """An untrusted host with no in-path from any trusted seed must end
+    at exactly 0 trust; trusted seeds keep their teleport mass."""
+    from ocr_spark.queries import QUERIES
+
+    out = {r.host: (r.trusted, r.trust)
+           for r in QUERIES["trustrank_hosts"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert all(t == 1 for h, (t, _) in out.items() if h % 7 == 0)
+    # teleport-only lower bound for trusted hosts
+    assert all(v >= 150000 for h, (t, v) in out.items() if t == 1)
+    # total trust never exceeds injected mass (teleport leaks out of
+    # dangling/85% damping): conservation sanity
+    n_seed = sum(1 for h, (t, _) in out.items() if t == 1)
+    assert sum(v for _, v in out.values()) <= n_seed * 1_000_000 * 4
+
+
+def test_hll_grouped_merge_equals_direct(spark):
+    """The sketch-algebra law the operator exists for: MAX-merging
+    per-group registers equals the direct global sketch."""
+    from ocr_spark.sources.tables import load_table
+    from ocr_spark.streaming.pipeline import (
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    grouped = hll_registers_grouped(
+        ev.select((F.col("user_id") % 7).alias("g"), "user_id"),
+        "g", "user_id",
+    )
+    merged = {
+        r.bucket: r.m
+        for r in grouped.groupBy("bucket")
+        .agg(F.max("max_rho").alias("m")).collect()
+    }
+    direct = {r.bucket: r.max_rho for r in hll_registers(ev).collect()}
+    assert merged == direct
+
+
+def test_boilerplate_shingles_exact(spark):
+    from ocr_spark.operators.dedup import boilerplate_shingles
+
+    rows = [
+        (0, "nav home about us page one content alpha"),
+        (97, "nav home about us page two content beta"),   # same host 0
+        (194, "unique words entirely different text here"),  # host 0
+        (1, "nav home about us page three content gamma"),   # host 1, alone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_shingles(df).collect()
+    # only host 0 can have df>=2; 'nav home about'/'home about us'
+    # (+ 'about us page') recur in docs 0 and 97
+    assert out and all(r.host == 0 for r in out)
+    assert all(r.df == 2 and r.n_docs == 3 and r.permille == 666 for r in out)
+    assert len(out) == 3

@@ -76,6 +76,9 @@ CRITICAL = [
     "entity_unescape",
     "cocitation_top",
     "recrawl_schedule",
+    "trustrank_hosts",
+    "host_boilerplate_shingles",
+    "hll_host_sketches",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
