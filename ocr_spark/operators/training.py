@@ -583,3 +583,104 @@ def span_corruption_masks(
         (F.col("span_id") * F.col("stride") + off + 1).alias("span_start"),
         F.lit(span_len).cast("long").alias("span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: top principal component by quantized power iteration
+# ---------------------------------------------------------------------------
+
+PCA_VSCALE = 10_000      # magnitude the iterated vector is renormalized to
+PCA_SHIFT = 1_000_000    # per-row projection downshift between the two passes
+
+
+def pca_power(
+    emb: DataFrame, iters: int = 2, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Top principal component of the embedding table by power
+    iteration on the (implicit, never materialized) Gram matrix, all
+    integer arithmetic so the result is bit-identical under any
+    partitioning.
+
+    Each iteration is two matvec passes instead of a d x d covariance
+    build: s_i = <c_i, v> (per-row integer fold over the centered
+    quantized vector), then u_d = sum_i s'_i * c_i[d] (posexplode ->
+    groupBy d with map-side partial sums — d keys, so every task
+    reduces to d rows before the shuffle). The vector is renormalized
+    to ~PCA_VSCALE by an integer floor division so magnitudes stay
+    bounded across iterations.
+
+    Overflow budget (|q| <= 2e6 after centering, |v| <= ~2e4):
+    s <= dim * 2e6 * 2e4 ~ 2.6e12; s' = s // PCA_SHIFT <= 2.6e6;
+    per-row product <= 5.2e12, so the u_d sums hold ~1.7e6 rows in
+    int64 — beyond that raise PCA_SHIFT by ~log2(n/1e6) bits (or sum
+    in DECIMAL(38,0)); the plan shape is unchanged.
+
+    Returns (component, centered): component = (d, component,
+    gram_scale) with d 1-based, gram_scale the pre-normalization
+    max|u| (a Rayleigh-quotient-scale proxy); centered = (vec_id, d,
+    x) exploded centered rows for projection reuse.
+    """
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    q = emb.repartition(n_part, "vec_id").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    )
+    ex = q.select("vec_id", F.posexplode("qv").alias("d0", "x0"))
+    mean = ex.groupBy("d0").agg(
+        floor_div(F.sum("x0"), F.count(F.lit(1))).alias("m")
+    )
+    cent = ex.join(F.broadcast(mean), "d0").select(
+        "vec_id", (F.col("d0") + 1).alias("d"), (F.col("x0") - F.col("m")).alias("x")
+    )
+    # the iterated vector lives as d tiny rows (d, v) — always broadcast
+    v = mean.select(
+        (F.col("d0") + 1).alias("d"), F.lit(PCA_VSCALE).cast("long").alias("v")
+    )
+    gram = None
+    for _ in range(iters):
+        s = (
+            cent.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("sraw"))
+            .select(
+                "vec_id", floor_div(F.col("sraw"), F.lit(PCA_SHIFT)).alias("s")
+            )
+        )
+        u = (
+            cent.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+        )
+        gram = u.agg(
+            F.greatest(
+                floor_div(F.max(F.abs(F.col("u"))), F.lit(PCA_VSCALE)),
+                F.lit(1).cast("long"),
+            ).alias("mm")
+        )
+        v = u.crossJoin(F.broadcast(gram)).select(
+            "d", floor_div(F.col("u"), F.col("mm")).alias("v")
+        )
+    component = v.crossJoin(F.broadcast(gram)).select(
+        "d", F.col("v").alias("component"), F.col("mm").alias("gram_scale")
+    )
+    return component, cent
+
+
+def pca_projections(
+    emb: DataFrame, iters: int = 2, dim: int = 64, topk: int = 20
+) -> DataFrame:
+    """Top-``topk`` rows by |projection| onto the pca_power component
+    (semantic-outlier surfacing: the docs that dominate the corpus's
+    principal direction). Deterministic total order (|proj| desc,
+    vec_id asc); the projection is the same integer fold as the
+    iteration's s-pass, so it is oracle-exact."""
+    component, cent = pca_power(emb, iters, dim)
+    proj = (
+        cent.join(F.broadcast(component.select("d", F.col("component").alias("v"))), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("v")).alias("sraw"))
+        .select("vec_id", floor_div(F.col("sraw"), F.lit(PCA_SHIFT)).alias("proj"))
+    )
+    return (
+        proj.orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id"))
+        .limit(topk)
+    )

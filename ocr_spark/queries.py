@@ -5597,3 +5597,277 @@ def hll_host_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return g.select(F.col("grp").alias("host"), "bucket", "max_rho")
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration / HITS / TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+def _sql_floor_div(num: str, den: str) -> str:
+    """The cross-engine floor-division form as DuckDB SQL text (Spark
+    `div` truncates, DuckDB `//` floors — they agree only after the
+    positive-remainder subtraction)."""
+    return (
+        f"CAST(({num} - ((({num}) % ({den})) + ({den})) % ({den}))"
+        f" // ({den}) AS BIGINT)"
+    )
+
+
+def _pca_cte(iters: int = 2) -> str:
+    """Shared CTE chain for the PCA oracles: quantize -> center ->
+    ``iters`` power-iteration rounds, mirroring operators/training.
+    pca_power integer-for-integer."""
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv"
+        " FROM embeddings)",
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS d)",
+        "ex AS (SELECT vec_id, d, qv[d] AS x0 FROM q CROSS JOIN dims)",
+        f"""mean AS (SELECT d, {_sql_floor_div("SUM(x0)", "COUNT(*)")} AS m
+      FROM ex GROUP BY d)""",
+        "cent AS (SELECT vec_id, ex.d, x0 - m AS x"
+        " FROM ex JOIN mean ON ex.d = mean.d)",
+        "v0 AS (SELECT d, CAST(10000 AS BIGINT) AS v FROM dims)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (SELECT vec_id,
+        {_sql_floor_div("SUM(x * v)", "1000000")} AS s
+      FROM cent JOIN v{i - 1} USING (d) GROUP BY vec_id)"""
+        )
+        parts.append(
+            f"""u{i} AS (SELECT d, CAST(SUM(x * s) AS BIGINT) AS u
+      FROM cent JOIN s{i} USING (vec_id) GROUP BY d)"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT GREATEST(
+        {_sql_floor_div("MAX(ABS(u))", "10000")}, CAST(1 AS BIGINT)) AS mm
+      FROM u{i})"""
+        )
+        parts.append(
+            f"""v{i} AS (SELECT d, {_sql_floor_div("u", "mm")} AS v
+      FROM u{i} CROSS JOIN m{i})"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query(
+    "pca_power_component",
+    _pca_cte(2)
+    + """
+    SELECT d, v AS component, mm AS gram_scale
+    FROM v2 CROSS JOIN m2
+    """,
+)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by quantized
+    power iteration (2 rounds) — corpus drift/anisotropy monitoring
+    without ever materializing a covariance matrix. Each round is two
+    matvec passes: a per-row integer fold then a d-key aggregate with
+    map-side partial sums, so the only corpus-wide shuffles key on
+    vec_id / 64 dims. Bit-exact across engines (integer grid + explicit
+    floor renormalization); see operators/training.pca_power for the
+    int64 overflow budget."""
+    from ocr_spark.operators.training import pca_power
+
+    component, _ = pca_power(load_table(spark, sf_dir, "embeddings"))
+    return component
+
+
+@query(
+    "pca_doc_projections",
+    _pca_cte(2)
+    + f"""
+    , proj AS (
+      SELECT vec_id, {_sql_floor_div("SUM(x * v)", "1000000")} AS proj
+      FROM cent JOIN v2 USING (d) GROUP BY vec_id)
+    SELECT vec_id, proj FROM proj
+    ORDER BY ABS(proj) DESC, vec_id LIMIT 20
+    """,
+)
+def pca_doc_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embeddings by |projection| onto the corpus's principal
+    component — the outlier-surfacing read of pca_power_component
+    (docs that dominate the dominant direction are dedup/contamination
+    suspects). Same integer fold as the iteration's s-pass; the final
+    top-k is a deterministic total order (|proj| desc, vec_id)."""
+    from ocr_spark.operators.training import pca_projections
+
+    return pca_projections(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    parts = [
+        "hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents)",
+        """edges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h)""",
+        "hub0 AS (SELECT h, CAST(1000000 AS BIGINT) AS hub FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""araw{i} AS (
+      SELECT hosts.h, CAST(COALESCE(SUM(p.hub), 0) AS BIGINT) AS a
+      FROM hosts LEFT JOIN edges e ON e.dst = hosts.h
+           LEFT JOIN hub{i - 1} p ON e.src = p.h
+      GROUP BY hosts.h)"""
+        )
+        parts.append(
+            f"""anorm{i} AS (SELECT GREATEST(
+        {_sql_floor_div("MAX(a)", "1000000")}, CAST(1 AS BIGINT)) AS mm
+      FROM araw{i})"""
+        )
+        parts.append(
+            f"""auth{i} AS (SELECT h, {_sql_floor_div("a", "mm")} AS auth
+      FROM araw{i} CROSS JOIN anorm{i})"""
+        )
+        parts.append(
+            f"""hraw{i} AS (
+      SELECT hosts.h, CAST(COALESCE(SUM(p.auth), 0) AS BIGINT) AS a
+      FROM hosts LEFT JOIN edges e ON e.src = hosts.h
+           LEFT JOIN auth{i} p ON e.dst = p.h
+      GROUP BY hosts.h)"""
+        )
+        parts.append(
+            f"""hnorm{i} AS (SELECT GREATEST(
+        {_sql_floor_div("MAX(a)", "1000000")}, CAST(1 AS BIGINT)) AS mm
+      FROM hraw{i})"""
+        )
+        parts.append(
+            f"""hub{i} AS (SELECT h, {_sql_floor_div("a", "mm")} AS hub
+      FROM hraw{i} CROSS JOIN hnorm{i})"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT hub{iters}.h AS host, hub, auth
+    FROM hub{iters} JOIN auth{iters} ON hub{iters}.h = auth{iters}.h"""
+    )
+
+
+@query("hits_hubs_authorities", _hits_oracle(2))
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg, JACM'99) over the synthesized host graph: 2
+    rounds of hub/authority mutual reinforcement in integer micro-units
+    — the directory-page vs content-page split that complements
+    host_pagerank/trustrank_hosts in link-based curation. Normalization
+    is max-based via the same floor-divide-by-(max//scale) trick as
+    pca_power (no multiply before divide — no int64 overflow at any
+    host count). Scale: edges shuffle on uniform src/dst keys with
+    map-side partial sums; the norm is a 1-row broadcast."""
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    edges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+
+    def _norm(raw: DataFrame, out: str) -> DataFrame:
+        mm = raw.agg(
+            F.greatest(
+                floor_div(F.max("a"), F.lit(1000000)), F.lit(1).cast("long")
+            ).alias("mm")
+        )
+        return raw.crossJoin(F.broadcast(mm)).select(
+            "h", floor_div(F.col("a"), F.col("mm")).alias(out)
+        )
+
+    hub = hosts.select("h", F.lit(1000000).cast("long").alias("hub"))
+    auth = None
+    for _ in range(2):
+        araw = (
+            hosts.join(edges.withColumnRenamed("dst", "h"), "h", "left")
+            .join(hub.select(F.col("h").alias("src"), "hub"), "src", "left")
+            .groupBy("h")
+            .agg(F.coalesce(F.sum("hub"), F.lit(0)).cast("long").alias("a"))
+        )
+        auth = _norm(araw, "auth")
+        hraw = (
+            hosts.join(edges.withColumnRenamed("src", "h"), "h", "left")
+            .join(auth.select(F.col("h").alias("dst"), "auth"), "dst", "left")
+            .groupBy("h")
+            .agg(F.coalesce(F.sum("auth"), F.lit(0)).cast("long").alias("a"))
+        )
+        hub = _norm(hraw, "hub")
+    return hub.join(auth, "h").select(
+        F.col("h").alias("host"), "hub", "auth"
+    )
+
+
+@query(
+    "tfidf_keywords_top3",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST((tf * big_n * 1000
+                   - (((tf * big_n * 1000) % df) + df) % df) // df
+                  AS BIGINT) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS BIGINT)
+               AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_keywords_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords with a rational integer
+    score floor(tf * N * 1000 / df) — monotone in tf * (N/df) with no
+    log (ln differs across libm builds; the ordering is what matters
+    for keyword extraction). Plan: one explode -> (doc, term) count,
+    a broadcast term-df join, one row_number window partitioned by
+    doc_id — uniform keys throughout; at 10^12 docs the df side is
+    vocabulary-sized (broadcast or shuffle join, Catalyst's pick)."""
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("big_n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            floor_div(
+                F.col("tf") * F.col("big_n") * 1000, F.col("df")
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )

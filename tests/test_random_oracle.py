@@ -79,6 +79,10 @@ CRITICAL = [
     "trustrank_hosts",
     "host_boilerplate_shingles",
     "hll_host_sketches",
+    "pca_power_component",
+    "pca_doc_projections",
+    "hits_hubs_authorities",
+    "tfidf_keywords_top3",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
