@@ -5871,3 +5871,214 @@ def tfidf_keywords_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# extraction QA eval / positional phrase match / DOM tag histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "extraction_eval_prf",
+    """
+    WITH pairs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 0
+                  THEN text || ' extracted noise' ELSE text END AS cand,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' promo subscribe now' ELSE text END AS gold
+      FROM documents),
+    ctf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS ctf
+            FROM (SELECT doc_id, unnest(string_split(cand, ' ')) AS w
+                  FROM pairs) GROUP BY doc_id, w),
+    gtf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS gtf
+            FROM (SELECT doc_id, unnest(string_split(gold, ' ')) AS w
+                  FROM pairs) GROUP BY doc_id, w),
+    m AS (
+      SELECT COALESCE(c.doc_id, g.doc_id) AS doc_id,
+             COALESCE(ctf, 0) AS ctf, COALESCE(gtf, 0) AS gtf
+      FROM ctf c FULL OUTER JOIN gtf g
+           ON c.doc_id = g.doc_id AND c.w = g.w),
+    agg AS (
+      SELECT doc_id, CAST(SUM(LEAST(ctf, gtf)) AS BIGINT) AS tp,
+             CAST(SUM(ctf) AS BIGINT) AS n_cand,
+             CAST(SUM(gtf) AS BIGINT) AS n_gold
+      FROM m GROUP BY doc_id)
+    SELECT doc_id, tp, n_cand, n_gold,
+           CAST((1000 * tp) // n_cand AS BIGINT) AS p_permille,
+           CAST((1000 * tp) // n_gold AS BIGINT) AS r_permille,
+           CAST((2000 * tp) // (n_cand + n_gold) AS BIGINT) AS f1_permille
+    FROM agg
+    """,
+)
+def extraction_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale extraction QA: token-multiset precision/recall/F1
+    (permille, integer floor — numerators/denominators are counts, so
+    the pmod floor form is unneeded) of a candidate extraction against
+    gold text per document. The harness every extractor change is
+    judged by at 10^12 docs: two (doc, token) tf aggregates, one
+    full-outer merge on (doc, token) — uniform keys, map-side partial
+    sums, no python. Candidate/gold are deterministically perturbed
+    per doc_id residue so all three metrics exercise values < 1000."""
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 != 0),
+            F.concat(F.col("text"), F.lit(" extracted noise")),
+        ).otherwise(F.col("text")).alias("cand"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" promo subscribe now")),
+        ).otherwise(F.col("text")).alias("gold"),
+    )
+
+    def tf(col: str, out: str) -> DataFrame:
+        return (
+            pairs.select("doc_id", F.explode(tokens(F.col(col))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    m = tf("cand", "ctf").join(tf("gold", "gtf"), ["doc_id", "w"], "full_outer")
+    agg = (
+        m.select(
+            "doc_id",
+            F.coalesce("ctf", F.lit(0)).alias("ctf"),
+            F.coalesce("gtf", F.lit(0)).alias("gtf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least("ctf", "gtf")).alias("tp"),
+            F.sum("ctf").alias("n_cand"),
+            F.sum("gtf").alias("n_gold"),
+        )
+    )
+    return agg.select(
+        "doc_id", "tp", "n_cand", "n_gold",
+        floor_div(1000 * F.col("tp"), F.col("n_cand")).alias("p_permille"),
+        floor_div(1000 * F.col("tp"), F.col("n_gold")).alias("r_permille"),
+        floor_div(
+            2000 * F.col("tp"), F.col("n_cand") + F.col("n_gold")
+        ).alias("f1_permille"),
+    )
+
+
+_PHRASE = ("data", "column")
+
+
+@query(
+    "phrase_match_positions",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i, t
+      FROM toks),
+    hits AS (
+      SELECT doc_id, i FROM pos
+      WHERE w = '{_PHRASE[0]}' AND i + 1 <= len(t)
+            AND t[i + 1] = '{_PHRASE[1]}')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(i) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{0} {1}") via positional posting lists —
+    the operator BM25's bag-of-words scoring cannot express: posexplode
+    to (doc, pos, term) rows, keep each phrase term's postings, and
+    self-join on (doc, pos+1) adjacency. 1-based positions. Scale: the
+    join keys are (doc_id, pos) — unique and uniform; per-term postings
+    are filtered BEFORE the join (prefix-filter shape), so the shuffle
+    carries only the two terms' lists, not the corpus.""".format(*_PHRASE)
+    d = load_table(spark, sf_dir, "documents")
+    from ocr_spark.operators.dedup import tokens
+
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "w")
+    p1 = pos.where(F.col("w") == _PHRASE[0]).select("doc_id", "i")
+    p2 = pos.where(F.col("w") == _PHRASE[1]).select(
+        "doc_id", (F.col("i") - 1).alias("i")
+    )
+    return (
+        p1.join(p2, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("i").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "dom_tag_histogram",
+    """
+    WITH esc AS (
+      SELECT doc_id,
+             replace(replace(replace(text, '&', '&amp;'),
+                     '<', '&lt;'), '>', '&gt;') AS body
+      FROM documents),
+    page AS (
+      SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>d</title>'
+             || '<script>var x=1;</script></head>'
+             || '<body><header><h1>gazette</h1></header>'
+             || '<nav><a href="/home">home</a> <a href="/tags">tags</a>'
+             || ' <a href="/rss">rss</a></nav><main><p>'
+             || body
+             || '</p></main><div class="promo">subscribe</div>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<aside><p>related</p></aside>' ELSE '' END
+             || '<footer><p>© 2025 example — all rights reserved</p>'
+             || '</footer></body></html>' AS html
+      FROM esc),
+    tags AS (
+      SELECT doc_id, unnest(regexp_extract_all(html, '<([a-z]+)', 1)) AS tag
+      FROM page)
+    SELECT tag, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM tags GROUP BY tag
+    """,
+)
+def dom_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM tag histogram over the synthesized page corpus (every
+    opening tag, via one regexp_extract_all + explode — shuffle-free
+    until the tag-keyed aggregate, ~30 uniform keys with map-side
+    partials): the markup-shape profile that drives extractor
+    heuristics tuning (div-soup vs semantic-tag sites). Pages get an
+    extra <aside> on doc_id % 5 == 0 so counts vary per tag."""
+    from ocr_spark.operators.extract import html_escape_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    body = html_escape_expr(F.col("text"))
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><title>d</title><script>var x=1;'
+            "</script></head><body><header><h1>gazette</h1></header>"
+            '<nav><a href="/home">home</a> <a href="/tags">tags</a>'
+            ' <a href="/rss">rss</a></nav><main><p>'
+        ),
+        body,
+        F.lit('</p></main><div class="promo">subscribe</div>'),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("<aside><p>related</p></aside>")
+        ).otherwise(F.lit("")),
+        F.lit("<footer><p>© 2025 example — all rights reserved</p></footer>"
+              "</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    tags = pages.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(html, '<([a-z]+)', 1)")
+        ).alias("tag"),
+    )
+    return tags.groupBy("tag").agg(
+        F.countDistinct("doc_id").alias("n_pages"),
+        F.count(F.lit(1)).alias("total"),
+    )

@@ -707,3 +707,64 @@ def test_tfidf_keywords_handcrafted(spark):
     # doc 1: 'plain' df=2 -> 1500 beats 'common' -> 1000
     assert sorted(by_doc[1])[:2] == [(1, "plain", 1500), (2, "common", 1000)]
     assert all(len(v) <= 3 for v in by_doc.values())
+
+
+def test_extraction_eval_prf_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    # doc 3 (gold += 'promo subscribe now'): recall/F1 dip, precision 1000
+    # doc 5 (cand += 'extracted noise'): precision/F1 dip, recall 1000
+    # doc 1: identical -> all 1000
+    df = spark.createDataFrame(
+        [(1, "a b c"), (3, "a b c"), (5, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: r for r in QUERIES["extraction_eval_prf"](
+            spark, "ignored").collect()}
+    assert (out[1].p_permille, out[1].r_permille, out[1].f1_permille) == \
+        (1000, 1000, 1000)
+    assert out[3].p_permille == 1000 and out[3].n_gold == 6
+    assert out[3].r_permille == 500 and out[3].f1_permille == 666
+    assert out[5].r_permille == 1000 and out[5].n_cand == 9
+    assert out[5].p_permille == 777 and out[5].f1_permille == 875
+
+
+def test_phrase_match_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (0, "data column x data column"),   # matches at 1 and 4
+            (1, "column data"),                 # reversed: no match
+            (2, "data x column"),               # gapped: no match
+            (3, "x data column"),               # match at 2
+        ],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: (r.n_matches, r.first_pos)
+               for r in QUERIES["phrase_match_positions"](
+                   spark, "ignored").collect()}
+    assert out == {0: (2, 1), 3: (1, 2)}
+
+
+def test_dom_tag_histogram_counts(spark):
+    from ocr_spark.queries import QUERIES
+
+    out = {r.tag: (r.n_pages, r.total)
+           for r in QUERIES["dom_tag_histogram"](
+               spark, "/root/testdata/sf0.001").collect()}
+    n = out["html"][0]
+    # fixed template: every page has exactly 3 <a> and (2 + aside) <p>
+    assert out["a"] == (n, 3 * n)
+    n_aside = out["aside"][1] if "aside" in out else 0
+    assert out["p"][1] == 2 * n + n_aside
+    # escaped body text can never contribute a tag
+    assert "script" in out and out["script"] == (n, n)

@@ -83,6 +83,9 @@ CRITICAL = [
     "pca_doc_projections",
     "hits_hubs_authorities",
     "tfidf_keywords_top3",
+    "extraction_eval_prf",
+    "phrase_match_positions",
+    "dom_tag_histogram",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
