@@ -922,3 +922,66 @@ def boilerplate_shingles(
         "n_docs",
         floor_div(1000 * F.col("df"), F.col("n_docs")).alias("permille"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/LBFS-style): cut each text at
+    positions where the hash of the trailing ``window`` chars is 0 mod
+    ``mask`` (expected chunk ~``mask`` chars). Because the boundary
+    predicate depends only on local content, an insertion shifts at
+    most one chunk — the property that makes chunk-hash dedup robust
+    where fixed-size blocks break, and (unlike sequential min/max-size
+    CDC variants) keeps every boundary decision independent, i.e.
+    embarrassingly parallel.
+
+    Returns (doc_id, chunk_idx, start, chunk_len, chunk_hash), start
+    1-based, chunks covering the text exactly.
+
+    Scale: per-position explode (the winnowing-fingerprint shape — one
+    input-spreading shuffle, codegen md5 per position), boundary rows
+    collapse to ~len/mask per doc, and the chunk assembly is a lag
+    window partitioned by doc_id over those few rows. No HOF ever
+    touches the exploded array (projection-collapse rule).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    )
+    pos = d.where(F.length("s") >= window).select(
+        "id", "s",
+        F.explode(
+            F.sequence(F.lit(1), F.length("s") - (window - 1))
+        ).alias("i"),
+    )
+    bounds = pos.where(
+        fast_hash(F.expr(f"substring(s, i, {window})")) % mask == 0
+    ).select("id", (F.col("i") + (window - 1)).alias("e"))
+    ends = bounds.union(
+        d.select("id", F.length("s").cast("long").alias("e"))
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy("e")
+    ch = ends.select(
+        "id", "e",
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("start"),
+        F.row_number().over(w).cast("long").alias("chunk_idx"),
+    )
+    return (
+        ch.join(d, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            F.col("start").cast("long").alias("start"),
+            (F.col("e") - F.col("start") + 1).cast("long").alias("chunk_len"),
+            fast_hash(
+                F.expr("substring(s, start, e - start + 1)")
+            ).alias("chunk_hash"),
+        )
+    )

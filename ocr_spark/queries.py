@@ -6082,3 +6082,234 @@ def dom_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_pages"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty / host lang diversity / safety blocklist / CDC chunking
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_novelty",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    inv AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    owner AS (SELECT h, MIN(doc_id) AS first_doc FROM inv GROUP BY h),
+    per AS (
+      SELECT inv.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) FILTER (owner.first_doc = inv.doc_id)
+                  AS BIGINT) AS n_novel
+      FROM inv JOIN owner ON inv.h = owner.h
+      GROUP BY inv.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((1000 * n_novel) // n_shingles AS BIGINT)
+             AS novelty_permille
+    FROM per
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id) is the
+    doc itself — the streaming-dedup view of contribution ("how much
+    of this page is new text"); exact duplicates of earlier docs score
+    0. Plan: the shingle_rows base (one uniform id shuffle), a
+    min-aggregate per shingle hash (uniform md5 keys, map-side
+    partials), one join back — no all-pairs anything. Docs with < 3
+    tokens have no shingles and are absent on both engines."""
+    from ocr_spark.operators.dedup import shingle_rows
+    from ocr_spark.operators.training import floor_div
+
+    inv = shingle_rows(load_table(spark, sf_dir, "documents"))
+    owner = inv.groupBy("h").agg(F.min("id").alias("first_doc"))
+    per = (
+        inv.join(owner, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        floor_div(1000 * F.col("n_novel"), F.col("n_shingles"))
+        .alias("novelty_permille"),
+    )
+
+
+@query(
+    "host_lang_gini",
+    """
+    WITH c AS (
+      SELECT doc_id % 97 AS host, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    per AS (
+      SELECT host, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(SUM(c * c) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY host)
+    SELECT host, n_docs, n_langs,
+           CAST((1000 * (n_docs * n_docs - sq)) // (n_docs * n_docs)
+                AS BIGINT) AS gini_permille
+    FROM per
+    """,
+)
+def host_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language diversity as Gini impurity in permille:
+    1 - sum((c_lang/n)^2), computed as the exact rational
+    (n^2 - sum c^2) / n^2 — no log, no float (the entropy-style signal
+    used to spot mixed-language / machine-generated hosts, in the
+    integer form that stays oracle-exact). Two small aggregates on
+    uniform keys; nothing else."""
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.groupBy((F.col("doc_id") % 97).alias("host"), "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = c.groupBy("host").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per.select(
+        "host", "n_docs", "n_langs",
+        floor_div(
+            1000 * (F.col("n_docs") * F.col("n_docs") - F.col("sq")),
+            F.col("n_docs") * F.col("n_docs"),
+        ).alias("gini_permille"),
+    )
+
+
+_BLOCKLIST = {
+    "speed": ["slow", "fast"],
+    "duplication": ["dup", "merge"],
+    "size": ["big", "small"],
+}
+
+
+def _blocklist_oracle() -> str:
+    rows = ", ".join(
+        f"('{t}', '{c}')" for c, ts in _BLOCKLIST.items() for t in ts
+    )
+    return f"""
+    WITH bl(term, category) AS (VALUES {rows}),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+    SELECT doc_id, category, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM toks JOIN bl USING (term)
+    GROUP BY doc_id, category
+    """
+
+
+@query("blocklist_category_hits", _blocklist_oracle())
+def blocklist_category_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/policy blocklist matching: token-exact hits against a
+    categorized term list (the UT1/safety-filter stage of a web
+    pipeline), rolled up per (doc, category). The blocklist is a
+    broadcast dimension — real lists are 10^4-10^6 terms, still far
+    under broadcast limits — joined token-exact against the exploded
+    corpus (no per-row regex scans over every pattern)."""
+    from ocr_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    bl = d.sparkSession.createDataFrame(
+        [(t, c) for c, ts in _BLOCKLIST.items() for t in ts],
+        "term string, category string",
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        toks.join(F.broadcast(bl), "term")
+        .groupBy("doc_id", "category")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+_DUCK_CDC = f"""
+    pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      FROM documents WHERE length(text) >= 8),
+    bnd AS (
+      SELECT doc_id, i + 7 AS e FROM pos
+      WHERE ({_duck_md5hash("substr(text, i, 8)")}) % 64 = 0),
+    ends AS (
+      SELECT DISTINCT doc_id, e FROM (
+        SELECT doc_id, e FROM bnd
+        UNION ALL
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS e FROM documents)),
+    ch AS (
+      SELECT doc_id, e,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+               AS s,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e)
+                  AS BIGINT) AS chunk_idx
+      FROM ends),
+    chunks AS (
+      SELECT ch.doc_id, chunk_idx, CAST(s AS BIGINT) AS start,
+             CAST(e - s + 1 AS BIGINT) AS chunk_len,
+             {_duck_md5hash("substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")}
+               AS chunk_hash
+      FROM ch JOIN documents USING (doc_id))
+"""
+
+
+@query(
+    "cdc_chunks",
+    f"""
+    WITH {_DUCK_CDC}
+    SELECT doc_id, chunk_idx, start, chunk_len, chunk_hash FROM chunks
+    """,
+)
+def cdc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/LBFS gear-hash boundaries,
+    ~64-char expected chunks): cut points where the trailing-8-char
+    hash is 0 mod 64, so an edit shifts at most one chunk — the
+    byte-level dedup primitive fixed-size blocking can't provide.
+    See operators/dedup.cdc_chunks for the parallel dataflow (per-
+    position explode -> boundary filter -> per-doc lag window)."""
+    from ocr_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cdc_dedup_rate",
+    f"""
+    WITH {_DUCK_CDC}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+           CAST((1000 * (COUNT(*) - COUNT(DISTINCT chunk_hash)))
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def cdc_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication rate per source: how much of each
+    source's content is byte-duplicated elsewhere in it, measured on
+    CDC chunk hashes (the storage/dedup planning number). distinct-
+    count shuffles on the uniform chunk-hash key; everything else is
+    a counter."""
+    from ocr_spark.operators.dedup import cdc_chunks
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(d).join(d.select("doc_id", "source"), "doc_id")
+    agg = ch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct"),
+    )
+    return agg.select(
+        "source", "n_chunks", "n_distinct",
+        floor_div(
+            1000 * (F.col("n_chunks") - F.col("n_distinct")),
+            F.col("n_chunks"),
+        ).alias("dup_permille"),
+    )

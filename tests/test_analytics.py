@@ -768,3 +768,114 @@ def test_dom_tag_histogram_counts(spark):
     assert out["p"][1] == 2 * n + n_aside
     # escaped body text can never contribute a tag
     assert "script" in out and out["script"] == (n, n)
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking / novelty / gini / blocklist
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_tile_text_exactly(spark):
+    from ocr_spark.operators.dedup import cdc_chunks
+    from ocr_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ch = cdc_chunks(d).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {r.doc_id: r.n_chars for r in d.select("doc_id", "n_chars").collect()}
+    assert set(by_doc) == set(lens)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert rows[0].start == 1
+        for a, b in zip(rows, rows[1:]):
+            assert b.start == a.start + a.chunk_len     # contiguous
+        assert sum(r.chunk_len for r in rows) == lens[doc]
+
+
+def test_cdc_boundaries_shift_invariant(spark):
+    """The content-defined property: prepending text changes only the
+    chunks up to the first boundary after the edit — every later chunk
+    hash survives (fixed-size blocking would invalidate all of them)."""
+    import random
+
+    rng = random.Random(11)
+    base = " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "nine"])
+        for _ in range(120)
+    )
+    from ocr_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(0, base), (1, "INSERTED PREFIX " + base)], ["doc_id", "text"]
+    )
+    ch = cdc_chunks(df).collect()
+    h0 = [r.chunk_hash for r in sorted(
+        (r for r in ch if r.doc_id == 0), key=lambda r: r.chunk_idx)]
+    h1 = [r.chunk_hash for r in sorted(
+        (r for r in ch if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    assert len(h0) > 3, "fixture must produce several chunks"
+    # all of doc 0's chunks except (at most) the first must reappear
+    assert set(h0[1:]) <= set(h1)
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three four five"),
+            (1, "one two three four five"),       # exact dup of 0
+            (2, "six seven eight nine ten"),      # all novel
+            (3, "one two three six seven eight"), # mix: 0 novel of 4... 
+        ],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: r for r in QUERIES["ngram_novelty"](
+            spark, "ignored").collect()}
+    assert out[0].novelty_permille == 1000
+    assert out[1].novelty_permille == 0
+    assert out[2].novelty_permille == 1000
+    # doc 3: shingles {one two three, two three six, three six seven,
+    # six seven eight} — first is doc 0's, last is doc 2's, middle two novel
+    assert (out[3].n_shingles, out[3].n_novel) == (4, 2)
+    assert out[3].novelty_permille == 500
+
+
+def test_host_lang_gini_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rows = [(0, "t", "en"), (97, "t", "en"),          # host 0: pure
+            (1, "t", "en"), (98, "t", "de"),          # host 1: 50/50
+            (2, "t", "en"), (99, "t", "de"), (196, "t", "fr")]  # host 2
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.host: (r.n_langs, r.gini_permille)
+               for r in QUERIES["host_lang_gini"](spark, "ignored").collect()}
+    assert out[0] == (1, 0)
+    assert out[1] == (2, 500)
+    assert out[2] == (3, 666)    # 1 - 3/9 = 2/3
+
+
+def test_blocklist_hits_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(0, "slow fast slow value"), (1, "dup big"), (2, "clean text")],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {(r.doc_id, r.category): r.n_hits
+               for r in QUERIES["blocklist_category_hits"](
+                   spark, "ignored").collect()}
+    assert out == {(0, "speed"): 3, (1, "duplication"): 1, (1, "size"): 1}

@@ -86,6 +86,11 @@ CRITICAL = [
     "extraction_eval_prf",
     "phrase_match_positions",
     "dom_tag_histogram",
+    "ngram_novelty",
+    "host_lang_gini",
+    "blocklist_category_hits",
+    "cdc_chunks",
+    "cdc_dedup_rate",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
