@@ -985,3 +985,72 @@ def cdc_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_permille: int = 600,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional shingle-containment join: pairs (a, b) with
+    |A ∩ B| / |A| >= threshold — the asymmetric relation Jaccard
+    misses (a short page quoted wholesale inside a long one scores
+    high containment but low Jaccard). The quotation/partial-copy
+    detector.
+
+    Prefix filter (containment flavor of the ppjoin bound): C >= t
+    implies |A∩B| >= t*|A|, so a qualifying pair shares a shingle in
+    A's first floor((1-t)*|A|)+1 hashes in the global hash order —
+    only the PROBE side is prefix-truncated; the indexed side posts
+    every shingle (a contained doc may sit anywhere in B). The
+    threshold compare is exact-integer (1000*inter >= t_permille*n_a
+    — no float, no rounding).
+
+    Scale: posting lists are keyed by md5-ordered shingle hashes (no
+    stop-shingle hot key on the prefix side); the full-index side is
+    the standard containment-join cost — cap df per shingle only if a
+    recall bound is acceptable. Verify joins fetch the two sorted
+    shingle arrays and intersect them in one codegen pass.
+    """
+    from pyspark.sql import Window
+
+    inv = shingle_rows(docs, id_col, text_col)
+    sets = shingle_sets(inv)
+    byid = Window.partitionBy("id").orderBy("h")
+    sized = inv.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    prefix_len = floor_div_expr(
+        (1000 - threshold_permille) * F.col("n"), F.lit(1000)
+    ) + 1
+    probe = sized.withColumn("r", F.row_number().over(byid)).where(
+        F.col("r") <= prefix_len
+    )
+    cand = (
+        probe.select(F.col("id").alias("ida"), "h")
+        .join(inv.select(F.col("id").alias("idb"), "h"), "h")
+        .where(F.col("ida") != F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    return (
+        cand.join(sets.select(F.col("id").alias("ida"), F.col("hs").alias("ha")), "ida")
+        .join(sets.select(F.col("id").alias("idb"), F.col("hs").alias("hb")), "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("inter"),
+            F.size("ha").cast("long").alias("n_a"),
+        )
+        .where(1000 * F.col("inter") >= threshold_permille * F.col("n_a"))
+        .select(
+            "doc_a", "doc_b", "inter", "n_a",
+            ((1000 * F.col("inter") - ((1000 * F.col("inter")) % F.col("n_a")))
+             / F.col("n_a")).cast("long").alias("containment_permille"),
+        )
+    )
+
+
+def floor_div_expr(num: Column, den: Column) -> Column:
+    """floor_div without the training-module import (positive operands
+    here, where truncation == floor on both engines)."""
+    return ((num - (num % den)) / den).cast("long")

@@ -6313,3 +6313,138 @@ def cdc_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chunks"),
         ).alias("dup_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# containment join / host length quantiles / BPE fertility per lang
+# ---------------------------------------------------------------------------
+
+@query(
+    "containment_pairs",
+    f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+           CAST(len(a.hs) AS BIGINT) AS n_a,
+           CAST((1000 * len(list_intersect(a.hs, b.hs))) // len(a.hs)
+                AS BIGINT) AS containment_permille
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.hs) > 0
+      AND 1000 * len(list_intersect(a.hs, b.hs)) >= 600 * len(a.hs)
+    """,
+)
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B|/|A| >= 0.6 — the
+    quotation/partial-copy relation Jaccard misses (short page quoted
+    inside a long one). Shipped plan is the prefix-filtered inverted
+    join (probe side truncated to floor(0.4*|A|)+1 hash-ordered
+    shingles — exact recall by the ppjoin bound, proven vs brute force
+    on random corpora in pytest); the oracle is the all-pairs form,
+    kept to DuckDB only. Threshold compare is pure integer."""
+    from ocr_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "host_length_quantiles",
+    """
+    WITH ranked AS (
+      SELECT doc_id % 97 AS host, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 97
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id % 97) AS n
+      FROM documents)
+    SELECT host, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+                AS BIGINT) AS p50_chars,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
+                AS BIGINT) AS p90_chars
+    FROM ranked GROUP BY host
+    """,
+)
+def host_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host doc-length order statistics (p50/p90 as the
+    k-th value at k = (n+1)//2 and (9n+9)//10 under the total order
+    (n_chars, doc_id)) — robust host profiling that a mean can't give
+    (one 10 MB page skews an average; it can't move the median).
+    Integer rank selection, no percentile_approx, no float. One
+    row_number window per host (bounded partitions, uniform keys) and
+    a conditional aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 97).alias("host")
+    w = Window.partitionBy("host").orderBy("n_chars", "doc_id")
+    ranked = d.select(host, "n_chars", "doc_id").select(
+        "host", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("host")).alias("n"),
+    )
+    k50 = ((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2
+    k90 = ((9 * F.col("n") + 9) - ((9 * F.col("n") + 9) % 10)) / 10
+    return ranked.groupBy("host").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(F.col("rn") == k50.cast("long"), F.col("n_chars"))
+        ).alias("p50_chars"),
+        F.max(
+            F.when(F.col("rn") == k90.cast("long"), F.col("n_chars"))
+        ).alias("p90_chars"),
+    )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    _bpe_oracle_ctes(4)
+    + """,
+    pieces AS (
+      SELECT w, CAST(len(string_split(substr(enc, 2, length(enc) - 2),
+                                      chr(30) || chr(31))) AS BIGINT)
+               AS n_pieces
+      FROM enc4),
+    wl AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY lang, w)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * n_pieces) AS BIGINT) AS n_pieces,
+           CAST((1000 * SUM(c * n_pieces)) // SUM(c) AS BIGINT)
+             AS fertility_permille
+    FROM wl JOIN pieces USING (w)
+    GROUP BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (pieces per word, permille) per language
+    under the corpus-learned BPE merges — the standard multilingual-
+    tokenizer equity metric (a lang with high fertility pays more
+    sequence length per word). Composes the learned vocab's final
+    segmentations (vocabulary-sized — broadcastable) against per-lang
+    token counts; all integer."""
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.tokenizer import learn_bpe_merges, segmentations
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = learn_bpe_merges(d)
+    pieces = segmentations(vocab).select(
+        "w",
+        F.size(F.split("seg", "\\|")).cast("long").alias("n_pieces"),
+    )
+    wl = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = wl.join(F.broadcast(pieces), "w").groupBy("lang").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+    )
+    return agg.select(
+        "lang", "n_words", "n_pieces",
+        floor_div(1000 * F.col("n_pieces"), F.col("n_words"))
+        .alias("fertility_permille"),
+    )

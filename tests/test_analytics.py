@@ -879,3 +879,85 @@ def test_blocklist_hits_handcrafted(spark):
                for r in QUERIES["blocklist_category_hits"](
                    spark, "ignored").collect()}
     assert out == {(0, "speed"): 3, (1, "duplication"): 1, (1, "size"): 1}
+
+
+# ---------------------------------------------------------------------------
+# containment join: exact-recall equivalence vs brute force (mandatory
+# for any pruning operator), quantiles, fertility
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [3, 44])
+def test_containment_pairs_match_bruteforce_random(spark, seed):
+    from ocr_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(seed)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = []
+    for i in range(30):
+        n = rng.randint(3, 14)
+        docs.append((i, " ".join(rng.choices(vocab, k=n))))
+    # plant true containments: doc j quotes doc i wholesale
+    for j, i in [(30, 0), (31, 1)]:
+        docs.append((j, docs[i][1] + " extra tail words here"))
+
+    def sh(t):
+        w = t.split(" ")
+        return {tuple(w[k:k + 3]) for k in range(len(w) - 2)}
+
+    want = set()
+    for a, ta in docs:
+        for b, tb in docs:
+            if a == b or len(sh(ta)) == 0:
+                continue
+            inter = len(sh(ta) & sh(tb))
+            if 1000 * inter >= 600 * len(sh(ta)):
+                want.add((a, b, inter, len(sh(ta))))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b, r.inter, r.n_a)
+           for r in containment_pairs(df).collect()}
+    assert got == want
+    # the planted quotes must be found in the contained direction
+    assert any(a == 0 and b == 30 for a, b, _, _ in got)
+
+
+def test_containment_is_directional(spark):
+    """Short doc quoted inside long one: containment(short in long)
+    high, containment(long in short) low."""
+    from ocr_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = "intro words " + short + " closing words trail end here now"
+    df = spark.createDataFrame([(0, short), (1, long_)], ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r.containment_permille
+           for r in containment_pairs(df).collect()}
+    assert out.get((0, 1)) == 1000          # short fully inside long
+    assert (1, 0) not in out                # long not inside short
+
+
+def test_host_length_quantiles_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    # host 0: lengths 10,20,30,40,50 -> p50 = rank 3 = 30, p90 = rank 5
+    rows = [(97 * i, "t", 10 * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = QUERIES["host_length_quantiles"](spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.host, r.n_docs, r.p50_chars, r.p90_chars) == (0, 5, 30, 50)
+
+
+def test_bpe_fertility_bounds(spark):
+    """Fertility is >= 1000 permille (a word is at least one piece)
+    and every lang in the corpus appears."""
+    from ocr_spark.queries import QUERIES
+
+    out = QUERIES["bpe_fertility_by_lang"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 2
+    assert all(r.fertility_permille >= 1000 for r in out)
+    assert all(r.n_pieces >= r.n_words for r in out)

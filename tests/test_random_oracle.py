@@ -91,6 +91,9 @@ CRITICAL = [
     "blocklist_category_hits",
     "cdc_chunks",
     "cdc_dedup_rate",
+    "containment_pairs",
+    "host_length_quantiles",
+    "bpe_fertility_by_lang",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
