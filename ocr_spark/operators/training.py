@@ -631,6 +631,12 @@ def pca_power(
     cent = ex.join(F.broadcast(mean), "d0").select(
         "vec_id", (F.col("d0") + 1).alias("d"), (F.col("x0") - F.col("m")).alias("x")
     )
+    # cent feeds 2*iters+1 consumer subtrees (s-pass, u-pass per round,
+    # final projections) — without a boundary Spark re-derives the
+    # explode+mean-join per consumer (the multi-consumer re-evaluation
+    # documented on doc_quality_panel). Lazy local checkpoint
+    # materializes it once; integer rows, so no order sensitivity.
+    cent = cent.localCheckpoint(eager=False)
     # the iterated vector lives as d tiny rows (d, v) — always broadcast
     v = mean.select(
         (F.col("d0") + 1).alias("d"), F.lit(PCA_VSCALE).cast("long").alias("v")

@@ -6448,3 +6448,137 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_div(1000 * F.col("n_pieces"), F.col("n_words"))
         .alias("fertility_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities / feature-hash embeddings
+# ---------------------------------------------------------------------------
+
+def _lp_oracle(iters: int = 3) -> str:
+    parts = [
+        "hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents)",
+        """dedges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h)""",
+        # undirected: community structure ignores link direction
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges
+        UNION ALL SELECT dst AS src, src AS dst FROM dedges))""",
+        "l0 AS (SELECT h, h AS lbl FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""cnt{i} AS (
+      SELECT e.src AS h, p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM edges e JOIN l{i - 1} p ON e.dst = p.h
+      GROUP BY e.src, p.lbl)"""
+        )
+        parts.append(
+            f"""win{i} AS (
+      SELECT h, lbl FROM (
+        SELECT h, lbl,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+      SELECT hosts.h, COALESCE(w.lbl, p.lbl) AS lbl
+      FROM hosts LEFT JOIN win{i} w ON hosts.h = w.h
+           JOIN l{i - 1} p ON hosts.h = p.h)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT h AS host, lbl AS community FROM l{iters}"
+    )
+
+
+@query("host_communities_lp", _lp_oracle())
+def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected host graph, 3 rounds: each host adopts the most frequent
+    label among its neighbours (ties -> smallest label; isolated hosts
+    keep their own) — the O(edges)-per-round community detector used
+    for mirror-farm / link-ring grouping where modularity solvers
+    don't scale. Deterministic by construction, so the driver can
+    hash-check communities. Plan per round: one (node, label) count
+    aggregate + one per-node argmax window — both on uniform host
+    keys; no iteration-growing shuffle width."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    dedges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    edges = dedges.union(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = hosts.select("h", F.col("h").alias("lbl"))
+    for _ in range(3):
+        cnt = (
+            edges.join(labels.withColumnRenamed("h", "dst"), "dst")
+            .groupBy(F.col("src").alias("h"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = (
+            cnt.groupBy("h")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("m"))
+            .select("h", F.col("m.lbl").alias("wlbl"))
+        )
+        labels = (
+            labels.join(win, "h", "left")
+            .select("h", F.coalesce("wlbl", "lbl").alias("lbl"))
+        )
+    return labels.select(F.col("h").alias("host"), F.col("lbl").alias("community"))
+
+
+@query(
+    "feature_hash_embeddings",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    feat AS (
+      SELECT doc_id,
+             ({_duck_md5hash("w")}) % 32 AS d,
+             CASE WHEN ({_duck_md5hash("'s' || w")}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks)
+    SELECT doc_id, CAST(d AS BIGINT) AS d, CAST(SUM(sgn) AS BIGINT) AS v
+    FROM feat GROUP BY doc_id, d
+    """,
+)
+def feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (Weinberger et al., ICML'09) bag-of-words
+    embeddings: each token lands in dimension md5(w) % 32 with a
+    +-1 sign hash, summed per doc — the model-free 32-dim document
+    vector cheap enough to compute inline for clustering/dedup at
+    10^12 docs (one explode + one (doc, dim) aggregate; all integer,
+    unbiased inner-product estimator by the sign trick). Rows are
+    sparse (only dims a doc touches), exploded long-form like every
+    vector surface here."""
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    feat = toks.select(
+        "doc_id",
+        (fast_hash(F.col("w")) % 32).alias("d"),
+        F.when(
+            fast_hash(F.concat(F.lit("s"), F.col("w"))) % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return feat.groupBy("doc_id", "d").agg(
+        F.sum("sgn").cast("bigint").alias("v")
+    )

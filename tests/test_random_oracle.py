@@ -94,6 +94,8 @@ CRITICAL = [
     "containment_pairs",
     "host_length_quantiles",
     "bpe_fertility_by_lang",
+    "host_communities_lp",
+    "feature_hash_embeddings",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the

@@ -99,12 +99,17 @@ def main() -> None:
                                               (end - start).cast("int")), " ")
                           .alias("chunk"))
 
+    from ocr_spark.operators.dedup import cdc_chunks
+    from ocr_spark.operators.training import pca_power
+
     ops = {
         "minhash_lsh": lambda d, e: minhash_lsh_pairs(d),
         "fingerprints": lambda d, e: fingerprint_stats(d),
         "pack_sequences": lambda d, e: pack_sequences(d),
         "kmeans": lambda d, e: kmeans_quantized(e),
         "chunking": lambda d, e: chunks(d),
+        "cdc_chunks": lambda d, e: cdc_chunks(d),
+        "pca_power": lambda d, e: pca_power(e)[0],
     }
 
     out: dict[str, dict] = {}
