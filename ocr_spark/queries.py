@@ -6582,3 +6582,166 @@ def feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.groupBy("doc_id", "d").agg(
         F.sum("sgn").cast("bigint").alias("v")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD extraction / incremental CDC reuse / jaccard threshold sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "jsonld_extract",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><script type="application/ld+json">'
+             || '{"@type":"Article","headline":"Doc '
+             || CAST(doc_id AS VARCHAR)
+             || '","wordCount":' || CAST(len(string_split(text, ' '))
+                                         AS VARCHAR)
+             || ',"author":{"name":"host' || CAST(doc_id % 97 AS VARCHAR)
+             || '"}}</script></head><body></body></html>' AS html
+      FROM documents),
+    j AS (
+      SELECT doc_id,
+             regexp_extract(html,
+               '<script type="application/ld\\+json">(.*?)</script>', 1)
+               AS payload
+      FROM page)
+    SELECT doc_id,
+           json_extract_string(payload, '$."@type"') AS jsonld_type,
+           json_extract_string(payload, '$.headline') AS headline,
+           CAST(json_extract(payload, '$.wordCount') AS BIGINT)
+             AS word_count,
+           json_extract_string(payload, '$.author.name') AS author
+    FROM j
+    """,
+)
+def jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD extraction: pull the ld+json <script> block
+    with one regexp, then JSON-path the typed fields (get_json_object
+    — JVM codegen, the structured-data sibling of the DOM text path;
+    at 10^12 pages this is how article metadata, ratings, and product
+    info are mined without a DOM parse). Shuffle-free scan->project."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type":"Article","headline":"Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('","wordCount":'),
+        F.size(F.split(F.col("text"), " ")).cast("string"),
+        F.lit(',"author":{"name":"host'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('"}}</script></head><body></body></html>'),
+    )
+    payload = F.regexp_extract(
+        html, '<script type="application/ld\\+json">(.*?)</script>', 1
+    )
+    return d.select(
+        "doc_id",
+        F.get_json_object(payload, "$['@type']").alias("jsonld_type"),
+        F.get_json_object(payload, "$.headline").alias("headline"),
+        F.get_json_object(payload, "$.wordCount").cast("bigint")
+        .alias("word_count"),
+        F.get_json_object(payload, "$.author.name").alias("author"),
+    )
+
+
+@query(
+    "cdc_crawl_reuse",
+    f"""
+    WITH {_DUCK_CDC},
+    hist AS (
+      SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 10 <> 0),
+    inc AS (SELECT * FROM chunks WHERE doc_id % 10 = 0),
+    per AS (
+      SELECT inc.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(hist.chunk_hash) AS BIGINT) AS n_reused
+      FROM inc LEFT JOIN hist ON inc.chunk_hash = hist.chunk_hash
+      GROUP BY inc.doc_id)
+    SELECT doc_id, n_chunks, n_reused,
+           CAST((1000 * n_reused) // n_chunks AS BIGINT) AS reuse_permille
+    FROM per
+    """,
+)
+def cdc_crawl_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl byte reuse via CDC chunk hashes: docs on the
+    doc_id % 10 == 0 residue play the incoming crawl increment, the
+    rest the historical index; each new doc reports how many of its
+    chunks already exist in history (the CDC payoff: re-crawled pages
+    with small edits reuse almost all chunks, so storage/processing
+    cost scales with the DELTA, not the crawl). The history side is
+    touched only through its distinct chunk-hash index — the same
+    increment-scaling contract as incremental_minhash_pairs."""
+    from ocr_spark.operators.dedup import cdc_chunks
+    from ocr_spark.operators.training import floor_div
+
+    ch = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    hist = (
+        ch.where(F.col("doc_id") % 10 != 0)
+        .select("chunk_hash").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    inc = ch.where(F.col("doc_id") % 10 == 0)
+    per = (
+        inc.join(hist, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("seen", F.lit(0))).alias("n_reused"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_chunks", "n_reused",
+        floor_div(1000 * F.col("n_reused"), F.col("n_chunks"))
+        .alias("reuse_permille"),
+    )
+
+
+@query(
+    "jaccard_threshold_histogram",
+    f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT bucket_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+      SELECT (100 * len(list_intersect(a.hs, b.hs)))
+             // (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+             // 5 * 5 AS bucket_pct
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs)) >= 1)
+    GROUP BY bucket_pct
+    """,
+)
+def jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning data: the Jaccard distribution of all
+    shingle-sharing pairs in 5%-buckets (integer floor; pairs sharing
+    nothing are excluded — they are the ~n^2 mass no system
+    enumerates). The shipped plan enumerates candidates through the
+    shingle inverted index (only pairs with >= 1 shared shingle ever
+    exist as rows — worst case sum of df^2 over shingles, the standard
+    similarity-join cost), then one exact verify per distinct pair;
+    the oracle is the all-pairs form, DuckDB-only."""
+    from ocr_spark.operators.dedup import shingle_rows, shingle_sets
+    from ocr_spark.operators.training import floor_div
+
+    inv = shingle_rows(load_table(spark, sf_dir, "documents"))
+    sets = shingle_sets(inv)
+    cand = (
+        inv.select(F.col("id").alias("a"), "h")
+        .join(inv.select(F.col("id").alias("b"), "h"), "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("long")
+    uni = (F.size("ha") + F.size("hb")).cast("long") - inter
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("hs").alias("hb")), "b")
+        .select(
+            (floor_div(floor_div(100 * inter, uni), F.lit(5)) * 5)
+            .alias("bucket_pct")
+        )
+    )
+    return pairs.groupBy("bucket_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

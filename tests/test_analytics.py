@@ -1003,3 +1003,77 @@ def test_feature_hash_embeddings_inner_product(spark):
     assert len(vec[2]) == 1 and abs(next(iter(vec[2].values()))) == 4
     # sum of |v| can never exceed token count
     assert sum(abs(v) for v in vec[0].values()) <= 4
+
+
+def test_cdc_crawl_reuse_detects_near_recrawl(spark):
+    """A re-crawled page with a small edit reuses most chunks; a brand
+    new page reuses none."""
+    import random
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rng = random.Random(13)
+    base = " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"])
+                    for _ in range(150))
+    rows = [
+        (1, base),                                   # history
+        (10, base + " tiny new suffix"),             # increment: re-crawl
+        (20, " ".join(rng.choice(["zz", "yy", "xx"])
+                      for _ in range(150))),         # increment: new page
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: r for r in QUERIES["cdc_crawl_reuse"](
+            spark, "ignored").collect()}
+    assert out[10].reuse_permille >= 600
+    assert out[20].reuse_permille == 0
+
+
+def test_jsonld_extract_values(spark):
+    from ocr_spark.queries import QUERIES
+
+    out = {r.doc_id: r for r in QUERIES["jsonld_extract"](
+        spark, "/root/testdata/sf0.001").collect()}
+    r = out[0]
+    assert r.jsonld_type == "Article"
+    assert r.headline == "Doc 0"
+    assert r.author == "host0"
+    assert r.word_count >= 1
+
+
+def test_jaccard_histogram_candidate_completeness(spark):
+    """The inverted-index candidate enumeration must see EXACTLY the
+    pairs with >= 1 shared shingle — cross-check against brute force
+    on a random corpus."""
+    import random
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rng = random.Random(99)
+    vocab = ["w%d" % i for i in range(9)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(40)]
+
+    def sh(t):
+        w = t.split(" ")
+        return {tuple(w[k:k + 3]) for k in range(len(w) - 2)}
+
+    from collections import Counter
+    want = Counter()
+    for i, (a, ta) in enumerate(docs):
+        for b, tb in docs[i + 1:]:
+            inter = len(sh(ta) & sh(tb))
+            if inter >= 1:
+                j = 100 * inter // (len(sh(ta)) + len(sh(tb)) - inter)
+                want[j // 5 * 5] += 1
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        got = {r.bucket_pct: r.n_pairs
+               for r in QUERIES["jaccard_threshold_histogram"](
+                   spark, "ignored").collect()}
+    assert got == dict(want)

@@ -96,6 +96,9 @@ CRITICAL = [
     "bpe_fertility_by_lang",
     "host_communities_lp",
     "feature_hash_embeddings",
+    "jsonld_extract",
+    "cdc_crawl_reuse",
+    "jaccard_threshold_histogram",
     # NOT events_sessionize / funnel_conversion: this corpus has no
     # events table (documents + embeddings only).
     # NOT pipeline_pack_training_sequences: its oracle leans on the
