@@ -231,6 +231,49 @@ COMMENTARY = {
         "subtractable aggregate class, so incremental == full "
         "recompute bit-exactly (the oracle IS the recompute)."
     ),
+    "pca_power_component": (
+        "Top eigenvector WITHOUT a Gram matrix: each round is a per-"
+        "row integer fold (s = <c, v>, v broadcast as d tiny rows) "
+        "then a posexplode aggregate on 64 dim keys with map-side "
+        "partial sums; the centered-rows subtree is staged once (lazy "
+        "localCheckpoint) for its 2*iters+1 consumers. The only "
+        "corpus-wide shuffle keys are vec_id and the 64 dims."
+    ),
+    "containment_pairs": (
+        "Asymmetric ppjoin: the probe side indexes only its first "
+        "floor(0.4*|A|)+1 hash-ordered shingles (exact recall at "
+        "t=0.6 by the prefix bound), the indexed side posts all; "
+        "candidates come from a hash equi-join on the shingle key — "
+        "no cross product — and one array_intersect verify per "
+        "distinct pair. Threshold compare is pure integer."
+    ),
+    "cdc_chunks": (
+        "Gear-hash boundaries are position-local (codegen md5 over an "
+        "exploded per-position window — the winnowing shape), so "
+        "chunking parallelizes perfectly; boundary rows collapse to "
+        "~len/64 per doc before the per-doc lag window. Insertions "
+        "shift at most one chunk — the dedup-robustness property "
+        "fixed-size blocks lack."
+    ),
+    "host_communities_lp": (
+        "Sync label propagation: per round one (node, label) count "
+        "aggregate + one min-struct argmax — both partial-aggregated "
+        "on uniform host keys; undirected edges built once. No "
+        "iteration-growing state, no window sort."
+    ),
+    "ngram_novelty": (
+        "First-occurrence ownership: shingle rows -> min(doc_id) per "
+        "hash (uniform md5 keys, map-side partials) -> join back -> "
+        "per-doc counters. The dedup-signal query with NO pair "
+        "enumeration at all — cost is linear in shingle rows."
+    ),
+    "feature_hash_embeddings": (
+        "Model-free doc vectors in one explode + one (doc, dim) "
+        "partial-aggregated sum — sign-hash contributions are "
+        "integers, so any partitioning gives identical vectors; the "
+        "cheapest embedding surface for clustering/dedup at corpus "
+        "scale."
+    ),
 }
 
 
