@@ -99,8 +99,18 @@ CRITICAL = [
     "jsonld_extract",
     "cdc_crawl_reuse",
     "jaccard_threshold_histogram",
-    # NOT events_sessionize / funnel_conversion: this corpus has no
-    # events table (documents + embeddings only).
+    # events-table queries (random events synthesized below: unique
+    # timestamps so window orders are total, cent-grid doubles so both
+    # engines read identical parquet values)
+    "window_running_user_value",
+    "events_hourly",
+    "asof_click_before_error",
+    "range_join_error_context",
+    "events_json_props",
+    "hll_user_sketch",
+    "cms_token_sketch",
+    "events_sessionize",
+    "funnel_conversion",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
@@ -146,7 +156,33 @@ def random_sf_dir(tmp_path_factory):
         }
     )
     embeddings.to_parquet(d / "embeddings.parquet", index=False)
+
+    n_ev = 600
+    base = np.datetime64("2024-01-01T00:00:00")
+    # globally unique timestamps -> every window order is total on
+    # both engines (ties would make row_number engine-dependent)
+    offsets = np.cumsum(rng_ints(rng, n_ev, 1, 240))
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": base + offsets.astype("timedelta64[s]"),
+            "user_id": rng_ints(rng, n_ev, 1, 40),
+            "event_type": [
+                rng.choice(["signup", "view", "click", "purchase", "error"])
+                for _ in range(n_ev)
+            ],
+            "value": rng_ints(rng, n_ev, 0, 2000) / 100.0,
+            "props": ['{"k": %d}' % rng.randint(0, 99) for _ in range(n_ev)],
+        }
+    )
+    events.to_parquet(d / "events.parquet", index=False)
     return str(d)
+
+
+def rng_ints(rng, n, lo, hi):
+    import numpy as np
+
+    return np.array([rng.randint(lo, hi) for _ in range(n)], dtype=np.int64)
 
 
 def test_critical_queries_bit_exact_on_random_corpus(spark, random_sf_dir):
