@@ -6745,3 +6745,184 @@ def jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("bucket_pct").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality calibration / decayed reputation / props schema drift
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_calibration_deciles",
+    f"""
+    WITH q AS ({ORACLE["doc_quality_score"]}),
+    k AS (SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper
+          FROM documents GROUP BY md5(text)),
+    flags AS (
+      SELECT q.doc_id,
+             CAST(LEAST(FLOOR(q.quality * 10), 9) AS BIGINT) AS decile,
+             CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END AS is_dup
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+           JOIN k ON md5(d.text) = k.text_hash)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST((1000 * SUM(is_dup)) // COUNT(*) AS BIGINT) AS dup_permille
+    FROM flags GROUP BY decile
+    """,
+)
+def quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-calibration diagnostic: exact-duplicate rate per quality
+    decile — the cross-check every curation pipeline runs before
+    trusting a score as a sampling weight (if low-quality buckets
+    aren't dup-enriched, the score isn't measuring what you think).
+    Composes the quality heuristic with the exact-dedup keeper rule;
+    two content-hash/doc_id joins + one 10-key aggregate."""
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    q = QUERIES["doc_quality_score"](spark, sf_dir)
+    keep = d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    flags = (
+        q.join(d.select("doc_id", F.md5(F.col("text")).alias("text_hash")),
+               "doc_id")
+        .join(keep, "text_hash")
+        .select(
+            F.least(F.floor(F.col("quality") * 10), F.lit(9))
+            .cast("bigint").alias("decile"),
+            F.when(F.col("doc_id") != F.col("keeper"), 1)
+            .otherwise(0).alias("is_dup"),
+        )
+    )
+    agg = flags.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("is_dup").alias("n_dups")
+    )
+    return agg.select(
+        "decile", "n_docs", "n_dups",
+        floor_div(1000 * F.col("n_dups"), F.col("n_docs"))
+        .alias("dup_permille"),
+    )
+
+
+@query(
+    "user_decayed_errors",
+    """
+    WITH hours AS (
+      SELECT user_id, CAST(date_part('hour', ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS err
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, date_part('hour', ts)),
+    users AS (
+      SELECT user_id, CAST(SUM(err) AS BIGINT) AS total_errors
+      FROM hours GROUP BY user_id),
+    grid AS (
+      SELECT user_id, g
+      FROM users CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS g)),
+    cell AS (
+      SELECT grid.user_id, g,
+             COALESCE(err, CAST(0 AS BIGINT)) AS err
+      FROM grid LEFT JOIN hours
+           ON hours.user_id = grid.user_id AND hours.h = g),
+    dense AS (
+      SELECT user_id, list(err ORDER BY g) AS seq FROM cell GROUP BY user_id)
+    SELECT u.user_id, u.total_errors,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+                            (acc, e) -> acc // 2 + e) AS BIGINT)
+             AS decayed_rep
+    FROM dense JOIN users u USING (user_id)
+    """,
+)
+def user_decayed_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed error reputation: per user, fold hourly error
+    counts through rep = floor(rep/2) + err_h over the day — the
+    integer-exact form of exponential decay (no exp/pow, so the
+    recurrence is bit-identical everywhere), the standard primitive
+    for crawl-host backoff and abuse scoring. The recurrence is
+    sequential in TIME but bounded (24 steps), so it runs as a
+    per-key fold over a dense 24-element array — one (user, hour)
+    aggregate, one map rebuild, zero unbounded iteration."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.hour("ts").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).alias("err"))
+    )
+    dense = hours.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "err"))).alias("m"),
+        F.sum("err").alias("total_errors"),
+    ).select(
+        "user_id", "total_errors",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long")),
+            lambda g: F.coalesce(F.element_at(F.col("m"), g), F.lit(0).cast("long")),
+        ).alias("seq"),
+    )
+    rep = F.aggregate(
+        F.col("seq"),
+        F.lit(0).cast("long"),
+        lambda acc, e: F.shiftright(acc, 1) + e,
+    )
+    return dense.select("user_id", "total_errors", rep.alias("decayed_rep"))
+
+
+@query(
+    "props_schema_drift",
+    """
+    WITH seeded AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN replace(props, '}', ', "v": 2}') ELSE props END
+               AS props,
+             CASE WHEN event_id % 2 = 0 THEN 'early' ELSE 'late' END
+               AS half
+      FROM events),
+    keys AS (
+      SELECT half, unnest(json_keys(props)) AS key FROM seeded),
+    per AS (
+      SELECT key,
+             CAST(COUNT(*) FILTER (half = 'early') AS BIGINT) AS n_early,
+             CAST(COUNT(*) FILTER (half = 'late') AS BIGINT) AS n_late
+      FROM keys GROUP BY key)
+    SELECT key, n_early, n_late,
+           CAST((1000 * (n_late - n_early))
+                - (((1000 * (n_late - n_early)) % (n_early + n_late))
+                   + (n_early + n_late)) % (n_early + n_late) AS BIGINT)
+             / (n_early + n_late) AS drift_permille
+    FROM per
+    """,
+)
+def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema monitoring: per JSON key, presence counts
+    in two crawl halves and the signed drift permille — the alert that
+    an upstream producer added/dropped a field (a 'v' key is seeded on
+    the event_id % 3 residue so drift is nonzero). json_object_keys +
+    explode is codegen; one key-keyed aggregate."""
+    from ocr_spark.operators.training import floor_div
+
+    ev = load_table(spark, sf_dir, "events")
+    seeded = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.regexp_replace("props", "\\}", ', "v": 2}'),
+        ).otherwise(F.col("props")).alias("props"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("early"))
+        .otherwise(F.lit("late")).alias("half"),
+    )
+    keys = seeded.select(
+        "half", F.explode(F.json_object_keys("props")).alias("key")
+    )
+    per = keys.groupBy("key").agg(
+        F.sum(F.when(F.col("half") == "early", 1).otherwise(0))
+        .alias("n_early"),
+        F.sum(F.when(F.col("half") == "late", 1).otherwise(0))
+        .alias("n_late"),
+    )
+    return per.select(
+        "key", "n_early", "n_late",
+        floor_div(
+            1000 * (F.col("n_late") - F.col("n_early")),
+            F.col("n_early") + F.col("n_late"),
+        ).alias("drift_permille"),
+    )

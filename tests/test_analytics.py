@@ -1077,3 +1077,60 @@ def test_jaccard_histogram_candidate_completeness(spark):
                for r in QUERIES["jaccard_threshold_histogram"](
                    spark, "ignored").collect()}
     assert got == dict(want)
+
+
+def test_decayed_errors_recurrence_handcrafted(spark):
+    """rep = floor(rep/2) + err_h over 24 hourly buckets."""
+    import datetime as dtm
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    def ev(i, uid, hour, typ):
+        return (i, dtm.datetime(2024, 1, 1, hour, i % 60), uid, typ, 1.0, "{}")
+
+    rows = (
+        [ev(i, 1, 0, "error") for i in range(4)]       # 4 errors at h=0
+        + [ev(10 + i, 1, 2, "error") for i in range(2)]  # 2 at h=2
+        + [ev(20, 1, 3, "view")]                          # not an error
+        + [ev(30, 2, 23, "error")]                        # 1 at h=23
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.user_id: r for r in QUERIES["user_decayed_errors"](
+            spark, "ignored").collect()}
+    # user 1: h0 rep=4; h1 2; h2 1+2=3; h3 1; then halves to 0 by h5
+    assert out[1].total_errors == 6 and out[1].decayed_rep == 0
+    # user 2: the h23 error is the LAST fold step -> rep 1 survives
+    assert out[2].total_errors == 1 and out[2].decayed_rep == 1
+
+
+def test_quality_calibration_partition(spark):
+    """Decile rows partition the corpus: n_docs sums to corpus size
+    and dups sum to the exact-dedup dup count."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["quality_calibration_deciles"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in out) == n
+    dups = sum(r.n_dups for r in QUERIES["dedup_exact"](spark, sf)
+               .selectExpr("n_dups - 1 AS n_dups").collect())
+    assert sum(r.n_dups for r in out) == dups
+    assert all(0 <= r.decile <= 9 for r in out)
+
+
+def test_props_drift_seeded_key(spark):
+    from ocr_spark.queries import QUERIES
+
+    out = {r.key: r for r in QUERIES["props_schema_drift"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"k", "v"}
+    # 'k' is in every event: drift reflects only the early/late split
+    assert out["k"].n_early + out["k"].n_late >= out["v"].n_early + out["v"].n_late
+    # 'v' exists only on event_id % 3 == 0; both halves see some
+    assert out["v"].n_early > 0 and out["v"].n_late > 0

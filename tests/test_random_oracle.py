@@ -99,6 +99,7 @@ CRITICAL = [
     "jsonld_extract",
     "cdc_crawl_reuse",
     "jaccard_threshold_histogram",
+    "quality_calibration_deciles",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
@@ -111,6 +112,8 @@ CRITICAL = [
     "cms_token_sketch",
     "events_sessionize",
     "funnel_conversion",
+    "user_decayed_errors",
+    "props_schema_drift",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
