@@ -6926,3 +6926,100 @@ def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_early") + F.col("n_late"),
         ).alias("drift_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# search snippets / postings stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "search_snippets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i, t
+      FROM toks),
+    hits AS (
+      SELECT doc_id, MIN(i) AS first_pos FROM pos
+      WHERE w = '{_PHRASE[0]}' AND i + 1 <= len(t)
+            AND t[i + 1] = '{_PHRASE[1]}'
+      GROUP BY doc_id)
+    SELECT h.doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+           array_to_string(
+             t[GREATEST(first_pos - 3, 1):LEAST(first_pos + 4, len(t))],
+             ' ') AS snippet
+    FROM hits h JOIN toks USING (doc_id)
+    """,
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-biased snippets: the +-3-token window around each doc's
+    first match of the phrase ("{0} {1}") — the result-page surface on
+    top of phrase_match_positions. The slice is a single-reference
+    array op (no per-position explode for the snippet itself); only
+    matching docs carry any extra bytes.""".format(*_PHRASE)
+    from ocr_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "w")
+    p1 = pos.where(F.col("w") == _PHRASE[0]).select("doc_id", "i")
+    p2 = pos.where(F.col("w") == _PHRASE[1]).select(
+        "doc_id", (F.col("i") - 1).alias("i")
+    )
+    hits = (
+        p1.join(p2, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(F.min("i").cast("bigint").alias("first_pos"))
+    )
+    t = tokens(F.col("text"))
+    start = F.greatest(F.col("first_pos") - 3, F.lit(1))
+    length = (
+        F.least(F.col("first_pos") + 4, F.size(t).cast("long")) - start + 1
+    )
+    return hits.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "first_pos",
+        F.array_join(
+            F.slice(t, start.cast("int"), length.cast("int")), " "
+        ).alias("snippet"),
+    )
+
+
+@query(
+    "postings_stats",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           CAST(MAX(tf) AS BIGINT) AS max_tf,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM tf GROUP BY term
+    """,
+)
+def postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build telemetry per term: document frequency,
+    collection frequency, max in-doc tf (the BM25 upper-bound used by
+    WAND/MaxScore pruning), and the first posting's doc id — the
+    dictionary table an index compaction job emits. Two partial-
+    aggregated shuffles on uniform keys; vocabulary-sized output."""
+    from ocr_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1134,3 +1134,44 @@ def test_props_drift_seeded_key(spark):
     assert out["k"].n_early + out["k"].n_late >= out["v"].n_early + out["v"].n_late
     # 'v' exists only on event_id % 3 == 0; both halves see some
     assert out["v"].n_early > 0 and out["v"].n_late > 0
+
+
+def test_search_snippets_window(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c data column x y z"),      # interior match at 4
+            (1, "data column tail"),             # match at 1: left-clamped
+            (2, "x y z w data column"),          # match at 5: right-clamped
+        ],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: (r.first_pos, r.snippet)
+               for r in QUERIES["search_snippets"](spark, "ignored").collect()}
+    assert out[0] == (4, "a b c data column x y z")
+    assert out[1] == (1, "data column tail")
+    assert out[2] == (5, "y z w data column")
+
+
+def test_postings_stats_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(3, "a a b"), (7, "a c"), (9, "c c c")], ["doc_id", "text"]
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.term: (r.df, r.cf, r.max_tf, r.first_doc)
+               for r in QUERIES["postings_stats"](spark, "ignored").collect()}
+    assert out == {
+        "a": (2, 3, 2, 3),
+        "b": (1, 1, 1, 3),
+        "c": (2, 4, 3, 7),
+    }

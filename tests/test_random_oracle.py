@@ -100,6 +100,8 @@ CRITICAL = [
     "cdc_crawl_reuse",
     "jaccard_threshold_histogram",
     "quality_calibration_deciles",
+    "search_snippets",
+    "postings_stats",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
