@@ -214,3 +214,45 @@ def test_exact_substring_spans_single_window_sort_chain(spark):
     plan = _plan(QUERIES["exact_substring_spans"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 8  # spread, (doc,s) agg, h window, doc_id
+
+
+def test_no_query_has_cartesian_product(spark):
+    """Systematic audit over EVERY registered query: CartesianProduct
+    must never appear (constant-build-side BroadcastNestedLoopJoin is
+    allowed — single-row norm/query broadcasts — but an unpruned
+    cartesian is always a plan bug at corpus scale)."""
+    from ocr_spark.queries import QUERIES
+
+    offenders = [
+        name for name, fn in QUERIES.items()
+        if "CartesianProduct" in _plan(fn(spark, SF))
+    ]
+    assert not offenders, offenders
+
+
+def test_session5_heavy_ops_plan_hygiene(spark):
+    """Session-5 pure-JVM operators: no python stage, no cartesian,
+    and the prefix-filtered containment join candidates come from a
+    hash equi-join on the shingle key."""
+    from ocr_spark.queries import QUERIES
+
+    for name in (
+        "pca_power_component",
+        "containment_pairs",
+        "cdc_chunks",
+        "cdc_crawl_reuse",
+        "host_communities_lp",
+        "ngram_novelty",
+        "feature_hash_embeddings",
+        "tfidf_keywords_top3",
+        "phrase_match_positions",
+        "jaccard_threshold_histogram",
+        "user_decayed_errors",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    cont = _plan(QUERIES["containment_pairs"](spark, SF))
+    assert "SortMergeJoin" in cont or "ShuffledHashJoin" in cont \
+        or "BroadcastHashJoin" in cont
