@@ -7023,3 +7023,110 @@ def postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tf").alias("max_tf"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-hop reachability / inter-arrival histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "host_two_hop_reach",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+    edges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h),
+    two_hop AS (
+      SELECT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+      WHERE b.dst <> a.src),
+    reach AS (
+      SELECT src, dst FROM edges UNION SELECT src, dst FROM two_hop)
+    SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS n_reach_2hop
+    FROM reach GROUP BY src
+    """,
+)
+def host_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability per host (|N(v) ∪ N²(v)|, excluding v) —
+    the crawl-frontier expansion estimate and the influence feature
+    PageRank's stationary view misses. One edges self-join on the mid
+    key (uniform), a union-distinct, one count. At web scale the
+    self-join is the standard triangle/path-join cost; df-cap hub
+    mids if a recall-bounded estimate suffices."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    edges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    two_hop = (
+        edges.alias("a")
+        .join(
+            edges.alias("b"),
+            F.col("a.dst") == F.col("b.src"),
+        )
+        .where(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    reach = edges.union(two_hop).distinct()
+    return reach.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_reach_2hop")
+    )
+
+
+@query(
+    "interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CASE WHEN gap_s <= 0 THEN 0
+                  ELSE length(bin(gap_s)) END AS log2_bucket
+      FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT event_type, CAST(log2_bucket AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM b GROUP BY event_type, log2_bucket
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type in log2 buckets
+    (bucket = bit-length of the gap seconds — the integer-exact
+    floor(log2)+1, no log()): the burstiness profile that drives crawl
+    politeness and anomaly baselines. One lag window per type
+    (uniform keys) and a tiny aggregate."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    bucket = F.when(F.col("gap_s") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("gap_s")))
+    )
+    return gaps.select(
+        "event_type", bucket.cast("bigint").alias("log2_bucket")
+    ).groupBy("event_type", "log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )

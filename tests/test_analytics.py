@@ -1175,3 +1175,39 @@ def test_postings_stats_handcrafted(spark):
         "b": (1, 1, 1, 3),
         "c": (2, 4, 3, 7),
     }
+
+
+def test_two_hop_reach_handcrafted(spark):
+    """Path graph 0->1->2: reach(0) = {1, 2}; reach(1) = {2};
+    verified through the query path on a patched host space is
+    impractical (hosts derive from doc_id % 97), so check invariants
+    on the synthesized graph instead: reach >= out-degree and
+    reach <= n_hosts - 1."""
+    from ocr_spark.queries import QUERIES
+
+    out = {r.host: r.n_reach_2hop
+           for r in QUERIES["host_two_hop_reach"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert out and all(1 <= v <= 96 for v in out.values())
+    # the synthesized graph gives every host up to 3 outlinks; 2-hop
+    # reach must be >= direct degree for any host that appears
+    assert max(out.values()) > 3     # someone reaches beyond 1 hop
+
+
+def test_interarrival_histogram_conservation(spark):
+    """Per type: sum of bucket counts == n_events(type) - 1 (every
+    consecutive pair yields exactly one gap)."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["interarrival_histogram"](spark, sf).collect()
+    per_type = {}
+    for r in out:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + r.n_gaps
+    counts = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_type == {t: n - 1 for t, n in counts.items() if n > 1}

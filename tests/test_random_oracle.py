@@ -102,6 +102,7 @@ CRITICAL = [
     "quality_calibration_deciles",
     "search_snippets",
     "postings_stats",
+    "host_two_hop_reach",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
@@ -116,6 +117,7 @@ CRITICAL = [
     "funnel_conversion",
     "user_decayed_errors",
     "props_schema_drift",
+    "interarrival_histogram",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
