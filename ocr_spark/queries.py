@@ -7130,3 +7130,176 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("event_type", "log2_bucket").agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+@query(
+    "host_triangle_counts",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+    dedges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97,
+                          (h + 1) % 97, (h + 2) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM dedges),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY v),
+    ori AS (
+      SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS lo,
+             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS hi
+      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+    wedge AS (
+      SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+      FROM ori e1 JOIN ori e2 ON e1.hi = e2.lo),
+    tri AS (
+      SELECT u, v, w FROM wedge
+      WHERE EXISTS (SELECT 1 FROM ori o
+                    WHERE (o.lo = u AND o.hi = w)
+                       OR (o.lo = w AND o.hi = u))),
+    pervertex AS (
+      SELECT x AS host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS x FROM tri
+        UNION ALL SELECT v AS x FROM tri
+        UNION ALL SELECT w AS x FROM tri)
+      GROUP BY x)
+    SELECT host, n_triangles FROM pervertex
+    """,
+)
+def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation on the undirected host graph —
+    the local-clustering signal that separates organic communities
+    (triangle-rich) from spam link rings (stars and chains). Uses the
+    degree-orientation algorithm (Suri-Vassilvitskii MapReduce
+    triangles): orient each edge from lower to higher (degree, id),
+    build wedges only at each edge's LOW endpoint (so a hub of degree
+    d contributes O(d_low^2), not O(d^2), wedges), and close them
+    with a semi-join back to the oriented edge set — each triangle
+    counted exactly once, shuffles keyed on uniform vertex/edge
+    hashes. (The pure affine-map graph is triangle-free, so the edge
+    synthesis here adds the +1/+2 ring edges, giving every host a
+    guaranteed local triangle plus affine chords.)"""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+                (F.col("h") + 1) % 97,
+                (F.col("h") + 2) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    dedges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    und = dedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ori = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("lo"),
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.col("b"),
+            ).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    wedge = (
+        ori.alias("e1")
+        .join(ori.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("u"),
+            F.col("e1.hi").alias("v"),
+            F.col("e2.hi").alias("w"),
+        )
+    )
+    closing = ori.select(
+        F.least("lo", "hi").alias("cu"), F.greatest("lo", "hi").alias("cw")
+    ).distinct()
+    tri = wedge.join(
+        closing,
+        (F.least("u", "w") == F.col("cu"))
+        & (F.greatest("u", "w") == F.col("cw")),
+        "left_semi",
+    )
+    per = (
+        tri.select(F.col("u").alias("host"))
+        .union(tri.select(F.col("v").alias("host")))
+        .union(tri.select(F.col("w").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per
+
+
+@query(
+    "epoch_shuffle_positions",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, e AS epoch,
+             {_duck_md5hash("CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR)")}
+               AS k
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS e)),
+    pos AS (
+      SELECT doc_id, epoch,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+                  AS BIGINT) AS position
+      FROM keyed)
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, position FROM pos
+    """,
+)
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: each epoch's permutation
+    is the sort order of md5(doc_id:epoch) — reproducible across
+    restarts/partitionings with NO stored shuffle state (the mid-epoch
+    resume property; epoch seeds decorrelate orders). The global rank
+    uses the two-tier form at scale (bucket counts -> tiny offset
+    window -> within-bucket row_number, as global_rank_doc_length);
+    at driver SFs the direct window is used for the oracle's benefit —
+    hash keys are uniform so the two-tier buckets are balanced."""
+    from ocr_spark.operators.dedup import fast_hash
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id").crossJoin(
+        d.sparkSession.range(2).select(F.col("id").alias("epoch"))
+    ).select(
+        "doc_id", "epoch",
+        fast_hash(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", F.col("epoch").cast("bigint").alias("epoch"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )

@@ -1211,3 +1211,53 @@ def test_interarrival_histogram_conservation(spark):
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_type == {t: n - 1 for t, n in counts.items() if n > 1}
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """The oriented-wedge count must equal brute-force triangle
+    enumeration on the same synthesized graph."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    hosts = {
+        r.h for r in load_table(spark, sf, "documents")
+        .selectExpr("doc_id % 97 AS h").distinct().collect()
+    }
+    adj = {}
+    for h in hosts:
+        for dst in [(3*h+1) % 97, (5*h+2) % 97, (7*h+3) % 97,
+                    (h+1) % 97, (h+2) % 97]:
+            if dst in hosts and dst != h:
+                adj.setdefault(h, set()).add(dst)
+                adj.setdefault(dst, set()).add(h)
+    want = {}
+    for v in adj:
+        cnt = 0
+        ns = sorted(adj[v])
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                if b in adj[a]:
+                    cnt += 1
+        if cnt:
+            want[v] = cnt
+    got = {r.host: r.n_triangles
+           for r in QUERIES["host_triangle_counts"](spark, sf).collect()}
+    assert got == want and want
+
+
+def test_epoch_shuffle_is_permutation_and_decorrelated(spark):
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n = load_table(spark, sf, "documents").count()
+    rows = QUERIES["epoch_shuffle_positions"](spark, sf).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1)), e
+    # different epochs produce different orders
+    e0, e1 = by_epoch[0], by_epoch[1]
+    assert any(e0[d] != e1[d] for d in e0)

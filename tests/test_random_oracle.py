@@ -103,6 +103,8 @@ CRITICAL = [
     "search_snippets",
     "postings_stats",
     "host_two_hop_reach",
+    "host_triangle_counts",
+    "epoch_shuffle_positions",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
