@@ -7303,3 +7303,191 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("epoch").cast("bigint").alias("epoch"),
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash estimator calibration / k-core peeling
+# ---------------------------------------------------------------------------
+
+@query(
+    "minhash_estimate_error",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, hs,
+             list_transform(generate_series(0, 15), j ->
+               list_aggregate(list_transform(hs,
+                 h -> ((2*j+1)*h + 7919*j) % 1000000007), 'min')) AS sig
+      FROM sh WHERE len(hs) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST((1000 * len(list_intersect(a.hs, b.hs)))
+                  // (len(a.hs) + len(b.hs)
+                      - len(list_intersect(a.hs, b.hs)))
+                  AS BIGINT) AS jacc_permille,
+             CAST(len(list_filter(generate_series(1, 16),
+                                  i -> a.sig[i] = b.sig[i]))
+                  AS BIGINT) AS est_sixteenths
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.hs, b.hs))
+            >= 3 * (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+    SELECT doc_a, doc_b, jacc_permille, est_sixteenths FROM pairs
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration QA: for every pair with exact Jaccard >= 0.3,
+    the 16-permutation MinHash agreement count next to the exact
+    similarity — the table that tells you whether your band/row LSH
+    config has the recall you think at a given threshold (E[est/16] =
+    J; deviations here ARE the sketch's sampling error, fully
+    deterministic given the permutation family). Shipped plan: prefix-
+    filtered candidate join (exact recall at t=0.3 by the prefix
+    lemma, prefix length floor(0.7*|A|)+1 on BOTH sides), signature
+    agreement as a bounded 16-element zip; the all-pairs form exists
+    only in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import (
+        MINHASH_K,
+        MOD,
+        shingle_rows,
+        shingle_sets,
+    )
+    from ocr_spark.operators.training import floor_div
+
+    inv = shingle_rows(load_table(spark, sf_dir, "documents"))
+    sets = shingle_sets(inv)
+    sig = inv.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(7919 * j)) % F.lit(MOD))
+            .alias(f"s{j}")
+            for j in range(MINHASH_K)
+        ]
+    ).select("id", F.array(*[f"s{j}" for j in range(MINHASH_K)]).alias("sig"))
+    byid = Window.partitionBy("id").orderBy("h")
+    n = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    pre = (
+        inv.withColumn("n", n)
+        .withColumn("r", F.row_number().over(byid))
+        .where(
+            F.col("r")
+            <= floor_div(7 * F.col("n"), F.lit(10)) + 1
+        )
+    )
+    cand = (
+        pre.select(F.col("id").alias("a"), "h")
+        .join(pre.select(F.col("id").alias("b"), "h"), "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("long")
+    uni = (F.size("ha") + F.size("hb")).cast("long") - inter
+    est = F.size(
+        F.filter(
+            F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    return (
+        cand.join(sets.select(F.col("id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("hs").alias("hb")), "b")
+        .where(10 * inter >= 3 * uni)
+        .join(sig.select(F.col("id").alias("a"), F.col("sig").alias("sa")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sb")), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            floor_div(1000 * inter, uni).alias("jacc_permille"),
+            est.alias("est_sixteenths"),
+        )
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    parts = [
+        "hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents)",
+        """dedges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97,
+                          (h + 1) % 97, (h + 2) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h)""",
+        """e0 AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dedges))""",
+        "v0 AS (SELECT h FROM hosts)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""deg{i} AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM e{i - 1} UNION ALL SELECT b AS v FROM e{i - 1})
+      GROUP BY v)"""
+        )
+        parts.append(
+            f"""v{i} AS (
+      SELECT v AS h FROM deg{i} WHERE d >= {k})"""
+        )
+        parts.append(
+            f"""e{i} AS (
+      SELECT a, b FROM e{i - 1}
+      WHERE a IN (SELECT h FROM v{i}) AND b IN (SELECT h FROM v{i}))"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT hosts.h AS host,
+           CAST(CASE WHEN v{rounds}.h IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_core
+    FROM hosts LEFT JOIN v{rounds} ON hosts.h = v{rounds}.h"""
+    )
+
+
+@query("kcore_membership", _kcore_oracle())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 rounds of k-core peeling (k=3) on the undirected host graph:
+    repeatedly drop vertices with degree < k and their edges — the
+    density skeleton that separates tight mirror/community cores from
+    tendrils. Bounded-round form (membership after round R is a
+    monotone superset of the true core; R rounds = R joins, no
+    unbounded fixpoint loop — the batch-friendly contract). Per round:
+    one degree aggregate + two semi-joins, all uniform host keys."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+                (F.col("h") + 1) % 97,
+                (F.col("h") + 2) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    dedges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    edges = dedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    live = hosts
+    for _ in range(3):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .union(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        live = deg.where(F.col("d") >= 3).select(F.col("v").alias("h"))
+        edges = edges.join(
+            live.select(F.col("h").alias("a")), "a", "left_semi"
+        ).join(live.select(F.col("h").alias("b")), "b", "left_semi")
+    return hosts.join(
+        live.withColumn("flag", F.lit(1)), "h", "left"
+    ).select(
+        F.col("h").alias("host"),
+        F.coalesce("flag", F.lit(0)).cast("bigint").alias("in_core"),
+    )

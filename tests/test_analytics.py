@@ -1261,3 +1261,90 @@ def test_epoch_shuffle_is_permutation_and_decorrelated(spark):
     # different epochs produce different orders
     e0, e1 = by_epoch[0], by_epoch[1]
     assert any(e0[d] != e1[d] for d in e0)
+
+
+@pytest.mark.parametrize("seed", [5, 61])
+def test_minhash_error_prefix_recall_random(spark, seed):
+    """The prefix-filtered candidate join must find EXACTLY the pairs
+    with Jaccard >= 0.3 (brute-force cross-check), and est/16 must be
+    the true permutation-agreement count."""
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rng = random.Random(seed)
+    vocab = ["t%d" % i for i in range(10)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 10))))
+            for i in range(25)]
+    docs += [(25, docs[0][1]), (26, docs[0][1] + " one more tok")]
+
+    MOD = 1_000_000_007
+    import hashlib
+
+    def hsh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MOD
+
+    def sh(t):
+        w = t.split(" ")
+        return {hsh(" ".join(w[k:k + 3])) for k in range(len(w) - 2)}
+
+    want = {}
+    for i, (a, ta) in enumerate(docs):
+        for b, tb in docs[i + 1:]:
+            A, B = sh(ta), sh(tb)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            uni = len(A | B)
+            if 10 * inter >= 3 * uni:
+                sa = [min(((2 * j + 1) * h + 7919 * j) % MOD for h in A)
+                      for j in range(16)]
+                sb = [min(((2 * j + 1) * h + 7919 * j) % MOD for h in B)
+                      for j in range(16)]
+                est = sum(x == y for x, y in zip(sa, sb))
+                want[(a, b)] = (1000 * inter // uni, est)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        got = {(r.doc_a, r.doc_b): (r.jacc_permille, r.est_sixteenths)
+               for r in QUERIES["minhash_estimate_error"](
+                   spark, "ignored").collect()}
+    assert got == want and want
+
+
+def test_kcore_invariants(spark):
+    """Peeled membership: every in-core host has >= 3 live neighbours
+    in the final surviving edge set (check via recomputation), and
+    round-3 membership is a superset of brute-force full peeling."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    hosts = {
+        r.h for r in load_table(spark, sf, "documents")
+        .selectExpr("doc_id % 97 AS h").distinct().collect()
+    }
+    edges = set()
+    for h in hosts:
+        for dst in [(3*h+1) % 97, (5*h+2) % 97, (7*h+3) % 97,
+                    (h+1) % 97, (h+2) % 97]:
+            if dst in hosts and dst != h:
+                edges.add((min(h, dst), max(h, dst)))
+
+    def peel(edges, rounds):
+        live = set(hosts)
+        es = set(edges)
+        for _ in range(rounds):
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            live = {v for v, d in deg.items() if d >= 3}
+            es = {(a, b) for a, b in es if a in live and b in live}
+        return live
+
+    got = {r.host for r in QUERIES["kcore_membership"](spark, sf).collect()
+           if r.in_core == 1}
+    assert got == peel(edges, 3)
+    assert got >= peel(edges, 30)       # superset of the fixpoint core

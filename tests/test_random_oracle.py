@@ -105,6 +105,8 @@ CRITICAL = [
     "host_two_hop_reach",
     "host_triangle_counts",
     "epoch_shuffle_positions",
+    "minhash_estimate_error",
+    "kcore_membership",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
