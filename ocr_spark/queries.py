@@ -7491,3 +7491,125 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("host"),
         F.coalesce("flag", F.lit(0)).cast("bigint").alias("in_core"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion / duplicate-group taxonomy
+# ---------------------------------------------------------------------------
+
+@query(
+    "rrf_fusion_top10",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    ra AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+               AS rank_a
+      FROM tf WHERE w = '{_PHRASE[0]}'),
+    rb AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+               AS rank_b
+      FROM tf WHERE w = '{_PHRASE[1]}'),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             COALESCE(rank_a, 0) AS rank_a,
+             COALESCE(rank_b, 0) AS rank_b,
+             CAST(CASE WHEN rank_a IS NULL THEN 0
+                       ELSE 1000000 // (60 + rank_a) END
+                  + CASE WHEN rank_b IS NULL THEN 0
+                         ELSE 1000000 // (60 + rank_b) END AS BIGINT)
+               AS rrf_score
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id, rank_a, rank_b, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_fusion_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two term
+    rankings into one top-10 — the standard way to merge BM25 with a
+    second retriever (here: per-term tf rankings for '{0}' and '{1}')
+    without score calibration. The 1/(60+rank) weights are integer-
+    scaled (floor(1e6/(60+r)) — exact, no float); absent ranks
+    contribute 0. Per-list ranks are windows over the posting list
+    (term-sized, not corpus-sized); promote to the two-tier rank for
+    web-scale lists.""".format(*_PHRASE)
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def ranking(term: str, out: str) -> DataFrame:
+        w = Window.orderBy(F.desc("tf"), "doc_id")
+        return (
+            tf.where(F.col("w") == term)
+            .select("doc_id", F.row_number().over(w).cast("long").alias(out))
+        )
+
+    ra, rb = ranking(_PHRASE[0], "rank_a"), ranking(_PHRASE[1], "rank_b")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+        (
+            F.when(
+                F.col("rank_a").isNull(), F.lit(0).cast("long")
+            ).otherwise(floor_div(F.lit(1000000), 60 + F.col("rank_a")))
+            + F.when(
+                F.col("rank_b").isNull(), F.lit(0).cast("long")
+            ).otherwise(floor_div(F.lit(1000000), 60 + F.col("rank_b")))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@query(
+    "dup_group_taxonomy",
+    """
+    WITH g AS (
+      SELECT md5(text) AS text_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT doc_id % 97) AS BIGINT) AS n_hosts
+      FROM documents GROUP BY md5(text)),
+    cls AS (
+      SELECT CASE WHEN n_docs = 1 THEN 'unique'
+                  WHEN n_hosts = 1 THEN 'intra_host'
+                  ELSE 'cross_host' END AS dup_class,
+             n_docs
+      FROM g)
+    SELECT dup_class, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM cls GROUP BY dup_class
+    """,
+)
+def dup_group_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group taxonomy: every exact-content group classified
+    as unique / intra-host (template reuse, CMS artifacts) / cross-host
+    (mirrors, scrapers) — the split that decides REMEDY (template
+    strip vs canonical-host election vs plain dedup). One content-hash
+    aggregate carrying a distinct-host count; three-row output."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col("doc_id") % 97).alias("n_hosts"),
+    )
+    cls = g.select(
+        F.when(F.col("n_docs") == 1, F.lit("unique"))
+        .when(F.col("n_hosts") == 1, F.lit("intra_host"))
+        .otherwise(F.lit("cross_host")).alias("dup_class"),
+        "n_docs",
+    )
+    return cls.groupBy("dup_class").agg(
+        F.count(F.lit(1)).alias("n_groups"), F.sum("n_docs").alias("n_docs")
+    )

@@ -1348,3 +1348,53 @@ def test_kcore_invariants(spark):
            if r.in_core == 1}
     assert got == peel(edges, 3)
     assert got >= peel(edges, 30)       # superset of the fixpoint core
+
+
+def test_rrf_fusion_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [
+            (0, "data data data"),            # rank_a 1, no 'column'
+            (1, "data column"),               # rank_a 2 (tf 1), rank_b 1|2
+            (2, "column column data data"),   # rank_a: tf2 ties doc0? no: doc0 tf3
+            (3, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.doc_id: r for r in QUERIES["rrf_fusion_top10"](
+            spark, "ignored").collect()}
+    assert 3 not in out
+    # ranking a (tf of 'data' desc, id): doc0(3), doc2(2), doc1(1)
+    assert (out[0].rank_a, out[2].rank_a, out[1].rank_a) == (1, 2, 3)
+    # ranking b (tf of 'column'): doc2(2), doc1(1)
+    assert (out[2].rank_b, out[1].rank_b, out[0].rank_b) == (1, 2, 0)
+    assert out[0].rrf_score == 1000000 // 61
+    assert out[2].rrf_score == 1000000 // 62 + 1000000 // 61
+    # doc2 fused above doc0 (present in both lists)
+    assert out[2].rrf_score > out[0].rrf_score
+
+
+def test_dup_taxonomy_three_classes(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rows = [
+        (0, "same text"), (97, "same text"),          # host 0 twice: intra
+        (1, "mirrored"), (2, "mirrored"),             # hosts 1,2: cross
+        (3, "alone"),                                 # unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.dup_class: (r.n_groups, r.n_docs)
+               for r in QUERIES["dup_group_taxonomy"](
+                   spark, "ignored").collect()}
+    assert out == {
+        "intra_host": (1, 2), "cross_host": (1, 2), "unique": (1, 1)
+    }

@@ -107,6 +107,8 @@ CRITICAL = [
     "epoch_shuffle_positions",
     "minhash_estimate_error",
     "kcore_membership",
+    "rrf_fusion_top10",
+    "dup_group_taxonomy",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
