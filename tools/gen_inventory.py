@@ -1,0 +1,66 @@
+"""Regenerate INVENTORY.md: one row per registered query — name, the
+first sentence of its docstring, and its oracle kind. The
+machine-checked complement to SURVEY.md §2: every row here has a
+`queries()` entry, and every non-"rows-only" row is value-hash-checked
+against DuckDB by the driver (CORRECTNESS_r{N}.json) and by
+tools/check_oracles.py locally.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def first_sentence(doc: str | None) -> str:
+    if not doc:
+        return ""
+    text = " ".join(doc.split())
+    m = re.match(r"(.+?\.)(\s|$)", text)
+    s = m.group(1) if m else text
+    return s if len(s) <= 240 else s[:237] + "..."
+
+
+def main() -> None:
+    from ocr_spark.px_goldens import PX_GOLDENS
+    from ocr_spark.queries import ORACLE, QUERIES
+
+    rows = []
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        if name in PX_GOLDENS:
+            kind = "literal-VALUES golden"
+        elif name in ORACLE:
+            kind = "DuckDB SQL"
+        else:
+            kind = "rows-only"
+        rows.append((name, kind, first_sentence(fn.__doc__)))
+
+    out = [
+        "# INVENTORY — every registered query (auto-generated)\n",
+        "Regenerate with `python tools/gen_inventory.py`. "
+        f"{len(rows)} queries; "
+        f"{sum(1 for _, k, _ in rows if k != 'rows-only')} with value-hash "
+        "oracles (the driver's correctness gate), "
+        f"{sum(1 for _, k, _ in rows if k == 'literal-VALUES golden')} of "
+        "those via literal goldens for pixel-kernel outputs.\n",
+        "| query | oracle | what it computes |",
+        "|---|---|---|",
+    ]
+    for name, kind, desc in rows:
+        desc = desc.replace("|", "\\|")
+        out.append(f"| `{name}` | {kind} | {desc} |")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "INVENTORY.md",
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"INVENTORY.md written ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()
