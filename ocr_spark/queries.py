@@ -7613,3 +7613,134 @@ def dup_group_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("dup_class").agg(
         F.count(F.lit(1)).alias("n_groups"), F.sum("n_docs").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# z-order layout / postings compression estimate
+# ---------------------------------------------------------------------------
+
+def _zorder_sql(a: str, b: str, bits: int = 7) -> str:
+    """Bit-interleave two small ints (a -> even bits, b -> odd bits) as
+    plain SQL arithmetic — identical on both engines (>> and & via
+    // and %, avoiding operator-precedence differences)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_file_ranges",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, doc_id % 97 AS host,
+             LEAST(n_chars // 64, 127) AS len_bucket
+      FROM documents),
+    z AS (
+      SELECT doc_id, host, len_bucket,
+             CAST({_zorder_sql("host", "LEAST(n_chars // 64, 127)")}
+                  AS BIGINT) AS zkey
+      FROM documents JOIN keyed USING (doc_id)),
+    files AS (SELECT *, zkey // 512 AS file_id FROM z)
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(host) AS BIGINT) AS host_min,
+           CAST(MAX(host) AS BIGINT) AS host_max,
+           CAST(MIN(len_bucket) AS BIGINT) AS len_min,
+           CAST(MAX(len_bucket) AS BIGINT) AS len_max
+    FROM files GROUP BY file_id
+    """,
+)
+def zorder_file_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) storage layout: interleave the bits of (host,
+    length-bucket) into one sort key, cut files every 512 key values,
+    and report each file's min/max per dimension — the column ranges
+    Iceberg/Parquet footers store, and the reason a z-ordered table
+    prunes files for predicates on EITHER column (both ranges stay
+    tight per file, where a single-column sort leaves the other
+    column's range full-width). The interleave is fixed codegen
+    arithmetic; file stats are one aggregate on the key prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.col("doc_id") % 97
+    lb = F.least(F.floor(F.col("n_chars") / 64).cast("long"), F.lit(127))
+    z = F.lit(0)
+    for i in range(7):
+        z = z + (F.floor(host / (1 << i)).cast("long") % 2) * (1 << (2 * i))
+        z = z + (F.floor(lb / (1 << i)).cast("long") % 2) * (1 << (2 * i + 1))
+    keyed = d.select(
+        host.alias("host"), lb.alias("len_bucket"),
+        F.floor(z / 512).cast("long").alias("file_id"),
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("host").cast("bigint").alias("host_min"),
+        F.max("host").cast("bigint").alias("host_max"),
+        F.min("len_bucket").alias("len_min"),
+        F.max("len_bucket").alias("len_max"),
+    )
+
+
+@query(
+    "postings_compression_estimate",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      GROUP BY doc_id, w),
+    gaps AS (
+      SELECT term,
+             doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), -1)
+               AS gap
+      FROM tf),
+    enc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT)
+               AS varint_bytes
+      FROM gaps GROUP BY term)
+    SELECT term, df, CAST(8 * df AS BIGINT) AS raw_bytes, varint_bytes,
+           CAST((1000 * varint_bytes) // (8 * df) AS BIGINT)
+             AS ratio_permille
+    FROM enc
+    """,
+)
+def postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sizing: per term, the varint-encoded size of the delta-
+    compressed posting list (gaps between sorted doc ids, ceil(bitlen/
+    7) bytes each — bitlen via length(bin()), no log) vs raw 8-byte
+    ids. The d-gap estimate every index build uses to plan storage;
+    dense terms compress ~8x, singletons don't. One lag window per
+    term (posting-list-sized partitions) + a term aggregate."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_id", "term")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = tf.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("gap"),
+    )
+    enc = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(
+            floor_div(F.length(F.bin(F.col("gap"))) + 6, F.lit(7))
+        ).alias("varint_bytes"),
+    )
+    return enc.select(
+        "term", "df", (8 * F.col("df")).cast("bigint").alias("raw_bytes"),
+        "varint_bytes",
+        floor_div(1000 * F.col("varint_bytes"), 8 * F.col("df"))
+        .alias("ratio_permille"),
+    )

@@ -1398,3 +1398,49 @@ def test_dup_taxonomy_three_classes(spark):
     assert out == {
         "intra_host": (1, 2), "cross_host": (1, 2), "unique": (1, 1)
     }
+
+
+def test_zorder_ranges_prune_better_than_single_sort(spark):
+    """The z-order point: per-file ranges stay bounded on BOTH
+    dimensions. Verify the interleave is a true Morton code and that
+    each file's host range is far narrower than the full 0..96 span."""
+    from ocr_spark.queries import QUERIES
+
+    out = QUERIES["zorder_file_ranges"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.n_docs for r in out) == 500
+    for r in out:
+        # 512 z-values cover a 32x16 (host x len) tile at most:
+        # host bits are the even bits -> host range within a file
+        # spans < 32; a host-ignorant length sort would span ~97
+        assert r.host_max - r.host_min < 32, r
+    # morton property, checked directly
+    def morton(a, b):
+        z = 0
+        for i in range(7):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert morton(0b1010101, 0) == 0b1000100010001
+    assert morton(0, 0b1111111) == 0b10101010101010
+
+
+def test_postings_compression_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    # term 'a' in docs 0..3 (gaps 1,1,1,1 from sentinel -1): each gap=1
+    # -> bin len 1 -> 1 varint byte; term 'z' only in doc 300:
+    # gap 301 -> bin len 9 -> 2 bytes
+    rows = [(i, "a filler") for i in range(4)] + [(300, "z filler")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.term: (r.df, r.varint_bytes, r.ratio_permille)
+               for r in QUERIES["postings_compression_estimate"](
+                   spark, "ignored").collect()}
+    assert out["a"] == (4, 4, 125)
+    assert out["z"] == (1, 2, 250)
+    assert out["filler"][0] == 5

@@ -109,6 +109,8 @@ CRITICAL = [
     "kcore_membership",
     "rrf_fusion_top10",
     "dup_group_taxonomy",
+    "zorder_file_ranges",
+    "postings_compression_estimate",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
