@@ -7744,3 +7744,174 @@ def postings_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         floor_div(1000 * F.col("varint_bytes"), 8 * F.col("df"))
         .alias("ratio_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical election / link-prediction training pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "canonical_election",
+    f"""
+    WITH trust AS (
+      SELECT host, trust FROM ({_trustrank_oracle()})),
+    grp AS (
+      SELECT a.doc_id, a.doc_id - a.doc_id % 3 AS group_id,
+             a.doc_id % 97 AS host
+      FROM documents a),
+    scored AS (
+      SELECT g.group_id, g.doc_id, t.trust,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY t.trust DESC, g.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY g.group_id) AS n
+      FROM grp g JOIN trust t ON g.host = t.host)
+    SELECT group_id, CAST(n AS BIGINT) AS n_members,
+           doc_id AS canonical_doc, trust AS canonical_trust
+    FROM scored WHERE rn = 1 AND n > 1
+    """,
+)
+def canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election inside duplicate groups: keep the
+    copy served by the most-trusted host (TrustRank score, doc_id
+    tiebreak) — the mirror-resolution rule that replaces 'keep lowest
+    id' when host reputation matters. Groups here are the
+    deterministic doc_id//3 triples (the fixed corpus has no exact
+    dups); the election dataflow — trust join + per-group argmax — is
+    what a real dup-cluster table plugs into. All integer; one
+    host-keyed broadcast-size join + one bounded-group window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    trust = QUERIES["trustrank_hosts"](spark, sf_dir).select("host", "trust")
+    grp = d.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 3).alias("group_id"),
+        (F.col("doc_id") % 97).alias("host"),
+    )
+    scored = grp.join(F.broadcast(trust), "host")
+    w = Window.partitionBy("group_id").orderBy(F.desc("trust"), "doc_id")
+    wc = Window.partitionBy("group_id")
+    return (
+        scored.select(
+            "group_id", "doc_id", "trust",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where((F.col("rn") == 1) & (F.col("n") > 1))
+        .select(
+            "group_id", F.col("n").cast("bigint").alias("n_members"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("trust").alias("canonical_trust"),
+        )
+    )
+
+
+@query(
+    "link_prediction_pairs",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+    dedges AS (
+      SELECT DISTINCT h AS src, dst FROM (
+        SELECT h, unnest([(3*h + 1) % 97, (5*h + 2) % 97, (7*h + 3) % 97])
+          AS dst
+        FROM hosts)
+      WHERE dst IN (SELECT h FROM hosts) AND dst <> h),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM dedges),
+    sym AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    neg AS (
+      SELECT LEAST(h, (h * 41 + 7) % 97) AS a,
+             GREATEST(h, (h * 41 + 7) % 97) AS b
+      FROM hosts
+      WHERE (h * 41 + 7) % 97 <> h
+        AND (h * 41 + 7) % 97 IN (SELECT h FROM hosts)),
+    lab AS (
+      SELECT a, b, CAST(1 AS BIGINT) AS label FROM und
+      UNION
+      SELECT n.a, n.b, CAST(0 AS BIGINT) AS label FROM neg n
+      WHERE NOT EXISTS (SELECT 1 FROM und u
+                        WHERE u.a = n.a AND u.b = n.b)),
+    cn AS (
+      SELECT l.a, l.b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM lab l JOIN sym s1 ON s1.u = l.a JOIN sym s2 ON s2.u = l.b
+           AND s1.v = s2.v
+      GROUP BY l.a, l.b)
+    SELECT l.a AS host_a, l.b AS host_b, l.label,
+           COALESCE(cn.common_neighbors, 0) AS common_neighbors,
+           da.d AS deg_a, db.d AS deg_b
+    FROM lab l
+         LEFT JOIN cn ON l.a = cn.a AND l.b = cn.b
+         JOIN deg da ON da.u = l.a
+         JOIN deg db ON db.u = l.b
+    """,
+)
+def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction training set over the host graph: positive rows
+    are real undirected edges, negatives are hash-derived non-edges
+    (reproducible, no rand()); features are the common-neighbor count
+    (the triangle-join, keyed on the shared neighbor) and endpoint
+    degrees — the classical Adamic-Adar precursor features, all
+    integer. The common-neighbor join is wedge-shaped (same cost class
+    as triangle counting); pair labels/negatives are corpus-free
+    arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    cand = hosts.select(
+        "h",
+        F.explode(
+            F.array(
+                (3 * F.col("h") + 1) % 97,
+                (5 * F.col("h") + 2) % 97,
+                (7 * F.col("h") + 3) % 97,
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("h")).distinct()
+    dedges = cand.join(
+        hosts.select(F.col("h").alias("dst")), "dst"
+    ).select(F.col("h").alias("src"), "dst")
+    und = dedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    negs = (
+        hosts.select(
+            "h", ((F.col("h") * 41 + 7) % 97).alias("m")
+        )
+        .where(F.col("m") != F.col("h"))
+        .join(hosts.select(F.col("h").alias("m")), "m")
+        .select(
+            F.least("h", "m").alias("a"), F.greatest("h", "m").alias("b")
+        )
+        .join(und, ["a", "b"], "left_anti")
+        .distinct()
+    )
+    lab = und.withColumn("label", F.lit(1).cast("long")).union(
+        negs.withColumn("label", F.lit(0).cast("long"))
+    )
+    cn = (
+        lab.select("a", "b")
+        .join(sym.select(F.col("u").alias("a"), F.col("v").alias("w1")), "a")
+        .join(
+            sym.select(F.col("u").alias("b"), F.col("v").alias("w1")),
+            ["b", "w1"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        lab.join(cn, ["a", "b"], "left")
+        .join(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("host_a"), F.col("b").alias("host_b"), "label",
+            F.coalesce("common_neighbors", F.lit(0)).cast("bigint")
+            .alias("common_neighbors"),
+            "deg_a", "deg_b",
+        )
+    )

@@ -1444,3 +1444,52 @@ def test_postings_compression_handcrafted(spark):
     assert out["a"] == (4, 4, 125)
     assert out["z"] == (1, 2, 250)
     assert out["filler"][0] == 5
+
+
+def test_canonical_election_prefers_trusted_host(spark):
+    """Within each group, the winner's trust is the group max and
+    ties break to the lowest doc_id."""
+    from ocr_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    trust = {r.host: r.trust
+             for r in QUERIES["trustrank_hosts"](spark, sf).collect()}
+    out = QUERIES["canonical_election"](spark, sf).collect()
+    assert out
+    for r in out:
+        members = [d for d in range(r.group_id, r.group_id + 3)
+                   if (d % 97) in trust]
+        member_trust = [trust[d % 97] for d in members]
+        assert r.canonical_trust == max(member_trust)
+        best = min(d for d in members if trust[d % 97] == r.canonical_trust)
+        assert r.canonical_doc == best
+
+
+def test_link_prediction_pairs_features(spark):
+    """Positives are exactly the undirected edge set; negatives are
+    non-edges; common-neighbor counts match brute force."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    hosts = {
+        r.h for r in load_table(spark, sf, "documents")
+        .selectExpr("doc_id % 97 AS h").distinct().collect()
+    }
+    und, adj = set(), {}
+    for h in hosts:
+        for dst in [(3*h+1) % 97, (5*h+2) % 97, (7*h+3) % 97]:
+            if dst in hosts and dst != h:
+                e = (min(h, dst), max(h, dst))
+                und.add(e)
+                adj.setdefault(e[0], set()).add(e[1])
+                adj.setdefault(e[1], set()).add(e[0])
+    rows = QUERIES["link_prediction_pairs"](spark, sf).collect()
+    pos = {(r.host_a, r.host_b) for r in rows if r.label == 1}
+    neg = {(r.host_a, r.host_b) for r in rows if r.label == 0}
+    assert pos == und
+    assert neg and not (neg & und)
+    for r in rows:
+        cn = len(adj.get(r.host_a, set()) & adj.get(r.host_b, set()))
+        assert r.common_neighbors == cn, (r.host_a, r.host_b)
+        assert r.deg_a == len(adj[r.host_a])

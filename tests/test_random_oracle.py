@@ -111,6 +111,8 @@ CRITICAL = [
     "dup_group_taxonomy",
     "zorder_file_ranges",
     "postings_compression_estimate",
+    "canonical_election",
+    "link_prediction_pairs",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
