@@ -7915,3 +7915,160 @@ def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg_a", "deg_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL front-coding estimate / consistent-hash rebalance cost
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_front_coding_estimate",
+    """
+    WITH urls AS (
+      SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+             || '.example/d' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    ordered AS (
+      SELECT url, lag(url) OVER (ORDER BY url) AS prev FROM urls),
+    lcp AS (
+      SELECT url,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(
+                    generate_series(1, LEAST(length(url), length(prev))),
+                    i -> substr(url, 1, CAST(i AS INT))
+                         = substr(prev, 1, CAST(i AS INT))))
+             END AS shared
+      FROM ordered)
+    SELECT CAST(SUM(length(url)) AS BIGINT) AS raw_bytes,
+           CAST(SUM(length(url) - shared + 2) AS BIGINT) AS coded_bytes,
+           CAST((1000 * SUM(length(url) - shared + 2))
+                // SUM(length(url)) AS BIGINT) AS ratio_permille
+    FROM lcp
+    """,
+)
+def url_front_coding_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coding size estimate for the URL table: sort URLs, store
+    each as (shared-prefix length with predecessor, suffix) — the
+    dictionary layout crawl frontiers and CDX indexes use (prefix
+    lengths are bounded <= 255, modeled as 2 bytes of overhead). The
+    LCP is a bounded per-pair fold (URL-length, ~30 steps); global
+    sort is one Exchange — at 10^12 urls front-code per sorted
+    partition (range partitioner), the ratio is unchanged. Output is
+    one row: raw vs coded bytes and the permille ratio."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    w = Window.orderBy("url")
+    ordered = d.select(url.alias("url")).select(
+        "url", F.lag("url").over(w).alias("prev")
+    )
+    # per-pair LCP as a bounded SQL-lambda fold (F.substring requires
+    # literal pos/len, so the lambda lives in expr)
+    shared = F.when(F.col("prev").isNull(), F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "size(filter(sequence(1, int(least(length(url), length(prev)))),"
+            " i -> substring(url, 1, i) = substring(prev, 1, i)))"
+        ).cast("long")
+    )
+    lcp = ordered.select(
+        F.length("url").cast("long").alias("L"), shared.alias("shared")
+    )
+    agg = lcp.agg(
+        F.sum("L").alias("raw_bytes"),
+        F.sum(F.col("L") - F.col("shared") + 2).alias("coded_bytes"),
+    )
+    return agg.select(
+        "raw_bytes", "coded_bytes",
+        floor_div(1000 * F.col("coded_bytes"), F.col("raw_bytes"))
+        .alias("ratio_permille"),
+    )
+
+
+@query(
+    "consistent_hash_rebalance",
+    f"""
+    WITH assign AS (
+      SELECT doc_id,
+             doc_id % 16 AS mod16, doc_id % 20 AS mod20
+      FROM documents),
+    hrw AS (
+      SELECT doc_id, n,
+             {_duck_md5hash("CAST(n AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+               AS wgt
+      FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS n)),
+    hrw16 AS (
+      SELECT doc_id, arg_max(n, wgt) AS node FROM hrw WHERE n < 16
+      GROUP BY doc_id),
+    hrw20 AS (
+      SELECT doc_id, arg_max(n, wgt) AS node FROM hrw GROUP BY doc_id),
+    moved AS (
+      SELECT 'mod' AS scheme,
+             CAST(COUNT(*) FILTER (mod16 <> mod20) AS BIGINT) AS n_moved,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assign
+      UNION ALL
+      SELECT 'hrw' AS scheme,
+             CAST(COUNT(*) FILTER (a.node <> b.node) AS BIGINT) AS n_moved,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM hrw16 a JOIN hrw20 b USING (doc_id))
+    SELECT scheme, n_moved, n_docs,
+           CAST((1000 * n_moved) // n_docs AS BIGINT) AS moved_permille
+    FROM moved
+    """,
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance cost when the fleet grows 16 -> 20 nodes, mod
+    hashing vs rendezvous (HRW): mod moves ~all docs (every residue
+    changes), HRW provably moves only ~4/20 (docs whose argmax lands
+    on a new node) — the quantified case for consistent hashing in
+    shard maps and crawl ownership. HRW is the bounded 20-row fan-out
+    + max_by aggregate (no window sort); output is two rows."""
+    from ocr_spark.operators.dedup import fast_hash
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    nodes = d.sparkSession.range(20).select(F.col("id").alias("n"))
+    hrw = d.select("doc_id").crossJoin(F.broadcast(nodes)).select(
+        "doc_id", "n",
+        fast_hash(
+            F.concat(
+                F.col("n").cast("string"), F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("wgt"),
+    )
+    h16 = (
+        hrw.where(F.col("n") < 16)
+        .groupBy("doc_id")
+        .agg(F.max_by("n", "wgt").alias("node16"))
+    )
+    h20 = hrw.groupBy("doc_id").agg(F.max_by("n", "wgt").alias("node20"))
+    hrw_moved = (
+        h16.join(h20, "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("node16") != F.col("node20"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("scheme", F.lit("hrw"))
+    )
+    mod_moved = d.agg(
+        F.sum(
+            F.when(F.col("doc_id") % 16 != F.col("doc_id") % 20, 1)
+            .otherwise(0)
+        ).alias("n_moved"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).withColumn("scheme", F.lit("mod"))
+    both = mod_moved.unionByName(hrw_moved)
+    return both.select(
+        "scheme", "n_moved", "n_docs",
+        floor_div(1000 * F.col("n_moved"), F.col("n_docs"))
+        .alias("moved_permille"),
+    )

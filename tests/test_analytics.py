@@ -1493,3 +1493,39 @@ def test_link_prediction_pairs_features(spark):
         cn = len(adj.get(r.host_a, set()) & adj.get(r.host_b, set()))
         assert r.common_neighbors == cn, (r.host_a, r.host_b)
         assert r.deg_a == len(adj[r.host_a])
+
+
+def test_front_coding_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    # urls sort as host0.example/d0, host0.example/d97, host1.example/d1:
+    # build from doc_ids 0, 97, 1 (hosts 0, 0, 1)
+    df = spark.createDataFrame([(0, "x"), (97, "x"), (1, "x")],
+                               ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        r = QUERIES["url_front_coding_estimate"](spark, "ignored").collect()[0]
+    u0 = "https://host0.example/d0"
+    u97 = "https://host0.example/d97"
+    u1 = "https://host1.example/d1"
+    raw = len(u0) + len(u97) + len(u1)
+    # sorted order: u0, u97, u1; lcp(u0,u97)=len-1=23, lcp(u97,u1)=12
+    coded = (len(u0) + 2) + (len(u97) - 23 + 2) + (len(u1) - 12 + 2)
+    assert (r.raw_bytes, r.coded_bytes) == (raw, coded)
+
+
+def test_hrw_rebalance_bound(spark):
+    """HRW must move ~4/20 of docs when 4 nodes are added; mod moves
+    nearly everything (the whole point of consistent hashing)."""
+    from ocr_spark.queries import QUERIES
+
+    out = {r.scheme: r for r in QUERIES["consistent_hash_rebalance"](
+        spark, "/root/testdata/sf0.01").collect()}
+    # E[moved] = 4/20 = 200 permille for HRW; allow sampling slack
+    assert 120 <= out["hrw"].moved_permille <= 280, out["hrw"]
+    assert out["mod"].moved_permille > 700
+    # every doc HRW moves must move TO one of the new nodes (16..19) —
+    # implied by argmax monotonicity; spot-check via the permille gap
+    assert out["hrw"].n_docs == out["mod"].n_docs

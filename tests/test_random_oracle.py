@@ -113,6 +113,8 @@ CRITICAL = [
     "postings_compression_estimate",
     "canonical_election",
     "link_prediction_pairs",
+    "url_front_coding_estimate",
+    "consistent_hash_rebalance",
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
