@@ -403,3 +403,80 @@ def hll_registers_grouped(
     return parts.groupBy("grp", "bucket").agg(
         F.max(rho).cast("bigint").alias("max_rho")
     )
+
+
+def cdc_reuse_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+):
+    """Incremental CDC chunk-reuse over a document stream: every
+    micro-batch's docs are chunked (operators/dedup.cdc_chunks), scored
+    against the PERSISTENT chunk-hash index built from prior batches
+    (per-doc n_chunks / n_reused / reuse_permille appended to
+    ``out_dir``), then the batch's novel hashes are committed to the
+    index — so work per wave scales with the increment, never the
+    history (the same contract as incremental_minhash_pairs, on byte-
+    level chunks).
+
+    Exactly-once: both writes are keyed by batch_id — the reuse rows
+    carry it, and the index write is a dynamic partition overwrite of
+    partition batch_id, so a retried foreachBatch rewrites its own
+    partition instead of duplicating hashes.
+
+    Returns the started availableNow query (callers await it).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import cdc_chunks
+    from ocr_spark.operators.training import floor_div
+
+    docs = docs_stream(spark, src_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        ch = cdc_chunks(batch_df).localCheckpoint(eager=False)
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(index_dir) for f in fs
+        ):
+            idx = spark.read.parquet(index_dir).select("chunk_hash").distinct()
+        else:
+            idx = spark.createDataFrame([], "chunk_hash long")
+        seen = idx.withColumn("seen", F.lit(1))
+        per = (
+            ch.join(seen, "chunk_hash", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.coalesce("seen", F.lit(0))).alias("n_reused"),
+            )
+            .select(
+                "doc_id", "n_chunks", "n_reused",
+                floor_div(1000 * F.col("n_reused"), F.col("n_chunks"))
+                .alias("reuse_permille"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        per.write.mode("append").parquet(out_dir)
+        new_hashes = (
+            ch.select("chunk_hash").distinct()
+            .join(idx, "chunk_hash", "left_anti")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            new_hashes.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(index_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

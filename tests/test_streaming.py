@@ -317,3 +317,52 @@ def test_streaming_curation_gate_matches_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM curated").collect()
     }
     assert got == expect
+
+
+def test_cdc_reuse_stream_matches_batch(spark, tmp_path_factory):
+    """Two availableNow waves: wave-2 docs' reuse against the wave-1
+    index must equal the batch computation (chunks of wave 2 left-
+    joined against wave 1's distinct hashes) — the increment-scaling
+    contract, byte-level."""
+    import ocr_spark.streaming.pipeline as sp2
+    from ocr_spark.operators.dedup import cdc_chunks
+
+    root = tmp_path_factory.mktemp("cdc_stream")
+    src = str(root / "src")
+    os.makedirs(src)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+
+    hist.write.mode("append").parquet(src)
+    q = sp2.cdc_reuse_stream(
+        spark, src, str(root / "idx"), str(root / "out"), str(root / "ckpt")
+    )
+    q.awaitTermination(120)
+    inc.write.mode("append").parquet(src)
+    q = sp2.cdc_reuse_stream(
+        spark, src, str(root / "idx"), str(root / "out"), str(root / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(root / "out"))
+    inc_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+    got = {
+        r.doc_id: (r.n_chunks, r.n_reused)
+        for r in out.collect() if r.doc_id in inc_ids
+    }
+
+    hist_hashes = {
+        r.chunk_hash for r in cdc_chunks(hist).select("chunk_hash").collect()
+    }
+    want = {}
+    for r in cdc_chunks(inc).collect():
+        n, reused = want.get(r.doc_id, (0, 0))
+        want[r.doc_id] = (n + 1, reused + (r.chunk_hash in hist_hashes))
+    assert got == want and want
+    # wave 1 docs scored against an EMPTY index: all zero reuse
+    wave1 = {r.doc_id: r.n_reused for r in out.collect()
+             if r.doc_id not in inc_ids}
+    assert wave1 and all(v == 0 for v in wave1.values())
