@@ -8072,3 +8072,65 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_div(1000 * F.col("n_moved"), F.col("n_docs"))
         .alias("moved_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size / skew planner diagnostic
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_size_planner",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM lineitem GROUP BY l_orderkey),
+    oc AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+      FROM orders GROUP BY o_orderkey),
+    prod AS (
+      SELECT lc.k, cl * co AS rows_out FROM lc JOIN oc ON lc.k = oc.k),
+    tot AS (SELECT CAST(SUM(rows_out) AS BIGINT) AS total_rows FROM prod),
+    top AS (
+      SELECT k, rows_out,
+             ROW_NUMBER() OVER (ORDER BY rows_out DESC, k) AS rn
+      FROM prod)
+    SELECT top.k AS join_key, CAST(rows_out AS BIGINT) AS rows_out,
+           total_rows,
+           CAST((1000000 * rows_out) // total_rows AS BIGINT) AS share_ppm
+    FROM top CROSS JOIN tot WHERE rn <= 5
+    """,
+)
+def join_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join planning: |A ⋈ B| = sum over keys of cA*cB from
+    two per-key count aggregates (never running the join), plus the
+    top-5 keys by output contribution in ppm — what decides shuffle
+    partition sizing and whether AQE skew-split / salting is needed
+    BEFORE paying for the join. Two partial-aggregated counts, one
+    key-join of count rows (key-cardinality-sized, not row-sized)."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.training import floor_div
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("co")
+    )
+    prod = lc.join(oc, "k").select(
+        "k", (F.col("cl") * F.col("co")).alias("rows_out")
+    )
+    tot = prod.agg(F.sum("rows_out").alias("total_rows"))
+    w = Window.orderBy(F.desc("rows_out"), "k")
+    return (
+        prod.select("k", "rows_out", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("join_key"), "rows_out", "total_rows",
+            floor_div(1000000 * F.col("rows_out"), F.col("total_rows"))
+            .alias("share_ppm"),
+        )
+    )

@@ -1529,3 +1529,20 @@ def test_hrw_rebalance_bound(spark):
     # every doc HRW moves must move TO one of the new nodes (16..19) —
     # implied by argmax monotonicity; spot-check via the permille gap
     assert out["hrw"].n_docs == out["mod"].n_docs
+
+
+def test_join_size_planner_exact(spark):
+    """The planner's total must equal the actual join's row count."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["join_size_planner"](spark, sf).collect()
+    total = out[0].total_rows
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert total == actual
+    assert all(r.total_rows == total for r in out)
+    shares = [r.share_ppm for r in out]
+    assert shares == sorted(shares, reverse=True)
