@@ -8134,3 +8134,67 @@ def join_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+@query(
+    "embedding_drift_by_dim",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN 'early' ELSE 'late' END AS half,
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    ex AS (
+      SELECT half, d, qv[d] AS x
+      FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g),
+    m AS (
+      SELECT d,
+             CAST((SUM(CASE WHEN half = 'early' THEN x END)
+                   - (((SUM(CASE WHEN half = 'early' THEN x END)
+                        % COUNT(*) FILTER (half = 'early'))
+                       + COUNT(*) FILTER (half = 'early'))
+                      % COUNT(*) FILTER (half = 'early')))
+                  // COUNT(*) FILTER (half = 'early') AS BIGINT) AS mean_early,
+             CAST((SUM(CASE WHEN half = 'late' THEN x END)
+                   - (((SUM(CASE WHEN half = 'late' THEN x END)
+                        % COUNT(*) FILTER (half = 'late'))
+                       + COUNT(*) FILTER (half = 'late'))
+                      % COUNT(*) FILTER (half = 'late')))
+                  // COUNT(*) FILTER (half = 'late') AS BIGINT) AS mean_late
+      FROM ex GROUP BY d)
+    SELECT d, mean_early, mean_late,
+           mean_late - mean_early AS drift
+    FROM m
+    """,
+)
+def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per dimension, the quantized
+    floor-mean over the 'early' vs 'late' corpus halves (vec_id
+    parity stands in for snapshot time) and their signed delta — the
+    cheapest alarm that an upstream embedding model changed or the
+    corpus mixture shifted. One posexplode aggregate on 64x2 keys
+    with map-side partials; integer floor means, so any partitioning
+    is bit-exact."""
+    from ocr_spark.operators.training import floor_div, quantize_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.when(F.col("vec_id") % 2 == 0, F.lit("early"))
+        .otherwise(F.lit("late")).alias("half"),
+        F.posexplode(quantize_vec(F.col("embedding"))).alias("d0", "x"),
+    ).select("half", (F.col("d0") + 1).alias("d"), "x")
+    m = ex.groupBy("d").agg(
+        floor_div(
+            F.sum(F.when(F.col("half") == "early", F.col("x"))),
+            F.sum(F.when(F.col("half") == "early", 1).otherwise(0)),
+        ).alias("mean_early"),
+        floor_div(
+            F.sum(F.when(F.col("half") == "late", F.col("x"))),
+            F.sum(F.when(F.col("half") == "late", 1).otherwise(0)),
+        ).alias("mean_late"),
+    )
+    return m.select(
+        "d", "mean_early", "mean_late",
+        (F.col("mean_late") - F.col("mean_early")).alias("drift"),
+    )

@@ -1546,3 +1546,26 @@ def test_join_size_planner_exact(spark):
     assert all(r.total_rows == total for r in out)
     shares = [r.share_ppm for r in out]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_embedding_drift_zero_on_identical_halves(spark):
+    """If both halves hold the SAME vectors, drift must be exactly 0
+    on every dimension."""
+    import unittest.mock as mock
+
+    import numpy as np
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, size=(20, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(X):
+        rows.append((2 * i, [float(x) for x in v]))       # early
+        rows.append((2 * i + 1, [float(x) for x in v]))   # late (same)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = QUERIES["embedding_drift_by_dim"](spark, "ignored").collect()
+    assert len(out) == 64
+    assert all(r.drift == 0 for r in out)

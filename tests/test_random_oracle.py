@@ -115,6 +115,9 @@ CRITICAL = [
     "link_prediction_pairs",
     "url_front_coding_estimate",
     "consistent_hash_rebalance",
+    "embedding_drift_by_dim",
+    # NOT join_size_planner: needs lineitem/orders (this corpus
+    # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
     # timestamps so window orders are total, cent-grid doubles so both
     # engines read identical parquet values)
