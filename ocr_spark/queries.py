@@ -8198,3 +8198,75 @@ def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "mean_early", "mean_late",
         (F.col("mean_late") - F.col("mean_early")).alias("drift"),
     )
+
+
+@query(
+    "late_data_accounting",
+    f"""
+    WITH arr AS (
+      SELECT event_id, ts,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+             MAX(ts) OVER (
+               ORDER BY event_id
+                 + {_duck_md5hash("CAST(event_id AS VARCHAR)")} % 60 - 30,
+               event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS frontier
+      FROM events),
+    flagged AS (
+      SELECT win,
+             CASE WHEN frontier IS NOT NULL
+                       AND ts < frontier - INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS is_late
+      FROM arr)
+    SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late
+    FROM flagged GROUP BY win
+    """,
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark accounting, batch twin of the streaming windows: an
+    event is LATE if its timestamp trails the running event-time
+    frontier (max ts over earlier ARRIVALS, arrival order = event_id)
+    by more than the 2-hour watermark — exactly the rows
+    `withWatermark('ts', '2 hours')` would drop. Per hourly window:
+    total vs late counts — the data-loss audit run before choosing a
+    watermark. Arrival order is event position displaced by a bounded
+    hash jitter (+-30 slots, ~2h at the table's event spacing —
+    the shipped tables are time-sorted, which would make lateness
+    vacuous; full shuffling would make everything late); the frontier
+    is one running-max window over arrival order (at scale: per
+    shard/partition frontier, matching Spark's per-partition
+    watermark, then min-combine)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import fast_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.col("event_id")
+        + fast_hash(F.col("event_id").cast("string")) % 60
+        - 30,
+        "event_id",
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "ts",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("win"),
+        F.max("ts").over(w).alias("frontier"),
+    )
+    flagged = arr.select(
+        "win",
+        F.when(
+            F.col("frontier").isNotNull()
+            # full-precision timestamp compare (unix_timestamp would
+            # truncate to seconds and flip sub-second boundary rows
+            # vs the oracle's INTERVAL arithmetic)
+            & (F.col("ts") < F.col("frontier") - F.expr("INTERVAL 2 HOURS")),
+            1,
+        ).otherwise(0).alias("is_late"),
+    )
+    return flagged.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("is_late").alias("n_late")
+    )

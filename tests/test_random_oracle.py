@@ -133,6 +133,7 @@ CRITICAL = [
     "user_decayed_errors",
     "props_schema_drift",
     "interarrival_histogram",
+    "late_data_accounting",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
