@@ -274,6 +274,38 @@ COMMENTARY = {
         "cheapest embedding surface for clustering/dedup at corpus "
         "scale."
     ),
+    "host_triangle_counts": (
+        "Degree-orientation triangles (Suri-Vassilvitskii): wedges "
+        "built only at each edge's LOW (degree, id) endpoint, closed "
+        "by a left-semi join against the oriented edge set — hub "
+        "vertices contribute O(d_low^2) wedges, never O(d^2), and "
+        "each triangle is counted exactly once."
+    ),
+    "minhash_estimate_error": (
+        "Sketch-QA: exact-Jaccard candidates from the prefix-filtered "
+        "inverted join (floor(0.7*|A|)+1 hash-ordered prefixes, exact "
+        "recall at t=0.3), then a bounded 16-element signature zip "
+        "per surviving pair. The all-pairs shape exists only in the "
+        "DuckDB oracle."
+    ),
+    "join_size_planner": (
+        "Join cardinality BEFORE the join: two per-key count "
+        "aggregates joined key-to-key (key-cardinality-sized rows), "
+        "sum of count products = exact |A JOIN B|; top-k skew keys "
+        "from the same product table. No corpus-width shuffle."
+    ),
+    "consistent_hash_rebalance": (
+        "HRW vs mod rebalance: a constant 20-row node fan-out per "
+        "doc, two max_by aggregates (no window sort), one diff count "
+        "— quantifies that adding 4 nodes moves ~4/20 of docs under "
+        "rendezvous hashing vs ~all under mod."
+    ),
+    "cdc_crawl_reuse": (
+        "Increment-vs-history chunk reuse: history is touched only "
+        "through its DISTINCT chunk-hash index; the increment's "
+        "chunks left-join that index and aggregate per doc — work "
+        "scales with the crawl delta, not the corpus."
+    ),
 }
 
 
