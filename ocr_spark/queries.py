@@ -8270,3 +8270,126 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("win").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("is_late").alias("n_late")
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows / conversion latency quantiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sliding_windows",
+    """
+    WITH ex AS (
+      SELECT event_type, value, ts,
+             date_trunc('hour', ts) - to_hours(off) AS win_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)),
+    w AS (
+      SELECT event_type,
+             strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ex GROUP BY event_type, win_start)
+    SELECT event_type, win_start, n_events, value_cents FROM w
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (3h window, 1h slide) the batch way:
+    each event explodes into the 3 windows containing it (the exact
+    fan-out Structured Streaming's window() performs), then one
+    (type, window) aggregate. Values are summed on the integer cent
+    grid so the window sums commute under any partitioning. Fan-out is
+    window/slide = 3x narrow rows, pipelined in the scan stage."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.select(
+        "event_type", "value",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+        F.date_trunc("hour", "ts").alias("h0"),
+    ).select(
+        "event_type", "value",
+        F.date_format(
+            F.col("h0") - F.make_interval(hours=F.col("off")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("win_start"),
+    )
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
+    return ex.groupBy("event_type", "win_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+    )
+
+
+@query(
+    "conversion_latency_quantiles",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT s.user_id,
+             CAST(MIN(date_diff('second', signup_ts, e.ts)) AS BIGINT)
+               AS latency_s
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= signup_ts
+      GROUP BY s.user_id),
+    ranked AS (
+      SELECT latency_s,
+             ROW_NUMBER() OVER (ORDER BY latency_s, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_s END)
+                AS BIGINT) AS p50_latency_s,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN latency_s END)
+                AS BIGINT) AS p90_latency_s
+    FROM ranked
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from first signup to first
+    subsequent purchase; corpus-level exact p50/p90 by rank selection
+    (same order statistics as host_length_quantiles — no
+    percentile_approx, no float). The latency derivation is one
+    min-aggregate per side + a user-keyed join; the global rank is
+    converted-user-sized (tiny), promote to the two-tier rank at
+    scale."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")
+            ).cast("long").alias("latency_s")
+        )
+    )
+    w = Window.orderBy("latency_s", "user_id")
+    ranked = p.select(
+        "latency_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    k50 = ((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2
+    k90 = ((9 * F.col("n") + 9) - ((9 * F.col("n") + 9) % 10)) / 10
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == k50.cast("long"), F.col("latency_s"))
+        ).alias("p50_latency_s"),
+        F.max(
+            F.when(F.col("rn") == k90.cast("long"), F.col("latency_s"))
+        ).alias("p90_latency_s"),
+    )

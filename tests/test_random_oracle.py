@@ -134,6 +134,8 @@ CRITICAL = [
     "props_schema_drift",
     "interarrival_histogram",
     "late_data_accounting",
+    "events_sliding_windows",
+    "conversion_latency_quantiles",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
