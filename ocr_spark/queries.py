@@ -8393,3 +8393,138 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == k90.cast("long"), F.col("latency_s"))
         ).alias("p90_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts / robust host outliers
+# ---------------------------------------------------------------------------
+
+@query(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01', MIN(ts)) // 7
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01', e.ts) // 7
+                  AS BIGINT) - f.cohort_week AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id),
+    size_ AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week)
+    SELECT a.cohort_week, a.weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active, s.cohort_size,
+           CAST((1000 * COUNT(*)) // s.cohort_size AS BIGINT)
+             AS retention_permille
+    FROM activity a JOIN size_ s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.weeks_since, s.cohort_size
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, the
+    distinct-active share per subsequent week — the standard cohort
+    triangle, integer permille. Two user-keyed aggregates + one join
+    on the (tiny) cohort-size table; week indexing is day-count floor
+    division against a fixed epoch so both engines bucket identically
+    (no timezone/week-start ambiguity)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.to_timestamp(F.lit("2024-01-01"))
+    week = lambda c: F.floor(F.datediff(c, epoch) / 7).cast("long")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    from ocr_spark.operators.training import floor_div
+
+    agg = activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return agg.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week", "weeks_since", "n_active", "cohort_size",
+        floor_div(1000 * F.col("n_active"), F.col("cohort_size"))
+        .alias("retention_permille"),
+    )
+
+
+@query(
+    "host_count_outliers",
+    """
+    WITH c AS (
+      SELECT doc_id % 97 AS host, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    med AS (
+      SELECT CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS BIGINT)
+               AS median_n
+      FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n, host) AS rn,
+                   COUNT(*) OVER () AS cnt FROM c)),
+    dev AS (
+      SELECT host, n, ABS(n - median_n) AS ad, median_n
+      FROM c CROSS JOIN med),
+    mad AS (
+      SELECT CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN ad END) AS BIGINT)
+               AS mad_n
+      FROM (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, host) AS rn,
+                   COUNT(*) OVER () AS cnt FROM dev))
+    SELECT host, n, median_n, mad_n,
+           CAST(CASE WHEN ABS(n - median_n) > 5 * GREATEST(mad_n, 1)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM dev CROSS JOIN mad
+    """,
+)
+def host_count_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust host anomaly flags: |count - median| > 5*MAD (median
+    absolute deviation), both medians as exact rank-selected order
+    statistics — the outlier rule that, unlike mean/stddev, a single
+    crawler-trap host cannot drag (breakdown point 50%). Host-count
+    table is host-cardinality-sized; the two medians are aggregates
+    over it (two-tier rank at web scale); the flags are a broadcast of
+    two scalars back."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy((F.col("doc_id") % 97).alias("host")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def rank_median(df, col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col, "host")
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+        )
+        k = ((F.col("cnt") + 1) - ((F.col("cnt") + 1) % 2)) / 2
+        return ranked.agg(
+            F.max(
+                F.when(F.col("rn") == k.cast("long"), F.col(col))
+            ).cast("bigint").alias(out)
+        )
+
+    med = rank_median(c, "n", "median_n")
+    dev = c.crossJoin(F.broadcast(med)).select(
+        "host", "n", "median_n",
+        F.abs(F.col("n") - F.col("median_n")).alias("ad"),
+    )
+    mad = rank_median(dev, "ad", "mad_n")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "host", "n", "median_n", "mad_n",
+        F.when(
+            F.abs(F.col("n") - F.col("median_n"))
+            > 5 * F.greatest(F.col("mad_n"), F.lit(1)),
+            1,
+        ).otherwise(0).cast("bigint").alias("is_outlier"),
+    )

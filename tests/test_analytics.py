@@ -1639,3 +1639,37 @@ def test_conversion_latency_quantiles_bruteforce(spark):
         (v, u) for u, v in lat.items())[(n + 1) // 2 - 1][0]
     assert got.p90_latency_s == sorted(
         (v, u) for u, v in lat.items())[(9 * n + 9) // 10 - 1][0]
+
+
+def test_retention_cohort_invariants(spark):
+    """weeks_since=0 is always 1000 permille (everyone is active in
+    their first week by definition of first-seen), and n_active never
+    exceeds cohort_size."""
+    from ocr_spark.queries import QUERIES
+
+    out = QUERIES["retention_cohorts"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r.n_active <= r.cohort_size
+        if r.weeks_since == 0:
+            assert r.retention_permille == 1000
+
+
+def test_host_outliers_mad_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    # hosts 0..4 get 1 doc; host 5 gets 50 docs (crawler trap)
+    rows = [(h, "t") for h in range(5)] + [(5 + 97 * i, "t")
+                                           for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.host: r for r in QUERIES["host_count_outliers"](
+            spark, "ignored").collect()}
+    # median count 1, MAD 0 -> guard to 1; only host 5 beyond 5*1
+    assert out[5].is_outlier == 1 and out[5].n == 50
+    assert all(r.is_outlier == 0 for h, r in out.items() if h != 5)
+    assert out[0].median_n == 1 and out[0].mad_n == 0

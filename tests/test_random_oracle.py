@@ -93,6 +93,7 @@ CRITICAL = [
     "cdc_dedup_rate",
     "containment_pairs",
     "host_length_quantiles",
+    "host_count_outliers",
     "bpe_fertility_by_lang",
     "host_communities_lp",
     "feature_hash_embeddings",
@@ -136,6 +137,7 @@ CRITICAL = [
     "late_data_accounting",
     "events_sliding_windows",
     "conversion_latency_quantiles",
+    "retention_cohorts",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
