@@ -8528,3 +8528,79 @@ def host_count_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("bigint").alias("is_outlier"),
     )
+
+
+@query(
+    "dom_template_clusters",
+    f"""
+    WITH esc AS (
+      SELECT doc_id,
+             replace(replace(replace(text, '&', '&amp;'),
+                     '<', '&lt;'), '>', '&gt;') AS body
+      FROM documents),
+    page AS (
+      SELECT doc_id,
+             '<!DOCTYPE html><html><head><title>d</title>'
+             || '<script>var x=1;</script></head>'
+             || '<body><header><h1>gazette</h1></header>'
+             || '<nav><a href="/home">home</a> <a href="/tags">tags</a>'
+             || ' <a href="/rss">rss</a></nav><main><p>'
+             || body
+             || '</p></main><div class="promo">subscribe</div>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<aside><p>related</p></aside>' ELSE '' END
+             || '<footer><p>© 2025 example — all rights reserved</p>'
+             || '</footer></body></html>' AS html
+      FROM esc),
+    sig AS (
+      SELECT doc_id,
+             {_duck_md5hash(
+                 "array_to_string(regexp_extract_all(html, '<([a-z]+)', 1), ',')"
+             )} AS template_hash
+      FROM page)
+    SELECT template_hash, CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM sig GROUP BY template_hash
+    """,
+)
+def dom_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by DOM STRUCTURE: hash the page's opening-tag
+    sequence (content-blind — escaped text can't leak in) and group —
+    pages from the same CMS template collapse to one cluster however
+    different their text, the precursor to per-template boilerplate
+    rules. One regexp pass + one hash aggregate; the synthesized
+    corpus yields exactly two clusters (the doc_id % 5 <aside>
+    variant)."""
+    from ocr_spark.operators.dedup import fast_hash
+    from ocr_spark.operators.extract import html_escape_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    body = html_escape_expr(F.col("text"))
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><title>d</title><script>var x=1;'
+            "</script></head><body><header><h1>gazette</h1></header>"
+            '<nav><a href="/home">home</a> <a href="/tags">tags</a>'
+            ' <a href="/rss">rss</a></nav><main><p>'
+        ),
+        body,
+        F.lit('</p></main><div class="promo">subscribe</div>'),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("<aside><p>related</p></aside>")
+        ).otherwise(F.lit("")),
+        F.lit("<footer><p>© 2025 example — all rights reserved</p></footer>"
+              "</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    sig = pages.select(
+        "doc_id",
+        fast_hash(
+            F.array_join(
+                F.expr("regexp_extract_all(html, '<([a-z]+)', 1)"), ","
+            )
+        ).alias("template_hash"),
+    )
+    return sig.groupBy("template_hash").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("doc_id").alias("example_doc"),
+    )

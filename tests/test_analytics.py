@@ -1673,3 +1673,19 @@ def test_host_outliers_mad_handcrafted(spark):
     assert out[5].is_outlier == 1 and out[5].n == 50
     assert all(r.is_outlier == 0 for h, r in out.items() if h != 5)
     assert out[0].median_n == 1 and out[0].mad_n == 0
+
+
+def test_dom_template_clusters_content_blind(spark):
+    """Pages with identical structure but different text share one
+    template hash; the <aside> variant forms the second cluster."""
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["dom_template_clusters"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert len(out) == 2
+    assert sum(r.n_pages for r in out) == n
+    sizes = sorted(r.n_pages for r in out)
+    # doc_id % 5 == 0 variant is the smaller cluster (~n/5)
+    assert abs(sizes[0] - n // 5) <= 1

@@ -86,6 +86,7 @@ CRITICAL = [
     "extraction_eval_prf",
     "phrase_match_positions",
     "dom_tag_histogram",
+    "dom_template_clusters",
     "ngram_novelty",
     "host_lang_gini",
     "blocklist_category_hits",
