@@ -8604,3 +8604,88 @@ def dom_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pages"),
         F.min("doc_id").alias("example_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lang-ID confusion matrix / host type-token ratio
+# ---------------------------------------------------------------------------
+
+@query(
+    "langid_confusion_matrix",
+    f"""
+    WITH pred AS (
+      SELECT doc_id, pred_lang FROM ({_duck_lang_sql()})),
+    m AS (
+      SELECT d.lang AS label_lang, p.pred_lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+      GROUP BY d.lang, p.pred_lang),
+    tot AS (
+      SELECT label_lang, CAST(SUM(n) AS BIGINT) AS n_label
+      FROM m GROUP BY label_lang)
+    SELECT m.label_lang, m.pred_lang, m.n,
+           CAST((1000 * m.n) // t.n_label AS BIGINT) AS rate_permille
+    FROM m JOIN tot t ON m.label_lang = t.label_lang
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the stopword-ratio language ID: the
+    (label, prediction) confusion matrix with per-label rates — the
+    table that turns 'lang-id works' into which languages bleed into
+    which (the diagonal is recall). Composes doc_lang_id against the
+    table's label column; one (label, pred) aggregate + a label-sized
+    join."""
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = QUERIES["doc_lang_id"](spark, sf_dir).select(
+        "doc_id", "pred_lang"
+    )
+    m = (
+        d.select("doc_id", F.col("lang").alias("label_lang"))
+        .join(pred, "doc_id")
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = m.groupBy("label_lang").agg(F.sum("n").alias("n_label"))
+    return m.join(F.broadcast(tot), "label_lang").select(
+        "label_lang", "pred_lang", "n",
+        floor_div(1000 * F.col("n"), F.col("n_label"))
+        .alias("rate_permille"),
+    )
+
+
+@query(
+    "host_type_token_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id % 97 AS host, unnest(string_split(text, ' ')) AS w
+      FROM documents)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST((1000 * COUNT(DISTINCT w)) // COUNT(*) AS BIGINT)
+             AS ttr_permille
+    FROM toks GROUP BY host
+    """,
+)
+def host_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host type-token ratio (lexical diversity permille): spun/
+    templated content repeats a tiny vocabulary and scores low — the
+    cheap text-diversity gate next to repetition filters. One explode
+    + one host aggregate with a distinct count (at web scale the
+    distinct goes through the grouped-HLL sketch surface instead)."""
+    from ocr_spark.operators.dedup import tokens
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 97).alias("host"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    return toks.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+        floor_div(
+            1000 * F.countDistinct("w"), F.count(F.lit(1))
+        ).alias("ttr_permille"),
+    )

@@ -1689,3 +1689,36 @@ def test_dom_template_clusters_content_blind(spark):
     sizes = sorted(r.n_pages for r in out)
     # doc_id % 5 == 0 variant is the smaller cluster (~n/5)
     assert abs(sizes[0] - n // 5) <= 1
+
+
+def test_confusion_matrix_partitions_corpus(spark):
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["langid_confusion_matrix"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r.n for r in out) == n
+    # per-label rates sum to <= 1000 (floor) and > 900
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label_lang, 0)
+        by_label[r.label_lang] += r.rate_permille
+    assert all(900 < v <= 1000 for v in by_label.values())
+
+
+def test_ttr_bounds_and_handcrafted(spark):
+    import unittest.mock as mock
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (97, "b c"), (1, "x y z")], ["doc_id", "text"]
+    )
+    with mock.patch.object(Q, "load_table", return_value=df):
+        out = {r.host: (r.n_tokens, r.n_types, r.ttr_permille)
+               for r in QUERIES["host_type_token_ratio"](
+                   spark, "ignored").collect()}
+    assert out[0] == (6, 3, 500)     # host 0: docs 0+97 pooled
+    assert out[1] == (3, 3, 1000)

@@ -89,6 +89,8 @@ CRITICAL = [
     "dom_template_clusters",
     "ngram_novelty",
     "host_lang_gini",
+    "langid_confusion_matrix",
+    "host_type_token_ratio",
     "blocklist_category_hits",
     "cdc_chunks",
     "cdc_dedup_rate",
