@@ -1,0 +1,228 @@
+"""PNG codec in pure stdlib zlib + numpy (no external codecs).
+
+The reference shells out to netpbm (`pngtopam -quiet [-alphapam]`,
+image.c:265-296) and sniffs the color-type byte at file offset 25 to
+decide whether an alpha plane exists (image.c:282-287). This module
+implements the same public format natively: PNG = deflate (stdlib
+zlib) over per-row filtered scanlines, five filter types
+(None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported: bit depth 8,
+color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), non-interlaced — the subset web images overwhelmingly use;
+anything else raises with the offending field named.
+
+``to_planar`` maps the decoded pixels onto the reference's planar
+float32 convention (alpha in chan[0], gray or R,G,B in chan[1..3] —
+common.h:26-41, the same dict shape kernels/pnm.py produces), so a
+decoded PNG drops into every pixel kernel unchanged.
+
+The encoder exists so tests and oracle queries can synthesize valid
+PNGs with a CHOSEN filter per row (exercising every unfilter path)
+without any external tool; it is spec-driven, not a mirror of decode
+(filtering and unfiltering are written independently so a roundtrip
+failure localizes the bug).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel by color type (palette expands after unfilter)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=up-left), int16 in."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode(
+    arr: np.ndarray,
+    color_type: int,
+    filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode uint8 pixels as a valid PNG.
+
+    ``arr`` is (H,W) for color types 0/3 or (H,W,C) matching the color
+    type's channel count; ``filters`` picks the per-row filter type
+    (default all 0) so tests can exercise every unfilter branch;
+    ``palette`` is (N,3) uint8 for color type 3.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c != _CHANNELS[color_type]:
+        raise ValueError(f"png encode: {c} channels vs color type {color_type}")
+    if arr.dtype != np.uint8:
+        raise ValueError("png encode: uint8 only")
+    filters = filters or [0] * h
+    bpp = c
+    raw = arr.reshape(h, w * c)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        ft = filters[y]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            filt = cur - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            filt = cur - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"png encode: bad filter {ft}")
+        lines.append(bytes([ft]) + filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _SIG + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("png encode: palette required for color type 3")
+        body += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    return body + _chunk(b"IEND", b"")
+
+
+def sniff_color_type(buf: bytes) -> int:
+    """The reference's dispatch sniff: color-type byte at offset 25
+    (image.c:282-287 reads byte 25 and tests `type & 4` for alpha)."""
+    if buf[:8] != _SIG or len(buf) < 26:
+        raise ValueError("png: bad signature")
+    return buf[25]
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode a PNG to (H, W, C) uint8 (palette expanded to RGB)."""
+    if buf[:8] != _SIG:
+        raise ValueError("png: bad signature")
+    pos = 8
+    width = height = None
+    color_type = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("png: truncated chunk")
+        crc = struct.unpack_from(">I", buf, pos + 8 + ln)[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad crc in {tag!r}")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise ValueError(f"png: unsupported bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"png: unsupported color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("png: unsupported compression/filter method")
+            if interlace != 0:
+                raise ValueError("png: interlaced (Adam7) not supported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    plain = zlib.decompress(b"".join(idat))
+    c = _CHANNELS[color_type]
+    stride = width * c
+    if len(plain) != height * (stride + 1):
+        raise ValueError("png: scanline size mismatch")
+    rows = np.frombuffer(plain, np.uint8).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    filt = rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = c
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(ftypes[y])
+        f = filt[y]
+        if ft == 0:
+            cur = f.copy()
+        elif ft == 2:  # Up — fully vectorized
+            cur = f + prev
+        elif ft == 1:  # Sub — per-lane prefix sum mod 256
+            lanes = f.reshape(-1, bpp).astype(np.int64)
+            cur = (
+                np.cumsum(lanes, axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        else:  # Average / Paeth: left-dependence forces a pixel scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                left = cur[x - bpp : x] if x else np.zeros(bpp, np.uint8)
+                up = prev[x : x + bpp]
+                upl = prev[x - bpp : x] if x else np.zeros(bpp, np.uint8)
+                if ft == 3:
+                    pred = (
+                        (left.astype(np.int16) + up.astype(np.int16)) // 2
+                    ).astype(np.uint8)
+                elif ft == 4:
+                    pred = _paeth(left, up, upl)
+                else:
+                    raise ValueError(f"png: bad filter type {ft}")
+                cur[x : x + bpp] = f[x : x + bpp] + pred
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, c)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("png: palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def to_planar(px: np.ndarray, color_type: int) -> dict:
+    """Decoded pixels -> the reference's planar dict (pnm.py shape).
+
+    Alpha (color types 4/6, i.e. `type & 4` in the reference's sniff)
+    lands in chan[0]; gray in chan[1]; RGB in chan[1..3]; palette is
+    already expanded to RGB by decode(). Matches what `pngtopam
+    -alphapam` piped into image_read_pnm would produce (image.c:286).
+    """
+    h, w, c = px.shape
+    chan = [None] * 5
+    f = px.astype(np.float32)
+    if color_type in (0,):
+        chan[1] = f[:, :, 0]
+    elif color_type in (2, 3):
+        chan[1], chan[2], chan[3] = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    elif color_type == 4:
+        chan[0], chan[1] = f[:, :, 1], f[:, :, 0]
+    elif color_type == 6:
+        chan[0] = f[:, :, 3]
+        chan[1], chan[2], chan[3] = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    return {"chan": chan, "width": w, "height": h}

@@ -605,7 +605,11 @@ def cosine_neardup_pairs(
             F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("e"), piv)))
         )
         v = v.withColumn(f"h{p}", F.floor(th / F.lit(w_band)).cast("int"))
-    v = v.persist()
+    # localCheckpoint (lazy) rather than persist(): the checkpointed
+    # blocks are GC-reclaimed with the DataFrame, so a long-lived
+    # session running many queries (bench/driver) doesn't accumulate
+    # pinned vector partitions that only an explicit unpersist frees.
+    v = v.localCheckpoint(eager=False)
     home = v.select(
         "id",
         F.concat_ws(

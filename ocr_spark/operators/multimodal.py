@@ -92,10 +92,22 @@ def decode_ocrv(buf: bytes) -> list[bytes]:
 def decode_image(payload: bytes, kind: str) -> np.ndarray:
     if kind == "pnm":
         return pnm.decode_gray(payload)
-    if kind in ("jpeg", "png"):
+    if kind == "png":
+        # real decode: stdlib zlib + numpy (kernels/png.py) — the same
+        # format the reference reaches through `pngtopam -quiet
+        # [-alphapam]` pipes (image.c:265-296). Alpha is dropped here
+        # (features read luminance); use png.to_planar for the full
+        # planar dict with alpha in chan[0].
+        from ocr_spark.kernels import png
+
+        d = png.to_planar(png.decode(payload), png.sniff_color_type(payload))
+        if d["chan"][2] is None:
+            return d["chan"][1]
+        return (d["chan"][1] + d["chan"][2] + d["chan"][3]) / np.float32(3.0)
+    if kind == "jpeg":
         # PRODUCTION: np.asarray(PIL.Image.open(io.BytesIO(payload)))
         raise NotImplementedError(
-            f"{kind} decode needs Pillow; not available in this sandbox"
+            "jpeg decode needs Pillow; not available in this sandbox"
         )
     raise ValueError(f"unknown image kind: {kind}")
 
@@ -412,3 +424,91 @@ def phash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: synthetic corpus + distributed decode features (kernels/png.py)
+# ---------------------------------------------------------------------------
+
+_PNG_PALETTE = np.array(
+    [
+        [0, 0, 0], [255, 0, 0], [0, 255, 0], [7, 8, 9],
+        [1, 2, 3], [250, 128, 3], [9, 9, 9], [100, 200, 50],
+    ],
+    np.uint8,
+)
+
+
+def synth_png_corpus(n: int = 20) -> list[dict]:
+    """Deterministic tiny PNG corpus cycling EVERY color type (0, 2, 3,
+    4, 6) with EVERY row filter (0-4) in rotation — the full unfilter
+    surface. Pixels come from an integer recurrence, so the expected
+    decoded array (``px``, always (H,W,C)) is known BY CONSTRUCTION —
+    the oracle never runs the decoder.
+    """
+    from ocr_spark.kernels import png
+
+    out = []
+    for i in range(n):
+        ct = (0, 2, 3, 4, 6)[i % 5]
+        h, w = 6 + i % 5, 5 + i % 3
+        c = png._CHANNELS[ct]
+        flat = ((np.arange(h * w * c, dtype=np.int64) * 17 + i * 31) % 256)
+        arr = flat.astype(np.uint8).reshape(h, w, c)
+        if ct == 3:
+            arr = arr % len(_PNG_PALETTE)
+        a2 = arr[:, :, 0] if c == 1 else arr
+        payload = png.encode(
+            a2,
+            ct,
+            filters=[(i + y) % 5 for y in range(h)],
+            palette=_PNG_PALETTE if ct == 3 else None,
+        )
+        px = _PNG_PALETTE[arr[:, :, 0]] if ct == 3 else arr
+        out.append(
+            {"img_id": i, "color_type": ct, "payload": payload, "px": px}
+        )
+    return out
+
+
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", IntegerType()),
+    ]
+)
+
+
+def png_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode PNG payloads (stdlib+numpy) and emit integer features.
+
+    Arrow-batched mapInPandas: the loop is over images in a batch;
+    pixel math is numpy. Same stage shape as image_features, so the
+    real-codec path and the PNM path share plumbing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import png
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                px = png.decode(buf)
+                rows.append(
+                    (
+                        int(img_id),
+                        int(png.sniff_color_type(buf)),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, PNG_FEATURES_SCHEMA)

@@ -287,7 +287,13 @@ def read_warc_ranges(spark: SparkSession, index: DataFrame) -> DataFrame:
                     fh.seek(int(off))
                     recs = parse_warc_auto(fh.read(int(ln)), f)
                 for r in recs:  # offsets are file-absolute for lineage
-                    r["record_offset"] += int(off)
+                    # Error rows from .warc.gz members carry offsets in
+                    # the *decompressed* buffer's address space (see
+                    # parse_warc_auto) — rebasing those by the compressed
+                    # seek offset would mix address spaces, so only
+                    # clean rows are rebased to file-absolute.
+                    if r.get("error") is None:
+                        r["record_offset"] += int(off)
                 out.extend(recs)
             yield pd.DataFrame(
                 out, columns=[f.name for f in WARC_SCHEMA.fields]

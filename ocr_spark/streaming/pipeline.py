@@ -220,7 +220,10 @@ def _update_sessions(key, pdfs, state: GroupState):
     if state.exists:
         s0, s1, n, tot = state.get
     else:
+        # n/tot must be bound even when every pdf in this trigger is
+        # empty (zip never runs) — state.update below would NameError.
         s0 = s1 = None
+        n, tot = 0, 0.0
     for t, v in zip(us, vals):
         if s0 is None:
             s0, s1, n, tot = t, t, 0, 0.0
@@ -230,7 +233,8 @@ def _update_sessions(key, pdfs, state: GroupState):
         s1 = t
         n += 1
         tot += float(v)
-    state.update((s0, s1, n, tot))
+    if s0 is not None:
+        state.update((s0, s1, n, tot))
     if out:
         yield pd.DataFrame(
             out,
@@ -461,7 +465,15 @@ def cdc_reuse_stream(
                 F.lit(batch_id).alias("batch_id"),
             )
         )
-        per.write.mode("append").parquet(out_dir)
+        # Same idempotency contract as the index write below: a retried
+        # micro-batch overwrites its own batch_id partition instead of
+        # appending duplicate reuse rows.
+        (
+            per.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
         new_hashes = (
             ch.select("chunk_hash").distinct()
             .join(idx, "chunk_hash", "left_anti")

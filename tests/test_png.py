@@ -1,0 +1,129 @@
+"""PNG codec: spec fixtures (hand-filtered bytes), roundtrips, sniff.
+
+The decoder and encoder are written independently (filter vs unfilter),
+so roundtrip equality over all five filter types and all five color
+types is a real check, not a tautology; the hand-built fixture pins the
+decoder to RFC 2083 §6 with bytes filtered BY HAND, independent of the
+encoder.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import png
+
+
+def _hand_png(rows_filtered: list[bytes], w: int, h: int, color_type: int,
+              palette: bytes | None = None) -> bytes:
+    """Assemble a PNG from pre-filtered scanlines (built by hand)."""
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    body = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    body += chunk(b"IDAT", zlib.compress(b"".join(rows_filtered)))
+    return body + chunk(b"IEND", b"")
+
+
+def test_decode_hand_filtered_gray():
+    # 3x3 gray image, target pixels:
+    #   10 20 30
+    #   15 25 35
+    #   80 90 100
+    # row0: filter 1 (Sub):    10, 20-10, 30-20          = 10,10,10
+    # row1: filter 2 (Up):     15-10, 25-20, 35-30       = 5,5,5
+    # row2: filter 3 (Average): 80-(0+15)//2, 90-(80+25)//2, 100-(90+35)//2
+    rows = [
+        bytes([1, 10, 10, 10]),
+        bytes([2, 5, 5, 5]),
+        bytes([3, 80 - 7, 90 - 52, 100 - 62]),
+    ]
+    px = png.decode(_hand_png(rows, 3, 3, 0))
+    want = np.array([[10, 20, 30], [15, 25, 35], [80, 90, 100]], np.uint8)
+    assert np.array_equal(px[:, :, 0], want)
+
+
+def test_decode_hand_filtered_paeth_rgb():
+    # 2x2 RGB; row0 filter 0; row1 filter 4 (Paeth).
+    # row0 recon: (1,2,3) (4,5,6)
+    # row1 target: (10,20,30) (40,50,60)
+    # Paeth pixel0: a=0,b=row0[x],c=0 -> pred=b=(1,2,3): filt=(9,18,27)
+    # pixel1: a=(10,20,30), b=(4,5,6), c=(1,2,3):
+    #   p = a+b-c = (13,23,33); pa=|p-a|=(3,3,3); pb=|p-b|=(9,18,27);
+    #   pc=|p-c|=(12,21,30) -> pred=a=(10,20,30): filt=(30,30,30)
+    rows = [
+        bytes([0, 1, 2, 3, 4, 5, 6]),
+        bytes([4, 9, 18, 27, 30, 30, 30]),
+    ]
+    px = png.decode(_hand_png(rows, 2, 2, 2))
+    want = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[10, 20, 30], [40, 50, 60]]], np.uint8
+    )
+    assert np.array_equal(px, want)
+
+
+def _rng_img(seed: int, h: int, w: int, c: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    return a[:, :, 0] if c == 1 else a
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter_and_type(color_type, ft):
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    img = _rng_img(7 * color_type + ft, 5, 4, c)
+    buf = png.encode(img, color_type, filters=[ft] * 5)
+    px = png.decode(buf)
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(px, want)
+    assert png.sniff_color_type(buf) == color_type
+
+
+def test_roundtrip_mixed_filters_palette():
+    idx = _rng_img(3, 6, 5, 1) % 4
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [7, 8, 9]], np.uint8
+    )
+    buf = png.encode(idx, 3, filters=[0, 1, 2, 3, 4, 1], palette=palette)
+    px = png.decode(buf)
+    assert np.array_equal(px, palette[idx])
+
+
+def test_to_planar_alpha_convention():
+    # alpha goes to chan[0] — the reference's pngtopam -alphapam route
+    # (image.c:286: `type & 4` selects the alpha-preserving filter)
+    img = _rng_img(11, 3, 3, 4)
+    d = png.to_planar(png.decode(png.encode(img, 6)), 6)
+    assert np.array_equal(d["chan"][0], img[:, :, 3].astype(np.float32))
+    assert np.array_equal(d["chan"][1], img[:, :, 0].astype(np.float32))
+    gray = _rng_img(12, 3, 3, 2)
+    d = png.to_planar(png.decode(png.encode(gray, 4)), 4)
+    assert np.array_equal(d["chan"][0], gray[:, :, 1].astype(np.float32))
+    assert np.array_equal(d["chan"][1], gray[:, :, 0].astype(np.float32))
+
+
+def test_corrupt_rejected():
+    img = _rng_img(1, 4, 4, 1)
+    buf = bytearray(png.encode(img, 0))
+    with pytest.raises(ValueError, match="signature"):
+        png.decode(b"JUNK" + bytes(buf))
+    buf[40] ^= 0xFF  # flip a byte inside IDAT -> crc must catch it
+    with pytest.raises(ValueError, match="crc|error"):
+        png.decode(bytes(buf))
+
+
+def test_decode_image_dispatch_png():
+    from ocr_spark.operators.multimodal import decode_image
+
+    img = _rng_img(21, 4, 3, 1)
+    arr = decode_image(png.encode(img, 0), "png")
+    assert arr.shape == (4, 3)
+    assert np.array_equal(arr, img.astype(np.float32))

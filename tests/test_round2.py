@@ -165,7 +165,24 @@ def test_ivf_assign_no_window_node(spark):
     plan = (
         ivf_assign(vecs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in plan  # max_by aggregate, not row_number sort
+    assert "Window" not in plan  # argmax projection, not row_number sort
+
+
+def test_ivf_assign_is_pure_projection(spark):
+    """VERDICT r2 #5: assignment must be map-side codegen — the r2
+    max_by(struct) form fell back to Sort + SortAggregate. With literal
+    centroids + array_max the plan has NO aggregate and NO sort at all
+    (only the single-split spread Exchange)."""
+    from ocr_spark.operators.ann import ivf_assign
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = ivf_assign(vecs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" not in plan
+    assert "+- Sort" not in plan and "Sort " not in plan.replace(
+        "SortMergeJoin", ""
+    )
+    assert plan.count("Exchange") == 1  # the spread, nothing else
 
 
 def test_ivf_probe_partition_pruning(spark, tmp_path_factory):
