@@ -16,12 +16,18 @@ What's REAL here (tested end-to-end):
   length-prefixed PNM frames): real 1->N row fan-out, real schema,
   real batch shapes.
 
-What's STUBBED (the sandbox has no image/audio codecs): JPEG/PNG
-decode and audio decode raise ``NotImplementedError`` with the exact
-library call a production build would make; a clearly-marked
-deterministic fake (``fake_audio_features``) exists so downstream
-plumbing is testable. The Spark-side contract (schema, partitioning,
-UDF signature, batch iteration) is identical either way — swapping the
+Also REAL (round 3): PNG decode (kernels/png.py — stdlib zlib +
+numpy, all five color types and row filters) and WAV/PCM audio decode
+(stdlib ``wave``, 8/16-bit, any channel count) with integer band
+features — both formats are public specs needing no external codec.
+
+What's STUBBED (the sandbox has no compressed-media codecs): JPEG
+decode and compressed audio (mp3/ogg/flac) raise
+``NotImplementedError`` with the exact library call a production
+build would make; a clearly-marked deterministic fake
+(``fake_audio_features``) exists so downstream plumbing is testable
+without payloads. The Spark-side contract (schema, partitioning, UDF
+signature, batch iteration) is identical either way — swapping the
 stub for Pillow/soundfile changes only the numpy body.
 """
 
@@ -38,6 +44,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -112,11 +119,54 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
     raise ValueError(f"unknown image kind: {kind}")
 
 
-def decode_audio(payload: bytes, kind: str) -> np.ndarray:
+def decode_audio(payload: bytes, kind: str) -> tuple[np.ndarray, int]:
+    """Decode audio -> (samples (n, channels) int16, sample_rate).
+
+    WAV/PCM is REAL: stdlib ``wave`` + numpy (public RIFF format, no
+    codec needed) — 8-bit unsigned and 16-bit signed PCM, any channel
+    count. 8-bit is recentered to signed (v - 128) so both widths share
+    the signed convention. Compressed formats (mp3/ogg/flac) stay
+    stubbed with the production call named.
+    """
+    if kind == "wav":
+        import io
+        import wave
+
+        if payload[:4] != b"RIFF":
+            raise ValueError("wav: bad RIFF magic")
+        with wave.open(io.BytesIO(payload)) as w:
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            a = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+        elif sw == 1:
+            a = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        else:
+            raise ValueError(f"wav: unsupported sample width {sw * 8}-bit")
+        return a.reshape(-1, ch), rate
     # PRODUCTION: soundfile.read(io.BytesIO(payload)) -> (samples, rate)
     raise NotImplementedError(
         f"{kind} audio decode needs soundfile; not available in this sandbox"
     )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """16-bit PCM WAV from (n,) or (n, channels) int16 (stdlib wave)."""
+    import io
+    import wave
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(a.tobytes())
+    return buf.getvalue()
 
 
 def fake_audio_features(payload: bytes, n_bands: int = 8) -> np.ndarray:
@@ -278,19 +328,23 @@ def audio_features(
 ) -> DataFrame:
     """Per-band energies; STUB path (deterministic fake) by default.
 
-    Set use_fake=False only where a real audio codec exists — the
-    Spark-side contract is identical.
+    use_fake=False decodes REAL 8/16-bit PCM WAV payloads (stdlib
+    ``wave``) and emits per-band mean |amplitude| over 8 contiguous
+    time bands of channel 0 — the Spark-side contract is identical on
+    both paths.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf[payload_col]):
-                feats = (
-                    fake_audio_features(bytes(payload))
-                    if use_fake
-                    else decode_audio(bytes(payload), "wav")
-                )
+                if use_fake:
+                    feats = fake_audio_features(bytes(payload))
+                else:
+                    samples, _ = decode_audio(bytes(payload), "wav")
+                    feats = wav_band_abs_sums(samples) / np.maximum(
+                        1, _band_lengths(samples.shape[0])
+                    )
                 rows.extend((url, i, float(v)) for i, v in enumerate(feats))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
@@ -512,3 +566,93 @@ def png_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV: synthetic corpus + distributed integer band features
+# ---------------------------------------------------------------------------
+
+N_AUDIO_BANDS = 8
+
+
+def _band_lengths(n: int, n_bands: int = N_AUDIO_BANDS) -> np.ndarray:
+    """Contiguous band lengths: first ``n % n_bands`` bands get the
+    extra sample (numpy array_split convention, mirrored exactly in the
+    oracle construction)."""
+    base, extra = divmod(n, n_bands)
+    return np.array(
+        [base + (1 if b < extra else 0) for b in range(n_bands)], np.int64
+    )
+
+
+def wav_band_abs_sums(
+    samples: np.ndarray, n_bands: int = N_AUDIO_BANDS
+) -> np.ndarray:
+    """Integer sum of |channel-0 samples| per contiguous time band —
+    integer-exact, so oracles can pin it bit-for-bit."""
+    ch0 = samples[:, 0].astype(np.int64)
+    return np.array(
+        [int(np.abs(b).sum()) for b in np.array_split(ch0, n_bands)],
+        np.int64,
+    )
+
+
+def synth_wav_corpus(n: int = 16) -> list[dict]:
+    """Deterministic PCM clips: integer triangle-ish waveforms (no
+    trig — the expected samples are exact by construction), varying
+    length / channels / rate. ``samples`` is the (len, ch) int16 array
+    the decoder must reproduce from the WAV payload."""
+    out = []
+    for i in range(n):
+        length = 64 + 17 * (i % 5)
+        ch = 1 + (i % 2)
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        t = np.arange(length, dtype=np.int64)
+        chans = []
+        for c in range(ch):
+            period = 9 + 2 * ((i + c) % 4)
+            tri = np.abs((t + i * 3) % (2 * period) - period) * 137 - 4000
+            chans.append(tri)
+        samples = np.stack(chans, axis=1).astype(np.int16)
+        out.append(
+            {
+                "clip_id": i,
+                "rate": rate,
+                "samples": samples,
+                "payload": encode_wav(samples, rate),
+            }
+        )
+    return out
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("abs_sum", LongType()),
+    ]
+)
+
+
+def wav_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode WAV payloads (stdlib) -> one row per (clip, band) with
+    the integer |amplitude| sum. Arrow-batched mapInPandas, same stage
+    shape as png_features/image_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                samples, rate = decode_audio(bytes(payload), "wav")
+                sums = wav_band_abs_sums(samples)
+                rows.extend(
+                    (int(clip_id), int(rate), samples.shape[1], b, int(s))
+                    for b, s in enumerate(sums)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, WAV_FEATURES_SCHEMA)

@@ -70,9 +70,12 @@ def test_audio_stub_contract(spark, media):
     out = mm.audio_features(media.limit(3)).collect()
     assert len(out) == 3 * 8
     assert all(isinstance(r.energy, float) for r in out)
-    # real path raises the documented NotImplementedError
-    with pytest.raises(NotImplementedError, match="soundfile"):
+    # wav is REAL now: garbage bytes are a format error, not a stub
+    with pytest.raises(ValueError, match="RIFF"):
         mm.decode_audio(b"\x00\x01", "wav")
+    # compressed formats stay stubbed with the production call named
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm.decode_audio(b"\x00\x01", "mp3")
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_image(b"\xff\xd8", "jpeg")
 
