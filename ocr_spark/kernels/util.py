@@ -16,7 +16,15 @@ def c_round(x):
     """
     x = np.asarray(x)
     x64 = x.astype(np.float64)
-    out = np.where(x64 >= 0, np.floor(x64 + 0.5), np.ceil(x64 - 0.5))
+    # all-nonnegative fast path (every background/divide page): one
+    # in-place add + floor instead of np.where's 3 full-array branches.
+    # NaNs fail the min>=0 test and fall through to the general path,
+    # where np.where sends them down the ceil branch exactly as before.
+    if x64.size and x64.min() >= 0:
+        np.add(x64, 0.5, out=x64)
+        out = np.floor(x64, out=x64)
+    else:
+        out = np.where(x64 >= 0, np.floor(x64 + 0.5), np.ceil(x64 - 0.5))
     return out.astype(x.dtype, copy=False)
 
 

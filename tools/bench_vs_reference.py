@@ -58,33 +58,35 @@ def bench_reference(pages: list[bytes]) -> float:
 
 
 def bench_ours(pages: list[bytes], cpus: int) -> tuple[float, bytes]:
-    import numpy as np
-
-    from ocr_spark.kernels import pnm
-    from ocr_spark.operators.stages import img_to_bytes
-    from ocr_spark.plans.grafix import run_words_df
+    from ocr_spark.plans.grafix import run_words_pnm_df
     from ocr_spark.session import get_spark
 
     spark = get_spark(f"vs-ref-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    rows = []
-    for i, buf in enumerate(pages):
-        arr = pnm.decode_gray(buf)
-        rows.append((i, img_to_bytes(arr), arr.shape[0], arr.shape[1]))
-    df = spark.createDataFrame(rows, "pag int, img binary, h int, w int")
-    df = df.repartition(max(cpus, len(pages) // 8)).persist()
+    # raw u8 PNM payloads end to end (the corpus storage shape): 4x
+    # less Arrow transport per direction than float32 planes, decode/
+    # encode inside the UDF — the same bytes the reference CLI reads
+    # and writes, so parity below is a direct bytes compare.
+    df = spark.createDataFrame(
+        [(i, buf) for i, buf in enumerate(pages)], "pag int, pnm binary"
+    )
+    # task sizing: ~150 ms fixed cost per python-stage task (measured,
+    # see BASELINE.md) — at 33 ms/page for 768x512 the old len//8
+    # split (16 tasks for 128 pages) put ~19 ms/page of pure task
+    # overhead on the local[1] leg. Aim for >= ~2 s of compute per
+    # task (same rule as bench.py's extraction splits).
+    per_page_bytes = len(pages[0]) if pages else 98304
+    per_task = max(8, 64 * 98304 // per_page_bytes)
+    df = df.repartition(
+        max(cpus, min(len(pages) // per_task, 4 * cpus) or 1)
+    ).persist()
     df.count()
-    out = run_words_df(df, WORDS)
+    out = run_words_pnm_df(df, WORDS)
     out.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
     out.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    last_row = out.where(out.pag == len(pages) - 1).collect()[0]
-    last = pnm.encode_gray(
-        np.frombuffer(bytes(last_row.img), np.float32).reshape(
-            last_row.h, last_row.w
-        )
-    )
+    last = bytes(out.where(out.pag == len(pages) - 1).collect()[0].pnm)
     spark.stop()
     return dt, last
 
