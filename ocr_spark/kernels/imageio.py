@@ -1,0 +1,62 @@
+"""Filename-extension format dispatch — image_read / write_image
+(image.c:271-336) without the netpbm pipes.
+
+The reference decides the codec by the last 4 filename characters:
+``.jpg`` → jpegtopnm / pnmtojpeg pipes, ``.png`` → pngtopam (reading
+the color-type byte at offset 25 to pick the alpha-preserving filter)
+/ pamtopng, anything else is parsed as PNM directly. This module keeps
+that contract with the native codecs this repo carries: PNG via
+kernels/png.py (stdlib zlib + numpy), PNM via kernels/pnm.py; JPEG
+stays a stub naming the production call.
+
+Pixel conversion on the write side matches image_write_pnm exactly:
+clamp to [0,255] then (uchar) truncation (image.c:253-255) — the PNG
+path reuses that same conversion so a ``w out.png`` and a ``w
+out.pnm`` hold identical pixel values in different containers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.kernels import png, pnm
+
+
+def encode_by_name(arr: np.ndarray, name: str) -> bytes:
+    """Serialize a gray float32 plane by filename extension."""
+    if name.endswith(".png"):
+        a = np.asarray(arr, dtype=np.float32)
+        u8 = np.clip(a, 0, 255).astype(np.uint8)  # image.c:253-255
+        return png.encode(u8, 0)
+    if name.endswith(".jpg"):
+        # native baseline encoder (kernels/jpeg.py) — the reference
+        # pipes through pnmtojpeg (image.c:262,317). Lossy by nature;
+        # pixel clamp matches image_write_pnm before compression.
+        from ocr_spark.kernels import jpeg
+
+        a = np.asarray(arr, dtype=np.float32)
+        return jpeg.encode(np.clip(a, 0, 255).astype(np.uint8))
+    return pnm.encode_gray(arr)
+
+
+def decode_by_name(buf: bytes, name: str) -> np.ndarray:
+    """Parse an image payload by filename extension to a gray plane.
+
+    Mirrors image_read's sniff order: extension first; PNG alpha
+    (color type & 4, byte 25) is preserved in the planar dict by
+    png.to_planar — this gray fast path keeps chan[1] (RGB collapses
+    via the same mean as operators/multimodal.decode_image).
+    """
+    if name.endswith(".png"):
+        d = png.to_planar(png.decode(buf), png.sniff_color_type(buf))
+        if d["chan"][2] is None:
+            return d["chan"][1]
+        return (d["chan"][1] + d["chan"][2] + d["chan"][3]) / np.float32(3.0)
+    if name.endswith(".jpg"):
+        from ocr_spark.kernels import jpeg
+
+        px = jpeg.decode(buf).astype(np.float32)
+        if px.ndim == 2:
+            return px
+        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+    return pnm.decode_gray(buf)

@@ -1,0 +1,551 @@
+"""Baseline JPEG codec in pure numpy (ITU-T T.81, public spec).
+
+The reference reaches JPEG through `jpegtopnm` pipes (image.c:265,280);
+this module implements the same public format natively so the last
+codec stub in the multimodal family closes without external libraries.
+
+Scope (the baseline subset web JPEGs overwhelmingly use):
+- decode: SOF0 (baseline sequential DCT), 8-bit, grayscale or YCbCr
+  with any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), multiple
+  DQT/DHT segments, restart intervals (DRI / RSTn), 0xFF00 stuffing,
+  APPn/COM skipped. Progressive (SOF2), arithmetic coding, 12-bit and
+  hierarchical modes raise with the offending marker named.
+- encode: SOF0 grayscale or 4:4:4 YCbCr with the Annex K example
+  quantization (quality-scaled the way libjpeg scales it) and Annex K
+  typical Huffman tables — enough to synthesize valid test corpora;
+  NOT a size-optimized encoder.
+
+Entropy decoding is bit-serial by nature; the hot loops are plain
+Python over numpy blocks, sized for test corpora and Arrow-batched
+decode stages (a production build would swap in Pillow, which the
+multimodal dispatch documents). The IDCT/FDCT are exact separable
+float64 matrix products (basis built once), not approximations.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index = zigzag position, value = block index 0..63
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Table K.1 / K.2 example quantization tables (zigzag order
+# NOT applied — these are in natural row-major order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K typical Huffman tables: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16); IDCT = A.T @ B @ A
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def idct_2d(block: np.ndarray) -> np.ndarray:
+    """Exact separable float64 2-D inverse DCT of one 8x8 block."""
+    return _A.T @ np.asarray(block, np.float64) @ _A
+
+
+def fdct_2d(block: np.ndarray) -> np.ndarray:
+    """Exact separable float64 2-D forward DCT of one 8x8 block."""
+    return _A @ np.asarray(block, np.float64) @ _A.T
+
+
+class _HuffTable:
+    """Canonical Huffman table from (bits, huffval) per T.81 Annex C."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lookup[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        # encoder side: symbol -> (code, length)
+        self.encode: dict[int, tuple[int, int]] = {
+            v: (c, ln) for (ln, c), v in self.lookup.items()
+        }
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                self.marker = nxt
+                raise _SegmentEnd()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+    def skip_restart(self) -> None:
+        """Consume an RSTn marker at the current byte position."""
+        assert self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _SegmentEnd(Exception):
+    pass
+
+
+def _decode_huff(r: _BitReader, table: _HuffTable) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.lookup.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to a signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W) gray or (H, W, 3) RGB uint8."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI magic")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seg_len,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], np.uint8).astype(
+                        np.int64
+                    )
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[p : p + 128], ">u2"
+                    ).astype(np.int64)
+                    p += 128
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl  # stored in zigzag order
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"jpeg: unsupported precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (h, w, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg: non-baseline frame marker 0xFF{marker:02X} "
+                "(progressive/arithmetic/hierarchical unsupported)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append((comp, tbl >> 4, tbl & 15))
+            data_pos = pos + seg_len
+            return _decode_scan(
+                buf, data_pos, frame, comps, scan, qt, huff,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("jpeg: no SOS scan found")
+
+
+def _decode_scan(buf, pos, frame, comps, scan, qt, huff, restart_interval):
+    h, w, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), np.float64))
+    pred = [0] * nc
+    r = _BitReader(buf, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                r.byte_align()
+                r.skip_restart()
+                pred = [0] * nc
+            try:
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coef = np.zeros(64, np.float64)
+                            t = _decode_huff(r, huff[(0, td)])
+                            diff = _extend(r.read_bits(t), t)
+                            pred[ci] += diff
+                            coef[0] = pred[ci]
+                            k = 0
+                            while k < 63:
+                                sym = _decode_huff(r, huff[(1, ta)])
+                                if sym == 0:
+                                    break  # EOB
+                                if sym == 0xF0:
+                                    k += 16
+                                    continue
+                                k += (sym >> 4) + 1
+                                if k > 63:
+                                    raise ValueError("jpeg: AC overrun")
+                                s = sym & 15
+                                coef[ZIGZAG[k]] = _extend(r.read_bits(s), s)
+                            coef *= qt[comp["tq"]]
+                            px = idct_2d(coef.reshape(8, 8)) + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError("jpeg: unexpected restart marker")
+            except _SegmentEnd:
+                raise ValueError("jpeg: truncated entropy data")
+            mcu_count += 1
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        # upsample by pixel replication to full resolution, then crop
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if nc == 3:
+        y, cb, cr = out_planes
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r_, g_, b_], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"jpeg: unsupported component count {nc}")
+
+
+# ---------------------------------------------------------------------------
+# encoder (4:4:4 / grayscale, Annex K tables, libjpeg quality scaling)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scale mapping (jcparam.c semantics)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (table * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(wtr, block, qtab, dc_t, ac_t, pred):
+    coef = fdct_2d(np.asarray(block, np.float64) - 128.0)
+    q = np.round(coef.reshape(-1) / qtab).astype(np.int64)
+    zz = q[ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_t.encode[t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_t.encode[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_t.encode[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_t.encode[0x00]
+        wtr.write(code, ln)
+    return int(zz[0])
+
+
+def encode(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode (H,W) gray or (H,W,3) RGB uint8 as baseline JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (with DC predictor resets) — mainly so the decoder's restart
+    path has a native test corpus.
+    """
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError("jpeg encode: uint8 only")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    dc_y, ac_y = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS), _HuffTable(
+        AC_LUMA_BITS, AC_LUMA_VALS
+    )
+    dc_c, ac_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS), _HuffTable(
+        AC_CHROMA_BITS, AC_CHROMA_VALS
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in ((0, qy),) + (() if gray else ((1, qc),)):
+        out += seg(0xDB, bytes([tq]) + bytes(tbl[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    for (tc, th), tb in (
+        ((0, 0), (DC_LUMA_BITS, DC_LUMA_VALS)),
+        ((1, 0), (AC_LUMA_BITS, AC_LUMA_VALS)),
+    ) + (
+        ()
+        if gray
+        else (
+            ((0, 1), (DC_CHROMA_BITS, DC_CHROMA_VALS)),
+            ((1, 1), (AC_CHROMA_BITS, AC_CHROMA_VALS)),
+        )
+    ):
+        bits, vals = tb
+        out += seg(
+            0xC4,
+            bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals),
+        )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        tabs = [(qy, dc_y, ac_y)]
+    else:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        planes = [y, cb, cr]
+        tabs = [(qy, dc_y, ac_y), (qc, dc_c, ac_c), (qc, dc_c, ac_c)]
+
+    by, bx = -(-h // 8), -(-w // 8)
+    padded = []
+    for p in planes:
+        pp = np.empty((by * 8, bx * 8), np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rst = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, (p, (qtab, dct, act)) in enumerate(zip(padded, tabs)):
+                blk = p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                preds[ci] = _encode_block(wtr, blk, qtab, dct, act, preds[ci])
+            mcu += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

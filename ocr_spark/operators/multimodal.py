@@ -16,19 +16,20 @@ What's REAL here (tested end-to-end):
   length-prefixed PNM frames): real 1->N row fan-out, real schema,
   real batch shapes.
 
-Also REAL (round 3): PNG decode (kernels/png.py — stdlib zlib +
-numpy, all five color types and row filters) and WAV/PCM audio decode
+Also REAL (round 3): PNG decode/encode (kernels/png.py — stdlib zlib
++ numpy, all five color types and row filters), baseline JPEG
+decode/encode (kernels/jpeg.py — T.81 sequential DCT, restart
+intervals, 4:2:0/4:2:2 subsampling on read), and WAV/PCM audio decode
 (stdlib ``wave``, 8/16-bit, any channel count) with integer band
-features — both formats are public specs needing no external codec.
+features — all public specs needing no external codec.
 
-What's STUBBED (the sandbox has no compressed-media codecs): JPEG
-decode and compressed audio (mp3/ogg/flac) raise
-``NotImplementedError`` with the exact library call a production
-build would make; a clearly-marked deterministic fake
-(``fake_audio_features``) exists so downstream plumbing is testable
-without payloads. The Spark-side contract (schema, partitioning, UDF
-signature, batch iteration) is identical either way — swapping the
-stub for Pillow/soundfile changes only the numpy body.
+What's STUBBED (the sandbox has no compressed-media codecs):
+compressed audio (mp3/ogg/flac) and non-baseline JPEG (progressive/
+arithmetic/12-bit) raise with the production call or offending marker
+named; a clearly-marked deterministic fake (``fake_audio_features``)
+exists so downstream plumbing is testable without payloads. The
+Spark-side contract (schema, partitioning, UDF signature, batch
+iteration) is identical either way.
 """
 
 from __future__ import annotations
@@ -112,10 +113,17 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
             return d["chan"][1]
         return (d["chan"][1] + d["chan"][2] + d["chan"][3]) / np.float32(3.0)
     if kind == "jpeg":
-        # PRODUCTION: np.asarray(PIL.Image.open(io.BytesIO(payload)))
-        raise NotImplementedError(
-            "jpeg decode needs Pillow; not available in this sandbox"
-        )
+        # real decode: baseline T.81 in pure numpy (kernels/jpeg.py) —
+        # the format the reference reaches via `jpegtopnm` pipes
+        # (image.c:265,280). Non-baseline streams (progressive/12-bit/
+        # arithmetic) raise with the marker named; a production build
+        # would route those through Pillow.
+        from ocr_spark.kernels import jpeg
+
+        px = jpeg.decode(payload).astype(np.float32)
+        if px.ndim == 2:
+            return px
+        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
     raise ValueError(f"unknown image kind: {kind}")
 
 
@@ -656,3 +664,84 @@ def wav_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: flat-block corpus with closed-form exact decode (kernels/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def synth_jpeg_corpus(n: int = 12, quality: int = 90) -> list[dict]:
+    """Deterministic baseline-JPEG corpus whose decode is EXACTLY
+    predictable: every 8x8 block is constant, so the only nonzero DCT
+    coefficient is the DC term and the decoded block is
+    clip(round(round(8(v-128)/q0)*q0/8 + 128)) — closed form, no
+    decoder involved (tests/test_jpeg.py pins the closed form against
+    the decoder for every v in 0..255). Blocks whose reconstruction
+    would land exactly on a .5 rounding boundary are nudged by +1 so
+    float-assoc noise can never flip the oracle.
+
+    ``px`` is the expected decoded array; ``payload`` the JPEG bytes.
+    Every fourth clip carries a restart interval, exercising the RSTn
+    path through the same oracle.
+    """
+    from ocr_spark.kernels import jpeg as J
+
+    q0 = int(J._quality_scale(J.QUANT_LUMA, quality)[0])
+
+    def closed(v: int) -> int:
+        qd = float(np.round(8.0 * (v - 128.0) / q0)) * q0
+        return int(np.clip(np.round(qd / 8.0 + 128.0), 0, 255))
+
+    def safe(v: int) -> int:
+        qd = float(np.round(8.0 * (v - 128.0) / q0)) * q0
+        return v if (qd / 8.0) % 1.0 != 0.5 else (v + 1) % 256
+
+    out = []
+    for i in range(n):
+        bh, bw = 2 + i % 3, 3 + i % 2
+        vals = np.array(
+            [[safe((y * bw + x) * 37 + i * 11) % 256 for x in range(bw)]
+             for y in range(bh)],
+            np.int64,
+        )
+        vals = np.vectorize(safe)(vals)
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        payload = J.encode(
+            img, quality, restart_interval=2 if i % 4 == 0 else 0
+        )
+        px = np.repeat(
+            np.repeat(np.vectorize(closed)(vals), 8, 0), 8, 1
+        ).astype(np.uint8)
+        out.append({"img_id": i, "payload": payload, "px": px})
+    return out
+
+
+def jpeg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode baseline JPEG payloads -> integer features (same stage
+    shape as png_features; Arrow-batched mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import jpeg as J
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                px = J.decode(bytes(payload))
+                rows.append(
+                    (int(img_id), px.shape[1], px.shape[0], int(px.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["img_id", "width", "height", "px_sum"]
+            )
+
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St(
+        [
+            StructField("img_id", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", IntegerType()),
+        ]
+    )
+    return df.mapInPandas(run, schema)

@@ -536,19 +536,20 @@ def run_words_pnm_df(df, words: list[str], out_name: str = "out.pnm"):
     """
     import pyarrow as pa
 
-    from ocr_spark.kernels import pnm
+    from ocr_spark.kernels import imageio
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tb = batch.to_pydict()
             outs_b, pags = [], []
             for pag, buf in zip(tb["pag"], tb["pnm"]):
-                arr = pnm.decode_gray(bytes(buf))
+                arr = imageio.decode_by_name(bytes(buf), "in.pnm")
                 outs = run_words(arr, words, pag)
                 got = np.asarray(outs.get(out_name, outs.get("_top")), F32)
                 if got.ndim == 1:
                     got = got.reshape(1, -1)
-                outs_b.append(pnm.encode_gray(got))
+                # format dispatch by out_name extension (image.c:310-336)
+                outs_b.append(imageio.encode_by_name(got, out_name))
                 pags.append(pag)
             yield pa.RecordBatch.from_pydict(
                 {"pag": pags, "pnm": outs_b},

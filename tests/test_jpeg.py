@@ -1,0 +1,189 @@
+"""Baseline JPEG codec: hand-built spec fixture, roundtrips, restarts.
+
+The hand fixture assembles a complete JPEG byte-by-byte from T.81
+(markers, canonical Huffman codes derived by hand in the comments) —
+independent of the module's encoder, so it pins the decoder to the
+SPEC. Roundtrips then cover the wider surface; encode and decode share
+only the table constants and the DCT basis, with filtering/entropy
+written separately in each direction.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import jpeg
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def test_decode_hand_built_dc_only():
+    """One 8x8 gray block, DC diff = +6, quant[0] = 16, no AC.
+
+    Canonical Annex K DC-luma codes: category 3 -> '100' (len 3);
+    raw bits for +6 -> '110'. AC-luma EOB (0x00) -> '1010' (len 4).
+    Scan bits '100 110 1010' padded with 1s = 0x9A 0xBF. The DC-only
+    IDCT is constant S00/8 + 128 = (6*16)/8 + 128 = 140.
+    """
+    qt = np.full(64, 16, np.uint8)
+    buf = b"\xff\xd8"
+    buf += _seg(0xDB, bytes([0]) + bytes(qt))
+    buf += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    buf += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS),
+    )
+    buf += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(jpeg.AC_LUMA_BITS) + bytes(jpeg.AC_LUMA_VALS),
+    )
+    buf += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    buf += bytes([0x9A, 0xBF])
+    buf += b"\xff\xd9"
+    px = jpeg.decode(buf)
+    assert px.shape == (8, 8)
+    assert np.all(px == 140)
+
+
+def test_decode_hand_built_with_one_ac():
+    """Same block plus AC coefficient: symbol 0x01 (run 0, size 1) is
+    code '00' in Annex K AC-luma; raw bit '0' -> EXTEND(0,1) = -1 at
+    zigzag k=1 (block index 1). Then EOB '1010'.
+
+    Scan bits: DC '100'+'110', AC '00'+'0', EOB '1010' -> '1001100
+    001010' padded = 0x98 0x2B 0xFF(->stuffed). Expected pixels from
+    an independent IDCT computed here with numpy's cosine basis.
+    """
+    qt = np.full(64, 16, np.uint8)
+    buf = b"\xff\xd8"
+    buf += _seg(0xDB, bytes([0]) + bytes(qt))
+    buf += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    buf += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS),
+    )
+    buf += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(jpeg.AC_LUMA_BITS) + bytes(jpeg.AC_LUMA_VALS),
+    )
+    buf += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: 100 110 00 0 1010 -> 1001100 001010 + pad 111 ->
+    # 10011000 01010111 = 0x98 0x57
+    buf += bytes([0x98, 0x57])
+    buf += b"\xff\xd9"
+    px = jpeg.decode(buf)
+
+    # independent IDCT: S[0,0]=6*16, S[0,1]=-1*16 (zigzag 1 = row 0 col 1)
+    S = np.zeros((8, 8))
+    S[0, 0] = 96.0
+    S[0, 1] = -16.0
+    want = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.125) if u == 0 else 0.5
+                    cv = np.sqrt(0.125) if v == 0 else 0.5
+                    acc += (
+                        cu * cv * S[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            want[y, x] = acc + 128.0
+    assert np.array_equal(px, np.clip(np.round(want), 0, 255).astype(np.uint8))
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 3 + xx * 2) % 200 + 20).astype(np.uint8)
+
+
+def test_roundtrip_smooth_gray():
+    img = _gradient(24, 40)
+    out = jpeg.decode(jpeg.encode(img, quality=95))
+    assert out.shape == (24, 40)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 4
+
+
+def test_roundtrip_nonmultiple_of_8():
+    img = _gradient(13, 21)  # forces edge-replicated padding + crop
+    out = jpeg.decode(jpeg.encode(img, quality=95))
+    assert out.shape == (13, 21)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 5
+
+
+def test_roundtrip_rgb_flat_regions():
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8, :, :] = (200, 30, 60)
+    img[8:, :, :] = (10, 180, 90)
+    out = jpeg.decode(jpeg.encode(img, quality=95))
+    assert out.shape == (16, 16, 3)
+    # interior of each flat region must be near-exact (edges ring)
+    assert np.max(np.abs(out[2:5].astype(int) - img[2:5].astype(int))) <= 6
+    assert np.max(np.abs(out[11:14].astype(int) - img[11:14].astype(int))) <= 6
+
+
+def test_restart_interval_roundtrip():
+    img = _gradient(16, 48)  # 2x6 MCUs
+    buf = jpeg.encode(img, quality=95, restart_interval=2)
+    assert b"\xff\xd0" in buf  # RST0 actually emitted
+    out = jpeg.decode(buf)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 4
+    # parity with the unrestarted stream: same dequantized pixels
+    assert np.array_equal(out, jpeg.decode(jpeg.encode(img, quality=95)))
+
+
+def test_quality_changes_size_monotonically():
+    img = _gradient(32, 32)
+    sizes = [len(jpeg.encode(img, q)) for q in (30, 60, 90)]
+    assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+def test_non_baseline_rejected():
+    img = _gradient(8, 8)
+    buf = bytearray(jpeg.encode(img, 90))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive|non-baseline"):
+        jpeg.decode(bytes(buf))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode(b"nope")
+
+
+def test_decode_image_dispatch_jpeg():
+    from ocr_spark.operators.multimodal import decode_image
+
+    img = _gradient(16, 16)
+    arr = decode_image(jpeg.encode(img, 95), "jpeg")
+    assert arr.shape == (16, 16)
+    assert np.max(np.abs(arr - img.astype(np.float32))) <= 4
+
+
+def test_flat_block_closed_form_all_values():
+    """The oracle's closed form must equal the decoder for EVERY v in
+    0..255 (one 8x8 flat block, quality 90): this is what licenses the
+    construction-derived VALUES oracle of jpeg_decode_features."""
+    qtab = jpeg._quality_scale(jpeg.QUANT_LUMA, 90)
+    q0 = int(qtab[0])
+    for v in range(256):
+        qd = float(np.round(8.0 * (v - 128.0) / q0)) * q0
+        closed = int(np.clip(np.round(qd / 8.0 + 128.0), 0, 255))
+        dec = jpeg.decode(jpeg.encode(np.full((8, 8), v, np.uint8), 90))
+        assert np.all(dec == closed), (v, closed, dec[0, 0])
+
+
+def test_synth_jpeg_corpus_decodes_to_expected():
+    from ocr_spark.operators.multimodal import synth_jpeg_corpus
+
+    corpus = synth_jpeg_corpus()
+    assert len(corpus) == 12
+    saw_restart = False
+    for r in corpus:
+        px = jpeg.decode(r["payload"])
+        assert np.array_equal(px, r["px"]), r["img_id"]
+        saw_restart |= b"\xff\xdd" in r["payload"]
+    assert saw_restart

@@ -73,10 +73,11 @@ def test_audio_stub_contract(spark, media):
     # wav is REAL now: garbage bytes are a format error, not a stub
     with pytest.raises(ValueError, match="RIFF"):
         mm.decode_audio(b"\x00\x01", "wav")
-    # compressed formats stay stubbed with the production call named
+    # compressed audio stays stubbed with the production call named
     with pytest.raises(NotImplementedError, match="soundfile"):
         mm.decode_audio(b"\x00\x01", "mp3")
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # jpeg is REAL now (kernels/jpeg.py): truncated stream = format error
+    with pytest.raises(ValueError, match="jpeg"):
         mm.decode_image(b"\xff\xd8", "jpeg")
 
 

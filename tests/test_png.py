@@ -127,3 +127,58 @@ def test_decode_image_dispatch_png():
     arr = decode_image(png.encode(img, 0), "png")
     assert arr.shape == (4, 3)
     assert np.array_equal(arr, img.astype(np.float32))
+
+
+def test_imageio_dispatch_roundtrip():
+    """image_read/write_image extension dispatch (image.c:271-336):
+    `w out.png` must hold the SAME pixel values as `w out.pnm` in a
+    PNG container, and read back losslessly."""
+    import pytest
+
+    from ocr_spark.kernels import imageio, pnm
+
+    arr = (_rng_img(31, 7, 9, 1).astype(np.float32) - 20.0) * 1.4
+    via_pnm = pnm.decode_gray(imageio.encode_by_name(arr, "out.pnm"))
+    png_bytes = imageio.encode_by_name(arr, "out.png")
+    via_png = imageio.decode_by_name(png_bytes, "out.png")
+    assert np.array_equal(via_pnm, via_png)
+    assert png_bytes[:8] == b"\x89PNG\r\n\x1a\n"
+    # .jpg dispatch is the native baseline codec (lossy): close, valid
+    jpg = imageio.encode_by_name(arr, "out.jpg")
+    assert jpg[:2] == b"\xff\xd8"
+    back = imageio.decode_by_name(jpg, "out.jpg")
+    assert back.shape == via_pnm.shape
+    # the fixture is random noise — the worst case for a lossy DCT
+    # codec; smooth-image tolerances live in tests/test_jpeg.py
+    err = np.abs(back - via_pnm)
+    assert float(err.mean()) <= 6.0 and float(err.max()) <= 32.0
+
+
+def test_run_words_pnm_df_png_output(spark):
+    """The corpus word runner emits PNG containers when the `w` target
+    ends in .png — pixel-identical to the .pnm run."""
+    from ocr_spark.kernels import fixtures, imageio, pnm
+    from ocr_spark.plans.grafix import run_words_pnm_df
+
+    pages = [
+        (k, pnm.encode_gray(fixtures.shaded(24, 32, 42, k))) for k in range(4)
+    ]
+    df = spark.createDataFrame(pages, "pag int, pnm binary")
+    out_pnm = {
+        r.pag: bytes(r.pnm)
+        for r in run_words_pnm_df(
+            df, ["fix-bg", "8", "w", "out.pnm"], "out.pnm"
+        ).collect()
+    }
+    out_png = {
+        r.pag: bytes(r.pnm)
+        for r in run_words_pnm_df(
+            df, ["fix-bg", "8", "w", "out.png"], "out.png"
+        ).collect()
+    }
+    assert set(out_pnm) == set(out_png) == {0, 1, 2, 3}
+    for k in out_pnm:
+        a = pnm.decode_gray(out_pnm[k])
+        b = imageio.decode_by_name(out_png[k], "out.png")
+        assert np.array_equal(a, b)
+        assert out_png[k][:8] == b"\x89PNG\r\n\x1a\n"
