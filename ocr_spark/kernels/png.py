@@ -7,8 +7,11 @@ implements the same public format natively: PNG = deflate (stdlib
 zlib) over per-row filtered scanlines, five filter types
 (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported: bit depth 8,
 color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA), non-interlaced — the subset web images overwhelmingly use;
-anything else raises with the offending field named.
+6 (RGBA), non-interlaced AND Adam7-interlaced — the subset web
+images overwhelmingly use; anything else (16-bit, 1/2/4-bit packed)
+raises with the offending field named. (The reference itself rejects
+MAXVAL != 255 pages — image.c:135 — so >8-bit depths are out of its
+pipeline's domain too.)
 
 ``to_planar`` maps the decoded pixels onto the reference's planar
 float32 convention (alpha in chan[0], gray or R,G,B in chan[1..3] —
@@ -54,36 +57,15 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode(
-    arr: np.ndarray,
-    color_type: int,
-    filters: list[int] | None = None,
-    palette: np.ndarray | None = None,
-) -> bytes:
-    """Encode uint8 pixels as a valid PNG.
-
-    ``arr`` is (H,W) for color types 0/3 or (H,W,C) matching the color
-    type's channel count; ``filters`` picks the per-row filter type
-    (default all 0) so tests can exercise every unfilter branch;
-    ``palette`` is (N,3) uint8 for color type 3.
-    """
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, c = arr.shape
-    if c != _CHANNELS[color_type]:
-        raise ValueError(f"png encode: {c} channels vs color type {color_type}")
-    if arr.dtype != np.uint8:
-        raise ValueError("png encode: uint8 only")
-    filters = filters or [0] * h
-    bpp = c
-    raw = arr.reshape(h, w * c)
+def _filter_rows(raw: np.ndarray, bpp: int, filters: list[int]) -> list[bytes]:
+    """Filter (h, stride) rows per RFC 2083 §6; one filter byte each."""
     lines = []
-    prev = np.zeros(w * c, dtype=np.uint8)
-    for y in range(h):
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+    for y in range(raw.shape[0]):
         cur = raw[y]
         left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
-        ft = filters[y]
+        ft = filters[y % len(filters)]
         if ft == 0:
             filt = cur
         elif ft == 1:  # Sub
@@ -100,7 +82,49 @@ def encode(
             raise ValueError(f"png encode: bad filter {ft}")
         lines.append(bytes([ft]) + filt.tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return lines
+
+
+def encode(
+    arr: np.ndarray,
+    color_type: int,
+    filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode uint8 pixels as a valid PNG.
+
+    ``arr`` is (H,W) for color types 0/3 or (H,W,C) matching the color
+    type's channel count; ``filters`` picks the per-row filter type
+    (default all 0, cycled per scanline) so tests can exercise every
+    unfilter branch; ``palette`` is (N,3) uint8 for color type 3;
+    ``interlace`` emits an Adam7 stream (each pass filtered
+    independently, empty passes omitted).
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c != _CHANNELS[color_type]:
+        raise ValueError(f"png encode: {c} channels vs color type {color_type}")
+    if arr.dtype != np.uint8:
+        raise ValueError("png encode: uint8 only")
+    filters = filters or [0]
+    lines = []
+    if not interlace:
+        lines = _filter_rows(arr.reshape(h, w * c), c, filters)
+    else:
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _filter_rows(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                c,
+                filters,
+            )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     body = _SIG + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:
@@ -118,50 +142,16 @@ def sniff_color_type(buf: bytes) -> int:
     return buf[25]
 
 
-def decode(buf: bytes) -> np.ndarray:
-    """Decode a PNG to (H, W, C) uint8 (palette expanded to RGB)."""
-    if buf[:8] != _SIG:
-        raise ValueError("png: bad signature")
-    pos = 8
-    width = height = None
-    color_type = None
-    palette = None
-    idat = []
-    while pos + 8 <= len(buf):
-        (ln,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + ln]
-        if len(data) != ln:
-            raise ValueError("png: truncated chunk")
-        crc = struct.unpack_from(">I", buf, pos + 8 + ln)[0]
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"png: bad crc in {tag!r}")
-        pos += 12 + ln
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8:
-                raise ValueError(f"png: unsupported bit depth {depth}")
-            if color_type not in _CHANNELS:
-                raise ValueError(f"png: unsupported color type {color_type}")
-            if comp != 0 or filt != 0:
-                raise ValueError("png: unsupported compression/filter method")
-            if interlace != 0:
-                raise ValueError("png: interlaced (Adam7) not supported")
-        elif tag == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("png: missing IHDR/IDAT")
-    plain = zlib.decompress(b"".join(idat))
-    c = _CHANNELS[color_type]
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(plain: bytes, height: int, width: int, c: int) -> np.ndarray:
+    """Unfilter ``height`` scanlines of ``width`` pixels -> (h, w*c)."""
     stride = width * c
-    if len(plain) != height * (stride + 1):
-        raise ValueError("png: scanline size mismatch")
     rows = np.frombuffer(plain, np.uint8).reshape(height, stride + 1)
     ftypes = rows[:, 0]
     filt = rows[:, 1:]
@@ -197,7 +187,75 @@ def decode(buf: bytes) -> np.ndarray:
                 cur[x : x + bpp] = f[x : x + bpp] + pred
         out[y] = cur
         prev = cur
-    px = out.reshape(height, width, c)
+    return out
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode a PNG to (H, W, C) uint8 (palette expanded to RGB).
+
+    Non-interlaced and Adam7-interlaced streams both decode; each
+    Adam7 pass is a filter-independent sub-image (its first row's Up/
+    Paeth predecessors are zero), scattered onto the (y0::dy, x0::dx)
+    grid per RFC 2083 §8.2.
+    """
+    if buf[:8] != _SIG:
+        raise ValueError("png: bad signature")
+    pos = 8
+    width = height = None
+    color_type = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("png: truncated chunk")
+        crc = struct.unpack_from(">I", buf, pos + 8 + ln)[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad crc in {tag!r}")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise ValueError(f"png: unsupported bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"png: unsupported color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("png: unsupported compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"png: unknown interlace method {interlace}")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    plain = zlib.decompress(b"".join(idat))
+    c = _CHANNELS[color_type]
+    if interlace == 0:
+        stride = width * c
+        if len(plain) != height * (stride + 1):
+            raise ValueError("png: scanline size mismatch")
+        px = _unfilter(plain, height, width, c).reshape(height, width, c)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        px = np.zeros((height, width, c), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty passes contribute NO scanlines
+            nbytes = ph * (pw * c + 1)
+            sub = _unfilter(plain[pos : pos + nbytes], ph, pw, c)
+            pos += nbytes
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+        if pos != len(plain):
+            raise ValueError("png: interlaced scanline size mismatch")
     if color_type == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")

@@ -525,6 +525,7 @@ def synth_png_corpus(n: int = 20) -> list[dict]:
             ct,
             filters=[(i + y) % 5 for y in range(h)],
             palette=_PNG_PALETTE if ct == 3 else None,
+            interlace=(i % 5 == 2),  # Adam7 through the same oracle
         )
         px = _PNG_PALETTE[arr[:, :, 0]] if ct == 3 else arr
         out.append(

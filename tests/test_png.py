@@ -182,3 +182,50 @@ def test_run_words_pnm_df_png_output(spark):
         b = imageio.decode_by_name(out_png[k], "out.png")
         assert np.array_equal(a, b)
         assert out_png[k][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_decode_hand_built_adam7():
+    """Hand-interleaved Adam7 fixture (RFC 2083 §8.2): a 4x4 gray image
+    split into its 7 passes by hand, with Sub/Up filters inside the
+    later passes — pins pass geometry, empty-pass omission, and
+    per-pass filter independence."""
+    # target:  1  2  3  4 / 5  6  7  8 / 9 10 11 12 / 13 14 15 16
+    lines = [
+        bytes([0, 1]),            # pass 1: (0,0)
+        bytes([0, 3]),            # pass 4: (0,2) -> value 3
+        bytes([0, 9, 11]),        # pass 5: (2,0),(2,2)
+        bytes([0, 2, 4]),         # pass 6 row y=0: (0,1),(0,3)
+        bytes([2, 8, 8]),         # pass 6 row y=2 (Up): 10-2, 12-4
+        bytes([1, 5, 1, 1, 1]),   # pass 7 row y=1 (Sub): 5,6,7,8
+        bytes([2, 8, 8, 8, 8]),   # pass 7 row y=3 (Up): 13..16
+    ]
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    buf = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    ) + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b"")
+    px = png.decode(buf)
+    want = np.arange(1, 17, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(px[:, :, 0], want)
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+def test_adam7_roundtrip_every_type(color_type):
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    for h, w in ((1, 1), (3, 5), (8, 8), (9, 13)):
+        img = _rng_img(color_type * 31 + h * 7 + w, h, w, c)
+        buf = png.encode(img, color_type, filters=[0, 1, 2, 3, 4],
+                         interlace=True)
+        px = png.decode(buf)
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(px, want), (color_type, h, w)
+        # interlace flag really set (byte 28 of the stream)
+        assert buf[28] == 1
+
+
+def test_adam7_vs_progressive_same_pixels():
+    img = _rng_img(99, 10, 11, 3)
+    a = png.decode(png.encode(img, 2, interlace=False))
+    b = png.decode(png.encode(img, 2, interlace=True))
+    assert np.array_equal(a, b)
