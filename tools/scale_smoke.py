@@ -99,10 +99,14 @@ def main() -> None:
                                               (end - start).cast("int")), " ")
                           .alias("chunk"))
 
+    from ocr_spark.operators.ann import ivf_assign
     from ocr_spark.operators.dedup import cdc_chunks
     from ocr_spark.operators.training import pca_power
 
     ops = {
+        # r3: literal-centroid projection form — must stay linear (the
+        # r2 max_by(struct) SortAggregate form was the plan to avoid)
+        "ivf_assign": lambda d, e: ivf_assign(e),
         "minhash_lsh": lambda d, e: minhash_lsh_pairs(d),
         "fingerprints": lambda d, e: fingerprint_stats(d),
         "pack_sequences": lambda d, e: pack_sequences(d),
