@@ -10,10 +10,11 @@ Scope (the baseline subset web JPEGs overwhelmingly use):
   DQT/DHT segments, restart intervals (DRI / RSTn), 0xFF00 stuffing,
   APPn/COM skipped. Progressive (SOF2), arithmetic coding, 12-bit and
   hierarchical modes raise with the offending marker named.
-- encode: SOF0 grayscale or 4:4:4 YCbCr with the Annex K example
-  quantization (quality-scaled the way libjpeg scales it) and Annex K
-  typical Huffman tables — enough to synthesize valid test corpora;
-  NOT a size-optimized encoder.
+- encode: SOF0 grayscale, 4:4:4 or 4:2:0 YCbCr with the Annex K
+  example quantization (quality-scaled the way libjpeg scales it) and
+  Annex K typical Huffman tables — enough to synthesize valid test
+  corpora (including streams exercising the decoder's subsampled-MCU
+  and restart paths); NOT a size-optimized encoder.
 
 Entropy decoding is bit-serial by nature; the hot loops are plain
 Python over numpy blocks, sized for test corpora and Arrow-batched
@@ -452,18 +453,27 @@ def _encode_block(wtr, block, qtab, dc_t, ac_t, pred):
 
 
 def encode(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode (H,W) gray or (H,W,3) RGB uint8 as baseline JPEG.
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    N MCUs (with DC predictor resets) — mainly so the decoder's restart
-    path has a native test corpus.
+    N MCUs (with DC predictor resets); ``subsampling`` is "444" or
+    "420" (2x2 box-mean chroma, Y sampling factor 2x2) — both exist
+    mainly so the decoder's restart and chroma-upsampling paths have a
+    native test corpus.
     """
     a = np.asarray(img)
     if a.dtype != np.uint8:
         raise ValueError("jpeg encode: uint8 only")
     gray = a.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"jpeg encode: unsupported subsampling {subsampling}")
+    if subsampling == "420" and not gray:
+        return _encode_420(a, quality, restart_interval)
     h, w = a.shape[:2]
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
@@ -544,6 +554,88 @@ def encode(
             for ci, (p, (qtab, dct, act)) in enumerate(zip(padded, tabs)):
                 blk = p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
                 preds[ci] = _encode_block(wtr, blk, qtab, dct, act, preds[ci])
+            mcu += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
+    """4:2:0 RGB encoder: Y at full resolution (sampling 2x2), chroma
+    2x2 box-mean downsampled (sampling 1x1); MCU = 4 Y blocks + Cb +
+    Cr over a 16x16 pixel footprint."""
+    h, w = a.shape[:2]
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    dc_y = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for (tc, th), (bits, vals) in (
+        ((0, 0), (DC_LUMA_BITS, DC_LUMA_VALS)),
+        ((1, 0), (AC_LUMA_BITS, AC_LUMA_VALS)),
+        ((0, 1), (DC_CHROMA_BITS, DC_CHROMA_VALS)),
+        ((1, 1), (AC_CHROMA_BITS, AC_CHROMA_VALS)),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    rf = a[:, :, 0].astype(np.float64)
+    gf = a[:, :, 1].astype(np.float64)
+    bf = a[:, :, 2].astype(np.float64)
+    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+    cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+
+    # pad Y to a 16-multiple by edge replication; chroma derives from
+    # the padded Y-resolution planes so its 8-multiple comes for free
+    mh, mw = -(-h // 16), -(-w // 16)
+    def pad16(p):
+        pp = np.empty((mh * 16, mw * 16), np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        return pp
+
+    yp = pad16(y)
+    cbp = pad16(cb).reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+    crp = pad16(cr).reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+
+    wtr = _BitWriter()
+    py = pcb = pcr = 0
+    mcu = 0
+    rst = 0
+    for my in range(mh):
+        for mx in range(mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                py = pcb = pcr = 0
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    blk = yp[y0 : y0 + 8, x0 : x0 + 8]
+                    py = _encode_block(wtr, blk, qy, dc_y, ac_y, py)
+            cblk = cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            pcb = _encode_block(wtr, cblk, qc, dc_c, ac_c, pcb)
+            rblk = crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            pcr = _encode_block(wtr, rblk, qc, dc_c, ac_c, pcr)
             mcu += 1
     wtr.flush()
     out += wtr.out

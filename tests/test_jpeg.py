@@ -187,3 +187,46 @@ def test_synth_jpeg_corpus_decodes_to_expected():
         assert np.array_equal(px, r["px"]), r["img_id"]
         saw_restart |= b"\xff\xdd" in r["payload"]
     assert saw_restart
+
+
+def test_roundtrip_420_subsampled():
+    """4:2:0 stream: exercises the decoder's multi-block-per-MCU loop
+    and chroma pixel-replication upsampling (untested by 4:4:4)."""
+    img = np.zeros((20, 36, 3), np.uint8)
+    img[:, :, 0] = _gradient(20, 36)
+    img[:, :, 1] = 128
+    img[:, :, 2] = np.flipud(_gradient(20, 36))
+    buf = jpeg.encode(img, quality=95, subsampling="420")
+    # SOF declares 2x2 Y sampling
+    i = buf.find(b"\xff\xc0")
+    assert buf[i + 11] == 0x22
+    out = jpeg.decode(buf)
+    assert out.shape == (20, 36, 3)
+    # luma-dominated content: Y carries the gradient; chroma is smooth,
+    # so 2x2 box loss stays small away from edges
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) <= 3.0
+    assert np.max(np.abs(out[2:-2, 2:-2].astype(int)
+                         - img[2:-2, 2:-2].astype(int))) <= 14
+
+
+def test_roundtrip_420_with_restarts():
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:, :, 0] = _gradient(32, 48)
+    img[:, :, 1] = _gradient(32, 48)
+    img[:, :, 2] = 90
+    buf = jpeg.encode(img, quality=95, subsampling="420",
+                      restart_interval=2)
+    assert b"\xff\xd0" in buf
+    out = jpeg.decode(buf)
+    no_rst = jpeg.decode(jpeg.encode(img, quality=95, subsampling="420"))
+    assert np.array_equal(out, no_rst)
+
+
+def test_flat_420_is_exact_in_chroma_blocks():
+    # a flat color image: downsampled chroma is the same flat value, so
+    # 4:2:0 loses nothing beyond quantization; interior must match 444
+    img = np.full((16, 16, 3), 0, np.uint8)
+    img[:, :] = (77, 140, 200)
+    a = jpeg.decode(jpeg.encode(img, quality=95, subsampling="444"))
+    b = jpeg.decode(jpeg.encode(img, quality=95, subsampling="420"))
+    assert np.array_equal(a, b)
