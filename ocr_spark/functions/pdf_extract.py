@@ -9,10 +9,13 @@ honest sandbox stand-in for a production parser: the Spark plumbing
 (binary column in, text column out, Arrow batches, same extraction
 invariant "byte-identical text per doc") is identical whether the body
 is this parser or pdfium behind the same function signature.
-FlateDecode streams decompress via stdlib zlib (the real PDF
-compression path); other filters (DCT, LZW, ASCII85) raise
+Stream filters (PDF 1.7 §7.4, all public): FlateDecode (stdlib
+zlib), LZWDecode (TIFF-style 9-12 bit codes with EarlyChange),
+ASCIIHexDecode, ASCII85Decode, and RunLengthDecode are REAL, applied
+in declared order for `/Filter [A B ...]` chains; image-codec filters
+(DCTDecode, JPXDecode, JBIG2Decode, CCITTFaxDecode) raise
 NotImplementedError naming the filter, mirroring
-operators/multimodal.py's codec policy.
+operators/multimodal.py's codec policy (they carry pixels, not text).
 
 Layout model: one text line per Td/TD/T* advance, lines joined with
 "\\n"; multiple show operators on one line concatenate; TJ kerning
@@ -141,6 +144,113 @@ def _unescape(s: bytes) -> str:
     return out.decode("latin-1")
 
 
+# ---------------------------------------------------------------------------
+# stream filters (PDF 1.7 §7.4) — all pure stdlib
+# ---------------------------------------------------------------------------
+
+def _flate(stream: bytes) -> bytes:
+    try:
+        return zlib.decompress(stream)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt FlateDecode stream: {exc}")
+
+
+def _asciihex(stream: bytes) -> bytes:
+    body = stream.split(b">", 1)[0]  # '>' is EOD (§7.4.2)
+    body = re.sub(rb"\s+", b"", body)
+    if len(body) % 2:  # odd count: final digit is padded with 0
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"corrupt ASCIIHexDecode stream: {exc}")
+
+
+def _ascii85(stream: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s+", b"", stream)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    try:
+        # frame for adobe mode so 'z' groups and partial-final-group
+        # semantics follow the Adobe variant PDF uses
+        return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+    except ValueError as exc:
+        raise ValueError(f"corrupt ASCII85Decode stream: {exc}")
+
+
+def _runlength(stream: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(stream)
+    while i < n:
+        ln = stream[i]
+        i += 1
+        if ln == 128:  # EOD
+            return bytes(out)
+        if ln < 128:
+            out += stream[i : i + ln + 1]
+            i += ln + 1
+        else:
+            out += stream[i : i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _lzw(stream: bytes) -> bytes:
+    """PDF/TIFF LZW: 9→12-bit MSB-first codes, Clear=256, EOD=257,
+    EarlyChange=1 (code width grows one code early, §7.4.4)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in stream:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # Clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZWDecode stream: bad code")
+            out += entry
+            prev = entry
+            # EarlyChange: widen when the NEXT code could overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_STREAM_DECODERS = {
+    b"FlateDecode": _flate,
+    b"Fl": _flate,
+    b"LZWDecode": _lzw,
+    b"LZW": _lzw,
+    b"ASCIIHexDecode": _asciihex,
+    b"AHx": _asciihex,
+    b"ASCII85Decode": _ascii85,
+    b"A85": _ascii85,
+    b"RunLengthDecode": _runlength,
+    b"RL": _runlength,
+}
+
+
 def extract_pdf_text(buf: bytes) -> str:
     """All page text, lines per Td/TD/T*, pages joined with \\n."""
     if b"%PDF" not in buf[:1024]:
@@ -149,25 +259,23 @@ def extract_pdf_text(buf: bytes) -> str:
     for m in _STREAM.finditer(buf):
         meta, stream = m.group(1), m.group(2)
         if b"/Filter" in meta:
-            # /FlateDecode (plain or 1-element array) via stdlib zlib;
-            # other/chained filters (DCT, LZW, ASCII85...) stay
-            # unsupported and dead-letter through the permissive path.
+            # filters apply in DECLARED order (PDF 1.7 §7.4.1): the
+            # first name is the outermost encoding on the bytes
             arr = re.search(rb"/Filter\s*\[([^\]]*)\]", meta)
             if arr:
                 filters = re.findall(rb"/(\w+)", arr.group(1))
             else:
                 one = re.search(rb"/Filter\s*/(\w+)", meta)
                 filters = [one.group(1)] if one else []
-            if filters == [b"FlateDecode"]:
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error as exc:
-                    raise ValueError(f"corrupt FlateDecode stream: {exc}")
-            else:
-                raise NotImplementedError(
-                    "unsupported PDF stream filter(s): "
-                    + b",".join(filters).decode("latin-1", "replace")
-                )
+            for f in filters:
+                dec = _STREAM_DECODERS.get(f)
+                if dec is None:
+                    raise NotImplementedError(
+                        "unsupported PDF stream filter: "
+                        + f.decode("latin-1", "replace")
+                        + " (image codec filters carry pixels, not text)"
+                    )
+                stream = dec(stream)
         if b"BT" not in stream:
             continue
         cur: list[str] = []

@@ -57,8 +57,9 @@ def test_corrupt_flate_stream_is_an_error():
 
 
 def test_unsupported_filter_raises_documented_stub():
-    buf = make_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
+    # LZW is real now; DCTDecode (an image codec) is the honest stub
+    buf = make_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
         extract_pdf_text(buf)
 
 
@@ -115,3 +116,115 @@ def test_permissive_mode_dead_letters_corrupt_rows(spark):
     strict = extract_pdf_df(df, permissive=False)
     with pytest.raises(Exception):
         strict.collect()
+
+
+# ---------------------------------------------------------------------------
+# stream filters (PDF 1.7 §7.4): encoders written HERE, independently
+# ---------------------------------------------------------------------------
+
+def _one_stream_pdf(meta: bytes, stream: bytes) -> bytes:
+    """Minimal buffer the extractor's stream scanner accepts."""
+    return b"%PDF-1.4\n1 0 obj\n" + meta + b"\nstream\n" + stream \
+        + b"\nendstream\nendobj\n"
+
+
+_CONTENT = b"BT\n/F1 12 Tf\n72 720 Td\n(hello filters) Tj\nET"
+
+
+def _lzw_compress(data: bytes) -> bytes:
+    """Independent TIFF-style LZW encoder (9-12 bit, EarlyChange=1)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)  # Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # EarlyChange: widen one code early
+        if nxt + 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_asciihex_stream():
+    hexed = _CONTENT.hex().upper().encode()
+    spaced = b"\n".join(hexed[i:i + 20] for i in range(0, len(hexed), 20))
+    buf = _one_stream_pdf(b"<< /Filter /ASCIIHexDecode >>", spaced + b">")
+    assert extract_pdf_text(buf) == "hello filters"
+
+
+def test_ascii85_stream():
+    import base64
+
+    body = base64.a85encode(_CONTENT, adobe=False)
+    buf = _one_stream_pdf(b"<< /Filter /ASCII85Decode >>", body + b"~>")
+    assert extract_pdf_text(buf) == "hello filters"
+
+
+def test_runlength_stream():
+    # hand-run-length: literal runs of <=127 plus a repeat run
+    payload = _CONTENT + b"   " + b""  # trailing spaces compress as a run
+    enc = bytearray()
+    enc.append(len(_CONTENT) - 1)
+    enc += _CONTENT
+    enc += bytes([257 - 3, ord(" ")])  # repeat ' ' x3
+    enc.append(128)  # EOD
+    buf = _one_stream_pdf(b"<< /Filter /RunLengthDecode >>", bytes(enc))
+    assert extract_pdf_text(buf) == "hello filters"
+    assert payload  # silence lint
+
+
+def test_lzw_stream_with_table_growth():
+    # long repetitive content forces table growth past 511 (width 9->10)
+    lines = [f"line {i} of the lzw corpus" for i in range(40)]
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 TD")
+        ops.append(f"({line}) Tj")
+    ops.append("ET")
+    raw = "\n".join(ops).encode()
+    buf = _one_stream_pdf(b"<< /Filter /LZWDecode >>", _lzw_compress(raw))
+    assert extract_pdf_text(buf) == "\n".join(lines)
+
+
+def test_filter_chain_applied_in_declared_order():
+    import base64
+    import zlib as _z
+
+    # declared [A85, Flate]: bytes are a85(flate(raw)) — decode must
+    # peel ASCII85 first, then inflate
+    body = base64.a85encode(_z.compress(_CONTENT), adobe=False) + b"~>"
+    buf = _one_stream_pdf(
+        b"<< /Filter [ /ASCII85Decode /FlateDecode ] >>", body
+    )
+    assert extract_pdf_text(buf) == "hello filters"
+
+
+def test_filter_abbreviations():
+    hexed = _CONTENT.hex().encode() + b">"
+    buf = _one_stream_pdf(b"<< /Filter /AHx >>", hexed)
+    assert extract_pdf_text(buf) == "hello filters"
