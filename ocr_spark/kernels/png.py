@@ -5,13 +5,13 @@ image.c:265-296) and sniffs the color-type byte at file offset 25 to
 decide whether an alpha plane exists (image.c:282-287). This module
 implements the same public format natively: PNG = deflate (stdlib
 zlib) over per-row filtered scanlines, five filter types
-(None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported: bit depth 8,
-color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA), non-interlaced AND Adam7-interlaced — the subset web
-images overwhelmingly use; anything else (16-bit, 1/2/4-bit packed)
-raises with the offending field named. (The reference itself rejects
-MAXVAL != 255 pages — image.c:135 — so >8-bit depths are out of its
-pipeline's domain too.)
+(None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported: bit depth 8 for
+color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6
+(RGBA); bit depths 1/2/4 for gray and palette (packed MSB-first,
+byte-wise filtering, gray scaled by the exact 255/(2^d-1));
+non-interlaced AND Adam7-interlaced. 16-bit raises with the field
+named — the reference itself rejects MAXVAL != 255 pages
+(image.c:135), so >8-bit depths are outside its pipeline's domain.
 
 ``to_planar`` maps the decoded pixels onto the reference's planar
 float32 convention (alpha in chan[0], gray or R,G,B in chan[1..3] —
@@ -219,10 +219,17 @@ def decode(buf: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8:
-                raise ValueError(f"png: unsupported bit depth {depth}")
             if color_type not in _CHANNELS:
                 raise ValueError(f"png: unsupported color type {color_type}")
+            if depth != 8 and not (
+                depth in (1, 2, 4) and color_type in (0, 3)
+            ):
+                raise ValueError(
+                    f"png: unsupported bit depth {depth} for color type "
+                    f"{color_type} (8-bit everywhere; 1/2/4-bit gray and "
+                    "palette; 16-bit is outside the reference's MAXVAL=255 "
+                    "pipeline, image.c:135)"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("png: unsupported compression/filter method")
             if interlace not in (0, 1):
@@ -237,11 +244,37 @@ def decode(buf: bytes) -> np.ndarray:
         raise ValueError("png: missing IHDR/IDAT")
     plain = zlib.decompress(b"".join(idat))
     c = _CHANNELS[color_type]
+
+    def sub_image(seg: bytes, ph: int, pw: int) -> np.ndarray:
+        """Unfilter one (sub-)image -> (ph, pw, c) samples.
+
+        Sub-byte depths: filters operate on the packed BYTES with
+        bpp=1 (RFC 2083 §6.2 — filtering is byte-wise when pixels are
+        smaller than a byte), then samples unpack MSB-first with any
+        row-padding bits discarded."""
+        if depth == 8:
+            return _unfilter(seg, ph, pw, c).reshape(ph, pw, c)
+        sb = -(-pw * depth // 8)  # packed bytes per scanline
+        rows = _unfilter(seg, ph, sb, 1)
+        bits = np.unpackbits(rows, axis=1)
+        if depth == 1:
+            vals = bits[:, :pw]
+        else:
+            g = bits[:, : (sb * 8 // depth) * depth].reshape(
+                ph, -1, depth
+            )
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            vals = (g * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+        return vals[:, :, None]
+
+    def scan_bytes(ph: int, pw: int) -> int:
+        per_row = pw * c if depth == 8 else -(-pw * depth // 8)
+        return ph * (per_row + 1)
+
     if interlace == 0:
-        stride = width * c
-        if len(plain) != height * (stride + 1):
+        if len(plain) != scan_bytes(height, width):
             raise ValueError("png: scanline size mismatch")
-        px = _unfilter(plain, height, width, c).reshape(height, width, c)
+        px = sub_image(plain, height, width)
     else:  # Adam7: 7 independently-filtered sub-images, scattered
         px = np.zeros((height, width, c), np.uint8)
         pos = 0
@@ -250,12 +283,14 @@ def decode(buf: bytes) -> np.ndarray:
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue  # empty passes contribute NO scanlines
-            nbytes = ph * (pw * c + 1)
-            sub = _unfilter(plain[pos : pos + nbytes], ph, pw, c)
+            nbytes = scan_bytes(ph, pw)
+            px[y0::dy, x0::dx] = sub_image(plain[pos : pos + nbytes], ph, pw)
             pos += nbytes
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
         if pos != len(plain):
             raise ValueError("png: interlaced scanline size mismatch")
+    if depth < 8 and color_type == 0:
+        # gray sample scaling to 8-bit (255/(2^d-1) is an exact integer)
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if color_type == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")

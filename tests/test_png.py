@@ -229,3 +229,53 @@ def test_adam7_vs_progressive_same_pixels():
     a = png.decode(png.encode(img, 2, interlace=False))
     b = png.decode(png.encode(img, 2, interlace=True))
     assert np.array_equal(a, b)
+
+
+def _hand_png_d(rows_filtered, w, h, color_type, depth, palette=None):
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    body = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    body += chunk(b"IDAT", zlib.compress(b"".join(rows_filtered)))
+    return body + chunk(b"IEND", b"")
+
+
+def test_decode_1bit_gray():
+    # 10x2: row0 = 1010101010 -> 0xAA 0x80; row1 = 1111100000 -> 0xF8 0x00
+    rows = [bytes([0, 0xAA, 0x80]), bytes([0, 0xF8, 0x00])]
+    px = png.decode(_hand_png_d(rows, 10, 2, 0, 1))
+    want0 = np.array([1, 0, 1, 0, 1, 0, 1, 0, 1, 0]) * 255
+    want1 = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0]) * 255
+    assert np.array_equal(px[0, :, 0], want0.astype(np.uint8))
+    assert np.array_equal(px[1, :, 0], want1.astype(np.uint8))
+
+
+def test_decode_2bit_gray_sub_filter_on_packed_bytes():
+    # 6x1 pixels [0,1,2,3,3,2] -> bits 00 01 10 11 | 11 10 (pad) ->
+    # packed 0x1B 0xE0; Sub filter over BYTES: 0x1B, 0xE0-0x1B=0xC5
+    rows = [bytes([1, 0x1B, 0xC5])]
+    px = png.decode(_hand_png_d(rows, 6, 1, 0, 2))
+    assert np.array_equal(
+        px[0, :, 0], (np.array([0, 1, 2, 3, 3, 2]) * 85).astype(np.uint8)
+    )
+
+
+def test_decode_4bit_palette():
+    # 3x2 indices [[1,2,3],[3,0,2]] -> rows 0x12 0x30 / 0x30 0x20
+    pal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    rows = [bytes([0, 0x12, 0x30]), bytes([0, 0x30, 0x20])]
+    px = png.decode(_hand_png_d(rows, 3, 2, 3, 4, pal.tobytes()))
+    assert np.array_equal(px[0], pal[[1, 2, 3]])
+    assert np.array_equal(px[1], pal[[3, 0, 2]])
+
+
+def test_16bit_rejected_with_reason():
+    rows = [bytes([0]) + b"\x00\x01" * 3]
+    with pytest.raises(ValueError, match="MAXVAL=255"):
+        png.decode(_hand_png_d(rows, 3, 1, 0, 16))
