@@ -685,7 +685,6 @@ def cosine_neardup_pairs(
     1000 executors. Approximate regimes that can't afford the inherent
     candidate volume belong on semdedup_pairs / ANN instead.
     """
-    import itertools
     import math
 
     # +1e-9 absorbs the ~1e-15 float error of the theta fold so a pair
@@ -710,19 +709,30 @@ def cosine_neardup_pairs(
             ":", *[F.col(f"h{p}").cast("string") for p in range(n_pivots)]
         ).alias("key"),
     )
-    probe_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    (F.col(f"h{p}") + F.lit(off[p])).cast("string")
-                    for p in range(n_pivots)
-                ],
-            )
-            for off in itertools.product((-1, 0, 1), repeat=n_pivots)
-        ]
+    # Probe fan-out via an exploded integer sequence + div/mod offset
+    # decode, not a 3^m-element array literal: at m pivots the literal
+    # form put 3^m concat_ws trees (729 at m=6, ~4k expression nodes)
+    # into ONE codegen method — janino compilation blew the default 1g
+    # driver heap on a vanilla session. Here the expression stays O(m)
+    # (offset p = (i / 3^p) % 3 - 1) and the 3^m multiplicity lives in
+    # ROWS, with no join node at all — the shape that scales with m.
+    probe_i = F.explode(
+        F.sequence(F.lit(0), F.lit(3**n_pivots - 1))
+    ).alias("pi")
+    probe = v.select("id", *[F.col(f"h{p}") for p in range(n_pivots)],
+                     probe_i).select(
+        "id",
+        F.concat_ws(
+            ":",
+            *[
+                (
+                    F.col(f"h{p}")
+                    + (F.floor(F.col("pi") / F.lit(3**p)) % 3 - 1).cast("int")
+                ).cast("string")
+                for p in range(n_pivots)
+            ],
+        ).alias("key"),
     )
-    probe = v.select("id", F.explode(probe_keys).alias("key"))
     if max_bucket is not None:
         # TILE oversized buckets (the part sub-banding cannot fix: by
         # measure concentration an isotropic corpus' thetas all fall

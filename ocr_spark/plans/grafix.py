@@ -98,7 +98,9 @@ class GrafixMachine:
     """One page through one word program (grafix.c:159-531)."""
 
     def __init__(self, extra_images: dict[str, np.ndarray] | None = None):
-        self.extra = extra_images or {}
+        # identity, not truthiness: an EMPTY mapping with __missing__
+        # (the CLI's lazy file loader) must survive
+        self.extra = {} if extra_images is None else extra_images
         self.slots: list = []  # the C stack array; sp indexes into it
         self.sp = 0
         self.x = 0.0  # the C locals x, y — persist across words

@@ -927,7 +927,13 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import cosine_neardup_pairs
 
     return cosine_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), max_bucket=256
+        load_table(spark, sf_dir, "embeddings"),
+        max_bucket=256,
+        # cap the sub-banding escalation: on a near-isotropic corpus the
+        # extra pivots can't split the W-wide band anyway (the tiling
+        # step carries the per-task bound); 4 keeps the probe fan-out
+        # at 81 and the adaptive loop at 2 control-plane counts
+        max_pivots=4,
     )
 
 

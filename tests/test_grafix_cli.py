@@ -1,0 +1,88 @@
+"""grafix_cli: file/stdin/stdout parity with the reference binary."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+from ref_binary import ensure_grafix  # noqa: E402
+
+from ocr_spark.kernels import fixtures, imageio, pnm  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = [sys.executable, os.path.join(ROOT, "tools", "grafix_cli.py")]
+
+
+def _page(tmp_path, name="page.pnm", shape=(48, 64)):
+    p = tmp_path / name
+    p.write_bytes(pnm.encode_gray(fixtures.shaded(*shape, 42, 3)))
+    return str(p)
+
+
+def test_cli_matches_reference_binary(tmp_path):
+    binary = ensure_grafix()
+    if not binary:
+        pytest.skip("no gcc / reference binary")
+    src = _page(tmp_path)
+    ours, refs = str(tmp_path / "ours.pnm"), str(tmp_path / "ref.pnm")
+    prog = ["fix-bg", "8", "bin", "auto"]
+    subprocess.run(CLI + [src, *prog, "w", ours], check=True, cwd=ROOT)
+    subprocess.run([binary, src, *prog, "w", refs], check=True,
+                   capture_output=True)
+    assert open(ours, "rb").read() == open(refs, "rb").read()
+
+
+def test_cli_stdin_stdout_roundtrip(tmp_path):
+    src = _page(tmp_path)
+    out = subprocess.run(
+        CLI + ["-", "half", "w", "-"],
+        input=open(src, "rb").read(),
+        capture_output=True, check=True, cwd=ROOT,
+    ).stdout
+    arr = pnm.decode_gray(out)
+    from ocr_spark.kernels import scale
+
+    want = scale.half(pnm.decode_gray(open(src, "rb").read()))
+    assert arr.shape == want.shape
+    assert np.array_equal(arr, np.clip(want, 0, 255).astype(np.uint8)
+                          .astype(np.float32))
+
+
+def test_cli_png_in_jpg_out(tmp_path):
+    # PNG in, fix-bg, PNG out — pixel-identical to the PNM run
+    from ocr_spark.kernels import png
+
+    gray = fixtures.shaded(32, 40, 42, 5)
+    src_png = str(tmp_path / "page.png")
+    with open(src_png, "wb") as f:
+        f.write(png.encode(np.clip(gray, 0, 255).astype(np.uint8), 0))
+    out_png = str(tmp_path / "out.png")
+    subprocess.run(CLI + [src_png, "fix-bg", "8", "w", out_png],
+                   check=True, cwd=ROOT)
+    got = imageio.decode_by_name(open(out_png, "rb").read(), out_png)
+
+    src_pnm = str(tmp_path / "page.pnm")
+    with open(src_pnm, "wb") as f:
+        f.write(pnm.encode_gray(np.clip(gray, 0, 255).astype(np.uint8)))
+    out_pnm = str(tmp_path / "out.pnm")
+    subprocess.run(CLI + [src_pnm, "fix-bg", "8", "w", out_pnm],
+                   check=True, cwd=ROOT)
+    want = pnm.decode_gray(open(out_pnm, "rb").read())
+    assert np.array_equal(got, want)
+
+
+def test_cli_page_number_templating(tmp_path):
+    src = _page(tmp_path, shape=(40, 120))
+    tpl = str(tmp_path / "out%d.pnm")
+    # splitx fans one scan into pages 0 and 1; `w` consumes the top
+    # (the reference marks it `-`), so two writes emit both halves
+    subprocess.run(
+        CLI + [src, "splitx", "0.5", "w", tpl, "w", tpl],
+        check=True, cwd=ROOT,
+    )
+    a = pnm.decode_gray(open(str(tmp_path / "out0.pnm"), "rb").read())
+    b = pnm.decode_gray(open(str(tmp_path / "out1.pnm"), "rb").read())
+    assert a.shape[1] + b.shape[1] == 120

@@ -1,0 +1,70 @@
+"""Drop-in `grafix` CLI: the reference's exact command surface
+(grafix.c:159-531) over this repo's engine.
+
+    python tools/grafix_cli.py page.pnm fix-bg 8 bin auto w out.pnm
+    python tools/grafix_cli.py - deskew w -          # stdin -> stdout
+    python tools/grafix_cli.py scan.png half w out.jpg
+
+Filenames among the words load when encountered (any extension
+kernels/imageio.py dispatches: PNM/PAM, PNG, baseline JPEG); `-`
+reads a PNM from stdin; `w NAME` writes by NAME's extension, `w -`
+streams PNM to stdout; `%d` in a write name is instantiated with the
+page number exactly like the reference's sprintf templating
+(grafix.c:513). A user of the reference can swap the binary for this
+entry point command-for-command; corpus-scale runs use
+plans/grafix.run_words_pnm_df over a DataFrame instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _FileImages(dict):
+    """Lazy FILENAME.EXT loader for GrafixMachine's extra-image words."""
+
+    def __missing__(self, name: str):
+        from ocr_spark.kernels import imageio
+
+        with open(name, "rb") as f:
+            arr = imageio.decode_by_name(f.read(), name)
+        self[name] = arr
+        return arr
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__.strip())
+        return 0
+    from ocr_spark.kernels import imageio, pnm
+    from ocr_spark.plans.grafix import GrafixMachine
+
+    extra = _FileImages()
+    m = GrafixMachine(extra_images=extra)
+    words: list[str] = []
+    prev = None
+    for w in argv:
+        if w == "-" and prev != "w":
+            # stdin load (`w -` stays a stdout TARGET, grafix.c:510):
+            # stash under a synthetic name the machine's FILENAME.EXT
+            # word path resolves from the extra dict
+            extra["stdin.pnm"] = pnm.decode_gray(sys.stdin.buffer.read())
+            words.append("stdin.pnm")
+        else:
+            words.append(w)
+        prev = w
+    m.run(words)
+    for name, arr in m.outputs.items():
+        if name == "-":
+            sys.stdout.buffer.write(pnm.encode_gray(arr))
+        else:
+            with open(name, "wb") as f:
+                f.write(imageio.encode_by_name(arr, name))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
