@@ -4,17 +4,24 @@ The reference reaches JPEG through `jpegtopnm` pipes (image.c:265,280);
 this module implements the same public format natively so the last
 codec stub in the multimodal family closes without external libraries.
 
-Scope (the baseline subset web JPEGs overwhelmingly use):
-- decode: SOF0 (baseline sequential DCT), 8-bit, grayscale or YCbCr
-  with any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), multiple
-  DQT/DHT segments, restart intervals (DRI / RSTn), 0xFF00 stuffing,
-  APPn/COM skipped. Progressive (SOF2), arithmetic coding, 12-bit and
+Scope (the huffman-coded subset web JPEGs actually use):
+- decode: baseline (SOF0/SOF1) AND progressive (SOF2 — spectral
+  selection, successive approximation with AC refinement and EOB
+  runs), 8-bit, grayscale or YCbCr with sampling factors up to 2x2
+  (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments, restart intervals
+  (DRI / RSTn), 0xFF00 stuffing, APPn/COM skipped. Both modes share
+  ONE scan engine that fills per-component quantized-coefficient
+  arrays (baseline = the single full-band scan), so a progressive and
+  a baseline file with the same coefficients decode to identical
+  pixels — the property the tests pin. Arithmetic coding, 12-bit and
   hierarchical modes raise with the offending marker named.
-- encode: SOF0 grayscale, 4:4:4 or 4:2:0 YCbCr with the Annex K
-  example quantization (quality-scaled the way libjpeg scales it) and
-  Annex K typical Huffman tables — enough to synthesize valid test
-  corpora (including streams exercising the decoder's subsampled-MCU
-  and restart paths); NOT a size-optimized encoder.
+- encode: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr) and
+  progressive SOF2 (grayscale/4:4:4; DC-first + per-band AC at Al=1 +
+  refinement scans), Annex K example quantization (quality-scaled the
+  way libjpeg scales it); progressive AC scans use a flat generic
+  table because Annex K's baseline tables carry no EOBn symbols.
+  Enough to synthesize valid corpora exercising every decode path;
+  NOT a size-optimized encoder.
 
 Entropy decoding is bit-serial by nature; the hot loops are plain
 Python over numpy blocks, sized for test corpora and Arrow-batched
@@ -110,6 +117,16 @@ AC_CHROMA_VALS = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Flat generic AC table for progressive scans: the Annex K baseline
+# tables carry no EOBn (n>0) symbols — real progressive encoders build
+# custom per-scan tables. 255 symbols at length 9 + symbol 255 at
+# length 10 keeps every RS value (incl. every EOBn) encodable, fits
+# DHT's one-byte-per-length counts, and satisfies Kraft with room to
+# spare. Wasteful, valid, and decoder-agnostic (the table travels in
+# the file's own DHT).
+PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+PROG_AC_VALS = list(range(256))
 
 # DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16); IDCT = A.T @ B @ A
 _A = np.zeros((8, 8))
@@ -224,7 +241,16 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode(buf: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W) gray or (H, W, 3) RGB uint8."""
+    """Decode a baseline OR progressive JPEG to (H, W) gray or
+    (H, W, 3) RGB uint8.
+
+    Both modes decode through one scan engine into per-component
+    quantized-coefficient arrays (baseline = the single full-band
+    interleaved scan with Ah=Al=0); dequantization, IDCT, upsampling
+    and color conversion happen once at EOI, so a progressive file and
+    a baseline file carrying the same coefficients produce IDENTICAL
+    pixels — the property the tests pin.
+    """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI magic")
     pos = 2
@@ -233,6 +259,8 @@ def decode(buf: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     comps: list[dict] = []
+    coefs: list[np.ndarray] = []
+    saw_scan = False
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -271,7 +299,7 @@ def decode(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"jpeg: unsupported precision {prec}")
@@ -282,91 +310,234 @@ def decode(buf: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: non-baseline frame marker 0xFF{marker:02X} "
-                "(progressive/arithmetic/hierarchical unsupported)"
+                f"jpeg: unsupported frame marker 0xFF{marker:02X} "
+                "(arithmetic/lossless/hierarchical modes)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append((comp, tbl >> 4, tbl & 15))
-            data_pos = pos + seg_len
-            return _decode_scan(
-                buf, data_pos, frame, comps, scan, qt, huff,
-                restart_interval,
+                ci = next(
+                    i for i, x in enumerate(comps) if x["id"] == cs
+                )
+                scan.append((ci, tbl >> 4, tbl & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            pos = _scan_into_coefs(
+                buf, pos + seg_len, frame, comps, coefs, scan,
+                huff, restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
+            continue
         pos += seg_len
-    raise ValueError("jpeg: no SOS scan found")
+    if not saw_scan:
+        raise ValueError("jpeg: no SOS scan found")
+    return _finish(frame, comps, coefs, qt)
 
 
-def _decode_scan(buf, pos, frame, comps, scan, qt, huff, restart_interval):
+def _scan_into_coefs(
+    buf, pos, frame, comps, coefs, scan, huff, restart_interval,
+    ss, se, ah, al,
+):
+    """Entropy-decode ONE scan into the quantized-coefficient arrays.
+
+    Handles every T.81 huffman scan shape with one walk: baseline
+    (ss=0, se=63, ah=al=0, interleaved), progressive DC first/refine
+    (ss=se=0), progressive AC first/refine (ss>0, single component,
+    EOB runs). Returns the byte offset of the marker that ends the
+    scan's entropy data.
+    """
     h, w, nc = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), np.float64))
-    pred = [0] * nc
     r = _BitReader(buf, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                r.byte_align()
-                r.skip_restart()
-                pred = [0] * nc
-            try:
-                for ci, (comp, td, ta) in enumerate(scan):
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            coef = np.zeros(64, np.float64)
-                            t = _decode_huff(r, huff[(0, td)])
-                            diff = _extend(r.read_bits(t), t)
-                            pred[ci] += diff
-                            coef[0] = pred[ci]
-                            k = 0
-                            while k < 63:
-                                sym = _decode_huff(r, huff[(1, ta)])
-                                if sym == 0:
-                                    break  # EOB
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                k += (sym >> 4) + 1
-                                if k > 63:
-                                    raise ValueError("jpeg: AC overrun")
-                                s = sym & 15
-                                coef[ZIGZAG[k]] = _extend(r.read_bits(s), s)
-                            coef *= qt[comp["tq"]]
-                            px = idct_2d(coef.reshape(8, 8)) + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            except _RestartMarker:
-                raise ValueError("jpeg: unexpected restart marker")
-            except _SegmentEnd:
-                raise ValueError("jpeg: truncated entropy data")
-            mcu_count += 1
+    preds = [0] * len(scan)
+    eobrun = 0
+
+    def units():
+        """Yield (unit_index, [(scan_pos, by, bx), ...]) per MCU."""
+        if len(scan) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blks = []
+                    for si, (ci, _, _) in enumerate(scan):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blks.append(
+                                    (si, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                    yield n, blks
+                    n += 1
+        else:
+            # non-interleaved: the component's OWN block grid (§A.2.2)
+            ci = scan[0][0]
+            c = comps[ci]
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(h * c["v"]) // vmax)
+            n = 0
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield n, [(0, by, bx)]
+                    n += 1
+
+    for n, blks in units():
+        if restart_interval and n and n % restart_interval == 0:
+            r.byte_align()
+            r.skip_restart()
+            preds = [0] * len(scan)
+            eobrun = 0
+        for si, by, bx in blks:
+            ci, td, ta = scan[si]
+            coef = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first (baseline or progressive)
+                    t = _decode_huff(r, huff[(0, td)])
+                    preds[si] += _extend(r.read_bits(t), t)
+                    coef[0] = preds[si] << al
+                else:  # DC refinement: one bit per block
+                    if r.read_bit():
+                        coef[0] |= 1 << al
+            if se == 0:
+                continue  # DC-only progressive scan
+            if ah == 0:  # AC first pass (baseline: the whole band)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = max(ss, 1)
+                while k <= se:
+                    sym = _decode_huff(r, huff[(1, ta)])
+                    run, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        # EOBn: run extension bits (baseline EOB = n=0)
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg: AC overrun")
+                    coef[ZIGZAG[k]] = _extend(r.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (successive approximation, G.1.2.3)
+                eobrun = _ac_refine(
+                    r, huff[(1, ta)], coef, ss, se, al, eobrun
+                )
+    # entropy data ends here: skip to the next marker (any partial
+    # byte + stuffed zeros belong to this scan)
+    p = r.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            if 0xD0 <= buf[p + 1] <= 0xD7:
+                p += 2  # stray trailing restart
+                continue
+            return p
+        p += 1
+    return len(buf)
+
+
+def _ac_refine(r, table, coef, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan.
+
+    Reimplements the public T.81 G.1.2.3 flow (the same structure as
+    libjpeg's decode_mcu_AC_refine): runs count ZERO-HISTORY positions
+    only; every nonzero coefficient passed on the way — and, once an
+    EOB run triggers, every remaining nonzero in the band — receives a
+    correction bit appending 1<<al to its magnitude when set.
+    """
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        c = int(coef[ZIGZAG[k]])
+        if c != 0 and r.read_bit():
+            if (abs(c) & p1) == 0:
+                coef[ZIGZAG[k]] = c + (p1 if c >= 0 else -p1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huff(r, table)
+            run, s = sym >> 4, sym & 15
+            newval = 0
+            if s == 0:
+                if run < 15:
+                    # FULL count here (unlike the first-pass V-1 form):
+                    # the band that triggers the run still receives
+                    # correction bits in the tail below, then counts
+                    # itself down (T.81 G.1.2.3 / libjpeg AC_refine)
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15, s == 0: ZRL — skip 16 zero-history coeffs
+            else:
+                # s is always 1 in a refinement scan (one new bit)
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                c = int(coef[ZIGZAG[k]])
+                if c != 0:
+                    correct_bit = r.read_bit()
+                    if correct_bit and (abs(c) & p1) == 0:
+                        coef[ZIGZAG[k]] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish(frame, comps, coefs, qt):
+    """Dequantize + IDCT every block, upsample, color-convert."""
+    h, w, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
-        # upsample by pixel replication to full resolution, then crop
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
+    for ci, c in enumerate(comps):
+        bh, bw, _ = coefs[ci].shape
+        plane = np.empty((bh * 8, bw * 8), np.float64)
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = (coefs[ci][by, bx] * q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct_2d(blk) + 128.0
+                )
+        ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if nc == 3:
@@ -639,5 +810,255 @@ def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
             mcu += 1
     wtr.flush()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Padded (8k, 8m) float64 plane -> (k, m, 64) quantized coeffs."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            out[by, bx] = np.round(
+                fdct_2d(blk).reshape(-1) / qtab
+            ).astype(np.int64)
+    return out
+
+
+def _emit_eobrun(wtr, table, eobrun: int, bits: list[int]) -> tuple[int, list]:
+    """Flush a pending EOB run (+ its buffered correction bits)."""
+    if eobrun > 0:
+        n = eobrun.bit_length() - 1
+        code, ln = table.encode[n << 4]
+        wtr.write(code, ln)
+        if n:
+            wtr.write(eobrun - (1 << n), n)
+        for b in bits:
+            wtr.write(b, 1)
+        return 0, []
+    return eobrun, bits
+
+
+def _scan_ac_first(wtr, coefarr, table, ss, se, al):
+    """AC first pass of a successive-approximation band: values are
+    sign * (|coef| >> al), run-length coded with EOBn runs."""
+    eobrun, be = 0, []
+    bh, bw, _ = coefarr.shape
+    for by in range(bh):
+        for bx in range(bw):
+            coef = coefarr[by, bx]
+            t = [
+                (1 if coef[ZIGZAG[k]] >= 0 else -1)
+                * (abs(int(coef[ZIGZAG[k]])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            last = -1
+            for i, v in enumerate(t):
+                if v:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+                continue
+            eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+            run = 0
+            for i in range(last + 1):
+                v = t[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = table.encode[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = table.encode[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+    _emit_eobrun(wtr, table, eobrun, be)
+
+
+def _scan_ac_refine(wtr, coefarr, table, ss, se, al):
+    """AC refinement: new coefficients (shifted magnitude becomes 1)
+    are coded with zero-HISTORY runs; already-nonzero coefficients
+    contribute one correction bit each, buffered and emitted after the
+    next symbol (T.81 G.1.2.3 / the public libjpeg AC_refine shape)."""
+    eobrun, be = 0, []
+    bh, bw, _ = coefarr.shape
+    for by in range(bh):
+        for bx in range(bw):
+            coef = coefarr[by, bx]
+            absv = [abs(int(coef[ZIGZAG[k]])) >> al for k in range(64)]
+            eob = ss - 1  # position of the last NEW coefficient
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+                    code, ln = table.encode[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: correction bit only
+                    br.append(t & 1)
+                    continue
+                eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+                code, ln = table.encode[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if coef[ZIGZAG[k]] > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be += br
+                if eobrun == 0x7FFF:
+                    eobrun, be = _emit_eobrun(wtr, table, eobrun, be)
+    _emit_eobrun(wtr, table, eobrun, be)
+
+
+def encode_progressive(
+    img: np.ndarray, quality: int = 90
+) -> bytes:
+    """Encode gray or 4:4:4 RGB uint8 as a progressive (SOF2) JPEG.
+
+    Scan script (spectral selection + successive approximation, the
+    shape libjpeg's default progressive script uses): DC of all
+    components at Al=1, per-component AC bands 1-5 and 6-63 at Al=1,
+    per-component AC refinement to Al=0, then DC refinement. The
+    quantized coefficients are IDENTICAL to the baseline encoder's, so
+    decode(progressive) must equal decode(baseline) byte-for-byte —
+    the test oracle.
+    """
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError("jpeg encode: uint8 only")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    dc_y = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_flat = _HuffTable(PROG_AC_BITS, PROG_AC_VALS)
+    dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_y = ac_c = ac_flat  # EOBn needs the generic table (see PROG_AC_BITS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+    tabs = (
+        (((0, 0), (DC_LUMA_BITS, DC_LUMA_VALS)),
+         ((1, 0), (PROG_AC_BITS, PROG_AC_VALS)))
+        + (() if gray else (
+            ((0, 1), (DC_CHROMA_BITS, DC_CHROMA_VALS)),
+            ((1, 1), (PROG_AC_BITS, PROG_AC_VALS))))
+    )
+    for (tc, th), (bits, vals) in tabs:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    # quantized coefficient arrays (exactly the baseline pipeline's)
+    if gray:
+        planes = [a.astype(np.float64)]
+        qts = [qy]
+        dcts, acts = [dc_y], [ac_y]
+    else:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
+        ]
+        qts = [qy, qc, qc]
+        dcts, acts = [dc_y, dc_c, dc_c], [ac_y, ac_c, ac_c]
+    by8, bx8 = -(-h // 8), -(-w // 8)
+    coefs = []
+    for p, q in zip(planes, qts):
+        pp = np.empty((by8 * 8, bx8 * 8), np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        coefs.append(_quantize_plane(pp, q))
+
+    def sos(comp_tabs: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC of all components, Al=1 (interleaved; 4:4:4 -> one
+    # block per component per MCU in raster order)
+    out += sos([(c + 1, 0 if c == 0 else 1, 0) for c in range(nc)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for by in range(by8):
+        for bx in range(bx8):
+            for ci in range(nc):
+                v = int(coefs[ci][by, bx, 0]) >> 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                code, ln = dcts[ci].encode[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.out
+
+    # per-component AC bands at Al=1, then refinements to Al=0
+    for ci in range(nc):
+        for ss_, se_ in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss_, se_, 0, 1)
+            wtr = _BitWriter()
+            _scan_ac_first(wtr, coefs[ci], acts[ci], ss_, se_, 1)
+            wtr.flush()
+            out += wtr.out
+    for ci in range(nc):
+        for ss_, se_ in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss_, se_, 1, 0)
+            wtr = _BitWriter()
+            _scan_ac_refine(wtr, coefs[ci], acts[ci], ss_, se_, 0)
+            wtr.flush()
+            out += wtr.out
+
+    # DC refinement, Al=0 (raw bits, no huffman)
+    out += sos([(c + 1, 0, 0) for c in range(nc)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(by8):
+        for bx in range(bx8):
+            for ci in range(nc):
+                wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,16 +17,17 @@ What's REAL here (tested end-to-end):
   real batch shapes.
 
 Also REAL (round 3): PNG decode/encode (kernels/png.py — stdlib zlib
-+ numpy, all five color types and row filters), baseline JPEG
-decode/encode (kernels/jpeg.py — T.81 sequential DCT, restart
-intervals, 4:2:0/4:2:2 subsampling on read), and WAV/PCM audio decode
-(stdlib ``wave``, 8/16-bit, any channel count) with integer band
-features — all public specs needing no external codec.
++ numpy, all five color types and row filters, 1/2/4/8-bit, Adam7),
+JPEG decode/encode (kernels/jpeg.py — T.81 baseline AND progressive
+incl. AC successive approximation, restart intervals, 4:2:0/4:2:2
+subsampling on read), and WAV/PCM audio decode (stdlib ``wave``,
+8/16-bit, any channel count) with integer band features — all public
+specs needing no external codec.
 
 What's STUBBED (the sandbox has no compressed-media codecs):
-compressed audio (mp3/ogg/flac) and non-baseline JPEG (progressive/
-arithmetic/12-bit) raise with the production call or offending marker
-named; a clearly-marked deterministic fake (``fake_audio_features``)
+compressed audio (mp3/ogg/flac) and non-huffman JPEG (arithmetic/
+12-bit/hierarchical) raise with the production call or offending
+marker named; a clearly-marked deterministic fake (``fake_audio_features``)
 exists so downstream plumbing is testable without payloads. The
 Spark-side contract (schema, partitioning, UDF signature, batch
 iteration) is identical either way.
@@ -113,11 +114,11 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
             return d["chan"][1]
         return (d["chan"][1] + d["chan"][2] + d["chan"][3]) / np.float32(3.0)
     if kind == "jpeg":
-        # real decode: baseline T.81 in pure numpy (kernels/jpeg.py) —
-        # the format the reference reaches via `jpegtopnm` pipes
-        # (image.c:265,280). Non-baseline streams (progressive/12-bit/
-        # arithmetic) raise with the marker named; a production build
-        # would route those through Pillow.
+        # real decode: T.81 in pure numpy (kernels/jpeg.py), baseline
+        # AND progressive — the format the reference reaches via
+        # `jpegtopnm` pipes (image.c:265,280). Arithmetic/12-bit/
+        # hierarchical streams raise with the marker named; a
+        # production build would route those through Pillow.
         from ocr_spark.kernels import jpeg
 
         px = jpeg.decode(payload).astype(np.float32)

@@ -143,12 +143,13 @@ def test_quality_changes_size_monotonically():
     assert sizes[0] <= sizes[1] <= sizes[2]
 
 
-def test_non_baseline_rejected():
+def test_non_huffman_rejected():
+    # progressive (SOF2) is supported now; arithmetic coding is not
     img = _gradient(8, 8)
     buf = bytearray(jpeg.encode(img, 90))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive|non-baseline"):
+    buf[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="arithmetic"):
         jpeg.decode(bytes(buf))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode(b"nope")
@@ -230,3 +231,58 @@ def test_flat_420_is_exact_in_chroma_blocks():
     a = jpeg.decode(jpeg.encode(img, quality=95, subsampling="444"))
     b = jpeg.decode(jpeg.encode(img, quality=95, subsampling="420"))
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def test_progressive_equals_baseline_gray():
+    """The airtight oracle: progressive layering carries EXACTLY the
+    baseline pipeline's quantized coefficients, so the decoded pixels
+    must be byte-identical — any enc/dec layering bug that changes a
+    single reconstructed coefficient breaks equality."""
+    for h, w in ((8, 8), (24, 40), (13, 21)):
+        img = _gradient(h, w)
+        p = jpeg.decode(jpeg.encode_progressive(img, 90))
+        b = jpeg.decode(jpeg.encode(img, 90))
+        assert np.array_equal(p, b), (h, w)
+
+
+def test_progressive_equals_baseline_rgb():
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[:, :, 0] = _gradient(16, 24)
+    img[:, :, 1] = np.flipud(_gradient(16, 24))
+    img[:, :, 2] = 77
+    p = jpeg.decode(jpeg.encode_progressive(img, 85))
+    b = jpeg.decode(jpeg.encode(img, 85))
+    assert np.array_equal(p, b)
+
+
+def test_progressive_eob_runs_exercised():
+    """A mostly-flat image makes long EOB runs across blocks (the
+    multi-band EOBRUN + buffered-correction-bit path); a lone detailed
+    block breaks the run in the middle."""
+    img = np.full((40, 64), 128, np.uint8)
+    img[16:24, 24:32] = _gradient(8, 8)  # one busy block mid-run
+    buf = jpeg.encode_progressive(img, 90)
+    assert buf[2:4] != b"\xff\xc0" and b"\xff\xc2" in buf  # SOF2
+    assert np.array_equal(jpeg.decode(buf), jpeg.decode(jpeg.encode(img, 90)))
+
+
+def test_progressive_random_noise_torture():
+    rng = np.random.RandomState(17)
+    for trial in range(4):
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        p = jpeg.decode(jpeg.encode_progressive(img, 75))
+        b = jpeg.decode(jpeg.encode(img, 75))
+        assert np.array_equal(p, b), (trial, h, w)
+
+
+def test_progressive_scan_count():
+    img = _gradient(16, 16)
+    buf = jpeg.encode_progressive(img, 90)
+    # gray script: DC + 2 AC bands + 2 AC refines + DC refine = 6 SOS
+    assert buf.count(b"\xff\xda") == 6
