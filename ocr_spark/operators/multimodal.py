@@ -683,8 +683,10 @@ def synth_jpeg_corpus(n: int = 12, quality: int = 90) -> list[dict]:
     float-assoc noise can never flip the oracle.
 
     ``px`` is the expected decoded array; ``payload`` the JPEG bytes.
-    Every fourth clip carries a restart interval, exercising the RSTn
-    path through the same oracle.
+    Every fourth clip carries a restart interval and every third is
+    encoded PROGRESSIVE (SOF2) — the quantized coefficients are
+    identical either way, so the same closed-form oracle covers the
+    multi-scan successive-approximation decode path too.
     """
     from ocr_spark.kernels import jpeg as J
 
@@ -708,9 +710,12 @@ def synth_jpeg_corpus(n: int = 12, quality: int = 90) -> list[dict]:
         )
         vals = np.vectorize(safe)(vals)
         img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
-        payload = J.encode(
-            img, quality, restart_interval=2 if i % 4 == 0 else 0
-        )
+        if i % 3 == 1:
+            payload = J.encode_progressive(img, quality)
+        else:
+            payload = J.encode(
+                img, quality, restart_interval=2 if i % 4 == 0 else 0
+            )
         px = np.repeat(
             np.repeat(np.vectorize(closed)(vals), 8, 0), 8, 1
         ).astype(np.uint8)
