@@ -641,10 +641,11 @@ def encode(
     if a.dtype != np.uint8:
         raise ValueError("jpeg encode: uint8 only")
     gray = a.ndim == 2
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"jpeg encode: unsupported subsampling {subsampling}")
-    if subsampling == "420" and not gray:
-        return _encode_420(a, quality, restart_interval)
+    if subsampling != "444" and not gray:
+        hf, vf = (2, 2) if subsampling == "420" else (2, 1)
+        return _encode_subsampled(a, quality, restart_interval, hf, vf)
     h, w = a.shape[:2]
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
@@ -732,10 +733,13 @@ def encode(
     return bytes(out)
 
 
-def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
-    """4:2:0 RGB encoder: Y at full resolution (sampling 2x2), chroma
-    2x2 box-mean downsampled (sampling 1x1); MCU = 4 Y blocks + Cb +
-    Cr over a 16x16 pixel footprint."""
+def _encode_subsampled(
+    a: np.ndarray, quality: int, restart_interval: int, hf: int, vf: int
+) -> bytes:
+    """Subsampled RGB encoder: Y at full resolution (sampling hf x vf),
+    chroma hf x vf box-mean downsampled (sampling 1x1); MCU = hf*vf Y
+    blocks + Cb + Cr over an (8*hf) x (8*vf) pixel footprint —
+    (2,2) = 4:2:0, (2,1) = 4:2:2."""
     h, w = a.shape[:2]
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
@@ -751,7 +755,7 @@ def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
     out += seg(0xDB, bytes([0]) + bytes(qy[ZIGZAG].astype(np.uint8)))
     out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([1, (hf << 4) | vf, 0])  # Y sampling factors
     sof += bytes([2, 0x11, 1])
     sof += bytes([3, 0x11, 1])
     out += seg(0xC0, sof)
@@ -773,19 +777,19 @@ def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
     cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
     cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
 
-    # pad Y to a 16-multiple by edge replication; chroma derives from
-    # the padded Y-resolution planes so its 8-multiple comes for free
-    mh, mw = -(-h // 16), -(-w // 16)
-    def pad16(p):
-        pp = np.empty((mh * 16, mw * 16), np.float64)
+    # pad Y to an MCU-footprint multiple by edge replication; chroma
+    # derives from the padded Y-resolution planes
+    mh, mw = -(-h // (8 * vf)), -(-w // (8 * hf))
+    def padm(p):
+        pp = np.empty((mh * 8 * vf, mw * 8 * hf), np.float64)
         pp[:h, :w] = p
         pp[h:, :w] = p[h - 1 : h, :]
         pp[:, w:] = pp[:, w - 1 : w]
         return pp
 
-    yp = pad16(y)
-    cbp = pad16(cb).reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
-    crp = pad16(cr).reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+    yp = padm(y)
+    cbp = padm(cb).reshape(mh * 8, vf, mw * 8, hf).mean(axis=(1, 3))
+    crp = padm(cr).reshape(mh * 8, vf, mw * 8, hf).mean(axis=(1, 3))
 
     wtr = _BitWriter()
     py = pcb = pcr = 0
@@ -798,9 +802,10 @@ def _encode_420(a: np.ndarray, quality: int, restart_interval: int) -> bytes:
                 wtr.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 py = pcb = pcr = 0
-            for by in range(2):
-                for bx in range(2):
-                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+            for by in range(vf):
+                for bx in range(hf):
+                    y0 = my * 8 * vf + by * 8
+                    x0 = mx * 8 * hf + bx * 8
                     blk = yp[y0 : y0 + 8, x0 : x0 + 8]
                     py = _encode_block(wtr, blk, qy, dc_y, ac_y, py)
             cblk = cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]

@@ -286,3 +286,26 @@ def test_progressive_scan_count():
     buf = jpeg.encode_progressive(img, 90)
     # gray script: DC + 2 AC bands + 2 AC refines + DC refine = 6 SOS
     assert buf.count(b"\xff\xda") == 6
+
+
+def test_roundtrip_422_subsampled():
+    """4:2:2: horizontal-only chroma subsampling (2x1 Y factors) —
+    covers the decoder's asymmetric-upsampling branch."""
+    img = np.zeros((16, 40, 3), np.uint8)
+    img[:, :, 0] = _gradient(16, 40)
+    img[:, :, 1] = 100
+    img[:, :, 2] = np.fliplr(_gradient(16, 40))
+    buf = jpeg.encode(img, quality=95, subsampling="422")
+    i = buf.find(b"\xff\xc0")
+    assert buf[i + 11] == 0x21  # 2x1 sampling
+    out = jpeg.decode(buf)
+    assert out.shape == (16, 40, 3)
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) <= 3.0
+
+
+def test_flat_422_matches_444():
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :] = (31, 200, 120)
+    a = jpeg.decode(jpeg.encode(img, quality=95, subsampling="444"))
+    b = jpeg.decode(jpeg.encode(img, quality=95, subsampling="422"))
+    assert np.array_equal(a, b)
