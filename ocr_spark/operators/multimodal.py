@@ -363,19 +363,38 @@ def audio_features(
 
 
 def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic mixed-media corpus for tests/bench: PNM images and
-    OCRV fake videos keyed by url, with typed metadata."""
-    from ocr_spark.kernels import fixtures
+    """Deterministic mixed-media corpus for tests/bench: PNM, PNG and
+    baseline-JPEG images, OCRV fake videos, and WAV clips keyed by
+    url, with typed metadata — one row per kind the engine decodes."""
+    from ocr_spark.kernels import fixtures, jpeg, png
 
     rows = []
     for i in range(n):
         h, w = 32 + (i % 3) * 16, 48 + (i % 2) * 16
-        if i % 3 == 2:
+        m = i % 6
+        if m == 2:
             frames = [
                 fixtures.shaded(h, w, seed, i * 10 + j) for j in range(4)
             ]
             payload = encode_ocrv(frames)
             meta = ("ocrv", w, h, 4, 0)
+        elif m == 3:
+            u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
+                np.uint8
+            )
+            payload = png.encode(u8, 0, interlace=(i % 2 == 1))
+            meta = ("png", w, h, 1, 0)
+        elif m == 4:
+            u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
+                np.uint8
+            )
+            payload = jpeg.encode(u8, 92)
+            meta = ("jpeg", w, h, 1, 0)
+        elif m == 5:
+            t = np.arange(400 + 40 * (i % 3), dtype=np.int64)
+            tri = (np.abs((t + i) % 22 - 11) * 300 - 1500).astype(np.int16)
+            payload = encode_wav(tri, 8000)
+            meta = ("wav", 0, 0, 0, 8000)
         else:
             payload = pnm.encode_gray(fixtures.shaded(h, w, seed, i))
             meta = ("pnm", w, h, 1, 0)

@@ -19,7 +19,27 @@ def media(spark):
 def test_media_corpus_schema(media):
     assert set(media.columns) >= {"url", "media", "kind", "media_meta"}
     kinds = {r.kind for r in media.select("kind").distinct().collect()}
-    assert kinds == {"pnm", "ocrv"}
+    assert kinds == {"pnm", "ocrv", "png", "jpeg", "wav"}
+
+
+def test_image_features_across_codecs(media):
+    """image_features decodes PNM, PNG and JPEG rows through one
+    dispatch; PNG is lossless (exact dims + mean), JPEG approximate."""
+    imgs = media.where(F.col("kind").isin("png", "jpeg"))
+    rows = {r.url: r for r in mm.image_features(imgs).collect()}
+    assert rows and all(r.error is None for r in rows.values())
+    for r in imgs.select("url", "media", "kind").collect():
+        got = rows[r.url]
+        arr = mm.decode_image(bytes(r.media), r.kind)
+        assert (got.height, got.width) == arr.shape
+        assert got.mean == pytest.approx(float(arr.mean()))
+
+
+def test_audio_features_wav_rows(media):
+    wavs = media.where(F.col("kind") == "wav")
+    out = mm.audio_features(wavs, use_fake=False).collect()
+    assert len(out) == wavs.count() * mm.N_AUDIO_BANDS
+    assert all(r.energy >= 0 for r in out)
 
 
 def test_image_features_match_numpy(media):
@@ -67,7 +87,7 @@ def test_frame_roundtrip_exact():
 
 def test_audio_stub_contract(spark, media):
     # fake path: deterministic, correct schema, explodes to bands
-    out = mm.audio_features(media.limit(3)).collect()
+    out = mm.audio_features(media.where(F.col("kind") == "pnm").limit(3)).collect()
     assert len(out) == 3 * 8
     assert all(isinstance(r.energy, float) for r in out)
     # wav is REAL now: garbage bytes are a format error, not a stub
