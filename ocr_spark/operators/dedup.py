@@ -605,24 +605,23 @@ def tile_home_and_probe(
     home: DataFrame, probe: DataFrame, max_bucket: int
 ) -> tuple[DataFrame, DataFrame]:
     """Blocked self-join tiling (VERDICT r2 #4, part 2): home rows get
-    tile = (row_number within key) % ceil(count/max_bucket), so every
-    (key, tile) build group holds <= max_bucket rows EXACTLY (the
-    row_number split is balanced by construction, unlike a hash
-    split); probe rows fan out to all of their key's tiles, preserving
-    every candidate pair. The row_number window sorts within the same
-    key partitions the join shuffles on anyway."""
-    from pyspark.sql import Window
-
+    tile = pmod(xxhash64(id), ceil(count/max_bucket)) — a stateless
+    per-row hash, NOT a row_number window. The window form was exactly
+    balanced but partitioned BY the degenerate hot key, so the one
+    oversized bucket funneled through a single-task sort — the
+    straggler reappearing at the step meant to remove it (VERDICT r3
+    #2 / ADVICE r3). The hash split is balanced only in expectation
+    (each (key, tile) build group holds max_bucket rows +- a
+    sqrt-sized fluctuation, pinned <= ~1.3x by test on a planted
+    one-bucket corpus), which is all the guard needs; recall is
+    untouched because probe rows fan out to ALL of their key's tiles
+    regardless of how home rows landed."""
     counts = home.groupBy("key").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(max_bucket)).alias("n_tiles")
     )
-    wrow = Window.partitionBy("key").orderBy("id")
     home_t = (
         home.join(counts, "key")
-        .withColumn(
-            "tile",
-            (F.row_number().over(wrow) - F.lit(1)) % F.col("n_tiles"),
-        )
+        .withColumn("tile", F.pmod(F.xxhash64("id"), F.col("n_tiles")))
         .select("id", "key", "tile")
     )
     probe_t = probe.join(counts, "key").select(
@@ -739,8 +738,8 @@ def cosine_neardup_pairs(
         # inside ONE W-wide band per pivot, so extra pivots stop
         # subdividing — candidate volume within the degenerate bucket
         # is inherent to exact recall, but per-TASK work need not be).
-        # Home rows get tile = row_number % T (T = ceil(count /
-        # max_bucket)), so every (key, tile) group holds <= max_bucket
+        # Home rows get tile = pmod(xxhash64(id), T) (T = ceil(count /
+        # max_bucket)), so every (key, tile) group holds ~max_bucket
         # build rows; probe rows fan out to ALL T tiles of their key,
         # which preserves every candidate pair. The join becomes many
         # bounded-size groups instead of one quadratic straggler —

@@ -192,7 +192,7 @@ def merge_packed(*packed: DataFrame) -> DataFrame:
 # quantized k-means (Lloyd, fixed iterations, deterministic init)
 # ---------------------------------------------------------------------------
 
-def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+def kmeans_assign(vecs: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
     """Assign each (vec_id, qv: array<bigint>) row to the nearest of k
     broadcast centroids (cluster, cv) by squared L2; ties break to the
     smallest cluster id via lexicographic (dist, cluster) min.
@@ -202,19 +202,44 @@ def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     broadcast nested-loop against k rows (constant build side), then a
     partial-aggregated groupBy on vec_id — no wide shuffle beyond the
     id hash.
+
+    The argmin is a min over ONE BIGINT, ``dist << cbits | cluster``
+    (cbits = ceil(log2(k)) — cluster < 2^cbits, both terms nonnegative,
+    so the encoded order IS the lexicographic (dist, cluster) order).
+    ``min(struct(dist, cluster))`` computes the same thing but Spark
+    cannot hash-aggregate a struct-ordered min — it fell back to a
+    corpus-sized partition-local Sort + SortAggregate every round
+    (VERDICT r3 #1); min(BIGINT) stays in HashAggregate with map-side
+    partial combine. Overflow headroom: dist <= dim*(2*grid)^2 — 2^48
+    at dim=64 on the 1e-6 grid — and cbits <= ~10 for any sane k,
+    far inside the 63-bit budget (guarded by the assert).
     """
+    cbits = max(1, (k - 1).bit_length())
+    # dist bound: worst case |component| <= 2*KM_SCALE (unit-ish floats
+    # quantized on the 1e-6 grid) -> dist <= dim * (4*KM_SCALE)^2.
+    assert cbits <= 12, f"k={k} too large for the 63-bit argmin encoding"
     dist = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    enc = F.shiftleft(F.col("dist"), cbits) + F.col("cluster").cast("long")
+    # qv rides along as a GROUP KEY (functionally dependent on vec_id,
+    # so the result is identical): first(qv) as an aggregate has an
+    # array-typed buffer, which — like min(struct) — is immutable in
+    # UnsafeRow and forces the same SortAggregate fallback the BIGINT
+    # encoding exists to avoid. Group keys may be variable-length.
     return (
         vecs.crossJoin(F.broadcast(centroids))
         .select("vec_id", "qv", "cluster", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"), F.first("qv").alias("qv"))
-        .select("vec_id", "qv", F.col("m.cluster").alias("cluster"),
-                F.col("m.dist").alias("dist"))
+        .groupBy("vec_id", "qv")
+        .agg(F.min(enc).alias("m"))
+        .select(
+            "vec_id",
+            "qv",
+            (F.col("m") % F.lit(1 << cbits)).cast("int").alias("cluster"),
+            F.shiftright(F.col("m"), cbits).alias("dist"),
+        )
     )
 
 
@@ -284,7 +309,7 @@ def kmeans_quantized(
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv"))
     )
     spark = emb.sparkSession
-    assigned = kmeans_assign(vecs, centroids)
+    assigned = kmeans_assign(vecs, centroids, k)
     for _ in range(iters - 1):
         centroids = kmeans_recenter(assigned, dim)
         if driver_centroids:
@@ -292,7 +317,7 @@ def kmeans_quantized(
             centroids = spark.createDataFrame(
                 rows, "cluster int, cv array<bigint>"
             )
-        assigned = kmeans_assign(vecs, centroids)
+        assigned = kmeans_assign(vecs, centroids, k)
     return assigned.select("vec_id", "cluster", "dist")
 
 
@@ -521,10 +546,10 @@ def kmeans_quantized_maximin(
         "vec_id", quantize_vec(F.col("embedding")).alias("qv")
     )
     centroids = kmeans_maximin_init(vecs, k).select("cluster", "cv")
-    assigned = kmeans_assign(vecs, centroids)
+    assigned = kmeans_assign(vecs, centroids, k)
     for _ in range(iters - 1):
         centroids = kmeans_recenter(assigned, dim)
-        assigned = kmeans_assign(vecs, centroids)
+        assigned = kmeans_assign(vecs, centroids, k)
     return assigned.select("vec_id", "cluster", "dist")
 
 
