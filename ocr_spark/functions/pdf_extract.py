@@ -259,6 +259,19 @@ def extract_pdf_text(buf: bytes) -> str:
     for m in _STREAM.finditer(buf):
         meta, stream = m.group(1), m.group(2)
         if b"/Filter" in meta:
+            # A PNG/TIFF /Predictor (DecodeParms) stream decompresses
+            # without error but the bytes stay predictor-coded — the
+            # text extraction would silently return garbage (or drop
+            # the page at the BT check). Refuse loudly so permissive
+            # mode dead-letters it instead (ADVICE r3).
+            pred = re.search(rb"/Predictor\s+(\d+)", meta)
+            if pred and int(pred.group(1)) > 1:
+                raise NotImplementedError(
+                    "PDF stream /DecodeParms /Predictor "
+                    + pred.group(1).decode("latin-1")
+                    + " not supported (predictor-coded bytes would "
+                    "decode to garbage text)"
+                )
             # filters apply in DECLARED order (PDF 1.7 §7.4.1): the
             # first name is the outermost encoding on the bytes
             arr = re.search(rb"/Filter\s*\[([^\]]*)\]", meta)

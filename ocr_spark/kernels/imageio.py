@@ -6,8 +6,8 @@ The reference decides the codec by the last 4 filename characters:
 the color-type byte at offset 25 to pick the alpha-preserving filter)
 / pamtopng, anything else is parsed as PNM directly. This module keeps
 that contract with the native codecs this repo carries: PNG via
-kernels/png.py (stdlib zlib + numpy), PNM via kernels/pnm.py; JPEG
-stays a stub naming the production call.
+kernels/png.py (stdlib zlib + numpy), JPEG via kernels/jpeg.py
+(from-scratch T.81 baseline+progressive), PNM via kernels/pnm.py.
 
 Pixel conversion on the write side matches image_write_pnm exactly:
 clamp to [0,255] then (uchar) truncation (image.c:253-255) — the PNG

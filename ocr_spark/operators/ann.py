@@ -22,6 +22,8 @@ operators/dedup.cosine) so Spark and the oracle agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,6 +185,16 @@ def ivf_write(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce")
     )
     cents.coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    # Single completion marker AFTER both writes: the vector dir's own
+    # _SUCCESS lands before the centroids write, so a crash between the
+    # two left a "complete-looking" index with missing/stale centroids
+    # that was never rebuilt (ADVICE r3). Readers must key freshness on
+    # THIS file, not the parquet _SUCCESS markers.
+    with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+
+
+IVF_FORMAT_VERSION = 2  # bump when the written layout/schema changes
 
 
 def ivf_probe_topk(

@@ -382,7 +382,11 @@ def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
             u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
                 np.uint8
             )
-            payload = png.encode(u8, 0, interlace=(i % 2 == 1))
+            # (i // 6) % 2, not i % 2: this branch is taken when
+            # i % 6 == 3 (always odd), so i % 2 made EVERY corpus PNG
+            # Adam7 and left the sequential path unexercised here
+            # (ADVICE r3 — coverage, not correctness)
+            payload = png.encode(u8, 0, interlace=((i // 6) % 2 == 1))
             meta = ("png", w, h, 1, 0)
         elif m == 4:
             u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
@@ -560,7 +564,11 @@ PNG_FEATURES_SCHEMA = StructType(
         StructField("color_type", IntegerType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("px_sum", IntegerType()),
+        # LongType: a pandas int64 sum silently WRAPS under Spark's
+        # unsafe Arrow cast if the declared type is 32-bit — any image
+        # over ~8.4M samples (12MP photo x 255) corrupts px_sum with
+        # no error (ADVICE r3). WAV's abs_sum already used LongType.
+        StructField("px_sum", LongType()),
     ]
 )
 
@@ -767,7 +775,9 @@ def jpeg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             StructField("img_id", IntegerType()),
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
-            StructField("px_sum", IntegerType()),
+            # LongType for the same int64-wrap reason as
+            # PNG_FEATURES_SCHEMA (ADVICE r3)
+            StructField("px_sum", LongType()),
         ]
     )
     return df.mapInPandas(run, schema)

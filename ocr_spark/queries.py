@@ -1048,12 +1048,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_path(sf_dir: str) -> str:
-    """Deterministic per-corpus index location (tmp, keyed by source)."""
+    """Deterministic per-corpus index location (tmp, keyed by source).
+
+    The key includes the index FORMAT VERSION and the uid (ADVICE r3):
+    a version bump invalidates indexes written by older layouts instead
+    of silently reusing them, and two users on one host never collide
+    on a world-readable tempdir path they can't overwrite."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    from ocr_spark.operators.ann import IVF_FORMAT_VERSION
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:v{IVF_FORMAT_VERSION}:u{uid}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ocr_spark_ivf_{key}", "ivf")
 
 
@@ -1077,7 +1087,10 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table(spark, sf_dir, "embeddings")
     path = _ivf_index_path(sf_dir)
-    marker = os.path.join(path, "_SUCCESS")
+    # _INDEX_COMPLETE is written AFTER both the vector and centroid
+    # writes (ADVICE r3) — the vector dir's _SUCCESS alone can name a
+    # torn index whose centroids never landed
+    marker = os.path.join(path, "_INDEX_COMPLETE")
     src = os.path.join(sf_dir, "embeddings.parquet")
     src_mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
     if not os.path.exists(marker) or os.path.getmtime(marker) < src_mtime:
@@ -8764,7 +8777,7 @@ def _png_oracle() -> str:
 
     rows = ", ".join(
         f"({r['img_id']}, {r['color_type']}, {r['px'].shape[1]}, "
-        f"{r['px'].shape[0]}, {int(r['px'].sum())})"
+        f"{r['px'].shape[0]}, CAST({int(r['px'].sum())} AS BIGINT))"
         for r in synth_png_corpus()
     )
     return (
@@ -8810,7 +8823,7 @@ def _jpeg_oracle() -> str:
 
     rows = ", ".join(
         f"({r['img_id']}, {r['px'].shape[1]}, {r['px'].shape[0]}, "
-        f"{int(r['px'].sum())})"
+        f"CAST({int(r['px'].sum())} AS BIGINT))"
         for r in synth_jpeg_corpus()
     )
     return (

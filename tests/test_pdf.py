@@ -63,6 +63,24 @@ def test_unsupported_filter_raises_documented_stub():
         extract_pdf_text(buf)
 
 
+def test_predictor_decodeparms_raises_not_garbage():
+    # ADVICE r3: a Flate stream with a PNG /Predictor decompresses
+    # without error but stays predictor-coded — extraction must refuse
+    # (permissive mode dead-letters) instead of emitting garbage text
+    buf = make_pdf([["x"]], compress=True).replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 15 /Columns 4 >>",
+    )
+    with pytest.raises(NotImplementedError, match="Predictor 15"):
+        extract_pdf_text(buf)
+    # Predictor 1 (none) is explicitly fine — no behavior change
+    buf1 = make_pdf([["hello pred1"]], compress=True).replace(
+        b"/Filter /FlateDecode",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 1 >>",
+    )
+    assert extract_pdf_text(buf1) == "hello pred1"
+
+
 def test_tj_array_operator():
     # hand-built stream using TJ with kerning numbers
     buf = make_pdf([["placeholder"]])

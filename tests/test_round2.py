@@ -207,6 +207,52 @@ def test_ivf_probe_partition_pruning(spark, tmp_path_factory):
     assert len(m.group(1).split(",")) == 3  # nprobe of 10 cells listed
 
 
+def test_ivf_write_completion_marker_atomicity(spark, tmp_path_factory):
+    """ADVICE r3: ivf_write writes vectors first, centroids second —
+    the vector dir's parquet _SUCCESS therefore exists BEFORE the
+    index is whole. Freshness must key on _INDEX_COMPLETE, written
+    strictly after both writes, so a torn index (crash between the
+    two) is rebuilt instead of silently probed with stale centroids."""
+    import os
+    import shutil
+
+    from ocr_spark.operators.ann import ivf_write
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf_marker") / "ivf")
+    ivf_write(vecs, path)
+    assert os.path.exists(os.path.join(path, "_INDEX_COMPLETE"))
+    # simulate the torn state: vectors landed, centroids did not — the
+    # completion marker must be ABSENT in this state by design. (The
+    # vector dir may or may not carry its own parquet _SUCCESS: dynamic
+    # partitionOverwriteMode — which the snapshot catalog enables
+    # session-wide — skips the top-level marker, which is exactly why
+    # freshness cannot key on it.)
+    shutil.rmtree(path + "_centroids")
+    os.remove(os.path.join(path, "_INDEX_COMPLETE"))
+    # a rebuild keyed on _INDEX_COMPLETE recovers the torn index
+    ivf_write(vecs, path)
+    assert os.path.exists(os.path.join(path, "_INDEX_COMPLETE"))
+    assert os.path.exists(path + "_centroids")
+
+
+def test_ivf_cache_path_scoped_by_version_and_uid():
+    """The shared-tempdir cache key must include the index format
+    version and the uid (ADVICE r3) so old-layout or other-user
+    indexes are never silently reused."""
+    import ocr_spark.operators.ann as ann
+    from ocr_spark.queries import _ivf_index_path
+
+    p1 = _ivf_index_path("/root/testdata/sf0.01")
+    old = ann.IVF_FORMAT_VERSION
+    try:
+        ann.IVF_FORMAT_VERSION = old + 1
+        p2 = _ivf_index_path("/root/testdata/sf0.01")
+    finally:
+        ann.IVF_FORMAT_VERSION = old
+    assert p1 != p2
+
+
 def test_hll_bucket_split_integer_exact(spark):
     # w must be an integer floor-div of the 60-bit hash; double division
     # differs by +-1 above 2^53 (ADVICE r1). Pin on a value > 2^53.
@@ -405,17 +451,23 @@ def test_banded_neardup_bucket_guard_isotropic(spark):
     assert m == 6 and mx > B, (m, mx)
 
     # ...and tiling delivers the per-task bound the bands can't: every
-    # (key, tile) build group holds <= B rows, while probe fan-out
-    # still covers every tile of its key (no lost candidates — recall
+    # (key, tile) build group holds <= ~1.3*B rows (tile is a
+    # stateless hash — pmod(xxhash64(id), T) — so the split is
+    # balanced in expectation with a sqrt-sized fluctuation; the old
+    # exactly-balanced row_number form was itself a single-task sort
+    # on the degenerate key, VERDICT r3 #2), while probe fan-out still
+    # covers ALL T tiles of its key (no lost candidates — recall
     # equality above already proves it end-to-end)
     from ocr_spark.operators.dedup import tile_home_and_probe
 
     home_t, probe_t = tile_home_and_probe(home, home, B)
     sizes = home_t.groupBy("key", "tile").count()
-    assert sizes.agg(F.max("count")).collect()[0][0] <= B
+    assert sizes.agg(F.max("count")).collect()[0][0] <= int(1.3 * B)
+    # no Window node anywhere in the tiled plan (the r3 straggler)
+    assert "Window" not in home_t._jdf.queryExecution().executedPlan().toString()
     fanout = probe_t.groupBy("key", "id").count()
-    ntiles = home_t.groupBy("key").agg(
-        (F.countDistinct("tile")).alias("t")
+    ntiles = home.groupBy("key").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(B)).alias("t")
     )
     chk = fanout.join(ntiles, "key").where(F.col("count") != F.col("t"))
     assert chk.count() == 0, "probe rows must cover every tile of their key"
