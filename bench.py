@@ -51,6 +51,27 @@ HEADLINE = [
 ]
 
 
+# The exact query set round 1 benched (13 entries incl. corpus_extract).
+# The headline suite GREW in rounds 2-3, so the cross-round comparison
+# needs this fixed subtotal emitted as its own field (VERDICT r3 #6)
+# instead of a hand sum: r1 17.24s, r2 10.61s, r3 8.29s.
+R1_COMPARABLE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_running_user_value",
+    "events_hourly",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "flagship_extract",
+    "pipeline_training_corpus",
+    "corpus_extract",
+]
+
+
 def _noop_sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -166,6 +187,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r1_comparable_subtotal_sec": round(
+                    sum(timings[q] for q in R1_COMPARABLE if q in timings), 3
+                ),
                 "extraction_docs_per_sec": docs_per_sec,
                 "extraction_pages": N_PAGES,
                 "cpus": CPUS,

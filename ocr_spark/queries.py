@@ -8915,63 +8915,78 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline flagships; everything else keeps its relative order and
 # stays in the local 100%-gate.
 
+# Round-4 rotation (VERDICT r3 "Next round" #3): ~25 structural slots
+# stay (relational core, px battery, codecs, extraction/curation
+# flagships, the dedup/ANN/training headliners — kmeans stays to make
+# the round-4 HashAggregate fix driver-visible on the graded plan);
+# 16 slots whose families were already driver-green in r1-r3 rotate
+# out for 16 never-driver-graded queries, so driver-green coverage
+# accumulates across rounds. Rotated out (all keep local-gate + pytest
+# evidence): q5_nation_revenue, window_running_user_value,
+# except_open_custkeys, topk_documents, scalar_subquery_above_avg,
+# range_join_error_context, anti_join_idle_customers, px_split_pages,
+# cumsum_embedding, doc_lang_id, dedup_simhash, ann_cosine_topk,
+# hll_user_sketch, pack_training_sequences, domain_quality_wilson,
+# robots_prefix_filter.
 _DRIVER_FIRST_50 = [
     # extraction flagship + relational core (§2.12)
     "flagship_extract",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_nation_revenue",
     "join_segment_totals",
     "window_top2_orders_per_cust",
-    "window_running_user_value",
     "events_hourly",
     "rollup_lineitem_status",
-    "except_open_custkeys",
-    "topk_documents",
     "asof_click_before_error",
-    "range_join_error_context",
-    "anti_join_idle_customers",
-    "scalar_subquery_above_avg",
-    # pixel kernels / CLI / vector sink (§2.1-2.11)
+    "late_data_accounting",
+    # pixel kernels / CLI (§2.1-2.11)
     "px_pipeline_features",
     "px_kernel_checksums",
     "px_grafix_program",
-    "px_split_pages",
     "histogram_reference_quirk",
-    "cumsum_embedding",
     "png_decode_features",
     "wav_audio_features",
     "jpeg_decode_features",
     # text analysis + curation
     "doc_quality_score",
-    "doc_lang_id",
+    "doc_quality_panel",
     "doc_fingerprint",
     "pdf_extract",
     "mojibake_repair",
     "curation_decisions",
+    "span_corruption_masks",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",
-    "dedup_simhash",
     "neardup_cosine",
     "semdedup_pairs",
     "exact_substring_spans",
-    # similarity search
-    "ann_cosine_topk",
+    "exact_substring_dup_rate",
+    "containment_pairs",
+    # similarity search + embeddings math
     "ann_ivf_probe_topk",
     "pq_adc_topk",
+    "pca_power_component",
+    "kmeans_embedding_clusters",
+    # retrieval
+    "bm25_multi_query_top3",
     # web/crawl graph + WARC
     "host_pagerank",
-    "robots_prefix_filter",
+    "trustrank_hosts",
+    "host_communities_lp",
+    "kcore_membership",
+    "crawl_budget_apportionment",
     "warc_roundtrip_extract",
-    # sketches, training assembly, storage
-    "hll_user_sketch",
-    "pack_training_sequences",
+    # sketches
+    "cms_token_sketch",
+    "bloom_token_filter",
+    # training assembly, storage/ops, tokenizer
     "pipeline_pack_training_sequences",
-    "kmeans_embedding_clusters",
     "snapshot_delta",
-    "domain_quality_wilson",
+    "cdc_chunks",
+    "cdc_crawl_reuse",
+    "compaction_bin_plan",
     "bpe_learn_merges",
 ]
 

@@ -24,10 +24,33 @@ def first_sentence(doc: str | None) -> str:
     return s if len(s) <= 240 else s[:237] + "..."
 
 
+def driver_rounds() -> dict[str, list[str]]:
+    """Which rounds each query got a driver CORRECTNESS row in, read
+    straight from the committed CORRECTNESS_r*.json key sets (VERDICT
+    r3 #7 — makes the first-50 rotation auditable). A trailing `→next`
+    marks queries scheduled in the CURRENT _DRIVER_FIRST_50 (graded at
+    the coming round boundary)."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = re.search(r"CORRECTNESS_r0*(\d+)", path).group(1)
+        for key in json.load(open(path)):
+            out.setdefault(key, []).append(f"r{rnd}")
+    from ocr_spark.queries import _DRIVER_FIRST_50
+
+    for key in _DRIVER_FIRST_50:
+        out.setdefault(key, []).append("→next")
+    return out
+
+
 def main() -> None:
     from ocr_spark.px_goldens import PX_GOLDENS
     from ocr_spark.queries import ORACLE, QUERIES
 
+    graded = driver_rounds()
     rows = []
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -37,22 +60,29 @@ def main() -> None:
             kind = "DuckDB SQL"
         else:
             kind = "rows-only"
-        rows.append((name, kind, first_sentence(fn.__doc__)))
+        rows.append(
+            (name, kind, " ".join(graded.get(name, [])) or "—",
+             first_sentence(fn.__doc__))
+        )
 
     out = [
         "# INVENTORY — every registered query (auto-generated)\n",
         "Regenerate with `python tools/gen_inventory.py`. "
         f"{len(rows)} queries; "
-        f"{sum(1 for _, k, _ in rows if k != 'rows-only')} with value-hash "
+        f"{sum(1 for _, k, _, _ in rows if k != 'rows-only')} with value-hash "
         "oracles (the driver's correctness gate), "
-        f"{sum(1 for _, k, _ in rows if k == 'literal-VALUES golden')} of "
-        "those via literal goldens for pixel-kernel outputs.\n",
-        "| query | oracle | what it computes |",
-        "|---|---|---|",
+        f"{sum(1 for _, k, _, _ in rows if k == 'literal-VALUES golden')} of "
+        "those via literal goldens for pixel-kernel outputs. The "
+        "`driver rounds` column lists the rounds whose CORRECTNESS_r*.json "
+        "carries a row for the query (every query ALSO passes the stricter "
+        "local gate each round); `→next` = scheduled in the current "
+        "curated first-50.\n",
+        "| query | oracle | driver rounds | what it computes |",
+        "|---|---|---|---|",
     ]
-    for name, kind, desc in rows:
+    for name, kind, rounds, desc in rows:
         desc = desc.replace("|", "\\|")
-        out.append(f"| `{name}` | {kind} | {desc} |")
+        out.append(f"| `{name}` | {kind} | {rounds} | {desc} |")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "INVENTORY.md",
