@@ -20,8 +20,17 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def bucketed(spark):
+    import shutil
+
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     o = spark.read.parquet(f"{SF}/orders.parquet")
+    for t in ("b_lineitem", "b_orders"):
+        # a killed previous run can leave the managed LOCATION behind
+        # with no metastore entry (each pytest process gets a fresh
+        # Derby), and saveAsTable then fails LOCATION_ALREADY_EXISTS —
+        # overwrite mode only drops locations the metastore knows about
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     write_bucketed(li, "b_lineitem", "l_orderkey", 8)
     write_bucketed(o, "b_orders", "o_orderkey", 8)
     yield

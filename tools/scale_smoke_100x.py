@@ -1,0 +1,229 @@
+"""100x scale smoke (VERDICT r3 #4): the dominant pipeline operators at
+5k vs 500k synthesized docs/vectors/pages, with per-task time spread
+for the tiled self-join — the straggler evidence the 1000-executor
+claim rests on.
+
+tools/scale_smoke.py answers "is the cost curve linear 10x past the
+driver's largest SF"; this tool pushes the SAME question two orders of
+magnitude (100x sf0.1) for the operators that dominate the bench —
+extraction, MinHash pairs, tiled cosine near-dup (max_bucket armed on
+a planted hot cluster), IVF write + probe over the written index,
+sequence packing, quantized k-means (post round-4 HashAggregate fix) —
+and additionally reads the Spark status REST API for the tiled join's
+task-time quantiles: the tiling guard's whole point is that NO task is
+a straggler, so the output records max/median executorRunTime and
+flags > 4x.
+
+    python tools/scale_smoke_100x.py [small] [factor]   # default 5000 100
+
+Corpora are deterministic: docs/embeddings are pure-codegen (reused
+from scale_smoke), the near-dup corpus plants ~100-member clusters
+(cos >= 0.9 within, ~0 across) plus ONE hot cluster of n/50 members —
+the degenerate one-bucket shape sub-banding cannot split (same
+direction => same band at every pivot count), so the tiling guard is
+the only thing standing between the join and a single quadratic task.
+Pages for extraction come from sources/corpus.pages_df cached as
+parquet so the timed section is scan -> extract -> sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from scale_smoke import synth_docs, synth_embeddings  # noqa: E402
+
+UI_PORT = 4043
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def synth_clustered(spark, n: int, dim: int = 64, hot_frac: int = 50):
+    """Near-dup-shaped corpus: ids < n/hot_frac form ONE hot cluster
+    (the degenerate band bucket); the rest form ~100-member clusters.
+    member = center(cluster) + 5% noise => within-cluster cos >= ~0.99,
+    cross-cluster ~N(0, 1/sqrt(dim))."""
+    hot_n = n // hot_frac
+    cluster = F.when(F.col("id") < hot_n, F.lit(0)).otherwise(
+        (F.col("id") / 100).cast("long") + 1
+    )
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: (
+            (F.pmod(F.xxhash64(cluster, d.cast("long")), F.lit(2001)) / 1000.0 - 1.0)
+            + (
+                F.pmod(F.xxhash64(F.col("id"), d.cast("long"), F.lit(7)), F.lit(101))
+                / 1000.0
+                - 0.05
+            )
+        ).cast("float"),
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+    )
+
+
+def _rest(app_path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/applications{app_path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def task_spread(spark, group: str) -> dict:
+    """max/median executorRunTime of the heaviest stage of the jobs in
+    `group`, via the status REST API (public, same one the History
+    Server serves). The tiled join's bound is per-TASK work, and task
+    time is the direct observable."""
+    app = _rest("")[0]["id"]
+    jobs = [j for j in _rest(f"/{app}/jobs") if j.get("jobGroup") == group]
+    stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
+    heaviest, heaviest_run = None, -1
+    for sid in stage_ids:
+        try:
+            for att in _rest(f"/{app}/stages/{sid}"):
+                if att["status"] == "COMPLETE" and att["executorRunTime"] > heaviest_run:
+                    heaviest_run = att["executorRunTime"]
+                    heaviest = (sid, att["attemptId"], att["numCompleteTasks"])
+        except Exception:
+            continue
+    if heaviest is None:
+        return {"err": "no completed stage found"}
+    sid, att_id, n_tasks = heaviest
+    q = _rest(
+        f"/{app}/stages/{sid}/{att_id}/taskSummary"
+        "?quantiles=0.0,0.5,0.95,1.0"
+    )
+    lo, med, p95, mx = q["executorRunTime"]
+    return {
+        "stage_id": sid,
+        "num_tasks": n_tasks,
+        "task_run_ms": {"min": lo, "median": med, "p95": p95, "max": mx},
+        "max_over_median": round(mx / med, 2) if med else None,
+    }
+
+
+def ensure_pages(spark, n: int) -> str:
+    from ocr_spark.sources.corpus import pages_df
+
+    path = os.path.join(CACHE, f"pages_plain_{n}")
+    marker = os.path.join(path, "_OK")
+    if not os.path.exists(marker):
+        pages_df(spark, n, seed=42, embed_scan=False).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(marker, "w").close()
+    return path
+
+
+def timed(sink, fn, reps: int = 3) -> float:
+    sink(fn())  # warm: plan + JIT + page cache
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sink(fn())
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[len(samples) // 2], 3)
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    from ocr_spark.operators.ann import ivf_probe_topk, ivf_write
+    from ocr_spark.operators.dedup import cosine_neardup_pairs, minhash_lsh_pairs
+    from ocr_spark.operators.extract import with_main_text
+    from ocr_spark.operators.training import kmeans_quantized, pack_sequences
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-smoke-100x",
+        cpus=32,
+        shuffle_partitions=64,
+        extra={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    def sink(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    spread: dict[str, dict] = {}
+    for label, n in (("small", small), ("large", small * factor)):
+        docs = synth_docs(spark, n).persist()
+        embs = synth_embeddings(spark, n).persist()
+        clustered = synth_clustered(spark, n).persist()
+        docs.count(), embs.count(), clustered.count()
+        pages_path = ensure_pages(spark, n)
+        ivf_path = os.path.join(CACHE, f"ivf_smoke_{n}", "ivf")
+
+        pages = spark.read.parquet(pages_path)
+        out.setdefault("extraction", {})[label] = timed(
+            sink, lambda: with_main_text(pages).select("url", "extracted")
+        )
+        out.setdefault("minhash_lsh", {})[label] = timed(
+            sink, lambda: minhash_lsh_pairs(docs)
+        )
+        out.setdefault("pack_sequences", {})[label] = timed(
+            sink, lambda: pack_sequences(docs)
+        )
+        out.setdefault("kmeans", {})[label] = timed(
+            sink, lambda: kmeans_quantized(embs)
+        )
+
+        t0 = time.perf_counter()
+        ivf_write(embs, ivf_path)
+        out.setdefault("ivf_write", {})[label] = round(
+            time.perf_counter() - t0, 3
+        )
+        qv = [0.1] * 64
+        out.setdefault("ivf_probe", {})[label] = timed(
+            sink, lambda: ivf_probe_topk(spark, ivf_path, qv, k=10, nprobe=3)
+        )
+
+        # tiled near-dup: ONE timed pass under a job group so the REST
+        # task summary can be scoped to exactly this job's stages
+        sc.setJobGroup(f"neardup-{label}", "tiled cosine near-dup")
+        t0 = time.perf_counter()
+        sink(
+            cosine_neardup_pairs(
+                clustered, threshold=0.9, max_bucket=1000, max_pivots=4
+            )
+        )
+        out.setdefault("neardup_tiled", {})[label] = round(
+            time.perf_counter() - t0, 3
+        )
+        sc.setJobGroup("", "")
+        try:
+            spread[label] = task_spread(spark, f"neardup-{label}")
+        except Exception as e:  # REST hiccup must not void the timings
+            spread[label] = {"err": repr(e)}
+
+        docs.unpersist(), embs.unpersist(), clustered.unpersist()
+
+    for op, t in out.items():
+        t["ratio_vs_linear"] = round(t["large"] / (t["small"] * factor), 3)
+    print(
+        json.dumps(
+            {
+                "small": small,
+                "factor": factor,
+                "ops": out,
+                "tiled_join_task_spread": spread,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
