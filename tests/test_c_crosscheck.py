@@ -71,6 +71,76 @@ def test_contrast_inverted(name, page):
     _check(page, ["con", "200", "60"], pointwise.contrast(page, 200, 60))
 
 
+def _stat_printout(page: np.ndarray) -> tuple[str, str]:
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "in.pnm")
+        with open(p, "wb") as f:
+            f.write(pnm.encode_gray(page))
+        proc = subprocess.run(
+            [ensure_grafix(), p, "stat", "pop"], capture_output=True, timeout=60
+        )
+    s = stats.calc_statistics(page)
+    mine = "black: %g gray: %g white: %g thickness: %g area: %g" % (
+        s["black"], s["graythr"], s["white"], s["thickness"], s["area"],
+    )
+    return proc.stdout.decode().strip(), mine
+
+
+def test_statistics_replay_trigger_gap_pages():
+    """Differential fuzz for the TIGHT replay trigger (VERDICT r3 #5):
+    pages engineered so a bin's total update magnitude row+col crosses
+    2^24 (the OLD trigger: replay) while max(row, col) stays under it
+    (the NEW trigger: skip — every running partial is an exact-integer
+    float32, so the sequential C sum provably equals the integer
+    marginal). If that proof were wrong, the C binary's printout would
+    diverge from our no-replay fast path on exactly these pages.
+
+    Construction: a flat 128 page (d=0 pairs are magnitude-free) with
+    isolated 0-pixels ((0,128) pairs: bin 128 is hi -> -d2) and
+    isolated 255-pixels ((128,255) pairs: bin 128 is lo -> +d2), each
+    contributing ~4 pairs x 128^2; ~220 of each lands row_d[128] and
+    col_d[128] at ~1.4e7 < 2^24 while their sum ~2.9e7 >= 2^24. The
+    test introspects the marginals to PROVE the page straddles the two
+    triggers, then crosschecks the printout. A dense 3-level stripe
+    page (risky under both triggers) keeps the replay path itself
+    covered."""
+    rng = np.random.default_rng(7)
+    pages = []
+    # gap page: sparse transitions on a flat-128 field
+    h, w = 400, 500
+    gap = np.full((h, w), 128.0, dtype=np.float32)
+    ys = rng.integers(2, h - 3, size=440)
+    xs = rng.integers(2, w - 3, size=440)
+    # keep marks isolated: stride-2 lattice positions only
+    ys, xs = (ys // 2) * 2, (xs // 2) * 2
+    gap[ys[:220], xs[:220]] = 0.0
+    gap[ys[220:], xs[220:]] = 255.0
+    # prove the straddle: recompute bin 128's pair marginals
+    ai = gap.astype(np.int16)
+    lo = np.concatenate([
+        np.minimum(ai[:-1, :-1], ai[:-1, 1:]).ravel(),
+        np.minimum(ai[:-1, :-1], ai[1:, :-1]).ravel(),
+    ])
+    hi = np.concatenate([
+        np.maximum(ai[:-1, :-1], ai[:-1, 1:]).ravel(),
+        np.maximum(ai[:-1, :-1], ai[1:, :-1]).ravel(),
+    ])
+    d2 = (hi.astype(np.int64) - lo) ** 2
+    row_d = float(d2[lo == 128].sum())
+    col_d = float(d2[hi == 128].sum())
+    assert row_d + col_d >= 2**24, "page fell out of the gap (sum side)"
+    assert max(row_d, col_d) < 2**24, "page fell out of the gap (max side)"
+    pages.append(("gap_sparse_transitions", gap))
+    # dense stripes: both triggers fire -> exercises the replay itself
+    stripes = np.tile(
+        np.array([0.0, 128.0, 255.0], dtype=np.float32), (700 + 2) // 3
+    )[:700]
+    pages.append(("stripe_risky", np.tile(stripes, (520, 1))))
+    for name, page in pages:
+        ref, mine = _stat_printout(np.ascontiguousarray(page))
+        assert ref == mine, name
+
+
 def test_statistics_exact_printout():
     for name, page in PAGES:
         with tempfile.TemporaryDirectory() as td:
