@@ -2441,11 +2441,17 @@ def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     w7 = F.when(F.col("node") == 7, F.lit(-1).cast("long")).otherwise(
         F.col("w")
     )
+    # argmax encoded as ONE BIGINT max — (w+1)*16 + node is monotonic in
+    # lexicographic (w, node) because node < 16 and w+1 >= 0 (w is
+    # fast_hash in [0, 1e9+7), or the sentinel -1) — max_by's
+    # struct-ordered buffer forced a SortAggregate; min/max over a
+    # fixed-width BIGINT stays in HashAggregate with map-side combine
+    # (the kmeans_assign fix pattern, r4)
+    enc = (F.col("w") + 1) * 16 + F.col("node")
+    enc7 = (w7 + 1) * 16 + F.col("node")
     agg = ex.groupBy("doc_id").agg(
-        F.max_by("node", F.struct(F.col("w"), F.col("node"))).alias("shard"),
-        F.max_by("node", F.struct(w7.alias("w"), F.col("node"))).alias(
-            "shard_drop7"
-        ),
+        (F.max(enc) % 16).cast("int").alias("shard"),
+        (F.max(enc7) % 16).cast("int").alias("shard_drop7"),
     )
     return agg.select(
         "doc_id",
@@ -6606,10 +6612,18 @@ def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("h"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax-count/min-label as ONE BIGINT max (the kmeans_assign
+        # fix pattern, r4): c*128 + (127 - lbl) is monotonic in
+        # lexicographic (c, -lbl) because lbl is a host id in [0, 96]
+        # on this 97-host graph — min(struct(-c, lbl)) had an
+        # UnsafeRow-immutable struct buffer and planned a per-round
+        # corpus-wide SortAggregate. At web scale, where lbl is an
+        # unbounded host hash, the same shape is a two-stage
+        # hash-aggregate (max(c) per h, then min(lbl) at c == max).
         win = (
             cnt.groupBy("h")
-            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("m"))
-            .select("h", F.col("m.lbl").alias("wlbl"))
+            .agg(F.max(F.col("c") * 128 + (127 - F.col("lbl"))).alias("m"))
+            .select("h", (127 - F.col("m") % 128).alias("wlbl"))
         )
         labels = (
             labels.join(win, "h", "left")

@@ -278,6 +278,11 @@ def test_kmeans_family_hash_aggregates_only(spark):
         "kmeans_embedding_clusters",
         "semdedup_pairs",
         "kmeans_cluster_purity",
+        # same single-BIGINT argmin/argmax pattern applied r4:
+        # max_by(node, struct(w, node)) and min(struct(-c, lbl))
+        # both had UnsafeRow-immutable struct buffers
+        "rendezvous_sharding",
+        "host_communities_lp",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "SortAggregate" not in plan, name
