@@ -187,8 +187,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # hard KeyError if HEADLINE ever drops one of the 13:
+                # a silently-shrunken subtotal would read as a phantom
+                # cross-round speedup ("no silent caps")
                 "r1_comparable_subtotal_sec": round(
-                    sum(timings[q] for q in R1_COMPARABLE if q in timings), 3
+                    sum(timings[q] for q in R1_COMPARABLE), 3
                 ),
                 "extraction_docs_per_sec": docs_per_sec,
                 "extraction_pages": N_PAGES,

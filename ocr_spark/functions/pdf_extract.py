@@ -263,9 +263,23 @@ def extract_pdf_text(buf: bytes) -> str:
             # without error but the bytes stay predictor-coded — the
             # text extraction would silently return garbage (or drop
             # the page at the BT check). Refuse loudly so permissive
-            # mode dead-letters it instead (ADVICE r3).
+            # mode dead-letters it instead (ADVICE r3) — but ONLY for
+            # streams that could be text content: /Type /XRef (every
+            # PDF 1.5+ cross-reference stream ships Predictor 12),
+            # /Type /ObjStm, /Subtype /Image, and /Type /Metadata are
+            # declared non-content, carry no text operators, and were
+            # always skipped harmlessly at the BT check — refusing the
+            # whole document for THEM would dead-letter real text
+            # (r4 self-review finding #1).
             pred = re.search(rb"/Predictor\s+(\d+)", meta)
             if pred and int(pred.group(1)) > 1:
+                noncontent = re.search(
+                    rb"/Type\s*/(XRef|ObjStm|Metadata)\b"
+                    rb"|/Subtype\s*/Image\b",
+                    meta,
+                )
+                if noncontent:
+                    continue  # predictor-coded non-text: skip stream
                 raise NotImplementedError(
                     "PDF stream /DecodeParms /Predictor "
                     + pred.group(1).decode("latin-1")

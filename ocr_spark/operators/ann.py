@@ -179,8 +179,26 @@ def ivf_write(
     ``PARTITIONED BY (cell)``; centroids are a driver-sized side table
     by construction (C ~ sqrt(n) even at 10^12 vectors).
     """
+    # Invalidate BEFORE touching the layout: a rebuild that dies
+    # mid-write must leave no completion marker behind (r4 self-review
+    # #3 — the marker is the freshness key, so it must be the first
+    # thing to go and the last to come back).
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
     assigned = ivf_assign(vecs, n_centroids, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # partitionOverwriteMode pinned STATIC per-write: the snapshot
+    # catalog sets the session default to dynamic, under which a
+    # rebuild only replaces cells present in the NEW assignment — a
+    # shrunken corpus would leave stale cell directories that the
+    # fresh marker then certifies. Static overwrite truncates the
+    # whole index path first.
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(path)
+    )
     cents = vecs.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("ce")
     )

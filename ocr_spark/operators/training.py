@@ -223,7 +223,20 @@ def kmeans_assign(vecs: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    enc = F.shiftleft(F.col("dist"), cbits) + F.col("cluster").cast("long")
+    # Saturate before encoding (r4 self-review #2): the unit-ish-input
+    # assumption above is documentation, not enforcement — a rogue
+    # component of ~1e4 puts dist past 2^63 >> cbits and shiftleft
+    # silently WRAPS (non-ANSI long overflow), making min(enc) pick an
+    # arbitrary cluster. Capping at the largest encodable distance
+    # keeps the argmin exact whenever any candidate distance is below
+    # the cap (the true min is unaffected by clamping larger values)
+    # and degrades deterministically (smallest cluster id) when ALL
+    # candidates saturate — instead of wrapping silently.
+    dist_cap = ((1 << 62) >> cbits) - 1
+    enc = (
+        F.shiftleft(F.least(F.col("dist"), F.lit(dist_cap)), cbits)
+        + F.col("cluster").cast("long")
+    )
     # qv rides along as a GROUP KEY (functionally dependent on vec_id,
     # so the result is identical): first(qv) as an aggregate has an
     # array-typed buffer, which — like min(struct) — is immutable in

@@ -81,6 +81,30 @@ def test_predictor_decodeparms_raises_not_garbage():
     assert extract_pdf_text(buf1) == "hello pred1"
 
 
+def test_predictor_on_noncontent_streams_does_not_dead_letter():
+    # r4 self-review #1: every PDF 1.5+ file carries a /Type /XRef
+    # cross-reference stream with /Predictor 12 — refusing the whole
+    # document for THAT would dead-letter perfectly extractable text.
+    # Non-content streams (XRef/ObjStm/Image/Metadata) with predictors
+    # must be skipped, not fatal; a predictor on a content-shaped
+    # stream must still raise.
+    import zlib
+
+    base = make_pdf([["real text survives"]], compress=True)
+    xref = zlib.compress(b"\x00" * 15)
+    obj = (
+        b"\n9 0 obj\n<< /Type /XRef /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 5 >> /Length "
+        + str(len(xref)).encode()
+        + b" >>\nstream\n" + xref + b"\nendstream\nendobj\n"
+    )
+    buf = base.replace(b"%%EOF", obj + b"%%EOF")
+    assert extract_pdf_text(buf) == "real text survives"
+    # image XObject with a predictor: same — skipped, text survives
+    buf_img = buf.replace(b"/Type /XRef", b"/Subtype /Image")
+    assert extract_pdf_text(buf_img) == "real text survives"
+
+
 def test_tj_array_operator():
     # hand-built stream using TJ with kerning numbers
     buf = make_pdf([["placeholder"]])

@@ -236,6 +236,37 @@ def test_ivf_write_completion_marker_atomicity(spark, tmp_path_factory):
     assert os.path.exists(path + "_centroids")
 
 
+def test_ivf_rebuild_clears_stale_cells_under_dynamic_mode(
+    spark, tmp_path_factory
+):
+    """r4 self-review #3: the snapshot catalog sets
+    partitionOverwriteMode=dynamic session-wide; under dynamic mode an
+    index rebuild would only replace cells present in the NEW
+    assignment, leaving stale cell dirs that the fresh marker then
+    certifies. ivf_write pins static mode per-write, so a rebuild from
+    a smaller corpus must leave NO extra cell directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.ann import ivf_write
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf_dyn") / "ivf")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ivf_write(vecs, path, n_centroids=10)
+        cells_full = {d for d in os.listdir(path) if d.startswith("cell=")}
+        assert len(cells_full) == 10
+        # rebuild from a corpus that can only populate fewer cells
+        ivf_write(vecs.where(F.col("vec_id") < 40), path, n_centroids=2)
+        cells_small = {d for d in os.listdir(path) if d.startswith("cell=")}
+        assert cells_small and cells_small < cells_full, cells_small
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+
 def test_ivf_cache_path_scoped_by_version_and_uid():
     """The shared-tempdir cache key must include the index format
     version and the uid (ADVICE r3) so old-layout or other-user

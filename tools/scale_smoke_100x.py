@@ -46,19 +46,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 
-def synth_clustered(spark, n: int, dim: int = 64, hot_frac: int = 50):
-    """Near-dup-shaped corpus: ids < n/hot_frac form ONE hot cluster
-    (the degenerate band bucket); the rest form ~100-member clusters.
-    member = center(cluster) + 5% noise => within-cluster cos >= ~0.99,
-    cross-cluster ~N(0, 1/sqrt(dim))."""
+def synth_clustered(spark, n: int, dim: int = 64, hot_frac: int = 25):
+    """Near-dup-shaped corpus with ANGULAR SPREAD: ids < n/hot_frac
+    form ONE hot cluster (the degenerate band bucket that arms the
+    tiling guard); the rest form ~25-member clusters whose centers mix
+    a coordinate-plane rotation (cos/sin weight on dims 1-2, phase =
+    cluster hash) with a random residual direction — so cluster
+    centers SPREAD across the pivot-angle range instead of
+    concentrating at 90 degrees the way fully-isotropic directions do
+    (the repo's measure-concentration finding: an isotropic corpus is
+    ONE band key at any pivot count, and exact-recall candidate volume
+    inside that key is inherently quadratic — the first cut of this
+    smoke synthesized exactly that at 500k rows and its ~4e9 candidate
+    rows filled the disk; band pruning needs angular diversity to have
+    anything to cut). Members = center + 5% noise => within-cluster
+    cos >= ~0.99, cross-cluster well below 0.9."""
     hot_n = n // hot_frac
     cluster = F.when(F.col("id") < hot_n, F.lit(0)).otherwise(
-        (F.col("id") / 100).cast("long") + 1
+        (F.col("id") / 25).cast("long") + 1
     )
+    # phase in [0, pi): angle of the cluster's in-plane component
+    phase = (F.pmod(F.xxhash64(cluster, F.lit(3)), F.lit(1000)) / 1000.0) * 3.14159
     emb = F.transform(
         F.sequence(F.lit(1), F.lit(dim)),
         lambda d: (
-            (F.pmod(F.xxhash64(cluster, d.cast("long")), F.lit(2001)) / 1000.0 - 1.0)
+            F.when(d == 1, F.cos(phase) * 4.0)
+            .when(d == 2, F.sin(phase) * 4.0)
+            .otherwise(
+                F.pmod(F.xxhash64(cluster, d.cast("long")), F.lit(2001)) / 1000.0
+                - 1.0
+            )
             + (
                 F.pmod(F.xxhash64(F.col("id"), d.cast("long"), F.lit(7)), F.lit(101))
                 / 1000.0
@@ -73,9 +90,10 @@ def synth_clustered(spark, n: int, dim: int = 64, hot_frac: int = 50):
     )
 
 
-def _rest(app_path: str):
-    url = f"http://localhost:{UI_PORT}/api/v1/applications{app_path}"
-    with urllib.request.urlopen(url, timeout=10) as r:
+def _rest(base: str, app_path: str):
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications{app_path}", timeout=10
+    ) as r:
         return json.loads(r.read())
 
 
@@ -83,14 +101,21 @@ def task_spread(spark, group: str) -> dict:
     """max/median executorRunTime of the heaviest stage of the jobs in
     `group`, via the status REST API (public, same one the History
     Server serves). The tiled join's bound is per-TASK work, and task
-    time is the direct observable."""
-    app = _rest("")[0]["id"]
-    jobs = [j for j in _rest(f"/{app}/jobs") if j.get("jobGroup") == group]
+    time is the direct observable. The base URL comes from THIS
+    session's uiWebUrl and the app id from THIS SparkContext (r4
+    self-review #5: a hardcoded port reads a DIFFERENT application's
+    stages when Spark falls back to port+1, reporting bogus spread
+    evidence as success)."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    jobs = [
+        j for j in _rest(base, f"/{app}/jobs") if j.get("jobGroup") == group
+    ]
     stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
     heaviest, heaviest_run = None, -1
     for sid in stage_ids:
         try:
-            for att in _rest(f"/{app}/stages/{sid}"):
+            for att in _rest(base, f"/{app}/stages/{sid}"):
                 if att["status"] == "COMPLETE" and att["executorRunTime"] > heaviest_run:
                     heaviest_run = att["executorRunTime"]
                     heaviest = (sid, att["attemptId"], att["numCompleteTasks"])
@@ -100,8 +125,9 @@ def task_spread(spark, group: str) -> dict:
         return {"err": "no completed stage found"}
     sid, att_id, n_tasks = heaviest
     q = _rest(
+        base,
         f"/{app}/stages/{sid}/{att_id}/taskSummary"
-        "?quantiles=0.0,0.5,0.95,1.0"
+        "?quantiles=0.0,0.5,0.95,1.0",
     )
     lo, med, p95, mx = q["executorRunTime"]
     return {
@@ -158,12 +184,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    spread: dict[str, dict] = {}
     for label, n in (("small", small), ("large", small * factor)):
         docs = synth_docs(spark, n).persist()
         embs = synth_embeddings(spark, n).persist()
-        clustered = synth_clustered(spark, n).persist()
-        docs.count(), embs.count(), clustered.count()
+        docs.count(), embs.count()
         pages_path = ensure_pages(spark, n)
         ivf_path = os.path.join(CACHE, f"ivf_smoke_{n}", "ivf")
 
@@ -190,9 +214,30 @@ def main() -> None:
         out.setdefault("ivf_probe", {})[label] = timed(
             sink, lambda: ivf_probe_topk(spark, ivf_path, qv, k=10, nprobe=3)
         )
+        docs.unpersist(), embs.unpersist()
 
-        # tiled near-dup: ONE timed pass under a job group so the REST
-        # task summary can be scoped to exactly this job's stages
+    for op, t in out.items():
+        t["ratio_vs_linear"] = round(t["large"] / (t["small"] * factor), 3)
+
+    # Tiled near-dup runs its own 4x track (small -> 4*small), NOT the
+    # 100x one: exact-recall candidate volume is inherently
+    # n^2/resolution — dense pivots at t=0.9 (W=26deg) see at most ~2-3
+    # angular bands on any realistically-shaped corpus (measured here:
+    # 4 pivots leave a 38k-row max bucket on a 50k corpus built FOR
+    # spread, est. 6e10 candidate rows; the first cut of this smoke at
+    # 500k isotropic rows filled the disk with ~4e9 join rows), and the
+    # operator's own docs route corpus-scale regimes to semdedup/ANN.
+    # The meaningful large-n evidence for THIS op is the per-task
+    # boundedness the tiling guard claims (max/median task time from
+    # the REST API), not a wall-clock linearity it cannot have. One
+    # timed pass per size under a job group so the REST task summary
+    # scopes to exactly this job's stages.
+    nd_factor = min(4, factor)
+    spread: dict[str, dict] = {}
+    nd: dict[str, float] = {}
+    for label, n in (("small", small), ("large", small * nd_factor)):
+        clustered = synth_clustered(spark, n).persist()
+        clustered.count()
         sc.setJobGroup(f"neardup-{label}", "tiled cosine near-dup")
         t0 = time.perf_counter()
         sink(
@@ -200,24 +245,22 @@ def main() -> None:
                 clustered, threshold=0.9, max_bucket=1000, max_pivots=4
             )
         )
-        out.setdefault("neardup_tiled", {})[label] = round(
-            time.perf_counter() - t0, 3
-        )
+        nd[label] = round(time.perf_counter() - t0, 3)
         sc.setJobGroup("", "")
         try:
             spread[label] = task_spread(spark, f"neardup-{label}")
         except Exception as e:  # REST hiccup must not void the timings
             spread[label] = {"err": repr(e)}
+        clustered.unpersist()
+    nd["ratio_vs_linear"] = round(nd["large"] / (nd["small"] * nd_factor), 3)
+    out["neardup_tiled"] = nd
 
-        docs.unpersist(), embs.unpersist(), clustered.unpersist()
-
-    for op, t in out.items():
-        t["ratio_vs_linear"] = round(t["large"] / (t["small"] * factor), 3)
     print(
         json.dumps(
             {
                 "small": small,
                 "factor": factor,
+                "neardup_sizes": [small, small * nd_factor],
                 "ops": out,
                 "tiled_join_task_spread": spread,
             }
