@@ -22,15 +22,21 @@ N_HOSTS = 97  # the corpus host scheme: host = doc_id % 97
 
 
 def robots_rules(spark) -> DataFrame:
-    """Synthesized per-host robots rule table ``(host, prefix, allow)``:
-    a root allow, five ``/s<m>`` rules of alternating polarity, and one
-    deeper ``/s<m>/t<k>`` override each. Deterministic in the host id —
-    the stand-in for a parsed robots.txt store. Small enough to
-    broadcast (real robots stores are ~10 rules/host; shard the join on
-    host past broadcast range)."""
+    """Synthesized per-host robots rule table
+    ``(host, prefix, allow, rule_id)``: a root allow, five ``/s<m>``
+    rules of alternating polarity, and one deeper ``/s<m>/t<k>``
+    override each. Deterministic in the host id — the stand-in for a
+    parsed robots.txt store. Small enough to broadcast (real robots
+    stores are ~10 rules/host; shard the join on host past broadcast
+    range). ``rule_id`` (= host*11 + slot, unique, < 2^32) lets the
+    longest-prefix pick hash-aggregate on one BIGINT and join the
+    winning rule back — a string never enters an aggregation buffer."""
     hosts = spark.range(0, N_HOSTS).select(F.col("id").alias("host"))
     root = hosts.select(
-        "host", F.lit("/").alias("prefix"), F.lit(1).cast("long").alias("allow")
+        "host",
+        F.lit("/").alias("prefix"),
+        F.lit(1).cast("long").alias("allow"),
+        (F.col("host") * 11).alias("rule_id"),
     )
     ms = hosts.select(
         "host", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("m")
@@ -39,6 +45,7 @@ def robots_rules(spark) -> DataFrame:
         "host",
         F.concat(F.lit("/s"), F.col("m")).alias("prefix"),
         ((F.col("host") + F.col("m")) % 2).alias("allow"),
+        (F.col("host") * 11 + 1 + F.col("m")).alias("rule_id"),
     )
     r2 = ms.select(
         "host",
@@ -47,6 +54,7 @@ def robots_rules(spark) -> DataFrame:
             (F.col("host") + F.col("m")) % 7,
         ).alias("prefix"),
         ((F.col("host") + F.col("m") + 1) % 2).alias("allow"),
+        (F.col("host") * 11 + 6 + F.col("m")).alias("rule_id"),
     )
     return root.unionByName(r1).unionByName(r2)
 
@@ -58,8 +66,15 @@ def robots_decisions(spark, docs: DataFrame) -> DataFrame:
     The path is exploded at its SEGMENT BOUNDARIES (depth rows per
     url, bounded by path depth) and equi-joined on (host, prefix) —
     a broadcast hash join, never the LIKE-prefix nested loop a theta
-    join would plan. The longest match is a max_by aggregate, no
-    window sort. URL scheme mirrors the corpus synthesis:
+    join would plan. The longest match is a single-BIGINT hash
+    aggregate: max(rule_len << 32 | rule_id) — rule_len < 2^31 and
+    rule_id < 2^32 make the encoding the exact lexicographic
+    (rule_len, rule_id) order — then the winning rule_id broadcast-
+    joins back to the (tiny) rules table for the prefix/allow payload.
+    A max_by over a struct carrying the prefix STRING would fall to a
+    corpus-sized SortAggregate (UnsafeRow aggregation buffers must be
+    fixed-width; the same finding as kmeans_assign, VERDICT r3 #1).
+    URL scheme mirrors the corpus synthesis:
     path = /s{doc_id%5}/t{doc_id%7}/d{doc_id}, host = doc_id%97.
     """
     a = F.col("doc_id") % 5
@@ -71,20 +86,20 @@ def robots_decisions(spark, docs: DataFrame) -> DataFrame:
         (F.col("doc_id") % N_HOSTS).alias("host"),
         F.explode(F.array(F.lit("/"), p1, p2)).alias("prefix"),
     )
-    matched = urls.join(F.broadcast(robots_rules(spark)), ["host", "prefix"])
-    pick = F.struct(
-        F.length("prefix").alias("rule_len"),
-        F.col("prefix").alias("matched_prefix"),
-        F.col("allow").alias("allowed"),
+    rules = robots_rules(spark)
+    matched = urls.join(F.broadcast(rules), ["host", "prefix"])
+    enc = F.shiftleft(F.length("prefix").cast("long"), 32) + F.col("rule_id")
+    best = matched.groupBy("doc_id").agg(F.max(enc).alias("enc"))
+    win = best.select(
+        "doc_id", (F.col("enc") % F.lit(2**32).cast("long")).alias("rule_id")
     )
     return (
-        matched.groupBy("doc_id")
-        .agg(F.max_by(pick, F.length("prefix")).alias("r"))
+        win.join(F.broadcast(rules), ["rule_id"])
         .select(
             "doc_id",
-            F.col("r.matched_prefix").alias("matched_prefix"),
-            F.col("r.rule_len").alias("rule_len"),
-            F.col("r.allowed").alias("allowed"),
+            F.col("prefix").alias("matched_prefix"),
+            F.length("prefix").alias("rule_len"),
+            F.col("allow").alias("allowed"),
         )
     )
 

@@ -204,6 +204,10 @@ def test_robots_filter_broadcast_no_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+    # r4: the longest-prefix pick is a single-BIGINT max — a string in
+    # the aggregation buffer (max_by struct) would plan SortAggregate.
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_exact_substring_spans_single_window_sort_chain(spark):

@@ -141,8 +141,11 @@ COMMENTARY = {
     "robots_prefix_filter": (
         "Longest-prefix robots match as a BROADCAST equi-join on "
         "(host, prefix) via segment-boundary explode — never a "
-        "LIKE-prefix BroadcastNestedLoopJoin; longest match via "
-        "max_by, no window sort."
+        "LIKE-prefix BroadcastNestedLoopJoin; longest match is a "
+        "single-BIGINT hash aggregate (max(rule_len << 32 | rule_id)) "
+        "with the winning rule broadcast-joined back — a max_by over "
+        "a string-carrying struct would fall to a corpus-sized "
+        "SortAggregate."
     ),
     "domain_quality_wilson": (
         "One groupBy(host) with map-side partial counts; Wilson bound "
@@ -152,7 +155,9 @@ COMMENTARY = {
     "rendezvous_sharding": (
         "Constant 16-row node fan-out per doc, codegen md5 weights, "
         "BOTH assignments (full and drop-node) from one groupBy via "
-        "two max_by aggregates — no window sort, no self-join."
+        "two single-BIGINT max aggregates ((w+1)*16 + node — hash-"
+        "aggregatable; the max_by struct form planned SortAggregate) "
+        "— no window sort, no self-join."
     ),
     "snapshot_delta": (
         "Both snapshots reduce to (url, md5) before the full-outer "
