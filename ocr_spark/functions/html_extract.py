@@ -66,7 +66,6 @@ class _BlockParser(HTMLParser):
         # fragments of the currently-open block: (text, in_link)
         self._frags: list[tuple[str, bool]] = []
         self._frag_boiler = False
-        self._open_path = ""
         self.blocks: list[Block] = []
 
     # -- block assembly ------------------------------------------------
@@ -76,7 +75,7 @@ class _BlockParser(HTMLParser):
         raw = "".join(t for t, _ in self._frags)
         text = _WS.sub(" ", raw).strip()
         if text:
-            total = len(_WS.sub(" ", raw).strip())
+            total = len(text)
             link_raw = "".join(t for t, in_link in self._frags if in_link)
             link = len(_WS.sub(" ", link_raw).strip())
             self.blocks.append(

@@ -18,8 +18,10 @@ NotImplementedError naming the filter, mirroring
 operators/multimodal.py's codec policy (they carry pixels, not text).
 
 Layout model: one text line per Td/TD/T* advance, lines joined with
-"\\n"; multiple show operators on one line concatenate; TJ kerning
-numbers are ignored for text recovery (they only shift glyphs).
+"\\n"; the ' and " show operators advance to the next line BEFORE
+showing (PDF 9.4.3: they are T* + show); multiple show operators on
+one line concatenate; TJ kerning numbers are ignored for text
+recovery (they only shift glyphs).
 """
 
 from __future__ import annotations
@@ -107,12 +109,47 @@ def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
 # reader
 # ---------------------------------------------------------------------------
 
-_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_HDR = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_LENGTH = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+_ENDSTREAM = re.compile(rb"\r?\nendstream")
 _SHOW = re.compile(
-    rb"(\((?:[^()\\]|\\.)*\))\s*(Tj|')"  # (string) Tj / '
-    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"     # [ ... ] TJ
-    rb"|(Td|TD|T\*)"                     # line moves
+    rb"(\((?:[^()\\]|\\.)*\))\s*(Tj|'|\")"  # (string) Tj / ' / "
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"        # [ ... ] TJ
+    rb"|(Td|TD|T\*)"                        # line moves
 )
+
+
+def _iter_streams(buf: bytes):
+    """Yield (dict-body, stream-bytes) pairs, delimiting each stream by
+    its /Length when it is a direct integer (PDF 1.7 §7.3.8: Length IS
+    the authoritative extent) and only falling back to scanning for the
+    first ``EOL endstream`` when /Length is indirect (``n g R``),
+    missing, or provably stale (no ``endstream`` keyword where it
+    claims the data ends). The scan-only form truncated binary bodies
+    that end in 0x0D (the ``\\r?`` ate a data byte) or that contain the
+    byte string ``\\nendstream`` mid-payload — ~1/256 of Flate streams
+    fail to inflate under it."""
+    pos = 0
+    while True:
+        m = _STREAM_HDR.search(buf, pos)
+        if not m:
+            return
+        meta = m.group(1)
+        data_start = m.end()
+        body = None
+        lm = _LENGTH.search(meta)
+        if lm and not lm.group(2):  # direct /Length N
+            end = data_start + int(lm.group(1))
+            if end <= len(buf) and re.match(rb"\s*endstream", buf[end : end + 20]):
+                body = buf[data_start:end]
+                pos = end
+        if body is None:  # indirect/absent/stale Length: terminator scan
+            t = _ENDSTREAM.search(buf, data_start)
+            if not t:
+                return  # unterminated stream: nothing more to parse
+            body = buf[data_start : t.start()]
+            pos = t.end()
+        yield meta, body
 _TJ_STR = re.compile(rb"\((?:[^()\\]|\\.)*\)")
 _OCTAL = re.compile(rb"\\([0-7]{1,3})")
 
@@ -256,8 +293,7 @@ def extract_pdf_text(buf: bytes) -> str:
     if b"%PDF" not in buf[:1024]:
         raise ValueError("not a PDF")
     lines: list[str] = []
-    for m in _STREAM.finditer(buf):
-        meta, stream = m.group(1), m.group(2)
+    for meta, stream in _iter_streams(buf):
         if b"/Filter" in meta:
             # A PNG/TIFF /Predictor (DecodeParms) stream decompresses
             # without error but the bytes stay predictor-coded — the
@@ -314,6 +350,16 @@ def extract_pdf_text(buf: bytes) -> str:
                     cur = []
                 started = True
             elif sm.group(1):
+                if sm.group(2) in (b"'", b'"'):
+                    # PDF 9.4.3: ' is T* + show and " is aw ac set +
+                    # T* + show — both ADVANCE TO THE NEXT LINE before
+                    # showing, so any pending text closes as its own
+                    # line first (treating them as bare shows glued
+                    # consecutive lines together).
+                    if cur:
+                        lines.append("".join(cur))
+                        cur = []
+                    started = True
                 cur.append(_unescape(sm.group(1)))
             elif sm.group(3) is not None:
                 for ts in _TJ_STR.finditer(sm.group(3)):

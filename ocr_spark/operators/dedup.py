@@ -87,6 +87,27 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def quality_margin(text_col: Column) -> Column:
+    """Hashed-classifier quality margin: sum over whitespace tokens of
+    (fast_hash('w:'+tok) % 1001 - 500) — the keep gate is margin > 0.
+
+    The SINGLE definition of the curation quality contract, shared by
+    the batch pipeline (tools/curate_corpus.py) and the streaming gate
+    (streaming/pipeline.curation_gate) so the two can never diverge.
+    The HOF fold is safe here because the token array is referenced
+    once (no projection-collapse multiplier) and the gate is a one-pass
+    map — bounded work per row, no aggregation state.
+    """
+    return F.aggregate(
+        F.transform(
+            tokens(text_col),
+            lambda t: fast_hash(F.concat(F.lit("w:"), t)) % 1001 - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 

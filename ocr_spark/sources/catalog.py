@@ -47,12 +47,18 @@ class ParquetCatalog:
         self, df: DataFrame, table: str, partition_by: list[str]
     ) -> None:
         """Replace only the partitions present in df (dynamic mode) —
-        the idempotence primitive the checkpoint layer relies on."""
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(
-            self._path(table)
+        the idempotence primitive the checkpoint layer relies on.
+
+        Dynamic mode is a PER-WRITE option, never a session conf: a
+        session-global set here would silently flip unrelated later
+        `mode("overwrite").partitionBy(...)` writes from static (drop
+        all partitions) to dynamic (keep absent ones), resurrecting
+        stale partitions elsewhere."""
+        (
+            df.write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(self._path(table))
         )
 
 

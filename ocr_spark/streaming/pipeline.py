@@ -140,6 +140,17 @@ _TOTALS_SCHEMA = StructType(
 )
 
 
+def _round2(x: float) -> float:
+    """floor(x*100 + 0.5)/100 — the Python twin of round_det(col, 2)
+    (operators/dedup.py). Python's round() is banker's (half-even) and
+    Spark's F.round is HALF_UP on the shortest decimal repr; both
+    disagree with each other on .5 grid points, so batch/stream parity
+    needs the SAME plain-IEEE form on both sides."""
+    import math
+
+    return math.floor(x * 100 + 0.5) / 100
+
+
 def _update_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -149,7 +160,7 @@ def _update_totals(
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [_round2(total)]}
     )
 
 
@@ -199,18 +210,10 @@ def _update_sessions(key, pdfs, state: GroupState):
     for pdf in pdfs:
         rows.append(pdf[["ts", "value"]])
     if not rows:
-        if state.hasTimedOut and state.exists:
-            s0, s1, n, tot = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [_fmt_us(s0)],
-                    "session_end": [_fmt_us(s1)],
-                    "n_events": [n],
-                    "total_value": [round(tot, 2)],
-                }
-            )
+        # No idle-close: the operator registers NoTimeout, so an open
+        # tail stays in state until a later event closes it (the
+        # documented contract). An idle-flush variant would configure
+        # EventTimeTimeout + setTimeoutTimestamp and emit here.
         return
     ev = pd.concat(rows).sort_values("ts")
     # pandas datetime64[ns] -> microseconds since epoch
@@ -228,7 +231,7 @@ def _update_sessions(key, pdfs, state: GroupState):
         if s0 is None:
             s0, s1, n, tot = t, t, 0, 0.0
         elif t - s1 > _GAP_US:
-            out.append((key[0], _fmt_us(s0), _fmt_us(s1), n, round(tot, 2)))
+            out.append((key[0], _fmt_us(s0), _fmt_us(s1), n, _round2(tot)))
             s0, s1, n, tot = t, t, 0, 0.0
         s1 = t
         n += 1
@@ -272,8 +275,11 @@ def sessionize(events: DataFrame) -> DataFrame:
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch reference implementation of the same session semantics
     (closed sessions only) via window functions — the parity oracle for
-    the stateful streaming operator."""
+    the stateful streaming operator. Totals round via round_det (the
+    floor form _round2 mirrors) so both sides agree on .5 grid points."""
     from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import round_det
 
     w = Window.partitionBy("user_id").orderBy("ts")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -292,7 +298,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        round_det(F.sum("value"), 2).alias("total_value"),
         F.max("ts").alias("_end_ts"),
     )
     # closed = not the user's last session
@@ -353,21 +359,12 @@ def curation_gate(docs: DataFrame, thresholds: DataFrame) -> DataFrame:
     decisions depend on arrival time, killing replay determinism).
     Works identically on a batch DataFrame — parity pinned by test.
     """
-    from ocr_spark.operators.dedup import fast_hash, tokens
+    from ocr_spark.operators.dedup import fast_hash, quality_margin
 
-    w = fast_hash(F.concat(F.lit("w:"), F.col("term"))) % 1001 - 500
-    # margin via explode+sum would need stream aggregation state; the
-    # equivalent HOF fold is fine HERE because each doc's token list is
-    # referenced once (no projection-collapse multiplier) and the gate
-    # is a one-pass map — bounded work per row, no state.
-    margin = F.aggregate(
-        F.transform(
-            tokens(F.col("text")),
-            lambda t: fast_hash(F.concat(F.lit("w:"), t)) % 1001 - 500,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # margin via explode+sum would need stream aggregation state;
+    # quality_margin's HOF fold is the shared batch/stream definition
+    # (see operators/dedup.py) and is stateless — bounded work per row.
+    margin = quality_margin(F.col("text"))
     bucket = fast_hash(F.col("doc_id").cast("string")) % 100
     return (
         docs.withColumn("host", F.col("doc_id") % 97)
@@ -428,9 +425,46 @@ def cdc_reuse_stream(
     Exactly-once: both writes are keyed by batch_id — the reuse rows
     carry it, and the index write is a dynamic partition overwrite of
     partition batch_id, so a retried foreachBatch rewrites its own
-    partition instead of duplicating hashes.
+    partition instead of duplicating hashes. The index READ is scoped
+    to batch_id < current for the same reason: a batch that wrote its
+    index partition and then crashed before the streaming commit is
+    replayed, and without the filter it would find its OWN hashes and
+    score every chunk as reused (reuse_permille=1000 across the batch).
+    With it, a retry recomputes from exactly the pre-batch state —
+    idempotent, pinned by test_cdc_retry_is_idempotent.
 
     Returns the started availableNow query (callers await it).
+    """
+    docs = docs_stream(spark, src_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        _cdc_score_and_commit(
+            spark, batch_df, int(batch_id), index_dir, out_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _cdc_score_and_commit(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+) -> None:
+    """One CDC micro-batch: score chunks against the STRICTLY-PRIOR
+    index (batch_id < current — a replayed batch must not see its own
+    torn writes), commit per-doc reuse stats and novel hashes, each as
+    a dynamic overwrite of this batch_id's partition (retry-idempotent).
+
+    Module-level (not a closure) so the retry contract is directly
+    testable: calling it twice with the same batch_id must be a no-op
+    the second time, byte-for-byte.
     """
     import os
 
@@ -439,56 +473,51 @@ def cdc_reuse_stream(
     from ocr_spark.operators.dedup import cdc_chunks
     from ocr_spark.operators.training import floor_div
 
-    docs = docs_stream(spark, src_dir)
-
-    def process(batch_df, batch_id: int) -> None:
-        ch = cdc_chunks(batch_df).localCheckpoint(eager=False)
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_dir) for f in fs
-        ):
-            idx = spark.read.parquet(index_dir).select("chunk_hash").distinct()
-        else:
-            idx = spark.createDataFrame([], "chunk_hash long")
-        seen = idx.withColumn("seen", F.lit(1))
-        per = (
-            ch.join(seen, "chunk_hash", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.sum(F.coalesce("seen", F.lit(0))).alias("n_reused"),
-            )
-            .select(
-                "doc_id", "n_chunks", "n_reused",
-                floor_div(1000 * F.col("n_reused"), F.col("n_chunks"))
-                .alias("reuse_permille"),
-                F.lit(batch_id).alias("batch_id"),
-            )
+    ch = cdc_chunks(batch_df).localCheckpoint(eager=False)
+    if os.path.isdir(index_dir) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(index_dir) for f in fs
+    ):
+        idx = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .select("chunk_hash")
+            .distinct()
         )
-        # Same idempotency contract as the index write below: a retried
-        # micro-batch overwrites its own batch_id partition instead of
-        # appending duplicate reuse rows.
-        (
-            per.write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .mode("overwrite")
-            .parquet(out_dir)
+    else:
+        idx = spark.createDataFrame([], "chunk_hash long")
+    seen = idx.withColumn("seen", F.lit(1))
+    per = (
+        ch.join(seen, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("seen", F.lit(0))).alias("n_reused"),
         )
-        new_hashes = (
-            ch.select("chunk_hash").distinct()
-            .join(idx, "chunk_hash", "left_anti")
-            .withColumn("batch_id", F.lit(batch_id))
+        .select(
+            "doc_id", "n_chunks", "n_reused",
+            floor_div(1000 * F.col("n_reused"), F.col("n_chunks"))
+            .alias("reuse_permille"),
+            F.lit(batch_id).alias("batch_id"),
         )
-        (
-            new_hashes.write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .mode("overwrite")
-            .parquet(index_dir)
-        )
-
-    return (
-        docs.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    )
+    # Same idempotency contract as the index write below: a retried
+    # micro-batch overwrites its own batch_id partition instead of
+    # appending duplicate reuse rows.
+    (
+        per.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    new_hashes = (
+        ch.select("chunk_hash").distinct()
+        .join(idx, "chunk_hash", "left_anti")
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    (
+        new_hashes.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(index_dir)
     )

@@ -40,3 +40,21 @@ def test_autodetect_falls_back_to_parquet(spark, tmp_path):
     cat = get_catalog(spark, str(tmp_path))
     # no iceberg runtime in the sandbox -> parquet adapter
     assert isinstance(cat, ParquetCatalog)
+
+
+def test_overwrite_partitions_leaves_session_conf_alone(spark, cat):
+    """Dynamic mode must be a per-write option: a session-global
+    conf.set would silently flip unrelated later partitioned overwrites
+    from static (drop all partitions) to dynamic (keep absent ones),
+    resurrecting stale partitions elsewhere in the session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    df = spark.range(6).select(F.col("id"), (F.col("id") % 2).alias("p"))
+    cat.overwrite_partitions(df, "db.conf_probe", ["p"])
+    assert spark.conf.get(key) == before
+    # and the write itself was still dynamic: replacing only p=0 keeps p=1
+    repl = spark.range(50, 51).select(F.col("id"), F.lit(0).alias("p"))
+    cat.overwrite_partitions(repl, "db.conf_probe", ["p"])
+    out = cat.read("db.conf_probe")
+    assert out.where(F.col("p") == 0).count() == 1
+    assert out.where(F.col("p") == 1).count() == 3

@@ -270,3 +270,55 @@ def test_filter_abbreviations():
     hexed = _CONTENT.hex().encode() + b">"
     buf = _one_stream_pdf(b"<< /Filter /AHx >>", hexed)
     assert extract_pdf_text(buf) == "hello filters"
+
+
+def test_flate_body_ending_in_cr_is_not_truncated():
+    """Stream bodies are delimited by /Length (PDF §7.3.8), not by
+    scanning for '\\r?\\nendstream' — the scan ate a final 0x0D data
+    byte (~1/256 of Flate payloads), truncating the stream so zlib
+    raised on a perfectly valid PDF."""
+    import zlib as _z
+
+    comp = salt = None
+    for salt in range(4000):
+        raw = f"BT (salted {salt}) Tj ET".encode()
+        c = _z.compress(raw, 6)
+        if c.endswith(b"\r"):
+            comp = c
+            break
+    assert comp is not None, "no CR-terminated zlib payload in 4000 tries"
+    buf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(buf) == f"salted {salt}"
+
+
+def test_stream_containing_endstream_keyword_is_not_truncated():
+    # a string literal legally containing the bytes '\nendstream'
+    content = b"BT (A\nendstream B) Tj ET"
+    buf = _one_stream_pdf(
+        b"<< /Length " + str(len(content)).encode() + b" >>", content
+    )
+    assert extract_pdf_text(buf) == "A\nendstream B"
+
+
+def test_stale_or_indirect_length_falls_back_to_terminator_scan():
+    # /Length lies (points past the buffer): fall back, still extract
+    buf = _one_stream_pdf(b"<< /Length 99999 >>", b"BT (ok) Tj ET")
+    assert extract_pdf_text(buf) == "ok"
+    # indirect /Length (n g R): not resolvable in a single pass — scan
+    buf = _one_stream_pdf(b"<< /Length 5 0 R >>", b"BT (ok2) Tj ET")
+    assert extract_pdf_text(buf) == "ok2"
+
+
+def test_quote_show_operators_advance_to_next_line():
+    """PDF 9.4.3: ' is T* + show and " is aw ac " (set word/char
+    spacing, T*, show) — both start a NEW line before showing; treating
+    them as bare shows glued consecutive lines together."""
+    stream = b"BT /F1 12 Tf 72 720 Td (line1) Tj (line2) ' 1 2 (line3) \" ET"
+    buf = _one_stream_pdf(b"<< >>", stream)
+    assert extract_pdf_text(buf) == "line1\nline2\nline3"

@@ -104,10 +104,12 @@ def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
         " max_by(total_value, n_events) AS tv FROM totals2 GROUP BY user_id"
     ).collect()
 
+    from ocr_spark.operators.dedup import round_det
+
     want = {
-        r.user_id: (r.n, round(r.tv, 2))
+        r.user_id: (r.n, r.tv)
         for r in events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .agg(F.count(F.lit(1)).alias("n"), round_det(F.sum("value"), 2).alias("tv"))
         .collect()
     }
     assert {r.user_id: (r.n, r.tv) for r in got} == want
@@ -366,3 +368,48 @@ def test_cdc_reuse_stream_matches_batch(spark, tmp_path_factory):
     wave1 = {r.doc_id: r.n_reused for r in out.collect()
              if r.doc_id not in inc_ids}
     assert wave1 and all(v == 0 for v in wave1.values())
+
+
+def test_cdc_retry_is_idempotent(spark, tmp_path_factory):
+    """A replayed micro-batch (crash after the index write, before the
+    streaming commit) must reproduce its ORIGINAL output byte-for-byte:
+    the index read is scoped to batch_id < current, so a retry cannot
+    see its own torn writes. Without the scope, the replay found its
+    own hashes, scored every chunk reuse_permille=1000, AND committed
+    an empty partition over its index hashes (losing them for every
+    later batch)."""
+    import ocr_spark.streaming.pipeline as sp2
+
+    root = tmp_path_factory.mktemp("cdc_retry")
+    idx, out = str(root / "idx"), str(root / "out")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 7 == 0)
+    )
+
+    def snap():
+        per = sorted(
+            (r.doc_id, r.n_chunks, r.n_reused, r.reuse_permille)
+            for r in spark.read.parquet(out).where("batch_id = 0").collect()
+        )
+        hashes = sorted(
+            r.chunk_hash
+            for r in spark.read.parquet(idx).where("batch_id = 0").collect()
+        )
+        return per, hashes
+
+    sp2._cdc_score_and_commit(spark, docs, 0, idx, out)
+    first_per, first_hashes = snap()
+    assert first_per and first_hashes
+    # first batch against an empty index: nothing can be 'reused'
+    assert all(row[2] == 0 for row in first_per)
+
+    # the retry: same batch_id, its own writes already on disk
+    sp2._cdc_score_and_commit(spark, docs, 0, idx, out)
+    assert snap() == (first_per, first_hashes)
+
+    # a LATER batch of the same docs sees batch 0's hashes: all reused
+    sp2._cdc_score_and_commit(spark, docs, 1, idx, out)
+    b1 = spark.read.parquet(out).where("batch_id = 1").collect()
+    assert b1 and all(r.reuse_permille == 1000 for r in b1)

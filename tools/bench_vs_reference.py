@@ -30,7 +30,7 @@ sys.path.insert(0, ROOT)
 WORDS = ["fix-bg", "8", "bin", "auto"]
 
 
-def bench_reference(pages: list[bytes]) -> float:
+def bench_reference(pages: list[bytes]) -> tuple[float, list[bytes]]:
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     from ref_binary import ensure_grafix
 
@@ -43,21 +43,27 @@ def bench_reference(pages: list[bytes]) -> float:
             with open(p, "wb") as f:
                 f.write(buf)
             paths.append(p)
-        outp = os.path.join(td, "out.pnm")
+        # per-page output files so EVERY page's bytes survive for the
+        # identity assertion (a single reused out.pnm kept only the
+        # last page, silently weakening "byte-identical page-for-page"
+        # to last-page-only); same I/O volume either way.
+        outs = [os.path.join(td, f"o{i}.pnm") for i in range(len(paths))]
         # warm one
-        subprocess.run([binary, paths[0], *WORDS, "w", outp], check=True,
+        subprocess.run([binary, paths[0], *WORDS, "w", outs[0]], check=True,
                        capture_output=True)
         t0 = time.perf_counter()
-        for p in paths:
-            subprocess.run([binary, p, *WORDS, "w", outp], check=True,
+        for p, o in zip(paths, outs):
+            subprocess.run([binary, p, *WORDS, "w", o], check=True,
                            capture_output=True)
         dt = time.perf_counter() - t0
-        with open(outp, "rb") as f:
-            last = f.read()
-    return dt, last
+        results = []
+        for o in outs:
+            with open(o, "rb") as f:
+                results.append(f.read())
+    return dt, results
 
 
-def bench_ours(pages: list[bytes], cpus: int) -> tuple[float, bytes]:
+def bench_ours(pages: list[bytes], cpus: int) -> tuple[float, list[bytes]]:
     from ocr_spark.plans.grafix import run_words_pnm_df
     from ocr_spark.session import get_spark
 
@@ -86,9 +92,10 @@ def bench_ours(pages: list[bytes], cpus: int) -> tuple[float, bytes]:
     t0 = time.perf_counter()
     out.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    last = bytes(out.where(out.pag == len(pages) - 1).collect()[0].pnm)
+    by_pag = {r.pag: bytes(r.pnm) for r in out.collect()}
+    results = [by_pag[i] for i in range(len(pages))]
     spark.stop()
-    return dt, last
+    return dt, results
 
 
 def main() -> None:
@@ -107,10 +114,11 @@ def main() -> None:
     pages = [
         pnm.encode_gray(fixtures.shaded(ph, pw, 42, k)) for k in range(n)
     ]
-    ref_dt, ref_last = bench_reference(pages)
-    one_dt, one_last = bench_ours(pages, 1)
-    many_dt, many_last = bench_ours(pages, cpus)
-    assert one_last == ref_last == many_last, "outputs diverged"
+    ref_dt, ref_out = bench_reference(pages)
+    one_dt, one_out = bench_ours(pages, 1)
+    many_dt, many_out = bench_ours(pages, cpus)
+    for i, (r, a, b) in enumerate(zip(ref_out, one_out, many_out)):
+        assert r == a == b, f"outputs diverged on page {i}"
 
     print(
         json.dumps(

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 
 def curate(spark: SparkSession, docs, warehouse: str) -> dict:
-    from ocr_spark.operators.dedup import fast_hash
     from ocr_spark.operators.training import pack_sequences, temperature_resample
     from ocr_spark.sources.snapshots import SnapshotCatalog
 
@@ -46,18 +45,14 @@ def curate(spark: SparkSession, docs, warehouse: str) -> dict:
     ).select("doc_id")
     fetched = docs.join(allowed, "doc_id")
 
-    # 1. model-based quality gate (hashing-trick classifier)
-    from ocr_spark.operators.dedup import tokens
+    # 1. model-based quality gate (hashing-trick classifier) — the
+    # margin definition is shared with the streaming gate via
+    # operators/dedup.quality_margin so batch and stream cannot diverge
+    from ocr_spark.operators.dedup import quality_margin
 
-    margin = F.aggregate(
-        F.transform(
-            tokens(F.col("text")),
-            lambda t: fast_hash(F.concat(F.lit("w:"), t)) % 1001 - 500,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    gated = fetched.withColumn("margin", margin).where(F.col("margin") > 0)
+    gated = fetched.withColumn(
+        "margin", quality_margin(F.col("text"))
+    ).where(F.col("margin") > 0)
 
     # 2. exact dedup, keep lowest doc_id per content hash
     from pyspark.sql import Window
