@@ -145,6 +145,83 @@ def parse_blocks(html: str) -> list[Block]:
     return p.blocks
 
 
+# -- charset sniffing (WHATWG-prescan-style) --------------------------------
+#
+# Common-Crawl payloads are BYTES in whatever encoding the origin served;
+# assuming UTF-8 silently mojibakes every legacy page. The sniff follows
+# the public WHATWG encoding-sniff shape: BOM wins, then a <meta charset>
+# / http-equiv prescan over the first 1024 bytes, then strict-UTF-8
+# probing with a windows-1252 fallback (the de-facto web default — the
+# WHATWG registry maps latin-1/ascii labels there too).
+
+_META_CHARSET = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    re.IGNORECASE,
+)
+
+# WHATWG label -> python codec (subset: the labels that dominate crawls;
+# anything else resolvable by python's codec registry passes through)
+_LABEL_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "latin1": "cp1252",
+    "latin-1": "cp1252",
+    "l1": "cp1252",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "iso_8859-1": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "x-cp1252": "cp1252",
+    # WHATWG "changing the encoding" quirk: a meta-declared utf-16 label
+    # is treated as utf-8 (a real utf-16 page could never carry an
+    # ASCII-parseable meta tag; utf-16 is reached via BOM only).
+    "utf-16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
+}
+
+
+def _resolve_label(label: str) -> str | None:
+    import codecs
+
+    norm = label.strip().lower()
+    if norm in _LABEL_ALIASES:
+        return _LABEL_ALIASES[norm]
+    try:
+        return codecs.lookup(norm).name
+    except LookupError:
+        return None
+
+
+def sniff_decode(raw: bytes | bytearray) -> tuple[str, str]:
+    """Decode an HTML payload to text: returns (text, charset_used).
+
+    Order: BOM (utf-8 / utf-16le / utf-16be, stripped) > meta-charset
+    prescan over the first 1024 bytes > strict utf-8 probe > cp1252
+    fallback (never fails: every byte maps). Deterministic, stdlib-only.
+    """
+    raw = bytes(raw)
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace"), "utf-8"
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+    m = _META_CHARSET.search(raw[:1024])
+    if m:
+        codec = _resolve_label(m.group(1).decode("ascii", errors="replace"))
+        if codec is not None:
+            return raw.decode(codec, errors="replace"), codec
+    try:
+        return raw.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", errors="replace"), "cp1252"
+
+
 def extract_main_text(
     html: str | bytes | None,
     min_chars: int = MIN_BLOCK_CHARS,
@@ -154,7 +231,7 @@ def extract_main_text(
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = sniff_decode(html)[0]
     good = [
         b.text
         for b in parse_blocks(html)

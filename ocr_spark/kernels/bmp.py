@@ -1,0 +1,120 @@
+"""BMP (Windows DIB) codec in pure stdlib + numpy.
+
+Companion to kernels/gif.py for the multimodal column surface: BMP is
+the uncompressed legacy raster format that still shows up in crawled
+corpora (favicons, scanner output, old CMS uploads). The reference
+repo has no BMP path (dispatch is .png/.jpg/PNM only, image.c:271-336)
+— this is spec-driven from the public BITMAPINFOHEADER layout:
+
+* BITMAPFILEHEADER (14 bytes, 'BM', pixel-data offset) +
+  BITMAPINFOHEADER (40 bytes);
+* bit depths 8 (paletted, BGRA quad entries), 24 (BGR), 32 (BGRX —
+  the pad byte is ignored on read);
+* BI_RGB (uncompressed) only; rows padded to 4-byte boundaries;
+* bottom-up rows for positive height, top-down for negative height.
+
+Decoded pixels are (H,W,3) uint8 RGB, same contract as gif.decode /
+png.decode's RGB case, so the multimodal feature UDFs share plumbing.
+Encoder and decoder are written independently (struct-built header vs
+field-by-field parse) so a roundtrip failure localizes the bug.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FILE_HDR = 14
+_INFO_HDR = 40
+
+
+def _row_stride(width: int, bpp_bytes: int) -> int:
+    return (width * bpp_bytes + 3) & ~3
+
+
+def encode(
+    px: np.ndarray,
+    palette: np.ndarray | None = None,
+    top_down: bool = False,
+    bpp: int | None = None,
+) -> bytes:
+    """Serialize (H,W,3) uint8 RGB as 24-bit BI_RGB, or (H,W) uint8
+    indices + (N,3) RGB ``palette`` as 8-bit paletted. ``bpp=32``
+    forces the BGRX layout for an RGB input."""
+    px = np.ascontiguousarray(px, np.uint8)
+    if palette is not None:
+        h, w = px.shape
+        depth = 8
+        n_pal = len(palette)
+        quads = np.zeros((n_pal, 4), np.uint8)
+        quads[:, :3] = palette[:, ::-1]  # BGR0 quad order
+        pal_bytes = quads.tobytes()
+        rows = px
+    else:
+        h, w, _ = px.shape
+        depth = bpp or 24
+        n_pal = 0
+        pal_bytes = b""
+        if depth == 32:
+            rows = np.zeros((h, w, 4), np.uint8)
+            rows[:, :, :3] = px[:, :, ::-1]  # BGRX
+        else:
+            rows = px[:, :, ::-1]  # BGR
+        rows = rows.reshape(h, -1)
+    stride = _row_stride(w, depth // 8)
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : rows.shape[1]] = rows
+    if not top_down:
+        padded = padded[::-1]
+    offset = _FILE_HDR + _INFO_HDR + len(pal_bytes)
+    body = padded.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        _INFO_HDR,
+        w,
+        -h if top_down else h,
+        1,  # planes
+        depth,
+        0,  # BI_RGB
+        len(body),
+        2835,  # 72 dpi
+        2835,
+        n_pal,
+        0,
+    )
+    return header + info + pal_bytes + body
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Parse a BI_RGB BMP to (H,W,3) uint8 RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", buf, _FILE_HDR)
+    if hdr_size < _INFO_HDR:
+        raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    _planes, depth, compression, _, _, _, n_pal, _ = struct.unpack_from(
+        "<HHIIiiII", buf, _FILE_HDR + 12
+    )
+    if compression != 0:
+        raise ValueError(f"bmp: only BI_RGB supported, got {compression}")
+    if depth not in (8, 24, 32):
+        raise ValueError(f"bmp: unsupported bit depth {depth}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = _row_stride(w, depth // 8)
+    raw = np.frombuffer(buf, np.uint8, h * stride, offset).reshape(h, stride)
+    if not top_down:
+        raw = raw[::-1]
+    if depth == 8:
+        if n_pal == 0:
+            n_pal = 256
+        pal_off = _FILE_HDR + hdr_size
+        quads = np.frombuffer(buf, np.uint8, 4 * n_pal, pal_off).reshape(n_pal, 4)
+        rgb_pal = quads[:, 2::-1]  # BGR0 -> RGB
+        return np.ascontiguousarray(rgb_pal[raw[:, :w]])
+    c = depth // 8
+    pix = raw[:, : w * c].reshape(h, w, c)
+    return np.ascontiguousarray(pix[:, :, 2::-1])  # BGR(X) -> RGB

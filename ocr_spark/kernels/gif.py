@@ -1,0 +1,356 @@
+"""GIF codec in pure stdlib + numpy (no external codecs).
+
+GIF is the one major legacy web image format the corpus layer did not
+decode natively (PNM/PNG/JPEG/WAV already are — kernels/pnm.py,
+png.py, jpeg.py); a Common-Crawl-style page table carries plenty of
+``image/gif`` payloads, so the multimodal column surface grows this
+decoder the same way it grew the others. The reference repo itself has
+no GIF path (its dispatch is .png/.jpg/PNM only, image.c:271-336);
+this module is spec-driven from GIF89a (CompuServe, public spec):
+
+* logical screen descriptor + global color table;
+* any number of image descriptors, each with optional LOCAL color
+  table, optional interlace (4-pass row shuffle), and an (left, top)
+  placement inside the logical screen;
+* 89a extension blocks — Graphic Control Extension (transparency
+  index, disposal), comment/application/plain-text extensions are
+  length-skipped;
+* LZW image data: variable-width codes packed LSB-FIRST into bytes
+  (note: the PDF filter in functions/pdf_extract.py is the MSB-first
+  LZW variant with EarlyChange — the two bit orders are deliberately
+  separate implementations), initial width = minimum code size + 1,
+  clear/EOI codes, width grows after the table reaches 2**width,
+  table cap 4096 with deferred-clear tolerated.
+
+The encoder is a REAL LZW compressor (prefix-table string matching,
+width growth, clear-on-full), written independently of the decoder so
+a roundtrip failure localizes the bug; tests also pin hand-assembled
+bitstreams so encoder and decoder cannot share a compensating error.
+Expected pixels for oracle corpora are known BY CONSTRUCTION
+(``palette[indices]``) before any encode runs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_SIG87 = b"GIF87a"
+_SIG89 = b"GIF89a"
+_MAX_CODE = 4096
+
+
+# ---------------------------------------------------------------------------
+# bit packing (LSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _LsbWriter:
+    """Pack variable-width codes least-significant-bit first."""
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self._acc |= code << self._nbits
+        self._nbits += width
+        while self._nbits >= 8:
+            self.out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def flush(self) -> None:
+        if self._nbits:
+            self.out.append(self._acc & 0xFF)
+            self._acc = 0
+            self._nbits = 0
+
+
+class _LsbReader:
+    """Read variable-width codes least-significant-bit first."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read(self, width: int) -> int:
+        while self._nbits < width:
+            if self._pos >= len(self._data):
+                raise ValueError("gif: LZW stream truncated")
+            self._acc |= self._data[self._pos] << self._nbits
+            self._pos += 1
+            self._nbits += 8
+        code = self._acc & ((1 << width) - 1)
+        self._acc >>= width
+        self._nbits -= width
+        return code
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: LSB-first, no EarlyChange)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Real GIF-LZW: greedy longest-prefix matching over a dict keyed
+    by (prefix_code, next_symbol). Emits CLEAR first (spec-recommended)
+    and whenever the table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbWriter()
+    data = indices.ravel()
+
+    def reset() -> tuple[dict, int, int]:
+        return {}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    w.write(clear, width)
+    prev = int(data[0])
+    for sym in data[1:]:
+        sym = int(sym)
+        key = (prev, sym)
+        if key in table:
+            prev = table[key]
+            continue
+        w.write(prev, width)
+        table[key] = next_code
+        next_code += 1
+        # width grows when the NEXT code to assign would not fit
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= _MAX_CODE:
+            w.write(clear, width)
+            table, next_code, width = reset()
+        prev = sym
+    w.write(prev, width)
+    w.write(eoi, width)
+    w.flush()
+    return bytes(w.out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_px: int) -> np.ndarray:
+    """Inverse of _lzw_compress; tolerates deferred clear codes and an
+    absent EOI (both occur in the wild)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    r = _LsbReader(data)
+    out = np.empty(n_px, np.uint8)
+    n_out = 0
+
+    # table maps code -> byte string; codes < clear are literals
+    def reset() -> tuple[list, int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while n_out < n_px:
+        code = r.read(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"gif: LZW code {code} out of range")
+        take = min(len(entry), n_px - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if n_out < n_px:
+        raise ValueError(f"gif: pixel data short ({n_out} < {n_px})")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def _interlace_order(height: int) -> np.ndarray:
+    """Row index permutation: output row of each stored row."""
+    return np.concatenate(
+        [np.arange(start, height, step) for start, step in _INTERLACE_PASSES]
+    ).astype(np.int64)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes into <=255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _read_sub_blocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise ValueError("gif: unterminated sub-blocks")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += buf[pos : pos + n]
+        pos += n
+
+
+def _color_table_bits(n_colors: int) -> int:
+    """Smallest b with 2**(b+1) >= n_colors (field stores b, size 2^(b+1))."""
+    bits = 0
+    while (2 << bits) < n_colors:
+        bits += 1
+    return bits
+
+
+def encode(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    transparent: int | None = None,
+    extra_frames: list[tuple[int, int, np.ndarray]] | None = None,
+) -> bytes:
+    """Serialize a palette image (H,W uint8 indices + (N,3) uint8 RGB
+    palette) as GIF89a. ``extra_frames`` are (left, top, indices)
+    follow-up image blocks sharing the global palette (animation
+    frames without timing — enough to exercise the multi-image and
+    placement decode paths)."""
+    indices = np.ascontiguousarray(indices, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    h, w = indices.shape
+    bits = _color_table_bits(len(palette))
+    gct = np.zeros((2 << bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+
+    out = bytearray(_SIG89)
+    # logical screen descriptor: size, GCT flag + color resolution + GCT size
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits << 4) | bits, 0, 0)
+    out += gct.tobytes()
+
+    def image_block(left: int, top: int, idx: np.ndarray, ilace: bool) -> bytes:
+        ih, iw = idx.shape
+        blk = bytearray()
+        if transparent is not None:
+            # graphic control extension: transparency flag + index
+            blk += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+        blk += struct.pack("<BHHHHB", 0x2C, left, top, iw, ih, 0x40 if ilace else 0)
+        stored = idx[_interlace_order(ih)] if ilace else idx
+        mcs = max(2, bits + 1)
+        blk.append(mcs)
+        blk += _sub_blocks(_lzw_compress(stored, mcs))
+        return bytes(blk)
+
+    out += image_block(0, 0, indices, interlace)
+    for left, top, idx in extra_frames or []:
+        out += image_block(left, top, idx, False)
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_frames(buf: bytes) -> list[dict]:
+    """Parse every image block. Each frame dict carries ``left``,
+    ``top``, ``indices`` (H,W uint8, de-interlaced), ``palette``
+    ((N,3) uint8 — local table if present, else global), and
+    ``transparent`` (index or None, from the preceding GCE)."""
+    if buf[:6] not in (_SIG87, _SIG89):
+        raise ValueError("gif: bad signature")
+    if len(buf) < 13:
+        raise ValueError("gif: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    frames: list[dict] = []
+    transparent: int | None = None
+    while pos < len(buf):
+        b = buf[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            data, pos = _read_sub_blocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4 and data[0] & 0x01:
+                transparent = data[3]
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        if pos + 10 > len(buf):
+            raise ValueError("gif: truncated image descriptor")
+        left, top, iw, ih, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image with no color table")
+        mcs = buf[pos]
+        pos += 1
+        data, pos = _read_sub_blocks(buf, pos)
+        idx = _lzw_decompress(data, mcs, ih * iw).reshape(ih, iw)
+        if iflags & 0x40:
+            out = np.empty_like(idx)
+            out[_interlace_order(ih)] = idx
+            idx = out
+        frames.append(
+            {
+                "left": left,
+                "top": top,
+                "indices": idx,
+                "palette": pal,
+                "transparent": transparent,
+            }
+        )
+        transparent = None
+    if not frames:
+        raise ValueError("gif: no image blocks")
+    # screen size rides along for compositing callers
+    frames[0]["screen"] = (sh, sw)
+    return frames
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """First frame composited onto the logical screen as (H,W,3) uint8
+    RGB. Screen pixels the frame does not cover — placement offsets or
+    transparent indices — read 0 (black), matching a black background."""
+    frames = decode_frames(buf)
+    f0 = frames[0]
+    sh, sw = f0["screen"]
+    px = np.zeros((sh, sw, 3), np.uint8)
+    idx = f0["indices"]
+    rgb = f0["palette"][idx]
+    h, w = idx.shape
+    view = px[f0["top"] : f0["top"] + h, f0["left"] : f0["left"] + w]
+    if f0["transparent"] is None:
+        view[:] = rgb
+    else:
+        mask = idx != f0["transparent"]
+        view[mask] = rgb[mask]
+    return px

@@ -8,6 +8,10 @@ the color-type byte at offset 25 to pick the alpha-preserving filter)
 that contract with the native codecs this repo carries: PNG via
 kernels/png.py (stdlib zlib + numpy), JPEG via kernels/jpeg.py
 (from-scratch T.81 baseline+progressive), PNM via kernels/pnm.py.
+Beyond the reference's own dispatch, ``.gif``/``.bmp`` route to
+kernels/gif.py and kernels/bmp.py (round 4): gray pages write as a
+256-entry identity-palette GIF (lossless for u8) or a 24-bit BMP, and
+read back through the same 3-channel mean as the PNG/JPEG RGB paths.
 
 Pixel conversion on the write side matches image_write_pnm exactly:
 clamp to [0,255] then (uchar) truncation (image.c:253-255) — the PNG
@@ -36,6 +40,20 @@ def encode_by_name(arr: np.ndarray, name: str) -> bytes:
 
         a = np.asarray(arr, dtype=np.float32)
         return jpeg.encode(np.clip(a, 0, 255).astype(np.uint8))
+    if name.endswith(".gif"):
+        # gray as a 256-entry identity palette: lossless for u8 pages
+        from ocr_spark.kernels import gif
+
+        a = np.asarray(arr, dtype=np.float32)
+        u8 = np.clip(a, 0, 255).astype(np.uint8)
+        g = np.arange(256, dtype=np.uint8)
+        return gif.encode(u8, np.stack([g, g, g], axis=-1))
+    if name.endswith(".bmp"):
+        from ocr_spark.kernels import bmp
+
+        a = np.asarray(arr, dtype=np.float32)
+        u8 = np.clip(a, 0, 255).astype(np.uint8)
+        return bmp.encode(np.stack([u8, u8, u8], axis=-1))
     return pnm.encode_gray(arr)
 
 
@@ -58,5 +76,11 @@ def decode_by_name(buf: bytes, name: str) -> np.ndarray:
         px = jpeg.decode(buf).astype(np.float32)
         if px.ndim == 2:
             return px
+        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+    if name.endswith(".gif") or name.endswith(".bmp"):
+        from ocr_spark.kernels import bmp, gif
+
+        mod = gif if name.endswith(".gif") else bmp
+        px = mod.decode(buf).astype(np.float32)
         return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
     return pnm.decode_gray(buf)

@@ -224,3 +224,43 @@ def html_unescape_col(col: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return out
+
+
+# ---------------------------------------------------------------------------
+# charset-aware extraction (legacy-encoding payloads)
+# ---------------------------------------------------------------------------
+
+CHARSET_EXTRACT_SCHEMA = "doc_id INT, charset STRING, n_chars INT, text_md5 STRING"
+
+
+def charset_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Sniff-decode raw page bytes (BOM > meta prescan > utf-8 probe >
+    cp1252 fallback — functions/html_extract.sniff_decode) and run the
+    normative main-content extraction on the decoded text, emitting the
+    codec the sniffer chose plus an md5 fingerprint of the extracted
+    text (utf-8 bytes). One Arrow-batched mapInPandas, same stage shape
+    as with_main_text; the html binary never survives the stage."""
+    import hashlib
+    from typing import Iterator
+
+    from ocr_spark.functions.html_extract import sniff_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[html_col]):
+                text, charset = sniff_decode(bytes(payload))
+                main = extract_main_text(text)
+                rows.append(
+                    (
+                        int(doc_id),
+                        charset,
+                        len(main),
+                        hashlib.md5(main.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "charset", "n_chars", "text_md5"]
+            )
+
+    return df.mapInPandas(run, CHARSET_EXTRACT_SCHEMA)

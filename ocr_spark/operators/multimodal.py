@@ -125,6 +125,16 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
         if px.ndim == 2:
             return px
         return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+    if kind in ("gif", "bmp"):
+        # real decode: pure stdlib + numpy (kernels/gif.py: LSB-first
+        # LZW, interlace, transparency; kernels/bmp.py: BI_RGB
+        # 8/24/32-bit). Both return (H,W,3) uint8 RGB; luminance is the
+        # same 3-channel mean as the PNG/JPEG paths.
+        from ocr_spark.kernels import bmp as _bmp
+        from ocr_spark.kernels import gif as _gif
+
+        px = (_gif if kind == "gif" else _bmp).decode(payload).astype(np.float32)
+        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
     raise ValueError(f"unknown image kind: {kind}")
 
 
@@ -363,15 +373,16 @@ def audio_features(
 
 
 def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic mixed-media corpus for tests/bench: PNM, PNG and
-    baseline-JPEG images, OCRV fake videos, and WAV clips keyed by
-    url, with typed metadata — one row per kind the engine decodes."""
-    from ocr_spark.kernels import fixtures, jpeg, png
+    """Deterministic mixed-media corpus for tests/bench: PNM, PNG,
+    baseline-JPEG, GIF and BMP images, OCRV fake videos, and WAV clips
+    keyed by url, with typed metadata — one row per kind the engine
+    decodes."""
+    from ocr_spark.kernels import bmp, fixtures, gif, jpeg, png
 
     rows = []
     for i in range(n):
         h, w = 32 + (i % 3) * 16, 48 + (i % 2) * 16
-        m = i % 6
+        m = i % 8
         if m == 2:
             frames = [
                 fixtures.shaded(h, w, seed, i * 10 + j) for j in range(4)
@@ -399,6 +410,25 @@ def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
             tri = (np.abs((t + i) % 22 - 11) * 300 - 1500).astype(np.int16)
             payload = encode_wav(tri, 8000)
             meta = ("wav", 0, 0, 0, 8000)
+        elif m == 6:
+            u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
+                np.uint8
+            )
+            payload = gif.encode(
+                u8 % len(_PNG_PALETTE),
+                _PNG_PALETTE,
+                interlace=((i // 8) % 2 == 1),
+            )
+            meta = ("gif", w, h, 1, 0)
+        elif m == 7:
+            u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
+                np.uint8
+            )
+            payload = bmp.encode(
+                np.stack([u8, u8, u8], axis=-1),
+                top_down=((i // 8) % 2 == 1),
+            )
+            meta = ("bmp", w, h, 1, 0)
         else:
             payload = pnm.encode_gray(fixtures.shaded(h, w, seed, i))
             meta = ("pnm", w, h, 1, 0)
@@ -781,3 +811,165 @@ def jpeg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# GIF + BMP: synthetic corpora + distributed integer features
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_corpus(n: int = 16) -> list[dict]:
+    """Deterministic GIF corpus cycling the decode surface: palette
+    sizes that cross LZW width boundaries, Adam-style interlace (the
+    GIF 4-pass row shuffle), transparency (composited as black over
+    the logical screen), and one extra frame every 4th image (multi-
+    image blocks with placement). Pixels come from an integer
+    recurrence, so the expected composited RGB array (``px``, (H,W,3))
+    is known BY CONSTRUCTION — the oracle never runs the decoder."""
+    from ocr_spark.kernels import gif
+
+    out = []
+    for i in range(n):
+        n_pal = (4, 8, 37, 256)[i % 4]
+        h, w = 7 + i % 5, 6 + i % 4
+        idx = (
+            (np.arange(h * w, dtype=np.int64) * 13 + i * 7) % n_pal
+        ).astype(np.uint8).reshape(h, w)
+        pal = (
+            (np.arange(n_pal * 3, dtype=np.int64) * 29 + i * 11) % 256
+        ).astype(np.uint8).reshape(n_pal, 3)
+        transparent = (i % n_pal) if i % 3 == 2 else None
+        extra = None
+        n_frames = 1
+        if i % 4 == 3:
+            fh, fw = 3, 4
+            f2 = (
+                (np.arange(fh * fw, dtype=np.int64) * 5 + i) % n_pal
+            ).astype(np.uint8).reshape(fh, fw)
+            extra = [(1, 2, f2)]
+            n_frames = 2
+        payload = gif.encode(
+            idx,
+            pal,
+            interlace=(i % 2 == 1),
+            transparent=transparent,
+            extra_frames=extra,
+        )
+        px = pal[idx].copy()
+        if transparent is not None:
+            px[idx == transparent] = 0
+        out.append(
+            {
+                "img_id": i,
+                "n_frames": n_frames,
+                "payload": payload,
+                "px": px,
+            }
+        )
+    return out
+
+
+def synth_bmp_corpus(n: int = 12) -> list[dict]:
+    """Deterministic BMP corpus cycling bit depth (8-bit paletted /
+    24-bit BGR / 32-bit BGRX) and row order (bottom-up / top-down),
+    with widths chosen to hit every 4-byte row-padding residue.
+    Expected RGB pixels are known by construction."""
+    from ocr_spark.kernels import bmp
+
+    out = []
+    for i in range(n):
+        h, w = 5 + i % 4, 4 + i % 5  # w*3 % 4 covers all pad residues
+        depth = (8, 24, 32)[i % 3]
+        top_down = (i // 3) % 2 == 1
+        if depth == 8:
+            n_pal = 16 + i
+            idx = (
+                (np.arange(h * w, dtype=np.int64) * 19 + i * 3) % n_pal
+            ).astype(np.uint8).reshape(h, w)
+            pal = (
+                (np.arange(n_pal * 3, dtype=np.int64) * 23 + i) % 256
+            ).astype(np.uint8).reshape(n_pal, 3)
+            payload = bmp.encode(idx, palette=pal, top_down=top_down)
+            px = pal[idx]
+        else:
+            px = (
+                (np.arange(h * w * 3, dtype=np.int64) * 31 + i * 17) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            payload = bmp.encode(px, top_down=top_down, bpp=depth)
+        out.append(
+            {"img_id": i, "depth": depth, "payload": payload, "px": px}
+        )
+    return out
+
+
+GIF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        # LongType for the same int64-wrap reason as PNG_FEATURES_SCHEMA
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def gif_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode GIF payloads (kernels/gif.py) and emit integer features:
+    frame count plus dimensions and pixel sum of the first frame
+    composited onto the logical screen. Same Arrow-batched mapInPandas
+    stage shape as png_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import gif
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                px = gif.decode(buf)
+                n_frames = len(gif.decode_frames(buf))
+                rows.append(
+                    (
+                        int(img_id),
+                        n_frames,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, GIF_FEATURES_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def bmp_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode BMP payloads (kernels/bmp.py) and emit integer features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import bmp
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                px = bmp.decode(bytes(payload))
+                rows.append(
+                    (int(img_id), px.shape[1], px.shape[0], int(px.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BMP_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, BMP_FEATURES_SCHEMA)

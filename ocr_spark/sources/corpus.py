@@ -151,3 +151,72 @@ def pages_pylist(n: int, seed: int = 42, embed_scan: bool = False,
                  scan_shape: tuple[int, int] = (96, 128)) -> list[dict]:
     """Driver-side corpus for pytest (small n only)."""
     return [make_page(i, seed, embed_scan, scan_shape) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# charset-mixed pages (legacy-encoding corpus for the sniff-decode path)
+# ---------------------------------------------------------------------------
+
+# Per-charset accented vocab, restricted to each target codec's repertoire
+# so the encode in charset_page is lossless and the expected text is the
+# constructed unicode string EXACTLY.
+_ACCENT_WORDS = {
+    "cp1252": ["café", "déjà-vu", "naïve", "façade", "œuvre", "– “quoted”", "crème"],
+    "iso8859-2": ["příliš", "žluťoučký", "kůň", "úpěl", "ďábelské", "ódy", "čeština"],
+    "utf-8": ["δεδομένα", "müßig", "数据", "résumé", "Łódź", "señal", "кросс"],
+}
+
+# rotation: (codec for the page bytes, how the charset is signalled)
+_CHARSET_CASES = (
+    ("utf-8", "plain"),        # valid utf-8, no label -> strict-utf-8 probe
+    ("utf-8", "bom"),          # utf-8 BOM
+    ("cp1252", "meta"),        # <meta charset="windows-1252">
+    ("cp1252", "http-equiv"),  # ISO-8859-1 label -> WHATWG-mapped to cp1252
+    ("utf-16-le", "bom"),      # BOM-signalled utf-16
+    ("cp1252", "plain"),       # unlabeled legacy bytes -> cp1252 fallback
+    ("iso8859-2", "meta"),     # non-default codec via registry passthrough
+)
+
+
+def charset_page(doc_id: int, seed: int = 42) -> dict:
+    """One legacy-encoding page: html BYTES in a rotating charset with the
+    matching in-band signal, plus the expected decoded main text and the
+    codec name the sniffer must report — both known by construction."""
+    rng = np.random.default_rng([seed, 7000 + doc_id])
+    codec, signal = _CHARSET_CASES[doc_id % len(_CHARSET_CASES)]
+    words = _ACCENT_WORDS["cp1252" if codec == "cp1252" else
+                          "iso8859-2" if codec == "iso8859-2" else "utf-8"]
+    paragraphs = []
+    for p in range(2 + doc_id % 3):
+        picks = [words[int(i)] for i in rng.integers(0, len(words), 6)]
+        fill = [_VOCAB[int(i)] for i in rng.integers(0, len(_VOCAB), 12)]
+        paragraphs.append(" ".join(picks + fill) + ".")
+    text = "\n".join(paragraphs)
+    main = "\n".join(f"<p>{_html.escape(p)}</p>" for p in paragraphs)
+    meta = ""
+    if signal == "meta":
+        label = {"cp1252": "windows-1252", "iso8859-2": "iso-8859-2"}[codec]
+        meta = f'<meta charset="{label}">'
+    elif signal == "http-equiv":
+        meta = '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+    doc = (
+        f'<!DOCTYPE html><html><head>{meta}<title>doc {doc_id}</title></head><body>'
+        f'<nav><a href="/">home</a> <a href="/t">tags</a></nav>'
+        f"<main>{main}</main>"
+        f"<footer><p>(c) legal privacy terms contact imprint archive</p></footer>"
+        f"</body></html>"
+    )
+    raw = doc.encode(codec)
+    if signal == "bom":
+        raw = {"utf-8": b"\xef\xbb\xbf", "utf-16-le": b"\xff\xfe"}[codec] + raw
+    return {
+        "doc_id": doc_id,
+        "html": raw,
+        "charset": codec,
+        "text": text,
+    }
+
+
+def charset_pages(n: int = 21, seed: int = 42) -> list[dict]:
+    """Deterministic charset-mixed corpus (3 full rotations by default)."""
+    return [charset_page(i, seed) for i in range(n)]

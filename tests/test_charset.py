@@ -1,0 +1,129 @@
+"""Charset sniffing for raw HTML payloads (functions/html_extract.sniff_decode).
+
+The invariant the oracle query (charset_decode_extract) rests on: for
+every page in the charset-mixed corpus, decode recovers EXACTLY the
+unicode string that existed before it was encoded into legacy bytes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.functions.html_extract import (
+    extract_main_text,
+    sniff_decode,
+)
+from ocr_spark.sources.corpus import charset_pages
+
+T = "Café déjà-vu – “naïve” façade"
+
+
+@pytest.mark.parametrize(
+    "raw,want_cs,want_text",
+    [
+        (T.encode("utf-8"), "utf-8", T),
+        (b"\xef\xbb\xbf" + T.encode("utf-8"), "utf-8", T),
+        (b"\xff\xfe" + T.encode("utf-16-le"), "utf-16-le", T),
+        (b"\xfe\xff" + T.encode("utf-16-be"), "utf-16-be", T),
+        (
+            ('<meta charset="windows-1252">' + T).encode("cp1252"),
+            "cp1252",
+            '<meta charset="windows-1252">' + T,
+        ),
+        (
+            (
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=ISO-8859-1">' + T
+            ).encode("cp1252"),
+            "cp1252",
+            None,  # label mapping is the assertion
+        ),
+        # unlabeled legacy bytes: utf-8 probe fails -> cp1252 fallback
+        (T.encode("cp1252"), "cp1252", T),
+        # plain ascii stays utf-8
+        (b"hello world", "utf-8", "hello world"),
+    ],
+)
+def test_sniff_cases(raw, want_cs, want_text):
+    text, cs = sniff_decode(raw)
+    assert cs == want_cs
+    if want_text is not None:
+        assert text == want_text
+
+
+def test_bom_beats_meta_label():
+    # WHATWG: the BOM wins over any in-band declaration
+    raw = b"\xef\xbb\xbf" + ('<meta charset="windows-1252">' + T).encode("utf-8")
+    text, cs = sniff_decode(raw)
+    assert cs == "utf-8" and T in text
+
+
+def test_meta_utf16_label_is_treated_as_utf8():
+    # WHATWG quirk: a meta-declared utf-16 cannot be real (the tag
+    # parsed as ASCII) -> decode as utf-8
+    raw = ('<meta charset="utf-16le">' + T).encode("utf-8")
+    text, cs = sniff_decode(raw)
+    assert cs == "utf-8" and T in text
+
+
+def test_unknown_label_falls_through_to_probe():
+    raw = ('<meta charset="no-such-charset">' + T).encode("utf-8")
+    text, cs = sniff_decode(raw)
+    assert cs == "utf-8" and T in text
+
+
+def test_registry_passthrough_codec():
+    raw = '<meta charset=iso-8859-2>příliš žluťoučký'.encode("iso8859-2")
+    text, cs = sniff_decode(raw)
+    assert cs == "iso8859-2"
+    assert "příliš žluťoučký" in text
+
+
+def test_prescan_window_is_1024_bytes():
+    # a label past the prescan window is ignored (spec behavior)
+    raw = b"<!--" + b"x" * 1100 + b'--><meta charset="windows-1252">' + T.encode("cp1252")
+    _, cs = sniff_decode(raw)
+    assert cs == "cp1252"  # via utf-8-probe FAILURE -> fallback, not the label
+    raw_ok = b"<!--" + b"x" * 1100 + b"-->" + T.encode("utf-8")
+    _, cs2 = sniff_decode(raw_ok)
+    assert cs2 == "utf-8"
+
+
+def test_charset_corpus_recovers_constructed_text():
+    seen = set()
+    for r in charset_pages():
+        text, cs = sniff_decode(r["html"])
+        assert cs == r["charset"], r["doc_id"]
+        assert extract_main_text(r["html"]) == r["text"], r["doc_id"]
+        seen.add((r["charset"], r["doc_id"] % 7))
+    # all seven signal/codec rotations actually exercised
+    assert len(seen) == 7
+
+
+def test_distributed_charset_extract_matches_construction(spark):
+    import hashlib
+
+    from ocr_spark.operators.extract import charset_extract
+
+    pages = charset_pages()
+    df = spark.createDataFrame(
+        [(r["doc_id"], bytearray(r["html"])) for r in pages],
+        "doc_id int, html binary",
+    )
+    got = {r.doc_id: r for r in charset_extract(df.repartition(4)).collect()}
+    assert len(got) == len(pages)
+    for r in pages:
+        row = got[r["doc_id"]]
+        assert row.charset == r["charset"]
+        assert row.n_chars == len(r["text"])
+        assert row.text_md5 == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_plain_utf8_extraction_unchanged():
+    # the sniff must not perturb the existing golden path: valid utf-8
+    # with no label decodes via the strict probe, byte-identical
+    from ocr_spark.sources.corpus import make_page
+
+    for i in range(8):
+        p = make_page(i)
+        assert extract_main_text(p["html"]) == p["text"]

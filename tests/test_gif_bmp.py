@@ -1,0 +1,209 @@
+"""GIF + BMP codecs (kernels/gif.py, kernels/bmp.py).
+
+Encoder and decoder are independent implementations; the hand-assembled
+bitstream pins below are derived from the public specs by hand, so a
+shared compensating bug between the two cannot pass.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import bmp, gif
+
+# ---------------------------------------------------------------------------
+# GIF: hand-assembled bitstream
+# ---------------------------------------------------------------------------
+
+# 2x2 checker, 2-color palette, indices [[0,1],[1,0]].
+# LZW by hand (mcs=2, clear=4, eoi=5, width starts at 3):
+#   clear(4)@3, 0@3, 1@3, 1@3 (table now holds 9 codes -> width 4),
+#   0@4, eoi(5)@4  --> LSB-first packed bytes 0x44 0x02 0x05.
+_HAND_LZW = bytes([0x44, 0x02, 0x05])
+_HAND_GIF = (
+    b"GIF89a"
+    + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)  # LSD: 2-entry GCT
+    + bytes([0, 0, 0, 255, 255, 255])  # palette: black, white
+    + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)  # image descriptor
+    + bytes([2])  # min code size
+    + bytes([len(_HAND_LZW)])
+    + _HAND_LZW
+    + bytes([0])  # sub-block terminator
+    + bytes([0x3B])  # trailer
+)
+
+
+def test_gif_hand_assembled_bitstream_decodes():
+    px = gif.decode(_HAND_GIF)
+    want = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+        np.uint8,
+    )
+    assert np.array_equal(px, want)
+
+
+def test_gif_encoder_reproduces_hand_bitstream():
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    assert gif.encode(idx, pal) == _HAND_GIF
+
+
+def test_gif_interlace_order_is_the_spec_permutation():
+    assert gif._interlace_order(8).tolist() == [0, 4, 2, 6, 1, 3, 5, 7]
+    # every row exactly once at any height
+    for h in (1, 2, 3, 7, 16, 33):
+        assert sorted(gif._interlace_order(h).tolist()) == list(range(h))
+
+
+def test_gif_roundtrip_fuzz():
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        npal = int(rng.integers(2, 256))
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        idx = rng.integers(0, npal, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+        tr = int(rng.integers(0, npal)) if trial % 4 == 2 else None
+        buf = gif.encode(
+            idx, pal, interlace=(trial % 3 == 1), transparent=tr
+        )
+        f = gif.decode_frames(buf)[0]
+        assert np.array_equal(f["indices"], idx)
+        assert np.array_equal(f["palette"][:npal], pal)
+        assert f["transparent"] == tr
+        exp = pal[idx].copy()
+        if tr is not None:
+            exp[idx == tr] = 0
+        assert np.array_equal(gif.decode(buf), exp)
+
+
+def test_gif_table_full_clear_roundtrip():
+    # random 256-color noise forces the LZW table past 4096 -> clear
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    buf = gif.encode(idx, pal)
+    assert np.array_equal(gif.decode_frames(buf)[0]["indices"], idx)
+
+
+def test_gif_multi_frame_placement():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 8, (20, 20)).astype(np.uint8)
+    f2 = rng.integers(0, 8, (5, 7)).astype(np.uint8)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    buf = gif.encode(base, pal, extra_frames=[(3, 4, f2)])
+    frames = gif.decode_frames(buf)
+    assert len(frames) == 2
+    assert (frames[1]["left"], frames[1]["top"]) == (3, 4)
+    assert np.array_equal(frames[1]["indices"], f2)
+    # decode() composites the FIRST frame only
+    assert np.array_equal(gif.decode(buf), pal[base])
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        gif.decode(b"NOTAGIF" * 4)
+    with pytest.raises(ValueError):
+        gif.decode(_HAND_GIF[:20])  # truncated
+
+
+def test_gif_kwkwk_case():
+    # aaa...: code len(table) (the KwKwK special case) occurs immediately
+    idx = np.zeros((1, 50), np.uint8)
+    pal = np.array([[9, 9, 9], [0, 0, 0]], np.uint8)
+    buf = gif.encode(idx, pal)
+    assert np.array_equal(gif.decode_frames(buf)[0]["indices"], idx)
+
+
+# ---------------------------------------------------------------------------
+# BMP: hand-assembled file
+# ---------------------------------------------------------------------------
+
+
+def _hand_bmp() -> bytes:
+    # 2x1 24-bit bottom-up: single row, pixels RGB (1,2,3), (4,5,6);
+    # stored BGR with 2 pad bytes (2*3=6 -> stride 8).
+    row = bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(row), 0, 0, 14 + 40)
+    return hdr + info + row
+
+
+def test_bmp_hand_assembled_file_decodes():
+    px = bmp.decode(_hand_bmp())
+    assert np.array_equal(px, np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8))
+
+
+def test_bmp_encoder_reproduces_hand_file_pixels():
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)
+    enc = bmp.encode(px)
+    # pixel payload identical (headers may differ in dpi fields)
+    assert enc[-8:] == _hand_bmp()[-8:]
+    assert np.array_equal(bmp.decode(enc), px)
+
+
+def test_bmp_roundtrip_fuzz():
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        td = bool(trial % 2)
+        if trial % 3 == 0:
+            npal = int(rng.integers(2, 256))
+            idx = rng.integers(0, npal, (h, w)).astype(np.uint8)
+            pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+            buf = bmp.encode(idx, palette=pal, top_down=td)
+            assert np.array_equal(bmp.decode(buf), pal[idx])
+        else:
+            px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            depth = 32 if trial % 3 == 2 else 24
+            buf = bmp.encode(px, top_down=td, bpp=depth)
+            assert np.array_equal(bmp.decode(buf), px)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        bmp.decode(b"XX" + b"\x00" * 60)
+    # RLE8 compression flagged, not silently misparsed
+    buf = bytearray(_hand_bmp())
+    struct.pack_into("<I", buf, 14 + 16, 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        bmp.decode(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# corpora: construction parity (what the VALUES oracles rest on)
+# ---------------------------------------------------------------------------
+
+
+def test_synth_gif_corpus_matches_construction():
+    from ocr_spark.operators.multimodal import synth_gif_corpus
+
+    for r in synth_gif_corpus():
+        assert np.array_equal(gif.decode(r["payload"]), r["px"]), r["img_id"]
+        assert len(gif.decode_frames(r["payload"])) == r["n_frames"]
+
+
+def test_synth_bmp_corpus_matches_construction():
+    from ocr_spark.operators.multimodal import synth_bmp_corpus
+
+    for r in synth_bmp_corpus():
+        assert np.array_equal(bmp.decode(r["payload"]), r["px"]), r["img_id"]
+
+
+# ---------------------------------------------------------------------------
+# imageio extension dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_imageio_gif_bmp_roundtrip_lossless():
+    from ocr_spark.kernels import fixtures, imageio
+
+    arr = fixtures.shaded(24, 31, 42, 3)
+    u8 = np.clip(arr, 0, 255).astype(np.uint8)
+    for ext in (".gif", ".bmp"):
+        buf = imageio.encode_by_name(arr, "page" + ext)
+        back = imageio.decode_by_name(buf, "page" + ext)
+        # gray in -> identical gray out (identity palette / equal RGB)
+        assert np.array_equal(back.astype(np.uint8), u8), ext

@@ -13,19 +13,20 @@ from ocr_spark.operators import multimodal as mm
 
 @pytest.fixture(scope="module")
 def media(spark):
-    return mm.media_corpus(spark, 12).cache()
+    return mm.media_corpus(spark, 16).cache()
 
 
 def test_media_corpus_schema(media):
     assert set(media.columns) >= {"url", "media", "kind", "media_meta"}
     kinds = {r.kind for r in media.select("kind").distinct().collect()}
-    assert kinds == {"pnm", "ocrv", "png", "jpeg", "wav"}
+    assert kinds == {"pnm", "ocrv", "png", "jpeg", "wav", "gif", "bmp"}
 
 
 def test_image_features_across_codecs(media):
-    """image_features decodes PNM, PNG and JPEG rows through one
-    dispatch; PNG is lossless (exact dims + mean), JPEG approximate."""
-    imgs = media.where(F.col("kind").isin("png", "jpeg"))
+    """image_features decodes PNM, PNG, JPEG, GIF and BMP rows through
+    one dispatch; PNG/GIF/BMP are lossless (exact dims + mean), JPEG
+    approximate."""
+    imgs = media.where(F.col("kind").isin("png", "jpeg", "gif", "bmp"))
     rows = {r.url: r for r in mm.image_features(imgs).collect()}
     assert rows and all(r.error is None for r in rows.values())
     for r in imgs.select("url", "media", "kind").collect():
