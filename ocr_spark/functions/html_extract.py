@@ -197,12 +197,20 @@ def _resolve_label(label: str) -> str | None:
         return None
 
 
-def sniff_decode(raw: bytes | bytearray) -> tuple[str, str]:
+_CT_CHARSET = re.compile(r"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)", re.IGNORECASE)
+
+
+def sniff_decode(
+    raw: bytes | bytearray, content_type: str | None = None
+) -> tuple[str, str]:
     """Decode an HTML payload to text: returns (text, charset_used).
 
-    Order: BOM (utf-8 / utf-16le / utf-16be, stripped) > meta-charset
-    prescan over the first 1024 bytes > strict utf-8 probe > cp1252
-    fallback (never fails: every byte maps). Deterministic, stdlib-only.
+    Order (WHATWG): BOM (utf-8 / utf-16le / utf-16be, stripped) >
+    transport-layer charset (the HTTP Content-Type parameter, when the
+    caller has one — e.g. from a WARC record's HTTP block) > meta-
+    charset prescan over the first 1024 bytes > strict utf-8 probe >
+    cp1252 fallback (never fails: every byte maps). Deterministic,
+    stdlib-only.
     """
     raw = bytes(raw)
     if raw[:3] == b"\xef\xbb\xbf":
@@ -211,6 +219,12 @@ def sniff_decode(raw: bytes | bytearray) -> tuple[str, str]:
         return raw[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+    if content_type:
+        mh = _CT_CHARSET.search(content_type)
+        if mh:
+            codec = _resolve_label(mh.group(1))
+            if codec is not None:
+                return raw.decode(codec, errors="replace"), codec
     m = _META_CHARSET.search(raw[:1024])
     if m:
         codec = _resolve_label(m.group(1).decode("ascii", errors="replace"))

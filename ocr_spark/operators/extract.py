@@ -234,12 +234,15 @@ CHARSET_EXTRACT_SCHEMA = "doc_id INT, charset STRING, n_chars INT, text_md5 STRI
 
 
 def charset_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """Sniff-decode raw page bytes (BOM > meta prescan > utf-8 probe >
-    cp1252 fallback — functions/html_extract.sniff_decode) and run the
-    normative main-content extraction on the decoded text, emitting the
-    codec the sniffer chose plus an md5 fingerprint of the extracted
-    text (utf-8 bytes). One Arrow-batched mapInPandas, same stage shape
-    as with_main_text; the html binary never survives the stage."""
+    """Sniff-decode raw page bytes (BOM > HTTP Content-Type charset >
+    meta prescan > utf-8 probe > cp1252 fallback —
+    functions/html_extract.sniff_decode) and run the normative
+    main-content extraction on the decoded text, emitting the codec the
+    sniffer chose plus an md5 fingerprint of the extracted text (utf-8
+    bytes). If the input carries a ``content_type`` column (the WARC
+    path does), its charset parameter takes the transport-layer slot in
+    the sniff order. One Arrow-batched mapInPandas, same stage shape as
+    with_main_text; the html binary never survives the stage."""
     import hashlib
     from typing import Iterator
 
@@ -248,8 +251,15 @@ def charset_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[html_col]):
-                text, charset = sniff_decode(bytes(payload))
+            ctypes = (
+                pdf["content_type"]
+                if "content_type" in pdf.columns
+                else pd.Series([None] * len(pdf))
+            )
+            for doc_id, payload, ctype in zip(pdf["doc_id"], pdf[html_col], ctypes):
+                text, charset = sniff_decode(
+                    bytes(payload), None if ctype is None else str(ctype)
+                )
                 main = extract_main_text(text)
                 rows.append(
                     (

@@ -9050,6 +9050,85 @@ def charset_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charset_extract(base.repartition(8, "doc_id"))
 
 
+def _warc_charset_oracle() -> str:
+    """Literal-VALUES oracle from the page construction (expected codec
+    + md5 of the PRE-ENCODE unicode main text — the sniffer, the WARC
+    writer and the WARC parser are never consulted)."""
+    import hashlib
+
+    from ocr_spark.sources.corpus import header_charset_pages
+
+    rows = ", ".join(
+        f"({r['doc_id']}, '{r['charset']}', {len(r['text'])}, "
+        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}')"
+        for r in header_charset_pages()
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, charset, n_chars, text_md5)"
+    )
+
+
+@query("warc_charset_extract", _warc_charset_oracle())
+def warc_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-layer charset through the full WARC path (round 4):
+    pages whose encoding is signalled by the HTTP Content-Type header
+    are serialized into WARC/1.0 response records, parsed back by the
+    production parser (sources/warc.py now surfaces the HTTP
+    Content-Type as a column), and sniff-decoded with the header taking
+    the WHATWG transport-layer slot — BOM > header > meta > probe >
+    fallback. One rotation case has a LYING <meta charset="utf-8"> over
+    cp1252 bytes: only the header priority recovers the exact text, so
+    the oracle pins the precedence, not just the decode."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.operators.extract import charset_extract
+    from ocr_spark.sources.corpus import header_charset_pages
+    from ocr_spark.sources.warc import make_warc, parse_warc
+
+    pages = header_charset_pages()
+    recs = [
+        (
+            r["doc_id"],
+            bytearray(
+                make_warc(
+                    [
+                        (
+                            f"https://h.example/d{r['doc_id']}",
+                            "2024-01-01T00:00:00Z",
+                            r["html"],
+                            r["content_type"],
+                        )
+                    ]
+                )
+            ),
+        )
+        for r in pages
+    ]
+    df = spark.createDataFrame(recs, "doc_id int, warc binary")
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["warc"]):
+                rows = parse_warc(bytes(buf), "inline")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                out.append(
+                    (int(doc_id), rows[0]["html"], rows[0]["content_type"])
+                )
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "html", "content_type"]
+            )
+
+    parsed = df.repartition(8, "doc_id").mapInPandas(
+        parse, "doc_id int, html binary, content_type string"
+    )
+    return charset_extract(parsed)
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
@@ -9073,7 +9152,9 @@ def charset_decode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (charset_decode_extract, gif_decode_features, bmp_decode_features)
 # swap in for join_segment_totals / rollup_lineitem_status /
 # doc_fingerprint (each driver-green in r1+r2+r3 with a family sibling
-# still in the 50). Rotated out (all keep local-gate + pytest
+# still in the 50), and warc_charset_extract (transport-layer charset
+# through the full WARC path, strictly more than the r3-green
+# warc_roundtrip_extract it replaces) takes the WARC slot. Rotated out (all keep local-gate + pytest
 # evidence): q5_nation_revenue, window_running_user_value,
 # except_open_custkeys, topk_documents, scalar_subquery_above_avg,
 # range_join_error_context, anti_join_idle_customers, px_split_pages,
@@ -9129,7 +9210,7 @@ _DRIVER_FIRST_50 = [
     "host_communities_lp",
     "kcore_membership",
     "crawl_budget_apportionment",
-    "warc_roundtrip_extract",
+    "warc_charset_extract",
     # sketches
     "cms_token_sketch",
     "bloom_token_filter",

@@ -220,3 +220,55 @@ def charset_page(doc_id: int, seed: int = 42) -> dict:
 def charset_pages(n: int = 21, seed: int = 42) -> list[dict]:
     """Deterministic charset-mixed corpus (3 full rotations by default)."""
     return [charset_page(i, seed) for i in range(n)]
+
+
+_HEADER_CHARSET_CASES = (
+    # (body codec, HTTP Content-Type, meta tag, expected winning codec)
+    ("cp1252", "text/html; charset=windows-1252", "", "cp1252"),
+    # the meta LIES (claims utf-8 over cp1252 bytes): the transport-layer
+    # header outranks the prescan, so decode must still be exact
+    ("cp1252", "text/html; charset=ISO-8859-1",
+     '<meta charset="utf-8">', "cp1252"),
+    ("utf-8", "text/html", "", "utf-8"),        # no header param -> probe
+    ("utf-8", "text/html; charset=utf-8", "", "utf-8"),  # BOM agrees (added below)
+)
+
+
+def header_charset_page(doc_id: int, seed: int = 42) -> dict:
+    """One WARC-style page whose charset is signalled by the HTTP
+    Content-Type header: returns the raw body bytes, the header value,
+    the expected codec, and the expected decoded main text (known
+    before encoding — the construction never runs the sniffer)."""
+    rng = np.random.default_rng([seed, 9000 + doc_id])
+    codec, ctype, meta, want = _HEADER_CHARSET_CASES[
+        doc_id % len(_HEADER_CHARSET_CASES)
+    ]
+    words = _ACCENT_WORDS["cp1252" if codec == "cp1252" else "utf-8"]
+    paragraphs = []
+    for _ in range(2 + doc_id % 2):
+        picks = [words[int(i)] for i in rng.integers(0, len(words), 5)]
+        fill = [_VOCAB[int(i)] for i in rng.integers(0, len(_VOCAB), 14)]
+        paragraphs.append(" ".join(picks + fill) + ".")
+    text = "\n".join(paragraphs)
+    main = "\n".join(f"<p>{_html.escape(p)}</p>" for p in paragraphs)
+    doc = (
+        f"<!DOCTYPE html><html><head>{meta}<title>d{doc_id}</title></head>"
+        f"<body><main>{main}</main>"
+        f"<footer><p>(c) legal privacy terms contact imprint archive</p></footer>"
+        f"</body></html>"
+    )
+    raw = doc.encode(codec)
+    if doc_id % len(_HEADER_CHARSET_CASES) == 3:
+        raw = b"\xef\xbb\xbf" + raw  # BOM case: BOM outranks the header
+    return {
+        "doc_id": doc_id,
+        "html": raw,
+        "content_type": ctype,
+        "charset": want,
+        "text": text,
+    }
+
+
+def header_charset_pages(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic header-signalled charset corpus (3 full rotations)."""
+    return [header_charset_page(i, seed) for i in range(n)]

@@ -42,17 +42,23 @@ from pyspark.sql.types import (
 CRLF = b"\r\n"
 
 
-def make_warc(records: list[tuple[str, str, bytes]]) -> bytes:
-    """Build a WARC/1.0 byte stream from (url, iso_ts, html) triples.
+def make_warc(
+    records: list[tuple[str, str, bytes]] | list[tuple[str, str, bytes, str]]
+) -> bytes:
+    """Build a WARC/1.0 byte stream from (url, iso_ts, html) triples —
+    or 4-tuples with an explicit HTTP Content-Type value (e.g.
+    ``"text/html; charset=windows-1252"``; default ``text/html``).
 
     Each record is a ``response`` with an HTTP/1.1 header; the stored
     Content-Length covers the full HTTP block, per the spec.
     """
     out = bytearray()
-    for url, ts, html in records:
+    for rec in records:
+        url, ts, html = rec[0], rec[1], rec[2]
+        ctype = rec[3] if len(rec) > 3 else "text/html"
         http = (
             b"HTTP/1.1 200 OK" + CRLF
-            + b"Content-Type: text/html" + CRLF
+            + b"Content-Type: " + ctype.encode("latin-1") + CRLF
             + b"Content-Length: " + str(len(html)).encode() + CRLF
             + CRLF
             + html
@@ -182,6 +188,16 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
             # strip the HTTP header block; payload follows CRLFCRLF
             sep = body.find(CRLF + CRLF)
             html = body[sep + 4 :] if sep >= 0 else body
+            # keep the HTTP Content-Type: its charset parameter outranks
+            # any in-band <meta> declaration in the WHATWG sniff order
+            # (functions/html_extract.sniff_decode consumes it)
+            ctype = None
+            if sep >= 0:
+                for hline in body[:sep].split(CRLF)[1:]:
+                    hk, _, hv = hline.partition(b":")
+                    if hk.strip().lower() == b"content-type":
+                        ctype = hv.strip().decode("latin-1")
+                        break
             ts = headers.get("warc-date", "")
             try:
                 warc_ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
@@ -197,6 +213,7 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                     "record_offset": pos,
                     "record_length": body_end + 4 - pos,
                     "error": None,
+                    "content_type": ctype,
                 }
             )
         pos = body_end + 4  # past the record's closing CRLF CRLF
@@ -212,6 +229,7 @@ def _dead(filename: str, pos: int, why: str) -> dict:
         "record_offset": pos,
         "record_length": 0,
         "error": why,
+        "content_type": None,
     }
 
 
@@ -224,6 +242,7 @@ WARC_SCHEMA = StructType(
         StructField("record_offset", LongType()),
         StructField("record_length", LongType()),
         StructField("error", StringType()),
+        StructField("content_type", StringType()),
     ]
 )
 

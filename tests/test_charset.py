@@ -127,3 +127,61 @@ def test_plain_utf8_extraction_unchanged():
     for i in range(8):
         p = make_page(i)
         assert extract_main_text(p["html"]) == p["text"]
+
+
+# ---------------------------------------------------------------------------
+# transport-layer (HTTP header) charset priority
+# ---------------------------------------------------------------------------
+
+
+def test_header_charset_outranks_meta():
+    raw = ('<meta charset="utf-8">' + T).encode("cp1252")
+    text, cs = sniff_decode(raw, "text/html; charset=windows-1252")
+    assert cs == "cp1252" and T in text
+    # without the header, the lying meta wins and the text mojibakes
+    bad, cs2 = sniff_decode(raw)
+    assert cs2 == "utf-8" and T not in bad
+
+
+def test_bom_outranks_header():
+    raw = b"\xef\xbb\xbf" + T.encode("utf-8")
+    text, cs = sniff_decode(raw, "text/html; charset=windows-1252")
+    assert cs == "utf-8" and T in text
+
+
+def test_header_without_charset_param_falls_through():
+    text, cs = sniff_decode(T.encode("utf-8"), "text/html")
+    assert cs == "utf-8" and text == T
+
+
+def test_warc_parser_surfaces_content_type():
+    from ocr_spark.sources.warc import make_warc, parse_warc
+
+    buf = make_warc(
+        [
+            ("https://a.example/1", "2024-01-01T00:00:00Z", b"<p>x</p>",
+             "text/html; charset=windows-1252"),
+            ("https://a.example/2", "2024-01-01T00:00:00Z", b"<p>y</p>"),
+        ]
+    )
+    rows = parse_warc(buf, "t")
+    assert rows[0]["content_type"] == "text/html; charset=windows-1252"
+    assert rows[1]["content_type"] == "text/html"
+
+
+def test_header_charset_corpus_recovers_text_and_pins_priority():
+    import hashlib
+
+    from ocr_spark.sources.corpus import header_charset_pages
+
+    for r in header_charset_pages():
+        text, cs = sniff_decode(r["html"], r["content_type"])
+        assert cs == r["charset"], r["doc_id"]
+        main = extract_main_text(text)
+        assert main == r["text"], r["doc_id"]
+        assert hashlib.md5(main.encode()).hexdigest() == hashlib.md5(
+            r["text"].encode()
+        ).hexdigest()
+        if r["doc_id"] % 4 == 1:  # the lying-meta rotation
+            bad, _ = sniff_decode(r["html"])
+            assert extract_main_text(bad) != r["text"]
