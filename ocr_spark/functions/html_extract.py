@@ -198,6 +198,7 @@ def _resolve_label(label: str) -> str | None:
 
 
 _CT_CHARSET = re.compile(r"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)", re.IGNORECASE)
+_HTML_COMMENT = re.compile(rb"<!--.*?(?:-->|$)", re.DOTALL)
 
 
 def sniff_decode(
@@ -222,10 +223,21 @@ def sniff_decode(
     if content_type:
         mh = _CT_CHARSET.search(content_type)
         if mh:
-            codec = _resolve_label(mh.group(1))
+            label = mh.group(1).strip().lower()
+            # transport-layer utf-16 labels are REAL here (the
+            # label->utf-8 quirk in _LABEL_ALIASES applies only to
+            # in-band meta declarations, which parse as ASCII)
+            codec = {
+                "utf-16": "utf-16-le",
+                "utf-16le": "utf-16-le",
+                "utf-16be": "utf-16-be",
+            }.get(label) or _resolve_label(label)
             if codec is not None:
                 return raw.decode(codec, errors="replace"), codec
-    m = _META_CHARSET.search(raw[:1024])
+    # WHATWG prescan skips comments: a commented-out legacy meta must
+    # not hijack the decode. Unterminated comments blank to window end.
+    prefix = _HTML_COMMENT.sub(b"", raw[:1024])
+    m = _META_CHARSET.search(prefix)
     if m:
         codec = _resolve_label(m.group(1).decode("ascii", errors="replace"))
         if codec is not None:

@@ -336,17 +336,22 @@ def decode_frames(buf: bytes) -> list[dict]:
     return frames
 
 
-def decode(buf: bytes) -> np.ndarray:
-    """First frame composited onto the logical screen as (H,W,3) uint8
-    RGB. Screen pixels the frame does not cover — placement offsets or
-    transparent indices — read 0 (black), matching a black background."""
-    frames = decode_frames(buf)
+def composite_first(frames: list[dict]) -> np.ndarray:
+    """First frame of a decode_frames result composited onto the
+    logical screen as (H,W,3) uint8 RGB. Screen pixels the frame does
+    not cover — placement offsets or transparent indices — read 0
+    (black), matching a black background."""
     f0 = frames[0]
     sh, sw = f0["screen"]
-    px = np.zeros((sh, sw, 3), np.uint8)
     idx = f0["indices"]
-    rgb = f0["palette"][idx]
     h, w = idx.shape
+    if f0["top"] + h > sh or f0["left"] + w > sw:
+        raise ValueError(
+            f"gif: frame ({h}x{w} at {f0['top']},{f0['left']}) exceeds "
+            f"logical screen ({sh}x{sw})"
+        )
+    px = np.zeros((sh, sw, 3), np.uint8)
+    rgb = f0["palette"][idx]
     view = px[f0["top"] : f0["top"] + h, f0["left"] : f0["left"] + w]
     if f0["transparent"] is None:
         view[:] = rgb
@@ -354,3 +359,9 @@ def decode(buf: bytes) -> np.ndarray:
         mask = idx != f0["transparent"]
         view[mask] = rgb[mask]
     return px
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """First frame composited onto the logical screen (see
+    composite_first)."""
+    return composite_first(decode_frames(buf))

@@ -79,8 +79,8 @@ def decode_by_name(buf: bytes, name: str) -> np.ndarray:
         return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
     if name.endswith(".gif") or name.endswith(".bmp"):
         from ocr_spark.kernels import bmp, gif
+        from ocr_spark.kernels.util import rgb_mean_gray
 
         mod = gif if name.endswith(".gif") else bmp
-        px = mod.decode(buf).astype(np.float32)
-        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+        return rgb_mean_gray(mod.decode(buf))
     return pnm.decode_gray(buf)

@@ -36,3 +36,14 @@ c_roundf = c_round
 
 def as_f32(a) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(a, dtype=np.float32))
+
+
+def rgb_mean_gray(px: np.ndarray) -> np.ndarray:
+    """(H,W,3) RGB -> float32 gray via the 3-channel mean.
+
+    The ONE definition of luminance collapse for the RGB codec paths
+    (jpeg/gif/bmp decode_image branches, imageio dispatch, GIF frame
+    shredding) — these must stay numerically in lockstep for the
+    lossless-roundtrip oracles, so they all call here."""
+    px = px.astype(np.float32)
+    return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)

@@ -230,7 +230,9 @@ def html_unescape_col(col: Column) -> Column:
 # charset-aware extraction (legacy-encoding payloads)
 # ---------------------------------------------------------------------------
 
-CHARSET_EXTRACT_SCHEMA = "doc_id INT, charset STRING, n_chars INT, text_md5 STRING"
+CHARSET_EXTRACT_SCHEMA = (
+    "doc_id INT, charset STRING, n_chars INT, text_md5 STRING, error STRING"
+)
 
 
 def charset_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
@@ -257,20 +259,32 @@ def charset_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
                 else pd.Series([None] * len(pdf))
             )
             for doc_id, payload, ctype in zip(pdf["doc_id"], pdf[html_col], ctypes):
-                text, charset = sniff_decode(
-                    bytes(payload), None if ctype is None else str(ctype)
-                )
-                main = extract_main_text(text)
+                # dead-letter, never kill the stage: the WARC parser
+                # emits html=None rows for corrupt records (same
+                # convention as image_features)
+                if payload is None:
+                    rows.append((int(doc_id), None, None, None, "null payload"))
+                    continue
+                try:
+                    text, charset = sniff_decode(
+                        bytes(payload), None if ctype is None else str(ctype)
+                    )
+                    main = extract_main_text(text)
+                except Exception as e:  # noqa: BLE001 — dead-letter row
+                    rows.append((int(doc_id), None, None, None, repr(e)[:200]))
+                    continue
                 rows.append(
                     (
                         int(doc_id),
                         charset,
                         len(main),
                         hashlib.md5(main.encode("utf-8")).hexdigest(),
+                        None,
                     )
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "charset", "n_chars", "text_md5"]
+                rows,
+                columns=["doc_id", "charset", "n_chars", "text_md5", "error"],
             )
 
     return df.mapInPandas(run, CHARSET_EXTRACT_SCHEMA)

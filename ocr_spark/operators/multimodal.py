@@ -121,10 +121,12 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
         # production build would route those through Pillow.
         from ocr_spark.kernels import jpeg
 
+        from ocr_spark.kernels.util import rgb_mean_gray
+
         px = jpeg.decode(payload).astype(np.float32)
         if px.ndim == 2:
             return px
-        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+        return rgb_mean_gray(px)
     if kind in ("gif", "bmp"):
         # real decode: pure stdlib + numpy (kernels/gif.py: LSB-first
         # LZW, interlace, transparency; kernels/bmp.py: BI_RGB
@@ -132,9 +134,9 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
         # same 3-channel mean as the PNG/JPEG paths.
         from ocr_spark.kernels import bmp as _bmp
         from ocr_spark.kernels import gif as _gif
+        from ocr_spark.kernels.util import rgb_mean_gray
 
-        px = (_gif if kind == "gif" else _bmp).decode(payload).astype(np.float32)
-        return (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / np.float32(3.0)
+        return rgb_mean_gray((_gif if kind == "gif" else _bmp).decode(payload))
     raise ValueError(f"unknown image kind: {kind}")
 
 
@@ -311,7 +313,10 @@ FRAMES_SCHEMA = StructType(
 def sample_frames(
     df: DataFrame, every_k: int = 2, payload_col: str = "media"
 ) -> DataFrame:
-    """1->N fan-out: emit every k-th frame of each OCRV container.
+    """1->N fan-out: emit every k-th frame of each OCRV container — or
+    of each animated GIF (payloads sniffed by magic; each GIF image
+    block renders via its own palette to a gray PNM frame, so both
+    container kinds shred to the same per-frame payload contract).
 
     At scale this is the standard video shredder: fan-out happens
     executor-side (no driver involvement), and the output is typically
@@ -319,11 +324,24 @@ def sample_frames(
     long video cannot pin a partition.
     """
 
+    def frames_of(payload: bytes) -> list[bytes]:
+        if payload[:4] == _OCRV_MAGIC:
+            return decode_ocrv(payload)
+        if payload[:4] == b"GIF8":
+            from ocr_spark.kernels import gif as _gif
+            from ocr_spark.kernels.util import rgb_mean_gray
+
+            return [
+                pnm.encode_gray(rgb_mean_gray(fr["palette"][fr["indices"]]))
+                for fr in _gif.decode_frames(payload)
+            ]
+        raise ValueError("sample_frames: not an OCRV or GIF container")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf[payload_col]):
-                for i, fb in enumerate(decode_ocrv(bytes(payload))):
+                for i, fb in enumerate(frames_of(bytes(payload))):
                     if i % every_k == 0:
                         rows.append((url, i, fb))
             yield pd.DataFrame(
@@ -926,9 +944,11 @@ def gif_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
         for pdf in batches:
             rows = []
             for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
-                buf = bytes(payload)
-                px = gif.decode(buf)
-                n_frames = len(gif.decode_frames(buf))
+                # one container parse: decode_frames runs the LZW once;
+                # the first-frame composite reuses the decoded list
+                frames = gif.decode_frames(bytes(payload))
+                px = gif.composite_first(frames)
+                n_frames = len(frames)
                 rows.append(
                     (
                         int(img_id),

@@ -9018,13 +9018,14 @@ def _charset_oracle() -> str:
 
     rows = ", ".join(
         f"({r['doc_id']}, '{r['charset']}', {len(r['text'])}, "
-        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}')"
+        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}', "
+        "CAST(NULL AS VARCHAR))"
         for r in charset_pages()
     )
     return (
         "SELECT * FROM (VALUES "
         + rows
-        + ") AS t(doc_id, charset, n_chars, text_md5)"
+        + ") AS t(doc_id, charset, n_chars, text_md5, error)"
     )
 
 
@@ -9060,13 +9061,14 @@ def _warc_charset_oracle() -> str:
 
     rows = ", ".join(
         f"({r['doc_id']}, '{r['charset']}', {len(r['text'])}, "
-        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}')"
+        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}', "
+        "CAST(NULL AS VARCHAR))"
         for r in header_charset_pages()
     )
     return (
         "SELECT * FROM (VALUES "
         + rows
-        + ") AS t(doc_id, charset, n_chars, text_md5)"
+        + ") AS t(doc_id, charset, n_chars, text_md5, error)"
     )
 
 

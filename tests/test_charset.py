@@ -185,3 +185,30 @@ def test_header_charset_corpus_recovers_text_and_pins_priority():
         if r["doc_id"] % 4 == 1:  # the lying-meta rotation
             bad, _ = sniff_decode(r["html"])
             assert extract_main_text(bad) != r["text"]
+
+
+def test_header_utf16_label_is_real_utf16():
+    # transport-layer utf-16 labels name the REAL encoding (the
+    # label->utf-8 quirk applies only to in-band meta declarations)
+    raw = T.encode("utf-16-le")
+    text, cs = sniff_decode(raw, "text/html; charset=utf-16le")
+    assert cs == "utf-16-le" and text == T
+    raw_be = T.encode("utf-16-be")
+    text2, cs2 = sniff_decode(raw_be, "text/html; charset=UTF-16BE")
+    assert cs2 == "utf-16-be" and text2 == T
+
+
+def test_commented_out_meta_is_ignored():
+    # WHATWG prescan skips comments: a commented-out legacy label must
+    # not hijack a valid utf-8 page
+    raw = ('<!-- <meta charset="iso-8859-1"> -->' + T).encode("utf-8")
+    text, cs = sniff_decode(raw)
+    assert cs == "utf-8" and T in text
+    # an unterminated comment blanks to the window end
+    raw2 = ('<!-- <meta charset="iso-8859-1"> ' + T).encode("utf-8")
+    _, cs2 = sniff_decode(raw2)
+    assert cs2 == "utf-8"
+    # a REAL meta after a closed comment still wins
+    raw3 = ('<!-- old --><meta charset="windows-1252">' + T).encode("cp1252")
+    text3, cs3 = sniff_decode(raw3)
+    assert cs3 == "cp1252" and T in text3
