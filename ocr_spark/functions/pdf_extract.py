@@ -30,6 +30,7 @@ import re
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -43,11 +44,53 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def png_predictor_encode(data: bytes, columns: int, types_cycle=(0, 1, 2, 3, 4)) -> bytes:
+    """FORWARD PNG predictor coding (bpp=1) for writer-side use: pads
+    ``data`` with spaces to a row multiple (harmless between content
+    operators), filters each row with the cycling filter type, and
+    prepends the per-row type byte — the exact inverse of _unpredict's
+    PNG branch (the pytest pin keeps its own independent forward
+    implementation so the pair can't share a compensating bug)."""
+    data += b" " * ((-len(data)) % columns)
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    prev = bytes(columns)
+    out = bytearray()
+    for y, row in enumerate(rows):
+        t = types_cycle[y % len(types_cycle)]
+        out.append(t)
+        for x in range(columns):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if t == 0:
+                pr = 0
+            elif t == 1:
+                pr = a
+            elif t == 2:
+                pr = b
+            elif t == 3:
+                pr = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pr) % 256)
+        prev = row
+    return bytes(out)
+
+
+def make_pdf(
+    pages: list[list[str]],
+    compress: bool = False,
+    predictor_columns: int | None = None,
+) -> bytes:
     """Build a PDF-1.4: one content stream per page, each line shown
     with Tj after a TD line advance. ``compress=True`` Flate-encodes
     the content streams (deterministic for a fixed zlib level) —
-    exercising the reader's real decompression path."""
+    exercising the reader's real decompression path.
+    ``predictor_columns`` additionally PNG-predictor-codes the content
+    before the Flate layer and declares the matching /DecodeParms —
+    the PDF 1.5+ stream shape whose reader side is _unpredict."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -65,7 +108,15 @@ def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             ops.append(f"({_esc(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
-        if compress:
+        if predictor_columns:
+            coded = png_predictor_encode(stream, predictor_columns)
+            stream = zlib.compress(coded, 6)
+            meta = (
+                b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns %d >> >>"
+                % (len(stream), predictor_columns)
+            )
+        elif compress:
             stream = zlib.compress(stream, 6)
             meta = b"<< /Length %d /Filter /FlateDecode >>" % len(stream)
         else:
@@ -274,6 +325,72 @@ def _lzw(stream: bytes) -> bytes:
     return bytes(out)
 
 
+def _unpredict(
+    data: bytes, predictor: int, colors: int, bpc: int, columns: int
+) -> bytes:
+    """Undo a /DecodeParms predictor on filter output (PDF 1.7 §7.4.4.4).
+
+    Predictor 2 = TIFF horizontal differencing (8-bit components);
+    10-15 = PNG filters (RFC 2083 §6) with a per-row filter-type byte —
+    the same math as kernels/png.py's unfilter, restated here over the
+    PDF parameterization (Colors / BitsPerComponent / Columns decide
+    the row length and the left-neighbor distance ``bpp``). Content
+    streams are small, so the per-row loop is fine.
+    """
+    if predictor <= 1:
+        return data
+    if predictor == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                f"TIFF predictor with BitsPerComponent {bpc} not supported"
+            )
+        row = columns * colors
+        if row == 0 or len(data) % row:
+            raise ValueError("pdf: TIFF predictor row misalignment")
+        a = np.frombuffer(data, np.uint8).reshape(-1, columns, colors)
+        return (np.cumsum(a.astype(np.int64), axis=1) % 256).astype(
+            np.uint8
+        ).tobytes()
+    if not 10 <= predictor <= 15:
+        raise ValueError(f"pdf: unknown /Predictor {predictor}")
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    stride = rowlen + 1
+    if rowlen == 0 or len(data) % stride:
+        raise ValueError("pdf: PNG predictor row misalignment")
+    raw = np.frombuffer(data, np.uint8).reshape(-1, stride)
+    prev = np.zeros(rowlen, np.int64)
+    out = []
+    for y in range(raw.shape[0]):
+        t = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if t == 0:
+            pass
+        elif t == 1:
+            for x in range(bpp, rowlen):
+                line[x] = (line[x] + line[x - bpp]) % 256
+        elif t == 2:
+            line = (line + prev) % 256
+        elif t == 3:
+            for x in range(rowlen):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif t == 4:
+            for x in range(rowlen):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) % 256
+        else:
+            raise ValueError(f"pdf: bad PNG row filter type {t}")
+        prev = line
+        out.append(line.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
 _STREAM_DECODERS = {
     b"FlateDecode": _flate,
     b"Fl": _flate,
@@ -295,33 +412,22 @@ def extract_pdf_text(buf: bytes) -> str:
     lines: list[str] = []
     for meta, stream in _iter_streams(buf):
         if b"/Filter" in meta:
-            # A PNG/TIFF /Predictor (DecodeParms) stream decompresses
-            # without error but the bytes stay predictor-coded — the
-            # text extraction would silently return garbage (or drop
-            # the page at the BT check). Refuse loudly so permissive
-            # mode dead-letters it instead (ADVICE r3) — but ONLY for
-            # streams that could be text content: /Type /XRef (every
-            # PDF 1.5+ cross-reference stream ships Predictor 12),
-            # /Type /ObjStm, /Subtype /Image, and /Type /Metadata are
-            # declared non-content, carry no text operators, and were
-            # always skipped harmlessly at the BT check — refusing the
-            # whole document for THEM would dead-letter real text
-            # (r4 self-review finding #1).
+            # /DecodeParms /Predictor streams (PNG filters 10-15, TIFF
+            # 2) are DECODED now (round 4 — _unpredict; ADVICE r3 had
+            # them refused): the PNG row math is the same as
+            # kernels/png.py's unfilter. Declared-non-content streams
+            # skip early as before — /Type /XRef (every PDF 1.5+
+            # cross-reference stream ships Predictor 12), /Type
+            # /ObjStm, /Subtype /Image and /Type /Metadata carry no
+            # text operators, so un-predicting them is wasted work and
+            # their exotic params would only add failure modes.
             pred = re.search(rb"/Predictor\s+(\d+)", meta)
-            if pred and int(pred.group(1)) > 1:
-                noncontent = re.search(
-                    rb"/Type\s*/(XRef|ObjStm|Metadata)\b"
-                    rb"|/Subtype\s*/Image\b",
-                    meta,
-                )
-                if noncontent:
-                    continue  # predictor-coded non-text: skip stream
-                raise NotImplementedError(
-                    "PDF stream /DecodeParms /Predictor "
-                    + pred.group(1).decode("latin-1")
-                    + " not supported (predictor-coded bytes would "
-                    "decode to garbage text)"
-                )
+            pred_val = int(pred.group(1)) if pred else 1
+            if pred_val > 1 and re.search(
+                rb"/Type\s*/(XRef|ObjStm|Metadata)\b|/Subtype\s*/Image\b",
+                meta,
+            ):
+                continue  # predictor-coded non-text: skip stream
             # filters apply in DECLARED order (PDF 1.7 §7.4.1): the
             # first name is the outermost encoding on the bytes
             arr = re.search(rb"/Filter\s*\[([^\]]*)\]", meta)
@@ -339,6 +445,19 @@ def extract_pdf_text(buf: bytes) -> str:
                         + " (image codec filters carry pixels, not text)"
                     )
                 stream = dec(stream)
+            if pred_val > 1:
+
+                def _parm(name: bytes, default: int) -> int:
+                    m2 = re.search(name + rb"\s+(\d+)", meta)
+                    return int(m2.group(1)) if m2 else default
+
+                stream = _unpredict(
+                    stream,
+                    pred_val,
+                    _parm(rb"/Colors", 1),
+                    _parm(rb"/BitsPerComponent", 8),
+                    _parm(rb"/Columns", 1),
+                )
         if b"BT" not in stream:
             continue
         cur: list[str] = []

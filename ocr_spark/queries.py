@@ -1321,10 +1321,14 @@ def intersect_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF parse path (north_rule): documents -> real uncompressed
-    PDF-1.4 binaries (writer UDF) -> text extraction (parser UDF) ->
-    byte-identical text per doc. Two Arrow stages over a binary column;
-    swap the parser body for pdfium and the plumbing is unchanged."""
+    """PDF parse path (north_rule): documents -> real PDF-1.4 binaries
+    (writer UDF) -> text extraction (parser UDF) -> byte-identical text
+    per doc. The corpus rotates the three stream shapes crawled PDFs
+    carry: plain, Flate-compressed, and PNG-predictor-coded Flate
+    (/DecodeParms /Predictor 12 — the PDF 1.5+ layout; round 4 decodes
+    it via _unpredict instead of dead-lettering). Two Arrow stages over
+    a binary column; swap the parser body for pdfium and the plumbing
+    is unchanged."""
     import pandas as pd
 
     from ocr_spark.functions.pdf_extract import extract_pdf_df, make_pdf
@@ -1334,12 +1338,19 @@ def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def to_pdf(batches):
         for pdf in batches:
             blobs = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = text.split(" ")
                 lines = [
                     " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
                 ]
-                blobs.append(make_pdf([lines]))
+                m = int(doc_id) % 3
+                blobs.append(
+                    make_pdf(
+                        [lines],
+                        compress=(m == 1),
+                        predictor_columns=16 if m == 2 else None,
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pdf": blobs})
 
     pdfs = d.mapInPandas(to_pdf, "doc_id long, pdf binary")

@@ -63,15 +63,103 @@ def test_unsupported_filter_raises_documented_stub():
         extract_pdf_text(buf)
 
 
-def test_predictor_decodeparms_raises_not_garbage():
-    # ADVICE r3: a Flate stream with a PNG /Predictor decompresses
-    # without error but stays predictor-coded — extraction must refuse
-    # (permissive mode dead-letters) instead of emitting garbage text
+def _png_filter_rows(data: bytes, columns: int, types: list[int]) -> bytes:
+    """Test-side FORWARD PNG filtering (bpp=1) — written independently
+    of _unpredict so a roundtrip failure localizes the bug."""
+    assert len(data) % columns == 0
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    prev = bytes(columns)
+    out = bytearray()
+    for y, row in enumerate(rows):
+        t = types[y % len(types)]
+        out.append(t)
+        for x in range(columns):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if t == 0:
+                pr = 0
+            elif t == 1:
+                pr = a
+            elif t == 2:
+                pr = b
+            elif t == 3:
+                pr = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pr) % 256)
+        prev = row
+    return bytes(out)
+
+
+def _swap_content_stream(buf: bytes, stream: bytes, extra_meta: bytes) -> bytes:
+    # lambda replacements: compressed bytes may contain re escape chars
+    buf = re.sub(
+        rb"stream\r?\n.*?\r?\nendstream",
+        lambda _m: b"stream\n" + stream + b"\nendstream",
+        buf,
+        count=1,
+        flags=re.S,
+    )
+    return re.sub(
+        rb"<< /Length \d+",
+        lambda _m: extra_meta + b" /Length " + str(len(stream)).encode() + b" ",
+        buf.replace(b"<< /Filter /FlateDecode", b"<<"),
+        count=1,
+    )
+
+
+def test_png_predictor_content_stream_decodes():
+    # round 4 (upgrades the ADVICE r3 refusal): a REALLY predictor-coded
+    # content stream un-predicts and extracts the original text, every
+    # PNG row filter type exercised
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 720 Td (predictor text ok) Tj ET"
+    columns = 8
+    pad = (-len(content)) % columns
+    content += b" " * pad
+    coded = _png_filter_rows(content, columns, [0, 1, 2, 3, 4])
+    stream = zlib.compress(coded)
+    buf = _swap_content_stream(
+        make_pdf([["placeholder"]], compress=True),
+        stream,
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns "
+        + str(columns).encode() + b" >>",
+    )
+    assert extract_pdf_text(buf) == "predictor text ok"
+
+
+def test_tiff_predictor_content_stream_decodes():
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 720 Td (tiff diff text) Tj ET"
+    columns = len(content)  # one differencing run
+    coded = bytes(
+        [content[0]]
+        + [(content[i] - content[i - 1]) % 256 for i in range(1, len(content))]
+    )
+    stream = zlib.compress(coded)
+    buf = _swap_content_stream(
+        make_pdf([["placeholder"]], compress=True),
+        stream,
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns "
+        + str(columns).encode() + b" >>",
+    )
+    assert extract_pdf_text(buf) == "tiff diff text"
+
+
+def test_predictor_misalignment_is_an_error():
+    # a labeled-but-not-actually-coded stream whose length does not
+    # split into (Columns+1)-byte rows must error (dead-letter), not
+    # emit garbage
     buf = make_pdf([["x"]], compress=True).replace(
         b"/Filter /FlateDecode",
-        b"/Filter /FlateDecode /DecodeParms << /Predictor 15 /Columns 4 >>",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 15 /Columns 1000 >>",
     )
-    with pytest.raises(NotImplementedError, match="Predictor 15"):
+    with pytest.raises(ValueError, match="row misalignment"):
         extract_pdf_text(buf)
     # Predictor 1 (none) is explicitly fine — no behavior change
     buf1 = make_pdf([["hello pred1"]], compress=True).replace(
@@ -86,8 +174,8 @@ def test_predictor_on_noncontent_streams_does_not_dead_letter():
     # cross-reference stream with /Predictor 12 — refusing the whole
     # document for THAT would dead-letter perfectly extractable text.
     # Non-content streams (XRef/ObjStm/Image/Metadata) with predictors
-    # must be skipped, not fatal; a predictor on a content-shaped
-    # stream must still raise.
+    # are skipped outright (no wasted un-prediction, no exotic-param
+    # failure modes); content streams now DECODE their predictor.
     import zlib
 
     base = make_pdf([["real text survives"]], compress=True)
@@ -322,3 +410,12 @@ def test_quote_show_operators_advance_to_next_line():
     stream = b"BT /F1 12 Tf 72 720 Td (line1) Tj (line2) ' 1 2 (line3) \" ET"
     buf = _one_stream_pdf(b"<< >>", stream)
     assert extract_pdf_text(buf) == "line1\nline2\nline3"
+
+
+def test_make_pdf_predictor_writer_roundtrip():
+    # writer-side predictor coding (make_pdf predictor_columns) against
+    # the reader — multi-page, multi-line, all row filter types cycled
+    pages = [["alpha beta gamma", "second line here"], ["page two words"]]
+    buf = make_pdf(pages, predictor_columns=8)
+    assert b"/Predictor 12" in buf and b"/Columns 8" in buf
+    assert extract_pdf_text(buf) == extract_pdf_text(make_pdf(pages))
