@@ -147,6 +147,61 @@ def _maybe_gunzip(buf: bytes) -> bytes:
     return bytes(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo chunked Transfer-Encoding (RFC 9112 §7.1): hex-size line,
+    chunk bytes, CRLF, repeated until the 0 chunk; trailers ignored."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_field = body[pos:eol].split(b";")[0].strip()  # drop extensions
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: bad size line {size_field[:20]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        if pos + size + 2 > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != CRLF:
+            raise ValueError("chunked body: missing chunk CRLF")
+        pos += size + 2
+
+
+def _decode_http_body(http_headers: dict[bytes, str], body: bytes) -> bytes:
+    """Undo HTTP framing/compression on a response payload: chunked
+    Transfer-Encoding first (the outermost layer on the wire), then
+    gzip / deflate Content-Encoding (deflate tries zlib-wrapped first,
+    then the raw stream some servers send). identity/absent pass
+    through; unsupported codings (br, zstd, compress) raise so the
+    caller dead-letters the record instead of piping compressed bytes
+    into the DOM parser."""
+    te = http_headers.get(b"transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    ce = http_headers.get(b"content-encoding", "").strip().lower()
+    if ce in ("", "identity"):
+        return body
+    if ce in ("gzip", "x-gzip"):
+        import gzip as _gzip
+
+        return _gzip.decompress(body)
+    if ce == "deflate":
+        import zlib as _zlib
+
+        try:
+            return _zlib.decompress(body)
+        except _zlib.error:
+            return _zlib.decompress(body, -15)  # raw-deflate servers
+    raise ValueError(f"unsupported Content-Encoding: {ce}")
+
+
 def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
     """All response records of one WARC byte stream.
 
@@ -188,16 +243,40 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
             # strip the HTTP header block; payload follows CRLFCRLF
             sep = body.find(CRLF + CRLF)
             html = body[sep + 4 :] if sep >= 0 else body
-            # keep the HTTP Content-Type: its charset parameter outranks
-            # any in-band <meta> declaration in the WHATWG sniff order
-            # (functions/html_extract.sniff_decode consumes it)
+            # keep the HTTP Content-Type (its charset parameter outranks
+            # any in-band <meta> declaration in the WHATWG sniff order —
+            # functions/html_extract.sniff_decode consumes it) and undo
+            # the HTTP framing/compression layers: chunked
+            # Transfer-Encoding, then gzip/deflate Content-Encoding.
             ctype = None
+            http_headers: dict[bytes, str] = {}
             if sep >= 0:
                 for hline in body[:sep].split(CRLF)[1:]:
                     hk, _, hv = hline.partition(b":")
-                    if hk.strip().lower() == b"content-type":
-                        ctype = hv.strip().decode("latin-1")
-                        break
+                    http_headers[hk.strip().lower()] = hv.strip().decode(
+                        "latin-1"
+                    )
+                ctype = http_headers.get(b"content-type")
+            try:
+                html = _decode_http_body(http_headers, html)
+            except Exception as e:  # noqa: BLE001 — per-record dead-letter
+                # the record's bounds are intact (the Content-Length
+                # chain is unbroken), so a body-layer failure
+                # dead-letters THIS record and parsing continues
+                rows.append(
+                    {
+                        "url": headers.get("warc-target-uri"),
+                        "warc_ts": None,
+                        "html": None,
+                        "warc_file": filename,
+                        "record_offset": pos,
+                        "record_length": body_end + 4 - pos,
+                        "error": f"http body: {e}"[:200],
+                        "content_type": ctype,
+                    }
+                )
+                pos = body_end + 4
+                continue
             ts = headers.get("warc-date", "")
             try:
                 warc_ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))

@@ -164,3 +164,123 @@ def test_parser_never_raises_fuzz():
                 b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
             rows = parse_warc_auto(bytes(b), "flip")
             assert isinstance(rows, list)
+
+
+# ---------------------------------------------------------------------------
+# HTTP body framing/compression layers (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _raw_response_record(url: bytes, http: bytes) -> bytes:
+    from ocr_spark.sources.warc import CRLF
+
+    return (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + b"WARC-Target-URI: " + url + CRLF
+        + b"WARC-Date: 2024-01-01T00:00:00Z" + CRLF
+        + b"Content-Length: " + str(len(http)).encode() + CRLF
+        + CRLF + http + CRLF + CRLF
+    )
+
+
+def test_gzip_content_encoding_body_decodes():
+    import gzip
+
+    from ocr_spark.sources.warc import CRLF, parse_warc
+
+    payload = b"<html><body><p>gzip body text</p></body></html>"
+    gz = gzip.compress(payload)
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: text/html; charset=utf-8" + CRLF
+        + b"Content-Encoding: gzip" + CRLF
+        + CRLF + gz
+    )
+    rows = parse_warc(_raw_response_record(b"https://e.example/g", http), "t")
+    assert rows[0]["error"] is None
+    assert bytes(rows[0]["html"]) == payload
+    assert rows[0]["content_type"] == "text/html; charset=utf-8"
+
+
+def test_deflate_both_flavors_decode():
+    import zlib
+
+    from ocr_spark.sources.warc import CRLF, parse_warc
+
+    payload = b"<p>deflate body</p>"
+    wrapped = zlib.compress(payload)
+    raw_co = zlib.compressobj(wbits=-15)
+    raw = raw_co.compress(payload) + raw_co.flush()
+    for enc in (wrapped, raw):
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Encoding: deflate" + CRLF
+            + CRLF + enc
+        )
+        rows = parse_warc(_raw_response_record(b"https://e.example/d", http), "t")
+        assert rows[0]["error"] is None and bytes(rows[0]["html"]) == payload
+
+
+def test_chunked_transfer_encoding_reassembles():
+    from ocr_spark.sources.warc import CRLF, parse_warc
+
+    part1, part2 = b"<p>first chunk ", b"second chunk</p>"
+    chunked = (
+        hex(len(part1))[2:].encode() + CRLF + part1 + CRLF
+        + hex(len(part2))[2:].encode() + b";ext=1" + CRLF + part2 + CRLF
+        + b"0" + CRLF + CRLF
+    )
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Transfer-Encoding: chunked" + CRLF
+        + CRLF + chunked
+    )
+    rows = parse_warc(_raw_response_record(b"https://e.example/c", http), "t")
+    assert rows[0]["error"] is None
+    assert bytes(rows[0]["html"]) == part1 + part2
+
+
+def test_chunked_then_gzip_layers_compose():
+    import gzip
+
+    from ocr_spark.sources.warc import CRLF, parse_warc
+
+    payload = b"<p>both layers</p>"
+    gz = gzip.compress(payload)
+    chunked = hex(len(gz))[2:].encode() + CRLF + gz + CRLF + b"0" + CRLF + CRLF
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Encoding: gzip" + CRLF
+        + b"Transfer-Encoding: chunked" + CRLF
+        + CRLF + chunked
+    )
+    rows = parse_warc(_raw_response_record(b"https://e.example/cg", http), "t")
+    assert rows[0]["error"] is None and bytes(rows[0]["html"]) == payload
+
+
+def test_unsupported_and_corrupt_encodings_dead_letter_per_record():
+    from ocr_spark.sources.warc import CRLF, parse_warc
+
+    bad_br = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Encoding: br" + CRLF + CRLF + b"\x00\x01"
+    )
+    bad_gz = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Encoding: gzip" + CRLF + CRLF + b"not gzip at all"
+    )
+    good = b"HTTP/1.1 200 OK" + CRLF + CRLF + b"<p>still parsed fine ok</p>"
+    buf = (
+        _raw_response_record(b"https://e.example/1", bad_br)
+        + _raw_response_record(b"https://e.example/2", bad_gz)
+        + _raw_response_record(b"https://e.example/3", good)
+    )
+    rows = parse_warc(buf, "t")
+    assert len(rows) == 3
+    assert "Content-Encoding: br" in rows[0]["error"] or "br" in rows[0]["error"]
+    assert rows[0]["url"] == "https://e.example/1"  # lineage survives
+    assert rows[1]["error"] is not None and rows[1]["html"] is None
+    # the file keeps parsing past body-layer failures
+    assert rows[2]["error"] is None
+    assert bytes(rows[2]["html"]) == b"<p>still parsed fine ok</p>"
