@@ -9142,6 +9142,97 @@ def warc_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charset_extract(parsed)
 
 
+_STATUS_ROTATION = (
+    ("200 OK", "text/html; charset=utf-8"),
+    ("200 OK", "text/html"),
+    ("301 Moved Permanently", "text/html"),
+    ("404 Not Found", "text/html"),
+    ("200 OK", "application/pdf"),  # non-HTML 200: fetched, not extracted
+    ("503 Service Unavailable", "text/plain"),
+)
+
+
+def _warc_status_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {int(_STATUS_ROTATION[i % 6][0].split()[0])}, "
+        f"{'TRUE' if _STATUS_ROTATION[i % 6][0].startswith('200') and _STATUS_ROTATION[i % 6][1].startswith('text/html') else 'FALSE'})"
+        for i in range(24)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, http_status, kept)"
+    )
+
+
+@query("warc_status_filter", _warc_status_oracle())
+def warc_status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP status gate over the WARC path (round 4): the parser now
+    surfaces each response's status line, and the standard crawl-
+    pipeline keep rule — status 200 AND a text/html Content-Type —
+    evaluates JVM-side after the parse stage (redirects, errors, and
+    non-HTML 200s are fetched records but never extraction inputs).
+    The oracle carries the construction's status/type rotation."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.sources.warc import make_warc, parse_warc
+
+    recs = []
+    for i in range(24):
+        status, ctype = _STATUS_ROTATION[i % 6]
+        body = f"<main><p>doc {i} body body body body</p></main>".encode()
+        recs.append(
+            (
+                i,
+                bytearray(
+                    make_warc(
+                        [
+                            (
+                                f"https://s.example/d{i}",
+                                "2024-01-01T00:00:00Z",
+                                body if status.startswith("200") else b"",
+                                ctype,
+                                status,
+                            )
+                        ]
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(recs, "doc_id int, warc binary")
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["warc"]):
+                rows = parse_warc(bytes(buf), "inline")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                out.append(
+                    (
+                        int(doc_id),
+                        rows[0]["http_status"],
+                        rows[0]["content_type"],
+                    )
+                )
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "http_status", "content_type"]
+            )
+
+    parsed = df.repartition(8, "doc_id").mapInPandas(
+        parse, "doc_id int, http_status int, content_type string"
+    )
+    return parsed.select(
+        "doc_id",
+        "http_status",
+        (
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        ).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

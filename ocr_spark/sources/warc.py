@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -42,12 +43,12 @@ from pyspark.sql.types import (
 CRLF = b"\r\n"
 
 
-def make_warc(
-    records: list[tuple[str, str, bytes]] | list[tuple[str, str, bytes, str]]
-) -> bytes:
+def make_warc(records: list[tuple]) -> bytes:
     """Build a WARC/1.0 byte stream from (url, iso_ts, html) triples —
-    or 4-tuples with an explicit HTTP Content-Type value (e.g.
-    ``"text/html; charset=windows-1252"``; default ``text/html``).
+    optionally extended with an HTTP Content-Type value (4th element,
+    e.g. ``"text/html; charset=windows-1252"``; default ``text/html``)
+    and an HTTP status line (5th, e.g. ``"301 Moved Permanently"``;
+    default ``200 OK``).
 
     Each record is a ``response`` with an HTTP/1.1 header; the stored
     Content-Length covers the full HTTP block, per the spec.
@@ -56,8 +57,9 @@ def make_warc(
     for rec in records:
         url, ts, html = rec[0], rec[1], rec[2]
         ctype = rec[3] if len(rec) > 3 else "text/html"
+        status = rec[4] if len(rec) > 4 else "200 OK"
         http = (
-            b"HTTP/1.1 200 OK" + CRLF
+            b"HTTP/1.1 " + status.encode("latin-1") + CRLF
             + b"Content-Type: " + ctype.encode("latin-1") + CRLF
             + b"Content-Length: " + str(len(html)).encode() + CRLF
             + CRLF
@@ -249,9 +251,16 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
             # the HTTP framing/compression layers: chunked
             # Transfer-Encoding, then gzip/deflate Content-Encoding.
             ctype = None
+            status = None
             http_headers: dict[bytes, str] = {}
             if sep >= 0:
-                for hline in body[:sep].split(CRLF)[1:]:
+                head_lines = body[:sep].split(CRLF)
+                # status line: HTTP/1.x NNN Reason — crawl pipelines
+                # filter on it (redirects/errors carry no main content)
+                sl = head_lines[0].split(b" ", 2)
+                if len(sl) >= 2 and sl[0][:5] == b"HTTP/" and sl[1].isdigit():
+                    status = int(sl[1])
+                for hline in head_lines[1:]:
                     hk, _, hv = hline.partition(b":")
                     http_headers[hk.strip().lower()] = hv.strip().decode(
                         "latin-1"
@@ -273,6 +282,7 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                         "record_length": body_end + 4 - pos,
                         "error": f"http body: {e}"[:200],
                         "content_type": ctype,
+                        "http_status": status,
                     }
                 )
                 pos = body_end + 4
@@ -293,6 +303,7 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                     "record_length": body_end + 4 - pos,
                     "error": None,
                     "content_type": ctype,
+                    "http_status": status,
                 }
             )
         pos = body_end + 4  # past the record's closing CRLF CRLF
@@ -309,6 +320,7 @@ def _dead(filename: str, pos: int, why: str) -> dict:
         "record_length": 0,
         "error": why,
         "content_type": None,
+        "http_status": None,
     }
 
 
@@ -322,6 +334,7 @@ WARC_SCHEMA = StructType(
         StructField("record_length", LongType()),
         StructField("error", StringType()),
         StructField("content_type", StringType()),
+        StructField("http_status", IntegerType()),
     ]
 )
 

@@ -284,3 +284,30 @@ def test_unsupported_and_corrupt_encodings_dead_letter_per_record():
     # the file keeps parsing past body-layer failures
     assert rows[2]["error"] is None
     assert bytes(rows[2]["html"]) == b"<p>still parsed fine ok</p>"
+
+
+def test_http_status_surfaced_and_default_200():
+    from ocr_spark.sources.warc import make_warc, parse_warc
+
+    buf = make_warc(
+        [
+            ("https://x/1", "2024-01-01T00:00:00Z", b"<p>ok</p>"),
+            ("https://x/2", "2024-01-01T00:00:00Z", b"", "text/html",
+             "301 Moved Permanently"),
+            ("https://x/3", "2024-01-01T00:00:00Z", b"nf", "text/plain",
+             "404 Not Found"),
+        ]
+    )
+    rows = parse_warc(buf, "t")
+    assert [r["http_status"] for r in rows] == [200, 301, 404]
+    # a body with no HTTP header block parses with status None
+    from ocr_spark.sources.warc import CRLF
+
+    raw = (
+        b"WARC/1.0" + CRLF + b"WARC-Type: response" + CRLF
+        + b"WARC-Target-URI: https://x/4" + CRLF
+        + b"WARC-Date: 2024-01-01T00:00:00Z" + CRLF
+        + b"Content-Length: 9" + CRLF + CRLF
+        + b"<p>no</p>" + CRLF + CRLF
+    )
+    assert parse_warc(raw, "t")[0]["http_status"] is None
