@@ -8,10 +8,11 @@ the color-type byte at offset 25 to pick the alpha-preserving filter)
 that contract with the native codecs this repo carries: PNG via
 kernels/png.py (stdlib zlib + numpy), JPEG via kernels/jpeg.py
 (from-scratch T.81 baseline+progressive), PNM via kernels/pnm.py.
-Beyond the reference's own dispatch, ``.gif``/``.bmp`` route to
-kernels/gif.py and kernels/bmp.py (round 4): gray pages write as a
-256-entry identity-palette GIF (lossless for u8) or a 24-bit BMP, and
-read back through the same 3-channel mean as the PNG/JPEG RGB paths.
+Beyond the reference's own dispatch, ``.gif``/``.bmp``/``.tif(f)``
+route to kernels/gif.py, bmp.py and tiff.py (round 4): gray pages
+write as a 256-entry identity-palette GIF (lossless for u8), a 24-bit
+BMP, or a PackBits gray TIFF (also lossless), and RGB containers read
+back through the same 3-channel mean as the PNG/JPEG RGB paths.
 
 Pixel conversion on the write side matches image_write_pnm exactly:
 clamp to [0,255] then (uchar) truncation (image.c:253-255) — the PNG
@@ -54,6 +55,13 @@ def encode_by_name(arr: np.ndarray, name: str) -> bytes:
         a = np.asarray(arr, dtype=np.float32)
         u8 = np.clip(a, 0, 255).astype(np.uint8)
         return bmp.encode(np.stack([u8, u8, u8], axis=-1))
+    if name.endswith(".tif") or name.endswith(".tiff"):
+        # gray 8-bit BlackIsZero, PackBits: lossless for u8 pages
+        from ocr_spark.kernels import tiff
+
+        a = np.asarray(arr, dtype=np.float32)
+        u8 = np.clip(a, 0, 255).astype(np.uint8)
+        return tiff.encode(u8, compression=32773)
     return pnm.encode_gray(arr)
 
 
@@ -83,4 +91,12 @@ def decode_by_name(buf: bytes, name: str) -> np.ndarray:
 
         mod = gif if name.endswith(".gif") else bmp
         return rgb_mean_gray(mod.decode(buf))
+    if name.endswith(".tif") or name.endswith(".tiff"):
+        from ocr_spark.kernels import tiff
+        from ocr_spark.kernels.util import rgb_mean_gray
+
+        px = tiff.decode(buf)
+        if px.ndim == 2:
+            return px.astype(np.float32)
+        return rgb_mean_gray(px)
     return pnm.decode_gray(buf)

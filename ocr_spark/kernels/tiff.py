@@ -1,0 +1,344 @@
+"""TIFF 6.0 baseline codec in pure stdlib + numpy.
+
+Companion to kernels/bmp.py / gif.py for the multimodal column
+surface: TIFF is the scanner/fax container that dominates digitized-
+document corpora — exactly the payload an OCR-ish extraction pipeline
+meets. The reference repo has no TIFF path (dispatch is .png/.jpg/PNM
+only, image.c:271-336); this is spec-driven from the public TIFF 6.0
+layout:
+
+* 8-byte header: ``II`` (little-endian) or ``MM`` (big-endian), magic
+  42, offset of the first IFD — both byte orders on both sides;
+* IFD: entry count + 12-byte entries (tag, type, count, value-or-
+  offset); values whose byte size is <= 4 are packed INLINE in the
+  value field exactly as they would be at an offset (so a single
+  SHORT sits in the FIRST two bytes under ``MM``);
+* baseline tags: ImageWidth(256) / ImageLength(257) /
+  BitsPerSample(258, 8 per sample) / Compression(259: 1 = none,
+  32773 = PackBits) / PhotometricInterpretation(262: 0 WhiteIsZero,
+  1 BlackIsZero, 2 RGB, 3 Palette) / StripOffsets(273) /
+  SamplesPerPixel(277) / RowsPerStrip(278) / StripByteCounts(279) /
+  ColorMap(320, 3 * 256 SHORTs, 16-bit intensities);
+* strips: the image cut into RowsPerStrip-row bands, each addressed
+  by (offset, byte count) — TIFF's unit of incremental access;
+* PackBits (spec section 9): per-row restart; control byte n in
+  0..127 = n+1 literal bytes, n in -127..-1 = the next byte repeated
+  1-n times, -128 = no-op.
+
+Decoded pixels are (H,W) uint8 for grayscale (WhiteIsZero is
+normalized to the BlackIsZero convention on read) and (H,W,3) uint8
+RGB for RGB/palette, the same contract as bmp.decode's shapes, so the
+multimodal feature UDFs share plumbing. Encoder and decoder are
+written independently (layout-building writer vs field-by-field IFD
+walk) so a roundtrip failure localizes the bug.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_II, _MM = b"II", b"MM"
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BPS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_COLORMAP = 320
+
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_COMP_NONE = 1
+_COMP_PACKBITS = 32773
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """PackBits-compress one row (TIFF 6.0 section 9 / Apple TN1023).
+
+    Greedy: runs of >= 2 identical bytes become replicate packets
+    (capped at 128), everything else accumulates into literal packets
+    (also capped at 128)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        s = lit_start
+        while s < end:
+            k = min(128, end - s)
+            out.append(k - 1)
+            out.extend(row[s : s + k])
+            s += k
+
+    while i < n:
+        j = i + 1
+        while j < n and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            flush_literals(i)
+            while run > 0:
+                k = min(128, run)
+                # two's complement of -(k-1); a residual k=1 chunk
+                # encodes as ctl 0, i.e. a valid 1-byte literal packet
+                out.append((257 - k) & 0xFF)
+                out.append(row[i])
+                run -= k
+            lit_start = j
+        i = j
+    flush_literals(n)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decompress a PackBits stream to exactly ``expected`` bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("packbits: truncated stream")
+        ctl = data[i]
+        i += 1
+        if ctl == 128:  # -128: no-op
+            continue
+        if ctl < 128:  # ctl+1 literal bytes
+            k = ctl + 1
+            if i + k > n:
+                raise ValueError("packbits: truncated literal")
+            out += data[i : i + k]
+            i += k
+        else:  # replicate next byte (257 - ctl) times
+            if i >= n:
+                raise ValueError("packbits: truncated replicate")
+            out += bytes([data[i]]) * (257 - ctl)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("packbits: output overruns row")
+    return bytes(out)
+
+
+def _pack_entry(bo: str, tag: int, typ: int, values: list[int]) -> tuple[bytes, bytes]:
+    """One 12-byte IFD entry; returns (entry_without_value_field,
+    packed_value_bytes). The caller decides inline vs offset."""
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    raw = struct.pack(f"{bo}{len(values)}{fmt}", *values)
+    head = struct.pack(f"{bo}HHI", tag, typ, len(values))
+    return head, raw
+
+
+def encode(
+    px: np.ndarray,
+    byte_order: str = "<",
+    compression: int = _COMP_NONE,
+    rows_per_strip: int | None = None,
+    white_is_zero: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Serialize (H,W) uint8 gray or (H,W,3) uint8 RGB as baseline
+    TIFF. ``byte_order`` is ``"<"`` (II) or ``">"`` (MM);
+    ``compression`` 1 (none) or 32773 (PackBits, per-row restart);
+    ``rows_per_strip`` defaults to the whole image in one strip.
+    ``white_is_zero`` stores the gray plane inverted under
+    PhotometricInterpretation 0 (the fax convention) — decode
+    normalizes it back, so the roundtrip is identity. With
+    ``palette`` ((N,3) uint8), ``px`` is (H,W) indices and the file
+    carries the spec's full 3*256-SHORT ColorMap (intensity = v*257,
+    the exact 8->16-bit scaling, so decode's >>8 is the identity)."""
+    px = np.ascontiguousarray(px, np.uint8)
+    pal_values: list[int] | None = None
+    if palette is not None:
+        if px.ndim != 2:
+            raise ValueError("tiff: palette input must be (H,W) indices")
+        h, w = px.shape
+        spp = 1
+        photometric = 3
+        stored = px
+        pal = np.zeros((256, 3), np.uint16)
+        pal[: len(palette)] = np.asarray(palette, np.uint16)
+        # column-planar (all R, all G, all B), 16-bit: v*257 == v<<8|v
+        pal_values = [int(v) * 257 for v in pal.T.reshape(-1)]
+    elif px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        photometric = 0 if white_is_zero else 1
+        stored = (255 - px) if white_is_zero else px
+    else:
+        h, w, c = px.shape
+        if c != 3:
+            raise ValueError("tiff: RGB input must be (H,W,3)")
+        spp = 3
+        photometric = 2
+        stored = px
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    flat = stored.reshape(h, w * spp)
+
+    strips: list[bytes] = []
+    for top in range(0, h, rps):
+        band = flat[top : top + rps]
+        if compression == _COMP_PACKBITS:
+            strips.append(
+                b"".join(packbits_encode(band[r].tobytes()) for r in range(len(band)))
+            )
+        elif compression == _COMP_NONE:
+            strips.append(band.tobytes())
+        else:
+            raise ValueError(f"tiff: unsupported compression {compression}")
+
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("tiff: byte_order must be '<' or '>'")
+    # layout: header (8) | strip data | IFD | out-of-line values
+    header_len = 8
+    strip_offsets: list[int] = []
+    pos = header_len
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_offset = pos
+
+    entries: list[tuple[int, int, list[int]]] = [
+        (_TAG_WIDTH, 4, [w]),
+        (_TAG_HEIGHT, 4, [h]),
+        (_TAG_BPS, 3, [8] * spp),
+        (_TAG_COMPRESSION, 3, [compression]),
+        (_TAG_PHOTOMETRIC, 3, [photometric]),
+        (_TAG_STRIP_OFFSETS, 4, strip_offsets),
+        (_TAG_SPP, 3, [spp]),
+        (_TAG_ROWS_PER_STRIP, 4, [rps]),
+        (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    if pal_values is not None:
+        entries.append((_TAG_COLORMAP, 3, pal_values))
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+
+    ifd_len = 2 + 12 * len(entries) + 4
+    overflow_pos = ifd_offset + ifd_len
+    ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
+    overflow = bytearray()
+    for tag, typ, values in entries:
+        head, raw = _pack_entry(bo, tag, typ, values)
+        if len(raw) <= 4:
+            ifd += head + raw.ljust(4, b"\0")
+        else:
+            ifd += head + struct.pack(f"{bo}I", overflow_pos + len(overflow))
+            overflow += raw
+    ifd += struct.pack(f"{bo}I", 0)  # no next IFD
+
+    out = bytearray()
+    out += (_II if bo == "<" else _MM) + struct.pack(f"{bo}HI", 42, ifd_offset)
+    for s in strips:
+        out += s
+    out += ifd + overflow
+    return bytes(out)
+
+
+def _read_values(buf: bytes, bo: str, typ: int, count: int, field: bytes) -> list[int]:
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"tiff: unsupported IFD type {typ}")
+    total = size * count
+    if total <= 4:
+        raw = field[:total]
+    else:
+        (off,) = struct.unpack(f"{bo}I", field)
+        if off + total > len(buf):
+            raise ValueError("tiff: value offset out of bounds")
+        raw = buf[off : off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack(f"{bo}{count}{fmt}", raw))
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Parse the first IFD of a baseline TIFF to pixels: (H,W) uint8
+    for grayscale (WhiteIsZero inverted to BlackIsZero), (H,W,3)
+    uint8 for RGB and palette images."""
+    if len(buf) < 8:
+        raise ValueError("tiff: short header")
+    if buf[:2] == _II:
+        bo = "<"
+    elif buf[:2] == _MM:
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    magic, ifd_offset = struct.unpack(f"{bo}HI", buf[2:8])
+    if magic != 42:
+        raise ValueError("tiff: bad magic")
+    if ifd_offset + 2 > len(buf):
+        raise ValueError("tiff: IFD offset out of bounds")
+    (n_entries,) = struct.unpack(f"{bo}H", buf[ifd_offset : ifd_offset + 2])
+    tags: dict[int, list[int]] = {}
+    pos = ifd_offset + 2
+    for _ in range(n_entries):
+        if pos + 12 > len(buf):
+            raise ValueError("tiff: truncated IFD")
+        tag, typ, count = struct.unpack(f"{bo}HHI", buf[pos : pos + 8])
+        tags[tag] = _read_values(buf, bo, typ, count, buf[pos + 8 : pos + 12])
+        pos += 12
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"tiff: missing required tag {tag}")
+        return default
+
+    w = one(_TAG_WIDTH)
+    h = one(_TAG_HEIGHT)
+    spp = one(_TAG_SPP, 1)
+    bps = tags.get(_TAG_BPS, [8] * spp)
+    if any(b != 8 for b in bps) or len(bps) != spp:
+        raise ValueError(f"tiff: only 8 bits/sample supported, got {bps}")
+    compression = one(_TAG_COMPRESSION, _COMP_NONE)
+    photometric = one(_TAG_PHOTOMETRIC)
+    rps = one(_TAG_ROWS_PER_STRIP, h)
+    rps = min(rps, h) if rps else h
+    offsets = tags.get(_TAG_STRIP_OFFSETS)
+    counts = tags.get(_TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: bad strip tables")
+
+    row_bytes = w * spp
+    rows: list[bytes] = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(buf):
+            raise ValueError("tiff: strip out of bounds")
+        n_rows = min(rps, h - si * rps)
+        if n_rows <= 0:
+            raise ValueError("tiff: more strips than rows")
+        raw = buf[off : off + cnt]
+        if compression == _COMP_PACKBITS:
+            raw = packbits_decode(raw, n_rows * row_bytes)
+        elif compression != _COMP_NONE:
+            raise ValueError(f"tiff: unsupported compression {compression}")
+        if len(raw) < n_rows * row_bytes:
+            raise ValueError("tiff: short strip")
+        rows.append(raw[: n_rows * row_bytes])
+    data = np.frombuffer(b"".join(rows), np.uint8)
+    if data.size != h * row_bytes:
+        raise ValueError("tiff: pixel count mismatch")
+
+    if photometric == 3:  # palette: ColorMap is 3*2^bps 16-bit values
+        cmap = tags.get(_TAG_COLORMAP)
+        if not cmap or len(cmap) % 3 != 0:
+            raise ValueError("tiff: palette image without ColorMap")
+        n_pal = len(cmap) // 3
+        pal16 = np.asarray(cmap, np.uint16).reshape(3, n_pal).T
+        pal = (pal16 >> 8).astype(np.uint8)  # 16-bit intensities -> u8
+        idx = data.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("tiff: palette index out of range")
+        return pal[idx]
+    if photometric == 2:
+        if spp != 3:
+            raise ValueError("tiff: RGB needs SamplesPerPixel 3")
+        return data.reshape(h, w, 3).copy()
+    if photometric in (0, 1):
+        if spp != 1:
+            raise ValueError("tiff: gray needs SamplesPerPixel 1")
+        gray = data.reshape(h, w)
+        return (255 - gray) if photometric == 0 else gray.copy()
+    raise ValueError(f"tiff: unsupported photometric {photometric}")

@@ -137,6 +137,17 @@ def decode_image(payload: bytes, kind: str) -> np.ndarray:
         from ocr_spark.kernels.util import rgb_mean_gray
 
         return rgb_mean_gray((_gif if kind == "gif" else _bmp).decode(payload))
+    if kind == "tiff":
+        # real decode: TIFF 6.0 baseline (kernels/tiff.py: both byte
+        # orders, strips, PackBits, gray/RGB/palette). Gray comes back
+        # (H,W) u8; RGB/palette collapse via the shared 3-channel mean.
+        from ocr_spark.kernels import tiff as _tiff
+        from ocr_spark.kernels.util import rgb_mean_gray
+
+        px = _tiff.decode(payload)
+        if px.ndim == 2:
+            return px.astype(np.float32)
+        return rgb_mean_gray(px)
     raise ValueError(f"unknown image kind: {kind}")
 
 
@@ -395,12 +406,12 @@ def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
     baseline-JPEG, GIF and BMP images, OCRV fake videos, and WAV clips
     keyed by url, with typed metadata — one row per kind the engine
     decodes."""
-    from ocr_spark.kernels import bmp, fixtures, gif, jpeg, png
+    from ocr_spark.kernels import bmp, fixtures, gif, jpeg, png, tiff
 
     rows = []
     for i in range(n):
         h, w = 32 + (i % 3) * 16, 48 + (i % 2) * 16
-        m = i % 8
+        m = i % 9
         if m == 2:
             frames = [
                 fixtures.shaded(h, w, seed, i * 10 + j) for j in range(4)
@@ -447,6 +458,17 @@ def media_corpus(spark, n: int, seed: int = 42) -> DataFrame:
                 top_down=((i // 8) % 2 == 1),
             )
             meta = ("bmp", w, h, 1, 0)
+        elif m == 8:
+            u8 = np.clip(fixtures.shaded(h, w, seed, i), 0, 255).astype(
+                np.uint8
+            )
+            payload = tiff.encode(
+                u8,
+                byte_order=("<" if (i // 9) % 2 == 0 else ">"),
+                compression=(1 if (i // 18) % 2 == 0 else 32773),
+                rows_per_strip=(None if (i // 9) % 3 == 0 else 8),
+            )
+            meta = ("tiff", w, h, 1, 0)
         else:
             payload = pnm.encode_gray(fixtures.shaded(h, w, seed, i))
             meta = ("pnm", w, h, 1, 0)
@@ -920,6 +942,65 @@ def synth_bmp_corpus(n: int = 12) -> list[dict]:
     return out
 
 
+def synth_tiff_corpus(n: int = 18) -> list[dict]:
+    """Deterministic TIFF corpus cycling the decode surface: gray
+    BlackIsZero / gray WhiteIsZero (stored inverted) / RGB / palette,
+    both byte orders, uncompressed vs PackBits, and strip heights that
+    leave a short last strip. Pixels come from an integer recurrence,
+    so the expected array (``px``: (H,W) gray or (H,W,3) RGB) is known
+    BY CONSTRUCTION — the oracle never runs the decoder."""
+    from ocr_spark.kernels import tiff
+
+    out = []
+    for i in range(n):
+        h, w = 6 + i % 5, 5 + i % 4
+        bo = "<" if i % 2 == 0 else ">"
+        comp = 1 if (i // 2) % 2 == 0 else 32773
+        rps = (None, 1, 4)[i % 3]
+        mode = i % 4  # gray / white-is-zero gray / rgb / palette
+        if mode == 2:
+            px = (
+                (np.arange(h * w * 3, dtype=np.int64) * 41 + i * 13) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            payload = tiff.encode(
+                px, byte_order=bo, compression=comp, rows_per_strip=rps
+            )
+            depth = 24
+        elif mode == 3:
+            n_pal = 11 + i
+            idx = (
+                (np.arange(h * w, dtype=np.int64) * 7 + i * 5) % n_pal
+            ).astype(np.uint8).reshape(h, w)
+            pal = (
+                (np.arange(n_pal * 3, dtype=np.int64) * 37 + i) % 256
+            ).astype(np.uint8).reshape(n_pal, 3)
+            payload = tiff.encode(
+                idx,
+                byte_order=bo,
+                compression=comp,
+                rows_per_strip=rps,
+                palette=pal,
+            )
+            px = pal[idx]
+            depth = 8
+        else:
+            px = (
+                (np.arange(h * w, dtype=np.int64) * 23 + i * 3) % 256
+            ).astype(np.uint8).reshape(h, w)
+            payload = tiff.encode(
+                px,
+                byte_order=bo,
+                compression=comp,
+                rows_per_strip=rps,
+                white_is_zero=(mode == 1),
+            )
+            depth = 8
+        out.append(
+            {"img_id": i, "depth": depth, "payload": payload, "px": px}
+        )
+    return out
+
+
 GIF_FEATURES_SCHEMA = StructType(
     [
         StructField("img_id", IntegerType()),
@@ -993,3 +1074,43 @@ def bmp_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, BMP_FEATURES_SCHEMA)
+
+
+TIFF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def tiff_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode TIFF payloads (kernels/tiff.py) and emit integer
+    features; n_channels distinguishes the gray (1) and RGB/palette
+    (3) decode contracts. Same Arrow-batched mapInPandas stage shape
+    as png_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import tiff
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                px = tiff.decode(bytes(payload))
+                rows.append(
+                    (
+                        int(img_id),
+                        px.shape[1],
+                        px.shape[0],
+                        1 if px.ndim == 2 else px.shape[2],
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, TIFF_FEATURES_SCHEMA)

@@ -9012,6 +9012,51 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_features(base.repartition(8, "img_id"))
 
 
+def _tiff_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (expected
+    gray/RGB pixels exist before encode — decoder never consulted)."""
+    from ocr_spark.operators.multimodal import synth_tiff_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {r['px'].shape[1]}, {r['px'].shape[0]}, "
+        f"{1 if r['px'].ndim == 2 else 3}, "
+        f"CAST({int(r['px'].sum())} AS BIGINT))"
+        for r in synth_tiff_corpus()
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(img_id, width, height, n_channels, px_sum)"
+    )
+
+
+@query("tiff_decode_features", _tiff_oracle())
+def tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native TIFF 6.0 decode on the distributed path (round 4) — the
+    scanner/fax container of digitized-document corpora, exactly the
+    payload an OCR-ish pipeline meets (the reference has no TIFF path;
+    image.c:271-336 dispatches .png/.jpg/PNM only).
+
+    The corpus cycles gray BlackIsZero / WhiteIsZero (stored
+    inverted) / RGB / 16-bit-ColorMap palette, II and MM byte orders
+    (inline IFD values pack differently under each), uncompressed vs
+    PackBits, and strip heights that leave a short final strip;
+    decode is a field-by-field IFD walk in pure stdlib + numpy inside
+    an Arrow-batched mapInPandas. Features are integers, so the
+    oracle is exact."""
+    from ocr_spark.operators.multimodal import (
+        synth_tiff_corpus,
+        tiff_features,
+    )
+
+    corpus = synth_tiff_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return tiff_features(base.repartition(8, "img_id"))
+
+
 # ---------------------------------------------------------------------------
 # charset-aware extraction (legacy-encoding payloads)
 # ---------------------------------------------------------------------------

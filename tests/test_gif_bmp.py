@@ -202,10 +202,11 @@ def test_imageio_gif_bmp_roundtrip_lossless():
 
     arr = fixtures.shaded(24, 31, 42, 3)
     u8 = np.clip(arr, 0, 255).astype(np.uint8)
-    for ext in (".gif", ".bmp"):
+    for ext in (".gif", ".bmp", ".tif", ".tiff"):
         buf = imageio.encode_by_name(arr, "page" + ext)
         back = imageio.decode_by_name(buf, "page" + ext)
-        # gray in -> identical gray out (identity palette / equal RGB)
+        # gray in -> identical gray out (identity palette / equal RGB /
+        # PackBits gray strips)
         assert np.array_equal(back.astype(np.uint8), u8), ext
 
 

@@ -19,14 +19,18 @@ def media(spark):
 def test_media_corpus_schema(media):
     assert set(media.columns) >= {"url", "media", "kind", "media_meta"}
     kinds = {r.kind for r in media.select("kind").distinct().collect()}
-    assert kinds == {"pnm", "ocrv", "png", "jpeg", "wav", "gif", "bmp"}
+    assert kinds == {
+        "pnm", "ocrv", "png", "jpeg", "wav", "gif", "bmp", "tiff",
+    }
 
 
 def test_image_features_across_codecs(media):
-    """image_features decodes PNM, PNG, JPEG, GIF and BMP rows through
-    one dispatch; PNG/GIF/BMP are lossless (exact dims + mean), JPEG
-    approximate."""
-    imgs = media.where(F.col("kind").isin("png", "jpeg", "gif", "bmp"))
+    """image_features decodes PNM, PNG, JPEG, GIF, BMP and TIFF rows
+    through one dispatch; PNG/GIF/BMP/TIFF are lossless (exact dims +
+    mean), JPEG approximate."""
+    imgs = media.where(
+        F.col("kind").isin("png", "jpeg", "gif", "bmp", "tiff")
+    )
     rows = {r.url: r for r in mm.image_features(imgs).collect()}
     assert rows and all(r.error is None for r in rows.values())
     for r in imgs.select("url", "media", "kind").collect():

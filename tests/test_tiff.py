@@ -1,0 +1,157 @@
+"""TIFF codec (kernels/tiff.py).
+
+Encoder and decoder are independent implementations; the hand-assembled
+byte pins below are derived from the TIFF 6.0 spec by hand, so a shared
+compensating bug between the two cannot pass. The PackBits vectors are
+the canonical Apple TN1023 example reproduced in the spec's section 9.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import tiff
+
+# ---------------------------------------------------------------------------
+# PackBits: the spec's own worked example
+# ---------------------------------------------------------------------------
+
+_PB_UNPACKED = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+_PB_PACKED = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+
+
+def test_packbits_spec_example_decodes():
+    assert tiff.packbits_decode(_PB_PACKED, len(_PB_UNPACKED)) == _PB_UNPACKED
+
+
+def test_packbits_encoder_reproduces_spec_example():
+    assert tiff.packbits_encode(_PB_UNPACKED) == _PB_PACKED
+
+
+def test_packbits_noop_and_long_runs():
+    # -128 control bytes are no-ops on decode
+    assert tiff.packbits_decode(b"\x80\x00A\x80\x00A", 2) == b"AA"
+    # runs and literals longer than 128 split into capped packets
+    row = b"B" * 300 + bytes(range(130))
+    assert tiff.packbits_decode(tiff.packbits_encode(row), len(row)) == row
+
+
+# ---------------------------------------------------------------------------
+# hand-assembled files
+# ---------------------------------------------------------------------------
+
+def _hand_ii_gray_2x2() -> bytes:
+    """2x2 gray [[1,2],[3,4]], little-endian, one uncompressed strip.
+
+    Layout mirrors the spec, not the encoder: header(8) + pixel strip
+    at offset 8 + IFD at 12 with 9 ascending-tag entries, all inline.
+    """
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack("<HHI", tag, typ, count) + value_bytes.ljust(4, b"\0")
+
+    ifd = struct.pack("<H", 9)
+    ifd += entry(256, 4, 1, struct.pack("<I", 2))       # ImageWidth
+    ifd += entry(257, 4, 1, struct.pack("<I", 2))       # ImageLength
+    ifd += entry(258, 3, 1, struct.pack("<H", 8))       # BitsPerSample
+    ifd += entry(259, 3, 1, struct.pack("<H", 1))       # Compression none
+    ifd += entry(262, 3, 1, struct.pack("<H", 1))       # BlackIsZero
+    ifd += entry(273, 4, 1, struct.pack("<I", 8))       # StripOffsets
+    ifd += entry(277, 3, 1, struct.pack("<H", 1))       # SamplesPerPixel
+    ifd += entry(278, 4, 1, struct.pack("<I", 2))       # RowsPerStrip
+    ifd += entry(279, 4, 1, struct.pack("<I", 4))       # StripByteCounts
+    ifd += struct.pack("<I", 0)
+    return b"II" + struct.pack("<HI", 42, 12) + bytes([1, 2, 3, 4]) + ifd
+
+
+def test_hand_assembled_ii_gray_decodes():
+    px = tiff.decode(_hand_ii_gray_2x2())
+    assert np.array_equal(px, np.array([[1, 2], [3, 4]], np.uint8))
+
+
+def test_encoder_reproduces_hand_ii_bytes():
+    got = tiff.encode(np.array([[1, 2], [3, 4]], np.uint8))
+    assert got == _hand_ii_gray_2x2()
+
+
+def test_hand_assembled_mm_inline_short_packing():
+    """Big-endian: an inline SHORT sits in the FIRST two bytes of the
+    value field (packed as if at an offset), not the last two."""
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(">HHI", tag, typ, count) + value_bytes.ljust(4, b"\0")
+
+    ifd = struct.pack(">H", 9)
+    ifd += entry(256, 4, 1, struct.pack(">I", 2))
+    ifd += entry(257, 4, 1, struct.pack(">I", 1))
+    ifd += entry(258, 3, 1, struct.pack(">H", 8))
+    ifd += entry(259, 3, 1, struct.pack(">H", 1))
+    ifd += entry(262, 3, 1, struct.pack(">H", 0))       # WhiteIsZero
+    ifd += entry(273, 4, 1, struct.pack(">I", 8))
+    ifd += entry(277, 3, 1, struct.pack(">H", 1))
+    ifd += entry(278, 4, 1, struct.pack(">I", 1))
+    ifd += entry(279, 4, 1, struct.pack(">I", 2))
+    ifd += struct.pack(">I", 0)
+    buf = b"MM" + struct.pack(">HI", 42, 10) + bytes([0, 255]) + ifd
+    # WhiteIsZero: stored 0 is white (255), stored 255 is black (0)
+    assert np.array_equal(tiff.decode(buf), np.array([[255, 0]], np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# roundtrips across the axes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773])
+@pytest.mark.parametrize("rps", [None, 1, 3])
+def test_gray_roundtrip(bo, comp, rps):
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 5)).astype(np.uint8)
+    buf = tiff.encode(px, byte_order=bo, compression=comp, rows_per_strip=rps)
+    assert np.array_equal(tiff.decode(buf), px)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773])
+def test_rgb_roundtrip(bo, comp):
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (6, 4, 3)).astype(np.uint8)
+    buf = tiff.encode(px, byte_order=bo, compression=comp, rows_per_strip=2)
+    assert np.array_equal(tiff.decode(buf), px)
+
+
+def test_white_is_zero_roundtrip_is_identity():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    buf = tiff.encode(px, white_is_zero=True)
+    # the stored plane really is inverted (photometric 0 semantics) ...
+    stored = tiff.encode(255 - px)  # BlackIsZero twin carries raw bytes
+    assert buf[8 : 8 + 24] == stored[8 : 8 + 24]
+    # ... and decode normalizes back
+    assert np.array_equal(tiff.decode(buf), px)
+
+
+def test_palette_roundtrip():
+    rng = np.random.default_rng(17)
+    n_pal = 37
+    idx = rng.integers(0, n_pal, (5, 9)).astype(np.uint8)
+    pal = rng.integers(0, 256, (n_pal, 3)).astype(np.uint8)
+    buf = tiff.encode(idx, palette=pal, byte_order=">", compression=32773)
+    assert np.array_equal(tiff.decode(buf), pal[idx])
+
+
+def test_packbits_really_compresses_flat_strips():
+    px = np.full((32, 64), 200, np.uint8)
+    assert len(tiff.encode(px, compression=32773)) < len(tiff.encode(px)) / 8
+
+
+def test_corrupt_inputs_raise_cleanly():
+    with pytest.raises(ValueError):
+        tiff.decode(b"XX\x00\x2a")
+    with pytest.raises(ValueError):
+        tiff.decode(b"II" + struct.pack("<HI", 41, 8))
+    good = tiff.encode(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        tiff.decode(good[:20])  # truncated IFD
+    with pytest.raises(ValueError):
+        tiff.packbits_decode(b"\x05AB", 6)  # truncated literal
