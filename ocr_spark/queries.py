@@ -9278,6 +9278,339 @@ def warc_status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REVISIT_PAYLOADS = [
+    f"<main><p>payload text {i} {'x' * (10 + i)}</p></main>".encode()
+    for i in range(5)
+]
+
+
+def _revisit_oracle() -> str:
+    """Literal-VALUES oracle from the construction: every revisit's
+    expected payload md5 is the md5 of the ORIGINAL construction bytes
+    its digest points at — the writer, parser, and join are never
+    consulted (payload_digest() is the construction's own labeling)."""
+    import hashlib
+
+    from ocr_spark.sources.warc import payload_digest
+
+    rows = []
+    for i in range(5):
+        p = _REVISIT_PAYLOADS[i]
+        rows.append(
+            f"('https://rv.example/o{i}', FALSE, "
+            f"'{payload_digest(p)}', '{hashlib.md5(p).hexdigest()}')"
+        )
+    for i in range(5, 12):
+        p = _REVISIT_PAYLOADS[(i * 3) % 5]
+        rows.append(
+            f"('https://rv.example/r{i}', TRUE, "
+            f"'{payload_digest(p)}', '{hashlib.md5(p).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, is_revisit, payload_digest, payload_md5)"
+    )
+
+
+@query("warc_revisit_dedup", _revisit_oracle())
+def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-record resolution over the WARC path (round 4): real
+    crawls store a duplicate refetch as a ``revisit`` record — HTTP
+    headers plus a WARC-Payload-Digest pointer, no body (the
+    identical-payload-digest profile) — so content reconstruction is
+    an equi-join from revisit rows to the distinct (digest, payload)
+    dimension of stored responses. sha1 keys are uniform (no skew);
+    the dimension is the unique-payload set. The oracle pins every
+    resolved payload's md5 against the pre-encode construction
+    bytes."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.sources.warc import (
+        make_revisit,
+        make_warc,
+        parse_warc,
+        payload_digest,
+    )
+
+    recs = []
+    for i in range(5):
+        recs.append(
+            (
+                i,
+                bytearray(
+                    make_warc(
+                        [
+                            (
+                                f"https://rv.example/o{i}",
+                                "2024-01-01T00:00:00Z",
+                                _REVISIT_PAYLOADS[i],
+                            )
+                        ]
+                    )
+                ),
+            )
+        )
+    for i in range(5, 12):
+        j = (i * 3) % 5
+        recs.append(
+            (
+                i,
+                bytearray(
+                    make_revisit(
+                        f"https://rv.example/r{i}",
+                        "2024-02-01T00:00:00Z",
+                        payload_digest(_REVISIT_PAYLOADS[j]),
+                        f"https://rv.example/o{j}",
+                        "2024-01-01T00:00:00Z",
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(recs, "rec_id int, warc binary")
+
+    schema = (
+        "url string, html binary, error string, record_type string,"
+        " payload_digest string"
+    )
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf["warc"]:
+                rows = parse_warc(bytes(buf), "inline")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                r = rows[0]
+                out.append(
+                    (
+                        r["url"],
+                        r["html"],
+                        r["error"],
+                        r["record_type"],
+                        r["payload_digest"],
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "url",
+                    "html",
+                    "error",
+                    "record_type",
+                    "payload_digest",
+                ],
+            )
+
+    from ocr_spark.sources.warc import resolve_revisits
+
+    parsed = df.repartition(8, "rec_id").mapInPandas(parse, schema)
+    resolved = resolve_revisits(parsed)
+    return resolved.select(
+        "url",
+        "is_revisit",
+        "payload_digest",
+        F.md5(F.col("html")).alias("payload_md5"),
+    )
+
+
+_REDIRECT_EDGES = {
+    "a0": "a1", "a1": "a2", "a2": "a3", "a3": "a4", "a4": "a5",
+    "b0": "b1",
+    "c": "c",
+    "d0": "d1", "d1": "d0",
+}
+_REDIRECT_URLS = sorted(set(_REDIRECT_EDGES) | set(_REDIRECT_EDGES.values()) | {"e"})
+
+
+def _redirect_oracle() -> str:
+    """Recursive-CTE oracle: DuckDB walks each chain SEQUENTIALLY up
+    to 64 hops over the construction's edge list, so the pointer-
+    jumped (log-round) Spark plan is checked against a genuinely
+    different evaluation strategy of the same semantics."""
+    edges = ", ".join(
+        f"('{u}', '{_REDIRECT_EDGES.get(u)}')"
+        if u in _REDIRECT_EDGES
+        else f"('{u}', NULL)"
+        for u in _REDIRECT_URLS
+    )
+    return f"""
+WITH RECURSIVE
+pages(url, loc) AS (SELECT * FROM (VALUES {edges}) AS v(url, loc)),
+walk(url, cur, hops) AS (
+    SELECT url, url, 0 FROM pages
+    UNION ALL
+    SELECT w.url, p.loc, w.hops + 1
+    FROM walk w JOIN pages p ON w.cur = p.url
+    WHERE p.loc IS NOT NULL AND w.hops < 64
+),
+final AS (
+    SELECT url, cur AS final_url
+    FROM (
+        SELECT url, cur,
+               ROW_NUMBER() OVER (PARTITION BY url ORDER BY hops DESC) rn
+        FROM walk
+    ) WHERE rn = 1
+)
+SELECT f.url AS url, f.final_url AS final_url,
+       64 AS hops_bounded,
+       (p.loc IS NULL) AS resolved
+FROM final f JOIN pages p ON f.final_url = p.url
+"""
+
+
+@query("redirect_final_url", _redirect_oracle())
+def redirect_final_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive redirect resolution over the WARC path (round 4):
+    3xx records surface their Location header, and the chain
+    (http->https->www->canonical is ubiquitous) collapses by POINTER
+    JUMPING — ceil(log2(64)) = 6 self-equi-joins instead of a
+    64-pass sequential walk, the only shape that survives a 10^12-row
+    crawl graph. Loops (self and 2-cycles in the construction) come
+    back resolved=false with final_url pinned to the exact
+    64th-application node, which the oracle's bounded sequential walk
+    independently computes."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.operators.crawl import resolve_redirects
+    from ocr_spark.sources.warc import make_warc, parse_warc
+
+    recs = []
+    for i, u in enumerate(_REDIRECT_URLS):
+        loc = _REDIRECT_EDGES.get(u)
+        if loc is None:
+            rec = (u, "2024-01-01T00:00:00Z", b"<p>terminal</p>")
+        else:
+            rec = (
+                u,
+                "2024-01-01T00:00:00Z",
+                b"",
+                "text/html",
+                "301 Moved Permanently",
+                [("Location", loc)],
+            )
+        recs.append((i, bytearray(make_warc([rec]))))
+    df = spark.createDataFrame(recs, "rec_id int, warc binary")
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf["warc"]:
+                rows = parse_warc(bytes(buf), "inline")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                out.append((rows[0]["url"], rows[0]["redirect_location"]))
+            yield _pd.DataFrame(out, columns=["url", "redirect_location"])
+
+    parsed = df.repartition(8, "rec_id").mapInPandas(
+        parse, "url string, redirect_location string"
+    )
+    return resolve_redirects(parsed, max_hops=64)
+
+
+def _wet_oracle() -> str:
+    """Literal-VALUES oracle from the page construction: expected text
+    md5 is the md5 of the PRE-ENCODE unicode main text (same
+    independence as charset_decode_extract), record_type/digest_match
+    are the WET contract itself."""
+    import hashlib
+
+    from ocr_spark.sources.corpus import header_charset_pages
+
+    rows = ", ".join(
+        f"({r['doc_id']}, 'conversion', {len(r['text'])}, "
+        f"'{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}', TRUE)"
+        for r in header_charset_pages()
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, record_type, n_chars, text_md5, digest_match)"
+    )
+
+
+@query("wet_extract_roundtrip", _wet_oracle())
+def wet_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation (round 4): the extracted-text sibling format
+    Common Crawl publishes next to each WARC. Pages flow through the
+    production sniff-decode + main-content extraction, serialize as
+    ``conversion`` records (bare utf-8 payload, text/plain,
+    WARC-Refers-To lineage, payload digest), and parse BACK through
+    the production WARC parser — one Arrow-batched stage per page.
+    digest_match recomputes sha1-base32 over the parsed payload and
+    compares it to the record's own WARC-Payload-Digest header, so a
+    writer/parser byte drift on either side fails the gate; text md5
+    is pinned to the pre-encode construction."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.sources.corpus import header_charset_pages
+
+    pages = header_charset_pages()
+    df = spark.createDataFrame(
+        [
+            (r["doc_id"], bytearray(r["html"]), r["content_type"])
+            for r in pages
+        ],
+        "doc_id int, html binary, content_type string",
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import hashlib
+
+        from ocr_spark.functions.html_extract import sniff_decode
+        from ocr_spark.operators.extract import extract_main_text
+        from ocr_spark.sources.warc import (
+            make_wet,
+            parse_warc,
+            payload_digest,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload, ctype in zip(
+                pdf["doc_id"], pdf["html"], pdf["content_type"]
+            ):
+                text, _ = sniff_decode(
+                    bytes(payload), None if ctype is None else str(ctype)
+                )
+                main = extract_main_text(text)
+                url = f"https://wet.example/d{int(doc_id)}"
+                wet = make_wet([(url, "2024-01-01T00:00:00Z", main)])
+                rows = parse_warc(wet, "inline.wet")
+                assert len(rows) == 1 and rows[0]["error"] is None
+                r = rows[0]
+                body = bytes(r["html"])
+                out.append(
+                    (
+                        int(doc_id),
+                        r["record_type"],
+                        len(body.decode("utf-8")),
+                        hashlib.md5(body).hexdigest(),
+                        r["payload_digest"] == payload_digest(body),
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "record_type",
+                    "n_chars",
+                    "text_md5",
+                    "digest_match",
+                ],
+            )
+
+    return df.repartition(8, "doc_id").mapInPandas(
+        run,
+        "doc_id int, record_type string, n_chars int, text_md5 string,"
+        " digest_match boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

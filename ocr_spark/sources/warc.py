@@ -42,25 +42,47 @@ from pyspark.sql.types import (
 
 CRLF = b"\r\n"
 
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def payload_digest(payload: bytes) -> str:
+    """``sha1:<base32>`` over the payload bytes — the exact convention
+    Common Crawl's WARC-Payload-Digest headers and CDX ``digest`` field
+    use (RFC 4648 base32, uppercase, no padding stripping needed for
+    sha1's 160 bits)."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
 
 def make_warc(records: list[tuple]) -> bytes:
     """Build a WARC/1.0 byte stream from (url, iso_ts, html) triples —
     optionally extended with an HTTP Content-Type value (4th element,
-    e.g. ``"text/html; charset=windows-1252"``; default ``text/html``)
-    and an HTTP status line (5th, e.g. ``"301 Moved Permanently"``;
-    default ``200 OK``).
+    e.g. ``"text/html; charset=windows-1252"``; default ``text/html``),
+    an HTTP status line (5th, e.g. ``"301 Moved Permanently"``;
+    default ``200 OK``), and extra HTTP headers (6th, a list of
+    ``(name, value)`` strings — e.g. ``[("Location", ...)]`` on a
+    redirect).
 
-    Each record is a ``response`` with an HTTP/1.1 header; the stored
-    Content-Length covers the full HTTP block, per the spec.
+    Each record is a ``response`` with an HTTP/1.1 header and a
+    ``WARC-Payload-Digest`` (sha1 base32 of the entity body as stored
+    — the Common Crawl convention); the stored Content-Length covers
+    the full HTTP block, per the spec.
     """
     out = bytearray()
     for rec in records:
         url, ts, html = rec[0], rec[1], rec[2]
         ctype = rec[3] if len(rec) > 3 else "text/html"
         status = rec[4] if len(rec) > 4 else "200 OK"
+        extra = rec[5] if len(rec) > 5 else []
         http = (
             b"HTTP/1.1 " + status.encode("latin-1") + CRLF
             + b"Content-Type: " + ctype.encode("latin-1") + CRLF
+            + b"".join(
+                k.encode("latin-1") + b": " + v.encode("latin-1") + CRLF
+                for k, v in extra
+            )
             + b"Content-Length: " + str(len(html)).encode() + CRLF
             + CRLF
             + html
@@ -70,11 +92,69 @@ def make_warc(records: list[tuple]) -> bytes:
             + b"WARC-Type: response" + CRLF
             + b"WARC-Target-URI: " + url.encode() + CRLF
             + b"WARC-Date: " + ts.encode() + CRLF
+            + b"WARC-Payload-Digest: " + payload_digest(html).encode() + CRLF
             + b"Content-Type: application/http; msgtype=response" + CRLF
             + b"Content-Length: " + str(len(http)).encode() + CRLF
             + CRLF
         )
         out += hdr + http + CRLF + CRLF
+    return bytes(out)
+
+
+def make_revisit(
+    url: str,
+    ts: str,
+    digest: str,
+    refers_to_uri: str,
+    refers_to_ts: str,
+) -> bytes:
+    """One ``revisit`` record (identical-payload-digest profile): the
+    crawler refetched ``url``, saw a payload whose digest matches an
+    earlier capture, and stored only the HTTP headers plus a pointer —
+    this is how real crawls avoid re-storing duplicate bytes, and the
+    reader side must resolve the pointer to reconstruct content."""
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: text/html" + CRLF
+        + CRLF
+    )
+    hdr = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: revisit" + CRLF
+        + b"WARC-Target-URI: " + url.encode() + CRLF
+        + b"WARC-Date: " + ts.encode() + CRLF
+        + b"WARC-Profile: " + _REVISIT_PROFILE.encode() + CRLF
+        + b"WARC-Payload-Digest: " + digest.encode() + CRLF
+        + b"WARC-Refers-To-Target-URI: " + refers_to_uri.encode() + CRLF
+        + b"WARC-Refers-To-Date: " + refers_to_ts.encode() + CRLF
+        + b"Content-Type: application/http; msgtype=response" + CRLF
+        + b"Content-Length: " + str(len(http)).encode() + CRLF
+        + CRLF
+    )
+    return bytes(hdr + http + CRLF + CRLF)
+
+
+def make_wet(records: list[tuple[str, str, str]]) -> bytes:
+    """WET-style extracted-text stream: one ``conversion`` record per
+    (url, iso_ts, text) — the derived-text sibling format Common Crawl
+    publishes next to each WARC. The payload is bare utf-8 text (no
+    HTTP block; Content-Type ``text/plain``), and ``WARC-Refers-To-
+    Target-URI`` points back at the source capture for lineage."""
+    out = bytearray()
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        hdr = (
+            b"WARC/1.0" + CRLF
+            + b"WARC-Type: conversion" + CRLF
+            + b"WARC-Target-URI: " + url.encode() + CRLF
+            + b"WARC-Date: " + ts.encode() + CRLF
+            + b"WARC-Refers-To-Target-URI: " + url.encode() + CRLF
+            + b"WARC-Payload-Digest: " + payload_digest(body).encode() + CRLF
+            + b"Content-Type: text/plain" + CRLF
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF
+        )
+        out += hdr + body + CRLF + CRLF
     return bytes(out)
 
 
@@ -240,7 +320,33 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
         if body_end + 4 > n:
             rows.append(_dead(filename, pos, "truncated body"))
             break
-        if headers.get("warc-type") == "response":
+        wtype = headers.get("warc-type")
+        if wtype == "conversion":
+            # WET-style derived-text record: bare payload, no HTTP block
+            ts = headers.get("warc-date", "")
+            try:
+                warc_ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                warc_ts = warc_ts.astimezone(timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                warc_ts = None
+            rows.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_ts": warc_ts,
+                    "html": buf[body_start:body_end],
+                    "warc_file": filename,
+                    "record_offset": pos,
+                    "record_length": body_end + 4 - pos,
+                    "error": None,
+                    "content_type": headers.get("content-type"),
+                    "http_status": None,
+                    "record_type": "conversion",
+                    "payload_digest": headers.get("warc-payload-digest"),
+                    "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+                    "redirect_location": None,
+                }
+            )
+        elif wtype in ("response", "revisit"):
             body = buf[body_start:body_end]
             # strip the HTTP header block; payload follows CRLFCRLF
             sep = body.find(CRLF + CRLF)
@@ -283,6 +389,12 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                         "error": f"http body: {e}"[:200],
                         "content_type": ctype,
                         "http_status": status,
+                        "record_type": wtype,
+                        "payload_digest": headers.get("warc-payload-digest"),
+                        "refers_to_uri": headers.get(
+                            "warc-refers-to-target-uri"
+                        ),
+                        "redirect_location": None,
                     }
                 )
                 pos = body_end + 4
@@ -297,13 +409,22 @@ def parse_warc(buf: bytes, filename: str = "") -> list[dict]:
                 {
                     "url": headers.get("warc-target-uri"),
                     "warc_ts": warc_ts,
-                    "html": html,
+                    # a revisit stores no payload: its content lives in
+                    # the capture its digest points at (resolved by an
+                    # equi-join on payload_digest downstream)
+                    "html": None if wtype == "revisit" else html,
                     "warc_file": filename,
                     "record_offset": pos,
                     "record_length": body_end + 4 - pos,
                     "error": None,
                     "content_type": ctype,
                     "http_status": status,
+                    "record_type": wtype,
+                    "payload_digest": headers.get("warc-payload-digest"),
+                    "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+                    # 3xx responses carry the hop target; crawl-graph
+                    # queries resolve chains by pointer-jumping on it
+                    "redirect_location": http_headers.get(b"location"),
                 }
             )
         pos = body_end + 4  # past the record's closing CRLF CRLF
@@ -321,6 +442,10 @@ def _dead(filename: str, pos: int, why: str) -> dict:
         "error": why,
         "content_type": None,
         "http_status": None,
+        "record_type": None,
+        "payload_digest": None,
+        "refers_to_uri": None,
+        "redirect_location": None,
     }
 
 
@@ -335,8 +460,51 @@ WARC_SCHEMA = StructType(
         StructField("error", StringType()),
         StructField("content_type", StringType()),
         StructField("http_status", IntegerType()),
+        StructField("record_type", StringType()),
+        StructField("payload_digest", StringType()),
+        StructField("refers_to_uri", StringType()),
+        StructField("redirect_location", StringType()),
     ]
 )
+
+
+def resolve_revisits(pages: DataFrame) -> DataFrame:
+    """Fill revisit rows' payloads from their identical-digest
+    originals and tag every row with ``is_revisit``.
+
+    Real crawls store a duplicate fetch as a ``revisit`` record —
+    HTTP headers plus a WARC-Payload-Digest pointer, no body — so a
+    reader that ignores them silently drops every recrawled page.
+    Resolution is one equi-join: a distinct (digest, payload)
+    dimension built from the response rows (payload rides as a GROUP
+    KEY — identical-payload-digest makes it functionally dependent on
+    the digest, and binary aggregate buffers would fall to
+    SortAggregate), probed by the revisit rows.
+
+    Scale shape: sha1 digests are uniform, so the shuffle has no skew;
+    at crawl scale the dimension is the unique-payload set (already
+    deduplicated by construction), and AQE broadcast-promotes it when
+    a small batch of revisits resolves against it.
+    """
+    from pyspark.sql import functions as F
+
+    clean = pages.where(F.col("error").isNull())
+    responses = clean.where(F.col("record_type") == "response")
+    dim = (
+        responses.where(F.col("payload_digest").isNotNull())
+        .select("payload_digest", F.col("html").alias("orig_html"))
+        .distinct()
+    )
+    revisits = clean.where(F.col("record_type") == "revisit")
+    resolved = (
+        revisits.drop("html")
+        .join(dim, "payload_digest", "left")
+        .withColumn("html", F.col("orig_html"))
+        .drop("orig_html")
+    )
+    return responses.withColumn("is_revisit", F.lit(False)).unionByName(
+        resolved.withColumn("is_revisit", F.lit(True))
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

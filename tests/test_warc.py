@@ -311,3 +311,103 @@ def test_http_status_surfaced_and_default_200():
         + b"<p>no</p>" + CRLF + CRLF
     )
     assert parse_warc(raw, "t")[0]["http_status"] is None
+
+
+def test_payload_digest_is_cc_convention():
+    """sha1:<base32> — pinned against the PUBLISHED sha1('abc') test
+    vector (a9993e36...), base32'd by hand for the first 8 chars."""
+    from ocr_spark.sources.warc import payload_digest
+
+    assert payload_digest(b"abc") == "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5"
+    rows = parse_warc(make_warc(RECS), "d.warc")
+    assert [r["payload_digest"] for r in rows] == [
+        payload_digest(h) for _, _, h in RECS
+    ]
+    assert all(r["record_type"] == "response" for r in rows)
+
+
+def test_revisit_record_parses_and_resolves(spark):
+    from ocr_spark.sources.warc import (
+        WARC_SCHEMA,
+        make_revisit,
+        payload_digest,
+        resolve_revisits,
+    )
+
+    orig = RECS[0]
+    buf = make_warc([orig]) + make_revisit(
+        "https://a.example/1b",
+        "2024-02-01T00:00:00Z",
+        payload_digest(orig[2]),
+        orig[0],
+        orig[1],
+    )
+    rows = parse_warc(buf, "r.warc")
+    assert [r["record_type"] for r in rows] == ["response", "revisit"]
+    rv = rows[1]
+    assert rv["error"] is None and rv["html"] is None
+    assert rv["payload_digest"] == payload_digest(orig[2])
+    assert rv["refers_to_uri"] == orig[0]
+    assert rv["http_status"] == 200
+
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in WARC_SCHEMA.fields) for r in rows],
+        WARC_SCHEMA,
+    )
+    out = {r.url: r for r in resolve_revisits(df).collect()}
+    assert bytes(out["https://a.example/1b"].html) == orig[2]
+    assert out["https://a.example/1b"].is_revisit is True
+    assert out["https://a.example/1"].is_revisit is False
+
+
+def test_wet_conversion_roundtrip():
+    from ocr_spark.sources.warc import make_wet, payload_digest
+
+    texts = [("https://w/1", "2024-01-01T00:00:00Z", "héllo wörld"),
+             ("https://w/2", "2024-01-02T00:00:00Z", "plain ascii")]
+    rows = parse_warc(make_wet(texts), "w.wet")
+    assert [r["record_type"] for r in rows] == ["conversion", "conversion"]
+    for r, (url, _, text) in zip(rows, texts):
+        assert r["url"] == url and r["refers_to_uri"] == url
+        assert bytes(r["html"]).decode("utf-8") == text
+        assert r["payload_digest"] == payload_digest(text.encode("utf-8"))
+        assert r["content_type"] == "text/plain"
+        assert r["error"] is None and r["http_status"] is None
+
+
+def test_redirect_location_surfaced():
+    buf = make_warc(
+        [
+            ("https://x/old", "2024-01-01T00:00:00Z", b"", "text/html",
+             "301 Moved Permanently", [("Location", "https://x/new")]),
+            ("https://x/new", "2024-01-01T00:00:00Z", b"<p>here</p>"),
+        ]
+    )
+    rows = parse_warc(buf, "l.warc")
+    assert rows[0]["redirect_location"] == "https://x/new"
+    assert rows[1]["redirect_location"] is None
+
+
+def test_resolve_redirects_pointer_jumping(spark):
+    from ocr_spark.operators.crawl import resolve_redirects
+
+    edges = {
+        "a0": "a1", "a1": "a2", "a2": "a3", "a3": "a4", "a4": "a5",
+        "b0": "b1",
+        "c": "c",                 # self-loop
+        "d0": "d1", "d1": "d0",   # 2-cycle
+    }
+    urls = sorted(set(edges) | set(edges.values()) | {"e"})
+    df = spark.createDataFrame(
+        [(u, edges.get(u)) for u in urls], "url string, redirect_location string"
+    )
+    got = {r.url: r for r in resolve_redirects(df).collect()}
+    assert got["a0"].final_url == "a5" and got["a0"].resolved
+    assert got["a3"].final_url == "a5" and got["a3"].resolved
+    assert got["b0"].final_url == "b1" and got["b0"].resolved
+    assert got["e"].final_url == "e" and got["e"].resolved
+    assert got["c"].final_url == "c" and not got["c"].resolved
+    # 64 is even, so the 2-cycle lands back on itself — same node a
+    # 64-step sequential walk reports
+    assert got["d0"].final_url == "d0" and not got["d0"].resolved
+    assert got["d1"].final_url == "d1" and not got["d1"].resolved
