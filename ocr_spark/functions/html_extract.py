@@ -285,3 +285,148 @@ def extract_embedded_pnm(html: str | bytes | None) -> bytes | None:
         return base64.b64decode(m.group(1))
     except Exception:
         return None
+
+
+# -- structured extraction: tables ------------------------------------------
+#
+# Boilerplate-strip keeps prose; TABLES are where crawled pages keep the
+# data a training-corpus pipeline wants as STRUCTURE (specs, rankings,
+# schedules). extract_tables shreds every <table> into addressable cells
+# so the Spark side gets one row per cell — joinable, filterable,
+# aggregatable — instead of table text smeared into a prose block.
+
+
+class _TableParser(HTMLParser):
+    """Cells of every <table>, document-ordered, nesting-aware.
+
+    Each <table> gets the next global index in start-tag order; a table
+    nested inside a cell is its OWN table, and its text never leaks into
+    the outer cell. Sloppy real-world markup is normalized the way
+    browsers do: a <td>/<th>/<tr> start implicitly closes an open cell,
+    a cell before any <tr> opens an implicit row, </table> closes
+    whatever is still open. script/style content is dropped.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.next_idx = 0
+        self.cells: list[tuple[int, int, int, str, bool]] = []
+        # open-table stack: [table_idx, row_idx, col_idx, cell_frags|None,
+        #                    is_header]
+        self._tables: list[list] = []
+        self._skip = 0
+
+    def _close_cell(self) -> None:
+        t = self._tables[-1]
+        if t[3] is None:
+            return
+        text = _WS.sub(" ", "".join(t[3])).strip()
+        self.cells.append((t[0], t[1], t[2], text, t[4]))
+        t[3] = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("script", "style"):
+            self._skip += 1
+            return
+        if tag == "table":
+            # an open outer cell stays open: text after the nested
+            # table resumes accumulating into it (browser behavior);
+            # only the nested table's OWN cells capture its text
+            self._tables.append([self.next_idx, -1, -1, None, False])
+            self.next_idx += 1
+            return
+        if not self._tables:
+            return
+        t = self._tables[-1]
+        if tag == "tr":
+            self._close_cell()
+            t[1] += 1
+            t[2] = -1
+        elif tag in ("td", "th"):
+            self._close_cell()
+            if t[1] < 0:
+                t[1] = 0  # cell before any <tr>: implicit first row
+            t[2] += 1
+            t[3] = []
+            t[4] = tag == "th"
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style"):
+            self._skip = max(0, self._skip - 1)
+            return
+        if not self._tables:
+            return
+        if tag in ("td", "th", "tr"):
+            self._close_cell()
+        elif tag == "table":
+            self._close_cell()
+            self._tables.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip or not self._tables:
+            return
+        t = self._tables[-1]
+        if t[3] is not None:
+            t[3].append(data)
+
+
+def extract_tables(html: str | bytes | None) -> list[tuple[int, int, int, str, bool]]:
+    """All table cells of a page as (table_idx, row_idx, col_idx,
+    text, is_header) — indices are occurrence-ordered (colspan does not
+    expand), text is whitespace-collapsed with entities resolved."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = sniff_decode(html)[0]
+    p = _TableParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed markup: keep the cells assembled so far
+    return p.cells
+
+
+# -- structured extraction: canonical + robots metas -------------------------
+
+
+class _MetaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.canonical: str | None = None
+        self.robots: set[str] = set()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "link":
+            rel = a.get("rel", "").lower().split()
+            if "canonical" in rel and a.get("href") and self.canonical is None:
+                self.canonical = a["href"].strip()
+        elif tag == "meta" and a.get("name", "").lower() == "robots":
+            for tok in a.get("content", "").replace(",", " ").lower().split():
+                self.robots.add(tok)
+
+
+def extract_meta_robots(html: str | bytes | None) -> tuple[str | None, bool, bool]:
+    """(canonical_url, noindex, nofollow) from <link rel=canonical> and
+    <meta name=robots> — the keep/canonicalize signals a crawl pipeline
+    consults before a page enters the corpus. The FIRST canonical link
+    wins (browser behavior); robots directives union across every
+    robots meta, with ``none`` meaning ``noindex, nofollow`` per the
+    public robots-meta spec."""
+    if html is None:
+        return None, False, False
+    if isinstance(html, (bytes, bytearray)):
+        html = sniff_decode(html)[0]
+    p = _MetaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    d = p.robots
+    return (
+        p.canonical,
+        "noindex" in d or "none" in d,
+        "nofollow" in d or "none" in d,
+    )

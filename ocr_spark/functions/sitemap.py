@@ -1,0 +1,87 @@
+"""Sitemap protocol parser (sitemaps.org XML) — the crawl-frontier
+seed format: ``<urlset>`` files list page urls with optional lastmod/
+changefreq/priority hints, and ``<sitemapindex>`` files list child
+sitemap urls, two levels a crawler walks before any page fetch.
+
+Parsing is stdlib ``xml.etree`` with the protocol namespace stripped
+(real sitemaps carry ``xmlns="http://www.sitemaps.org/schemas/
+sitemap/0.9"``; plenty of hand-rolled ones omit it — both parse the
+same). Malformed XML raises ValueError so the Spark stage dead-letters
+that sitemap row and keeps the batch alive, the same per-record
+convention as the WARC parser.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap(buf: bytes) -> tuple[str, list[dict]]:
+    """Parse one sitemap payload.
+
+    Returns ``(kind, entries)`` where kind is ``"urlset"`` or
+    ``"sitemapindex"`` and each entry is ``{loc, lastmod, changefreq,
+    priority}`` (missing children None; loc-less entries skipped —
+    loc is the protocol's one required field).
+    """
+    try:
+        root = ET.fromstring(buf)
+    except ET.ParseError as e:
+        raise ValueError(f"sitemap: bad xml: {e}") from None
+    kind = _local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"sitemap: unexpected root <{kind}>")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries: list[dict] = []
+    for el in root:
+        if _local(el.tag) != child_tag:
+            continue
+        fields = {"loc": None, "lastmod": None, "changefreq": None,
+                  "priority": None}
+        for sub in el:
+            name = _local(sub.tag)
+            if name in fields and sub.text is not None:
+                fields[name] = sub.text.strip()
+        if fields["loc"]:
+            entries.append(fields)
+    return kind, entries
+
+
+def make_urlset(entries: list[dict]) -> bytes:
+    """Serialize a ``<urlset>`` fixture (namespace included, like real
+    crawler output); entry dicts use the parse_sitemap field names."""
+    parts = [
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    ]
+    for e in entries:
+        parts.append(b"<url>")
+        for k in ("loc", "lastmod", "changefreq", "priority"):
+            v = e.get(k)
+            if v is not None:
+                parts.append(
+                    f"<{k}>{v}</{k}>".encode("utf-8")
+                )
+        parts.append(b"</url>")
+    parts.append(b"</urlset>")
+    return b"".join(parts)
+
+
+def make_sitemapindex(locs: list[tuple[str, str | None]]) -> bytes:
+    """Serialize a ``<sitemapindex>`` fixture from (loc, lastmod)."""
+    parts = [
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    ]
+    for loc, lastmod in locs:
+        parts.append(b"<sitemap>")
+        parts.append(f"<loc>{loc}</loc>".encode("utf-8"))
+        if lastmod is not None:
+            parts.append(f"<lastmod>{lastmod}</lastmod>".encode("utf-8"))
+        parts.append(b"</sitemap>")
+    parts.append(b"</sitemapindex>")
+    return b"".join(parts)

@@ -9611,6 +9611,332 @@ def wet_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# _TABLE_PAGES: (html, expected cells) pairs — the expected side is
+# written BY HAND from the markup (the parser is never consulted), so
+# the oracle is construction-derived in the same sense as the codec
+# VALUES oracles.
+_TABLE_PAGES = [
+    (
+        "<table><tr><th> A </th><th>B</th></tr>"
+        "<tr><td>v&amp;1</td><td>  v  2 </td></tr></table>",
+        [
+            (0, 0, 0, "A", True),
+            (0, 0, 1, "B", True),
+            (0, 1, 0, "v&1", False),
+            (0, 1, 1, "v 2", False),
+        ],
+    ),
+    (
+        "<p>prose</p><table><tr><td>pre <table><tr><td>inner</td></tr>"
+        "</table> tail</td></tr></table>",
+        [(0, 0, 0, "pre tail", False), (1, 0, 0, "inner", False)],
+    ),
+    (
+        "<table><td>implicit<td>second"
+        "<tr><td><script>var x=1;</script>clean</table>",
+        [
+            (0, 0, 0, "implicit", False),
+            (0, 0, 1, "second", False),
+            (0, 1, 0, "clean", False),
+        ],
+    ),
+    (
+        "<table><tr><td>t0</td></tr></table>"
+        "<div><table><tr><th>t1h</th></tr><tr><td></td></tr></table></div>",
+        [
+            (0, 0, 0, "t0", False),
+            (1, 0, 0, "t1h", True),
+            (1, 1, 0, "", False),
+        ],
+    ),
+    ("<p>no tables at all</p>", []),
+]
+
+
+def _table_oracle() -> str:
+    rows = ", ".join(
+        f"({doc_id}, {t}, {r}, {c}, '{txt}', {'TRUE' if h else 'FALSE'})"
+        for doc_id, (_, cells) in enumerate(_TABLE_PAGES)
+        for (t, r, c, txt, h) in cells
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, table_idx, row_idx, col_idx, cell, is_header)"
+    )
+
+
+@query("html_table_cells", _table_oracle())
+def html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (round 4): every <table> on a page
+    shreds into addressable (table_idx, row_idx, col_idx, text,
+    is_header) cells — the form a training-data pipeline can join,
+    filter, and aggregate, instead of table text smeared into prose
+    blocks. Nesting keeps each table's text in its own cells (outer
+    cells resume after a nested table, browser-style), and sloppy
+    real-world markup (unclosed cells, cells before any <tr>, script
+    payloads) normalizes the way browsers do. One Arrow-batched
+    mapInPandas; the oracle cells are hand-derived from the markup."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = spark.createDataFrame(
+        [(i, page) for i, (page, _) in enumerate(_TABLE_PAGES)],
+        "doc_id int, html string",
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.html_extract import extract_tables
+
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for t, r, c, txt, h in extract_tables(html):
+                    out.append((int(doc_id), t, r, c, txt, h))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "table_idx",
+                    "row_idx",
+                    "col_idx",
+                    "cell",
+                    "is_header",
+                ],
+            )
+
+    return df.repartition(8, "doc_id").mapInPandas(
+        run,
+        "doc_id int, table_idx int, row_idx int, col_idx int,"
+        " cell string, is_header boolean",
+    )
+
+
+# (html, expected canonical, noindex, nofollow) — expected side hand-
+# derived from the markup, first-canonical-wins and robots-union rules
+_META_PAGES = [
+    (
+        '<head><link rel="canonical" href="https://x/a">'
+        '<link rel="canonical" href="https://x/SECOND">'
+        '<meta name="ROBOTS" content="NOINDEX, follow"></head>',
+        "https://x/a", True, False,
+    ),
+    ('<meta name="robots" content="none">', None, True, True),
+    (
+        '<link rel="alternate canonical" href="/c">'
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">',
+        "/c", True, True,
+    ),
+    ("<p>no metas</p>", None, False, False),
+    (
+        '<link rel="canonical" href=" https://y/trimmed ">'
+        '<meta name="robots" content="NOARCHIVE">',
+        "https://y/trimmed", False, False,
+    ),
+    ('<meta name="robots" content="nofollow,noindex">', None, True, True),
+]
+
+
+def _meta_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, "
+        + ("CAST(NULL AS VARCHAR)" if canon is None else f"'{canon}'")
+        + f", {'TRUE' if ni else 'FALSE'}, {'TRUE' if nf else 'FALSE'})"
+        for i, (_, canon, ni, nf) in enumerate(_META_PAGES)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, canonical, noindex, nofollow)"
+    )
+
+
+@query("meta_robots_canonical", _meta_oracle())
+def meta_robots_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-link + robots-meta gate (round 4): the two in-page
+    signals a crawl pipeline consults before a capture enters the
+    corpus — ``rel=canonical`` dedups syndicated copies onto one
+    representative url (first link wins, browser-style; multi-token
+    rel attributes match by token), and ``noindex``/``nofollow``
+    (union across every robots meta; ``none`` implies both) gates
+    indexing and outlink expansion. Hand-derived oracle."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = spark.createDataFrame(
+        [(i, page) for i, (page, _, _, _) in enumerate(_META_PAGES)],
+        "doc_id int, html string",
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.html_extract import extract_meta_robots
+
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                canon, ni, nf = extract_meta_robots(html)
+                out.append((int(doc_id), canon, ni, nf))
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "canonical", "noindex", "nofollow"]
+            )
+
+    return df.repartition(8, "doc_id").mapInPandas(
+        run,
+        "doc_id int, canonical string, noindex boolean, nofollow boolean",
+    )
+
+
+_SITEMAP_FETCHED = [
+    ("https://site.example/a1", "2024-02-01"),
+    ("https://site.example/a2", "2024-02-01"),
+    ("https://site.example/a3", "2024-02-01"),
+    ("https://site.example/b2", "2024-01-01"),
+    ("https://site.example/c1", "2024-01-01"),
+]
+
+# expected (url, lastmod, needs_fetch) — hand-derived from the fixture:
+# fetch when never fetched, or when the sitemap lastmod postdates the
+# last fetch; a fetched page with no lastmod hint is left alone
+_SITEMAP_EXPECTED = [
+    ("https://site.example/a1", "2024-03-01", True),
+    ("https://site.example/a2", "2024-01-15", False),
+    ("https://site.example/a3", None, False),
+    ("https://site.example/a4", "2024-02-10", True),
+    ("https://site.example/b1", "2024-05-05", True),
+    ("https://site.example/b2", None, False),
+    ("https://site.example/c1", "2023-12-31", False),
+    ("https://site.example/c2", "2024-04-01", True),
+]
+
+
+def _sitemap_oracle() -> str:
+    rows = ", ".join(
+        f"('{u}', "
+        + ("CAST(NULL AS VARCHAR)" if lm is None else f"'{lm}'")
+        + f", {'TRUE' if nf else 'FALSE'})"
+        for u, lm, nf in _SITEMAP_EXPECTED
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(url, lastmod, needs_fetch)"
+    )
+
+
+@query("sitemap_recrawl_frontier", _sitemap_oracle())
+def sitemap_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol frontier seeding (round 4): a two-level walk —
+    ``<sitemapindex>`` names the child sitemaps, each ``<urlset>``
+    names pages with lastmod hints — joined against the crawl's
+    last-fetch state to schedule recrawls (fetch when never fetched or
+    when lastmod postdates the last fetch; ISO dates compare
+    lexicographically so the gate is pure codegen string comparison).
+    A urlset NOT referenced by the index is ignored (lineage gate: the
+    semi-join on the index's loc list). Oracle is hand-derived from
+    the fixture."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.functions.sitemap import (
+        make_sitemapindex,
+        make_urlset,
+    )
+
+    host = "https://site.example"
+    sm = {
+        f"{host}/sm_a.xml": make_urlset(
+            [
+                {"loc": f"{host}/a1", "lastmod": "2024-03-01"},
+                {"loc": f"{host}/a2", "lastmod": "2024-01-15"},
+                {"loc": f"{host}/a3"},
+                {"loc": f"{host}/a4", "lastmod": "2024-02-10"},
+            ]
+        ),
+        f"{host}/sm_b.xml": make_urlset(
+            [
+                {"loc": f"{host}/b1", "lastmod": "2024-05-05",
+                 "changefreq": "weekly"},
+                {"loc": f"{host}/b2"},
+            ]
+        ),
+        f"{host}/sm_c.xml": make_urlset(
+            [
+                {"loc": f"{host}/c1", "lastmod": "2023-12-31",
+                 "priority": "0.8"},
+                {"loc": f"{host}/c2", "lastmod": "2024-04-01",
+                 "changefreq": "daily"},
+            ]
+        ),
+        # present on disk but NOT in the index: must not reach the
+        # frontier
+        f"{host}/sm_x.xml": make_urlset(
+            [{"loc": f"{host}/x1", "lastmod": "2024-06-01"}]
+        ),
+        f"{host}/sitemap.xml": make_sitemapindex(
+            [
+                (f"{host}/sm_a.xml", "2024-03-01"),
+                (f"{host}/sm_b.xml", None),
+                (f"{host}/sm_c.xml", "2024-04-01"),
+            ]
+        ),
+    }
+    df = spark.createDataFrame(
+        [(u, bytearray(x)) for u, x in sm.items()],
+        "sitemap_url string, xml binary",
+    )
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.sitemap import parse_sitemap
+
+        for pdf in batches:
+            out = []
+            for su, raw in zip(pdf["sitemap_url"], pdf["xml"]):
+                try:
+                    kind, entries = parse_sitemap(bytes(raw))
+                except ValueError:
+                    continue  # dead sitemap: frontier keeps going
+                for e in entries:
+                    out.append((su, kind, e["loc"], e["lastmod"]))
+            yield _pd.DataFrame(
+                out, columns=["sitemap_url", "kind", "loc", "lastmod"]
+            )
+
+    parsed = df.repartition(8, "sitemap_url").mapInPandas(
+        parse,
+        "sitemap_url string, kind string, loc string, lastmod string",
+    )
+    index_children = (
+        parsed.where(F.col("kind") == "sitemapindex")
+        .select(F.col("loc").alias("sitemap_url"))
+        .distinct()
+    )
+    pages = parsed.where(F.col("kind") == "urlset").join(
+        index_children, "sitemap_url", "semi"
+    )
+    fetched = spark.createDataFrame(
+        _SITEMAP_FETCHED, "url string, fetched_date string"
+    )
+    return (
+        pages.select(F.col("loc").alias("url"), "lastmod")
+        .join(fetched, "url", "left")
+        .select(
+            "url",
+            "lastmod",
+            (
+                F.col("fetched_date").isNull()
+                | (
+                    F.col("lastmod").isNotNull()
+                    & (F.col("lastmod") > F.col("fetched_date"))
+                )
+            ).alias("needs_fetch"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

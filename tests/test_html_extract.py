@@ -85,3 +85,82 @@ def test_corpus_roundtrip_with_embedded_scan():
         arr = pnm.decode_gray(scan)
         assert arr.shape == (96, 128)
         assert arr.dtype.name == "float32"
+
+
+# -- table shredding ---------------------------------------------------------
+
+
+def test_extract_tables_basic_and_entities():
+    from ocr_spark.functions.html_extract import extract_tables
+
+    html = (
+        "<table><tr><th> A </th><th>B</th></tr>"
+        "<tr><td>v&amp;1</td><td>  v  2 </td></tr></table>"
+    )
+    assert extract_tables(html) == [
+        (0, 0, 0, "A", True),
+        (0, 0, 1, "B", True),
+        (0, 1, 0, "v&1", False),
+        (0, 1, 1, "v 2", False),
+    ]
+
+
+def test_extract_tables_nested_and_tail():
+    from ocr_spark.functions.html_extract import extract_tables
+
+    html = (
+        "<table><tr><td>pre <table><tr><td>inner</td></tr></table>"
+        " tail</td></tr></table>"
+    )
+    got = sorted(extract_tables(html))
+    assert got == [(0, 0, 0, "pre tail", False), (1, 0, 0, "inner", False)]
+
+
+def test_extract_tables_sloppy_markup():
+    from ocr_spark.functions.html_extract import extract_tables
+
+    # unclosed cells, a cell before any <tr>, script content dropped
+    html = (
+        "<table><td>implicit<td>second"
+        "<tr><td><script>var x=1;</script>clean</table>"
+    )
+    assert extract_tables(html) == [
+        (0, 0, 0, "implicit", False),
+        (0, 0, 1, "second", False),
+        (0, 1, 0, "clean", False),
+    ]
+
+
+def test_extract_tables_none_and_bytes():
+    from ocr_spark.functions.html_extract import extract_tables
+
+    assert extract_tables(None) == []
+    assert extract_tables(b"<table><tr><td>b</td></tr></table>") == [
+        (0, 0, 0, "b", False)
+    ]
+
+
+# -- canonical + robots metas -------------------------------------------------
+
+
+def test_meta_robots_canonical():
+    from ocr_spark.functions.html_extract import extract_meta_robots
+
+    html = (
+        '<head><link rel="canonical" href="https://x/a">'
+        '<link rel="canonical" href="https://x/SECOND">'
+        '<meta name="ROBOTS" content="NOINDEX, follow"></head>'
+    )
+    assert extract_meta_robots(html) == ("https://x/a", True, False)
+    assert extract_meta_robots('<meta name="robots" content="none">') == (
+        None, True, True,
+    )
+    # union across multiple robots metas; multi-token rel
+    html2 = (
+        '<link rel="alternate canonical" href="/c">'
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">'
+    )
+    assert extract_meta_robots(html2) == ("/c", True, True)
+    assert extract_meta_robots("<p>no metas</p>") == (None, False, False)
+    assert extract_meta_robots(None) == (None, False, False)

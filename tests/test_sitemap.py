@@ -1,0 +1,61 @@
+"""Sitemap protocol parser (functions/sitemap.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.functions.sitemap import (
+    make_sitemapindex,
+    make_urlset,
+    parse_sitemap,
+)
+
+
+def test_urlset_roundtrip_and_fields():
+    entries = [
+        {"loc": "https://s/1", "lastmod": "2024-03-01",
+         "changefreq": "daily", "priority": "0.8"},
+        {"loc": "https://s/2"},
+    ]
+    kind, got = parse_sitemap(make_urlset(entries))
+    assert kind == "urlset"
+    assert got[0]["loc"] == "https://s/1"
+    assert got[0]["lastmod"] == "2024-03-01"
+    assert got[0]["changefreq"] == "daily"
+    assert got[0]["priority"] == "0.8"
+    assert got[1] == {"loc": "https://s/2", "lastmod": None,
+                      "changefreq": None, "priority": None}
+
+
+def test_sitemapindex_roundtrip():
+    kind, got = parse_sitemap(
+        make_sitemapindex([("https://s/a.xml", "2024-01-01"),
+                           ("https://s/b.xml", None)])
+    )
+    assert kind == "sitemapindex"
+    assert [e["loc"] for e in got] == ["https://s/a.xml", "https://s/b.xml"]
+    assert got[0]["lastmod"] == "2024-01-01" and got[1]["lastmod"] is None
+
+
+def test_namespace_optional_and_whitespace():
+    raw = b"<urlset><url><loc>  https://t/1 </loc></url></urlset>"
+    kind, got = parse_sitemap(raw)
+    assert kind == "urlset" and got[0]["loc"] == "https://t/1"
+
+
+def test_locless_entries_skipped_and_unknown_children_ignored():
+    raw = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><lastmod>2024-01-01</lastmod></url>"
+        b"<video>ignored</video>"
+        b"<url><loc>https://t/ok</loc><extra>x</extra></url></urlset>"
+    )
+    _, got = parse_sitemap(raw)
+    assert [e["loc"] for e in got] == ["https://t/ok"]
+
+
+def test_malformed_raises_value_error():
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<urlset><url>")
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<rss><channel/></rss>")
