@@ -9975,36 +9975,33 @@ _DRIVER_FIRST_50 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "window_top2_orders_per_cust",
-    "events_hourly",
-    "asof_click_before_error",
     "late_data_accounting",
     "charset_decode_extract",
     # pixel kernels / CLI (§2.1-2.11)
     "px_pipeline_features",
     "px_kernel_checksums",
     "px_grafix_program",
-    "histogram_reference_quirk",
     "png_decode_features",
     "wav_audio_features",
     "jpeg_decode_features",
     "gif_decode_features",
     "bmp_decode_features",
-    # text analysis + curation
-    "doc_quality_score",
+    "tiff_decode_features",
+    # text analysis + curation + structured page signals
     "doc_quality_panel",
     "pdf_extract",
-    "mojibake_repair",
     "curation_decisions",
     "span_corruption_masks",
+    "html_table_cells",
+    "meta_robots_canonical",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_jaccard_ngram",
     "neardup_cosine",
     "semdedup_pairs",
-    "exact_substring_spans",
     "exact_substring_dup_rate",
     "containment_pairs",
+    "warc_revisit_dedup",
     # similarity search + embeddings math
     "ann_ivf_probe_topk",
     "pq_adc_topk",
@@ -10019,6 +10016,9 @@ _DRIVER_FIRST_50 = [
     "kcore_membership",
     "crawl_budget_apportionment",
     "warc_charset_extract",
+    "wet_extract_roundtrip",
+    "redirect_final_url",
+    "sitemap_recrawl_frontier",
     # sketches
     "cms_token_sketch",
     "bloom_token_filter",
