@@ -430,3 +430,142 @@ def extract_meta_robots(html: str | bytes | None) -> tuple[str | None, bool, boo
         "noindex" in d or "none" in d,
         "nofollow" in d or "none" in d,
     )
+
+
+# -- structured extraction: page metadata + heading outline -------------------
+#
+# The per-document header fields a corpus pipeline keys on: title (and
+# its og: sibling), the first h1, and the publication date resolved
+# through the precedence real extractors use — JSON-LD datePublished >
+# <meta property="article:published_time"> > the first <time datetime>.
+
+
+class _PageMetaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.og_title: str | None = None
+        self.meta_published: str | None = None
+        self.time_datetime: str | None = None
+        self.ldjson: list[str] = []
+        self.headings: list[tuple[int, str]] = []
+        self._capture: list[str] | None = None
+        self._capture_kind: str | None = None  # title | h<n> | ldjson
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "title" and self.title is None:
+            self._capture, self._capture_kind = [], "title"
+        elif tag == "script":
+            if a.get("type", "").lower().strip() == "application/ld+json":
+                self._capture, self._capture_kind = [], "ldjson"
+            else:
+                self._capture, self._capture_kind = None, "skip"
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._capture, self._capture_kind = [], tag
+        elif tag == "meta":
+            prop = a.get("property", a.get("name", "")).lower()
+            if prop == "og:title" and self.og_title is None:
+                self.og_title = _WS.sub(" ", a.get("content", "")).strip()
+            elif prop == "article:published_time" and (
+                self.meta_published is None
+            ):
+                self.meta_published = a.get("content", "").strip()
+        elif tag == "time" and self.time_datetime is None:
+            if a.get("datetime"):
+                self.time_datetime = a["datetime"].strip()
+
+    def handle_endtag(self, tag: str) -> None:
+        kind = self._capture_kind
+        if kind is None:
+            return
+        if tag == "title" and kind == "title":
+            self.title = _WS.sub(" ", "".join(self._capture)).strip()
+        elif tag == "script" and kind == "ldjson":
+            self.ldjson.append("".join(self._capture))
+        elif tag == kind and tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            text = _WS.sub(" ", "".join(self._capture)).strip()
+            if text:
+                self.headings.append((int(tag[1]), text))
+        elif tag != "script" and kind == "skip":
+            return  # stay skipping until the script closes
+        self._capture, self._capture_kind = None, None
+
+    def handle_data(self, data: str) -> None:
+        if self._capture is not None:
+            self._capture.append(data)
+
+
+def _ldjson_date(payloads: list[str]) -> str | None:
+    """First datePublished in any JSON-LD block (top level or @graph)."""
+    import json
+
+    def walk(node):
+        if isinstance(node, dict):
+            v = node.get("datePublished")
+            if isinstance(v, str) and v.strip():
+                return v.strip()
+            for key in ("@graph", "mainEntity"):
+                got = walk(node.get(key))
+                if got:
+                    return got
+        elif isinstance(node, list):
+            for item in node:
+                got = walk(item)
+                if got:
+                    return got
+        return None
+
+    for raw in payloads:
+        try:
+            got = walk(json.loads(raw))
+        except Exception:
+            continue
+        if got:
+            return got
+    return None
+
+
+def _parse_page_meta(html: str | bytes | None) -> _PageMetaParser:
+    p = _PageMetaParser()
+    if html is None:
+        return p
+    if isinstance(html, (bytes, bytearray)):
+        html = sniff_decode(html)[0]
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p
+
+
+def extract_page_metadata(html: str | bytes | None) -> dict:
+    """(title, og_title, h1, published, published_source) with the
+    publication date resolved ldjson > meta > time (source named so
+    downstream can weigh trust); absent fields None."""
+    p = _parse_page_meta(html)
+    ld = _ldjson_date(p.ldjson)
+    if ld:
+        published, source = ld, "ldjson"
+    elif p.meta_published:
+        published, source = p.meta_published, "meta"
+    elif p.time_datetime:
+        published, source = p.time_datetime, "time"
+    else:
+        published, source = None, None
+    h1 = next((t for lvl, t in p.headings if lvl == 1), None)
+    return {
+        "title": p.title or None,
+        "og_title": p.og_title or None,
+        "h1": h1,
+        "published": published,
+        "published_source": source,
+    }
+
+
+def extract_headings(html: str | bytes | None) -> list[tuple[int, int, str]]:
+    """Document heading outline: (pos, level, text) for every non-empty
+    h1..h6 in document order — the section structure chunkers split on."""
+    p = _parse_page_meta(html)
+    return [(i, lvl, t) for i, (lvl, t) in enumerate(p.headings)]

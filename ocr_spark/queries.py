@@ -9937,6 +9937,167 @@ def sitemap_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (html, expected title/og_title/h1/published/published_source) — the
+# expected side is hand-derived from the markup and the documented
+# precedence (ldjson > meta article:published_time > first <time>)
+_PAGEMETA_PAGES = [
+    (
+        "<head><title> My  Page </title>"
+        '<meta property="og:title" content="OG Title">'
+        '<meta property="article:published_time" content="2024-02-02">'
+        '<script type="application/ld+json">'
+        '{"@graph":[{"x":1},{"datePublished":"2024-01-01"}]}</script>'
+        "</head><body><h1>Main H1</h1>"
+        '<time datetime="2023-01-01">then</time></body>',
+        ("My Page", "OG Title", "Main H1", "2024-01-01", "ldjson"),
+    ),
+    (
+        "<title>T2</title>"
+        '<meta property="article:published_time" content="2024-03-03">'
+        "<h1>A</h1><h1>second ignored</h1>",
+        ("T2", None, "A", "2024-03-03", "meta"),
+    ),
+    (
+        '<h2>only h2</h2><time datetime="2023-05-05">x</time>',
+        (None, None, None, "2023-05-05", "time"),
+    ),
+    (
+        '<script type="application/ld+json">not json{{</script>'
+        '<script>var s="<h1>fake</h1>";</script><title>T4</title>',
+        ("T4", None, None, None, None),
+    ),
+    ("<p>nothing at all</p>", (None, None, None, None, None)),
+]
+
+
+def _pagemeta_oracle() -> str:
+    def lit(v):
+        return "CAST(NULL AS VARCHAR)" if v is None else f"'{v}'"
+
+    rows = ", ".join(
+        f"({i}, {lit(t)}, {lit(og)}, {lit(h1)}, {lit(pub)}, {lit(src)})"
+        for i, (_, (t, og, h1, pub, src)) in enumerate(_PAGEMETA_PAGES)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, title, og_title, h1, published, published_source)"
+    )
+
+
+@query("page_metadata", _pagemeta_oracle())
+def page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document header metadata (round 4): title, og:title, first
+    h1, and the publication date resolved through the precedence real
+    extractors use — JSON-LD datePublished (including @graph nesting)
+    > <meta property=article:published_time> > the first <time
+    datetime> — with the winning source named so downstream curation
+    can weigh trust. Script bodies cannot fake headings or dates.
+    Hand-derived oracle."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = spark.createDataFrame(
+        [(i, page) for i, (page, _) in enumerate(_PAGEMETA_PAGES)],
+        "doc_id int, html string",
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.html_extract import extract_page_metadata
+
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                m = extract_page_metadata(html)
+                out.append(
+                    (
+                        int(doc_id),
+                        m["title"],
+                        m["og_title"],
+                        m["h1"],
+                        m["published"],
+                        m["published_source"],
+                    )
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "title",
+                    "og_title",
+                    "h1",
+                    "published",
+                    "published_source",
+                ],
+            )
+
+    return df.repartition(8, "doc_id").mapInPandas(
+        run,
+        "doc_id int, title string, og_title string, h1 string,"
+        " published string, published_source string",
+    )
+
+
+_HEADING_PAGES = [
+    (
+        "<h1>Main</h1><p>x</p><h2>Sec &amp; A</h2><h3></h3>"
+        "<h2>Sec B</h2><h6>deep</h6>",
+        [(0, 1, "Main"), (1, 2, "Sec & A"), (2, 2, "Sec B"), (3, 6, "deep")],
+    ),
+    (
+        "<h3>lonely</h3><script>var h='<h1>no</h1>';</script>",
+        [(0, 3, "lonely")],
+    ),
+    ("<p>no headings</p>", []),
+]
+
+
+def _heading_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {pos}, {lvl}, '{txt}')"
+        for i, (_, hs) in enumerate(_HEADING_PAGES)
+        for pos, lvl, txt in hs
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(doc_id, pos, level, heading)"
+    )
+
+
+@query("heading_outline", _heading_oracle())
+def heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document heading outline (round 4): every non-empty h1..h6 in
+    document order as (pos, level, text) — the section skeleton RAG
+    chunkers split on and quality filters count. Script bodies are
+    not structure. Hand-derived oracle."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = spark.createDataFrame(
+        [(i, page) for i, (page, _) in enumerate(_HEADING_PAGES)],
+        "doc_id int, html string",
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.html_extract import extract_headings
+
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for pos, lvl, txt in extract_headings(html):
+                    out.append((int(doc_id), pos, lvl, txt))
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "pos", "level", "heading"]
+            )
+
+    return df.repartition(8, "doc_id").mapInPandas(
+        run, "doc_id int, pos int, level int, heading string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

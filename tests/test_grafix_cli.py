@@ -86,3 +86,27 @@ def test_cli_page_number_templating(tmp_path):
     a = pnm.decode_gray(open(str(tmp_path / "out0.pnm"), "rb").read())
     b = pnm.decode_gray(open(str(tmp_path / "out1.pnm"), "rb").read())
     assert a.shape[1] + b.shape[1] == 120
+
+
+def test_cli_tiff_in_tiff_out(tmp_path):
+    # TIFF in, fix-bg, TIFF out — pixel-identical to the PNM run
+    from ocr_spark.kernels import tiff
+
+    gray = fixtures.shaded(32, 40, 42, 5)
+    src_tif = str(tmp_path / "page.tif")
+    with open(src_tif, "wb") as f:
+        f.write(tiff.encode(np.clip(gray, 0, 255).astype(np.uint8),
+                            byte_order=">", compression=32773))
+    out_tif = str(tmp_path / "out.tiff")
+    subprocess.run(CLI + [src_tif, "fix-bg", "8", "w", out_tif],
+                   check=True, cwd=ROOT)
+    got = imageio.decode_by_name(open(out_tif, "rb").read(), out_tif)
+
+    src_pnm = str(tmp_path / "page.pnm")
+    with open(src_pnm, "wb") as f:
+        f.write(pnm.encode_gray(np.clip(gray, 0, 255).astype(np.uint8)))
+    out_pnm = str(tmp_path / "out.pnm")
+    subprocess.run(CLI + [src_pnm, "fix-bg", "8", "w", out_pnm],
+                   check=True, cwd=ROOT)
+    want = pnm.decode_gray(open(out_pnm, "rb").read())
+    assert np.array_equal(got, want)

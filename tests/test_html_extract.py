@@ -164,3 +164,58 @@ def test_meta_robots_canonical():
     assert extract_meta_robots(html2) == ("/c", True, True)
     assert extract_meta_robots("<p>no metas</p>") == (None, False, False)
     assert extract_meta_robots(None) == (None, False, False)
+
+
+# -- page metadata + headings --------------------------------------------------
+
+
+def test_extract_page_metadata_precedence():
+    from ocr_spark.functions.html_extract import extract_page_metadata
+
+    html = (
+        "<head><title> My  Page </title>"
+        '<meta property="og:title" content="OG Title">'
+        '<meta property="article:published_time" content="2024-02-02">'
+        '<script type="application/ld+json">'
+        '{"@graph":[{"x":1},{"datePublished":"2024-01-01"}]}</script>'
+        "</head><body><h1>Main H1</h1>"
+        '<time datetime="2023-01-01">then</time></body>'
+    )
+    got = extract_page_metadata(html)
+    assert got == {
+        "title": "My Page",
+        "og_title": "OG Title",
+        "h1": "Main H1",
+        "published": "2024-01-01",
+        "published_source": "ldjson",
+    }
+    # without JSON-LD the meta wins; without both, <time datetime>
+    no_ld = html.replace("datePublished", "noSuchKey")
+    assert extract_page_metadata(no_ld)["published_source"] == "meta"
+    assert extract_page_metadata(
+        '<time datetime="2023-05-05">x</time>'
+    ) == {
+        "title": None, "og_title": None, "h1": None,
+        "published": "2023-05-05", "published_source": "time",
+    }
+    assert extract_page_metadata(None)["published"] is None
+    # a plain <script> body can't fake a heading or a date
+    assert extract_page_metadata(
+        "<script>var s='<h1>fake</h1>';</script><h2>real</h2>"
+    )["h1"] is None
+
+
+def test_extract_headings_outline():
+    from ocr_spark.functions.html_extract import extract_headings
+
+    html = (
+        "<h1>Main</h1><p>x</p><h2>Sec &amp; A</h2><h3></h3>"
+        "<h2>Sec B</h2><h6>deep</h6>"
+    )
+    assert extract_headings(html) == [
+        (0, 1, "Main"),
+        (1, 2, "Sec & A"),
+        (2, 2, "Sec B"),
+        (3, 6, "deep"),
+    ]
+    assert extract_headings(None) == []
