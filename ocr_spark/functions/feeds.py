@@ -1,0 +1,157 @@
+"""RSS 2.0 / Atom feed parser — the OTHER crawl-seed format: feeds
+announce new content faster than sitemaps (most CMSes publish both),
+so a freshness-oriented frontier merges feed entries with the sitemap
+walk.
+
+stdlib ``xml.etree`` like functions/sitemap.py, namespace-stripped
+(Atom lives in ``http://www.w3.org/2005/Atom``; RSS 2.0 is bare).
+Malformed XML raises ValueError so the Spark stage dead-letters that
+feed row and keeps the batch alive.
+
+Field normalization across the two dialects:
+
+* url   — RSS ``<link>`` text; Atom ``<link href>`` preferring
+  ``rel="alternate"`` (absent rel counts as alternate, per the spec).
+* title — whitespace-collapsed element text.
+* published — RSS ``<pubDate>`` (RFC 822) / Atom ``<published>``
+  falling back to ``<updated>`` (RFC 3339); surfaced verbatim, the
+  caller owns date parsing.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+_WS = re.compile(r"\s+")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _text(el) -> str | None:
+    raw = "".join(el.itertext())
+    t = _WS.sub(" ", raw).strip()
+    return t or None
+
+
+def _atom_link(entry) -> str | None:
+    fallback = None
+    for el in entry:
+        if _local(el.tag) != "link":
+            continue
+        href = (el.get("href") or "").strip()
+        if not href:
+            continue
+        rel = (el.get("rel") or "alternate").strip().lower()
+        if rel == "alternate":
+            return href
+        if fallback is None:
+            fallback = href
+    return fallback
+
+
+def parse_feed(buf: bytes) -> tuple[str, list[dict]]:
+    """Parse one feed payload.
+
+    Returns ``(kind, entries)`` where kind is ``"rss"`` or ``"atom"``
+    and each entry is ``{url, title, published}`` (missing fields
+    None; url-less entries skipped — an unreachable announcement seeds
+    nothing).
+    """
+    try:
+        root = ET.fromstring(buf)
+    except ET.ParseError as e:
+        raise ValueError(f"feed: bad xml: {e}") from None
+    rtag = _local(root.tag)
+    entries: list[dict] = []
+    if rtag == "rss":
+        channel = next(
+            (el for el in root if _local(el.tag) == "channel"), None
+        )
+        if channel is None:
+            raise ValueError("feed: rss without <channel>")
+        for item in channel:
+            if _local(item.tag) != "item":
+                continue
+            fields = {"url": None, "title": None, "published": None}
+            for sub in item:
+                name = _local(sub.tag)
+                if name == "link":
+                    fields["url"] = _text(sub)
+                elif name == "title":
+                    fields["title"] = _text(sub)
+                elif name == "pubdate":
+                    fields["published"] = _text(sub)
+            if fields["url"]:
+                entries.append(fields)
+        return "rss", entries
+    if rtag == "feed":
+        for entry in root:
+            if _local(entry.tag) != "entry":
+                continue
+            fields = {
+                "url": _atom_link(entry),
+                "title": None,
+                "published": None,
+            }
+            updated = None
+            for sub in entry:
+                name = _local(sub.tag)
+                if name == "title":
+                    fields["title"] = _text(sub)
+                elif name == "published":
+                    fields["published"] = _text(sub)
+                elif name == "updated":
+                    updated = _text(sub)
+            if fields["published"] is None:
+                fields["published"] = updated
+            if fields["url"]:
+                entries.append(fields)
+        return "atom", entries
+    raise ValueError(f"feed: unexpected root <{rtag}>")
+
+
+def make_rss(items: list[dict]) -> bytes:
+    """Serialize an RSS 2.0 fixture; item dicts use parse_feed names."""
+    parts = [
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<rss version="2.0"><channel><title>fixture</title>'
+    ]
+    for it in items:
+        parts.append(b"<item>")
+        if it.get("title") is not None:
+            parts.append(f"<title>{it['title']}</title>".encode())
+        if it.get("url") is not None:
+            parts.append(f"<link>{it['url']}</link>".encode())
+        if it.get("published") is not None:
+            parts.append(f"<pubDate>{it['published']}</pubDate>".encode())
+        parts.append(b"</item>")
+    parts.append(b"</channel></rss>")
+    return b"".join(parts)
+
+
+def make_atom(entries: list[dict]) -> bytes:
+    """Serialize an Atom fixture (namespaced, like real feeds)."""
+    parts = [
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>fixture</title>'
+    ]
+    for e in entries:
+        parts.append(b"<entry>")
+        if e.get("title") is not None:
+            parts.append(f"<title>{e['title']}</title>".encode())
+        if e.get("url") is not None:
+            rel = e.get("rel")
+            rel_attr = f' rel="{rel}"' if rel else ""
+            parts.append(f'<link{rel_attr} href="{e["url"]}"/>'.encode())
+        if e.get("published") is not None:
+            parts.append(
+                f"<published>{e['published']}</published>".encode()
+            )
+        if e.get("updated") is not None:
+            parts.append(f"<updated>{e['updated']}</updated>".encode())
+        parts.append(b"</entry>")
+    parts.append(b"</feed>")
+    return b"".join(parts)

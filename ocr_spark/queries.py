@@ -10098,6 +10098,109 @@ def heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (feed_url, kind, expected entries) — hand-derived; the malformed feed
+# must contribute a dead-letter row and nothing else
+_FEED_EXPECTED = [
+    ("https://h1.example/rss.xml", "rss", "https://h1.example/p1",
+     "Post One", "Mon, 01 Jan 2024 00:00:00 GMT"),
+    ("https://h1.example/rss.xml", "rss", "https://h1.example/p2",
+     None, None),
+    ("https://h2.example/atom.xml", "atom", "https://h2.example/a1",
+     "Atom One", "2024-01-01T00:00:00Z"),
+    ("https://h2.example/atom.xml", "atom", "https://h2.example/a2",
+     "Atom Two", "2024-02-02T00:00:00Z"),  # published falls back to updated
+    ("https://h3.example/broken.xml", None, None, None, None),  # dead-letter
+]
+
+
+def _feed_oracle() -> str:
+    def lit(v):
+        return "CAST(NULL AS VARCHAR)" if v is None else f"'{v}'"
+
+    rows = ", ".join(
+        f"({lit(fu)}, {lit(k)}, {lit(u)}, {lit(t)}, {lit(p)})"
+        for fu, k, u, t, p in _FEED_EXPECTED
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(feed_url, kind, url, title, published)"
+    )
+
+
+@query("feed_discovery_frontier", _feed_oracle())
+def feed_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed seeding (round 4): the freshness-oriented sibling
+    of sitemap_recrawl_frontier — feeds announce new urls faster than
+    sitemap rewrites, so a crawl frontier merges both. One parse stage
+    normalizes the two dialects (RSS link/pubDate vs Atom link@href
+    rel=alternate + published-falls-back-to-updated) into (url, title,
+    published) entries; a malformed feed dead-letters its OWN row with
+    lineage (feed_url) intact and the batch continues — the same
+    per-record convention as the WARC parser. Hand-derived oracle."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from ocr_spark.functions.feeds import make_atom, make_rss
+
+    feeds = [
+        (
+            "https://h1.example/rss.xml",
+            make_rss(
+                [
+                    {"url": "https://h1.example/p1", "title": "Post One",
+                     "published": "Mon, 01 Jan 2024 00:00:00 GMT"},
+                    {"url": "https://h1.example/p2"},
+                    {"title": "linkless: seeds nothing"},
+                ]
+            ),
+        ),
+        (
+            "https://h2.example/atom.xml",
+            make_atom(
+                [
+                    {"url": "https://h2.example/a1", "title": "Atom One",
+                     "published": "2024-01-01T00:00:00Z"},
+                    {"url": "https://h2.example/a2", "title": "Atom Two",
+                     "updated": "2024-02-02T00:00:00Z"},
+                ]
+            ),
+        ),
+        ("https://h3.example/broken.xml", b"<rss><channel><item>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(x)) for u, x in feeds],
+        "feed_url string, xml binary",
+    )
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from ocr_spark.functions.feeds import parse_feed
+
+        for pdf in batches:
+            out = []
+            for fu, raw in zip(pdf["feed_url"], pdf["xml"]):
+                try:
+                    kind, entries = parse_feed(bytes(raw))
+                except ValueError:
+                    out.append((fu, None, None, None, None))
+                    continue
+                for e in entries:
+                    out.append(
+                        (fu, kind, e["url"], e["title"], e["published"])
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["feed_url", "kind", "url", "title", "published"],
+            )
+
+    return df.repartition(8, "feed_url").mapInPandas(
+        parse,
+        "feed_url string, kind string, url string, title string,"
+        " published string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

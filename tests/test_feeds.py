@@ -1,0 +1,75 @@
+"""RSS/Atom feed parser (functions/feeds.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.functions.feeds import make_atom, make_rss, parse_feed
+
+
+def test_rss_roundtrip():
+    kind, got = parse_feed(
+        make_rss(
+            [
+                {"url": "https://f/1", "title": "One",
+                 "published": "Mon, 01 Jan 2024 00:00:00 GMT"},
+                {"url": "https://f/2"},
+                {"title": "linkless: skipped"},
+            ]
+        )
+    )
+    assert kind == "rss"
+    assert got == [
+        {"url": "https://f/1", "title": "One",
+         "published": "Mon, 01 Jan 2024 00:00:00 GMT"},
+        {"url": "https://f/2", "title": None, "published": None},
+    ]
+
+
+def test_atom_roundtrip_and_link_rel():
+    kind, got = parse_feed(
+        make_atom(
+            [
+                {"url": "https://a/1", "title": "A1",
+                 "published": "2024-01-01T00:00:00Z"},
+                # enclosure rel only: used as fallback
+                {"url": "https://a/media.mp3", "rel": "enclosure",
+                 "title": "A2", "updated": "2024-02-02T00:00:00Z"},
+            ]
+        )
+    )
+    assert kind == "atom"
+    assert got[0] == {"url": "https://a/1", "title": "A1",
+                      "published": "2024-01-01T00:00:00Z"}
+    # published falls back to updated; non-alternate link is fallback
+    assert got[1] == {"url": "https://a/media.mp3", "title": "A2",
+                      "published": "2024-02-02T00:00:00Z"}
+
+
+def test_atom_prefers_alternate_link():
+    raw = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+        b'<link rel="enclosure" href="https://a/file.bin"/>'
+        b'<link href="https://a/page"/>'
+        b"</entry></feed>"
+    )
+    _, got = parse_feed(raw)
+    assert got[0]["url"] == "https://a/page"
+
+
+def test_rss_namespace_optional_and_whitespace():
+    raw = (
+        b"<rss><channel><item><title> T </title>"
+        b"<link> https://f/x </link></item></channel></rss>"
+    )
+    _, got = parse_feed(raw)
+    assert got == [{"url": "https://f/x", "title": "T", "published": None}]
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        parse_feed(b"<rss><channel>")
+    with pytest.raises(ValueError):
+        parse_feed(b"<rss></rss>")  # no channel
+    with pytest.raises(ValueError):
+        parse_feed(b"<urlset/>")  # wrong root for a feed
