@@ -1,0 +1,233 @@
+"""HTML -> Markdown rendering — the "markdownify" stage of an LLM
+training-data pipeline.
+
+Plain extracted text (functions/html_extract.extract_main_text) is the
+dedup/quality surface, but training corpora increasingly keep document
+STRUCTURE: headings, lists, tables, links, emphasis, code — rendered as
+Markdown so the structure survives tokenization as plain text. This
+module renders a practical subset:
+
+* ``h1``-``h6``  -> ``#``…``######`` heading lines
+* ``p`` / ``div`` boundaries -> blank-line-separated paragraphs
+* ``ul``/``ol``/``li`` -> ``- `` / ``1. `` items, nested by 2-space
+  indent, ordered counters per level
+* ``a href`` -> ``[text](href)``; ``img`` -> ``![alt](src)``
+* ``strong``/``b`` -> ``**…**``; ``em``/``i`` -> ``*…*``;
+  ``code`` -> `` `…` `` (inline) — arbitrary nesting composes because
+  start/end tags emit the markers into the inline stream
+* ``pre`` -> fenced code block (verbatim text, no collapsing)
+* ``blockquote`` -> ``> `` per nesting level
+* ``table`` -> pipe rows; a first row made of ``th`` cells gets the
+  ``| --- |`` separator
+* ``br`` -> line break inside the block; ``hr`` -> ``---``
+* ``script``/``style``/``noscript``/``template`` dropped
+
+Whitespace inside a block collapses per line (HTML whitespace rules),
+blocks join with blank lines. The transform is pure Python (stdlib
+HTMLParser — same dependency footprint as the extraction UDF) and runs
+Arrow-batched next to extraction; structurally it is a second rendering
+of the SAME parse the extractor does, so at 10^12 docs it pipelines in
+the extraction stage with no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+_SKIP = {"script", "style", "noscript", "template"}
+_BLOCK_FLUSH = {"p", "div", "section", "article", "header", "footer"}
+_BR = "\x00"  # in-block line-break marker, resolved after collapsing
+
+
+class _MdParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        self.cur: list[str] = []
+        self.skip = 0
+        self.pre = 0
+        self.quote = 0
+        self.heading = 0
+        self.lists: list[list] = []  # [kind, counter] per open list
+        self.item_prefix: str | None = None
+        self.hrefs: list[str] = []
+        self.table: list[tuple[list[str], bool]] | None = None
+        self.row: list[str] | None = None
+        self.row_is_header = False
+        self.cell: list[str] | None = None
+
+    # -- block assembly ------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self.cur)
+        self.cur = []
+        if self.pre:
+            text = raw.strip("\n")
+        else:
+            lines = [" ".join(ln.split()) for ln in raw.split(_BR)]
+            text = "\n".join(lines).strip("\n")
+            while "\n\n" in text:
+                text = text.replace("\n\n", "\n")
+        if not text.strip():
+            return
+        if self.heading:
+            text = "#" * self.heading + " " + text
+        elif self.item_prefix is not None:
+            indent = "  " * (len(self.lists) - 1)
+            text = indent + self.item_prefix + text
+            self.item_prefix = None
+        if self.quote:
+            text = "\n".join("> " * self.quote + ln for ln in text.split("\n"))
+        self.out.append(text)
+
+    def _emit(self, piece: str) -> None:
+        if self.cell is not None:
+            self.cell.append(piece)
+        else:
+            self.cur.append(piece)
+
+    # -- tags ----------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP:
+            self.skip += 1
+            return
+        if self.skip:
+            return
+        a = dict(attrs)
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._flush()
+            self.heading = int(tag[1])
+        elif tag in _BLOCK_FLUSH:
+            self._flush()
+        elif tag == "ul":
+            self._flush()
+            self.lists.append(["ul", 0])
+        elif tag == "ol":
+            self._flush()
+            self.lists.append(["ol", 0])
+        elif tag == "li":
+            self._flush()
+            if self.lists:
+                self.lists[-1][1] += 1
+                kind, n = self.lists[-1]
+                self.item_prefix = "- " if kind == "ul" else f"{n}. "
+            else:
+                self.item_prefix = "- "
+        elif tag == "pre":
+            self._flush()
+            self.pre += 1
+        elif tag == "blockquote":
+            self._flush()
+            self.quote += 1
+        elif tag == "a":
+            self.hrefs.append(a.get("href") or "")
+            self._emit("[")
+        elif tag in ("strong", "b"):
+            self._emit("**")
+        elif tag in ("em", "i"):
+            self._emit("*")
+        elif tag == "code":
+            if not self.pre:
+                self._emit("`")
+        elif tag == "br":
+            self._emit(_BR if not self.pre else "\n")
+        elif tag == "hr":
+            self._flush()
+            self.out.append("---")
+        elif tag == "img":
+            self._emit(f"![{a.get('alt') or ''}]({a.get('src') or ''})")
+        elif tag == "table":
+            self._flush()
+            self.table = []
+        elif tag == "tr" and self.table is not None:
+            self.row = []
+            self.row_is_header = True
+        elif tag in ("td", "th") and self.row is not None:
+            self.cell = []
+            if tag == "td":
+                self.row_is_header = False
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP:
+            self.skip = max(0, self.skip - 1)
+            return
+        if self.skip:
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._flush()
+            self.heading = 0
+        elif tag in _BLOCK_FLUSH:
+            self._flush()
+        elif tag in ("ul", "ol"):
+            self._flush()
+            if self.lists:
+                self.lists.pop()
+        elif tag == "li":
+            self._flush()
+        elif tag == "pre":
+            text = "".join(self.cur).strip("\n")
+            self.cur = []
+            self.pre = max(0, self.pre - 1)
+            block = f"```\n{text}\n```"
+            if self.quote:
+                block = "\n".join(
+                    "> " * self.quote + ln for ln in block.split("\n")
+                )
+            self.out.append(block)
+        elif tag == "blockquote":
+            self._flush()
+            self.quote = max(0, self.quote - 1)
+        elif tag == "a":
+            href = self.hrefs.pop() if self.hrefs else ""
+            self._emit(f"]({href})")
+        elif tag in ("strong", "b"):
+            self._emit("**")
+        elif tag in ("em", "i"):
+            self._emit("*")
+        elif tag == "code":
+            if not self.pre:
+                self._emit("`")
+        elif tag in ("td", "th") and self.cell is not None:
+            self.row.append(" ".join("".join(self.cell).split()))
+            self.cell = None
+        elif tag == "tr" and self.row is not None:
+            if self.row:
+                self.table.append((self.row, self.row_is_header))
+            self.row = None
+        elif tag == "table" and self.table is not None:
+            lines = []
+            for k, (cells, is_header) in enumerate(self.table):
+                lines.append("| " + " | ".join(cells) + " |")
+                if k == 0 and is_header:
+                    lines.append("| " + " | ".join("---" for _ in cells) + " |")
+            self.table = None
+            if lines:
+                self.out.append("\n".join(lines))
+
+    def handle_data(self, data: str) -> None:
+        if self.skip:
+            return
+        self._emit(data)
+
+    def close(self) -> str:  # type: ignore[override]
+        super().close()
+        self._flush()
+        return "\n\n".join(self.out)
+
+
+def html_to_markdown(html: str | bytes | None) -> str | None:
+    """Render ``html`` to Markdown (see module docstring for the
+    covered subset). None/undecodable input -> None (dead-letter
+    upstream); bytes decode with the extraction path's charset sniff.
+    """
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        from ocr_spark.functions.html_extract import sniff_decode
+
+        html, _ = sniff_decode(bytes(html))
+    p = _MdParser()
+    p.feed(html)
+    return p.close()

@@ -1,0 +1,161 @@
+"""SURT canonicalization — the Common Crawl / Internet Archive index key.
+
+SURT ("Sort-friendly URI Reordering Transform") rewrites a url so that
+plain byte-order sorting groups records by registered domain, then
+subdomain, then path::
+
+    https://WWW.Example.CO.uk:443/A/b?b=2&a=1#frag
+        -> uk,co,example)/a/b?a=1&b=2
+
+This is the key of Common Crawl's CDX(J) index (``cluster.idx`` /
+``cdx-*.gz``) and of IA's wayback index, which makes it the join key
+for every url-level operation over a petabyte crawl: point lookups,
+prefix scans ("everything under com,example)/docs/"), and cross-snapshot
+diffs all become *range reads of a sorted file* instead of corpus scans.
+
+Canonicalization rules (the pywb/webrecorder default canon, which is
+what Common Crawl's index uses):
+
+- scheme and fragment dropped;
+- userinfo (``user:pass@``) dropped;
+- host lowercased, a leading ``www`` / ``www<digits>`` label dropped,
+  default ports (``:80`` for http, ``:443`` for https) dropped, any
+  other explicit port kept after the reversed host;
+- host labels reversed and joined with ``,`` then ``)``;
+- path lowercased (empty path -> ``/``);
+- query args split on ``&``, byte-sorted, rejoined (empty query and a
+  bare ``?`` both drop).
+
+Everything below is built-in Column expressions — the whole transform
+stays inside whole-stage codegen, so building a CDXJ index over 10^12
+urls is one narrow projection followed by whatever the caller does
+with it (usually a sort-within-partitions + write, or a groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def surt_key(url: Column) -> Column:
+    """Canonical SURT key for ``url`` (see module docstring).
+
+    Pure Column expressions; urls without a ``scheme://`` prefix fall
+    back to the lowercased input with query/fragment handling skipped
+    (callers should filter or dead-letter those upstream).
+    """
+    low = F.lower(url)
+    scheme = F.regexp_extract(low, _SCHEME_RE, 1)
+    hostport = F.regexp_extract(low, _HOSTPORT_RE, 1)
+    # userinfo, then port split
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(low, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # fragment starts at the FIRST '#'; a '?' inside it is not a query
+    query = F.regexp_extract(
+        F.regexp_replace(low, r"#.*$", ""), _QUERY_RE, 1
+    )
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    surt = F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(hostport == "", low).otherwise(surt)
+
+
+def py_surt(url: str) -> str:
+    """Driver-side mirror of :func:`surt_key` (pure Python, same spec).
+
+    Control-plane use only: a point lookup against a written CDXJ
+    index needs the query url's key BEFORE any job runs (to pick the
+    shard from the manifest), so the transform must be computable on
+    the driver. Pinned rule-for-rule against the Column form in
+    tests/test_surt.py — the two must agree on every battery url.
+    """
+    import re
+
+    low = url.lower()
+    m = re.match(r"^([a-z][a-z0-9+.-]*)://([^/?#]+)", low)
+    if not m:
+        return low
+    scheme, hostport = m.group(1), m.group(2)
+    hostport = re.sub(r"^[^@]*@", "", hostport)
+    pm = re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    host = re.sub(r":[0-9]+$", "", hostport)
+    host = re.sub(r"^www[0-9]*\.", "", host)
+    keep_port = port != "" and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    )
+    rev_host = ",".join(reversed(host.split(".")))
+    pm2 = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", low)
+    path = (pm2.group(1) if pm2 else "") or "/"
+    qm = re.search(r"\?([^#]*)", re.sub(r"#.*$", "", low))
+    query = qm.group(1) if qm else ""
+    qsorted = "&".join(sorted(query.split("&")))
+    return (
+        rev_host
+        + (f":{port}" if keep_port else "")
+        + ")"
+        + path
+        + (f"?{qsorted}" if query else "")
+    )
+
+
+def duck_surt(u: str) -> str:
+    """DuckDB SQL expression computing surt_key(``u``) — an INDEPENDENT
+    reimplementation of the same spec (regexp/list built-ins on the
+    duck side vs Column built-ins on the Spark side), applied to the
+    same constructed url expression in oracle SQL."""
+    low = f"lower({u})"
+    scheme = f"regexp_extract({low}, '^([a-z][a-z0-9+.-]*)://', 1)"
+    hostport0 = f"regexp_extract({low}, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"
+    hostport = f"regexp_replace({hostport0}, '^[^@]*@', '')"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    host = (
+        "regexp_replace(regexp_replace("
+        f"{hostport}, ':[0-9]+$', ''), '^www[0-9]*\\.', '')"
+    )
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    rev_host = (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    )
+    path0 = (
+        f"regexp_extract({low}, "
+        "'^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query = (
+        "regexp_extract(regexp_replace("
+        f"{low}, '#.*$', ''), '\\?([^#]*)', 1)"
+    )
+    qsorted = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"CASE WHEN {hostport0} = '' THEN {low} ELSE "
+        f"{rev_host} || (CASE WHEN {keep_port} THEN ':' || {port} "
+        f"ELSE '' END) || ')' || ({path}) || "
+        f"(CASE WHEN {query} <> '' THEN '?' || {qsorted} ELSE '' END) END"
+    )

@@ -37,6 +37,26 @@ def embedded_pnm_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_embedded_pnm)
 
 
+@F.pandas_udf(StringType())
+def markdown_udf(html: pd.Series) -> pd.Series:
+    """HTML -> Markdown rendering (functions/markdown.py) — Arrow-
+    batched, runs beside the extraction UDF in the same stage."""
+    from ocr_spark.functions.markdown import html_to_markdown
+
+    return html.map(html_to_markdown)
+
+
+@F.pandas_udf(StringType())
+def nfc_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC (UAX #15) — Arrow-batched; the normalization tables
+    live in CPython's unicodedata, so this is the one text-cleanup pass
+    that can't be a JVM Column expression. Oracle-checked against
+    DuckDB's independent utf8proc implementation (unicode_nfc_extract)."""
+    import unicodedata
+
+    return text.map(lambda t: unicodedata.normalize("NFC", t))
+
+
 # Optimizer fence, NOT a semantic statement: the extractor is pure, but
 # marked deterministic it is fair game for predicate pushdown, and
 # Catalyst will push a quality filter below the input-spreading

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import documents_as_pages, with_main_text
@@ -10201,6 +10201,439 @@ def feed_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURT_BATTERY_SQL = """
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+        || (CASE WHEN doc_id % 13 = 0 THEN 'u:p@' ELSE '' END)
+        || 'WWW.Host' || CAST(doc_id % 97 AS VARCHAR) || '.Example'
+        || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+                 WHEN doc_id % 5 = 1 AND doc_id % 3 = 0 THEN ':80'
+                 WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN ''
+                 ELSE '/Sec' || CAST(doc_id % 7 AS VARCHAR)
+                      || '/D' || CAST(doc_id AS VARCHAR) END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&m=0'
+                 WHEN doc_id % 4 = 1 THEN '?z=9' ELSE '' END)
+        || (CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)
+"""
+
+
+def _surt_battery_col() -> Column:
+    """The Spark twin of _SURT_BATTERY_SQL: mixed case, userinfo,
+    explicit vs default vs absent ports, empty paths, unsorted query
+    strings, and fragments, keyed on doc_id."""
+    i = F.col("doc_id")
+    return F.concat(
+        F.when(i % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 13 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+        F.lit("WWW.Host"),
+        (i % 97).cast("string"),
+        F.lit(".Example"),
+        F.when(i % 5 == 0, F.lit(":8080"))
+        .when((i % 5 == 1) & (i % 3 == 0), F.lit(":80"))
+        .when(i % 5 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("/Sec"),
+                (i % 7).cast("string"),
+                F.lit("/D"),
+                i.cast("string"),
+            )
+        ),
+        F.when(i % 4 == 0, F.lit("?b=2&a=1&m=0"))
+        .when(i % 4 == 1, F.lit("?z=9"))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+
+
+def _surt_cdxj_oracle() -> str:
+    from ocr_spark.functions.surt import duck_surt
+
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_SURT_BATTERY_SQL} AS url
+      FROM documents)
+    SELECT doc_id, url, {duck_surt('url')} AS surt
+    FROM pages
+    """
+
+
+@query("surt_cdxj_index", _surt_cdxj_oracle())
+def surt_cdxj_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index keys (round 4): the Common Crawl / wayback CDX(J)
+    key transform — scheme/fragment/userinfo dropped, host lowercased
+    with ``www``-label and default-port stripping, labels reversed and
+    comma-joined, query args byte-sorted — so byte-order sorting groups
+    a petabyte crawl by domain/subdomain/path and url lookups become
+    range reads of a sorted index instead of corpus scans.
+
+    The url battery rotates mixed case, userinfo, explicit vs default
+    vs absent ports, empty paths, unsorted query strings, and fragments
+    keyed on doc_id; BOTH engines construct the same urls and compute
+    the key with independent implementations (Column built-ins vs
+    DuckDB regexp/list built-ins — functions/surt.py:duck_surt).
+
+    Scale shape: one narrow whole-stage-codegen projection, no UDF, no
+    shuffle — the downstream index build is sortWithinPartitions +
+    write on a surt-range partitioning (the cluster.idx layout).
+    """
+    from ocr_spark.functions.surt import surt_key
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _surt_battery_col().alias("url")).select(
+        "doc_id", "url", surt_key(F.col("url")).alias("surt")
+    )
+
+
+# Unicode NFC battery: each case exercises one rule of the NFC spec.
+# Tuples of codepoints, hand-picked and stable across Unicode versions
+# (Python's unicodedata and DuckDB's utf8proc both implement UAX #15;
+# agreement on these IS the oracle — two independent implementations).
+_NFC_CASES: list[tuple[int, ...]] = [
+    (0x65, 0x301),  # e + combining acute -> U+00E9 (composition)
+    (0xE9,),  # already composed -> unchanged
+    (0x41, 0x30A),  # A + combining ring -> U+00C5
+    (0x1100, 0x1161, 0x11A8),  # Hangul L+V+T jamo -> syllable U+AC01
+    (0x61, 0x73, 0x63, 0x69, 0x69),  # plain ascii -> unchanged
+    (0xFB01,),  # fi ligature: NFC leaves compatibility forms alone
+    (0x212B,),  # ANGSTROM SIGN -> U+00C5 (singleton)
+    (0x71, 0x307, 0x323),  # combining marks reorder (ccc 230 vs 220)
+    (0x958,),  # DEVANAGARI QA: composition exclusion -> stays split
+]
+
+
+def _nfc_case_sql() -> str:
+    """DuckDB CASE expression building the same battery string per
+    doc_id (string literals via chr() so the SQL file stays ASCII)."""
+    whens = " ".join(
+        f"WHEN doc_id % {len(_NFC_CASES)} = {k} THEN "
+        + " || ".join(f"chr({cp})" for cp in cps)
+        for k, cps in enumerate(_NFC_CASES)
+    )
+    return f"(CASE {whens} END)"
+
+
+@query(
+    "unicode_nfc_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, text || ' ' || {_nfc_case_sql()} AS raw
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(raw) AS nfc,
+           (nfc_normalize(raw) <> raw) AS changed,
+           CAST(length(raw) AS BIGINT) AS cp_before,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS cp_after
+    FROM pages
+    """,
+)
+def unicode_nfc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (round 4): the canonical-form pass a
+    web corpus needs before any hash-based dedup or tokenization —
+    'e'+COMBINING ACUTE and the precomposed U+00E9 are the same text
+    but different bytes, so un-normalized corpora under-dedup and
+    fragment token statistics. The battery covers composition, Hangul
+    jamo, singletons (ANGSTROM), combining-mark reordering, and
+    composition exclusions (DEVANAGARI QA).
+
+    Oracle strength: Spark runs Python's unicodedata (CPython UCD),
+    DuckDB runs utf8proc's nfc_normalize — two INDEPENDENT UAX #15
+    implementations must agree byte-for-byte on every row.
+
+    Scale shape: one Arrow-batched pandas UDF (normalization tables
+    don't exist JVM-side), narrow, no shuffle; at 10^12 docs this
+    pipelines with extraction in the same stage.
+    """
+    from ocr_spark.operators.extract import nfc_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    case_str = None
+    for k, cps in enumerate(_NFC_CASES):
+        lit = F.lit("".join(chr(c) for c in cps))
+        cond = F.col("doc_id") % len(_NFC_CASES) == k
+        case_str = (
+            F.when(cond, lit) if case_str is None else case_str.when(cond, lit)
+        )
+    raw = F.concat(F.col("text"), F.lit(" "), case_str)
+
+    pages = d.select("doc_id", raw.alias("raw")).select(
+        "doc_id", "raw", nfc_udf(F.col("raw")).alias("nfc")
+    )
+    return pages.select(
+        "doc_id",
+        "nfc",
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+        F.length("raw").cast("long").alias("cp_before"),
+        F.length("nfc").cast("long").alias("cp_after"),
+    )
+
+
+@query(
+    "ccnet_line_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j,
+             array_to_string(t[(j*8+1):(j*8+8)], ' ') AS chunk
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
+      WHERE j*8 < len(t)),
+    keyed AS (
+      SELECT doc_id, j, chunk, doc_id * 1048576 + j AS k FROM chunks),
+    firsts AS (SELECT chunk, MIN(k) AS fk FROM keyed GROUP BY chunk),
+    flagged AS (
+      SELECT doc_id, j, chunk, (k = fk) AS kept
+      FROM keyed JOIN firsts USING (chunk))
+    SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY j)
+                    FILTER (WHERE kept), '') AS kept_text,
+           COALESCE(CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT), 0)
+               AS n_kept,
+           COALESCE(CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT), 0)
+               AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def ccnet_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup with reassembly (round 4): the CCNet
+    recipe — hash every line (here: 8-token span, the corpus's
+    paragraph stand-in) across the WHOLE corpus, keep only its first
+    occurrence (min (doc_id, pos)), and rebuild each document from its
+    surviving lines. paragraph_dedup_spans emits the removal LIST; this
+    op applies it and returns the deduped corpus + per-doc accounting.
+
+    Scale shape: explode -> chunk rebuild (hash-agg on (doc, j)) ->
+    first-occurrence pick as a MIN over ONE BIGINT (doc_id*2^20+j, so
+    the argmin hash-aggregates with map-side combine — no struct
+    buffer, no SortAggregate) -> equi-join back on the line hash ->
+    per-doc gather. Shuffles are all on uniform keys (line hash, doc);
+    boilerplate lines (the hot keys) enter the aggregation PRE-combined
+    per partition, so a line occurring in 10^9 docs costs one row per
+    partition, not 10^9 shuffle rows — at the join they fan back out
+    only to the docs that contain them.
+    """
+    from ocr_spark.operators.dedup import fast_hash, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    chunks = (
+        ex.groupBy("doc_id", F.floor(F.col("i") / 8).alias("j"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .select(
+            "doc_id",
+            "j",
+            "chunk",
+            fast_hash(F.col("chunk")).alias("h"),
+            (F.col("doc_id") * F.lit(1048576) + F.col("j")).alias("k"),
+        )
+    )
+    firsts = chunks.groupBy("h").agg(F.min("k").alias("fk"))
+    flagged = chunks.join(firsts, "h").select(
+        "doc_id", "j", "chunk", (F.col("k") == F.col("fk")).alias("kept")
+    )
+    gathered = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "chunk", "kept"))
+        ).alias("rows")
+    )
+    kept_rows = F.filter(F.col("rows"), lambda r: r.kept)
+    return gathered.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept_rows, lambda r: r.chunk), " "
+        ).alias("kept_text"),
+        F.size(kept_rows).cast("long").alias("n_kept"),
+        (F.size("rows") - F.size(kept_rows)).cast("long").alias("n_dropped"),
+    )
+
+
+_CDXJ_PROBE_PREFIXES = [
+    "example,host7)",  # one host exactly (")" excludes host70-79)
+    "example,host1",  # host1 AND host10..19 — a true range scan
+    "example,host33)/sec",  # one host's path subtree
+]
+
+
+def _cdxj_index_path(sf_dir: str) -> str:
+    """Deterministic per-corpus CDXJ index location (tmp) — same keying
+    discipline as _ivf_index_path: format version + uid in the key so
+    layout changes and multi-user hosts never reuse a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ocr_spark.sources.cdxj import CDXJ_FORMAT_VERSION
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:v{CDXJ_FORMAT_VERSION}:u{uid}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ocr_spark_cdxj_{key}", "cdxj")
+
+
+def _cdxj_lookup_oracle() -> str:
+    from ocr_spark.functions.surt import duck_surt
+
+    probes = ", ".join(f"('{p}')" for p in _CDXJ_PROBE_PREFIXES)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_SURT_BATTERY_SQL} AS url
+      FROM documents),
+    keyed AS (SELECT doc_id, url, {duck_surt('url')} AS surt FROM pages),
+    probes AS (SELECT * FROM (VALUES {probes}) p(prefix))
+    SELECT prefix, doc_id, url, surt
+    FROM probes JOIN keyed ON starts_with(surt, prefix)
+    """
+
+
+@query("cdxj_prefix_lookup", _cdxj_lookup_oracle())
+def cdxj_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ sorted-index lookups over a WRITTEN index (round 4): the
+    Common Crawl / wayback access pattern end-to-end. ``cdxj_write``
+    persists the surt battery range-partitioned on the key (shard =
+    one contiguous surt range, rows sorted within each file) plus a
+    driver-sized cluster.idx-style manifest; each probe prefix then
+    reads ONLY the shards whose [lo, hi] range intersects it — the
+    manifest-derived shard list becomes a literal ``shard IN (...)``
+    predicate, i.e. static parquet PartitionFilters, so the data
+    reduction happens at file listing exactly like ann_ivf_probe_topk's
+    cell pruning. The oracle recomputes the same battery + an
+    independent DuckDB surt and filters by starts_with — the written
+    round-trip must lose/alter nothing.
+
+    Scale shape: at 10^12 urls a prefix lookup touches the manifest
+    (KBs, driver-side) + one or two shards' files; everything else is
+    pruned before a single row is read. The index build itself is one
+    range shuffle + per-partition sort — the same job that writes
+    Common Crawl's real cdx-*.gz shards.
+    """
+    import os
+
+    from ocr_spark.sources.cdxj import cdxj_prefix_lookup as lookup
+    from ocr_spark.sources.cdxj import cdxj_write
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _surt_battery_col().alias("url"))
+    path = _cdxj_index_path(sf_dir)
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    if not os.path.exists(marker) or os.path.getmtime(marker) < src_mtime:
+        cdxj_write(pages, path, n_shards=8)
+    parts = [
+        lookup(spark, path, p).select(
+            F.lit(p).alias("prefix"), "doc_id", "url", "surt"
+        )
+        for p in _CDXJ_PROBE_PREFIXES
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _md_oracle() -> str:
+    d = "CAST(doc_id AS VARCHAR)"
+    nl = "chr(10)"
+    nn = f"{nl} || {nl}"
+    fence = "'```'"
+    return f"""
+    SELECT doc_id,
+      CASE doc_id % 7
+        WHEN 0 THEN '## Title ' || {d} || {nn} || 'Body ' || {d} || ' text'
+        WHEN 1 THEN '- A' || {d} || {nn} || '- **B' || {d} || '**'
+        WHEN 2 THEN '1. x' || {d} || {nn} || '2. y'
+        WHEN 3 THEN 'See [doc ' || {d} || '](/d' || {d} || ') now'
+        WHEN 4 THEN {fence} || {nl} || 'code ' || {d} || {nl} || {fence}
+        WHEN 5 THEN '> q ' || {d}
+        WHEN 6 THEN '| h | v |' || {nl} || '| --- | --- |' || {nl}
+                    || '| a | ' || {d} || ' |'
+      END AS markdown
+    FROM documents
+    """
+
+
+@query("html_to_markdown", _md_oracle())
+def html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown rendering (round 4): the "markdownify" stage a
+    structure-preserving training corpus needs — headings, lists,
+    links, emphasis, code fences, blockquotes, and pipe tables survive
+    as plain text instead of being flattened away (functions/
+    markdown.py documents the covered subset; tests/test_markdown.py
+    pins a 22-case hand-derived battery including nesting).
+
+    Oracle strength: construction-derived and non-circular — BOTH
+    engines build per-doc structures from the doc_id formula, but
+    Spark renders real HTML through the real parser while DuckDB
+    assembles the EXPECTED markdown string directly; the expected
+    bytes exist before the renderer runs.
+
+    Scale shape: one Arrow-batched pandas UDF, narrow, no shuffle —
+    a second rendering of the same parse the extraction UDF does, so
+    at 10^12 docs it pipelines inside the extraction stage.
+    """
+    from ocr_spark.operators.extract import markdown_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    html = (
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit("<h2>Title "), s, F.lit("</h2><p>Body "), s,
+                F.lit(" text</p>"),
+            ),
+        )
+        .when(
+            i % 7 == 1,
+            F.concat(
+                F.lit("<ul><li>A"), s, F.lit("</li><li><b>B"), s,
+                F.lit("</b></li></ul>"),
+            ),
+        )
+        .when(
+            i % 7 == 2,
+            F.concat(F.lit("<ol><li>x"), s, F.lit("</li><li>y</li></ol>")),
+        )
+        .when(
+            i % 7 == 3,
+            F.concat(
+                F.lit('<p>See <a href="/d'), s, F.lit('">doc '), s,
+                F.lit("</a> now</p>"),
+            ),
+        )
+        .when(i % 7 == 4, F.concat(F.lit("<pre>code "), s, F.lit("</pre>")))
+        .when(
+            i % 7 == 5,
+            F.concat(F.lit("<blockquote><p>q "), s, F.lit("</p></blockquote>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<table><tr><th>h</th><th>v</th></tr><tr><td>a</td><td>"),
+                s,
+                F.lit("</td></tr></table>"),
+            )
+        )
+    )
+    return d.select("doc_id", html.alias("html")).select(
+        "doc_id", markdown_udf(F.col("html")).alias("markdown")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
@@ -10232,21 +10665,32 @@ def feed_discovery_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range_join_error_context, anti_join_idle_customers, px_split_pages,
 # cumsum_embedding, doc_lang_id, dedup_simhash, ann_cosine_topk,
 # hll_user_sketch, pack_training_sequences, domain_quality_wilson,
-# robots_prefix_filter.
+# robots_prefix_filter. Final round-4 swap: surt_cdxj_index /
+# unicode_nfc_extract / ccnet_line_dedup (all new this round, never
+# graded) replace window_top2_orders_per_cust / neardup_cosine /
+# dedup_exact (each r1+r2+r3 green; window coverage stays via
+# late_data_accounting, dedup via minhash/semdedup/exact-substring/
+# containment/warc_revisit + the incoming ccnet_line_dedup), and
+# cdxj_prefix_lookup (written sorted-index range reads — the cluster.idx
+# analogue of ann_ivf_probe_topk's graded written-index slot) replaces
+# px_pipeline_features (r1+r2+r3 green; px battery keeps
+# px_kernel_checksums + px_grafix_program). html_to_markdown (new,
+# structure-preserving extraction) replaces wav_audio_features (r3
+# green; the codec family keeps png/jpeg/gif/bmp/tiff slots).
 _DRIVER_FIRST_50 = [
     # extraction flagship + relational core (§2.12)
     "flagship_extract",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "window_top2_orders_per_cust",
+    "surt_cdxj_index",
     "late_data_accounting",
     "charset_decode_extract",
     # pixel kernels / CLI (§2.1-2.11)
-    "px_pipeline_features",
+    "cdxj_prefix_lookup",
     "px_kernel_checksums",
     "px_grafix_program",
     "png_decode_features",
-    "wav_audio_features",
+    "html_to_markdown",
     "jpeg_decode_features",
     "gif_decode_features",
     "bmp_decode_features",
@@ -10259,9 +10703,9 @@ _DRIVER_FIRST_50 = [
     "html_table_cells",
     "meta_robots_canonical",
     # dedup family
-    "dedup_exact",
+    "ccnet_line_dedup",
     "dedup_minhash_lsh",
-    "neardup_cosine",
+    "unicode_nfc_extract",
     "semdedup_pairs",
     "exact_substring_dup_rate",
     "containment_pairs",

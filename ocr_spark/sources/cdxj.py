@@ -1,0 +1,139 @@
+"""CDXJ sorted url index — the Common Crawl / wayback ``cluster.idx``
+storage layout, as a written Spark source.
+
+Common Crawl serves url lookups over a petabyte crawl from a SORTED
+index: every capture is keyed by its SURT (functions/surt.py), the
+keyspace is split into contiguous ranges ("shards"), each shard's rows
+are stored sorted, and a tiny top-level manifest (``cluster.idx``)
+records each shard's [first, last] key. A lookup — point or prefix —
+reads the manifest (KBs), picks the shards whose range intersects the
+query, and scans ONLY those files. Nothing else in the index is
+touched, so lookup cost is O(result + one shard) regardless of corpus
+size.
+
+This module reproduces that contract on parquet:
+
+* :func:`cdxj_write` — key pages by SURT, ``repartitionByRange`` over
+  the keyspace (Spark's range partitioner samples the key distribution,
+  so shard boundaries adapt to host skew instead of hashing it away),
+  sort within each shard, and write ``partitionBy("shard")`` so the
+  shard is a STORAGE key. The manifest is derived by reading back only
+  the (surt, shard) columns of the written files — self-verifying and
+  column-pruned — and lands as a driver-sized side table. A
+  ``_INDEX_COMPLETE`` marker follows the ivf_write torn-write
+  discipline: removed before any layout mutation, recreated strictly
+  after data + manifest are both down.
+* :func:`cdxj_prefix_lookup` / :func:`cdxj_lookup_url` — collect the
+  manifest (bounded by n_shards), turn the intersecting shard list into
+  a literal ``shard IN (...)`` predicate (static parquet
+  PartitionFilters — pruning happens at file listing, before a row is
+  read), then apply the exact surt predicate to the survivors.
+
+On Iceberg the same contract is ``PARTITIONED BY (shard)`` with a
+sorted write order; the manifest role is played by Iceberg's own
+file-level min/max stats, which this layout makes tight because each
+file covers one contiguous surt range.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.surt import py_surt, surt_key
+
+CDXJ_FORMAT_VERSION = 1  # bump when the written layout/schema changes
+
+# Upper bound for "any key starting with prefix": surt keys are ASCII
+# (lowercased url bytes), so appending DEL (0x7f, above every printable
+# ASCII byte) bounds the prefix range from above.
+_PREFIX_HI = "\x7f"
+
+
+def cdxj_write(
+    pages: DataFrame, path: str, n_shards: int = 8, url_col: str = "url"
+) -> None:
+    """Write a SURT-sorted CDXJ index of ``pages`` under ``path``.
+
+    Index rows carry every input column plus ``surt`` (the key) and
+    ``shard`` (the storage partition — one contiguous key range each).
+    ``repartitionByRange`` + ``sortWithinPartitions`` means each
+    written file is itself sorted by surt: a future reader can binary-
+    search inside a file (the cdx-*.gz contract) and parquet min/max
+    page stats are tight for key predicates.
+    """
+    marker = os.path.join(path, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
+    keyed = pages.withColumn("surt", surt_key(F.col(url_col)))
+    sharded = (
+        keyed.repartitionByRange(n_shards, "surt")
+        .sortWithinPartitions("surt")
+        .withColumn("shard", F.spark_partition_id())
+    )
+    (
+        sharded.write.mode("overwrite")
+        # static overwrite truncates the whole index path first — under
+        # the snapshot catalog's session-wide dynamic mode a rebuild
+        # from a smaller corpus would leave stale shard dirs behind
+        # (the ivf_write lesson, r4 self-review #3)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = pages.sparkSession
+    # manifest from the WRITTEN files (reads only surt+shard — column
+    # pruning makes this a skinny pass), not from re-executing the
+    # shuffle+sort plan a second time
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.min("surt").alias("lo"),
+            F.max("surt").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "_manifest")
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+def _shards_for_range(spark: SparkSession, path: str, lo: str, hi: str) -> list[int]:
+    """Manifest scan: shard ids whose [lo, hi] key range intersects
+    [``lo``, ``hi``]. Control-plane — the manifest has n_shards rows."""
+    man = spark.read.parquet(path + "_manifest").collect()
+    return sorted(int(r.shard) for r in man if r.hi >= lo and r.lo <= hi)
+
+
+def cdxj_prefix_lookup(spark: SparkSession, path: str, prefix: str) -> DataFrame:
+    """All index rows whose surt starts with ``prefix`` — e.g.
+    ``"com,example)"`` for a whole registered domain, or
+    ``"com,example)/docs"`` for a subtree.
+
+    The shard list from the manifest becomes a literal ``shard IN``
+    predicate → static PartitionFilters prune every other shard's
+    files at listing time; the ``startswith`` then lands on parquet
+    row-group min/max stats that are tight because files are sorted.
+    """
+    shards = _shards_for_range(spark, path, prefix, prefix + _PREFIX_HI)
+    data = spark.read.parquet(path)
+    if not shards:
+        return data.where(F.lit(False))
+    return data.where(F.col("shard").isin(shards)).where(
+        F.col("surt").startswith(prefix)
+    )
+
+
+def cdxj_lookup_url(spark: SparkSession, path: str, url: str) -> DataFrame:
+    """Point lookup: exact-key match for ``url``'s SURT (all captures
+    of one page). The key is computed driver-side with :func:`py_surt`
+    so shard selection needs no job at all."""
+    key = py_surt(url)
+    shards = _shards_for_range(spark, path, key, key)
+    data = spark.read.parquet(path)
+    if not shards:
+        return data.where(F.lit(False))
+    return data.where(F.col("shard").isin(shards)).where(F.col("surt") == key)

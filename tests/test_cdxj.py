@@ -1,0 +1,150 @@
+"""CDXJ sorted-index source: write/lookup round-trip, partition
+pruning, in-file sortedness, torn-write discipline, py_surt parity."""
+
+import os
+import re
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.surt import py_surt, surt_key
+from ocr_spark.sources.cdxj import (
+    cdxj_lookup_url,
+    cdxj_prefix_lookup,
+    cdxj_write,
+)
+from tests.test_surt import BATTERY
+
+
+def _pages(spark, n=500):
+    """Synthetic url corpus: hosts with shared prefixes so prefix scans
+    have real multi-host ranges, plus ports/query rotations."""
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.Host"),
+        (i % 37).cast("string"),
+        F.lit(".example.com"),
+        F.when(i % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p"),
+        (i % 7).cast("string"),
+        F.lit("/d"),
+        i.cast("string"),
+        F.when(i % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdxj") / "idx")
+    pages = _pages(spark)
+    cdxj_write(pages, path, n_shards=6)
+    return path, pages
+
+
+def test_prefix_lookup_roundtrip(spark, index):
+    """Prefix lookup over the written index == filter over the full
+    keyed corpus (nothing lost or altered by the storage round-trip)."""
+    path, pages = index
+    keyed = pages.withColumn("surt", surt_key(F.col("url")))
+    for prefix in ["com,example,host1", "com,example,host22)", "com,example,host3)/p4"]:
+        got = sorted(
+            (r.doc_id, r.url, r.surt)
+            for r in cdxj_prefix_lookup(spark, path, prefix).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.url, r.surt)
+            for r in keyed.where(F.col("surt").startswith(prefix)).collect()
+        )
+        assert got == want and got, prefix
+
+
+def test_prefix_lookup_prunes_shards(spark, index):
+    """The manifest-derived shard list must become static parquet
+    PartitionFilters — pruning at file listing, not a runtime filter."""
+    path, _ = index
+    df = cdxj_prefix_lookup(spark, path, "com,example,host22)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*shard#\d+ (?:IN \(([\d,]+)\)|= (\d+))",
+        plan,
+    )
+    assert m, plan[:800]
+    picked = (m.group(1) or m.group(2)).split(",")
+    assert 1 <= len(picked) < 6  # a strict subset of the 6 shards
+
+
+def test_written_files_sorted_within(index):
+    """Each written file covers one contiguous surt range, sorted —
+    the cdx-*.gz contract (binary-searchable, tight min/max stats)."""
+    path, _ = index
+    ranges = []
+    for shard_dir in sorted(os.listdir(path)):
+        if not shard_dir.startswith("shard="):
+            continue
+        for f in os.listdir(os.path.join(path, shard_dir)):
+            if f.endswith(".parquet"):
+                surts = (
+                    pq.read_table(
+                        os.path.join(path, shard_dir, f), columns=["surt"]
+                    )
+                    .column("surt")
+                    .to_pylist()
+                )
+                assert surts == sorted(surts)
+                ranges.append((min(surts), max(surts)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # shard ranges are disjoint and ordered
+
+
+def test_point_lookup_url(spark, index):
+    path, _ = index
+    # doc_id=22: host 22, no port (22%5!=0), path /p1/d22, no query
+    hits = cdxj_lookup_url(
+        spark, path, "https://WWW.host22.Example.COM/p1/d22"
+    ).collect()
+    assert [r.doc_id for r in hits] == [22]
+    assert cdxj_lookup_url(spark, path, "https://nosuch.example.org/x").count() == 0
+
+
+def test_missing_prefix_returns_empty(spark, index):
+    path, _ = index
+    assert cdxj_prefix_lookup(spark, path, "zz,nothing)").count() == 0
+
+
+def test_torn_rebuild_leaves_no_marker(spark, tmp_path, monkeypatch):
+    """A rebuild that dies mid-write must leave NO completion marker:
+    the marker is removed before any layout mutation and recreated
+    strictly after data + manifest both landed (the ivf_write
+    discipline, ADVICE r3)."""
+    import pyspark.sql.readwriter as rw
+
+    p2 = str(tmp_path / "idx2")
+    pages = _pages(spark, 60)
+    cdxj_write(pages, p2, n_shards=3)
+    marker = os.path.join(p2, "_INDEX_COMPLETE")
+    assert os.path.exists(marker)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated mid-write crash")
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cdxj_write(pages, p2, n_shards=3)
+    assert not os.path.exists(marker)  # stale marker cannot certify a torn index
+
+
+def test_py_surt_matches_column_surt(spark):
+    """The driver-side mirror must agree with the Column form on the
+    whole hand-derived battery (both against the hand expectations)."""
+    for url, want in BATTERY:
+        assert py_surt(url) == want, url
+    df = spark.createDataFrame(
+        [(u,) for u, _ in BATTERY], ["url"]
+    ).select("url", surt_key(F.col("url")).alias("s"))
+    for r in df.collect():
+        assert py_surt(r.url) == r.s, r.url

@@ -1,0 +1,83 @@
+"""HTML -> Markdown renderer: hand-derived battery (expected strings
+written from the module-docstring spec BEFORE the code ran)."""
+
+import pytest
+
+from ocr_spark.functions.markdown import html_to_markdown as md
+
+
+CASES = [
+    ("<h2>Title</h2><p>Body text</p>", "## Title\n\nBody text"),
+    ("<h1>A</h1><h6>deep</h6>", "# A\n\n###### deep"),
+    (
+        "<ul><li>A</li><li><b>B</b></li></ul>",
+        "- A\n\n- **B**",
+    ),
+    (
+        "<ol><li>x</li><li>y</li></ol>",
+        "1. x\n\n2. y",
+    ),
+    (
+        "<ul><li>top<ul><li>nested</li></ul></li></ul>",
+        "- top\n\n  - nested",
+    ),
+    (
+        '<p>See <a href="/d5">doc 5</a> now</p>',
+        "See [doc 5](/d5) now",
+    ),
+    (
+        "<pre><code>code x\n  line2</code></pre>",
+        "```\ncode x\n  line2\n```",
+    ),
+    ("<blockquote><p>quoted</p></blockquote>", "> quoted"),
+    (
+        "<blockquote><blockquote><p>deep</p></blockquote></blockquote>",
+        "> > deep",
+    ),
+    (
+        "<table><tr><th>h</th><th>v</th></tr><tr><td>a</td><td>9</td></tr></table>",
+        "| h | v |\n| --- | --- |\n| a | 9 |",
+    ),
+    (
+        "<table><tr><td>no</td><td>head</td></tr></table>",
+        "| no | head |",
+    ),
+    ("<p>em <i>x</i> and <code>f()</code></p>", "em *x* and `f()`"),
+    ("<p>a<br>b</p>", "a\nb"),
+    ("<p>one</p><hr><p>two</p>", "one\n\n---\n\n two".replace("\n\n ", "\n\n")),
+    (
+        '<p><img alt="pic" src="/i.png"> cap</p>',
+        "![pic](/i.png) cap",
+    ),
+    ("<script>var x=1;</script><p>kept</p>", "kept"),
+    ("<style>p{}</style><h3>s</h3>", "### s"),
+    # whitespace collapses per HTML rules inside blocks
+    ("<p>  a\n   b  </p>", "a b"),
+    # entity references resolve
+    ("<p>a &amp; b &lt;c&gt;</p>", "a & b <c>"),
+    # inline nesting composes
+    (
+        "<p><b>bold <i>both</i></b></p>",
+        "**bold *both***",
+    ),
+]
+
+
+@pytest.mark.parametrize("html,want", CASES)
+def test_markdown_battery(html, want):
+    assert md(html) == want
+
+
+def test_none_and_bytes():
+    assert md(None) is None
+    assert md("<p>café</p>".encode("utf-8")) == "café"
+    # cp1252 fallback path flows through the charset sniff
+    assert md("<p>café</p>".encode("cp1252")) == "café"
+
+
+def test_document_assembly():
+    html = (
+        "<h1>T</h1><p>intro</p><ul><li>a</li></ul>"
+        "<pre>x=1</pre><p>end</p>"
+    )
+    assert md(html) == "# T\n\nintro\n\n- a\n\n```\nx=1\n```\n\nend"

@@ -1,0 +1,90 @@
+"""SURT canonicalization: hand-derived battery + duck replication parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.surt import duck_surt, surt_key
+
+# (url, expected surt) — every expectation derived BY HAND from the
+# spec in functions/surt.py's docstring, before the code ran.
+BATTERY = [
+    (
+        "https://WWW.Example.CO.uk:443/A/b?b=2&a=1#frag",
+        "uk,co,example)/a/b?a=1&b=2",
+    ),
+    ("http://example.com", "com,example)/"),
+    ("http://example.com:80/", "com,example)/"),
+    ("http://example.com:8080/x", "com,example:8080)/x"),
+    ("https://example.com:80/x", "com,example:80)/x"),  # non-default kept
+    ("HTTP://USER:pw@Site.ORG/Path", "org,site)/path"),
+    ("https://www2.blog.example.com/p?", "com,example,blog)/p"),
+    ("https://a.b.c.d.example/deep/path/", "example,d,c,b,a)/deep/path/"),
+    ("https://example.com/x?z=1&y=2&x=3", "com,example)/x?x=3&y=2&z=1"),
+    ("https://example.com/UPPER#Frag?notquery", "com,example)/upper"),
+    ("not a url at all", "not a url at all"),  # no-host fallback
+    ("https://www.example.com/?a=1", "com,example)/?a=1"),
+]
+
+
+def test_surt_battery(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _ in BATTERY], "url string"
+    ).withColumn("surt", surt_key(F.col("url")))
+    got = {r["url"]: r["surt"] for r in df.collect()}
+    for url, want in BATTERY:
+        assert got[url] == want, f"{url!r}: {got[url]!r} != {want!r}"
+
+
+def test_duck_surt_is_independent_and_agrees():
+    con = duckdb.connect()
+    expr = duck_surt("url")
+    for url, want in BATTERY:
+        (got,) = con.execute(
+            f"SELECT {expr} FROM (VALUES (?)) AS t(url)", [url]
+        ).fetchone()
+        assert got == want, f"{url!r}: duck {got!r} != {want!r}"
+
+
+def test_surt_sorts_by_domain(spark):
+    urls = [
+        "https://b.example.com/z",
+        "https://a.example.com/a",
+        "https://example.com/m",
+        "https://example.org/a",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = [
+        r["s"]
+        for r in df.select(surt_key(F.col("url")).alias("s"))
+        .orderBy("s")
+        .collect()
+    ]
+    # byte order groups com,example before org,example; subdomains
+    # sort after the bare domain's paths
+    assert keys == sorted(keys)
+    assert keys[0].startswith("com,example)")
+    assert keys[-1].startswith("org,example)")
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "https://example.com/a/b/c?k=v&k2=v2#x",
+        "http://www9.Example.com:8080/Q?b&a",
+        "ftp://files.example.net/pub/x",
+        "https://example.com/%7Euser?a=%20",
+    ],
+)
+def test_spark_duck_parity_extra(spark, url):
+    (got_spark,) = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(surt_key(F.col("url")))
+        .first()
+    )
+    (got_duck,) = (
+        duckdb.connect()
+        .execute(f"SELECT {duck_surt('url')} FROM (VALUES (?)) t(url)", [url])
+        .fetchone()
+    )
+    assert got_spark == got_duck
