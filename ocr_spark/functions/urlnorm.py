@@ -1,0 +1,114 @@
+"""Crawl url canonicalization — the normalization pass BEFORE dedup.
+
+SURT (functions/surt.py) is the index KEY transform; this module is the
+semantic-identity transform a crawl runs first, so that the billions of
+url variants that serve the same bytes collapse to one canonical form
+(url-level dedup, frontier dedup, and cross-snapshot diffs all key on
+it):
+
+* scheme + authority lowercased (RFC 3986 §6.2.2.1 — path case kept:
+  paths are case-sensitive);
+* duplicate slashes in the path collapse (``/a//b`` -> ``/a/b``);
+* dot segments resolve (RFC 3986 §5.2.4): ``/a/./b`` -> ``/a/b``,
+  ``/a/x/../b`` -> ``/a/b``, parents above the root clamp
+  (``/../a`` -> ``/a``). Resolution is a BOUNDED rewrite loop
+  (_DOT_PASSES / _PARENT_PASSES — each pass one global
+  ``regexp_replace``), enough for any sane nesting depth; a crafted
+  1000-deep ``../`` chain simply stops resolving, it never loops;
+* directory-index files strip (``/index.html`` -> ``/``);
+* tracking query params drop (``utm_*``, click ids, session ids — the
+  params that never change the response bytes), the survivors byte-sort
+  (arg order is not semantic), empty query drops with its ``?``;
+* fragment drops (never sent to the server).
+
+Everything is built-in Column expressions (whole-stage codegen, no
+UDF); :func:`duck_canonical_url` generates a DuckDB mirror with the
+same pass structure so the oracle replicates every rewrite
+independently. Bounded-loop note: BOTH sides run the same pass counts,
+so they agree even on inputs deeper than the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DOT_PASSES = 4  # each pass halves runs of '/./'
+_PARENT_PASSES = 8  # each pass resolves one '..' nesting level
+
+# a path segment that is NOT '.' or '..' (RE2-safe: no lookaround)
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+_INDEX_RE = r"/(?:index\.html?|index\.php|default\.aspx?)$"
+# tracking/session params: never part of response identity
+_TRACKING_RE = (
+    r"^(?:utm_[^=&]*|fbclid|gclid|msclkid|yclid|igshid"
+    r"|phpsessid|jsessionid|sessionid|sid)(?:=.*)?$"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` (see module docstring). Urls without
+    a ``scheme://`` prefix pass through lowercase-scheme handling
+    unchanged (no authority to normalize)."""
+    head = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    )
+    rest = url.substr(F.length(head) + 1, F.length(url))
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+
+    p = F.regexp_replace(path, r"/{2,}", "/")
+    for _ in range(_DOT_PASSES):
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(_PARENT_PASSES):
+        p = F.regexp_replace(p, r"^(?:/\.\.)+(/|$)", "/")
+        p = F.regexp_replace(p, "/" + _SEG + r"/\.\./", "/")
+        p = F.regexp_replace(p, "/" + _SEG + r"/\.\.$", "/")
+    p = F.regexp_replace(p, _INDEX_RE, "/")
+    p = F.when((p == "") & (head != ""), F.lit("/")).otherwise(p)
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_RE),
+        )
+    )
+    q = F.array_join(kept, "&")
+    return F.concat(
+        head, p, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
+
+
+def duck_canonical_url(u: str) -> str:
+    """DuckDB SQL mirroring :func:`canonical_url` pass-for-pass (same
+    loop bounds, global-flag regexp_replace, RE2 patterns)."""
+    head = (
+        f"lower(regexp_extract({u}, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))"
+    )
+    rest = f"{u}[length({head})+1:]"
+    path = f"regexp_extract({rest}, '^([^?#]*)', 1)"
+    query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
+
+    p = f"regexp_replace({path}, '/{{2,}}', '/', 'g')"
+    for _ in range(_DOT_PASSES):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+    seg = _SEG
+    for _ in range(_PARENT_PASSES):
+        p = f"regexp_replace({p}, '^(?:/\\.\\.)+(/|$)', '/', 'g')"
+        p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
+    p = f"regexp_replace({p}, '{_INDEX_RE}', '/', 'g')"
+    p = f"(CASE WHEN ({p}) = '' AND {head} <> '' THEN '/' ELSE ({p}) END)"
+
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}')))"
+    )
+    q = f"array_to_string({kept}, '&')"
+    return (
+        f"({head} || {p} || "
+        f"(CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END))"
+    )

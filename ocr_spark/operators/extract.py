@@ -47,6 +47,24 @@ def markdown_udf(html: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def ace_host_udf(hosts: pd.Series) -> pd.Series:
+    """IDN host -> ASCII (xn-- ACE) via CPython's punycode codec; the
+    oracle twin is the from-scratch RFC 3492 encoder in functions/
+    puny.py. ASCII labels (the overwhelming common case) short-circuit."""
+
+    def enc(h: str) -> str:
+        out = []
+        for label in h.lower().split("."):
+            if all(ord(c) < 128 for c in label):
+                out.append(label)
+            else:
+                out.append("xn--" + label.encode("punycode").decode("ascii"))
+        return ".".join(out)
+
+    return hosts.map(enc)
+
+
+@F.pandas_udf(StringType())
 def nfc_udf(text: pd.Series) -> pd.Series:
     """Unicode NFC (UAX #15) — Arrow-batched; the normalization tables
     live in CPython's unicodedata, so this is the one text-cleanup pass

@@ -10634,6 +10634,150 @@ def html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URLNORM_BATTERY_SQL = """
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://E' || CAST(doc_id % 53 AS VARCHAR) || '.Example.com'
+        || (CASE doc_id % 6
+              WHEN 0 THEN '/A' || CAST(doc_id AS VARCHAR) || '//b'
+              WHEN 1 THEN '/a/./B' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/a/x' || CAST(doc_id AS VARCHAR) || '/../c'
+              WHEN 3 THEN '/../r' || CAST(doc_id AS VARCHAR)
+              WHEN 4 THEN '/docs' || CAST(doc_id AS VARCHAR) || '/index.html'
+              ELSE '/P' || CAST(doc_id AS VARCHAR) END)
+        || (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=s&b=' || CAST(doc_id AS VARCHAR) || '&a=1'
+              WHEN 1 THEN '?fbclid=x'
+              WHEN 2 THEN '?z=' || CAST(doc_id AS VARCHAR) || '&y=2'
+              ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#F' ELSE '' END)
+"""
+
+
+def _urlnorm_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_canonical_url
+
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_URLNORM_BATTERY_SQL} AS url
+      FROM documents)
+    SELECT doc_id, url, {duck_canonical_url('url')} AS canonical
+    FROM pages
+    """
+
+
+@query("url_canonicalize", _urlnorm_oracle())
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl url canonicalization (round 4): the semantic-identity
+    transform before url-level dedup — scheme/authority lowercased
+    (path case kept), duplicate slashes collapsed, RFC 3986 dot
+    segments resolved with root clamping, directory-index files
+    stripped, tracking/session query params dropped with survivors
+    byte-sorted, fragment dropped (functions/urlnorm.py). SURT keys
+    the index; THIS collapses the variants that serve identical bytes.
+
+    The battery rotates upper/lower schemes, mixed-case hosts+paths,
+    ``//`` runs, ``./`` and ``x/../`` segments, above-root parents,
+    index.html, utm/fbclid params, and fragments keyed on doc_id; both
+    engines construct the same urls and canonicalize with INDEPENDENT
+    implementations (Column built-ins vs DuckDB regexp/list built-ins
+    with identical bounded pass counts).
+
+    Scale shape: one narrow whole-stage-codegen projection — no UDF,
+    no shuffle; at 10^12 urls this fuses into the frontier/dedup scan.
+    """
+    from ocr_spark.functions.urlnorm import canonical_url
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://E"),
+        (i % 53).cast("string"),
+        F.lit(".Example.com"),
+        F.when(i % 6 == 0, F.concat(F.lit("/A"), s, F.lit("//b")))
+        .when(i % 6 == 1, F.concat(F.lit("/a/./B"), s))
+        .when(i % 6 == 2, F.concat(F.lit("/a/x"), s, F.lit("/../c")))
+        .when(i % 6 == 3, F.concat(F.lit("/../r"), s))
+        .when(i % 6 == 4, F.concat(F.lit("/docs"), s, F.lit("/index.html")))
+        .otherwise(F.concat(F.lit("/P"), s)),
+        F.when(
+            i % 4 == 0, F.concat(F.lit("?utm_source=s&b="), s, F.lit("&a=1"))
+        )
+        .when(i % 4 == 1, F.lit("?fbclid=x"))
+        .when(i % 4 == 2, F.concat(F.lit("?z="), s, F.lit("&y=2")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#F")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canonical")
+    )
+
+
+# IDN battery labels: unicode host labels a crawl actually sees. The
+# oracle's expected ACE strings are generated by the repo's OWN
+# from-scratch RFC 3492 encoder (functions/puny.py) at registration
+# time, while the Spark UDF encodes with CPython's independent
+# 'punycode' codec — two implementations of the public spec must agree.
+_IDN_LABELS = ["bücher", "münchen", "españa", "tokyo日本", "plain"]
+
+
+def _idn_oracle() -> str:
+    from ocr_spark.functions.puny import host_to_ascii
+
+    def sql_str(s: str) -> str:
+        # keep the SQL file ASCII: unicode via chr()
+        if all(ord(c) < 128 for c in s):
+            return "'" + s.replace("'", "''") + "'"
+        return " || ".join(f"chr({ord(c)})" for c in s)
+
+    uni = " ".join(
+        f"WHEN {k} THEN {sql_str(lab)}" for k, lab in enumerate(_IDN_LABELS)
+    )
+    ace = " ".join(
+        f"WHEN {k} THEN {sql_str(host_to_ascii(lab))}"
+        for k, lab in enumerate(_IDN_LABELS)
+    )
+    n = len(_IDN_LABELS)
+    tail = "'.h' || CAST(doc_id % 31 AS VARCHAR) || '.example'"
+    return f"""
+    SELECT doc_id,
+           (CASE doc_id % {n} {uni} END) || {tail} AS host,
+           (CASE doc_id % {n} {ace} END) || {tail} AS ascii_host
+    FROM documents
+    """
+
+
+@query("idn_host_ascii", _idn_oracle())
+def idn_host_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host canonicalization (round 4): internationalized labels
+    ACE-encode (``xn--`` + RFC 3492 punycode) so DNS, SURT keys, and
+    frontier dedup all speak one alphabet. The Spark UDF encodes with
+    CPython's built-in ``punycode`` codec; the oracle's expected
+    strings come from the repo's independent from-scratch RFC 3492
+    encoder (functions/puny.py, pinned against the RFC §7.1 sample
+    vectors and 200 hypothesis roundtrips in tests/test_puny.py) —
+    non-circular: two implementations of the published spec.
+
+    Scale shape: Arrow-batched pandas UDF over the host column only
+    (punycode tables don't exist JVM-side), narrow, no shuffle; the
+    overwhelmingly-ASCII common case short-circuits per label.
+    """
+    from ocr_spark.operators.extract import ace_host_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lab = F.when(i % 5 == 0, F.lit(_IDN_LABELS[0]))
+    for k in range(1, 5):
+        lab = lab.when(i % 5 == k, F.lit(_IDN_LABELS[k]))
+    host = F.concat(
+        lab, F.lit(".h"), (i % 31).cast("string"), F.lit(".example")
+    )
+    return d.select("doc_id", host.alias("host")).select(
+        "doc_id", "host", ace_host_udf(F.col("host")).alias("ascii_host")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

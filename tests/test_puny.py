@@ -1,0 +1,67 @@
+"""Punycode: from-scratch RFC 3492 vs CPython's independent codec,
+RFC sample strings, roundtrip properties."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.functions.puny import (
+    host_to_ascii,
+    host_to_unicode,
+    puny_decode,
+    puny_encode,
+)
+
+# (unicode, punycode) — RFC 3492 §7.1 samples (J) and (K) plus the
+# ubiquitous German/Spanish hosts; expectations are published spec
+# values, not outputs of either implementation here.
+RFC_CASES = [
+    ("bücher", "bcher-kva"),
+    ("münchen", "mnchen-3ya"),
+    ("españa", "espaa-rta"),
+    ("なぜみんな日本語を話してくれないのか",
+     "n8jok5ay5dzabd5bym9f0cm5685rrjetr6pdxa"),
+    ("3年B組金八先生", "3B-ww4c5e180e575a65lsy2b"),
+    ("-> $1.00 <-", "-> $1.00 <--"),
+]
+
+
+@pytest.mark.parametrize("uni,puny", RFC_CASES)
+def test_rfc_samples(uni, puny):
+    assert puny_encode(uni) == puny
+    assert puny_decode(puny) == uni
+
+
+@pytest.mark.parametrize("uni,puny", RFC_CASES)
+def test_against_cpython_codec(uni, puny):
+    """CPython's 'punycode' codec is an independent RFC 3492
+    implementation — both must agree on every sample."""
+    assert uni.encode("punycode").decode("ascii") == puny_encode(uni)
+    assert bytes(puny, "ascii").decode("punycode") == puny_decode(puny)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0x2FFFF, exclude_categories=("Cs",)
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_roundtrip_and_codec_parity(label):
+    enc = puny_encode(label)
+    assert puny_decode(enc) == label
+    assert enc == label.encode("punycode").decode("ascii")
+
+
+def test_host_transforms():
+    assert host_to_ascii("WWW.Bücher.Example") == "www.xn--bcher-kva.example"
+    assert host_to_ascii("plain.example.com") == "plain.example.com"
+    assert (
+        host_to_unicode("www.xn--bcher-kva.example") == "www.bücher.example"
+    )
+    # roundtrip through both directions
+    h = "shop.münchen.de"
+    assert host_to_unicode(host_to_ascii(h)) == h

@@ -1,0 +1,77 @@
+"""Url canonicalization: hand-derived battery + DuckDB mirror parity.
+
+Every expectation derived BY HAND from the spec in functions/urlnorm.py
+before the code ran."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.urlnorm import canonical_url, duck_canonical_url
+
+BATTERY = [
+    # scheme+authority lowercase, path case KEPT
+    ("HTTPS://WWW.Example.COM/Path/File", "https://www.example.com/Path/File"),
+    # duplicate slashes collapse
+    ("https://e.com/a//b///c", "https://e.com/a/b/c"),
+    # dot segments
+    ("https://e.com/a/./b", "https://e.com/a/b"),
+    ("https://e.com/a/././b/.", "https://e.com/a/b/"),
+    ("https://e.com/a/x/../b", "https://e.com/a/b"),
+    ("https://e.com/a/b/../../c", "https://e.com/c"),
+    ("https://e.com/../a", "https://e.com/a"),
+    ("https://e.com/a/..", "https://e.com/"),
+    # a '..'-ish segment name is NOT a parent ref
+    ("https://e.com/..a/b", "https://e.com/..a/b"),
+    ("https://e.com/.hidden/x", "https://e.com/.hidden/x"),
+    # index files strip
+    ("https://e.com/docs/index.html", "https://e.com/docs/"),
+    ("https://e.com/index.php", "https://e.com/"),
+    ("https://e.com/notindex.html", "https://e.com/notindex.html"),
+    # tracking params drop, survivors sort, empty query drops
+    (
+        "https://e.com/p?utm_source=x&b=2&utm_campaign=y&a=1",
+        "https://e.com/p?a=1&b=2",
+    ),
+    ("https://e.com/p?fbclid=abc", "https://e.com/p"),
+    ("https://e.com/p?gclid=1&sid=2&jsessionid=3", "https://e.com/p"),
+    ("https://e.com/p?sideshow=1", "https://e.com/p?sideshow=1"),
+    # fragment drops; empty path -> '/'
+    ("https://e.com#frag", "https://e.com/"),
+    ("https://e.com/a?z=1&y=2#f", "https://e.com/a?y=2&z=1"),
+    # no scheme: passes through (nothing to normalize against)
+    ("not a url", "not a url"),
+]
+
+
+def test_battery_spark(spark):
+    df = spark.createDataFrame([(u,) for u, _ in BATTERY], ["url"]).select(
+        "url", canonical_url(F.col("url")).alias("c")
+    )
+    got = {r.url: r.c for r in df.collect()}
+    for u, want in BATTERY:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_battery_duckdb():
+    con = duckdb.connect()
+    expr = duck_canonical_url("url")
+    for u, want in BATTERY:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        assert got == want, (u, got, want)
+
+
+def test_deep_nesting_is_bounded_but_consistent(spark):
+    """Inputs beyond the pass bounds stop resolving identically on
+    both sides (same pass counts), so the oracle still agrees."""
+    u = "https://e.com/" + "a/" * 20 + "../" * 20 + "z"
+    df = spark.createDataFrame([(u,)], ["url"]).select(
+        canonical_url(F.col("url")).alias("c")
+    )
+    spark_c = df.collect()[0].c
+    duck_c = duckdb.connect().execute(
+        f"SELECT {duck_canonical_url('url')} FROM (SELECT ? AS url)", [u]
+    ).fetchone()[0]
+    assert spark_c == duck_c
