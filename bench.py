@@ -48,6 +48,14 @@ HEADLINE = [
     "bm25_topk",
     "temperature_resample_hosts",
     "quality_classifier_hashed",
+    # round-4 url/text surfaces: written sorted-index probe (cluster.idx
+    # contract, index built+cached on the warm pass like the IVF slot),
+    # corpus-level line dedup (shuffle-heavy), and two codegen/UDF
+    # canonicalization passes
+    "cdxj_prefix_lookup",
+    "ccnet_line_dedup",
+    "url_canonicalize",
+    "html_to_markdown",
 ]
 
 

@@ -311,6 +311,36 @@ COMMENTARY = {
         "chunks left-join that index and aggregate per doc — work "
         "scales with the crawl delta, not the corpus."
     ),
+    "surt_cdxj_index": (
+        "SURT key derivation is one narrow whole-stage-codegen "
+        "projection — regexp/split/sort built-ins only, no UDF, no "
+        "shuffle. The CDXJ index build downstream is repartitionByRange "
+        "+ sortWithinPartitions + write (sources/cdxj.py)."
+    ),
+    "cdxj_prefix_lookup": (
+        "Written sorted-index probe: the manifest-derived shard list "
+        "becomes a literal shard predicate — static parquet "
+        "PartitionFilters, so only intersecting shards' files are even "
+        "listed; the startswith predicate then rides tight row-group "
+        "min/max stats because each file is sorted by the key."
+    ),
+    "ccnet_line_dedup": (
+        "Corpus-level first-occurrence line dedup: explode -> chunk "
+        "hash-agg -> argmin as MIN over one BIGINT (hash-aggregates "
+        "with map-side combine, no struct buffer, no SortAggregate) -> "
+        "equi-join on line hash -> per-doc gather. Boilerplate hot "
+        "keys enter the agg pre-combined per partition."
+    ),
+    "url_canonicalize": (
+        "RFC 3986 canonicalization as one codegen projection: bounded "
+        "regexp_replace loops for dot segments, array filter/sort for "
+        "query params. No UDF, no shuffle — fuses into any scan."
+    ),
+    "html_to_markdown": (
+        "One Arrow-batched pandas UDF (stdlib HTMLParser), narrow, no "
+        "shuffle — a second rendering of the same parse the extraction "
+        "UDF does; pipelines inside the extraction stage."
+    ),
 }
 
 
