@@ -1,0 +1,110 @@
+"""CDXJ index scale smoke: build cost linear, lookup cost FLAT.
+
+The design claim of sources/cdxj.py is that a prefix lookup over the
+written sorted index touches the manifest plus only the shards whose
+key range intersects the probe — so when shard SIZE is held constant
+(shard count scales with the corpus, as any real deployment does),
+lookup wall time is independent of corpus size while the build stays
+linear. This smoke synthesizes url corpora at n and factor*n entirely
+JVM-side, writes both indexes, and times both operations:
+
+    python tools/scale_smoke_cdxj.py [small_urls] [factor]  # 50000 10
+
+Output JSON: build walls + size-normalized ratio (~1.0 == linear),
+lookup walls + ABSOLUTE ratio (~1.0 == flat, i.e. corpus-size
+independent), and the shard-pruning evidence (shards touched / total).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def synth_urls(spark, n: int):
+    """url-shaped table, pure codegen: hosts with shared prefixes so
+    prefix probes hit real ranges, plus path/query rotations."""
+    i = F.col("id")
+    url = F.concat(
+        F.lit("https://www.host"),
+        F.pmod(F.xxhash64(i), F.lit(997)).cast("string"),
+        F.lit(".example.com/s"),
+        (i % 13).cast("string"),
+        F.lit("/d"),
+        i.cast("string"),
+        F.when(i % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(F.col("id").alias("doc_id"), url.alias("url"))
+    )
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from ocr_spark.session import get_spark
+    from ocr_spark.sources.cdxj import cdxj_prefix_lookup, cdxj_write
+
+    spark = get_spark("scale-smoke-cdxj", cpus=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="cdxj_smoke_")
+    out: dict = {"small_urls": small, "factor": factor}
+    probe = "com,example,host41)"  # one host bucket out of 997
+    try:
+        # warm pass: JVM codegen + python worker spin-up + committer
+        # init are one-time costs that would otherwise land entirely on
+        # the small build and fake a sub-linear ratio
+        cdxj_write(synth_urls(spark, 2000), f"{root}/warm", n_shards=4)
+        for label, n in (("small", small), ("large", small * factor)):
+            # shard size held constant: shard count scales with corpus
+            n_shards = max(8, n // 25_000)
+            pages = synth_urls(spark, n)
+            path = f"{root}/{label}"
+            t0 = time.perf_counter()
+            cdxj_write(pages, path, n_shards=n_shards)
+            build_s = time.perf_counter() - t0
+
+            lk = cdxj_prefix_lookup(spark, path, probe)
+            lk.count()  # warm (file listing, footer cache)
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                rows = lk.count()
+                samples.append(time.perf_counter() - t0)
+            plan = lk._jdf.queryExecution().executedPlan().toString()
+            import re
+
+            m = re.search(r"PartitionFilters: \[[^\]]*shard#\d+ (?:IN \(([\d,]+)\)|= \d+)", plan)
+            touched = len(m.group(1).split(",")) if m and m.group(1) else 1
+            out[label] = {
+                "n_urls": n,
+                "n_shards": n_shards,
+                "build_s": round(build_s, 3),
+                "lookup_s": round(sorted(samples)[len(samples) // 2], 4),
+                "lookup_rows": rows,
+                "shards_touched": touched,
+            }
+        out["build_ratio_vs_linear"] = round(
+            out["large"]["build_s"] / (out["small"]["build_s"] * factor), 3
+        )
+        out["lookup_ratio_abs"] = round(
+            out["large"]["lookup_s"] / out["small"]["lookup_s"], 3
+        )
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
