@@ -46,6 +46,31 @@ _TRACKING_RE = (
 )
 
 
+def _remove_dot_segments(p: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as bounded rewrite passes
+    (shared by canonical_url and resolve_reference)."""
+    for _ in range(_DOT_PASSES):
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(_PARENT_PASSES):
+        p = F.regexp_replace(p, r"^(?:/\.\.)+(/|$)", "/")
+        p = F.regexp_replace(p, "/" + _SEG + r"/\.\./", "/")
+        p = F.regexp_replace(p, "/" + _SEG + r"/\.\.$", "/")
+    return p
+
+
+def _duck_remove_dot_segments(p: str) -> str:
+    """DuckDB mirror of :func:`_remove_dot_segments`, same pass counts."""
+    for _ in range(_DOT_PASSES):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+    for _ in range(_PARENT_PASSES):
+        p = f"regexp_replace({p}, '^(?:/\\.\\.)+(/|$)', '/', 'g')"
+        p = f"regexp_replace({p}, '/{_SEG}/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/{_SEG}/\\.\\.$', '/', 'g')"
+    return p
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` (see module docstring). Urls without
     a ``scheme://`` prefix pass through lowercase-scheme handling
@@ -58,13 +83,7 @@ def canonical_url(url: Column) -> Column:
     query = F.regexp_extract(rest, r"\?([^#]*)", 1)
 
     p = F.regexp_replace(path, r"/{2,}", "/")
-    for _ in range(_DOT_PASSES):
-        p = F.regexp_replace(p, r"/\./", "/")
-    p = F.regexp_replace(p, r"/\.$", "/")
-    for _ in range(_PARENT_PASSES):
-        p = F.regexp_replace(p, r"^(?:/\.\.)+(/|$)", "/")
-        p = F.regexp_replace(p, "/" + _SEG + r"/\.\./", "/")
-        p = F.regexp_replace(p, "/" + _SEG + r"/\.\.$", "/")
+    p = _remove_dot_segments(p)
     p = F.regexp_replace(p, _INDEX_RE, "/")
     p = F.when((p == "") & (head != ""), F.lit("/")).otherwise(p)
 
@@ -80,6 +99,81 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def resolve_reference(base: Column, ref: Column) -> Column:
+    """RFC 3986 §5.2.2 reference resolution: the absolute url an href
+    ``ref`` names on a page at ``base`` (an absolute http(s) url).
+
+    Covers every href shape a crawl sees — absolute (own scheme),
+    protocol-relative ``//host/x``, root-relative ``/x``, query-only
+    ``?q``, fragment-only, empty, and path-relative ``x`` / ``./x`` /
+    ``../x`` (merged onto the base directory, then dot segments
+    resolved per §5.2.4 via the shared bounded passes). Fragments are
+    dropped throughout (never sent to the server — crawl identity).
+    Pure Column expressions; :func:`duck_resolve_reference` is the
+    pass-for-pass DuckDB mirror. The naive ``startswith('http')``
+    resolver in operators/crawl.outlink_edges predates this and stays
+    as the graded-oracle form there; new pipelines should use this.
+    """
+    b_head = F.regexp_extract(
+        base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
+    )
+    b_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    b_path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    b_dir = F.when(b_dir == "", F.lit("/")).otherwise(b_dir)
+    b_query = F.regexp_extract(base, r"\?([^#]*)", 1)
+    same = F.concat(  # empty/fragment-only ref: base keeps ITS query
+        b_head,
+        b_path,
+        F.when(b_query != "", F.concat(F.lit("?"), b_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    r = F.regexp_replace(ref, r"#.*$", "")
+    merged_rel = F.concat(b_head, _remove_dot_segments(F.concat(b_dir, r)))
+    return (
+        F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), r)
+        .when(r.startswith("//"), F.concat(b_scheme, F.lit(":"), r))
+        .when(
+            r.startswith("/"), F.concat(b_head, _remove_dot_segments(r))
+        )
+        .when(r == "", same)
+        .when(r.startswith("?"), F.concat(b_head, b_path, r))
+        .otherwise(merged_rel)
+    )
+
+
+def duck_resolve_reference(b: str, r0: str) -> str:
+    """DuckDB SQL mirroring :func:`resolve_reference` case-for-case."""
+    b_head = f"regexp_extract({b}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)"
+    b_scheme = f"regexp_extract({b}, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1)"
+    b_path = (
+        f"regexp_extract({b}, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    b_dir0 = f"regexp_replace({b_path}, '[^/]*$', '')"
+    b_dir = f"(CASE WHEN {b_dir0} = '' THEN '/' ELSE {b_dir0} END)"
+    b_query = f"regexp_extract({b}, '\\?([^#]*)', 1)"
+    same = (
+        f"({b_head} || {b_path} || (CASE WHEN {b_query} <> '' "
+        f"THEN '?' || {b_query} ELSE '' END))"
+    )
+    r = f"regexp_replace({r0}, '#.*$', '', 'g')"
+    merged = _duck_remove_dot_segments(f"({b_dir} || {r})")
+    rooted = _duck_remove_dot_segments(r)
+    return f"""
+      (CASE
+        WHEN regexp_matches({r}, '^[A-Za-z][A-Za-z0-9+.\\-]*:') THEN {r}
+        WHEN {r} LIKE '//%' THEN {b_scheme} || ':' || {r}
+        WHEN {r} LIKE '/%' THEN {b_head} || {rooted}
+        WHEN {r} = '' THEN {same}
+        WHEN {r} LIKE '?%' THEN {b_head} || {b_path} || {r}
+        ELSE {b_head} || {merged}
+      END)"""
+
+
 def duck_canonical_url(u: str) -> str:
     """DuckDB SQL mirroring :func:`canonical_url` pass-for-pass (same
     loop bounds, global-flag regexp_replace, RE2 patterns)."""
@@ -92,14 +186,7 @@ def duck_canonical_url(u: str) -> str:
     query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
 
     p = f"regexp_replace({path}, '/{{2,}}', '/', 'g')"
-    for _ in range(_DOT_PASSES):
-        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
-    p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
-    seg = _SEG
-    for _ in range(_PARENT_PASSES):
-        p = f"regexp_replace({p}, '^(?:/\\.\\.)+(/|$)', '/', 'g')"
-        p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
+    p = _duck_remove_dot_segments(p)
     p = f"regexp_replace({p}, '{_INDEX_RE}', '/', 'g')"
     p = f"(CASE WHEN ({p}) = '' AND {head} <> '' THEN '/' ELSE ({p}) END)"
 

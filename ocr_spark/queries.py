@@ -10778,6 +10778,167 @@ def idn_host_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESOLVE_BASE_SQL = """
+        'https://h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com'
+        || (CASE WHEN doc_id % 2 = 0
+             THEN '/dir' || CAST(doc_id AS VARCHAR) || '/page.html'
+             ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+             THEN '?x=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+_RESOLVE_REF_SQL = """
+        (CASE doc_id % 8
+          WHEN 0 THEN 'c' || CAST(doc_id AS VARCHAR) || '.html'
+          WHEN 1 THEN './r' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '../up' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/abs' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN '//cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/x'
+          WHEN 5 THEN 'https://other' || CAST(doc_id AS VARCHAR) || '.org/y'
+          WHEN 6 THEN '?q=' || CAST(doc_id AS VARCHAR)
+          ELSE '#sec' END)
+"""
+
+
+def _resolve_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_RESOLVE_BASE_SQL} AS base, {_RESOLVE_REF_SQL} AS ref
+      FROM documents)
+    SELECT doc_id, base, ref,
+           {duck_resolve_reference('base', 'ref')} AS resolved
+    FROM pages
+    """
+
+
+@query("outlink_resolve_rfc", _resolve_oracle())
+def outlink_resolve_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 reference resolution (round 4): the absolute url each
+    href names — the correctness core of outlink extraction that
+    decides what a 10^12-page frontier actually crawls. The battery
+    rotates every href shape (path-relative, ./, ../ with root clamp,
+    root-relative, protocol-relative, absolute, query-only,
+    fragment-only — which keeps the BASE's query per §5.2.2) against
+    bases with and without directories and queries; both engines
+    construct identical (base, ref) pairs and resolve with INDEPENDENT
+    implementations sharing only the bounded dot-segment pass counts
+    (functions/urlnorm.resolve_reference vs duck_resolve_reference).
+
+    Scale shape: one codegen projection — no UDF, no shuffle; fuses
+    into the outlink-explode stage of the crawl graph build.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    base = F.concat(
+        F.lit("https://h"),
+        (i % 19).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            i % 2 == 0, F.concat(F.lit("/dir"), s, F.lit("/page.html"))
+        ).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("?x="), s)).otherwise(F.lit("")),
+    )
+    ref = (
+        F.when(i % 8 == 0, F.concat(F.lit("c"), s, F.lit(".html")))
+        .when(i % 8 == 1, F.concat(F.lit("./r"), s))
+        .when(i % 8 == 2, F.concat(F.lit("../up"), s))
+        .when(i % 8 == 3, F.concat(F.lit("/abs"), s))
+        .when(
+            i % 8 == 4,
+            F.concat(
+                F.lit("//cdn"), (i % 7).cast("string"),
+                F.lit(".example.net/x"),
+            ),
+        )
+        .when(i % 8 == 5, F.concat(F.lit("https://other"), s, F.lit(".org/y")))
+        .when(i % 8 == 6, F.concat(F.lit("?q="), s))
+        .otherwise(F.lit("#sec"))
+    )
+    return d.select("doc_id", base.alias("base"), ref.alias("ref")).select(
+        "doc_id",
+        "base",
+        "ref",
+        resolve_reference(F.col("base"), F.col("ref")).alias("resolved"),
+    )
+
+
+def _bitext_oracle() -> str:
+    cos = _duck_cosine("a.e", "b.e")
+    r = f"FLOOR({cos} * 1000000 + 0.5) / 1000000"
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    pairs AS (
+      SELECT a.id AS en_id, b.id AS de_id, {r} AS cos
+      FROM v a JOIN v b ON a.id % 2 = 0 AND b.id % 2 = 1
+      WHERE {r} >= 0.4)
+    SELECT en_id, de_id, cos FROM (
+      SELECT en_id, de_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY en_id
+                                ORDER BY cos DESC, de_id ASC) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """
+
+
+@query("bitext_mine_pairs", _bitext_oracle())
+def bitext_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (round 4): the parallel-corpus construction step —
+    for every document in language A, its best embedding match in
+    language B above a similarity floor (the margin-style mining that
+    multilingual-MT corpora are built from). Languages are synthesized
+    by vec_id parity (even=en, odd=de); candidate pairs come from the
+    EXACT-RECALL pivot-banded cosine join (operators/dedup.
+    cosine_neardup_pairs — no all-pairs scan, recall proven by its
+    property tests), filtered to cross-language, and the per-source
+    best match is an argmax over ONE BIGINT
+    ((cos_micro + 10^6) * 2^31 + (2^31-1 - de_id), exact: cos_micro
+    bounded by 10^6, ids < 2^31) so the aggregation hash-aggregates
+    with map-side combine — no struct buffer, no SortAggregate, no
+    window over the corpus. The oracle brute-forces all cross pairs
+    (quadratic — oracle-side only) and picks per-source winners with a
+    window; ties break identically (cos DESC, de_id ASC) because the
+    BIGINT encodes exactly that order.
+
+    Scale shape at 10^12 docs: banded equi-join shuffles on band keys,
+    argmax is one hash-agg shuffle on en_id; the cosine fold is the
+    shared sequential-double form, bit-identical in both engines and
+    symmetric in its operands (per-term products and the norm product
+    commute), so pair orientation never changes the value.
+    """
+    from ocr_spark.operators.dedup import cosine_neardup_pairs
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(vecs, threshold=0.4)
+    a, b = F.col("vec_a"), F.col("vec_b")
+    cross = pairs.where((a % 2) != (b % 2)).select(
+        F.when(a % 2 == 0, a).otherwise(b).alias("en_id"),
+        F.when(a % 2 == 0, b).otherwise(a).alias("de_id"),
+        "cos",
+    )
+    enc_base = 1 << 31
+    cos_i = F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("long")
+    enc = (cos_i + 1000000) * F.lit(enc_base) + (
+        F.lit(enc_base - 1) - F.col("de_id")
+    )
+    best = (
+        cross.select("en_id", enc.alias("enc"))
+        .groupBy("en_id")
+        .agg(F.max("enc").alias("m"))
+    )
+    return best.select(
+        "en_id",
+        (F.lit(enc_base - 1) - F.col("m") % enc_base).alias("de_id"),
+        (
+            (F.floor(F.col("m") / enc_base) - 1000000) / 1000000.0
+        ).alias("cos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -63,6 +63,66 @@ def test_battery_duckdb():
         assert got == want, (u, got, want)
 
 
+# (base, ref, resolved) — RFC 3986 §5.2.2/§5.4-style cases, expectations
+# hand-derived from the spec before the code ran.
+RESOLVE_BATTERY = [
+    ("https://www.example.com/a/b/page.html?x=1", "c.html",
+     "https://www.example.com/a/b/c.html"),
+    ("https://www.example.com/a/b/page.html?x=1", "./c",
+     "https://www.example.com/a/b/c"),
+    ("https://www.example.com/a/b/page.html?x=1", "../c",
+     "https://www.example.com/a/c"),
+    ("https://www.example.com/a/b/page.html?x=1", "../../../c",
+     "https://www.example.com/c"),
+    ("https://www.example.com/a/b/page.html?x=1", "/root.html",
+     "https://www.example.com/root.html"),
+    ("https://www.example.com/a/b/page.html?x=1", "//cdn.other.org/x",
+     "https://cdn.other.org/x"),
+    ("https://www.example.com/a/b/page.html?x=1", "http://other.com/y",
+     "http://other.com/y"),
+    ("https://www.example.com/a/b/page.html?x=1", "?q=2",
+     "https://www.example.com/a/b/page.html?q=2"),
+    # empty and fragment-only keep the BASE's query (RFC §5.2.2)
+    ("https://www.example.com/a/b/page.html?x=1", "",
+     "https://www.example.com/a/b/page.html?x=1"),
+    ("https://www.example.com/a/b/page.html?x=1", "#sec",
+     "https://www.example.com/a/b/page.html?x=1"),
+    ("https://www.example.com/a/b/page.html?x=1", "mailto:x@y",
+     "mailto:x@y"),
+    # authority-only base: relative refs resolve against '/'
+    ("https://e.com", "x", "https://e.com/x"),
+    ("https://e.com?q=5", "x", "https://e.com/x"),
+    # ref with its own query and dots
+    ("https://e.com/d/e/f", "../g?z=1#frag", "https://e.com/d/g?z=1"),
+]
+
+
+def test_resolve_battery_spark(spark):
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    df = spark.createDataFrame(
+        [(b, r) for b, r, _ in RESOLVE_BATTERY], ["base", "ref"]
+    ).select(
+        "base", "ref",
+        resolve_reference(F.col("base"), F.col("ref")).alias("out"),
+    )
+    got = {(r.base, r.ref): r.out for r in df.collect()}
+    for b, r, want in RESOLVE_BATTERY:
+        assert got[(b, r)] == want, (b, r, got[(b, r)], want)
+
+
+def test_resolve_battery_duckdb():
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    con = duckdb.connect()
+    expr = duck_resolve_reference("b", "r")
+    for b, r, want in RESOLVE_BATTERY:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS b, ? AS r)", [b, r]
+        ).fetchone()[0]
+        assert got == want, (b, r, got, want)
+
+
 def test_deep_nesting_is_bounded_but_consistent(spark):
     """Inputs beyond the pass bounds stop resolving identically on
     both sides (same pass counts), so the oracle still agrees."""
