@@ -10939,6 +10939,231 @@ def bitext_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hreflang_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    href = "regexp_extract(tag, 'href=\"([^\"]*)\"', 1)"
+    resolved = duck_resolve_reference("url", href)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        'https://h' || CAST(doc_id % 23 AS VARCHAR)
+          || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        '<html><head>'
+        || '<link rel="alternate" hreflang="en" href="/en/'
+          || CAST(doc_id AS VARCHAR) || '">'
+        || (CASE WHEN doc_id % 2 = 0 THEN
+              '<link rel="alternate" hreflang="de" href="../de/'
+              || CAST(doc_id AS VARCHAR) || '">' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN
+              '<link hreflang="fr" rel="alternate" href="https://fr.example.com/'
+              || CAST(doc_id AS VARCHAR) || '">' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN
+              '<link rel="alternate" hreflang="x-default" href="//h'
+              || CAST(doc_id % 23 AS VARCHAR) || '.example.com/">'
+            ELSE '' END)
+        || '</head><body>x</body></html>' AS html
+      FROM documents),
+    links AS (
+      SELECT doc_id, url,
+             unnest(regexp_extract_all(html,
+               '<link[^>]*hreflang="([^"]*)"[^>]*>', 0)) AS tag
+      FROM pages)
+    SELECT doc_id,
+           regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS hreflang,
+           {resolved} AS alt_url
+    FROM links
+    """
+
+
+@query("hreflang_alternates", _hreflang_oracle())
+def hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (round 4): the
+    ``<link rel="alternate" hreflang=...>`` graph — how a multilingual
+    site declares its translation variants. Feeding bitext mining with
+    DECLARED pairs (this query) before embedding-mined pairs
+    (bitext_mine_pairs) is the standard parallel-corpus recipe. Tags
+    are extracted with one codegen ``regexp_extract_all`` (attribute
+    order varies — the battery rotates it), hrefs resolve against the
+    page url through the RFC 3986 resolver (relative, ../, absolute,
+    and protocol-relative forms all appear), and the result is the
+    exploded (doc, lang, alternate-url) edge list a clustering pass
+    (connected_components) would consume.
+
+    Scale shape: scan -> regexp project -> explode -> resolve — all
+    whole-stage codegen, no UDF, no shuffle.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (i % 23).cast("string"),
+        F.lit(".example.com/p/"), s,
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" href="/en/'),
+        s,
+        F.lit('">'),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="de" href="../de/'),
+                s, F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<link hreflang="fr" rel="alternate" '
+                      'href="https://fr.example.com/'),
+                s, F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" href="//h'),
+                (i % 23).cast("string"), F.lit('.example.com/">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    tags = pages.select(
+        "doc_id",
+        "url",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit('<link[^>]*hreflang="([^"]*)"[^>]*>'),
+                0,
+            )
+        ).alias("tag"),
+    )
+    return tags.select(
+        "doc_id",
+        F.regexp_extract(F.col("tag"), 'hreflang="([^"]*)"', 1).alias(
+            "hreflang"
+        ),
+        resolve_reference(
+            F.col("url"),
+            F.regexp_extract(F.col("tag"), 'href="([^"]*)"', 1),
+        ).alias("alt_url"),
+    )
+
+
+_SOFT404_TITLE_RE = "^(page not found|not found|error|404( |$))"
+_SOFT404_PHRASE_RE = (
+    "(page (you requested )?(does not|doesnt) exist|page not found)"
+)
+
+
+def _soft404_oracle() -> str:
+    d = "CAST(doc_id AS VARCHAR)"
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 6 = 1 THEN 404 ELSE 200 END AS http_status,
+        CASE doc_id % 6
+          WHEN 1 THEN 'Not Found'
+          WHEN 2 THEN 'Page Not Found'
+          WHEN 4 THEN 'Error'
+          WHEN 5 THEN 'History of 404 Ceramics ' || {d}
+          ELSE 'Doc ' || {d} END AS title,
+        CASE doc_id % 6
+          WHEN 1 THEN 'not found'
+          WHEN 2 THEN 'gone'
+          WHEN 3 THEN 'the page you requested does not exist'
+          WHEN 4 THEN 'error'
+          WHEN 5 THEN text || ' 404 history'
+          ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id, http_status,
+        regexp_matches(lower(title), '{_SOFT404_TITLE_RE}') AS title_hit,
+        regexp_matches(lower(body), '{_SOFT404_PHRASE_RE}') AS phrase_hit,
+        (len(string_split(body, ' ')) < 10
+         AND regexp_matches(lower(body), '(error|not found)')) AS tiny_err
+      FROM pages)
+    SELECT doc_id, CAST(http_status AS BIGINT) AS http_status,
+      CASE WHEN http_status <> 200 THEN 'hard404'
+           WHEN title_hit OR phrase_hit OR tiny_err THEN 'soft404'
+           ELSE 'ok' END AS verdict,
+      CASE WHEN http_status <> 200 THEN 'status'
+           WHEN title_hit THEN 'title'
+           WHEN phrase_hit THEN 'phrase'
+           WHEN tiny_err THEN 'tiny-error'
+           ELSE '' END AS reason
+    FROM sig
+    """
+
+
+@query("soft404_detect", _soft404_oracle())
+def soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (round 4): pages that answer HTTP 200 with
+    error content — the crawl-quality trap that poisons a corpus with
+    millions of identical "page not found" bodies (and then dominates
+    dedup clusters and quality stats). The classifier is the standard
+    layered rule: non-200 is a hard 404; otherwise an ANCHORED title
+    pattern (so 'History of 404 Ceramics' does NOT flag), an error
+    phrase in the body, or a tiny body carrying an error word flags
+    soft404, with a first-match reason code for the audit trail (same
+    precedence discipline as curation_decisions). The battery plants
+    one rotation per rule plus the two negative controls.
+
+    Scale shape: pure codegen (regexp + split-size), no UDF, no
+    shuffle — rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    status = F.when(i % 6 == 1, F.lit(404)).otherwise(F.lit(200))
+    title = (
+        F.when(i % 6 == 1, F.lit("Not Found"))
+        .when(i % 6 == 2, F.lit("Page Not Found"))
+        .when(i % 6 == 4, F.lit("Error"))
+        .when(i % 6 == 5, F.concat(F.lit("History of 404 Ceramics "), s))
+        .otherwise(F.concat(F.lit("Doc "), s))
+    )
+    body = (
+        F.when(i % 6 == 1, F.lit("not found"))
+        .when(i % 6 == 2, F.lit("gone"))
+        .when(i % 6 == 3, F.lit("the page you requested does not exist"))
+        .when(i % 6 == 4, F.lit("error"))
+        .when(i % 6 == 5, F.concat(F.col("text"), F.lit(" 404 history")))
+        .otherwise(F.col("text"))
+    )
+    sig = d.select(
+        "doc_id",
+        status.alias("http_status"),
+        F.lower(title).rlike(_SOFT404_TITLE_RE).alias("title_hit"),
+        F.lower(body).rlike(_SOFT404_PHRASE_RE).alias("phrase_hit"),
+        (
+            (F.size(F.split(body, " ")) < 10)
+            & F.lower(body).rlike("(error|not found)")
+        ).alias("tiny_err"),
+    )
+    return sig.select(
+        "doc_id",
+        F.col("http_status").cast("long").alias("http_status"),
+        F.when(F.col("http_status") != 200, F.lit("hard404"))
+        .when(
+            F.col("title_hit") | F.col("phrase_hit") | F.col("tiny_err"),
+            F.lit("soft404"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+        F.when(F.col("http_status") != 200, F.lit("status"))
+        .when(F.col("title_hit"), F.lit("title"))
+        .when(F.col("phrase_hit"), F.lit("phrase"))
+        .when(F.col("tiny_err"), F.lit("tiny-error"))
+        .otherwise(F.lit(""))
+        .alias("reason"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
