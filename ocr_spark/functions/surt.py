@@ -99,6 +99,8 @@ def py_surt(url: str) -> str:
         return low
     scheme, hostport = m.group(1), m.group(2)
     hostport = re.sub(r"^[^@]*@", "", hostport)
+    if not hostport:  # userinfo-only authority ('http://u@/x'): same
+        return low  # fallback branch as surt_key's stripped-host test
     pm = re.search(r":([0-9]+)$", hostport)
     port = pm.group(1) if pm else ""
     host = re.sub(r":[0-9]+$", "", hostport)
@@ -154,7 +156,10 @@ def duck_surt(u: str) -> str:
     )
     qsorted = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
     return (
-        f"CASE WHEN {hostport0} = '' THEN {low} ELSE "
+        # the fallback tests the userinfo-STRIPPED authority, exactly
+        # like surt_key and py_surt ('http://u@/x' has a non-empty raw
+        # authority but no host)
+        f"CASE WHEN {hostport} = '' THEN {low} ELSE "
         f"{rev_host} || (CASE WHEN {keep_port} THEN ':' || {port} "
         f"ELSE '' END) || ')' || ({path}) || "
         f"(CASE WHEN {query} <> '' THEN '?' || {qsorted} ELSE '' END) END"

@@ -24,7 +24,11 @@ it):
 Everything is built-in Column expressions (whole-stage codegen, no
 UDF); :func:`duck_canonical_url` generates a DuckDB mirror with the
 same pass structure so the oracle replicates every rewrite
-independently. Bounded-loop note: BOTH sides run the same pass counts,
+independently. Authority lowercasing is ASCII-clean; non-ASCII host
+CASE (e.g. U+0130, whose lowercase differs between the JVM and
+utf8proc) should be ACE-encoded first (functions/puny.host_to_ascii)
+— the slice below is length-safe either way because it cuts by the
+RAW head's length. Bounded-loop note: BOTH sides run the same pass counts,
 so they agree even on inputs deeper than the bound.
 """
 
@@ -75,10 +79,14 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` (see module docstring). Urls without
     a ``scheme://`` prefix pass through lowercase-scheme handling
     unchanged (no authority to normalize)."""
-    head = F.lower(
-        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    # slice by the RAW head's length, lowercase after: lowercasing can
+    # change string length (e.g. U+0130 -> 'i' + combining dot in
+    # Java), which would shift the slice into the path
+    head_raw = F.regexp_extract(
+        url, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
     )
-    rest = url.substr(F.length(head) + 1, F.length(url))
+    head = F.lower(head_raw)
+    rest = url.substr(F.length(head_raw) + 1, F.length(url))
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     query = F.regexp_extract(rest, r"\?([^#]*)", 1)
 
@@ -177,11 +185,11 @@ def duck_resolve_reference(b: str, r0: str) -> str:
 def duck_canonical_url(u: str) -> str:
     """DuckDB SQL mirroring :func:`canonical_url` pass-for-pass (same
     loop bounds, global-flag regexp_replace, RE2 patterns)."""
-    head = (
-        f"lower(regexp_extract({u}, "
-        "'^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))"
+    head_raw = (
+        f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)"
     )
-    rest = f"{u}[length({head})+1:]"
+    head = f"lower({head_raw})"
+    rest = f"{u}[length({head_raw})+1:]"
     path = f"regexp_extract({rest}, '^([^?#]*)', 1)"
     query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
 

@@ -52,7 +52,9 @@ def ace_host_udf(hosts: pd.Series) -> pd.Series:
     oracle twin is the from-scratch RFC 3492 encoder in functions/
     puny.py. ASCII labels (the overwhelming common case) short-circuit."""
 
-    def enc(h: str) -> str:
+    def enc(h: str | None) -> str | None:
+        if h is None:  # null hosts are routine in crawl data
+            return None
         out = []
         for label in h.lower().split("."):
             if all(ord(c) < 128 for c in label):
@@ -72,7 +74,9 @@ def nfc_udf(text: pd.Series) -> pd.Series:
     DuckDB's independent utf8proc implementation (unicode_nfc_extract)."""
     import unicodedata
 
-    return text.map(lambda t: unicodedata.normalize("NFC", t))
+    return text.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t)
+    )
 
 
 # Optimizer fence, NOT a semantic statement: the extractor is pure, but

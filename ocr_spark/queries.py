@@ -1047,24 +1047,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-def _ivf_index_path(sf_dir: str) -> str:
+def _index_cache_path(sf_dir: str, version: int, name: str) -> str:
     """Deterministic per-corpus index location (tmp, keyed by source).
 
     The key includes the index FORMAT VERSION and the uid (ADVICE r3):
     a version bump invalidates indexes written by older layouts instead
     of silently reusing them, and two users on one host never collide
-    on a world-readable tempdir path they can't overwrite."""
+    on a world-readable tempdir path they can't overwrite. One keying
+    discipline for every written-index cache (IVF, CDXJ)."""
     import hashlib
     import os
     import tempfile
 
-    from ocr_spark.operators.ann import IVF_FORMAT_VERSION
-
     uid = os.getuid() if hasattr(os, "getuid") else 0
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}:v{IVF_FORMAT_VERSION}:u{uid}".encode()
+        f"{os.path.realpath(sf_dir)}:v{version}:u{uid}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ocr_spark_ivf_{key}", "ivf")
+    return os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_{name}_{key}", name
+    )
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    from ocr_spark.operators.ann import IVF_FORMAT_VERSION
+
+    return _index_cache_path(sf_dir, IVF_FORMAT_VERSION, "ivf")
 
 
 @query("ann_ivf_probe_topk", None)
@@ -10375,10 +10382,13 @@ def unicode_nfc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     chunks AS (
-      SELECT doc_id, CAST(j AS BIGINT) AS j,
-             array_to_string(t[(j*8+1):(j*8+8)], ' ') AS chunk
-      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
-      WHERE j*8 < len(t)),
+      -- per-row series bound: chunk count derived from the document's
+      -- own length, so there is NO hidden max-tokens invariant
+      SELECT doc_id, j, array_to_string(t[(j*8+1):(j*8+8)], ' ') AS chunk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(
+                0, CAST(ceil(len(t)/8.0) AS BIGINT) - 1)) AS j
+            FROM toks) s),
     keyed AS (
       SELECT doc_id, j, chunk, doc_id * 1048576 + j AS k FROM chunks),
     firsts AS (SELECT chunk, MIN(k) AS fk FROM keyed GROUP BY chunk),
@@ -10468,20 +10478,9 @@ _CDXJ_PROBE_PREFIXES = [
 
 
 def _cdxj_index_path(sf_dir: str) -> str:
-    """Deterministic per-corpus CDXJ index location (tmp) — same keying
-    discipline as _ivf_index_path: format version + uid in the key so
-    layout changes and multi-user hosts never reuse a stale index."""
-    import hashlib
-    import os
-    import tempfile
-
     from ocr_spark.sources.cdxj import CDXJ_FORMAT_VERSION
 
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}:v{CDXJ_FORMAT_VERSION}:u{uid}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ocr_spark_cdxj_{key}", "cdxj")
+    return _index_cache_path(sf_dir, CDXJ_FORMAT_VERSION, "cdxj")
 
 
 def _cdxj_lookup_oracle() -> str:

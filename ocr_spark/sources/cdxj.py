@@ -46,10 +46,19 @@ from ocr_spark.functions.surt import py_surt, surt_key
 
 CDXJ_FORMAT_VERSION = 1  # bump when the written layout/schema changes
 
-# Upper bound for "any key starting with prefix": surt keys are ASCII
-# (lowercased url bytes), so appending DEL (0x7f, above every printable
-# ASCII byte) bounds the prefix range from above.
-_PREFIX_HI = "\x7f"
+def _prefix_upper(prefix: str) -> str:
+    """Exclusive upper bound for the set {s : s.startswith(prefix)}:
+    the prefix with its last character incremented — every string with
+    the prefix sorts strictly below it, for ANY key alphabet (surt
+    keys are usually ASCII but nothing enforces it: a url path with
+    raw non-ASCII bytes flows straight into the key). Trailing
+    max-codepoint characters (impossible for real surts) are dropped
+    before incrementing; an empty/all-max prefix bounds nothing, so
+    the caller treats it as +infinity."""
+    p = prefix.rstrip(chr(0x10FFFF))
+    if not p:
+        return ""
+    return p[:-1] + chr(ord(p[-1]) + 1)
 
 
 def cdxj_write(
@@ -101,11 +110,18 @@ def cdxj_write(
         fh.write("ok\n")
 
 
-def _shards_for_range(spark: SparkSession, path: str, lo: str, hi: str) -> list[int]:
+def _shards_for_range(
+    spark: SparkSession, path: str, lo: str, hi_excl: str
+) -> list[int]:
     """Manifest scan: shard ids whose [lo, hi] key range intersects
-    [``lo``, ``hi``]. Control-plane — the manifest has n_shards rows."""
+    [``lo``, ``hi_excl``) — empty ``hi_excl`` means unbounded above.
+    Control-plane — the manifest has n_shards rows."""
     man = spark.read.parquet(path + "_manifest").collect()
-    return sorted(int(r.shard) for r in man if r.hi >= lo and r.lo <= hi)
+    return sorted(
+        int(r.shard)
+        for r in man
+        if r.hi >= lo and (hi_excl == "" or r.lo < hi_excl)
+    )
 
 
 def cdxj_prefix_lookup(spark: SparkSession, path: str, prefix: str) -> DataFrame:
@@ -118,7 +134,7 @@ def cdxj_prefix_lookup(spark: SparkSession, path: str, prefix: str) -> DataFrame
     files at listing time; the ``startswith`` then lands on parquet
     row-group min/max stats that are tight because files are sorted.
     """
-    shards = _shards_for_range(spark, path, prefix, prefix + _PREFIX_HI)
+    shards = _shards_for_range(spark, path, prefix, _prefix_upper(prefix))
     data = spark.read.parquet(path)
     if not shards:
         return data.where(F.lit(False))
@@ -132,7 +148,7 @@ def cdxj_lookup_url(spark: SparkSession, path: str, url: str) -> DataFrame:
     of one page). The key is computed driver-side with :func:`py_surt`
     so shard selection needs no job at all."""
     key = py_surt(url)
-    shards = _shards_for_range(spark, path, key, key)
+    shards = _shards_for_range(spark, path, key, key + "\x00")
     data = spark.read.parquet(path)
     if not shards:
         return data.where(F.lit(False))

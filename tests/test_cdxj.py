@@ -101,6 +101,28 @@ def test_written_files_sorted_within(index):
         assert hi <= lo  # shard ranges are disjoint and ordered
 
 
+def test_prefix_lookup_nonascii_keys(spark, tmp_path):
+    """surt keys are NOT guaranteed ASCII (raw url bytes flow into the
+    path part); the prefix upper bound must still cover them (r4
+    self-review #1: the old '\\x7f' sentinel sorted BELOW such keys,
+    pruning their shard)."""
+    pages = spark.createDataFrame(
+        [
+            (1, "https://zz.example.com/ü-page"),
+            (2, "https://zz.example.com/plain"),
+            (3, "https://aa.example.com/x"),
+        ],
+        ["doc_id", "url"],
+    )
+    path = str(tmp_path / "idx")
+    cdxj_write(pages, path, n_shards=2)
+    got = sorted(
+        r.doc_id
+        for r in cdxj_prefix_lookup(spark, path, "com,example,zz)").collect()
+    )
+    assert got == [1, 2]
+
+
 def test_point_lookup_url(spark, index):
     path, _ = index
     # doc_id=22: host 22, no port (22%5!=0), path /p1/d22, no query

@@ -23,6 +23,9 @@ BATTERY = [
     ("https://example.com/x?z=1&y=2&x=3", "com,example)/x?x=3&y=2&z=1"),
     ("https://example.com/UPPER#Frag?notquery", "com,example)/upper"),
     ("not a url at all", "not a url at all"),  # no-host fallback
+    # userinfo-only authority: stripped host is empty -> same fallback
+    # in all three implementations (r4 self-review #2)
+    ("http://user@/path", "http://user@/path"),
     ("https://www.example.com/?a=1", "com,example)/?a=1"),
 ]
 

@@ -49,7 +49,11 @@ def synth_urls(spark, n: int):
 
 
 def main() -> None:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    # default small corpus chosen so n_shards = n // SHARD_ROWS is
+    # exact at BOTH sizes — the flat-lookup claim requires shard SIZE
+    # constant across the comparison (r4 self-review #6: the old
+    # max(8, ...) floor made small shards 4x smaller than large ones)
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     from ocr_spark.session import get_spark
@@ -66,9 +70,12 @@ def main() -> None:
         # init are one-time costs that would otherwise land entirely on
         # the small build and fake a sub-linear ratio
         cdxj_write(synth_urls(spark, 2000), f"{root}/warm", n_shards=4)
+        SHARD_ROWS = 25_000
+        if small % SHARD_ROWS:
+            raise SystemExit(f"small must be a multiple of {SHARD_ROWS}")
         for label, n in (("small", small), ("large", small * factor)):
             # shard size held constant: shard count scales with corpus
-            n_shards = max(8, n // 25_000)
+            n_shards = n // SHARD_ROWS
             pages = synth_urls(spark, n)
             path = f"{root}/{label}"
             t0 = time.perf_counter()
