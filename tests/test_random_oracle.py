@@ -120,6 +120,20 @@ CRITICAL = [
     "url_front_coding_estimate",
     "consistent_hash_rebalance",
     "embedding_drift_by_dim",
+    # round-4 third-session url/text surfaces (all keyed on doc_id /
+    # text / embeddings — random-corpus safe; cdxj_prefix_lookup
+    # builds its written index fresh per corpus via the mtime check)
+    "surt_cdxj_index",
+    "cdxj_prefix_lookup",
+    "unicode_nfc_extract",
+    "ccnet_line_dedup",
+    "url_canonicalize",
+    "outlink_resolve_rfc",
+    "idn_host_ascii",
+    "soft404_detect",
+    "html_to_markdown",
+    "hreflang_alternates",
+    "bitext_mine_pairs",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
