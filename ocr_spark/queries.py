@@ -11163,6 +11163,147 @@ def soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RFC 9309 wildcard rule set: (rule_id, pattern, allow). '*' matches
+# any char run; a trailing '$' anchors at path end; otherwise a rule
+# matches any path it prefixes. Specificity = length of the rule
+# STRING as written (wildcards count), allow beats disallow on ties.
+_ROBOTS_WC_RULES = [
+    (0, "/", 1),
+    (1, "/s*/priv", 0),
+    (2, "/s1/pub*", 1),
+    (3, "/*.html$", 0),
+    (4, "/s2/", 0),
+    (5, "/tie*", 1),
+    (6, "/tie$", 0),
+]
+
+
+def _robots_wc_oracle() -> str:
+    d = "CAST(doc_id AS VARCHAR)"
+    rules = ", ".join(
+        f"({rid}, '{pat}', {al})" for rid, pat, al in _ROBOTS_WC_RULES
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 13 AS host,
+        CASE doc_id % 7
+          WHEN 0 THEN '/s' || CAST(doc_id % 5 AS VARCHAR) || '/priv' || {d}
+          WHEN 1 THEN '/s1/pub' || {d}
+          WHEN 2 THEN '/page' || {d} || '.html'
+          WHEN 3 THEN '/s2/x' || {d}
+          WHEN 4 THEN '/s1/pub' || {d} || '.html'
+          WHEN 5 THEN '/other' || {d}
+          ELSE '/tie' END AS path
+      FROM documents),
+    rules AS (
+      SELECT h.host, r.rule_id, r.pattern, r.allow,
+             CAST(length(r.pattern) AS BIGINT) AS rule_len,
+             '^' || replace(replace(r.pattern, '.', '\\.'), '*', '.*') AS rx
+      FROM (SELECT DISTINCT doc_id % 13 AS host FROM documents) h
+      CROSS JOIN (SELECT * FROM (VALUES {rules}) v(rule_id, pattern, allow)) r),
+    hits AS (
+      SELECT d.doc_id, d.path, r.rule_id, r.rule_len, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.doc_id
+               ORDER BY r.rule_len * 2 + r.allow DESC, r.rule_id ASC) AS rn
+      FROM docs d JOIN rules r
+        ON d.host = r.host AND regexp_matches(d.path, r.rx))
+    SELECT doc_id, path, CAST(rule_id AS BIGINT) AS rule_id,
+           rule_len, (allow = 1) AS allowed
+    FROM hits WHERE rn = 1
+    """
+
+
+@query("robots_wildcard_filter", _robots_wc_oracle())
+def robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard robots matching (round 4): the full REP rule
+    grammar — ``*`` wildcards anywhere and ``$`` end anchors — that
+    robots_prefix_filter's segment-boundary equi-join cannot express.
+    Rules compile to anchored regexes ENGINE-SIDE in both systems
+    (escape ``.``, ``*`` -> ``.*``, the trailing ``$`` is already the
+    anchor), matching is a broadcast hash join on host with a
+    column-pattern ``regexp_like`` filter (rules-per-host is bounded
+    and tiny — the classic small-dim broadcast), and the most-specific
+    match is an argmax over ONE BIGINT ((rule_len*2 + allow)*256 +
+    (255 - rule_id)): longest rule first, allow beats disallow on
+    ties, smallest rule_id for determinism — HashAggregate with
+    map-side combine, never a string-carrying max_by struct. The
+    battery plants a longer-disallow-beats-shorter-allow case
+    (``/s1/pub*`` allow vs ``/*.html$`` disallow) and an exact
+    same-length tie (``/tie*`` vs ``/tie$``).
+
+    Scale shape at 10^12 urls: docs shuffle nowhere (broadcast join +
+    one hash-agg shuffle on doc_id); the regex compile cost is per
+    RULE pattern, cached by the regex engine per task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    path = (
+        F.when(
+            i % 7 == 0,
+            F.concat(F.lit("/s"), (i % 5).cast("string"), F.lit("/priv"), s),
+        )
+        .when(i % 7 == 1, F.concat(F.lit("/s1/pub"), s))
+        .when(i % 7 == 2, F.concat(F.lit("/page"), s, F.lit(".html")))
+        .when(i % 7 == 3, F.concat(F.lit("/s2/x"), s))
+        .when(i % 7 == 4, F.concat(F.lit("/s1/pub"), s, F.lit(".html")))
+        .when(i % 7 == 5, F.concat(F.lit("/other"), s))
+        .otherwise(F.lit("/tie"))
+    )
+    docs = d.select("doc_id", (i % 13).alias("host"), path.alias("path"))
+    rule_rows = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.lit(pat).alias("pattern"),
+                F.lit(al).alias("allow"),
+            )
+            for rid, pat, al in _ROBOTS_WC_RULES
+        ]
+    )
+    # rule fan-out by EXPLODE of a literal array (a projection), not a
+    # cross join — no BroadcastNestedLoop node even for the tiny dim
+    rules = (
+        docs.select("host")
+        .distinct()
+        .select("host", F.explode(rule_rows).alias("r"))
+        .select(
+            "host",
+            F.col("r.rule_id").alias("rule_id"),
+            F.col("r.allow").alias("allow"),
+            F.length("r.pattern").cast("long").alias("rule_len"),
+            F.concat(
+                F.lit("^"),
+                F.replace(
+                    F.replace(F.col("r.pattern"), F.lit("."), F.lit(r"\.")),
+                    F.lit("*"),
+                    F.lit(".*"),
+                ),
+            ).alias("rx"),
+        )
+    )
+    hits = docs.join(F.broadcast(rules), "host").where(
+        F.regexp_like(F.col("path"), F.col("rx"))
+    )
+    enc = (F.col("rule_len") * 2 + F.col("allow")) * 256 + (
+        F.lit(255) - F.col("rule_id")
+    )
+    best = (
+        hits.select("doc_id", "path", enc.alias("enc"))
+        .groupBy("doc_id", "path")
+        .agg(F.max("enc").alias("m"))
+    )
+    spec = F.floor(F.col("m") / 256)
+    return best.select(
+        "doc_id",
+        "path",
+        (F.lit(255) - F.col("m") % 256).alias("rule_id"),
+        F.floor(spec / 2).alias("rule_len"),
+        ((spec % 2) == 1).alias("allowed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

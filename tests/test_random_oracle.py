@@ -134,6 +134,7 @@ CRITICAL = [
     "html_to_markdown",
     "hreflang_alternates",
     "bitext_mine_pairs",
+    "robots_wildcard_filter",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
