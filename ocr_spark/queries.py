@@ -11304,6 +11304,95 @@ def robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revalidation_oracle() -> str:
+    d = "CAST(doc_id AS VARCHAR)"
+    return f"""
+    WITH hdrs AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'public, max-age=60'
+          WHEN 1 THEN 'max-age=60, must-revalidate'
+          WHEN 2 THEN 'no-store, max-age=60'
+          ELSE '' END AS cache_control,
+        CASE WHEN doc_id % 7 IN (2, 3, 6)
+             THEN '"etag-' || {d} || '"' ELSE '' END AS etag,
+        CASE WHEN doc_id % 7 IN (4, 6)
+             THEN 'Mon, 01 Jan 2024 00:00:00 GMT' ELSE '' END
+          AS last_modified,
+        doc_id % 120 AS age_s
+      FROM documents),
+    parsed AS (
+      SELECT *, COALESCE(TRY_CAST(regexp_extract(cache_control,
+               'max-age=([0-9]+)', 1) AS BIGINT), -1) AS max_age
+      FROM hdrs)
+    SELECT doc_id,
+      CASE
+        WHEN cache_control LIKE '%no-store%' THEN 'refetch'
+        WHEN max_age >= 0 AND age_s < max_age THEN 'fresh'
+        WHEN etag <> '' THEN 'conditional-etag'
+        WHEN last_modified <> '' THEN 'conditional-lm'
+        ELSE 'refetch' END AS strategy,
+      (NOT (max_age >= 0 AND age_s < max_age
+            AND cache_control NOT LIKE '%no-store%')) AS needs_fetch,
+      max_age, CAST(age_s AS BIGINT) AS age_s
+    FROM parsed
+    """
+
+
+@query("http_revalidation_plan", _revalidation_oracle())
+def http_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP revalidation planning (round 4): what a recrawl actually
+    sends per url — nothing (still fresh under max-age), a conditional
+    GET (If-None-Match when an ETag exists, else If-Modified-Since),
+    or a full refetch (no-store, or no validators). At 10^12 urls the
+    difference between unconditional refetch and 304-validated reuse
+    is most of the crawl's bandwidth, and the strategy is decidable
+    entirely from stored headers — one codegen pass. The precedence is
+    planted in the battery: no-store beats a live max-age AND a
+    present ETag; a fresh max-age beats validators; ETag beats
+    Last-Modified when both exist. Cache-Control parses from the raw
+    header string (regexp max-age extraction) on BOTH engines.
+
+    Scale shape: pure projection, no UDF, no shuffle — a frontier
+    planner fuses it into the scheduling scan (crawl_frontier_schedule
+    consumes the needs_fetch bit).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    cache_control = (
+        F.when(i % 7 == 0, F.lit("public, max-age=60"))
+        .when(i % 7 == 1, F.lit("max-age=60, must-revalidate"))
+        .when(i % 7 == 2, F.lit("no-store, max-age=60"))
+        .otherwise(F.lit(""))
+    )
+    etag = F.when(
+        (i % 7).isin(2, 3, 6), F.concat(F.lit('"etag-'), s, F.lit('"'))
+    ).otherwise(F.lit(""))
+    last_modified = F.when(
+        (i % 7).isin(4, 6), F.lit("Mon, 01 Jan 2024 00:00:00 GMT")
+    ).otherwise(F.lit(""))
+    age_s = i % 120
+    max_age_str = F.regexp_extract(cache_control, "max-age=([0-9]+)", 1)
+    max_age = F.when(max_age_str == "", F.lit(-1)).otherwise(
+        max_age_str.cast("long")
+    )
+    no_store = cache_control.contains("no-store")
+    fresh = (max_age >= 0) & (age_s < max_age) & ~no_store
+    return d.select(
+        "doc_id",
+        F.when(no_store, F.lit("refetch"))
+        .when((max_age >= 0) & (age_s < max_age), F.lit("fresh"))
+        .when(etag != "", F.lit("conditional-etag"))
+        .when(last_modified != "", F.lit("conditional-lm"))
+        .otherwise(F.lit("refetch"))
+        .alias("strategy"),
+        (~fresh).alias("needs_fetch"),
+        max_age.alias("max_age"),
+        age_s.cast("long").alias("age_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

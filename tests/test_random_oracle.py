@@ -135,6 +135,7 @@ CRITICAL = [
     "hreflang_alternates",
     "bitext_mine_pairs",
     "robots_wildcard_filter",
+    "http_revalidation_plan",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
