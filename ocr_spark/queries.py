@@ -11393,6 +11393,146 @@ def http_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_gate_oracle() -> str:
+    from ocr_spark.functions.surt import duck_surt
+    from ocr_spark.functions.urlnorm import duck_canonical_url
+
+    g = "CAST(doc_id % 120 AS VARCHAR)"
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        || '://E' || CAST((doc_id % 120) % 13 AS VARCHAR) || '.Example.com'
+        || (CASE doc_id % 6
+             WHEN 0 THEN '/p//' || {g}
+             WHEN 1 THEN '/p/./' || {g}
+             WHEN 2 THEN '/x/../p/' || {g}
+             WHEN 3 THEN '/p/' || {g} || '?utm_source=x'
+             WHEN 4 THEN '/p/' || {g} || '#F'
+             ELSE '/p/' || {g} END) AS url,
+        CASE doc_id % 7
+          WHEN 0 THEN 'public, max-age=60'
+          WHEN 1 THEN 'max-age=60, must-revalidate'
+          WHEN 2 THEN 'no-store, max-age=60'
+          ELSE '' END AS cache_control,
+        CASE WHEN doc_id % 7 IN (2, 3, 6) THEN 'e' ELSE '' END AS etag,
+        doc_id % 120 AS age_s
+      FROM documents),
+    canon AS (
+      SELECT *, {duck_canonical_url('url')} AS canonical FROM pages),
+    keyed AS (
+      SELECT *, {duck_surt('canonical')} AS surt FROM canon),
+    firsts AS (
+      SELECT surt, MIN(doc_id) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_variants
+      FROM keyed GROUP BY surt),
+    kept AS (
+      SELECT k.doc_id, k.surt, f.n_variants, k.cache_control, k.etag,
+             k.age_s,
+             COALESCE(TRY_CAST(regexp_extract(k.cache_control,
+               'max-age=([0-9]+)', 1) AS BIGINT), -1) AS max_age
+      FROM keyed k JOIN firsts f
+        ON k.surt = f.surt AND k.doc_id = f.keep_id)
+    SELECT doc_id, surt, n_variants,
+      CASE
+        WHEN cache_control LIKE '%no-store%' THEN 'refetch'
+        WHEN max_age >= 0 AND age_s < max_age THEN 'fresh'
+        WHEN etag <> '' THEN 'conditional-etag'
+        ELSE 'refetch' END AS strategy
+    FROM kept
+    """
+
+
+@query("pipeline_crawl_gate", _crawl_gate_oracle())
+def pipeline_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-gate capstone (round 4): the session's url surfaces
+    COMPOSED into the decision a frontier makes per discovered url —
+    RFC 3986 canonicalization (variants that serve identical bytes
+    collapse), SURT keying, url-level dedup on the key (first doc_id
+    wins — a MIN that hash-aggregates, with the variant count kept as
+    the dedup accounting), then the HTTP revalidation strategy for the
+    surviving representative. Each stage is the SAME function the
+    individual graded queries pin (canonical_url / surt_key /
+    revalidation logic), so this query proves they compose without
+    seams; the oracle composes the independent DuckDB mirrors through
+    CTEs.
+
+    Scale shape at 10^12 urls: two codegen projections, ONE shuffle
+    (the surt groupBy — uniform keys by construction of the
+    transform), a self-equi-join on (surt, keep_id) that reuses the
+    same partitioning, and a final projection. No UDF anywhere.
+    """
+    from ocr_spark.functions.surt import surt_key
+    from ocr_spark.functions.urlnorm import canonical_url
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    g = (i % 120).cast("string")
+    # six RAW variants of the SAME page identity g — dup slashes, dot
+    # segments, tracking params, fragments, scheme/host case — which
+    # must all collapse to one surt so the dedup stage has real work
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://E"),
+        ((i % 120) % 13).cast("string"),
+        F.lit(".Example.com"),
+        F.when(i % 6 == 0, F.concat(F.lit("/p//"), g))
+        .when(i % 6 == 1, F.concat(F.lit("/p/./"), g))
+        .when(i % 6 == 2, F.concat(F.lit("/x/../p/"), g))
+        .when(i % 6 == 3, F.concat(F.lit("/p/"), g, F.lit("?utm_source=x")))
+        .when(i % 6 == 4, F.concat(F.lit("/p/"), g, F.lit("#F")))
+        .otherwise(F.concat(F.lit("/p/"), g)),
+    )
+    cache_control = (
+        F.when(i % 7 == 0, F.lit("public, max-age=60"))
+        .when(i % 7 == 1, F.lit("max-age=60, must-revalidate"))
+        .when(i % 7 == 2, F.lit("no-store, max-age=60"))
+        .otherwise(F.lit(""))
+    )
+    etag = F.when((i % 7).isin(2, 3, 6), F.lit("e")).otherwise(F.lit(""))
+    keyed = d.select(
+        "doc_id",
+        surt_key(canonical_url(url)).alias("surt"),
+        cache_control.alias("cache_control"),
+        etag.alias("etag"),
+        (i % 120).alias("age_s"),
+    )
+    firsts = keyed.groupBy("surt").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    kept = (
+        keyed.alias("k")
+        .join(
+            firsts.alias("f"),
+            (F.col("k.surt") == F.col("f.surt"))
+            & (F.col("k.doc_id") == F.col("f.keep_id")),
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.surt").alias("surt"),
+            "f.n_variants",
+            "k.cache_control",
+            "k.etag",
+            "k.age_s",
+        )
+    )
+    max_age_str = F.regexp_extract(F.col("cache_control"), "max-age=([0-9]+)", 1)
+    max_age = F.when(max_age_str == "", F.lit(-1)).otherwise(
+        max_age_str.cast("long")
+    )
+    return kept.select(
+        "doc_id",
+        "surt",
+        "n_variants",
+        F.when(F.col("cache_control").contains("no-store"), F.lit("refetch"))
+        .when((max_age >= 0) & (F.col("age_s") < max_age), F.lit("fresh"))
+        .when(F.col("etag") != "", F.lit("conditional-etag"))
+        .otherwise(F.lit("refetch"))
+        .alias("strategy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
@@ -11436,6 +11576,9 @@ def http_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # px_kernel_checksums + px_grafix_program). html_to_markdown (new,
 # structure-preserving extraction) replaces wav_audio_features (r3
 # green; the codec family keeps png/jpeg/gif/bmp/tiff slots).
+# pipeline_crawl_gate (the composed canonicalize->surt->dedup->
+# revalidate capstone) replaces pq_adc_topk (r3 green; ANN keeps
+# ann_ivf_probe_topk, pca_power_component, kmeans_embedding_clusters).
 _DRIVER_FIRST_50 = [
     # extraction flagship + relational core (§2.12)
     "flagship_extract",
@@ -11471,7 +11614,7 @@ _DRIVER_FIRST_50 = [
     "warc_revisit_dedup",
     # similarity search + embeddings math
     "ann_ivf_probe_topk",
-    "pq_adc_topk",
+    "pipeline_crawl_gate",
     "pca_power_component",
     "kmeans_embedding_clusters",
     # retrieval

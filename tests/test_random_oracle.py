@@ -136,6 +136,7 @@ CRITICAL = [
     "bitext_mine_pairs",
     "robots_wildcard_filter",
     "http_revalidation_plan",
+    "pipeline_crawl_gate",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
