@@ -341,6 +341,23 @@ COMMENTARY = {
         "shuffle — a second rendering of the same parse the extraction "
         "UDF does; pipelines inside the extraction stage."
     ),
+    "robots_wildcard_filter": (
+        "Rule fan-out by literal-array explode (no BNLJ), matching via "
+        "BroadcastHashJoin on host + column-pattern regexp_like; "
+        "most-specific-match precedence as a single-BIGINT argmax — "
+        "HashAggregate with map-side combine, never a string max_by."
+    ),
+    "bitext_mine_pairs": (
+        "Candidates from the exact-recall pivot-banded cosine join; "
+        "per-source best match as max over ONE BIGINT encoding "
+        "(cos DESC, id ASC) — one hash-agg shuffle on the source id."
+    ),
+    "pipeline_crawl_gate": (
+        "Composed canonicalize -> surt -> dedup -> revalidate: two "
+        "codegen projections, ONE shuffle (surt groupBy, uniform keys "
+        "by construction), a self-equi-join reusing that partitioning, "
+        "final projection. No UDF anywhere."
+    ),
 }
 
 
