@@ -11533,6 +11533,152 @@ def pipeline_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _meta_refresh_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    d = "CAST(doc_id AS VARCHAR)"
+    content = (
+        "regexp_extract(html, "
+        "'(?i)<meta http-equiv=\"refresh\" content=\"([^\"]*)\"', 1)"
+    )
+    # inner url may be single-quoted: '' is the escaped quote in SQL
+    target_raw = (
+        "regexp_extract(content, "
+        "'(?i)url\\s*=\\s*''?([^'']*)''?$', 1)"
+    )
+    resolved = duck_resolve_reference("url", "target_raw")
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        'https://m' || CAST(doc_id % 17 AS VARCHAR)
+          || '.example.com/a/p' || {d} AS url,
+        CASE doc_id % 5
+          WHEN 0 THEN '<html><head><meta http-equiv="refresh" content="0;url=/next'
+                      || {d} || '"></head></html>'
+          WHEN 1 THEN '<html><head><meta http-equiv="refresh" content="5; URL=''https://other'
+                      || {d} || '.org/x''"></head></html>'
+          WHEN 2 THEN '<html><head><meta http-equiv="Refresh" content="30"></head></html>'
+          WHEN 3 THEN '<html><head><title>t</title></head></html>'
+          ELSE '<html><head><meta http-equiv="refresh" content="0; url=../up'
+               || {d} || '"></head></html>' END AS html
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, url, {content} AS content FROM pages),
+    t AS (
+      SELECT doc_id, url, content,
+             COALESCE(TRY_CAST(regexp_extract(content, '^([0-9]+)', 1)
+                               AS BIGINT), -1) AS delay_s,
+             {target_raw} AS target_raw
+      FROM parsed)
+    SELECT doc_id, delay_s,
+      CASE WHEN content = '' THEN NULL
+           WHEN target_raw = '' THEN url
+           ELSE {resolved} END AS target,
+      CASE WHEN content = '' THEN 'none'
+           WHEN delay_s = 0 THEN 'instant'
+           ELSE 'delayed' END AS kind
+    FROM t
+    """
+
+
+@query("meta_refresh_redirects", _meta_refresh_oracle())
+def meta_refresh_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect extraction (round 4): the in-page
+    redirects (``<meta http-equiv="refresh">``) that never show up as
+    HTTP 3xx — an instant refresh is a redirect a crawl must follow
+    (and a classic cloaking/doorway signal), a delayed one is page
+    behavior worth recording, and a url-less refresh is a self-reload.
+    The content attribute parses case-insensitively with optional
+    single-quoted urls (both battery-rotated); targets resolve through
+    the RFC 3986 resolver (root-relative, absolute, and ``../`` forms
+    planted). Feeds the same pointer-jumping chain resolution as the
+    HTTP Location column (resolve_redirects).
+
+    Scale shape: pure codegen regexp projection + the resolver — no
+    UDF, no shuffle; rides the extraction scan.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://m"), (i % 17).cast("string"),
+        F.lit(".example.com/a/p"), s,
+    )
+    html = (
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      'content="0;url=/next'),
+                s, F.lit('"></head></html>'),
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      "content=\"5; URL='https://other"),
+                s, F.lit(".org/x'\"></head></html>"),
+            ),
+        )
+        .when(
+            i % 5 == 2,
+            F.lit('<html><head><meta http-equiv="Refresh" '
+                  'content="30"></head></html>'),
+        )
+        .when(i % 5 == 3, F.lit("<html><head><title>t</title></head></html>"))
+        .otherwise(
+            F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      'content="0; url=../up'),
+                s, F.lit('"></head></html>'),
+            )
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    content = F.regexp_extract(
+        F.col("html"),
+        '(?i)<meta http-equiv="refresh" content="([^"]*)"',
+        1,
+    )
+    t = pages.select(
+        "doc_id",
+        "url",
+        content.alias("content"),
+    ).select(
+        "doc_id",
+        "url",
+        "content",
+        F.when(
+            F.regexp_extract(F.col("content"), "^([0-9]+)", 1) == "",
+            F.lit(-1),
+        )
+        .otherwise(
+            F.regexp_extract(F.col("content"), "^([0-9]+)", 1).cast("long")
+        )
+        .alias("delay_s"),
+        F.regexp_extract(
+            F.col("content"), r"(?i)url\s*=\s*'?([^']*)'?$", 1
+        ).alias("target_raw"),
+    )
+    return t.select(
+        "doc_id",
+        "delay_s",
+        F.when(F.col("content") == "", F.lit(None).cast("string"))
+        .when(F.col("target_raw") == "", F.col("url"))
+        .otherwise(
+            resolve_reference(F.col("url"), F.col("target_raw"))
+        )
+        .alias("target"),
+        F.when(F.col("content") == "", F.lit("none"))
+        .when(F.col("delay_s") == 0, F.lit("instant"))
+        .otherwise(F.lit("delayed"))
+        .alias("kind"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

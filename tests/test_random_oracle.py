@@ -137,6 +137,7 @@ CRITICAL = [
     "robots_wildcard_filter",
     "http_revalidation_plan",
     "pipeline_crawl_gate",
+    "meta_refresh_redirects",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
