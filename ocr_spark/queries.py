@@ -11679,6 +11679,99 @@ def meta_refresh_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _base_href_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    d = "CAST(doc_id AS VARCHAR)"
+    base_raw = "regexp_extract(html, '<base href=\"([^\"]*)\"', 1)"
+    eff = duck_resolve_reference("url", "base_raw")
+    resolved = duck_resolve_reference("eff_base", "anchor")
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        'https://b' || CAST(doc_id % 11 AS VARCHAR)
+          || '.example.com/dir/page' || {d} AS url,
+        (CASE doc_id % 4
+          WHEN 0 THEN '<head><base href="https://cdn' || {d}
+                      || '.example.net/assets/"></head>'
+          WHEN 1 THEN '<head><base href="/root' || {d} || '/"></head>'
+          WHEN 2 THEN '<head><base href="sub/"></head>'
+          ELSE '<head></head>' END)
+        || '<body><a href="x' || {d} || '.html">x</a></body>' AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id, url, html, {base_raw} AS base_raw FROM pages),
+    e AS (
+      SELECT doc_id, url, html,
+             CASE WHEN base_raw = '' THEN url ELSE {eff} END AS eff_base
+      FROM b),
+    a AS (
+      SELECT doc_id, url, eff_base,
+             regexp_extract(html, '<a href="([^"]*)"', 1) AS anchor
+      FROM e)
+    SELECT doc_id, eff_base, {resolved} AS resolved
+    FROM a
+    """
+
+
+@query("base_href_resolution", _base_href_oracle())
+def base_href_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<base href>`` resolution (round 4): the document base element
+    redirects EVERY relative link on the page away from the page's own
+    url — outlink extraction that ignores it mis-resolves entire
+    template families (CDN-based sites, PHP apps with rewritten
+    paths). Per HTML spec the base attribute is itself resolved
+    against the page url (it can be relative — battery cases: absolute
+    cross-host, root-relative, path-relative, absent), and anchors
+    then resolve against the effective base — both hops through the
+    same RFC 3986 resolver the graded outlink_resolve_rfc pins.
+
+    Scale shape: two chained codegen resolver projections, no UDF, no
+    shuffle.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://b"), (i % 11).cast("string"),
+        F.lit(".example.com/dir/page"), s,
+    )
+    html = F.concat(
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<head><base href="https://cdn'), s,
+                F.lit('.example.net/assets/"></head>'),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(F.lit('<head><base href="/root'), s, F.lit('/"></head>')),
+        )
+        .when(i % 4 == 2, F.lit('<head><base href="sub/"></head>'))
+        .otherwise(F.lit("<head></head>")),
+        F.lit('<body><a href="x'), s, F.lit('.html">x</a></body>'),
+    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    base_raw = F.regexp_extract(F.col("html"), '<base href="([^"]*)"', 1)
+    e = pages.select(
+        "doc_id",
+        "url",
+        "html",
+        F.when(base_raw == "", F.col("url"))
+        .otherwise(resolve_reference(F.col("url"), base_raw))
+        .alias("eff_base"),
+    )
+    anchor = F.regexp_extract(F.col("html"), '<a href="([^"]*)"', 1)
+    return e.select(
+        "doc_id",
+        "eff_base",
+        resolve_reference(F.col("eff_base"), anchor).alias("resolved"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -138,6 +138,7 @@ CRITICAL = [
     "http_revalidation_plan",
     "pipeline_crawl_gate",
     "meta_refresh_redirects",
+    "base_href_resolution",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
