@@ -38,6 +38,19 @@ def embedded_pnm_udf(html: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def recall_extract_udf(html: pd.Series) -> pd.Series:
+    """Recall-mode extraction: same block parser, looser gates
+    (min_chars 10, link density <= 0.6) — keeps borderline blocks the
+    normative precision mode drops. Boilerplate ancestry still
+    excludes (that's structural, not a threshold)."""
+    from ocr_spark.functions.html_extract import extract_main_text
+
+    return html.map(
+        lambda h: extract_main_text(h, min_chars=10, max_link_density=0.6)
+    )
+
+
+@F.pandas_udf(StringType())
 def markdown_udf(html: pd.Series) -> pd.Series:
     """HTML -> Markdown rendering (functions/markdown.py) — Arrow-
     batched, runs beside the extraction UDF in the same stage."""

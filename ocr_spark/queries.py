@@ -11772,6 +11772,66 @@ def base_href_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_modes_oracle() -> str:
+    d = "CAST(doc_id AS VARCHAR)"
+    main = f"'Main content paragraph for document ' || {d} || ' with plenty of characters.'"
+    short = f"'Tiny note ' || {d}"
+    linky = f"'Visit our page this page now here ' || {d}"
+    return f"""
+    SELECT doc_id,
+           {main} AS precision_text,
+           {main} || chr(10) || {short} || chr(10) || {linky} AS recall_text
+    FROM documents
+    """
+
+
+@query("extract_recall_precision", _recall_modes_oracle())
+def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction recall/precision modes (round 4): the
+    favor-precision vs favor-recall split every production extractor
+    exposes — the SAME block parser with different density gates
+    (normative: min 25 chars, link density <= 0.33; recall: min 10,
+    <= 0.6). The battery plants one block per decision boundary: a
+    long clean paragraph (kept by both), a tiny note (recall-only), a
+    linky sentence built so its link density lands in (0.33, 0.6] for
+    EVERY doc_id digit count (recall-only), and a nav block that
+    neither mode may keep — boilerplate ancestry is structural, not a
+    threshold. The oracle assembles the expected whitespace-collapsed
+    block texts directly from the doc_id formula (construction-derived
+    — the expected bytes exist before the parser runs).
+
+    Scale shape: one Arrow-batched UDF per mode over the same scan —
+    in production the recall pass runs only over documents the
+    precision pass emptied (a filtered second chance), so the extra
+    cost is proportional to the disagreement rate.
+    """
+    from ocr_spark.operators.extract import recall_extract_udf, with_main_text
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/h">home menu</a></nav>'),
+        F.lit("<p>Main content paragraph for document "),
+        s,
+        F.lit(" with plenty of characters.</p>"),
+        F.lit("<p>Tiny note "),
+        s,
+        F.lit("</p>"),
+        F.lit('<p>Visit our page <a href="/l'),
+        s,
+        F.lit('">this page now</a> here '),
+        s,
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return with_main_text(pages, out="precision_text").select(
+        "doc_id",
+        "precision_text",
+        recall_extract_udf(F.col("html")).alias("recall_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -139,6 +139,7 @@ CRITICAL = [
     "pipeline_crawl_gate",
     "meta_refresh_redirects",
     "base_href_resolution",
+    "extract_recall_precision",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
