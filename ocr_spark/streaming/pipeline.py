@@ -327,6 +327,36 @@ def dedup_stream(pages: DataFrame) -> DataFrame:
     ).dropDuplicates(["text_hash"])
 
 
+URLS_DDL = "doc_id long, url string"
+
+
+def urls_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(URLS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+
+
+def crawl_gate_stream(urls: DataFrame) -> DataFrame:
+    """Streaming crawl gate: the frontier-side twin of the batch
+    pipeline_crawl_gate query. Each discovered url canonicalizes
+    (functions/urlnorm — dup slashes, dot segments, tracking params,
+    fragments, case) and surt-keys (functions/surt); the first
+    occurrence of each KEY wins across micro-batches (state-store
+    dropDuplicates), so url VARIANTS of an already-queued page are
+    suppressed even when they arrive hours later in different batches
+    — the property a raw-url dedup cannot have. Unbounded key state by
+    design here; production bounds it with
+    ``dropDuplicatesWithinWatermark`` on a crawl-recency horizon.
+    """
+    from ocr_spark.functions.surt import surt_key
+    from ocr_spark.functions.urlnorm import canonical_url
+
+    keyed = urls.withColumn("surt", surt_key(canonical_url(F.col("url"))))
+    return keyed.dropDuplicates(["surt"])
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
     """Drain a streaming frame into an in-memory table (tests/debug)."""
     return (

@@ -413,3 +413,76 @@ def test_cdc_retry_is_idempotent(spark, tmp_path_factory):
     sp2._cdc_score_and_commit(spark, docs, 1, idx, out)
     b1 = spark.read.parquet(out).where("batch_id = 1").collect()
     assert b1 and all(r.reuse_permille == 1000 for r in b1)
+
+
+def test_crawl_gate_stream_suppresses_variants_across_batches(
+    spark, tmp_path_factory
+):
+    """Url VARIANTS of an already-queued page (tracking params, dot
+    segments, case) arriving in LATER micro-batches are suppressed by
+    the canonical-key state; genuinely new pages pass. Keys match the
+    batch pipeline_crawl_gate's canonicalize->surt chain exactly."""
+    from ocr_spark.functions.surt import surt_key
+    from ocr_spark.functions.urlnorm import canonical_url
+
+    root = tmp_path_factory.mktemp("crawl_gate_stream")
+    src, out, ckpt = (str(root / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def drain():
+        q = (
+            sp.crawl_gate_stream(sp.urls_stream(spark, src))
+            .select("doc_id", "url", "surt")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        _await(q)
+
+    # batch 1: 20 pages, raw form A (dup slashes)
+    b1 = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 5).cast("string"),
+            F.lit(".example.com/p//"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    b1.write.mode("append").parquet(src)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 20
+
+    # batch 2: the SAME 20 pages as variants (tracking params + case)
+    # plus 5 genuinely new pages -> exactly 5 more rows pass the gate
+    variants = spark.range(20).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.concat(
+            F.lit("HTTPS://H"), (F.col("id") % 5).cast("string"),
+            F.lit(".Example.com/p/"), F.col("id").cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url"),
+    )
+    fresh = spark.range(5).select(
+        (F.col("id") + 200).alias("doc_id"),
+        F.concat(
+            F.lit("https://new.example.com/q/"), F.col("id").cast("string")
+        ).alias("url"),
+    )
+    variants.unionByName(fresh).write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert got.where(F.col("doc_id") >= 200).count() == 5
+    assert got.where(F.col("doc_id").between(100, 199)).count() == 0
+
+    # the streamed keys equal the batch chain's keys (shared functions)
+    want = {
+        r.surt
+        for r in b1.select(
+            surt_key(canonical_url(F.col("url"))).alias("surt")
+        ).collect()
+    }
+    assert {r.surt for r in got.where("doc_id < 100").collect()} == want
