@@ -11800,12 +11800,17 @@ def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     block texts directly from the doc_id formula (construction-derived
     — the expected bytes exist before the parser runs).
 
-    Scale shape: one Arrow-batched UDF per mode over the same scan —
-    in production the recall pass runs only over documents the
-    precision pass emptied (a filtered second chance), so the extra
-    cost is proportional to the disagreement rate.
+    Scale shape: both modes evaluate in ONE projection so Spark fuses
+    them into a single ArrowEvalPython stage (html crosses Arrow once,
+    pinned by the duplicate-UDF plan audit); in production the recall
+    pass runs only over documents the precision pass emptied (a
+    filtered second chance), so the extra cost is proportional to the
+    disagreement rate.
     """
-    from ocr_spark.operators.extract import recall_extract_udf, with_main_text
+    from ocr_spark.operators.extract import (
+        _main_text_udf_fenced,
+        recall_extract_udf,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     i = F.col("doc_id")
@@ -11825,9 +11830,9 @@ def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></body></html>"),
     )
     pages = d.select("doc_id", html.alias("html"))
-    return with_main_text(pages, out="precision_text").select(
+    return pages.select(
         "doc_id",
-        "precision_text",
+        _main_text_udf_fenced(F.col("html")).alias("precision_text"),
         recall_extract_udf(F.col("html")).alias("recall_text"),
     )
 
