@@ -574,3 +574,76 @@ def recrawl_intervals(
             F.greatest(F.lit(min_hours).cast("long"), raw),
         ).alias("next_interval_hours"),
     )
+
+
+def pagination_chains(pages: DataFrame, max_hops: int = 64) -> DataFrame:
+    """Assemble rel="next" pagination chains: every page maps to the
+    chain's first page plus its position — ``(url, root_url, position,
+    chain_len)``.
+
+    Multi-page articles are ubiquitous (news slideshows, forum
+    threads, docs with "next" footers); a training corpus wants the
+    PARTS STITCHED in order, which needs each page's chain root and
+    index, not just the local next pointer. Walking next-links one
+    pass at a time is O(longest chain) full scans; this is the same
+    pointer-jumping shape as resolve_redirects, run on the REVERSED
+    edges (next target -> its predecessor) with a hop-count column
+    that accumulates across jumps (d = d_a + d_b), so after
+    ceil(log2(max_hops)) self-equi-joins every page knows its root AND
+    its 0-based distance from it. Chains are vertex-disjoint paths
+    (one outgoing next per page, one incoming prev), so every join key
+    is unique on both sides — uniform shuffles, no skew, no window.
+
+    A next pointer whose target is not itself a crawled page (chain
+    truncated at the crawl boundary) dangles harmlessly: the reversed
+    edge's source never matches a page url, and chain_len counts only
+    pages present (the DuckDB oracle walks with the same
+    target-exists guard).
+
+    Input: ``(url, next_url)`` with next_url NULL on chain tails and
+    standalone pages. chain_len is a hash-aggregated count per root
+    joined back (broadcastable: one row per chain).
+
+    The input is staged once (lazy localCheckpoint; a table write at
+    warehouse scale): the self-join doubling otherwise replans the
+    upstream lineage — typically the link-extraction + RFC 3986
+    resolver expressions — 2^rounds times.
+    """
+    import math
+
+    pages = pages.select("url", "next_url").localCheckpoint(eager=False)
+    e = pages.where(F.col("next_url").isNotNull()).select(
+        F.col("next_url").alias("src"),
+        F.col("url").alias("dst"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    f = e
+    for _ in range(rounds):
+        f = (
+            f.alias("a")
+            .join(f.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+                (
+                    F.col("a.d")
+                    + F.coalesce(F.col("b.d"), F.lit(0).cast("long"))
+                ).alias("d"),
+            )
+        )
+    res = (
+        pages.select("url")
+        .join(f, pages["url"] == f["src"], "left")
+        .select(
+            "url",
+            F.coalesce(F.col("dst"), F.col("url")).alias("root_url"),
+            F.coalesce(F.col("d"), F.lit(0).cast("long")).alias("position"),
+        )
+    )
+    sizes = res.groupBy("root_url").agg(
+        F.count(F.lit(1)).alias("chain_len")
+    )
+    return res.join(sizes, "root_url").select(
+        "url", "root_url", "position", "chain_len"
+    )

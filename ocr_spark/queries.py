@@ -11837,6 +11837,166 @@ def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagination_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    resolved = duck_resolve_reference("url", "raw")
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, doc_id // 3 AS art, doc_id % 3 AS p,
+             (doc_id // 3) % 3 + 1 AS np
+      FROM documents),
+    u AS (
+      SELECT doc_id, art, p, np,
+        'https://s' || CAST(art % 13 AS VARCHAR) || '.example.org/a'
+          || CAST(art AS VARCHAR) || '/p' || CAST(p AS VARCHAR) AS url,
+        CASE WHEN p + 1 < np THEN
+          CASE (art + p) % 3
+            WHEN 0 THEN 'p' || CAST(p + 1 AS VARCHAR)
+            WHEN 1 THEN '/a' || CAST(art AS VARCHAR) || '/p'
+                        || CAST(p + 1 AS VARCHAR)
+            ELSE 'https://s' || CAST(art % 13 AS VARCHAR) || '.example.org/a'
+                 || CAST(art AS VARCHAR) || '/p' || CAST(p + 1 AS VARCHAR)
+          END
+        ELSE NULL END AS href
+      FROM d0),
+    h AS (
+      SELECT doc_id, url,
+        '<head><link rel="stylesheet" href="/css/m.css">'
+        || CASE WHEN p > 0 AND p < np
+                THEN '<link rel="prev" href="p' || CAST(p - 1 AS VARCHAR)
+                     || '">' ELSE '' END
+        || CASE WHEN href IS NOT NULL AND p % 2 = 0
+                THEN '<link rel="next" href="' || href || '">' ELSE '' END
+        || '</head><body><a href="/other">x</a>'
+        || CASE WHEN href IS NOT NULL AND p % 2 = 1
+                THEN '<a href="' || href || '" rel="next">more</a>'
+                ELSE '' END
+        || '</body>' AS html
+      FROM u),
+    x AS (
+      SELECT url,
+        regexp_extract(html, '<link rel="next" href="([^"]+)"', 1) AS r1,
+        regexp_extract(html, '<a href="([^"]+)" rel="next"', 1) AS r2
+      FROM h),
+    n AS (
+      SELECT url,
+        CASE WHEN r1 <> '' THEN r1
+             WHEN r2 <> '' THEN r2 ELSE NULL END AS raw
+      FROM x),
+    res AS (
+      SELECT url,
+        CASE WHEN raw IS NULL THEN NULL ELSE {resolved} END AS next_url
+      FROM n),
+    g AS (
+      SELECT a.url,
+        CASE WHEN b.url IS NOT NULL THEN a.next_url ELSE NULL END AS next_url
+      FROM res a LEFT JOIN res b ON b.url = a.next_url),
+    roots AS (
+      SELECT url FROM g
+      WHERE url NOT IN (SELECT next_url FROM g WHERE next_url IS NOT NULL)),
+    walk AS (
+      SELECT url AS root_url, url, CAST(0 AS BIGINT) AS position FROM roots
+      UNION ALL
+      SELECT w.root_url, g.next_url, w.position + 1
+      FROM walk w JOIN g ON g.url = w.url
+      WHERE g.next_url IS NOT NULL),
+    sizes AS (
+      SELECT root_url, CAST(COUNT(*) AS BIGINT) AS chain_len
+      FROM walk GROUP BY 1)
+    SELECT w.url, w.root_url, w.position, s.chain_len
+    FROM walk w JOIN sizes s USING (root_url)
+    """
+
+
+@query("pagination_rel_chains", _pagination_oracle())
+def pagination_rel_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel="next" pagination chains (round 4): multi-page articles
+    stitch in order only if every page knows its chain ROOT and
+    POSITION, not just its local next pointer. Pages synthesize as
+    1-3-part articles (part count varies by article id) with the next
+    link rotating through path-relative / root-relative / absolute
+    hrefs (all through the RFC 3986 resolver) and BOTH markup forms
+    (``<link rel="next">`` in head, ``<a ... rel="next">`` in body);
+    rel="prev" + stylesheet links and plain anchors are planted decoys
+    the extractors must ignore. Chains truncated at the corpus
+    boundary (a next pointing at an uncrawled page) dangle harmlessly
+    on both engines.
+
+    The dataflow is operators/crawl.pagination_chains — reversed-edge
+    pointer jumping with hop-count accumulation, O(log max_hops)
+    uniform self-joins (chains are vertex-disjoint paths, every join
+    key unique on both sides; no window, no skew). The oracle is an
+    independent sequential walk: a DuckDB recursive CTE from the
+    no-incoming-edge roots with a target-exists guard.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+    from ocr_spark.operators.crawl import pagination_chains
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    art = floor_div(i, F.lit(3))
+    p = (i % 3).cast("long")
+    np_ = (art % 3 + 1).cast("long")
+    arts = art.cast("string")
+    host = (art % 13).cast("string")
+    url = F.concat(
+        F.lit("https://s"), host, F.lit(".example.org/a"), arts,
+        F.lit("/p"), p.cast("string"),
+    )
+    nxt = (p + 1).cast("string")
+    href = F.when(
+        p + 1 < np_,
+        F.when((art + p) % 3 == 0, F.concat(F.lit("p"), nxt))
+        .when(
+            (art + p) % 3 == 1,
+            F.concat(F.lit("/a"), arts, F.lit("/p"), nxt),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://s"), host, F.lit(".example.org/a"), arts,
+                F.lit("/p"), nxt,
+            )
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    html = F.concat(
+        F.lit('<head><link rel="stylesheet" href="/css/m.css">'),
+        F.when(
+            (p > 0) & (p < np_),
+            F.concat(
+                F.lit('<link rel="prev" href="p'),
+                (p - 1).cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            href.isNotNull() & (p % 2 == 0),
+            F.concat(F.lit('<link rel="next" href="'), href, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><a href="/other">x</a>'),
+        F.when(
+            href.isNotNull() & (p % 2 == 1),
+            F.concat(
+                F.lit('<a href="'), href, F.lit('" rel="next">more</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    r1 = F.regexp_extract(
+        F.col("html"), '<link rel="next" href="([^"]+)"', 1
+    )
+    r2 = F.regexp_extract(F.col("html"), '<a href="([^"]+)" rel="next"', 1)
+    raw = F.when(r1 != "", r1).when(r2 != "", r2)
+    keyed = pages.select(
+        "url",
+        F.when(
+            raw.isNotNull(), resolve_reference(F.col("url"), raw)
+        ).alias("next_url"),
+    )
+    return pagination_chains(keyed, max_hops=8)
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

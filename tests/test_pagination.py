@@ -1,0 +1,58 @@
+"""pagination_chains: reversed-edge pointer jumping with hop counts.
+
+Hand battery pinning root/position/chain_len on a straight chain, a
+chain truncated at the crawl boundary (dangling next), a standalone
+page, and the bounded behavior on a malformed self-loop.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.operators.crawl import pagination_chains
+
+
+def _run(spark, rows, max_hops=8):
+    df = spark.createDataFrame(rows, "url string, next_url string")
+    out = pagination_chains(df, max_hops=max_hops).collect()
+    return {r["url"]: (r["root_url"], r["position"], r["chain_len"]) for r in out}
+
+
+def test_chain_roots_positions_lengths(spark):
+    rows = [
+        # 4-page article
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("a4", None),
+        # truncated: b2's next was never crawled
+        ("b1", "b2"), ("b2", "bX"),
+        # standalone
+        ("c1", None),
+    ]
+    got = _run(spark, rows)
+    assert got["a1"] == ("a1", 0, 4)
+    assert got["a2"] == ("a1", 1, 4)
+    assert got["a3"] == ("a1", 2, 4)
+    assert got["a4"] == ("a1", 3, 4)
+    assert got["b1"] == ("b1", 0, 2)
+    assert got["b2"] == ("b1", 1, 2)
+    assert got["c1"] == ("c1", 0, 1)
+    assert len(got) == 7
+
+
+def test_chain_longer_than_hop_rounds_still_exact(spark):
+    # max_hops=8 -> 3 jumping rounds collapse chains up to 2^3 hops
+    rows = [(f"p{k}", f"p{k + 1}") for k in range(8)] + [("p8", None)]
+    got = _run(spark, rows, max_hops=8)
+    assert got["p8"] == ("p0", 8, 9)
+    assert got["p4"] == ("p0", 4, 9)
+
+
+def test_self_loop_is_bounded_not_divergent(spark):
+    # malformed rel=next self-loop: position saturates at 2^rounds,
+    # root stays inside the loop, the job terminates (documented
+    # bounded behavior, same contract as resolve_redirects on loops)
+    got = _run(spark, [("x", "x"), ("c1", None)], max_hops=8)
+    root, pos, n = got["x"]
+    assert root == "x" and pos == 8 and n == 1
+    assert got["c1"] == ("c1", 0, 1)
