@@ -11997,6 +11997,323 @@ def pagination_rel_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_chains(keyed, max_hops=8)
 
 
+def _srcset_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    resolved = duck_resolve_reference("purl", "curl")
+    res_src = duck_resolve_reference("purl", "src_raw")
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+             CAST(doc_id % 7 AS VARCHAR) AS hs,
+             doc_id % 4 AS v
+      FROM documents),
+    p AS (
+      SELECT doc_id, v,
+        'https://g' || hs || '.example.com/posts/' || ds || '/' AS purl,
+        CASE v
+          WHEN 0 THEN '<img src="img/base' || ds || '.jpg" srcset="img/a'
+                      || ds || '.jpg 320w, /imgs/b' || ds || '.jpg 640w">'
+          WHEN 1 THEN '<img srcset="https://cdn' || hs
+                      || '.example.net/c' || ds || '.jpg 480w,  img/d'
+                      || ds || '.jpg 2x" src="img/base' || ds || '.jpg">'
+          WHEN 2 THEN '<img src="img/base' || ds || '.jpg" srcset="img/e'
+                      || ds || '.jpg, img/f' || ds || '.jpg 2x">'
+          ELSE '<img src="img/base' || ds || '.jpg">' END AS html
+      FROM d0),
+    attrs AS (
+      SELECT doc_id, purl,
+        regexp_extract(html, ' src="([^"]+)"', 1) AS src_raw,
+        regexp_extract(html, 'srcset="([^"]+)"', 1) AS srcset
+      FROM p),
+    cand AS (
+      SELECT doc_id, purl, trim(c) AS c
+      FROM attrs, unnest(string_split(srcset, ',')) AS t(c)
+      WHERE srcset <> '' AND trim(c) <> ''),
+    parsed AS (
+      SELECT doc_id, purl,
+        regexp_extract(c, '^([^ ]+)', 1) AS curl,
+        regexp_extract(c, ' ([0-9]+)[wx]$', 1) AS num,
+        regexp_extract(c, ' [0-9]+([wx])$', 1) AS kindc
+      FROM cand),
+    scored AS (
+      SELECT doc_id,
+        {resolved} AS cres,
+        CASE WHEN kindc = 'w' THEN 1099511627776 ELSE 0 END
+          + (CASE WHEN kindc = 'w' THEN CAST(num AS BIGINT)
+                  WHEN kindc = 'x' THEN CAST(num AS BIGINT) * 100
+                  ELSE 100 END) * 1024 AS score
+      FROM parsed),
+    best AS (
+      SELECT doc_id, MAX(score) AS best_score,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM scored GROUP BY 1),
+    win AS (
+      SELECT s.doc_id, b.best_score, b.n_candidates,
+             MIN(s.cres) AS best_cand
+      FROM scored s JOIN best b
+        ON s.doc_id = b.doc_id AND s.score = b.best_score
+      GROUP BY 1, 2, 3)
+    SELECT a.doc_id,
+      COALESCE(w.best_cand, {res_src}) AS best_url,
+      CASE WHEN w.doc_id IS NULL THEN 'src'
+           WHEN w.best_score >= 1099511627776 THEN 'w'
+           ELSE 'x' END AS best_kind,
+      COALESCE((w.best_score % 1099511627776) // 1024, 0) AS best_value,
+      COALESCE(w.n_candidates, 0) AS n_candidates
+    FROM attrs a LEFT JOIN win w ON a.doc_id = w.doc_id
+    """
+
+
+@query("srcset_best_image", _srcset_oracle())
+def srcset_best_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Responsive-image srcset selection (round 4): the best image
+    candidate per page for multimodal text-image pairing. The srcset
+    grammar (comma-separated ``url [Nw|Nx]`` candidates, descriptor
+    absent = 1x) parses with codegen regexps; explicit widths beat
+    density descriptors, the page falls back to the plain src
+    attribute when no srcset exists, and every candidate url (path-
+    relative, root-relative, absolute all planted, both attribute
+    orders) resolves through the RFC 3986 resolver.
+
+    Scale shape: the argmax is the single-BIGINT house pattern —
+    ``kind_bit*2^40 + value*2^10`` hash-aggregates with map-side
+    combine (no struct buffer, no SortAggregate), the winning URL
+    string joins back on the (page, max-score) composite key (uniform
+    hash join; ties break by MIN(url) identically on both engines),
+    and kind/value DECODE from the score instead of riding the
+    aggregate. One explode + two uniform shuffles.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    hs = (i % 7).cast("string")
+    v = i % 4
+    purl = F.concat(
+        F.lit("https://g"), hs, F.lit(".example.com/posts/"), ds, F.lit("/"),
+    )
+    base_img = F.concat(F.lit('<img src="img/base'), ds, F.lit('.jpg"'))
+    html = (
+        F.when(
+            v == 0,
+            F.concat(
+                base_img, F.lit(' srcset="img/a'), ds,
+                F.lit(".jpg 320w, /imgs/b"), ds, F.lit('.jpg 640w">'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<img srcset="https://cdn'), hs, F.lit(".example.net/c"),
+                ds, F.lit(".jpg 480w,  img/d"), ds,
+                F.lit('.jpg 2x" src="img/base'), ds, F.lit('.jpg">'),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                base_img, F.lit(' srcset="img/e'), ds,
+                F.lit(".jpg, img/f"), ds, F.lit('.jpg 2x">'),
+            ),
+        )
+        .otherwise(F.concat(base_img, F.lit(">")))
+    )
+    attrs = d.select(
+        "doc_id",
+        purl.alias("purl"),
+        F.regexp_extract(html, ' src="([^"]+)"', 1).alias("src_raw"),
+        F.regexp_extract(html, 'srcset="([^"]+)"', 1).alias("srcset"),
+    )
+    cand = (
+        attrs.where(F.col("srcset") != "")
+        .select(
+            "doc_id", "purl",
+            F.explode(F.split(F.col("srcset"), ",")).alias("c0"),
+        )
+        .select("doc_id", "purl", F.trim(F.col("c0")).alias("c"))
+        .where(F.col("c") != "")
+    )
+    num = F.regexp_extract(F.col("c"), " ([0-9]+)[wx]$", 1)
+    kindc = F.regexp_extract(F.col("c"), " [0-9]+([wx])$", 1)
+    value = (
+        F.when(kindc == "w", num.cast("long"))
+        .when(kindc == "x", num.cast("long") * 100)
+        .otherwise(F.lit(100))
+    )
+    kind_bit = F.when(kindc == "w", F.lit(1099511627776)).otherwise(F.lit(0))
+    scored = cand.select(
+        "doc_id",
+        resolve_reference(
+            F.col("purl"), F.regexp_extract(F.col("c"), "^([^ ]+)", 1)
+        ).alias("cres"),
+        (kind_bit + value * 1024).cast("long").alias("score"),
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max("score").alias("best_score"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    win = (
+        scored.alias("s")
+        .join(
+            best.alias("b"),
+            (F.col("s.doc_id") == F.col("b.doc_id"))
+            & (F.col("s.score") == F.col("b.best_score")),
+        )
+        .groupBy("s.doc_id", "b.best_score", "b.n_candidates")
+        .agg(F.min("s.cres").alias("best_cand"))
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            "b.best_score",
+            "b.n_candidates",
+            "best_cand",
+        )
+    )
+    big = F.lit(1099511627776)
+    return (
+        attrs.alias("a")
+        .join(win.alias("w"), F.col("a.doc_id") == F.col("w.doc_id"), "left")
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.coalesce(
+                F.col("w.best_cand"),
+                resolve_reference(F.col("a.purl"), F.col("a.src_raw")),
+            ).alias("best_url"),
+            F.when(F.col("w.doc_id").isNull(), F.lit("src"))
+            .when(F.col("w.best_score") >= big, F.lit("w"))
+            .otherwise(F.lit("x"))
+            .alias("best_kind"),
+            F.coalesce(
+                F.floor((F.col("w.best_score") % big) / 1024).cast("long"),
+                F.lit(0),
+            ).alias("best_value"),
+            F.coalesce(F.col("w.n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+        )
+    )
+
+
+_SCRIPT_RANGES = [
+    ("latin", "[A-Za-z]", 0),
+    ("cyrillic", "[Ѐ-ӿ]", 1),
+    ("greek", "[Ͱ-Ͽ]", 2),
+    ("cjk", "[一-鿿]", 3),
+    ("arabic", "[؀-ۿ]", 4),
+]
+
+
+def _script_mix_oracle() -> str:
+    inj = (
+        "CASE doc_id % 5"
+        " WHEN 0 THEN repeat('ж', doc_id % 7 + 3)"
+        " WHEN 1 THEN repeat('α', doc_id % 5 + 2)"
+        " WHEN 2 THEN repeat('汉', doc_id % 4 + 1)"
+        " WHEN 3 THEN repeat('م', doc_id % 6 + 2) || ' mix'"
+        " ELSE '' END"
+    )
+    counts = ", ".join(
+        f"length(s) - length(regexp_replace(s, '{pat}', '', 'g'))"
+        f" AS {name}_n"
+        for name, pat, _ in _SCRIPT_RANGES
+    )
+    enc = ", ".join(
+        f"{name}_n * 8 + {sid}" for name, _, sid in _SCRIPT_RANGES
+    )
+    nonzero = " + ".join(
+        f"CASE WHEN {name}_n > 0 THEN 1 ELSE 0 END"
+        for name, _, _ in _SCRIPT_RANGES
+    )
+    decode = " ".join(
+        f"WHEN {sid} THEN '{name}'" for name, _, sid in _SCRIPT_RANGES
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text || ' ' || {inj} AS s FROM documents),
+    c AS (
+      SELECT doc_id, {counts} FROM p),
+    e AS (
+      SELECT *, GREATEST({enc}) AS best, {nonzero} AS n_scripts FROM c)
+    SELECT doc_id,
+           CAST(latin_n AS BIGINT) AS latin_n,
+           CAST(cyrillic_n AS BIGINT) AS cyrillic_n,
+           CAST(greek_n AS BIGINT) AS greek_n,
+           CAST(cjk_n AS BIGINT) AS cjk_n,
+           CAST(arabic_n AS BIGINT) AS arabic_n,
+           CASE best % 8 {decode} END AS dominant,
+           CAST(n_scripts AS BIGINT) AS n_scripts,
+           CAST(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS mixed
+    FROM e
+    """
+
+
+@query("script_mix_profile", _script_mix_oracle())
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profiling (round 4): per-document character
+    counts across Latin / Cyrillic / Greek / CJK / Arabic ranges, the
+    dominant script, and a mixed-script flag — the standard signals
+    for confusable-spoofing detection, mojibake triage, and per-script
+    corpus accounting. Documents get deterministic non-Latin runs
+    injected over their real text so every range and the dominance
+    tie-break are exercised.
+
+    Scale shape: pure codegen projection — each count is
+    ``length(s) - length(regexp_replace(s, class, ''))``, the dominant
+    script is a per-row GREATEST over counts encoded as
+    ``count*8 + script_id`` (no aggregate, no shuffle; ties break
+    toward the higher script id identically on both engines, and the
+    id DECODES from the winner). Rides the extraction scan at any
+    corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    inj = (
+        F.when(i % 5 == 0, F.repeat(F.lit("ж"), (i % 7 + 3).cast("int")))
+        .when(i % 5 == 1, F.repeat(F.lit("α"), (i % 5 + 2).cast("int")))
+        .when(i % 5 == 2, F.repeat(F.lit("汉"), (i % 4 + 1).cast("int")))
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.repeat(F.lit("م"), (i % 6 + 2).cast("int")),
+                F.lit(" mix"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    s = F.concat(F.col("text"), F.lit(" "), inj)
+    p = d.select("doc_id", s.alias("s"))
+    counts = [
+        (
+            F.length(F.col("s"))
+            - F.length(F.regexp_replace(F.col("s"), pat, ""))
+        ).cast("long").alias(f"{name}_n")
+        for name, pat, _ in _SCRIPT_RANGES
+    ]
+    c = p.select("doc_id", *counts)
+    enc = [
+        (F.col(f"{name}_n") * 8 + sid).cast("long")
+        for name, _, sid in _SCRIPT_RANGES
+    ]
+    n_scripts = sum(
+        F.when(F.col(f"{name}_n") > 0, 1).otherwise(0)
+        for name, _, _ in _SCRIPT_RANGES
+    ).cast("long")
+    best = F.greatest(*enc)
+    dominant = F.lit(None).cast("string")
+    for name, _, sid in reversed(_SCRIPT_RANGES):
+        dominant = F.when(best % 8 == sid, F.lit(name)).otherwise(dominant)
+    return c.select(
+        "doc_id",
+        "latin_n", "cyrillic_n", "greek_n", "cjk_n", "arabic_n",
+        dominant.alias("dominant"),
+        n_scripts.alias("n_scripts"),
+        F.when(n_scripts >= 2, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("mixed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
