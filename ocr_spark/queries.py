@@ -12314,6 +12314,374 @@ def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _microdata_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    resolved = duck_resolve_reference("purl", "href_raw")
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, doc_id % 3 AS v,
+        'https://md' || CAST(doc_id % 11 AS VARCHAR)
+          || '.example.org/items/' || CAST(doc_id AS VARCHAR) AS purl
+      FROM documents),
+    p AS (
+      SELECT doc_id, purl,
+        CASE v
+          WHEN 0 THEN '<div itemscope itemtype="https://schema.org/Article">'
+            || '<span itemprop="name">Title ' || ds || '</span>'
+            || '<span itemprop="headline">Head ' || ds || '</span>'
+            || '<meta itemprop="datePublished" content="2024-'
+            || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-01">'
+            || '<a itemprop="author" href="/u/' || ds || '">A</a></div>'
+          WHEN 1 THEN '<div itemscope itemtype="https://schema.org/Product">'
+            || '<span itemprop="name">Gadget ' || ds || '</span>'
+            || '<span itemprop="sku">SKU-' || ds || '</span>'
+            || '<meta itemprop="price" content="'
+            || CAST(doc_id % 100 AS VARCHAR) || '.99">'
+            || '<a itemprop="url" href="p' || ds || '">buy</a></div>'
+          ELSE '<div><p>plain page ' || ds || '</p></div>' END AS html
+      FROM d0),
+    scoped AS (
+      SELECT doc_id, purl, html,
+        regexp_extract(html, 'itemtype="([^"]+)"', 1) AS itemtype
+      FROM p WHERE html LIKE '%itemscope%'),
+    spans AS (
+      SELECT doc_id, itemtype,
+        regexp_extract_all(html, '<span itemprop="([^"]+)">', 1) AS names,
+        regexp_extract_all(html,
+          '<span itemprop="[^"]+">([^<]*)</span>', 1) AS vals
+      FROM scoped),
+    span_rows AS (
+      SELECT doc_id, itemtype, names[i] AS prop, 'text' AS kind,
+             vals[i] AS value
+      FROM spans, unnest(generate_series(1, len(names))) AS g(i)),
+    meta_rows AS (
+      SELECT doc_id, itemtype,
+        regexp_extract(html, '<meta itemprop="([^"]+)"', 1) AS prop,
+        'meta' AS kind,
+        regexp_extract(html,
+          '<meta itemprop="[^"]+" content="([^"]*)"', 1) AS value
+      FROM scoped
+      WHERE regexp_extract(html, '<meta itemprop="([^"]+)"', 1) <> ''),
+    link_raw AS (
+      SELECT doc_id, itemtype, purl,
+        regexp_extract(html, '<a itemprop="([^"]+)"', 1) AS prop,
+        regexp_extract(html,
+          '<a itemprop="[^"]+" href="([^"]*)"', 1) AS href_raw
+      FROM scoped
+      WHERE regexp_extract(html, '<a itemprop="([^"]+)"', 1) <> ''),
+    link_rows AS (
+      SELECT doc_id, itemtype, prop, 'link' AS kind,
+             {resolved} AS value
+      FROM link_raw)
+    SELECT * FROM span_rows
+    UNION ALL SELECT * FROM meta_rows
+    UNION ALL SELECT * FROM link_rows
+    """
+
+
+@query("microdata_extract", _microdata_oracle())
+def microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org microdata extraction (round 4): the structured-data
+    vocabulary embedded as HTML attributes (itemscope/itemtype/
+    itemprop) — the other half of the structured-web surface next to
+    jsonld_extract, and the one search-oriented pipelines must read
+    because legacy pages carry ONLY microdata. Per-element value
+    semantics follow the spec: ``<meta>`` props read their content
+    attribute, ``<a>`` props read href THROUGH the RFC 3986 resolver
+    (root-relative and path-relative both planted), everything else
+    reads its text. Pages without an itemscope contribute no rows.
+
+    Scale shape: codegen regexp projections; the only explode is the
+    span-prop list (posexplode + element_at keeps name/value arrays
+    positionally aligned — no zip struct), and the three kinds union
+    without any shuffle. Rides the extraction scan.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    purl = F.concat(
+        F.lit("https://md"), (i % 11).cast("string"),
+        F.lit(".example.org/items/"), ds,
+    )
+    month = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    html = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/Article">'
+                      '<span itemprop="name">Title '),
+                ds,
+                F.lit('</span><span itemprop="headline">Head '),
+                ds,
+                F.lit('</span><meta itemprop="datePublished" content="2024-'),
+                month,
+                F.lit('-01"><a itemprop="author" href="/u/'),
+                ds, F.lit('">A</a></div>'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/Product">'
+                      '<span itemprop="name">Gadget '),
+                ds,
+                F.lit('</span><span itemprop="sku">SKU-'),
+                ds,
+                F.lit('</span><meta itemprop="price" content="'),
+                (i % 100).cast("string"),
+                F.lit('.99"><a itemprop="url" href="p'),
+                ds, F.lit('">buy</a></div>'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<div><p>plain page "), ds, F.lit("</p></div>"))
+        )
+    )
+    scoped = d.select(
+        "doc_id",
+        purl.alias("purl"),
+        html.alias("html"),
+    ).where(F.col("html").contains("itemscope")).select(
+        "doc_id", "purl", "html",
+        F.regexp_extract(F.col("html"), 'itemtype="([^"]+)"', 1)
+        .alias("itemtype"),
+    )
+    names = F.regexp_extract_all(
+        F.col("html"), F.lit('<span itemprop="([^"]+)">'), 1
+    )
+    vals = F.regexp_extract_all(
+        F.col("html"), F.lit('<span itemprop="[^"]+">([^<]*)</span>'), 1
+    )
+    span_rows = (
+        scoped.select(
+            "doc_id", "itemtype", vals.alias("vals"),
+            F.posexplode(names).alias("pos", "prop"),
+        )
+        .select(
+            "doc_id", "itemtype", "prop",
+            F.lit("text").alias("kind"),
+            F.element_at(F.col("vals"), F.col("pos") + 1).alias("value"),
+        )
+    )
+    meta_prop = F.regexp_extract(F.col("html"), '<meta itemprop="([^"]+)"', 1)
+    meta_rows = scoped.where(meta_prop != "").select(
+        "doc_id", "itemtype",
+        meta_prop.alias("prop"),
+        F.lit("meta").alias("kind"),
+        F.regexp_extract(
+            F.col("html"), '<meta itemprop="[^"]+" content="([^"]*)"', 1
+        ).alias("value"),
+    )
+    link_prop = F.regexp_extract(F.col("html"), '<a itemprop="([^"]+)"', 1)
+    link_rows = scoped.where(link_prop != "").select(
+        "doc_id", "itemtype",
+        link_prop.alias("prop"),
+        F.lit("link").alias("kind"),
+        resolve_reference(
+            F.col("purl"),
+            F.regexp_extract(
+                F.col("html"), '<a itemprop="[^"]+" href="([^"]*)"', 1
+            ),
+        ).alias("value"),
+    )
+    return span_rows.unionByName(meta_rows).unionByName(link_rows)
+
+
+def _amp_pairs_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    amp_res = duck_resolve_reference("url", "amp_raw")
+    back_res = duck_resolve_reference("url", "back_raw")
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, doc_id // 2 AS a, doc_id % 2 AS r,
+             (doc_id // 2) % 4 AS v
+      FROM documents),
+    d1 AS (
+      SELECT doc_id, a, r, v, CAST(a AS VARCHAR) AS asx,
+        'https://w' || CAST(a % 9 AS VARCHAR) || '.example.com/art/'
+          || CAST(a AS VARCHAR) AS cu
+      FROM d0),
+    pages AS (
+      SELECT doc_id, a, r, v,
+        CASE WHEN r = 0 THEN cu ELSE cu || '/amp' END AS url,
+        CASE WHEN r = 0 THEN
+          '<head><title>A' || asx || '</title>'
+          || CASE v
+               WHEN 0 THEN '<link rel="amphtml" href="' || cu || '/amp">'
+               WHEN 1 THEN '<link rel="amphtml" href="/art/' || asx
+                           || '/amp">'
+               WHEN 2 THEN '<link rel="amphtml" href="' || asx || '/amp">'
+               ELSE '' END
+          || '</head>'
+        ELSE
+          '<head>'
+          || CASE v
+               WHEN 0 THEN '<link rel="canonical" href="' || cu || '">'
+               WHEN 1 THEN '<link rel="canonical" href="https://w'
+                           || CAST(a % 9 AS VARCHAR) || '.example.com/art/'
+                           || CAST(a + 1000 AS VARCHAR) || '">'
+               WHEN 3 THEN '<link rel="canonical" href="/art/' || asx || '">'
+               ELSE '' END
+          || '</head>' END AS html
+      FROM d1),
+    canon AS (
+      SELECT url,
+        regexp_extract(html, '<link rel="amphtml" href="([^"]+)"', 1)
+          AS amp_raw
+      FROM pages WHERE r = 0),
+    canon_r AS (
+      SELECT url,
+        CASE WHEN amp_raw = '' THEN NULL ELSE {amp_res} END AS amp_href
+      FROM canon),
+    amp AS (
+      SELECT url,
+        regexp_extract(html, '<link rel="canonical" href="([^"]+)"', 1)
+          AS back_raw
+      FROM pages WHERE r = 1),
+    amp_r AS (
+      SELECT url AS amp_url,
+        CASE WHEN back_raw = '' THEN NULL ELSE {back_res} END AS back_href
+      FROM amp),
+    joined AS (
+      SELECT c.url AS canonical_url, a.amp_url, a.back_href
+      FROM (SELECT * FROM canon_r WHERE amp_href IS NOT NULL) c
+      FULL OUTER JOIN amp_r a ON c.amp_href = a.amp_url)
+    SELECT canonical_url,
+           amp_url,
+           CASE WHEN canonical_url IS NULL THEN 'orphan_amp'
+                WHEN amp_url IS NULL THEN 'amp_missing'
+                WHEN back_href IS NULL THEN 'amp_unconfirmed'
+                WHEN back_href = canonical_url THEN 'paired'
+                ELSE 'mismatched' END AS status,
+           COALESCE(canonical_url, back_href) AS keep_url
+    FROM joined
+    UNION ALL
+    SELECT url AS canonical_url, NULL AS amp_url, 'no_amp' AS status,
+           url AS keep_url
+    FROM canon_r WHERE amp_href IS NULL
+    """
+
+
+@query("amp_canonical_pairs", _amp_pairs_oracle())
+def amp_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP/canonical pairing (round 4): AMP mirrors are the web's
+    built-in near-duplicate class — the canonical page declares
+    ``<link rel="amphtml">`` and the AMP page points back with
+    ``<link rel="canonical">``; a dedup gate should collapse the pair
+    to the canonical ONLY when the two pointers agree. The battery
+    plants all pairing states: symmetric (paired), wrong back-pointer
+    (mismatched), missing back-pointer (amp_unconfirmed), AMP page
+    with no declaring canonical (orphan_amp), canonical with no AMP
+    (no_amp); hrefs rotate absolute / root-relative / path-relative
+    through the RFC 3986 resolver.
+
+    Scale shape: both sides come off the same corpus scan; the
+    direction match is ONE full-outer hash join on the declared AMP
+    url — and canonical pages with NO declaration are filtered out
+    BEFORE the join and unioned back, so the null join key never
+    funnels a corpus-sized bucket through one task.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+    from ocr_spark.operators.training import floor_div
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = floor_div(i, F.lit(2))
+    r = i % 2
+    v = a % 4
+    asx = a.cast("string")
+    cu = F.concat(
+        F.lit("https://w"), (a % 9).cast("string"),
+        F.lit(".example.com/art/"), asx,
+    )
+    canon_html = F.concat(
+        F.lit("<head><title>A"), asx, F.lit("</title>"),
+        F.when(v == 0, F.concat(F.lit('<link rel="amphtml" href="'), cu,
+                                F.lit('/amp">')))
+        .when(v == 1, F.concat(F.lit('<link rel="amphtml" href="/art/'),
+                               asx, F.lit('/amp">')))
+        .when(v == 2, F.concat(F.lit('<link rel="amphtml" href="'), asx,
+                               F.lit('/amp">')))
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    amp_html = F.concat(
+        F.lit("<head>"),
+        F.when(v == 0, F.concat(F.lit('<link rel="canonical" href="'), cu,
+                                F.lit('">')))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://w'),
+                (a % 9).cast("string"), F.lit(".example.com/art/"),
+                (a + 1000).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(v == 3, F.concat(F.lit('<link rel="canonical" href="/art/'),
+                               asx, F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    pages = d.select(
+        r.alias("r"),
+        F.when(r == 0, cu).otherwise(F.concat(cu, F.lit("/amp"))).alias("url"),
+        F.when(r == 0, canon_html).otherwise(amp_html).alias("html"),
+    )
+    amp_raw = F.regexp_extract(
+        F.col("html"), '<link rel="amphtml" href="([^"]+)"', 1
+    )
+    canon = pages.where(F.col("r") == 0).select(
+        "url",
+        F.when(
+            amp_raw != "", resolve_reference(F.col("url"), amp_raw)
+        ).alias("amp_href"),
+    )
+    back_raw = F.regexp_extract(
+        F.col("html"), '<link rel="canonical" href="([^"]+)"', 1
+    )
+    amp = pages.where(F.col("r") == 1).select(
+        F.col("url").alias("amp_url"),
+        F.when(
+            back_raw != "", resolve_reference(F.col("url"), back_raw)
+        ).alias("back_href"),
+    )
+    declared = canon.where(F.col("amp_href").isNotNull())
+    undeclared = canon.where(F.col("amp_href").isNull())
+    joined = declared.alias("c").join(
+        amp.alias("a"),
+        F.col("c.amp_href") == F.col("a.amp_url"),
+        "full_outer",
+    ).select(
+        F.col("c.url").alias("canonical_url"),
+        "a.amp_url",
+        "a.back_href",
+    )
+    main = joined.select(
+        "canonical_url",
+        "amp_url",
+        F.when(F.col("canonical_url").isNull(), F.lit("orphan_amp"))
+        .when(F.col("amp_url").isNull(), F.lit("amp_missing"))
+        .when(F.col("back_href").isNull(), F.lit("amp_unconfirmed"))
+        .when(F.col("back_href") == F.col("canonical_url"), F.lit("paired"))
+        .otherwise(F.lit("mismatched"))
+        .alias("status"),
+        F.coalesce(F.col("canonical_url"), F.col("back_href"))
+        .alias("keep_url"),
+    )
+    solo = undeclared.select(
+        F.col("url").alias("canonical_url"),
+        F.lit(None).cast("string").alias("amp_url"),
+        F.lit("no_amp").alias("status"),
+        F.col("url").alias("keep_url"),
+    )
+    return main.unionByName(solo)
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
