@@ -140,6 +140,12 @@ CRITICAL = [
     "meta_refresh_redirects",
     "base_href_resolution",
     "extract_recall_precision",
+    # round-4 fourth-session surfaces (all doc_id/text-keyed)
+    "pagination_rel_chains",
+    "srcset_best_image",
+    "script_mix_profile",
+    "microdata_extract",
+    "amp_canonical_pairs",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
