@@ -248,3 +248,23 @@ def readability_cols(text_col: str = "text"):
         syllables.alias("syllables"),
         fk.cast("long").alias("fk_grade_x100"),
     ]
+
+
+# Sentence-boundary split: enders [.!?] followed by whitespace and an
+# uppercase opener, EXCEPT after title abbreviations (Dr./Mr./Mrs./
+# Ms./No./vs.). Decimal points ("42.50") never match (no whitespace
+# after the dot) and mid-sentence latinisms ("e.g. less") fall to the
+# uppercase-opener lookahead. Java regex (Spark's engine) supports the
+# bounded lookbehinds; DuckDB's RE2 does not, so oracle twins are
+# construction-derived (the expected sentences exist before the
+# splitter runs).
+SENTENCE_SPLIT_RE = (
+    r"(?<=[.!?])"
+    r"(?<!\bDr\.)(?<!\bMr\.)(?<!\bMrs\.)(?<!\bMs\.)(?<!\bNo\.)(?<!\bvs\.)"
+    r"\s+(?=[A-Z\"'(])"
+)
+
+
+def split_sentences(text_col: Column) -> Column:
+    """Array of sentences under the SENTENCE_SPLIT_RE contract."""
+    return F.split(text_col, SENTENCE_SPLIT_RE)

@@ -12682,6 +12682,452 @@ def amp_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.unionByName(solo)
 
 
+def _sentence_split_oracle() -> str:
+    s1 = "'Dr. Smith visited site ' || CAST(doc_id AS VARCHAR) || ' on May 3.'"
+    s2 = ("'It cost ' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+          " || '.50 dollars, e.g. less than expected!'")
+    s3 = "'Was it worth it?'"
+    return f"""
+    WITH d0 AS (SELECT doc_id, doc_id % 3 AS v FROM documents),
+    rows_ AS (
+      SELECT doc_id, i,
+        CASE
+          WHEN v = 0 AND i = 0 THEN {s1}
+          WHEN v = 0 AND i = 1 THEN {s2}
+          WHEN v = 0 AND i = 2 THEN {s3}
+          WHEN v = 1 AND i = 0 THEN {s1}
+          WHEN v = 1 AND i = 1 THEN {s3}
+          WHEN v = 2 AND i = 0 THEN {s2}
+          ELSE NULL END AS sentence
+      FROM d0, unnest(generate_series(0, 2)) AS g(i))
+    SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM rows_ WHERE sentence IS NOT NULL
+    """
+
+
+@query("sentence_split", _sentence_split_oracle())
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary detection (round 4): the segmentation pass
+    under per-sentence dedup, chunking-on-sentence-edges, and bitext
+    alignment. The splitter is a single codegen regex split — enders
+    [.!?] before whitespace and an uppercase opener, with bounded
+    lookbehind guards for title abbreviations — and the battery
+    plants each decision: an abbreviation that must NOT split
+    ("Dr. Smith"), a decimal that must not ("42.50"), a latinism
+    saved by the uppercase lookahead ("e.g. less"), and !/?/.
+    enders that must. DuckDB's RE2 has no lookbehind, so the oracle
+    is construction-derived: the expected sentence rows assemble
+    straight from the doc_id formula before the splitter runs —
+    non-circular, and any over- or under-split breaks row counts and
+    values alike.
+
+    Scale shape: split + posexplode, no shuffle; rides the
+    extraction scan (functions/text_analysis.split_sentences).
+    """
+    from ocr_spark.functions.text_analysis import split_sentences
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    s1 = F.concat(F.lit("Dr. Smith visited site "), ds, F.lit(" on May 3."))
+    s2 = F.concat(
+        F.lit("It cost "), (i % 90 + 10).cast("string"),
+        F.lit(".50 dollars, e.g. less than expected!"),
+    )
+    s3 = F.lit("Was it worth it?")
+    text = (
+        F.when(v == 0, F.concat_ws(" ", s1, s2, s3))
+        .when(v == 1, F.concat_ws(" ", s1, s3))
+        .otherwise(s2)
+    )
+    return (
+        d.select("doc_id", text.alias("text"))
+        .select(
+            "doc_id",
+            F.posexplode(split_sentences(F.col("text"))).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            "sentence",
+            F.length("sentence").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _truncation_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<html><body><div><p>ok ' || CAST(doc_id AS VARCHAR)
+                      || '</p></div></body></html>'
+          WHEN 1 THEN '<html><body><div><p>Part ' || CAST(doc_id AS VARCHAR)
+                      || ' text that got cut mid-transfe'
+          WHEN 2 THEN '<html><body><div><div><div><p>x</p></body></html>'
+          ELSE '<html><body><div><div><p>long page '
+               || CAST(doc_id AS VARCHAR)
+               || '</p></div></div></body></html>' END AS html,
+        CASE WHEN doc_id % 4 = 1 THEN 50 + doc_id % 20 ELSE 0 END AS pad
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        CAST(length(html) AS BIGINT) AS body_len,
+        CAST(length(html) + pad AS BIGINT) AS content_length,
+        (length(html) - length(replace(html, '<div', ''))) // 4
+          - (length(html) - length(replace(html, '</div', ''))) // 5
+          AS net_divs,
+        CASE WHEN contains(html, '</html>') THEN 0 ELSE 1 END AS open_doc
+      FROM p),
+    f AS (
+      SELECT doc_id, body_len, content_length,
+        CAST(CASE WHEN body_len < content_length THEN 1 ELSE 0 END
+             AS BIGINT) AS length_mismatch,
+        CAST(open_doc AS BIGINT) AS no_close_html,
+        CAST(net_divs AS BIGINT) AS tag_imbalance
+      FROM m)
+    SELECT doc_id, body_len, content_length, length_mismatch,
+           no_close_html, tag_imbalance,
+           CAST(CASE WHEN length_mismatch = 1 OR no_close_html = 1
+                     OR tag_imbalance >= 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS truncated,
+           CASE WHEN length_mismatch = 1 THEN 'length_mismatch'
+                WHEN no_close_html = 1 THEN 'no_close_html'
+                WHEN tag_imbalance >= 3 THEN 'tag_imbalance'
+                ELSE 'ok' END AS reason
+    FROM f
+    """
+
+
+@query("truncation_detect", _truncation_oracle())
+def truncation_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-page detection (round 4): pages cut mid-transfer are
+    a real fraction of any crawl (connection resets, size caps) and
+    poison extraction silently — half a sentence reads as clean text.
+    Three independent signals with a precedence-ordered reason code:
+    the declared Content-Length exceeding the received bytes, a
+    missing ``</html>`` closer, and net unclosed ``<div>`` depth >= 3
+    (template pages close their scaffolding; a deep positive
+    imbalance means the tail never arrived). The battery plants each
+    trigger separately plus two negative controls (a balanced page
+    and a nested-but-balanced one).
+
+    Scale shape: pure codegen projection — occurrence counts are
+    ``(len - len(replace(...)))/k`` substring folds, no regexp needed,
+    no shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<html><body><div><p>ok "), ds,
+            F.lit("</p></div></body></html>")))
+        .when(v == 1, F.concat(
+            F.lit("<html><body><div><p>Part "), ds,
+            F.lit(" text that got cut mid-transfe")))
+        .when(v == 2, F.lit(
+            "<html><body><div><div><div><p>x</p></body></html>"))
+        .otherwise(F.concat(
+            F.lit("<html><body><div><div><p>long page "), ds,
+            F.lit("</p></div></div></body></html>")))
+    )
+    pad = F.when(v == 1, 50 + i % 20).otherwise(F.lit(0))
+    p = d.select("doc_id", html.alias("html"), pad.alias("pad"))
+    h = F.col("html")
+    n_open = F.floor(
+        (F.length(h) - F.length(F.replace(h, F.lit("<div"), F.lit("")))) / 4
+    )
+    n_close = F.floor(
+        (F.length(h) - F.length(F.replace(h, F.lit("</div"), F.lit("")))) / 5
+    )
+    m = p.select(
+        "doc_id",
+        F.length(h).cast("long").alias("body_len"),
+        (F.length(h) + F.col("pad")).cast("long").alias("content_length"),
+        (n_open - n_close).cast("long").alias("tag_imbalance"),
+        F.when(h.contains("</html>"), F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("no_close_html"),
+    )
+    lm = F.when(
+        F.col("body_len") < F.col("content_length"), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    f = m.select(
+        "doc_id", "body_len", "content_length",
+        lm.alias("length_mismatch"), "no_close_html", "tag_imbalance",
+    )
+    return f.select(
+        "doc_id", "body_len", "content_length", "length_mismatch",
+        "no_close_html", "tag_imbalance",
+        F.when(
+            (F.col("length_mismatch") == 1)
+            | (F.col("no_close_html") == 1)
+            | (F.col("tag_imbalance") >= 3),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("truncated"),
+        F.when(F.col("length_mismatch") == 1, F.lit("length_mismatch"))
+        .when(F.col("no_close_html") == 1, F.lit("no_close_html"))
+        .when(F.col("tag_imbalance") >= 3, F.lit("tag_imbalance"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+
+
+def _mime_sniff_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN '<!DOCTYPE html><html><body>doc '
+                      || CAST(doc_id AS VARCHAR) || '</body></html>'
+          WHEN 1 THEN '%PDF-1.4' || chr(10) || '1 0 obj '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'GIF89a-payload-' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '{"title": "doc ' || CAST(doc_id AS VARCHAR) || '"}'
+          WHEN 4 THEN '<?xml version="1.0"?><urlset>u'
+                      || CAST(doc_id AS VARCHAR) || '</urlset>'
+          ELSE 'RIFF1234WAVEfmt-' || CAST(doc_id AS VARCHAR) END AS payload,
+        CASE doc_id % 6
+          WHEN 0 THEN 'text/html'
+          WHEN 1 THEN 'text/html'
+          WHEN 2 THEN 'image/gif'
+          WHEN 3 THEN 'application/json'
+          WHEN 4 THEN 'text/html'
+          ELSE 'audio/wav' END AS content_type
+      FROM documents),
+    k AS (
+      SELECT doc_id, content_type,
+        CASE WHEN starts_with(payload, '%PDF') THEN 'pdf'
+             WHEN starts_with(payload, 'GIF8') THEN 'gif'
+             WHEN starts_with(payload, 'RIFF') THEN 'wav'
+             WHEN starts_with(payload, '<?xml') THEN 'xml'
+             WHEN starts_with(payload, '<!DOCTYPE html')
+               OR starts_with(payload, '<html') THEN 'html'
+             WHEN starts_with(payload, '{') THEN 'json'
+             ELSE 'unknown' END AS sniffed,
+        CASE content_type
+          WHEN 'text/html' THEN 'html'
+          WHEN 'application/pdf' THEN 'pdf'
+          WHEN 'image/gif' THEN 'gif'
+          WHEN 'application/json' THEN 'json'
+          WHEN 'text/xml' THEN 'xml'
+          WHEN 'audio/wav' THEN 'wav'
+          ELSE 'unknown' END AS declared
+      FROM p)
+    SELECT doc_id, declared, sniffed,
+      CAST(CASE WHEN declared <> sniffed THEN 1 ELSE 0 END AS BIGINT)
+        AS mismatch,
+      CASE sniffed
+        WHEN 'html' THEN 'extract_html'
+        WHEN 'pdf' THEN 'extract_pdf'
+        WHEN 'xml' THEN 'parse_sitemap'
+        WHEN 'json' THEN 'parse_json'
+        WHEN 'gif' THEN 'decode_image'
+        WHEN 'wav' THEN 'decode_audio'
+        ELSE 'dead_letter' END AS route
+    FROM k
+    """
+
+
+@query("mime_sniff_routing", _mime_sniff_oracle())
+def mime_sniff_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-magic MIME routing (round 4): servers lie about
+    Content-Type constantly (PDFs served as text/html are the classic
+    extraction poison), so the processing route must come from the
+    payload's magic bytes with the declared header kept only for the
+    mismatch signal. Sniffs %PDF / GIF8 / RIFF / <?xml / <!DOCTYPE
+    html / JSON-brace prefixes (the ASCII magics the corpus
+    synthesizes; kernels/imageio handles the binary PNG/JPEG sniff on
+    real bytes), maps the declared type to the same kind space, and
+    routes to the pipeline stage the CONTENT requires — the dispatch
+    layer in front of extract_html / pdf_extract / decode_image /
+    parse_sitemap. Two planted mismatches (PDF-as-html, sitemap-as-
+    html) and four agreeing pairs.
+
+    Scale shape: pure codegen prefix tests — no regexp, no shuffle;
+    rides the ingestion scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 6
+    payload = (
+        F.when(v == 0, F.concat(
+            F.lit("<!DOCTYPE html><html><body>doc "), ds,
+            F.lit("</body></html>")))
+        .when(v == 1, F.concat(F.lit("%PDF-1.4\n1 0 obj "), ds))
+        .when(v == 2, F.concat(F.lit("GIF89a-payload-"), ds))
+        .when(v == 3, F.concat(F.lit('{"title": "doc '), ds, F.lit('"}')))
+        .when(v == 4, F.concat(
+            F.lit('<?xml version="1.0"?><urlset>u'), ds,
+            F.lit("</urlset>")))
+        .otherwise(F.concat(F.lit("RIFF1234WAVEfmt-"), ds))
+    )
+    content_type = (
+        F.when(v == 0, F.lit("text/html"))
+        .when(v == 1, F.lit("text/html"))
+        .when(v == 2, F.lit("image/gif"))
+        .when(v == 3, F.lit("application/json"))
+        .when(v == 4, F.lit("text/html"))
+        .otherwise(F.lit("audio/wav"))
+    )
+    p = d.select(
+        "doc_id", payload.alias("payload"), content_type.alias("ct")
+    )
+    pl = F.col("payload")
+    sniffed = (
+        F.when(pl.startswith("%PDF"), F.lit("pdf"))
+        .when(pl.startswith("GIF8"), F.lit("gif"))
+        .when(pl.startswith("RIFF"), F.lit("wav"))
+        .when(pl.startswith("<?xml"), F.lit("xml"))
+        .when(
+            pl.startswith("<!DOCTYPE html") | pl.startswith("<html"),
+            F.lit("html"),
+        )
+        .when(pl.startswith("{"), F.lit("json"))
+        .otherwise(F.lit("unknown"))
+    )
+    declared = (
+        F.when(F.col("ct") == "text/html", F.lit("html"))
+        .when(F.col("ct") == "application/pdf", F.lit("pdf"))
+        .when(F.col("ct") == "image/gif", F.lit("gif"))
+        .when(F.col("ct") == "application/json", F.lit("json"))
+        .when(F.col("ct") == "text/xml", F.lit("xml"))
+        .when(F.col("ct") == "audio/wav", F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    k = p.select(
+        "doc_id", declared.alias("declared"), sniffed.alias("sniffed")
+    )
+    return k.select(
+        "doc_id", "declared", "sniffed",
+        F.when(F.col("declared") != F.col("sniffed"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("mismatch"),
+        F.when(F.col("sniffed") == "html", F.lit("extract_html"))
+        .when(F.col("sniffed") == "pdf", F.lit("extract_pdf"))
+        .when(F.col("sniffed") == "xml", F.lit("parse_sitemap"))
+        .when(F.col("sniffed") == "json", F.lit("parse_json"))
+        .when(F.col("sniffed") == "gif", F.lit("decode_image"))
+        .when(F.col("sniffed") == "wav", F.lit("decode_audio"))
+        .otherwise(F.lit("dead_letter"))
+        .alias("route"),
+    )
+
+
+def _hidden_text_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<body><p>Article text for document ' || CAST(doc_id AS VARCHAR)
+        || ' with normal visible content.</p>'
+        || CASE doc_id % 4
+             WHEN 1 THEN repeat(
+               '<span style="display:none">buy cheap casino now</span>',
+               doc_id % 5 + 2)
+             WHEN 2 THEN '<span style="font-size:0">discount pills '
+                         || CAST(doc_id AS VARCHAR) || ' here</span>'
+             WHEN 3 THEN '<span style="display:none">Skip to content</span>'
+             ELSE '' END
+        || '</body>' AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        COALESCE(list_sum(list_transform(
+          regexp_extract_all(html,
+            '<span style="(?:display:none|font-size:0)">([^<]*)</span>', 1),
+          x -> length(x))), 0) AS hidden_chars,
+        length(regexp_replace(html, '<[^>]+>', '', 'g')) AS total_chars
+      FROM p)
+    SELECT doc_id,
+      CAST(total_chars - hidden_chars AS BIGINT) AS visible_chars,
+      CAST(hidden_chars AS BIGINT) AS hidden_chars,
+      ROUND(CAST(hidden_chars AS DOUBLE) / total_chars, 4) AS hidden_ratio,
+      CAST(CASE WHEN hidden_chars >= 40 THEN 1 ELSE 0 END AS BIGINT)
+        AS stuffing
+    FROM m
+    """
+
+
+@query("hidden_text_stuffing", _hidden_text_oracle())
+def hidden_text_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-text spam detection (round 4): keyword stuffing inside
+    ``display:none`` / ``font-size:0`` spans is the classic SEO
+    cloak — the text reaches a naive extractor but no reader, so a
+    training corpus wants it measured and gated. Counts hidden
+    characters (both hiding styles), visible characters (tag-stripped
+    total minus hidden), their ratio, and a stuffing flag at >= 40
+    hidden chars; the battery plants repeated stuffed spans, a single
+    hidden keyword run, a SHORT legitimate hidden span (a skip-link —
+    stays under the flag), and clean pages.
+
+    Scale shape: codegen regexp + a higher-order fold
+    (aggregate(transform(extract_all))) — no UDF, no shuffle; rides
+    the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = F.concat(
+        F.lit("<body><p>Article text for document "), ds,
+        F.lit(" with normal visible content.</p>"),
+        F.when(
+            v == 1,
+            F.repeat(
+                F.lit('<span style="display:none">buy cheap casino now'
+                      "</span>"),
+                (i % 5 + 2).cast("int"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit('<span style="font-size:0">discount pills '), ds,
+                F.lit(" here</span>"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.lit('<span style="display:none">Skip to content</span>'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    hidden = F.aggregate(
+        F.regexp_extract_all(
+            F.col("html"),
+            F.lit('<span style="(?:display:none|font-size:0)">'
+                  "([^<]*)</span>"),
+            1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    total = F.length(F.regexp_replace(F.col("html"), "<[^>]+>", ""))
+    m = p.select(
+        "doc_id",
+        hidden.alias("hidden_chars"),
+        total.cast("long").alias("total_chars"),
+    )
+    return m.select(
+        "doc_id",
+        (F.col("total_chars") - F.col("hidden_chars")).cast("long")
+        .alias("visible_chars"),
+        F.col("hidden_chars").cast("long").alias("hidden_chars"),
+        F.round(
+            F.col("hidden_chars").cast("double") / F.col("total_chars"), 4
+        ).alias("hidden_ratio"),
+        F.when(F.col("hidden_chars") >= 40, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("stuffing"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
@@ -12736,13 +13182,13 @@ _DRIVER_FIRST_50 = [
     "surt_cdxj_index",
     "late_data_accounting",
     "charset_decode_extract",
-    # pixel kernels / CLI (§2.1-2.11)
+    # pixel kernels / codecs (§2.1-2.11) + page-signal extraction
     "cdxj_prefix_lookup",
     "px_kernel_checksums",
-    "px_grafix_program",
-    "png_decode_features",
+    "script_mix_profile",
+    "srcset_best_image",
     "html_to_markdown",
-    "jpeg_decode_features",
+    "microdata_extract",
     "gif_decode_features",
     "bmp_decode_features",
     "tiff_decode_features",
@@ -12753,11 +13199,11 @@ _DRIVER_FIRST_50 = [
     "span_corruption_masks",
     "html_table_cells",
     "meta_robots_canonical",
-    # dedup family
+    # dedup family + text segmentation / crawl QA
     "ccnet_line_dedup",
-    "dedup_minhash_lsh",
+    "sentence_split",
     "unicode_nfc_extract",
-    "semdedup_pairs",
+    "truncation_detect",
     "exact_substring_dup_rate",
     "containment_pairs",
     "warc_revisit_dedup",
@@ -12769,7 +13215,7 @@ _DRIVER_FIRST_50 = [
     # retrieval
     "bm25_multi_query_top3",
     # web/crawl graph + WARC
-    "host_pagerank",
+    "pagination_rel_chains",
     "trustrank_hosts",
     "host_communities_lp",
     "kcore_membership",
@@ -12781,9 +13227,9 @@ _DRIVER_FIRST_50 = [
     # sketches
     "cms_token_sketch",
     "bloom_token_filter",
-    # training assembly, storage/ops, tokenizer
+    # training assembly, storage/ops, tokenizer, AMP pairing
     "pipeline_pack_training_sequences",
-    "snapshot_delta",
+    "amp_canonical_pairs",
     "cdc_chunks",
     "cdc_crawl_reuse",
     "compaction_bin_plan",

@@ -146,6 +146,10 @@ CRITICAL = [
     "script_mix_profile",
     "microdata_extract",
     "amp_canonical_pairs",
+    "sentence_split",
+    "truncation_detect",
+    "mime_sniff_routing",
+    "hidden_text_stuffing",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
