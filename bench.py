@@ -56,6 +56,9 @@ HEADLINE = [
     "ccnet_line_dedup",
     "url_canonicalize",
     "html_to_markdown",
+    # round-4 fourth-session: rel=next chain assembly — the
+    # pointer-jumping log-round self-join shape under bench watch
+    "pagination_rel_chains",
 ]
 
 
