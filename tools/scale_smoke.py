@@ -100,8 +100,21 @@ def main() -> None:
                           .alias("chunk"))
 
     from ocr_spark.operators.ann import ivf_assign
+    from ocr_spark.operators.crawl import pagination_chains
     from ocr_spark.operators.dedup import cdc_chunks
     from ocr_spark.operators.training import pca_power
+
+    def paged(d):
+        # 10-page chains keyed off doc_id; the top id's next dangles
+        # (crawl-boundary case the operator tolerates by design)
+        u = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+        nxt = F.when(
+            F.col("doc_id") % 10 != 9,
+            F.concat(F.lit("u"), (F.col("doc_id") + 1).cast("string")),
+        )
+        return pagination_chains(
+            d.select(u.alias("url"), nxt.alias("next_url")), max_hops=16
+        )
 
     ops = {
         # r3: literal-centroid projection form — must stay linear (the
@@ -114,6 +127,9 @@ def main() -> None:
         "chunking": lambda d, e: chunks(d),
         "cdc_chunks": lambda d, e: cdc_chunks(d),
         "pca_power": lambda d, e: pca_power(e)[0],
+        # r4: reversed-edge pointer jumping — 4 log-rounds at
+        # max_hops=16, all uniform keys; must stay linear in rows
+        "pagination": lambda d, e: paged(d),
     }
 
     out: dict[str, dict] = {}
