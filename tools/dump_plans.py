@@ -358,6 +358,27 @@ COMMENTARY = {
         "by construction), a self-equi-join reusing that partitioning, "
         "final projection. No UDF anywhere."
     ),
+    "pagination_rel_chains": (
+        "Reversed-edge pointer jumping: the resolver-heavy input is "
+        "staged ONCE (lazy localCheckpoint — the self-join doubling "
+        "would otherwise replan the RFC 3986 expression 2^rounds "
+        "times), then log2(max_hops) self-equi-joins on unique keys "
+        "(vertex-disjoint paths), chain sizes a HashAggregate joined "
+        "back. No Window, no sort, no skew."
+    ),
+    "srcset_best_image": (
+        "Explode srcset candidates -> single-BIGINT argmax "
+        "(kind_bit*2^40 + value*2^10) HashAggregates with map-side "
+        "combine; the winning URL string joins back on the (page, "
+        "max-score) composite key and kind/value DECODE from the "
+        "score. No max_by struct buffer, no SortAggregate."
+    ),
+    "amp_canonical_pairs": (
+        "One full-outer hash join on the declared AMP url; canonical "
+        "pages with NO declaration are split off BEFORE the join and "
+        "unioned back, so the null join key never funnels a "
+        "corpus-sized bucket through one task."
+    ),
 }
 
 
