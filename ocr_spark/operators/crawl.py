@@ -348,23 +348,11 @@ def resolve_redirects(pages: DataFrame, max_hops: int = 64) -> DataFrame:
     the same node a bounded sequential walk reports, which is what the
     DuckDB oracle pins.
     """
-    import math
-
     m = pages.where(F.col("redirect_location").isNotNull()).select(
         F.col("url").alias("src"),
         F.col("redirect_location").alias("dst"),
     )
-    rounds = max(1, math.ceil(math.log2(max_hops)))
-    f = m
-    for _ in range(rounds):
-        f = (
-            f.alias("a")
-            .join(f.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
-            .select(
-                F.col("a.src").alias("src"),
-                F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
-            )
-        )
+    f, rounds = _pointer_jump(m, max_hops)
     # final target per input url; a url is unresolved iff its final
     # node still has an outgoing redirect (loop / over-long chain)
     out = (
@@ -389,6 +377,43 @@ def resolve_redirects(pages: DataFrame, max_hops: int = 64) -> DataFrame:
             ),
         )
     )
+
+
+def _pointer_jump(
+    edges: DataFrame, max_hops: int, with_distance: bool = False
+) -> tuple[DataFrame, int]:
+    """Square a (src, dst[, d]) successor mapping ceil(log2(max_hops))
+    times — the shared doubling loop under resolve_redirects and
+    pagination_chains. With ``with_distance`` the hop count
+    accumulates across jumps (d = d_a + d_b). Returns (mapping,
+    rounds); after t rounds every chain up to 2^t hops is collapsed.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    f = (
+        edges.withColumn("d", F.lit(1).cast("long"))
+        if with_distance and "d" not in edges.columns
+        else edges
+    )
+    for _ in range(rounds):
+        cols = [
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+        ]
+        if with_distance:
+            cols.append(
+                (
+                    F.col("a.d")
+                    + F.coalesce(F.col("b.d"), F.lit(0).cast("long"))
+                ).alias("d")
+            )
+        f = (
+            f.alias("a")
+            .join(f.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
+            .select(*cols)
+        )
+    return f, rounds
 
 
 def budget_apportionment(demands: DataFrame, budget: int) -> DataFrame:
@@ -598,40 +623,34 @@ def pagination_chains(pages: DataFrame, max_hops: int = 64) -> DataFrame:
     truncated at the crawl boundary) dangles harmlessly: the reversed
     edge's source never matches a page url, and chain_len counts only
     pages present (the DuckDB oracle walks with the same
-    target-exists guard).
+    target-exists guard). Fan-in — two crawled pages (an article and
+    its mirror, say) declaring the SAME resolved next target — would
+    duplicate join keys and multiply rows through the doubling, so
+    each page keeps ONE predecessor: the lexicographically smallest
+    (a hash-aggregated MIN — deterministic under any partitioning);
+    losing predecessors terminate their own chains. A chain longer
+    than 2^rounds (or a malformed rel-next cycle) cannot reach its
+    true root: those rows come back ``resolved = false`` with
+    root_url/position pinned at the 2^rounds'th application — the
+    same surfacing contract as resolve_redirects.
 
     Input: ``(url, next_url)`` with next_url NULL on chain tails and
-    standalone pages. chain_len is a hash-aggregated count per root
-    joined back (broadcastable: one row per chain).
+    standalone pages → ``(url, root_url, position, chain_len,
+    resolved)``. chain_len is a hash-aggregated count per root joined
+    back (broadcastable: one row per chain).
 
     The input is staged once (lazy localCheckpoint; a table write at
     warehouse scale): the self-join doubling otherwise replans the
     upstream lineage — typically the link-extraction + RFC 3986
     resolver expressions — 2^rounds times.
     """
-    import math
-
     pages = pages.select("url", "next_url").localCheckpoint(eager=False)
-    e = pages.where(F.col("next_url").isNotNull()).select(
-        F.col("next_url").alias("src"),
-        F.col("url").alias("dst"),
-        F.lit(1).cast("long").alias("d"),
+    e = (
+        pages.where(F.col("next_url").isNotNull())
+        .groupBy(F.col("next_url").alias("src"))
+        .agg(F.min("url").alias("dst"))
     )
-    rounds = max(1, math.ceil(math.log2(max_hops)))
-    f = e
-    for _ in range(rounds):
-        f = (
-            f.alias("a")
-            .join(f.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
-            .select(
-                F.col("a.src").alias("src"),
-                F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
-                (
-                    F.col("a.d")
-                    + F.coalesce(F.col("b.d"), F.lit(0).cast("long"))
-                ).alias("d"),
-            )
-        )
+    f, _rounds = _pointer_jump(e, max_hops, with_distance=True)
     res = (
         pages.select("url")
         .join(f, pages["url"] == f["src"], "left")
@@ -641,9 +660,17 @@ def pagination_chains(pages: DataFrame, max_hops: int = 64) -> DataFrame:
             F.coalesce(F.col("d"), F.lit(0).cast("long")).alias("position"),
         )
     )
+    # a true root has no predecessor: it never appears as an edge src
+    live = e.select(F.col("src").alias("root_url")).distinct().withColumn(
+        "still_has_prev", F.lit(True)
+    )
+    res = res.join(live, "root_url", "left").select(
+        "url", "root_url", "position",
+        F.coalesce(~F.col("still_has_prev"), F.lit(True)).alias("resolved"),
+    )
     sizes = res.groupBy("root_url").agg(
         F.count(F.lit(1)).alias("chain_len")
     )
     return res.join(sizes, "root_url").select(
-        "url", "root_url", "position", "chain_len"
+        "url", "root_url", "position", "chain_len", "resolved"
     )

@@ -102,6 +102,13 @@ def nfc_udf(text: pd.Series) -> pd.Series:
 _main_text_udf_fenced = main_text_udf.asNondeterministic()
 
 
+def main_text_expr(html_col: Column) -> Column:
+    """The fenced (asNondeterministic) main-text UDF as a Column —
+    the public form for callers that need it INSIDE a projection
+    (e.g. fused with a second UDF into one ArrowEvalPython stage)."""
+    return _main_text_udf_fenced(html_col)
+
+
 def with_main_text(df: DataFrame, html_col: str = "html", out: str = "extracted") -> DataFrame:
     return df.withColumn(out, _main_text_udf_fenced(F.col(html_col)))
 

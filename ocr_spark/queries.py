@@ -11807,10 +11807,7 @@ def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered second chance), so the extra cost is proportional to the
     disagreement rate.
     """
-    from ocr_spark.operators.extract import (
-        _main_text_udf_fenced,
-        recall_extract_udf,
-    )
+    from ocr_spark.operators.extract import main_text_expr, recall_extract_udf
 
     d = load_table(spark, sf_dir, "documents")
     i = F.col("doc_id")
@@ -11832,7 +11829,7 @@ def extract_recall_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = d.select("doc_id", html.alias("html"))
     return pages.select(
         "doc_id",
-        _main_text_udf_fenced(F.col("html")).alias("precision_text"),
+        main_text_expr(F.col("html")).alias("precision_text"),
         recall_extract_udf(F.col("html")).alias("recall_text"),
     )
 
@@ -11925,10 +11922,14 @@ def pagination_rel_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The dataflow is operators/crawl.pagination_chains — reversed-edge
     pointer jumping with hop-count accumulation, O(log max_hops)
-    uniform self-joins (chains are vertex-disjoint paths, every join
-    key unique on both sides; no window, no skew). The oracle is an
-    independent sequential walk: a DuckDB recursive CTE from the
-    no-incoming-edge roots with a target-exists guard.
+    uniform self-joins (fan-in dedups to one predecessor via a
+    hash-aggregated MIN, so every join key is unique on both sides;
+    no window, no skew). The oracle is an independent sequential
+    walk: a DuckDB recursive CTE from the no-incoming-edge roots with
+    a target-exists guard. The operator's saturation flag
+    (``resolved``, pinned by tests/test_pagination.py) is dropped
+    here: every constructed chain is <= 3 < 2^rounds, so the column
+    is constant-true by construction.
     """
     from ocr_spark.functions.urlnorm import resolve_reference
     from ocr_spark.operators.crawl import pagination_chains
@@ -11994,7 +11995,9 @@ def pagination_rel_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw.isNotNull(), resolve_reference(F.col("url"), raw)
         ).alias("next_url"),
     )
-    return pagination_chains(keyed, max_hops=8)
+    return pagination_chains(keyed, max_hops=8).select(
+        "url", "root_url", "position", "chain_len"
+    )
 
 
 def _srcset_oracle() -> str:

@@ -1,8 +1,10 @@
 """pagination_chains: reversed-edge pointer jumping with hop counts.
 
-Hand battery pinning root/position/chain_len on a straight chain, a
-chain truncated at the crawl boundary (dangling next), a standalone
-page, and the bounded behavior on a malformed self-loop.
+Hand battery pinning root/position/chain_len/resolved on a straight
+chain, a chain truncated at the crawl boundary (dangling next), a
+standalone page, next-pointer fan-in (two pages declaring the same
+next target), a chain LONGER than the hop bound (saturation flag),
+and a malformed self-loop.
 """
 from __future__ import annotations
 
@@ -17,7 +19,12 @@ from ocr_spark.operators.crawl import pagination_chains
 def _run(spark, rows, max_hops=8):
     df = spark.createDataFrame(rows, "url string, next_url string")
     out = pagination_chains(df, max_hops=max_hops).collect()
-    return {r["url"]: (r["root_url"], r["position"], r["chain_len"]) for r in out}
+    got = {
+        r["url"]: (r["root_url"], r["position"], r["chain_len"], r["resolved"])
+        for r in out
+    }
+    assert len(got) == len(out), "duplicate url rows emitted"
+    return got
 
 
 def test_chain_roots_positions_lengths(spark):
@@ -30,13 +37,13 @@ def test_chain_roots_positions_lengths(spark):
         ("c1", None),
     ]
     got = _run(spark, rows)
-    assert got["a1"] == ("a1", 0, 4)
-    assert got["a2"] == ("a1", 1, 4)
-    assert got["a3"] == ("a1", 2, 4)
-    assert got["a4"] == ("a1", 3, 4)
-    assert got["b1"] == ("b1", 0, 2)
-    assert got["b2"] == ("b1", 1, 2)
-    assert got["c1"] == ("c1", 0, 1)
+    assert got["a1"] == ("a1", 0, 4, True)
+    assert got["a2"] == ("a1", 1, 4, True)
+    assert got["a3"] == ("a1", 2, 4, True)
+    assert got["a4"] == ("a1", 3, 4, True)
+    assert got["b1"] == ("b1", 0, 2, True)
+    assert got["b2"] == ("b1", 1, 2, True)
+    assert got["c1"] == ("c1", 0, 1, True)
     assert len(got) == 7
 
 
@@ -44,15 +51,43 @@ def test_chain_longer_than_hop_rounds_still_exact(spark):
     # max_hops=8 -> 3 jumping rounds collapse chains up to 2^3 hops
     rows = [(f"p{k}", f"p{k + 1}") for k in range(8)] + [("p8", None)]
     got = _run(spark, rows, max_hops=8)
-    assert got["p8"] == ("p0", 8, 9)
-    assert got["p4"] == ("p0", 4, 9)
+    assert got["p8"] == ("p0", 8, 9, True)
+    assert got["p4"] == ("p0", 4, 9, True)
+
+
+def test_fanin_dedups_to_one_predecessor_no_row_multiplication(spark):
+    # an article page and its mirror both declare rel=next to the
+    # same page-2 url: the target keeps ONE predecessor (lexicographic
+    # MIN), the loser terminates its own chain, and — the actual bug
+    # class — no page row is emitted twice
+    rows = [("a", "b"), ("c", "b"), ("b", None)]
+    got = _run(spark, rows)
+    assert got["a"] == ("a", 0, 2, True)
+    assert got["b"] == ("a", 1, 2, True)  # min("a","c") wins
+    assert got["c"] == ("c", 0, 1, True)
+    assert len(got) == 3
+
+
+def test_overlong_chain_reports_unresolved(spark):
+    # 10-page chain under max_hops=4 (2 rounds, reach 2^2=4): pages
+    # deeper than 4 hops cannot reach the true root — they surface
+    # resolved=false with root/position pinned at the 4th application
+    # (the bounded-walk contract resolve_redirects uses for loops)
+    rows = [(f"q{k}", f"q{k + 1}") for k in range(9)] + [("q9", None)]
+    got = _run(spark, rows, max_hops=4)
+    assert got["q0"] == ("q0", 0, 5, True)  # q0-q4 share the true root
+    assert got["q3"] == ("q0", 3, 5, True)  # within reach: true root
+    assert got["q4"] == ("q0", 4, 5, True)
+    # beyond reach: pinned mid-chain node, flagged
+    root, pos, n, ok = got["q9"]
+    assert (root, pos, ok) == ("q5", 4, False)
+    assert len(got) == 10
 
 
 def test_self_loop_is_bounded_not_divergent(spark):
     # malformed rel=next self-loop: position saturates at 2^rounds,
-    # root stays inside the loop, the job terminates (documented
-    # bounded behavior, same contract as resolve_redirects on loops)
+    # the job terminates, and the row is flagged unresolved
     got = _run(spark, [("x", "x"), ("c1", None)], max_hops=8)
-    root, pos, n = got["x"]
-    assert root == "x" and pos == 8 and n == 1
-    assert got["c1"] == ("c1", 0, 1)
+    root, pos, n, ok = got["x"]
+    assert root == "x" and pos == 8 and ok is False
+    assert got["c1"] == ("c1", 0, 1, True)
