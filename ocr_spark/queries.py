@@ -13131,6 +13131,355 @@ def hidden_text_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nofollow_oracle() -> str:
+    from ocr_spark.functions.urlnorm import duck_resolve_reference
+
+    resolved = duck_resolve_reference("purl", "href")
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+        'https://n' || CAST(doc_id % 13 AS VARCHAR)
+          || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS purl,
+        doc_id % 4 AS v
+      FROM documents),
+    p AS (
+      SELECT doc_id, purl,
+        CASE v
+          WHEN 0 THEN '<p><a href="/org' || ds || '">x</a>'
+                      || '<a href="/nf' || ds || '" rel="nofollow">y</a></p>'
+          WHEN 1 THEN '<p><a href="https://ads.example.net/c' || ds
+                      || '" rel="sponsored">ad</a>'
+                      || '<a href="deep/' || ds || '">z</a></p>'
+          WHEN 2 THEN '<p><a href="/cmt' || ds
+                      || '" rel="ugc nofollow">c</a></p>'
+          ELSE '<p><a href="/only' || ds || '">w</a></p>' END AS html
+      FROM d0),
+    anchors AS (
+      SELECT doc_id, purl, a
+      FROM p, unnest(regexp_extract_all(html, '<a ([^>]*)>', 1)) AS t(a)),
+    parsed AS (
+      SELECT doc_id, purl,
+        regexp_extract(a, 'href="([^"]+)"', 1) AS href,
+        regexp_extract(a, 'rel="([^"]*)"', 1) AS rel
+      FROM anchors),
+    c AS (
+      SELECT doc_id, {resolved} AS outlink,
+        CAST(CASE WHEN rel LIKE '%nofollow%' THEN 1 ELSE 0 END AS BIGINT)
+          AS nofollow,
+        CAST(CASE WHEN rel LIKE '%sponsored%' THEN 1 ELSE 0 END AS BIGINT)
+          AS sponsored,
+        CAST(CASE WHEN rel LIKE '%ugc%' THEN 1 ELSE 0 END AS BIGINT) AS ugc
+      FROM parsed)
+    SELECT doc_id, outlink, nofollow, sponsored, ugc,
+      CAST(CASE WHEN nofollow = 0 AND sponsored = 0 AND ugc = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS followed
+    FROM c
+    """
+
+
+@query("nofollow_edge_classes", _nofollow_oracle())
+def nofollow_edge_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link rel-qualifier classification (round 4): nofollow /
+    sponsored / ugc anchors must not feed PageRank or TrustRank (the
+    qualifiers exist precisely to stop comment-spam and paid links
+    from transferring authority), so the edge extractor surfaces the
+    flags and a ``followed`` bit the graph queries filter on. Anchors
+    extract as whole attribute strings FIRST (one regexp), then href
+    and rel parse per anchor — positional alignment between parallel
+    extract_all lists would break on rel-less anchors. Multi-valued
+    rel ("ugc nofollow") sets both flags; hrefs resolve through the
+    RFC 3986 resolver.
+
+    Scale shape: one explode + codegen regexps, no shuffle; rides the
+    outlink-extraction scan.
+    """
+    from ocr_spark.functions.urlnorm import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    purl = F.concat(
+        F.lit("https://n"), (i % 13).cast("string"),
+        F.lit(".example.com/p/"), ds,
+    )
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<p><a href="/org'), ds, F.lit('">x</a><a href="/nf'),
+            ds, F.lit('" rel="nofollow">y</a></p>')))
+        .when(v == 1, F.concat(
+            F.lit('<p><a href="https://ads.example.net/c'), ds,
+            F.lit('" rel="sponsored">ad</a><a href="deep/'), ds,
+            F.lit('">z</a></p>')))
+        .when(v == 2, F.concat(
+            F.lit('<p><a href="/cmt'), ds,
+            F.lit('" rel="ugc nofollow">c</a></p>')))
+        .otherwise(F.concat(
+            F.lit('<p><a href="/only'), ds, F.lit('">w</a></p>')))
+    )
+    anchors = d.select(
+        "doc_id", purl.alias("purl"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit("<a ([^>]*)>"), 1)
+        ).alias("a"),
+    )
+    href = F.regexp_extract(F.col("a"), 'href="([^"]+)"', 1)
+    rel = F.regexp_extract(F.col("a"), 'rel="([^"]*)"', 1)
+    c = anchors.select(
+        "doc_id",
+        resolve_reference(F.col("purl"), href).alias("outlink"),
+        F.when(rel.contains("nofollow"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("nofollow"),
+        F.when(rel.contains("sponsored"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("sponsored"),
+        F.when(rel.contains("ugc"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("ugc"),
+    )
+    return c.select(
+        "doc_id", "outlink", "nofollow", "sponsored", "ugc",
+        F.when(
+            (F.col("nofollow") == 0)
+            & (F.col("sponsored") == 0)
+            & (F.col("ugc") == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("followed"),
+    )
+
+
+def _crawl_delay_oracle() -> str:
+    return """
+    WITH r AS (
+      SELECT doc_id,
+        'User-agent: *' || chr(10) ||
+        CASE doc_id % 4
+          WHEN 0 THEN 'Crawl-delay: ' || CAST(doc_id % 10 + 1 AS VARCHAR)
+                      || chr(10) || 'Disallow: /tmp'
+          WHEN 1 THEN 'Disallow: /tmp'
+          WHEN 2 THEN 'Request-rate: 1/' || CAST(doc_id % 5 + 1 AS VARCHAR)
+                      || chr(10) || 'Disallow: /x'
+          ELSE 'Crawl-delay: ' || CAST(doc_id % 3 + 1 AS VARCHAR)
+               || chr(10) || 'Request-rate: 1/'
+               || CAST(doc_id % 7 + 2 AS VARCHAR) END AS robots
+      FROM documents),
+    p AS (
+      SELECT doc_id, robots,
+        COALESCE(TRY_CAST(regexp_extract(robots,
+          'Crawl-delay: ([0-9]+)', 1) AS BIGINT), -1) AS crawl_delay_s,
+        COALESCE(TRY_CAST(regexp_extract(robots,
+          'Request-rate: ([0-9]+)/[0-9]+', 1) AS BIGINT), 0) AS rate_docs,
+        COALESCE(TRY_CAST(regexp_extract(robots,
+          'Request-rate: [0-9]+/([0-9]+)', 1) AS BIGINT), 0) AS rate_secs
+      FROM r)
+    SELECT doc_id, crawl_delay_s,
+      CAST(CASE WHEN rate_docs > 0 THEN rate_secs * 1000 // rate_docs
+                ELSE -1 END AS BIGINT) AS rate_interval_ms,
+      CAST(GREATEST(500,
+                    CASE WHEN crawl_delay_s >= 0
+                         THEN crawl_delay_s * 1000 ELSE 0 END,
+                    CASE WHEN rate_docs > 0
+                         THEN rate_secs * 1000 // rate_docs ELSE 0 END)
+           AS BIGINT) AS effective_interval_ms
+    FROM p
+    """
+
+
+@query("crawl_delay_directive", _crawl_delay_oracle())
+def crawl_delay_directive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness directives from robots.txt (round 4): the
+    ``Crawl-delay`` and ``Request-rate: docs/secs`` extensions most
+    large sites still serve — parsed per fetched robots body and
+    folded into ONE effective per-host fetch interval:
+    max(500ms floor, crawl-delay, request-rate spacing), the number
+    frontier_schedule spaces slots by. Battery plants delay-only,
+    neither (floor wins), rate-only, and both (the larger wins);
+    missing directives surface as -1 so the downstream join can tell
+    "absent" from "zero".
+
+    Scale shape: pure codegen regexp projection (integer-exact
+    division via floor-div on both engines); one row per robots
+    fetch, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    robots = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(v == 0, F.concat(
+            F.lit("Crawl-delay: "), (i % 10 + 1).cast("string"),
+            F.lit("\nDisallow: /tmp")))
+        .when(v == 1, F.lit("Disallow: /tmp"))
+        .when(v == 2, F.concat(
+            F.lit("Request-rate: 1/"), (i % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /x")))
+        .otherwise(F.concat(
+            F.lit("Crawl-delay: "), (i % 3 + 1).cast("string"),
+            F.lit("\nRequest-rate: 1/"), (i % 7 + 2).cast("string"))),
+    )
+    r = d.select("doc_id", robots.alias("robots"))
+    cd_raw = F.regexp_extract(F.col("robots"), "Crawl-delay: ([0-9]+)", 1)
+    rd_raw = F.regexp_extract(
+        F.col("robots"), "Request-rate: ([0-9]+)/[0-9]+", 1
+    )
+    rs_raw = F.regexp_extract(
+        F.col("robots"), "Request-rate: [0-9]+/([0-9]+)", 1
+    )
+    p = r.select(
+        "doc_id",
+        F.when(cd_raw == "", F.lit(-1)).otherwise(cd_raw.cast("long"))
+        .alias("crawl_delay_s"),
+        F.when(rd_raw == "", F.lit(0)).otherwise(rd_raw.cast("long"))
+        .alias("rate_docs"),
+        F.when(rs_raw == "", F.lit(0)).otherwise(rs_raw.cast("long"))
+        .alias("rate_secs"),
+    )
+    from ocr_spark.operators.training import floor_div
+
+    rate_ms = floor_div(F.col("rate_secs") * 1000, F.col("rate_docs"))
+    return p.select(
+        "doc_id",
+        "crawl_delay_s",
+        F.when(F.col("rate_docs") > 0, rate_ms).otherwise(F.lit(-1))
+        .cast("long").alias("rate_interval_ms"),
+        F.greatest(
+            F.lit(500).cast("long"),
+            F.when(
+                F.col("crawl_delay_s") >= 0, F.col("crawl_delay_s") * 1000
+            ).otherwise(F.lit(0)).cast("long"),
+            F.when(F.col("rate_docs") > 0, rate_ms).otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("effective_interval_ms"),
+    )
+
+
+def _parked_domain_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '<title>example' || CAST(doc_id AS VARCHAR)
+            || '.com is for sale</title><body>This domain is for sale. '
+            || 'Buy this domain today!</body>'
+          WHEN 1 THEN '<title>Parked</title><body>Domain parking by '
+            || 'RegistrarCo. Renew or transfer.</body>'
+          WHEN 2 THEN '<title>Coming soon</title><body>Website coming '
+            || 'soon. Stay tuned ' || CAST(doc_id AS VARCHAR) || '</body>'
+          WHEN 3 THEN '<title>For Sale Signs Ltd</title><body>We sell '
+            || 'for sale signs and sign domains for your shopfront. '
+            || 'Our catalogue covers ' || CAST(doc_id % 40 + 30 AS VARCHAR)
+            || ' products across many categories with detailed specs '
+            || 'and reviews from real customers in many regions.</body>'
+          ELSE '<title>Article ' || CAST(doc_id AS VARCHAR)
+            || '</title><body>Regular editorial content about topic '
+            || CAST(doc_id AS VARCHAR) || ' with substantial discussion '
+            || 'and analysis written for readers not registrars.</body>'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        length(regexp_replace(html, '<[^>]+>', '', 'g')) AS text_len,
+        CASE WHEN regexp_matches(lower(regexp_extract(html,
+               '<title>(.*?)</title>', 1)),
+               '(is for sale|parked|domain parking)') THEN 1 ELSE 0 END
+          AS title_hit,
+        CASE WHEN regexp_matches(lower(html),
+               '(this domain is for sale|buy this domain|domain parking'
+               || '|renew or transfer|website coming soon)')
+             THEN 1 ELSE 0 END AS body_hit
+      FROM p)
+    SELECT doc_id, CAST(text_len AS BIGINT) AS text_len,
+      CAST(title_hit AS BIGINT) AS title_hit,
+      CAST(body_hit AS BIGINT) AS body_hit,
+      CAST(CASE WHEN title_hit = 1 OR (body_hit = 1 AND text_len < 120)
+                THEN 1 ELSE 0 END AS BIGINT) AS parked,
+      CASE WHEN title_hit = 1 THEN 'title_pattern'
+           WHEN body_hit = 1 AND text_len < 120 THEN 'body_pattern_short'
+           ELSE 'ok' END AS reason
+    FROM m
+    """
+
+
+@query("parked_domain_detect", _parked_domain_oracle())
+def parked_domain_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parked-domain detection (round 4): registrar placeholder pages
+    ("this domain is for sale", "domain parking", "coming soon") are
+    boilerplate-only hosts a crawl should drop whole — the
+    host-level sibling of soft404_detect's page-level check. Anchored
+    TITLE patterns convict outright; body phrases convict only on
+    thin pages (text < 120 chars), so the planted negative control —
+    a genuine shop selling "for sale" SIGNS with substantial copy —
+    stays clean, as does regular editorial content.
+
+    Scale shape: pure codegen regexp/length projection, no shuffle;
+    at host granularity the page verdicts roll up with a hash
+    aggregate (majority-parked host → drop the host).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 5
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<title>example"), ds,
+            F.lit(".com is for sale</title><body>This domain is for "
+                  "sale. Buy this domain today!</body>")))
+        .when(v == 1, F.lit(
+            "<title>Parked</title><body>Domain parking by RegistrarCo. "
+            "Renew or transfer.</body>"))
+        .when(v == 2, F.concat(
+            F.lit("<title>Coming soon</title><body>Website coming soon. "
+                  "Stay tuned "), ds, F.lit("</body>")))
+        .when(v == 3, F.concat(
+            F.lit("<title>For Sale Signs Ltd</title><body>We sell for "
+                  "sale signs and sign domains for your shopfront. Our "
+                  "catalogue covers "),
+            (i % 40 + 30).cast("string"),
+            F.lit(" products across many categories with detailed specs "
+                  "and reviews from real customers in many regions."
+                  "</body>")))
+        .otherwise(F.concat(
+            F.lit("<title>Article "), ds,
+            F.lit("</title><body>Regular editorial content about topic "),
+            ds,
+            F.lit(" with substantial discussion and analysis written "
+                  "for readers not registrars.</body>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    text_len = F.length(F.regexp_replace(h, "<[^>]+>", ""))
+    title = F.lower(F.regexp_extract(h, "<title>(.*?)</title>", 1))
+    title_hit = F.when(
+        title.rlike("(is for sale|parked|domain parking)"), F.lit(1)
+    ).otherwise(F.lit(0))
+    body_hit = F.when(
+        F.lower(h).rlike(
+            "(this domain is for sale|buy this domain|domain parking"
+            "|renew or transfer|website coming soon)"
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    m = p.select(
+        "doc_id",
+        text_len.cast("long").alias("text_len"),
+        title_hit.cast("long").alias("title_hit"),
+        body_hit.cast("long").alias("body_hit"),
+    )
+    return m.select(
+        "doc_id", "text_len", "title_hit", "body_hit",
+        F.when(
+            (F.col("title_hit") == 1)
+            | ((F.col("body_hit") == 1) & (F.col("text_len") < 120)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("parked"),
+        F.when(F.col("title_hit") == 1, F.lit("title_pattern"))
+        .when(
+            (F.col("body_hit") == 1) & (F.col("text_len") < 120),
+            F.lit("body_pattern_short"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -150,6 +150,9 @@ CRITICAL = [
     "truncation_detect",
     "mime_sniff_routing",
     "hidden_text_stuffing",
+    "nofollow_edge_classes",
+    "crawl_delay_directive",
+    "parked_domain_detect",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
