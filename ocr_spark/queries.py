@@ -13480,6 +13480,474 @@ def parked_domain_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feed_items_oracle() -> str:
+    item = (
+        "'<item><title>Story ' || CAST(doc_id * 3 + {j} AS VARCHAR)"
+        " || '</title><link>https://f' || CAST(doc_id % 19 AS VARCHAR)"
+        " || '.example.org/s' || CAST(doc_id * 3 + {j} AS VARCHAR)"
+        " || '</link><pubDate>2024-' || lpad(CAST((doc_id + {j}) % 12 + 1"
+        " AS VARCHAR), 2, '0') || '-02</pubDate></item>'"
+    )
+    entry = (
+        "'<entry><title>Post ' || CAST(doc_id * 3 + {j} AS VARCHAR)"
+        " || '</title><link href=\"https://f' || CAST(doc_id % 19 AS"
+        " VARCHAR) || '.example.org/a' || CAST(doc_id * 3 + {j} AS"
+        " VARCHAR) || '\"/><updated>2024-' || lpad(CAST((doc_id + {j})"
+        " % 12 + 1 AS VARCHAR), 2, '0') || '-03</updated></entry>'"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        CASE WHEN doc_id % 2 = 0 THEN
+          '<rss><channel><title>Ch</title>' || {item.format(j=0)}
+          || CASE WHEN doc_id % 3 > 0 THEN {item.format(j=1)} ELSE '' END
+          || CASE WHEN doc_id % 3 > 1 THEN {item.format(j=2)} ELSE '' END
+          || '</channel></rss>'
+        ELSE
+          '<feed><title>F</title>' || {entry.format(j=0)}
+          || CASE WHEN doc_id % 3 > 0 THEN {entry.format(j=1)} ELSE '' END
+          || '</feed>' END AS xml
+      FROM documents),
+    it AS (
+      SELECT doc_id, kind, i - 1 AS item_idx,
+        list_extract(regexp_extract_all(xml,
+          CASE WHEN kind = 'rss' THEN '<item>(.*?)</item>'
+               ELSE '<entry>(.*?)</entry>' END, 1), i) AS body
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(xml,
+        CASE WHEN kind = 'rss' THEN '<item>(.*?)</item>'
+             ELSE '<entry>(.*?)</entry>' END, 1)))) AS g(i))
+    SELECT doc_id, kind, CAST(item_idx AS BIGINT) AS item_idx,
+      regexp_extract(body, '<title>(.*?)</title>', 1) AS title,
+      CASE WHEN kind = 'rss'
+           THEN regexp_extract(body, '<link>(.*?)</link>', 1)
+           ELSE regexp_extract(body, '<link href="([^"]*)"', 1) END AS link,
+      CASE WHEN kind = 'rss'
+           THEN regexp_extract(body, '<pubDate>(.*?)</pubDate>', 1)
+           ELSE regexp_extract(body, '<updated>(.*?)</updated>', 1)
+           END AS published
+    FROM it
+    """
+
+
+@query("feed_item_parse", _feed_items_oracle())
+def feed_item_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-content parsing (round 4): feed_discovery finds the feed
+    urls; this parses the FEEDS — RSS 2.0 ``<item>`` and Atom
+    ``<entry>`` blocks (both planted, 1-3 items each) exploded to
+    (item_idx, title, link, published) rows, with the per-format link
+    convention honored (RSS element text vs Atom href attribute).
+    Feeds are how a recrawl discovers new articles without
+    re-spidering the site, so the parsed rows feed the frontier
+    directly.
+
+    Scale shape: item blocks extract as whole substrings first
+    (one regexp_extract_all), fields parse per exploded block —
+    posexplode keeps the index; no shuffle, rides the fetch scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def rss_item(j: int) -> Column:
+        return F.concat(
+            F.lit("<item><title>Story "), (i * 3 + j).cast("string"),
+            F.lit("</title><link>https://f"), (i % 19).cast("string"),
+            F.lit(".example.org/s"), (i * 3 + j).cast("string"),
+            F.lit("</link><pubDate>2024-"),
+            F.lpad(((i + j) % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-02</pubDate></item>"),
+        )
+
+    def atom_entry(j: int) -> Column:
+        return F.concat(
+            F.lit("<entry><title>Post "), (i * 3 + j).cast("string"),
+            F.lit('</title><link href="https://f'), (i % 19).cast("string"),
+            F.lit(".example.org/a"), (i * 3 + j).cast("string"),
+            F.lit('"/><updated>2024-'),
+            F.lpad(((i + j) % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-03</updated></entry>"),
+        )
+
+    kind = F.when(i % 2 == 0, F.lit("rss")).otherwise(F.lit("atom"))
+    xml = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("<rss><channel><title>Ch</title>"),
+            rss_item(0),
+            F.when(i % 3 > 0, rss_item(1)).otherwise(F.lit("")),
+            F.when(i % 3 > 1, rss_item(2)).otherwise(F.lit("")),
+            F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<feed><title>F</title>"),
+            atom_entry(0),
+            F.when(i % 3 > 0, atom_entry(1)).otherwise(F.lit("")),
+            F.lit("</feed>"),
+        )
+    )
+    p = d.select("doc_id", kind.alias("kind"), xml.alias("xml"))
+    blocks = F.when(
+        F.col("kind") == "rss",
+        F.regexp_extract_all(F.col("xml"), F.lit("<item>(.*?)</item>"), 1),
+    ).otherwise(
+        F.regexp_extract_all(F.col("xml"), F.lit("<entry>(.*?)</entry>"), 1)
+    )
+    it = p.select(
+        "doc_id", "kind",
+        F.posexplode(blocks).alias("item_idx", "body"),
+    )
+    b = F.col("body")
+    return it.select(
+        "doc_id", "kind",
+        F.col("item_idx").cast("long").alias("item_idx"),
+        F.regexp_extract(b, "<title>(.*?)</title>", 1).alias("title"),
+        F.when(
+            F.col("kind") == "rss",
+            F.regexp_extract(b, "<link>(.*?)</link>", 1),
+        ).otherwise(
+            F.regexp_extract(b, '<link href="([^"]*)"', 1)
+        ).alias("link"),
+        F.when(
+            F.col("kind") == "rss",
+            F.regexp_extract(b, "<pubDate>(.*?)</pubDate>", 1),
+        ).otherwise(
+            F.regexp_extract(b, "<updated>(.*?)</updated>", 1)
+        ).alias("published"),
+    )
+
+
+def _paywall_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script type="application/ld+json">'
+            || '{"@type":"NewsArticle","isAccessibleForFree":false,'
+            || '"headline":"H' || CAST(doc_id AS VARCHAR) || '"}</script>'
+            || '<p>Teaser paragraph only.</p>'
+          WHEN 1 THEN '<p>First paragraph of article '
+            || CAST(doc_id AS VARCHAR) || '.</p>'
+            || '<div class="gate">Subscribe to continue reading.</div>'
+          WHEN 2 THEN '<script type="application/ld+json">'
+            || '{"@type":"Article","isAccessibleForFree":true}</script>'
+            || '<p>Full text ' || CAST(doc_id AS VARCHAR)
+            || '.</p><footer>Subscribe to our newsletter</footer>'
+          ELSE '<p>Open article ' || CAST(doc_id AS VARCHAR)
+            || ' with no gating at all.</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN contains(html, '"isAccessibleForFree":false') THEN 1
+             WHEN contains(html, '"isAccessibleForFree":true') THEN 0
+             ELSE -1 END AS meta_flag,
+        CASE WHEN regexp_matches(lower(html),
+               '(subscribe to continue|to read this article'
+               || '|already a subscriber)') THEN 1 ELSE 0 END AS phrase_hit
+      FROM p)
+    SELECT doc_id, CAST(meta_flag AS BIGINT) AS meta_flag,
+      CAST(phrase_hit AS BIGINT) AS phrase_hit,
+      CAST(CASE WHEN meta_flag = 1 OR (meta_flag = -1 AND phrase_hit = 1)
+                THEN 1 ELSE 0 END AS BIGINT) AS paywalled,
+      CASE WHEN meta_flag = 1 THEN 'metadata'
+           WHEN meta_flag = -1 AND phrase_hit = 1 THEN 'phrase'
+           WHEN meta_flag = 0 THEN 'declared_free'
+           ELSE 'ok' END AS reason
+    FROM m
+    """
+
+
+@query("paywall_detect", _paywall_oracle())
+def paywall_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paywall detection (round 4): gated articles contribute only
+    their teaser to a training corpus, so the curation gate needs the
+    flag. Two signals with schema.org metadata taking precedence:
+    JSON-LD ``isAccessibleForFree`` (false convicts, true ACQUITS —
+    an explicit free declaration beats a stray phrase) and gate
+    phrases ("Subscribe to continue...") only when metadata is
+    absent. The negative controls: a declared-free article whose
+    footer says "Subscribe to our newsletter" (must stay clean — the
+    phrase list is gate-anchored) and an unmarked open article.
+
+    Scale shape: codegen contains/regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"NewsArticle","isAccessibleForFree":false,'
+                  '"headline":"H'), ds,
+            F.lit('"}</script><p>Teaser paragraph only.</p>')))
+        .when(v == 1, F.concat(
+            F.lit("<p>First paragraph of article "), ds,
+            F.lit('.</p><div class="gate">Subscribe to continue '
+                  "reading.</div>")))
+        .when(v == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Article","isAccessibleForFree":true}'
+                  "</script><p>Full text "), ds,
+            F.lit(".</p><footer>Subscribe to our newsletter</footer>")))
+        .otherwise(F.concat(
+            F.lit("<p>Open article "), ds,
+            F.lit(" with no gating at all.</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    meta_flag = (
+        F.when(h.contains('"isAccessibleForFree":false'), F.lit(1))
+        .when(h.contains('"isAccessibleForFree":true'), F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+    phrase_hit = F.when(
+        F.lower(h).rlike(
+            "(subscribe to continue|to read this article"
+            "|already a subscriber)"
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    m = p.select(
+        "doc_id",
+        meta_flag.cast("long").alias("meta_flag"),
+        phrase_hit.cast("long").alias("phrase_hit"),
+    )
+    return m.select(
+        "doc_id", "meta_flag", "phrase_hit",
+        F.when(
+            (F.col("meta_flag") == 1)
+            | ((F.col("meta_flag") == -1) & (F.col("phrase_hit") == 1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("paywalled"),
+        F.when(F.col("meta_flag") == 1, F.lit("metadata"))
+        .when(
+            (F.col("meta_flag") == -1) & (F.col("phrase_hit") == 1),
+            F.lit("phrase"),
+        )
+        .when(F.col("meta_flag") == 0, F.lit("declared_free"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+
+
+def _url_page_type_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'https://t' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||
+        CASE doc_id % 6
+          WHEN 0 THEN '/2024/' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+                      2, '0') || '/story-' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/category/shoes-' || CAST(doc_id % 9 AS VARCHAR)
+                      || '/'
+          WHEN 2 THEN '/product/p' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/search?q=term' || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 4 THEN '/tag/topic' || CAST(doc_id % 11 AS VARCHAR) || '/'
+          ELSE '/about-' || CAST(doc_id % 5 AS VARCHAR) END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+        regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        CASE WHEN regexp_matches(url, '/[0-9]{4}/[0-9]{2}/') THEN 1
+             ELSE 0 END AS has_date_path,
+        CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_query
+      FROM p)
+    SELECT doc_id, url,
+      CAST(has_date_path AS BIGINT) AS has_date_path,
+      CAST(has_query AS BIGINT) AS has_query,
+      CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+        AS depth,
+      CASE WHEN has_date_path = 1 THEN 'article'
+           WHEN regexp_matches(path, '/product/p[0-9]+') THEN 'product'
+           WHEN has_query = 1 AND regexp_matches(url, '[?&]q=')
+             THEN 'search'
+           WHEN regexp_matches(path, '^/(category|tag)/') THEN 'taxonomy'
+           ELSE 'page' END AS page_type
+    FROM s
+    """
+
+
+@query("url_page_type", _url_page_type_oracle())
+def url_page_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL page-type classification (round 4): crawl budgeting and
+    corpus mixing both want to know — BEFORE fetching — whether a url
+    is an article, a product page, a taxonomy listing, or an on-site
+    search result (search results and taxonomy pages are near-pure
+    boilerplate; articles carry the training text). Path-shape
+    heuristics with explicit precedence: /YYYY/MM/ date paths →
+    article, /product/pNNN → product, ?q= → search,
+    /category|/tag prefixes → taxonomy, else page; plus the raw
+    signals (date flag, query flag, path depth) so a downstream
+    model can re-weight them.
+
+    Scale shape: pure codegen regexp/length projection, no shuffle;
+    runs on the frontier BEFORE fetch, which is the point.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 6
+    url = F.concat(
+        F.lit("https://t"), (i % 23).cast("string"), F.lit(".example.com"),
+        F.when(v == 0, F.concat(
+            F.lit("/2024/"), F.lpad((i % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/story-"), ds))
+        .when(v == 1, F.concat(
+            F.lit("/category/shoes-"), (i % 9).cast("string"), F.lit("/")))
+        .when(v == 2, F.concat(F.lit("/product/p"), ds))
+        .when(v == 3, F.concat(F.lit("/search?q=term"),
+                               (i % 7).cast("string")))
+        .when(v == 4, F.concat(
+            F.lit("/tag/topic"), (i % 11).cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/about-"), (i % 5).cast("string"))),
+    )
+    p = d.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    path = F.regexp_extract(u, "https://[^/]+(/[^?]*)", 1)
+    has_date = F.when(u.rlike("/[0-9]{4}/[0-9]{2}/"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    has_query = F.when(u.contains("?"), F.lit(1)).otherwise(F.lit(0))
+    s = p.select(
+        "doc_id", "url",
+        path.alias("path"),
+        has_date.cast("long").alias("has_date_path"),
+        has_query.cast("long").alias("has_query"),
+    )
+    return s.select(
+        "doc_id", "url", "has_date_path", "has_query",
+        (
+            F.length("path")
+            - F.length(F.replace(F.col("path"), F.lit("/"), F.lit("")))
+        ).cast("long").alias("depth"),
+        F.when(F.col("has_date_path") == 1, F.lit("article"))
+        .when(F.col("path").rlike("/product/p[0-9]+"), F.lit("product"))
+        .when(
+            (F.col("has_query") == 1) & F.col("url").rlike("[?&]q="),
+            F.lit("search"),
+        )
+        .when(F.col("path").rlike("^/(category|tag)/"), F.lit("taxonomy"))
+        .otherwise(F.lit("page"))
+        .alias("page_type"),
+    )
+
+
+def _dir_index_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<html><head><title>Index of /pub/data'
+            || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+            || '<h1>Index of /pub/data' || CAST(doc_id AS VARCHAR)
+            || '</h1><pre><a href="../">../</a>' || chr(10)
+            || '<a href="f1.txt">f1.txt</a> 2024-01-01 123' || chr(10)
+            || '<a href="f2.csv">f2.csv</a> 2024-01-02 456' || chr(10)
+            || '</pre></body></html>'
+          WHEN 1 THEN '<html><head><title>Index of /mirror'
+            || CAST(doc_id AS VARCHAR) || '/</title></head><body>'
+            || '<h1>Index of /mirror' || CAST(doc_id AS VARCHAR)
+            || '/</h1><hr><pre><a href="../">../</a>' || chr(10)
+            || '<a href="iso/">iso/</a>' || chr(10) || '</pre><hr>'
+            || '</body></html>'
+          WHEN 2 THEN '<html><head><title>Index of economic indicators'
+            || '</title></head><body><p>The index of economic '
+            || 'indicators rose ' || CAST(doc_id % 9 AS VARCHAR)
+            || ' points this quarter.</p></body></html>'
+          ELSE '<html><head><title>Article ' || CAST(doc_id AS VARCHAR)
+            || '</title></head><body><p>Normal page.</p></body></html>'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(regexp_extract(html,
+               '<title>(.*?)</title>', 1), '^Index of /') THEN 1
+             ELSE 0 END AS title_hit,
+        CASE WHEN contains(html, '<a href="../">../</a>') THEN 1
+             ELSE 0 END AS parent_link,
+        len(regexp_extract_all(html, '<a href="[^"]+">', 0)) AS n_links
+      FROM p)
+    SELECT doc_id, CAST(title_hit AS BIGINT) AS title_hit,
+      CAST(parent_link AS BIGINT) AS parent_link,
+      CAST(CASE WHEN title_hit = 1 THEN n_links - 1 ELSE 0 END AS BIGINT)
+        AS n_entries,
+      CAST(CASE WHEN title_hit = 1 AND parent_link = 1 THEN 1 ELSE 0 END
+           AS BIGINT) AS is_autoindex
+    FROM m
+    """
+
+
+@query("directory_index_detect", _dir_index_oracle())
+def directory_index_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-listing detection (round 4): server autoindex pages
+    ("Index of /...") are link scaffolding with zero training text
+    but rich FILE discovery — a crawl wants them routed to the
+    frontier expander, not the text extractor. Convicts on the
+    ANCHORED title pattern ("^Index of /") plus the parent-directory
+    link every autoindex carries; the planted negative control — an
+    article titled "Index of economic indicators" — fails both the
+    anchor (no slash) and the parent link. n_entries counts the
+    listed links minus the parent.
+
+    Scale shape: codegen regexp/contains projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<html><head><title>Index of /pub/data"), ds,
+            F.lit("</title></head><body><h1>Index of /pub/data"), ds,
+            F.lit('</h1><pre><a href="../">../</a>\n'
+                  '<a href="f1.txt">f1.txt</a> 2024-01-01 123\n'
+                  '<a href="f2.csv">f2.csv</a> 2024-01-02 456\n'
+                  "</pre></body></html>")))
+        .when(v == 1, F.concat(
+            F.lit("<html><head><title>Index of /mirror"), ds,
+            F.lit("/</title></head><body><h1>Index of /mirror"), ds,
+            F.lit('/</h1><hr><pre><a href="../">../</a>\n'
+                  '<a href="iso/">iso/</a>\n</pre><hr></body></html>')))
+        .when(v == 2, F.concat(
+            F.lit("<html><head><title>Index of economic indicators"
+                  "</title></head><body><p>The index of economic "
+                  "indicators rose "), (i % 9).cast("string"),
+            F.lit(" points this quarter.</p></body></html>")))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>Article "), ds,
+            F.lit("</title></head><body><p>Normal page.</p>"
+                  "</body></html>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    title_hit = F.when(
+        F.regexp_extract(h, "<title>(.*?)</title>", 1).rlike("^Index of /"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    parent = F.when(
+        h.contains('<a href="../">../</a>'), F.lit(1)
+    ).otherwise(F.lit(0))
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit('<a href="[^"]+">'), 0)
+    )
+    m = p.select(
+        "doc_id",
+        title_hit.cast("long").alias("title_hit"),
+        parent.cast("long").alias("parent_link"),
+        n_links.alias("n_links"),
+    )
+    return m.select(
+        "doc_id", "title_hit", "parent_link",
+        F.when(F.col("title_hit") == 1, F.col("n_links") - 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_entries"),
+        F.when(
+            (F.col("title_hit") == 1) & (F.col("parent_link") == 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("is_autoindex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

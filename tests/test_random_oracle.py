@@ -153,6 +153,10 @@ CRITICAL = [
     "nofollow_edge_classes",
     "crawl_delay_directive",
     "parked_domain_detect",
+    "feed_item_parse",
+    "paywall_detect",
+    "url_page_type",
+    "directory_index_detect",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
