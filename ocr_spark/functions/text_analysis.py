@@ -250,16 +250,17 @@ def readability_cols(text_col: str = "text"):
     ]
 
 
-# Sentence-boundary split: enders [.!?] followed by whitespace and an
-# uppercase opener, EXCEPT after title abbreviations (Dr./Mr./Mrs./
-# Ms./No./vs.). Decimal points ("42.50") never match (no whitespace
-# after the dot) and mid-sentence latinisms ("e.g. less") fall to the
-# uppercase-opener lookahead. Java regex (Spark's engine) supports the
-# bounded lookbehinds; DuckDB's RE2 does not, so oracle twins are
+# Sentence-boundary split: enders [.!?] — optionally followed by ONE
+# closing quote/paren/bracket ("...did.)" / '..."' ) — then whitespace
+# and an uppercase-or-quote opener, EXCEPT after title abbreviations
+# (Dr./Mr./Mrs./Ms./No./vs.). Decimal points ("42.50") never match (no
+# whitespace after the dot) and mid-sentence latinisms ("e.g. less")
+# fall to the opener lookahead. Java regex (Spark's engine) supports
+# the bounded lookbehinds; DuckDB's RE2 does not, so oracle twins are
 # construction-derived (the expected sentences exist before the
 # splitter runs).
 SENTENCE_SPLIT_RE = (
-    r"(?<=[.!?])"
+    r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))"
     r"(?<!\bDr\.)(?<!\bMr\.)(?<!\bMrs\.)(?<!\bMs\.)(?<!\bNo\.)(?<!\bvs\.)"
     r"\s+(?=[A-Z\"'(])"
 )

@@ -13948,6 +13948,154 @@ def directory_index_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _amp_cache_oracle() -> str:
+    return r"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://example-com.cdn.ampproject.org/c/s/'
+            || 'example.com/art' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+            || '-org.cdn.ampproject.org/c/ex' || CAST(doc_id % 7 AS VARCHAR)
+            || '.org/p' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://img-example-com.cdn.ampproject.org/i/s/'
+            || 'img.example.com/pic' || CAST(doc_id AS VARCHAR) || '.jpg'
+          END AS cache_url
+      FROM documents),
+    m AS (
+      SELECT doc_id, cache_url,
+        regexp_extract(cache_url, 'ampproject\.org/([cir])/', 1) AS kind,
+        CASE WHEN regexp_matches(cache_url, 'ampproject\.org/[cir]/s/')
+             THEN 1 ELSE 0 END AS secure,
+        regexp_extract(cache_url,
+          'ampproject\.org/[cir]/(?:s/)?(.*)$', 1) AS rest
+      FROM p)
+    SELECT doc_id, cache_url, kind,
+      CAST(secure AS BIGINT) AS secure,
+      (CASE WHEN secure = 1 THEN 'https://' ELSE 'http://' END) || rest
+        AS origin_url
+    FROM m
+    """
+
+
+@query("amp_cache_url_decode", _amp_cache_oracle())
+def amp_cache_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP-cache URL decoding (round 4): Common Crawl is full of
+    ``*.cdn.ampproject.org`` cache urls — the SAME document as its
+    origin url, so url-level dedup undercounts unless the cache form
+    decodes back to the origin it proxies. The public cache url
+    grammar: ``/c/`` content, ``/i/`` image, ``/r/`` resource, with
+    ``s/`` marking an https origin (absent = http); everything after
+    is the origin host + path. All three kinds and both schemes
+    planted; pairs with amp_canonical_pairs (in-page pointers) —
+    this is the url-only path when the page body isn't fetched.
+
+    Scale shape: pure codegen regexp projection, no shuffle; runs on
+    the frontier url stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    cache_url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://example-com.cdn.ampproject.org/c/s/"
+                  "example.com/art"), ds))
+        .when(v == 1, F.concat(
+            F.lit("https://ex"), (i % 7).cast("string"),
+            F.lit("-org.cdn.ampproject.org/c/ex"), (i % 7).cast("string"),
+            F.lit(".org/p"), ds))
+        .otherwise(F.concat(
+            F.lit("https://img-example-com.cdn.ampproject.org/i/s/"
+                  "img.example.com/pic"), ds, F.lit(".jpg")))
+    )
+    p = d.select("doc_id", cache_url.alias("cache_url"))
+    u = F.col("cache_url")
+    kind = F.regexp_extract(u, r"ampproject\.org/([cir])/", 1)
+    secure = F.when(
+        u.rlike(r"ampproject\.org/[cir]/s/"), F.lit(1)
+    ).otherwise(F.lit(0))
+    rest = F.regexp_extract(u, r"ampproject\.org/[cir]/(?:s/)?(.*)$", 1)
+    return p.select(
+        "doc_id", "cache_url",
+        kind.alias("kind"),
+        secure.cast("long").alias("secure"),
+        F.concat(
+            F.when(secure == 1, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            rest,
+        ).alias("origin_url"),
+    )
+
+
+_INVISIBLE_CLASS = "[​‌‍﻿­]"
+
+
+def _zero_width_oracle() -> str:
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'zero' || chr(8203) || 'width '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'hy' || chr(173) || 'phen' || chr(173) || 'ated '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN chr(65279) || 'bom-prefixed doc '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'joined' || chr(8205) || 'pair' || chr(8204)
+                      || ' ' || CAST(doc_id AS VARCHAR)
+          ELSE 'clean text ' || CAST(doc_id AS VARCHAR) END AS s
+      FROM documents),
+    m AS (
+      SELECT doc_id, s,
+        regexp_replace(s, '{_INVISIBLE_CLASS}', '', 'g') AS cleaned
+      FROM p)
+    SELECT doc_id,
+      CAST(length(s) - length(cleaned) AS BIGINT) AS n_invisible,
+      cleaned
+    FROM m
+    """
+
+
+@query("zero_width_scrub", _zero_width_oracle())
+def zero_width_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character scrubbing (round 4): zero-width spaces/
+    joiners, BOMs, and soft hyphens survive extraction invisibly,
+    then poison tokenization (one word becomes three tokens), exact
+    dedup (visually identical docs hash apart), and string matching
+    — and are a known watermark/evasion channel. Strips the
+    five-codepoint class (ZWSP/ZWNJ/ZWJ/BOM/SHY) and counts what was
+    removed; each codepoint planted separately plus a clean control.
+
+    Scale shape: one codegen regexp_replace + length fold, no
+    shuffle; rides the extraction scan before token counting.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 5
+    s = (
+        F.when(v == 0, F.concat(
+            F.lit("zero​width "), ds))
+        .when(v == 1, F.concat(
+            F.lit("hy­phen­ated "), ds))
+        .when(v == 2, F.concat(
+            F.lit("﻿bom-prefixed doc "), ds))
+        .when(v == 3, F.concat(
+            F.lit("joined‍pair‌ "), ds))
+        .otherwise(F.concat(F.lit("clean text "), ds))
+    )
+    p = d.select("doc_id", s.alias("s"))
+    cleaned = F.regexp_replace(F.col("s"), _INVISIBLE_CLASS, "")
+    return p.select(
+        "doc_id",
+        (F.length("s") - F.length(cleaned)).cast("long")
+        .alias("n_invisible"),
+        cleaned.alias("cleaned"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

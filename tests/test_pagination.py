@@ -91,3 +91,25 @@ def test_self_loop_is_bounded_not_divergent(spark):
     root, pos, n, ok = got["x"]
     assert root == "x" and pos == 8 and ok is False
     assert got["c1"] == ("c1", 0, 1, True)
+
+
+def test_sentence_split_quote_and_paren_openers(spark):
+    # the lookahead accepts quote/paren sentence openers, not just
+    # [A-Z] — and abbreviation guards still win before them
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text_analysis import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            ('He left. "Stay here," she said. (No one did.) The end.',),
+            ("See Dr. Smith. 'Quoted start' follows!",),
+        ],
+        "text string",
+    )
+    rows = df.select(split_sentences(F.col("text")).alias("s")).collect()
+    assert rows[0]["s"] == [
+        "He left.", '"Stay here," she said.', "(No one did.)", "The end.",
+    ]
+    # Dr. guard holds; the quote opener splits after the period
+    assert rows[1]["s"] == ["See Dr. Smith.", "'Quoted start' follows!"]

@@ -157,6 +157,8 @@ CRITICAL = [
     "paywall_detect",
     "url_page_type",
     "directory_index_detect",
+    "amp_cache_url_decode",
+    "zero_width_scrub",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
