@@ -80,6 +80,46 @@ def ace_host_udf(hosts: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def pct_normalize_udf(urls: pd.Series) -> pd.Series:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode escapes
+    of UNRESERVED characters (ALPHA / DIGIT / - . _ ~ — §2.3, which
+    must never stay encoded for url equivalence), uppercase the hex of
+    every other escape (%2f -> %2F), and leave malformed sequences
+    (truncated '%', non-hex digits) byte-for-byte alone — a crawl must
+    not "repair" urls it would then fail to refetch. A character scan,
+    not a regex: case-mapping a capture group is inexpressible in
+    either engine's regexp_replace, so the oracle twins are
+    construction-derived."""
+    _UNRESERVED = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+    _HEX = set("0123456789abcdefABCDEF")
+
+    def norm(u: str | None) -> str | None:
+        if u is None:
+            return None
+        out = []
+        i = 0
+        n = len(u)
+        while i < n:
+            c = u[i]
+            if c == "%" and i + 2 < n and u[i + 1] in _HEX and u[i + 2] in _HEX:
+                dec = chr(int(u[i + 1 : i + 3], 16))
+                if dec in _UNRESERVED:
+                    out.append(dec)
+                else:
+                    out.append("%" + u[i + 1 : i + 3].upper())
+                i += 3
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    return urls.map(norm)
+
+
+@F.pandas_udf(StringType())
 def nfc_udf(text: pd.Series) -> pd.Series:
     """Unicode NFC (UAX #15) — Arrow-batched; the normalization tables
     live in CPython's unicodedata, so this is the one text-cleanup pass

@@ -14096,6 +14096,306 @@ def zero_width_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pct_normalize_oracle() -> str:
+    # construction-derived: the EXPECTED normalized url assembles
+    # directly from the same doc_id formula (unreserved escapes decode,
+    # reserved escapes uppercase, malformed stays)
+    return """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'https://p.example.com/%41rticle' || CAST(doc_id AS
+                    VARCHAR) || '/%7edoc'
+        WHEN 1 THEN 'https://p.example.com/a%2fb' || CAST(doc_id AS
+                    VARCHAR) || '?k=%3d'
+        WHEN 2 THEN 'https://p.example.com/x%2E' || CAST(doc_id AS
+                    VARCHAR) || '%5F'
+        WHEN 3 THEN 'https://p.example.com/bad%G1' || CAST(doc_id AS
+                    VARCHAR) || '%'
+        ELSE 'https://p.example.com/plain' || CAST(doc_id AS VARCHAR)
+        END AS url,
+      CASE doc_id % 5
+        WHEN 0 THEN 'https://p.example.com/Article' || CAST(doc_id AS
+                    VARCHAR) || '/~doc'
+        WHEN 1 THEN 'https://p.example.com/a%2Fb' || CAST(doc_id AS
+                    VARCHAR) || '?k=%3D'
+        WHEN 2 THEN 'https://p.example.com/x.' || CAST(doc_id AS
+                    VARCHAR) || '_'
+        WHEN 3 THEN 'https://p.example.com/bad%G1' || CAST(doc_id AS
+                    VARCHAR) || '%'
+        ELSE 'https://p.example.com/plain' || CAST(doc_id AS VARCHAR)
+        END AS normalized
+    FROM documents
+    """
+
+
+@query("percent_encoding_normalize", _pct_normalize_oracle())
+def percent_encoding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-encoding normalization (round 4, RFC 3986 §6.2.2): the
+    url-equivalence step url_canonicalize doesn't cover — '%41rticle'
+    and 'Article' are the SAME url, and a dedup keyed on raw bytes
+    counts them twice. Unreserved escapes (ALPHA/DIGIT/-._~) decode,
+    every other escape's hex uppercases (%2f -> %2F, the RESERVED
+    slash must stay encoded — decoding it would change the path), and
+    malformed sequences (non-hex, truncated '%') pass through
+    byte-for-byte: a crawler must not "repair" urls it would then
+    fail to refetch. Case-mapping a capture group is inexpressible in
+    either engine's regexp_replace, so this is an Arrow-batched
+    character scan (operators/extract.pct_normalize_udf) with a
+    construction-derived oracle — the expected normalized url
+    assembles from the same doc_id formula before the UDF runs.
+
+    Scale shape: one Arrow stage, no shuffle; rides the frontier
+    stream next to url_canonicalize.
+    """
+    from ocr_spark.operators.extract import pct_normalize_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://p.example.com/%41rticle"), ds, F.lit("/%7edoc")))
+        .when(v == 1, F.concat(
+            F.lit("https://p.example.com/a%2fb"), ds, F.lit("?k=%3d")))
+        .when(v == 2, F.concat(
+            F.lit("https://p.example.com/x%2E"), ds, F.lit("%5F")))
+        .when(v == 3, F.concat(
+            F.lit("https://p.example.com/bad%G1"), ds, F.lit("%")))
+        .otherwise(F.concat(F.lit("https://p.example.com/plain"), ds))
+    )
+    p = d.select("doc_id", url.alias("url"))
+    return p.select(
+        "doc_id", "url",
+        pct_normalize_udf(F.col("url")).alias("normalized"),
+    )
+
+
+def _vtt_oracle() -> str:
+    cue = (
+        "'00:0' || CAST((doc_id + {j}) % 9 AS VARCHAR) || ':0'"
+        " || CAST({j} AS VARCHAR) || '.500 --> 00:0'"
+        " || CAST((doc_id + {j}) % 9 AS VARCHAR) || ':0'"
+        " || CAST({j} + 2 AS VARCHAR) || '.000'"
+        " || CASE WHEN {j} = 1 THEN ' align:start' ELSE '' END"
+        " || chr(10) || 'Caption line ' || CAST(doc_id * 3 + {j}"
+        " AS VARCHAR)"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        'WEBVTT' || chr(10) || chr(10) || {cue.format(j=0)}
+        || CASE WHEN doc_id % 3 > 0
+                THEN chr(10) || chr(10) || {cue.format(j=1)} ELSE '' END
+        || CASE WHEN doc_id % 3 > 1
+                THEN chr(10) || chr(10) || {cue.format(j=2)} ELSE '' END
+          AS vtt
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, i - 1 AS cue_idx,
+        list_extract(string_split(vtt, chr(10) || chr(10)), i) AS b
+      FROM p, unnest(generate_series(1,
+        len(string_split(vtt, chr(10) || chr(10))))) AS g(i)),
+    cues AS (
+      SELECT doc_id, cue_idx - 1 AS cue_idx, b,
+        regexp_extract(b,
+          '([0-9]{{2}}):([0-9]{{2}}):([0-9]{{2}})\\.([0-9]{{3}}) -->', 0)
+          AS start_raw,
+        regexp_extract(b,
+          '--> ([0-9]{{2}}):([0-9]{{2}}):([0-9]{{2}})\\.([0-9]{{3}})', 0)
+          AS end_raw
+      FROM blocks WHERE contains(b, '-->')),
+    t AS (
+      SELECT doc_id, cue_idx, b,
+        CAST(regexp_extract(start_raw,
+          '([0-9]+):[0-9]+:[0-9]+\\.[0-9]+', 1) AS BIGINT) * 3600000
+        + CAST(regexp_extract(start_raw,
+          '[0-9]+:([0-9]+):[0-9]+\\.[0-9]+', 1) AS BIGINT) * 60000
+        + CAST(regexp_extract(start_raw,
+          '[0-9]+:[0-9]+:([0-9]+)\\.[0-9]+', 1) AS BIGINT) * 1000
+        + CAST(regexp_extract(start_raw,
+          '[0-9]+:[0-9]+:[0-9]+\\.([0-9]+)', 1) AS BIGINT) AS start_ms,
+        CAST(regexp_extract(end_raw,
+          '([0-9]+):[0-9]+:[0-9]+\\.[0-9]+', 1) AS BIGINT) * 3600000
+        + CAST(regexp_extract(end_raw,
+          '[0-9]+:([0-9]+):[0-9]+\\.[0-9]+', 1) AS BIGINT) * 60000
+        + CAST(regexp_extract(end_raw,
+          '[0-9]+:[0-9]+:([0-9]+)\\.[0-9]+', 1) AS BIGINT) * 1000
+        + CAST(regexp_extract(end_raw,
+          '[0-9]+:[0-9]+:[0-9]+\\.([0-9]+)', 1) AS BIGINT) AS end_ms
+      FROM cues)
+    SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx, start_ms, end_ms,
+      end_ms - start_ms AS duration_ms,
+      regexp_extract(b, chr(10) || '(.*)$', 1) AS text,
+      CASE WHEN contains(b, ' align:start') THEN 'align:start' ELSE ''
+        END AS settings
+    FROM t
+    """
+
+
+@query("vtt_caption_parse", _vtt_oracle())
+def vtt_caption_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT caption parsing (round 4): subtitle tracks are aligned
+    speech-text pairs — prime multimodal training data — and they
+    arrive as WebVTT cue blocks. Blocks split on blank lines, cues
+    keep their index, HH:MM:SS.mmm timestamps fold to integer
+    milliseconds (exact on both engines), cue settings (align:...)
+    separate from the caption text, and the header block (no '-->')
+    drops. 1-3 cues per document with a planted settings rotation.
+
+    Scale shape: split + posexplode + codegen regexp/arithmetic, no
+    shuffle, no UDF; rides the media-sidecar scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def cue(j: int) -> Column:
+        return F.concat(
+            F.lit("00:0"), ((i + j) % 9).cast("string"),
+            F.lit(":0"), F.lit(str(j)),
+            F.lit(".500 --> 00:0"), ((i + j) % 9).cast("string"),
+            F.lit(":0"), F.lit(str(j + 2)), F.lit(".000"),
+            F.lit(" align:start") if j == 1 else F.lit(""),
+            F.lit("\nCaption line "), (i * 3 + j).cast("string"),
+        )
+
+    vtt = F.concat(
+        F.lit("WEBVTT\n\n"), cue(0),
+        F.when(i % 3 > 0, F.concat(F.lit("\n\n"), cue(1)))
+        .otherwise(F.lit("")),
+        F.when(i % 3 > 1, F.concat(F.lit("\n\n"), cue(2)))
+        .otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", vtt.alias("vtt"))
+    blocks = p.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("vtt"), "\n\n")).alias("bi", "b"),
+    )
+    cues = blocks.where(F.col("b").contains("-->")).select(
+        "doc_id",
+        (F.col("bi") - 1).cast("long").alias("cue_idx"),
+        "b",
+    )
+
+    def ts_ms(raw: Column) -> Column:
+        h = F.regexp_extract(raw, r"([0-9]+):[0-9]+:[0-9]+\.[0-9]+", 1)
+        m = F.regexp_extract(raw, r"[0-9]+:([0-9]+):[0-9]+\.[0-9]+", 1)
+        s = F.regexp_extract(raw, r"[0-9]+:[0-9]+:([0-9]+)\.[0-9]+", 1)
+        ms = F.regexp_extract(raw, r"[0-9]+:[0-9]+:[0-9]+\.([0-9]+)", 1)
+        return (
+            h.cast("long") * 3600000
+            + m.cast("long") * 60000
+            + s.cast("long") * 1000
+            + ms.cast("long")
+        )
+
+    start_raw = F.regexp_extract(
+        F.col("b"), r"([0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}) -->", 1
+    )
+    end_raw = F.regexp_extract(
+        F.col("b"), r"--> ([0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3})", 1
+    )
+    t = cues.select(
+        "doc_id", "cue_idx", "b",
+        ts_ms(start_raw).alias("start_ms"),
+        ts_ms(end_raw).alias("end_ms"),
+    )
+    return t.select(
+        "doc_id", "cue_idx", "start_ms", "end_ms",
+        (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+        F.regexp_extract(F.col("b"), "\n(.*)$", 1).alias("text"),
+        F.when(F.col("b").contains(" align:start"), F.lit("align:start"))
+        .otherwise(F.lit(""))
+        .alias("settings"),
+    )
+
+
+def _data_url_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'data:image/png;base64,'
+            || to_base64(CAST('fakepng-' || CAST(doc_id AS VARCHAR)
+                              AS BLOB))
+          WHEN 1 THEN 'data:text/plain,Hello%20doc%20'
+            || CAST(doc_id AS VARCHAR)
+          ELSE 'data:application/json;base64,'
+            || to_base64(CAST('{"id":' || CAST(doc_id AS VARCHAR) || '}'
+                              AS BLOB)) END AS src
+      FROM documents),
+    m AS (
+      SELECT doc_id, src,
+        regexp_extract(src, '^data:([^;,]+)', 1) AS mime,
+        CASE WHEN contains(src, ';base64,') THEN 1 ELSE 0 END AS is_base64,
+        regexp_extract(src, ',(.*)$', 1) AS payload
+      FROM p),
+    dec AS (
+      SELECT doc_id, mime, is_base64,
+        CASE WHEN is_base64 = 1 THEN from_base64(payload)
+             ELSE CAST(replace(payload, '%20', ' ') AS BLOB) END AS bytes_
+      FROM m)
+    SELECT doc_id, mime, CAST(is_base64 AS BIGINT) AS is_base64,
+      CAST(octet_length(bytes_) AS BIGINT) AS decoded_len,
+      md5(lower(hex(bytes_))) AS decoded_md5
+    FROM dec
+    """
+
+
+@query("data_url_media", _data_url_oracle())
+def data_url_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data-url decoding (round 4): pages embed small media as
+    ``data:`` urls — base64 payloads (images, fonts) and
+    percent-encoded text forms — which a media pipeline must route
+    like fetched bytes (the decoded payload feeds the same magic
+    sniff + codec dispatch as a network response). Parses the RFC
+    2397 grammar (mime, optional ;base64 marker, payload after the
+    first comma), decodes both forms, and emits byte length + md5 so
+    the decode is value-checked end-to-end against DuckDB's
+    independent base64/blob machinery.
+
+    Scale shape: codegen regexp + unbase64/md5 projection, no UDF, no
+    shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    src = (
+        F.when(v == 0, F.concat(
+            F.lit("data:image/png;base64,"),
+            F.base64(F.encode(F.concat(F.lit("fakepng-"), ds), "utf-8"))))
+        .when(v == 1, F.concat(
+            F.lit("data:text/plain,Hello%20doc%20"), ds))
+        .otherwise(F.concat(
+            F.lit("data:application/json;base64,"),
+            F.base64(F.encode(
+                F.concat(F.lit('{"id":'), ds, F.lit("}")), "utf-8"))))
+    )
+    p = d.select("doc_id", src.alias("src"))
+    s = F.col("src")
+    mime = F.regexp_extract(s, "^data:([^;,]+)", 1)
+    is_b64 = F.when(s.contains(";base64,"), F.lit(1)).otherwise(F.lit(0))
+    payload = F.regexp_extract(s, ",(.*)$", 1)
+    bytes_ = F.when(is_b64 == 1, F.unbase64(payload)).otherwise(
+        F.encode(F.replace(payload, F.lit("%20"), F.lit(" ")), "utf-8")
+    )
+    m = p.select(
+        "doc_id",
+        mime.alias("mime"),
+        is_b64.cast("long").alias("is_base64"),
+        bytes_.alias("bytes_"),
+    )
+    # md5 over the lowercase hex of the bytes: DuckDB's md5 is
+    # VARCHAR-only, and the hex transport makes the comparison
+    # byte-encoding-agnostic on both engines
+    return m.select(
+        "doc_id", "mime", "is_base64",
+        F.length("bytes_").cast("long").alias("decoded_len"),
+        F.md5(F.lower(F.hex(F.col("bytes_")))).alias("decoded_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

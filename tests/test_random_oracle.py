@@ -159,6 +159,9 @@ CRITICAL = [
     "directory_index_detect",
     "amp_cache_url_decode",
     "zero_width_scrub",
+    "percent_encoding_normalize",
+    "vtt_caption_parse",
+    "data_url_media",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
