@@ -14192,12 +14192,13 @@ def _vtt_oracle() -> str:
           AS vtt
       FROM documents),
     blocks AS (
-      SELECT doc_id, i - 1 AS cue_idx,
+      SELECT doc_id, i - 1 AS block_idx,
         list_extract(string_split(vtt, chr(10) || chr(10)), i) AS b
       FROM p, unnest(generate_series(1,
         len(string_split(vtt, chr(10) || chr(10))))) AS g(i)),
     cues AS (
-      SELECT doc_id, cue_idx - 1 AS cue_idx, b,
+      -- block 0 is the WEBVTT header; cue index = block index - 1
+      SELECT doc_id, block_idx - 1 AS cue_idx, b,
         regexp_extract(b,
           '([0-9]{{2}}):([0-9]{{2}}):([0-9]{{2}})\\.([0-9]{{3}}) -->', 0)
           AS start_raw,
@@ -14278,15 +14279,13 @@ def vtt_caption_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ts_ms(raw: Column) -> Column:
-        h = F.regexp_extract(raw, r"([0-9]+):[0-9]+:[0-9]+\.[0-9]+", 1)
-        m = F.regexp_extract(raw, r"[0-9]+:([0-9]+):[0-9]+\.[0-9]+", 1)
-        s = F.regexp_extract(raw, r"[0-9]+:[0-9]+:([0-9]+)\.[0-9]+", 1)
-        ms = F.regexp_extract(raw, r"[0-9]+:[0-9]+:[0-9]+\.([0-9]+)", 1)
+        # one regex pass per timestamp: HH:MM:SS.mmm splits on [:.]
+        f = F.split(raw, r"[:.]")
         return (
-            h.cast("long") * 3600000
-            + m.cast("long") * 60000
-            + s.cast("long") * 1000
-            + ms.cast("long")
+            F.element_at(f, 1).cast("long") * 3600000
+            + F.element_at(f, 2).cast("long") * 60000
+            + F.element_at(f, 3).cast("long") * 1000
+            + F.element_at(f, 4).cast("long")
         )
 
     start_raw = F.regexp_extract(
