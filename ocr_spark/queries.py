@@ -14395,6 +14395,414 @@ def data_url_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_blocks_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<p>Intro with inline <code>x=1</code> snippet.</p>'
+        || CASE doc_id % 3
+             WHEN 0 THEN '<pre><code class="language-python">def f'
+               || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+               || '    return ' || CAST(doc_id % 7 AS VARCHAR)
+               || '</code></pre>'
+             WHEN 1 THEN '<pre><code>SELECT ' || CAST(doc_id AS VARCHAR)
+               || ';</code></pre><pre><code class="language-js">let n='
+               || CAST(doc_id AS VARCHAR) || ';</code></pre>'
+             ELSE '<pre>plain block ' || CAST(doc_id AS VARCHAR)
+               || '</pre>' END AS html
+      FROM documents),
+    fenced AS (
+      SELECT doc_id,
+        regexp_extract_all(html,
+          '<pre><code([^>]*)>(?s)(.*?)</code></pre>', 1) AS attrs,
+        regexp_extract_all(html,
+          '<pre><code([^>]*)>(?s)(.*?)</code></pre>', 2) AS bodies
+      FROM p),
+    frows AS (
+      SELECT doc_id, i - 1 AS block_idx,
+        regexp_extract(attrs[i], 'language-([a-z]+)', 1) AS lang,
+        bodies[i] AS code
+      FROM fenced, unnest(generate_series(1, len(bodies))) AS g(i)),
+    brows AS (
+      SELECT doc_id, 0 AS block_idx, '' AS lang,
+        regexp_extract(html, '<pre>([^<]*)</pre>', 1) AS code
+      FROM p WHERE doc_id % 3 = 2),
+    allrows AS (
+      SELECT * FROM frows UNION ALL SELECT * FROM brows)
+    SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, lang, code,
+      CAST(length(code) - length(replace(code, chr(10), '')) + 1
+           AS BIGINT) AS n_lines,
+      CAST(length(code) AS BIGINT) AS n_chars
+    FROM allrows
+    """
+
+
+@query("code_block_extract", _code_blocks_oracle())
+def code_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-block extraction (round 4): fenced ``<pre><code>`` blocks
+    are the code-corpus half of a web training set and need different
+    handling from prose (no whitespace collapse, language routing, a
+    code-vs-text mixture knob). Extracts fenced blocks with their
+    ``language-*`` class hint (attrs and bodies come from the SAME
+    regex so positions can't skew), bare ``<pre>`` blocks without a
+    hint, and ignores INLINE ``<code>`` spans (planted on every page
+    — prose, not a block). Multi-line bodies keep their newlines;
+    n_lines/n_chars feed the mixture accounting.
+
+    Scale shape: regexp_extract_all + posexplode, no shuffle; rides
+    the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = F.concat(
+        F.lit("<p>Intro with inline <code>x=1</code> snippet.</p>"),
+        F.when(v == 0, F.concat(
+            F.lit('<pre><code class="language-python">def f'), ds,
+            F.lit("():\n    return "), (i % 7).cast("string"),
+            F.lit("</code></pre>")))
+        .when(v == 1, F.concat(
+            F.lit("<pre><code>SELECT "), ds,
+            F.lit(';</code></pre><pre><code class="language-js">let n='),
+            ds, F.lit(";</code></pre>")))
+        .otherwise(F.concat(
+            F.lit("<pre>plain block "), ds, F.lit("</pre>"))),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    pat = "<pre><code([^>]*)>(?s)(.*?)</code></pre>"
+    attrs = F.regexp_extract_all(F.col("html"), F.lit(pat), 1)
+    bodies = F.regexp_extract_all(F.col("html"), F.lit(pat), 2)
+    frows = (
+        p.select(
+            "doc_id", attrs.alias("attrs"),
+            F.posexplode(bodies).alias("block_idx", "code"),
+        )
+        .select(
+            "doc_id",
+            F.col("block_idx").cast("long").alias("block_idx"),
+            F.regexp_extract(
+                F.element_at(F.col("attrs"), F.col("block_idx") + 1),
+                "language-([a-z]+)", 1,
+            ).alias("lang"),
+            "code",
+        )
+    )
+    brows = p.where(v == 2).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("block_idx"),
+        F.lit("").alias("lang"),
+        F.regexp_extract(F.col("html"), "<pre>([^<]*)</pre>", 1)
+        .alias("code"),
+    )
+    allrows = frows.unionByName(brows)
+    return allrows.select(
+        "doc_id", "block_idx", "lang", "code",
+        (
+            F.length("code")
+            - F.length(F.replace(F.col("code"), F.lit("\n"), F.lit("")))
+            + 1
+        ).cast("long").alias("n_lines"),
+        F.length("code").cast("long").alias("n_chars"),
+    )
+
+
+def _math_extract_oracle() -> str:
+    return r"""
+    WITH p AS (
+      SELECT doc_id,
+        '<p>Result: \(x^2 + ' || CAST(doc_id % 9 AS VARCHAR)
+        || '\) holds.</p>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<p>$$\int_0^' || CAST(doc_id % 5 + 1 AS VARCHAR)
+                     || ' f(t) dt$$</p>' ELSE '' END
+        || CASE WHEN doc_id % 4 = 1
+                THEN '<math><mi>n</mi><mn>' || CAST(doc_id % 8 AS VARCHAR)
+                     || '</mn></math>' ELSE '' END AS html
+      FROM documents),
+    inl AS (
+      SELECT doc_id, 'inline' AS kind, i - 1 AS idx,
+        list_extract(regexp_extract_all(html,
+          '\\\(((?:[^\\]|\\[^)])*)\\\)', 1), i) AS expr
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '\\\(((?:[^\\]|\\[^)])*)\\\)', 1)))) AS g(i)),
+    disp AS (
+      SELECT doc_id, 'display' AS kind, i - 1 AS idx,
+        list_extract(regexp_extract_all(html,
+          '\$\$(.*?)\$\$', 1), i) AS expr
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '\$\$(.*?)\$\$', 1)))) AS g(i)),
+    mml AS (
+      SELECT doc_id, 'mathml' AS kind, i - 1 AS idx,
+        list_extract(regexp_extract_all(html,
+          '<math>(.*?)</math>', 1), i) AS expr
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<math>(.*?)</math>', 1)))) AS g(i))
+    SELECT doc_id, kind, CAST(idx AS BIGINT) AS idx, expr
+    FROM (SELECT * FROM inl UNION ALL SELECT * FROM disp
+          UNION ALL SELECT * FROM mml)
+    """
+
+
+@query("math_extract", _math_extract_oracle())
+def math_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-notation extraction (round 4): LaTeX and MathML survive
+    naive extraction as mangled token soup, so a math-aware corpus
+    wants the expressions lifted out intact and marked by notation
+    kind — inline ``\\(...\\)``, display ``$$...$$``, and ``<math>``
+    MathML all planted (inline on every page, the others on
+    residues). Each kind extracts with its own delimiter-aware
+    pattern and keeps a per-kind index.
+
+    Scale shape: three regexp_extract_all + posexplode unions, no
+    shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v2 = i % 2
+    v4 = i % 4
+    html = F.concat(
+        F.lit(r"<p>Result: \(x^2 + "), (i % 9).cast("string"),
+        F.lit(r"\) holds.</p>"),
+        F.when(v2 == 0, F.concat(
+            F.lit(r"<p>$$\int_0^"), (i % 5 + 1).cast("string"),
+            F.lit(" f(t) dt$$</p>"))).otherwise(F.lit("")),
+        F.when(v4 == 1, F.concat(
+            F.lit("<math><mi>n</mi><mn>"), (i % 8).cast("string"),
+            F.lit("</mn></math>"))).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", html.alias("html"))
+
+    def rows(kind: str, pattern: str):
+        return p.select(
+            "doc_id",
+            F.lit(kind).alias("kind"),
+            F.posexplode(
+                F.regexp_extract_all(F.col("html"), F.lit(pattern), 1)
+            ).alias("idx", "expr"),
+        ).select(
+            "doc_id", "kind",
+            F.col("idx").cast("long").alias("idx"),
+            "expr",
+        )
+
+    inl = rows("inline", r"\\\(((?:[^\\]|\\[^)])*)\\\)")
+    disp = rows("display", r"\$\$(.*?)\$\$")
+    mml = rows("mathml", "<math>(.*?)</math>")
+    return inl.unionByName(disp).unionByName(mml)
+
+
+def _citation_oracle() -> str:
+    return r"""
+    WITH p AS (
+      SELECT doc_id,
+        'As shown in doi:10.1234/jx.' || CAST(doc_id AS VARCHAR)
+        || ' and <a href="https://doi.org/10.5555/conf.'
+        || CAST(doc_id AS VARCHAR) || '">[2]</a>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' (see arXiv:24' || lpad(CAST(doc_id % 12 + 1 AS
+                     VARCHAR), 2, '0') || '.' || lpad(CAST(doc_id % 100000
+                     AS VARCHAR), 5, '0') || ')' ELSE '' END
+        || ' the result holds.' AS text
+      FROM documents),
+    dois AS (
+      SELECT doc_id, 'doi' AS ref_kind, i - 1 AS idx,
+        list_extract(regexp_extract_all(text,
+          '(10\.[0-9]{4,}/[^\s<">)]+)', 1), i) AS ident
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '(10\.[0-9]{4,}/[^\s<">)]+)', 1)))) AS g(i)),
+    arx AS (
+      SELECT doc_id, 'arxiv' AS ref_kind, i - 1 AS idx,
+        list_extract(regexp_extract_all(text,
+          'arXiv:([0-9]{4}\.[0-9]{4,5})', 1), i) AS ident
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        'arXiv:([0-9]{4}\.[0-9]{4,5})', 1)))) AS g(i))
+    SELECT doc_id, ref_kind, CAST(idx AS BIGINT) AS idx, ident
+    FROM (SELECT * FROM dois UNION ALL SELECT * FROM arx)
+    """
+
+
+@query("doi_citation_extract", _citation_oracle())
+def doi_citation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholarly-identifier extraction (round 4): DOIs and arXiv ids
+    are the join keys between web text and the academic graph —
+    deduplicating a paper against its landing page, linking citing
+    passages, and filtering for academic-domain mixtures all start
+    here. DOIs match the ``10.NNNN/suffix`` registrant grammar in
+    both bare (``doi:...``) and resolver-url forms (the url's host
+    isn't captured — the identifier is host-independent); arXiv ids
+    match the modern ``YYMM.NNNNN`` scheme. Per-kind index kept.
+
+    Scale shape: two regexp_extract_all + posexplode unions, no
+    shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    text = F.concat(
+        F.lit("As shown in doi:10.1234/jx."), ds,
+        F.lit(' and <a href="https://doi.org/10.5555/conf.'), ds,
+        F.lit('">[2]</a>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(" (see arXiv:24"),
+            F.lpad((i % 12 + 1).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((i % 100000).cast("string"), 5, "0"),
+            F.lit(")"))).otherwise(F.lit("")),
+        F.lit(" the result holds."),
+    )
+    p = d.select("doc_id", text.alias("text"))
+
+    def rows(kind: str, pattern: str):
+        return p.select(
+            "doc_id",
+            F.lit(kind).alias("ref_kind"),
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)
+            ).alias("idx", "ident"),
+        ).select(
+            "doc_id", "ref_kind",
+            F.col("idx").cast("long").alias("idx"),
+            "ident",
+        )
+
+    dois = rows("doi", r'(10\.[0-9]{4,}/[^\s<">)]+)')
+    arx = rows("arxiv", r"arXiv:([0-9]{4}\.[0-9]{4,5})")
+    return dois.unionByName(arx)
+
+
+def _license_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '<link rel="license" '
+            || 'href="https://creativecommons.org/licenses/by/4.0/">'
+            || '<p>Article ' || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<p>Post ' || CAST(doc_id AS VARCHAR) || '</p>'
+            || '<a rel="license" '
+            || 'href="https://creativecommons.org/licenses/by-sa/3.0/">'
+            || 'CC BY-SA</a>'
+          WHEN 2 THEN '<meta name="license" content="MIT"><p>Readme '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 3 THEN '<p>Story ' || CAST(doc_id AS VARCHAR)
+            || '</p><footer>© 2024 Example. All rights reserved.'
+            || '</footer>'
+          ELSE '<p>Unmarked page ' || CAST(doc_id AS VARCHAR) || '</p>'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        regexp_extract(html,
+          'rel="license" href="([^"]+)"', 1) AS lic_url,
+        regexp_extract(html,
+          '<meta name="license" content="([^"]+)"', 1) AS lic_meta,
+        CASE WHEN contains(html, 'All rights reserved') THEN 1 ELSE 0 END
+          AS arr
+      FROM p),
+    c AS (
+      SELECT doc_id,
+        CASE WHEN lic_url <> '' THEN 'link'
+             WHEN lic_meta <> '' THEN 'meta'
+             WHEN arr = 1 THEN 'phrase'
+             ELSE 'none' END AS source,
+        CASE WHEN lic_url <> '' THEN
+               'cc-' || regexp_extract(lic_url,
+                 'licenses/([a-z-]+)/([0-9.]+)', 1)
+               || '-' || regexp_extract(lic_url,
+                 'licenses/([a-z-]+)/([0-9.]+)', 2)
+             WHEN lic_meta <> '' THEN lower(lic_meta)
+             WHEN arr = 1 THEN 'all-rights-reserved'
+             ELSE 'unknown' END AS license
+      FROM m)
+    SELECT doc_id, source, license,
+      CAST(CASE WHEN license LIKE 'cc-%' OR license = 'mit'
+                THEN 1 ELSE 0 END AS BIGINT) AS permissive
+    FROM c
+    """
+
+
+@query("license_detect", _license_oracle())
+def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-license detection (round 4): the curation signal legal
+    review actually asks for — pages declaring Creative Commons (the
+    ``rel="license"`` link with the license family+version parsed
+    out of the url), an explicit license meta, or an "All rights
+    reserved" footer, with declared markup beating footer phrases
+    and a conservative ``unknown`` for unmarked pages. The
+    ``permissive`` bit is the mixture-building filter (CC-* / MIT
+    here; the policy table is the caller's).
+
+    Scale shape: pure codegen regexp/contains projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 5
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="license" href="https://creativecommons.org'
+                  '/licenses/by/4.0/"><p>Article '), ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit("<p>Post "), ds,
+            F.lit('</p><a rel="license" href="https://creativecommons.org'
+                  '/licenses/by-sa/3.0/">CC BY-SA</a>')))
+        .when(v == 2, F.concat(
+            F.lit('<meta name="license" content="MIT"><p>Readme '), ds,
+            F.lit("</p>")))
+        .when(v == 3, F.concat(
+            F.lit("<p>Story "), ds,
+            F.lit("</p><footer>© 2024 Example. All rights reserved."
+                  "</footer>")))
+        .otherwise(F.concat(F.lit("<p>Unmarked page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    lic_url = F.regexp_extract(h, 'rel="license" href="([^"]+)"', 1)
+    lic_meta = F.regexp_extract(
+        h, '<meta name="license" content="([^"]+)"', 1
+    )
+    arr = F.when(h.contains("All rights reserved"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    m = p.select(
+        "doc_id",
+        lic_url.alias("lic_url"),
+        lic_meta.alias("lic_meta"),
+        arr.alias("arr"),
+    )
+    fam = F.regexp_extract(
+        F.col("lic_url"), "licenses/([a-z-]+)/([0-9.]+)", 1
+    )
+    ver = F.regexp_extract(
+        F.col("lic_url"), "licenses/([a-z-]+)/([0-9.]+)", 2
+    )
+    c = m.select(
+        "doc_id",
+        F.when(F.col("lic_url") != "", F.lit("link"))
+        .when(F.col("lic_meta") != "", F.lit("meta"))
+        .when(F.col("arr") == 1, F.lit("phrase"))
+        .otherwise(F.lit("none"))
+        .alias("source"),
+        F.when(
+            F.col("lic_url") != "",
+            F.concat(F.lit("cc-"), fam, F.lit("-"), ver),
+        )
+        .when(F.col("lic_meta") != "", F.lower(F.col("lic_meta")))
+        .when(F.col("arr") == 1, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("unknown"))
+        .alias("license"),
+    )
+    return c.select(
+        "doc_id", "source", "license",
+        F.when(
+            F.col("license").startswith("cc-")
+            | (F.col("license") == "mit"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("permissive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

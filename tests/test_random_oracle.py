@@ -162,6 +162,10 @@ CRITICAL = [
     "percent_encoding_normalize",
     "vtt_caption_parse",
     "data_url_media",
+    "code_block_extract",
+    "math_extract",
+    "doi_citation_extract",
+    "license_detect",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
