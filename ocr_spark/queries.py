@@ -14424,9 +14424,11 @@ def _code_blocks_oracle() -> str:
         bodies[i] AS code
       FROM fenced, unnest(generate_series(1, len(bodies))) AS g(i)),
     brows AS (
+      -- content-driven: '<pre>([^<]+)' can never match a fenced block
+      -- (those have '<code' right after '<pre>'), so no residue filter
       SELECT doc_id, 0 AS block_idx, '' AS lang,
-        regexp_extract(html, '<pre>([^<]*)</pre>', 1) AS code
-      FROM p WHERE doc_id % 3 = 2),
+        regexp_extract(html, '<pre>([^<]+)</pre>', 1) AS code
+      FROM p WHERE regexp_extract(html, '<pre>([^<]+)</pre>', 1) <> ''),
     allrows AS (
       SELECT * FROM frows UNION ALL SELECT * FROM brows)
     SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, lang, code,
@@ -14488,12 +14490,12 @@ def code_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code",
         )
     )
-    brows = p.where(v == 2).select(
+    bare = F.regexp_extract(F.col("html"), "<pre>([^<]+)</pre>", 1)
+    brows = p.where(bare != "").select(
         "doc_id",
         F.lit(0).cast("long").alias("block_idx"),
         F.lit("").alias("lang"),
-        F.regexp_extract(F.col("html"), "<pre>([^<]*)</pre>", 1)
-        .alias("code"),
+        bare.alias("code"),
     )
     allrows = frows.unionByName(brows)
     return allrows.select(
@@ -14504,6 +14506,26 @@ def code_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("long").alias("n_lines"),
         F.length("code").cast("long").alias("n_chars"),
+    )
+
+
+def _kind_rows(
+    p: DataFrame, text_col: str, kind_col: str, kind: str,
+    pattern: str, val_col: str,
+) -> DataFrame:
+    """posexplode the group-1 matches of ``pattern`` over ``text_col``
+    with a literal kind tag — the shared shape under math_extract and
+    doi_citation_extract."""
+    return p.select(
+        "doc_id",
+        F.lit(kind).alias(kind_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+        ).alias("idx", val_col),
+    ).select(
+        "doc_id", kind_col,
+        F.col("idx").cast("long").alias("idx"),
+        val_col,
     )
 
 
@@ -14572,23 +14594,11 @@ def math_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</mn></math>"))).otherwise(F.lit("")),
     )
     p = d.select("doc_id", html.alias("html"))
-
-    def rows(kind: str, pattern: str):
-        return p.select(
-            "doc_id",
-            F.lit(kind).alias("kind"),
-            F.posexplode(
-                F.regexp_extract_all(F.col("html"), F.lit(pattern), 1)
-            ).alias("idx", "expr"),
-        ).select(
-            "doc_id", "kind",
-            F.col("idx").cast("long").alias("idx"),
-            "expr",
-        )
-
-    inl = rows("inline", r"\\\(((?:[^\\]|\\[^)])*)\\\)")
-    disp = rows("display", r"\$\$(.*?)\$\$")
-    mml = rows("mathml", "<math>(.*?)</math>")
+    inl = _kind_rows(
+        p, "html", "kind", "inline", r"\\\(((?:[^\\]|\\[^)])*)\\\)", "expr"
+    )
+    disp = _kind_rows(p, "html", "kind", "display", r"\$\$(.*?)\$\$", "expr")
+    mml = _kind_rows(p, "html", "kind", "mathml", "<math>(.*?)</math>", "expr")
     return inl.unionByName(disp).unionByName(mml)
 
 
@@ -14652,22 +14662,13 @@ def doi_citation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" the result holds."),
     )
     p = d.select("doc_id", text.alias("text"))
-
-    def rows(kind: str, pattern: str):
-        return p.select(
-            "doc_id",
-            F.lit(kind).alias("ref_kind"),
-            F.posexplode(
-                F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)
-            ).alias("idx", "ident"),
-        ).select(
-            "doc_id", "ref_kind",
-            F.col("idx").cast("long").alias("idx"),
-            "ident",
-        )
-
-    dois = rows("doi", r'(10\.[0-9]{4,}/[^\s<">)]+)')
-    arx = rows("arxiv", r"arXiv:([0-9]{4}\.[0-9]{4,5})")
+    dois = _kind_rows(
+        p, "text", "ref_kind", "doi", r'(10\.[0-9]{4,}/[^\s<">)]+)', "ident"
+    )
+    arx = _kind_rows(
+        p, "text", "ref_kind", "arxiv", r"arXiv:([0-9]{4}\.[0-9]{4,5})",
+        "ident",
+    )
     return dois.unionByName(arx)
 
 
@@ -14692,7 +14693,7 @@ def _license_oracle() -> str:
           END AS html
       FROM documents),
     m AS (
-      SELECT doc_id, html,
+      SELECT doc_id,
         regexp_extract(html,
           'rel="license" href="([^"]+)"', 1) AS lic_url,
         regexp_extract(html,
