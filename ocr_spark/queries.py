@@ -14804,6 +14804,290 @@ def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<p>Watch this:</p>'
+        || CASE doc_id % 4
+             WHEN 0 THEN '<iframe src="https://www.youtube.com/embed/vid'
+               || CAST(doc_id AS VARCHAR) || 'x"></iframe>'
+             WHEN 1 THEN '<iframe src="https://player.vimeo.com/video/'
+               || CAST(doc_id * 7 AS VARCHAR) || '"></iframe>'
+             WHEN 2 THEN '<iframe src="https://www.youtube-nocookie.com'
+               || '/embed/nc' || CAST(doc_id AS VARCHAR) || '"></iframe>'
+               || '<iframe src="https://maps.example.com/widget'
+               || CAST(doc_id AS VARCHAR) || '"></iframe>'
+             ELSE '' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, i - 1 AS embed_idx,
+        list_extract(regexp_extract_all(html,
+          '<iframe src="([^"]+)"', 1), i) AS src
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<iframe src="([^"]+)"', 1)))) AS g(i))
+    SELECT doc_id, CAST(embed_idx AS BIGINT) AS embed_idx, src,
+      CASE WHEN regexp_matches(src,
+             'youtube(-nocookie)?\\.com/embed/') THEN 'youtube'
+           WHEN contains(src, 'player.vimeo.com/video/') THEN 'vimeo'
+           ELSE 'other' END AS provider,
+      CASE WHEN regexp_matches(src,
+             'youtube(-nocookie)?\\.com/embed/')
+           THEN regexp_extract(src, '/embed/([^?/"]+)', 1)
+           WHEN contains(src, 'player.vimeo.com/video/')
+           THEN regexp_extract(src, '/video/([0-9]+)', 1)
+           ELSE '' END AS video_id
+    FROM fr
+    """
+
+
+@query("embed_extract", _embed_oracle())
+def embed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-embed extraction (round 4): iframe embeds are the
+    text-video pairing source — the page supplies the caption-rich
+    context, the provider/video-id supplies the media key for the
+    multimodal join. Extracts every iframe src in order, classifies
+    the provider (YouTube incl. the nocookie domain, Vimeo, other),
+    and parses the provider-specific video id; a non-video iframe
+    (an embedded map) is planted to land in 'other' with no id.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    classification, no shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = F.concat(
+        F.lit("<p>Watch this:</p>"),
+        F.when(v == 0, F.concat(
+            F.lit('<iframe src="https://www.youtube.com/embed/vid'), ds,
+            F.lit('x"></iframe>')))
+        .when(v == 1, F.concat(
+            F.lit('<iframe src="https://player.vimeo.com/video/'),
+            (i * 7).cast("string"), F.lit('"></iframe>')))
+        .when(v == 2, F.concat(
+            F.lit('<iframe src="https://www.youtube-nocookie.com/embed/nc'),
+            ds,
+            F.lit('"></iframe>'
+                  '<iframe src="https://maps.example.com/widget'),
+            ds, F.lit('"></iframe>')))
+        .otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<iframe src="([^"]+)"'), 1
+            )
+        ).alias("embed_idx", "src"),
+    )
+    s = F.col("src")
+    is_yt = s.rlike(r"youtube(-nocookie)?\.com/embed/")
+    is_vm = s.contains("player.vimeo.com/video/")
+    return fr.select(
+        "doc_id",
+        F.col("embed_idx").cast("long").alias("embed_idx"),
+        "src",
+        F.when(is_yt, F.lit("youtube"))
+        .when(is_vm, F.lit("vimeo"))
+        .otherwise(F.lit("other"))
+        .alias("provider"),
+        F.when(is_yt, F.regexp_extract(s, '/embed/([^?/"]+)', 1))
+        .when(is_vm, F.regexp_extract(s, "/video/([0-9]+)", 1))
+        .otherwise(F.lit(""))
+        .alias("video_id"),
+    )
+
+
+def _byline_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta name="author" content="Meta Writer '
+            || CAST(doc_id % 31 AS VARCHAR) || '"><span class="byline">'
+            || 'By Span Writer</span><p>body</p>'
+          WHEN 1 THEN '<span class="byline">By Byline Writer '
+            || CAST(doc_id % 17 AS VARCHAR) || '</span><p>body</p>'
+          WHEN 2 THEN '<a rel="author" href="/staff/a'
+            || CAST(doc_id AS VARCHAR) || '">Rel Author '
+            || CAST(doc_id % 13 AS VARCHAR) || '</a><p>body</p>'
+          ELSE '<p>anonymous wire copy ' || CAST(doc_id AS VARCHAR)
+            || '</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<meta name="author" content="([^"]+)"', 1) AS meta_a,
+        regexp_extract(html,
+          '<a rel="author"[^>]*>([^<]+)</a>', 1) AS rel_a,
+        regexp_extract(html,
+          '<span class="byline">(?:By )?([^<]+)</span>', 1) AS span_a
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN meta_a <> '' THEN 'meta'
+           WHEN rel_a <> '' THEN 'rel_author'
+           WHEN span_a <> '' THEN 'byline_class'
+           ELSE 'none' END AS source,
+      CASE WHEN meta_a <> '' THEN meta_a
+           WHEN rel_a <> '' THEN rel_a
+           WHEN span_a <> '' THEN span_a
+           ELSE '' END AS author
+    FROM m
+    """
+
+
+@query("author_byline_extract", _byline_oracle())
+def author_byline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Author-byline extraction (round 4): attribution metadata feeds
+    dedup across syndication (same author+title on many hosts),
+    quality priors, and per-author opt-out compliance. Declared
+    metadata beats presentation markup: ``<meta name=author>`` >
+    ``rel="author"`` anchors > byline-class spans (the "By " prefix
+    stripped at the span tier only — metadata is already clean); a
+    page carrying BOTH meta and a span is planted to pin the
+    precedence, and wire copy with no attribution stays 'none'.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="author" content="Meta Writer '),
+            (i % 31).cast("string"),
+            F.lit('"><span class="byline">By Span Writer</span>'
+                  "<p>body</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<span class="byline">By Byline Writer '),
+            (i % 17).cast("string"), F.lit("</span><p>body</p>")))
+        .when(v == 2, F.concat(
+            F.lit('<a rel="author" href="/staff/a'), ds,
+            F.lit('">Rel Author '), (i % 13).cast("string"),
+            F.lit("</a><p>body</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>anonymous wire copy "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    meta_a = F.regexp_extract(h, '<meta name="author" content="([^"]+)"', 1)
+    rel_a = F.regexp_extract(h, '<a rel="author"[^>]*>([^<]+)</a>', 1)
+    span_a = F.regexp_extract(
+        h, '<span class="byline">(?:By )?([^<]+)</span>', 1
+    )
+    m = p.select(
+        "doc_id",
+        meta_a.alias("meta_a"),
+        rel_a.alias("rel_a"),
+        span_a.alias("span_a"),
+    )
+    return m.select(
+        "doc_id",
+        F.when(F.col("meta_a") != "", F.lit("meta"))
+        .when(F.col("rel_a") != "", F.lit("rel_author"))
+        .when(F.col("span_a") != "", F.lit("byline_class"))
+        .otherwise(F.lit("none"))
+        .alias("source"),
+        F.when(F.col("meta_a") != "", F.col("meta_a"))
+        .when(F.col("rel_a") != "", F.col("rel_a"))
+        .when(F.col("span_a") != "", F.col("span_a"))
+        .otherwise(F.lit(""))
+        .alias("author"),
+    )
+
+
+def _dublin_core_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<head>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<meta name="DC.title" content="Archive Item '
+                     || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<meta name="DC.creator" content="Curator '
+                     || CAST(doc_id % 11 AS VARCHAR) || '">' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<meta name="DC.date" content="2024-'
+                     || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                     || '-15">' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN '<meta name="DC.language" content="'
+                     || lang || '">' ELSE '' END
+        || '<meta name="description" content="not dc">'
+        || '</head>' AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, i AS i,
+        list_extract(regexp_extract_all(html,
+          '<meta name="DC\\.([a-z]+)" content="[^"]*"', 1), i) AS field,
+        list_extract(regexp_extract_all(html,
+          '<meta name="DC\\.[a-z]+" content="([^"]*)"', 1), i) AS value
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<meta name="DC\\.([a-z]+)" content="[^"]*"', 1)))) AS g(i))
+    SELECT doc_id, field, value FROM fr
+    """
+
+
+@query("dublin_core_extract", _dublin_core_oracle())
+def dublin_core_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dublin Core metadata extraction (round 4): the pre-OpenGraph
+    metadata vocabulary libraries, archives, and government sites
+    still serve (``DC.title`` / ``DC.creator`` / ``DC.date`` /
+    ``DC.language``) — exploded to (field, value) rows with the
+    field-count varying per page (each field on its own residue) and
+    a non-DC meta planted on every page that must NOT match the
+    namespaced pattern. Field names and values come from the SAME
+    anchor pattern, so positions can't skew.
+
+    Scale shape: two aligned regexp_extract_all + posexplode, no
+    shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    html = F.concat(
+        F.lit("<head>"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<meta name="DC.title" content="Archive Item '), ds,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit('<meta name="DC.creator" content="Curator '),
+            (i % 11).cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(
+            F.lit('<meta name="DC.date" content="2024-'),
+            F.lpad((i % 12 + 1).cast("string"), 2, "0"),
+            F.lit('-15">'))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit('<meta name="DC.language" content="'), F.col("lang"),
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="not dc"></head>'),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fields = F.regexp_extract_all(
+        F.col("html"),
+        F.lit('<meta name="DC\\.([a-z]+)" content="[^"]*"'), 1,
+    )
+    values = F.regexp_extract_all(
+        F.col("html"),
+        F.lit('<meta name="DC\\.[a-z]+" content="([^"]*)"'), 1,
+    )
+    return (
+        p.select(
+            "doc_id", values.alias("values"),
+            F.posexplode(fields).alias("pos", "field"),
+        )
+        .select(
+            "doc_id", "field",
+            F.element_at(F.col("values"), F.col("pos") + 1).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -166,6 +166,9 @@ CRITICAL = [
     "math_extract",
     "doi_citation_extract",
     "license_detect",
+    "embed_extract",
+    "author_byline_extract",
+    "dublin_core_extract",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
