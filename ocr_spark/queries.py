@@ -15088,6 +15088,951 @@ def dublin_core_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _figcap_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<figure><img src="https://img.example/a'
+            || CAST(doc_id AS VARCHAR) || '.jpg" alt="Alt A '
+            || CAST(doc_id % 23 AS VARCHAR) || '"><figcaption>Figure '
+            || CAST(doc_id % 19 AS VARCHAR)
+            || ' caption</figcaption></figure>'
+          WHEN 1 THEN '<figure><img src="https://img.example/b'
+            || CAST(doc_id AS VARCHAR) || '.png" alt="Alt only '
+            || CAST(doc_id % 23 AS VARCHAR) || '"></figure>'
+          WHEN 2 THEN '<figure><img src="https://img.example/c'
+            || CAST(doc_id AS VARCHAR) || '.webp" alt="Alt C '
+            || CAST(doc_id % 23 AS VARCHAR) || '"><figcaption>Lead '
+            || CAST(doc_id % 19 AS VARCHAR) || '</figcaption></figure>'
+            || '<figure><img src="https://img.example/d'
+            || CAST(doc_id AS VARCHAR) || '.gif"></figure>'
+          ELSE '<p>no figures ' || CAST(doc_id AS VARCHAR) || '</p>'
+        END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, i - 1 AS fig_idx,
+        list_extract(regexp_extract_all(html,
+          '<figure>(.*?)</figure>', 1), i) AS block
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<figure>(.*?)</figure>', 1)))) AS g(i))
+    SELECT doc_id, CAST(fig_idx AS BIGINT) AS fig_idx,
+      regexp_extract(block, '<img src="([^"]+)"', 1) AS src,
+      CASE WHEN contains(block, '<figcaption>')
+           THEN regexp_extract(block,
+             '<figcaption>([^<]*)</figcaption>', 1)
+           WHEN contains(block, 'alt="')
+           THEN regexp_extract(block, 'alt="([^"]*)"', 1)
+           ELSE '' END AS caption,
+      CASE WHEN contains(block, '<figcaption>') THEN 'figcaption'
+           WHEN contains(block, 'alt="') THEN 'alt'
+           ELSE 'none' END AS caption_source
+    FROM fr
+    """
+
+
+@query("figure_caption_pairs", _figcap_oracle())
+def figure_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair mining (round 4): <figure> blocks are the
+    highest-precision caption source for image-text multimodal
+    training pairs. Extracts each figure in document order, parses the
+    img src, and resolves the caption with the standard precedence —
+    <figcaption> beats the img alt text, alt beats nothing — tagging
+    the provenance so a mixture builder can weight figcaption pairs
+    (human-written captions) above alt pairs (often filenames). A
+    caption-less figure is planted on every %4==2 page as the 'none'
+    control; %4==3 pages carry no figure at all (zero rows).
+
+    Scale shape: one regexp_extract_all + posexplode, per-block fields
+    via codegen regexp_extract/CASE — no shuffle, no Python; rides the
+    extraction scan like embed_extract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    m23 = (i % 23).cast("string")
+    m19 = (i % 19).cast("string")
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<figure><img src="https://img.example/a'), ds,
+            F.lit('.jpg" alt="Alt A '), m23,
+            F.lit('"><figcaption>Figure '), m19,
+            F.lit(" caption</figcaption></figure>")))
+        .when(v == 1, F.concat(
+            F.lit('<figure><img src="https://img.example/b'), ds,
+            F.lit('.png" alt="Alt only '), m23,
+            F.lit('"></figure>')))
+        .when(v == 2, F.concat(
+            F.lit('<figure><img src="https://img.example/c'), ds,
+            F.lit('.webp" alt="Alt C '), m23,
+            F.lit('"><figcaption>Lead '), m19,
+            F.lit('</figcaption></figure>'
+                  '<figure><img src="https://img.example/d'),
+            ds, F.lit('.gif"></figure>')))
+        .otherwise(F.concat(F.lit("<p>no figures "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<figure>(.*?)</figure>"), 1
+            )
+        ).alias("fig_idx", "block"),
+    )
+    b = F.col("block")
+    has_cap = b.contains("<figcaption>")
+    has_alt = b.contains('alt="')
+    return fr.select(
+        "doc_id",
+        F.col("fig_idx").cast("long").alias("fig_idx"),
+        F.regexp_extract(b, '<img src="([^"]+)"', 1).alias("src"),
+        F.when(has_cap,
+               F.regexp_extract(b, "<figcaption>([^<]*)</figcaption>", 1))
+        .when(has_alt, F.regexp_extract(b, 'alt="([^"]*)"', 1))
+        .otherwise(F.lit(""))
+        .alias("caption"),
+        F.when(has_cap, F.lit("figcaption"))
+        .when(has_alt, F.lit("alt"))
+        .otherwise(F.lit("none"))
+        .alias("caption_source"),
+    )
+
+
+def _rdfa_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta property="schema:name" content="RDFa Name '
+            || CAST(doc_id % 29 AS VARCHAR) || '">'
+            || '<meta property="schema:datePublished" content="2024-0'
+            || CAST(1 + doc_id % 9 AS VARCHAR) || '-15">'
+          WHEN 1 THEN '<span property="schema:author">Author '
+            || CAST(doc_id % 13 AS VARCHAR) || '</span>'
+            || '<meta property="schema:inLanguage" content="lang'
+            || CAST(doc_id % 5 AS VARCHAR) || '">'
+          ELSE '<meta property="og:title" content="not rdfa">'
+            || '<meta property="schema:headline" content="Headline '
+            || CAST(doc_id % 17 AS VARCHAR) || '">'
+        END AS html
+      FROM documents),
+    metas AS (
+      SELECT doc_id,
+        list_extract(regexp_extract_all(html,
+          '<meta property="schema:([A-Za-z]+)" content="[^"]*"', 1), i)
+          AS prop,
+        list_extract(regexp_extract_all(html,
+          '<meta property="schema:[A-Za-z]+" content="([^"]*)"', 1), i)
+          AS value,
+        'meta' AS node_kind
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<meta property="schema:([A-Za-z]+)" content="[^"]*"',
+        1)))) AS g(i)),
+    spans AS (
+      SELECT doc_id,
+        list_extract(regexp_extract_all(html,
+          '<span property="schema:([A-Za-z]+)">[^<]*</span>', 1), i)
+          AS prop,
+        list_extract(regexp_extract_all(html,
+          '<span property="schema:[A-Za-z]+">([^<]*)</span>', 1), i)
+          AS value,
+        'span' AS node_kind
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<span property="schema:([A-Za-z]+)">[^<]*</span>',
+        1)))) AS g(i))
+    SELECT doc_id, prop, value, node_kind FROM metas
+    UNION ALL
+    SELECT doc_id, prop, value, node_kind FROM spans
+    """
+
+
+@query("rdfa_extract", _rdfa_oracle())
+def rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa-lite extraction (round 4): completes the structured-data
+    trio (microdata_extract, jsonld_extract, dublin_core_extract) with
+    the property= vocabulary. Schema.org-prefixed properties are
+    pulled from both carrier shapes — <meta property content=...>
+    (attribute value) and <span property>text</span> (element text) —
+    tagged with node_kind; a non-schema property (og:title) is planted
+    on every %3==2 page and must NOT appear.
+
+    Scale shape: two regexp_extract_all projections unioned — both
+    sides of the union are narrow scans of the same cached page
+    construction, no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta property="schema:name" content="RDFa Name '),
+            (i % 29).cast("string"),
+            F.lit('"><meta property="schema:datePublished" '
+                  'content="2024-0'),
+            (1 + i % 9).cast("string"), F.lit('-15">')))
+        .when(v == 1, F.concat(
+            F.lit('<span property="schema:author">Author '),
+            (i % 13).cast("string"),
+            F.lit('</span><meta property="schema:inLanguage" '
+                  'content="lang'),
+            (i % 5).cast("string"), F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<meta property="og:title" content="not rdfa">'
+                  '<meta property="schema:headline" content="Headline '),
+            (i % 17).cast("string"), F.lit('">')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+
+    def _kind(attr_pat: str, val_pat: str, kind: str) -> DataFrame:
+        props = F.regexp_extract_all(F.col("html"), F.lit(attr_pat), 1)
+        vals = F.regexp_extract_all(F.col("html"), F.lit(val_pat), 1)
+        return (
+            p.select(
+                "doc_id", vals.alias("vals"),
+                F.posexplode(props).alias("pos", "prop"),
+            )
+            .select(
+                "doc_id", "prop",
+                F.element_at(F.col("vals"), F.col("pos") + 1)
+                .alias("value"),
+                F.lit(kind).alias("node_kind"),
+            )
+        )
+
+    metas = _kind(
+        '<meta property="schema:([A-Za-z]+)" content="[^"]*"',
+        '<meta property="schema:[A-Za-z]+" content="([^"]*)"',
+        "meta",
+    )
+    spans = _kind(
+        '<span property="schema:([A-Za-z]+)">[^<]*</span>',
+        '<span property="schema:[A-Za-z]+">([^<]*)</span>',
+        "span",
+    )
+    return metas.unionAll(spans)
+
+
+def _breadcrumb_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<nav class="breadcrumb">'
+        || CASE WHEN doc_id % 3 >= 1
+             THEN '<a href="/">Home</a>' ELSE '' END
+        || CASE WHEN doc_id % 3 = 2
+             THEN '<a href="/sec' || CAST(doc_id % 7 AS VARCHAR)
+               || '">Section ' || CAST(doc_id % 7 AS VARCHAR) || '</a>'
+             ELSE '' END
+        || '<span class="current">Page '
+        || CAST(doc_id % 19 AS VARCHAR) || '</span></nav>'
+        || '<nav class="other"><a href="/x">not a crumb</a></nav>'
+          AS html
+      FROM documents),
+    nav AS (
+      SELECT doc_id, regexp_extract(html,
+        '<nav class="breadcrumb">(.*?)</nav>', 1) AS trail
+      FROM p),
+    fr AS (
+      SELECT doc_id, i - 1 AS pos,
+        list_extract(regexp_extract_all(trail,
+          '(<a href="[^"]*">[^<]*</a>|<span class="current">[^<]*</span>)',
+          1), i) AS el
+      FROM nav, unnest(generate_series(1, len(regexp_extract_all(trail,
+        '(<a href="[^"]*">[^<]*</a>|<span class="current">[^<]*</span>)',
+        1)))) AS g(i))
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      regexp_extract(el, '>([^<]*)<', 1) AS label,
+      CASE WHEN contains(el, 'href="')
+           THEN regexp_extract(el, 'href="([^"]*)"', 1)
+           ELSE '' END AS href,
+      CAST(CASE WHEN contains(el, '<span') THEN 1 ELSE 0 END AS INT)
+        AS is_leaf
+    FROM fr
+    """
+
+
+@query("breadcrumb_extract", _breadcrumb_oracle())
+def breadcrumb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadcrumb-trail extraction (round 4): the breadcrumb nav is the
+    page's own statement of where it sits in the site taxonomy — the
+    trail feeds topic clustering and URL-pattern mining. Locates the
+    breadcrumb nav (a second non-breadcrumb nav is planted on every
+    page and must be ignored), splits the trail into crumbs in order,
+    and emits position, label, href (empty for the current-page leaf
+    span), and the leaf flag. Trail depth varies 1..3 by doc_id%3.
+
+    Scale shape: one anchored regexp_extract to isolate the nav, one
+    regexp_extract_all + posexplode over the trail, codegen field
+    parsing — no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m7 = (i % 7).cast("string")
+    html = F.concat(
+        F.lit('<nav class="breadcrumb">'),
+        F.when(i % 3 >= 1, F.lit('<a href="/">Home</a>'))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 2, F.concat(
+            F.lit('<a href="/sec'), m7, F.lit('">Section '), m7,
+            F.lit("</a>")))
+        .otherwise(F.lit("")),
+        F.lit('<span class="current">Page '),
+        (i % 19).cast("string"),
+        F.lit('</span></nav>'
+              '<nav class="other"><a href="/x">not a crumb</a></nav>'),
+    )
+    crumb_pat = (
+        '(<a href="[^"]*">[^<]*</a>|<span class="current">[^<]*</span>)'
+    )
+    nav = d.select(
+        "doc_id",
+        F.regexp_extract(
+            html, '<nav class="breadcrumb">(.*?)</nav>', 1
+        ).alias("trail"),
+    )
+    fr = nav.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("trail"), F.lit(crumb_pat), 1)
+        ).alias("pos", "el"),
+    )
+    e = F.col("el")
+    return fr.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.regexp_extract(e, ">([^<]*)<", 1).alias("label"),
+        F.when(e.contains('href="'),
+               F.regexp_extract(e, 'href="([^"]*)"', 1))
+        .otherwise(F.lit(""))
+        .alias("href"),
+        F.when(e.contains("<span"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_leaf"),
+    )
+
+
+def _url_date_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'https://ex.com/'
+        || CASE doc_id % 4
+             WHEN 0 THEN '2023/' || lpad(CAST(1 + doc_id % 12 AS
+               VARCHAR), 2, '0') || '/' || lpad(CAST(1 + doc_id % 28
+               AS VARCHAR), 2, '0') || '/'
+             WHEN 1 THEN '2022/' || lpad(CAST(1 + doc_id % 12 AS
+               VARCHAR), 2, '0') || '/' || lpad(CAST(1 + doc_id % 28
+               AS VARCHAR), 2, '0') || '/'
+             WHEN 2 THEN '2021/' || lpad(CAST(1 + doc_id % 12 AS
+               VARCHAR), 2, '0') || '/'
+             ELSE 'evergreen/' END
+        || 'post' || CAST(doc_id AS VARCHAR) AS url,
+        CASE WHEN doc_id % 4 = 0
+          THEN '<meta property="article:published_time" content="2023-'
+            || lpad(CAST(1 + doc_id % 9 AS VARCHAR), 2, '0')
+            || '-09T10:00:00Z">'
+          ELSE '<p>no meta date</p>' END AS html
+      FROM documents),
+    f AS (
+      SELECT doc_id, url,
+        regexp_extract(html, 'article:published_time" content="'
+          || '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS meta_d,
+        regexp_extract(url, '/([0-9]{4})/([0-9]{2})/([0-9]{2})/',
+          ['y', 'm', 'd']) AS ymd,
+        regexp_extract(url, '/([0-9]{4})/([0-9]{2})/', ['y', 'm'])
+          AS ym,
+        regexp_matches(url, '/[0-9]{4}/[0-9]{2}/[0-9]{2}/') AS has_ymd,
+        regexp_matches(url, '/[0-9]{4}/[0-9]{2}/') AS has_ym
+      FROM p)
+    SELECT doc_id, url,
+      CASE WHEN meta_d <> '' THEN meta_d
+           WHEN has_ymd THEN ymd.y || '-' || ymd.m || '-' || ymd.d
+           WHEN has_ym THEN ym.y || '-' || ym.m || '-01'
+           ELSE '' END AS pub_date,
+      CASE WHEN meta_d <> '' THEN 'meta'
+           WHEN has_ymd OR has_ym THEN 'url'
+           ELSE 'none' END AS date_source
+    FROM f
+    """
+
+
+@query("url_date_extract", _url_date_oracle())
+def url_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date inference (round 4): temporal filtering and
+    dedup-tie-breaking both need a per-document date, and most pages
+    carry one in the URL path even when metadata is absent. Resolves
+    with the standard precedence — article:published_time meta beats
+    a /YYYY/MM/DD/ path segment beats /YYYY/MM/ (day defaults to 01)
+    beats nothing — and tags the provenance. %4==0 pages carry BOTH a
+    meta date and a conflicting URL date to pin the precedence.
+
+    Scale shape: three codegen regexp_extracts and a CASE — no
+    shuffle, no Python; date strings stay lexicographic-sortable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    mm = F.lpad((1 + i % 12).cast("string"), 2, "0")
+    dd = F.lpad((1 + i % 28).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://ex.com/"),
+        F.when(v == 0, F.concat(F.lit("2023/"), mm, F.lit("/"), dd,
+                                F.lit("/")))
+        .when(v == 1, F.concat(F.lit("2022/"), mm, F.lit("/"), dd,
+                               F.lit("/")))
+        .when(v == 2, F.concat(F.lit("2021/"), mm, F.lit("/")))
+        .otherwise(F.lit("evergreen/")),
+        F.lit("post"), i.cast("string"),
+    )
+    html = F.when(v == 0, F.concat(
+        F.lit('<meta property="article:published_time" content="2023-'),
+        F.lpad((1 + i % 9).cast("string"), 2, "0"),
+        F.lit('-09T10:00:00Z">'),
+    )).otherwise(F.lit("<p>no meta date</p>"))
+    p = d.select("doc_id", url.alias("url"), html.alias("html"))
+    u = F.col("url")
+    meta_d = F.regexp_extract(
+        F.col("html"),
+        'article:published_time" content="([0-9]{4}-[0-9]{2}-[0-9]{2})',
+        1,
+    )
+    ymd_pat = "/([0-9]{4})/([0-9]{2})/([0-9]{2})/"
+    ym_pat = "/([0-9]{4})/([0-9]{2})/"
+    has_ymd = u.rlike("/[0-9]{4}/[0-9]{2}/[0-9]{2}/")
+    has_ym = u.rlike("/[0-9]{4}/[0-9]{2}/")
+    ymd = F.concat(
+        F.regexp_extract(u, ymd_pat, 1), F.lit("-"),
+        F.regexp_extract(u, ymd_pat, 2), F.lit("-"),
+        F.regexp_extract(u, ymd_pat, 3),
+    )
+    ym = F.concat(
+        F.regexp_extract(u, ym_pat, 1), F.lit("-"),
+        F.regexp_extract(u, ym_pat, 2), F.lit("-01"),
+    )
+    return p.select(
+        "doc_id", "url",
+        F.when(meta_d != "", meta_d)
+        .when(has_ymd, ymd)
+        .when(has_ym, ym)
+        .otherwise(F.lit(""))
+        .alias("pub_date"),
+        F.when(meta_d != "", F.lit("meta"))
+        .when(has_ymd | has_ym, F.lit("url"))
+        .otherwise(F.lit("none"))
+        .alias("date_source"),
+    )
+
+
+def _script_profile_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        repeat('lorem ipsum dolor ', 1 + doc_id % 3)
+        || CASE WHEN doc_id % 3 = 1
+             THEN repeat('привет мир ', 1 + doc_id % 4)
+             ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN repeat('漢字文章', 1 + doc_id % 2) ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN 'αβγδε ' ELSE '' END
+          AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        length(text) - length(regexp_replace(text,
+          '[\\p{Latin}]', '', 'g')) AS latin_chars,
+        length(text) - length(regexp_replace(text,
+          '[\\p{Cyrillic}]', '', 'g')) AS cyrillic_chars,
+        length(text) - length(regexp_replace(text,
+          '[\\p{Han}]', '', 'g')) AS han_chars,
+        length(text) - length(regexp_replace(text,
+          '[\\p{Greek}]', '', 'g')) AS greek_chars
+      FROM p)
+    SELECT doc_id,
+      CAST(latin_chars AS BIGINT) AS latin_chars,
+      CAST(cyrillic_chars AS BIGINT) AS cyrillic_chars,
+      CAST(han_chars AS BIGINT) AS han_chars,
+      CAST(greek_chars AS BIGINT) AS greek_chars,
+      CASE WHEN latin_chars >= cyrillic_chars
+             AND latin_chars >= han_chars
+             AND latin_chars >= greek_chars THEN 'latin'
+           WHEN cyrillic_chars >= han_chars
+             AND cyrillic_chars >= greek_chars THEN 'cyrillic'
+           WHEN han_chars >= greek_chars THEN 'han'
+           ELSE 'greek' END AS dominant_script,
+      round(1.0 * (cyrillic_chars + han_chars + greek_chars)
+        / (latin_chars + cyrillic_chars + han_chars + greek_chars), 4)
+        AS non_latin_ratio
+    FROM c
+    """
+
+
+@query("unicode_script_profile", _script_profile_oracle())
+def unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (round 4): script composition is the
+    cheap upstream signal for language routing — a Cyrillic-dominant
+    page never reaches the English quality classifier, and mixed-
+    script pages (Latin boilerplate around CJK body) are exactly the
+    ones n-gram langid gets wrong. Counts letters per script
+    (Latin/Cyrillic/Han/Greek) via strip-and-diff, picks the dominant
+    script with a fixed tie order, and reports the non-Latin ratio.
+
+    Scale shape: four codegen regexp_replaces over one projection —
+    no shuffle, no Python. Java and RE2 spell the script class
+    differently (\\p{IsCyrillic} vs \\p{Cyrillic}); counts agree
+    because every planted char is BMP (code points == UTF-16 units).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("lorem ipsum dolor "), (1 + i % 3).cast("int")),
+        F.when(i % 3 == 1,
+               F.repeat(F.lit("привет "
+                              "мир "),
+                        (1 + i % 4).cast("int")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.repeat(F.lit("漢字文章"),
+                        (1 + i % 2).cast("int")))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("αβγδε "))
+        .otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+
+    def _n(java_class: str) -> Column:
+        return (
+            F.length(t)
+            - F.length(F.regexp_replace(t, f"[\\p{{{java_class}}}]", ""))
+        ).cast("long")
+
+    c = p.select(
+        "doc_id",
+        _n("IsLatin").alias("latin_chars"),
+        _n("IsCyrillic").alias("cyrillic_chars"),
+        _n("IsHan").alias("han_chars"),
+        _n("IsGreek").alias("greek_chars"),
+    )
+    la, cy, ha, gr = (F.col(x) for x in
+                      ("latin_chars", "cyrillic_chars", "han_chars",
+                       "greek_chars"))
+    return c.select(
+        "doc_id", "latin_chars", "cyrillic_chars", "han_chars",
+        "greek_chars",
+        F.when((la >= cy) & (la >= ha) & (la >= gr), F.lit("latin"))
+        .when((cy >= ha) & (cy >= gr), F.lit("cyrillic"))
+        .when(ha >= gr, F.lit("han"))
+        .otherwise(F.lit("greek"))
+        .alias("dominant_script"),
+        F.round((cy + ha + gr) / (la + cy + ha + gr), 4)
+        .alias("non_latin_ratio"),
+    )
+
+
+def _consent_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<div id="onetrust-banner-sdk">We use cookies '
+            || 'to improve your experience ' || CAST(doc_id % 11 AS
+            VARCHAR) || '</div>'
+          WHEN 1 THEN '<div class="cookie-banner">This site uses '
+            || 'cookies ' || CAST(doc_id % 9 AS VARCHAR) || '</div>'
+          ELSE '' END
+        || '<p>body paragraph ' || CAST(doc_id AS VARCHAR)
+        || ' with real content</p>' AS html
+      FROM documents),
+    f AS (
+      SELECT doc_id, html,
+        regexp_extract(html, '<div (?:id="onetrust-banner-sdk"'
+          || '|class="cookie-banner")>([^<]*)</div>', 1) AS banner
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN banner <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_banner,
+      CASE WHEN contains(html, 'onetrust-banner-sdk') THEN 'onetrust'
+           WHEN contains(html, 'class="cookie-banner"') THEN 'generic'
+           ELSE 'none' END AS vendor,
+      CAST(length(banner) AS BIGINT) AS banner_chars,
+      CAST(length(regexp_replace(regexp_replace(html,
+        '<div (?:id="onetrust-banner-sdk"|class="cookie-banner")>'
+        || '[^<]*</div>', '', 'g'), '<[^>]+>', '', 'g')) AS BIGINT)
+        AS text_chars_clean
+    FROM f
+    """
+
+
+@query("cookie_consent_detect", _consent_oracle())
+def cookie_consent_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consent-overlay detection and strip (round 4): cookie banners
+    are the highest-frequency boilerplate in post-GDPR crawls and leak
+    identical legalese into millions of extractions — a dedup poison
+    and a quality-score distorter. Detects the banner by vendor
+    signature (OneTrust id, generic cookie-banner class), measures it,
+    and reports the cleaned text length after stripping the banner
+    div then all remaining tags.
+
+    Scale shape: codegen regexp_extract + two regexp_replaces — no
+    shuffle, no Python; the strip composes with with_main_text
+    upstream of quality scoring.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = F.concat(
+        F.when(v == 0, F.concat(
+            F.lit('<div id="onetrust-banner-sdk">We use cookies '
+                  "to improve your experience "),
+            (i % 11).cast("string"), F.lit("</div>")))
+        .when(v == 1, F.concat(
+            F.lit('<div class="cookie-banner">This site uses cookies '),
+            (i % 9).cast("string"), F.lit("</div>")))
+        .otherwise(F.lit("")),
+        F.lit("<p>body paragraph "), i.cast("string"),
+        F.lit(" with real content</p>"),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    banner_pat = (
+        '<div (?:id="onetrust-banner-sdk"|class="cookie-banner")>'
+        "[^<]*</div>"
+    )
+    banner = F.regexp_extract(
+        h,
+        '<div (?:id="onetrust-banner-sdk"|class="cookie-banner")>'
+        "([^<]*)</div>",
+        1,
+    )
+    return p.select(
+        "doc_id",
+        F.when(banner != "", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_banner"),
+        F.when(h.contains("onetrust-banner-sdk"), F.lit("onetrust"))
+        .when(h.contains('class="cookie-banner"'), F.lit("generic"))
+        .otherwise(F.lit("none"))
+        .alias("vendor"),
+        F.length(banner).cast("long").alias("banner_chars"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(h, banner_pat, ""), "<[^>]+>", ""
+            )
+        ).cast("long").alias("text_chars_clean"),
+    )
+
+
+def _spa_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<div id="root"></div><script src="/static/js/'
+            || 'main.' || CAST(doc_id % 97 AS VARCHAR)
+            || '.js"></script><noscript>You need to enable JavaScript'
+            || ' to run this app.</noscript>'
+          WHEN 1 THEN '<div id="app"></div><script src="/bundle.'
+            || CAST(doc_id % 89 AS VARCHAR) || '.js"></script>'
+          WHEN 2 THEN '<div id="root"><p>server rendered content '
+            || CAST(doc_id AS VARCHAR) || '</p></div>'
+            || '<script src="/hydrate.js"></script>'
+          ELSE '<p>classic page ' || CAST(doc_id AS VARCHAR)
+            || ' with plenty of words</p>' END AS html
+      FROM documents),
+    f AS (
+      SELECT doc_id, html,
+        CASE WHEN regexp_matches(html, '<div id="(root|app)"></div>')
+          THEN 1 ELSE 0 END AS root_empty,
+        CASE WHEN contains(html, '<noscript>') THEN 1 ELSE 0 END
+          AS has_noscript,
+        len(regexp_extract_all(html, '<script src=', 0))
+          AS script_count,
+        length(regexp_replace(regexp_replace(html,
+          '<noscript>[^<]*</noscript>', '', 'g'), '<[^>]+>', '', 'g'))
+          AS visible_chars
+      FROM p)
+    SELECT doc_id, CAST(root_empty AS INT) AS root_empty,
+      CAST(has_noscript AS INT) AS has_noscript,
+      CAST(script_count AS BIGINT) AS script_count,
+      CAST(visible_chars AS BIGINT) AS visible_chars,
+      CASE WHEN root_empty = 1 THEN 'render' ELSE 'extract' END
+        AS route
+    FROM f
+    """
+
+
+@query("spa_shell_detect", _spa_oracle())
+def spa_shell_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPA app-shell detection (round 4): a crawler that extracts the
+    raw HTML of a client-rendered app gets an empty root div and a
+    "enable JavaScript" noscript — routing those to a headless-render
+    queue instead of the extractor is the standard split. Flags the
+    empty root (#root / #app), the noscript fallback, counts script
+    bundles, measures visible text with noscript legalese excluded,
+    and emits the render/extract routing decision. Variant %4==2 has
+    a NON-empty root (server-side hydration) and must route extract.
+
+    Scale shape: codegen regexps over one projection — no shuffle, no
+    Python; the route column is a partition-pruning key downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<div id="root"></div><script src="/static/js/main.'),
+            (i % 97).cast("string"),
+            F.lit('.js"></script><noscript>You need to enable '
+                  "JavaScript to run this app.</noscript>")))
+        .when(v == 1, F.concat(
+            F.lit('<div id="app"></div><script src="/bundle.'),
+            (i % 89).cast("string"), F.lit('.js"></script>')))
+        .when(v == 2, F.concat(
+            F.lit('<div id="root"><p>server rendered content '),
+            i.cast("string"),
+            F.lit('</p></div><script src="/hydrate.js"></script>')))
+        .otherwise(F.concat(
+            F.lit("<p>classic page "), i.cast("string"),
+            F.lit(" with plenty of words</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    root_empty = F.when(
+        h.rlike('<div id="(root|app)"></div>'), F.lit(1)
+    ).otherwise(F.lit(0))
+    return p.select(
+        "doc_id",
+        root_empty.cast("int").alias("root_empty"),
+        F.when(h.contains("<noscript>"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_noscript"),
+        F.size(F.regexp_extract_all(h, F.lit("<script src="), 0))
+        .cast("long").alias("script_count"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(h, "<noscript>[^<]*</noscript>", ""),
+                "<[^>]+>", "",
+            )
+        ).cast("long").alias("visible_chars"),
+        F.when(root_empty == 1, F.lit("render"))
+        .otherwise(F.lit("extract"))
+        .alias("route"),
+    )
+
+
+def _quote_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<blockquote cite="https://src.example/q'
+            || CAST(doc_id % 37 AS VARCHAR) || '"><p>Quoted passage '
+            || CAST(doc_id % 19 AS VARCHAR)
+            || '</p></blockquote><cite>Author '
+            || CAST(doc_id % 13 AS VARCHAR) || '</cite>'
+          WHEN 1 THEN '<blockquote><p>Anonymous quote '
+            || CAST(doc_id % 19 AS VARCHAR) || '</p></blockquote>'
+            || '<q>aside one ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</q> text <q>aside two ' || CAST(doc_id % 5 AS VARCHAR)
+            || '</q>'
+          ELSE '<p>prose only ' || CAST(doc_id AS VARCHAR) || '</p>'
+        END AS html
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, 0 AS quote_idx,
+        regexp_extract(html,
+          '<blockquote[^>]*><p>([^<]*)</p></blockquote>', 1)
+          AS quote_text,
+        regexp_extract(html, '<blockquote cite="([^"]*)"', 1)
+          AS cite_url,
+        regexp_extract(html, '<cite>([^<]*)</cite>', 1) AS author,
+        'block' AS kind
+      FROM p
+      WHERE contains(html, '<blockquote')),
+    inl AS (
+      SELECT doc_id, i - 1 AS quote_idx,
+        list_extract(regexp_extract_all(html, '<q>([^<]*)</q>', 1), i)
+          AS quote_text,
+        '' AS cite_url, '' AS author, 'inline' AS kind
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<q>([^<]*)</q>', 1)))) AS g(i))
+    SELECT doc_id, CAST(quote_idx AS BIGINT) AS quote_idx, quote_text,
+      cite_url, author, kind
+    FROM blocks
+    UNION ALL
+    SELECT doc_id, CAST(quote_idx AS BIGINT) AS quote_idx, quote_text,
+      cite_url, author, kind
+    FROM inl
+    """
+
+
+@query("blockquote_cite_extract", _quote_oracle())
+def blockquote_cite_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation extraction (round 4): quoted passages with source
+    attribution are both a provenance signal (the cite URL joins into
+    the link graph) and a dedup hazard (the same quote syndicated
+    across hosts). Extracts block quotes with their cite attribute
+    and trailing <cite> attribution, plus inline <q> asides indexed
+    in document order; %3==1 pages carry an attribution-less block
+    quote AND two inline quotes to pin the kind split.
+
+    Scale shape: one filtered projection for blocks, one
+    regexp_extract_all + posexplode for inlines, unioned — no
+    shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<blockquote cite="https://src.example/q'),
+            (i % 37).cast("string"), F.lit('"><p>Quoted passage '),
+            (i % 19).cast("string"),
+            F.lit("</p></blockquote><cite>Author "),
+            (i % 13).cast("string"), F.lit("</cite>")))
+        .when(v == 1, F.concat(
+            F.lit("<blockquote><p>Anonymous quote "),
+            (i % 19).cast("string"),
+            F.lit("</p></blockquote><q>aside one "),
+            (i % 7).cast("string"), F.lit("</q> text <q>aside two "),
+            (i % 5).cast("string"), F.lit("</q>")))
+        .otherwise(F.concat(
+            F.lit("<p>prose only "), i.cast("string"), F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    blocks = (
+        p.where(h.contains("<blockquote"))
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("quote_idx"),
+            F.regexp_extract(
+                h, "<blockquote[^>]*><p>([^<]*)</p></blockquote>", 1
+            ).alias("quote_text"),
+            F.regexp_extract(h, '<blockquote cite="([^"]*)"', 1)
+            .alias("cite_url"),
+            F.regexp_extract(h, "<cite>([^<]*)</cite>", 1)
+            .alias("author"),
+            F.lit("block").alias("kind"),
+        )
+    )
+    inl = (
+        p.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(h, F.lit("<q>([^<]*)</q>"), 1)
+            ).alias("quote_idx", "quote_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("quote_idx").cast("long").alias("quote_idx"),
+            "quote_text",
+            F.lit("").alias("cite_url"),
+            F.lit("").alias("author"),
+            F.lit("inline").alias("kind"),
+        )
+    )
+    return blocks.unionAll(inl)
+
+
+def _navdensity_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<nav><a href="/1">Home</a><a href="/2">About '
+        || CAST(doc_id % 7 AS VARCHAR) || '</a></nav>'
+        || '<p>long body text ' || CAST(doc_id AS VARCHAR)
+        || ' with many words <a href="/r">ref</a> trailing words</p>'
+        || CASE WHEN doc_id % 2 = 0
+             THEN '<p>second paragraph ' || CAST(doc_id % 11 AS
+               VARCHAR) || ' pure text</p>'
+             ELSE '' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, i - 1 AS block_idx,
+        list_extract(regexp_extract_all(html,
+          '(<nav>.*?</nav>|<p>.*?</p>)', 1), i) AS block
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '(<nav>.*?</nav>|<p>.*?</p>)', 1)))) AS g(i)),
+    m AS (
+      SELECT doc_id, block_idx,
+        CASE WHEN starts_with(block, '<nav') THEN 'nav' ELSE 'p' END
+          AS tag,
+        length(regexp_replace(block, '<[^>]+>', '', 'g'))
+          AS total_chars,
+        coalesce(length(array_to_string(regexp_extract_all(block,
+          '<a [^>]*>([^<]*)</a>', 1), '')), 0) AS link_chars
+      FROM fr)
+    SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, tag,
+      CAST(total_chars AS BIGINT) AS total_chars,
+      CAST(link_chars AS BIGINT) AS link_chars,
+      round(1.0 * link_chars / total_chars, 4) AS link_density,
+      CAST(CASE WHEN link_chars * 10 > total_chars * 6 THEN 1 ELSE 0
+        END AS INT) AS is_boilerplate
+    FROM m
+    """
+
+
+@query("nav_link_density", _navdensity_oracle())
+def nav_link_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level link-density boilerplate scoring (round 4): the
+    classic content/boilerplate discriminator (Boilerpipe/jusText
+    family) — navigation blocks are nearly all anchor text, content
+    blocks nearly none. Splits the page into block elements in
+    document order, measures text vs anchor-text chars per block, and
+    flags blocks past the 0.6 density threshold with exact integer
+    arithmetic (no float compare at the decision boundary).
+
+    Scale shape: one regexp_extract_all + posexplode, per-block
+    codegen regexps and array_join — no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<nav><a href="/1">Home</a><a href="/2">About '),
+        (i % 7).cast("string"), F.lit("</a></nav>"),
+        F.lit("<p>long body text "), i.cast("string"),
+        F.lit(' with many words <a href="/r">ref</a> trailing'
+              " words</p>"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit("<p>second paragraph "), (i % 11).cast("string"),
+            F.lit(" pure text</p>")))
+        .otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("(<nav>.*?</nav>|<p>.*?</p>)"), 1
+            )
+        ).alias("block_idx", "block"),
+    )
+    b = F.col("block")
+    m = fr.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.when(b.startswith("<nav"), F.lit("nav")).otherwise(F.lit("p"))
+        .alias("tag"),
+        F.length(F.regexp_replace(b, "<[^>]+>", "")).cast("long")
+        .alias("total_chars"),
+        F.length(
+            F.array_join(
+                F.regexp_extract_all(
+                    b, F.lit("<a [^>]*>([^<]*)</a>"), 1
+                ),
+                "",
+            )
+        ).cast("long").alias("link_chars"),
+    )
+    lc, tc = F.col("link_chars"), F.col("total_chars")
+    return m.select(
+        "doc_id", "block_idx", "tag", "total_chars", "link_chars",
+        F.round(lc / tc, 4).alias("link_density"),
+        F.when(lc * 10 > tc * 6, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_boilerplate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

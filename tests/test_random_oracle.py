@@ -169,6 +169,15 @@ CRITICAL = [
     "embed_extract",
     "author_byline_extract",
     "dublin_core_extract",
+    "figure_caption_pairs",
+    "rdfa_extract",
+    "breadcrumb_extract",
+    "url_date_extract",
+    "unicode_script_profile",
+    "cookie_consent_detect",
+    "spa_shell_detect",
+    "blockquote_cite_extract",
+    "nav_link_density",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
