@@ -16033,6 +16033,333 @@ def nav_link_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _form_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<form action="/search"><input name="q">'
+            || '<button>Go</button></form><p>Results '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<p>Account ' || CAST(doc_id AS VARCHAR)
+            || '</p><form action="/login" method="POST">'
+            || '<input name="user"><input type="password" name="pw">'
+            || '</form>'
+          WHEN 2 THEN '<form action="https://news.example.com/sub'
+            || CAST(doc_id % 9 AS VARCHAR) || '" method="post">'
+            || '<input type="email" name="em"></form>'
+            || '<form action="/search"><input name="q"></form>'
+          ELSE '<article>No forms here ' || CAST(doc_id AS VARCHAR)
+            || '</article>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS form_idx,
+        list_extract(regexp_extract_all(html,
+          '<form[^>]*>.*?</form>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<form[^>]*>.*?</form>', 0)))) AS g(i)),
+    m AS (
+      SELECT doc_id, form_idx,
+        regexp_extract(blk, 'action="([^"]*)"', 1) AS action,
+        lower(regexp_extract(blk, 'method="([^"]*)"', 1)) AS meth,
+        CAST(len(regexp_extract_all(blk, '<input', 0)) AS BIGINT)
+          AS n_inputs,
+        CASE WHEN contains(blk, 'type="password"') THEN 1 ELSE 0 END
+          AS has_password,
+        CASE WHEN contains(blk, 'type="email"') THEN 1 ELSE 0 END
+          AS has_email,
+        CASE WHEN contains(blk, 'name="q"') THEN 1 ELSE 0 END AS has_q
+      FROM fr)
+    SELECT doc_id, form_idx, action,
+      CASE WHEN meth = '' THEN 'get' ELSE meth END AS method,
+      n_inputs, CAST(has_password AS INT) AS has_password,
+      CASE WHEN has_password = 1 THEN 'login'
+           WHEN has_email = 1 THEN 'newsletter'
+           WHEN has_q = 1 THEN 'search'
+           ELSE 'other' END AS kind
+    FROM m
+    """
+
+
+@query("form_field_extract", _form_oracle())
+def form_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-form extraction (round 4): forms are both a crawl signal
+    (a search form is a query-able endpoint; a login form marks
+    gated content whose body text is usually chrome) and a curation
+    signal (login/checkout shells are near-empty boilerplate).
+    Extracts every ``<form>`` block in order with its action url,
+    lower-cased method (HTML default ``get`` when the attribute is
+    absent), input count, and a password-input flag, then classifies
+    the form: password input => login, email input => newsletter,
+    a ``q`` input => search. A two-form page (newsletter + inline
+    search) pins multi-form ordering; an article page pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    classification, no shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<form action="/search"><input name="q">'
+                  "<button>Go</button></form><p>Results "),
+            ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit("<p>Account "), ds,
+            F.lit('</p><form action="/login" method="POST">'
+                  '<input name="user"><input type="password" name="pw">'
+                  "</form>")))
+        .when(v == 2, F.concat(
+            F.lit('<form action="https://news.example.com/sub'),
+            (i % 9).cast("string"),
+            F.lit('" method="post"><input type="email" name="em">'
+                  '</form><form action="/search"><input name="q">'
+                  "</form>")))
+        .otherwise(F.concat(
+            F.lit("<article>No forms here "), ds, F.lit("</article>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<form[^>]*>.*?</form>"), 0
+            )
+        ).alias("form_idx", "blk"),
+    )
+    b = F.col("blk")
+    meth = F.lower(F.regexp_extract(b, 'method="([^"]*)"', 1))
+    has_pw = b.contains('type="password"')
+    has_em = b.contains('type="email"')
+    has_q = b.contains('name="q"')
+    return fr.select(
+        "doc_id",
+        F.col("form_idx").cast("long").alias("form_idx"),
+        F.regexp_extract(b, 'action="([^"]*)"', 1).alias("action"),
+        F.when(meth == "", F.lit("get")).otherwise(meth).alias("method"),
+        F.size(F.regexp_extract_all(b, F.lit("<input"), 0))
+        .cast("long").alias("n_inputs"),
+        F.when(has_pw, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("has_password"),
+        F.when(has_pw, F.lit("login"))
+        .when(has_em, F.lit("newsletter"))
+        .when(has_q, F.lit("search"))
+        .otherwise(F.lit("other"))
+        .alias("kind"),
+    )
+
+
+def _hints_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<link rel="preconnect" href="https://cdn'
+            || CAST(doc_id % 7 AS VARCHAR) || '.example.com">'
+            || '<link rel="dns-prefetch" href="//stats.example.net">'
+            || '<p>Body ' || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<link rel="preload" href="/fonts/f'
+            || CAST(doc_id % 5 AS VARCHAR) || '.woff2" as="font">'
+            || '<p>Body ' || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 2 THEN '<p>Body ' || CAST(doc_id AS VARCHAR)
+            || '</p><link rel="prefetch" href="/page/'
+            || CAST(doc_id + 1 AS VARCHAR) || '" as="document">'
+          ELSE '<link rel="stylesheet" href="/s.css"><p>Body '
+            || CAST(doc_id AS VARCHAR) || '</p>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS hint_idx,
+        list_extract(regexp_extract_all(html,
+          '<link rel="(?:preload|prefetch|preconnect|dns-prefetch)"[^>]*>',
+          0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<link rel="(?:preload|prefetch|preconnect|dns-prefetch)"[^>]*>',
+        0)))) AS g(i)),
+    m AS (
+      SELECT doc_id, hint_idx,
+        regexp_extract(blk, 'rel="([^"]+)"', 1) AS rel,
+        regexp_extract(blk, 'href="([^"]+)"', 1) AS href,
+        regexp_extract(blk, ' as="([^"]+)"', 1) AS as_attr
+      FROM fr)
+    SELECT doc_id, hint_idx, rel, href, as_attr,
+      CAST(CASE WHEN href LIKE 'http%' OR href LIKE '//%'
+                THEN 1 ELSE 0 END AS INT) AS is_external
+    FROM m
+    """
+
+
+@query("resource_hints", _hints_oracle())
+def resource_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-hint extraction (round 4): ``preconnect`` /
+    ``dns-prefetch`` / ``preload`` / ``prefetch`` links are the
+    page's own declaration of its critical third-party origins and
+    its likely next navigation — a crawler uses the origin set for
+    politeness-bucket warmup and the ``prefetch``ed document as a
+    high-prior frontier edge. Extracts every hint link in order with
+    rel, href, the ``as`` type, and an is_external flag (absolute or
+    protocol-relative href); a stylesheet link is planted to pin that
+    non-hint rels emit nothing.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    attribute parses, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="preconnect" href="https://cdn'),
+            (i % 7).cast("string"),
+            F.lit('.example.com">'
+                  '<link rel="dns-prefetch" href="//stats.example.net">'
+                  "<p>Body "), ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<link rel="preload" href="/fonts/f'),
+            (i % 5).cast("string"),
+            F.lit('.woff2" as="font"><p>Body '), ds, F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Body "), ds,
+            F.lit('</p><link rel="prefetch" href="/page/'),
+            (i + 1).cast("string"), F.lit('" as="document">')))
+        .otherwise(F.concat(
+            F.lit('<link rel="stylesheet" href="/s.css"><p>Body '),
+            ds, F.lit("</p>")))
+    )
+    rx = '<link rel="(?:preload|prefetch|preconnect|dns-prefetch)"[^>]*>'
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit(rx), 0)
+        ).alias("hint_idx", "blk"),
+    )
+    b = F.col("blk")
+    href = F.regexp_extract(b, 'href="([^"]+)"', 1)
+    m = fr.select(
+        "doc_id",
+        F.col("hint_idx").cast("long").alias("hint_idx"),
+        F.regexp_extract(b, 'rel="([^"]+)"', 1).alias("rel"),
+        href.alias("href"),
+        F.regexp_extract(b, ' as="([^"]+)"', 1).alias("as_attr"),
+    )
+    h = F.col("href")
+    return m.select(
+        "doc_id", "hint_idx", "rel", "href", "as_attr",
+        F.when(h.startswith("http") | h.startswith("//"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_external"),
+    )
+
+
+def _lazyload_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<img src="/img/a' || CAST(doc_id AS VARCHAR)
+            || '.jpg" alt="hero"><p>Post ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          WHEN 1 THEN '<img src="/1x1.gif" data-src="/img/b'
+            || CAST(doc_id AS VARCHAR) || '.jpg" class="lazy"><p>Post '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 2 THEN '<p>Post ' || CAST(doc_id AS VARCHAR)
+            || '</p><img loading="lazy" src="/img/c'
+            || CAST(doc_id % 11 AS VARCHAR) || '.png">'
+          ELSE '<img data-src="/img/d' || CAST(doc_id AS VARCHAR)
+            || '.webp" loading="lazy"><img src="/img/logo.png">'
+            || '<p>Post ' || CAST(doc_id AS VARCHAR) || '</p>'
+          END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS img_idx,
+        list_extract(regexp_extract_all(html, '<img[^>]*>', 0), i)
+          AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<img[^>]*>', 0)))) AS g(i)),
+    m AS (
+      SELECT doc_id, img_idx,
+        regexp_extract(blk, ' src="([^"]+)"', 1) AS declared_src,
+        regexp_extract(blk, 'data-src="([^"]+)"', 1) AS data_src,
+        CASE WHEN contains(blk, 'loading="lazy"') THEN 1 ELSE 0 END
+          AS native_lazy
+      FROM fr)
+    SELECT doc_id, img_idx, declared_src, data_src,
+      CASE WHEN data_src <> '' THEN data_src ELSE declared_src END
+        AS effective_src,
+      CASE WHEN data_src <> '' THEN 'data-src'
+           WHEN native_lazy = 1 THEN 'native'
+           ELSE 'eager' END AS lazy_mode
+    FROM m
+    """
+
+
+@query("lazyload_image_extract", _lazyload_oracle())
+def lazyload_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy-loaded-image resolution (round 4): image-text pairing
+    over real pages must look past the 1x1 placeholder ``src`` that
+    JS lazy-loaders leave behind — the actual asset lives in
+    ``data-src``. Extracts every ``<img>`` in order, resolves the
+    effective source (``data-src`` wins over ``src``), and labels
+    the loading mode: ``data-src`` (JS lazy), ``native``
+    (``loading="lazy"`` with a real src), or ``eager``. The regexes
+    are anchored so ``data-src=`` never false-matches the bare
+    `` src=`` parse; a page mixing a data-src-only img with an eager
+    logo pins per-image independence.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    parses, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="/img/a'), ds,
+            F.lit('.jpg" alt="hero"><p>Post '), ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<img src="/1x1.gif" data-src="/img/b'), ds,
+            F.lit('.jpg" class="lazy"><p>Post '), ds, F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Post "), ds,
+            F.lit('</p><img loading="lazy" src="/img/c'),
+            (i % 11).cast("string"), F.lit('.png">')))
+        .otherwise(F.concat(
+            F.lit('<img data-src="/img/d'), ds,
+            F.lit('.webp" loading="lazy"><img src="/img/logo.png">'
+                  "<p>Post "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit("<img[^>]*>"), 0)
+        ).alias("img_idx", "blk"),
+    )
+    b = F.col("blk")
+    declared = F.regexp_extract(b, ' src="([^"]+)"', 1)
+    dsrc = F.regexp_extract(b, 'data-src="([^"]+)"', 1)
+    m = fr.select(
+        "doc_id",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        declared.alias("declared_src"),
+        dsrc.alias("data_src"),
+        b.contains('loading="lazy"').alias("_native"),
+    )
+    dc = F.col("data_src")
+    return m.select(
+        "doc_id", "img_idx", "declared_src", "data_src",
+        F.when(dc != "", dc).otherwise(F.col("declared_src"))
+        .alias("effective_src"),
+        F.when(dc != "", F.lit("data-src"))
+        .when(F.col("_native"), F.lit("native"))
+        .otherwise(F.lit("eager"))
+        .alias("lazy_mode"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

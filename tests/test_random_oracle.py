@@ -178,6 +178,9 @@ CRITICAL = [
     "spa_shell_detect",
     "blockquote_cite_extract",
     "nav_link_density",
+    "form_field_extract",
+    "resource_hints",
+    "lazyload_image_extract",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
