@@ -16360,6 +16360,298 @@ def lazyload_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _comment_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<!-- wp:paragraph --><p>Body '
+            || CAST(doc_id AS VARCHAR) || '</p><!-- /wp:paragraph -->'
+          WHEN 1 THEN '<!--[if lt IE 9]><script src="/html5shiv.js">'
+            || '</script><![endif]--><p>Old ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          WHEN 2 THEN '<p>Plain ' || CAST(doc_id AS VARCHAR)
+            || '</p><!-- analytics slot ' || CAST(doc_id % 13 AS VARCHAR)
+            || ' -->'
+          ELSE '<p>Untouched ' || CAST(doc_id AS VARCHAR) || '</p>'
+          END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS comment_idx,
+        trim(list_extract(regexp_extract_all(html, '<!--(.*?)-->', 1),
+          i)) AS body
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<!--(.*?)-->', 1)))) AS g(i))
+    SELECT doc_id, comment_idx, body,
+      CASE WHEN body LIKE '[if%' THEN 'conditional'
+           WHEN body LIKE 'wp:%' OR body LIKE '/wp:%'
+             THEN 'block_marker'
+           ELSE 'plain' END AS kind
+    FROM fr
+    """
+
+
+@query("html_comment_extract", _comment_oracle())
+def html_comment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-comment extraction (round 4): comments never render but
+    carry high-value structure — CMS block markers (Gutenberg's
+    ``<!-- wp:paragraph -->`` delimits the actual article body),
+    IE conditional blocks (markup that must NOT leak into extracted
+    text), and ad/analytics slot boundaries. Extracts every comment
+    in order, trimmed, and classifies it: ``conditional``
+    (``[if ...]`` downlevel blocks), ``block_marker`` (``wp:`` /
+    ``/wp:`` CMS delimiters), else ``plain``.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    classification, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<!-- wp:paragraph --><p>Body "), ds,
+            F.lit("</p><!-- /wp:paragraph -->")))
+        .when(v == 1, F.concat(
+            F.lit('<!--[if lt IE 9]><script src="/html5shiv.js">'
+                  "</script><![endif]--><p>Old "), ds, F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Plain "), ds, F.lit("</p><!-- analytics slot "),
+            (i % 13).cast("string"), F.lit(" -->")))
+        .otherwise(F.concat(
+            F.lit("<p>Untouched "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit("<!--(.*?)-->"), 1)
+        ).alias("comment_idx", "raw"),
+    )
+    body = F.trim(F.col("raw"))
+    m = fr.select(
+        "doc_id",
+        F.col("comment_idx").cast("long").alias("comment_idx"),
+        body.alias("body"),
+    )
+    b = F.col("body")
+    return m.select(
+        "doc_id", "comment_idx", "body",
+        F.when(b.startswith("[if"), F.lit("conditional"))
+        .when(b.startswith("wp:") | b.startswith("/wp:"),
+              F.lit("block_marker"))
+        .otherwise(F.lit("plain"))
+        .alias("kind"),
+    )
+
+
+def _css_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<style>body{margin:0}p{color:#222}</style>'
+            || '<link rel="stylesheet" href="/a.css"><p>Doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<style>@media (max-width:600px)'
+            || '{nav{display:none}}</style><p>Doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 2 THEN '<style>@import url("/base'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '.css");h1{font-size:2em}</style><p>Doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<link rel="stylesheet" href="/s1.css">'
+            || '<link rel="stylesheet" href="/s2.css"><p>Doc '
+            || CAST(doc_id AS VARCHAR) || '</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(html, '<style>', 0)) AS BIGINT)
+          AS n_style_blocks,
+        coalesce(array_to_string(regexp_extract_all(html,
+          '<style>(.*?)</style>', 1), ''), '') AS css,
+        CAST(len(regexp_extract_all(html, 'rel="stylesheet"', 0))
+          AS BIGINT) AS n_external_sheets
+      FROM p)
+    SELECT doc_id, n_style_blocks,
+      CAST(length(css) - length(replace(css, '{', '')) AS BIGINT)
+        AS n_rules,
+      CAST(len(regexp_extract_all(css, '@media', 0)) AS BIGINT)
+        AS n_media_queries,
+      regexp_extract(css, '@import url\\("([^"]+)"\\)', 1)
+        AS import_url,
+      n_external_sheets
+    FROM m
+    """
+
+
+@query("css_rules_profile", _css_oracle())
+def css_rules_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-CSS profiling (round 4): the style surface is a crawl
+    and template signal — ``@import`` urls are fetchable resources
+    the link graph misses, media-query count separates responsive
+    templates from legacy ones, and a high inline-rule count with
+    zero external sheets marks generated/parked pages. Per document:
+    style-block count, brace-counted rule count across all blocks,
+    media-query count, the first ``@import url(...)``, and the
+    external-stylesheet link count.
+
+    Scale shape: codegen regexp/replace projection, no explode, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<style>body{margin:0}p{color:#222}</style>"
+                  '<link rel="stylesheet" href="/a.css"><p>Doc '),
+            ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit("<style>@media (max-width:600px)"
+                  "{nav{display:none}}</style><p>Doc "),
+            ds, F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit('<style>@import url("/base'),
+            (i % 7).cast("string"),
+            F.lit('.css");h1{font-size:2em}</style><p>Doc '),
+            ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<link rel="stylesheet" href="/s1.css">'
+                  '<link rel="stylesheet" href="/s2.css"><p>Doc '),
+            ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    m = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(h, F.lit("<style>"), 0))
+        .cast("long").alias("n_style_blocks"),
+        F.array_join(
+            F.regexp_extract_all(h, F.lit("<style>(.*?)</style>"), 1), ""
+        ).alias("css"),
+        F.size(F.regexp_extract_all(h, F.lit('rel="stylesheet"'), 0))
+        .cast("long").alias("n_external_sheets"),
+    )
+    css = F.col("css")
+    return m.select(
+        "doc_id", "n_style_blocks",
+        (F.length(css) - F.length(F.regexp_replace(css, "\\{", "")))
+        .cast("long").alias("n_rules"),
+        F.size(F.regexp_extract_all(css, F.lit("@media"), 0))
+        .cast("long").alias("n_media_queries"),
+        F.regexp_extract(css, '@import url\\("([^"]+)"\\)', 1)
+        .alias("import_url"),
+        "n_external_sheets",
+    )
+
+
+def _contact_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<a href="mailto:info@ex'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '.com">Email us</a><p>Contact ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          WHEN 1 THEN '<a href="mailto:Sales@example.com?subject=Quote'
+            || CAST(doc_id AS VARCHAR) || '">Sales</a>'
+            || '<a href="tel:+1-555-01' || CAST(doc_id % 90 AS VARCHAR)
+            || '">Call</a>'
+          WHEN 2 THEN '<p>Support ' || CAST(doc_id AS VARCHAR)
+            || '</p><a href="tel:0800-' || CAST(doc_id % 1000 AS VARCHAR)
+            || '">Ring</a>'
+          ELSE '<a href="/about">About ' || CAST(doc_id AS VARCHAR)
+            || '</a>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(html,
+          '<a href="(?:mailto|tel):[^"]*"[^>]*>[^<]*</a>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<a href="(?:mailto|tel):[^"]*"[^>]*>[^<]*</a>', 0))))
+        AS g(i)),
+    m AS (
+      SELECT doc_id, link_idx,
+        regexp_extract(blk, 'href="(mailto|tel):([^"]*)"', 1) AS scheme,
+        regexp_extract(blk, 'href="(mailto|tel):([^"]*)"', 2) AS rest,
+        regexp_extract(blk, '>([^<]*)</a>', 1) AS anchor_text
+      FROM fr)
+    SELECT doc_id, link_idx, scheme,
+      CASE WHEN scheme = 'mailto'
+           THEN lower(regexp_replace(rest, '\\?.*$', ''))
+           ELSE regexp_replace(rest, '[^0-9+]', '', 'g') END AS target,
+      anchor_text
+    FROM m
+    """
+
+
+@query("contact_link_extract", _contact_oracle())
+def contact_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-link extraction (round 4): ``mailto:`` / ``tel:``
+    anchors identify the page's owning entity — the join key for
+    host->organization rollups, opt-out routing, and PII-aware
+    handling downstream. Extracts every contact anchor in order with
+    its scheme, a normalized target (mailto: lower-cased address,
+    ``?subject=`` query stripped; tel: digits + leading ``+`` only),
+    and the anchor text; a plain navigation link pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    normalization, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="mailto:info@ex'), (i % 7).cast("string"),
+            F.lit('.com">Email us</a><p>Contact '), ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<a href="mailto:Sales@example.com?subject=Quote'),
+            ds, F.lit('">Sales</a><a href="tel:+1-555-01'),
+            (i % 90).cast("string"), F.lit('">Call</a>')))
+        .when(v == 2, F.concat(
+            F.lit("<p>Support "), ds,
+            F.lit('</p><a href="tel:0800-'),
+            (i % 1000).cast("string"), F.lit('">Ring</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="/about">About '), ds, F.lit("</a>")))
+    )
+    rx = '<a href="(?:mailto|tel):[^"]*"[^>]*>[^<]*</a>'
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit(rx), 0)
+        ).alias("link_idx", "blk"),
+    )
+    b = F.col("blk")
+    scheme = F.regexp_extract(b, 'href="(mailto|tel):([^"]*)"', 1)
+    rest = F.regexp_extract(b, 'href="(mailto|tel):([^"]*)"', 2)
+    m = fr.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        scheme.alias("scheme"),
+        rest.alias("rest"),
+        F.regexp_extract(b, ">([^<]*)</a>", 1).alias("anchor_text"),
+    )
+    r = F.col("rest")
+    return m.select(
+        "doc_id", "link_idx", "scheme",
+        F.when(
+            F.col("scheme") == "mailto",
+            F.lower(F.regexp_replace(r, "\\?.*$", "")),
+        )
+        .otherwise(F.regexp_replace(r, "[^0-9+]", ""))
+        .alias("target"),
+        "anchor_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

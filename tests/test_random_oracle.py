@@ -181,6 +181,9 @@ CRITICAL = [
     "form_field_extract",
     "resource_hints",
     "lazyload_image_extract",
+    "html_comment_extract",
+    "css_rules_profile",
+    "contact_link_extract",
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
