@@ -1,0 +1,219 @@
+"""ICO (Windows icon container) codec in pure stdlib + numpy.
+
+Companion to kernels/bmp.py for the multimodal column surface: ICO is
+the favicon container — the single most-fetched image format on the
+web (every crawler hits /favicon.ico) and absent from the reference's
+dispatch (image.c:271-336 handles .png/.jpg/PNM only). Spec-driven
+from the public ICONDIR layout:
+
+* ICONDIR (6 bytes: reserved=0, type=1, count) followed by ``count``
+  16-byte ICONDIRENTRY records (width/height with 0 meaning 256,
+  palette size, planes, bit count, payload size, payload offset);
+* each payload is EITHER a complete PNG stream (Vista+ icons — sniffed
+  by signature) OR a headerless DIB: a BITMAPINFOHEADER whose
+  biHeight is DOUBLED (XOR color image + 1-bpp AND transparency
+  mask), bottom-up rows, 8-bit paletted / 24-bit BGR / 32-bit BGRX;
+* the AND mask is 1 bit per pixel, MSB first, rows padded to 32 bits.
+
+Encoder and decoder are written independently (struct-built directory
+vs field-by-field parse) so a roundtrip failure localizes the bug.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ocr_spark.kernels import png as _png
+
+_ICONDIR = 6
+_ENTRY = 16
+_INFO_HDR = 40
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _xor_stride(width: int, depth: int) -> int:
+    return (width * (depth // 8) + 3) & ~3
+
+
+def _and_stride(width: int) -> int:
+    return ((width + 31) // 32) * 4
+
+
+def _mask_rows(mask: np.ndarray) -> bytes:
+    """1-bpp MSB-first AND mask, bottom-up, rows padded to 32 bits."""
+    h, w = mask.shape
+    stride = _and_stride(w)
+    out = np.zeros((h, stride), np.uint8)
+    bits = np.packbits(mask.astype(np.uint8), axis=1)
+    out[:, : bits.shape[1]] = bits
+    return out[::-1].tobytes()
+
+
+def _encode_dib(entry: dict) -> bytes:
+    """Headerless DIB payload: BITMAPINFOHEADER (doubled height) +
+    optional BGR0 palette + bottom-up XOR rows + AND mask rows."""
+    mask = entry.get("mask")
+    if "idx" in entry:  # 8-bit paletted
+        idx = np.asarray(entry["idx"], np.uint8)
+        pal = np.asarray(entry["palette"], np.uint8)
+        h, w = idx.shape
+        depth = 8
+        quads = np.zeros((len(pal), 4), np.uint8)
+        quads[:, :3] = pal[:, ::-1]
+        pal_bytes = quads.tobytes()
+        rows = idx
+    else:
+        px = np.asarray(entry["px"], np.uint8)
+        h, w, _ = px.shape
+        depth = int(entry.get("depth", 24))
+        pal_bytes = b""
+        if depth == 32:
+            rows = np.zeros((h, w, 4), np.uint8)
+            rows[:, :, :3] = px[:, :, ::-1]
+        else:
+            rows = px[:, :, ::-1]
+        rows = rows.reshape(h, -1)
+    stride = _xor_stride(w, depth)
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : rows.shape[1]] = rows
+    xor_bytes = padded[::-1].tobytes()
+    if mask is None:
+        mask = np.zeros((h, w), bool)
+    and_bytes = _mask_rows(np.asarray(mask, bool))
+    n_pal = len(pal_bytes) // 4
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        _INFO_HDR,
+        w,
+        2 * h,  # doubled: XOR image + AND mask
+        1,
+        depth,
+        0,  # BI_RGB
+        len(xor_bytes) + len(and_bytes),
+        0,
+        0,
+        n_pal,
+        0,
+    )
+    return info + pal_bytes + xor_bytes + and_bytes
+
+
+def encode(entries: list[dict]) -> bytes:
+    """Serialize entries into one .ico. Each entry dict:
+
+    * ``fmt``: ``"png"`` (RGB ``px`` wrapped as a PNG stream) or
+      ``"bmp"`` (DIB payload);
+    * ``px``: (H,W,3) uint8 RGB — or ``idx`` (H,W) + ``palette``
+      (N,3) for an 8-bit paletted DIB;
+    * ``mask``: optional (H,W) bool AND-mask (DIB only);
+    * ``depth``: 24 (default) or 32 for truecolor DIBs.
+    """
+    payloads = []
+    dims = []
+    for e in entries:
+        if e["fmt"] == "png":
+            px = np.asarray(e["px"], np.uint8)
+            h, w, _ = px.shape
+            payloads.append(_png.encode(px, color_type=2))
+        else:
+            if "idx" in e:
+                h, w = np.asarray(e["idx"]).shape
+            else:
+                h, w, _ = np.asarray(e["px"]).shape
+            payloads.append(_encode_dib(e))
+        dims.append((w, h, e))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    offset = _ICONDIR + _ENTRY * len(entries)
+    for (w, h, e), payload in zip(dims, payloads):
+        n_pal = len(e["palette"]) if "idx" in e else 0
+        depth = 8 if "idx" in e else int(e.get("depth", 24))
+        if e["fmt"] == "png":
+            depth = 32
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256,
+            h % 256,
+            n_pal % 256,
+            0,
+            1,
+            depth,
+            len(payload),
+            offset,
+        )
+        offset += len(payload)
+    for payload in payloads:
+        out += payload
+    return bytes(out)
+
+
+def _decode_dib(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a headerless ICO DIB to ((H,W,3) RGB, set AND-mask bits)."""
+    hdr_size, w, h2 = struct.unpack_from("<Iii", buf, 0)
+    if hdr_size < _INFO_HDR:
+        raise ValueError(f"ico: unsupported DIB header size {hdr_size}")
+    _planes, depth, compression, _, _, _, n_pal, _ = struct.unpack_from(
+        "<HHIIiiII", buf, 12
+    )
+    if compression != 0:
+        raise ValueError(f"ico: only BI_RGB DIBs supported, got {compression}")
+    if depth not in (8, 24, 32):
+        raise ValueError(f"ico: unsupported DIB bit depth {depth}")
+    if h2 % 2 != 0:
+        raise ValueError("ico: DIB height not doubled")
+    h = h2 // 2
+    pos = hdr_size
+    if depth == 8:
+        if n_pal == 0:
+            n_pal = 256
+        quads = np.frombuffer(buf, np.uint8, 4 * n_pal, pos).reshape(n_pal, 4)
+        rgb_pal = quads[:, 2::-1]
+        pos += 4 * n_pal
+    stride = _xor_stride(w, depth)
+    raw = np.frombuffer(buf, np.uint8, h * stride, pos).reshape(h, stride)
+    raw = raw[::-1]
+    pos += h * stride
+    if depth == 8:
+        px = np.ascontiguousarray(rgb_pal[raw[:, :w]])
+    else:
+        c = depth // 8
+        pix = raw[:, : w * c].reshape(h, w, c)
+        px = np.ascontiguousarray(pix[:, :, 2::-1])
+    a_stride = _and_stride(w)
+    mask_raw = np.frombuffer(buf, np.uint8, h * a_stride, pos).reshape(
+        h, a_stride
+    )[::-1]
+    bits = np.unpackbits(mask_raw, axis=1)[:, :w]
+    return px, int(bits.sum())
+
+
+def decode(buf: bytes) -> list[dict]:
+    """Parse an .ico into its entries, in directory order. Each
+    returned dict has ``px`` ((H,W,3) uint8 RGB), ``and_bits`` (set
+    AND-mask bits; 0 for PNG entries — alpha lives in the stream),
+    and ``fmt`` (``"png"`` / ``"bmp"``)."""
+    reserved, typ, count = struct.unpack_from("<HHH", buf, 0)
+    if reserved != 0 or typ != 1:
+        raise ValueError(f"ico: bad ICONDIR ({reserved}, {typ})")
+    out = []
+    for j in range(count):
+        _w, _h, _colors, _res, _planes, _bits, size, off = struct.unpack_from(
+            "<BBBBHHII", buf, _ICONDIR + _ENTRY * j
+        )
+        payload = buf[off : off + size]
+        if len(payload) != size:
+            raise ValueError("ico: truncated entry payload")
+        if payload[:8] == _PNG_SIG:
+            px = _png.decode(payload)
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[2] in (1, 2):  # gray / gray+alpha
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            elif px.shape[2] == 4:  # RGBA
+                px = np.ascontiguousarray(px[:, :, :3])
+            out.append({"px": px, "and_bits": 0, "fmt": "png"})
+        else:
+            px, and_bits = _decode_dib(payload)
+            out.append({"px": px, "and_bits": and_bits, "fmt": "bmp"})
+    return out

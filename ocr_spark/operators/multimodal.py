@@ -1114,3 +1114,111 @@ def tiff_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, TIFF_FEATURES_SCHEMA)
+
+
+def synth_ico_corpus(n: int = 10) -> list[dict]:
+    """Deterministic ICO corpus cycling entry count (1-3 per icon) and
+    payload kind (PNG stream / 24-bit DIB / 32-bit DIB / 8-bit
+    paletted DIB), each DIB carrying a deterministic AND transparency
+    mask. Expected per-entry RGB pixels and mask popcounts are known
+    BY CONSTRUCTION — the oracle never runs the decoder."""
+    from ocr_spark.kernels import ico
+
+    out = []
+    for i in range(n):
+        k = 1 + i % 3
+        entries: list[dict] = []
+        expected: list[dict] = []
+        for j in range(k):
+            h = 4 + (i + j) % 5
+            w = 3 + (2 * i + j) % 6
+            kind = (i + j) % 4  # png / bmp24 / bmp32 / bmp8
+            if kind == 0:
+                px = (
+                    (np.arange(h * w * 3, dtype=np.int64) * 13
+                     + i * 7 + j * 3) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                entries.append({"fmt": "png", "px": px})
+                expected.append({"fmt": "png", "px": px, "and_bits": 0})
+                continue
+            mask = (
+                (np.arange(h * w, dtype=np.int64) * 3 + i + j) % 4 == 0
+            ).reshape(h, w)
+            if kind == 3:
+                n_pal = 12 + i
+                idx = (
+                    (np.arange(h * w, dtype=np.int64) * 5 + j) % n_pal
+                ).astype(np.uint8).reshape(h, w)
+                pal = (
+                    (np.arange(n_pal * 3, dtype=np.int64) * 29 + i) % 256
+                ).astype(np.uint8).reshape(n_pal, 3)
+                entries.append(
+                    {"fmt": "bmp", "idx": idx, "palette": pal, "mask": mask}
+                )
+                px = pal[idx]
+            else:
+                depth = 24 if kind == 1 else 32
+                px = (
+                    (np.arange(h * w * 3, dtype=np.int64) * 31
+                     + i * 17 + j * 5) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                entries.append(
+                    {"fmt": "bmp", "px": px, "depth": depth, "mask": mask}
+                )
+            expected.append(
+                {"fmt": "bmp", "px": px, "and_bits": int(mask.sum())}
+            )
+        out.append(
+            {"img_id": i, "payload": ico.encode(entries),
+             "entries": expected}
+        )
+    return out
+
+
+ICO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("entry_idx", IntegerType()),
+        StructField("n_entries", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("and_bits", LongType()),
+    ]
+)
+
+
+def ico_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode ICO containers (kernels/ico.py) and emit one row per
+    directory entry: payload kind (png/bmp), decoded dimensions, the
+    RGB pixel sum, and the AND-mask popcount. Same Arrow-batched
+    mapInPandas stage shape as bmp_features — the container fan-out
+    (1 input row -> n_entries output rows) happens inside the batch,
+    so no explode/shuffle is added to the plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import ico
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                entries = ico.decode(bytes(payload))
+                for j, e in enumerate(entries):
+                    rows.append(
+                        (
+                            int(img_id),
+                            j,
+                            len(entries),
+                            e["fmt"],
+                            e["px"].shape[1],
+                            e["px"].shape[0],
+                            int(e["px"].sum()),
+                            int(e["and_bits"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ICO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, ICO_FEATURES_SCHEMA)

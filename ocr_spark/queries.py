@@ -16652,6 +16652,152 @@ def contact_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ico_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (expected
+    per-entry RGB pixels + AND-mask popcounts exist before encode —
+    the decoder is never consulted)."""
+    from ocr_spark.operators.multimodal import synth_ico_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {j}, {len(r['entries'])}, '{e['fmt']}', "
+        f"{e['px'].shape[1]}, {e['px'].shape[0]}, "
+        f"CAST({int(e['px'].sum())} AS BIGINT), "
+        f"CAST({e['and_bits']} AS BIGINT))"
+        for r in synth_ico_corpus()
+        for j, e in enumerate(r["entries"])
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(img_id, entry_idx, n_entries, fmt, width, height, "
+        "px_sum, and_bits)"
+    )
+
+
+@query("ico_decode_features", _ico_oracle())
+def ico_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ICO (favicon container) decode on the distributed path
+    (round 4) — /favicon.ico is the single most-fetched image url a
+    crawler sees, and the container is absent from the reference's
+    dispatch (image.c:271-336 handles .png/.jpg/PNM only). The corpus
+    cycles entry count (multi-resolution icons), payload kind (PNG
+    stream vs 24/32-bit vs 8-bit-paletted headerless DIB with its
+    doubled-height XOR+AND layout), and deterministic AND-mask
+    popcounts; features are integers, so the oracle is exact. The
+    1->n_entries container fan-out happens inside the Arrow batch —
+    no explode/shuffle in the plan."""
+    from ocr_spark.operators.multimodal import ico_features, synth_ico_corpus
+
+    corpus = synth_ico_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return ico_features(base.repartition(8, "img_id"))
+
+
+def _svg_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<svg viewBox="0 0 24 24"><path d="M0 0h24v24z"/>'
+            || '<path d="M2 2l3 3"/></svg><p>Icon doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<svg viewBox="0 0 100 50">'
+            || '<rect width="100" height="50"/><circle r="5"/>'
+            || '<text>Chart ' || CAST(doc_id % 9 AS VARCHAR)
+            || '</text></svg><p>Report ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          WHEN 2 THEN '<p>No vector art ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          ELSE '<svg viewBox="0 0 ' || CAST(8 + doc_id % 5 AS VARCHAR)
+            || ' ' || CAST(6 + doc_id % 3 AS VARCHAR)
+            || '"><circle r="2"/><circle r="3"/></svg><p>Badge '
+            || CAST(doc_id AS VARCHAR) || '</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        regexp_extract(html,
+          'viewBox="0 0 ([0-9]+) ([0-9]+)"', 1) AS vw,
+        regexp_extract(html,
+          'viewBox="0 0 ([0-9]+) ([0-9]+)"', 2) AS vh
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN contains(html, '<svg ') THEN 1 ELSE 0 END AS INT)
+        AS has_svg,
+      CAST(CASE WHEN vw = '' THEN 0 ELSE CAST(vw AS BIGINT) END
+        AS BIGINT) AS viewbox_w,
+      CAST(CASE WHEN vh = '' THEN 0 ELSE CAST(vh AS BIGINT) END
+        AS BIGINT) AS viewbox_h,
+      CAST(len(regexp_extract_all(html, '<path ', 0)) AS BIGINT)
+        AS n_paths,
+      CAST(len(regexp_extract_all(html, '<rect ', 0)) AS BIGINT)
+        AS n_rects,
+      CAST(len(regexp_extract_all(html, '<circle ', 0)) AS BIGINT)
+        AS n_circles,
+      regexp_extract(html, '<text>([^<]*)</text>', 1) AS svg_text
+    FROM m
+    """
+
+
+@query("svg_features", _svg_oracle())
+def svg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-SVG profiling (round 4): vector markup is text the
+    extractor must NOT emit (the shared SKIP_TAGS fence already drops
+    it from body text — functions/html_extract.py) but is itself a
+    signal: icon-only SVGs mark template chrome, chart-like SVGs
+    (rects + a <text> label) mark data figures worth pairing with
+    their caption. Per document: svg presence, viewBox dimensions,
+    path/rect/circle shape counts, and the first ``<text>`` content.
+
+    Scale shape: pure codegen regexp/contains projection, no explode,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<svg viewBox="0 0 24 24"><path d="M0 0h24v24z"/>'
+                  '<path d="M2 2l3 3"/></svg><p>Icon doc '),
+            ds, F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<svg viewBox="0 0 100 50">'
+                  '<rect width="100" height="50"/><circle r="5"/>'
+                  "<text>Chart "), (i % 9).cast("string"),
+            F.lit("</text></svg><p>Report "), ds, F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>No vector art "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<svg viewBox="0 0 '), (8 + i % 5).cast("string"),
+            F.lit(" "), (6 + i % 3).cast("string"),
+            F.lit('"><circle r="2"/><circle r="3"/></svg><p>Badge '),
+            ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    vw = F.regexp_extract(h, 'viewBox="0 0 ([0-9]+) ([0-9]+)"', 1)
+    vh = F.regexp_extract(h, 'viewBox="0 0 ([0-9]+) ([0-9]+)"', 2)
+    return p.select(
+        "doc_id",
+        F.when(h.contains("<svg "), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_svg"),
+        F.when(vw == "", F.lit(0)).otherwise(vw.cast("long"))
+        .cast("long").alias("viewbox_w"),
+        F.when(vh == "", F.lit(0)).otherwise(vh.cast("long"))
+        .cast("long").alias("viewbox_h"),
+        F.size(F.regexp_extract_all(h, F.lit("<path "), 0))
+        .cast("long").alias("n_paths"),
+        F.size(F.regexp_extract_all(h, F.lit("<rect "), 0))
+        .cast("long").alias("n_rects"),
+        F.size(F.regexp_extract_all(h, F.lit("<circle "), 0))
+        .cast("long").alias("n_circles"),
+        F.regexp_extract(h, "<text>([^<]*)</text>", 1).alias("svg_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

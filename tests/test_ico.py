@@ -1,0 +1,125 @@
+"""ICO container codec (kernels/ico.py).
+
+Encoder and decoder are independent implementations; the hand-assembled
+directory below is derived from the public ICONDIR spec by hand, so a
+shared compensating bug between the two cannot pass.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import ico, png
+
+# ---------------------------------------------------------------------------
+# hand-assembled minimal icon: one 1x1 24-bit DIB entry, mask bit set
+# ---------------------------------------------------------------------------
+
+_HAND_DIB = (
+    struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+    + bytes([30, 20, 10, 0])  # XOR row: BGR for RGB(10,20,30) + pad
+    + bytes([0x80, 0, 0, 0])  # AND row: MSB set, padded to 32 bits
+)
+_HAND_ICO = (
+    struct.pack("<HHH", 0, 1, 1)
+    + struct.pack("<BBBBHHII", 1, 1, 0, 0, 1, 24, len(_HAND_DIB), 22)
+    + _HAND_DIB
+)
+
+
+def test_hand_assembled_ico_decodes():
+    entries = ico.decode(_HAND_ICO)
+    assert len(entries) == 1
+    e = entries[0]
+    assert e["fmt"] == "bmp"
+    assert np.array_equal(e["px"], np.array([[[10, 20, 30]]], np.uint8))
+    assert e["and_bits"] == 1
+
+
+def test_encoder_reproduces_hand_bytes():
+    buf = ico.encode(
+        [
+            {
+                "fmt": "bmp",
+                "px": np.array([[[10, 20, 30]]], np.uint8),
+                "mask": np.array([[True]]),
+            }
+        ]
+    )
+    assert buf == _HAND_ICO
+
+
+def test_corpus_roundtrip_by_construction():
+    from ocr_spark.operators.multimodal import synth_ico_corpus
+
+    kinds = set()
+    for r in synth_ico_corpus():
+        decoded = ico.decode(r["payload"])
+        assert len(decoded) == len(r["entries"])
+        for got, exp in zip(decoded, r["entries"]):
+            assert got["fmt"] == exp["fmt"]
+            assert np.array_equal(got["px"], exp["px"])
+            assert got["and_bits"] == exp["and_bits"]
+            kinds.add((got["fmt"], got["px"].shape))
+    # corpus actually exercises both payload kinds and many sizes
+    assert {f for f, _ in kinds} == {"png", "bmp"}
+    assert len(kinds) > 6
+
+
+def test_png_entry_alpha_and_gray_normalized():
+    gray = (np.arange(6, dtype=np.uint8) * 40).reshape(2, 3)
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[:, :, 0] = 7
+    rgba[:, :, 3] = 200
+    buf = bytearray(struct.pack("<HHH", 0, 1, 2))
+    payloads = [png.encode(gray, color_type=0), png.encode(rgba, color_type=6)]
+    off = 6 + 16 * 2
+    for p, (w, h) in zip(payloads, [(3, 2), (2, 2)]):
+        buf += struct.pack("<BBBBHHII", w, h, 0, 0, 1, 32, len(p), off)
+        off += len(p)
+    for p in payloads:
+        buf += p
+    e0, e1 = ico.decode(bytes(buf))
+    assert e0["px"].shape == (2, 3, 3)
+    assert np.array_equal(e0["px"][:, :, 0], gray)
+    assert np.array_equal(e0["px"][:, :, 1], gray)
+    assert e1["px"].shape == (2, 2, 3)
+    assert (e1["px"][:, :, 0] == 7).all()
+
+
+def test_multi_resolution_directory_order_preserved():
+    sizes = [(1, 1), (4, 2), (2, 5)]
+    entries = [
+        {
+            "fmt": "bmp",
+            "px": np.full((h, w, 3), 9 * (k + 1), np.uint8),
+            "depth": 32 if k % 2 else 24,
+        }
+        for k, (w, h) in enumerate(sizes)
+    ]
+    decoded = ico.decode(ico.encode(entries))
+    assert [(e["px"].shape[1], e["px"].shape[0]) for e in decoded] == sizes
+    assert [e["and_bits"] for e in decoded] == [0, 0, 0]
+
+
+def test_bad_icondir_rejected():
+    with pytest.raises(ValueError, match="ICONDIR"):
+        ico.decode(struct.pack("<HHH", 1, 1, 0))
+    with pytest.raises(ValueError, match="ICONDIR"):
+        ico.decode(struct.pack("<HHH", 0, 2, 0))  # .cur, not .ico
+
+
+def test_truncated_payload_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        ico.decode(_HAND_ICO[:-2])
+
+
+def test_undoubled_dib_height_rejected():
+    bad = bytearray(_HAND_ICO)
+    # patch biHeight (offset 22 + 8) from 2 to 3
+    struct.pack_into("<i", bad, 22 + 8, 3)
+    with pytest.raises(ValueError, match="doubled"):
+        ico.decode(bytes(bad))

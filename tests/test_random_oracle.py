@@ -184,6 +184,9 @@ CRITICAL = [
     "html_comment_extract",
     "css_rules_profile",
     "contact_link_extract",
+    "svg_features",
+    # NOT ico_decode_features: synthesized-corpus query, no table
+    # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
     # has documents/embeddings/events only).
     # events-table queries (random events synthesized below: unique
