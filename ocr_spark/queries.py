@@ -16798,6 +16798,418 @@ def svg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_header_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Link: </page/' || CAST(doc_id + 1 AS VARCHAR)
+            || '>; rel="next", </page/' || CAST(doc_id - 1 AS VARCHAR)
+            || '>; rel="prev"'
+          WHEN 1 THEN 'Link: <https://example.com/canon/'
+            || CAST(doc_id % 50 AS VARCHAR) || '>; rel="canonical"'
+          WHEN 2 THEN 'Link: </api/items?page='
+            || CAST(doc_id % 7 AS VARCHAR) || '>; rel="next"; title="p'
+            || CAST(doc_id % 7 AS VARCHAR) || '"'
+          ELSE 'Content-Type: text/html' END AS headers
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(headers,
+          '<[^>]+>; rel="[a-z]+"', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(headers,
+        '<[^>]+>; rel="[a-z]+"', 0)))) AS g(i))
+    SELECT doc_id, link_idx,
+      regexp_extract(blk, '<([^>]+)>', 1) AS href,
+      regexp_extract(blk, 'rel="([a-z]+)"', 1) AS rel
+    FROM fr
+    """
+
+
+@query("http_link_header_parse", _link_header_oracle())
+def http_link_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 8288 ``Link:`` response-header parsing (round 4): the
+    transport-level twin of the HTML ``rel=next/prev`` chain — API
+    endpoints and many CMSes declare pagination and canonical urls
+    ONLY in headers, so the frontier and canonical-election stages
+    need this parse alongside the DOM one. Extracts every
+    ``<target>; rel="..."`` pair in header order (extra parameters
+    like ``title=`` tolerated); a header block with no Link line pins
+    zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen parses,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    headers = (
+        F.when(v == 0, F.concat(
+            F.lit("Link: </page/"), (i + 1).cast("string"),
+            F.lit('>; rel="next", </page/'), (i - 1).cast("string"),
+            F.lit('>; rel="prev"')))
+        .when(v == 1, F.concat(
+            F.lit("Link: <https://example.com/canon/"),
+            (i % 50).cast("string"), F.lit('>; rel="canonical"')))
+        .when(v == 2, F.concat(
+            F.lit("Link: </api/items?page="), (i % 7).cast("string"),
+            F.lit('>; rel="next"; title="p'), (i % 7).cast("string"),
+            F.lit('"')))
+        .otherwise(F.lit("Content-Type: text/html"))
+    )
+    p = d.select("doc_id", headers.alias("headers"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("headers"), F.lit('<[^>]+>; rel="[a-z]+"'), 0
+            )
+        ).alias("link_idx", "blk"),
+    )
+    b = F.col("blk")
+    return fr.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.regexp_extract(b, "<([^>]+)>", 1).alias("href"),
+        F.regexp_extract(b, 'rel="([a-z]+)"', 1).alias("rel"),
+    )
+
+
+def _price_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Now only $12.'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || ' was $20.00 today'
+          WHEN 1 THEN 'Price: ' || chr(8364) || '1.299,'
+            || CAST(doc_id % 10 AS VARCHAR) || '9 incl. VAT'
+          WHEN 2 THEN 'Just ' || chr(163)
+            || CAST(doc_id % 90 + 5 AS VARCHAR) || ' flat'
+          ELSE 'costs nothing, item ' || CAST(doc_id AS VARCHAR)
+          END AS text
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS price_idx,
+        list_extract(regexp_extract_all(text,
+          '[$' || chr(8364) || chr(163) || '][0-9][0-9.,]*', 0), i)
+          AS raw
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '[$' || chr(8364) || chr(163) || '][0-9][0-9.,]*', 0))))
+        AS g(i)),
+    m AS (
+      SELECT doc_id, price_idx, raw,
+        CASE WHEN raw LIKE '$%' THEN 'USD'
+             WHEN raw LIKE chr(8364) || '%' THEN 'EUR'
+             ELSE 'GBP' END AS currency,
+        CASE WHEN raw LIKE chr(8364) || '%'
+             THEN replace(replace(substr(raw, 2), '.', ''), ',', '.')
+             ELSE replace(substr(raw, 2), ',', '') END AS norm
+      FROM fr)
+    SELECT doc_id, price_idx, raw, currency,
+      CAST(CAST(norm AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents
+    FROM m
+    """
+
+
+@query("price_extract", _price_oracle())
+def price_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price extraction (round 4): commerce pages dominate the crawl
+    tail, and a normalized price is both a boilerplate cue (price
+    grids mark listing chrome) and the join key for product-dedup
+    across mirrors. Extracts every currency-symbol amount in order
+    and normalizes locale: US/UK ``1,299.99`` (comma thousands) and
+    EU ``1.299,99`` (dot thousands, comma decimals) both land in
+    exact integer cents via a DECIMAL cast — no float rounding. A
+    two-price sentence (sale vs was) pins multi-match order.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    normalization, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    eur, gbp = "€", "£"
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Now only $12."),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lit(" was $20.00 today")))
+        .when(v == 1, F.concat(
+            F.lit("Price: " + eur + "1.299,"),
+            (i % 10).cast("string"), F.lit("9 incl. VAT")))
+        .when(v == 2, F.concat(
+            F.lit("Just " + gbp), (i % 90 + 5).cast("string"),
+            F.lit(" flat")))
+        .otherwise(F.concat(
+            F.lit("costs nothing, item "), i.cast("string")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit("[$" + eur + gbp + "][0-9][0-9.,]*"), 0
+            )
+        ).alias("price_idx", "raw"),
+    )
+    raw = F.col("raw")
+    body = F.substring(raw, 2, 1000)
+    m = fr.select(
+        "doc_id",
+        F.col("price_idx").cast("long").alias("price_idx"),
+        "raw",
+        F.when(raw.startswith("$"), F.lit("USD"))
+        .when(raw.startswith(eur), F.lit("EUR"))
+        .otherwise(F.lit("GBP"))
+        .alias("currency"),
+        F.when(
+            raw.startswith(eur),
+            F.regexp_replace(
+                F.regexp_replace(body, "\\.", ""), ",", "."
+            ),
+        )
+        .otherwise(F.regexp_replace(body, ",", ""))
+        .alias("norm"),
+    )
+    return m.select(
+        "doc_id", "price_idx", "raw", "currency",
+        (F.col("norm").cast("decimal(18,2)") * 100)
+        .cast("long").alias("amount_cents"),
+    )
+
+
+def _faq_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<details><summary>What is plan '
+            || CAST(doc_id % 9 AS VARCHAR) || '?</summary><p>It is tier '
+            || CAST(doc_id % 9 AS VARCHAR) || '.</p></details>'
+            || '<details><summary>How to cancel?</summary>'
+            || '<p>Email support ' || CAST(doc_id % 7 AS VARCHAR)
+            || '.</p></details>'
+          WHEN 1 THEN '<div itemtype="https://schema.org/Question">'
+            || '<h3 itemprop="name">Why ' || CAST(doc_id % 13 AS VARCHAR)
+            || '?</h3><div itemprop="acceptedAnswer"><p>Because '
+            || CAST(doc_id % 13 AS VARCHAR) || '.</p></div></div>'
+          WHEN 2 THEN '<p>No questions here '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<details><summary>Is item '
+            || CAST(doc_id AS VARCHAR) || ' in stock?</summary>'
+            || '<p>Ships in ' || CAST(doc_id % 5 AS VARCHAR)
+            || ' days.</p></details>' END AS html
+      FROM documents),
+    det AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pair_idx,
+        list_extract(regexp_extract_all(html,
+          '<details><summary>.*?</p></details>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<details><summary>.*?</p></details>', 0)))) AS g(i)),
+    d_pairs AS (
+      SELECT doc_id, pair_idx,
+        regexp_extract(blk, '<summary>([^<]+)</summary>', 1)
+          AS question,
+        regexp_extract(blk, '<p>([^<]+)</p>', 1) AS answer,
+        'details' AS source
+      FROM det),
+    s_pairs AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS pair_idx,
+        regexp_extract(html,
+          '<h3 itemprop="name">([^<]+)</h3>', 1) AS question,
+        regexp_extract(html,
+          'acceptedAnswer"><p>([^<]+)</p>', 1) AS answer,
+        'schema' AS source
+      FROM p
+      WHERE contains(html, 'schema.org/Question'))
+    SELECT * FROM d_pairs UNION ALL SELECT * FROM s_pairs
+    """
+
+
+@query("faq_pair_mining", _faq_oracle())
+def faq_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAQ question-answer mining (round 4): explicit Q/A markup is
+    the highest-precision instruction-tuning pair source on the open
+    web. Mines two declarations — ``<details>/<summary>`` disclosure
+    blocks (per-block, in order) and schema.org ``Question`` /
+    ``acceptedAnswer`` microdata — into (question, answer, source)
+    rows; a multi-details page pins pair ordering and a no-question
+    page pins zero rows.
+
+    Scale shape: regexp explode for details + a filtered projection
+    for schema, unioned; union is narrow (no shuffle), everything
+    codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<details><summary>What is plan "),
+            (i % 9).cast("string"),
+            F.lit("?</summary><p>It is tier "), (i % 9).cast("string"),
+            F.lit(".</p></details><details><summary>How to cancel?"
+                  "</summary><p>Email support "), (i % 7).cast("string"),
+            F.lit(".</p></details>")))
+        .when(v == 1, F.concat(
+            F.lit('<div itemtype="https://schema.org/Question">'
+                  '<h3 itemprop="name">Why '), (i % 13).cast("string"),
+            F.lit('?</h3><div itemprop="acceptedAnswer"><p>Because '),
+            (i % 13).cast("string"), F.lit(".</p></div></div>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>No questions here "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<details><summary>Is item "), ds,
+            F.lit(" in stock?</summary><p>Ships in "),
+            (i % 5).cast("string"), F.lit(" days.</p></details>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    det = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit("<details><summary>.*?</p></details>"), 0
+            )
+        ).alias("pair_idx", "blk"),
+    )
+    b = F.col("blk")
+    d_pairs = det.select(
+        "doc_id",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.regexp_extract(b, "<summary>([^<]+)</summary>", 1)
+        .alias("question"),
+        F.regexp_extract(b, "<p>([^<]+)</p>", 1).alias("answer"),
+        F.lit("details").alias("source"),
+    )
+    h = F.col("html")
+    s_pairs = p.filter(h.contains("schema.org/Question")).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("pair_idx"),
+        F.regexp_extract(h, '<h3 itemprop="name">([^<]+)</h3>', 1)
+        .alias("question"),
+        F.regexp_extract(h, 'acceptedAnswer"><p>([^<]+)</p>', 1)
+        .alias("answer"),
+        F.lit("schema").alias("source"),
+    )
+    return d_pairs.unionByName(s_pairs)
+
+
+def _ogcard_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta property="og:type" content="article">'
+            || '<meta property="og:image" content="https://img.ex.com/o'
+            || CAST(doc_id AS VARCHAR) || '.jpg">'
+            || '<meta name="twitter:card" content="summary_large_image">'
+            || '<meta property="og:site_name" content="Example News">'
+          WHEN 1 THEN '<meta property="og:type" content="video.other">'
+            || '<meta name="twitter:card" content="player">'
+          WHEN 2 THEN '<meta property="og:image" content="/rel/img'
+            || CAST(doc_id % 11 AS VARCHAR) || '.png">'
+          ELSE '<p>No social card ' || CAST(doc_id AS VARCHAR)
+            || '</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<meta property="og:type" content="([^"]+)"', 1) AS og_type,
+        regexp_extract(html,
+          '<meta property="og:image" content="([^"]+)"', 1) AS og_image,
+        regexp_extract(html,
+          '<meta name="twitter:card" content="([^"]+)"', 1)
+          AS twitter_card,
+        regexp_extract(html,
+          '<meta property="og:site_name" content="([^"]+)"', 1)
+          AS og_site_name
+      FROM p)
+    SELECT doc_id, og_type, og_image, twitter_card, og_site_name,
+      CAST((CASE WHEN og_type <> '' THEN 1 ELSE 0 END)
+         + (CASE WHEN og_image <> '' THEN 1 ELSE 0 END)
+         + (CASE WHEN twitter_card <> '' THEN 1 ELSE 0 END)
+         + (CASE WHEN og_site_name <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        AS completeness,
+      CAST(CASE WHEN og_image LIKE 'http%' THEN 1 ELSE 0 END AS INT)
+        AS image_absolute
+    FROM m
+    """
+
+
+@query("opengraph_card_extract", _ogcard_oracle())
+def opengraph_card_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-card metadata (round 4): OpenGraph/Twitter-card tags are
+    curated-by-the-publisher summaries — og:image is the page's own
+    pick of its representative image (the image-text pairing prior),
+    og:type separates articles from video/product shells, and card
+    completeness correlates with editorial quality. Extracts the four
+    card fields, a completeness count, and whether og:image is an
+    absolute url (relative ones need base resolution before fetch).
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta property="og:type" content="article">'
+                  '<meta property="og:image" '
+                  'content="https://img.ex.com/o'), ds,
+            F.lit('.jpg"><meta name="twitter:card" '
+                  'content="summary_large_image">'
+                  '<meta property="og:site_name" '
+                  'content="Example News">')))
+        .when(v == 1, F.lit(
+            '<meta property="og:type" content="video.other">'
+            '<meta name="twitter:card" content="player">'))
+        .when(v == 2, F.concat(
+            F.lit('<meta property="og:image" content="/rel/img'),
+            (i % 11).cast("string"), F.lit('.png">')))
+        .otherwise(F.concat(
+            F.lit("<p>No social card "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    og_type = F.regexp_extract(
+        h, '<meta property="og:type" content="([^"]+)"', 1
+    )
+    og_image = F.regexp_extract(
+        h, '<meta property="og:image" content="([^"]+)"', 1
+    )
+    tw = F.regexp_extract(
+        h, '<meta name="twitter:card" content="([^"]+)"', 1
+    )
+    site = F.regexp_extract(
+        h, '<meta property="og:site_name" content="([^"]+)"', 1
+    )
+    m = p.select(
+        "doc_id",
+        og_type.alias("og_type"),
+        og_image.alias("og_image"),
+        tw.alias("twitter_card"),
+        site.alias("og_site_name"),
+    )
+
+    def present(c):
+        return F.when(F.col(c) != "", F.lit(1)).otherwise(F.lit(0))
+
+    return m.select(
+        "doc_id", "og_type", "og_image", "twitter_card", "og_site_name",
+        (present("og_type") + present("og_image")
+         + present("twitter_card") + present("og_site_name"))
+        .cast("long").alias("completeness"),
+        F.when(F.col("og_image").startswith("http"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("image_absolute"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -185,6 +185,10 @@ CRITICAL = [
     "css_rules_profile",
     "contact_link_extract",
     "svg_features",
+    "http_link_header_parse",
+    "price_extract",
+    "faq_pair_mining",
+    "opengraph_card_extract",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
