@@ -17210,6 +17210,367 @@ def opengraph_card_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _forum_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<div class="comment" data-depth="0" '
+            || 'data-author="u' || CAST(doc_id % 17 AS VARCHAR)
+            || '"><p>First take ' || CAST(doc_id AS VARCHAR)
+            || '.</p></div><div class="comment" data-depth="1" '
+            || 'data-author="u' || CAST((doc_id + 5) % 17 AS VARCHAR)
+            || '"><p>Replying to you.</p></div>'
+            || '<div class="comment" data-depth="0" data-author="u'
+            || CAST((doc_id + 11) % 17 AS VARCHAR)
+            || '"><p>Second thread root.</p></div>'
+          WHEN 1 THEN '<div class="comment" data-depth="0" '
+            || 'data-author="u' || CAST(doc_id % 23 AS VARCHAR)
+            || '"><p>Lone comment ' || CAST(doc_id % 7 AS VARCHAR)
+            || '.</p></div>'
+          WHEN 2 THEN '<article>No comment section '
+            || CAST(doc_id AS VARCHAR) || '</article>'
+          ELSE '<div class="comment" data-depth="0" data-author="u'
+            || CAST(doc_id % 13 AS VARCHAR) || '"><p>Q about item '
+            || CAST(doc_id AS VARCHAR) || '?</p></div>'
+            || '<div class="comment" data-depth="1" data-author="u'
+            || CAST((doc_id + 1) % 13 AS VARCHAR)
+            || '"><p>A: see the docs.</p></div>'
+            || '<div class="comment" data-depth="2" data-author="u'
+            || CAST(doc_id % 13 AS VARCHAR)
+            || '"><p>Thanks, that worked.</p></div>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx,
+        list_extract(regexp_extract_all(html,
+          '<div class="comment"[^>]*><p>[^<]*</p></div>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<div class="comment"[^>]*><p>[^<]*</p></div>', 0)))) AS g(i))
+    SELECT doc_id, turn_idx,
+      regexp_extract(blk, 'data-author="([^"]+)"', 1) AS author,
+      CAST(regexp_extract(blk, 'data-depth="([0-9]+)"', 1) AS BIGINT)
+        AS depth,
+      regexp_extract(blk, '<p>([^<]*)</p>', 1) AS body,
+      CAST(CASE WHEN regexp_extract(blk, 'data-depth="([0-9]+)"', 1)
+                     <> '0' THEN 1 ELSE 0 END AS INT) AS is_reply
+    FROM fr
+    """
+
+
+@query("forum_thread_extract", _forum_oracle())
+def forum_thread_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forum/comment-thread mining (round 4): threaded discussion is
+    the open web's largest natural-dialogue source — the turn
+    sequence (author, reply depth, body) is exactly the record a
+    conversation-tuning pipeline ingests, and the same rows feed the
+    boilerplate side (comment sections are stripped from article
+    text, mined separately here). Extracts every comment block in
+    DOM order with its author handle and declared depth; a
+    three-turn Q/A/thanks thread pins depth nesting and a
+    same-author-returns turn.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen parses,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<div class="comment" data-depth="0" data-author="u'),
+            (i % 17).cast("string"), F.lit('"><p>First take '), ds,
+            F.lit('.</p></div><div class="comment" data-depth="1" '
+                  'data-author="u'), ((i + 5) % 17).cast("string"),
+            F.lit('"><p>Replying to you.</p></div>'
+                  '<div class="comment" data-depth="0" data-author="u'),
+            ((i + 11) % 17).cast("string"),
+            F.lit('"><p>Second thread root.</p></div>')))
+        .when(v == 1, F.concat(
+            F.lit('<div class="comment" data-depth="0" data-author="u'),
+            (i % 23).cast("string"), F.lit('"><p>Lone comment '),
+            (i % 7).cast("string"), F.lit(".</p></div>")))
+        .when(v == 2, F.concat(
+            F.lit("<article>No comment section "), ds,
+            F.lit("</article>")))
+        .otherwise(F.concat(
+            F.lit('<div class="comment" data-depth="0" data-author="u'),
+            (i % 13).cast("string"), F.lit('"><p>Q about item '), ds,
+            F.lit('?</p></div>'
+                  '<div class="comment" data-depth="1" data-author="u'),
+            ((i + 1) % 13).cast("string"),
+            F.lit('"><p>A: see the docs.</p></div>'
+                  '<div class="comment" data-depth="2" data-author="u'),
+            (i % 13).cast("string"),
+            F.lit('"><p>Thanks, that worked.</p></div>')))
+    )
+    rx = '<div class="comment"[^>]*><p>[^<]*</p></div>'
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit(rx), 0)
+        ).alias("turn_idx", "blk"),
+    )
+    b = F.col("blk")
+    depth_s = F.regexp_extract(b, 'data-depth="([0-9]+)"', 1)
+    return fr.select(
+        "doc_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.regexp_extract(b, 'data-author="([^"]+)"', 1).alias("author"),
+        depth_s.cast("long").alias("depth"),
+        F.regexp_extract(b, "<p>([^<]*)</p>", 1).alias("body"),
+        F.when(depth_s != "0", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_reply"),
+    )
+
+
+def _stacktrace_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Traceback (most recent call last):' || chr(10)
+            || '  File "app' || CAST(doc_id % 7 AS VARCHAR)
+            || '.py", line ' || CAST(doc_id % 90 + 1 AS VARCHAR)
+            || ', in main' || chr(10)
+            || '  File "lib.py", line 4, in helper' || chr(10)
+            || 'ValueError: bad input ' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'java.lang.NullPointerException: oops '
+            || CAST(doc_id AS VARCHAR) || chr(10) || chr(9)
+            || 'at com.ex.Svc.run(Svc.java:'
+            || CAST(doc_id % 200 AS VARCHAR) || ')' || chr(10) || chr(9)
+            || 'at com.ex.Main.main(Main.java:7)'
+          WHEN 2 THEN 'A normal paragraph about files and lines, doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'Forum answer ' || CAST(doc_id AS VARCHAR)
+            || ': run it again.' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN contains(text, 'Traceback (most recent call last):')
+               THEN 'python'
+             WHEN regexp_matches(text,
+               '[a-z.]+\\.[A-Za-z]+Exception') THEN 'java'
+             ELSE 'none' END AS kind,
+        CAST(len(regexp_extract_all(text, '  File "', 0)) AS BIGINT)
+          AS py_frames,
+        CAST(len(regexp_extract_all(text, chr(9) || 'at ', 0))
+          AS BIGINT) AS java_frames,
+        regexp_extract(text,
+          '([A-Za-z][A-Za-z0-9_.]*(?:Error|Exception))', 1) AS exc
+      FROM p)
+    SELECT doc_id, kind,
+      CASE WHEN kind = 'python' THEN py_frames
+           WHEN kind = 'java' THEN java_frames
+           ELSE CAST(0 AS BIGINT) END AS n_frames,
+      CASE WHEN kind = 'none' THEN '' ELSE exc END AS exception_type,
+      CAST(CASE WHEN kind <> 'none' THEN 1 ELSE 0 END AS INT)
+        AS is_stacktrace
+    FROM m
+    """
+
+
+@query("stacktrace_detect", _stacktrace_oracle())
+def stacktrace_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack-trace detection (round 4): raw tracebacks pasted into
+    pastebins, CI logs, and forum posts are a curation fork — noise
+    for a prose corpus, signal for a code corpus — so the filter must
+    label rather than just drop. Detects Python (``Traceback`` header,
+    ``File "..."`` frames) and Java (``package.SomeException`` plus
+    tab-``at`` frames) traces, counts frames with the
+    language-appropriate frame marker, and extracts the exception
+    type; prose mentioning "files and lines" pins the negative.
+
+    Scale shape: pure codegen contains/regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Traceback (most recent call last):\n"
+                  '  File "app'), (i % 7).cast("string"),
+            F.lit('.py", line '), (i % 90 + 1).cast("string"),
+            F.lit(", in main\n"
+                  '  File "lib.py", line 4, in helper\n'
+                  "ValueError: bad input "), ds))
+        .when(v == 1, F.concat(
+            F.lit("java.lang.NullPointerException: oops "), ds,
+            F.lit("\n\tat com.ex.Svc.run(Svc.java:"),
+            (i % 200).cast("string"),
+            F.lit(")\n\tat com.ex.Main.main(Main.java:7)")))
+        .when(v == 2, F.concat(
+            F.lit("A normal paragraph about files and lines, doc "),
+            ds, F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("Forum answer "), ds, F.lit(": run it again.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    kind = (
+        F.when(t.contains("Traceback (most recent call last):"),
+               F.lit("python"))
+        .when(t.rlike(r"[a-z.]+\.[A-Za-z]+Exception"), F.lit("java"))
+        .otherwise(F.lit("none"))
+    )
+    m = p.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.size(F.regexp_extract_all(t, F.lit('  File "'), 0))
+        .cast("long").alias("py_frames"),
+        F.size(F.regexp_extract_all(t, F.lit("\tat "), 0))
+        .cast("long").alias("java_frames"),
+        F.regexp_extract(
+            t, "([A-Za-z][A-Za-z0-9_.]*(?:Error|Exception))", 1
+        ).alias("exc"),
+    )
+    k = F.col("kind")
+    return m.select(
+        "doc_id", "kind",
+        F.when(k == "python", F.col("py_frames"))
+        .when(k == "java", F.col("java_frames"))
+        .otherwise(F.lit(0))
+        .cast("long").alias("n_frames"),
+        F.when(k == "none", F.lit("")).otherwise(F.col("exc"))
+        .alias("exception_type"),
+        F.when(k != "none", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_stacktrace"),
+    )
+
+
+def _recipe_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<div itemtype="https://schema.org/Recipe">'
+            || '<h1 itemprop="name">Stew ' || CAST(doc_id % 9 AS VARCHAR)
+            || '</h1><span itemprop="recipeYield">4 servings</span>'
+            || '<meta itemprop="cookTime" content="PT'
+            || CAST(doc_id % 3 AS VARCHAR) || 'H'
+            || CAST(doc_id % 60 AS VARCHAR) || 'M">'
+            || '<li itemprop="recipeIngredient">beans</li>'
+            || '<li itemprop="recipeIngredient">salt</li>'
+            || '<li itemprop="recipeIngredient">stock</li></div>'
+          WHEN 1 THEN '<div itemtype="https://schema.org/Recipe">'
+            || '<h1 itemprop="name">Toast ' || CAST(doc_id % 5 AS VARCHAR)
+            || '</h1><li itemprop="recipeIngredient">bread</li></div>'
+          WHEN 2 THEN '<p>Not a recipe, doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          ELSE '<div itemtype="https://schema.org/Recipe">'
+            || '<h1 itemprop="name">Soup ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</h1><meta itemprop="cookTime" content="PT'
+            || CAST(doc_id % 90 + 1 AS VARCHAR) || 'M">'
+            || '<li itemprop="recipeIngredient">water</li>'
+            || '<li itemprop="recipeIngredient">misc</li></div>'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN contains(html, 'schema.org/Recipe') THEN 1 ELSE 0 END
+          AS has_recipe,
+        regexp_extract(html, 'itemprop="name">([^<]+)<', 1) AS name,
+        regexp_extract(html,
+          'itemprop="recipeYield">([^<]+)<', 1) AS recipe_yield,
+        regexp_extract(html,
+          'cookTime" content="PT(?:([0-9]+)H)?(?:([0-9]+)M)?"', 1)
+          AS ch,
+        regexp_extract(html,
+          'cookTime" content="PT(?:([0-9]+)H)?(?:([0-9]+)M)?"', 2)
+          AS cm,
+        CAST(len(regexp_extract_all(html,
+          'itemprop="recipeIngredient"', 0)) AS BIGINT) AS n_ingredients
+      FROM p)
+    SELECT doc_id, CAST(has_recipe AS INT) AS has_recipe, name,
+      recipe_yield,
+      CAST((CASE WHEN ch = '' THEN 0 ELSE CAST(ch AS BIGINT) END) * 60
+         + (CASE WHEN cm = '' THEN 0 ELSE CAST(cm AS BIGINT) END)
+        AS BIGINT) AS cook_minutes,
+      n_ingredients
+    FROM m
+    """
+
+
+@query("recipe_extract", _recipe_oracle())
+def recipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe structured-vertical extraction (round 4): recipes are
+    the canonical high-volume microdata vertical — a name,
+    machine-readable yield, an ISO-8601 ``cookTime`` duration
+    normalized to integer minutes (``PT1H30M`` and ``PT45M`` both
+    handled), and the ingredient-line count. The generic
+    microdata_extract query walks arbitrary itemprops; this one pins
+    the vertical-specific normalization a recipe corpus needs.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<div itemtype="https://schema.org/Recipe">'
+                  '<h1 itemprop="name">Stew '), (i % 9).cast("string"),
+            F.lit('</h1><span itemprop="recipeYield">4 servings</span>'
+                  '<meta itemprop="cookTime" content="PT'),
+            (i % 3).cast("string"), F.lit("H"),
+            (i % 60).cast("string"),
+            F.lit('M"><li itemprop="recipeIngredient">beans</li>'
+                  '<li itemprop="recipeIngredient">salt</li>'
+                  '<li itemprop="recipeIngredient">stock</li></div>')))
+        .when(v == 1, F.concat(
+            F.lit('<div itemtype="https://schema.org/Recipe">'
+                  '<h1 itemprop="name">Toast '), (i % 5).cast("string"),
+            F.lit('</h1><li itemprop="recipeIngredient">bread</li>'
+                  "</div>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Not a recipe, doc "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<div itemtype="https://schema.org/Recipe">'
+                  '<h1 itemprop="name">Soup '), (i % 7).cast("string"),
+            F.lit('</h1><meta itemprop="cookTime" content="PT'),
+            (i % 90 + 1).cast("string"),
+            F.lit('M"><li itemprop="recipeIngredient">water</li>'
+                  '<li itemprop="recipeIngredient">misc</li></div>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    ch = F.regexp_extract(
+        h, 'cookTime" content="PT(?:([0-9]+)H)?(?:([0-9]+)M)?"', 1
+    )
+    cm = F.regexp_extract(
+        h, 'cookTime" content="PT(?:([0-9]+)H)?(?:([0-9]+)M)?"', 2
+    )
+    m = p.select(
+        "doc_id",
+        F.when(h.contains("schema.org/Recipe"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_recipe"),
+        F.regexp_extract(h, 'itemprop="name">([^<]+)<', 1).alias("name"),
+        F.regexp_extract(h, 'itemprop="recipeYield">([^<]+)<', 1)
+        .alias("recipe_yield"),
+        ch.alias("ch"),
+        cm.alias("cm"),
+        F.size(
+            F.regexp_extract_all(
+                h, F.lit('itemprop="recipeIngredient"'), 0
+            )
+        ).cast("long").alias("n_ingredients"),
+    )
+    hh = F.when(F.col("ch") == "", F.lit(0)).otherwise(
+        F.col("ch").cast("long")
+    )
+    mm = F.when(F.col("cm") == "", F.lit(0)).otherwise(
+        F.col("cm").cast("long")
+    )
+    return m.select(
+        "doc_id", "has_recipe", "name", "recipe_yield",
+        (hh * 60 + mm).cast("long").alias("cook_minutes"),
+        "n_ingredients",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

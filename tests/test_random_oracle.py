@@ -189,6 +189,9 @@ CRITICAL = [
     "price_extract",
     "faq_pair_mining",
     "opengraph_card_extract",
+    "forum_thread_extract",
+    "stacktrace_detect",
+    "recipe_extract",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
