@@ -17571,6 +17571,228 @@ def recipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _urltmpl_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        CASE doc_id % 5
+          WHEN 0 THEN '/post/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '/post/' || CAST(doc_id * 3 AS VARCHAR)
+          WHEN 2 THEN '/tag/t' || CAST(doc_id % 9 AS VARCHAR)
+          WHEN 3 THEN '/about'
+          ELSE '/p/' || CAST(doc_id AS VARCHAR) || '/comments'
+          END AS path
+      FROM documents),
+    s AS (
+      SELECT doc_id, host,
+        regexp_replace(path, '[0-9]+', '{n}', 'g') AS skeleton
+      FROM p)
+    SELECT host, skeleton,
+      CAST(count(*) AS BIGINT) AS n_urls,
+      CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM s GROUP BY host, skeleton
+    """
+
+
+@query("url_path_template_mining", _urltmpl_oracle())
+def url_path_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (round 4): digit-normalized path
+    skeletons recover a site's route table from its crawled urls —
+    ``/post/{n}`` with 50k instances is an article route worth deep
+    recrawl, a skeleton with one instance each is a trap or a
+    long-tail asset. Groups urls by (host, skeleton) with instance
+    counts and a stable min-doc sample; two planted variants share
+    the ``/post/{n}`` skeleton to pin the merge.
+
+    Scale shape: codegen regexp_replace projection then ONE hash
+    aggregation on (host, skeleton) — map-side partial combine, keys
+    uniform in host, no sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    host = F.concat(
+        F.lit("h"), (i % 20).cast("string"), F.lit(".example.com")
+    )
+    path = (
+        F.when(v == 0, F.concat(F.lit("/post/"), i.cast("string")))
+        .when(v == 1, F.concat(F.lit("/post/"), (i * 3).cast("string")))
+        .when(v == 2, F.concat(F.lit("/tag/t"), (i % 9).cast("string")))
+        .when(v == 3, F.lit("/about"))
+        .otherwise(F.concat(
+            F.lit("/p/"), i.cast("string"), F.lit("/comments")))
+    )
+    s = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_replace(path, "[0-9]+", "{n}").alias("skeleton"),
+    )
+    return s.groupBy("host", "skeleton").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+_SHORTENER_HOSTS = ["bit.ly", "t.co", "tinyurl.com", "goo.gl"]
+
+
+def _shortlink_oracle() -> str:
+    dim = ", ".join(f"('{h}')" for h in _SHORTENER_HOSTS)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://bit.ly/x' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://t.co/y' || CAST(doc_id % 999 AS VARCHAR)
+          WHEN 2 THEN 'https://example.com/page'
+            || CAST(doc_id AS VARCHAR)
+          ELSE 'https://tinyurl.com/z' || CAST(doc_id % 77 AS VARCHAR)
+          END AS link
+      FROM documents),
+    m AS (
+      SELECT doc_id, link,
+        regexp_extract(link, '^https?://([^/]+)/', 1) AS host
+      FROM p),
+    dim AS (SELECT * FROM (VALUES {dim}) AS t(sh_host))
+    SELECT m.doc_id, m.link, m.host,
+      CAST(CASE WHEN dim.sh_host IS NULL THEN 0 ELSE 1 END AS INT)
+        AS is_shortener,
+      coalesce(dim.sh_host, '') AS provider
+    FROM m LEFT JOIN dim ON m.host = dim.sh_host
+    """
+
+
+@query("shortlink_detect", _shortlink_oracle())
+def shortlink_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortener-link detection (round 4): shortened outlinks hide
+    the real target host from the link graph and spam scoring, so
+    the frontier marks them for expansion-time resolution. Joins
+    outlink hosts against the shortener dimension with an EXPLICIT
+    broadcast (the dim is tiny and static — this must never shuffle
+    the corpus side); left join keeps non-shortened links with a
+    zero flag.
+
+    Scale shape: codegen host parse + one BroadcastHashJoin (corpus
+    side streams, no shuffle, no sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    link = (
+        F.when(v == 0, F.concat(
+            F.lit("https://bit.ly/x"), i.cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("https://t.co/y"), (i % 999).cast("string")))
+        .when(v == 2, F.concat(
+            F.lit("https://example.com/page"), i.cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://tinyurl.com/z"), (i % 77).cast("string")))
+    )
+    m = d.select("doc_id", link.alias("link")).withColumn(
+        "host", F.regexp_extract(F.col("link"), "^https?://([^/]+)/", 1)
+    )
+    dim = F.broadcast(
+        m.sparkSession.createDataFrame(
+            [(h,) for h in _SHORTENER_HOSTS], "sh_host string"
+        )
+    )
+    j = m.join(dim, m.host == dim.sh_host, "left")
+    return j.select(
+        "doc_id", "link", "host",
+        F.when(F.col("sh_host").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("is_shortener"),
+        F.coalesce(F.col("sh_host"), F.lit("")).alias("provider"),
+    )
+
+
+def _sechdr_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Strict-Transport-Security: max-age=31536000; '
+            || 'includeSubDomains' || chr(10)
+            || 'Content-Security-Policy: default-src ''self''' || chr(10)
+            || 'X-Frame-Options: DENY'
+          WHEN 1 THEN 'Content-Security-Policy: default-src ''self'' '
+            || 'https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+            || '.ex.com; script-src ''unsafe-inline'''
+          WHEN 2 THEN 'X-Frame-Options: SAMEORIGIN' || chr(10)
+            || 'Strict-Transport-Security: max-age='
+            || CAST((doc_id % 12 + 1) * 3600 AS VARCHAR)
+          ELSE 'Server: nginx/' || CAST(doc_id % 3 AS VARCHAR)
+          END AS headers
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN contains(headers, 'Strict-Transport-Security:')
+             THEN 1 ELSE 0 END AS has_hsts,
+        regexp_extract(headers, 'max-age=([0-9]+)', 1) AS ma,
+        CASE WHEN contains(headers, 'Content-Security-Policy:')
+             THEN 1 ELSE 0 END AS has_csp,
+        CASE WHEN contains(headers, '''unsafe-inline''')
+             THEN 1 ELSE 0 END AS csp_unsafe_inline,
+        regexp_extract(headers, 'X-Frame-Options: ([A-Z]+)', 1) AS xfo
+      FROM p)
+    SELECT doc_id, CAST(has_hsts AS INT) AS has_hsts,
+      CAST(CASE WHEN ma = '' THEN 0 ELSE CAST(ma AS BIGINT) END
+        AS BIGINT) AS hsts_max_age,
+      CAST(has_csp AS INT) AS has_csp,
+      CAST(csp_unsafe_inline AS INT) AS csp_unsafe_inline, xfo
+    FROM m
+    """
+
+
+@query("security_headers_profile", _sechdr_oracle())
+def security_headers_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Security-header profiling (round 4): HSTS/CSP/X-Frame-Options
+    are host-hygiene priors — a long HSTS max-age marks an
+    operationally maintained site (a quality prior), a CSP with
+    ``'unsafe-inline'`` marks script-injection-prone templates, and
+    the headers feed the same transport-metadata store the
+    revalidation planner reads. Parses presence flags, the HSTS
+    max-age in seconds, the unsafe-inline bit, and the frame policy.
+
+    Scale shape: pure codegen contains/regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    headers = (
+        F.when(v == 0, F.lit(
+            "Strict-Transport-Security: max-age=31536000; "
+            "includeSubDomains\n"
+            "Content-Security-Policy: default-src 'self'\n"
+            "X-Frame-Options: DENY"))
+        .when(v == 1, F.concat(
+            F.lit("Content-Security-Policy: default-src 'self' "
+                  "https://cdn"), (i % 5).cast("string"),
+            F.lit(".ex.com; script-src 'unsafe-inline'")))
+        .when(v == 2, F.concat(
+            F.lit("X-Frame-Options: SAMEORIGIN\n"
+                  "Strict-Transport-Security: max-age="),
+            ((i % 12 + 1) * 3600).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Server: nginx/"), (i % 3).cast("string")))
+    )
+    p = d.select("doc_id", headers.alias("headers"))
+    h = F.col("headers")
+    ma = F.regexp_extract(h, "max-age=([0-9]+)", 1)
+    return p.select(
+        "doc_id",
+        F.when(h.contains("Strict-Transport-Security:"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_hsts"),
+        F.when(ma == "", F.lit(0)).otherwise(ma.cast("long"))
+        .cast("long").alias("hsts_max_age"),
+        F.when(h.contains("Content-Security-Policy:"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_csp"),
+        F.when(h.contains("'unsafe-inline'"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("csp_unsafe_inline"),
+        F.regexp_extract(h, "X-Frame-Options: ([A-Z]+)", 1).alias("xfo"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -192,6 +192,9 @@ CRITICAL = [
     "forum_thread_extract",
     "stacktrace_detect",
     "recipe_extract",
+    "url_path_template_mining",
+    "shortlink_detect",
+    "security_headers_profile",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
