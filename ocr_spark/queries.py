@@ -17793,6 +17793,328 @@ def security_headers_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domdepth_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<div><p>a</p><div><span>b'
+            || CAST(doc_id AS VARCHAR) || '</span></div></div>'
+          WHEN 1 THEN '<p>x' || CAST(doc_id AS VARCHAR)
+            || '</p><p>y</p>'
+          WHEN 2 THEN repeat('<div>', CAST(1 + doc_id % 4 AS INT))
+            || '<b>deep ' || CAST(doc_id AS VARCHAR) || '</b>'
+            || repeat('</div>', CAST(1 + doc_id % 4 AS INT))
+          ELSE '<p>only ' || CAST(doc_id AS VARCHAR) || '</p>'
+          END AS html
+      FROM documents),
+    tags AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS tag_idx,
+        list_extract(regexp_extract_all(html, '</?[a-z]+>', 0), i)
+          AS tag
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '</?[a-z]+>', 0)))) AS g(i)),
+    d AS (
+      SELECT doc_id, tag_idx,
+        sum(CASE WHEN tag LIKE '</%' THEN -1 ELSE 1 END)
+          OVER (PARTITION BY doc_id ORDER BY tag_idx
+                ROWS UNBOUNDED PRECEDING) AS depth
+      FROM tags)
+    SELECT doc_id,
+      CAST(max(depth) AS BIGINT) AS max_depth,
+      CAST(count(*) AS BIGINT) AS n_tags
+    FROM d GROUP BY doc_id
+    """
+
+
+@query("dom_depth_profile", _domdepth_oracle())
+def dom_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM nesting-depth profiling (round 4): maximum tag-nesting
+    depth is a classic template/quality discriminator — hand-written
+    article pages sit around depth 10-15 while framework-generated
+    chrome nests 30+ — and a balance check (the running depth) flags
+    truncated fetches. Computes the running open-minus-close depth
+    per document in tag order and reduces to (max_depth, n_tags);
+    a repeat-built variable-depth chain pins depths beyond the
+    literal fixtures.
+
+    Scale shape: tag explode -> running sum over a PER-DOCUMENT
+    window (keys uniform, each partition is one page's tag list —
+    bounded) -> hash aggregation on doc_id; one shuffle on the
+    window/group key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    k = (1 + i % 4).cast("int")
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<div><p>a</p><div><span>b"), ds,
+            F.lit("</span></div></div>")))
+        .when(v == 1, F.concat(
+            F.lit("<p>x"), ds, F.lit("</p><p>y</p>")))
+        .when(v == 2, F.concat(
+            F.repeat(F.lit("<div>"), k),
+            F.lit("<b>deep "), ds, F.lit("</b>"),
+            F.repeat(F.lit("</div>"), k)))
+        .otherwise(F.concat(F.lit("<p>only "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    tags = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit("</?[a-z]+>"), 0)
+        ).alias("tag_idx", "tag"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("tag_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delta = F.when(F.col("tag").startswith("</"), F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    depths = tags.select(
+        "doc_id", F.sum(delta).over(w).alias("depth")
+    )
+    return depths.groupBy("doc_id").agg(
+        F.max("depth").cast("long").alias("max_depth"),
+        F.count("*").cast("long").alias("n_tags"),
+    )
+
+
+def _nextdata_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script id="__NEXT_DATA__" '
+            || 'type="application/json">{"props":{"pageProps":'
+            || '{"title":"Post ' || CAST(doc_id % 9 AS VARCHAR)
+            || '","body":"text ' || CAST(doc_id AS VARCHAR)
+            || ' words"}}}</script>'
+          WHEN 1 THEN '<script>window.__NUXT__={data:[{t:'
+            || CAST(doc_id AS VARCHAR) || '}]};</script>'
+          WHEN 2 THEN '<p>Server-rendered page '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<script id="__NEXT_DATA__" '
+            || 'type="application/json">{"props":{"pageProps":'
+            || '{"title":"Bare ' || CAST(doc_id % 5 AS VARCHAR)
+            || '"}}}</script>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN contains(html, '__NEXT_DATA__') THEN 'next'
+             WHEN contains(html, 'window.__NUXT__') THEN 'nuxt'
+             ELSE 'none' END AS framework,
+        regexp_extract(html,
+          '__NEXT_DATA__[^>]*>(.*?)</script>', 1) AS js
+      FROM p)
+    SELECT doc_id, framework,
+      coalesce(json_extract_string(
+        CASE WHEN framework = 'next' THEN js ELSE NULL END,
+        '$.props.pageProps.title'), '') AS state_title,
+      CAST(coalesce(length(json_extract_string(
+        CASE WHEN framework = 'next' THEN js ELSE NULL END,
+        '$.props.pageProps.body')), 0) AS BIGINT) AS body_len
+    FROM m
+    """
+
+
+@query("nextdata_state_extract", _nextdata_oracle())
+def nextdata_state_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSR state extraction (round 4): on SPA pages the article often
+    lives ONLY in the serialized hydration state — ``__NEXT_DATA__``
+    is well-formed JSON (extractable content path), ``window.__NUXT__``
+    is a JS expression (needs the render route spa_shell_detect
+    picks). Classifies the framework and pulls title/body straight
+    out of the Next state with JSON-path functions; a body-less state
+    pins the missing-path zero.
+
+    Scale shape: codegen regexp + JVM get_json_object projection, no
+    UDF, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script id="__NEXT_DATA__" type="application/json">'
+                  '{"props":{"pageProps":{"title":"Post '),
+            (i % 9).cast("string"), F.lit('","body":"text '), ds,
+            F.lit(' words"}}}</script>')))
+        .when(v == 1, F.concat(
+            F.lit("<script>window.__NUXT__={data:[{t:"), ds,
+            F.lit("}]};</script>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Server-rendered page "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<script id="__NEXT_DATA__" type="application/json">'
+                  '{"props":{"pageProps":{"title":"Bare '),
+            (i % 5).cast("string"), F.lit('"}}}</script>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    framework = (
+        F.when(h.contains("__NEXT_DATA__"), F.lit("next"))
+        .when(h.contains("window.__NUXT__"), F.lit("nuxt"))
+        .otherwise(F.lit("none"))
+    )
+    js = F.regexp_extract(h, "__NEXT_DATA__[^>]*>(.*?)</script>", 1)
+    m = p.select(
+        "doc_id",
+        framework.alias("framework"),
+        F.when(framework == "next", js).otherwise(F.lit(None))
+        .alias("js"),
+    )
+    return m.select(
+        "doc_id", "framework",
+        F.coalesce(
+            F.get_json_object(F.col("js"), "$.props.pageProps.title"),
+            F.lit(""),
+        ).alias("state_title"),
+        F.coalesce(
+            F.length(
+                F.get_json_object(F.col("js"), "$.props.pageProps.body")
+            ),
+            F.lit(0),
+        ).cast("long").alias("body_len"),
+    )
+
+
+def _langmismatch_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id, lang AS detected,
+        CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS declared
+      FROM documents)
+    SELECT declared,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN declared <> detected THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_mismatch
+    FROM p GROUP BY declared
+    """
+
+
+@query("declared_lang_mismatch", _langmismatch_oracle())
+def declared_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit (round 4): the html
+    ``lang`` attribute is publisher-declared and wrong on a long tail
+    of templated sites (English scaffolding around non-English
+    content) — a bilingual-corpus builder must trust the detector,
+    and the per-declared-language mismatch count tells it how much.
+    Simulates the declared attribute (wrong-forced-to-en on a 1/7
+    stripe) against the table's detected language and aggregates
+    mismatch counts per declared language — exact integers, no
+    rate-rounding ambiguity.
+
+    Scale shape: codegen projection -> ONE hash aggregation on a
+    low-cardinality key with map-side partials (5 languages -> 5
+    rows; partial combine collapses the corpus before the shuffle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    p = d.select(
+        F.col("lang").alias("detected"),
+        F.when(i % 7 == 0, F.lit("en")).otherwise(F.col("lang"))
+        .alias("declared"),
+    )
+    return p.groupBy("declared").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("declared") != F.col("detected"), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
+def _jsredirect_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script>window.location.href="https://dest'
+            || CAST(doc_id % 9 AS VARCHAR) || '.com/x";</script>'
+          WHEN 1 THEN '<script>location.replace(''/login?next='
+            || CAST(doc_id AS VARCHAR) || ''')</script>'
+          WHEN 2 THEN '<script>console.log("location")</script><p>App '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<p>Static page ' || CAST(doc_id AS VARCHAR) || '</p>'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          'window\\.location\\.href="([^"]+)"', 1) AS href_target,
+        regexp_extract(html,
+          'location\\.replace\\(''([^'']+)''\\)', 1) AS repl_target
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN href_target <> '' OR repl_target <> ''
+                THEN 1 ELSE 0 END AS INT) AS has_js_redirect,
+      CASE WHEN href_target <> '' THEN 'href'
+           WHEN repl_target <> '' THEN 'replace'
+           ELSE '' END AS method,
+      CASE WHEN href_target <> '' THEN href_target
+           ELSE repl_target END AS target
+    FROM m
+    """
+
+
+@query("js_redirect_detect", _jsredirect_oracle())
+def js_redirect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-redirect detection (round 4): script-driven navigation
+    (``window.location.href=`` / ``location.replace``) is the
+    redirect the HTTP layer and meta-refresh parser both miss — the
+    cloaking/parked pattern, and a frontier edge when the target is
+    static. Extracts the method and target; a page merely MENTIONING
+    "location" in script text pins the negative.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script>window.location.href="https://dest'),
+            (i % 9).cast("string"), F.lit('.com/x";</script>')))
+        .when(v == 1, F.concat(
+            F.lit("<script>location.replace('/login?next="), ds,
+            F.lit("')</script>")))
+        .when(v == 2, F.concat(
+            F.lit('<script>console.log("location")</script><p>App '),
+            ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>Static page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    href_t = F.regexp_extract(h, 'window\\.location\\.href="([^"]+)"', 1)
+    repl_t = F.regexp_extract(h, "location\\.replace\\('([^']+)'\\)", 1)
+    m = p.select(
+        "doc_id",
+        href_t.alias("href_target"),
+        repl_t.alias("repl_target"),
+    )
+    ht, rt = F.col("href_target"), F.col("repl_target")
+    return m.select(
+        "doc_id",
+        F.when((ht != "") | (rt != ""), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_js_redirect"),
+        F.when(ht != "", F.lit("href"))
+        .when(rt != "", F.lit("replace"))
+        .otherwise(F.lit(""))
+        .alias("method"),
+        F.when(ht != "", ht).otherwise(rt).alias("target"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

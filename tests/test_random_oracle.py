@@ -195,6 +195,10 @@ CRITICAL = [
     "url_path_template_mining",
     "shortlink_detect",
     "security_headers_profile",
+    "dom_depth_profile",
+    "nextdata_state_extract",
+    "declared_lang_mismatch",
+    "js_redirect_detect",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
