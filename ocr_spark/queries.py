@@ -18115,6 +18115,401 @@ def js_redirect_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tablecls_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<table><tr><th>year</th><th>rev</th></tr>'
+            || '<tr><td>2023</td><td>' || CAST(doc_id % 900 AS VARCHAR)
+            || '</td></tr></table>'
+          WHEN 1 THEN '<table><tr><td><a href="/nav'
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '">Home</a></td><td>About us</td><td>Contact</td></tr>'
+            || '</table>'
+          WHEN 2 THEN '<p>tableless page ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          ELSE '<table><tr><td>12.5%</td><td>'
+            || CAST(doc_id % 70 AS VARCHAR)
+            || '</td></tr><tr><td>3,400</td><td>profit</td></tr>'
+            || '</table>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS table_idx,
+        list_extract(regexp_extract_all(html,
+          '<table>.*?</table>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<table>.*?</table>', 0)))) AS g(i)),
+    m AS (
+      SELECT doc_id, table_idx,
+        CASE WHEN contains(blk, '<th>') THEN 1 ELSE 0 END AS has_th,
+        CAST(len(regexp_extract_all(blk, '<td>', 0)) AS BIGINT)
+          AS n_cells,
+        CAST(len(regexp_extract_all(blk,
+          '<td>[0-9][0-9.,%]*</td>', 0)) AS BIGINT) AS numeric_cells
+      FROM fr)
+    SELECT doc_id, table_idx, CAST(has_th AS INT) AS has_th, n_cells,
+      numeric_cells,
+      CAST(CASE WHEN has_th = 1 OR 2 * numeric_cells >= n_cells
+                THEN 1 ELSE 0 END AS INT) AS is_data_table
+    FROM m
+    """
+
+
+@query("table_layout_classify", _tablecls_oracle())
+def table_layout_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-vs-layout table classification (round 4): the legacy web
+    used ``<table>`` for page layout, so a table-understanding corpus
+    must split real data tables (headers, numeric cells) from
+    navigation grids before extraction. Per table block: header
+    presence, cell count, numeric-cell count, and the decision
+    (``<th>`` present OR numeric majority — decided in exact integer
+    arithmetic, ``2*numeric >= cells``). A headerless all-numbers
+    table and a link-grid layout table pin both sides.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    counts, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<table><tr><th>year</th><th>rev</th></tr>"
+                  "<tr><td>2023</td><td>"), (i % 900).cast("string"),
+            F.lit("</td></tr></table>")))
+        .when(v == 1, F.concat(
+            F.lit('<table><tr><td><a href="/nav'),
+            (i % 9).cast("string"),
+            F.lit('">Home</a></td><td>About us</td><td>Contact</td>'
+                  "</tr></table>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>tableless page "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<table><tr><td>12.5%</td><td>"),
+            (i % 70).cast("string"),
+            F.lit("</td></tr><tr><td>3,400</td><td>profit</td></tr>"
+                  "</table>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<table>.*?</table>"), 0
+            )
+        ).alias("table_idx", "blk"),
+    )
+    b = F.col("blk")
+    m = fr.select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.when(b.contains("<th>"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_th"),
+        F.size(F.regexp_extract_all(b, F.lit("<td>"), 0))
+        .cast("long").alias("n_cells"),
+        F.size(
+            F.regexp_extract_all(b, F.lit("<td>[0-9][0-9.,%]*</td>"), 0)
+        ).cast("long").alias("numeric_cells"),
+    )
+    return m.select(
+        "doc_id", "table_idx", "has_th", "n_cells", "numeric_cells",
+        F.when(
+            (F.col("has_th") == 1)
+            | (2 * F.col("numeric_cells") >= F.col("n_cells")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("is_data_table"),
+    )
+
+
+def _list_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<ol><li>Preheat to '
+            || CAST(150 + doc_id % 100 AS VARCHAR)
+            || '</li><li>Mix the batter</li><li>Bake '
+            || CAST(doc_id % 40 + 10 AS VARCHAR) || ' min</li></ol>'
+          WHEN 1 THEN '<ul><li>Fast</li><li>Cheap '
+            || CAST(doc_id % 7 AS VARCHAR) || '</li></ul>'
+            || '<ol><li>Download</li><li>Install v'
+            || CAST(doc_id % 5 AS VARCHAR) || '</li></ol>'
+          WHEN 2 THEN '<p>listless prose ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          ELSE '<ul><li>Only item ' || CAST(doc_id AS VARCHAR)
+            || '</li></ul>' END AS html
+      FROM documents),
+    lists AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS list_idx,
+        list_extract(regexp_extract_all(html,
+          '<(?:ol|ul)>.*?</(?:ol|ul)>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<(?:ol|ul)>.*?</(?:ol|ul)>', 0)))) AS g(i)),
+    items AS (
+      SELECT doc_id, list_idx,
+        CASE WHEN blk LIKE '<ol>%' THEN 'ol' ELSE 'ul' END AS list_type,
+        CAST(j - 1 AS BIGINT) AS item_idx,
+        list_extract(regexp_extract_all(blk, '<li>([^<]*)</li>', 1), j)
+          AS item_text
+      FROM lists, unnest(generate_series(1, len(regexp_extract_all(blk,
+        '<li>([^<]*)</li>', 1)))) AS g2(j))
+    SELECT doc_id, list_idx, list_type, item_idx, item_text
+    FROM items
+    """
+
+
+@query("list_structure_extract", _list_oracle())
+def list_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-structure extraction (round 4): ordered lists are the
+    web's procedure corpus (recipe steps, install guides — order IS
+    the content) and unordered lists feed feature/attribute mining;
+    flat text extraction destroys exactly this structure. Two-level
+    extraction: list blocks in document order, then items in list
+    order, each row tagged ol/ul; a mixed ul-then-ol page pins
+    cross-list indexing.
+
+    Scale shape: two chained posexplodes (list blocks, then items) —
+    both narrow, codegen parses, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<ol><li>Preheat to "),
+            (150 + i % 100).cast("string"),
+            F.lit("</li><li>Mix the batter</li><li>Bake "),
+            (i % 40 + 10).cast("string"), F.lit(" min</li></ol>")))
+        .when(v == 1, F.concat(
+            F.lit("<ul><li>Fast</li><li>Cheap "),
+            (i % 7).cast("string"),
+            F.lit("</li></ul><ol><li>Download</li><li>Install v"),
+            (i % 5).cast("string"), F.lit("</li></ol>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>listless prose "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<ul><li>Only item "), ds, F.lit("</li></ul>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    lists = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<(?:ol|ul)>.*?</(?:ol|ul)>"), 0
+            )
+        ).alias("list_idx", "blk"),
+    )
+    b = F.col("blk")
+    items = lists.select(
+        "doc_id",
+        F.col("list_idx").cast("long").alias("list_idx"),
+        F.when(b.startswith("<ol>"), F.lit("ol")).otherwise(F.lit("ul"))
+        .alias("list_type"),
+        F.posexplode(
+            F.regexp_extract_all(b, F.lit("<li>([^<]*)</li>"), 1)
+        ).alias("item_idx", "item_text"),
+    )
+    return items.select(
+        "doc_id", "list_idx", "list_type",
+        F.col("item_idx").cast("long").alias("item_idx"),
+        "item_text",
+    )
+
+
+def _abbr_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<p>The <abbr title="HyperText Markup Language">'
+            || 'HTML</abbr> spec and <abbr title="Cascading Style '
+            || 'Sheets">CSS</abbr> level ' || CAST(doc_id % 4 AS VARCHAR)
+            || '.</p>'
+          WHEN 1 THEN '<p>Revision <abbr title="Request for Comments '
+            || CAST(doc_id % 9999 AS VARCHAR) || '">RFC</abbr> text.</p>'
+          WHEN 2 THEN '<p>No abbreviations here '
+            || CAST(doc_id AS VARCHAR) || '.</p>'
+          ELSE '<p>Metric <abbr title="documents per second">docs/s'
+            || '</abbr> at ' || CAST(doc_id AS VARCHAR) || '.</p>'
+          END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pair_idx,
+        list_extract(regexp_extract_all(html,
+          '<abbr title="[^"]+">[^<]+</abbr>', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<abbr title="[^"]+">[^<]+</abbr>', 0)))) AS g(i))
+    SELECT doc_id, pair_idx,
+      regexp_extract(blk, '>([^<]+)</abbr>', 1) AS acronym,
+      regexp_extract(blk, 'title="([^"]+)"', 1) AS expansion
+    FROM fr
+    """
+
+
+@query("abbr_glossary_extract", _abbr_oracle())
+def abbr_glossary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviation-glossary mining (round 4): ``<abbr title=...>``
+    is author-curated (acronym, expansion) supervision — exactly the
+    pair an entity/terminology model trains on, with in-page
+    provenance. Extracts every pair in order; a two-abbr sentence
+    pins ordering and a no-abbr page pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    parses, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<p>The <abbr title="HyperText Markup Language">'
+                  'HTML</abbr> spec and <abbr title="Cascading Style '
+                  'Sheets">CSS</abbr> level '), (i % 4).cast("string"),
+            F.lit(".</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<p>Revision <abbr title="Request for Comments '),
+            (i % 9999).cast("string"),
+            F.lit('">RFC</abbr> text.</p>')))
+        .when(v == 2, F.concat(
+            F.lit("<p>No abbreviations here "), ds, F.lit(".</p>")))
+        .otherwise(F.concat(
+            F.lit('<p>Metric <abbr title="documents per second">'
+                  "docs/s</abbr> at "), ds, F.lit(".</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit('<abbr title="[^"]+">[^<]+</abbr>'), 0
+            )
+        ).alias("pair_idx", "blk"),
+    )
+    b = F.col("blk")
+    return fr.select(
+        "doc_id",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.regexp_extract(b, ">([^<]+)</abbr>", 1).alias("acronym"),
+        F.regexp_extract(b, 'title="([^"]+)"', 1).alias("expansion"),
+    )
+
+
+def _cms_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '<meta name="generator" content="WordPress 6.'
+            || CAST(doc_id % 5 AS VARCHAR)
+            || '"><link href="/wp-content/themes/a.css">'
+          WHEN 1 THEN '<img src="/wp-content/uploads/hero'
+            || CAST(doc_id AS VARCHAR) || '.jpg"><p>Blog post</p>'
+          WHEN 2 THEN '<meta name="generator" content="Drupal 10 '
+            || '(https://www.drupal.org)"><p>Node '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 3 THEN '<script src="https://cdn.shopify.com/s/files/'
+            || CAST(doc_id % 99 AS VARCHAR) || '/theme.js"></script>'
+          ELSE '<p>Hand-rolled site ' || CAST(doc_id AS VARCHAR)
+            || '</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<meta name="generator" content="([A-Za-z]+) ?([0-9.]*)', 1)
+          AS gen_name,
+        regexp_extract(html,
+          '<meta name="generator" content="([A-Za-z]+) ?([0-9.]*)', 2)
+          AS gen_ver,
+        CASE WHEN contains(html, '/wp-content/') THEN 1 ELSE 0 END
+          AS wp_path,
+        CASE WHEN contains(html, 'cdn.shopify.com') THEN 1 ELSE 0 END
+          AS shopify_cdn
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN gen_name = 'WordPress' OR wp_path = 1 THEN 'wordpress'
+           WHEN gen_name = 'Drupal' THEN 'drupal'
+           WHEN shopify_cdn = 1 THEN 'shopify'
+           ELSE 'none' END AS cms,
+      CASE WHEN gen_name <> '' THEN gen_ver ELSE '' END AS version,
+      CASE WHEN gen_name <> '' THEN 'generator'
+           WHEN wp_path = 1 THEN 'asset_path'
+           WHEN shopify_cdn = 1 THEN 'cdn_host'
+           ELSE '' END AS evidence
+    FROM m
+    """
+
+
+@query("cms_fingerprint", _cms_oracle())
+def cms_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS fingerprinting (round 4): the platform behind a page
+    predicts its template family (which extractor rules apply), its
+    boilerplate shape, and crawl ops (WordPress exposes wp-json;
+    Shopify paginates collections) — and declared generator versions
+    feed the security-hygiene prior. Declared ``generator`` meta
+    beats asset-path inference beats CDN-host inference; a
+    generator-less wp-content page pins the path tier.
+
+    Scale shape: pure codegen regexp/contains projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 5
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="generator" content="WordPress 6.'),
+            (i % 5).cast("string"),
+            F.lit('"><link href="/wp-content/themes/a.css">')))
+        .when(v == 1, F.concat(
+            F.lit('<img src="/wp-content/uploads/hero'), ds,
+            F.lit('.jpg"><p>Blog post</p>')))
+        .when(v == 2, F.concat(
+            F.lit('<meta name="generator" content="Drupal 10 '
+                  '(https://www.drupal.org)"><p>Node '), ds,
+            F.lit("</p>")))
+        .when(v == 3, F.concat(
+            F.lit('<script src="https://cdn.shopify.com/s/files/'),
+            (i % 99).cast("string"), F.lit('/theme.js"></script>')))
+        .otherwise(F.concat(
+            F.lit("<p>Hand-rolled site "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    rx = '<meta name="generator" content="([A-Za-z]+) ?([0-9.]*)'
+    gen_name = F.regexp_extract(h, rx, 1)
+    gen_ver = F.regexp_extract(h, rx, 2)
+    wp_path = h.contains("/wp-content/")
+    shopify = h.contains("cdn.shopify.com")
+    m = p.select(
+        "doc_id",
+        gen_name.alias("gen_name"),
+        gen_ver.alias("gen_ver"),
+        wp_path.alias("wp_path"),
+        shopify.alias("shopify_cdn"),
+    )
+    gn = F.col("gen_name")
+    return m.select(
+        "doc_id",
+        F.when((gn == "WordPress") | F.col("wp_path"), F.lit("wordpress"))
+        .when(gn == "Drupal", F.lit("drupal"))
+        .when(F.col("shopify_cdn"), F.lit("shopify"))
+        .otherwise(F.lit("none"))
+        .alias("cms"),
+        F.when(gn != "", F.col("gen_ver")).otherwise(F.lit(""))
+        .alias("version"),
+        F.when(gn != "", F.lit("generator"))
+        .when(F.col("wp_path"), F.lit("asset_path"))
+        .when(F.col("shopify_cdn"), F.lit("cdn_host"))
+        .otherwise(F.lit(""))
+        .alias("evidence"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -199,6 +199,10 @@ CRITICAL = [
     "nextdata_state_extract",
     "declared_lang_mismatch",
     "js_redirect_detect",
+    "table_layout_classify",
+    "list_structure_extract",
+    "abbr_glossary_extract",
+    "cms_fingerprint",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
