@@ -379,6 +379,25 @@ COMMENTARY = {
         "unioned back, so the null join key never funnels a "
         "corpus-sized bucket through one task."
     ),
+    "url_path_template_mining": (
+        "Digit-normalized skeleton projection then ONE HashAggregate "
+        "on (host, skeleton) with map-side partial combine — the "
+        "route-table rollup collapses the corpus before its single "
+        "shuffle; keys are uniform in host, no sort."
+    ),
+    "shortlink_detect": (
+        "The shortener dimension is tiny and static, so the join is "
+        "an EXPLICIT BroadcastHashJoin (BuildRight): the corpus side "
+        "streams through untouched — no shuffle, no sort, left-outer "
+        "keeps non-shortened links."
+    ),
+    "dom_depth_profile": (
+        "Tag explode -> running open-minus-close sum over a "
+        "per-document window (each partition is one page's tag list, "
+        "bounded) -> HashAggregate on doc_id; the window and the "
+        "aggregate share the doc_id partitioning so the plan carries "
+        "ONE exchange."
+    ),
 }
 
 
