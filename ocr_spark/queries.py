@@ -18510,6 +18510,402 @@ def cms_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quoteattr_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '"We will ship on time," said Maria Chen, '
+            || 'CTO of Acme' || CAST(doc_id % 9 AS VARCHAR) || '.'
+          WHEN 1 THEN '"Numbers look great," Jordan Lee told analysts '
+            || 'on call ' || CAST(doc_id % 7 AS VARCHAR) || '.'
+          WHEN 2 THEN 'No direct speech in story '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE '"It failed." The incident ' || CAST(doc_id AS VARCHAR)
+            || ' is under review.' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text,
+          '"([^"]+)," said ([A-Z][a-z]+ [A-Z][a-z]+), ([^.]+)\\.', 1)
+          AS q_said,
+        regexp_extract(text,
+          '"([^"]+)," said ([A-Z][a-z]+ [A-Z][a-z]+), ([^.]+)\\.', 2)
+          AS sp_said,
+        regexp_extract(text,
+          '"([^"]+)," said ([A-Z][a-z]+ [A-Z][a-z]+), ([^.]+)\\.', 3)
+          AS role_said,
+        regexp_extract(text,
+          '"([^"]+)," ([A-Z][a-z]+ [A-Z][a-z]+) told', 1) AS q_told,
+        regexp_extract(text,
+          '"([^"]+)," ([A-Z][a-z]+ [A-Z][a-z]+) told', 2) AS sp_told,
+        regexp_extract(text, '"([^"]+[.!?])"', 1) AS q_bare
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN q_said <> '' THEN q_said
+           WHEN q_told <> '' THEN q_told
+           ELSE q_bare END AS quote,
+      CASE WHEN q_said <> '' THEN sp_said
+           WHEN q_told <> '' THEN sp_told
+           ELSE '' END AS speaker,
+      CASE WHEN q_said <> '' THEN role_said ELSE '' END AS role,
+      CASE WHEN q_said <> '' THEN 'said'
+           WHEN q_told <> '' THEN 'told'
+           WHEN q_bare <> '' THEN 'bare'
+           ELSE 'none' END AS pattern
+    FROM m
+    """
+
+
+@query("quote_attribution_extract", _quoteattr_oracle())
+def quote_attribution_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-attribution mining (round 4): journalism prose carries
+    (quote, speaker, role) triples — grounded dialogue supervision
+    with named provenance, and the dedup key for wire copy syndicated
+    across hosts. Two attribution patterns (``"...," said Name,
+    role.`` and ``"...," Name told ...``) plus the unattributed bare
+    quote, precedence pinned by construction; blockquote_cite_extract
+    handles the MARKUP quote path, this one handles prose.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit('"We will ship on time," said Maria Chen, '
+                  "CTO of Acme"), (i % 9).cast("string"), F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit('"Numbers look great," Jordan Lee told analysts '
+                  "on call "), (i % 7).cast("string"), F.lit(".")))
+        .when(v == 2, F.concat(
+            F.lit("No direct speech in story "), ds, F.lit(".")))
+        .otherwise(F.concat(
+            F.lit('"It failed." The incident '), ds,
+            F.lit(" is under review.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    rx_said = '"([^"]+)," said ([A-Z][a-z]+ [A-Z][a-z]+), ([^.]+)\\.'
+    rx_told = '"([^"]+)," ([A-Z][a-z]+ [A-Z][a-z]+) told'
+    m = p.select(
+        "doc_id",
+        F.regexp_extract(t, rx_said, 1).alias("q_said"),
+        F.regexp_extract(t, rx_said, 2).alias("sp_said"),
+        F.regexp_extract(t, rx_said, 3).alias("role_said"),
+        F.regexp_extract(t, rx_told, 1).alias("q_told"),
+        F.regexp_extract(t, rx_told, 2).alias("sp_told"),
+        F.regexp_extract(t, '"([^"]+[.!?])"', 1).alias("q_bare"),
+    )
+    qs, qt, qb = F.col("q_said"), F.col("q_told"), F.col("q_bare")
+    return m.select(
+        "doc_id",
+        F.when(qs != "", qs).when(qt != "", qt).otherwise(qb)
+        .alias("quote"),
+        F.when(qs != "", F.col("sp_said"))
+        .when(qt != "", F.col("sp_told"))
+        .otherwise(F.lit(""))
+        .alias("speaker"),
+        F.when(qs != "", F.col("role_said")).otherwise(F.lit(""))
+        .alias("role"),
+        F.when(qs != "", F.lit("said"))
+        .when(qt != "", F.lit("told"))
+        .when(qb != "", F.lit("bare"))
+        .otherwise(F.lit("none"))
+        .alias("pattern"),
+    )
+
+
+def _statclaim_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Revenue grew ' || CAST(doc_id % 80 + 1 AS VARCHAR)
+            || '% in ' || CAST(2020 + doc_id % 6 AS VARCHAR)
+            || ' to $1.5 million.'
+          WHEN 1 THEN 'About 3,4' || CAST(doc_id % 10 AS VARCHAR)
+            || '0 users joined in March.'
+          WHEN 2 THEN 'A qualitative story with no figures, doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'Latency fell ' || CAST(doc_id % 60 + 1 AS VARCHAR)
+            || '% to 45 ms.' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text, '([0-9]+)%', 1) AS pct,
+        regexp_extract(text, ' in (20[0-9][0-9])', 1) AS yr,
+        regexp_extract(text,
+          '([0-9][0-9,.]*) ?(million|billion|users|ms)', 1) AS qty,
+        regexp_extract(text,
+          '([0-9][0-9,.]*) ?(million|billion|users|ms)', 2) AS qty_unit
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN pct = '' THEN 0 ELSE CAST(pct AS BIGINT) END
+        AS BIGINT) AS pct_value,
+      CAST(CASE WHEN yr = '' THEN 0 ELSE CAST(yr AS BIGINT) END
+        AS BIGINT) AS year,
+      qty, qty_unit,
+      CAST(CASE WHEN pct <> '' OR qty <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_claim
+    FROM m
+    """
+
+
+@query("stat_claim_extract", _statclaim_oracle())
+def stat_claim_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-claim extraction (round 4): sentences carrying a
+    percentage, a year, and a quantity are the fact-dense spans a
+    grounding/verification pipeline indexes first (and the spans
+    whose numbers must survive extraction byte-exact). Pulls the
+    first percent figure, an ``in YYYY`` year, and a unit-tagged
+    quantity (million/billion/users/ms, comma groups kept raw);
+    a qualitative page pins the zero row.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Revenue grew "), (i % 80 + 1).cast("string"),
+            F.lit("% in "), (2020 + i % 6).cast("string"),
+            F.lit(" to $1.5 million.")))
+        .when(v == 1, F.concat(
+            F.lit("About 3,4"), (i % 10).cast("string"),
+            F.lit("0 users joined in March.")))
+        .when(v == 2, F.concat(
+            F.lit("A qualitative story with no figures, doc "), ds,
+            F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("Latency fell "), (i % 60 + 1).cast("string"),
+            F.lit("% to 45 ms.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    rx_qty = "([0-9][0-9,.]*) ?(million|billion|users|ms)"
+    pct = F.regexp_extract(t, "([0-9]+)%", 1)
+    yr = F.regexp_extract(t, " in (20[0-9][0-9])", 1)
+    m = p.select(
+        "doc_id",
+        pct.alias("pct"),
+        yr.alias("yr"),
+        F.regexp_extract(t, rx_qty, 1).alias("qty"),
+        F.regexp_extract(t, rx_qty, 2).alias("qty_unit"),
+    )
+    pc, yc = F.col("pct"), F.col("yr")
+    return m.select(
+        "doc_id",
+        F.when(pc == "", F.lit(0)).otherwise(pc.cast("long"))
+        .cast("long").alias("pct_value"),
+        F.when(yc == "", F.lit(0)).otherwise(yc.cast("long"))
+        .cast("long").alias("year"),
+        "qty", "qty_unit",
+        F.when((pc != "") | (F.col("qty") != ""), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_claim"),
+    )
+
+
+def _dlclass_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<a href="/reports/annual'
+            || CAST(doc_id % 30 AS VARCHAR)
+            || '.pdf">Annual report</a><a href="/about">About</a>'
+          WHEN 1 THEN '<a href="https://mirror.ex.com/dist/tool-'
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '.2.zip">Download</a>'
+          WHEN 2 THEN '<a href="/docs/spec' || CAST(doc_id % 5 AS VARCHAR)
+            || '.docx">Spec</a><a href="/data/dump.csv?v='
+            || CAST(doc_id AS VARCHAR) || '">CSV</a>'
+          ELSE '<a href="/page' || CAST(doc_id AS VARCHAR)
+            || '.html">Next page</a>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(html, '<a href="([^"]+)"', 1),
+          i) AS href
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<a href="([^"]+)"', 1)))) AS g(i)),
+    m AS (
+      SELECT doc_id, link_idx, href,
+        lower(regexp_extract(href,
+          '\\.([A-Za-z0-9]+)(?:\\?.*)?$', 1)) AS ext
+      FROM fr)
+    SELECT doc_id, link_idx, href,
+      CASE WHEN ext IN ('pdf','zip','docx','csv','html') THEN ext
+           ELSE '' END AS ext,
+      CAST(CASE WHEN ext IN ('pdf','docx') THEN 1 ELSE 0 END AS INT)
+        AS is_document,
+      CAST(CASE WHEN ext IN ('zip') THEN 1 ELSE 0 END AS INT)
+        AS is_archive
+    FROM m
+    """
+
+
+@query("download_link_classify", _dlclass_oracle())
+def download_link_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Download-link classification (round 4): the fetch planner
+    treats binary targets differently from pages (PDF corpus mining
+    routes to pdf_extract, archives are size-capped, CSVs feed the
+    table pipeline) — and the extension must be parsed BEFORE any
+    query string. Extracts every anchor href with its normalized
+    extension and document/archive flags; a ``.csv?v=`` link pins
+    the query-string-safe parse.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    classification, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="/reports/annual'), (i % 30).cast("string"),
+            F.lit('.pdf">Annual report</a><a href="/about">About</a>')))
+        .when(v == 1, F.concat(
+            F.lit('<a href="https://mirror.ex.com/dist/tool-'),
+            (i % 9).cast("string"), F.lit('.2.zip">Download</a>')))
+        .when(v == 2, F.concat(
+            F.lit('<a href="/docs/spec'), (i % 5).cast("string"),
+            F.lit('.docx">Spec</a><a href="/data/dump.csv?v='), ds,
+            F.lit('">CSV</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="/page'), ds,
+            F.lit('.html">Next page</a>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<a href="([^"]+)"'), 1
+            )
+        ).alias("link_idx", "href"),
+    )
+    ext_raw = F.lower(
+        F.regexp_extract(
+            F.col("href"), "\\.([A-Za-z0-9]+)(?:\\?.*)?$", 1
+        )
+    )
+    m = fr.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        "href",
+        ext_raw.alias("ext_raw"),
+    )
+    e = F.col("ext_raw")
+    known = e.isin("pdf", "zip", "docx", "csv", "html")
+    return m.select(
+        "doc_id", "link_idx", "href",
+        F.when(known, e).otherwise(F.lit("")).alias("ext"),
+        F.when(e.isin("pdf", "docx"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_document"),
+        F.when(e == "zip", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_archive"),
+    )
+
+
+def _affiliate_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<a href="https://www.amazon.com/dp/B00'
+            || CAST(doc_id % 999 AS VARCHAR)
+            || '?tag=dealsite-20">Buy now</a>'
+          WHEN 1 THEN '<a href="https://shop.ex.com/item'
+            || CAST(doc_id AS VARCHAR)
+            || '?aff_id=77&c=red">Partner link</a>'
+          WHEN 2 THEN '<a href="https://news.ex.com/story'
+            || CAST(doc_id AS VARCHAR) || '?ref=homepage">Read</a>'
+          ELSE '<a href="https://docs.ex.com/guide'
+            || CAST(doc_id % 40 AS VARCHAR) || '">Guide</a>'
+          END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(html, '<a href="([^"]+)"', 1),
+          i) AS href
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<a href="([^"]+)"', 1)))) AS g(i))
+    SELECT doc_id, link_idx, href,
+      CASE WHEN contains(href, 'amazon.') AND contains(href, 'tag=')
+             THEN 'amazon'
+           WHEN regexp_matches(href, '[?&]aff_id=') THEN 'generic'
+           ELSE '' END AS provider,
+      CAST(CASE WHEN (contains(href, 'amazon.')
+                      AND contains(href, 'tag='))
+                  OR regexp_matches(href, '[?&]aff_id=')
+                THEN 1 ELSE 0 END AS INT) AS is_affiliate
+    FROM fr
+    """
+
+
+@query("affiliate_link_detect", _affiliate_oracle())
+def affiliate_link_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliate-link detection (round 4): monetized outlinks mark
+    listicle/review content whose text is optimized to sell — a
+    quality-prior input and a spam-graph edge class the plain
+    nofollow parse misses. Flags Amazon Associates urls (amazon host
+    + ``tag=``) and generic ``aff_id=`` partners; a ``ref=homepage``
+    tracking param pins the non-affiliate negative (ref is
+    analytics, not revenue).
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    classification, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="https://www.amazon.com/dp/B00'),
+            (i % 999).cast("string"),
+            F.lit('?tag=dealsite-20">Buy now</a>')))
+        .when(v == 1, F.concat(
+            F.lit('<a href="https://shop.ex.com/item'), ds,
+            F.lit('?aff_id=77&c=red">Partner link</a>')))
+        .when(v == 2, F.concat(
+            F.lit('<a href="https://news.ex.com/story'), ds,
+            F.lit('?ref=homepage">Read</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="https://docs.ex.com/guide'),
+            (i % 40).cast("string"), F.lit('">Guide</a>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<a href="([^"]+)"'), 1
+            )
+        ).alias("link_idx", "href"),
+    )
+    h = F.col("href")
+    amazon = h.contains("amazon.") & h.contains("tag=")
+    generic = h.rlike("[?&]aff_id=")
+    return fr.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        "href",
+        F.when(amazon, F.lit("amazon"))
+        .when(generic, F.lit("generic"))
+        .otherwise(F.lit(""))
+        .alias("provider"),
+        F.when(amazon | generic, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_affiliate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -203,6 +203,10 @@ CRITICAL = [
     "list_structure_extract",
     "abbr_glossary_extract",
     "cms_fingerprint",
+    "quote_attribution_extract",
+    "stat_claim_extract",
+    "download_link_classify",
+    "affiliate_link_detect",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
