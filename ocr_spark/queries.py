@@ -18906,6 +18906,342 @@ def affiliate_link_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_sm_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /tmp'
+            || chr(10) || 'Sitemap: https://h' || CAST(doc_id % 9 AS VARCHAR)
+            || '.ex.com/sitemap.xml' || chr(10)
+            || 'Sitemap: https://h' || CAST(doc_id % 9 AS VARCHAR)
+            || '.ex.com/sitemap-news.xml'
+          WHEN 1 THEN 'sitemap: https://cdn.ex.com/maps/sitemap_index'
+            || CAST(doc_id % 5 AS VARCHAR) || '.xml' || chr(10)
+            || 'User-agent: bot' || chr(10) || 'Crawl-delay: 2'
+          WHEN 2 THEN 'User-agent: *' || chr(10) || 'Allow: /' || chr(10)
+            || '# no maps here ' || CAST(doc_id AS VARCHAR)
+          ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+            || 'SITEMAP: https://www.ex' || CAST(doc_id % 7 AS VARCHAR)
+            || '.org/s.xml' END AS robots
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS sm_idx,
+        list_extract(regexp_extract_all(robots,
+          '(?i)sitemap: *([^ ' || chr(10) || ']+)', 1), i)
+          AS sitemap_url
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(robots,
+        '(?i)sitemap: *([^ ' || chr(10) || ']+)', 1)))) AS g(i))
+    SELECT doc_id, sm_idx, sitemap_url,
+      CAST(CASE WHEN contains(sitemap_url, 'index') THEN 1 ELSE 0 END
+        AS INT) AS is_index
+    FROM fr
+    """
+
+
+@query("robots_sitemap_directive", _robots_sm_oracle())
+def robots_sitemap_directive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ``Sitemap:`` discovery (round 4): the directive is
+    the authoritative sitemap seed (RFC 9309 §2.3 allows several,
+    anywhere in the file, case-insensitive key) — the frontier
+    bootstraps from here before any HTML link is parsed. Extracts
+    every declared url in file order with an index-sitemap flag;
+    lowercase and uppercase keys plus a directive-only file pin the
+    case-fold and the zero row.
+
+    Scale shape: one case-insensitive regexp_extract_all +
+    posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    robots = (
+        F.when(v == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\nSitemap: https://h"),
+            (i % 9).cast("string"),
+            F.lit(".ex.com/sitemap.xml\nSitemap: https://h"),
+            (i % 9).cast("string"),
+            F.lit(".ex.com/sitemap-news.xml")))
+        .when(v == 1, F.concat(
+            F.lit("sitemap: https://cdn.ex.com/maps/sitemap_index"),
+            (i % 5).cast("string"),
+            F.lit(".xml\nUser-agent: bot\nCrawl-delay: 2")))
+        .when(v == 2, F.concat(
+            F.lit("User-agent: *\nAllow: /\n# no maps here "), ds))
+        .otherwise(F.concat(
+            F.lit("User-agent: *\nDisallow:\nSITEMAP: https://www.ex"),
+            (i % 7).cast("string"), F.lit(".org/s.xml")))
+    )
+    p = d.select("doc_id", robots.alias("robots"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("robots"), F.lit("(?i)sitemap: *([^ \n]+)"), 1
+            )
+        ).alias("sm_idx", "sitemap_url"),
+    )
+    return fr.select(
+        "doc_id",
+        F.col("sm_idx").cast("long").alias("sm_idx"),
+        "sitemap_url",
+        F.when(F.col("sitemap_url").contains("index"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_index"),
+    )
+
+
+def _synd_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Wire story ' || CAST(doc_id % 37 AS VARCHAR)
+          WHEN 1 THEN 'Unique take ' || CAST(doc_id AS VARCHAR)
+          ELSE 'Local news ' || CAST(doc_id % 91 AS VARCHAR)
+          END AS title,
+        'h' || CAST(doc_id % 50 AS VARCHAR) || '.ex.com' AS host
+      FROM documents)
+    SELECT title,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM p GROUP BY title HAVING count(*) > 1
+    """
+
+
+@query("syndication_title_groups", _synd_oracle())
+def syndication_title_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication grouping (round 4): wire copy republishes the SAME
+    headline across dozens of hosts — the exact-title group with its
+    distinct-host spread separates syndication (many hosts) from a
+    prolific single site (one host), feeding the dedup keeper policy
+    and per-host originality priors. Groups titles with doc counts,
+    distinct-host counts, and a stable min-doc representative,
+    keeping only actual groups.
+
+    Scale shape: ONE hash aggregation on title; the distinct-host
+    count plans the standard two-phase partial-distinct expand —
+    map-side combine still collapses duplicate (title, host) pairs
+    before the shuffle; HAVING prunes singletons post-agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    title = (
+        F.when(v == 0, F.concat(
+            F.lit("Wire story "), (i % 37).cast("string")))
+        .when(v == 1, F.concat(F.lit("Unique take "), i.cast("string")))
+        .otherwise(F.concat(
+            F.lit("Local news "), (i % 91).cast("string")))
+    )
+    host = F.concat(
+        F.lit("h"), (i % 50).cast("string"), F.lit(".ex.com")
+    )
+    p = d.select(
+        "doc_id", title.alias("title"), host.alias("host")
+    )
+    g = p.groupBy("title").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+    return g.filter(F.col("n_docs") > 1)
+
+
+def _videosrc_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<video poster="/posters/p'
+            || CAST(doc_id AS VARCHAR) || '.jpg">'
+            || '<source src="/media/v' || CAST(doc_id AS VARCHAR)
+            || '.webm" type="video/webm">'
+            || '<source src="/media/v' || CAST(doc_id AS VARCHAR)
+            || '.mp4" type="video/mp4"></video>'
+          WHEN 1 THEN '<video><source src="https://cdn.ex.com/c'
+            || CAST(doc_id % 99 AS VARCHAR)
+            || '.mp4" type="video/mp4"></video>'
+          WHEN 2 THEN '<p>No native video ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+          ELSE '<audio><source src="/pod/ep'
+            || CAST(doc_id % 60 AS VARCHAR)
+            || '.ogg" type="audio/ogg"></audio>' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS src_idx,
+        list_extract(regexp_extract_all(html,
+          '<source src="[^"]+" type="[^"]+">', 0), i) AS blk,
+        regexp_extract(html, 'poster="([^"]+)"', 1) AS poster
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<source src="[^"]+" type="[^"]+">', 0)))) AS g(i))
+    SELECT doc_id, src_idx,
+      regexp_extract(blk, 'src="([^"]+)"', 1) AS src,
+      regexp_extract(blk, 'type="([^"]+)"', 1) AS mime,
+      regexp_extract(blk, 'type="([a-z]+)/', 1) AS medium,
+      poster
+    FROM fr
+    """
+
+
+@query("video_source_extract", _videosrc_oracle())
+def video_source_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native media-source extraction (round 4): ``<video>/<audio>``
+    with ``<source>`` children is the self-hosted twin of the iframe
+    embed (embed_extract) — the source urls are the fetchable media
+    keys for the multimodal join, the MIME type routes the decoder,
+    and the poster image pairs the video with a thumbnail. Emits one
+    row per source in declaration order (codec fallback order IS
+    meaningful) with the medium split out of the MIME; an
+    audio-podcast page pins the non-video medium.
+
+    Scale shape: one regexp_extract_all + posexplode, codegen
+    parses, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<video poster="/posters/p'), ds,
+            F.lit('.jpg"><source src="/media/v'), ds,
+            F.lit('.webm" type="video/webm"><source src="/media/v'),
+            ds, F.lit('.mp4" type="video/mp4"></video>')))
+        .when(v == 1, F.concat(
+            F.lit('<video><source src="https://cdn.ex.com/c'),
+            (i % 99).cast("string"),
+            F.lit('.mp4" type="video/mp4"></video>')))
+        .when(v == 2, F.concat(
+            F.lit("<p>No native video "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<audio><source src="/pod/ep'),
+            (i % 60).cast("string"),
+            F.lit('.ogg" type="audio/ogg"></audio>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit('<source src="[^"]+" type="[^"]+">'), 0
+            )
+        ).alias("src_idx", "blk"),
+        F.regexp_extract(F.col("html"), 'poster="([^"]+)"', 1)
+        .alias("poster"),
+    )
+    b = F.col("blk")
+    return fr.select(
+        "doc_id",
+        F.col("src_idx").cast("long").alias("src_idx"),
+        F.regexp_extract(b, 'src="([^"]+)"', 1).alias("src"),
+        F.regexp_extract(b, 'type="([^"]+)"', 1).alias("mime"),
+        F.regexp_extract(b, 'type="([a-z]+)/', 1).alias("medium"),
+        "poster",
+    )
+
+
+def _maillist_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'From: dev@lists.ex.org' || chr(10)
+            || 'Subject: [PATCH 1/2] fix parser '
+            || CAST(doc_id % 9 AS VARCHAR) || chr(10)
+            || 'Date: Mon, 3 Mar 2024 10:00:00 +0000' || chr(10)
+            || chr(10) || 'The tokenizer mishandles quotes.'
+          WHEN 1 THEN 'Subject: Re: question ' || CAST(doc_id AS VARCHAR)
+            || chr(10) || 'quoted without a From header'
+          WHEN 2 THEN 'An essay about email culture, doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'From: ann@lists.ex.org' || chr(10)
+            || 'Subject: Re: [RFC] new build flag '
+            || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10)
+            || 'I agree with the proposal.' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(text, '(?m)^From: \\S+@\\S+$')
+              AND contains(text, chr(10) || 'Subject: ')
+             THEN 1 ELSE 0 END AS is_ml,
+        regexp_extract(text,
+          'Subject: ([^' || chr(10) || ']+)', 1) AS subject
+      FROM p)
+    SELECT doc_id, CAST(is_ml AS INT) AS is_mailinglist,
+      CASE WHEN is_ml = 1 THEN subject ELSE '' END AS subject,
+      CASE WHEN is_ml = 1
+           THEN regexp_extract(subject, '\\[([A-Z]+)[ \\]]', 1)
+           ELSE '' END AS list_tag,
+      CAST(CASE WHEN is_ml = 1 AND
+                 regexp_matches(subject, '^Re: ') THEN 1 ELSE 0 END
+        AS INT) AS thread_re
+    FROM m
+    """
+
+
+@query("mailinglist_page_detect", _maillist_oracle())
+def mailinglist_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list archive detection (round 4): list archives are a
+    huge technical-discussion corpus whose pages are RFC-822 headers
+    plus plain text — the extractor must switch off HTML heuristics
+    and parse headers instead. Detects the header block (a
+    line-anchored ``From:`` address AND a ``Subject:`` line), pulls
+    the subject, the ``[PATCH]``/``[RFC]`` list tag, and the
+    thread-reply bit; a Subject-only quoted fragment pins the
+    both-headers requirement.
+
+    Scale shape: pure codegen regexp projection (one multiline-mode
+    anchor), no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("From: dev@lists.ex.org\n"
+                  "Subject: [PATCH 1/2] fix parser "),
+            (i % 9).cast("string"),
+            F.lit("\nDate: Mon, 3 Mar 2024 10:00:00 +0000\n\n"
+                  "The tokenizer mishandles quotes.")))
+        .when(v == 1, F.concat(
+            F.lit("Subject: Re: question "), ds,
+            F.lit("\nquoted without a From header")))
+        .when(v == 2, F.concat(
+            F.lit("An essay about email culture, doc "), ds,
+            F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("From: ann@lists.ex.org\n"
+                  "Subject: Re: [RFC] new build flag "),
+            (i % 5).cast("string"),
+            F.lit("\n\nI agree with the proposal.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    is_ml = (
+        t.rlike("(?m)^From: \\S+@\\S+$") & t.contains("\nSubject: ")
+    )
+    subject = F.regexp_extract(t, "Subject: ([^\n]+)", 1)
+    m = p.select(
+        "doc_id",
+        F.when(is_ml, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("is_mailinglist"),
+        F.when(is_ml, subject).otherwise(F.lit("")).alias("subject"),
+    )
+    ml = F.col("is_mailinglist") == 1
+    s = F.col("subject")
+    return m.select(
+        "doc_id", "is_mailinglist", "subject",
+        F.when(ml, F.regexp_extract(s, "\\[([A-Z]+)[ \\]]", 1))
+        .otherwise(F.lit("")).alias("list_tag"),
+        F.when(ml & s.rlike("^Re: "), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("thread_re"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

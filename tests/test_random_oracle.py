@@ -207,6 +207,10 @@ CRITICAL = [
     "stat_claim_extract",
     "download_link_classify",
     "affiliate_link_detect",
+    "robots_sitemap_directive",
+    "syndication_title_groups",
+    "video_source_extract",
+    "mailinglist_page_detect",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
