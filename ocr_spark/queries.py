@@ -19242,6 +19242,387 @@ def mailinglist_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sitecap_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<link rel="search" type="application/'
+            || 'opensearchdescription+xml" href="/opensearch'
+            || CAST(doc_id % 5 AS VARCHAR) || '.xml">'
+            || '<link rel="manifest" href="/app.webmanifest">'
+          WHEN 1 THEN '<link rel="webmention" '
+            || 'href="https://wm.ex.com/ep' || CAST(doc_id % 9 AS VARCHAR)
+            || '"><link rel="me" href="https://social.ex/@user'
+            || CAST(doc_id % 31 AS VARCHAR) || '">'
+          WHEN 2 THEN '<link rel="stylesheet" href="/plain'
+            || CAST(doc_id AS VARCHAR) || '.css">'
+          ELSE '<link rel="manifest" href="/pwa/manifest'
+            || CAST(doc_id % 3 AS VARCHAR) || '.json">' END AS html
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS cap_idx,
+        list_extract(regexp_extract_all(html,
+          '<link rel="(?:search|manifest|webmention|me)"[^>]*>', 0), i)
+          AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<link rel="(?:search|manifest|webmention|me)"[^>]*>', 0))))
+        AS g(i))
+    SELECT doc_id, cap_idx,
+      regexp_extract(blk, 'rel="([a-z]+)"', 1) AS rel,
+      regexp_extract(blk, 'href="([^"]+)"', 1) AS href,
+      CASE regexp_extract(blk, 'rel="([a-z]+)"', 1)
+        WHEN 'search' THEN 'site_search'
+        WHEN 'manifest' THEN 'pwa'
+        WHEN 'webmention' THEN 'indieweb_endpoint'
+        ELSE 'identity' END AS capability
+    FROM fr
+    """
+
+
+@query("site_capability_links", _sitecap_oracle())
+def site_capability_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-capability link discovery (round 4): a handful of rel
+    values declare machine-usable endpoints — OpenSearch descriptors
+    (the site's own query API, a structured-crawl lever), PWA
+    manifests (app-shell sites that need the render route),
+    webmention endpoints, and rel=me identity links (cross-host
+    author resolution). Extracts them in order with a capability
+    class; a stylesheet link pins the negative.
+
+    Scale shape: one regexp_extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="search" type="application/'
+                  'opensearchdescription+xml" href="/opensearch'),
+            (i % 5).cast("string"),
+            F.lit('.xml"><link rel="manifest" '
+                  'href="/app.webmanifest">')))
+        .when(v == 1, F.concat(
+            F.lit('<link rel="webmention" href="https://wm.ex.com/ep'),
+            (i % 9).cast("string"),
+            F.lit('"><link rel="me" href="https://social.ex/@user'),
+            (i % 31).cast("string"), F.lit('">')))
+        .when(v == 2, F.concat(
+            F.lit('<link rel="stylesheet" href="/plain'), ds,
+            F.lit('.css">')))
+        .otherwise(F.concat(
+            F.lit('<link rel="manifest" href="/pwa/manifest'),
+            (i % 3).cast("string"), F.lit('.json">')))
+    )
+    rx = '<link rel="(?:search|manifest|webmention|me)"[^>]*>'
+    p = d.select("doc_id", html.alias("html"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("html"), F.lit(rx), 0)
+        ).alias("cap_idx", "blk"),
+    )
+    b = F.col("blk")
+    rel = F.regexp_extract(b, 'rel="([a-z]+)"', 1)
+    return fr.select(
+        "doc_id",
+        F.col("cap_idx").cast("long").alias("cap_idx"),
+        rel.alias("rel"),
+        F.regexp_extract(b, 'href="([^"]+)"', 1).alias("href"),
+        F.when(rel == "search", F.lit("site_search"))
+        .when(rel == "manifest", F.lit("pwa"))
+        .when(rel == "webmention", F.lit("indieweb_endpoint"))
+        .otherwise(F.lit("identity"))
+        .alias("capability"),
+    )
+
+
+def _wikitext_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'The [[Main article|article '
+            || CAST(doc_id % 9 AS VARCHAR)
+            || ']] cites {{cite web|url=https://ex.com/'
+            || CAST(doc_id AS VARCHAR)
+            || '}} and links [[Other page]].'
+          WHEN 1 THEN '== Heading ' || CAST(doc_id % 5 AS VARCHAR)
+            || ' ==' || chr(10) || 'Body with {{Infobox person|name='
+            || CAST(doc_id % 17 AS VARCHAR) || '}} template.'
+          WHEN 2 THEN 'Ordinary prose mentioning [sic] brackets, doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'A page with {{stub}} only.' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '\\[\\[[^\\]]+\\]\\]', 0)) AS BIGINT) AS n_wikilinks,
+        CAST(len(regexp_extract_all(text,
+          '\\{\\{[^}]+\\}\\}', 0)) AS BIGINT) AS n_templates,
+        CAST(len(regexp_extract_all(text,
+          '(?m)^== [^=]+ ==$', 0)) AS BIGINT) AS n_headings,
+        regexp_extract(text, '\\{\\{([A-Za-z ]+)[|}]', 1)
+          AS first_template
+      FROM p)
+    SELECT doc_id, n_wikilinks, n_templates, n_headings,
+      first_template,
+      CAST(CASE WHEN n_wikilinks + n_templates >= 1 THEN 1 ELSE 0 END
+        AS INT) AS is_wikitext
+    FROM m
+    """
+
+
+@query("wikitext_detect", _wikitext_oracle())
+def wikitext_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikitext detection (round 4): raw wiki markup (mirrors, dumps,
+    broken renderers) needs its own extraction branch — ``[[link]]``
+    and ``{{template}}`` syntax must be resolved, not emitted.
+    Counts wikilinks, templates, and ``== heading ==`` lines, names
+    the first template (Infobox/cite routing), and flags the page;
+    prose with a ``[sic]`` single-bracket pins the negative.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("The [[Main article|article "),
+            (i % 9).cast("string"),
+            F.lit("]] cites {{cite web|url=https://ex.com/"), ds,
+            F.lit("}} and links [[Other page]].")))
+        .when(v == 1, F.concat(
+            F.lit("== Heading "), (i % 5).cast("string"),
+            F.lit(" ==\nBody with {{Infobox person|name="),
+            (i % 17).cast("string"), F.lit("}} template.")))
+        .when(v == 2, F.concat(
+            F.lit("Ordinary prose mentioning [sic] brackets, doc "),
+            ds, F.lit(".")))
+        .otherwise(F.lit("A page with {{stub}} only."))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    n_wl = F.size(
+        F.regexp_extract_all(t, F.lit("\\[\\[[^\\]]+\\]\\]"), 0)
+    ).cast("long")
+    n_tp = F.size(
+        F.regexp_extract_all(t, F.lit("\\{\\{[^}]+\\}\\}"), 0)
+    ).cast("long")
+    m = p.select(
+        "doc_id",
+        n_wl.alias("n_wikilinks"),
+        n_tp.alias("n_templates"),
+        F.size(
+            F.regexp_extract_all(t, F.lit("(?m)^== [^=]+ ==$"), 0)
+        ).cast("long").alias("n_headings"),
+        F.regexp_extract(t, "\\{\\{([A-Za-z ]+)[|}]", 1)
+        .alias("first_template"),
+    )
+    return m.select(
+        "doc_id", "n_wikilinks", "n_templates", "n_headings",
+        "first_template",
+        F.when(
+            F.col("n_wikilinks") + F.col("n_templates") >= 1, F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("is_wikitext"),
+    )
+
+
+def _geometa_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta name="geo.position" content="52.'
+            || CAST(doc_id % 10 AS VARCHAR) || '1;13.'
+            || CAST(doc_id % 10 AS VARCHAR) || '8">'
+            || '<meta name="geo.placename" content="Berlin">'
+          WHEN 1 THEN '<meta name="ICBM" content="40.7, -74.0'
+            || CAST(doc_id % 10 AS VARCHAR) || '">'
+          WHEN 2 THEN '<p>Nowhere in particular '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<meta name="geo.region" content="US-NY">'
+          END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          'geo.position" content="([0-9.\\-]+);([0-9.\\-]+)"', 1)
+          AS gp_lat,
+        regexp_extract(html,
+          'geo.position" content="([0-9.\\-]+);([0-9.\\-]+)"', 2)
+          AS gp_lon,
+        regexp_extract(html,
+          'ICBM" content="([0-9.\\-]+), ?([0-9.\\-]+)"', 1) AS ic_lat,
+        regexp_extract(html,
+          'ICBM" content="([0-9.\\-]+), ?([0-9.\\-]+)"', 2) AS ic_lon,
+        regexp_extract(html,
+          'geo.placename" content="([^"]+)"', 1) AS placename,
+        regexp_extract(html,
+          'geo.region" content="([^"]+)"', 1) AS region
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN gp_lat <> '' THEN gp_lat ELSE ic_lat END AS lat,
+      CASE WHEN gp_lon <> '' THEN gp_lon ELSE ic_lon END AS lon,
+      placename, region,
+      CASE WHEN gp_lat <> '' THEN 'geo.position'
+           WHEN ic_lat <> '' THEN 'icbm'
+           WHEN region <> '' THEN 'region_only'
+           ELSE 'none' END AS source
+    FROM m
+    """
+
+
+@query("geo_meta_extract", _geometa_oracle())
+def geo_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-metadata extraction (round 4): declared coordinates
+    (``geo.position`` semicolon form, legacy ``ICBM`` comma form)
+    and place/region names geo-tag local-news and venue pages — the
+    join key for region-balanced corpus sampling. Coordinates stay
+    RAW STRINGS (the publisher's precision is part of the data; no
+    float parse, no rounding ambiguity); precedence geo.position >
+    ICBM, region-only pages labeled as such.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="geo.position" content="52.'),
+            (i % 10).cast("string"), F.lit("1;13."),
+            (i % 10).cast("string"),
+            F.lit('8"><meta name="geo.placename" content="Berlin">')))
+        .when(v == 1, F.concat(
+            F.lit('<meta name="ICBM" content="40.7, -74.0'),
+            (i % 10).cast("string"), F.lit('">')))
+        .when(v == 2, F.concat(
+            F.lit("<p>Nowhere in particular "), ds, F.lit("</p>")))
+        .otherwise(F.lit('<meta name="geo.region" content="US-NY">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    rx_gp = 'geo.position" content="([0-9.\\-]+);([0-9.\\-]+)"'
+    rx_ic = 'ICBM" content="([0-9.\\-]+), ?([0-9.\\-]+)"'
+    m = p.select(
+        "doc_id",
+        F.regexp_extract(h, rx_gp, 1).alias("gp_lat"),
+        F.regexp_extract(h, rx_gp, 2).alias("gp_lon"),
+        F.regexp_extract(h, rx_ic, 1).alias("ic_lat"),
+        F.regexp_extract(h, rx_ic, 2).alias("ic_lon"),
+        F.regexp_extract(h, 'geo.placename" content="([^"]+)"', 1)
+        .alias("placename"),
+        F.regexp_extract(h, 'geo.region" content="([^"]+)"', 1)
+        .alias("region"),
+    )
+    gl, il = F.col("gp_lat"), F.col("ic_lat")
+    return m.select(
+        "doc_id",
+        F.when(gl != "", gl).otherwise(il).alias("lat"),
+        F.when(F.col("gp_lon") != "", F.col("gp_lon"))
+        .otherwise(F.col("ic_lon")).alias("lon"),
+        "placename", "region",
+        F.when(gl != "", F.lit("geo.position"))
+        .when(il != "", F.lit("icbm"))
+        .when(F.col("region") != "", F.lit("region_only"))
+        .otherwise(F.lit("none"))
+        .alias("source"),
+    )
+
+
+def _tmplfence_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<template id="row-tmpl"><tr><td>{{name}}</td>'
+            || '</tr></template><p>Visible intro '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          WHEN 1 THEN '<template id="card"><div>placeholder</div>'
+            || '</template><template id="empty-state"><p>Nothing yet'
+            || '</p></template><p>Dashboard '
+            || CAST(doc_id % 7 AS VARCHAR) || '</p>'
+          WHEN 2 THEN '<p>Template-free page '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<template><span>anonymous '
+            || CAST(doc_id % 5 AS VARCHAR) || '</span></template>'
+            || '<p>App shell</p>' END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        CAST(len(regexp_extract_all(html, '<template[ >]', 0))
+          AS BIGINT) AS n_templates,
+        regexp_extract(html, '<template id="([^"]+)"', 1)
+          AS first_template_id,
+        CAST(length(regexp_replace(html,
+          '<template[^>]*>.*?</template>', '', 'g')) AS BIGINT)
+          AS visible_len
+      FROM p)
+    SELECT doc_id, n_templates, first_template_id, visible_len,
+      CAST(length(html) AS BIGINT) - visible_len AS fenced_len
+    FROM m
+    """
+
+
+@query("template_tag_fence", _tmplfence_oracle())
+def template_tag_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<template>`` fencing (round 4): template-tag content is
+    inert DOM that never renders — client frameworks stamp it out
+    later — so extracted text must exclude it (the ``{{name}}``
+    placeholders would otherwise leak into the corpus). Counts
+    template blocks, records the first template id, and measures the
+    visible-vs-fenced byte split after stripping; an anonymous
+    template and a two-template dashboard pin the variants.
+
+    Scale shape: pure codegen regexp projection, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<template id="row-tmpl"><tr><td>{{name}}</td>'
+                  "</tr></template><p>Visible intro "), ds,
+            F.lit("</p>")))
+        .when(v == 1, F.concat(
+            F.lit('<template id="card"><div>placeholder</div>'
+                  '</template><template id="empty-state"><p>Nothing '
+                  "yet</p></template><p>Dashboard "),
+            (i % 7).cast("string"), F.lit("</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Template-free page "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<template><span>anonymous "),
+            (i % 5).cast("string"),
+            F.lit("</span></template><p>App shell</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    visible = F.length(
+        F.regexp_replace(h, "<template[^>]*>.*?</template>", "")
+    ).cast("long")
+    m = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(h, F.lit("<template[ >]"), 0))
+        .cast("long").alias("n_templates"),
+        F.regexp_extract(h, '<template id="([^"]+)"', 1)
+        .alias("first_template_id"),
+        visible.alias("visible_len"),
+        F.length(h).cast("long").alias("total_len"),
+    )
+    return m.select(
+        "doc_id", "n_templates", "first_template_id", "visible_len",
+        (F.col("total_len") - F.col("visible_len")).cast("long")
+        .alias("fenced_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -211,6 +211,10 @@ CRITICAL = [
     "syndication_title_groups",
     "video_source_extract",
     "mailinglist_page_detect",
+    "site_capability_links",
+    "wikitext_detect",
+    "geo_meta_extract",
+    "template_tag_fence",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
