@@ -19623,6 +19623,304 @@ def template_tag_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inlinedef_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'A Large Language Model (LLM) powers search '
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '; the Web Crawl Archive (WCA) stores pages.'
+          WHEN 1 THEN 'The Content Delivery Network (CDN'
+            || CAST(doc_id % 5 AS VARCHAR) || ') edge cache.'
+          WHEN 2 THEN 'Plain sentence with parens (like this), doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'Use Transport Layer Security (TLS) everywhere, item '
+            || CAST(doc_id AS VARCHAR) || '.' END AS text
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pair_idx,
+        list_extract(regexp_extract_all(text,
+          '((?:[A-Z][a-z]+ )+)\\(([A-Z]{2,}[0-9]*)\\)', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '((?:[A-Z][a-z]+ )+)\\(([A-Z]{2,}[0-9]*)\\)', 0)))) AS g(i))
+    SELECT doc_id, pair_idx,
+      regexp_extract(blk, '\\(([A-Z]{2,}[0-9]*)\\)', 1) AS acronym,
+      trim(regexp_extract(blk, '^((?:[A-Z][a-z]+ )+)', 1))
+        AS expansion
+    FROM fr
+    """
+
+
+@query("inline_definition_extract", _inlinedef_oracle())
+def inline_definition_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-definition mining (round 4): the prose pattern
+    "Expansion Words (ACRO)" is the unmarked-up twin of the
+    ``<abbr>`` glossary (abbr_glossary_extract) and far more common —
+    author-provided terminology supervision at first mention.
+    Extracts every capitalized-phrase + parenthesized-acronym pair
+    in order; a parenthetical aside pins the non-acronym negative.
+
+    Scale shape: one regexp_extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("A Large Language Model (LLM) powers search "),
+            (i % 9).cast("string"),
+            F.lit("; the Web Crawl Archive (WCA) stores pages.")))
+        .when(v == 1, F.concat(
+            F.lit("The Content Delivery Network (CDN"),
+            (i % 5).cast("string"), F.lit(") edge cache.")))
+        .when(v == 2, F.concat(
+            F.lit("Plain sentence with parens (like this), doc "),
+            ds, F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("Use Transport Layer Security (TLS) everywhere, "
+                  "item "), ds, F.lit(".")))
+    )
+    rx = "((?:[A-Z][a-z]+ )+)\\(([A-Z]{2,}[0-9]*)\\)"
+    p = d.select("doc_id", text.alias("text"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(rx), 0)
+        ).alias("pair_idx", "blk"),
+    )
+    b = F.col("blk")
+    return fr.select(
+        "doc_id",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.regexp_extract(b, "\\(([A-Z]{2,}[0-9]*)\\)", 1)
+        .alias("acronym"),
+        F.trim(F.regexp_extract(b, "^((?:[A-Z][a-z]+ )+)", 1))
+        .alias("expansion"),
+    )
+
+
+def _unitconv_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'The trail is ' || CAST(doc_id % 40 + 1 AS VARCHAR)
+            || ' km (' || CAST(doc_id % 25 + 1 AS VARCHAR)
+            || '.1 miles) long.'
+          WHEN 1 THEN 'Bake at 180 C (356 F) for '
+            || CAST(doc_id % 50 + 10 AS VARCHAR) || ' minutes.'
+          WHEN 2 THEN 'No conversions in text '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'Carry ' || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || ' kg (' || CAST((doc_id % 9 + 1) * 2 AS VARCHAR)
+            || '.2 lb) max.' END AS text
+      FROM documents),
+    fr AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pair_idx,
+        list_extract(regexp_extract_all(text,
+          '([0-9][0-9.]*) ?(km|C|kg) \\(([0-9][0-9.]*) ?'
+          || '(miles|F|lb)\\)', 0), i) AS blk
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '([0-9][0-9.]*) ?(km|C|kg) \\(([0-9][0-9.]*) ?'
+        || '(miles|F|lb)\\)', 0)))) AS g(i)),
+    m AS (
+      SELECT doc_id, pair_idx,
+        regexp_extract(blk, '^([0-9][0-9.]*)', 1) AS src_value,
+        regexp_extract(blk, '^[0-9.]+ ?(km|C|kg)', 1) AS src_unit,
+        regexp_extract(blk, '\\(([0-9][0-9.]*)', 1) AS dst_value,
+        regexp_extract(blk, '([A-Za-z]+)\\)$', 1) AS dst_unit
+      FROM fr)
+    SELECT doc_id, pair_idx, src_value, src_unit, dst_value, dst_unit,
+      CASE src_unit WHEN 'km' THEN 'length' WHEN 'C' THEN 'temperature'
+        ELSE 'mass' END AS dimension
+    FROM m
+    """
+
+
+@query("unit_conversion_pairs", _unitconv_oracle())
+def unit_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-conversion pair mining (round 4): "X km (Y miles)" prose
+    carries author-verified parallel measurements — numeric
+    grounding supervision (the model can learn conversions from
+    attested pairs) and a consistency check on extraction (both
+    numbers must survive byte-exact). Values stay raw strings (the
+    publisher's rounding is the data); the unit pair is classified
+    into a dimension; a conversion-free page pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("The trail is "), (i % 40 + 1).cast("string"),
+            F.lit(" km ("), (i % 25 + 1).cast("string"),
+            F.lit(".1 miles) long.")))
+        .when(v == 1, F.concat(
+            F.lit("Bake at 180 C (356 F) for "),
+            (i % 50 + 10).cast("string"), F.lit(" minutes.")))
+        .when(v == 2, F.concat(
+            F.lit("No conversions in text "), ds, F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("Carry "), (i % 9 + 1).cast("string"),
+            F.lit(" kg ("), ((i % 9 + 1) * 2).cast("string"),
+            F.lit(".2 lb) max.")))
+    )
+    rx = "([0-9][0-9.]*) ?(km|C|kg) \\(([0-9][0-9.]*) ?(miles|F|lb)\\)"
+    p = d.select("doc_id", text.alias("text"))
+    fr = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(rx), 0)
+        ).alias("pair_idx", "blk"),
+    )
+    b = F.col("blk")
+    src_unit = F.regexp_extract(b, "^[0-9.]+ ?(km|C|kg)", 1)
+    m = fr.select(
+        "doc_id",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.regexp_extract(b, "^([0-9][0-9.]*)", 1).alias("src_value"),
+        src_unit.alias("src_unit"),
+        F.regexp_extract(b, "\\(([0-9][0-9.]*)", 1).alias("dst_value"),
+        F.regexp_extract(b, "([A-Za-z]+)\\)$", 1).alias("dst_unit"),
+    )
+    su = F.col("src_unit")
+    return m.select(
+        "doc_id", "pair_idx", "src_value", "src_unit", "dst_value",
+        "dst_unit",
+        F.when(su == "km", F.lit("length"))
+        .when(su == "C", F.lit("temperature"))
+        .otherwise(F.lit("mass"))
+        .alias("dimension"),
+    )
+
+
+def _footnote_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<p>Claim A<sup><a href="#fn1">1</a></sup> and '
+            || 'claim B<sup><a href="#fn2">2</a></sup>.</p>'
+            || '<li id="fn1">Source alpha '
+            || CAST(doc_id % 9 AS VARCHAR) || '</li>'
+            || '<li id="fn2">Source beta</li>'
+          WHEN 1 THEN '<p>One claim<sup><a href="#fn1">1</a></sup>.'
+            || '</p><li id="fn1">Lone source '
+            || CAST(doc_id % 5 AS VARCHAR) || '</li>'
+          WHEN 2 THEN '<p>Footnote-free text '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<p>Dangling ref<sup><a href="#fn9">9</a></sup>.</p>'
+            || '<li id="fn1">Orphan note '
+            || CAST(doc_id AS VARCHAR) || '</li>' END AS html
+      FROM documents),
+    refs AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS ref_idx,
+        list_extract(regexp_extract_all(html,
+          '<a href="#(fn[0-9]+)">', 1), i) AS fn_id
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<a href="#(fn[0-9]+)">', 1)))) AS g(i)),
+    defs AS (
+      SELECT doc_id,
+        list_extract(regexp_extract_all(html,
+          '<li id="(fn[0-9]+)">', 1), i) AS fn_id,
+        list_extract(regexp_extract_all(html,
+          '<li id="fn[0-9]+">([^<]*)</li>', 1), i) AS note
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<li id="(fn[0-9]+)">', 1)))) AS g(i))
+    SELECT r.doc_id, r.ref_idx, r.fn_id,
+      coalesce(d.note, '') AS note,
+      CAST(CASE WHEN d.note IS NULL THEN 0 ELSE 1 END AS INT)
+        AS resolved
+    FROM refs r LEFT JOIN defs d
+      ON r.doc_id = d.doc_id AND r.fn_id = d.fn_id
+    """
+
+
+@query("footnote_extract", _footnote_oracle())
+def footnote_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footnote resolution (round 4): superscript references and
+    their note definitions live far apart in the DOM — flat
+    extraction orphans both; joining them restores (claim-site,
+    citation) pairs, the provenance structure attribution pipelines
+    want. Extracts in-page ``#fnN`` references and ``<li id=fnN>``
+    definitions separately and LEFT-joins on (doc, footnote id);
+    a dangling reference pins the unresolved row.
+
+    Scale shape: two explodes off the same scan + one equi-join on
+    the composite (doc_id, fn_id) key — co-partitioned, uniform,
+    per-doc groups are tiny; no window, no skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<p>Claim A<sup><a href="#fn1">1</a></sup> and '
+                  'claim B<sup><a href="#fn2">2</a></sup>.</p>'
+                  '<li id="fn1">Source alpha '),
+            (i % 9).cast("string"),
+            F.lit('</li><li id="fn2">Source beta</li>')))
+        .when(v == 1, F.concat(
+            F.lit('<p>One claim<sup><a href="#fn1">1</a></sup>.</p>'
+                  '<li id="fn1">Lone source '),
+            (i % 5).cast("string"), F.lit("</li>")))
+        .when(v == 2, F.concat(
+            F.lit("<p>Footnote-free text "), ds, F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<p>Dangling ref<sup><a href="#fn9">9</a></sup>.'
+                  '</p><li id="fn1">Orphan note '), ds,
+            F.lit("</li>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    refs = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<a href="#(fn[0-9]+)">'), 1
+            )
+        ).alias("ref_idx", "fn_id"),
+    ).select(
+        "doc_id",
+        F.col("ref_idx").cast("long").alias("ref_idx"),
+        "fn_id",
+    )
+    defs = p.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("html"), F.lit('<li id="(fn[0-9]+)">'), 1
+                ),
+                F.regexp_extract_all(
+                    F.col("html"),
+                    F.lit('<li id="fn[0-9]+">([^<]*)</li>'), 1
+                ),
+            )
+        ).alias("z"),
+    ).select(
+        F.col("doc_id").alias("d_doc_id"),
+        F.col("z.0").alias("d_fn_id"),
+        F.col("z.1").alias("note"),
+    )
+    j = refs.join(
+        defs,
+        (refs.doc_id == defs.d_doc_id) & (refs.fn_id == defs.d_fn_id),
+        "left",
+    )
+    return j.select(
+        "doc_id", "ref_idx", "fn_id",
+        F.coalesce(F.col("note"), F.lit("")).alias("note"),
+        F.when(F.col("note").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("resolved"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -215,6 +215,9 @@ CRITICAL = [
     "wikitext_detect",
     "geo_meta_extract",
     "template_tag_fence",
+    "inline_definition_extract",
+    "unit_conversion_pairs",
+    "footnote_extract",
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
