@@ -19921,6 +19921,389 @@ def footnote_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isbn_oracle() -> str:
+    terms = " + ".join(
+        f"CAST(substr(d12, {k}, 1) AS INT) * {1 if k % 2 == 1 else 3}"
+        for k in range(1, 13)
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Buy ISBN 978-'
+            || lpad(CAST((doc_id * 7) % 1000000000 AS VARCHAR), 9, '0')
+            || '-' || CAST(doc_id % 10 AS VARCHAR) || ' today.'
+          WHEN 1 THEN 'Journal ISBN 979-'
+            || lpad(CAST((doc_id * 13) % 1000000000 AS VARCHAR), 9, '0')
+            || '-' || CAST(doc_id % 10 AS VARCHAR) || ' print.'
+          ELSE 'No identifier in doc ' || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text, 'ISBN ([0-9]{{3}})-([0-9]{{9}})-([0-9])', 1)
+          AS g1,
+        regexp_extract(text, 'ISBN ([0-9]{{3}})-([0-9]{{9}})-([0-9])', 2)
+          AS g2,
+        regexp_extract(text, 'ISBN ([0-9]{{3}})-([0-9]{{9}})-([0-9])', 3)
+          AS g3
+      FROM p),
+    d AS (
+      SELECT doc_id, g1 || g2 AS d12, CAST(g3 AS INT) AS claimed_check
+      FROM m WHERE g1 <> '')
+    SELECT doc_id, d12 || CAST(claimed_check AS VARCHAR) AS isbn13,
+      claimed_check,
+      CAST((10 - ({terms}) % 10) % 10 AS INT) AS computed_check,
+      CAST(CASE WHEN (10 - ({terms}) % 10) % 10 = claimed_check
+           THEN 1 ELSE 0 END AS INT) AS valid
+    FROM d
+    """
+
+
+@query("isbn_validate_extract", _isbn_oracle())
+def isbn_validate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISBN-13 extraction + checksum audit (round 4): book/journal
+    identifiers in prose anchor citation graphs and catalog joins,
+    but scraped pages carry typos — the mod-10 weighted checksum
+    (weights 1,3 alternating; ISO 2108) separates usable identifiers
+    from corrupted ones without any external catalog. The corpus
+    plants 978-/979- prefixed candidates whose claimed check digit is
+    the doc_id residue, so valid and invalid rows interleave
+    deterministically; an identifier-free page pins zero rows.
+
+    Scale shape: one regexp + a 12-term fixed projection, no shuffle;
+    rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Buy ISBN 978-"),
+            F.lpad(((i * 7) % 1000000000).cast("string"), 9, "0"),
+            F.lit("-"), (i % 10).cast("string"), F.lit(" today.")))
+        .when(v == 1, F.concat(
+            F.lit("Journal ISBN 979-"),
+            F.lpad(((i * 13) % 1000000000).cast("string"), 9, "0"),
+            F.lit("-"), (i % 10).cast("string"), F.lit(" print.")))
+        .otherwise(F.concat(
+            F.lit("No identifier in doc "), ds, F.lit(".")))
+    )
+    rx = "ISBN ([0-9]{3})-([0-9]{9})-([0-9])"
+    p = d.select("doc_id", text.alias("text"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("text", rx, 1).alias("g1"),
+        F.regexp_extract("text", rx, 2).alias("g2"),
+        F.regexp_extract("text", rx, 3).alias("g3"),
+    ).where(F.col("g1") != "")
+    d12 = F.concat("g1", "g2")
+    wsum = None
+    for k in range(1, 13):
+        term = F.substring(d12, k, 1).cast("int") * (1 if k % 2 == 1 else 3)
+        wsum = term if wsum is None else wsum + term
+    computed = (10 - wsum % 10) % 10
+    return m.select(
+        "doc_id",
+        F.concat(d12, F.col("g3")).alias("isbn13"),
+        F.col("g3").cast("int").alias("claimed_check"),
+        computed.cast("int").alias("computed_check"),
+        F.when(computed == F.col("g3").cast("int"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("valid"),
+    )
+
+
+def _analytics_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script>ga(''create'',''UA-'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '-1'');</script><script src="gtm.js?id=GTM-A'
+            || CAST(doc_id % 30 AS VARCHAR) || 'Z"></script>'
+          WHEN 1 THEN '<script>fbq(''init'', '''
+            || CAST(100000 + doc_id % 70 AS VARCHAR)
+            || ''');</script><ins data-ad-client="ca-pub-'
+            || CAST(doc_id % 40 AS VARCHAR) || '"></ins>'
+          WHEN 2 THEN '<p>No trackers in doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+          ELSE '<script>ga(''create'',''UA-7-1'');</script>'
+        END AS html
+      FROM documents),
+    rows_ AS (
+      SELECT doc_id, 'ga' AS kind,
+        regexp_extract(html, 'ga\\(''create'',''(UA-[0-9]+-[0-9])''',
+          1) AS tracker_id FROM p
+      UNION ALL
+      SELECT doc_id, 'gtm',
+        regexp_extract(html, 'id=(GTM-[A-Z0-9]+)', 1) FROM p
+      UNION ALL
+      SELECT doc_id, 'fbpixel',
+        regexp_extract(html, 'fbq\\(''init'', ''([0-9]+)''', 1) FROM p
+      UNION ALL
+      SELECT doc_id, 'adsense',
+        regexp_extract(html, '(ca-pub-[0-9]+)', 1) FROM p),
+    f AS (SELECT * FROM rows_ WHERE tracker_id <> '')
+    SELECT doc_id, kind, tracker_id,
+      CAST(COUNT(*) OVER (PARTITION BY kind, tracker_id) AS BIGINT)
+        AS n_docs_with_id
+    FROM f
+    """
+
+
+@query("analytics_id_extract", _analytics_oracle())
+def analytics_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics/tracker-ID extraction + co-ownership counts (round
+    4): GA property ids (UA-x-y), GTM containers, Facebook pixel ids
+    and AdSense publisher ids are site-ownership fingerprints — two
+    hosts sharing a UA property are one publisher, which collapses
+    host-level dedup/quality decisions across mirror networks. One
+    page plants a SHARED id (UA-7-1) across many docs to pin the
+    fan-in count; a tracker-free page pins zero rows.
+
+    Scale shape: four regexp branches unioned off one scan, then one
+    hash-agg on (kind, tracker_id) — tracker ids are near-uniform
+    except deliberate publisher fan-in, which AQE skew-split absorbs;
+    the count rejoins via broadcast (distinct ids << corpus).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<script>ga('create','UA-"), (i % 50).cast("string"),
+            F.lit("-1');</script><script src=\"gtm.js?id=GTM-A"),
+            (i % 30).cast("string"), F.lit('Z"></script>')))
+        .when(v == 1, F.concat(
+            F.lit("<script>fbq('init', '"),
+            (i % 70 + 100000).cast("string"),
+            F.lit("');</script><ins data-ad-client=\"ca-pub-"),
+            (i % 40).cast("string"), F.lit('"></ins>')))
+        .when(v == 2, F.concat(
+            F.lit("<p>No trackers in doc "), ds, F.lit("</p>")))
+        .otherwise(F.lit("<script>ga('create','UA-7-1');</script>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    branches = [
+        ("ga", "ga\\('create','(UA-[0-9]+-[0-9])'"),
+        ("gtm", "id=(GTM-[A-Z0-9]+)"),
+        ("fbpixel", "fbq\\('init', '([0-9]+)'"),
+        ("adsense", "(ca-pub-[0-9]+)"),
+    ]
+    parts = [
+        p.select(
+            "doc_id", F.lit(kind).alias("kind"),
+            F.regexp_extract(h, rx, 1).alias("tracker_id"),
+        )
+        for kind, rx in branches
+    ]
+    rows = parts[0]
+    for part in parts[1:]:
+        rows = rows.unionByName(part)
+    rows = rows.where(F.col("tracker_id") != "")
+    counts = rows.groupBy("kind", "tracker_id").agg(
+        F.count("*").cast("long").alias("n_docs_with_id")
+    )
+    return rows.join(F.broadcast(counts), ["kind", "tracker_id"]).select(
+        "doc_id", "kind", "tracker_id", "n_docs_with_id"
+    )
+
+
+def _uuid_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Session id '
+            || printf('%08x', (doc_id * 2654435761) % 4294967296)
+            || '-' || printf('%04x', (doc_id * 31) % 65536)
+            || '-4' || printf('%03x', doc_id % 4096)
+            || '-' || printf('%x', 8 + (doc_id % 2) * 4)
+            || printf('%03x', (doc_id * 7) % 4096)
+            || '-' || printf('%012x', (doc_id * 99991) % 281474976710656)
+            || ' assigned.'
+          WHEN 1 THEN 'Legacy token '
+            || printf('%08x', (doc_id * 69069) % 4294967296)
+            || '-' || printf('%04x', (doc_id * 17) % 65536)
+            || '-1' || printf('%03x', (doc_id * 3) % 4096)
+            || '-' || printf('%x', 8 + (doc_id % 2) * 4)
+            || printf('%03x', (doc_id * 11) % 4096)
+            || '-' || printf('%012x', (doc_id * 65537) % 281474976710656)
+            || ' in log.'
+          ELSE 'No token in doc ' || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text, '([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-'
+          || '[0-9a-f]{4}-[0-9a-f]{12})', 1) AS uuid
+      FROM p),
+    f AS (SELECT doc_id, uuid FROM m WHERE uuid <> '')
+    SELECT doc_id, uuid,
+      CAST(substr(uuid, 15, 1) AS INT) AS version,
+      CASE WHEN substr(uuid, 20, 1) IN ('8', '9', 'a', 'b')
+           THEN 'rfc4122' ELSE 'other' END AS variant
+    FROM f
+    """
+
+
+@query("uuid_version_profile", _uuid_oracle())
+def uuid_version_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID extraction with version/variant decode (round 4): session
+    tokens and API keys embedded in scraped text are PII-adjacent
+    leakage AND near-duplicate poison (two snapshots differing only
+    in a session UUID should dedup together) — the curation pipeline
+    wants them found and classified. The version nibble (char 15) and
+    variant nibble (char 20) are decoded structurally: v4/random vs
+    v1/time-based, RFC-4122 variant (8/9/a/b) vs other; a token-free
+    page pins zero rows.
+
+    Scale shape: one regexp + fixed substring decodes, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+
+    def hx(width: int, col: Column) -> Column:
+        return F.format_string(f"%0{width}x", col)
+
+    u4 = F.concat(
+        hx(8, (i * 2654435761) % 4294967296), F.lit("-"),
+        hx(4, (i * 31) % 65536), F.lit("-4"),
+        hx(3, i % 4096), F.lit("-"),
+        hx(1, 8 + (i % 2) * 4), hx(3, (i * 7) % 4096), F.lit("-"),
+        hx(12, (i * 99991) % 281474976710656),
+    )
+    u1 = F.concat(
+        hx(8, (i * 69069) % 4294967296), F.lit("-"),
+        hx(4, (i * 17) % 65536), F.lit("-1"),
+        hx(3, (i * 3) % 4096), F.lit("-"),
+        hx(1, 8 + (i % 2) * 4), hx(3, (i * 11) % 4096), F.lit("-"),
+        hx(12, (i * 65537) % 281474976710656),
+    )
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Session id "), u4, F.lit(" assigned.")))
+        .when(v == 1, F.concat(
+            F.lit("Legacy token "), u1, F.lit(" in log.")))
+        .otherwise(F.concat(F.lit("No token in doc "), ds, F.lit(".")))
+    )
+    rx = (
+        "([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-"
+        "[0-9a-f]{4}-[0-9a-f]{12})"
+    )
+    p = d.select("doc_id", text.alias("text"))
+    m = p.select(
+        "doc_id", F.regexp_extract("text", rx, 1).alias("uuid")
+    ).where(F.col("uuid") != "")
+    vn = F.substring("uuid", 20, 1)
+    return m.select(
+        "doc_id", "uuid",
+        F.substring("uuid", 15, 1).cast("int").alias("version"),
+        F.when(vn.isin("8", "9", "a", "b"), F.lit("rfc4122"))
+        .otherwise(F.lit("other")).alias("variant"),
+    )
+
+
+def _trackpx_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<img src="https://px.tracker'
+            || CAST(doc_id % 6 AS VARCHAR)
+            || '.example/p.gif" width="1" height="1">'
+            || '<img src="/photo' || CAST(doc_id AS VARCHAR)
+            || '.jpg" width="640" height="480">'
+          WHEN 1 THEN '<img src="https://beacon'
+            || CAST(doc_id % 5 AS VARCHAR)
+            || '.example/i.png" style="display:none">'
+          WHEN 2 THEN '<img src="/hero' || CAST(doc_id AS VARCHAR)
+            || '.jpg" width="200" height="100">'
+          ELSE '<img src="https://cdn'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '.example/pixel.gif?uid=' || CAST(doc_id AS VARCHAR)
+            || '">'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, html,
+        len(regexp_extract_all(html, '<img ', 0)) AS n_imgs,
+        len(regexp_extract_all(html,
+          '<img [^>]*(width="1" height="1"|display:none'
+          || '|/pixel\\.gif)[^>]*>', 0)) AS n_pixel_imgs,
+        regexp_extract(html,
+          '<img src="https://([a-z0-9.]+)/[^"]*(?:p\\.gif|i\\.png'
+          || '|pixel\\.gif)', 1) AS first_beacon_host
+      FROM p)
+    SELECT doc_id, CAST(n_imgs AS BIGINT) AS n_imgs,
+      CAST(n_pixel_imgs AS BIGINT) AS n_pixel_imgs,
+      first_beacon_host,
+      CAST(CASE WHEN n_pixel_imgs > 0 THEN 1 ELSE 0 END AS INT)
+        AS has_tracking
+    FROM s
+    """
+
+
+@query("tracking_pixel_detect", _trackpx_oracle())
+def tracking_pixel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-pixel detection (round 4): 1x1 beacon images, hidden
+    (display:none) beacons and *.gif beacon paths are non-content
+    markup that leaks tracker hosts into extracted text and skews
+    image-corpus stats — the extractor wants them counted and the
+    beacon host surfaced (blocklist feedstock). Three beacon styles
+    plus a clean-imgs page pin all four branches.
+
+    Scale shape: regexp counts + one anchored host extract per row,
+    no shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="https://px.tracker'), (i % 6).cast("string"),
+            F.lit('.example/p.gif" width="1" height="1">'
+                  '<img src="/photo'), ds,
+            F.lit('.jpg" width="640" height="480">')))
+        .when(v == 1, F.concat(
+            F.lit('<img src="https://beacon'), (i % 5).cast("string"),
+            F.lit('.example/i.png" style="display:none">')))
+        .when(v == 2, F.concat(
+            F.lit('<img src="/hero'), ds,
+            F.lit('.jpg" width="200" height="100">')))
+        .otherwise(F.concat(
+            F.lit('<img src="https://cdn'), (i % 7).cast("string"),
+            F.lit(".example/pixel.gif?uid="), ds, F.lit('">')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    px_rx = (
+        '<img [^>]*(width="1" height="1"|display:none'
+        "|/pixel\\.gif)[^>]*>"
+    )
+    beacon_rx = (
+        '<img src="https://([a-z0-9.]+)/[^"]*'
+        "(?:p\\.gif|i\\.png|pixel\\.gif)"
+    )
+    n_px = F.size(F.regexp_extract_all(h, F.lit(px_rx), 0))
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(h, F.lit("<img "), 0))
+        .cast("long").alias("n_imgs"),
+        n_px.cast("long").alias("n_pixel_imgs"),
+        F.regexp_extract(h, beacon_rx, 1).alias("first_beacon_host"),
+        F.when(n_px > 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("has_tracking"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
