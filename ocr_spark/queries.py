@@ -20304,6 +20304,348 @@ def tracking_pixel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a11y_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<img src="a.jpg" alt="chart '
+            || CAST(doc_id % 9 AS VARCHAR) || '"><img src="b.jpg">'
+            || '<nav role="navigation"></nav>'
+            || '<label for="q">Search</label><input id="q">'
+          WHEN 1 THEN '<img src="c.jpg" alt="logo"><img src="d.jpg"'
+            || ' alt="photo ' || CAST(doc_id % 5 AS VARCHAR) || '">'
+            || '<div role="main"></div><div role="banner"></div>'
+            || '<label for="x">Name</label><input id="y">'
+          WHEN 2 THEN '<p>Text only ' || CAST(doc_id AS VARCHAR)
+            || '</p><input id="z">'
+          ELSE '<img src="e.jpg"><img src="f.jpg">'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html, '<img ', 0)) AS n_imgs,
+        len(regexp_extract_all(html, '<img [^>]*alt="', 0)) AS n_alt,
+        len(regexp_extract_all(html, 'role="([a-z]+)"', 1)) AS n_roles,
+        list_intersect(
+          regexp_extract_all(html, 'for="([a-z]+)"', 1),
+          regexp_extract_all(html, '<input id="([a-z]+)"', 1))
+          AS matched
+      FROM p)
+    SELECT doc_id, CAST(n_imgs AS BIGINT) AS n_imgs,
+      CAST(n_alt AS BIGINT) AS n_imgs_with_alt,
+      CASE WHEN n_imgs = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE ROUND(CAST(n_alt AS DOUBLE) / n_imgs, 4) END
+        AS alt_coverage,
+      CAST(n_roles AS BIGINT) AS n_aria_roles,
+      CAST(len(matched) AS BIGINT) AS n_labeled_inputs
+    FROM s
+    """
+
+
+@query("accessibility_profile", _a11y_oracle())
+def accessibility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accessibility audit signals (round 4): alt-text coverage, ARIA
+    landmark roles and label/input pairing are quality features — a
+    page that labels its images and controls is human-authored and
+    maintained, and its alt strings are image-caption supervision.
+    The label/for check is structural (for= ids intersected with
+    input ids), not a regexp count, so dangling labels don't score;
+    an image-free page pins the NULL-coverage branch.
+
+    Scale shape: regexp counts + one array_intersect per row, no
+    shuffle; rides the extraction scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="a.jpg" alt="chart '), (i % 9).cast("string"),
+            F.lit('"><img src="b.jpg"><nav role="navigation"></nav>'
+                  '<label for="q">Search</label><input id="q">')))
+        .when(v == 1, F.concat(
+            F.lit('<img src="c.jpg" alt="logo"><img src="d.jpg" alt="photo '),
+            (i % 5).cast("string"),
+            F.lit('"><div role="main"></div><div role="banner"></div>'
+                  '<label for="x">Name</label><input id="y">')))
+        .when(v == 2, F.concat(
+            F.lit("<p>Text only "), ds, F.lit('</p><input id="z">')))
+        .otherwise(F.lit('<img src="e.jpg"><img src="f.jpg">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    n_imgs = F.size(F.regexp_extract_all(h, F.lit("<img "), 0))
+    n_alt = F.size(F.regexp_extract_all(h, F.lit('<img [^>]*alt="'), 0))
+    matched = F.array_intersect(
+        F.regexp_extract_all(h, F.lit('for="([a-z]+)"'), 1),
+        F.regexp_extract_all(h, F.lit('<input id="([a-z]+)"'), 1),
+    )
+    return p.select(
+        "doc_id",
+        n_imgs.cast("long").alias("n_imgs"),
+        n_alt.cast("long").alias("n_imgs_with_alt"),
+        F.when(n_imgs == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_alt.cast("double") / n_imgs, 4))
+        .alias("alt_coverage"),
+        F.size(F.regexp_extract_all(h, F.lit('role="([a-z]+)"'), 1))
+        .cast("long").alias("n_aria_roles"),
+        F.size(matched).cast("long").alias("n_labeled_inputs"),
+    )
+
+
+def _mf2_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<article class="h-entry"><h1 class="p-name">'
+            || 'Post ' || CAST(doc_id % 20 AS VARCHAR)
+            || '</h1><a class="u-url" href="/e/'
+            || CAST(doc_id AS VARCHAR)
+            || '">link</a><time class="dt-published" datetime="2023-0'
+            || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-01">d</time></article>'
+          WHEN 1 THEN '<div class="h-card"><span class="p-name">'
+            || 'Author ' || CAST(doc_id % 12 AS VARCHAR)
+            || '</span><a class="u-url" href="https://me'
+            || CAST(doc_id % 7 AS VARCHAR) || '.example">me</a></div>'
+          ELSE '<article><h1>Plain ' || CAST(doc_id AS VARCHAR)
+            || '</h1></article>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html, 'class="(h-entry|h-card)"', 1) AS mf_type,
+        regexp_extract(html,
+          'class="p-name">([^<]*)<', 1) AS name,
+        regexp_extract(html,
+          'class="u-url" href="([^"]*)"', 1) AS url,
+        regexp_extract(html,
+          'class="dt-published" datetime="([^"]*)"', 1) AS published
+      FROM p)
+    SELECT doc_id, mf_type, name, url, published
+    FROM m WHERE mf_type <> ''
+    """
+
+
+@query("microformats2_extract", _mf2_oracle())
+def microformats2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microformats2 extraction (round 4): the IndieWeb's class-based
+    markup (h-entry posts, h-card identities with p-name / u-url /
+    dt-published properties) is the third structured-data vocabulary
+    after JSON-LD (jsonld_extract) and microdata (microdata_extract)
+    — personal sites that carry none of the other two often carry
+    this one. Root type plus the three core properties extract per
+    page; a class-free article pins zero rows.
+
+    Scale shape: four anchored regexps off one scan, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<article class="h-entry"><h1 class="p-name">Post '),
+            (i % 20).cast("string"),
+            F.lit('</h1><a class="u-url" href="/e/'), ds,
+            F.lit('">link</a><time class="dt-published" datetime="2023-0'),
+            (i % 9 + 1).cast("string"),
+            F.lit('-01">d</time></article>')))
+        .when(v == 1, F.concat(
+            F.lit('<div class="h-card"><span class="p-name">Author '),
+            (i % 12).cast("string"),
+            F.lit('</span><a class="u-url" href="https://me'),
+            (i % 7).cast("string"),
+            F.lit('.example">me</a></div>')))
+        .otherwise(F.concat(
+            F.lit("<article><h1>Plain "), ds,
+            F.lit("</h1></article>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    return p.select(
+        "doc_id",
+        F.regexp_extract(h, 'class="(h-entry|h-card)"', 1).alias("mf_type"),
+        F.regexp_extract(h, 'class="p-name">([^<]*)<', 1).alias("name"),
+        F.regexp_extract(h, 'class="u-url" href="([^"]*)"', 1).alias("url"),
+        F.regexp_extract(h, 'class="dt-published" datetime="([^"]*)"', 1)
+        .alias("published"),
+    ).where(F.col("mf_type") != "")
+
+
+def _dl_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<dl><dt>Weight</dt><dd>'
+            || CAST(doc_id % 30 + 1 AS VARCHAR) || ' kg</dd>'
+            || '<dt>Color</dt><dd>color' || CAST(doc_id % 6 AS VARCHAR)
+            || '</dd></dl>'
+          WHEN 1 THEN '<dl><dt>CPU</dt><dd>cpu'
+            || CAST(doc_id % 4 AS VARCHAR) || '</dd><dt>RAM</dt><dd>'
+            || CAST((doc_id % 4 + 1) * 8 AS VARCHAR) || ' GB</dd>'
+            || '<dt>Disk</dt><dd>' || CAST(doc_id % 2 + 1 AS VARCHAR)
+            || ' TB</dd></dl>'
+          ELSE '<p>No spec list in doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+        regexp_extract_all(html, '<dt>([^<]*)</dt>', 1) AS ks,
+        regexp_extract_all(html, '<dd>([^<]*)</dd>', 1) AS vs
+      FROM p)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pair_idx,
+      list_extract(ks, i) AS spec_key, list_extract(vs, i) AS spec_value
+    FROM z, unnest(generate_series(1, len(ks))) AS g(i)
+    """
+
+
+@query("dl_spec_pairs", _dl_oracle())
+def dl_spec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-list spec extraction (round 4): product and
+    datasheet pages publish attributes as <dl><dt>key</dt>
+    <dd>value</dd> runs — the semantic twin of the two-column spec
+    table (html_table_extract) and the third key-value source after
+    <abbr> glossaries and inline definitions. dt and dd lists zip by
+    position (HTML pairs them by adjacency); a list-free page pins
+    zero rows.
+
+    Scale shape: two regexp_extract_all + arrays_zip + posexplode,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<dl><dt>Weight</dt><dd>"), (i % 30 + 1).cast("string"),
+            F.lit(" kg</dd><dt>Color</dt><dd>color"),
+            (i % 6).cast("string"), F.lit("</dd></dl>")))
+        .when(v == 1, F.concat(
+            F.lit("<dl><dt>CPU</dt><dd>cpu"), (i % 4).cast("string"),
+            F.lit("</dd><dt>RAM</dt><dd>"),
+            ((i % 4 + 1) * 8).cast("string"),
+            F.lit(" GB</dd><dt>Disk</dt><dd>"),
+            (i % 2 + 1).cast("string"), F.lit(" TB</dd></dl>")))
+        .otherwise(F.concat(
+            F.lit("<p>No spec list in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    z = p.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit("<dt>([^<]*)</dt>"), 1),
+            F.regexp_extract_all(h, F.lit("<dd>([^<]*)</dd>"), 1),
+        ).alias("kv"),
+    )
+    return z.select(
+        "doc_id", F.posexplode("kv").alias("pair_idx", "pair")
+    ).select(
+        "doc_id",
+        F.col("pair_idx").cast("long").alias("pair_idx"),
+        F.col("pair.0").alias("spec_key"),
+        F.col("pair.1").alias("spec_value"),
+    )
+
+
+def _details_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<details open><summary>Is plan '
+            || CAST(doc_id % 8 AS VARCHAR)
+            || ' free?</summary>Yes, tier ' || CAST(doc_id % 3 AS VARCHAR)
+            || ' is free.</details>'
+          WHEN 1 THEN '<details><summary>Shipping time?</summary>'
+            || CAST(doc_id % 5 + 2 AS VARCHAR) || ' days.</details>'
+            || '<details><summary>Returns?</summary>Within '
+            || CAST(doc_id % 30 + 1 AS VARCHAR) || ' days.</details>'
+          ELSE '<p>No collapsibles in doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+        regexp_extract_all(html,
+          '<details( open)?><summary>', 1) AS opens,
+        regexp_extract_all(html,
+          '<summary>([^<]*)</summary>', 1) AS sums,
+        regexp_extract_all(html,
+          '</summary>([^<]*)</details>', 1) AS bodies
+      FROM p)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx,
+      list_extract(sums, i) AS summary,
+      list_extract(bodies, i) AS body,
+      CAST(CASE WHEN list_extract(opens, i) = ' open'
+           THEN 1 ELSE 0 END AS INT) AS is_open
+    FROM z, unnest(generate_series(1, len(sums))) AS g(i)
+    """
+
+
+@query("details_summary_extract", _details_oracle())
+def details_summary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed-content extraction (round 4): <details>/<summary>
+    blocks hide FAQ answers and spec sections behind a click — a
+    DOM-visibility-based extractor drops them even though the text is
+    in the HTML. Each block lifts (summary, body, is_open) so the
+    corpus keeps collapsed content and the open-by-default flag
+    survives as a prominence feature; a block-free page pins zero
+    rows.
+
+    Scale shape: three aligned regexp_extract_all + zip + posexplode,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<details open><summary>Is plan "),
+            (i % 8).cast("string"),
+            F.lit(" free?</summary>Yes, tier "), (i % 3).cast("string"),
+            F.lit(" is free.</details>")))
+        .when(v == 1, F.concat(
+            F.lit("<details><summary>Shipping time?</summary>"),
+            (i % 5 + 2).cast("string"),
+            F.lit(" days.</details><details><summary>Returns?"
+                  "</summary>Within "),
+            (i % 30 + 1).cast("string"), F.lit(" days.</details>")))
+        .otherwise(F.concat(
+            F.lit("<p>No collapsibles in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    z = p.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit("<details( open)?><summary>"), 1),
+            F.regexp_extract_all(h, F.lit("<summary>([^<]*)</summary>"), 1),
+            F.regexp_extract_all(
+                h, F.lit("</summary>([^<]*)</details>"), 1
+            ),
+        ).alias("blocks"),
+    )
+    return z.select(
+        "doc_id", F.posexplode("blocks").alias("block_idx", "blk")
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("blk.1").alias("summary"),
+        F.col("blk.2").alias("body"),
+        F.when(F.col("blk.0") == " open", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_open"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
