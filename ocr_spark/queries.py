@@ -20646,6 +20646,363 @@ def details_summary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _product_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script type="application/ld+json">'
+            || '{"@type":"Product","name":"Widget '
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '","offers":{"price":"'
+            || CAST(doc_id % 90 + 10 AS VARCHAR) || '.99","priceCurrency":"'
+            || CASE WHEN doc_id % 2 = 0 THEN 'USD' ELSE 'EUR' END
+            || '","availability":"https://schema.org/'
+            || CASE WHEN doc_id % 2 = 0 THEN 'InStock'
+                    ELSE 'OutOfStock' END
+            || '"},"aggregateRating":{"ratingValue":"4.'
+            || CAST(doc_id % 10 AS VARCHAR) || '","reviewCount":'
+            || CAST(doc_id % 200 + 1 AS VARCHAR) || '}}</script>'
+          WHEN 1 THEN '<script type="application/ld+json">'
+            || '{"@type":"Product","name":"Gadget '
+            || CAST(doc_id % 25 AS VARCHAR)
+            || '","offers":{"price":"'
+            || CAST(doc_id % 500 + 100 AS VARCHAR)
+            || '.00","priceCurrency":"GBP","availability":'
+            || '"https://schema.org/PreOrder"}}</script>'
+          ELSE '<p>Not a product page ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    j AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<script type="application/ld\\+json">(.*)</script>', 1)
+          AS payload
+      FROM p WHERE html LIKE '%ld+json%'),
+    t AS (
+      SELECT doc_id, payload FROM j
+      WHERE json_extract_string(payload, '$."@type"') = 'Product')
+    SELECT doc_id,
+      json_extract_string(payload, '$.name') AS name,
+      CAST(json_extract_string(payload, '$.offers.price') AS DOUBLE)
+        AS price,
+      json_extract_string(payload, '$.offers.priceCurrency')
+        AS currency,
+      lower(replace(json_extract_string(payload,
+        '$.offers.availability'), 'https://schema.org/', ''))
+        AS availability,
+      CAST(json_extract_string(payload,
+        '$.aggregateRating.ratingValue') AS DOUBLE) AS rating,
+      CAST(json_extract_string(payload,
+        '$.aggregateRating.reviewCount') AS BIGINT) AS review_count
+    FROM t
+    """
+
+
+@query("product_offer_extract", _product_oracle())
+def product_offer_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org Product extraction (round 4): e-commerce pages
+    publish machine-readable offers — name, price, currency,
+    availability enum, aggregate rating — the highest-precision
+    source for price-grounded supervision and for the
+    price_extract / stat_claim consistency cross-checks. Prices
+    arrive as JSON strings and cast to DOUBLE; the availability URI
+    normalizes to a bare lowercase enum; a rating-free product pins
+    the NULL rating branch and a non-product page pins zero rows.
+
+    Scale shape: one regexp + JVM-side get_json_object paths, no
+    Python, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Product","name":"Widget '),
+            (i % 40).cast("string"),
+            F.lit('","offers":{"price":"'),
+            (i % 90 + 10).cast("string"),
+            F.lit('.99","priceCurrency":"'),
+            F.when(i % 2 == 0, F.lit("USD")).otherwise(F.lit("EUR")),
+            F.lit('","availability":"https://schema.org/'),
+            F.when(i % 2 == 0, F.lit("InStock"))
+            .otherwise(F.lit("OutOfStock")),
+            F.lit('"},"aggregateRating":{"ratingValue":"4.'),
+            (i % 10).cast("string"),
+            F.lit('","reviewCount":'),
+            (i % 200 + 1).cast("string"), F.lit("}}</script>")))
+        .when(v == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Product","name":"Gadget '),
+            (i % 25).cast("string"),
+            F.lit('","offers":{"price":"'),
+            (i % 500 + 100).cast("string"),
+            F.lit('.00","priceCurrency":"GBP","availability":'
+                  '"https://schema.org/PreOrder"}}</script>')))
+        .otherwise(F.concat(
+            F.lit("<p>Not a product page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    payload = F.regexp_extract(
+        "html", '<script type="application/ld\\+json">(.*)</script>', 1
+    )
+    j = p.where(F.col("html").contains("ld+json")).select(
+        "doc_id", payload.alias("payload")
+    ).where(F.get_json_object("payload", "$['@type']") == "Product")
+    return j.select(
+        "doc_id",
+        F.get_json_object("payload", "$.name").alias("name"),
+        F.get_json_object("payload", "$.offers.price").cast("double")
+        .alias("price"),
+        F.get_json_object("payload", "$.offers.priceCurrency")
+        .alias("currency"),
+        F.lower(F.replace(
+            F.get_json_object("payload", "$.offers.availability"),
+            F.lit("https://schema.org/"), F.lit(""),
+        )).alias("availability"),
+        F.get_json_object("payload", "$.aggregateRating.ratingValue")
+        .cast("double").alias("rating"),
+        F.get_json_object("payload", "$.aggregateRating.reviewCount")
+        .cast("bigint").alias("review_count"),
+    )
+
+
+def _jobposting_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script type="application/ld+json">'
+            || '{"@type":"JobPosting","title":"Engineer '
+            || CAST(doc_id % 30 AS VARCHAR)
+            || '","employmentType":"FULL_TIME","baseSalary":'
+            || '{"currency":"USD","value":{"minValue":'
+            || CAST(doc_id % 40 + 20 AS VARCHAR) || ',"maxValue":'
+            || CAST(doc_id % 40 + 45 AS VARCHAR)
+            || ',"unitText":"HOUR"}}}</script>'
+          WHEN 1 THEN '<script type="application/ld+json">'
+            || '{"@type":"JobPosting","title":"Analyst '
+            || CAST(doc_id % 18 AS VARCHAR)
+            || '","employmentType":"PART_TIME","baseSalary":'
+            || '{"currency":"EUR","value":{"minValue":'
+            || CAST((doc_id % 50 + 30) * 1000 AS VARCHAR)
+            || ',"maxValue":' || CAST((doc_id % 50 + 60) * 1000 AS VARCHAR)
+            || ',"unitText":"YEAR"}}}</script>'
+          ELSE '<p>Not a job page ' || CAST(doc_id AS VARCHAR) || '</p>'
+        END AS html
+      FROM documents),
+    j AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<script type="application/ld\\+json">(.*)</script>', 1)
+          AS payload
+      FROM p WHERE html LIKE '%ld+json%'),
+    t AS (
+      SELECT doc_id, payload,
+        json_extract_string(payload,
+          '$.baseSalary.value.unitText') AS unit_text,
+        CAST(json_extract_string(payload,
+          '$.baseSalary.value.minValue') AS BIGINT) AS raw_min,
+        CAST(json_extract_string(payload,
+          '$.baseSalary.value.maxValue') AS BIGINT) AS raw_max
+      FROM j
+      WHERE json_extract_string(payload, '$."@type"') = 'JobPosting')
+    SELECT doc_id,
+      json_extract_string(payload, '$.title') AS title,
+      json_extract_string(payload, '$.employmentType')
+        AS employment_type,
+      json_extract_string(payload, '$.baseSalary.currency')
+        AS currency,
+      unit_text,
+      CAST(CASE WHEN unit_text = 'HOUR' THEN raw_min * 2080
+           ELSE raw_min END AS BIGINT) AS annual_min,
+      CAST(CASE WHEN unit_text = 'HOUR' THEN raw_max * 2080
+           ELSE raw_max END AS BIGINT) AS annual_max
+    FROM t
+    """
+
+
+@query("jobposting_extract", _jobposting_oracle())
+def jobposting_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JobPosting extraction (round 4): job pages carry
+    salary ranges under mixed units (HOUR vs YEAR) — comparable
+    supervision only after normalization, so hourly ranges scale to
+    annual at 2080 work-hours while annual ranges pass through; the
+    unit survives as provenance. A non-job page pins zero rows.
+
+    Scale shape: one regexp + JSON paths + a CASE projection, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"JobPosting","title":"Engineer '),
+            (i % 30).cast("string"),
+            F.lit('","employmentType":"FULL_TIME","baseSalary":'
+                  '{"currency":"USD","value":{"minValue":'),
+            (i % 40 + 20).cast("string"), F.lit(',"maxValue":'),
+            (i % 40 + 45).cast("string"),
+            F.lit(',"unitText":"HOUR"}}}</script>')))
+        .when(v == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"JobPosting","title":"Analyst '),
+            (i % 18).cast("string"),
+            F.lit('","employmentType":"PART_TIME","baseSalary":'
+                  '{"currency":"EUR","value":{"minValue":'),
+            ((i % 50 + 30) * 1000).cast("string"), F.lit(',"maxValue":'),
+            ((i % 50 + 60) * 1000).cast("string"),
+            F.lit(',"unitText":"YEAR"}}}</script>')))
+        .otherwise(F.concat(
+            F.lit("<p>Not a job page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    payload = F.regexp_extract(
+        "html", '<script type="application/ld\\+json">(.*)</script>', 1
+    )
+    j = p.where(F.col("html").contains("ld+json")).select(
+        "doc_id", payload.alias("payload")
+    ).where(F.get_json_object("payload", "$['@type']") == "JobPosting")
+    unit = F.get_json_object("payload", "$.baseSalary.value.unitText")
+    rmin = F.get_json_object(
+        "payload", "$.baseSalary.value.minValue"
+    ).cast("bigint")
+    rmax = F.get_json_object(
+        "payload", "$.baseSalary.value.maxValue"
+    ).cast("bigint")
+    return j.select(
+        "doc_id",
+        F.get_json_object("payload", "$.title").alias("title"),
+        F.get_json_object("payload", "$.employmentType")
+        .alias("employment_type"),
+        F.get_json_object("payload", "$.baseSalary.currency")
+        .alias("currency"),
+        unit.alias("unit_text"),
+        F.when(unit == "HOUR", rmin * 2080).otherwise(rmin)
+        .cast("bigint").alias("annual_min"),
+        F.when(unit == "HOUR", rmax * 2080).otherwise(rmax)
+        .cast("bigint").alias("annual_max"),
+    )
+
+
+def _eventjson_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script type="application/ld+json">'
+            || '{"@type":"Event","name":"Concert '
+            || CAST(doc_id % 22 AS VARCHAR) || '","startDate":"2024-0'
+            || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-05T19:30:00Z","eventAttendanceMode":'
+            || '"https://schema.org/OfflineEventAttendanceMode",'
+            || '"location":{"@type":"Place","name":"Hall '
+            || CAST(doc_id % 7 AS VARCHAR) || '"}}</script>'
+          WHEN 1 THEN '<script type="application/ld+json">'
+            || '{"@type":"Event","name":"Webinar '
+            || CAST(doc_id % 15 AS VARCHAR) || '","startDate":"2024-0'
+            || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-12","eventAttendanceMode":'
+            || '"https://schema.org/OnlineEventAttendanceMode",'
+            || '"location":{"@type":"VirtualLocation","name":"Stream '
+            || CAST(doc_id % 4 AS VARCHAR) || '"}}</script>'
+          ELSE '<p>Not an event page ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    j AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<script type="application/ld\\+json">(.*)</script>', 1)
+          AS payload
+      FROM p WHERE html LIKE '%ld+json%'),
+    t AS (
+      SELECT doc_id, payload,
+        json_extract_string(payload, '$.startDate') AS raw_start
+      FROM j
+      WHERE json_extract_string(payload, '$."@type"') = 'Event')
+    SELECT doc_id,
+      json_extract_string(payload, '$.name') AS name,
+      CASE WHEN len(raw_start) = 10 THEN raw_start || 'T00:00:00Z'
+           ELSE raw_start END AS start_iso,
+      CASE WHEN json_extract_string(payload, '$.eventAttendanceMode')
+             LIKE '%Online%' THEN 'online' ELSE 'offline' END AS mode,
+      json_extract_string(payload, '$.location.name')
+        AS location_name,
+      json_extract_string(payload, '$.location."@type"')
+        AS location_type
+    FROM t
+    """
+
+
+@query("event_schema_extract", _eventjson_oracle())
+def event_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org Event extraction (round 4): event pages mix
+    full-timestamp and date-only startDate forms and split physical
+    vs virtual venues across location @type — temporal grounding
+    needs one canonical ISO instant, so date-only values extend to
+    midnight UTC and the attendance-mode URI folds to online/offline.
+    A non-event page pins zero rows.
+
+    Scale shape: one regexp + JSON paths + CASE normalization, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Event","name":"Concert '),
+            (i % 22).cast("string"),
+            F.lit('","startDate":"2024-0'), (i % 9 + 1).cast("string"),
+            F.lit('-05T19:30:00Z","eventAttendanceMode":'
+                  '"https://schema.org/OfflineEventAttendanceMode",'
+                  '"location":{"@type":"Place","name":"Hall '),
+            (i % 7).cast("string"), F.lit('"}}</script>')))
+        .when(v == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Event","name":"Webinar '),
+            (i % 15).cast("string"),
+            F.lit('","startDate":"2024-0'), (i % 9 + 1).cast("string"),
+            F.lit('-12","eventAttendanceMode":'
+                  '"https://schema.org/OnlineEventAttendanceMode",'
+                  '"location":{"@type":"VirtualLocation","name":"Stream '),
+            (i % 4).cast("string"), F.lit('"}}</script>')))
+        .otherwise(F.concat(
+            F.lit("<p>Not an event page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    payload = F.regexp_extract(
+        "html", '<script type="application/ld\\+json">(.*)</script>', 1
+    )
+    j = p.where(F.col("html").contains("ld+json")).select(
+        "doc_id", payload.alias("payload")
+    ).where(F.get_json_object("payload", "$['@type']") == "Event")
+    raw = F.get_json_object("payload", "$.startDate")
+    return j.select(
+        "doc_id",
+        F.get_json_object("payload", "$.name").alias("name"),
+        F.when(F.length(raw) == 10, F.concat(raw, F.lit("T00:00:00Z")))
+        .otherwise(raw).alias("start_iso"),
+        F.when(
+            F.get_json_object("payload", "$.eventAttendanceMode")
+            .contains("Online"), F.lit("online"),
+        ).otherwise(F.lit("offline")).alias("mode"),
+        F.get_json_object("payload", "$.location.name")
+        .alias("location_name"),
+        F.get_json_object("payload", "$.location['@type']")
+        .alias("location_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
