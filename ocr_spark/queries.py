@@ -21003,6 +21003,364 @@ def event_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dehyph_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'This exam-' || chr(10) || 'ple shows docu-'
+            || chr(10) || 'ment ' || CAST(doc_id AS VARCHAR) || '.'
+          WHEN 1 THEN 'Seek inter-' || chr(10) || 'national coopera-'
+            || chr(10) || 'tion in zone '
+            || CAST(doc_id % 12 AS VARCHAR) || '.'
+          WHEN 2 THEN 'A state-of-the-art method '
+            || CAST(doc_id AS VARCHAR) || '.'
+          ELSE 'The well-' || chr(10) || 'Known site '
+            || CAST(doc_id % 9 AS VARCHAR) || '.'
+        END AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '([a-z])-' || chr(10) || '([a-z])', 0)) AS BIGINT) AS n_repairs,
+      regexp_replace(text, '([a-z])-' || chr(10) || '([a-z])',
+        '\\1\\2', 'g') AS repaired
+    FROM p
+    """
+
+
+@query("dehyphenate_linebreaks", _dehyph_oracle())
+def dehyphenate_linebreaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-break dehyphenation (round 4): text lifted from PDFs and
+    narrow-column layouts arrives with soft-wrap hyphens ("exam-\\n
+    ple") that split words across token boundaries — a repair pass
+    merges lowercase-hyphen-newline-lowercase ONLY, so real compounds
+    (state-of-the-art) and hyphens before capitals (well-\\nKnown, a
+    likely proper-noun break) survive untouched. The repair count is
+    a layout-damage quality feature.
+
+    Scale shape: one regexp count + one regexp_replace per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("This exam-\nple shows docu-\nment "), ds, F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("Seek inter-\nnational coopera-\ntion in zone "),
+            (i % 12).cast("string"), F.lit(".")))
+        .when(v == 2, F.concat(
+            F.lit("A state-of-the-art method "), ds, F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("The well-\nKnown site "), (i % 9).cast("string"),
+            F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    rx = "([a-z])-\n([a-z])"
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), 0))
+        .cast("long").alias("n_repairs"),
+        F.regexp_replace("text", rx, "$1$2").alias("repaired"),
+    )
+
+
+def _typo_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '“Quoted claim '
+            || CAST(doc_id % 15 AS VARCHAR)
+            || '” and ‘inner’ words.'
+          WHEN 1 THEN 'Range 1—5 — see notes… item '
+            || CAST(doc_id % 8 AS VARCHAR) || '.'
+          WHEN 2 THEN 'Price 1' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            || ' EUR fixed.'
+          ELSE 'Plain ASCII text ' || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(text,
+          '[“”‘’]', 0)) AS n_curly,
+        len(regexp_extract_all(text, '—', 0)) AS n_dashes,
+        len(regexp_extract_all(text, '…', 0)) AS n_ellipsis,
+        len(regexp_extract_all(text, ' ', 0)) AS n_nbsp
+      FROM p)
+    SELECT doc_id,
+      CAST(n_curly AS BIGINT) AS n_curly,
+      CAST(n_dashes AS BIGINT) AS n_dashes,
+      CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+      CAST(n_nbsp AS BIGINT) AS n_nbsp,
+      replace(replace(replace(replace(replace(replace(replace(
+        text, '“', '"'), '”', '"'), '‘', ''''),
+        '’', ''''), '—', '-'), '…', '...'),
+        ' ', ' ') AS normalized
+    FROM s
+    """
+
+
+@query("typographic_normalize", _typo_oracle())
+def typographic_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic normalization (round 4): curly quotes, em dashes,
+    ellipsis glyphs and NBSP inflate tokenizer vocabularies with
+    near-duplicate punctuation tokens — CMS-authored pages fold to
+    the ASCII forms before training. Per-class counts survive as
+    provenance (typographic richness correlates with edited prose,
+    an honest quality feature); a plain-ASCII page pins the zero
+    branch.
+
+    Scale shape: literal replace() chain + regexp counts per row, no
+    shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("“Quoted claim "), (i % 15).cast("string"),
+            F.lit("” and ‘inner’ words.")))
+        .when(v == 1, F.concat(
+            F.lit("Range 1—5 — see notes… item "),
+            (i % 8).cast("string"), F.lit(".")))
+        .when(v == 2, F.concat(
+            F.lit("Price 1"), (i % 90 + 10).cast("string"),
+            F.lit(" EUR fixed.")))
+        .otherwise(F.concat(
+            F.lit("Plain ASCII text "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+
+    def cnt(rx: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(rx), 0)).cast("long")
+
+    norm = t
+    for src, dst in [
+        ("“", '"'), ("”", '"'), ("‘", "'"),
+        ("’", "'"), ("—", "-"), ("…", "..."),
+        (" ", " "),
+    ]:
+        norm = F.replace(norm, F.lit(src), F.lit(dst))
+    return p.select(
+        "doc_id",
+        cnt("[“”‘’]").alias("n_curly"),
+        cnt("—").alias("n_dashes"),
+        cnt("…").alias("n_ellipsis"),
+        cnt(" ").alias("n_nbsp"),
+        norm.alias("normalized"),
+    )
+
+
+def _localenum_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id, lang,
+        CAST(doc_id % 9000 + 1000 AS BIGINT) AS w,
+        CAST(doc_id % 100 AS BIGINT) AS f
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        CASE WHEN lang IN ('de', 'fr', 'es')
+          THEN 'Preis: ' || CAST(w // 1000 AS VARCHAR) || '.'
+            || lpad(CAST(w % 1000 AS VARCHAR), 3, '0') || ','
+            || lpad(CAST(f AS VARCHAR), 2, '0') || ' total.'
+          ELSE 'Price: ' || CAST(w // 1000 AS VARCHAR) || ','
+            || lpad(CAST(w % 1000 AS VARCHAR), 3, '0') || '.'
+            || lpad(CAST(f AS VARCHAR), 2, '0') || ' total.'
+        END AS text
+      FROM p),
+    m AS (
+      SELECT doc_id, lang,
+        regexp_extract(text, '([0-9][0-9.,]+[0-9])', 1) AS raw
+      FROM s)
+    SELECT doc_id, lang, raw,
+      ROUND(CAST(CASE WHEN lang IN ('de', 'fr', 'es')
+        THEN replace(replace(raw, '.', ''), ',', '.')
+        ELSE replace(raw, ',', '') END AS DOUBLE), 2) AS value
+    FROM m
+    """
+
+
+@query("locale_number_parse", _localenum_oracle())
+def locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-aware numeric parsing (round 4): "1.234,56" (de/fr/es)
+    and "1,234.56" (en) are the same number under opposite separator
+    conventions — parsing by the page's DECLARED language (the real
+    lang column steers the branch) instead of a fixed locale is what
+    keeps multilingual price/quantity extraction comparable. The raw
+    publisher string survives alongside the canonical double.
+
+    Scale shape: one regexp + branch-on-lang replace chain, no
+    shuffle; the lang column prunes at the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = (i % 9000 + 1000).cast("long")
+    f = (i % 100).cast("long")
+    eu = F.col("lang").isin("de", "fr", "es")
+    grp = F.concat(
+        (w / 1000).cast("long").cast("string"),
+        F.when(eu, F.lit(".")).otherwise(F.lit(",")),
+        F.lpad((w % 1000).cast("string"), 3, "0"),
+        F.when(eu, F.lit(",")).otherwise(F.lit(".")),
+        F.lpad(f.cast("string"), 2, "0"),
+    )
+    text = F.concat(
+        F.when(eu, F.lit("Preis: ")).otherwise(F.lit("Price: ")),
+        grp, F.lit(" total."),
+    )
+    p = d.select("doc_id", "lang", text.alias("text"))
+    raw = F.regexp_extract("text", "([0-9][0-9.,]+[0-9])", 1)
+    m = p.select("doc_id", "lang", raw.alias("raw"))
+    val = F.when(
+        F.col("lang").isin("de", "fr", "es"),
+        F.replace(
+            F.replace(F.col("raw"), F.lit("."), F.lit("")),
+            F.lit(","), F.lit("."),
+        ),
+    ).otherwise(F.replace(F.col("raw"), F.lit(","), F.lit("")))
+    return m.select(
+        "doc_id", "lang", "raw",
+        F.round(val.cast("double"), 2).alias("value"),
+    )
+
+
+def _srt_oracle() -> str:
+    ms = (
+        "CAST(substr({c}, 1, 2) AS BIGINT) * 3600000"
+        " + CAST(substr({c}, 4, 2) AS BIGINT) * 60000"
+        " + CAST(substr({c}, 7, 2) AS BIGINT) * 1000"
+        " + CAST(substr({c}, 10, 3) AS BIGINT)"
+    )
+    sm = ms.format(c="s_ts")
+    em = ms.format(c="e_ts")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '1' || chr(10) || '00:00:0'
+            || CAST(doc_id % 9 AS VARCHAR) || ',500 --> 00:00:0'
+            || CAST(doc_id % 9 AS VARCHAR) || ',900' || chr(10)
+            || 'First caption ' || CAST(doc_id % 40 AS VARCHAR)
+            || chr(10) || chr(10) || '2' || chr(10)
+            || '00:01:0' || CAST(doc_id % 5 AS VARCHAR)
+            || ',000 --> 00:01:0' || CAST(doc_id % 5 + 2 AS VARCHAR)
+            || ',250' || chr(10) || 'Second caption line'
+          WHEN 1 THEN '1' || chr(10) || '00:1'
+            || CAST(doc_id % 9 AS VARCHAR) || ':30,000 --> 00:1'
+            || CAST(doc_id % 9 AS VARCHAR) || ':33,500' || chr(10)
+            || 'Lone cue text ' || CAST(doc_id AS VARCHAR)
+          ELSE 'Not a subtitle file ' || CAST(doc_id AS VARCHAR)
+        END AS text
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+        regexp_extract_all(text,
+          '([0-9]+)' || chr(10) || '[0-9:,]+ --> ', 1) AS idxs,
+        regexp_extract_all(text,
+          '([0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}},[0-9]{{3}}) --> ', 1)
+          AS starts,
+        regexp_extract_all(text,
+          ' --> ([0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}},[0-9]{{3}})', 1)
+          AS ends,
+        regexp_extract_all(text,
+          ',[0-9]{{3}}' || chr(10) || '([^' || chr(10) || ']+)', 1)
+          AS bodies
+      FROM p),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS cue_pos,
+        CAST(list_extract(idxs, i) AS BIGINT) AS cue_index,
+        list_extract(starts, i) AS s_ts,
+        list_extract(ends, i) AS e_ts,
+        list_extract(bodies, i) AS cue_text
+      FROM z, unnest(generate_series(1, len(idxs))) AS g(i))
+    SELECT doc_id, cue_pos, cue_index,
+      CAST({sm} AS BIGINT) AS start_ms,
+      CAST({em} AS BIGINT) AS end_ms,
+      CAST(({em}) - ({sm}) AS BIGINT) AS duration_ms,
+      cue_text
+    FROM e
+    """
+
+
+@query("srt_caption_parse", _srt_oracle())
+def srt_caption_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle parsing (round 4): SubRip is the OTHER caption
+    format crawls serve (vtt_caption_parse covers WebVTT) — numbered
+    cues, comma millisecond separator, --> arrows. Cue index, both
+    timestamps decoded to milliseconds via fixed-width substring
+    math, duration, and the caption text all extract per cue; a
+    non-subtitle page pins zero rows.
+
+    Scale shape: four aligned regexp_extract_all + zip + posexplode +
+    substring arithmetic, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("1\n00:00:0"), (i % 9).cast("string"),
+            F.lit(",500 --> 00:00:0"), (i % 9).cast("string"),
+            F.lit(",900\nFirst caption "), (i % 40).cast("string"),
+            F.lit("\n\n2\n00:01:0"), (i % 5).cast("string"),
+            F.lit(",000 --> 00:01:0"), (i % 5 + 2).cast("string"),
+            F.lit(",250\nSecond caption line")))
+        .when(v == 1, F.concat(
+            F.lit("1\n00:1"), (i % 9).cast("string"),
+            F.lit(":30,000 --> 00:1"), (i % 9).cast("string"),
+            F.lit(":33,500\nLone cue text "), ds))
+        .otherwise(F.concat(F.lit("Not a subtitle file "), ds))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    z = p.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(t, F.lit("([0-9]+)\n[0-9:,]+ --> "), 1),
+            F.regexp_extract_all(
+                t, F.lit("([0-9]{2}:[0-9]{2}:[0-9]{2},[0-9]{3}) --> "), 1
+            ),
+            F.regexp_extract_all(
+                t, F.lit(" --> ([0-9]{2}:[0-9]{2}:[0-9]{2},[0-9]{3})"), 1
+            ),
+            F.regexp_extract_all(t, F.lit(",[0-9]{3}\n([^\n]+)"), 1),
+        ).alias("cues"),
+    )
+    e = z.select(
+        "doc_id", F.posexplode("cues").alias("cue_pos", "cue")
+    ).select(
+        "doc_id",
+        F.col("cue_pos").cast("long").alias("cue_pos"),
+        F.col("cue.0").cast("long").alias("cue_index"),
+        F.col("cue.1").alias("s_ts"),
+        F.col("cue.2").alias("e_ts"),
+        F.col("cue.3").alias("cue_text"),
+    )
+
+    def ms(c: str) -> Column:
+        return (
+            F.substring(c, 1, 2).cast("long") * 3600000
+            + F.substring(c, 4, 2).cast("long") * 60000
+            + F.substring(c, 7, 2).cast("long") * 1000
+            + F.substring(c, 10, 3).cast("long")
+        )
+
+    return e.select(
+        "doc_id", "cue_pos", "cue_index",
+        ms("s_ts").alias("start_ms"),
+        ms("e_ts").alias("end_ms"),
+        (ms("e_ts") - ms("s_ts")).alias("duration_ms"),
+        "cue_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
