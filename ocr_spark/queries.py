@@ -21361,6 +21361,402 @@ def srt_caption_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emailobf_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Contact alice' || CAST(doc_id % 9 AS VARCHAR)
+            || ' [at] mail' || CAST(doc_id % 5 AS VARCHAR)
+            || ' [dot] example for info.'
+          WHEN 1 THEN 'Write to bob' || CAST(doc_id % 7 AS VARCHAR)
+            || ' (at) site' || CAST(doc_id % 4 AS VARCHAR)
+            || ' (dot) org today.'
+          WHEN 2 THEN 'Email carol' || CAST(doc_id % 6 AS VARCHAR)
+            || '@plain' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example directly.'
+          ELSE 'No address in doc ' || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        replace(replace(replace(replace(text,
+          ' [at] ', '@'), ' (at) ', '@'),
+          ' [dot] ', '.'), ' (dot) ', '.') AS dec
+      FROM p),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(dec,
+          '([a-z0-9]+@[a-z0-9.]+\\.(?:example|org))', 1) AS email,
+        CAST(CASE WHEN text LIKE '%[at]%' OR text LIKE '%(at)%'
+             THEN 1 ELSE 0 END AS INT) AS was_obfuscated
+      FROM s)
+    SELECT doc_id, email, was_obfuscated
+    FROM m WHERE email <> ''
+    """
+
+
+@query("email_obfuscation_decode", _emailobf_oracle())
+def email_obfuscation_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscated-email decoding (round 4): "alice [at] mail [dot]
+    example" survives scraper-evasion markup that mailto: parsing
+    (contact_link_extract) misses — the de-obfuscation replace chain
+    runs BEFORE the address regexp so plain and obfuscated addresses
+    extract through one pattern, and the obfuscation flag survives
+    (spam-harvest-aware sites are a quality signal). An address-free
+    page pins zero rows.
+
+    Scale shape: literal replace chain + one regexp per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Contact alice"), (i % 9).cast("string"),
+            F.lit(" [at] mail"), (i % 5).cast("string"),
+            F.lit(" [dot] example for info.")))
+        .when(v == 1, F.concat(
+            F.lit("Write to bob"), (i % 7).cast("string"),
+            F.lit(" (at) site"), (i % 4).cast("string"),
+            F.lit(" (dot) org today.")))
+        .when(v == 2, F.concat(
+            F.lit("Email carol"), (i % 6).cast("string"),
+            F.lit("@plain"), (i % 3).cast("string"),
+            F.lit(".example directly.")))
+        .otherwise(F.concat(
+            F.lit("No address in doc "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    dec = F.col("text")
+    for src, dst in [
+        (" [at] ", "@"), (" (at) ", "@"),
+        (" [dot] ", "."), (" (dot) ", "."),
+    ]:
+        dec = F.replace(dec, F.lit(src), F.lit(dst))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract(
+            dec, "([a-z0-9]+@[a-z0-9.]+\\.(?:example|org))", 1
+        ).alias("email"),
+        F.when(
+            F.col("text").contains("[at]")
+            | F.col("text").contains("(at)"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("was_obfuscated"),
+    )
+    return m.where(F.col("email") != "")
+
+
+def _openredir_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+          AS page_host,
+        CASE doc_id % 4
+          WHEN 0 THEN '<a href="/login?next=https%3A%2F%2Fevil'
+            || CAST(doc_id % 11 AS VARCHAR)
+            || '.example%2Fphish">go</a>'
+          WHEN 1 THEN '<a href="/out?url=https%3A%2F%2Fhost'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '.example%2Fnext">continue</a>'
+          WHEN 2 THEN '<a href="/go?target=%2Fdocs%2Fpage'
+            || CAST(doc_id % 20 AS VARCHAR) || '">rel</a>'
+          ELSE '<a href="/about">plain link '
+            || CAST(doc_id AS VARCHAR) || '</a>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, page_host,
+        regexp_extract(html, '[?&](next|url|target)=([^"&]+)', 1)
+          AS param,
+        regexp_extract(html, '[?&](next|url|target)=([^"&]+)', 2)
+          AS raw
+      FROM p),
+    f AS (
+      SELECT doc_id, page_host, param,
+        replace(replace(raw, '%3A', ':'), '%2F', '/') AS decoded_target
+      FROM m WHERE param <> '')
+    SELECT doc_id, page_host, param, decoded_target,
+      CASE
+        WHEN decoded_target LIKE 'https://' || page_host || '/%'
+          THEN 'same_host'
+        WHEN decoded_target LIKE 'https://%' THEN 'off_host'
+        ELSE 'relative' END AS target_class
+    FROM f
+    """
+
+
+@query("open_redirect_param_decode", _openredir_oracle())
+def open_redirect_param_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-parameter decoding (round 4): next=/url=/target=
+    query params carrying percent-encoded absolute URLs are both an
+    open-redirect security signal and hidden outlinks the crawl graph
+    loses if only href hosts are counted. The encoded value decodes
+    (%3A/%2F) and classifies against the PAGE's own host — off-host
+    absolute targets are the abuse shape, same-host and relative are
+    benign; a param-free page pins zero rows.
+
+    Scale shape: one regexp + literal replaces + LIKE classification,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    page_host = F.concat(
+        F.lit("host"), (i % 97).cast("string"), F.lit(".example")
+    )
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="/login?next=https%3A%2F%2Fevil'),
+            (i % 11).cast("string"),
+            F.lit('.example%2Fphish">go</a>')))
+        .when(v == 1, F.concat(
+            F.lit('<a href="/out?url=https%3A%2F%2Fhost'),
+            (i % 97).cast("string"),
+            F.lit('.example%2Fnext">continue</a>')))
+        .when(v == 2, F.concat(
+            F.lit('<a href="/go?target=%2Fdocs%2Fpage'),
+            (i % 20).cast("string"), F.lit('">rel</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="/about">plain link '), ds, F.lit("</a>")))
+    )
+    p = d.select(
+        "doc_id", page_host.alias("page_host"), html.alias("html")
+    )
+    rx = '[?&](next|url|target)=([^"&]+)'
+    m = p.select(
+        "doc_id", "page_host",
+        F.regexp_extract("html", rx, 1).alias("param"),
+        F.regexp_extract("html", rx, 2).alias("raw"),
+    ).where(F.col("param") != "")
+    decoded = F.replace(
+        F.replace(F.col("raw"), F.lit("%3A"), F.lit(":")),
+        F.lit("%2F"), F.lit("/"),
+    )
+    f = m.select(
+        "doc_id", "page_host", "param", decoded.alias("decoded_target")
+    )
+    t = F.col("decoded_target")
+    return f.select(
+        "doc_id", "page_host", "param", "decoded_target",
+        F.when(
+            t.startswith(
+                F.concat(F.lit("https://"), F.col("page_host"), F.lit("/"))
+            ),
+            F.lit("same_host"),
+        )
+        .when(t.startswith("https://"), F.lit("off_host"))
+        .otherwise(F.lit("relative")).alias("target_class"),
+    )
+
+
+def _picture_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<picture><source media="(max-width: 600px)"'
+            || ' srcset="/m' || CAST(doc_id % 50 AS VARCHAR)
+            || '.webp" type="image/webp"><source'
+            || ' media="(min-width: 601px)" srcset="/d'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '.jpg"><img src="/fb' || CAST(doc_id AS VARCHAR)
+            || '.jpg"></picture>'
+          WHEN 1 THEN '<picture><source srcset="/only'
+            || CAST(doc_id % 30 AS VARCHAR)
+            || '.avif" type="image/avif"><img src="/fb'
+            || CAST(doc_id AS VARCHAR) || '.png"></picture>'
+          ELSE '<img src="/plain' || CAST(doc_id AS VARCHAR)
+            || '.jpg">'
+        END AS html
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+        regexp_extract_all(html, '<source[^>]*>', 0) AS sources,
+        regexp_extract(html, '<img src="([^"]+)"', 1) AS fallback_src
+      FROM p WHERE html LIKE '%<picture>%'),
+    e AS (
+      SELECT doc_id, fallback_src, CAST(i - 1 AS BIGINT) AS src_idx,
+        list_extract(sources, i) AS tag
+      FROM z, unnest(generate_series(1, len(sources))) AS g(i))
+    SELECT doc_id, src_idx,
+      regexp_extract(tag, 'srcset="([^"]+)"', 1) AS srcset,
+      regexp_extract(tag, 'media="([^"]+)"', 1) AS media,
+      regexp_extract(tag, 'type="([^"]+)"', 1) AS mime,
+      fallback_src
+    FROM e
+    """
+
+
+@query("picture_art_direction", _picture_oracle())
+def picture_art_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<picture> art-direction extraction (round 4): responsive
+    sources select by media query and format (webp/avif with jpg
+    fallback) — the best-image choice srcset_best_image makes from
+    density descriptors needs this SECOND axis when a page ships
+    different crops per breakpoint. Each <source> lifts (srcset,
+    media, mime) in document order with the <img> fallback carried
+    per row; a picture-free page pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode + per-tag
+    regexps, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<picture><source media="(max-width: 600px)" srcset="/m'),
+            (i % 50).cast("string"),
+            F.lit('.webp" type="image/webp"><source'
+                  ' media="(min-width: 601px)" srcset="/d'),
+            (i % 50).cast("string"),
+            F.lit('.jpg"><img src="/fb'), ds,
+            F.lit('.jpg"></picture>')))
+        .when(v == 1, F.concat(
+            F.lit('<picture><source srcset="/only'),
+            (i % 30).cast("string"),
+            F.lit('.avif" type="image/avif"><img src="/fb'), ds,
+            F.lit('.png"></picture>')))
+        .otherwise(F.concat(
+            F.lit('<img src="/plain'), ds, F.lit('.jpg">')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    z = p.where(h.contains("<picture>")).select(
+        "doc_id",
+        F.regexp_extract_all(h, F.lit("<source[^>]*>"), 0).alias("sources"),
+        F.regexp_extract(h, '<img src="([^"]+)"', 1).alias("fallback_src"),
+    )
+    e = z.select(
+        "doc_id", "fallback_src",
+        F.posexplode("sources").alias("src_idx", "tag"),
+    )
+    tag = F.col("tag")
+    return e.select(
+        "doc_id",
+        F.col("src_idx").cast("long").alias("src_idx"),
+        F.regexp_extract(tag, 'srcset="([^"]+)"', 1).alias("srcset"),
+        F.regexp_extract(tag, 'media="([^"]+)"', 1).alias("media"),
+        F.regexp_extract(tag, 'type="([^"]+)"', 1).alias("mime"),
+        "fallback_src",
+    )
+
+
+def _metakw_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta name="keywords" content="alpha,beta,word'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '"><body>The alpha and beta guide to word'
+            || CAST(doc_id % 7 AS VARCHAR) || ' usage.</body>'
+          WHEN 1 THEN '<meta name="keywords" content="spam0,spam1,'
+            || 'spam2,spam3,spam4,spam5,spam6,spam7,spam8,spam9,'
+            || 'spam10,spam11"><body>Only spam0 appears, doc '
+            || CAST(doc_id AS VARCHAR) || '.</body>'
+          ELSE '<body>No keywords meta in doc '
+            || CAST(doc_id AS VARCHAR) || '.</body>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<meta name="keywords" content="([^"]*)"', 1) AS kw,
+        regexp_extract(html, '<body>(.*)</body>', 1) AS body
+      FROM p),
+    s AS (
+      SELECT doc_id,
+        string_split(kw, ',') AS kws, body
+      FROM m WHERE kw <> ''),
+    c AS (
+      SELECT doc_id,
+        len(kws) AS n_keywords,
+        len(list_filter(kws, x -> contains(body, x))) AS n_matched
+      FROM s)
+    SELECT doc_id, CAST(n_keywords AS BIGINT) AS n_keywords,
+      CAST(n_matched AS BIGINT) AS n_matched,
+      ROUND(CAST(n_matched AS DOUBLE) / n_keywords, 4) AS coverage,
+      CAST(CASE WHEN n_keywords > 8
+             AND n_matched * 2 < n_keywords THEN 1 ELSE 0 END AS INT)
+        AS stuffed
+    FROM c
+    """
+
+
+@query("meta_keywords_stuffing", _metakw_oracle())
+def meta_keywords_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-keyword stuffing audit (round 4): the keywords meta tag
+    is pure SEO surface — honest pages declare few terms that DO
+    appear in the body, stuffed pages declare many that don't. Each
+    declared keyword is checked against the body with an array-level
+    containment filter (JVM higher-order function, not N regexps);
+    low coverage over a long list flags stuffing. A meta-free page
+    pins zero rows.
+
+    Scale shape: split + one HOF filter per row, no shuffle, no
+    Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="keywords" content="alpha,beta,word'),
+            (i % 7).cast("string"),
+            F.lit('"><body>The alpha and beta guide to word'),
+            (i % 7).cast("string"), F.lit(" usage.</body>")))
+        .when(v == 1, F.concat(
+            F.lit('<meta name="keywords" content="spam0,spam1,spam2,'
+                  'spam3,spam4,spam5,spam6,spam7,spam8,spam9,spam10,'
+                  'spam11"><body>Only spam0 appears, doc '),
+            ds, F.lit(".</body>")))
+        .otherwise(F.concat(
+            F.lit("<body>No keywords meta in doc "), ds,
+            F.lit(".</body>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract(
+            "html", '<meta name="keywords" content="([^"]*)"', 1
+        ).alias("kw"),
+        F.regexp_extract("html", "<body>(.*)</body>", 1).alias("body"),
+    ).where(F.col("kw") != "")
+    s = m.select(
+        "doc_id", F.split("kw", ",").alias("kws"), "body"
+    )
+    body = F.col("body")
+    n_kw = F.size("kws")
+    n_matched = F.size(
+        F.filter(F.col("kws"), lambda x: body.contains(x))
+    )
+    c = s.select(
+        "doc_id",
+        n_kw.cast("long").alias("n_keywords"),
+        n_matched.cast("long").alias("n_matched"),
+    )
+    return c.select(
+        "doc_id", "n_keywords", "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_keywords"), 4
+        ).alias("coverage"),
+        F.when(
+            (F.col("n_keywords") > 8)
+            & (F.col("n_matched") * 2 < F.col("n_keywords")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("stuffed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
