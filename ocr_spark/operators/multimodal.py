@@ -1222,3 +1222,303 @@ def ico_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, ICO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFD) metadata
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _exif_app1(
+    byte_order: bytes,
+    orientation: int,
+    make: str,
+    datetime_s: str,
+    exif_w: int,
+    exif_h: int,
+) -> bytes:
+    """Serialize a minimal EXIF APP1 segment (TIFF 6.0 layout): IFD0
+    with Make / Orientation / DateTime / ExifIFD-pointer entries
+    (ascending tag order per spec) and an Exif sub-IFD carrying
+    PixelXDimension / PixelYDimension. Both byte orders ('II' little,
+    'MM' big) serialize through the same code path."""
+    e = "<" if byte_order == b"II" else ">"
+    make_b = make.encode("ascii") + b"\x00"
+    if len(make_b) % 2:
+        make_b += b"\x00"
+    dt_b = datetime_s.encode("ascii") + b"\x00"  # 20 bytes
+    make_off = 8 + 2 + 4 * 12 + 4  # header + IFD0(4 entries)
+    dt_off = make_off + len(make_b)
+    exif_off = dt_off + len(dt_b) + (len(dt_b) % 2)
+
+    def entry(tag: int, typ: int, count: int, val4: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + val4
+
+    ifd0 = struct.pack(e + "H", 4)
+    ifd0 += entry(0x010F, 2, len(make_b), struct.pack(e + "I", make_off))
+    ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", orientation) + b"\x00\x00")
+    ifd0 += entry(0x0132, 2, len(dt_b), struct.pack(e + "I", dt_off))
+    ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_off))
+    ifd0 += struct.pack(e + "I", 0)
+    sub = struct.pack(e + "H", 2)
+    sub += entry(0xA002, 4, 1, struct.pack(e + "I", exif_w))
+    sub += entry(0xA003, 4, 1, struct.pack(e + "I", exif_h))
+    sub += struct.pack(e + "I", 0)
+    tiff = (
+        byte_order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        + ifd0 + make_b + dt_b + (b"\x00" if len(dt_b) % 2 else b"") + sub
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _exif_read_value(
+    tiff: bytes, e: str, typ: int, count: int, val4: bytes
+):
+    size = _EXIF_TYPE_SIZE.get(typ, 1) * count
+    raw = val4[:size] if size <= 4 else tiff[
+        struct.unpack(e + "I", val4)[0]:
+        struct.unpack(e + "I", val4)[0] + size
+    ]
+    if typ == 2:
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if typ == 3:
+        return struct.unpack(e + "H", raw[:2])[0]
+    if typ == 4:
+        return struct.unpack(e + "I", raw[:4])[0]
+    return raw
+
+
+def _exif_walk_ifd(tiff: bytes, e: str, off: int) -> dict:
+    n = struct.unpack(e + "H", tiff[off:off + 2])[0]
+    out: dict = {"n_entries": n}
+    for k in range(n):
+        base = off + 2 + 12 * k
+        tag, typ, count = struct.unpack(e + "HHI", tiff[base:base + 8])
+        out[tag] = _exif_read_value(tiff, e, typ, count, tiff[base + 8:base + 12])
+    return out
+
+
+def parse_exif(buf: bytes) -> dict | None:
+    """Scan JPEG segments for an EXIF APP1 and decode IFD0 + the Exif
+    sub-IFD. Independent of the serializer above (reads only the
+    spec-mandated offsets), so construction-derived oracles are
+    non-circular. Returns None when no EXIF APP1 exists."""
+    if buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            break
+        marker = buf[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if marker == 0xE1 and buf[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = buf[pos + 10:pos + 2 + seglen]
+            bo = tiff[:2]
+            if bo not in (b"II", b"MM"):
+                return None
+            e = "<" if bo == b"II" else ">"
+            if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+                return None
+            ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
+            ifd0 = _exif_walk_ifd(tiff, e, ifd0_off)
+            sub = (
+                _exif_walk_ifd(tiff, e, ifd0[0x8769])
+                if 0x8769 in ifd0 else {}
+            )
+            return {
+                "byte_order": bo.decode("ascii"),
+                "orientation": int(ifd0.get(0x0112, 0)),
+                "make": ifd0.get(0x010F, ""),
+                "datetime": ifd0.get(0x0132, ""),
+                "exif_w": int(sub.get(0xA002, 0)),
+                "exif_h": int(sub.get(0xA003, 0)),
+                "n_ifd0_entries": int(ifd0["n_entries"]),
+            }
+        pos += 2 + seglen
+    return None
+
+
+def synth_exif_corpus(n: int = 12) -> list[dict]:
+    """Deterministic JPEG-with-EXIF corpus: real baseline JPEGs from
+    the native encoder with an APP1 spliced after SOI, alternating
+    byte order (II/MM), cycling all 8 orientations and varying
+    Make/DateTime/pixel-dimension fields. Expected fields are known BY
+    CONSTRUCTION — the oracle never runs the parser."""
+    from ocr_spark.kernels import jpeg
+
+    out = []
+    for i in range(n):
+        h, w = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+        img = (
+            (np.arange(h * w, dtype=np.int64) * 11 + i * 5) % 256
+        ).astype(np.uint8).reshape(h, w)
+        base = jpeg.encode(img, quality=80)
+        fields = {
+            "byte_order": "II" if i % 2 == 0 else "MM",
+            "orientation": 1 + i % 8,
+            "make": f"Cam{i % 12}",
+            "datetime": f"20{10 + i % 15:02d}:{i % 9 + 1:02d}:15 "
+                        f"12:{i % 60:02d}:00",
+            "exif_w": 100 + i * 3,
+            "exif_h": 80 + i * 2,
+            "n_ifd0_entries": 4,
+        }
+        app1 = _exif_app1(
+            fields["byte_order"].encode("ascii"),
+            fields["orientation"], fields["make"], fields["datetime"],
+            fields["exif_w"], fields["exif_h"],
+        )
+        payload = base[:2] + app1 + base[2:]
+        out.append({"img_id": i, "payload": payload, **fields})
+    return out
+
+
+EXIF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("byte_order", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("datetime", StringType()),
+        StructField("exif_w", LongType()),
+        StructField("exif_h", LongType()),
+        StructField("n_ifd0_entries", LongType()),
+    ]
+)
+
+
+def exif_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Parse EXIF APP1 metadata out of JPEG payloads (parse_exif) and
+    emit one row per image that carries it. Same Arrow-batched
+    mapInPandas stage shape as the other codec feature extractors;
+    EXIF-free JPEGs drop inside the batch (no separate filter
+    stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                meta = parse_exif(bytes(payload))
+                if meta is None:
+                    continue
+                rows.append(
+                    (
+                        int(img_id), meta["byte_order"],
+                        meta["orientation"], meta["make"],
+                        meta["datetime"], meta["exif_w"],
+                        meta["exif_h"], meta["n_ifd0_entries"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, EXIF_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG ancillary chunks (tEXt / iTXt / pHYs)
+# ---------------------------------------------------------------------------
+
+
+def synth_png_meta_corpus(n: int = 12) -> list[dict]:
+    """Deterministic PNGs carrying ancillary metadata chunks spliced
+    before IEND: tEXt Title/Author pairs on every image, an
+    uncompressed iTXt with language tag on odd ids, and a pHYs
+    physical-dimensions chunk on every third id. Expected (kind,
+    keyword, value) rows are known BY CONSTRUCTION."""
+    from ocr_spark.kernels import png
+
+    out = []
+    for i in range(n):
+        h, w = 5 + i % 3, 4 + i % 2
+        arr = (
+            (np.arange(h * w, dtype=np.int64) * 7 + i) % 256
+        ).astype(np.uint8).reshape(h, w)
+        base = png.encode(arr, 0, filters=[0] * h)
+        expected = [("tEXt", "Title", f"Page {i}"),
+                    ("tEXt", "Author", f"Bot {i % 4}")]
+        meta = png._chunk(b"tEXt", f"Title\x00Page {i}".encode())
+        meta += png._chunk(b"tEXt", f"Author\x00Bot {i % 4}".encode())
+        if i % 2 == 1:
+            note = f"note {i % 7}"
+            meta += png._chunk(
+                b"iTXt",
+                b"Comment\x00\x00\x00en\x00\x00" + note.encode(),
+            )
+            expected.append(("iTXt", "Comment", note))
+        if i % 3 == 0:
+            ppu = 2835 + i * 100  # px per metre
+            meta += png._chunk(b"pHYs", struct.pack(">IIB", ppu, ppu, 1))
+            expected.append(("pHYs", "", f"{ppu}:{ppu}:1"))
+        payload = base[:-12] + meta + base[-12:]
+        out.append({"img_id": i, "payload": payload, "expected": expected})
+    return out
+
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("keyword", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def png_meta_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Walk the PNG chunk table and emit one row per metadata chunk:
+    tEXt keyword/value, iTXt (uncompressed) keyword/text, and pHYs as
+    'x:y:unit'. Reads the container directly (length-prefixed chunk
+    walk from offset 8) — no pixel decode, so metadata extraction at
+    corpus scale never pays the unfilter cost."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                pos, k = 8, 0
+                while pos + 8 <= len(buf):
+                    ln = int.from_bytes(buf[pos:pos + 4], "big")
+                    tag = buf[pos + 4:pos + 8]
+                    data = buf[pos + 8:pos + 8 + ln]
+                    if tag == b"tEXt":
+                        kw, _, val = data.partition(b"\x00")
+                        rows.append((int(img_id), k, "tEXt",
+                                     kw.decode("latin-1"),
+                                     val.decode("latin-1")))
+                        k += 1
+                    elif tag == b"iTXt":
+                        kw, _, rest = data.partition(b"\x00")
+                        # comp flag + comp method, then lang\0trans\0text
+                        if len(rest) >= 2 and rest[0] == 0:
+                            rest = rest[2:]
+                            _lang, _, rest = rest.partition(b"\x00")
+                            _trans, _, text = rest.partition(b"\x00")
+                            rows.append((int(img_id), k, "iTXt",
+                                         kw.decode("latin-1"),
+                                         text.decode("utf-8")))
+                            k += 1
+                    elif tag == b"pHYs" and ln == 9:
+                        x, y, unit = struct.unpack(">IIB", data)
+                        rows.append((int(img_id), k, "pHYs", "",
+                                     f"{x}:{y}:{unit}"))
+                        k += 1
+                    if tag == b"IEND":
+                        break
+                    pos += 12 + ln
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_META_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, PNG_META_SCHEMA)

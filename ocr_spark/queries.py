@@ -21757,6 +21757,94 @@ def meta_keywords_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exif_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (EXIF fields
+    exist before serialization — the parser is never consulted)."""
+    from ocr_spark.operators.multimodal import synth_exif_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, '{r['byte_order']}', {r['orientation']}, "
+        f"'{r['make']}', '{r['datetime']}', "
+        f"CAST({r['exif_w']} AS BIGINT), CAST({r['exif_h']} AS BIGINT), "
+        f"CAST({r['n_ifd0_entries']} AS BIGINT))"
+        for r in synth_exif_corpus()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(img_id, byte_order, orientation, make, datetime, "
+        "exif_w, exif_h, n_ifd0_entries)"
+    )
+
+
+@query("jpeg_exif_extract", _exif_oracle())
+def jpeg_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (round 4): camera make, capture
+    timestamp, orientation and declared pixel dimensions ride in the
+    JPEG APP1 segment as a TIFF IFD — provenance for image-text
+    corpora (camera vs screenshot vs generated), the orientation flag
+    real renderers must honor, and a capture-time axis no HTML field
+    carries. The corpus splices spec-layout APP1s (both byte orders,
+    all 8 orientations) into native-encoder JPEGs; the segment walk
+    stops at SOS, so metadata never pays the entropy-decode cost.
+
+    Scale shape: Arrow-batched mapInPandas over binary payloads, same
+    stage shape as the other codec extractors; EXIF-free images drop
+    inside the batch.
+    """
+    from ocr_spark.operators.multimodal import (
+        exif_features,
+        synth_exif_corpus,
+    )
+
+    corpus = synth_exif_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return exif_features(base.repartition(8, "img_id"))
+
+
+def _pngmeta_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (chunk
+    rows exist before the container is assembled)."""
+    from ocr_spark.operators.multimodal import synth_png_meta_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {k}, '{kind}', '{kw}', '{val}')"
+        for r in synth_png_meta_corpus()
+        for k, (kind, kw, val) in enumerate(r["expected"])
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(img_id, chunk_idx, kind, keyword, value)"
+    )
+
+
+@query("png_text_chunks", _pngmeta_oracle())
+def png_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG ancillary-chunk extraction (round 4): tEXt/iTXt carry
+    Title/Author/Comment metadata (screenshot tools and export
+    pipelines stamp provenance here) and pHYs carries physical DPI —
+    all invisible to a pixel decoder. The chunk walk reads the
+    length-prefixed container directly and never inflates IDAT, so
+    metadata harvest over an image corpus costs I/O, not decode.
+
+    Scale shape: Arrow-batched mapInPandas; per-image fan-out to
+    chunk rows happens inside the batch, no explode in the plan.
+    """
+    from ocr_spark.operators.multimodal import (
+        png_meta_features,
+        synth_png_meta_corpus,
+    )
+
+    corpus = synth_png_meta_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return png_meta_features(base.repartition(8, "img_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
