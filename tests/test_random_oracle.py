@@ -218,6 +218,27 @@ CRITICAL = [
     "inline_definition_extract",
     "unit_conversion_pairs",
     "footnote_extract",
+    "isbn_validate_extract",
+    "analytics_id_extract",
+    "uuid_version_profile",
+    "tracking_pixel_detect",
+    "accessibility_profile",
+    "microformats2_extract",
+    "dl_spec_pairs",
+    "details_summary_extract",
+    "product_offer_extract",
+    "jobposting_extract",
+    "event_schema_extract",
+    "dehyphenate_linebreaks",
+    "typographic_normalize",
+    "locale_number_parse",
+    "srt_caption_parse",
+    "email_obfuscation_decode",
+    "open_redirect_param_decode",
+    "picture_art_direction",
+    "meta_keywords_stuffing",
+    # NOT jpeg_exif_extract / png_text_chunks: synthesized-corpus
+    # queries (construction-literal oracles), same class as ICO below.
     # NOT ico_decode_features: synthesized-corpus query, no table
     # dependency — its oracle is construction-literal already.
     # NOT join_size_planner: needs lineitem/orders (this corpus
