@@ -21845,6 +21845,416 @@ def png_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_meta_features(base.repartition(8, "img_id"))
 
 
+def _toc_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<ul class="toc"><li><a href="#s1">Intro '
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '</a></li><li><a href="#s2">Method</a></li></ul>'
+            || '<h2 id="s1">Introduction full '
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '</h2><h2 id="s2">Method details '
+            || CAST(doc_id % 5 AS VARCHAR) || '</h2>'
+          WHEN 1 THEN '<ul class="toc"><li><a href="#a">Part A'
+            || '</a></li><li><a href="#gone">Removed '
+            || CAST(doc_id % 4 AS VARCHAR) || '</a></li></ul>'
+            || '<h2 id="a">Part A body '
+            || CAST(doc_id AS VARCHAR) || '</h2>'
+          ELSE '<p>No table of contents in doc '
+            || CAST(doc_id AS VARCHAR) || '</p>'
+        END AS html
+      FROM documents),
+    refs AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS toc_idx,
+        list_extract(regexp_extract_all(html,
+          '<a href="#([a-z0-9]+)">', 1), i) AS frag_id,
+        list_extract(regexp_extract_all(html,
+          '<a href="#[a-z0-9]+">([^<]*)</a>', 1), i) AS anchor_text
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<a href="#([a-z0-9]+)">', 1)))) AS g(i)),
+    secs AS (
+      SELECT doc_id AS d_doc_id,
+        list_extract(regexp_extract_all(html,
+          '<h2 id="([a-z0-9]+)">', 1), i) AS d_frag_id,
+        list_extract(regexp_extract_all(html,
+          '<h2 id="[a-z0-9]+">([^<]*)</h2>', 1), i) AS section_title
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<h2 id="([a-z0-9]+)">', 1)))) AS g(i))
+    SELECT r.doc_id, r.toc_idx, r.anchor_text, r.frag_id,
+      COALESCE(s.section_title, '') AS section_title,
+      CAST(CASE WHEN s.section_title IS NULL THEN 0 ELSE 1 END AS INT)
+        AS resolved
+    FROM refs r LEFT JOIN secs s
+      ON r.doc_id = s.d_doc_id AND r.frag_id = s.d_frag_id
+    """
+
+
+@query("toc_anchor_resolution", _toc_oracle())
+def toc_anchor_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-of-contents resolution (round 4): in-page TOC anchors
+    (#fragment hrefs) joined to their heading ids recover the
+    document's author-declared section structure — the outline
+    heading_outline infers from tag levels, here confirmed by
+    navigation — and a dangling anchor is a staleness signal (the
+    section was edited away but the TOC wasn't). Anchor text vs
+    resolved heading text gives title-abbreviation pairs.
+
+    Scale shape: two explodes off the same scan + one equi-join on
+    the composite (doc_id, frag_id) key — co-partitioned, tiny
+    per-doc groups, no skew (same shape as footnote_extract).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<ul class="toc"><li><a href="#s1">Intro '),
+            (i % 9).cast("string"),
+            F.lit('</a></li><li><a href="#s2">Method</a></li></ul>'
+                  '<h2 id="s1">Introduction full '),
+            (i % 9).cast("string"),
+            F.lit('</h2><h2 id="s2">Method details '),
+            (i % 5).cast("string"), F.lit("</h2>")))
+        .when(v == 1, F.concat(
+            F.lit('<ul class="toc"><li><a href="#a">Part A</a></li>'
+                  '<li><a href="#gone">Removed '),
+            (i % 4).cast("string"),
+            F.lit('</a></li></ul><h2 id="a">Part A body '), ds,
+            F.lit("</h2>")))
+        .otherwise(F.concat(
+            F.lit("<p>No table of contents in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    refs = p.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit('<a href="#([a-z0-9]+)">'), 1),
+                F.regexp_extract_all(
+                    h, F.lit('<a href="#[a-z0-9]+">([^<]*)</a>'), 1
+                ),
+            )
+        ).alias("toc_idx", "r"),
+    ).select(
+        "doc_id",
+        F.col("toc_idx").cast("long").alias("toc_idx"),
+        F.col("r.0").alias("frag_id"),
+        F.col("r.1").alias("anchor_text"),
+    )
+    secs = p.select(
+        F.col("doc_id").alias("d_doc_id"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit('<h2 id="([a-z0-9]+)">'), 1),
+                F.regexp_extract_all(
+                    h, F.lit('<h2 id="[a-z0-9]+">([^<]*)</h2>'), 1
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "d_doc_id",
+        F.col("s.0").alias("d_frag_id"),
+        F.col("s.1").alias("section_title"),
+    )
+    j = refs.join(
+        secs,
+        (refs.doc_id == secs.d_doc_id)
+        & (refs.frag_id == secs.d_frag_id),
+        "left",
+    )
+    return j.select(
+        "doc_id", "toc_idx", "anchor_text", "frag_id",
+        F.coalesce(F.col("section_title"), F.lit(""))
+        .alias("section_title"),
+        F.when(F.col("section_title").isNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("int").alias("resolved"),
+    )
+
+
+def _commentsplit_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<article>Main body text for doc '
+            || CAST(doc_id AS VARCHAR)
+            || ' with several sentences of real content.</article>'
+            || '<div id="comments"><div class="comment">First take '
+            || CAST(doc_id % 8 AS VARCHAR)
+            || '</div><div class="comment">Reply here</div></div>'
+          WHEN 1 THEN '<article>Standalone essay '
+            || CAST(doc_id AS VARCHAR) || ' no discussion.</article>'
+          ELSE '<article>Stub ' || CAST(doc_id % 5 AS VARCHAR)
+            || '</article><div id="comments">'
+            || '<div class="comment">Wall of reply text one '
+            || CAST(doc_id AS VARCHAR)
+            || '</div><div class="comment">Wall of reply text two, '
+            || 'much longer than the stub article itself</div>'
+            || '<div class="comment">Third reply</div></div>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        length(regexp_extract(html, '<article>(.*)</article>', 1))
+          AS article_chars,
+        len(regexp_extract_all(html,
+          '<div class="comment">([^<]*)</div>', 1)) AS n_comments,
+        COALESCE(length(list_aggregate(regexp_extract_all(html,
+          '<div class="comment">([^<]*)</div>', 1), 'string_agg', '')),
+          0) AS comment_chars
+      FROM p)
+    SELECT doc_id, CAST(article_chars AS BIGINT) AS article_chars,
+      CAST(n_comments AS BIGINT) AS n_comments,
+      CAST(comment_chars AS BIGINT) AS comment_chars,
+      ROUND(CAST(comment_chars AS DOUBLE) / article_chars, 4)
+        AS comment_ratio,
+      CAST(CASE WHEN comment_chars > article_chars THEN 1 ELSE 0 END
+        AS INT) AS ugc_heavy
+    FROM s
+    """
+
+
+@query("comment_section_split", _commentsplit_oracle())
+def comment_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Article/comment split accounting (round 4): the comment
+    section is user-generated content with different quality, toxicity
+    and dedup behavior than the article — pipelines route the two
+    differently, and a page whose comments outweigh its article
+    (ugc_heavy) is a forum-shaped document wearing an article URL.
+    Char masses on both sides plus the comment count drive the
+    routing ratio; a comment-free essay pins the zero branch.
+
+    Scale shape: one regexp split + array aggregate per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<article>Main body text for doc "), ds,
+            F.lit(" with several sentences of real content.</article>"
+                  '<div id="comments"><div class="comment">First take '),
+            (i % 8).cast("string"),
+            F.lit('</div><div class="comment">Reply here</div></div>')))
+        .when(v == 1, F.concat(
+            F.lit("<article>Standalone essay "), ds,
+            F.lit(" no discussion.</article>")))
+        .otherwise(F.concat(
+            F.lit("<article>Stub "), (i % 5).cast("string"),
+            F.lit('</article><div id="comments">'
+                  '<div class="comment">Wall of reply text one '),
+            ds,
+            F.lit('</div><div class="comment">Wall of reply text two, '
+                  "much longer than the stub article itself</div>"
+                  '<div class="comment">Third reply</div></div>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    comments = F.regexp_extract_all(
+        h, F.lit('<div class="comment">([^<]*)</div>'), 1
+    )
+    article_chars = F.length(
+        F.regexp_extract(h, "<article>(.*)</article>", 1)
+    ).cast("long")
+    comment_chars = F.length(F.array_join(comments, "")).cast("long")
+    return p.select(
+        "doc_id",
+        article_chars.alias("article_chars"),
+        F.size(comments).cast("long").alias("n_comments"),
+        comment_chars.alias("comment_chars"),
+        F.round(comment_chars.cast("double") / article_chars, 4)
+        .alias("comment_ratio"),
+        F.when(comment_chars > article_chars, F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("ugc_heavy"),
+    )
+
+
+def _ldbreadcrumb_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '<script type="application/ld+json">'
+        || '{"@type":"BreadcrumbList","itemListElement":['
+        || '{"@type":"ListItem","position":1,"name":"Home",'
+        || '"item":"https://host' || CAST(doc_id % 97 AS VARCHAR)
+        || '.example/"},'
+        || '{"@type":"ListItem","position":2,"name":"Section '
+        || CAST(doc_id % 12 AS VARCHAR) || '","item":"https://host'
+        || CAST(doc_id % 97 AS VARCHAR) || '.example/s'
+        || CAST(doc_id % 12 AS VARCHAR) || '"}'
+        || CASE WHEN doc_id % 2 = 0
+           THEN ',{"@type":"ListItem","position":3,"name":"Leaf '
+             || CAST(doc_id % 40 AS VARCHAR) || '"}'
+           ELSE '' END
+        || ']}</script>' AS html
+      FROM documents),
+    j AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<script type="application/ld\\+json">(.*)</script>', 1)
+          AS payload
+      FROM p),
+    u AS (
+      SELECT doc_id, payload, i AS pos0 FROM j,
+        unnest(generate_series(0, 2)) AS g(i)),
+    e AS (
+      SELECT doc_id,
+        CAST(json_extract_string(payload, '$.itemListElement['
+          || CAST(pos0 AS VARCHAR) || '].position') AS BIGINT)
+          AS position,
+        json_extract_string(payload, '$.itemListElement['
+          || CAST(pos0 AS VARCHAR) || '].name') AS name,
+        COALESCE(json_extract_string(payload, '$.itemListElement['
+          || CAST(pos0 AS VARCHAR) || '].item'), '') AS item_url
+      FROM u)
+    SELECT doc_id, position, name, item_url
+    FROM e WHERE position IS NOT NULL
+    """
+
+
+@query("ld_breadcrumblist_extract", _ldbreadcrumb_oracle())
+def ld_breadcrumblist_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BreadcrumbList JSON-LD extraction (round 4): the structured
+    twin of the DOM breadcrumb trail (breadcrumb_extract) — ordered
+    ListItems with explicit position numbers and item URLs give the
+    site's own taxonomy path per page, the strongest category
+    supervision a crawl carries. The leaf item legitimately omits
+    "item" (the page itself), pinning the empty-URL branch; 2- and
+    3-level trails interleave.
+
+    Scale shape: one regexp + three fixed JSON-path probes per row
+    (bounded trail depth), filtered after a row-explode of the index
+    space — no per-row Python, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h97 = (i % 97).cast("string")
+    html = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"BreadcrumbList","itemListElement":['
+              '{"@type":"ListItem","position":1,"name":"Home",'
+              '"item":"https://host'), h97, F.lit('.example/"},'
+              '{"@type":"ListItem","position":2,"name":"Section '),
+        (i % 12).cast("string"),
+        F.lit('","item":"https://host'), h97, F.lit(".example/s"),
+        (i % 12).cast("string"), F.lit('"}'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit(',{"@type":"ListItem","position":3,"name":"Leaf '),
+            (i % 40).cast("string"), F.lit('"}'))).otherwise(F.lit("")),
+        F.lit("]}</script>"),
+    )
+    p = d.select("doc_id", html.alias("html"))
+    payload = F.regexp_extract(
+        "html", '<script type="application/ld\\+json">(.*)</script>', 1
+    )
+    j = p.select("doc_id", payload.alias("payload"))
+    u = j.select(
+        "doc_id", "payload",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("pos0"),
+    )
+    e = u.select(
+        "doc_id",
+        F.expr(
+            "CAST(get_json_object(payload, concat('$.itemListElement[',"
+            " CAST(pos0 AS STRING), '].position')) AS BIGINT)"
+        ).alias("position"),
+        F.expr(
+            "get_json_object(payload, concat('$.itemListElement[',"
+            " CAST(pos0 AS STRING), '].name'))"
+        ).alias("name"),
+        F.expr(
+            "coalesce(get_json_object(payload, concat("
+            "'$.itemListElement[', CAST(pos0 AS STRING), '].item')), '')"
+        ).alias("item_url"),
+    )
+    return e.where(F.col("position").isNotNull())
+
+
+def _noscript_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<img data-src="/lazy'
+            || CAST(doc_id % 60 AS VARCHAR)
+            || '.jpg" class="lazy"><noscript><img src="/lazy'
+            || CAST(doc_id % 60 AS VARCHAR) || '.jpg"></noscript>'
+          WHEN 1 THEN '<noscript><iframe src="https://tm.example/'
+            || 'ns.html?id=GTM-B' || CAST(doc_id % 25 AS VARCHAR)
+            || '"></iframe></noscript>'
+          ELSE '<p>No noscript content ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        regexp_extract(html,
+          '<noscript><(img|iframe) src="([^"]+)"', 1) AS kind,
+        regexp_extract(html,
+          '<noscript><(img|iframe) src="([^"]+)"', 2) AS src,
+        regexp_extract(html, 'data-src="([^"]+)"', 1) AS lazy_src
+      FROM p)
+    SELECT doc_id, kind, src,
+      CAST(CASE WHEN lazy_src <> '' AND lazy_src = src
+           THEN 1 ELSE 0 END AS INT) AS matches_lazy
+    FROM m WHERE kind <> ''
+    """
+
+
+@query("noscript_fallback_extract", _noscript_oracle())
+def noscript_fallback_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<noscript> fallback extraction (round 4): a JS-free crawler
+    sees exactly the noscript branch, where pages park both the REAL
+    lazy-image fallbacks (the src the data-src lazyload would set —
+    cross-checking them validates lazyload_image_extract's
+    resolution) and tracking iframes that only fire for non-JS
+    clients. Fallback kind + src extract per page; a matching
+    data-src pins the verified-lazyload flag; a noscript-free page
+    pins zero rows.
+
+    Scale shape: two anchored regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img data-src="/lazy'), (i % 60).cast("string"),
+            F.lit('.jpg" class="lazy"><noscript><img src="/lazy'),
+            (i % 60).cast("string"), F.lit('.jpg"></noscript>')))
+        .when(v == 1, F.concat(
+            F.lit('<noscript><iframe src="https://tm.example/'
+                  "ns.html?id=GTM-B"),
+            (i % 25).cast("string"),
+            F.lit('"></iframe></noscript>')))
+        .otherwise(F.concat(
+            F.lit("<p>No noscript content "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    rx = '<noscript><(img|iframe) src="([^"]+)"'
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("html", rx, 1).alias("kind"),
+        F.regexp_extract("html", rx, 2).alias("src"),
+        F.regexp_extract("html", 'data-src="([^"]+)"', 1)
+        .alias("lazy_src"),
+    ).where(F.col("kind") != "")
+    return m.select(
+        "doc_id", "kind", "src",
+        F.when(
+            (F.col("lazy_src") != "") & (F.col("lazy_src") == F.col("src")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("matches_lazy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
