@@ -22255,6 +22255,339 @@ def noscript_fallback_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _thunits_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<tr><th>Model</th><th>Speed (km/h)</th>'
+            || '<th>Mass (kg)</th></tr><td>m'
+            || CAST(doc_id % 14 AS VARCHAR) || '</td>'
+          WHEN 1 THEN '<tr><th>Name</th><th>Score</th></tr><td>n'
+            || CAST(doc_id % 6 AS VARCHAR) || '</td>'
+          ELSE '<p>No data table in doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS col_idx,
+        list_extract(regexp_extract_all(html,
+          '<th>([^<]*)</th>', 1), i) AS header
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<th>([^<]*)</th>', 1)))) AS g(i))
+    SELECT doc_id, col_idx,
+      trim(regexp_replace(header, '\\(([^)]*)\\)$', '')) AS name,
+      regexp_extract(header, '\\(([^)]*)\\)$', 1) AS unit,
+      CAST(CASE WHEN regexp_extract(header, '\\(([^)]*)\\)$', 1) <> ''
+           THEN 1 ELSE 0 END AS INT) AS has_unit
+    FROM e
+    """
+
+
+@query("table_unit_headers", _thunits_oracle())
+def table_unit_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-header unit parsing (round 4): data tables declare
+    units inside the header — "Speed (km/h)" — and numeric table
+    understanding is wrong by orders of magnitude if the unit stays
+    glued to the name. Each th splits into (name, unit) with a
+    trailing-parenthetical rule, leaving unitless headers intact;
+    feeds the same normalization layer as unit_conversion_pairs.
+
+    Scale shape: one explode + two regexps per header, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<tr><th>Model</th><th>Speed (km/h)</th>"
+                  "<th>Mass (kg)</th></tr><td>m"),
+            (i % 14).cast("string"), F.lit("</td>")))
+        .when(v == 1, F.concat(
+            F.lit("<tr><th>Name</th><th>Score</th></tr><td>n"),
+            (i % 6).cast("string"), F.lit("</td>")))
+        .otherwise(F.concat(
+            F.lit("<p>No data table in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    e = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<th>([^<]*)</th>"), 1
+            )
+        ).alias("col_idx", "header"),
+    )
+    hd = F.col("header")
+    unit = F.regexp_extract(hd, "\\(([^)]*)\\)$", 1)
+    return e.select(
+        "doc_id",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.trim(F.regexp_replace(hd, "\\(([^)]*)\\)$", "")).alias("name"),
+        unit.alias("unit"),
+        F.when(unit != "", F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("has_unit"),
+    )
+
+
+def _olstart_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<ol><li>Mix batter '
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '</li><li>Preheat oven</li></ol>'
+          WHEN 1 THEN '<ol start="' || CAST(doc_id % 6 + 3 AS VARCHAR)
+            || '"><li>Continue kneading</li><li>Shape loaf '
+            || CAST(doc_id % 4 AS VARCHAR) || '</li><li>Bake</li></ol>'
+          ELSE '<p>No steps in doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_extract(html, '<ol start="([0-9]+)">', 1) = ''
+             THEN 1
+             ELSE CAST(regexp_extract(html,
+               '<ol start="([0-9]+)">', 1) AS BIGINT) END AS start_num,
+        regexp_extract_all(html, '<li>([^<]*)</li>', 1) AS items
+      FROM p WHERE html LIKE '%<ol%'),
+    e AS (
+      SELECT doc_id, start_num, CAST(i - 1 AS BIGINT) AS item_idx,
+        list_extract(items, i) AS step_text
+      FROM s, unnest(generate_series(1, len(items))) AS g(i))
+    SELECT doc_id, item_idx,
+      CAST(start_num + item_idx AS BIGINT) AS abs_num, step_text
+    FROM e
+    """
+
+
+@query("ol_start_continuation", _olstart_oracle())
+def ol_start_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-list start-attribute continuation (round 4): recipe
+    and how-to steps split across interleaved markup resume numbering
+    via <ol start=N> — dropping the attribute renumbers every
+    continuation from 1 and corrupts step-order supervision
+    (list_structure_extract reads only relative order). Absolute step
+    numbers materialize as start + position, with the default
+    start=1 branch pinned by attribute-free lists.
+
+    Scale shape: one regexp + explode + an add, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<ol><li>Mix batter "), (i % 7).cast("string"),
+            F.lit("</li><li>Preheat oven</li></ol>")))
+        .when(v == 1, F.concat(
+            F.lit('<ol start="'), (i % 6 + 3).cast("string"),
+            F.lit('"><li>Continue kneading</li><li>Shape loaf '),
+            (i % 4).cast("string"), F.lit("</li><li>Bake</li></ol>")))
+        .otherwise(F.concat(
+            F.lit("<p>No steps in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    raw_start = F.regexp_extract(h, '<ol start="([0-9]+)">', 1)
+    s = p.where(h.contains("<ol")).select(
+        "doc_id",
+        F.when(raw_start == "", F.lit(1).cast("long"))
+        .otherwise(raw_start.cast("long")).alias("start_num"),
+        F.regexp_extract_all(h, F.lit("<li>([^<]*)</li>"), 1)
+        .alias("items"),
+    )
+    e = s.select(
+        "doc_id", "start_num",
+        F.posexplode("items").alias("item_idx", "step_text"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("item_idx").cast("long").alias("item_idx"),
+        (F.col("start_num") + F.col("item_idx")).cast("long")
+        .alias("abs_num"),
+        "step_text",
+    )
+
+
+def _favvar_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<link rel="icon" sizes="16x16" href="/i16-'
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '.png"><link rel="icon" sizes="32x32" href="/i32-'
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '.png"><link rel="apple-touch-icon" sizes="180x180"'
+            || ' href="/touch' || CAST(doc_id % 5 AS VARCHAR)
+            || '.png">'
+          WHEN 1 THEN '<link rel="mask-icon" href="/pin'
+            || CAST(doc_id % 4 AS VARCHAR)
+            || '.svg"><link rel="icon" href="/favicon.ico">'
+          ELSE '<p>No icon links in doc ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(html,
+          '<link rel="((?:mask-|apple-touch-)?icon)"[^>]*>', 1), i)
+          AS rel,
+        list_extract(regexp_extract_all(html,
+          '<link rel="(?:mask-|apple-touch-)?icon"[^>]*'
+          || 'href="([^"]+)"', 1), i) AS href,
+        list_extract(regexp_extract_all(html,
+          '<link rel="(?:mask-|apple-touch-)?icon"'
+          || '(?: sizes="([0-9]+)x[0-9]+")?[^>]*>', 1), i) AS sz
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<link rel="((?:mask-|apple-touch-)?icon)"[^>]*>', 1))))
+        AS g(i))
+    SELECT doc_id, link_idx, rel, href,
+      CAST(CASE WHEN sz IS NULL OR sz = '' THEN 0
+           ELSE CAST(sz AS BIGINT) END AS BIGINT) AS edge_px,
+      CAST(CASE WHEN sz IS NULL OR sz = '' THEN 0
+           ELSE CAST(sz AS BIGINT) * CAST(sz AS BIGINT) END AS BIGINT)
+        AS area_px
+    FROM e
+    """
+
+
+@query("favicon_link_variants", _favvar_oracle())
+def favicon_link_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Favicon link-variant extraction (round 4): sites declare
+    several icon renditions — rel=icon at multiple sizes,
+    apple-touch-icon, mask-icon — and the fetch scheduler wants them
+    enumerated with pixel areas so it pulls ONE best rendition per
+    host instead of all of them (the decode side is
+    ico_decode_features). Sizes parse from the WxH attribute; the
+    declared-size-free .ico/.svg fallbacks pin the zero-area branch.
+
+    Scale shape: three aligned regexp_extract_all + zip + posexplode,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="icon" sizes="16x16" href="/i16-'),
+            (i % 9).cast("string"),
+            F.lit('.png"><link rel="icon" sizes="32x32" href="/i32-'),
+            (i % 9).cast("string"),
+            F.lit('.png"><link rel="apple-touch-icon" sizes="180x180"'
+                  ' href="/touch'),
+            (i % 5).cast("string"), F.lit('.png">')))
+        .when(v == 1, F.concat(
+            F.lit('<link rel="mask-icon" href="/pin'),
+            (i % 4).cast("string"),
+            F.lit('.svg"><link rel="icon" href="/favicon.ico">')))
+        .otherwise(F.concat(
+            F.lit("<p>No icon links in doc "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    z = p.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(
+                h,
+                F.lit('<link rel="((?:mask-|apple-touch-)?icon)"[^>]*>'),
+                1,
+            ),
+            F.regexp_extract_all(
+                h,
+                F.lit('<link rel="(?:mask-|apple-touch-)?icon"[^>]*'
+                      'href="([^"]+)"'),
+                1,
+            ),
+            F.regexp_extract_all(
+                h,
+                F.lit('<link rel="(?:mask-|apple-touch-)?icon"'
+                      '(?: sizes="([0-9]+)x[0-9]+")?[^>]*>'),
+                1,
+            ),
+        ).alias("links"),
+    )
+    e = z.select(
+        "doc_id", F.posexplode("links").alias("link_idx", "lk")
+    )
+    sz = F.col("lk.2")
+    edge = F.when(sz.isNull() | (sz == ""), F.lit(0).cast("long")).otherwise(
+        sz.cast("long")
+    )
+    return e.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("lk.0").alias("rel"),
+        F.col("lk.1").alias("href"),
+        edge.alias("edge_px"),
+        (edge * edge).cast("long").alias("area_px"),
+    )
+
+
+def _ipcolo_oracle() -> str:
+    return """
+    WITH hosts AS (
+      SELECT DISTINCT 'host' || CAST(doc_id % 97 AS VARCHAR)
+        || '.example' AS host, doc_id % 97 AS hnum
+      FROM documents),
+    a AS (
+      SELECT host,
+        '10.0.' || CAST(hnum % 23 AS VARCHAR) || '.1' AS ip
+      FROM hosts),
+    g AS (
+      SELECT ip, CAST(COUNT(*) AS BIGINT) AS colo_size
+      FROM a GROUP BY ip)
+    SELECT a.host, a.ip, g.colo_size,
+      CAST(CASE WHEN g.colo_size > 1 THEN 1 ELSE 0 END AS INT)
+        AS shared_hosting
+    FROM a JOIN g ON a.ip = g.ip
+    """
+
+
+@query("ip_colocation_groups", _ipcolo_oracle())
+def ip_colocation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP co-location grouping (round 4): hosts resolving to one
+    address are one hosting decision — parked-domain farms, mirror
+    networks and shared-CMS fleets collapse here before any content
+    comparison runs, the infrastructure-level twin of the
+    analytics-ID co-ownership signal. The synthetic A-record map
+    derives deterministically from the host; group sizes flag shared
+    hosting.
+
+    Scale shape: distinct on host (hash-agg), one hash-agg on ip,
+    and a broadcast join of the tiny ip dim back to hosts — host
+    cardinality is web-scale but ip groups stay small and uniform.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hosts = d.select(
+        F.concat(
+            F.lit("host"), (i % 97).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (i % 97).alias("hnum"),
+    ).distinct()
+    a = hosts.select(
+        "host",
+        F.concat(
+            F.lit("10.0."), (F.col("hnum") % 23).cast("string"),
+            F.lit(".1"),
+        ).alias("ip"),
+    )
+    g = a.groupBy("ip").agg(F.count("*").cast("long").alias("colo_size"))
+    return a.join(F.broadcast(g), "ip").select(
+        "host", "ip", "colo_size",
+        F.when(F.col("colo_size") > 1, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("shared_hosting"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
