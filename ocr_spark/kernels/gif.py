@@ -229,12 +229,17 @@ def encode(
     interlace: bool = False,
     transparent: int | None = None,
     extra_frames: list[tuple[int, int, np.ndarray]] | None = None,
+    frame_delays: list[int] | None = None,
+    loop_count: int | None = None,
 ) -> bytes:
     """Serialize a palette image (H,W uint8 indices + (N,3) uint8 RGB
     palette) as GIF89a. ``extra_frames`` are (left, top, indices)
-    follow-up image blocks sharing the global palette (animation
-    frames without timing — enough to exercise the multi-image and
-    placement decode paths)."""
+    follow-up image blocks sharing the global palette. With
+    ``frame_delays`` (centiseconds, one per frame including the
+    first) each frame gets a Graphic Control Extension carrying its
+    delay; ``loop_count`` emits the NETSCAPE2.0 application
+    extension (0 = loop forever). Both default to None, which keeps
+    the output byte-identical to the pre-animation encoder."""
     indices = np.ascontiguousarray(indices, np.uint8)
     palette = np.ascontiguousarray(palette, np.uint8)
     h, w = indices.shape
@@ -246,13 +251,25 @@ def encode(
     # logical screen descriptor: size, GCT flag + color resolution + GCT size
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits << 4) | bits, 0, 0)
     out += gct.tobytes()
+    if loop_count is not None:
+        # NETSCAPE2.0 application extension: 11-byte app id block,
+        # then a 3-byte data sub-block (sub-id 1, loop count LE16)
+        out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+        out += bytes([3, 1, loop_count & 0xFF, (loop_count >> 8) & 0xFF, 0])
 
-    def image_block(left: int, top: int, idx: np.ndarray, ilace: bool) -> bytes:
+    def image_block(
+        left: int, top: int, idx: np.ndarray, ilace: bool,
+        delay: int | None = None,
+    ) -> bytes:
         ih, iw = idx.shape
         blk = bytearray()
-        if transparent is not None:
-            # graphic control extension: transparency flag + index
-            blk += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+        if transparent is not None or delay is not None:
+            # graphic control extension: transparency flag + delay
+            gflags = 0x01 if transparent is not None else 0x00
+            d = delay or 0
+            blk += bytes([0x21, 0xF9, 4, gflags, d & 0xFF,
+                          (d >> 8) & 0xFF,
+                          (transparent or 0) & 0xFF, 0])
         blk += struct.pack("<BHHHHB", 0x2C, left, top, iw, ih, 0x40 if ilace else 0)
         stored = idx[_interlace_order(ih)] if ilace else idx
         mcs = max(2, bits + 1)
@@ -260,9 +277,15 @@ def encode(
         blk += _sub_blocks(_lzw_compress(stored, mcs))
         return bytes(blk)
 
-    out += image_block(0, 0, indices, interlace)
-    for left, top, idx in extra_frames or []:
-        out += image_block(left, top, idx, False)
+    out += image_block(
+        0, 0, indices, interlace,
+        frame_delays[0] if frame_delays else None,
+    )
+    for j, (left, top, idx) in enumerate(extra_frames or []):
+        out += image_block(
+            left, top, idx, False,
+            frame_delays[j + 1] if frame_delays else None,
+        )
     out.append(0x3B)  # trailer
     return bytes(out)
 
@@ -286,6 +309,8 @@ def decode_frames(buf: bytes) -> list[dict]:
 
     frames: list[dict] = []
     transparent: int | None = None
+    delay_cs = 0
+    loop_count: int | None = None
     while pos < len(buf):
         b = buf[pos]
         pos += 1
@@ -295,8 +320,17 @@ def decode_frames(buf: bytes) -> list[dict]:
             label = buf[pos]
             pos += 1
             data, pos = _read_sub_blocks(buf, pos)
-            if label == 0xF9 and len(data) >= 4 and data[0] & 0x01:
-                transparent = data[3]
+            if label == 0xF9 and len(data) >= 4:
+                if data[0] & 0x01:
+                    transparent = data[3]
+                delay_cs = data[1] | (data[2] << 8)
+            elif (
+                label == 0xFF
+                and data[:11] == b"NETSCAPE2.0"
+                and len(data) >= 14
+                and data[11] == 1
+            ):
+                loop_count = data[12] | (data[13] << 8)
             continue
         if b != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
@@ -326,13 +360,16 @@ def decode_frames(buf: bytes) -> list[dict]:
                 "indices": idx,
                 "palette": pal,
                 "transparent": transparent,
+                "delay_cs": delay_cs,
             }
         )
         transparent = None
+        delay_cs = 0
     if not frames:
         raise ValueError("gif: no image blocks")
-    # screen size rides along for compositing callers
+    # screen size + loop count ride along for compositing callers
     frames[0]["screen"] = (sh, sw)
+    frames[0]["loop_count"] = loop_count
     return frames
 
 

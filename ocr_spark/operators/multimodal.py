@@ -1522,3 +1522,97 @@ def png_meta_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, PNG_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF animation timing
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_anim_corpus(n: int = 10) -> list[dict]:
+    """Deterministic animated-GIF corpus: 1-4 frames per image with
+    per-frame centisecond delays, alternating finite and infinite
+    NETSCAPE loop counts, plus a timing-free static GIF every fifth
+    id. Expected frame counts / delays / loop counts are known BY
+    CONSTRUCTION — the oracle never runs the decoder."""
+    from ocr_spark.kernels import gif
+
+    out = []
+    for i in range(n):
+        n_frames = 1 + i % 4
+        pal = (
+            (np.arange(24, dtype=np.int64) * 9 + i) % 256
+        ).astype(np.uint8).reshape(8, 3)
+        h, w = 5 + i % 3, 4 + i % 2
+        first = (
+            (np.arange(h * w, dtype=np.int64) * 5 + i) % 8
+        ).astype(np.uint8).reshape(h, w)
+        extra = []
+        for j in range(1, n_frames):
+            fh, fw = 2 + j % 2, 3
+            extra.append((
+                j % 2, j % 3,
+                ((np.arange(fh * fw, dtype=np.int64) * 7 + j) % 8)
+                .astype(np.uint8).reshape(fh, fw),
+            ))
+        if i % 5 == 4:
+            delays: list[int] | None = None
+            loop: int | None = None
+        else:
+            delays = [10 + 5 * ((i + j) % 6) for j in range(n_frames)]
+            loop = 0 if i % 2 == 0 else 1 + i % 7
+        payload = gif.encode(
+            first, pal, extra_frames=extra,
+            frame_delays=delays, loop_count=loop,
+        )
+        out.append({
+            "img_id": i,
+            "payload": payload,
+            "n_frames": n_frames,
+            "delays": delays or [0] * n_frames,
+            "loop_count": -1 if loop is None else loop,
+        })
+    return out
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("loop_count", IntegerType()),
+        StructField("total_delay_cs", LongType()),
+        StructField("min_delay_cs", LongType()),
+        StructField("max_delay_cs", LongType()),
+    ]
+)
+
+
+def gif_anim_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Decode GIF frame timing (kernels/gif.py decode_frames) and emit
+    per-image animation features: frame count, NETSCAPE loop count
+    (-1 when the extension is absent, i.e. a static GIF), and the
+    delay sum/min/max in centiseconds. Same Arrow-batched mapInPandas
+    stage shape as the other codec extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels import gif
+
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                frames = gif.decode_frames(bytes(payload))
+                delays = [f["delay_cs"] for f in frames]
+                loop = frames[0].get("loop_count")
+                rows.append(
+                    (
+                        int(img_id), len(frames),
+                        -1 if loop is None else int(loop),
+                        int(sum(delays)), int(min(delays)),
+                        int(max(delays)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_ANIM_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, GIF_ANIM_SCHEMA)

@@ -22588,6 +22588,53 @@ def ip_colocation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gifanim_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (frame
+    counts, delays and loop counts exist before encode)."""
+    from ocr_spark.operators.multimodal import synth_gif_anim_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {r['n_frames']}, {r['loop_count']}, "
+        f"CAST({sum(r['delays'])} AS BIGINT), "
+        f"CAST({min(r['delays'])} AS BIGINT), "
+        f"CAST({max(r['delays'])} AS BIGINT))"
+        for r in synth_gif_anim_corpus()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(img_id, n_frames, loop_count, total_delay_cs, "
+        "min_delay_cs, max_delay_cs)"
+    )
+
+
+@query("gif_animation_features", _gifanim_oracle())
+def gif_animation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF animation timing (round 4): frame count, per-frame Graphic
+    Control delays and the NETSCAPE loop count separate static images
+    from animations — an image-corpus router treats them differently
+    (animations become frame-sampled video-like media, statics stay
+    images), and total duration is the sampling budget. The corpus
+    cycles 1-4 frames, finite and infinite loops, and a timing-free
+    static GIF pinning the -1/no-extension branch; reference parity:
+    the reference's GIF path (via netpbm) drops animation entirely.
+
+    Scale shape: Arrow-batched mapInPandas over binary payloads —
+    timing parses from extension blocks, LZW inflates only to count
+    frames (bounded per batch).
+    """
+    from ocr_spark.operators.multimodal import (
+        gif_anim_features,
+        synth_gif_anim_corpus,
+    )
+
+    corpus = synth_gif_anim_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return gif_anim_features(base.repartition(8, "img_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
