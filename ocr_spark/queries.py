@@ -23040,6 +23040,368 @@ def pem_block_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _readtime_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<span class="rt">' || CAST(doc_id % 9 + 2
+            AS VARCHAR) || ' min read</span><body>'
+            || repeat('word ', (doc_id % 9 + 2) * 200) || '</body>'
+          WHEN 1 THEN '<span class="rt">2 min read</span><body>'
+            || repeat('word ', 1800 + doc_id % 5) || '</body>'
+          ELSE '<body>' || repeat('word ', 300 + doc_id % 7)
+            || '</body>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract(html, '([0-9]+) min read', 1) AS claimed_s,
+        len(regexp_extract_all(regexp_extract(html,
+          '<body>(.*)</body>', 1), '[a-z]+', 0)) AS n_words
+      FROM p),
+    c AS (
+      SELECT doc_id,
+        CAST(claimed_s AS BIGINT) AS claimed_min,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(CASE WHEN n_words % 200 = 0 THEN n_words // 200
+             ELSE n_words // 200 + 1 END AS BIGINT) AS computed_min
+      FROM s WHERE claimed_s <> '')
+    SELECT doc_id, claimed_min, n_words, computed_min,
+      CAST(CASE WHEN claimed_min >= computed_min - 1
+             AND claimed_min <= computed_min + 1
+           THEN 1 ELSE 0 END AS INT) AS claim_consistent
+    FROM c
+    """
+
+
+@query("reading_time_claim_audit", _readtime_oracle())
+def reading_time_claim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-time claim audit (round 4): "N min read" badges are
+    author-declared length metadata — recomputing at the standard
+    200 wpm and comparing (±1 min tolerance for rounding) validates
+    the page's own claim, and a wild mismatch means the visible text
+    a crawler sees differs from what the CMS counted (cloaking or
+    heavy lazy-render). The honest and dishonest branches are both
+    planted; a badge-free page pins zero rows.
+
+    Scale shape: one regexp + a word-count regexp over the body +
+    ceiling-division arithmetic, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<span class="rt">'), (i % 9 + 2).cast("string"),
+            F.lit(" min read</span><body>"),
+            F.repeat(F.lit("word "), ((i % 9 + 2) * 200).cast("int")),
+            F.lit("</body>")))
+        .when(v == 1, F.concat(
+            F.lit('<span class="rt">2 min read</span><body>'),
+            F.repeat(F.lit("word "), (i % 5 + 1800).cast("int")),
+            F.lit("</body>")))
+        .otherwise(F.concat(
+            F.lit("<body>"),
+            F.repeat(F.lit("word "), (i % 7 + 300).cast("int")),
+            F.lit("</body>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    claimed = F.regexp_extract("html", "([0-9]+) min read", 1)
+    n_words = F.size(
+        F.regexp_extract_all(
+            F.regexp_extract("html", "<body>(.*)</body>", 1),
+            F.lit("[a-z]+"), 0,
+        )
+    ).cast("long")
+    s = p.select(
+        "doc_id", claimed.alias("claimed_s"), n_words.alias("n_words")
+    ).where(F.col("claimed_s") != "")
+    computed = F.ceil(F.col("n_words") / 200.0).cast("long")
+    c = s.select(
+        "doc_id",
+        F.col("claimed_s").cast("long").alias("claimed_min"),
+        "n_words",
+        computed.alias("computed_min"),
+    )
+    return c.select(
+        "doc_id", "claimed_min", "n_words", "computed_min",
+        F.when(
+            (F.col("claimed_min") >= F.col("computed_min") - 1)
+            & (F.col("claimed_min") <= F.col("computed_min") + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("claim_consistent"),
+    )
+
+
+def _manifest_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"name":"App ' || CAST(doc_id % 28 AS VARCHAR)
+            || '","short_name":"A' || CAST(doc_id % 28 AS VARCHAR)
+            || '","display":"standalone","start_url":"/",'
+            || '"icons":[{"src":"/icon192.png","sizes":"192x192"},'
+            || '{"src":"/icon512.png","sizes":"512x512"}]}'
+          WHEN 1 THEN '{"name":"Site ' || CAST(doc_id % 16 AS VARCHAR)
+            || '","display":"browser","icons":[{"src":"/i.png",'
+            || '"sizes":"48x48"}]}'
+          ELSE '<html>Not a manifest ' || CAST(doc_id AS VARCHAR)
+            || '</html>'
+        END AS payload
+      FROM documents),
+    m AS (
+      SELECT doc_id, payload FROM p WHERE payload LIKE '{%')
+    SELECT doc_id,
+      json_extract_string(payload, '$.name') AS name,
+      COALESCE(json_extract_string(payload, '$.short_name'), '')
+        AS short_name,
+      json_extract_string(payload, '$.display') AS display,
+      CAST(json_array_length(payload, '$.icons') AS BIGINT)
+        AS n_icons,
+      CAST(CASE WHEN json_extract_string(payload, '$.display')
+             = 'standalone' THEN 1 ELSE 0 END AS INT) AS installable,
+      COALESCE(json_extract_string(payload, '$.icons[1].sizes'), '')
+        AS second_icon_sizes
+    FROM m
+    """
+
+
+@query("manifest_json_parse", _manifest_oracle())
+def manifest_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-app-manifest parsing (round 4): manifest.json declares
+    the site's app identity — name, display mode, icon renditions —
+    and display:standalone marks an installable PWA, an app-vs-
+    document routing signal (app shells carry little extractable
+    prose; their content lives behind APIs). Icon count + the
+    second rendition's declared size feed the icon fetcher
+    (favicon_link_variants' JSON sibling); a non-manifest page pins
+    zero rows.
+
+    Scale shape: JSON-path probes + one array length per row, no
+    Python, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    payload = (
+        F.when(v == 0, F.concat(
+            F.lit('{"name":"App '), (i % 28).cast("string"),
+            F.lit('","short_name":"A'), (i % 28).cast("string"),
+            F.lit('","display":"standalone","start_url":"/",'
+                  '"icons":[{"src":"/icon192.png","sizes":"192x192"},'
+                  '{"src":"/icon512.png","sizes":"512x512"}]}')))
+        .when(v == 1, F.concat(
+            F.lit('{"name":"Site '), (i % 16).cast("string"),
+            F.lit('","display":"browser","icons":[{"src":"/i.png",'
+                  '"sizes":"48x48"}]}')))
+        .otherwise(F.concat(
+            F.lit("<html>Not a manifest "), ds, F.lit("</html>")))
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    m = p.where(F.col("payload").startswith("{"))
+    display = F.get_json_object("payload", "$.display")
+    return m.select(
+        "doc_id",
+        F.get_json_object("payload", "$.name").alias("name"),
+        F.coalesce(
+            F.get_json_object("payload", "$.short_name"), F.lit("")
+        ).alias("short_name"),
+        display.alias("display"),
+        F.expr("json_array_length(get_json_object(payload, '$.icons'))")
+        .cast("long").alias("n_icons"),
+        F.when(display == "standalone", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("installable"),
+        F.coalesce(
+            F.get_json_object("payload", "$.icons[1].sizes"), F.lit("")
+        ).alias("second_icon_sizes"),
+    )
+
+
+def _headingnum_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<h2>1 Intro</h2><h3>1.1 Scope '
+            || CAST(doc_id % 9 AS VARCHAR)
+            || '</h3><h3>1.2 Terms</h3><h2>2 Methods</h2>'
+          WHEN 1 THEN '<h2>3 Results</h2><h3>3.1 Primary</h3>'
+            || '<h4>3.1.' || CAST(doc_id % 4 + 1 AS VARCHAR)
+            || ' Detail</h4>'
+          ELSE '<h2>Background</h2><h2>Discussion '
+            || CAST(doc_id AS VARCHAR) || '</h2>'
+        END AS html
+      FROM documents),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS h_idx,
+        list_extract(regexp_extract_all(html,
+          '<h[2-4]>([^<]*)</h[2-4]>', 1), i) AS heading
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(html,
+        '<h[2-4]>([^<]*)</h[2-4]>', 1)))) AS g(i)),
+    n AS (
+      SELECT doc_id, h_idx, heading,
+        regexp_extract(heading, '^([0-9]+(?:\\.[0-9]+)*) ', 1)
+          AS num
+      FROM e)
+    SELECT doc_id, h_idx, heading, num,
+      CAST(CASE WHEN num = '' THEN 0
+           ELSE len(string_split(num, '.')) END AS BIGINT)
+        AS num_depth,
+      CAST(CASE WHEN num = '' THEN 0 ELSE 1 END AS INT)
+        AS is_numbered
+    FROM n
+    """
+
+
+@query("heading_numbering_audit", _headingnum_oracle())
+def heading_numbering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-number parsing (round 4): technical documents number
+    their sections ("3.1.2 Detail") and the dotted prefix encodes
+    depth more reliably than the h-tag level (CMS themes flatten
+    levels for styling) — heading_outline reads tag levels, this
+    reads the author's own numbering. Dotted numerals parse with
+    depth = segment count; prose-titled documents pin the unnumbered
+    branch.
+
+    Scale shape: one explode + anchored numeral regexp + split,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<h2>1 Intro</h2><h3>1.1 Scope "),
+            (i % 9).cast("string"),
+            F.lit("</h3><h3>1.2 Terms</h3><h2>2 Methods</h2>")))
+        .when(v == 1, F.concat(
+            F.lit("<h2>3 Results</h2><h3>3.1 Primary</h3><h4>3.1."),
+            (i % 4 + 1).cast("string"), F.lit(" Detail</h4>")))
+        .otherwise(F.concat(
+            F.lit("<h2>Background</h2><h2>Discussion "), ds,
+            F.lit("</h2>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    e = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit("<h[2-4]>([^<]*)</h[2-4]>"), 1
+            )
+        ).alias("h_idx", "heading"),
+    )
+    num = F.regexp_extract(
+        F.col("heading"), "^([0-9]+(?:\\.[0-9]+)*) ", 1
+    )
+    n = e.select(
+        "doc_id",
+        F.col("h_idx").cast("long").alias("h_idx"),
+        "heading",
+        num.alias("num"),
+    )
+    return n.select(
+        "doc_id", "h_idx", "heading", "num",
+        F.when(F.col("num") == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split("num", "\\.")).cast("long"))
+        .alias("num_depth"),
+        F.when(F.col("num") == "", F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("is_numbered"),
+    )
+
+
+def _mediafrag_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<a href="https://v.example/talk'
+            || CAST(doc_id % 33 AS VARCHAR) || '.mp4#t='
+            || CAST(doc_id % 50 * 10 AS VARCHAR) || ','
+            || CAST(doc_id % 50 * 10 + 45 AS VARCHAR)
+            || '">Highlight</a>'
+          WHEN 1 THEN '<a href="https://v.example/full'
+            || CAST(doc_id % 21 AS VARCHAR) || '.mp4#t='
+            || CAST(doc_id % 90 + 30 AS VARCHAR)
+            || '">Jump in</a>'
+          ELSE '<a href="https://v.example/whole'
+            || CAST(doc_id % 8 AS VARCHAR) || '.mp4">Watch</a>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html, 'href="([^"#]+)', 1) AS media_url,
+        regexp_extract(html, '#t=([0-9]+)(?:,([0-9]+))?', 1)
+          AS t_start,
+        regexp_extract(html, '#t=([0-9]+),([0-9]+)', 2) AS t_end
+      FROM p),
+    f AS (SELECT * FROM m WHERE t_start <> '')
+    SELECT doc_id, media_url,
+      CAST(t_start AS BIGINT) AS start_s,
+      CAST(CASE WHEN t_end = '' THEN -1 ELSE CAST(t_end AS BIGINT) END
+        AS BIGINT) AS end_s,
+      CAST(CASE WHEN t_end = '' THEN -1
+           ELSE CAST(t_end AS BIGINT) - CAST(t_start AS BIGINT) END
+        AS BIGINT) AS clip_len_s
+    FROM f
+    """
+
+
+@query("media_fragment_urls", _mediafrag_oracle())
+def media_fragment_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-fragment URL parsing (round 4): #t=start,end temporal
+    fragments (W3C Media Fragments) are human-curated CLIP
+    annotations — an editor pointing at the 45 seconds that matter —
+    which is exactly the span supervision a video-sampling pipeline
+    wants before decoding anything. Start/end lift per link;
+    open-ended #t=start pins the -1 end branch and a fragment-free
+    video link pins zero rows.
+
+    Scale shape: two anchored regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="https://v.example/talk'),
+            (i % 33).cast("string"), F.lit(".mp4#t="),
+            (i % 50 * 10).cast("string"), F.lit(","),
+            (i % 50 * 10 + 45).cast("string"),
+            F.lit('">Highlight</a>')))
+        .when(v == 1, F.concat(
+            F.lit('<a href="https://v.example/full'),
+            (i % 21).cast("string"), F.lit(".mp4#t="),
+            (i % 90 + 30).cast("string"), F.lit('">Jump in</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="https://v.example/whole'),
+            (i % 8).cast("string"), F.lit('.mp4">Watch</a>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("html", 'href="([^"#]+)', 1).alias("media_url"),
+        F.regexp_extract("html", "#t=([0-9]+)(?:,([0-9]+))?", 1)
+        .alias("t_start"),
+        F.regexp_extract("html", "#t=([0-9]+),([0-9]+)", 2)
+        .alias("t_end"),
+    ).where(F.col("t_start") != "")
+    te = F.col("t_end")
+    return m.select(
+        "doc_id", "media_url",
+        F.col("t_start").cast("long").alias("start_s"),
+        F.when(te == "", F.lit(-1).cast("long"))
+        .otherwise(te.cast("long")).alias("end_s"),
+        F.when(te == "", F.lit(-1).cast("long"))
+        .otherwise(te.cast("long") - F.col("t_start").cast("long"))
+        .alias("clip_len_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
