@@ -23402,6 +23402,151 @@ def media_fragment_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trackedge_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN 'UA-' || CAST(doc_id % 50 AS VARCHAR) || '-1'
+          WHEN 1 THEN 'ca-pub-' || CAST(doc_id % 40 AS VARCHAR)
+          WHEN 2 THEN ''
+          ELSE 'UA-7-1'
+        END AS tracker_id
+      FROM documents),
+    ht AS (
+      SELECT DISTINCT host, tracker_id FROM p WHERE tracker_id <> ''),
+    fan AS (
+      SELECT tracker_id, COUNT(*) AS n_hosts FROM ht GROUP BY 1),
+    keep AS (
+      SELECT ht.host, ht.tracker_id FROM ht
+      JOIN fan ON ht.tracker_id = fan.tracker_id
+      WHERE fan.n_hosts <= 32),
+    e AS (
+      SELECT a.host AS host_a, b.host AS host_b
+      FROM keep a JOIN keep b
+        ON a.tracker_id = b.tracker_id AND a.host < b.host)
+    SELECT host_a, host_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_trackers
+    FROM e GROUP BY host_a, host_b
+    """
+
+
+@query("tracker_coownership_edges", _trackedge_oracle())
+def tracker_coownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracker co-ownership graph (round 4): projecting the
+    host↔tracker bipartite graph onto host-host edges turns the
+    per-page tracker ids (analytics_id_extract) into a publisher
+    graph — hosts sharing an analytics property are one operator,
+    and edge weight (shared trackers) is the merge confidence for
+    host-level dedup. The projection self-joins on tracker_id, the
+    classic quadratic-blowup shape, so a FAN-OUT CAP (trackers on
+    >32 hosts are public/agency containers, not ownership evidence)
+    is applied BEFORE the join — the planted UA-7-1 near-clique (97
+    hosts → ~4.6k pairs from one key) is exactly what the cap
+    removes, pinning the guard.
+
+    Scale shape: distinct (hash-agg) → fan-count hash-agg →
+    broadcast the small fan dim → capped equi-self-join on uniform
+    keys → final hash-agg; no window, no sort, skew fenced by the
+    cap rather than salted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    host = F.concat(
+        F.lit("host"), (i % 97).cast("string"), F.lit(".example")
+    )
+    tracker = (
+        F.when(v == 0, F.concat(
+            F.lit("UA-"), (i % 50).cast("string"), F.lit("-1")))
+        .when(v == 1, F.concat(
+            F.lit("ca-pub-"), (i % 40).cast("string")))
+        .when(v == 2, F.lit(""))
+        .otherwise(F.lit("UA-7-1"))
+    )
+    ht = d.select(
+        host.alias("host"), tracker.alias("tracker_id")
+    ).where(F.col("tracker_id") != "").distinct()
+    fan = ht.groupBy("tracker_id").agg(F.count("*").alias("n_hosts"))
+    keep = ht.join(
+        F.broadcast(fan.where(F.col("n_hosts") <= 32)), "tracker_id"
+    ).select("host", "tracker_id")
+    a = keep.alias("a")
+    b = keep.alias("b")
+    e = a.join(
+        b,
+        (F.col("a.tracker_id") == F.col("b.tracker_id"))
+        & (F.col("a.host") < F.col("b.host")),
+    ).select(
+        F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+    )
+    return e.groupBy("host_a", "host_b").agg(
+        F.count("*").cast("long").alias("n_shared_trackers")
+    )
+
+
+def _sectionrollup_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+        'host' || CAST(doc_id % 11 AS VARCHAR) || '.example' AS host,
+        CASE doc_id % 5
+          WHEN 0 THEN 'blog' WHEN 1 THEN 'docs' WHEN 2 THEN 'shop'
+          WHEN 3 THEN 'news' ELSE 'about' END AS section
+      FROM documents)
+    SELECT
+      COALESCE(host, '') AS host,
+      COALESCE(section, '') AS section,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(AVG(n_chars), 4) AS avg_chars,
+      CAST(GROUPING(host) * 2 + GROUPING(section) AS INT) AS gid
+    FROM p GROUP BY ROLLUP (host, section)
+    """
+
+
+@query("site_section_rollup", _sectionrollup_oracle())
+def site_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-section rollup (round 4): corpus accounting wants doc
+    counts and mean length at THREE grains at once — per (host,
+    section), per host, and global — and ROLLUP computes all three
+    in one pass instead of three scans (the webtext twin of
+    rollup_lineitem_status). Sections derive from the URL's first
+    path segment; avg_chars aggregates the table's REAL n_chars
+    column, so the numbers are corpus facts, not synthesis.
+
+    Scale shape: one partial-aggregated Expand+HashAggregate — the
+    rollup multiplies rows 3x at the map side but each grain
+    combines before the single shuffle; no join, no window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(
+        F.lit("host"), (i % 11).cast("string"), F.lit(".example")
+    )
+    section = (
+        F.when(i % 5 == 0, F.lit("blog"))
+        .when(i % 5 == 1, F.lit("docs"))
+        .when(i % 5 == 2, F.lit("shop"))
+        .when(i % 5 == 3, F.lit("news"))
+        .otherwise(F.lit("about"))
+    )
+    p = d.select(
+        host.alias("host"), section.alias("section"), "n_chars"
+    )
+    r = p.rollup("host", "section").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.grouping("host") * 2 + F.grouping("section"))
+        .cast("int").alias("gid"),
+    )
+    return r.select(
+        F.coalesce(F.col("host"), F.lit("")).alias("host"),
+        F.coalesce(F.col("section"), F.lit("")).alias("section"),
+        "n_docs", "avg_chars", "gid",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -237,6 +237,21 @@ CRITICAL = [
     "open_redirect_param_decode",
     "picture_art_direction",
     "meta_keywords_stuffing",
+    "toc_anchor_resolution",
+    "comment_section_split",
+    "ld_breadcrumblist_extract",
+    "noscript_fallback_extract",
+    "table_unit_headers",
+    "ol_start_continuation",
+    "favicon_link_variants",
+    "ip_colocation_groups",
+    "opensearch_template_parse",
+    "rss_enclosure_extract",
+    "lorem_placeholder_detect",
+    "pem_block_detect",
+    # NOT gif_animation_features: synthesized-corpus query,
+    # construction-literal oracle (same class as the EXIF/PNG-meta
+    # rows below).
     # NOT jpeg_exif_extract / png_text_chunks: synthesized-corpus
     # queries (construction-literal oracles), same class as ICO below.
     # NOT ico_decode_features: synthesized-corpus query, no table
