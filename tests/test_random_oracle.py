@@ -249,6 +249,12 @@ CRITICAL = [
     "rss_enclosure_extract",
     "lorem_placeholder_detect",
     "pem_block_detect",
+    "reading_time_claim_audit",
+    "manifest_json_parse",
+    "heading_numbering_audit",
+    "media_fragment_urls",
+    "tracker_coownership_edges",
+    "site_section_rollup",
     # NOT gif_animation_features: synthesized-corpus query,
     # construction-literal oracle (same class as the EXIF/PNG-meta
     # rows below).

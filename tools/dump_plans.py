@@ -398,6 +398,20 @@ COMMENTARY = {
         "aggregate share the doc_id partitioning so the plan carries "
         "ONE exchange."
     ),
+    "tracker_coownership_edges": (
+        "Bipartite host-tracker projection: distinct (hash-agg) -> "
+        "tracker fan-count hash-agg broadcast back as a filter dim -> "
+        "capped equi-self-join -> final hash-agg. The >32-host fan cap "
+        "runs BEFORE the join, so the planted UA-7-1 near-clique (97 "
+        "hosts, ~4.6k pairs from one key) never reaches the shuffle; "
+        "under AQE the twice-referenced keep subtree dedupes via "
+        "ReusedExchange, and no SortAggregate/window appears anywhere."
+    ),
+    "site_section_rollup": (
+        "ROLLUP = one Expand (3x map-side rows) feeding partial-then-"
+        "final HashAggregate around a SINGLE Exchange — three grains "
+        "(host+section, host, global) in one scan instead of three."
+    ),
 }
 
 
