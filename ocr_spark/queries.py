@@ -23547,6 +23547,326 @@ def site_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _citneeded_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The metric rose '
+            || CAST(doc_id % 60 AS VARCHAR)
+            || ' percent last year.{{citation needed}} Later it fell.'
+          WHEN 1 THEN 'Fact one is sourced. The founder was born in '
+            || CAST(1900 + doc_id % 80 AS VARCHAR)
+            || '.{{citation needed}} The company moved twice.'
+            || '{{citation needed}}'
+          ELSE 'Fully sourced text ' || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS claim_idx,
+        list_extract(regexp_extract_all(text,
+          '([^.]+\\.)\\{\\{citation needed\\}\\}', 1), i) AS claim
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '([^.]+\\.)\\{\\{citation needed\\}\\}', 1)))) AS g(i))
+    SELECT doc_id, claim_idx, trim(claim) AS claim,
+      CAST(length(trim(claim)) AS BIGINT) AS claim_chars
+    FROM e
+    """
+
+
+@query("citation_needed_spans", _citneeded_oracle())
+def citation_needed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-needed span mining (round 4): wiki editors hand-label
+    UNSUPPORTED claims with {{citation needed}} — free negative
+    supervision for claim-reliability models (stat_claim_extract
+    finds claims; this finds the ones a human flagged as unsourced).
+    The sentence preceding each marker lifts as the flagged claim; a
+    fully-sourced page pins zero rows.
+
+    Scale shape: one regexp_extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("The metric rose "), (i % 60).cast("string"),
+            F.lit(" percent last year.{{citation needed}} "
+                  "Later it fell.")))
+        .when(v == 1, F.concat(
+            F.lit("Fact one is sourced. The founder was born in "),
+            (i % 80 + 1900).cast("string"),
+            F.lit(".{{citation needed}} The company moved twice."
+                  "{{citation needed}}")))
+        .otherwise(F.concat(
+            F.lit("Fully sourced text "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    e = p.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit("([^.]+\\.)\\{\\{citation needed\\}\\}"), 1,
+            )
+        ).alias("claim_idx", "claim"),
+    )
+    c = F.trim(F.col("claim"))
+    return e.select(
+        "doc_id",
+        F.col("claim_idx").cast("long").alias("claim_idx"),
+        c.alias("claim"),
+        F.length(c).cast("long").alias("claim_chars"),
+    )
+
+
+def _infobox_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{{Infobox company' || chr(10)
+            || '| name = Firm ' || CAST(doc_id % 35 AS VARCHAR)
+            || chr(10) || '| founded = '
+            || CAST(1950 + doc_id % 70 AS VARCHAR) || chr(10)
+            || '| employees = '
+            || CAST((doc_id % 90 + 1) * 100 AS VARCHAR) || chr(10)
+            || '}}Body text.'
+          WHEN 1 THEN '{{Infobox person' || chr(10)
+            || '| name = Person ' || CAST(doc_id % 26 AS VARCHAR)
+            || chr(10) || '| occupation = role'
+            || CAST(doc_id % 6 AS VARCHAR) || chr(10) || '}}Bio.'
+          ELSE 'Plain article ' || CAST(doc_id AS VARCHAR)
+            || ' without infobox.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text, '\\{\\{Infobox ([a-z]+)', 1)
+          AS infobox_type,
+        regexp_extract_all(text, '\\| ([a-z]+) = ', 1) AS ks,
+        regexp_extract_all(text,
+          '\\| [a-z]+ = ([^' || chr(10) || ']+)', 1) AS vs
+      FROM p WHERE contains(text, '{{Infobox'))
+    SELECT doc_id, infobox_type, CAST(i - 1 AS BIGINT) AS field_idx,
+      list_extract(ks, i) AS field_key,
+      list_extract(vs, i) AS field_value
+    FROM m, unnest(generate_series(1, len(ks))) AS g(i)
+    """
+
+
+@query("infobox_keyvalue_extract", _infobox_oracle())
+def infobox_keyvalue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infobox field extraction (round 4): wiki infoboxes are the
+    densest entity-attribute source on the public web — typed
+    (infobox class) key-value facts curated per entity, the raw
+    feedstock of knowledge graphs (wikitext_detect flags the markup;
+    this parses it). '| key = value' lines zip positionally under
+    the declared infobox type; an infobox-free article pins zero
+    rows.
+
+    Scale shape: two aligned regexp_extract_all + zip + posexplode,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("{{Infobox company\n| name = Firm "),
+            (i % 35).cast("string"),
+            F.lit("\n| founded = "), (i % 70 + 1950).cast("string"),
+            F.lit("\n| employees = "),
+            ((i % 90 + 1) * 100).cast("string"),
+            F.lit("\n}}Body text.")))
+        .when(v == 1, F.concat(
+            F.lit("{{Infobox person\n| name = Person "),
+            (i % 26).cast("string"),
+            F.lit("\n| occupation = role"), (i % 6).cast("string"),
+            F.lit("\n}}Bio.")))
+        .otherwise(F.concat(
+            F.lit("Plain article "), ds, F.lit(" without infobox.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    m = p.where(t.contains("{{Infobox")).select(
+        "doc_id",
+        F.regexp_extract(t, "\\{\\{Infobox ([a-z]+)", 1)
+        .alias("infobox_type"),
+        F.arrays_zip(
+            F.regexp_extract_all(t, F.lit("\\| ([a-z]+) = "), 1),
+            F.regexp_extract_all(t, F.lit("\\| [a-z]+ = ([^\n]+)"), 1),
+        ).alias("fields"),
+    )
+    return m.select(
+        "doc_id", "infobox_type",
+        F.posexplode("fields").alias("field_idx", "fld"),
+    ).select(
+        "doc_id", "infobox_type",
+        F.col("field_idx").cast("long").alias("field_idx"),
+        F.col("fld.0").alias("field_key"),
+        F.col("fld.1").alias("field_value"),
+    )
+
+
+def _interwiki_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Article body.[[fr:Sujet '
+            || CAST(doc_id % 40 AS VARCHAR) || ']][[de:Thema '
+            || CAST(doc_id % 40 AS VARCHAR) || ']]'
+          WHEN 1 THEN 'Short stub.[[es:Tema '
+            || CAST(doc_id % 22 AS VARCHAR) || ']]'
+          ELSE 'No language links here, see [[Other Page '
+            || CAST(doc_id % 9 AS VARCHAR) || ']].'
+        END AS text
+      FROM documents),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,
+        list_extract(regexp_extract_all(text,
+          '\\[\\[([a-z]{2}):([^\\]]+)\\]\\]', 1), i) AS target_lang,
+        list_extract(regexp_extract_all(text,
+          '\\[\\[[a-z]{2}:([^\\]]+)\\]\\]', 1), i) AS target_title
+      FROM p, unnest(generate_series(1, len(regexp_extract_all(text,
+        '\\[\\[([a-z]{2}):([^\\]]+)\\]\\]', 1)))) AS g(i))
+    SELECT doc_id, link_idx, target_lang, target_title
+    FROM e
+    """
+
+
+@query("interwiki_language_links", _interwiki_oracle())
+def interwiki_language_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interwiki language-link extraction (round 4): [[fr:Titre]]
+    markers pair THIS article with its translation in another
+    language — editor-curated cross-lingual document alignment, the
+    document-level seed bitext_mine_pairs refines to sentences and
+    hreflang_alternates' wiki-markup twin. The two-letter prefix
+    rule keeps ordinary [[internal links]] out (pinned by the
+    negative branch).
+
+    Scale shape: one regexp_extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Article body.[[fr:Sujet "), (i % 40).cast("string"),
+            F.lit("]][[de:Thema "), (i % 40).cast("string"),
+            F.lit("]]")))
+        .when(v == 1, F.concat(
+            F.lit("Short stub.[[es:Tema "), (i % 22).cast("string"),
+            F.lit("]]")))
+        .otherwise(F.concat(
+            F.lit("No language links here, see [[Other Page "),
+            (i % 9).cast("string"), F.lit("]].")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    z = p.select(
+        "doc_id",
+        F.arrays_zip(
+            F.regexp_extract_all(
+                t, F.lit("\\[\\[([a-z]{2}):([^\\]]+)\\]\\]"), 1
+            ),
+            F.regexp_extract_all(
+                t, F.lit("\\[\\[[a-z]{2}:([^\\]]+)\\]\\]"), 1
+            ),
+        ).alias("links"),
+    )
+    return z.select(
+        "doc_id", F.posexplode("links").alias("link_idx", "lk")
+    ).select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("lk.0").alias("target_lang"),
+        F.col("lk.1").alias("target_title"),
+    )
+
+
+def _wikiredir_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'Alias Page ' || CAST(doc_id % 120 AS VARCHAR) AS page_title,
+        CASE doc_id % 3
+          WHEN 0 THEN '#REDIRECT [[Canonical Topic '
+            || CAST(doc_id % 30 AS VARCHAR) || ']]'
+          WHEN 1 THEN '#REDIRECT [[Canonical Topic '
+            || CAST(doc_id % 30 AS VARCHAR) || '#Section '
+            || CAST(doc_id % 4 AS VARCHAR) || ']]'
+          ELSE 'Real article content ' || CAST(doc_id AS VARCHAR)
+            || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, page_title,
+        regexp_extract(text,
+          '#REDIRECT \\[\\[([^\\]#]+)(#[^\\]]+)?\\]\\]', 1) AS target,
+        regexp_extract(text,
+          '#REDIRECT \\[\\[[^\\]#]+#([^\\]]+)\\]\\]', 1)
+          AS target_section
+      FROM p)
+    SELECT doc_id, page_title, target, target_section,
+      CAST(CASE WHEN target_section <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_section
+    FROM m WHERE target <> ''
+    """
+
+
+@query("wiki_redirect_alias", _wikiredir_oracle())
+def wiki_redirect_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki redirect alias harvesting (round 4): #REDIRECT pages map
+    alias titles ("NYC") onto canonical articles ("New York City")
+    — an editor-curated synonym table that powers entity linking and
+    dedups the alias pages themselves out of the training corpus
+    (they carry no content). Section-targeted redirects keep the
+    fragment separately; a real article pins zero rows.
+
+    Scale shape: two anchored regexps per row, no shuffle; the
+    (alias -> target) output is the join dim entity linking
+    broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    title = F.concat(F.lit("Alias Page "), (i % 120).cast("string"))
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("#REDIRECT [[Canonical Topic "),
+            (i % 30).cast("string"), F.lit("]]")))
+        .when(v == 1, F.concat(
+            F.lit("#REDIRECT [[Canonical Topic "),
+            (i % 30).cast("string"), F.lit("#Section "),
+            (i % 4).cast("string"), F.lit("]]")))
+        .otherwise(F.concat(
+            F.lit("Real article content "), ds, F.lit(".")))
+    )
+    p = d.select(
+        "doc_id", title.alias("page_title"), text.alias("text")
+    )
+    t = F.col("text")
+    m = p.select(
+        "doc_id", "page_title",
+        F.regexp_extract(
+            t, "#REDIRECT \\[\\[([^\\]#]+)(#[^\\]]+)?\\]\\]", 1
+        ).alias("target"),
+        F.regexp_extract(
+            t, "#REDIRECT \\[\\[[^\\]#]+#([^\\]]+)\\]\\]", 1
+        ).alias("target_section"),
+    ).where(F.col("target") != "")
+    return m.select(
+        "doc_id", "page_title", "target", "target_section",
+        F.when(F.col("target_section") != "", F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_section"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
