@@ -23867,6 +23867,274 @@ def wiki_redirect_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagecount_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Showing ' || CAST((doc_id % 5) * 20 + 1
+            AS VARCHAR) || '-' || CAST((doc_id % 5) * 20 + 20
+            AS VARCHAR) || ' of ' || CAST((doc_id % 5 + 3) * 20
+            AS VARCHAR) || ' results'
+          WHEN 1 THEN 'Showing ' || CAST(((143 + doc_id % 20 - 1)
+            // 20) * 20 + 1 AS VARCHAR) || '-'
+            || CAST(143 + doc_id % 20 AS VARCHAR) || ' of '
+            || CAST(143 + doc_id % 20 AS VARCHAR) || ' results'
+          ELSE 'Not a listing page ' || CAST(doc_id AS VARCHAR)
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(regexp_extract(text,
+          'Showing ([0-9]+)-([0-9]+) of ([0-9]+)', 1) AS BIGINT)
+          AS page_start,
+        CAST(regexp_extract(text,
+          'Showing ([0-9]+)-([0-9]+) of ([0-9]+)', 2) AS BIGINT)
+          AS page_end,
+        CAST(regexp_extract(text,
+          'Showing ([0-9]+)-([0-9]+) of ([0-9]+)', 3) AS BIGINT)
+          AS total_items
+      FROM p WHERE text LIKE 'Showing%')
+    SELECT doc_id, page_start, page_end, total_items,
+      CAST(page_end - page_start + 1 AS BIGINT) AS page_size,
+      CAST((total_items + (page_end - page_start + 1) - 1)
+        // (page_end - page_start + 1) AS BIGINT) AS n_pages,
+      CAST(CASE WHEN page_end = total_items THEN 1 ELSE 0 END AS INT)
+        AS is_last_page
+    FROM m
+    """
+
+
+@query("pagination_item_count_audit", _pagecount_oracle())
+def pagination_item_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listing-count audit (round 4): "Showing 21-40 of 160 results"
+    declares the listing's full size — from ONE page the crawler
+    learns how many sibling pages exist (n_pages = ceil(total /
+    page_size)) and budgets the walk BEFORE following any rel=next
+    chain (pagination_rel_chains walks; this plans). The final
+    partial page pins is_last_page; a non-listing page pins zero
+    rows.
+
+    Scale shape: one regexp + ceiling-division arithmetic, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    lastn = (i % 20 + 143).cast("long")
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Showing "), ((i % 5) * 20 + 1).cast("string"),
+            F.lit("-"), ((i % 5) * 20 + 20).cast("string"),
+            F.lit(" of "), ((i % 5 + 3) * 20).cast("string"),
+            F.lit(" results")))
+        .when(v == 1, F.concat(
+            F.lit("Showing "),
+            (((lastn - 1) / 20).cast("long") * 20 + 1).cast("string"),
+            F.lit("-"), lastn.cast("string"),
+            F.lit(" of "), lastn.cast("string"), F.lit(" results")))
+        .otherwise(F.concat(F.lit("Not a listing page "), ds))
+    )
+    rx = "Showing ([0-9]+)-([0-9]+) of ([0-9]+)"
+    p = d.select("doc_id", text.alias("text"))
+    m = p.where(F.col("text").startswith("Showing")).select(
+        "doc_id",
+        F.regexp_extract("text", rx, 1).cast("long").alias("page_start"),
+        F.regexp_extract("text", rx, 2).cast("long").alias("page_end"),
+        F.regexp_extract("text", rx, 3).cast("long")
+        .alias("total_items"),
+    )
+    size = F.col("page_end") - F.col("page_start") + 1
+    return m.select(
+        "doc_id", "page_start", "page_end", "total_items",
+        size.cast("long").alias("page_size"),
+        ((F.col("total_items") + size - 1) / size).cast("long")
+        .alias("n_pages"),
+        F.when(F.col("page_end") == F.col("total_items"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_last_page"),
+    )
+
+
+def _pricerange_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Plans cost $' || CAST(doc_id % 40 + 10
+            AS VARCHAR) || '-$' || CAST(doc_id % 40 + 35 AS VARCHAR)
+            || ' per month.'
+          WHEN 1 THEN 'Tickets from EUR ' || CAST(doc_id % 15 + 5
+            AS VARCHAR) || ' to EUR ' || CAST(doc_id % 15 + 29
+            AS VARCHAR) || ' at the door.'
+          ELSE 'Single price $' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            || ' only.'
+        END AS text
+      FROM documents),
+    a AS (
+      SELECT doc_id, 'USD' AS currency,
+        regexp_extract(text, '\\$([0-9]+)-\\$([0-9]+)', 1) AS lo,
+        regexp_extract(text, '\\$([0-9]+)-\\$([0-9]+)', 2) AS hi
+      FROM p
+      UNION ALL
+      SELECT doc_id, 'EUR',
+        regexp_extract(text,
+          'from EUR ([0-9]+) to EUR ([0-9]+)', 1),
+        regexp_extract(text,
+          'from EUR ([0-9]+) to EUR ([0-9]+)', 2)
+      FROM p),
+    f AS (SELECT * FROM a WHERE lo <> '')
+    SELECT doc_id, currency,
+      CAST(lo AS BIGINT) AS low, CAST(hi AS BIGINT) AS high,
+      CAST(CAST(hi AS BIGINT) - CAST(lo AS BIGINT) AS BIGINT)
+        AS spread
+    FROM f
+    """
+
+
+@query("price_range_extract", _pricerange_oracle())
+def price_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-range extraction (round 4): "$10-$35" and "from EUR 5 to
+    EUR 29" declare bounded price INTERVALS — different supervision
+    than the point prices price_extract captures (a range is an
+    offer structure: tiers, seasons, options), and the spread is a
+    market-dispersion feature. Both syntactic families parse through
+    their own anchored pattern; a single-price page pins zero rows
+    (it belongs to price_extract).
+
+    Scale shape: two regexp branches unioned off one scan, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Plans cost $"), (i % 40 + 10).cast("string"),
+            F.lit("-$"), (i % 40 + 35).cast("string"),
+            F.lit(" per month.")))
+        .when(v == 1, F.concat(
+            F.lit("Tickets from EUR "), (i % 15 + 5).cast("string"),
+            F.lit(" to EUR "), (i % 15 + 29).cast("string"),
+            F.lit(" at the door.")))
+        .otherwise(F.concat(
+            F.lit("Single price $"), (i % 90 + 10).cast("string"),
+            F.lit(" only.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    usd = p.select(
+        "doc_id", F.lit("USD").alias("currency"),
+        F.regexp_extract("text", "\\$([0-9]+)-\\$([0-9]+)", 1)
+        .alias("lo"),
+        F.regexp_extract("text", "\\$([0-9]+)-\\$([0-9]+)", 2)
+        .alias("hi"),
+    )
+    eur = p.select(
+        "doc_id", F.lit("EUR").alias("currency"),
+        F.regexp_extract("text", "from EUR ([0-9]+) to EUR ([0-9]+)", 1)
+        .alias("lo"),
+        F.regexp_extract("text", "from EUR ([0-9]+) to EUR ([0-9]+)", 2)
+        .alias("hi"),
+    )
+    f = usd.unionByName(eur).where(F.col("lo") != "")
+    return f.select(
+        "doc_id", "currency",
+        F.col("lo").cast("long").alias("low"),
+        F.col("hi").cast("long").alias("high"),
+        (F.col("hi").cast("long") - F.col("lo").cast("long"))
+        .cast("long").alias("spread"),
+    )
+
+
+def _stock_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Widget page: In stock, ships tomorrow. SKU'
+            || CAST(doc_id % 50 AS VARCHAR)
+          WHEN 1 THEN 'Hurry! Only ' || CAST(doc_id % 9 + 1
+            AS VARCHAR) || ' left in stock - order soon.'
+          WHEN 2 THEN 'Sorry, currently Out of stock. SKU'
+            || CAST(doc_id % 30 AS VARCHAR)
+          ELSE 'Service page ' || CAST(doc_id AS VARCHAR)
+            || ', nothing sold here.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE
+          WHEN contains(text, 'Only ') AND contains(text,
+            ' left in stock') THEN 'scarce'
+          WHEN contains(text, 'Out of stock') THEN 'out_of_stock'
+          WHEN contains(text, 'In stock') THEN 'in_stock'
+          ELSE '' END AS status,
+        regexp_extract(text, 'Only ([0-9]+) left in stock', 1)
+          AS n_s
+      FROM p)
+    SELECT doc_id, status,
+      CAST(CASE WHEN n_s = '' THEN -1 ELSE CAST(n_s AS BIGINT) END
+        AS BIGINT) AS units_left,
+      CAST(CASE WHEN status = 'scarce' THEN 1 ELSE 0 END AS INT)
+        AS scarcity_pressure
+    FROM m WHERE status <> ''
+    """
+
+
+@query("stock_scarcity_extract", _stock_oracle())
+def stock_scarcity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-status extraction (round 4): availability phrases ("In
+    stock", "Out of stock", "Only 3 left") are the freshest signal
+    on a product page — they change between crawls while everything
+    else stays identical, so snapshot dedup must EXPECT them to
+    differ, and the scarcity countdown is a dark-pattern marker.
+    Status normalizes to an enum with precedence (the scarcity
+    phrase also contains "in stock" — pinned); unit counts lift
+    when declared; a non-commerce page pins zero rows.
+
+    Scale shape: substring probes + one regexp per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Widget page: In stock, ships tomorrow. SKU"),
+            (i % 50).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("Hurry! Only "), (i % 9 + 1).cast("string"),
+            F.lit(" left in stock - order soon.")))
+        .when(v == 2, F.concat(
+            F.lit("Sorry, currently Out of stock. SKU"),
+            (i % 30).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Service page "), ds, F.lit(", nothing sold here.")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    status = (
+        F.when(
+            t.contains("Only ") & t.contains(" left in stock"),
+            F.lit("scarce"),
+        )
+        .when(t.contains("Out of stock"), F.lit("out_of_stock"))
+        .when(t.contains("In stock"), F.lit("in_stock"))
+        .otherwise(F.lit(""))
+    )
+    ns = F.regexp_extract(t, "Only ([0-9]+) left in stock", 1)
+    m = p.select(
+        "doc_id", status.alias("status"), ns.alias("n_s")
+    ).where(F.col("status") != "")
+    return m.select(
+        "doc_id", "status",
+        F.when(F.col("n_s") == "", F.lit(-1).cast("long"))
+        .otherwise(F.col("n_s").cast("long")).alias("units_left"),
+        F.when(F.col("status") == "scarce", F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("scarcity_pressure"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
