@@ -24135,6 +24135,266 @@ def stock_scarcity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daterange_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Conference runs March '
+            || CAST(doc_id % 20 + 3 AS VARCHAR) || '-'
+            || CAST(doc_id % 20 + 5 AS VARCHAR) || ', 2024 in hall '
+            || CAST(doc_id % 6 AS VARCHAR) || '.'
+          WHEN 1 THEN 'Festival from March '
+            || CAST(doc_id % 3 + 29 AS VARCHAR)
+            || ' - April ' || CAST(doc_id % 4 + 1 AS VARCHAR)
+            || ', 2024 citywide.'
+          ELSE 'No event dates in doc ' || CAST(doc_id AS VARCHAR)
+            || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text,
+          '(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), '
+          || '([0-9]{4})', 1) AS m1,
+        regexp_extract(text,
+          '(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), '
+          || '([0-9]{4})', 2) AS d1,
+        regexp_extract(text,
+          '(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), '
+          || '([0-9]{4})', 3) AS m2,
+        regexp_extract(text,
+          '(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), '
+          || '([0-9]{4})', 4) AS d2,
+        regexp_extract(text,
+          '(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), '
+          || '([0-9]{4})', 5) AS yr
+      FROM p),
+    f AS (
+      SELECT doc_id, yr,
+        CASE m1 WHEN 'March' THEN '03' ELSE '04' END AS mm1,
+        CASE WHEN m2 = '' OR m2 IS NULL
+             THEN CASE m1 WHEN 'March' THEN '03' ELSE '04' END
+             ELSE CASE m2 WHEN 'March' THEN '03' ELSE '04' END
+        END AS mm2,
+        lpad(d1, 2, '0') AS dd1, lpad(d2, 2, '0') AS dd2
+      FROM m WHERE m1 <> ''),
+    iso AS (
+      SELECT doc_id,
+        yr || '-' || mm1 || '-' || dd1 AS start_date,
+        yr || '-' || mm2 || '-' || dd2 AS end_date
+      FROM f)
+    SELECT doc_id, start_date, end_date,
+      CAST(date_diff('day', CAST(start_date AS DATE),
+        CAST(end_date AS DATE)) + 1 AS BIGINT) AS n_days
+    FROM iso
+    """
+
+
+@query("date_range_parse", _daterange_oracle())
+def date_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prose date-range parsing (round 4): "March 3-5, 2024" and the
+    month-crossing "March 30 - April 2, 2024" are how event pages
+    state durations — temporal grounding needs both endpoints as
+    real dates (the duration crosses a month boundary exactly where
+    naive day subtraction breaks). Endpoints normalize to ISO with
+    the elided month inherited from the start; duration is an
+    inclusive calendar-day diff; a date-free page pins zero rows.
+
+    Scale shape: one 5-group regexp + month-map CASE + one datediff
+    per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Conference runs March "),
+            (i % 20 + 3).cast("string"), F.lit("-"),
+            (i % 20 + 5).cast("string"), F.lit(", 2024 in hall "),
+            (i % 6).cast("string"), F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("Festival from March "), (i % 3 + 29).cast("string"),
+            F.lit(" - April "), (i % 4 + 1).cast("string"),
+            F.lit(", 2024 citywide.")))
+        .otherwise(F.concat(
+            F.lit("No event dates in doc "), ds, F.lit(".")))
+    )
+    rx = (
+        "(March|April) ([0-9]+) ?- ?(?:(March|April) )?([0-9]+), "
+        "([0-9]{4})"
+    )
+    p = d.select("doc_id", text.alias("text"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("text", rx, 1).alias("m1"),
+        F.regexp_extract("text", rx, 2).alias("d1"),
+        F.regexp_extract("text", rx, 3).alias("m2"),
+        F.regexp_extract("text", rx, 4).alias("d2"),
+        F.regexp_extract("text", rx, 5).alias("yr"),
+    ).where(F.col("m1") != "")
+
+    def mm(c: Column) -> Column:
+        return F.when(c == "March", F.lit("03")).otherwise(F.lit("04"))
+
+    mm2 = F.when(
+        F.col("m2").isNull() | (F.col("m2") == ""), mm(F.col("m1"))
+    ).otherwise(mm(F.col("m2")))
+    iso = m.select(
+        "doc_id",
+        F.concat(
+            F.col("yr"), F.lit("-"), mm(F.col("m1")), F.lit("-"),
+            F.lpad("d1", 2, "0"),
+        ).alias("start_date"),
+        F.concat(
+            F.col("yr"), F.lit("-"), mm2, F.lit("-"),
+            F.lpad("d2", 2, "0"),
+        ).alias("end_date"),
+    )
+    return iso.select(
+        "doc_id", "start_date", "end_date",
+        (
+            F.datediff(
+                F.to_date("end_date"), F.to_date("start_date")
+            ) + 1
+        ).cast("long").alias("n_days"),
+    )
+
+
+def _modpub_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '2023-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-10'
+          AS published,
+        CASE doc_id % 3
+          WHEN 0 THEN '2023-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-' || CAST(doc_id % 18 + 11 AS VARCHAR)
+          WHEN 1 THEN '2023-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-0' || CAST(doc_id % 8 + 1 AS VARCHAR)
+          ELSE '' END AS modified
+      FROM documents),
+    m AS (SELECT * FROM p WHERE modified <> '')
+    SELECT doc_id, published, modified,
+      CAST(date_diff('day', CAST(published AS DATE),
+        CAST(modified AS DATE)) AS BIGINT) AS edit_lag_days,
+      CAST(CASE WHEN CAST(modified AS DATE) >=
+        CAST(published AS DATE) THEN 1 ELSE 0 END AS INT)
+        AS order_valid
+    FROM m
+    """
+
+
+@query("modified_published_audit", _modpub_oracle())
+def modified_published_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published/modified timestamp audit (round 4): article metadata
+    carries both dates and their ORDER is an integrity check — a
+    modified date before publication means a CMS migration rewrote
+    history, and the edit lag is a freshness feature (recently
+    maintained pages rank higher as training data). The invalid
+    ordering is planted on a residue class; date-only arithmetic
+    matches the oracle exactly; a modification-free page pins zero
+    rows.
+
+    Scale shape: two date casts + one datediff per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    published = F.concat(
+        F.lit("2023-0"), (i % 9 + 1).cast("string"), F.lit("-10")
+    )
+    modified = (
+        F.when(v == 0, F.concat(
+            F.lit("2023-0"), (i % 9 + 1).cast("string"), F.lit("-"),
+            (i % 18 + 11).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("2023-0"), (i % 9 + 1).cast("string"), F.lit("-0"),
+            (i % 8 + 1).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    p = d.select(
+        "doc_id", published.alias("published"), modified.alias("modified")
+    ).where(F.col("modified") != "")
+    pd_, md_ = F.to_date("published"), F.to_date("modified")
+    return p.select(
+        "doc_id", "published", "modified",
+        F.datediff(md_, pd_).cast("long").alias("edit_lag_days"),
+        F.when(md_ >= pd_, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("order_valid"),
+    )
+
+
+def _copyright_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Footer: © ' || CAST(2015 + doc_id % 10
+            AS VARCHAR) || ' Acme Corp. All rights reserved.'
+          WHEN 1 THEN 'Footer: © 2009-' || CAST(2018 + doc_id % 7
+            AS VARCHAR) || ' Example Media Group.'
+          ELSE 'No copyright notice in doc '
+            || CAST(doc_id AS VARCHAR) || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text, '© (?:[0-9]{4}-)?([0-9]{4}) ', 1)
+          AS yr_s
+      FROM p),
+    f AS (
+      SELECT doc_id, CAST(yr_s AS BIGINT) AS latest_year
+      FROM m WHERE yr_s <> '')
+    SELECT doc_id, latest_year,
+      CAST(2024 - latest_year AS BIGINT) AS age_years,
+      CAST(CASE WHEN 2024 - latest_year > 2 THEN 1 ELSE 0 END AS INT)
+        AS stale
+    FROM f
+    """
+
+
+@query("copyright_staleness", _copyright_oracle())
+def copyright_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copyright-year staleness (round 4): the footer © year is the
+    cheapest site-maintenance probe on the web — a notice trailing
+    the crawl year by 3+ signals an unmaintained site whose content
+    ages with it (ranged notices "2009-2021" count from the END
+    year). The reference year is the corpus's own vintage (2024
+    here, a constant the pipeline sets per crawl); a notice-free
+    page pins zero rows.
+
+    Scale shape: one regexp + integer arithmetic per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Footer: © "), (i % 10 + 2015).cast("string"),
+            F.lit(" Acme Corp. All rights reserved.")))
+        .when(v == 1, F.concat(
+            F.lit("Footer: © 2009-"), (i % 7 + 2018).cast("string"),
+            F.lit(" Example Media Group.")))
+        .otherwise(F.concat(
+            F.lit("No copyright notice in doc "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    yr = F.regexp_extract("text", "© (?:[0-9]{4}-)?([0-9]{4}) ", 1)
+    f = p.select("doc_id", yr.alias("yr_s")).where(F.col("yr_s") != "")
+    latest = F.col("yr_s").cast("long")
+    return f.select(
+        "doc_id",
+        latest.alias("latest_year"),
+        (F.lit(2024) - latest).cast("long").alias("age_years"),
+        F.when(F.lit(2024) - latest > 2, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("stale"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
