@@ -24395,6 +24395,304 @@ def copyright_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hreflangrecip_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT doc_id AS src_doc,
+        CASE
+          WHEN doc_id % 2 = 0 THEN doc_id + 1
+          WHEN (doc_id // 2) % 3 <> 0 THEN doc_id - 1
+          ELSE NULL END AS dst_doc
+      FROM documents),
+    edges AS (SELECT src_doc, dst_doc FROM e WHERE dst_doc IS NOT NULL)
+    SELECT a.src_doc, a.dst_doc,
+      CAST(CASE WHEN b.src_doc IS NULL THEN 0 ELSE 1 END AS INT)
+        AS reciprocal
+    FROM edges a LEFT JOIN edges b
+      ON a.src_doc = b.dst_doc AND a.dst_doc = b.src_doc
+    """
+
+
+@query("hreflang_reciprocity_audit", _hreflangrecip_oracle())
+def hreflang_reciprocity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang reciprocity audit (round 4): the hreflang contract
+    requires RETURN links — if A names B as its French alternate, B
+    must name A back, or search engines (and our bitext pairing)
+    must distrust the edge. Declared alternate edges self-join on
+    the reversed (src, dst) pair; the planted every-third-pair
+    missing backlink pins the broken branch. One-directional edges
+    are exactly the ones bitext_mine_pairs should downweight.
+
+    Scale shape: edge list from the scan, one equi-self-join on the
+    composite reversed key — co-partitioned by the same hash, unique
+    keys, no skew, no window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dst = (
+        F.when(i % 2 == 0, i + 1)
+        .when((i / 2).cast("long") % 3 != 0, i - 1)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    edges = d.select(
+        i.alias("src_doc"), dst.cast("long").alias("dst_doc")
+    ).where(F.col("dst_doc").isNotNull())
+    a = edges.alias("a")
+    b = edges.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.src_doc") == F.col("b.dst_doc"))
+        & (F.col("a.dst_doc") == F.col("b.src_doc")),
+        "left",
+    )
+    return j.select(
+        F.col("a.src_doc").alias("src_doc"),
+        F.col("a.dst_doc").alias("dst_doc"),
+        F.when(F.col("b.src_doc").isNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("int").alias("reciprocal"),
+    )
+
+
+def _canonchain_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 4 = 1 THEN doc_id - 1
+          WHEN doc_id % 4 = 2 THEN doc_id - 1
+          ELSE doc_id END AS target
+      FROM documents),
+    hop2 AS (
+      SELECT a.doc_id, a.target AS canonical_1hop,
+        b.target AS canonical_final
+      FROM c a JOIN c b ON a.target = b.doc_id)
+    SELECT doc_id,
+      CAST(canonical_1hop AS BIGINT) AS canonical_1hop,
+      CAST(canonical_final AS BIGINT) AS canonical_final,
+      CAST(CASE WHEN canonical_1hop = doc_id THEN 0
+           WHEN canonical_final = canonical_1hop THEN 1
+           ELSE 2 END AS INT) AS chain_len
+    FROM hop2
+    """
+
+
+@query("canonical_chain_resolution", _canonchain_oracle())
+def canonical_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical chain resolution (round 4): rel=canonical is
+    supposed to point AT the canonical, but CMSes chain them —
+    print-view → article → hub — and indexing on the 1-hop target
+    splits what should merge (canonical_election picks per-cluster
+    winners; this FLATTENS multi-hop pointers first). Two
+    self-joins resolve 2 hops with the self-canonical fixpoint as
+    the terminator; chain lengths 0/1/2 are all planted.
+
+    Scale shape: the doc→target map joins to itself on the hop key
+    — same uniform-key equi-join both hops, no explosion (each row
+    has exactly one target), the bounded-hop cousin of the
+    pointer-jumping helper in operators/crawl.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    target = (
+        F.when(i % 4 == 1, i - 1)
+        .when(i % 4 == 2, i - 1)
+        .otherwise(i)
+    )
+    c = d.select(i.alias("doc_id"), target.cast("long").alias("target"))
+    a = c.alias("a")
+    b = c.alias("b")
+    hop2 = a.join(b, F.col("a.target") == F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.target").alias("canonical_1hop"),
+        F.col("b.target").alias("canonical_final"),
+    )
+    return hop2.select(
+        "doc_id",
+        F.col("canonical_1hop").cast("long").alias("canonical_1hop"),
+        F.col("canonical_final").cast("long").alias("canonical_final"),
+        F.when(F.col("canonical_1hop") == F.col("doc_id"), F.lit(0))
+        .when(
+            F.col("canonical_final") == F.col("canonical_1hop"), F.lit(1)
+        )
+        .otherwise(F.lit(2)).cast("int").alias("chain_len"),
+    )
+
+
+def _viewport_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta name="viewport" content='
+            || '"width=device-width, initial-scale=1.0">Body '
+            || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '<meta name="viewport" content='
+            || '"width=device-width, initial-scale=1.0, '
+            || 'user-scalable=no">App shell '
+            || CAST(doc_id % 9 AS VARCHAR)
+          WHEN 2 THEN '<meta name="viewport" content="width=1024">'
+            || 'Fixed layout ' || CAST(doc_id % 5 AS VARCHAR)
+          ELSE '<p>Desktop-era page ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<meta name="viewport" content="([^"]*)"', 1) AS vp
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN vp <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_viewport,
+      CAST(CASE WHEN contains(vp, 'width=device-width')
+           THEN 1 ELSE 0 END AS INT) AS responsive,
+      CAST(CASE WHEN contains(vp, 'user-scalable=no')
+           THEN 1 ELSE 0 END AS INT) AS zoom_blocked
+    FROM m
+    """
+
+
+@query("meta_viewport_mobile", _viewport_oracle())
+def meta_viewport_mobile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport/mobile-readiness probe (round 4): the viewport meta
+    separates responsive pages (width=device-width) from fixed-width
+    desktop relics and from app shells that also BLOCK zooming
+    (user-scalable=no — an accessibility antipattern that correlates
+    with app-not-document content). All four postures are planted;
+    the flags join the quality panel's modernity features.
+
+    Scale shape: one regexp + substring probes per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="viewport" content="width=device-width,'
+                  ' initial-scale=1.0">Body '), ds))
+        .when(v == 1, F.concat(
+            F.lit('<meta name="viewport" content="width=device-width,'
+                  ' initial-scale=1.0, user-scalable=no">App shell '),
+            (i % 9).cast("string")))
+        .when(v == 2, F.concat(
+            F.lit('<meta name="viewport" content="width=1024">'
+                  "Fixed layout "), (i % 5).cast("string")))
+        .otherwise(F.concat(
+            F.lit("<p>Desktop-era page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    vp = F.regexp_extract(
+        "html", '<meta name="viewport" content="([^"]*)"', 1
+    )
+    m = p.select("doc_id", vp.alias("vp"))
+    return m.select(
+        "doc_id",
+        F.when(F.col("vp") != "", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("has_viewport"),
+        F.when(
+            F.col("vp").contains("width=device-width"), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("responsive"),
+        F.when(
+            F.col("vp").contains("user-scalable=no"), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("zoom_blocked"),
+    )
+
+
+def _honeypot_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<form><input type="text" name="website" '
+            || 'style="display:none"><input type="hidden" '
+            || 'name="csrf_token" value="tok'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '"><input type="text" name="comment"></form>'
+          WHEN 1 THEN '<form><input type="hidden" name="csrf_token"'
+            || ' value="tok' || CAST(doc_id % 40 AS VARCHAR)
+            || '"><input type="email" name="email'
+            || CAST(doc_id % 3 AS VARCHAR) || '"></form>'
+          ELSE '<p>No form on page ' || CAST(doc_id AS VARCHAR)
+            || '</p>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id, html,
+        len(regexp_extract_all(html,
+          '<input type="hidden"', 0))
+        + len(regexp_extract_all(html,
+          '<input [^>]*style="display:none"', 0)) AS n_hidden,
+        CASE WHEN regexp_matches(html,
+          '<input type="text" name="(?:website|url|homepage)" '
+          || 'style="display:none"') THEN 1 ELSE 0 END AS honeypot,
+        CASE WHEN contains(html, 'name="csrf_token"')
+          THEN 1 ELSE 0 END AS csrf
+      FROM p WHERE contains(html, '<form>'))
+    SELECT doc_id, CAST(n_hidden AS BIGINT) AS n_hidden_inputs,
+      CAST(honeypot AS INT) AS has_honeypot,
+      CAST(csrf AS INT) AS has_csrf_token
+    FROM m
+    """
+
+
+@query("honeypot_form_detect", _honeypot_oracle())
+def honeypot_form_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honeypot form-field detection (round 4): anti-spam honeypots
+    (a visually-hidden text field named "website" that only bots
+    fill) and CSRF tokens are both hidden inputs with OPPOSITE
+    meanings — the honeypot marks a form a polite crawler must not
+    submit, the token is routine plumbing — so the classifier keys
+    on the (bait name x display:none) conjunction, not hiddenness
+    alone (the csrf-only form pins the negative). Feeds
+    form_field_extract's interaction-safety routing.
+
+    Scale shape: regexp counts + one anchored match per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<form><input type="text" name="website" '
+                  'style="display:none"><input type="hidden" '
+                  'name="csrf_token" value="tok'),
+            (i % 50).cast("string"),
+            F.lit('"><input type="text" name="comment"></form>')))
+        .when(v == 1, F.concat(
+            F.lit('<form><input type="hidden" name="csrf_token"'
+                  ' value="tok'),
+            (i % 40).cast("string"),
+            F.lit('"><input type="email" name="email'),
+            (i % 3).cast("string"), F.lit('"></form>')))
+        .otherwise(F.concat(
+            F.lit("<p>No form on page "), ds, F.lit("</p>")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    m = p.where(h.contains("<form>")).select(
+        "doc_id",
+        (
+            F.size(F.regexp_extract_all(
+                h, F.lit('<input type="hidden"'), 0))
+            + F.size(F.regexp_extract_all(
+                h, F.lit('<input [^>]*style="display:none"'), 0))
+        ).cast("long").alias("n_hidden_inputs"),
+        F.when(
+            h.rlike(
+                '<input type="text" name="(?:website|url|homepage)" '
+                'style="display:none"'
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("has_honeypot"),
+        F.when(h.contains('name="csrf_token"'), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("has_csrf_token"),
+    )
+    return m
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
