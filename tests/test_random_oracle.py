@@ -255,6 +255,20 @@ CRITICAL = [
     "media_fragment_urls",
     "tracker_coownership_edges",
     "site_section_rollup",
+    "citation_needed_spans",
+    "infobox_keyvalue_extract",
+    "interwiki_language_links",
+    "wiki_redirect_alias",
+    "pagination_item_count_audit",
+    "price_range_extract",
+    "stock_scarcity_extract",
+    "date_range_parse",
+    "modified_published_audit",
+    "copyright_staleness",
+    "hreflang_reciprocity_audit",
+    "canonical_chain_resolution",
+    "meta_viewport_mobile",
+    "honeypot_form_detect",
     # NOT gif_animation_features: synthesized-corpus query,
     # construction-literal oracle (same class as the EXIF/PNG-meta
     # rows below).
