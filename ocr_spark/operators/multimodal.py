@@ -1616,3 +1616,232 @@ def gif_anim_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, GIF_ANIM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV silence segmentation
+# ---------------------------------------------------------------------------
+
+
+def synth_silence_corpus(n: int = 10) -> list[dict]:
+    """Deterministic mono PCM clips alternating exact-zero silence
+    runs and loud ramp runs of construction-known lengths (2-4
+    segments per clip, one clip all-silence, one all-tone). Expected
+    (kind, start, length) segments exist before encode."""
+    out = []
+    for i in range(n):
+        if i % 5 == 4:
+            segs = [("silence", 120 + i)]
+        elif i % 5 == 3:
+            segs = [("tone", 90 + i)]
+        else:
+            lens = [40 + i * 3, 25 + (i * 7) % 30, 35 + (i * 5) % 20,
+                    20 + (i * 11) % 25]
+            k = 2 + i % 3  # 2-4 segments
+            segs = [
+                ("silence" if (j + i) % 2 == 0 else "tone", lens[j])
+                for j in range(k)
+            ]
+        chunks, expected, pos = [], [], 0
+        for kind, ln in segs:
+            if kind == "silence":
+                chunks.append(np.zeros(ln, np.int16))
+            else:
+                ramp = (1000 + (np.arange(ln, dtype=np.int64) * 37) % 2000)
+                chunks.append(ramp.astype(np.int16))
+            expected.append((kind, pos, ln))
+            pos += ln
+        samples = np.concatenate(chunks).reshape(-1, 1)
+        out.append(
+            {
+                "clip_id": i,
+                "payload": encode_wav(samples, 16000),
+                "expected": expected,
+            }
+        )
+    return out
+
+
+WAV_SILENCE_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def wav_silence_segments(
+    df: DataFrame, payload_col: str = "media", threshold: int = 8
+) -> DataFrame:
+    """Run-length silence segmentation over decoded PCM (|sample| <=
+    threshold on channel 0) — the pause structure a speech pipeline
+    cuts on (utterance boundaries, VAD supervision) computed without
+    any DSP dependency. One row per run in clip order; vectorized
+    numpy run-length inside the Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                samples, _rate = decode_audio(bytes(payload), "wav")
+                x = samples[:, 0].astype(np.int64)
+                quiet = np.abs(x) <= threshold
+                # run boundaries where the quiet flag changes
+                change = np.flatnonzero(np.diff(quiet)) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(x)]))
+                for j, (s, e) in enumerate(zip(starts, ends)):
+                    rows.append(
+                        (
+                            int(clip_id), j,
+                            "silence" if quiet[s] else "tone",
+                            int(s), int(e - s),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_SILENCE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, WAV_SILENCE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG quality-factor estimation (DQT forensics)
+# ---------------------------------------------------------------------------
+
+
+def parse_jpeg_dqt(buf: bytes) -> list[tuple[int, np.ndarray]]:
+    """Collect (table_id, raw 64 bytes in stored zigzag order) from
+    every DQT segment before SOS. 8-bit precision only (Pq=0), which
+    is what baseline/extended-sequential JPEG uses."""
+    if buf[:2] != b"\xff\xd8":
+        return []
+    out: list[tuple[int, np.ndarray]] = []
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            break
+        marker = buf[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if marker == 0xDB:
+            data = buf[pos + 4:pos + 2 + seglen]
+            k = 0
+            while k + 65 <= len(data) + 1 and k < len(data):
+                pq, tq = data[k] >> 4, data[k] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT")
+                out.append(
+                    (tq, np.frombuffer(
+                        data[k + 1:k + 65], np.uint8
+                    ).astype(np.int64))
+                )
+                k += 65
+        pos += 2 + seglen
+    return out
+
+
+def estimate_jpeg_quality(buf: bytes) -> dict | None:
+    """Estimate the libjpeg quality factor from the LUMA quant table
+    by exhaustive match against the 100 candidate tables the
+    jcparam.c scaling produces from the Annex K base table. Exact
+    when the encoder used standard tables (err == 0); otherwise the
+    nearest candidate with is_standard = 0."""
+    from ocr_spark.kernels import jpeg as J
+
+    tables = parse_jpeg_dqt(buf)
+    luma = next((t for tid, t in tables if tid == 0), None)
+    if luma is None:
+        return None
+    best_q, best_err = 1, None
+    for q in range(1, 101):
+        cand = J._quality_scale(J.QUANT_LUMA, q)[J.ZIGZAG]
+        err = int(np.abs(cand - luma).sum())
+        if best_err is None or err < best_err:
+            best_q, best_err = q, err
+    return {
+        "quality_est": best_q,
+        "n_tables": len(tables),
+        "is_standard": 1 if best_err == 0 else 0,
+    }
+
+
+JPEG_QUALITY_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("quality_est", IntegerType()),
+        StructField("n_tables", IntegerType()),
+        StructField("is_standard", IntegerType()),
+    ]
+)
+
+
+def jpeg_quality_features(
+    df: DataFrame, payload_col: str = "media"
+) -> DataFrame:
+    """Per-image quality-factor estimate from DQT alone — compression
+    provenance (a 95 re-saved at 70 keeps 70's tables) without any
+    entropy decode. Same mapInPandas stage shape as the other codec
+    extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                est = estimate_jpeg_quality(bytes(payload))
+                if est is None:
+                    continue
+                rows.append(
+                    (
+                        int(img_id), est["quality_est"],
+                        est["n_tables"], est["is_standard"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_QUALITY_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, JPEG_QUALITY_SCHEMA)
+
+
+def synth_jpeg_quality_corpus(n: int = 12) -> list[dict]:
+    """Deterministic JPEGs cycling quality {35,50,62,75,80,90,95,98},
+    gray vs RGB payloads (1 vs 2 DQT tables by construction) and a
+    progressive stream every third id. Quality and table count exist
+    before encode."""
+    from ocr_spark.kernels import jpeg
+
+    qs = (35, 50, 62, 75, 80, 90, 95, 98)
+    out = []
+    for i in range(n):
+        q = qs[i % len(qs)]
+        h, w = 16 + (i % 2) * 8, 16 + (i % 3) * 8
+        gray = i % 2 == 0
+        if gray:
+            img = (
+                (np.arange(h * w, dtype=np.int64) * 13 + i) % 256
+            ).astype(np.uint8).reshape(h, w)
+        else:
+            img = (
+                (np.arange(h * w * 3, dtype=np.int64) * 7 + i) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+        if i % 3 == 2 and gray:
+            payload = jpeg.encode_progressive(img, quality=q)
+        else:
+            payload = jpeg.encode(img, quality=q)
+        out.append(
+            {
+                "img_id": i,
+                "payload": payload,
+                "quality": q,
+                "n_tables": 1 if gray else 2,
+            }
+        )
+    return out

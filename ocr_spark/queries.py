@@ -24693,6 +24693,92 @@ def honeypot_form_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m
 
 
+def _wavsil_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (segment
+    runs exist before the PCM is assembled)."""
+    from ocr_spark.operators.multimodal import synth_silence_corpus
+
+    rows = ", ".join(
+        f"({r['clip_id']}, {j}, '{kind}', CAST({start} AS BIGINT), "
+        f"CAST({ln} AS BIGINT))"
+        for r in synth_silence_corpus()
+        for j, (kind, start, ln) in enumerate(r["expected"])
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(clip_id, seg_idx, kind, start_sample, n_samples)"
+    )
+
+
+@query("wav_silence_segments", _wavsil_oracle())
+def wav_silence_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM silence segmentation (round 4): pause structure is the
+    first cut a speech pipeline makes — utterance boundaries for ASR
+    alignment, VAD supervision, and the dead-air trim that saves
+    decode budget downstream. Run-length segmentation over decoded
+    samples (|x| <= threshold on channel 0) is pure numpy inside the
+    Arrow batch; all-silence and all-tone clips pin the single-run
+    branches.
+
+    Scale shape: Arrow-batched mapInPandas over binary payloads;
+    per-clip fan-out to segment rows happens inside the batch.
+    """
+    from ocr_spark.operators.multimodal import (
+        synth_silence_corpus,
+        wav_silence_segments,
+    )
+
+    corpus = synth_silence_corpus()
+    base = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["payload"])) for r in corpus],
+        "clip_id int, media binary",
+    )
+    return wav_silence_segments(base.repartition(8, "clip_id"))
+
+
+def _jpegq_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (the
+    quality factor and table count exist before encode; pytest pins
+    that the estimator recovers them from the DQT bytes alone)."""
+    from ocr_spark.operators.multimodal import synth_jpeg_quality_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {r['quality']}, {r['n_tables']}, 1)"
+        for r in synth_jpeg_quality_corpus()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(img_id, quality_est, n_tables, is_standard)"
+    )
+
+
+@query("jpeg_quality_estimate", _jpegq_oracle())
+def jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quality-factor forensics (round 4): the DQT tables name
+    the LAST encoder's quality setting — provenance a multimodal
+    corpus filters on (q<50 thumbnails out; recompression chains keep
+    the lowest q's tables) — recovered by exhaustive match against
+    the 100 jcparam.c scalings of the Annex K base table, from the
+    segment headers alone (no entropy decode). Gray (1 table), RGB
+    (2 tables) and progressive streams all resolve; non-standard
+    tables would flag is_standard=0 rather than guess.
+
+    Scale shape: Arrow-batched mapInPandas; per-image work is a
+    segment walk + 100 vectorized 64-element diffs.
+    """
+    from ocr_spark.operators.multimodal import (
+        jpeg_quality_features,
+        synth_jpeg_quality_corpus,
+    )
+
+    corpus = synth_jpeg_quality_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    return jpeg_quality_features(base.repartition(8, "img_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Session-6 codec-metadata surfaces vs their constructions.
+
+Every expected value here exists BEFORE the bytes are assembled (the
+corpus synthesizers record what they embed), so these pins are
+non-circular: the parsers re-derive the fields from the wire format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import gif, jpeg
+from ocr_spark.operators import multimodal as M
+
+
+def test_exif_roundtrip_both_byte_orders():
+    corpus = M.synth_exif_corpus()
+    orders = set()
+    for r in corpus:
+        got = M.parse_exif(r["payload"])
+        assert got is not None
+        for k in got:
+            assert got[k] == r[k], (r["img_id"], k)
+        orders.add(got["byte_order"])
+    assert orders == {"II", "MM"}
+    assert {r["orientation"] for r in corpus} == set(range(1, 9))
+
+
+def test_exif_absent_returns_none():
+    img = (np.arange(16 * 16) % 256).astype(np.uint8).reshape(16, 16)
+    assert M.parse_exif(jpeg.encode(img, quality=80)) is None
+    assert M.parse_exif(b"not a jpeg") is None
+
+
+def test_png_meta_chunks_match_construction():
+    for r in M.synth_png_meta_corpus():
+        buf = r["payload"]
+        got = []
+        pos = 8
+        while pos + 8 <= len(buf):
+            ln = int.from_bytes(buf[pos:pos + 4], "big")
+            tag = buf[pos + 4:pos + 8]
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+        # the walk terminates (well-formed container) ...
+        assert tag == b"IEND"
+        # ... and the chunk rows match the construction
+        rows = []
+        pos, k = 8, 0
+        while pos + 8 <= len(buf):
+            ln = int.from_bytes(buf[pos:pos + 4], "big")
+            tag = buf[pos + 4:pos + 8]
+            data = buf[pos + 8:pos + 8 + ln]
+            if tag == b"tEXt":
+                kw, _, val = data.partition(b"\x00")
+                rows.append(("tEXt", kw.decode(), val.decode()))
+            elif tag == b"iTXt" and len(data.partition(b"\x00")[2]) >= 2:
+                kw, _, rest = data.partition(b"\x00")
+                rest = rest[2:]
+                _lang, _, rest = rest.partition(b"\x00")
+                _tr, _, text = rest.partition(b"\x00")
+                rows.append(("iTXt", kw.decode(), text.decode()))
+            elif tag == b"pHYs" and ln == 9:
+                import struct as st
+
+                x, y, u = st.unpack(">IIB", data)
+                rows.append(("pHYs", "", f"{x}:{y}:{u}"))
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+        assert rows == r["expected"], r["img_id"]
+
+
+def test_png_meta_does_not_break_pixel_decode():
+    from ocr_spark.kernels import png
+
+    r = M.synth_png_meta_corpus()[0]
+    px = png.decode(r["payload"])  # ancillary chunks must be skipped
+    assert px.ndim >= 2
+
+
+def test_gif_animation_roundtrip():
+    for r in M.synth_gif_anim_corpus():
+        frames = gif.decode_frames(r["payload"])
+        assert len(frames) == r["n_frames"]
+        assert [f["delay_cs"] for f in frames] == r["delays"]
+        loop = frames[0].get("loop_count")
+        assert (-1 if loop is None else loop) == r["loop_count"]
+
+
+def test_gif_default_encode_unchanged_without_timing_args():
+    pal = (np.arange(24).reshape(8, 3) * 9 % 256).astype(np.uint8)
+    idx = (np.arange(30) % 8).astype(np.uint8).reshape(5, 6)
+    buf = gif.encode(idx, pal)
+    assert b"NETSCAPE2.0" not in buf
+    frames = gif.decode_frames(buf)
+    assert frames[0]["delay_cs"] == 0
+    assert frames[0]["loop_count"] is None
+
+
+def test_wav_silence_segments_match_construction():
+    for r in M.synth_silence_corpus():
+        samples, _ = M.decode_audio(r["payload"], "wav")
+        x = samples[:, 0].astype(np.int64)
+        quiet = np.abs(x) <= 8
+        change = np.flatnonzero(np.diff(quiet)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(x)]))
+        got = [
+            ("silence" if quiet[s] else "tone", int(s), int(e - s))
+            for s, e in zip(starts, ends)
+        ]
+        assert got == r["expected"], r["clip_id"]
+
+
+def test_jpeg_quality_exact_on_standard_tables():
+    for r in M.synth_jpeg_quality_corpus():
+        est = M.estimate_jpeg_quality(r["payload"])
+        assert est["quality_est"] == r["quality"], r["img_id"]
+        assert est["n_tables"] == r["n_tables"]
+        assert est["is_standard"] == 1
+
+
+def test_jpeg_quality_nonstandard_flagged():
+    img = (np.arange(16 * 16) % 256).astype(np.uint8).reshape(16, 16)
+    buf = bytearray(jpeg.encode(img, quality=80))
+    # corrupt one DQT byte -> nearest candidate, is_standard = 0
+    pos = buf.find(b"\xff\xdb")
+    buf[pos + 5 + 10] = (buf[pos + 5 + 10] + 3) % 251 + 1
+    est = M.estimate_jpeg_quality(bytes(buf))
+    assert est["is_standard"] == 0
+
+
+def test_jpeg_dqt_16bit_raises():
+    img = (np.arange(16 * 16) % 256).astype(np.uint8).reshape(16, 16)
+    buf = bytearray(jpeg.encode(img, quality=80))
+    pos = buf.find(b"\xff\xdb")
+    buf[pos + 4] |= 0x10  # Pq = 1 (16-bit) — unsupported, must not guess
+    with pytest.raises(NotImplementedError):
+        M.parse_jpeg_dqt(bytes(buf))
