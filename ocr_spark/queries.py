@@ -20066,7 +20066,9 @@ def analytics_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: four regexp branches unioned off one scan, then one
     hash-agg on (kind, tracker_id) — tracker ids are near-uniform
     except deliberate publisher fan-in, which AQE skew-split absorbs;
-    the count rejoins via broadcast (distinct ids << corpus).
+    the count rejoins on the same uniform key — AQE broadcasts
+    while the id dim fits and shuffle-joins past that (the dim
+    scales with the corpus, so no forced broadcast).
     """
     d = load_table(spark, sf_dir, "documents")
     i = F.col("doc_id")
@@ -20108,7 +20110,11 @@ def analytics_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = rows.groupBy("kind", "tracker_id").agg(
         F.count("*").cast("long").alias("n_docs_with_id")
     )
-    return rows.join(F.broadcast(counts), ["kind", "tracker_id"]).select(
+    # counts has one row per DISTINCT tracker id — a dim that SCALES
+    # with the corpus (~1e8 GA properties on the real web), so no
+    # forced broadcast: AQE broadcasts when it fits and falls back to
+    # a uniform-key shuffle join when it doesn't.
+    return rows.join(counts, ["kind", "tracker_id"]).select(
         "doc_id", "kind", "tracker_id", "n_docs_with_id"
     )
 
@@ -22562,8 +22568,9 @@ def ip_colocation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosting.
 
     Scale shape: distinct on host (hash-agg), one hash-agg on ip,
-    and a broadcast join of the tiny ip dim back to hosts — host
-    cardinality is web-scale but ip groups stay small and uniform.
+    and a rejoin of the ip dim back to hosts — AQE broadcasts while
+    the dim fits (host cardinality is web-scale, so the hint is NOT
+    forced); ip groups stay small and uniform.
     """
     d = load_table(spark, sf_dir, "documents")
     i = F.col("doc_id")
@@ -22581,7 +22588,9 @@ def ip_colocation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ip"),
     )
     g = a.groupBy("ip").agg(F.count("*").cast("long").alias("colo_size"))
-    return a.join(F.broadcast(g), "ip").select(
+    # the ip dim is O(distinct addresses) and grows with the host
+    # population — AQE picks broadcast only while it fits
+    return a.join(g, "ip").select(
         "host", "ip", "colo_size",
         F.when(F.col("colo_size") > 1, F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("shared_hosting"),
@@ -23447,8 +23456,9 @@ def tracker_coownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes, pinning the guard.
 
     Scale shape: distinct (hash-agg) → fan-count hash-agg →
-    broadcast the small fan dim → capped equi-self-join on uniform
-    keys → final hash-agg; no window, no sort, skew fenced by the
+    cap-filter rejoin (AQE broadcasts while the tracker dim fits;
+    it scales with the corpus, so not forced) → capped
+    equi-self-join on uniform keys → final hash-agg; no window, no sort, skew fenced by the
     cap rather than salted.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -23469,8 +23479,11 @@ def tracker_coownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"), tracker.alias("tracker_id")
     ).where(F.col("tracker_id") != "").distinct()
     fan = ht.groupBy("tracker_id").agg(F.count("*").alias("n_hosts"))
+    # fan is one row per distinct tracker — corpus-scaled, so no
+    # forced broadcast (AQE converts while it fits; at web scale the
+    # filter join shuffles on the same uniform tracker key)
     keep = ht.join(
-        F.broadcast(fan.where(F.col("n_hosts") <= 32)), "tracker_id"
+        fan.where(F.col("n_hosts") <= 32), "tracker_id"
     ).select("host", "tracker_id")
     a = keep.alias("a")
     b = keep.alias("b")
@@ -24777,6 +24790,253 @@ def jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_id int, media binary",
     )
     return jpeg_quality_features(base.repartition(8, "img_id"))
+
+
+def _xrobots_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'X-Robots-Tag: noindex, nofollow'
+          WHEN 1 THEN 'X-Robots-Tag: unavailable_after: 2024-0'
+            || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01'
+          WHEN 2 THEN 'X-Robots-Tag: noarchive, nosnippet, doc'
+            || CAST(doc_id % 7 AS VARCHAR)
+          ELSE 'Content-Type: text/html; doc '
+            || CAST(doc_id AS VARCHAR)
+        END AS header
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(header, 'X-Robots-Tag: (.*)', 1) AS directives
+      FROM p),
+    f AS (SELECT * FROM m WHERE directives <> '')
+    SELECT doc_id, directives,
+      CAST(CASE WHEN contains(directives, 'noindex')
+           THEN 1 ELSE 0 END AS INT) AS noindex,
+      CAST(CASE WHEN contains(directives, 'nofollow')
+           THEN 1 ELSE 0 END AS INT) AS nofollow,
+      CAST(CASE WHEN contains(directives, 'noarchive')
+           THEN 1 ELSE 0 END AS INT) AS noarchive,
+      regexp_extract(directives,
+        'unavailable_after: ([0-9-]+)', 1) AS unavailable_after
+    FROM f
+    """
+
+
+@query("x_robots_tag_parse", _xrobots_oracle())
+def x_robots_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Robots-Tag header parsing (round 4): the HTTP-layer twin of
+    the meta robots tag (meta_robots_canonical) — it governs
+    NON-HTML responses (PDFs, images) that carry no meta element,
+    and a compliant corpus must honor noindex/noarchive from the
+    header alone. Directive flags plus the unavailable_after
+    expiry (content the publisher time-limits) extract per
+    response; a tag-free response pins zero rows.
+
+    Scale shape: one regexp + substring probes per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    header = (
+        F.when(v == 0, F.lit("X-Robots-Tag: noindex, nofollow"))
+        .when(v == 1, F.concat(
+            F.lit("X-Robots-Tag: unavailable_after: 2024-0"),
+            (i % 9 + 1).cast("string"), F.lit("-01")))
+        .when(v == 2, F.concat(
+            F.lit("X-Robots-Tag: noarchive, nosnippet, doc"),
+            (i % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Content-Type: text/html; doc "), ds))
+    )
+    p = d.select("doc_id", header.alias("header"))
+    directives = F.regexp_extract("header", "X-Robots-Tag: (.*)", 1)
+    f = p.select("doc_id", directives.alias("directives")).where(
+        F.col("directives") != ""
+    )
+    dd = F.col("directives")
+    return f.select(
+        "doc_id", "directives",
+        F.when(dd.contains("noindex"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("noindex"),
+        F.when(dd.contains("nofollow"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("nofollow"),
+        F.when(dd.contains("noarchive"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("noarchive"),
+        F.regexp_extract(dd, "unavailable_after: ([0-9-]+)", 1)
+        .alias("unavailable_after"),
+    )
+
+
+def _linkmismatch_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<a href="https://evil'
+            || CAST(doc_id % 13 AS VARCHAR)
+            || '.example/login">https://bank'
+            || CAST(doc_id % 5 AS VARCHAR)
+            || '.example/secure</a>'
+          WHEN 1 THEN '<a href="https://site'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.example/page">https://site'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.example/page</a>'
+          ELSE '<a href="https://shop'
+            || CAST(doc_id % 8 AS VARCHAR)
+            || '.example/deal">Great deals here</a>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html, 'href="https://([^/"]+)', 1)
+          AS href_host,
+        regexp_extract(html, '>https://([^/<]+)', 1)
+          AS shown_host,
+        regexp_extract(html, '>([^<]+)</a>', 1) AS anchor_text
+      FROM p),
+    f AS (SELECT * FROM m WHERE shown_host <> '')
+    SELECT doc_id, href_host, shown_host, anchor_text,
+      CAST(CASE WHEN href_host <> shown_host THEN 1 ELSE 0 END
+        AS INT) AS host_mismatch
+    FROM f
+    """
+
+
+@query("link_text_url_mismatch", _linkmismatch_oracle())
+def link_text_url_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Displayed-URL vs href mismatch (round 4): the canonical
+    phishing shape — anchor TEXT shows one https host while the href
+    goes somewhere else — and a corpus that trains a model on link
+    text wants these pairs labeled, not learned as truth. Only
+    anchors whose text LOOKS like a URL are audited (prose anchors
+    pin zero rows); the matching-host branch pins the benign case.
+
+    Scale shape: three anchored regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="https://evil'), (i % 13).cast("string"),
+            F.lit('.example/login">https://bank'),
+            (i % 5).cast("string"),
+            F.lit(".example/secure</a>")))
+        .when(v == 1, F.concat(
+            F.lit('<a href="https://site'), (i % 40).cast("string"),
+            F.lit('.example/page">https://site'),
+            (i % 40).cast("string"), F.lit(".example/page</a>")))
+        .otherwise(F.concat(
+            F.lit('<a href="https://shop'), (i % 8).cast("string"),
+            F.lit('.example/deal">Great deals here</a>')))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("html", 'href="https://([^/"]+)', 1)
+        .alias("href_host"),
+        F.regexp_extract("html", ">https://([^/<]+)", 1)
+        .alias("shown_host"),
+        F.regexp_extract("html", ">([^<]+)</a>", 1).alias("anchor_text"),
+    ).where(F.col("shown_host") != "")
+    return m.select(
+        "doc_id", "href_host", "shown_host", "anchor_text",
+        F.when(F.col("href_host") != F.col("shown_host"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("host_mismatch"),
+    )
+
+
+def _serp_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<title>Search: term'
+            || CAST(doc_id % 45 AS VARCHAR) || '</title><body>'
+            || CAST((doc_id % 30) * 7 AS VARCHAR)
+            || ' results for "term' || CAST(doc_id % 45 AS VARCHAR)
+            || '"<div class="result">r1</div>'
+            || '<div class="result">r2</div></body>'
+          WHEN 1 THEN '<title>No results</title><body>0 results '
+            || 'for "rare' || CAST(doc_id % 9 AS VARCHAR)
+            || '" — try different keywords</body>'
+          ELSE '<title>Article ' || CAST(doc_id AS VARCHAR)
+            || '</title><body>Normal article body.</body>'
+        END AS html
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(html, '([0-9]+) results for "([^"]+)"', 1)
+          AS n_s,
+        regexp_extract(html, '([0-9]+) results for "([^"]+)"', 2)
+          AS query,
+        len(regexp_extract_all(html, '<div class="result">', 0))
+          AS n_shown
+      FROM p),
+    f AS (SELECT * FROM m WHERE query <> '')
+    SELECT doc_id, query,
+      CAST(n_s AS BIGINT) AS n_results,
+      CAST(n_shown AS BIGINT) AS n_shown,
+      CAST(CASE WHEN CAST(n_s AS BIGINT) = 0 THEN 1 ELSE 0 END
+        AS INT) AS is_empty_serp
+    FROM f
+    """
+
+
+@query("serp_page_detect", _serp_oracle())
+def serp_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-SERP detection (round 4): a site's own search-result
+    pages are infinite crawl space (every query string mints a new
+    URL — url_trap_detection's content-side twin) and near-zero
+    training value, ESPECIALLY the empty-result pages that differ
+    only in the echoed query. The declared result count, the echoed
+    query and the rendered result count extract per page; 0-result
+    SERPs flag for hard drop; a real article pins zero rows.
+
+    Scale shape: one 2-group regexp + one count per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<title>Search: term"), (i % 45).cast("string"),
+            F.lit("</title><body>"), ((i % 30) * 7).cast("string"),
+            F.lit(' results for "term'), (i % 45).cast("string"),
+            F.lit('"<div class="result">r1</div>'
+                  '<div class="result">r2</div></body>')))
+        .when(v == 1, F.concat(
+            F.lit('<title>No results</title><body>0 results for "rare'),
+            (i % 9).cast("string"),
+            F.lit('" — try different keywords</body>')))
+        .otherwise(F.concat(
+            F.lit("<title>Article "), ds,
+            F.lit("</title><body>Normal article body.</body>")))
+    )
+    rx = '([0-9]+) results for "([^"]+)"'
+    p = d.select("doc_id", html.alias("html"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("html", rx, 1).alias("n_s"),
+        F.regexp_extract("html", rx, 2).alias("query"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<div class="result">'), 0
+            )
+        ).alias("n_shown"),
+    ).where(F.col("query") != "")
+    return m.select(
+        "doc_id", "query",
+        F.col("n_s").cast("long").alias("n_results"),
+        F.col("n_shown").cast("long").alias("n_shown"),
+        F.when(F.col("n_s").cast("long") == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_empty_serp"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -400,7 +400,8 @@ COMMENTARY = {
     ),
     "tracker_coownership_edges": (
         "Bipartite host-tracker projection: distinct (hash-agg) -> "
-        "tracker fan-count hash-agg broadcast back as a filter dim -> "
+        "tracker fan-count hash-agg rejoined as the cap filter (AQE "
+        "broadcasts while the corpus-scaled dim fits; not forced) -> "
         "capped equi-self-join -> final hash-agg. The >32-host fan cap "
         "runs BEFORE the join, so the planted UA-7-1 near-clique (97 "
         "hosts, ~4.6k pairs from one key) never reaches the shuffle; "

@@ -65,6 +65,31 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def coownership(docs):
+    """Capped bipartite projection, the tracker_coownership_edges
+    shape: distinct (host, tracker) -> fan-count -> <=32-host cap
+    broadcast back -> equi-self-join -> pair counts. Corpus: each
+    tracker owns exactly 12 hosts (pairs = 5.5n, linear) plus one
+    hot tracker every 997 docs that crosses the cap at large n."""
+    i = F.col("doc_id")
+    ht = docs.select(
+        i.alias("host"),
+        F.when(F.pmod(i, F.lit(997)) == 0, F.lit(-1).cast("long"))
+        .otherwise((i / 12).cast("long")).alias("tracker_id"),
+    ).distinct()
+    fan = ht.groupBy("tracker_id").agg(F.count("*").alias("n_hosts"))
+    keep = ht.join(fan.where(F.col("n_hosts") <= 32), "tracker_id")
+    a, b = keep.alias("a"), keep.alias("b")
+    e = a.join(
+        b,
+        (F.col("a.tracker_id") == F.col("b.tracker_id"))
+        & (F.col("a.host") < F.col("b.host")),
+    ).select(
+        F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+    )
+    return e.groupBy("host_a", "host_b").count()
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -130,6 +155,12 @@ def main() -> None:
         # r4: reversed-edge pointer jumping — 4 log-rounds at
         # max_hops=16, all uniform keys; must stay linear in rows
         "pagination": lambda d, e: paged(d),
+        # r4 s6: capped bipartite projection (tracker co-ownership).
+        # 12 hosts per tracker by construction => 66 pairs/tracker =>
+        # total pairs = 5.5n, linear; the planted hot tracker (every
+        # 997th doc) crosses the 32-host cap at large n and is
+        # FILTERED, proving the clique fence scales.
+        "coownership": lambda d, e: coownership(d),
     }
 
     out: dict[str, dict] = {}
