@@ -269,6 +269,11 @@ CRITICAL = [
     "canonical_chain_resolution",
     "meta_viewport_mobile",
     "honeypot_form_detect",
+    "x_robots_tag_parse",
+    "link_text_url_mismatch",
+    "serp_page_detect",
+    # NOT wav_silence_segments / jpeg_quality_estimate: synthesized-
+    # corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
     # construction-literal oracle (same class as the EXIF/PNG-meta
     # rows below).
