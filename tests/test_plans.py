@@ -309,3 +309,52 @@ def test_neardup_tiling_has_no_window(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = cosine_neardup_pairs(emb, threshold=0.4, dim=64, max_bucket=64)
     assert "Window" not in _plan(df)
+
+
+def test_session6_distributed_shapes(spark):
+    """Session-6 shape contracts: the section ROLLUP is one Expand +
+    a SINGLE Exchange; the tracker co-ownership projection carries no
+    SortAggregate, no cartesian, and no FORCED broadcast of the
+    corpus-scaled fan dim (AQE may still choose one at runtime); the
+    per-row extraction batches stay shuffle-free and Python-free."""
+    import re
+
+    from ocr_spark.queries import QUERIES
+
+    rollup = _plan(QUERIES["site_section_rollup"](spark, SF))
+    assert "Expand" in rollup
+    assert len(re.findall(r"^\s*\+?-?\s*\(\d+\) Exchange", rollup, re.M)) == 1
+    assert "SortAggregate" not in rollup
+
+    coown = _plan(QUERIES["tracker_coownership_edges"](spark, SF))
+    assert "SortAggregate" not in coown
+    assert "CartesianProduct" not in coown
+    assert "Python" not in coown
+
+    for name in (
+        "isbn_validate_extract",
+        "uuid_version_profile",
+        "tracking_pixel_detect",
+        "accessibility_profile",
+        "typographic_normalize",
+        "meta_keywords_stuffing",
+        "serp_page_detect",
+        "x_robots_tag_parse",
+        "copyright_staleness",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "Exchange" not in plan, name  # rides the scan, no shuffle
+
+    # join-shaped session-6 queries: equi-joins only, all JVM
+    for name in (
+        "toc_anchor_resolution",
+        "hreflang_reciprocity_audit",
+        "canonical_chain_resolution",
+        "analytics_id_extract",
+        "ip_colocation_groups",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Python" not in plan, name
