@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 PAGES_DDL = (
@@ -551,3 +552,108 @@ def _cdc_score_and_commit(
         .mode("overwrite")
         .parquet(index_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl politeness gate (custom stateful operator #3)
+# ---------------------------------------------------------------------------
+
+_POLITE_STATE = StructType([StructField("last_allowed_us", LongType())])
+
+POLITENESS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("ts", StringType()),
+        StructField("decision", StringType()),
+        StructField("wait_us", LongType()),
+    ]
+)
+
+_POLITE_INTERVAL_US = 10_000_000  # default: 10 s between fetches per host
+
+
+def _gate_rows(host, us, urls, last, interval_us):
+    """Shared decision loop: a fetch is ALLOWED when >= interval has
+    passed since the last ALLOWED fetch on this host, else DEFERRED
+    with the residual wait. Only allowed fetches advance the clock,
+    so the sequence is a pure function of event-time order —
+    identical replayed from batch or streamed live."""
+    out = []
+    for t, u in zip(us, urls):
+        if last is None or t - last >= interval_us:
+            out.append((host, u, _fmt_us(t), "allowed", 0))
+            last = t
+        else:
+            out.append(
+                (host, u, _fmt_us(t), "deferred", last + interval_us - t)
+            )
+    return out, last
+
+
+def politeness_gate(
+    fetches: DataFrame, interval_us: int = _POLITE_INTERVAL_US
+) -> DataFrame:
+    """Streaming per-host politeness scheduler via
+    applyInPandasWithState: state is one BIGINT per host (the last
+    allowed fetch's event time), partitioned by host — nothing
+    accumulates centrally, and a 10^8-host frontier shards the state
+    store exactly like the shuffle."""
+    import pandas as pd
+
+    def gate(key, pdfs, state: GroupState):
+        rows = [pdf[["ts", "url"]] for pdf in pdfs]
+        if not rows:
+            return
+        ev = pd.concat(rows).sort_values("ts")
+        us = (ev["ts"].astype("int64") // 1000).tolist()
+        last = state.get[0] if state.exists else None
+        out, last = _gate_rows(key[0], us, ev["url"].tolist(), last,
+                               interval_us)
+        state.update((last,))
+        yield pd.DataFrame(
+            out, columns=["host", "url", "ts", "decision", "wait_us"]
+        )
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=POLITENESS_SCHEMA,
+        stateStructType=_POLITE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def politeness_gate_batch(
+    fetches: DataFrame, interval_us: int = _POLITE_INTERVAL_US
+) -> DataFrame:
+    """Batch twin: the same per-host decision loop via applyInPandas
+    (no state store — each host's full history is one group)."""
+    import pandas as pd
+
+    def gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        out, _ = _gate_rows(
+            pdf["host"].iloc[0], us, pdf["url"].tolist(), None,
+            interval_us,
+        )
+        return pd.DataFrame(
+            out, columns=["host", "url", "ts", "decision", "wait_us"]
+        )
+
+    return fetches.groupBy("host").applyInPandas(
+        gate, schema=POLITENESS_SCHEMA
+    )
+
+
+def fetches_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of (host, ts, url) fetch requests."""
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("url", StringType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(src_dir)

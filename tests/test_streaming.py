@@ -486,3 +486,47 @@ def test_crawl_gate_stream_suppresses_variants_across_batches(
         ).collect()
     }
     assert {r.surt for r in got.where("doc_id < 100").collect()} == want
+
+
+def test_politeness_gate_stream_matches_batch(spark, tmp_path_factory):
+    """Custom stateful operator #3: per-host fetch-interval gate.
+    Decisions are a pure function of event-time order (only ALLOWED
+    fetches advance the host clock), so streamed and batch replays
+    must agree row-for-row; hosts with a single fetch are trivially
+    allowed and bursty hosts produce deferred rows with exact
+    residual waits."""
+    src = str(tmp_path_factory.mktemp("fetches"))
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).where(F.col("user_id") < 40)
+    fetches = events.select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 12).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.col("ts"),
+        F.concat(F.lit("/u"), F.col("event_id").cast("string"))
+        .alias("url"),
+    ).cache()
+    fetches.write.mode("append").parquet(src)
+
+    interval = 30 * 60 * 1_000_000  # 30 min — dense enough to defer
+    gated = sp.politeness_gate(sp.fetches_stream(spark, src), interval)
+    q = sp.run_to_memory(gated, "polite_stream", output_mode="append")
+    _await(q)
+    got = {
+        (r.host, r.url): (r.ts, r.decision, r.wait_us)
+        for r in spark.sql("SELECT * FROM polite_stream").collect()
+    }
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    want = {
+        (r.host, r.url): (r.ts, r.decision, r.wait_us)
+        for r in sp.politeness_gate_batch(fetches, interval).collect()
+    }
+    assert got == want
+    assert len(got) == fetches.count()  # every request gets a verdict
+    decisions = {v[1] for v in got.values()}
+    assert decisions == {"allowed", "deferred"}  # both branches real
+    # residual waits are bounded by the interval
+    assert all(0 <= v[2] < interval for v in got.values())
