@@ -1845,3 +1845,133 @@ def synth_jpeg_quality_corpus(n: int = 12) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tags (MP3 metadata without audio decode)
+# ---------------------------------------------------------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _id3_frame(fid: str, text: str, enc: int) -> bytes:
+    if enc == 0:
+        body = bytes([0]) + text.encode("latin-1")
+    else:  # UTF-16 with BOM
+        body = bytes([1]) + text.encode("utf-16")  # includes BOM
+    return fid.encode("ascii") + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+
+
+def synth_id3_corpus(n: int = 10) -> list[dict]:
+    """Deterministic ID3v2.3 containers ahead of an opaque (gated)
+    MPEG body: TIT2/TPE1/TALB/TRCK text frames cycling latin-1 and
+    UTF-16 encodings, one tagless clip. Expected fields exist before
+    the tag is assembled; the audio payload itself stays undecodable
+    by design (compressed-audio decode is the named production
+    call)."""
+    out = []
+    for i in range(n):
+        fields = {
+            "title": f"Track {i % 40}",
+            "artist": f"Artist {i % 7}",
+            "album": f"Album {i % 5}",
+            "track_no": 1 + i % 12,
+        }
+        if i % 5 == 4:
+            payload = b"\xff\xfb\x90\x00" + bytes(64)  # bare MPEG frame
+            out.append({
+                "clip_id": i, "payload": payload, "has_id3": 0,
+                "title": "", "artist": "", "album": "", "track_no": -1,
+                "enc": "",
+            })
+            continue
+        enc = 0 if i % 2 == 0 else 1
+        frames = (
+            _id3_frame("TIT2", fields["title"], enc)
+            + _id3_frame("TPE1", fields["artist"], enc)
+            + _id3_frame("TALB", fields["album"], enc)
+            + _id3_frame("TRCK", str(fields["track_no"]), 0)
+        )
+        tag = b"ID3\x03\x00\x00" + _syncsafe(len(frames)) + frames
+        payload = tag + b"\xff\xfb\x90\x00" + bytes(48 + i)
+        out.append({
+            "clip_id": i, "payload": payload, "has_id3": 1,
+            "enc": "latin-1" if enc == 0 else "utf-16", **fields,
+        })
+    return out
+
+
+ID3_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("has_id3", IntegerType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("album", StringType()),
+        StructField("track_no", IntegerType()),
+        StructField("enc", StringType()),
+    ]
+)
+
+
+def parse_id3(buf: bytes) -> dict:
+    """Walk an ID3v2.3 tag's text frames. Returns empty fields (and
+    has_id3=0) when no tag leads the stream — the audio body is never
+    touched, so tag harvest over a gated-codec corpus costs only
+    header bytes."""
+    out = {
+        "has_id3": 0, "title": "", "artist": "", "album": "",
+        "track_no": -1, "enc": "",
+    }
+    if buf[:3] != b"ID3" or len(buf) < 10:
+        return out
+    size = (
+        (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+    )
+    out["has_id3"] = 1
+    pos, end = 10, 10 + size
+    names = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+    while pos + 10 <= end:
+        fid = buf[pos:pos + 4].decode("latin-1")
+        flen = int.from_bytes(buf[pos + 4:pos + 8], "big")
+        body = buf[pos + 10:pos + 10 + flen]
+        if not fid.strip("\x00"):
+            break
+        if body[:1] == b"\x00":
+            text, enc = body[1:].decode("latin-1"), "latin-1"
+        else:
+            text, enc = body[1:].decode("utf-16"), "utf-16"
+        if fid in names:
+            out[names[fid]] = text
+            out["enc"] = enc
+        elif fid == "TRCK":
+            out["track_no"] = int(text)
+        pos += 10 + flen
+    return out
+
+
+def id3_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-clip ID3 text-frame extraction, Arrow-batched mapInPandas
+    — the metadata face of the otherwise-gated compressed-audio
+    family (decode stays behind the named soundfile call)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                m = parse_id3(bytes(payload))
+                rows.append(
+                    (
+                        int(clip_id), m["has_id3"], m["title"],
+                        m["artist"], m["album"], m["track_no"], m["enc"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ID3_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, ID3_SCHEMA)

@@ -25039,6 +25039,49 @@ def serp_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _id3_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (tag fields
+    exist before the container is assembled)."""
+    from ocr_spark.operators.multimodal import synth_id3_corpus
+
+    rows = ", ".join(
+        f"({r['clip_id']}, {r['has_id3']}, '{r['title']}', "
+        f"'{r['artist']}', '{r['album']}', {r['track_no']}, '{r['enc']}')"
+        for r in synth_id3_corpus()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(clip_id, has_id3, title, artist, album, track_no, enc)"
+    )
+
+
+@query("mp3_id3_tags", _id3_oracle())
+def mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction (round 4): title/artist/album/track
+    metadata rides ahead of the MPEG audio in a self-describing tag —
+    harvestable with ZERO audio decode, which matters because
+    compressed-audio decode itself stays behind the named production
+    call (multimodal.py's soundfile gate). Latin-1 and UTF-16 text
+    encodings both decode per the frame's encoding byte; a tagless
+    clip pins the has_id3=0 branch.
+
+    Scale shape: Arrow-batched mapInPandas reading only the tag
+    header bytes — the audio body never crosses into Python memory
+    churn.
+    """
+    from ocr_spark.operators.multimodal import (
+        id3_features,
+        synth_id3_corpus,
+    )
+
+    corpus = synth_id3_corpus()
+    base = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["payload"])) for r in corpus],
+        "clip_id int, media binary",
+    )
+    return id3_features(base.repartition(8, "clip_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------

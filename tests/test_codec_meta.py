@@ -140,3 +140,19 @@ def test_jpeg_dqt_16bit_raises():
     buf[pos + 4] |= 0x10  # Pq = 1 (16-bit) — unsupported, must not guess
     with pytest.raises(NotImplementedError):
         M.parse_jpeg_dqt(bytes(buf))
+
+
+def test_id3_roundtrip_both_encodings():
+    encs = set()
+    for r in M.synth_id3_corpus():
+        got = M.parse_id3(r["payload"])
+        for k in got:
+            assert got[k] == r[k], (r["clip_id"], k)
+        if got["has_id3"]:
+            encs.add(got["enc"])
+    assert encs == {"latin-1", "utf-16"}
+
+
+def test_id3_absent_and_garbage():
+    assert M.parse_id3(b"\xff\xfb\x90\x00" + bytes(32))["has_id3"] == 0
+    assert M.parse_id3(b"")["has_id3"] == 0
