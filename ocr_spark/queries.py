@@ -25082,6 +25082,399 @@ def mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id3_features(base.repartition(8, "clip_id"))
 
 
+def _phone_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Call +1 (555) 01' || lpad(CAST(doc_id % 100
+            AS VARCHAR), 2, '0') || '-44' || lpad(CAST(doc_id % 80
+            AS VARCHAR), 2, '0') || ' for support.'
+          WHEN 1 THEN 'Ring +44 20 7' || lpad(CAST(doc_id % 1000
+            AS VARCHAR), 3, '0') || ' ' || lpad(CAST(doc_id % 10000
+            AS VARCHAR), 4, '0') || ' now.'
+          WHEN 2 THEN 'Dial 0800 ' || lpad(CAST(doc_id % 1000000
+            AS VARCHAR), 6, '0') || ' toll-free.'
+          ELSE 'No phone number in doc ' || CAST(doc_id AS VARCHAR)
+            || '.'
+        END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(text,
+          '(\\+?[0-9][0-9 ()-]{7,})', 1) AS raw
+      FROM p),
+    f AS (
+      SELECT doc_id, trim(raw) AS raw,
+        regexp_replace(trim(raw), '[^0-9+]', '', 'g') AS digits
+      FROM m WHERE raw <> '')
+    SELECT doc_id, raw, digits,
+      CASE WHEN digits LIKE '+1%' THEN 'US/CA'
+           WHEN digits LIKE '+44%' THEN 'UK'
+           WHEN digits LIKE '+%' THEN 'other-intl'
+           ELSE 'national' END AS region,
+      CAST(length(replace(digits, '+', '')) AS BIGINT) AS n_digits,
+      CAST(CASE WHEN digits LIKE '+%' THEN 1 ELSE 0 END AS INT)
+        AS e164_ready
+    FROM f
+    """
+
+
+@query("phone_e164_normalize", _phone_oracle())
+def phone_e164_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text phone normalization (round 4): numbers appear as
+    "+1 (555) 010-4477", "+44 20 7946 0018" and national "0800"
+    forms — contact-graph joins need ONE canonical digit string (the
+    tel: href parse in contact_link_extract only sees marked-up
+    numbers). Punctuation strips to digits+plus; the country prefix
+    classifies the region; national forms (no +) flag as NOT
+    E.164-ready rather than guessing a country; a number-free page
+    pins zero rows.
+
+    Scale shape: one regexp + one regexp_replace per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 4
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Call +1 (555) 01"),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lit("-44"), F.lpad((i % 80).cast("string"), 2, "0"),
+            F.lit(" for support.")))
+        .when(v == 1, F.concat(
+            F.lit("Ring +44 20 7"),
+            F.lpad((i % 1000).cast("string"), 3, "0"), F.lit(" "),
+            F.lpad((i % 10000).cast("string"), 4, "0"),
+            F.lit(" now.")))
+        .when(v == 2, F.concat(
+            F.lit("Dial 0800 "),
+            F.lpad((i % 1000000).cast("string"), 6, "0"),
+            F.lit(" toll-free.")))
+        .otherwise(F.concat(
+            F.lit("No phone number in doc "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    raw = F.regexp_extract("text", "(\\+?[0-9][0-9 ()-]{7,})", 1)
+    m = p.select("doc_id", raw.alias("raw0")).where(F.col("raw0") != "")
+    trimmed = F.trim(F.col("raw0"))
+    digits = F.regexp_replace(trimmed, "[^0-9+]", "")
+    f = m.select(
+        "doc_id", trimmed.alias("raw"), digits.alias("digits")
+    )
+    dg = F.col("digits")
+    return f.select(
+        "doc_id", "raw", "digits",
+        F.when(dg.startswith("+1"), F.lit("US/CA"))
+        .when(dg.startswith("+44"), F.lit("UK"))
+        .when(dg.startswith("+"), F.lit("other-intl"))
+        .otherwise(F.lit("national")).alias("region"),
+        F.length(F.replace(dg, F.lit("+"), F.lit(""))).cast("long")
+        .alias("n_digits"),
+        F.when(dg.startswith("+"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("e164_ready"),
+    )
+
+
+def _postal_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Visit us at ' || CAST(doc_id % 900 + 100
+            AS VARCHAR) || ' Main St, Springfield, IL '
+            || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+            || ' today.'
+          WHEN 1 THEN 'Office: ' || CAST(doc_id % 80 + 1 AS VARCHAR)
+            || ' High Road, London SW1A '
+            || CAST(doc_id % 9 AS VARCHAR) || 'AA, UK.'
+          ELSE 'No street address in doc ' || CAST(doc_id AS VARCHAR)
+            || '.'
+        END AS text
+      FROM documents),
+    us AS (
+      SELECT doc_id, 'US' AS country,
+        regexp_extract(text,
+          '([0-9]+ [A-Z][a-z]+ (?:St|Road|Ave))', 1) AS street,
+        regexp_extract(text, ', ([A-Z][a-z]+), [A-Z]{2} ', 1)
+          AS city,
+        regexp_extract(text, ' ([0-9]{5}) ', 1) AS postal_code
+      FROM p WHERE regexp_matches(text, ' [A-Z]{2} [0-9]{5} ')
+      UNION ALL
+      SELECT doc_id, 'UK',
+        regexp_extract(text,
+          '([0-9]+ [A-Z][a-z]+ (?:St|Road|Ave))', 1),
+        regexp_extract(text, ', ([A-Z][a-z]+) [A-Z]{2}[0-9]', 1),
+        regexp_extract(text,
+          '([A-Z]{2}[0-9][A-Z]? [0-9][A-Z]{2})', 1)
+      FROM p WHERE regexp_matches(text,
+        '[A-Z]{2}[0-9][A-Z]? [0-9][A-Z]{2}'))
+    SELECT doc_id, country, street, city, postal_code
+    FROM us WHERE postal_code <> ''
+    """
+
+
+@query("postal_address_extract", _postal_oracle())
+def postal_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postal-address extraction (round 4): street + city + postal
+    code grounds a page to a place (local-business corpora, geo
+    supervision next to geo_meta_extract's machine-readable coords)
+    — and the POSTAL CODE GRAMMAR is country-specific, so each
+    country parses with its own pattern (US 5-digit vs UK AN NAA)
+    instead of one leaky regex. An address-free page pins zero rows.
+
+    Scale shape: two pattern branches unioned off one scan, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    v = i % 3
+    text = (
+        F.when(v == 0, F.concat(
+            F.lit("Visit us at "), (i % 900 + 100).cast("string"),
+            F.lit(" Main St, Springfield, IL "),
+            F.lpad((i % 100000).cast("string"), 5, "0"),
+            F.lit(" today.")))
+        .when(v == 1, F.concat(
+            F.lit("Office: "), (i % 80 + 1).cast("string"),
+            F.lit(" High Road, London SW1A "),
+            (i % 9).cast("string"), F.lit("AA, UK.")))
+        .otherwise(F.concat(
+            F.lit("No street address in doc "), ds, F.lit(".")))
+    )
+    p = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    street = F.regexp_extract(
+        t, "([0-9]+ [A-Z][a-z]+ (?:St|Road|Ave))", 1
+    )
+    us = p.where(t.rlike(" [A-Z]{2} [0-9]{5} ")).select(
+        "doc_id", F.lit("US").alias("country"),
+        street.alias("street"),
+        F.regexp_extract(t, ", ([A-Z][a-z]+), [A-Z]{2} ", 1)
+        .alias("city"),
+        F.regexp_extract(t, " ([0-9]{5}) ", 1).alias("postal_code"),
+    )
+    uk = p.where(t.rlike("[A-Z]{2}[0-9][A-Z]? [0-9][A-Z]{2}")).select(
+        "doc_id", F.lit("UK").alias("country"),
+        street.alias("street"),
+        F.regexp_extract(t, ", ([A-Z][a-z]+) [A-Z]{2}[0-9]", 1)
+        .alias("city"),
+        F.regexp_extract(
+            t, "([A-Z]{2}[0-9][A-Z]? [0-9][A-Z]{2})", 1
+        ).alias("postal_code"),
+    )
+    return us.unionByName(uk).where(F.col("postal_code") != "")
+
+
+def _strike_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Sale: <del>$' || CAST(doc_id % 60 + 40
+            AS VARCHAR) || '</del> <ins>$'
+            || CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 60 + 45
+                    ELSE doc_id % 30 + 10 END AS VARCHAR)
+            || '</ins> today only!'
+          WHEN 1 THEN 'Was <s>$' || CAST((doc_id % 20 + 5) * 10
+            AS VARCHAR) || '</s> now $' || CAST((doc_id % 20 + 5) * 5
+            AS VARCHAR) || '.'
+          ELSE 'Fixed price $' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            || ', no discount.'
+        END AS html
+      FROM documents),
+    a AS (
+      SELECT doc_id,
+        regexp_extract(html,
+          '<(?:del|s)>\\$([0-9]+)</(?:del|s)>', 1) AS was_s,
+        COALESCE(NULLIF(regexp_extract(html,
+          '<ins>\\$([0-9]+)</ins>', 1), ''),
+          regexp_extract(html, 'now \\$([0-9]+)', 1)) AS now_s
+      FROM p),
+    f AS (
+      SELECT doc_id, CAST(was_s AS BIGINT) AS was_price,
+        CAST(now_s AS BIGINT) AS now_price
+      FROM a WHERE was_s <> '' AND now_s <> '')
+    SELECT doc_id, was_price, now_price,
+      CAST(was_price - now_price AS BIGINT) AS discount_abs,
+      CAST(TRUNC(100.0 * (was_price - now_price) / was_price)
+        AS BIGINT) AS discount_pct,
+      CAST(CASE WHEN now_price > was_price THEN 1 ELSE 0 END AS INT)
+        AS fake_discount
+    FROM f
+    """
+
+
+@query("strike_price_discount", _strike_oracle())
+def strike_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strike-through discount extraction (round 4): <del>$40</del>
+    <ins>$15</ins> (and the prose "Was <s>$X</s> now $Y" form) pairs
+    the old and new price in one element — richer supervision than a
+    lone price, and the computed discount percentage exposes fake
+    markdowns (now > was) that price-comparison corpora must flag.
+    Truncating division keeps the percentage integer-exact across
+    engines; an undiscounted page pins zero rows.
+
+    Scale shape: two anchored regexps + integer arithmetic per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("Sale: <del>$"), (i % 60 + 40).cast("string"),
+            F.lit("</del> <ins>$"),
+            F.when(i % 9 == 0, i % 60 + 45)
+            .otherwise(i % 30 + 10).cast("string"),
+            F.lit("</ins> today only!")))
+        .when(v == 1, F.concat(
+            F.lit("Was <s>$"), ((i % 20 + 5) * 10).cast("string"),
+            F.lit("</s> now $"), ((i % 20 + 5) * 5).cast("string"),
+            F.lit(".")))
+        .otherwise(F.concat(
+            F.lit("Fixed price $"), (i % 90 + 10).cast("string"),
+            F.lit(", no discount.")))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    was_s = F.regexp_extract(h, "<(?:del|s)>\\$([0-9]+)</(?:del|s)>", 1)
+    ins_s = F.regexp_extract(h, "<ins>\\$([0-9]+)</ins>", 1)
+    now_prose = F.regexp_extract(h, "now \\$([0-9]+)", 1)
+    now_s = F.coalesce(F.nullif(ins_s, F.lit("")), now_prose)
+    a = p.select(
+        "doc_id", was_s.alias("was_s"), now_s.alias("now_s")
+    ).where((F.col("was_s") != "") & (F.col("now_s") != ""))
+    was = F.col("was_s").cast("long")
+    now = F.col("now_s").cast("long")
+    f = a.select(
+        "doc_id", was.alias("was_price"), now.alias("now_price")
+    )
+    wp, np_ = F.col("was_price"), F.col("now_price")
+    return f.select(
+        "doc_id", "was_price", "now_price",
+        (wp - np_).cast("long").alias("discount_abs"),
+        # cast() truncates toward zero like DuckDB TRUNC — floor()
+        # disagrees on the planted NEGATIVE (fake) discounts
+        (100.0 * (wp - np_) / wp).cast("long").alias("discount_pct"),
+        F.when(np_ > wp, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("fake_discount"),
+    )
+
+
+def _cookie_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+          AS page_host,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Set-Cookie: sid=tok'
+            || CAST(doc_id % 70 AS VARCHAR)
+            || '; Domain=.example; Path=/; Secure; HttpOnly; '
+            || 'SameSite=None'
+          WHEN 1 THEN 'Set-Cookie: pref=v'
+            || CAST(doc_id % 12 AS VARCHAR) || '; Domain=host'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '.example; Path=/a; SameSite=Lax'
+          ELSE 'Set-Cookie: tmp=x' || CAST(doc_id % 5 AS VARCHAR)
+            || '; Path=/'
+        END AS header
+      FROM documents),
+    m AS (
+      SELECT doc_id, page_host,
+        regexp_extract(header, 'Set-Cookie: ([a-z]+)=', 1)
+          AS cookie_name,
+        regexp_extract(header, 'Domain=([^;]+)', 1) AS domain,
+        CAST(CASE WHEN contains(header, '; Secure')
+             THEN 1 ELSE 0 END AS INT) AS secure,
+        CAST(CASE WHEN contains(header, '; HttpOnly')
+             THEN 1 ELSE 0 END AS INT) AS http_only,
+        COALESCE(NULLIF(regexp_extract(header,
+          'SameSite=([A-Za-z]+)', 1), ''), 'unset') AS same_site
+      FROM p)
+    SELECT doc_id, cookie_name, domain, secure, http_only, same_site,
+      CAST(CASE WHEN domain <> '' AND domain <> page_host
+             AND page_host NOT LIKE '%' || domain
+           THEN 1
+           WHEN domain LIKE '.%' THEN 1
+           ELSE 0 END AS INT) AS broad_scope
+    FROM m
+    """
+
+
+@query("cookie_attributes_audit", _cookie_oracle())
+def cookie_attributes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-Cookie attribute audit (round 4): cookie hygiene is a
+    site-quality and tracking signal — Secure/HttpOnly/SameSite
+    flags profile operator maturity, and a Domain= broader than the
+    serving host (the ".example" apex form) marks cross-subdomain
+    tracking scope (the cookie face of the IP-colocation and
+    tracker-ID ownership signals). Host-scoped, apex-scoped and
+    attribute-free cookies all plant; SameSite folds to 'unset' when
+    absent.
+
+    Scale shape: anchored regexps + substring probes per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    page_host = F.concat(
+        F.lit("host"), (i % 97).cast("string"), F.lit(".example")
+    )
+    header = (
+        F.when(v == 0, F.concat(
+            F.lit("Set-Cookie: sid=tok"), (i % 70).cast("string"),
+            F.lit("; Domain=.example; Path=/; Secure; HttpOnly; "
+                  "SameSite=None")))
+        .when(v == 1, F.concat(
+            F.lit("Set-Cookie: pref=v"), (i % 12).cast("string"),
+            F.lit("; Domain=host"), (i % 97).cast("string"),
+            F.lit(".example; Path=/a; SameSite=Lax")))
+        .otherwise(F.concat(
+            F.lit("Set-Cookie: tmp=x"), (i % 5).cast("string"),
+            F.lit("; Path=/")))
+    )
+    p = d.select(
+        "doc_id", page_host.alias("page_host"), header.alias("header")
+    )
+    hd = F.col("header")
+    domain = F.regexp_extract(hd, "Domain=([^;]+)", 1)
+    m = p.select(
+        "doc_id", "page_host",
+        F.regexp_extract(hd, "Set-Cookie: ([a-z]+)=", 1)
+        .alias("cookie_name"),
+        domain.alias("domain"),
+        F.when(hd.contains("; Secure"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("secure"),
+        F.when(hd.contains("; HttpOnly"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("http_only"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(hd, "SameSite=([A-Za-z]+)", 1),
+                F.lit(""),
+            ),
+            F.lit("unset"),
+        ).alias("same_site"),
+    )
+    dm = F.col("domain")
+    return m.select(
+        "doc_id", "cookie_name", "domain", "secure", "http_only",
+        "same_site",
+        F.when(
+            (dm != "") & (dm != F.col("page_host"))
+            & ~F.col("page_host").endswith(dm),
+            F.lit(1),
+        )
+        .when(dm.startswith("."), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("broad_scope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-visible ordering
 # ---------------------------------------------------------------------------
