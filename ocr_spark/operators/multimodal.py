@@ -1975,3 +1975,212 @@ def id3_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, ID3_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP/AVIF container sniffing (dims without decode) and EPUB/ZIP listing
+# ---------------------------------------------------------------------------
+
+
+def synth_webimg_corpus(n: int = 12) -> list[dict]:
+    """Deterministic modern-image containers: extended WebP (VP8X
+    canvas dims), lossless WebP (VP8L 14-bit header dims), AVIF and
+    HEIC ftyp brands, plus a JPEG negative. Expected kind/dims exist
+    before the bytes are assembled; pixel DECODE for these formats
+    stays gated (the named production calls), but routing and
+    dimensions must not wait for it."""
+    from ocr_spark.kernels import jpeg
+
+    out = []
+    for i in range(n):
+        v = i % 5
+        w, h = 64 + i * 16, 48 + i * 8
+        if v == 0:
+            vp8x = (
+                b"VP8X" + struct.pack("<I", 10) + bytes(4)
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+            )
+            body = b"WEBP" + vp8x
+            payload = b"RIFF" + struct.pack("<I", len(body)) + body
+            out.append({"img_id": i, "payload": payload,
+                        "kind": "webp", "variant": "VP8X",
+                        "width": w, "height": h})
+        elif v == 1:
+            w2, h2 = (w - 1) % 16384 + 1, (h - 1) % 16384 + 1
+            bits = (w2 - 1) | ((h2 - 1) << 14)
+            hdr = bytes([0x2F]) + struct.pack("<I", bits)[:4]
+            chunk = b"VP8L" + struct.pack("<I", len(hdr)) + hdr
+            body = b"WEBP" + chunk
+            payload = b"RIFF" + struct.pack("<I", len(body)) + body
+            out.append({"img_id": i, "payload": payload,
+                        "kind": "webp", "variant": "VP8L",
+                        "width": w2, "height": h2})
+        elif v == 2 or v == 3:
+            brand = b"avif" if v == 2 else b"heic"
+            box = b"ftyp" + brand + struct.pack(">I", 0) + b"mif1miaf"
+            payload = struct.pack(">I", 8 + len(box)) + box
+            out.append({"img_id": i, "payload": payload,
+                        "kind": brand.decode(), "variant": "ftyp",
+                        "width": 0, "height": 0})
+        else:
+            img = (
+                (np.arange(16 * 16, dtype=np.int64) * 3 + i) % 256
+            ).astype(np.uint8).reshape(16, 16)
+            out.append({"img_id": i, "payload": jpeg.encode(img, 80),
+                        "kind": "other", "variant": "",
+                        "width": 0, "height": 0})
+    return out
+
+
+WEBIMG_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("variant", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def sniff_webimg(buf: bytes) -> tuple[str, str, int, int]:
+    """Header-only sniff: WebP VP8X canvas dims (24-bit LE minus
+    one), VP8L 14-bit packed dims, ISOBMFF ftyp brands. Anything
+    else routes 'other' — the decode gate's dispatcher."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        kind = buf[12:16]
+        if kind == b"VP8X" and len(buf) >= 30:
+            w = int.from_bytes(buf[24:27], "little") + 1
+            h = int.from_bytes(buf[27:30], "little") + 1
+            return ("webp", "VP8X", w, h)
+        if kind == b"VP8L" and len(buf) >= 25 and buf[20] == 0x2F:
+            bits = int.from_bytes(buf[21:25], "little")
+            return (
+                "webp", "VP8L",
+                (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1,
+            )
+        return ("webp", kind.decode("latin-1").strip(), 0, 0)
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        brand = buf[8:12].decode("latin-1")
+        return (brand if brand in ("avif", "heic") else "isobmff",
+                "ftyp", 0, 0)
+    return ("other", "", 0, 0)
+
+
+def webimg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-image container sniff, Arrow-batched mapInPandas — the
+    router in front of the gated webp/avif decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                kind, variant, w, h = sniff_webimg(bytes(payload))
+                rows.append((int(img_id), kind, variant, w, h))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WEBIMG_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, WEBIMG_SCHEMA)
+
+
+def synth_epub_corpus(n: int = 8) -> list[dict]:
+    """Deterministic EPUB-shaped ZIP containers (stored mimetype
+    member first, container.xml, 1-3 XHTML chapters) plus a plain
+    non-EPUB zip and a non-zip payload. Member lists and sizes are
+    recorded at construction; timestamps pinned to the DOS epoch so
+    the bytes are reproducible."""
+    import io
+    import zipfile
+
+    out = []
+    for i in range(n):
+        if i % 4 == 3:
+            out.append({"doc_id": i, "payload": b"%PDF-1.4 not a zip",
+                        "is_zip": 0, "is_epub": 0, "n_members": 0,
+                        "n_chapters": 0, "total_uncompressed": 0})
+            continue
+        bio = io.BytesIO()
+        members = []
+        with zipfile.ZipFile(bio, "w") as z:
+            def put(name: str, data: str, method: int) -> None:
+                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = method
+                z.writestr(zi, data)
+                members.append((name, len(data)))
+
+            is_epub = i % 4 != 2
+            if is_epub:
+                put("mimetype", "application/epub+zip",
+                    zipfile.ZIP_STORED)
+                put("META-INF/container.xml",
+                    '<container version="1.0"><rootfiles><rootfile '
+                    'full-path="OEBPS/content.opf"/></rootfiles>'
+                    "</container>", zipfile.ZIP_DEFLATED)
+                for c in range(1 + i % 3):
+                    put(f"OEBPS/ch{c}.xhtml",
+                        f"<html><body>Chapter {c} of book {i} "
+                        + "prose " * (10 + i) + "</body></html>",
+                        zipfile.ZIP_DEFLATED)
+            else:
+                put("data.csv", "a,b\n1,2\n", zipfile.ZIP_DEFLATED)
+        out.append({
+            "doc_id": i, "payload": bio.getvalue(), "is_zip": 1,
+            "is_epub": 1 if is_epub else 0,
+            "n_members": len(members),
+            "n_chapters": sum(1 for m, _ in members
+                              if m.endswith(".xhtml")),
+            "total_uncompressed": sum(sz for _, sz in members),
+        })
+    return out
+
+
+EPUB_SCHEMA = StructType(
+    [
+        StructField("doc_id", IntegerType()),
+        StructField("is_zip", IntegerType()),
+        StructField("is_epub", IntegerType()),
+        StructField("n_members", IntegerType()),
+        StructField("n_chapters", IntegerType()),
+        StructField("total_uncompressed", LongType()),
+    ]
+)
+
+
+def epub_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """ZIP central-directory listing without member inflation (except
+    the tiny STORED mimetype read for EPUB identification) — routes
+    book containers into the document pipeline and sizes the extract
+    before any decompression budget is spent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                if buf[:2] != b"PK":
+                    rows.append((int(doc_id), 0, 0, 0, 0, 0))
+                    continue
+                with zipfile.ZipFile(io.BytesIO(buf)) as z:
+                    infos = z.infolist()
+                    is_epub = 0
+                    if infos and infos[0].filename == "mimetype":
+                        if z.read("mimetype") == b"application/epub+zip":
+                            is_epub = 1
+                    rows.append(
+                        (
+                            int(doc_id), 1, is_epub, len(infos),
+                            sum(1 for x in infos
+                                if x.filename.endswith(".xhtml")),
+                            int(sum(x.file_size for x in infos)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EPUB_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, EPUB_SCHEMA)

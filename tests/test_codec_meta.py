@@ -156,3 +156,46 @@ def test_id3_roundtrip_both_encodings():
 def test_id3_absent_and_garbage():
     assert M.parse_id3(b"\xff\xfb\x90\x00" + bytes(32))["has_id3"] == 0
     assert M.parse_id3(b"")["has_id3"] == 0
+
+
+def test_webimg_sniff_matches_construction():
+    kinds = set()
+    for r in M.synth_webimg_corpus():
+        k, v, w, h = M.sniff_webimg(r["payload"])
+        assert (k, v, w, h) == (
+            r["kind"], r["variant"], r["width"], r["height"]
+        ), r["img_id"]
+        kinds.add(k)
+    assert kinds == {"webp", "avif", "heic", "other"}
+
+
+def test_webimg_sniff_truncated_inputs():
+    assert M.sniff_webimg(b"RIFF\x00\x00\x00\x00WEBP")[0] == "webp"
+    assert M.sniff_webimg(b"")[0] == "other"
+    assert M.sniff_webimg(b"GIF89a")[0] == "other"
+
+
+def test_epub_listing_matches_construction():
+    import io
+    import zipfile
+
+    for r in M.synth_epub_corpus():
+        if not r["is_zip"]:
+            assert r["payload"][:2] != b"PK"
+            continue
+        with zipfile.ZipFile(io.BytesIO(r["payload"])) as z:
+            infos = z.infolist()
+            assert len(infos) == r["n_members"]
+            got_epub = int(
+                bool(infos)
+                and infos[0].filename == "mimetype"
+                and z.read("mimetype") == b"application/epub+zip"
+            )
+            assert got_epub == r["is_epub"], r["doc_id"]
+            assert sum(x.file_size for x in infos) == (
+                r["total_uncompressed"]
+            )
+    # byte-reproducible (DOS-epoch timestamps pinned)
+    a = M.synth_epub_corpus()
+    b = M.synth_epub_corpus()
+    assert all(x["payload"] == y["payload"] for x, y in zip(a, b))
