@@ -272,8 +272,22 @@ CRITICAL = [
     "x_robots_tag_parse",
     "link_text_url_mismatch",
     "serp_page_detect",
-    # NOT wav_silence_segments / jpeg_quality_estimate: synthesized-
-    # corpus queries, construction-literal oracles.
+    "phone_e164_normalize",
+    "postal_address_extract",
+    "strike_price_discount",
+    "cookie_attributes_audit",
+    "subdomain_apex_rollup",
+    "data_attr_profile",
+    "meter_progress_extract",
+    "iframe_srcdoc_extract",
+    "speculation_rules_prefetch",
+    "sri_integrity_audit",
+    "csp_report_endpoints",
+    "canvas_fingerprint_detect",
+    "via_cache_chain_parse",
+    "mixed_content_audit",
+    # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
+    # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
     # construction-literal oracle (same class as the EXIF/PNG-meta
     # rows below).
