@@ -286,6 +286,10 @@ CRITICAL = [
     "canvas_fingerprint_detect",
     "via_cache_chain_parse",
     "mixed_content_audit",
+    "doctype_render_mode",
+    "legacy_markup_audit",
+    "inline_event_handler_audit",
+    "jslib_version_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
