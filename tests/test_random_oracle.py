@@ -290,6 +290,10 @@ CRITICAL = [
     "legacy_markup_audit",
     "inline_event_handler_audit",
     "jslib_version_detect",
+    "host_link_reciprocity",
+    "select_options_extract",
+    "star_rating_extract",
+    "color_scheme_audit",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
