@@ -294,6 +294,10 @@ CRITICAL = [
     "select_options_extract",
     "star_rating_extract",
     "color_scheme_audit",
+    "ads_txt_parse",
+    "security_txt_parse",
+    "webmention_endpoint_discovery",
+    "rel_me_identity_links",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
