@@ -298,6 +298,10 @@ CRITICAL = [
     "security_txt_parse",
     "webmention_endpoint_discovery",
     "rel_me_identity_links",
+    "custom_elements_detect",
+    "declarative_shadow_dom",
+    "dialog_popover_detect",
+    "css_custom_props_profile",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
