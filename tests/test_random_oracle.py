@@ -302,6 +302,10 @@ CRITICAL = [
     "declarative_shadow_dom",
     "dialog_popover_detect",
     "css_custom_props_profile",
+    "alt_svc_parse",
+    "server_timing_parse",
+    "sourcemap_link_detect",
+    "websocket_endpoint_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
