@@ -306,6 +306,10 @@ CRITICAL = [
     "server_timing_parse",
     "sourcemap_link_detect",
     "websocket_endpoint_detect",
+    "ruby_annotation_extract",
+    "rtl_direction_profile",
+    "map_embed_coords",
+    "page_weight_breakdown",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
