@@ -310,6 +310,10 @@ CRITICAL = [
     "rtl_direction_profile",
     "map_embed_coords",
     "page_weight_breakdown",
+    "structured_data_consistency_audit",
+    "oembed_discovery",
+    "preload_as_audit",
+    "minified_js_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
