@@ -314,6 +314,9 @@ CRITICAL = [
     "oembed_discovery",
     "preload_as_audit",
     "minified_js_detect",
+    "anchor_text_consensus",
+    "host_title_template_ratio",
+    "query_param_mining",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
