@@ -317,6 +317,10 @@ CRITICAL = [
     "anchor_text_consensus",
     "host_title_template_ratio",
     "query_param_mining",
+    "app_deeplink_extract",
+    "activitypub_discovery",
+    "print_stylesheet_detect",
+    "form_autocomplete_audit",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
