@@ -321,6 +321,9 @@ CRITICAL = [
     "activitypub_discovery",
     "print_stylesheet_detect",
     "form_autocomplete_audit",
+    "host_boilerplate_lines",
+    "session_param_entropy",
+    "url_alias_groups",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
