@@ -324,6 +324,10 @@ CRITICAL = [
     "host_boilerplate_lines",
     "session_param_entropy",
     "url_alias_groups",
+    "aria_landmark_regions",
+    "captcha_block_detect",
+    "age_gate_detect",
+    "share_widget_platforms",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
