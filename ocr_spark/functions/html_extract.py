@@ -569,3 +569,123 @@ def extract_headings(html: str | bytes | None) -> list[tuple[int, int, str]]:
     h1..h6 in document order — the section structure chunkers split on."""
     p = _parse_page_meta(html)
     return [(i, lvl, t) for i, (lvl, t) in enumerate(p.headings)]
+
+
+# -- structured extraction: span-normalized table grid -----------------------
+
+
+class _GridParser(HTMLParser):
+    """Flat-table grid parser implementing the HTML table model's
+    span-filling algorithm: each cell claims a rowspan x colspan
+    rectangle of grid slots, later cells in the row skip slots already
+    claimed from above, and every claimed slot reports the cell's text
+    (with ``is_origin`` marking the anchor slot). Nested tables are out
+    of scope here — extract_tables handles nesting with
+    occurrence-ordered indices; this parser normalizes coordinates for
+    the outermost table level only (a nested <table> is skipped whole).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: list[tuple[int, int, int, str, bool, bool]] = []
+        self._tbl = -1          # current (outermost) table index
+        self._depth = 0         # <table> nesting depth
+        self._row = -1
+        self._col = 0
+        # slots claimed by spans from earlier rows: {(row, col): (text, hdr)}
+        self._pending: dict[tuple[int, int], tuple[str, bool]] = {}
+        self._buf: list[str] | None = None
+        self._cell: tuple[int, int, int, int, bool] | None = None
+
+    def _close_cell(self) -> None:
+        if self._cell is None:
+            return
+        r0, c0, rs, cs, hdr = self._cell
+        text = re.sub(r"\s+", " ", "".join(self._buf or [])).strip()
+        for dr in range(rs):
+            for dc in range(cs):
+                slot = (r0 + dr, c0 + dc)
+                if dr == 0 and dc == 0:
+                    self.cells.append(
+                        (self._tbl, r0, c0, text, hdr, True))
+                elif dr == 0:
+                    self.cells.append(
+                        (self._tbl, r0, c0 + dc, text, hdr, False))
+                else:
+                    # claimed from above: emitted when that row opens
+                    self._pending[slot] = (text, hdr)
+        self._col = c0 + cs
+        self._cell, self._buf = None, None
+
+    def _flush_row_pendings(self) -> None:
+        # emit any slots the current column cursor sits on, advancing it
+        while (self._row, self._col) in self._pending:
+            text, hdr = self._pending.pop((self._row, self._col))
+            self.cells.append(
+                (self._tbl, self._row, self._col, text, hdr, False))
+            self._col += 1
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._close_cell()
+            self._depth += 1
+            if self._depth == 1:
+                self._tbl += 1
+                self._row, self._col = -1, 0
+                self._pending.clear()
+            return
+        if self._depth != 1:
+            return
+        if tag == "tr":
+            self._close_cell()
+            self._row += 1
+            self._col = 0
+            self._flush_row_pendings()
+        elif tag in ("td", "th"):
+            self._close_cell()
+            self._flush_row_pendings()
+            a = {k.lower(): (v or "") for k, v in attrs}
+
+            def span(name: str) -> int:
+                try:
+                    return max(1, min(1000, int(a.get(name, "1"))))
+                except ValueError:
+                    return 1
+
+            self._cell = (self._row, self._col, span("rowspan"),
+                          span("colspan"), tag == "th")
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "table":
+            if self._depth == 1:
+                self._close_cell()
+            self._depth = max(0, self._depth - 1)
+        elif self._depth == 1 and tag in ("td", "th", "tr"):
+            self._close_cell()
+
+    def handle_data(self, data: str) -> None:
+        if self._depth == 1 and self._buf is not None:
+            self._buf.append(data)
+
+
+def extract_grid(html: str | bytes | None) -> list[
+        tuple[int, int, int, str, bool, bool]]:
+    """Span-normalized table grid: every logical (table_idx, row_idx,
+    col_idx) slot of each outermost table, with the claiming cell's
+    whitespace-collapsed text replicated into the slots its
+    rowspan/colspan covers — the browser table-model expansion
+    extract_tables deliberately skips. Returns (table_idx, row, col,
+    text, is_header, is_origin); spans are clamped to [1, 1000]
+    (the HTML spec's colspan cap)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = sniff_decode(html)[0]
+    p = _GridParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed markup: keep the slots assembled so far
+    return p.cells

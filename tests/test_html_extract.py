@@ -219,3 +219,69 @@ def test_extract_headings_outline():
         (3, 6, "deep"),
     ]
     assert extract_headings(None) == []
+
+
+def test_extract_grid_rowspan_fills_below():
+    from ocr_spark.functions.html_extract import extract_grid
+
+    g = extract_grid(
+        '<table><tr><td rowspan="2">a</td><td>b</td></tr>'
+        "<tr><td>c</td></tr></table>")
+    assert g == [
+        (0, 0, 0, "a", False, True),
+        (0, 0, 1, "b", False, True),
+        (0, 1, 0, "a", False, False),
+        (0, 1, 1, "c", False, True),
+    ]
+
+
+def test_extract_grid_block_span_and_column_skip():
+    from ocr_spark.functions.html_extract import extract_grid
+
+    # 2x2 block: the second row's first explicit cell lands at col 2
+    g = extract_grid(
+        '<table><tr><td rowspan="2" colspan="2">big</td><td>r</td>'
+        "</tr><tr><td>s</td></tr></table>")
+    assert (0, 1, 2, "s", False, True) in g
+    assert (0, 1, 0, "big", False, False) in g
+    assert (0, 1, 1, "big", False, False) in g
+    assert len(g) == 6
+
+
+def test_extract_grid_header_spans_and_second_table():
+    from ocr_spark.functions.html_extract import extract_grid
+
+    g = extract_grid(
+        '<table><tr><th colspan="2">h</th></tr></table>'
+        "<table><tr><td>z</td></tr></table>")
+    assert g == [
+        (0, 0, 0, "h", True, True),
+        (0, 0, 1, "h", True, False),
+        (1, 0, 0, "z", False, True),
+    ]
+
+
+def test_extract_grid_invalid_and_clamped_spans():
+    from ocr_spark.functions.html_extract import extract_grid
+
+    # non-numeric span -> 1; zero/negative -> 1; giant clamps to 1000
+    g = extract_grid(
+        '<table><tr><td rowspan="x">a</td>'
+        '<td colspan="0">b</td></tr></table>')
+    assert g == [
+        (0, 0, 0, "a", False, True),
+        (0, 0, 1, "b", False, True),
+    ]
+    g = extract_grid('<table><tr><td colspan="9999">w</td></tr></table>')
+    assert len(g) == 1000
+
+
+def test_extract_grid_skips_nested_tables():
+    from ocr_spark.functions.html_extract import extract_grid
+
+    # nested table content stays out of the outer grid entirely
+    g = extract_grid(
+        "<table><tr><td>o1<table><tr><td>inner</td></tr></table>"
+        "</td><td>o2</td></tr></table>")
+    assert [t for t in g if "inner" in t[3]] == []
+    assert (0, 0, 1, "o2", False, True) in g

@@ -328,6 +328,9 @@ CRITICAL = [
     "captcha_block_detect",
     "age_gate_detect",
     "share_widget_platforms",
+    "table_span_grid",
+    "responsive_breakpoint_profile",
+    "noindex_sitemap_conflict",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
