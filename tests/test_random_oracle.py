@@ -331,6 +331,10 @@ CRITICAL = [
     "table_span_grid",
     "responsive_breakpoint_profile",
     "noindex_sitemap_conflict",
+    "charset_declaration_conflict",
+    "rss_feed_staleness",
+    "comment_spam_profile",
+    "wayback_citation_decode",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
