@@ -335,6 +335,10 @@ CRITICAL = [
     "rss_feed_staleness",
     "comment_spam_profile",
     "wayback_citation_decode",
+    "json_feed_parse",
+    "paywall_schema_declared",
+    "claimreview_extract",
+    "dataset_schema_extract",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
