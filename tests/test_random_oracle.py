@@ -339,6 +339,10 @@ CRITICAL = [
     "paywall_schema_declared",
     "claimreview_extract",
     "dataset_schema_extract",
+    "content_format_variants",
+    "form_method_security_audit",
+    "font_stack_profile",
+    "og_image_card_audit",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
