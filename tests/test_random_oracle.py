@@ -343,6 +343,10 @@ CRITICAL = [
     "form_method_security_audit",
     "font_stack_profile",
     "og_image_card_audit",
+    "tld_lang_consistency",
+    "heading_qa_mining",
+    "cmp_vendor_detect",
+    "host_outlink_fanout",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
