@@ -347,6 +347,10 @@ CRITICAL = [
     "heading_qa_mining",
     "cmp_vendor_detect",
     "host_outlink_fanout",
+    "newsarticle_schema_completeness",
+    "image_license_extract",
+    "site_verification_tokens",
+    "api_key_exposure_scan",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
