@@ -351,6 +351,9 @@ CRITICAL = [
     "image_license_extract",
     "site_verification_tokens",
     "api_key_exposure_scan",
+    "event_burst_hours",
+    "user_churn_snapshot",
+    "event_transition_matrix",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
