@@ -354,6 +354,9 @@ CRITICAL = [
     "event_burst_hours",
     "user_churn_snapshot",
     "event_transition_matrix",
+    "llms_txt_parse",
+    "ai_optout_directives",
+    "robots_ai_agent_matrix",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
