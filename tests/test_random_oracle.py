@@ -357,6 +357,10 @@ CRITICAL = [
     "llms_txt_parse",
     "ai_optout_directives",
     "robots_ai_agent_matrix",
+    "error_ratio_by_host",
+    "third_party_dependency_ratio",
+    "push_prompt_detect",
+    "citation_quality_profile",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
