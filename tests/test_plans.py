@@ -358,3 +358,75 @@ def test_session6_distributed_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Python" not in plan, name
+
+
+def test_session7_distributed_shapes(spark):
+    """Session-7 shape contracts. anchor_text_consensus: every
+    corpus-scaled aggregate is a HashAggregate and the lone
+    SortAggregate (min over the winner STRING) consumes an already-
+    aggregated tie set, never scan output — pinned by requiring a
+    HashAggregate below it in the same plan and no Window anywhere.
+    The boilerplate/alias/param miners: hash-agg only, no cartesian,
+    no forced broadcast of corpus-scaled dims. event_transition_matrix
+    keeps its window KEYED (partition by user_id, never empty
+    partitioning). Per-row session-7 extractors stay shuffle- and
+    Python-free."""
+    from ocr_spark.queries import QUERIES
+
+    anchor = _plan(QUERIES["anchor_text_consensus"](spark, SF))
+    assert "HashAggregate" in anchor
+    assert "Window" not in anchor
+    assert "CartesianProduct" not in anchor
+    # the only SortAggregates are the string-winner pick (two-phase
+    # partial+final pair over the tie set): exactly two nodes, and
+    # the plan's only sort-aggregated function is min(anchor)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) SortAggregate", anchor)) == 2
+    assert "min(anchor" in anchor
+    for fns in _re.findall(r"SortAggregate[\s\S]{0,400}?Functions \[1\]: \[(\w+)\(", anchor):
+        assert fns in ("min", "partial_min")
+
+    for name in (
+        "host_boilerplate_lines",
+        "session_param_entropy",
+        "url_alias_groups",
+        "query_param_mining",
+        "host_title_template_ratio",
+        "content_format_variants",
+        "tld_lang_consistency",
+        "host_outlink_fanout",
+        "event_burst_hours",
+        "user_churn_snapshot",
+        "error_ratio_by_host",
+        "noindex_sitemap_conflict",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "SortAggregate" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+
+    trans = _plan(QUERIES["event_transition_matrix"](spark, SF))
+    assert "CartesianProduct" not in trans
+    assert "windowspecdefinition(user_id" in trans  # keyed, never empty
+
+    for name in (
+        "ads_txt_parse",
+        "security_txt_parse",
+        "rel_me_identity_links",
+        "custom_elements_detect",
+        "declarative_shadow_dom",
+        "css_custom_props_profile",
+        "aria_landmark_regions",
+        "captcha_block_detect",
+        "page_weight_breakdown",
+        "minified_js_detect",
+        "charset_declaration_conflict",
+        "ai_optout_directives",
+        "llms_txt_parse",
+        "third_party_dependency_ratio",
+        "citation_quality_profile",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "Exchange" not in plan, name  # rides the scan
