@@ -361,6 +361,10 @@ CRITICAL = [
     "third_party_dependency_ratio",
     "push_prompt_detect",
     "citation_quality_profile",
+    "locale_path_mirrors",
+    "emoji_density_profile",
+    "charset_prescan_window",
+    "content_disposition_parse",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
