@@ -365,6 +365,10 @@ CRITICAL = [
     "emoji_density_profile",
     "charset_prescan_window",
     "content_disposition_parse",
+    "noscript_cloaking_detect",
+    "bcp47_subtag_parse",
+    "service_worker_detect",
+    "price_currency_consistency",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
