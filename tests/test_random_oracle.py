@@ -369,6 +369,10 @@ CRITICAL = [
     "bcp47_subtag_parse",
     "service_worker_detect",
     "price_currency_consistency",
+    "microdata_itemref_resolution",
+    "paginated_canonical_conflict",
+    "time_element_consistency",
+    "min_fetch_gap_per_host",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
