@@ -373,6 +373,10 @@ CRITICAL = [
     "paginated_canonical_conflict",
     "time_element_consistency",
     "min_fetch_gap_per_host",
+    "robots_channel_conflict",
+    "render_blocking_scripts",
+    "sitemap_media_entries",
+    "search_page_index_leak",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
