@@ -377,6 +377,10 @@ CRITICAL = [
     "render_blocking_scripts",
     "sitemap_media_entries",
     "search_page_index_leak",
+    "clickbait_title_score",
+    "listicle_count_audit",
+    "crypto_address_detect",
+    "lang_length_outliers",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
