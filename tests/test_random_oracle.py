@@ -381,6 +381,9 @@ CRITICAL = [
     "listicle_count_audit",
     "crypto_address_detect",
     "lang_length_outliers",
+    "knn_label_agreement",
+    "embedding_contract_audit",
+    "label_distribution",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
