@@ -384,6 +384,10 @@ CRITICAL = [
     "knn_label_agreement",
     "embedding_contract_audit",
     "label_distribution",
+    "homograph_host_detect",
+    "jsonld_articlebody_extract",
+    "css_generated_content",
+    "web_monetization_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
