@@ -388,6 +388,10 @@ CRITICAL = [
     "jsonld_articlebody_extract",
     "css_generated_content",
     "web_monetization_detect",
+    "code_repo_link_extract",
+    "api_endpoint_doc_extract",
+    "changelog_version_extract",
+    "rating_bounds_audit",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
