@@ -394,7 +394,6 @@ CRITICAL = [
     "rating_bounds_audit",
     "error_streaks",
     "value_quantiles_by_type",
-    "event_props_json_extract",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
