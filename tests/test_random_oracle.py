@@ -394,6 +394,10 @@ CRITICAL = [
     "rating_bounds_audit",
     "error_streaks",
     "value_quantiles_by_type",
+    "duplicate_id_audit",
+    "meta_description_audit",
+    "iso8601_duration_parse",
+    "breadcrumb_url_consistency",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
