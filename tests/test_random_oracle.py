@@ -398,6 +398,10 @@ CRITICAL = [
     "meta_description_audit",
     "iso8601_duration_parse",
     "breadcrumb_url_consistency",
+    "dev_server_leak_detect",
+    "alt_text_caption_quality",
+    "og_locale_alternates",
+    "data_nosnippet_extract",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
