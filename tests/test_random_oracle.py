@@ -402,6 +402,10 @@ CRITICAL = [
     "alt_text_caption_quality",
     "og_locale_alternates",
     "data_nosnippet_extract",
+    "luhn_card_detect",
+    "gtin_checksum_validate",
+    "coordinate_precision_audit",
+    "url_secret_params",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
