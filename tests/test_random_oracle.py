@@ -406,6 +406,10 @@ CRITICAL = [
     "gtin_checksum_validate",
     "coordinate_precision_audit",
     "url_secret_params",
+    "press_release_detect",
+    "ad_slot_density",
+    "text_fragment_links",
+    "page_artifact_scrub",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
