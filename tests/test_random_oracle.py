@@ -410,6 +410,9 @@ CRITICAL = [
     "ad_slot_density",
     "text_fragment_links",
     "page_artifact_scrub",
+    "ligature_fold",
+    "dropcap_rejoin",
+    "running_header_scrub",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
