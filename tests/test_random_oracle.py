@@ -413,6 +413,18 @@ CRITICAL = [
     "ligature_fold",
     "dropcap_rejoin",
     "running_header_scrub",
+    "control_char_scrub",
+    "bidi_control_scrub",
+    "double_escape_repair",
+    "base64_blob_detect",
+    "iban_checksum_validate",
+    "toxicity_lexicon_score",
+    "spdx_license_id_extract",
+    "privacy_policy_links",
+    "retry_after_parse",
+    "vary_header_audit",
+    "content_language_channels",
+    "executable_payload_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
