@@ -2184,3 +2184,271 @@ def epub_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, EPUB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO (audio properties without any frame decode)
+# ---------------------------------------------------------------------------
+
+
+def synth_flac_corpus(n: int = 10) -> list[dict]:
+    """Deterministic FLAC containers: 'fLaC' magic + a STREAMINFO
+    metadata block (the mandatory first block: blocksize/framesize
+    bounds, then the packed 64-bit sample-rate/channels/bps/
+    total-samples word) and, on alternating clips, a VORBIS_COMMENT
+    block — audio FRAMES are absent by design (frame decode is the
+    gated production call; the properties ride in the header).
+    Expected fields exist before the bytes are assembled."""
+    out = []
+    rates = [44100, 48000, 96000]
+    for i in range(n):
+        if i % 5 == 4:
+            out.append({
+                "clip_id": i, "payload": b"\xffnotflac" + bytes(32),
+                "is_flac": 0, "sample_rate": -1, "channels": -1,
+                "bits_per_sample": -1, "total_samples": -1,
+                "duration_ms": -1, "n_blocks": 0, "has_tags": 0,
+            })
+            continue
+        sr = rates[i % 3]
+        ch = 1 + i % 2
+        bps = 16 if i % 2 == 0 else 24
+        total = sr * (2 + i % 4) + i  # a few seconds, non-round
+        word = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        si = (
+            (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
+            + (14).to_bytes(3, "big") + (14).to_bytes(3, "big")
+            + word.to_bytes(8, "big") + bytes(16)
+        )
+        has_tags = 1 if i % 2 == 1 else 0
+        blocks = b""
+        if has_tags:
+            vendor = b"ocr_spark"
+            vc = (
+                len(vendor).to_bytes(4, "little") + vendor
+                + (0).to_bytes(4, "little")
+            )
+            blocks = (
+                bytes([0x00]) + len(si).to_bytes(3, "big") + si
+                + bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+            )
+        else:
+            blocks = bytes([0x80]) + len(si).to_bytes(3, "big") + si
+        out.append({
+            "clip_id": i, "payload": b"fLaC" + blocks,
+            "is_flac": 1, "sample_rate": sr, "channels": ch,
+            "bits_per_sample": bps, "total_samples": total,
+            "duration_ms": total * 1000 // sr,
+            "n_blocks": 1 + has_tags, "has_tags": has_tags,
+        })
+    return out
+
+
+FLAC_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("is_flac", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("has_tags", IntegerType()),
+    ]
+)
+
+
+def parse_flac_streaminfo(buf: bytes) -> dict:
+    """Walk FLAC metadata blocks; decode STREAMINFO's packed word.
+    Returns is_flac=0 sentinels for non-FLAC payloads. Audio frames
+    (everything past the last metadata block) are never touched."""
+    out = {
+        "is_flac": 0, "sample_rate": -1, "channels": -1,
+        "bits_per_sample": -1, "total_samples": -1, "duration_ms": -1,
+        "n_blocks": 0, "has_tags": 0,
+    }
+    if buf[:4] != b"fLaC":
+        return out
+    out["is_flac"] = 1
+    pos = 4
+    while pos + 4 <= len(buf):
+        hdr = buf[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(buf[pos + 1:pos + 4], "big")
+        body = buf[pos + 4:pos + 4 + blen]
+        out["n_blocks"] += 1
+        if btype == 0 and len(body) >= 18:
+            word = int.from_bytes(body[10:18], "big")
+            sr = word >> 44
+            ch = ((word >> 41) & 0x7) + 1
+            bps = ((word >> 36) & 0x1F) + 1
+            total = word & ((1 << 36) - 1)
+            out.update(
+                sample_rate=sr, channels=ch, bits_per_sample=bps,
+                total_samples=total,
+                duration_ms=total * 1000 // sr if sr else -1,
+            )
+        elif btype == 4:
+            out["has_tags"] = 1
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    return out
+
+
+def flac_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-clip FLAC STREAMINFO harvest, Arrow-batched mapInPandas —
+    header bytes only; the (gated) frame decoder is never invoked."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                m = parse_flac_streaminfo(bytes(payload))
+                rows.append(
+                    (
+                        int(clip_id), m["is_flac"], m["sample_rate"],
+                        m["channels"], m["bits_per_sample"],
+                        m["total_samples"], m["duration_ms"],
+                        m["n_blocks"], m["has_tags"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FLAC_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, FLAC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF box structure (container routing without codec decode)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def synth_mp4_corpus(n: int = 10) -> list[dict]:
+    """Deterministic ISO-BMFF containers: ftyp (major brand + 
+    compatibles), moov holding an mvhd fullbox (timescale + duration)
+    and 1-2 empty trak shells, and a small mdat. Sample data inside
+    trak is absent by design — A/V codec decode is the gated
+    production call; the container walk is what routing needs.
+    Expected fields exist before the bytes are assembled."""
+    out = []
+    for i in range(n):
+        if i % 5 == 4:
+            out.append({
+                "clip_id": i, "payload": b"RIFF\x10\x00\x00\x00WAVE",
+                "is_bmff": 0, "major_brand": "", "timescale": -1,
+                "duration_ms": -1, "n_traks": 0, "has_mdat": 0,
+                "top_boxes": "",
+            })
+            continue
+        brand = b"isom" if i % 2 == 0 else b"mp42"
+        ftyp = _box(b"ftyp", brand + bytes(4) + b"isommp42")
+        timescale = 1000 if i % 2 == 0 else 90000
+        dur_units = timescale * (5 + i % 7) + i * (timescale // 1000)
+        mvhd = _box(
+            b"mvhd",
+            bytes(4) + bytes(8)
+            + timescale.to_bytes(4, "big") + dur_units.to_bytes(4, "big")
+            + bytes(80),
+        )
+        n_traks = 1 + i % 2
+        traks = b"".join(_box(b"trak", bytes(8)) for _ in range(n_traks))
+        moov = _box(b"moov", mvhd + traks)
+        mdat = _box(b"mdat", bytes(16 + i))
+        out.append({
+            "clip_id": i, "payload": ftyp + moov + mdat,
+            "is_bmff": 1, "major_brand": brand.decode(),
+            "timescale": timescale,
+            "duration_ms": dur_units * 1000 // timescale,
+            "n_traks": n_traks, "has_mdat": 1,
+            "top_boxes": "ftyp|moov|mdat",
+        })
+    return out
+
+
+MP4_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("is_bmff", IntegerType()),
+        StructField("major_brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_traks", IntegerType()),
+        StructField("has_mdat", IntegerType()),
+        StructField("top_boxes", StringType()),
+    ]
+)
+
+
+def parse_mp4_boxes(buf: bytes) -> dict:
+    """Walk top-level ISO-BMFF boxes; descend into moov for mvhd
+    (timescale/duration) and trak counting. mdat bodies and every
+    sample table are skipped — container facts only."""
+    out = {
+        "is_bmff": 0, "major_brand": "", "timescale": -1,
+        "duration_ms": -1, "n_traks": 0, "has_mdat": 0, "top_boxes": "",
+    }
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return out
+    out["is_bmff"] = 1
+    tops = []
+    pos = 0
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        if size < 8 or pos + size > len(buf):
+            break
+        tops.append(btype.decode("ascii", "replace"))
+        body = buf[pos + 8:pos + size]
+        if btype == b"ftyp":
+            out["major_brand"] = body[:4].decode("ascii", "replace")
+        elif btype == b"mdat":
+            out["has_mdat"] = 1
+        elif btype == b"moov":
+            ip = 0
+            while ip + 8 <= len(body):
+                isz = int.from_bytes(body[ip:ip + 4], "big")
+                ityp = body[ip + 4:ip + 8]
+                if isz < 8 or ip + isz > len(body):
+                    break
+                if ityp == b"mvhd":
+                    fb = body[ip + 8:ip + isz]
+                    ts = int.from_bytes(fb[12:16], "big")
+                    du = int.from_bytes(fb[16:20], "big")
+                    out["timescale"] = ts
+                    out["duration_ms"] = du * 1000 // ts if ts else -1
+                elif ityp == b"trak":
+                    out["n_traks"] += 1
+                ip += isz
+        pos += size
+    out["top_boxes"] = "|".join(tops)
+    return out
+
+
+def mp4_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-clip ISO-BMFF structure harvest, Arrow-batched
+    mapInPandas — box headers only, no sample decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                m = parse_mp4_boxes(bytes(payload))
+                rows.append(
+                    (
+                        int(clip_id), m["is_bmff"], m["major_brand"],
+                        m["timescale"], m["duration_ms"], m["n_traks"],
+                        m["has_mdat"], m["top_boxes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, MP4_SCHEMA)

@@ -199,3 +199,48 @@ def test_epub_listing_matches_construction():
     a = M.synth_epub_corpus()
     b = M.synth_epub_corpus()
     assert all(x["payload"] == y["payload"] for x, y in zip(a, b))
+
+
+def test_flac_streaminfo_matches_construction():
+    saw_tags = saw_plain = False
+    for r in M.synth_flac_corpus():
+        m = M.parse_flac_streaminfo(r["payload"])
+        assert m == {k: r[k] for k in m}, r["clip_id"]
+        if r["is_flac"]:
+            saw_tags |= r["has_tags"] == 1
+            saw_plain |= r["has_tags"] == 0
+    assert saw_tags and saw_plain
+
+
+def test_flac_non_flac_and_truncated():
+    assert M.parse_flac_streaminfo(b"")["is_flac"] == 0
+    assert M.parse_flac_streaminfo(b"fLa")["is_flac"] == 0
+    # magic alone: is_flac=1 but no STREAMINFO decoded -> sentinels
+    m = M.parse_flac_streaminfo(b"fLaC")
+    assert m["is_flac"] == 1 and m["sample_rate"] == -1
+    # a block header whose declared length overruns the buffer must
+    # not decode garbage fields
+    bad = b"fLaC" + bytes([0x80]) + (999).to_bytes(3, "big") + bytes(4)
+    m = M.parse_flac_streaminfo(bad)
+    assert m["sample_rate"] == -1
+
+
+def test_mp4_boxes_match_construction():
+    scales = set()
+    for r in M.synth_mp4_corpus():
+        m = M.parse_mp4_boxes(r["payload"])
+        assert m == {k: r[k] for k in m}, r["clip_id"]
+        if r["is_bmff"]:
+            scales.add(r["timescale"])
+    assert scales == {1000, 90000}
+
+
+def test_mp4_truncated_and_non_bmff():
+    assert M.parse_mp4_boxes(b"")["is_bmff"] == 0
+    assert M.parse_mp4_boxes(b"RIFF\x00\x00\x00\x00WAVE")["is_bmff"] == 0
+    # a box whose declared size overruns the buffer stops the walk
+    # instead of reading past the end
+    good = M.synth_mp4_corpus()[0]["payload"]
+    cut = good[: len(good) - 4]
+    m = M.parse_mp4_boxes(cut)
+    assert m["is_bmff"] == 1 and "mdat" not in m["top_boxes"]

@@ -425,7 +425,8 @@ CRITICAL = [
     "vary_header_audit",
     "content_language_channels",
     "executable_payload_detect",
-    # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags:
+    # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
+    # flac_streaminfo_parse / mp4_container_boxes:
     # synthesized-corpus queries, construction-literal oracles.
     # NOT gif_animation_features: synthesized-corpus query,
     # construction-literal oracle (same class as the EXIF/PNG-meta
