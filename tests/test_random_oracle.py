@@ -425,6 +425,10 @@ CRITICAL = [
     "vary_header_audit",
     "content_language_channels",
     "executable_payload_detect",
+    "texttrack_discovery",
+    "frameset_detect",
+    "imagemap_area_extract",
+    "js_obfuscation_detect",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
     # flac_streaminfo_parse / mp4_container_boxes:
     # synthesized-corpus queries, construction-literal oracles.
