@@ -429,6 +429,12 @@ CRITICAL = [
     "frameset_detect",
     "imagemap_area_extract",
     "js_obfuscation_detect",
+    "document_write_detect",
+    "iframe_sandbox_audit",
+    "mobile_alternate_pairs",
+    "article_tag_extract",
+    "heading_level_skips",
+    "code_lang_infer",
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
     # flac_streaminfo_parse / mp4_container_boxes:
     # synthesized-corpus queries, construction-literal oracles.
@@ -460,6 +466,7 @@ CRITICAL = [
     "events_sliding_windows",
     "conversion_latency_quantiles",
     "retention_cohorts",
+    "active_user_stickiness",
     # NOT pipeline_pack_training_sequences: its oracle leans on the
     # extraction identity invariant (extracted == documents.text),
     # which by design does NOT hold for sub-25-char docs (the DOM
