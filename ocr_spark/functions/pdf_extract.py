@@ -83,6 +83,7 @@ def make_pdf(
     pages: list[list[str]],
     compress: bool = False,
     predictor_columns: int | None = None,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Build a PDF-1.4: one content stream per page, each line shown
     with Tj after a TD line advance. ``compress=True`` Flate-encodes
@@ -138,6 +139,13 @@ def make_pdf(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
     ) == pages_id
     root = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    info_id = None
+    if info:
+        body = b"<<"
+        for key in sorted(info):
+            body += b" /%s (%s)" % (
+                key.encode("ascii"), _esc(info[key]).encode("latin-1"))
+        info_id = add(body + b" >>")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -149,9 +157,11 @@ def make_pdf(
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
+    tdict = b"<< /Size %d /Root %d 0 R" % (len(objs) + 1, root)
+    if info_id is not None:
+        tdict += b" /Info %d 0 R" % info_id
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, root, xref_at)
+        b"trailer\n%s >>\nstartxref\n%d\n%%%%EOF\n" % (tdict, xref_at)
     )
     return bytes(out)
 
@@ -539,3 +549,57 @@ def extract_pdf_df(
     return df.mapInPandas(
         run, PDF_TEXT_PERMISSIVE_SCHEMA if permissive else PDF_TEXT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# /Info document metadata (title/author/dates without any page parse)
+# ---------------------------------------------------------------------------
+
+_TRAILER_INFO = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
+_PDF_DATE = re.compile(
+    rb"D:(\d{4})(\d{2})(\d{2})(\d{2})?(\d{2})?(\d{2})?")
+
+
+def _info_str(body: bytes, key: bytes) -> str:
+    m = re.search(rb"/" + key + rb"\s*\(((?:[^()\\]|\\.)*)\)", body)
+    if not m:
+        return ""
+    raw = m.group(1)
+    return (
+        raw.replace(b"\\(", b"(").replace(b"\\)", b")")
+        .replace(b"\\\\", b"\\").decode("latin-1")
+    )
+
+
+def parse_pdf_info(buf: bytes) -> dict:
+    """Harvest the trailer's /Info dictionary — title, author,
+    creation date — with ZERO page parsing: the trailer names the
+    object, the object is a flat dict of literal strings. The PDF
+    date form ``D:YYYYMMDDHHmmSS`` normalizes to an ISO string
+    (missing time components default to 00 per PDF 1.7 §7.9.4);
+    documents without /Info return has_info=0 sentinels."""
+    out = {
+        "has_info": 0, "title": "", "author": "", "creation_iso": "",
+    }
+    m = _TRAILER_INFO.search(buf)
+    if not m:
+        return out
+    num = int(m.group(1))
+    om = re.search(
+        rb"(?:^|\n)%d 0 obj\s*(.*?)\s*endobj" % num, buf, re.S)
+    if not om:
+        return out
+    body = om.group(1)
+    out["has_info"] = 1
+    out["title"] = _info_str(body, b"Title")
+    out["author"] = _info_str(body, b"Author")
+    dm = _PDF_DATE.search(body)
+    if dm:
+        y, mo, dy = dm.group(1), dm.group(2), dm.group(3)
+        hh = dm.group(4) or b"00"
+        mi = dm.group(5) or b"00"
+        ss = dm.group(6) or b"00"
+        out["creation_iso"] = (
+            b"%s-%s-%sT%s:%s:%s" % (y, mo, dy, hh, mi, ss)
+        ).decode("ascii")
+    return out

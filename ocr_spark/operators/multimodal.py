@@ -2452,3 +2452,116 @@ def mp4_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, MP4_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ogg identification headers (Opus/Vorbis properties without audio decode)
+# ---------------------------------------------------------------------------
+
+
+def synth_ogg_corpus(n: int = 10) -> list[dict]:
+    """Deterministic first Ogg pages: OpusHead and Vorbis
+    identification packets behind a real page header (BOS flag, one
+    segment). CRC is zero — this parser reads structure and does not
+    validate page checksums (a production demuxer would; the fields
+    it returns ride before any audio packet either way). Expected
+    fields exist before the bytes are assembled."""
+    out = []
+    for i in range(n):
+        if i % 5 == 4:
+            out.append({
+                "clip_id": i, "payload": b"NotAnOggStream" + bytes(16),
+                "kind": "other", "channels": -1, "sample_rate": -1,
+                "pre_skip": -1, "serial": -1,
+            })
+            continue
+        serial = 1000 + i
+        if i % 2 == 0:
+            ch, rate, preskip = 1 + i % 2, 48000, 312 + i
+            pkt = (
+                b"OpusHead" + bytes([1, ch])
+                + preskip.to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + bytes(2) + bytes([0])
+            )
+            kind = "opus"
+        else:
+            ch, rate, preskip = 2, 44100 if i % 4 == 1 else 22050, -1
+            pkt = (
+                b"\x01vorbis" + bytes(4) + bytes([ch])
+                + rate.to_bytes(4, "little") + bytes(12)
+                + bytes([0xB8, 0x01])
+            )
+            kind = "vorbis"
+        page = (
+            b"OggS" + bytes([0, 0x02]) + bytes(8)
+            + serial.to_bytes(4, "little") + bytes(4) + bytes(4)
+            + bytes([1, len(pkt)]) + pkt
+        )
+        out.append({
+            "clip_id": i, "payload": page, "kind": kind,
+            "channels": ch, "sample_rate": rate, "pre_skip": preskip,
+            "serial": serial,
+        })
+    return out
+
+
+OGG_SCHEMA = StructType(
+    [
+        StructField("clip_id", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("pre_skip", IntegerType()),
+        StructField("serial", LongType()),
+    ]
+)
+
+
+def parse_ogg_head(buf: bytes) -> dict:
+    """Read the first Ogg page's identification packet: OpusHead
+    (channels, pre-skip, input sample rate) or the Vorbis id header
+    (channels, rate). Audio packets are never touched."""
+    out = {
+        "kind": "other", "channels": -1, "sample_rate": -1,
+        "pre_skip": -1, "serial": -1,
+    }
+    if buf[:4] != b"OggS" or len(buf) < 28:
+        return out
+    out["serial"] = int.from_bytes(buf[14:18], "little")
+    nseg = buf[26]
+    seg_table = buf[27:27 + nseg]
+    pkt = buf[27 + nseg:27 + nseg + sum(seg_table)]
+    if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+        out.update(
+            kind="opus", channels=pkt[9],
+            pre_skip=int.from_bytes(pkt[10:12], "little"),
+            sample_rate=int.from_bytes(pkt[12:16], "little"),
+        )
+    elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        out.update(
+            kind="vorbis", channels=pkt[11],
+            sample_rate=int.from_bytes(pkt[12:16], "little"),
+        )
+    return out
+
+
+def ogg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-clip Ogg identification-header harvest, Arrow-batched
+    mapInPandas — first page only, no audio decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for clip_id, payload in zip(pdf["clip_id"], pdf[payload_col]):
+                m = parse_ogg_head(bytes(payload))
+                rows.append(
+                    (
+                        int(clip_id), m["kind"], m["channels"],
+                        m["sample_rate"], m["pre_skip"], m["serial"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in OGG_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, OGG_SCHEMA)

@@ -244,3 +244,26 @@ def test_mp4_truncated_and_non_bmff():
     cut = good[: len(good) - 4]
     m = M.parse_mp4_boxes(cut)
     assert m["is_bmff"] == 1 and "mdat" not in m["top_boxes"]
+
+
+def test_ogg_head_matches_construction():
+    kinds = set()
+    for r in M.synth_ogg_corpus():
+        m = M.parse_ogg_head(r["payload"])
+        assert m == {k: r[k] for k in m}, r["clip_id"]
+        kinds.add(r["kind"])
+    assert kinds == {"opus", "vorbis", "other"}
+
+
+def test_ogg_truncated_and_non_ogg():
+    assert M.parse_ogg_head(b"")["kind"] == "other"
+    assert M.parse_ogg_head(b"OggS")["kind"] == "other"
+    # data packet (not an id header) on a valid page -> other, but
+    # the serial still reads
+    pkt = b"\x00audio-data"
+    page = (
+        b"OggS" + bytes([0, 0]) + bytes(8) + (7).to_bytes(4, "little")
+        + bytes(8) + bytes([1, len(pkt)]) + pkt
+    )
+    m = M.parse_ogg_head(page)
+    assert m["kind"] == "other" and m["serial"] == 7

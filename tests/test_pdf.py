@@ -419,3 +419,39 @@ def test_make_pdf_predictor_writer_roundtrip():
     buf = make_pdf(pages, predictor_columns=8)
     assert b"/Predictor 12" in buf and b"/Columns 8" in buf
     assert extract_pdf_text(buf) == extract_pdf_text(make_pdf(pages))
+
+
+def test_pdf_info_roundtrip_and_absence():
+    from ocr_spark.functions.pdf_extract import (
+        make_pdf,
+        parse_pdf_info,
+    )
+
+    p = make_pdf(
+        [["hello"]],
+        info={
+            "Title": "My (Quoted) \\ Doc",
+            "Author": "A. Writer",
+            "CreationDate": "D:20240315120000Z",
+        },
+    )
+    m = parse_pdf_info(p)
+    assert m["has_info"] == 1
+    assert m["title"] == "My (Quoted) \\ Doc"
+    assert m["author"] == "A. Writer"
+    assert m["creation_iso"] == "2024-03-15T12:00:00"
+    bare = make_pdf([["hello"]])
+    assert b"/Info" not in bare
+    assert parse_pdf_info(bare)["has_info"] == 0
+
+
+def test_pdf_info_date_only_defaults():
+    from ocr_spark.functions.pdf_extract import (
+        make_pdf,
+        parse_pdf_info,
+    )
+
+    p = make_pdf([["x"]], info={"CreationDate": "D:20231201"})
+    m = parse_pdf_info(p)
+    assert m["creation_iso"] == "2023-12-01T00:00:00"
+    assert m["title"] == "" and m["author"] == ""

@@ -435,6 +435,9 @@ CRITICAL = [
     "article_tag_extract",
     "heading_level_skips",
     "code_lang_infer",
+    "pdf_info_metadata",
+    # NOT ogg_opus_head_parse: synthesized-corpus query,
+    # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
     # flac_streaminfo_parse / mp4_container_boxes:
     # synthesized-corpus queries, construction-literal oracles.
