@@ -436,6 +436,10 @@ CRITICAL = [
     "heading_level_skips",
     "code_lang_infer",
     "pdf_info_metadata",
+    "login_wall_detect",
+    "ssi_artifact_detect",
+    "php_error_leak_detect",
+    "raw_markdown_artifacts",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
