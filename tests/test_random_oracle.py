@@ -440,6 +440,10 @@ CRITICAL = [
     "ssi_artifact_detect",
     "php_error_leak_detect",
     "raw_markdown_artifacts",
+    "csv_payload_sniff",
+    "text_table_detect",
+    "english_dialect_profile",
+    "citation_style_detect",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
