@@ -444,6 +444,14 @@ CRITICAL = [
     "text_table_detect",
     "english_dialect_profile",
     "citation_style_detect",
+    "websub_hub_discovery",
+    "robots_quota_directives",
+    "infinite_scroll_detect",
+    "correction_notice_detect",
+    "opening_hours_extract",
+    "howto_schema_extract",
+    "api_envelope_detect",
+    "utm_campaign_profile",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
