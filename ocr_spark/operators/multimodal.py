@@ -1228,7 +1228,7 @@ def ico_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
 # EXIF (JPEG APP1 / TIFF IFD) metadata
 # ---------------------------------------------------------------------------
 
-_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
 def _exif_app1(
@@ -2565,3 +2565,188 @@ def ogg_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, OGG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF GPS IFD (location PII in image metadata)
+# ---------------------------------------------------------------------------
+
+
+def _exif_gps_app1(
+    byte_order: bytes,
+    lat_dms: tuple[int, int, int, int],
+    lat_ref: str,
+    lon_dms: tuple[int, int, int, int],
+    lon_ref: str,
+) -> bytes:
+    """Serialize an EXIF APP1 whose IFD0 carries only the GPS-IFD
+    pointer (0x8825); the GPS IFD holds LatitudeRef/Latitude/
+    LongitudeRef/Longitude with the latitude/longitude as the
+    spec's three RATIONALs (deg/1, min/1, sec_num/sec_den)."""
+    e = "<" if byte_order == b"II" else ">"
+
+    def entry(tag: int, typ: int, count: int, val4: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + val4
+
+    gps_off = 8 + 2 + 1 * 12 + 4
+    lat_off = gps_off + 2 + 4 * 12 + 4
+    lon_off = lat_off + 24
+
+    def rat3(dms: tuple[int, int, int, int]) -> bytes:
+        d, m, sn, sd = dms
+        return struct.pack(e + "6I", d, 1, m, 1, sn, sd)
+
+    ifd0 = struct.pack(e + "H", 1)
+    ifd0 += entry(0x8825, 4, 1, struct.pack(e + "I", gps_off))
+    ifd0 += struct.pack(e + "I", 0)
+    gps = struct.pack(e + "H", 4)
+    gps += entry(0x0001, 2, 2, lat_ref.encode("ascii") + b"\x00\x00\x00")
+    gps += entry(0x0002, 5, 3, struct.pack(e + "I", lat_off))
+    gps += entry(0x0003, 2, 2, lon_ref.encode("ascii") + b"\x00\x00\x00")
+    gps += entry(0x0004, 5, 3, struct.pack(e + "I", lon_off))
+    gps += struct.pack(e + "I", 0)
+    tiff = (
+        byte_order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        + ifd0 + gps + rat3(lat_dms) + rat3(lon_dms)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _gps_microdeg(dms: tuple[int, int, int, int], ref: str) -> int:
+    d, m, sn, sd = dms
+    v = d * 1_000_000 + (m * 1_000_000) // 60 + (sn * 1_000_000) // (
+        sd * 3600)
+    return -v if ref in ("S", "W") else v
+
+
+def synth_gps_corpus(n: int = 10) -> list[dict]:
+    """Deterministic JPEGs with GPS EXIF: both byte orders, all four
+    hemisphere refs, fractional-second rationals (sub-second
+    precision is the building-level PII case), and a GPS-less
+    control. Expected micro-degrees exist before any bytes are
+    assembled (exact integer DMS fold, floor division)."""
+    from ocr_spark.kernels import jpeg
+
+    out = []
+    for i in range(n):
+        img = (
+            (np.arange(256, dtype=np.int64) * 7 + i) % 256
+        ).astype(np.uint8).reshape(16, 16)
+        base = jpeg.encode(img, quality=80)
+        if i % 5 == 4:
+            out.append({
+                "img_id": i, "payload": base, "has_gps": 0,
+                "byte_order": "", "lat_microdeg": 0, "lon_microdeg": 0,
+            })
+            continue
+        bo = b"II" if i % 2 == 0 else b"MM"
+        lat = (37 + i % 3, 46 + i % 10, 3000 + i * 7, 100)
+        lon = (122 + i % 2, 25, 1500 + i * 11, 100)
+        lat_ref = "N" if i % 4 < 2 else "S"
+        lon_ref = "W" if i % 4 in (0, 3) else "E"
+        payload = base[:2] + _exif_gps_app1(
+            bo, lat, lat_ref, lon, lon_ref) + base[2:]
+        out.append({
+            "img_id": i, "payload": payload, "has_gps": 1,
+            "byte_order": bo.decode(),
+            "lat_microdeg": _gps_microdeg(lat, lat_ref),
+            "lon_microdeg": _gps_microdeg(lon, lon_ref),
+        })
+    return out
+
+
+def parse_exif_gps(buf: bytes) -> dict:
+    """Scan for the EXIF APP1, follow IFD0's GPS pointer (0x8825)
+    and fold the DMS rationals into signed integer micro-degrees —
+    the exact arithmetic twin of the construction, reached through
+    the independent segment/IFD walk. has_gps=0 when the APP1 or
+    the pointer is absent."""
+    out = {
+        "has_gps": 0, "byte_order": "", "lat_microdeg": 0,
+        "lon_microdeg": 0,
+    }
+    if buf[:2] != b"\xff\xd8":
+        return out
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            break
+        marker = buf[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if marker == 0xE1 and buf[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = buf[pos + 10:pos + 2 + seglen]
+            bo = tiff[:2]
+            if bo not in (b"II", b"MM"):
+                return out
+            e = "<" if bo == b"II" else ">"
+            ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
+            ifd0 = _exif_walk_ifd(tiff, e, ifd0_off)
+            if 0x8825 not in ifd0:
+                return out
+            gps = _exif_walk_ifd(tiff, e, int(ifd0[0x8825]))
+
+            def rats(raw: bytes) -> list[tuple[int, int]]:
+                return [
+                    struct.unpack(e + "II", raw[k:k + 8])
+                    for k in range(0, len(raw), 8)
+                ]
+
+            def microdeg(raw: bytes, ref: str) -> int:
+                (d, dd), (m, md), (sn, sd) = rats(raw)
+                v = (
+                    (d * 1_000_000) // dd
+                    + (m * 1_000_000) // (md * 60)
+                    + (sn * 1_000_000) // (sd * 3600)
+                )
+                return -v if ref in ("S", "W") else v
+
+            lat_ref = str(gps.get(0x0001, ""))
+            lon_ref = str(gps.get(0x0003, ""))
+            if 0x0002 in gps and 0x0004 in gps:
+                out.update(
+                    has_gps=1, byte_order=bo.decode(),
+                    lat_microdeg=microdeg(gps[0x0002], lat_ref),
+                    lon_microdeg=microdeg(gps[0x0004], lon_ref),
+                )
+            return out
+        pos += 2 + seglen
+    return out
+
+
+GPS_SCHEMA = StructType(
+    [
+        StructField("img_id", IntegerType()),
+        StructField("has_gps", IntegerType()),
+        StructField("byte_order", StringType()),
+        StructField("lat_microdeg", LongType()),
+        StructField("lon_microdeg", LongType()),
+    ]
+)
+
+
+def gps_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """Per-image GPS-EXIF harvest, Arrow-batched mapInPandas —
+    segment headers only, no entropy decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf[payload_col]):
+                m = parse_exif_gps(bytes(payload))
+                rows.append(
+                    (
+                        int(img_id), m["has_gps"], m["byte_order"],
+                        m["lat_microdeg"], m["lon_microdeg"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GPS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, GPS_SCHEMA)

@@ -267,3 +267,23 @@ def test_ogg_truncated_and_non_ogg():
     )
     m = M.parse_ogg_head(page)
     assert m["kind"] == "other" and m["serial"] == 7
+
+
+def test_gps_exif_matches_construction():
+    refs = set()
+    for r in M.synth_gps_corpus():
+        m = M.parse_exif_gps(r["payload"])
+        assert m == {k: r[k] for k in m}, r["img_id"]
+        if r["has_gps"]:
+            refs.add((r["lat_microdeg"] > 0, r["lon_microdeg"] > 0))
+    # all four hemisphere sign combinations exercised
+    assert refs == {(True, True), (True, False), (False, True),
+                    (False, False)}
+
+
+def test_gps_exif_absent_and_plain_exif():
+    # a GPS-less EXIF (the legacy corpus) has the APP1 but no 0x8825
+    plain = M.synth_exif_corpus()[0]["payload"]
+    assert M.parse_exif_gps(plain)["has_gps"] == 0
+    assert M.parse_exif_gps(b"")["has_gps"] == 0
+    assert M.parse_exif_gps(b"\xff\xd8\xff\xd9")["has_gps"] == 0
