@@ -452,6 +452,10 @@ CRITICAL = [
     "howto_schema_extract",
     "api_envelope_detect",
     "utm_campaign_profile",
+    "video_schema_transcript",
+    "readme_badge_extract",
+    "dialogue_ratio_profile",
+    "comment_count_audit",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
