@@ -456,6 +456,10 @@ CRITICAL = [
     "readme_badge_extract",
     "dialogue_ratio_profile",
     "comment_count_audit",
+    "inline_lang_switches",
+    "title_h1_consistency",
+    "slug_title_match",
+    "hashtag_mention_extract",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
