@@ -460,6 +460,10 @@ CRITICAL = [
     "title_h1_consistency",
     "slug_title_match",
     "hashtag_mention_extract",
+    "typosquat_host_detect",
+    "mixed_script_tokens",
+    "cross_host_canonical",
+    "ssn_pattern_audit",
     # NOT ogg_opus_head_parse: synthesized-corpus query,
     # construction-literal oracle (codec-metadata class).
     # NOT wav_silence_segments / jpeg_quality_estimate / mp3_id3_tags /
