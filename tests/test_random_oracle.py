@@ -503,6 +503,43 @@ CRITICAL = [
     # which by design does NOT hold for sub-25-char docs (the DOM
     # extractor drops blocks below MIN_BLOCK_CHARS) — this random
     # corpus deliberately contains such docs.
+    # session-8 additions (all doc_id-constructed, documents-only)
+    "organization_schema_extract",
+    "rss_ttl_hints",
+    "twocol_table_kv",
+    "code_comment_density",
+    "notebook_cell_extract",
+    "unified_diff_stats",
+    "shell_transcript_extract",
+    "bibtex_entry_extract",
+    "robots_clean_param",
+    "ratelimit_headers_parse",
+    "humans_txt_parse",
+    "magnet_link_parse",
+    "ics_event_parse",
+    "opml_outline_parse",
+    "sitemap_news_entries",
+    "mime_encoded_word_decode",
+    "po_translation_pairs",
+    "openapi_spec_extract",
+    "package_manifest_deps",
+    "dockerfile_directives",
+    "jwt_token_scan",
+    "download_checksum_pairs",
+    "onion_address_detect",
+    "sql_dump_schema",
+    "geojson_features",
+    "turtle_triples_parse",
+    "man_page_sections",
+    "wiki_cite_template_parse",
+    "email_quote_depth",
+    "email_signature_strip",
+    "hard_wrap_rejoin",
+    "caps_shouting_profile",
+    "graphql_endpoint_detect",
+    "ftp_listing_parse",
+    "keyboard_mash_detect",
+    "http_auth_challenge_parse",
 ]
 
 
