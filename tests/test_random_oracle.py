@@ -540,6 +540,11 @@ CRITICAL = [
     "ftp_listing_parse",
     "keyboard_mash_detect",
     "http_auth_challenge_parse",
+    # session-9 additions
+    "spf_record_parse",
+    "dmarc_record_parse",
+    "yaml_front_matter",
+    "toml_manifest_deps",
 ]
 
 
