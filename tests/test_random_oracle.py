@@ -545,6 +545,10 @@ CRITICAL = [
     "dmarc_record_parse",
     "yaml_front_matter",
     "toml_manifest_deps",
+    "env_file_leak",
+    "makefile_targets",
+    "vcard_contact_parse",
+    "gpx_track_parse",
 ]
 
 
