@@ -549,6 +549,10 @@ CRITICAL = [
     "makefile_targets",
     "vcard_contact_parse",
     "gpx_track_parse",
+    "htaccess_rules_parse",
+    "git_config_leak",
+    "access_log_parse",
+    "credential_dump_detect",
 ]
 
 
