@@ -553,6 +553,10 @@ CRITICAL = [
     "git_config_leak",
     "access_log_parse",
     "credential_dump_detect",
+    "zone_file_parse",
+    "adblock_filter_parse",
+    "robots_snippet_limits",
+    "rst_structure_parse",
 ]
 
 
