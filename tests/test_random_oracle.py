@@ -557,6 +557,10 @@ CRITICAL = [
     "adblock_filter_parse",
     "robots_snippet_limits",
     "rst_structure_parse",
+    "email_thread_graph",
+    "whois_record_parse",
+    "latex_structure_extract",
+    "mbox_message_split",
 ]
 
 
