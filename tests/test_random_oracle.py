@@ -561,6 +561,10 @@ CRITICAL = [
     "whois_record_parse",
     "latex_structure_extract",
     "mbox_message_split",
+    "m3u8_hls_manifest",
+    "kml_placemark_parse",
+    "webfinger_parse",
+    "aasa_universal_links",
 ]
 
 
