@@ -565,6 +565,10 @@ CRITICAL = [
     "kml_placemark_parse",
     "webfinger_parse",
     "aasa_universal_links",
+    "irc_log_parse",
+    "cms_shortcode_scrub",
+    "dot_leader_toc_parse",
+    "uuencode_block_detect",
 ]
 
 
