@@ -569,6 +569,10 @@ CRITICAL = [
     "cms_shortcode_scrub",
     "dot_leader_toc_parse",
     "uuencode_block_detect",
+    "har_log_parse",
+    "pgn_game_parse",
+    "fasta_sequence_parse",
+    "user_agent_classify",
 ]
 
 
