@@ -430,3 +430,63 @@ def test_session7_distributed_shapes(spark):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Python" not in plan, name
         assert "Exchange" not in plan, name  # rides the scan
+
+
+def test_session9_shapes(spark):
+    """Session-9 shape contracts. email_thread_graph is the one
+    join-shaped newcomer: root/depth resolve through the shared
+    _pointer_jump doubling (equi-joins on message-id keys) and the
+    thread-size count is a HashAggregate — no Window, no cartesian,
+    no SortAggregate, no Python anywhere. The session's per-row
+    extractors (raw-file, playlist, outline, and capture formats)
+    stay single-scan: no Exchange, no Python."""
+    from ocr_spark.queries import QUERIES
+
+    thread = _plan(QUERIES["email_thread_graph"](spark, SF))
+    assert "HashAggregate" in thread
+    assert "Window" not in thread
+    assert "CartesianProduct" not in thread
+    assert "SortAggregate" not in thread
+    assert "Python" not in thread
+
+    for name in (
+        "env_file_leak",
+        "makefile_targets",
+        "vcard_contact_parse",
+        "gpx_track_parse",
+        "htaccess_rules_parse",
+        "git_config_leak",
+        "access_log_parse",
+        "credential_dump_detect",
+        "zone_file_parse",
+        "adblock_filter_parse",
+        "robots_snippet_limits",
+        "rst_structure_parse",
+        "whois_record_parse",
+        "latex_structure_extract",
+        "mbox_message_split",
+        "m3u8_hls_manifest",
+        "kml_placemark_parse",
+        "webfinger_parse",
+        "aasa_universal_links",
+        "irc_log_parse",
+        "cms_shortcode_scrub",
+        "dot_leader_toc_parse",
+        "uuencode_block_detect",
+        "har_log_parse",
+        "pgn_game_parse",
+        "fasta_sequence_parse",
+        "user_agent_classify",
+        "ttml_caption_parse",
+        "asciidoc_structure",
+        "org_mode_structure",
+        "svg_active_content",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, name
+        # literal doc text can legitimately contain the word "Python"
+        # (rst_structure_parse's corpus says "Requires Python 3.") —
+        # assert on the operator names, not the substring
+        assert "EvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+        assert "CartesianProduct" not in plan, name
