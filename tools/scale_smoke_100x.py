@@ -161,6 +161,48 @@ def timed(sink, fn, reps: int = 3) -> float:
     return round(sorted(samples)[len(samples) // 2], 3)
 
 
+def synth_messages(spark, n: int):
+    """Message corpus for the thread-graph track: chains of 5 (member
+    m replies to m-1, roots at m%5==0) with every 7th id missing —
+    the dangling-reference orphan case the operator pins. Pure
+    codegen, same determinism discipline as synth_docs."""
+    i = F.col("id")
+    return (
+        spark.range(n)
+        .where(i % 7 != 3)
+        .select(
+            F.concat(F.lit("<m"), i.cast("string"),
+                     F.lit("@x>")).alias("mid"),
+            F.when(i % 5 > 0, F.concat(
+                F.lit("<m"), (i - 1).cast("string"), F.lit("@x>")))
+            .otherwise(F.lit("")).alias("irt"),
+        )
+    )
+
+
+def thread_graph_resolve(msgs):
+    """The email_thread_graph core: resolvable-parent edges ->
+    log-bounded pointer jump -> root/depth -> hash-agg thread sizes
+    joined back (same code path as the graded query minus the header
+    parse)."""
+    from ocr_spark.operators.crawl import _pointer_jump
+
+    parents = msgs.select(F.col("mid").alias("pmid"))
+    edges = (
+        msgs.where(F.col("irt") != "")
+        .join(parents, F.col("irt") == F.col("pmid"), "inner")
+        .select(F.col("mid").alias("src"), F.col("irt").alias("dst"))
+    )
+    f, _rounds = _pointer_jump(edges, 8, with_distance=True)
+    res = msgs.join(f, msgs["mid"] == f["src"], "left").select(
+        msgs["mid"].alias("message_id"),
+        F.coalesce(f["dst"], msgs["mid"]).alias("root_id"),
+        F.coalesce(f["d"], F.lit(0).cast("long")).alias("depth"),
+    )
+    sz = res.groupBy("root_id").agg(F.count("*").alias("thread_size"))
+    return res.join(sz, "root_id", "inner")
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -204,6 +246,12 @@ def main() -> None:
         out.setdefault("kmeans", {})[label] = timed(
             sink, lambda: kmeans_quantized(embs)
         )
+        msgs = synth_messages(spark, n).persist()
+        msgs.count()
+        out.setdefault("thread_graph", {})[label] = timed(
+            sink, lambda: thread_graph_resolve(msgs)
+        )
+        msgs.unpersist()
 
         t0 = time.perf_counter()
         ivf_write(embs, ivf_path)
