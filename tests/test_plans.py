@@ -481,6 +481,82 @@ def test_session9_shapes(spark):
         "asciidoc_structure",
         "org_mode_structure",
         "svg_active_content",
+        # batches 95-113 per-row extractors
+        "xml_entity_expansion_detect",
+        "debian_packages_parse",
+        "maven_pom_deps",
+        "ssh_pubkey_file_parse",
+        "dkim_record_parse",
+        "mta_sts_policy_parse",
+        "phpinfo_leak_detect",
+        "traffic_advice_parse",
+        "prometheus_metrics_parse",
+        "nginx_config_leak",
+        "ci_workflow_parse",
+        "terraform_state_leak",
+        "extension_manifest_parse",
+        "sitemap_hreflang_alternates",
+        "docker_compose_parse",
+        "k8s_manifest_parse",
+        "mediawiki_export_parse",
+        "stackexchange_dump_parse",
+        "pushshift_jsonl_parse",
+        "gutenberg_header_strip",
+        "oauth_authorize_params",
+        "saml_metadata_parse",
+        "ldif_directory_parse",
+        "passwd_file_leak",
+        "cve_reference_extract",
+        "issue_ref_extract",
+        "tracking_number_extract",
+        "bounce_dsn_parse",
+        "jwks_parse",
+        "crontab_leak_parse",
+        "shell_history_leak",
+        "wp_config_leak",
+        "ris_citation_parse",
+        "orcid_id_extract",
+        "issn_checksum_extract",
+        "cas_number_extract",
+        "netrc_leak",
+        "hosts_file_leak",
+        "package_registry_auth_leak",
+        "proxy_pac_parse",
+        "metar_weather_parse",
+        "mysql_slowlog_parse",
+        "dmesg_log_parse",
+        "traceroute_output_parse",
+        "merge_conflict_detect",
+        "rmarkdown_chunk_parse",
+        "graphviz_dot_parse",
+        "list_unsubscribe_parse",
+        "received_header_chain",
+        "cidr_block_extract",
+        "fix_protocol_log",
+        "hl7_message_detect",
+        "llm_artifact_detect",
+        "prompt_injection_detect",
+        "hexdump_parse",
+        "speakable_schema_extract",
+        "interview_transcript_parse",
+        "drama_script_parse",
+        "verse_structure_detect",
+        "xmp_packet_parse",
+        "git_log_parse",
+        "archive_listing_parse",
+        "citation_count_claims",
+        "wikidata_ref_extract",
+        "vin_checksum_validate",
+        "flight_designator_extract",
+        "bic_code_extract",
+        "sellers_json_parse",
+        "related_website_set_parse",
+        "client_hints_parse",
+        "gtag_consent_mode",
+        "memento_timemap_parse",
+        "permissions_policy_parse",
+        "nel_policy_parse",
+        "early_hints_parse",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
@@ -490,3 +566,16 @@ def test_session9_shapes(spark):
         assert "EvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_zipf_slope_shape(spark):
+    """zipf_slope_estimate: the corpus-scaled stage is a token
+    HashAggregate; the only window runs over the bounded top-100
+    TakeOrdered tail, never corpus rows. No cartesian, no Python."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["zipf_slope_estimate"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
