@@ -579,3 +579,67 @@ def test_zipf_slope_shape(spark):
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_session10_distributed_shapes(spark):
+    """Session-10 contracts. bigram_pmi_mining: corpus stages are
+    HashAggregates (explode -> bigram/unigram counts with map-side
+    partials); totals ride single-row broadcast joins; no Window, no
+    SortAggregate, no cartesian. doc_rare_term_pick follows the
+    anchor_text_consensus discipline: tf/df/max are HashAggregates and
+    the only string-ordered aggregate (MIN over the tie set) runs on
+    join-reduced rows — at most two SortAggregate nodes (partial +
+    final of that one aggregate), and the tie join is an equi-join on
+    (doc_id, score), never score alone. graph_two_hop_reach: DISTINCT
+    dedup + equi-join + two-level distinct count, all hash, no Window."""
+    from ocr_spark.queries import QUERIES
+
+    pmi = _plan(QUERIES["bigram_pmi_mining"](spark, SF))
+    assert "HashAggregate" in pmi
+    assert "Window" not in pmi
+    assert "SortAggregate" not in pmi
+    assert "CartesianProduct" not in pmi
+    assert "EvalPython" not in pmi and "PythonUDF" not in pmi
+
+    rare = _plan(QUERIES["doc_rare_term_pick"](spark, SF))
+    assert "HashAggregate" in rare
+    assert "Window" not in rare
+    # formatted explain prints each node twice (tree + details):
+    # <= 4 hits == <= 2 SortAggregate nodes (partial + final of the
+    # single MIN(term) tie-set aggregate)
+    assert rare.count("SortAggregate") <= 4
+    assert "CartesianProduct" not in rare
+    # the tie join-back must key on doc_id, not collapse to score-only
+    assert "doc_id" in rare
+    assert "EvalPython" not in rare and "PythonUDF" not in rare
+
+    hop = _plan(QUERIES["graph_two_hop_reach"](spark, SF))
+    assert "HashAggregate" in hop
+    assert "Window" not in hop
+    assert "SortAggregate" not in hop
+    assert "CartesianProduct" not in hop
+    assert "EvalPython" not in hop and "PythonUDF" not in hop
+
+    for name in (
+        "pmid_pmcid_extract",
+        "patent_number_extract",
+        "rfc_reference_extract",
+        "grant_award_extract",
+        "lei_checksum_validate",
+        "cusip_checksum_validate",
+        "ticker_mention_extract",
+        "sec_accession_extract",
+        "mac_address_extract",
+        "ipv6_address_extract",
+        "asn_extract",
+        "dns_zone_record_parse",
+        "ssa_subtitle_parse",
+        "xliff_unit_parse",
+        "tmx_segment_parse",
+        "conll_token_parse",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+        assert "CartesianProduct" not in plan, name
