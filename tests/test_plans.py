@@ -637,6 +637,22 @@ def test_session10_distributed_shapes(spark):
         "xliff_unit_parse",
         "tmx_segment_parse",
         "conll_token_parse",
+        "isrc_extract",
+        "imei_luhn_validate",
+        "routing_number_validate",
+        "swift_mt_field_parse",
+        "nct_trial_extract",
+        "icd10_code_extract",
+        "dosage_instruction_parse",
+        "fhir_resource_detect",
+        "wasm_usage_detect",
+        "webrtc_usage_detect",
+        "web_storage_usage",
+        "payment_request_detect",
+        "pgp_clearsign_parse",
+        "tls_cipher_suite_parse",
+        "hsts_preload_eligibility",
+        "cors_policy_audit",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
