@@ -653,9 +653,38 @@ def test_session10_distributed_shapes(spark):
         "tls_cipher_suite_parse",
         "hsts_preload_eligibility",
         "cors_policy_audit",
+        "bencode_torrent_parse",
+        "syslog_rfc5424_parse",
+        "podcast_itunes_tags",
+        "rfc2119_keyword_census",
+        "markdown_table_parse",
+        "tsv_block_parse",
+        "nmap_port_lines",
+        "pip_requirements_parse",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
         assert "EvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_session10_event_shapes(spark):
+    """Events-table session-10 shapes: funnel/retention/heavy-user
+    are all HashAggregate + equi-join chains on user_id — no Window
+    over raw events, no SortAggregate, no cartesian (the scalar
+    single-row totals ride BroadcastNestedLoopJoin, which is the
+    intended shape for 1-row cross joins), no Python."""
+    from ocr_spark.queries import QUERIES
+
+    for name in (
+        "event_funnel_conversion",
+        "user_retention_cohorts",
+        "heavy_user_event_share",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "HashAggregate" in plan, name
+        assert "Window" not in plan, name
+        assert "SortAggregate" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan and "PythonUDF" not in plan, name
