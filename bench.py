@@ -59,6 +59,11 @@ HEADLINE = [
     # round-4 fourth-session: rel=next chain assembly — the
     # pointer-jumping log-round self-join shape under bench watch
     "pagination_rel_chains",
+    # round-4 session 10: the two new corpus-scaled aggregate shapes —
+    # bigram collocation mining (explode + two hash-agg levels) and the
+    # ordered funnel (three per-user hash-aggs chained on one key)
+    "bigram_pmi_mining",
+    "event_funnel_conversion",
 ]
 
 
