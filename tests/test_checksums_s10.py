@@ -1,0 +1,45 @@
+"""External-truth pins for session-10 checksum helpers.
+
+Each helper generates the rotation literals that BOTH engines then
+validate — so engine-vs-engine agreement alone would not catch a wrong
+algorithm. These pins anchor each helper against published real-world
+identifiers (Apple's ISIN, the classic GSM test IMEI, the Boston Fed
+routing number, a documented IMO hull number), making the checksum
+semantics non-circular.
+"""
+
+from ocr_spark.queries import (
+    _aba_check,
+    _imo_check,
+    _isin_with_check,
+    _lei_check,
+    _luhn15_check,
+)
+
+
+def test_isin_apple():
+    assert _isin_with_check("US037833100") == "US0378331005"
+
+
+def test_imei_gsm_example():
+    # the canonical valid IMEI used in GSM documentation
+    assert _luhn15_check("49015420323751") == "8"
+
+
+def test_aba_boston_fed():
+    # 011000015 is the Federal Reserve Bank of Boston's routing number
+    assert _aba_check("01100001") == "5"
+
+
+def test_imo_published_hull():
+    # IMO 9074729 appears in the IMO's own numbering documentation
+    assert _imo_check("907472") == "9"
+
+
+def test_lei_mod97_postcondition():
+    # ISO 17442: the generated check pair must make the expanded
+    # 20-char string ≡ 1 (mod 97) — the defining property
+    base = "549300AAAA0000AA01"
+    lei = base + _lei_check(base)
+    s = "".join(str(int(c, 36)) for c in lei)
+    assert int(s) % 97 == 1
