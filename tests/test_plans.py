@@ -661,6 +661,44 @@ def test_session10_distributed_shapes(spark):
         "tsv_block_parse",
         "nmap_port_lines",
         "pip_requirements_parse",
+        "vast_ad_tag_parse",
+        "sitemap_index_parse",
+        "oai_pmh_record_parse",
+        "onix_product_parse",
+        "accept_language_parse",
+        "etag_strength_parse",
+        "content_range_parse",
+        "ipfs_uri_parse",
+        "fediverse_handle_extract",
+        "nostr_id_extract",
+        "matrix_id_extract",
+        "did_identifier_parse",
+        "importmap_parse",
+        "webauthn_detect",
+        "module_script_profile",
+        "x509_text_dump_parse",
+        "isin_checksum_validate",
+        "imo_ship_number_validate",
+        "olc_plus_code_parse",
+        "vat_number_extract",
+        "readability_grade_score",
+        "list_marker_normalize",
+        "unit_conversion_audit",
+        "temperature_conversion_audit",
+        "percentage_sum_audit",
+        "timezone_offset_audit",
+        "fx_conversion_audit",
+        "simple_interest_audit",
+        "tip_calculation_audit",
+        "speed_time_distance_audit",
+        "howto_schema_extract",
+        "qapage_schema_extract",
+        "softwareapp_schema_extract",
+        "course_schema_extract",
+        "avro_schema_parse",
+        "sql_query_table_refs",
+        "graphql_query_parse",
+        "protobuf_text_parse",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
@@ -688,3 +726,18 @@ def test_session10_event_shapes(spark):
         assert "SortAggregate" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan and "PythonUDF" not in plan, name
+
+
+def test_cross_host_syndication_shape(spark):
+    """cross_host_line_syndication: distinct/df/pair-count stages are
+    all HashAggregates; the self-join is an equi-join on the line key
+    AFTER the df band filter (cap-before-join); no Window, no
+    cartesian, no Python."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cross_host_line_syndication"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
