@@ -90,6 +90,119 @@ def coownership(docs):
     return e.groupBy("host_a", "host_b").count()
 
 
+def bigram_lift(docs):
+    """bigram_pmi_mining's dataflow over the synth corpus: one
+    explode, two corpus HashAggregates, marginal joins, scalar
+    totals. Output volume is bounded by the 30-word vocab^2."""
+    tok = docs.select(F.split(F.col("text"), " ").alias("ts"))
+    uni = tok.select(F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    bigs = tok.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda j: F.concat(F.element_at(F.col("ts"), j), F.lit(" "),
+                           F.element_at(F.col("ts"), j + 1)))).alias("bg"))
+    bcnt = bigs.groupBy("bg").agg(F.count("*").alias("cxy"))
+    tot = (docs.agg(F.count("*").alias("nd"))
+           .crossJoin(ucnt.agg(F.sum("cw").alias("tu")))
+           .crossJoin(bcnt.agg(F.sum("cxy").alias("tb"))))
+    u1 = ucnt.select(F.col("w").alias("w1k"), F.col("cw").alias("cw1"))
+    u2 = ucnt.select(F.col("w").alias("w2k"), F.col("cw").alias("cw2"))
+    w1 = F.element_at(F.split("bg", " "), 1)
+    w2 = F.element_at(F.split("bg", " "), 2)
+    j = (bcnt.select("bg", "cxy", w1.alias("w1"), w2.alias("w2"))
+         .crossJoin(tot)
+         .join(u1, F.col("w1") == F.col("w1k"))
+         .join(u2, F.col("w2") == F.col("w2k")))
+    # marginals divide in first (the query's overflow-safe form)
+    tu2 = F.col("tu") * F.col("tu")
+    cxcy = F.col("cw1") * F.col("cw2")
+    core = ((tu2 - tu2 % cxcy) / cxcy).cast("long")
+    num = F.lit(1000) * F.col("cxy") * core
+    den = F.col("tb")
+    return j.select("w1", "w2", "cxy",
+                    ((num - num % den) / den).cast("long").alias("lift"))
+
+
+def two_hop(docs):
+    """graph_two_hop_reach's dataflow with a node space that grows
+    with the corpus (constant expected degree ~10)."""
+    # node count derives from the corpus size via a scalar agg
+    sz = docs.agg((F.count("*") / 10).cast("long").alias("nn"))
+    d2 = docs.crossJoin(sz).select(
+        (F.pmod(F.xxhash64("doc_id"), F.greatest(F.col("nn"), F.lit(101))))
+        .alias("src"),
+        (F.pmod(F.xxhash64("doc_id", F.lit(7)),
+                F.greatest(F.col("nn"), F.lit(101)))).alias("dst"))
+    e = d2.where(F.col("src") != F.col("dst")).distinct()
+    onehop = e.groupBy("src").agg(F.count("*").alias("n1"))
+    e2 = e.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    twohop = (e.join(e2, e.dst == e2.mid)
+              .where(F.col("dst2") != F.col("src"))
+              .groupBy("src").agg(F.countDistinct("dst2").alias("n2")))
+    return onehop.join(twohop, "src", "left")
+
+
+def line_syndication(docs):
+    """cross_host_line_syndication's dataflow: constant-size quote
+    groups, df band before the self-join."""
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 23).cast("string"))
+    # quote groups of ~10 docs: group id = doc_id // 10
+    grp = ((i - i % 10) / 10).cast("long")
+    lines = docs.select(
+        host.alias("host"),
+        F.array(
+            F.lit("Copyright Example Media Network"),
+            F.concat(F.lit("Quote "), grp.cast("string"),
+                     F.lit(": the market rewards patience")),
+            F.concat(F.lit("Local update "), i.cast("string")),
+        ).alias("ls"))
+    ex = lines.select("host", F.explode("ls").alias("line")).distinct()
+    dfq = ex.groupBy("line").agg(F.count("*").alias("nh"))
+    keep = dfq.where((F.col("nh") >= 2) & (F.col("nh") <= 10)).select("line")
+    kl = ex.join(keep, "line")
+    a = kl.select(F.col("host").alias("ha"), "line")
+    b = kl.select(F.col("host").alias("hb"), "line")
+    return (a.join(b, "line").where(F.col("ha") < F.col("hb"))
+            .groupBy("ha", "hb").agg(F.count("*").alias("shared")))
+
+
+def synth_events(spark, n: int):
+    """events-shaped table, pure codegen: user ids scale with n
+    (constant ~67 events/user), 5 event types, monotone ts."""
+    users = max(n // 67, 3)
+    etype = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                F.lit("signup"), F.lit("error")),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"))
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(users)).alias("user_id"),
+            etype.alias("event_type"),
+            F.col("id").alias("ts"))
+    )
+
+
+def funnel(events):
+    """event_funnel_conversion's dataflow: three per-user
+    HashAggregates chained on one shuffle key."""
+    e = events
+    s1 = (e.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (e.where(F.col("event_type") == "click")
+          .join(s1, "user_id").where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (e.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id").where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (e.agg(F.countDistinct("user_id").alias("n0"))
+            .crossJoin(s1.agg(F.count("*").alias("n1")))
+            .crossJoin(s2.agg(F.count("*").alias("n2")))
+            .crossJoin(s3.agg(F.count("*").alias("n3"))))
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -161,14 +274,32 @@ def main() -> None:
         # 997th doc) crosses the 32-host cap at large n and is
         # FILTERED, proving the clique fence scales.
         "coownership": lambda d, e: coownership(d),
+        # r4 s10: bigram collocation mining — explode + two corpus
+        # HashAggregates + marginal joins; vocab is bounded (30 words)
+        # so the join build sides are constant-size and wall must be
+        # linear in token volume.
+        "bigram_lift": lambda d, e: bigram_lift(d),
+        # r4 s10: two-hop reach over a node space that SCALES with n
+        # (nodes = n/10 => constant expected degree 10 => join output
+        # ~ 100 rows per node = 10n, linear by construction — the
+        # degree cap is the scale contract, not the node count)
+        "two_hop": lambda d, e: two_hop(d),
+        # r4 s10: cross-host line syndication — df band filter BEFORE
+        # the line self-join; quote groups are constant-size (~10
+        # docs) so surviving pair volume is linear in docs
+        "line_syndication": lambda d, e: line_syndication(d),
     }
 
     out: dict[str, dict] = {}
     for label, n in (("small", small), ("large", small * factor)):
         docs = synth_docs(spark, n).persist()
         embs = synth_embeddings(spark, n).persist()
-        docs.count(), embs.count()
-        for op, fn in ops.items():
+        evts = synth_events(spark, n).persist()
+        docs.count(), embs.count(), evts.count()
+        # r4 s10: the funnel runs on the events-shaped synth table
+        all_ops = dict(ops)
+        all_ops["funnel"] = lambda d, e: funnel(evts)
+        for op, fn in all_ops.items():
             sink(fn(docs, embs))  # warm
             samples = []
             for _ in range(3):
@@ -176,7 +307,7 @@ def main() -> None:
                 sink(fn(docs, embs))
                 samples.append(time.perf_counter() - t0)
             out.setdefault(op, {})[label] = round(sorted(samples)[1], 3)
-        docs.unpersist(), embs.unpersist()
+        docs.unpersist(), embs.unpersist(), evts.unpersist()
 
     for op, t in out.items():
         t["ratio_vs_linear"] = round(t["large"] / (t["small"] * factor), 3)
