@@ -741,3 +741,18 @@ def test_cross_host_syndication_shape(spark):
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_host_priors_join_shape(spark):
+    """host_quality_priors_join: two per-host HashAggregates +
+    scalar-broadcast total + left join on host; countDistinct plans
+    the two-level partial aggregate; no Window, no SortAggregate, no
+    cartesian, no Python."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["host_quality_priors_join"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
