@@ -699,6 +699,53 @@ def test_session10_distributed_shapes(spark):
         "sql_query_table_refs",
         "graphql_query_parse",
         "protobuf_text_parse",
+        "iframe_sandbox_audit",
+        "referrer_policy_audit",
+        "fetchpriority_hints",
+        "anchor_download_attr",
+        "indian_number_parse",
+        "cjk_scale_number_parse",
+        "roman_numeral_decode",
+        "ordinal_date_normalize",
+        "appcache_manifest_parse",
+        "crossdomain_xml_audit",
+        "p3p_policy_detect",
+        "browserconfig_tile_parse",
+        "emoji_shortcode_decode",
+        "hashtag_topic_extract",
+        "social_embed_detect",
+        "spoiler_markup_extract",
+        "chess_fen_parse",
+        "crossword_clue_parse",
+        "sudoku_grid_detect",
+        "lottery_draw_parse",
+        "gtfs_stop_times_parse",
+        "flight_duration_audit",
+        "recipe_scale_audit",
+        "running_pace_audit",
+        "chemical_formula_parse",
+        "scientific_notation_parse",
+        "coordinate_dms_convert",
+        "isotope_notation_parse",
+        "csrf_token_detect",
+        "honeypot_field_detect",
+        "input_validation_attrs",
+        "multistep_form_indicator",
+        "league_table_audit",
+        "batting_average_audit",
+        "election_result_audit",
+        "fuel_economy_audit",
+        "review_star_audit",
+        "installment_price_audit",
+        "discount_stack_audit",
+        "lrc_lyrics_parse",
+        "cue_sheet_parse",
+        "video_chapters_parse",
+        "semver_bump_audit",
+        "watermark_text_detect",
+        "page_number_sequence_audit",
+        "ocr_confusion_detect",
+        "duplicate_paragraph_detect",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
