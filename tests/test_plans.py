@@ -803,3 +803,19 @@ def test_host_priors_join_shape(spark):
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_source_lang_shapes(spark):
+    """source_lang_contingency / source_dominant_lang: every stage
+    is a HashAggregate (the dominant-lang argmax rides the
+    single-BIGINT encoding, never min/max(struct)); no Window, no
+    SortAggregate, no cartesian, no Python."""
+    from ocr_spark.queries import QUERIES
+
+    for name in ("source_lang_contingency", "source_dominant_lang"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "HashAggregate" in plan, name
+        assert "Window" not in plan, name
+        assert "SortAggregate" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan and "PythonUDF" not in plan, name
