@@ -746,6 +746,34 @@ def test_session10_distributed_shapes(spark):
         "page_number_sequence_audit",
         "ocr_confusion_detect",
         "duplicate_paragraph_detect",
+        "retraction_notice_detect",
+        "erratum_correction_link",
+        "peer_review_status_detect",
+        "data_availability_statement",
+        "real_estate_listing_parse",
+        "vehicle_listing_parse",
+        "salary_range_parse",
+        "auction_bid_parse",
+        "utm_campaign_parse",
+        "received_spf_result",
+        "gdpr_dpo_contact",
+        "breach_notice_parse",
+        "arabic_indic_digit_normalize",
+        "fullwidth_form_normalize",
+        "japanese_era_convert",
+        "buddhist_era_audit",
+        "binary_size_units_audit",
+        "uptime_sla_audit",
+        "resolution_aspect_audit",
+        "file_size_sum_audit",
+        "curl_command_parse",
+        "rate_limit_doc_parse",
+        "api_deprecation_sunset",
+        "status_page_incident_parse",
+        "karma_reputation_parse",
+        "upvote_ratio_audit",
+        "poll_votes_audit",
+        "edit_history_note_parse",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
