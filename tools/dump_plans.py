@@ -413,6 +413,78 @@ COMMENTARY = {
         "final HashAggregate around a SINGLE Exchange — three grains "
         "(host+section, host, global) in one scan instead of three."
     ),
+    # --- session 10 distributed shapes ---
+    "bigram_pmi_mining": (
+        "Collocation mining: one explode -> bigram + unigram corpus "
+        "HashAggregates with map-side partials; marginals join back on "
+        "word keys (AQE broadcasts while the vocab fits); scalar totals "
+        "ride single-row cross joins. The lift arithmetic divides the "
+        "marginals in BEFORE multiplying counts — the naive numerator "
+        "overflowed BIGINT on the 50k smoke track (ANSI threw, loudly)."
+    ),
+    "doc_rare_term_pick": (
+        "tf-idf argmax via the anchor_text_consensus discipline: tf/df/"
+        "per-doc max are HashAggregates; the STRING winner comes from an "
+        "ALIASED equi-join back on (doc_id, score) — a same-lineage join "
+        "on bare columns had its doc_id predicate collapsed to TRUE by "
+        "the analyzer (caught via the trivially-true warning) — and the "
+        "only SortAggregate is MIN(term) over join-reduced tie rows."
+    ),
+    "graph_two_hop_reach": (
+        "Friend-of-friend census: DISTINCT edge dedup (hash) -> one "
+        "equi-join on the mid node -> COUNT(DISTINCT) two-level partial "
+        "aggregate. Edge endpoints decorrelate through a div term (the "
+        "host_link_reciprocity lesson: affine maps of one variable "
+        "collapse the graph to orbits)."
+    ),
+    "event_funnel_conversion": (
+        "Ordered funnel: three per-user HashAggregates chained by "
+        "equi-joins on ONE shuffle key (user_id reused end-to-end); "
+        "min-ts step chaining keeps timestamps engine-internal; scalar "
+        "counts cross-join at the end with zero-denominator-guarded "
+        "integer permilles."
+    ),
+    "user_retention_cohorts": (
+        "Cohorts on calendar-date STRINGS with the per-user min over "
+        "INTEGER epoch-days — the string min's immutable buffer planned "
+        "SortAggregate (caught by the plan contract); the epoch-day "
+        "encode/decode keeps every aggregate hash."
+    ),
+    "heavy_user_event_share": (
+        "Concentration census without a ranking window: per-user "
+        "HashAggregate, scalar totals, and the >= 2x-mean threshold as "
+        "integer cross-multiplication (cnt*n_users >= 2*total) — a "
+        "top-decile formulation would sort the user table; this stays "
+        "hash-only."
+    ),
+    "cross_host_line_syndication": (
+        "Line-level host-pair projection: distinct (host, line) "
+        "HashAggregate -> line-df HashAggregate -> df BAND filter "
+        "(2..10 hosts) BEFORE the self-join — boilerplate at 23 hosts "
+        "and df=1 local lines never reach the shuffle — then per-pair "
+        "count. Cap-before-join, the tracker_coownership discipline."
+    ),
+    "host_quality_priors_join": (
+        "Multi-signal host rollup on the REAL lang/n_chars columns: two "
+        "per-host HashAggregates + a scalar-broadcast corpus total + one "
+        "left join on host; the long-doc share is integer "
+        "cross-multiplied (n_chars*N > 2*sum), no float mean ever "
+        "materialized; countDistinct plans the two-level partial."
+    ),
+    "source_lang_contingency": (
+        "Independence audit: joint (source, lang) HashAggregate; "
+        "marginals re-aggregate FROM the joint (not the corpus); cells "
+        "join back on their keys with a scalar grand total; deviation "
+        "flags are integer cross-multiplications (obs*N vs 2*row*col) — "
+        "the chi-square question with no float."
+    ),
+    "source_dominant_lang": (
+        "Categorical argmax via the single-BIGINT encoding (cnt*8 + "
+        "lang_id, decoded by div/mod) — the kmeans_assign fix pattern "
+        "applied to a string category: MAX over a long hash-aggregates "
+        "with map-side partials where max_by(lang, cnt) would plan a "
+        "struct-buffer SortAggregate."
+    ),
 }
 
 
