@@ -774,6 +774,14 @@ def test_session10_distributed_shapes(spark):
         "upvote_ratio_audit",
         "poll_votes_audit",
         "edit_history_note_parse",
+        "quiz_qa_parse",
+        "anki_cloze_parse",
+        "step_list_integrity",
+        "glossary_definition_parse",
+        "crawl_budget_arithmetic_audit",
+        "storage_projection_audit",
+        "compression_ratio_audit",
+        "dedup_savings_audit",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
