@@ -782,6 +782,14 @@ def test_session10_distributed_shapes(spark):
         "storage_projection_audit",
         "compression_ratio_audit",
         "dedup_savings_audit",
+        "opening_hours_parse",
+        "warranty_period_parse",
+        "allergen_statement_parse",
+        "visa_requirement_parse",
+        "coupon_code_consistency",
+        "loyalty_points_audit",
+        "returns_window_parse",
+        "booking_reference_extract",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, name
