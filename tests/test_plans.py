@@ -609,8 +609,20 @@ def test_session10_distributed_shapes(spark):
     # single MIN(term) tie-set aggregate)
     assert rare.count("SortAggregate") <= 4
     assert "CartesianProduct" not in rare
-    # the tie join-back must key on doc_id, not collapse to score-only
-    assert "doc_id" in rare
+    # the tie join-back must key on (doc_id, score), not collapse to
+    # score-only: assert on the JOIN NODE's key lines, not on the
+    # plan text at large ('doc_id' appears in every scan node, so a
+    # whole-plan substring check could not detect the analyzer
+    # folding the doc_id equality to TRUE)
+    key_lines = [
+        ln for ln in rare.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    two_key = [
+        ln for ln in key_lines
+        if "doc_id" in ln and ("score" in ln or "top_score" in ln)
+    ]
+    assert two_key, f"no join keyed on (doc_id, score): {key_lines}"
     assert "EvalPython" not in rare and "PythonUDF" not in rare
 
     hop = _plan(QUERIES["graph_two_hop_reach"](spark, SF))

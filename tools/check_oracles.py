@@ -21,6 +21,43 @@ from ocr_spark.session import get_spark
 from ocr_spark.sources.tables import TABLES
 
 
+def _dtype_classes(df: pd.DataFrame) -> dict[str, str]:
+    """Coarse per-column type class (int/float/bool/datetime/str).
+
+    The driver's value-hash is TYPED: an oracle that emits DOUBLE 0.0
+    where Spark emits BIGINT 0 hash-mismatches even when every value is
+    numerically identical (the round-4 compaction_bin_plan red row).
+    String normalization in _norm_val would hide exactly that drift, so
+    the gate compares type classes explicitly before normalizing.
+    """
+    out = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            out[c] = "bool"
+        elif pd.api.types.is_integer_dtype(dt):
+            out[c] = "int"
+        elif pd.api.types.is_float_dtype(dt):
+            # all-null float64 columns are pandas' encoding of NULL of
+            # any type; don't call a type class on no evidence
+            out[c] = "null" if df[c].isna().all() else "float"
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            out[c] = "datetime"
+        elif dt == object:
+            vals = df[c].dropna()
+            if len(vals) == 0:
+                out[c] = "null"
+            elif vals.map(lambda v: isinstance(v, (int,))).all():
+                out[c] = "int"  # decimal/hugeint results arrive as object ints
+            elif vals.map(lambda v: isinstance(v, float)).all():
+                out[c] = "float"
+            else:
+                out[c] = "str"
+        else:
+            out[c] = str(dt)
+    return out
+
+
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -68,7 +105,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     for name in names:
         fn = QUERIES[name]
         try:
-            got = _norm(fn(spark, sf_dir).toPandas())
+            got_raw = fn(spark, sf_dir).toPandas()
+            got = _norm(got_raw)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
@@ -77,9 +115,20 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle)")
             continue
         try:
-            want = _norm(con.sql(ORACLE[name]).df())
+            want_raw = con.sql(ORACLE[name]).df()
+            want = _norm(want_raw)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        gc, wc = _dtype_classes(got_raw), _dtype_classes(want_raw)
+        bad_types = {
+            c: (gc[c], wc[c])
+            for c in gc
+            if c in wc and "null" not in (gc[c], wc[c]) and gc[c] != wc[c]
+        }
+        if bad_types:
+            print(f"FAIL {name}: dtype-class drift {bad_types}")
             failures += 1
             continue
         if list(got.columns) != list(want.columns):

@@ -97,8 +97,11 @@ def bigram_lift(docs):
     tok = docs.select(F.split(F.col("text"), " ").alias("ts"))
     uni = tok.select(F.explode("ts").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    big_idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigs = tok.select(F.explode(F.transform(
-        F.sequence(F.lit(1), F.size("ts") - 1),
+        big_idx,
         lambda j: F.concat(F.element_at(F.col("ts"), j), F.lit(" "),
                            F.element_at(F.col("ts"), j + 1)))).alias("bg"))
     bcnt = bigs.groupBy("bg").agg(F.count("*").alias("cxy"))
@@ -113,14 +116,14 @@ def bigram_lift(docs):
          .crossJoin(tot)
          .join(u1, F.col("w1") == F.col("w1k"))
          .join(u2, F.col("w2") == F.col("w2k")))
-    # marginals divide in first (the query's overflow-safe form)
-    tu2 = F.col("tu") * F.col("tu")
-    cxcy = F.col("cw1") * F.col("cw2")
-    core = ((tu2 - tu2 % cxcy) / cxcy).cast("long")
-    num = F.lit(1000) * F.col("cxy") * core
-    den = F.col("tb")
-    return j.select("w1", "w2", "cxy",
-                    ((num - num % den) / den).cast("long").alias("lift"))
+    # marginals divide in first (the query's overflow-safe form);
+    # exact integer `div`, not the double-routed subtract-mod form
+    return (j.withColumn("tu2", F.col("tu") * F.col("tu"))
+             .withColumn("cxcy", F.col("cw1") * F.col("cw2"))
+             .withColumn("num", F.lit(1000) * F.col("cxy")
+                         * F.expr("tu2 div cxcy"))
+             .selectExpr("w1", "w2", "cxy",
+                         "CAST(num div tb AS BIGINT) AS lift"))
 
 
 def two_hop(docs):
