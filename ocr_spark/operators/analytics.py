@@ -182,3 +182,63 @@ def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def two_tier_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[str],
+    *,
+    desc: bool = False,
+    n_buckets: int = 256,
+    out: str = "rank",
+) -> DataFrame:
+    """EXACT global row_number by (value_col [DESC], *tiebreaks ASC)
+    without a global sort — the shared two-tier bucket-rank form
+    (global_rank_doc_length / budget_apportionment).
+
+    Tier 1: rows bucket by a coarse range of the (integer) value —
+    width derived from the observed min/max so bucket count stays
+    <= n_buckets + 1 regardless of the value's range. Tier 2: bucket
+    COUNTS (a tiny aggregate, bounded by n_buckets) get a running
+    offset via a window over the aggregate; each row's within-bucket
+    row_number (window PARTITIONED by bucket — bounded, uniform)
+    adds to its bucket offset. The only whole-table shuffle is the
+    bucket hash; the min/max probe is one scalar aggregate broadcast
+    back. Partitionless windows never touch row-scale data — the
+    anti-pattern this helper exists to retire.
+
+    ``value_col`` must be integral (rank order on it is exact);
+    ``tiebreaks`` are ascending and must make the order total, or
+    row_number within a bucket is nondeterministic.
+    """
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).cast("long").alias("_lo"), F.max(v).cast("long").alias("_hi")
+    )
+    b = df.crossJoin(F.broadcast(stats))
+    width = F.greatest(
+        F.expr(f"(_hi - _lo) DIV {n_buckets}"), F.lit(1).cast("long")
+    )
+    raw_bucket = F.expr("int((_lo IS NOT NULL))") * (
+        (v.cast("long") - F.col("_lo")) / width
+    ).cast("long")
+    # DESC rank: flip the bucket so bucket order matches rank order
+    bucket = (-raw_bucket if desc else raw_bucket).alias("_bucket")
+    bk = b.select(*df.columns, bucket)
+    counts = bk.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_n").over(w_b), F.lit(0)).alias("_off")
+    )
+    order = [v.desc() if desc else v.asc()] + [F.col(c) for c in tiebreaks]
+    w_in = Window.partitionBy("_bucket").orderBy(*order)
+    return (
+        bk.join(F.broadcast(offsets), "_bucket")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.row_number().over(w_in))
+            .cast("long")
+            .alias(out),
+        )
+    )

@@ -348,6 +348,13 @@ def resolve_redirects(pages: DataFrame, max_hops: int = 64) -> DataFrame:
     the same node a bounded sequential walk reports, which is what the
     DuckDB oracle pins.
     """
+    # stage the input once: pages feeds the edge set, the url spine,
+    # and (via m) the live-redirect lookup — and is often the output
+    # of a WARC-parse Python stage (redirect_final_url), which must
+    # compute exactly once, not once per consumer subtree
+    pages = pages.select("url", "redirect_location").localCheckpoint(
+        eager=False
+    )
     m = pages.where(F.col("redirect_location").isNotNull()).select(
         F.col("url").alias("src"),
         F.col("redirect_location").alias("dst"),
@@ -387,6 +394,20 @@ def _pointer_jump(
     pagination_chains. With ``with_distance`` the hop count
     accumulates across jumps (d = d_a + d_b). Returns (mapping,
     rounds); after t rounds every chain up to 2^t hops is collapsed.
+
+    Each round's mapping is MATERIALIZED (lazy ``localCheckpoint``
+    locally; the same slot is a table write on a warehouse run)
+    before the next self-join. Without that boundary the doubling is
+    pure lineage: round t's plan embeds two copies of round t-1's
+    subtree, so the final plan carries 2^rounds copies of the edge
+    input's upstream — and Spark executes them all (the a-side and
+    b-side need different hash distributions, so ReuseExchange can't
+    collapse them). With a WARC-parse Python stage upstream
+    (redirect_final_url) that meant up to 2^6 = 64 executions of the
+    parse at scale. Staged per round, the input computes exactly
+    once and every round is one self-equi-join of the previous
+    round's materialized output — the standard iterative-graph
+    pattern (cf. budget_apportionment's demands staging).
     """
     import math
 
@@ -396,6 +417,7 @@ def _pointer_jump(
         if with_distance and "d" not in edges.columns
         else edges
     )
+    f = f.localCheckpoint(eager=False)
     for _ in range(rounds):
         cols = [
             F.col("a.src").alias("src"),
@@ -412,6 +434,7 @@ def _pointer_jump(
             f.alias("a")
             .join(f.alias("b"), F.col("a.dst") == F.col("b.src"), "left")
             .select(*cols)
+            .localCheckpoint(eager=False)
         )
     return f, rounds
 
@@ -627,8 +650,10 @@ def pagination_chains(pages: DataFrame, max_hops: int = 64) -> DataFrame:
     its mirror, say) declaring the SAME resolved next target — would
     duplicate join keys and multiply rows through the doubling, so
     each page keeps ONE predecessor: the lexicographically smallest
-    (a hash-aggregated MIN — deterministic under any partitioning);
-    losing predecessors terminate their own chains. A chain longer
+    (a MIN over the url string — deterministic under any
+    partitioning; string MIN plans Sort+SortAggregate, so the
+    aggregate is staged and runs exactly once — see the inline
+    comment); losing predecessors terminate their own chains. A chain longer
     than 2^rounds (or a malformed rel-next cycle) cannot reach its
     true root: those rows come back ``resolved = false`` with
     root_url/position pinned at the 2^rounds'th application — the
@@ -645,10 +670,17 @@ def pagination_chains(pages: DataFrame, max_hops: int = 64) -> DataFrame:
     resolver expressions — 2^rounds times.
     """
     pages = pages.select("url", "next_url").localCheckpoint(eager=False)
+    # the fan-in predecessor pick is a MIN over a STRING — Spark
+    # plans Sort+SortAggregate for string buffers (no hash-agg
+    # support), so this aggregate must run exactly ONCE: staged, it
+    # feeds both the doubling loop and the live-roots lookup as a
+    # materialized scan, and the query's final plan carries zero
+    # SortAggregate nodes (pinned in test_plans)
     e = (
         pages.where(F.col("next_url").isNotNull())
         .groupBy(F.col("next_url").alias("src"))
         .agg(F.min("url").alias("dst"))
+        .localCheckpoint(eager=False)
     )
     f, _rounds = _pointer_jump(e, max_hops, with_distance=True)
     res = (

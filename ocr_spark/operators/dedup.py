@@ -545,6 +545,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+class CandidateVolumeError(RuntimeError):
+    """Raised when the exact-recall cosine near-dup's estimated
+    candidate volume exceeds the caller's cap.
+
+    Exact recall at a low threshold on a dense/isotropic corpus has
+    an INHERENT candidate volume of ~n^2/resolution (SCALING.md §2e:
+    the 100x smoke filled the disk at 500k isotropic rows); no
+    banding scheme of width >= arccos(t) can split the degenerate
+    band. Corpus-scale runs belong on the approximate operators:
+    route to ``semdedup_pairs`` (k-means-cell-bounded pair space) or
+    the ANN family (``ocr_spark.operators.ann``: IVF / sign-LSH /
+    PQ-ADC top-k), or raise the threshold / the cap explicitly.
+    """
+
+
 def cosine_neardup_pairs_allpairs(
     vecs: DataFrame,
     id_col: str = "vec_id",
@@ -662,6 +677,7 @@ def cosine_neardup_pairs(
     n_pivots: int = 2,
     max_bucket: int | None = None,
     max_pivots: int = 6,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos) with
     cos >= t — EXACT recall without the O(n^2) cross join.
@@ -704,6 +720,15 @@ def cosine_neardup_pairs(
     at ANY threshold on ANY corpus, which is what kills stragglers at
     1000 executors. Approximate regimes that can't afford the inherent
     candidate volume belong on semdedup_pairs / ANN instead.
+
+    ``max_candidates`` ENFORCES that routing (VERDICT r4 next #6):
+    before the candidate join runs, the band-bucket histogram
+    estimates the join's output volume (sum over keys of home-count x
+    probe-count — computed on the two KEY-COUNT aggregates, never the
+    row-scale data) and a :class:`CandidateVolumeError` fires past
+    the cap, naming semdedup/ANN, instead of letting the join fill
+    the cluster's shuffle disks. Tiling bounds per-TASK work but not
+    TOTAL work — the total is what this guard caps.
     """
     import math
 
@@ -753,6 +778,31 @@ def cosine_neardup_pairs(
             ],
         ).alias("key"),
     )
+    if max_candidates is not None:
+        # candidate-volume guard: estimate the join's output from the
+        # two key histograms (aggregate-sized, one control-plane
+        # collect) and fail fast past the cap — before the join can
+        # generate its ~n^2/resolution shuffle volume
+        hh = home.groupBy("key").agg(F.count(F.lit(1)).alias("nh"))
+        ph = probe.groupBy("key").agg(F.count(F.lit(1)).alias("np"))
+        est_row = (
+            hh.join(ph, "key")
+            .agg(F.sum(F.col("nh") * F.col("np")).alias("est"))
+            .collect()[0]
+        )
+        est = est_row["est"] or 0
+        if est > max_candidates:
+            raise CandidateVolumeError(
+                f"cosine_neardup_pairs: estimated candidate volume "
+                f"{est:,} exceeds max_candidates={max_candidates:,} — "
+                f"exact recall at threshold={threshold} on this corpus "
+                f"is inherently ~n^2/resolution (the angular bands "
+                f"cannot split it further). Route corpus-scale "
+                f"near-dedup to semdedup_pairs (k-means-cell-bounded "
+                f"pair space) or the ANN operators "
+                f"(ocr_spark.operators.ann: IVF / sign-LSH / PQ-ADC), "
+                f"or raise the threshold / max_candidates explicitly."
+            )
     if max_bucket is not None:
         # TILE oversized buckets (the part sub-banding cannot fix: by
         # measure concentration an isotropic corpus' thetas all fall

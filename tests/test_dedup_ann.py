@@ -191,3 +191,31 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.id: r.cluster for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cosine_neardup_candidate_volume_guard(spark):
+    """VERDICT r4 next #6: a planted DENSE corpus (every vector
+    identical → one angular bucket, quadratic candidate volume) must
+    trip the enforced routing guard BEFORE the candidate join runs,
+    and the error must route the caller to semdedup/ANN."""
+    from ocr_spark.operators.dedup import CandidateVolumeError
+
+    n = 200
+    dense = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(1.0)] + [F.lit(0.0)] * 7).alias("embedding"),
+    )
+    with pytest.raises(CandidateVolumeError) as ei:
+        cosine_neardup_pairs(
+            dense, threshold=0.4, dim=8, max_candidates=1000
+        ).count()
+    msg = str(ei.value)
+    assert "semdedup" in msg and "ann" in msg.lower()
+    assert "max_candidates" in msg
+
+    # head-room case: the same corpus under a generous cap still runs
+    # (guard is an estimate comparison, not a behavior change)
+    ok = cosine_neardup_pairs(
+        dense, threshold=0.4, dim=8, max_candidates=10_000_000
+    )
+    assert ok.count() == n * (n - 1) // 2

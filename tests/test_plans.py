@@ -220,18 +220,95 @@ def test_exact_substring_spans_single_window_sort_chain(spark):
     assert plan.count("Exchange") <= 8  # spread, (doc,s) agg, h window, doc_id
 
 
-def test_no_query_has_cartesian_product(spark):
-    """Systematic audit over EVERY registered query: CartesianProduct
-    must never appear (constant-build-side BroadcastNestedLoopJoin is
-    allowed — single-row norm/query broadcasts — but an unpruned
-    cartesian is always a plan bug at corpus scale)."""
+# Partitionless ORDERED windows allowed ONLY over provably bounded
+# inputs (VERDICT r4 #3). Three approved shapes, each named with its
+# bound:
+#  - bucket-tier offset windows: the tiny (<= ~257-row) bucket-count
+#    aggregate of the two-tier rank / prefix-sum / prefix-max form
+#    (global_rank_doc_length pattern; operators/analytics.two_tier_rank)
+#  - post-limit windows: input already reduced by orderBy().limit(k)
+#    -> TakeOrderedAndProject (<= k rows)
+#  - per-grouping-key aggregate windows: one row per key of an
+#    upstream groupBy (skew_report's per-key count table)
+_BOUNDED_GLOBAL_WINDOW_QUERIES = {
+    # bucket-tier (two_tier_rank / prefix decomposition)
+    "global_rank_doc_length",
+    "pack_training_sequences",
+    "pipeline_pack_training_sequences",
+    "crawl_budget_apportionment",
+    "late_data_accounting",
+    "conversion_latency_quantiles",
+    "host_count_outliers",
+    "rrf_fusion_top10",
+    # post-limit bounded (<= 20 / <= 100 rows)
+    "vocab_coverage_curve",
+    "zipf_slope_estimate",
+    # per-grouping-key aggregate (skew_report)
+    "shuffle_skew_report",
+}
+
+
+def _partitionless_ordered_windows(plan: str) -> list[str]:
+    """Window nodes whose spec has NO partition clause but DOES have
+    an ORDER clause — the single-task global-sort anti-pattern. The
+    formatted detail line is ``Arguments: [exprs], [partition],
+    [order]``; a missing partition list leaves two groups with the
+    second carrying ASC/DESC markers (a partition-only window also
+    prints two groups, but its second group has no sort direction)."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and ln.strip().endswith("Window"):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if lines[j].startswith("Arguments: "):
+                    args = lines[j][len("Arguments: "):]
+                    groups, depth, cur = [], 0, []
+                    for ch in args:
+                        if ch == "[":
+                            if depth == 0:
+                                cur = []
+                            depth += 1
+                            cur.append(ch)
+                        elif ch == "]":
+                            depth -= 1
+                            cur.append(ch)
+                            if depth == 0:
+                                groups.append("".join(cur))
+                        elif depth > 0:
+                            cur.append(ch)
+                    bad = len(groups) == 1 or (
+                        len(groups) == 2
+                        and re.search(r"(ASC|DESC) NULLS", groups[1])
+                    )
+                    if bad:
+                        out.append(args[:160])
+                    break
+    return out
+
+
+def test_no_query_has_cartesian_product_or_global_window(spark):
+    """Systematic audit over EVERY registered query (single plan
+    sweep): (a) CartesianProduct must never appear (constant-build-
+    side BroadcastNestedLoopJoin is allowed — single-row norm/query
+    broadcasts — but an unpruned cartesian is always a plan bug at
+    corpus scale); (b) no partitionless ORDERED WindowExec outside
+    the named bounded-input allowlist — a global window over
+    corpus-derived data is a single-task sort, the anti-pattern the
+    two-tier bucket rank exists to retire (VERDICT r4 #3)."""
     from ocr_spark.queries import QUERIES
 
-    offenders = [
-        name for name, fn in QUERIES.items()
-        if "CartesianProduct" in _plan(fn(spark, SF))
-    ]
-    assert not offenders, offenders
+    cartesian, windows = [], {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        pw = _partitionless_ordered_windows(plan)
+        if pw and name not in _BOUNDED_GLOBAL_WINDOW_QUERIES:
+            windows[name] = pw
+    assert not cartesian, cartesian
+    assert not windows, windows
 
 
 def test_session5_heavy_ops_plan_hygiene(spark):
@@ -875,3 +952,45 @@ def test_source_lang_shapes(spark):
         assert "SortAggregate" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan and "PythonUDF" not in plan, name
+
+
+def test_pointer_jump_stages_per_round(spark):
+    """VERDICT r4 #2: the doubling loop must not replay its upstream
+    2^rounds times. Each round is staged (lazy localCheckpoint →
+    Scan ExistingRDD), so the FINAL plan of redirect_final_url
+    contains ZERO WARC-parse Python stages (the parse runs once,
+    inside the first staged lineage) and pagination_rel_chains
+    contains ZERO SortAggregate nodes (the min(string) predecessor
+    pick runs once, staged). Both plans must show the materialized
+    boundaries."""
+    from ocr_spark.queries import QUERIES
+
+    red = _plan(QUERIES["redirect_final_url"](spark, SF))
+    assert "EvalPython" not in red and "MapInPandas" not in red, (
+        "WARC parse leaked into the doubling lineage"
+    )
+    assert "SortAggregate" not in red
+    assert "Scan ExistingRDD" in red  # staged rounds present
+
+    pag = _plan(QUERIES["pagination_rel_chains"](spark, SF))
+    assert "SortAggregate" not in pag, (
+        "min(string) predecessor pick replayed in the doubling lineage"
+    )
+    assert "EvalPython" not in pag and "PythonUDF" not in pag
+    assert "Scan ExistingRDD" in pag
+    assert "CartesianProduct" not in pag
+
+
+def test_pointer_jump_round_count_is_logarithmic(spark):
+    """The staged doubling must still be O(log max_hops) rounds —
+    6 self-joins for max_hops=64 — not an unrolled linear walk.
+    Pinned via the round count the operator itself reports."""
+    from ocr_spark.operators.crawl import _pointer_jump
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    f, rounds = _pointer_jump(e, 64)
+    assert rounds == 6
+    got = {r["src"]: r["dst"] for r in f.collect()}
+    assert got == {"a": "d", "b": "d", "c": "d"}
