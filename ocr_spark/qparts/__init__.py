@@ -1,0 +1,1 @@
+"""Split query-registry parts — import via ocr_spark.queries."""

@@ -1,0 +1,8806 @@
+"""Query registry part: continuation of the preceding part's sections
+
+Part 05 of 09 of the split query registry (VERDICT r4 next
+#7: the 72.8k-line ocr_spark/queries.py split behind the same
+QUERIES/ORACLE registry, registration order preserved — parts import
+sequentially from the ocr_spark.queries facade, which also
+back-patches call-time name resolution so intra-registry helper
+references behave exactly as in the original single module).
+"""
+
+from __future__ import annotations
+
+import ocr_spark.queries_base as _base
+
+globals().update(
+    {k: v for k, v in vars(_base).items() if not k.startswith("__")}
+)
+import ocr_spark.qparts.part04 as _prev
+
+globals().update(
+    {k: v for k, v in vars(_prev).items() if not k.startswith("__")}
+)
+
+
+
+@query("meta_description_audit", _meta_description_oracle())
+def meta_description_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-description quality audit (round 4): the description is
+    the page's own one-line summary — a well-formed one is free
+    abstract-supervision for summarization training, while a
+    missing/title-copy/keyword-wall description downgrades the
+    page's metadata trust (and the 50–160 char window is the
+    de-facto serp contract). All four failure modes plus the good
+    case are synthesized.
+
+    Scale shape: per-row extraction + length rules, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<title>Widget Guide</title>'
+                  '<meta name="description" content="A practical guide '
+                  "to choosing, installing and maintaining widget model "),
+            (i % 31).cast("string"),
+            F.lit(' at home.">')))
+        .when(v == 1, F.lit(
+            "<title>Widget Guide</title>"
+            '<meta name="description" content="Widget Guide">'))
+        .when(v == 2, F.concat(
+            F.lit('<title>Widget Guide</title>'
+                  '<meta name="description" content="'),
+            F.repeat(F.lit("widgets best cheap buy now "), 12),
+            F.lit('">')))
+        .otherwise(F.lit("<title>Widget Guide</title>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(h, 'name="description" content="([^"]*)"', 1)
+        .alias("descr"),
+        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+    )
+    de, ti = F.col("descr"), F.col("title")
+    return s.select(
+        "doc_id",
+        F.length(de).cast("long").alias("descr_chars"),
+        F.when(de == "", F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("missing"),
+        F.when(de == ti, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("duplicates_title"),
+        F.when(de == "", F.lit("missing"))
+        .when(de == ti, F.lit("title-copy"))
+        .when(F.length(de) < 50, F.lit("too-short"))
+        .when(F.length(de) > 160, F.lit("too-long"))
+        .otherwise(F.lit("ok")).alias("verdict"),
+    )
+
+
+def _iso_duration_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'PT1H' || CAST(doc_id % 60 AS VARCHAR)
+            || 'M30S'
+          WHEN 1 THEN 'PT' || CAST(doc_id % 59 + 1 AS VARCHAR) || 'M'
+          WHEN 2 THEN 'PT45S'
+          ELSE 'P3D'
+        END AS dur
+      FROM documents),
+    s AS (
+      SELECT doc_id, dur,
+        COALESCE(regexp_extract(dur, '([0-9]+)H', 1), '') AS h,
+        COALESCE(regexp_extract(dur, '([0-9]+)M', 1), '') AS m,
+        COALESCE(regexp_extract(dur, '([0-9]+)S', 1), '') AS sec,
+        COALESCE(regexp_extract(dur, 'P([0-9]+)D', 1), '') AS dd
+      FROM p)
+    SELECT doc_id, dur,
+      CAST(
+        (CASE WHEN dd = '' THEN 0 ELSE CAST(dd AS BIGINT) END) * 86400
+        + (CASE WHEN h = '' THEN 0 ELSE CAST(h AS BIGINT) END) * 3600
+        + (CASE WHEN m = '' THEN 0 ELSE CAST(m AS BIGINT) END) * 60
+        + (CASE WHEN sec = '' THEN 0 ELSE CAST(sec AS BIGINT) END)
+        AS BIGINT) AS total_seconds
+    FROM s
+    """
+
+
+@query("iso8601_duration_parse", _iso_duration_oracle())
+def iso8601_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 duration parse (round 4): schema.org durations
+    (video duration, recipe cookTime, event length) arrive as
+    ``PT1H2M30S`` strings — normalizing to integer seconds is what
+    makes them filterable/aggregable (a video corpus cut at "under
+    10 minutes" needs seconds, not PT-strings). H/M/S and day forms
+    with absent components are synthesized; every component defaults
+    to zero, all integer arithmetic.
+
+    Scale shape: per-row component extraction + arithmetic, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    dur = (
+        F.when(v == 0, F.concat(
+            F.lit("PT1H"), (i % 60).cast("string"), F.lit("M30S")))
+        .when(v == 1, F.concat(
+            F.lit("PT"), (i % 59 + 1).cast("string"), F.lit("M")))
+        .when(v == 2, F.lit("PT45S"))
+        .otherwise(F.lit("P3D"))
+    )
+    p = d.select("doc_id", dur.alias("dur"))
+    t = F.col("dur")
+
+    def comp(pat: str):
+        c = F.regexp_extract(t, pat, 1)
+        return F.when(c == "", F.lit(0)).otherwise(c.cast("long"))
+
+    return p.select(
+        "doc_id", "dur",
+        (comp("P([0-9]+)D") * 86400 + comp("([0-9]+)H") * 3600
+         + comp("([0-9]+)M") * 60 + comp("([0-9]+)S"))
+        .cast("long").alias("total_seconds"),
+    )
+
+
+def _breadcrumb_url_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        '/shop/tools/drills/item' || CAST(doc_id % 50 AS VARCHAR)
+          AS path,
+        CASE doc_id % 3
+          WHEN 0 THEN '<nav class="breadcrumb"><a href="/">Home</a>'
+            || '<a href="/shop">Shop</a><a href="/shop/tools">Tools'
+            || '</a><a href="/shop/tools/drills">Drills</a></nav>'
+          WHEN 1 THEN '<nav class="breadcrumb"><a href="/">Home</a>'
+            || '<a href="/shop">Shop</a></nav>'
+          ELSE '<nav class="mainmenu"><a href="/">Home</a></nav>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, path,
+        CASE WHEN contains(html, 'class="breadcrumb"') THEN
+          len(regexp_extract_all(html, '<a href=', 0)) ELSE 0 END
+          AS n_crumbs,
+        len(regexp_extract_all(path, '/', 0)) AS path_depth
+      FROM p)
+    SELECT doc_id,
+      CAST(n_crumbs AS BIGINT) AS n_crumbs,
+      CAST(path_depth AS BIGINT) AS path_depth,
+      CAST(CASE WHEN n_crumbs = path_depth THEN 1 ELSE 0 END AS INT)
+        AS consistent
+    FROM s WHERE n_crumbs > 0
+    """
+
+
+@query("breadcrumb_url_consistency", _breadcrumb_url_oracle())
+def breadcrumb_url_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadcrumb-vs-URL-depth consistency (round 4): a breadcrumb
+    trail shorter than the URL path depth means the visible
+    hierarchy and the URL hierarchy disagree — either the site
+    flattened its navigation (the URL taxonomy is stale) or the
+    breadcrumb is truncated; consistent pairs let url_path_template
+    mining trust path segments as category labels.
+    breadcrumb_extract reads the trail; this cross-checks it against
+    the URL.
+
+    Scale shape: per-row counting with a pushed filter, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    path = F.concat(F.lit("/shop/tools/drills/item"),
+                    (i % 50).cast("string"))
+    html = (
+        F.when(v == 0, F.lit(
+            '<nav class="breadcrumb"><a href="/">Home</a>'
+            '<a href="/shop">Shop</a><a href="/shop/tools">Tools</a>'
+            '<a href="/shop/tools/drills">Drills</a></nav>'))
+        .when(v == 1, F.lit(
+            '<nav class="breadcrumb"><a href="/">Home</a>'
+            '<a href="/shop">Shop</a></nav>'))
+        .otherwise(F.lit('<nav class="mainmenu"><a href="/">Home</a></nav>'))
+    )
+    p = d.select("doc_id", path.alias("path"), html.alias("html"))
+    h = F.col("html")
+    n_crumbs = F.when(
+        h.contains('class="breadcrumb"'),
+        F.size(F.regexp_extract_all(h, F.lit("<a href="), 0)),
+    ).otherwise(F.lit(0))
+    s = p.select(
+        "doc_id",
+        n_crumbs.alias("n_crumbs"),
+        F.size(F.regexp_extract_all(F.col("path"), F.lit("/"), 0))
+        .alias("path_depth"),
+    )
+    return s.where(F.col("n_crumbs") > 0).select(
+        "doc_id",
+        F.col("n_crumbs").cast("long").alias("n_crumbs"),
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.when(F.col("n_crumbs") == F.col("path_depth"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("consistent"),
+    )
+
+
+def _dev_leak_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script src="/__webpack_hmr"></script>'
+            || '<div id="webpack-dev-server-client-overlay"></div>'
+          WHEN 1 THEN '<script type="module" src="/@vite/client">'
+            || '</script><p>app</p>'
+          WHEN 2 THEN '<script>window.__REACT_DEVTOOLS_GLOBAL_HOOK__'
+            || '={};</script>'
+          ELSE '<script src="/static/app.min.js"></script>'
+        END AS html
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN contains(html, '__webpack_hmr') THEN 'webpack-dev'
+        WHEN contains(html, '@vite/client') THEN 'vite-dev'
+        WHEN contains(html, 'REACT_DEVTOOLS') THEN 'devtools-hook'
+        ELSE '' END AS leak_kind,
+      CAST(CASE WHEN contains(html, '__webpack_hmr')
+        OR contains(html, '@vite/client') THEN 1 ELSE 0 END AS INT)
+        AS is_dev_build
+    FROM p
+    WHERE contains(html, '__webpack_hmr')
+      OR contains(html, '@vite/client')
+      OR contains(html, 'REACT_DEVTOOLS')
+    """
+
+
+@query("dev_server_leak_detect", _dev_leak_oracle())
+def dev_server_leak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dev-server leak detection (round 4): HMR clients
+    (``__webpack_hmr``, ``@vite/client``) in crawled HTML mean a
+    development server is publicly exposed — its content is
+    work-in-progress (wrong for a corpus: duplicate-of-prod drafts,
+    lorem placeholders) and the host is operationally misconfigured;
+    the devtools hook alone is a weaker staging hint. The production
+    bundle pins zero rows.
+
+    Scale shape: per-row detection with a pushed filter, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.lit(
+            '<script src="/__webpack_hmr"></script>'
+            '<div id="webpack-dev-server-client-overlay"></div>'))
+        .when(v == 1, F.lit(
+            '<script type="module" src="/@vite/client"></script>'
+            "<p>app</p>"))
+        .when(v == 2, F.lit(
+            "<script>window.__REACT_DEVTOOLS_GLOBAL_HOOK__={};"
+            "</script>"))
+        .otherwise(F.lit('<script src="/static/app.min.js"></script>'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    wp = h.contains("__webpack_hmr")
+    vt = h.contains("@vite/client")
+    dh = h.contains("REACT_DEVTOOLS")
+    return p.where(wp | vt | dh).select(
+        "doc_id",
+        F.when(wp, F.lit("webpack-dev"))
+        .when(vt, F.lit("vite-dev"))
+        .when(dh, F.lit("devtools-hook"))
+        .otherwise(F.lit("")).alias("leak_kind"),
+        F.when(wp | vt, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("is_dev_build"),
+    )
+
+
+def _alt_quality_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<img src="/i/a.jpg" alt="A red-brick '
+            || 'lighthouse against a stormy sky, photo '
+            || CAST(doc_id % 17 AS VARCHAR) || '">'
+          WHEN 1 THEN '<img src="/i/b.jpg" alt="IMG_20260'
+            || CAST(doc_id % 9 AS VARCHAR) || '01_1234.jpg">'
+          WHEN 2 THEN '<img src="/i/c.jpg" alt="cheap widgets best '
+            || 'widgets buy widgets widgets sale">'
+          ELSE '<img src="/i/d.jpg" alt="">'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html, 'alt="([^"]*)"', 1), '')
+          AS alt
+      FROM p),
+    t AS (
+      SELECT doc_id, alt,
+        CASE WHEN alt = '' THEN 1 ELSE 0 END AS empty_alt,
+        CASE WHEN regexp_matches(alt,
+          '^(IMG|DSC)[_0-9]+[.](jpg|png)$') THEN 1 ELSE 0 END
+          AS filename_like,
+        len(string_split(alt, ' '))
+          - len(list_distinct(string_split(alt, ' '))) AS repeats
+      FROM s)
+    SELECT doc_id, alt,
+      CASE
+        WHEN empty_alt = 1 THEN 'empty'
+        WHEN filename_like = 1 THEN 'filename'
+        WHEN repeats >= 2 THEN 'keyword-stuffed'
+        ELSE 'descriptive' END AS alt_class,
+      CAST(CASE WHEN empty_alt = 0 AND filename_like = 0
+        AND repeats < 2 THEN 1 ELSE 0 END AS INT) AS caption_usable
+    FROM t
+    """
+
+
+@query("alt_text_caption_quality", _alt_quality_oracle())
+def alt_text_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alt-text caption quality (round 4): img alt text is the
+    web's largest image-caption corpus — but only DESCRIPTIVE alts
+    are usable (image,caption) supervision; camera-filename alts
+    carry zero signal and keyword-stuffed alts are SEO spam that
+    poisons caption training. The four classes are synthesized; the
+    stuffing test counts repeated tokens in-row
+    (accessibility_profile checks alt PRESENCE — this grades
+    content).
+
+    Scale shape: per-row classification, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="/i/a.jpg" alt="A red-brick lighthouse '
+                  "against a stormy sky, photo "),
+            (i % 17).cast("string"), F.lit('">')))
+        .when(v == 1, F.concat(
+            F.lit('<img src="/i/b.jpg" alt="IMG_20260'),
+            (i % 9).cast("string"), F.lit('01_1234.jpg">')))
+        .when(v == 2, F.lit(
+            '<img src="/i/c.jpg" alt="cheap widgets best widgets '
+            'buy widgets widgets sale">'))
+        .otherwise(F.lit('<img src="/i/d.jpg" alt="">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    alt = F.regexp_extract(F.col("html"), 'alt="([^"]*)"', 1)
+    s = p.select("doc_id", alt.alias("alt"))
+    a = F.col("alt")
+    toks = F.split(a, " ")
+    repeats = F.size(toks) - F.size(F.array_distinct(toks))
+    fname = (F.regexp_extract(
+        a, "^(IMG|DSC)[_0-9]+[.](jpg|png)$", 0) != "").cast("int")
+    t = s.select(
+        "doc_id", "alt",
+        (a == "").cast("int").alias("empty_alt"),
+        fname.alias("filename_like"),
+        repeats.alias("repeats"),
+    )
+    return t.select(
+        "doc_id", "alt",
+        F.when(F.col("empty_alt") == 1, F.lit("empty"))
+        .when(F.col("filename_like") == 1, F.lit("filename"))
+        .when(F.col("repeats") >= 2, F.lit("keyword-stuffed"))
+        .otherwise(F.lit("descriptive")).alias("alt_class"),
+        F.when((F.col("empty_alt") == 0) & (F.col("filename_like") == 0)
+               & (F.col("repeats") < 2), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("caption_usable"),
+    )
+
+
+def _og_locale_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta property="og:locale" content="en_US">'
+            || '<meta property="og:locale:alternate" content="de_DE">'
+            || '<meta property="og:locale:alternate" content="fr_FR">'
+          WHEN 1 THEN '<meta property="og:locale" content="ja_JP">'
+          ELSE '<meta property="og:title" content="t">'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html,
+          'og:locale" content="([a-z]{2}_[A-Z]{2})"', 1), '')
+          AS primary_locale,
+        list_sort(regexp_extract_all(html,
+          'og:locale:alternate" content="([a-z]{2}_[A-Z]{2})"', 1))
+          AS alternates
+      FROM p)
+    SELECT doc_id, primary_locale,
+      CAST(len(alternates) AS BIGINT) AS n_alternates,
+      COALESCE(list_aggregate(alternates, 'string_agg', ','), '')
+        AS alternates
+    FROM s WHERE primary_locale <> ''
+    """
+
+
+@query("og_locale_alternates", _og_locale_oracle())
+def og_locale_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-Graph locale alternates (round 4): og:locale:alternate is
+    the THIRD translation-declaration channel (after hreflang links
+    and path-locale mirrors) — social platforms read this one, so
+    sites maintain it even when hreflang rots; agreement across the
+    three channels is the strongest mirror-cluster evidence bitext
+    mining can get. Multi-alternate, single-locale and locale-free
+    pages are synthesized.
+
+    Scale shape: per-row extraction with a pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.lit(
+            '<meta property="og:locale" content="en_US">'
+            '<meta property="og:locale:alternate" content="de_DE">'
+            '<meta property="og:locale:alternate" content="fr_FR">'))
+        .when(v == 1, F.lit('<meta property="og:locale" content="ja_JP">'))
+        .otherwise(F.lit('<meta property="og:title" content="t">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(
+            h, 'og:locale" content="([a-z]{2}_[A-Z]{2})"', 1)
+        .alias("primary_locale"),
+        F.array_sort(F.regexp_extract_all(
+            h, F.lit('og:locale:alternate" content="'
+                     '([a-z]{2}_[A-Z]{2})"'), 1)).alias("alts"),
+    )
+    return s.where(F.col("primary_locale") != "").select(
+        "doc_id", "primary_locale",
+        F.size("alts").cast("long").alias("n_alternates"),
+        F.array_join("alts", ",").alias("alternates"),
+    )
+
+
+def _nosnippet_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<p>Public intro text.</p>'
+            || '<div data-nosnippet><p>Exclusive paragraph '
+            || CAST(doc_id % 11 AS VARCHAR)
+            || ' not for previews.</p></div><p>More public text.</p>'
+          WHEN 1 THEN '<p data-nosnippet>Price available on request.'
+            || '</p>'
+          ELSE '<p>Everything here may be quoted.</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, html,
+        len(regexp_extract_all(html, 'data-nosnippet', 0))
+          AS n_fenced,
+        regexp_replace(COALESCE(regexp_extract(html,
+          'data-nosnippet>(.*?)</(div|p)>', 1), ''),
+          '<[^>]+>', '', 'g') AS fenced_text
+      FROM p)
+    SELECT doc_id,
+      CAST(n_fenced AS BIGINT) AS n_fenced,
+      fenced_text,
+      CAST(len(fenced_text) AS BIGINT) AS fenced_chars
+    FROM s WHERE n_fenced > 0
+    """
+
+
+@query("data_nosnippet_extract", _nosnippet_oracle())
+def data_nosnippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data-nosnippet fence extraction (round 4): the publisher's
+    element-level "don't quote this" marker — snippet previews must
+    exclude the fenced text, and a corpus that honors publisher
+    preferences treats it like a paragraph-scoped opt-out (the
+    element-level sibling of ai_optout_directives' page-level gate).
+    Block and inline fences plus an unfenced page are synthesized;
+    the fenced text is extracted tag-stripped so downstream can
+    subtract it.
+
+    Scale shape: per-row extraction with a pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<p>Public intro text.</p>"
+                  "<div data-nosnippet><p>Exclusive paragraph "),
+            (i % 11).cast("string"),
+            F.lit(" not for previews.</p></div>"
+                  "<p>More public text.</p>")))
+        .when(v == 1, F.lit(
+            "<p data-nosnippet>Price available on request.</p>"))
+        .otherwise(F.lit("<p>Everything here may be quoted.</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(h, F.lit("data-nosnippet"), 0))
+        .alias("n_fenced"),
+        F.regexp_replace(
+            F.regexp_extract(h, "data-nosnippet>(.*?)</(div|p)>", 1),
+            "<[^>]+>", "").alias("fenced_text"),
+    )
+    return s.where(F.col("n_fenced") > 0).select(
+        "doc_id",
+        F.col("n_fenced").cast("long").alias("n_fenced"),
+        "fenced_text",
+        F.length("fenced_text").cast("long").alias("fenced_chars"),
+    )
+
+
+def _luhn_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Pay with card 4111111111111111 today'
+          WHEN 1 THEN 'Order ref 4111111111111112 (not a card)'
+          ELSE 'No numbers of interest here.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(body, '([0-9]{16})', 1), '') AS num
+      FROM p),
+    t AS (
+      SELECT doc_id, num, reverse(num) AS rev
+      FROM s WHERE num <> ''),
+    u AS (
+      SELECT doc_id, num,
+        list_aggregate(list_transform(
+          regexp_extract_all(rev, '(.).?', 1),
+          x -> CAST(x AS BIGINT)), 'sum') AS sum_odd,
+        list_aggregate(list_transform(
+          regexp_extract_all(rev, '.(.)', 1),
+          x -> CASE WHEN CAST(x AS BIGINT) * 2 > 9
+            THEN CAST(x AS BIGINT) * 2 - 9
+            ELSE CAST(x AS BIGINT) * 2 END), 'sum') AS sum_even
+      FROM t)
+    SELECT doc_id,
+      CAST(CASE WHEN (sum_odd + sum_even) % 10 = 0 THEN 1 ELSE 0 END
+        AS INT) AS luhn_valid,
+      repeat('*', 12) || substr(num, 13, 4) AS masked,
+      CASE WHEN (sum_odd + sum_even) % 10 = 0 THEN 'redact'
+           ELSE 'keep' END AS disposition
+    FROM u
+    """
+
+
+@query("luhn_card_detect", _luhn_oracle())
+def luhn_card_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn card-number detection (round 4): a 16-digit token is PII
+    only if it PASSES the Luhn checksum — order numbers and tracking
+    ids share the shape, so a checksum gate cuts false redactions
+    ~10x (pii_scrub's pattern rules can't tell them apart). The Luhn
+    fold runs in-row over the reversed digit string: odd positions
+    via the pair-consuming ``(.).?`` capture, even positions via
+    ``.(.)`` — no index-parameter lambdas, so both engines' lambda
+    dialects agree. The canonical 4111... test number is used, never
+    a real card.
+
+    Scale shape: per-row checksum arithmetic, pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.lit("Pay with card 4111111111111111 today"))
+        .when(v == 1, F.lit("Order ref 4111111111111112 (not a card)"))
+        .otherwise(F.lit("No numbers of interest here."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    num = F.regexp_extract(F.col("body"), "([0-9]{16})", 1)
+    s = p.select("doc_id", num.alias("num")).where(F.col("num") != "")
+    rev = F.reverse(F.col("num"))
+    sum_odd = F.aggregate(
+        F.transform(F.regexp_extract_all(rev, F.lit("(.).?"), 1),
+                    lambda x: x.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dbl = F.transform(
+        F.regexp_extract_all(rev, F.lit(".(.)"), 1),
+        lambda x: F.when(x.cast("long") * 2 > 9, x.cast("long") * 2 - 9)
+        .otherwise(x.cast("long") * 2))
+    sum_even = F.aggregate(dbl, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+    u = s.select("doc_id", "num", sum_odd.alias("so"),
+                 sum_even.alias("se"))
+    ok = (F.col("so") + F.col("se")) % 10 == 0
+    return u.select(
+        "doc_id",
+        F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("luhn_valid"),
+        F.concat(F.lit("*" * 12), F.substring("num", 13, 4))
+        .alias("masked"),
+        F.when(ok, F.lit("redact")).otherwise(F.lit("keep"))
+        .alias("disposition"),
+    )
+
+
+def _gtin_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<span itemprop="gtin13">4006381333931</span>'
+          WHEN 1 THEN '<span itemprop="gtin13">4006381333932</span>'
+          ELSE '<span itemprop="name">no gtin</span>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html,
+          'gtin13">([0-9]{13})<', 1), '') AS gtin
+      FROM p),
+    t AS (
+      SELECT doc_id, gtin, substr(gtin, 1, 12) AS body12,
+        CAST(substr(gtin, 13, 1) AS BIGINT) AS check_digit
+      FROM s WHERE gtin <> ''),
+    u AS (
+      SELECT doc_id, gtin, check_digit,
+        list_aggregate(list_transform(
+          regexp_extract_all(body12, '(.).?', 1),
+          x -> CAST(x AS BIGINT)), 'sum') AS sum_odd,
+        list_aggregate(list_transform(
+          regexp_extract_all(body12, '.(.)', 1),
+          x -> CAST(x AS BIGINT) * 3), 'sum') AS sum_even3
+      FROM t)
+    SELECT doc_id, gtin,
+      CAST((10 - (sum_odd + sum_even3) % 10) % 10 AS BIGINT)
+        AS expected_check,
+      CAST(check_digit AS BIGINT) AS check_digit,
+      CAST(CASE WHEN (10 - (sum_odd + sum_even3) % 10) % 10
+        = check_digit THEN 1 ELSE 0 END AS INT) AS valid
+    FROM u
+    """
+
+
+@query("gtin_checksum_validate", _gtin_oracle())
+def gtin_checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTIN-13 checksum validation (round 4): product identifiers in
+    offer markup join pages to product catalogs, but only if real —
+    the mod-10 weighted checksum (odd positions ×1, even ×3) catches
+    typos and fabricated ids before the join (the barcode sibling of
+    isbn_validate_extract). The same pair-capture slicing as
+    luhn_card_detect, on the forward 12-digit body.
+
+    Scale shape: per-row checksum arithmetic, pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.lit('<span itemprop="gtin13">4006381333931</span>'))
+        .when(v == 1, F.lit('<span itemprop="gtin13">4006381333932</span>'))
+        .otherwise(F.lit('<span itemprop="name">no gtin</span>'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    gtin = F.regexp_extract(F.col("html"), 'gtin13">([0-9]{13})<', 1)
+    s = p.select("doc_id", gtin.alias("gtin")).where(F.col("gtin") != "")
+    body12 = F.substring("gtin", 1, 12)
+    check = F.substring("gtin", 13, 1).cast("long")
+    sum_odd = F.aggregate(
+        F.transform(F.regexp_extract_all(body12, F.lit("(.).?"), 1),
+                    lambda x: x.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sum_even3 = F.aggregate(
+        F.transform(F.regexp_extract_all(body12, F.lit(".(.)"), 1),
+                    lambda x: x.cast("long") * 3),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    u = s.select("doc_id", "gtin", check.alias("check_digit"),
+                 sum_odd.alias("so"), sum_even3.alias("se3"))
+    expected = (10 - (F.col("so") + F.col("se3")) % 10) % 10
+    return u.select(
+        "doc_id", "gtin",
+        expected.cast("long").alias("expected_check"),
+        F.col("check_digit").cast("long").alias("check_digit"),
+        F.when(expected == F.col("check_digit"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("valid"),
+    )
+
+
+def _coord_precision_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Visit us near 48.86,2.35 in the city centre'
+          WHEN 1 THEN 'Pinned at 48.8584,2.2945 by the tower'
+          ELSE 'Device logged at 48.85840' || CAST(doc_id % 10 AS
+            VARCHAR) || ',2.29450' || CAST(doc_id % 10 AS VARCHAR)
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(body,
+          '([0-9]+[.][0-9]+),[0-9]+[.][0-9]+', 1), '') AS lat
+      FROM p),
+    t AS (
+      SELECT doc_id,
+        len(COALESCE(regexp_extract(lat, '[.]([0-9]+)', 1), ''))
+          AS n_decimals
+      FROM s WHERE lat <> '')
+    SELECT doc_id,
+      CAST(n_decimals AS BIGINT) AS n_decimals,
+      CASE WHEN n_decimals <= 2 THEN 'city'
+           WHEN n_decimals <= 4 THEN 'street'
+           ELSE 'building' END AS precision_class,
+      CAST(CASE WHEN n_decimals >= 5 THEN 1 ELSE 0 END AS INT)
+        AS location_pii_risk
+    FROM t
+    """
+
+
+@query("coordinate_precision_audit", _coord_precision_oracle())
+def coordinate_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-precision privacy audit (round 4): decimal places
+    in published coordinates ARE the privacy radius — 2 decimals is
+    a city (~1 km), 5+ identifies a building (~1 m), so
+    device-logged precision in page text is location PII the corpus
+    should coarsen (map_embed_coords extracts; this grades). The
+    three precision regimes are synthesized.
+
+    Scale shape: per-row decimal counting, pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.lit("Visit us near 48.86,2.35 in the city centre"))
+        .when(v == 1, F.lit("Pinned at 48.8584,2.2945 by the tower"))
+        .otherwise(F.concat(
+            F.lit("Device logged at 48.85840"), (i % 10).cast("string"),
+            F.lit(",2.29450"), (i % 10).cast("string")))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    lat = F.regexp_extract(
+        F.col("body"), "([0-9]+[.][0-9]+),[0-9]+[.][0-9]+", 1)
+    s = p.select("doc_id", lat.alias("lat")).where(F.col("lat") != "")
+    nd = F.length(F.regexp_extract(F.col("lat"), "[.]([0-9]+)", 1))
+    t = s.select("doc_id", nd.alias("n_decimals"))
+    n = F.col("n_decimals")
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_decimals"),
+        F.when(n <= 2, F.lit("city"))
+        .when(n <= 4, F.lit("street"))
+        .otherwise(F.lit("building")).alias("precision_class"),
+        F.when(n >= 5, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("location_pii_risk"),
+    )
+
+
+def _url_secret_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://app.ex/cb?api_key=sk'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || 'secret&user=7'
+          WHEN 1 THEN 'https://app.ex/reset?token=abc123def&exp=9'
+          ELSE 'https://app.ex/list?id=42&page=2'
+        END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+        list_sort(regexp_extract_all(url,
+          '[?&](api_key|token|password|secret|auth)=', 1))
+          AS secret_params
+      FROM p)
+    SELECT doc_id,
+      CAST(len(secret_params) AS BIGINT) AS n_secrets,
+      COALESCE(list_aggregate(secret_params, 'string_agg', ','), '')
+        AS secret_params,
+      CASE WHEN list_contains(secret_params, 'api_key')
+        OR list_contains(secret_params, 'password')
+        THEN 'credential' WHEN len(secret_params) > 0
+        THEN 'session' ELSE 'none' END AS leak_class
+    FROM s WHERE len(secret_params) > 0
+    """
+
+
+@query("url_secret_params", _url_secret_oracle())
+def url_secret_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret-bearing URL parameter detection (round 4): api_key /
+    token / password query parameters put credentials into referrer
+    headers, server logs, and — when the URL lands in a crawled page
+    — into the corpus itself; the leak class separates long-lived
+    credentials (redact + report) from one-shot session tokens
+    (redact only). Complements api_key_exposure_scan (keys in JS)
+    with the URL channel.
+
+    Scale shape: per-row extract-all with a pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://app.ex/cb?api_key=sk"),
+            (i % 97).cast("string"), F.lit("secret&user=7")))
+        .when(v == 1, F.lit("https://app.ex/reset?token=abc123def&exp=9"))
+        .otherwise(F.lit("https://app.ex/list?id=42&page=2"))
+    )
+    p = d.select("doc_id", url.alias("url"))
+    sp = F.array_sort(F.regexp_extract_all(
+        F.col("url"),
+        F.lit("[?&](api_key|token|password|secret|auth)="), 1))
+    s = p.select("doc_id", sp.alias("secret_params"))
+    spc = F.col("secret_params")
+    return s.where(F.size(spc) > 0).select(
+        "doc_id",
+        F.size(spc).cast("long").alias("n_secrets"),
+        F.array_join(spc, ",").alias("secret_params"),
+        F.when(F.array_contains(spc, "api_key")
+               | F.array_contains(spc, "password"), F.lit("credential"))
+        .when(F.size(spc) > 0, F.lit("session"))
+        .otherwise(F.lit("none")).alias("leak_class"),
+    )
+
+
+def _press_release_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<p>FOR IMMEDIATE RELEASE</p><p>Acme Corp '
+            || '(NASDAQ: ACME) today announced product '
+            || CAST(doc_id % 19 AS VARCHAR) || '.</p>'
+            || '<p>About Acme Corp</p><p>Safe Harbor: This release '
+            || 'contains forward-looking statements.</p>'
+          WHEN 1 THEN '<p>Acme Corp today announced a partnership.'
+            || '</p><p>About Acme Corp</p>'
+          ELSE '<p>An ordinary blog post about widgets.</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        (CASE WHEN contains(html, 'FOR IMMEDIATE RELEASE') THEN 1
+          ELSE 0 END)
+        + (CASE WHEN regexp_matches(html,
+            '\\((NASDAQ|NYSE): [A-Z]+\\)') THEN 1 ELSE 0 END)
+        + (CASE WHEN contains(html, '<p>About ') THEN 1 ELSE 0 END)
+        + (CASE WHEN contains(html, 'forward-looking statements')
+            THEN 1 ELSE 0 END) AS n_markers,
+        COALESCE(regexp_extract(html,
+          '\\((NASDAQ|NYSE): ([A-Z]+)\\)', 2), '') AS ticker
+      FROM p)
+    SELECT doc_id,
+      CAST(n_markers AS BIGINT) AS n_markers,
+      ticker,
+      CAST(CASE WHEN n_markers >= 3 THEN 1 ELSE 0 END AS INT)
+        AS is_press_release
+    FROM s WHERE n_markers > 0
+    """
+
+
+@query("press_release_detect", _press_release_oracle())
+def press_release_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Press-release detection (round 4): PR-wire template markers —
+    FOR IMMEDIATE RELEASE, ticker parentheticals, the About-Company
+    boilerplate, safe-harbor language. Releases syndicate verbatim
+    across hundreds of outlets, so the flag is a dedup-cluster PRIOR
+    (expect near-dups before MinHash even runs) and the About/safe-
+    harbor sections are in-page boilerplate to subtract; the ticker
+    is a free entity link. Full-template, partial and plain pages
+    are synthesized.
+
+    Scale shape: per-row marker scoring with a pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<p>FOR IMMEDIATE RELEASE</p><p>Acme Corp "
+                  "(NASDAQ: ACME) today announced product "),
+            (i % 19).cast("string"),
+            F.lit(".</p><p>About Acme Corp</p><p>Safe Harbor: This "
+                  "release contains forward-looking statements.</p>")))
+        .when(v == 1, F.lit(
+            "<p>Acme Corp today announced a partnership.</p>"
+            "<p>About Acme Corp</p>"))
+        .otherwise(F.lit("<p>An ordinary blog post about widgets.</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    n_markers = (
+        h.contains("FOR IMMEDIATE RELEASE").cast("int")
+        + (F.regexp_extract(h, r"\((NASDAQ|NYSE): [A-Z]+\)", 0) != "")
+        .cast("int")
+        + h.contains("<p>About ").cast("int")
+        + h.contains("forward-looking statements").cast("int")
+    )
+    s = p.select(
+        "doc_id", n_markers.alias("n_markers"),
+        F.regexp_extract(h, r"\((NASDAQ|NYSE): ([A-Z]+)\)", 2)
+        .alias("ticker"),
+    )
+    return s.where(F.col("n_markers") > 0).select(
+        "doc_id",
+        F.col("n_markers").cast("long").alias("n_markers"),
+        "ticker",
+        F.when(F.col("n_markers") >= 3, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_press_release"),
+    )
+
+
+def _ad_slot_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<p>short intro</p>'
+            || repeat('<iframe src="https://googleads.g.'
+               || 'doubleclick.net/ads/slot"></iframe>',
+               CAST(doc_id % 4 AS INT) + 3)
+            || '<p>tiny article body here</p>'
+          WHEN 1 THEN '<p>long considered essay paragraph one</p>'
+            || '<p>paragraph two with substance</p>'
+            || '<iframe src="https://securepubads.g.doubleclick.net'
+            || '/x"></iframe>'
+          ELSE '<p>ad-free writing</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html,
+          '<iframe src="https://[a-z.]*doubleclick[.]net', 0))
+          AS n_ad_slots,
+        len(regexp_extract_all(html, '<p>', 0)) AS n_paragraphs
+      FROM p)
+    SELECT doc_id,
+      CAST(n_ad_slots AS BIGINT) AS n_ad_slots,
+      CAST(n_paragraphs AS BIGINT) AS n_paragraphs,
+      CAST(CASE WHEN n_ad_slots > n_paragraphs THEN 1 ELSE 0 END
+        AS INT) AS made_for_advertising
+    FROM s
+    """
+
+
+@query("ad_slot_density", _ad_slot_oracle())
+def ad_slot_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-slot density (round 4): ad iframes per content paragraph —
+    more slots than paragraphs is the made-for-advertising (MFA)
+    shape, content manufactured as ad inventory that quality
+    curation drops wholesale (ads_txt_parse profiles the sell side;
+    this measures the page). Slot-heavy, normally-monetized and
+    ad-free pages are synthesized with variable slot counts.
+
+    Scale shape: per-row counting, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<p>short intro</p>"),
+            F.repeat(F.lit(
+                '<iframe src="https://googleads.g.doubleclick.net'
+                '/ads/slot"></iframe>'), (i % 4).cast("int") + 3),
+            F.lit("<p>tiny article body here</p>")))
+        .when(v == 1, F.lit(
+            "<p>long considered essay paragraph one</p>"
+            "<p>paragraph two with substance</p>"
+            '<iframe src="https://securepubads.g.doubleclick.net/x">'
+            "</iframe>"))
+        .otherwise(F.lit("<p>ad-free writing</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            h, F.lit('<iframe src="https://[a-z.]*doubleclick[.]net'),
+            0)).alias("n_ad_slots"),
+        F.size(F.regexp_extract_all(h, F.lit("<p>"), 0))
+        .alias("n_paragraphs"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_ad_slots").cast("long").alias("n_ad_slots"),
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.when(F.col("n_ad_slots") > F.col("n_paragraphs"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int")
+        .alias("made_for_advertising"),
+    )
+
+
+def _text_fragment_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<a href="https://ex.org/paper#:~:text='
+            || 'the%20key%20finding%20' || CAST(doc_id % 23 AS VARCHAR)
+            || '">as shown</a>'
+          WHEN 1 THEN '<a href="https://ex.org/spec#:~:text='
+            || 'MUST%20NOT,-apply">normative text</a>'
+          ELSE '<a href="https://ex.org/page#section-2">plain '
+            || 'anchor</a>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html,
+          '#:~:text=([^",]+)', 1), '') AS fragment_raw
+      FROM p)
+    SELECT doc_id,
+      replace(fragment_raw, '%20', ' ') AS quoted_text,
+      CAST(CASE WHEN contains(fragment_raw, '%20') THEN 1 ELSE 0 END
+        AS INT) AS multi_word
+    FROM s WHERE fragment_raw <> ''
+    """
+
+
+@query("text_fragment_links", _text_fragment_oracle())
+def text_fragment_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-fragment citation extraction (round 4): ``#:~:text=``
+    links quote the EXACT span the author is citing — precision
+    citation evidence (claim → quoted source span) far stronger than
+    a bare URL, directly usable as attribution supervision. The
+    suffix-bounded form stops at the context comma; plain anchors
+    pin zero rows. Percent-decoding here handles the space case; the
+    full decoder is percent_encoding_normalize.
+
+    Scale shape: per-row extraction with a pushed filter, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="https://ex.org/paper#:~:text='
+                  "the%20key%20finding%20"),
+            (i % 23).cast("string"),
+            F.lit('">as shown</a>')))
+        .when(v == 1, F.lit(
+            '<a href="https://ex.org/spec#:~:text=MUST%20NOT,-apply">'
+            "normative text</a>"))
+        .otherwise(F.lit(
+            '<a href="https://ex.org/page#section-2">plain anchor</a>'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    frag = F.regexp_extract(F.col("html"), '#:~:text=([^",]+)', 1)
+    s = p.select("doc_id", frag.alias("fragment_raw"))
+    fr = F.col("fragment_raw")
+    return s.where(fr != "").select(
+        "doc_id",
+        F.replace(fr, F.lit("%20"), F.lit(" ")).alias("quoted_text"),
+        F.when(fr.contains("%20"), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("multi_word"),
+    )
+
+
+def _page_artifact_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'First real sentence.' || chr(10)
+            || 'Page ' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' of '
+            || CAST(doc_id % 9 + 11 AS VARCHAR) || chr(10)
+            || 'Second real sentence.'
+          WHEN 1 THEN 'Continued prose.' || chr(10) || '- 4 -'
+            || chr(10) || 'More prose after the centered folio.'
+          ELSE 'Clean text with no print artifacts at all.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(chr(10) || body || chr(10),
+          chr(10) || '(Page [0-9]+ of [0-9]+|- [0-9]+ -)' || chr(10),
+          0)) AS n_artifacts,
+        trim(regexp_replace(chr(10) || body || chr(10),
+          chr(10) || '(Page [0-9]+ of [0-9]+|- [0-9]+ -)' || chr(10),
+          chr(10), 'g')) AS scrubbed
+      FROM p)
+    SELECT doc_id,
+      CAST(n_artifacts AS BIGINT) AS n_artifacts,
+      scrubbed,
+      CAST(len(body) - len(scrubbed) AS BIGINT) AS chars_removed
+    FROM s
+    """
+
+
+@query("page_artifact_scrub", _page_artifact_oracle())
+def page_artifact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Print-artifact scrubbing (round 4): OCR'd and PDF-extracted
+    text carries page furniture — "Page 3 of 12" headers and
+    centered "- 4 -" folios — that splits sentences mid-paragraph
+    and pollutes LM training text; line-anchored removal (the
+    newline-sentinel trick, whole-line matches only) scrubs them
+    without touching prose that merely MENTIONS a page. Both
+    artifact shapes and a clean control are synthesized.
+
+    Scale shape: per-row anchored replace, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("First real sentence.\nPage "),
+            (i % 9 + 1).cast("string"), F.lit(" of "),
+            (i % 9 + 11).cast("string"),
+            F.lit("\nSecond real sentence.")))
+        .when(v == 1, F.lit(
+            "Continued prose.\n- 4 -\n"
+            "More prose after the centered folio."))
+        .otherwise(F.lit("Clean text with no print artifacts at all."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    nb = F.concat(F.lit("\n"), b, F.lit("\n"))
+    pat = "\n(Page [0-9]+ of [0-9]+|- [0-9]+ -)\n"
+    s = p.select(
+        "doc_id", "body",
+        F.size(F.regexp_extract_all(nb, F.lit(pat), 0))
+        .alias("n_artifacts"),
+        F.trim(F.regexp_replace(nb, pat, "\n")).alias("scrubbed"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_artifacts").cast("long").alias("n_artifacts"),
+        "scrubbed",
+        (F.length("body") - F.length("scrubbed")).cast("long")
+        .alias("chars_removed"),
+    )
+
+
+def _ligature_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'An eﬀort to ﬁnd the ﬂaw in run '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'The oﬃce ﬁled the aﬃdavit.'
+          ELSE 'Plain ascii text needs no folding.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        replace(replace(replace(replace(body,
+          'ﬃ', 'ffi'), 'ﬀ', 'ff'), 'ﬁ', 'fi'), 'ﬂ', 'fl')
+          AS folded,
+        len(regexp_extract_all(body, '[ﬀﬁﬂﬃ]', 0)) AS n_ligatures
+      FROM p)
+    SELECT doc_id, folded,
+      CAST(n_ligatures AS BIGINT) AS n_ligatures,
+      CAST(len(folded) - len(body) AS BIGINT) AS chars_gained
+    FROM s
+    """
+
+
+@query("ligature_fold", _ligature_oracle())
+def ligature_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic-ligature folding (round 4): PDF text extraction
+    emits ﬁ/ﬂ/ﬀ/ﬃ ligature codepoints that NFC deliberately
+    preserves (unicode_nfc_extract pins that) — but a tokenizer sees
+    "ﬁnd" and "find" as different words, so LM corpora fold the
+    compatibility forms (the targeted NFKC subset, applied without
+    NFKC's destructive superscript/fraction folds). The ﬃ→ffi
+    expansion makes the char-gain column nonzero.
+
+    Scale shape: per-row replace chain, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("An eﬀort to ﬁnd the ﬂaw in run "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit("The oﬃce ﬁled the aﬃdavit."))
+        .otherwise(F.lit("Plain ascii text needs no folding."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    folded = F.replace(F.replace(F.replace(F.replace(
+        b, F.lit("ﬃ"), F.lit("ffi")), F.lit("ﬀ"), F.lit("ff")),
+        F.lit("ﬁ"), F.lit("fi")), F.lit("ﬂ"), F.lit("fl"))
+    s = p.select(
+        "doc_id", "body", folded.alias("folded"),
+        F.size(F.regexp_extract_all(b, F.lit("[ﬀﬁﬂﬃ]"), 0))
+        .alias("n_ligatures"),
+    )
+    return s.select(
+        "doc_id", "folded",
+        F.col("n_ligatures").cast("long").alias("n_ligatures"),
+        (F.length("folded") - F.length("body")).cast("long")
+        .alias("chars_gained"),
+    )
+
+
+def _dropcap_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'O nce upon a time there was a crawler '
+            || CAST(doc_id % 9 AS VARCHAR)
+          WHEN 1 THEN 'I n the beginning the corpus was empty.'
+          WHEN 2 THEN 'A cat sat on the mat.'
+          ELSE 'Normal opening sentence here.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        COALESCE(regexp_extract(body, '^([A-Z]) ([a-z]{2,}) ', 1),
+          '') AS cap,
+        COALESCE(regexp_extract(body, '^([A-Z]) ([a-z]{2,}) ', 2),
+          '') AS tail
+      FROM p),
+    t AS (
+      SELECT doc_id, body, cap, tail,
+        CASE WHEN cap IN ('A', 'I') THEN 1 ELSE 0 END AS ambiguous
+      FROM s)
+    SELECT doc_id,
+      CASE WHEN cap <> '' AND ambiguous = 0
+        THEN regexp_replace(body, '^([A-Z]) ([a-z]{2,}) ', '\\1\\2 ')
+        ELSE body END AS rejoined,
+      CAST(CASE WHEN cap <> '' AND ambiguous = 0 THEN 1 ELSE 0 END
+        AS INT) AS did_rejoin,
+      CAST(ambiguous AS INT) AS ambiguous
+    FROM t
+    """
+
+
+@query("dropcap_rejoin", _dropcap_oracle())
+def dropcap_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-cap OCR artifact rejoin (round 4): decorated initial
+    capitals OCR as a detached letter — "O nce upon a time" — and
+    the split survives into extracted text as two garbage tokens.
+    The rejoin is gated on the capital NOT being a legitimate
+    single-letter word: "A cat sat" and "I n the beginning" stay
+    untouched and flag ambiguous (the honest failure mode — a real
+    I-drop-cap is indistinguishable from the pronoun without a
+    language model; those route to review, not auto-repair).
+
+    Scale shape: per-row anchored extraction + splice, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("O nce upon a time there was a crawler "),
+            (i % 9).cast("string")))
+        .when(v == 1, F.lit("I n the beginning the corpus was empty."))
+        .when(v == 2, F.lit("A cat sat on the mat."))
+        .otherwise(F.lit("Normal opening sentence here."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    pat = "^([A-Z]) ([a-z]{2,}) "
+    s = p.select(
+        "doc_id", "body",
+        F.regexp_extract(b, pat, 1).alias("cap"),
+        F.regexp_extract(b, pat, 2).alias("tail"),
+    )
+    cap, tail = F.col("cap"), F.col("tail")
+    ambiguous = F.when(cap.isin("A", "I"), F.lit(1)).otherwise(F.lit(0))
+    t = s.select("doc_id", "body", "cap", "tail",
+                 ambiguous.alias("ambiguous"))
+    fix = (F.col("cap") != "") & (F.col("ambiguous") == 0)
+    rejoined = F.when(
+        fix,
+        F.regexp_replace(F.col("body"), "^([A-Z]) ([a-z]{2,}) ",
+                         "$1$2 "),
+    ).otherwise(F.col("body"))
+    return t.select(
+        "doc_id",
+        rejoined.alias("rejoined"),
+        F.when(fix, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("did_rejoin"),
+        F.col("ambiguous").cast("int").alias("ambiguous"),
+    )
+
+
+def _running_header_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'CHAPTER ' || CAST(doc_id % 9 AS VARCHAR)
+            || ' METHODS' || chr(10) || 'Real paragraph one.'
+            || chr(10) || 'CHAPTER ' || CAST(doc_id % 9 AS VARCHAR)
+            || ' METHODS' || chr(10) || 'Real paragraph two.'
+          WHEN 1 THEN 'INTRODUCTION' || chr(10)
+            || 'Body text under a single heading.'
+          ELSE 'no caps lines' || chr(10) || 'just prose'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, string_split(body, chr(10)) AS lines
+      FROM p),
+    t AS (
+      SELECT doc_id, lines,
+        list_filter(lines, x -> NOT (
+          regexp_matches(x, '^[A-Z0-9 ]+$')
+          AND len(list_filter(lines, y -> y = x)) >= 2)) AS kept
+      FROM s)
+    SELECT doc_id,
+      CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+      list_aggregate(kept, 'string_agg', chr(10)) AS scrubbed
+    FROM t
+    """
+
+
+@query("running_header_scrub", _running_header_oracle())
+def running_header_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-header scrubbing (round 4): paginated documents repeat
+    the chapter header on every page, and extraction interleaves it
+    into the prose — the WITHIN-document analog of
+    host_boilerplate_lines' cross-page rule. A line is removed iff
+    it is caps-shaped AND repeats (>=2 occurrences in the same doc,
+    counted with a nested in-row filter — both engines' lambda
+    dialects support the outer-variable reference); a single heading
+    survives.
+
+    Scale shape: per-row nested array filters, no shuffle, no
+    explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("CHAPTER "), (i % 9).cast("string"),
+            F.lit(" METHODS\nReal paragraph one.\nCHAPTER "),
+            (i % 9).cast("string"),
+            F.lit(" METHODS\nReal paragraph two.")))
+        .when(v == 1, F.lit(
+            "INTRODUCTION\nBody text under a single heading."))
+        .otherwise(F.lit("no caps lines\njust prose"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    lines = F.split(F.col("body"), "\n")
+    s = p.select("doc_id", lines.alias("lines"))
+    lcol = F.col("lines")
+    kept = F.filter(
+        lcol,
+        lambda x: ~(
+            (F.regexp_extract(x, "^[A-Z0-9 ]+$", 0) != "")
+            & (F.size(F.filter(lcol, lambda y: y == x)) >= 2)
+        ),
+    )
+    t = s.select("doc_id", "lines", kept.alias("kept"))
+    return t.select(
+        "doc_id",
+        (F.size("lines") - F.size("kept")).cast("long")
+        .alias("n_removed"),
+        F.array_join("kept", "\n").alias("scrubbed"),
+    )
+
+
+def _control_char_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Bell' || chr(7) || ' form-feed' || chr(12)
+            || ' esc' || chr(27) || '[0m run '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'Caf� au lait � decode errors here.'
+          ELSE 'Clean text with tabs\tand newlines kept.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(body,
+          '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', 0)) AS n_control,
+        len(regexp_extract_all(body, '�', 0)) AS n_replacement,
+        regexp_replace(body,
+          '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS scrubbed
+      FROM p)
+    SELECT doc_id,
+      CAST(n_control AS BIGINT) AS n_control,
+      CAST(n_replacement AS BIGINT) AS n_replacement,
+      scrubbed,
+      CAST(FLOOR(1000.0 * n_replacement / len(body)) AS BIGINT)
+        AS repl_permille
+    FROM s
+    """
+
+
+@query("control_char_scrub", _control_char_oracle())
+def control_char_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-character scrub + decode-error density (round 4): C0
+    controls (minus tab/newline/CR) and DEL survive broken extractions
+    and binary-in-text accidents — they corrupt tokenizers and some
+    downstream parsers outright, so the hygiene pass strips them. The
+    U+FFFD replacement character is different: it is the DECODER's own
+    confession that bytes were lost, so it is COUNTED (permille of the
+    body, the drop-threshold signal charset repair can't fix) rather
+    than silently stripped — scrubbing it would hide the damage the
+    quality gate needs to see. Tabs and newlines are whitespace, not
+    noise: the clean branch pins that they pass untouched.
+
+    Scale shape: two regexp counts + one anchored replace per row, no
+    shuffle — a free rider on any existing scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Bell\x07 form-feed\x0c esc\x1b[0m run "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit("Caf� au lait � decode errors here."))
+        .otherwise(F.lit("Clean text with tabs\tand newlines kept."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    ctl = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    s = p.select(
+        "doc_id", "body",
+        F.size(F.regexp_extract_all(b, F.lit(ctl), 0)).alias("n_control"),
+        F.size(F.regexp_extract_all(b, F.lit("�"), 0))
+        .alias("n_replacement"),
+        F.regexp_replace(b, ctl, "").alias("scrubbed"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("n_replacement").cast("long").alias("n_replacement"),
+        "scrubbed",
+        F.floor(F.lit(1000.0) * F.col("n_replacement") / F.length("body"))
+        .cast("long").alias("repl_permille"),
+    )
+
+
+def _bidi_oracle() -> str:
+    rlo, lre, pdf_ = chr(0x202E), chr(0x202A), chr(0x202C)
+    lri, pdi, rlm = chr(0x2066), chr(0x2069), chr(0x200F)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'invoice_{rlo}fdp.exe{pdf_} attached, run '
+            || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 1 THEN 'Greeting {lri}مرحبا{pdi}'
+            || ' isolated properly.'
+          WHEN 2 THEN 'price{rlm} 42 with a stray mark and {lre}note{pdf_}'
+          ELSE 'Plain left-to-right prose only.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(body, '[‪-‮]', 0)) AS n_overrides,
+        len(regexp_extract_all(body, '[⁦-⁩]', 0)) AS n_isolates,
+        len(regexp_extract_all(body, '[‎‏؜]', 0)) AS n_marks,
+        CASE WHEN body LIKE '%{rlo}%' THEN 1 ELSE 0 END AS has_rlo,
+        regexp_replace(body,
+          '[‪-‮⁦-⁩‎‏؜]', '', 'g')
+          AS scrubbed
+      FROM p)
+    SELECT doc_id,
+      CAST(n_overrides AS BIGINT) AS n_overrides,
+      CAST(n_isolates AS BIGINT) AS n_isolates,
+      CAST(n_marks AS BIGINT) AS n_marks,
+      CAST(has_rlo AS INT) AS has_rlo,
+      scrubbed
+    FROM s
+    """
+
+
+@query("bidi_control_scrub", _bidi_oracle())
+def bidi_control_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidi-control scrub (round 4): Unicode direction overrides
+    (U+202A-U+202E), isolates (U+2066-U+2069) and marks (LRM/RLM/ALM)
+    render text in an order DIFFERENT from its codepoint order — the
+    Trojan-Source vector ("invoice_\\u202Efdp.exe" displays as
+    "invoice_exe.pdf") and a display-spoofing channel zero_width_scrub
+    deliberately does not touch (its set ends at U+200D; this one
+    starts at U+200E). RLO presence is flagged separately: overrides
+    inside filenames/code are the attack shape, while isolates around
+    a genuine RTL quotation (the Arabic branch) are CORRECT markup
+    that merely doesn't survive plain-text extraction. All three
+    classes count before one combined scrub.
+
+    Scale shape: three regexp counts + one replace per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    rlo, lre, pdf_ = chr(0x202E), chr(0x202A), chr(0x202C)
+    lri, pdi, rlm = chr(0x2066), chr(0x2069), chr(0x200F)
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit(f"invoice_{rlo}fdp.exe{pdf_} attached, run "),
+            (i % 5).cast("string")))
+        .when(v == 1, F.lit(
+            f"Greeting {lri}مرحبا{pdi}"
+            " isolated properly."))
+        .when(v == 2, F.lit(
+            f"price{rlm} 42 with a stray mark and {lre}note{pdf_}"))
+        .otherwise(F.lit("Plain left-to-right prose only."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(b, F.lit("[‪-‮]"), 0))
+        .alias("n_overrides"),
+        F.size(F.regexp_extract_all(b, F.lit("[⁦-⁩]"), 0))
+        .alias("n_isolates"),
+        F.size(F.regexp_extract_all(b, F.lit("[‎‏؜]"), 0))
+        .alias("n_marks"),
+        F.when(b.contains(rlo), 1).otherwise(0).alias("has_rlo"),
+        F.regexp_replace(
+            b, "[‪-‮⁦-⁩‎‏؜]", "")
+        .alias("scrubbed"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_overrides").cast("long").alias("n_overrides"),
+        F.col("n_isolates").cast("long").alias("n_isolates"),
+        F.col("n_marks").cast("long").alias("n_marks"),
+        F.col("has_rlo").cast("int").alias("has_rlo"),
+        "scrubbed",
+    )
+
+
+def _double_escape_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Fish &amp;amp; chips &amp;#8212; menu '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'Tom &amp; Jerry stay single-escaped.'
+          WHEN 2 THEN 'A &amp;amp;amp; B needs two passes.'
+          ELSE 'No entities at all here.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(body, '&amp;(#?[a-zA-Z0-9]+;)', 0))
+          AS n_repaired,
+        regexp_replace(body, '&amp;(#?[a-zA-Z0-9]+;)', '&\\1', 'g')
+          AS repaired
+      FROM p)
+    SELECT doc_id, repaired,
+      CAST(n_repaired AS BIGINT) AS n_repaired,
+      CAST(CASE WHEN regexp_matches(repaired, '&amp;(#?[a-zA-Z0-9]+;)')
+        THEN 1 ELSE 0 END AS INT) AS still_double
+    FROM s
+    """
+
+
+@query("double_escape_repair", _double_escape_oracle())
+def double_escape_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-escaped entity repair (round 4): CMS pipelines that
+    entity-encode already-encoded text ship "&amp;amp;" where "&"
+    was meant — entity_unescape would surface the literal string
+    "&amp;" as text, so the repair collapses one escaping layer
+    FIRST (``&amp;`` followed by a complete entity tail becomes
+    ``&`` + tail; a lone ``&amp;`` is the CORRECT single escape and
+    stays). One pass repairs the common double case; the planted
+    triple-escape still matches afterwards and flags still_double=1 —
+    the honest signal that the source needs an iterated fixpoint, not
+    a silently-wrong single pass.
+
+    Scale shape: one regexp count + one backreference replace per
+    row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Fish &amp;amp; chips &amp;#8212; menu "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit("Tom &amp; Jerry stay single-escaped."))
+        .when(v == 2, F.lit("A &amp;amp;amp; B needs two passes."))
+        .otherwise(F.lit("No entities at all here."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    pat = "&amp;(#?[a-zA-Z0-9]+;)"
+    s = p.select(
+        "doc_id",
+        F.regexp_replace(b, pat, "&$1").alias("repaired"),
+        F.size(F.regexp_extract_all(b, F.lit(pat), 0)).alias("n_repaired"),
+    )
+    return s.select(
+        "doc_id", "repaired",
+        F.col("n_repaired").cast("long").alias("n_repaired"),
+        F.when(F.regexp_extract("repaired", pat, 0) != "", 1).otherwise(0)
+        .cast("int").alias("still_double"),
+    )
+
+
+def _base64_blob_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'attachment: '
+            || repeat('Zm9vYmFy', 6 + doc_id % 5)
+            || '== then prose resumes.'
+          WHEN 1 THEN 'short token Zm9vYmFy inline is fine.'
+          ELSE 'Ordinary prose without any encoded payload.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract_all(body, '[A-Za-z0-9+/]{40,}={0,2}') AS blobs
+      FROM p),
+    t AS (
+      SELECT doc_id, body,
+        len(blobs) AS n_blobs,
+        COALESCE(list_max(list_transform(blobs, x -> len(x))), 0)
+          AS longest_blob,
+        COALESCE(list_sum(list_transform(blobs, x -> len(x))), 0)
+          AS blob_chars
+      FROM s)
+    SELECT doc_id,
+      CAST(n_blobs AS BIGINT) AS n_blobs,
+      CAST(longest_blob AS BIGINT) AS longest_blob,
+      CAST(blob_chars AS BIGINT) AS blob_chars,
+      CAST(FLOOR(1000.0 * blob_chars / len(body)) AS BIGINT)
+        AS blob_permille
+    FROM t
+    """
+
+
+@query("base64_blob_detect", _base64_blob_oracle())
+def base64_blob_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64-blob detection in body text (round 4): inlined
+    payloads (mail attachments pasted into forums, data dumps,
+    tracking state) surface as long ``[A-Za-z0-9+/]`` runs that
+    explode a BPE tokenizer into thousands of junk tokens and carry
+    zero language signal — data_url_media handles the URL-attribute
+    channel; this is the PLAIN-TEXT channel quality filtering drops
+    or truncates. Runs of 40+ base64 chars (with optional padding)
+    count per document with longest-run and total-mass permille —
+    the truncate-vs-drop decision inputs. The short-token branch
+    pins that an 8-char id never false-positives.
+
+    Scale shape: one regexp extract + two in-row folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("attachment: "),
+            F.repeat(F.lit("Zm9vYmFy"), (6 + i % 5).cast("int")),
+            F.lit("== then prose resumes.")))
+        .when(v == 1, F.lit("short token Zm9vYmFy inline is fine."))
+        .otherwise(F.lit("Ordinary prose without any encoded payload."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    blobs = F.regexp_extract_all(b, F.lit("[A-Za-z0-9+/]{40,}={0,2}"), 0)
+    s = p.select(
+        "doc_id", "body", blobs.alias("blobs"),
+        F.size(blobs).alias("n_blobs"),
+        F.coalesce(
+            F.array_max(F.transform(blobs, lambda x: F.length(x))),
+            F.lit(0)).alias("longest_blob"),
+        F.aggregate(
+            blobs, F.lit(0), lambda acc, x: acc + F.length(x))
+        .alias("blob_chars"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_blobs").cast("long").alias("n_blobs"),
+        F.col("longest_blob").cast("long").alias("longest_blob"),
+        F.col("blob_chars").cast("long").alias("blob_chars"),
+        F.floor(F.lit(1000.0) * F.col("blob_chars") / F.length("body"))
+        .cast("long").alias("blob_permille"),
+    )
+
+
+_IBAN_ROTATION = [
+    "DE89370400440532013000",      # valid (German format)
+    "GB82WEST12345678901234",      # valid (UK, letters in BBAN)
+    "FR1420041010050500013M02606",  # valid (French, letter mid-BBAN)
+    "DE89370400440532013001",      # last digit corrupted -> invalid
+    "GB82WEST12345678901235",      # last digit corrupted -> invalid
+]
+
+
+def _iban_oracle() -> str:
+    case = "\n".join(
+        f"          WHEN {k} THEN '{v}'" for k, v in enumerate(_IBAN_ROTATION)
+    )
+    repl = "num"
+    for k in range(26):
+        repl = f"replace({repl}, '{chr(65 + k)}', '{10 + k}')"
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        'Pay to ' || CASE doc_id % 5
+{case}
+        END || ' ref ' || CAST(doc_id % 9 AS VARCHAR) AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract(body, '[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}', 0)
+          AS iban
+      FROM p),
+    t AS (
+      SELECT doc_id, iban,
+        substr(iban, 5) || substr(iban, 1, 4) AS num
+      FROM s),
+    u AS (
+      SELECT doc_id, iban,
+        list_reduce(
+          list_prepend(0, list_transform(
+            regexp_extract_all({repl}, '.'),
+            x -> CAST(x AS INT))),
+          (acc, c) -> (acc * 10 + c) % 97) AS rem
+      FROM t)
+    SELECT doc_id, iban,
+      substr(iban, 1, 2) AS country,
+      CAST(len(iban) AS BIGINT) AS iban_len,
+      CAST(CASE WHEN rem = 1 THEN 1 ELSE 0 END AS INT) AS is_valid
+    FROM u
+    """
+
+
+@query("iban_checksum_validate", _iban_oracle())
+def iban_checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN mod-97 validation (round 4, ISO 13616): a 20-char
+    digit/letter token is bank-account PII only if the checksum
+    passes — the same cut-false-redactions argument as
+    luhn_card_detect, for the European account-number shape. The
+    check is the full algorithm: move the country+check prefix to
+    the tail, expand letters A→10..Z→35, and fold the resulting
+    digit string mod 97 one character at a time (exact integer
+    arithmetic — the acc never exceeds 97*10+9, no bignum needed).
+    Single-digit corruption always flips validity (10^p mod 97 is
+    never 0), so the two planted corruptions are deterministic
+    negatives; the French rotation plants a letter mid-BBAN so the
+    expansion is exercised away from the prefix.
+
+    Scale shape: per-row replace chain + in-row fold, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    iban_lit = F.when(v == 0, F.lit(_IBAN_ROTATION[0]))
+    for k in range(1, 5):
+        iban_lit = iban_lit.when(v == k, F.lit(_IBAN_ROTATION[k]))
+    body = F.concat(
+        F.lit("Pay to "), iban_lit, F.lit(" ref "),
+        (i % 9).cast("string"))
+    p = d.select("doc_id", body.alias("body"))
+    iban = F.regexp_extract(
+        "body", "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}", 0)
+    s = p.select("doc_id", iban.alias("iban"))
+    num = F.concat(
+        F.substring("iban", 5, 40), F.substring("iban", 1, 4))
+    for k in range(26):
+        num = F.replace(num, F.lit(chr(65 + k)), F.lit(str(10 + k)))
+    rem = F.aggregate(
+        F.split(num, ""), F.lit(0),
+        lambda acc, c: (acc * 10 + c.cast("int")) % 97)
+    t = s.select("doc_id", "iban", rem.alias("rem"))
+    return t.select(
+        "doc_id", "iban",
+        F.substring("iban", 1, 2).alias("country"),
+        F.length("iban").cast("long").alias("iban_len"),
+        F.when(F.col("rem") == 1, 1).otherwise(0).cast("int")
+        .alias("is_valid"),
+    )
+
+
+def _toxicity_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'You absolute idiot, that take is stupid and'
+            || ' the idiot doubled down round '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'Scunthorpe classic assessment passes cleanly.'
+          WHEN 2 THEN 'I hate mondays but love people.'
+          ELSE 'Perfectly civil prose about gardening.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract_all(lower(body),
+          '\\b(idiot|stupid|moron|hate|ass)\\b') AS hits,
+        len(string_split(body, ' ')) AS n_words
+      FROM p)
+    SELECT doc_id,
+      CAST(len(hits) AS BIGINT) AS n_hits,
+      CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+      CAST(FLOOR(1000.0 * len(hits) / n_words) AS BIGINT)
+        AS tox_permille,
+      CAST(CASE WHEN len(hits) >= 2 THEN 1 ELSE 0 END AS INT)
+        AS flagged
+    FROM s
+    """
+
+
+@query("toxicity_lexicon_score", _toxicity_oracle())
+def toxicity_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon toxicity scoring (round 4): the cheap first-tier
+    toxicity prior every curation stack runs before any classifier —
+    word-boundary lexicon hits per document, distinct terms, and a
+    per-word permille so long documents aren't penalized for one
+    slur. The match MUST be word-bounded: the Scunthorpe branch
+    plants 'classic assessment' (two embedded 'ass' substrings) and
+    pins zero hits — substring lexicons are how real pipelines
+    destroyed legitimate content. Single mild hits score below the
+    flag threshold by design (the 'hate mondays' branch); repeated
+    hits flag.
+
+    Scale shape: one regexp extract + two in-row folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("You absolute idiot, that take is stupid and"
+                  " the idiot doubled down round "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit("Scunthorpe classic assessment passes cleanly."))
+        .when(v == 2, F.lit("I hate mondays but love people."))
+        .otherwise(F.lit("Perfectly civil prose about gardening."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    hits = F.regexp_extract_all(
+        F.lower("body"),
+        F.lit("\\b(idiot|stupid|moron|hate|ass)\\b"), 0)
+    s = p.select(
+        "doc_id", hits.alias("hits"),
+        F.size(F.split("body", " ")).alias("n_words"),
+    )
+    return s.select(
+        "doc_id",
+        F.size("hits").cast("long").alias("n_hits"),
+        F.size(F.array_distinct("hits")).cast("long").alias("n_terms"),
+        F.floor(F.lit(1000.0) * F.size("hits") / F.col("n_words"))
+        .cast("long").alias("tox_permille"),
+        F.when(F.size("hits") >= 2, 1).otherwise(0).cast("int")
+        .alias("flagged"),
+    )
+
+
+def _spdx_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+            || 'int main() { return ' || CAST(doc_id % 7 AS VARCHAR)
+            || '; }'
+          WHEN 1 THEN '# SPDX-License-Identifier: Apache-2.0 OR'
+            || ' GPL-3.0-only' || chr(10) || 'print(1)'
+          WHEN 2 THEN '/* SPDX-License-Identifier: BSD-3-Clause AND'
+            || ' MIT */'
+          ELSE 'plain code with no license tag'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        trim(COALESCE(regexp_extract(body,
+          'SPDX-License-Identifier: ([^\\n*]+)', 1), '')) AS spdx_expr
+      FROM p),
+    t AS (
+      SELECT doc_id, spdx_expr,
+        list_filter(
+          regexp_extract_all(spdx_expr, '[A-Za-z0-9.+-]+'),
+          x -> x NOT IN ('OR', 'AND', 'WITH')) AS ids
+      FROM s)
+    SELECT doc_id, spdx_expr,
+      COALESCE(list_aggregate(ids, 'string_agg', '|'), '')
+        AS license_ids,
+      CAST(len(ids) AS BIGINT) AS n_ids,
+      CAST(CASE WHEN regexp_matches(spdx_expr, '\\b(A?GPL|LGPL)')
+        THEN 1 ELSE 0 END AS INT) AS has_copyleft
+    FROM t
+    """
+
+
+@query("spdx_license_id_extract", _spdx_oracle())
+def spdx_license_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPDX license-tag extraction (round 4): machine-readable
+    ``SPDX-License-Identifier`` headers are how code corpora filter
+    by license at file granularity — the code-block sibling of the
+    page-level license_detect (rel=license / CC urls). The tag line
+    parses into the raw expression plus its atomic license ids
+    (OR/AND/WITH combinators dropped), and a copyleft flag routes
+    GPL-family files out of permissive-only training mixtures. Both
+    comment syntaxes (//, #, /* */) rotate so the end-of-line
+    capture is pinned against trailing comment-close tokens.
+
+    Scale shape: per-row regexp + in-row filter, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("// SPDX-License-Identifier: MIT\nint main() { return "),
+            (i % 7).cast("string"), F.lit("; }")))
+        .when(v == 1, F.lit(
+            "# SPDX-License-Identifier: Apache-2.0 OR"
+            " GPL-3.0-only\nprint(1)"))
+        .when(v == 2, F.lit(
+            "/* SPDX-License-Identifier: BSD-3-Clause AND MIT */"))
+        .otherwise(F.lit("plain code with no license tag"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    expr = F.trim(F.regexp_extract(
+        "body", "SPDX-License-Identifier: ([^\\n*]+)", 1))
+    s = p.select("doc_id", expr.alias("spdx_expr"))
+    ids = F.filter(
+        F.regexp_extract_all(
+            F.col("spdx_expr"), F.lit("[A-Za-z0-9.+-]+"), 0),
+        lambda x: ~x.isin("OR", "AND", "WITH"))
+    t = s.select("doc_id", "spdx_expr", ids.alias("ids"))
+    return t.select(
+        "doc_id", "spdx_expr",
+        F.array_join("ids", "|").alias("license_ids"),
+        F.size("ids").cast("long").alias("n_ids"),
+        F.when(
+            F.regexp_extract("spdx_expr", "\\b(A?GPL|LGPL)", 0) != "", 1)
+        .otherwise(0).cast("int").alias("has_copyleft"),
+    )
+
+
+def _legal_links_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<footer><a href="/privacy-policy">Privacy'
+            || '</a> <a href="/terms">Terms</a> <a href="/p'
+            || CAST(doc_id % 7 AS VARCHAR) || '">More</a></footer>'
+          WHEN 1 THEN '<footer><a href="/cookies">Cookie Policy</a>'
+            || ' <a href="/about">About</a></footer>'
+          WHEN 2 THEN '<footer><a href="/impressum">Impressum</a>'
+            || '</footer>'
+          ELSE '<div><a href="/products">Products</a></div>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(html,
+          'href="[^"]*(privacy|datenschutz)') THEN 1 ELSE 0 END
+          AS has_privacy,
+        CASE WHEN regexp_matches(html, 'href="[^"]*(terms|tos\\b)')
+          THEN 1 ELSE 0 END AS has_terms,
+        CASE WHEN regexp_matches(html, 'href="[^"]*cookie')
+          THEN 1 ELSE 0 END AS has_cookie,
+        CASE WHEN regexp_matches(html,
+          'href="[^"]*(impressum|imprint|legal-notice)')
+          THEN 1 ELSE 0 END AS has_impressum
+      FROM p)
+    SELECT doc_id,
+      CAST(has_privacy AS INT) AS has_privacy,
+      CAST(has_terms AS INT) AS has_terms,
+      CAST(has_cookie AS INT) AS has_cookie,
+      CAST(has_impressum AS INT) AS has_impressum,
+      CAST(has_privacy + has_terms + has_cookie + has_impressum
+        AS BIGINT) AS n_legal
+    FROM s
+    """
+
+
+@query("privacy_policy_links", _legal_links_oracle())
+def privacy_policy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legal-footer link census (round 4): privacy policy, terms,
+    cookie policy and the German Impressum are the compliance
+    furniture of an OPERATED site — their absence on a commercial-
+    looking page is a fly-by-night prior (spam/parked/scraper
+    mirrors rarely bother), and jurisdictions are inferable
+    (Impressum ⇒ DACH). Detection keys on the href path, not the
+    anchor text, so localized labels still match.
+
+    Scale shape: four regexp flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<footer><a href="/privacy-policy">Privacy'
+                  '</a> <a href="/terms">Terms</a> <a href="/p'),
+            (i % 7).cast("string"),
+            F.lit('">More</a></footer>')))
+        .when(v == 1, F.lit(
+            '<footer><a href="/cookies">Cookie Policy</a>'
+            ' <a href="/about">About</a></footer>'))
+        .when(v == 2, F.lit(
+            '<footer><a href="/impressum">Impressum</a></footer>'))
+        .otherwise(F.lit('<div><a href="/products">Products</a></div>'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+
+    def flag(pat: str) -> Column:
+        return F.when(
+            F.regexp_extract("html", pat, 0) != "", 1).otherwise(0)
+
+    s = p.select(
+        "doc_id",
+        flag('href="[^"]*(privacy|datenschutz)').alias("has_privacy"),
+        flag('href="[^"]*(terms|tos\\b)').alias("has_terms"),
+        flag('href="[^"]*cookie').alias("has_cookie"),
+        flag('href="[^"]*(impressum|imprint|legal-notice)')
+        .alias("has_impressum"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("has_privacy").cast("int").alias("has_privacy"),
+        F.col("has_terms").cast("int").alias("has_terms"),
+        F.col("has_cookie").cast("int").alias("has_cookie"),
+        F.col("has_impressum").cast("int").alias("has_impressum"),
+        (F.col("has_privacy") + F.col("has_terms") + F.col("has_cookie")
+         + F.col("has_impressum")).cast("long").alias("n_legal"),
+    )
+
+
+def _retry_after_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 429 WHEN 1 THEN 503
+          WHEN 2 THEN 503 ELSE 200 END AS status,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Retry-After: '
+            || CAST(30 + doc_id % 90 AS VARCHAR)
+          WHEN 1 THEN 'Retry-After: Fri, 15 Mar 2024 12:10:00 GMT'
+          WHEN 2 THEN 'Retry-After: Fri, 15 Mar 2024 11:00:00 GMT'
+          ELSE ''
+        END AS hdr
+      FROM documents),
+    s AS (
+      SELECT doc_id, status, hdr,
+        COALESCE(regexp_extract(hdr,
+          'Retry-After: ([0-9]+)$', 1), '') AS delta_s,
+        COALESCE(regexp_extract(hdr,
+          'Retry-After: [A-Za-z]{3}, (.+) GMT', 1), '') AS date_s
+      FROM p),
+    t AS (
+      SELECT doc_id, status,
+        CASE WHEN delta_s <> '' THEN 'delta'
+             WHEN date_s <> '' THEN 'date'
+             ELSE 'none' END AS retry_kind,
+        CASE WHEN delta_s <> '' THEN CAST(delta_s AS BIGINT)
+             WHEN date_s <> '' THEN GREATEST(0,
+               CAST(epoch(strptime(date_s, '%d %b %Y %H:%M:%S'))
+                 AS BIGINT) - 1710504000)
+             ELSE -1 END AS wait_seconds
+      FROM s)
+    SELECT doc_id,
+      CAST(status AS INT) AS status, retry_kind,
+      CAST(wait_seconds AS BIGINT) AS wait_seconds,
+      CAST(CASE WHEN status IN (429, 503) AND retry_kind <> 'none'
+        THEN 1 ELSE 0 END AS INT) AS backoff_applied
+    FROM t
+    """
+
+
+@query("retry_after_parse", _retry_after_oracle())
+def retry_after_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Retry-After`` parsing (round 4, RFC 9110 §10.2.3): the
+    server's OWN statement of when to come back after a 429/503 —
+    the politeness signal that outranks any crawler-side heuristic
+    (crawl_delay_directive covers the robots channel; this is the
+    per-response one). Both grammars parse: delta-seconds directly,
+    HTTP-date as seconds relative to the corpus snapshot instant
+    (past dates clamp to 0 — retry immediately, don't sleep a
+    negative). The day-of-week token is stripped BEFORE the date
+    parse because it is redundant per the RFC — and Spark's
+    datetime parser rejects day-name patterns at parse time, so
+    relying on it would be a portability bug.
+
+    Scale shape: two regexps + one date parse per row, no shuffle.
+    """
+    _utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    status = (
+        F.when(v == 0, 429).when(v == 1, 503).when(v == 2, 503)
+        .otherwise(200))
+    hdr = (
+        F.when(v == 0, F.concat(
+            F.lit("Retry-After: "), (30 + i % 90).cast("string")))
+        .when(v == 1, F.lit("Retry-After: Fri, 15 Mar 2024 12:10:00 GMT"))
+        .when(v == 2, F.lit("Retry-After: Fri, 15 Mar 2024 11:00:00 GMT"))
+        .otherwise(F.lit(""))
+    )
+    p = d.select("doc_id", status.alias("status"), hdr.alias("hdr"))
+    delta_s = F.regexp_extract("hdr", "Retry-After: ([0-9]+)$", 1)
+    date_s = F.regexp_extract(
+        "hdr", "Retry-After: [A-Za-z]{3}, (.+) GMT", 1)
+    s = p.select(
+        "doc_id", "status",
+        delta_s.alias("delta_s"), date_s.alias("date_s"))
+    snap = F.lit(1710504000)
+    wait = (
+        F.when(F.col("delta_s") != "", F.col("delta_s").cast("long"))
+        .when(
+            F.col("date_s") != "",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.unix_timestamp(
+                    F.to_timestamp("date_s", "dd MMM yyyy HH:mm:ss"))
+                - snap))
+        .otherwise(F.lit(-1).cast("long")))
+    kind = (
+        F.when(F.col("delta_s") != "", "delta")
+        .when(F.col("date_s") != "", "date").otherwise("none"))
+    t = s.select(
+        "doc_id", "status", kind.alias("retry_kind"),
+        wait.alias("wait_seconds"))
+    return t.select(
+        "doc_id", F.col("status").cast("int").alias("status"),
+        "retry_kind",
+        F.col("wait_seconds").cast("long").alias("wait_seconds"),
+        F.when(
+            F.col("status").isin(429, 503)
+            & (F.col("retry_kind") != "none"), 1)
+        .otherwise(0).cast("int").alias("backoff_applied"),
+    )
+
+
+def _vary_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'Vary: Accept-Encoding'
+          WHEN 1 THEN 'Vary: User-Agent, Accept-Encoding'
+          WHEN 2 THEN 'Vary: *'
+          WHEN 3 THEN 'Vary: Cookie, Accept-Language'
+          ELSE ''
+        END AS hdr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            string_split(
+              COALESCE(regexp_extract(hdr, 'Vary: (.*)', 1), ''),
+              ','),
+            x -> lower(trim(x))),
+          x -> x <> '') AS toks
+      FROM p)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_vary,
+      COALESCE(list_aggregate(toks, 'string_agg', '|'), '')
+        AS vary_tokens,
+      CAST(CASE WHEN list_contains(toks, 'user-agent')
+        THEN 1 ELSE 0 END AS INT) AS varies_ua,
+      CAST(CASE WHEN list_contains(toks, 'cookie')
+        THEN 1 ELSE 0 END AS INT) AS varies_cookie,
+      CAST(CASE WHEN list_contains(toks, '*')
+        THEN 1 ELSE 0 END AS INT) AS uncacheable
+    FROM s
+    """
+
+
+@query("vary_header_audit", _vary_oracle())
+def vary_header_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Vary`` header audit (round 4): the cache key the server
+    declares is also a crawler-facing confession — ``Vary:
+    User-Agent`` means the SAME url serves different bodies per
+    client (the content a crawler stored may not be what browsers
+    see — the cloaking-capable shape noscript_cloaking_detect hunts
+    in-page), ``Vary: Cookie`` marks personalized pages whose
+    snapshot is one arbitrary session, and ``Vary: *`` declares the
+    response uncacheable so revalidation planning (http_
+    revalidation_plan) must refetch. Tokens normalize
+    (lower, trimmed) before the flags.
+
+    Scale shape: one regexp + in-row list ops per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    hdr = (
+        F.when(v == 0, F.lit("Vary: Accept-Encoding"))
+        .when(v == 1, F.lit("Vary: User-Agent, Accept-Encoding"))
+        .when(v == 2, F.lit("Vary: *"))
+        .when(v == 3, F.lit("Vary: Cookie, Accept-Language"))
+        .otherwise(F.lit(""))
+    )
+    p = d.select("doc_id", hdr.alias("hdr"))
+    toks = F.filter(
+        F.transform(
+            F.split(F.regexp_extract("hdr", "Vary: (.*)", 1), ","),
+            lambda x: F.lower(F.trim(x))),
+        lambda x: x != "")
+    s = p.select("doc_id", toks.alias("toks"))
+    return s.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_vary"),
+        F.array_join("toks", "|").alias("vary_tokens"),
+        F.when(F.array_contains("toks", "user-agent"), 1).otherwise(0)
+        .cast("int").alias("varies_ua"),
+        F.when(F.array_contains("toks", "cookie"), 1).otherwise(0)
+        .cast("int").alias("varies_cookie"),
+        F.when(F.array_contains("toks", "*"), 1).otherwise(0)
+        .cast("int").alias("uncacheable"),
+    )
+
+
+def _content_lang_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Content-Language: en'
+          WHEN 1 THEN 'Content-Language: de'
+          WHEN 2 THEN 'Content-Language: fr'
+          ELSE ''
+        END AS hdr,
+        CASE doc_id % 4
+          WHEN 0 THEN '<html lang="en"><meta http-equiv='
+            || '"content-language" content="en"><body>x</body></html>'
+          WHEN 1 THEN '<html lang="en"><body>disagrees with header'
+            || CAST(doc_id % 7 AS VARCHAR) || '</body></html>'
+          WHEN 2 THEN '<html><body>header only</body></html>'
+          ELSE '<html><body>no declaration anywhere</body></html>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(hdr,
+          'Content-Language: ([a-zA-Z-]+)', 1), '') AS header_lang,
+        COALESCE(regexp_extract(html,
+          '<html lang="([a-zA-Z-]+)"', 1), '') AS html_lang,
+        COALESCE(regexp_extract(html,
+          'http-equiv="content-language" content="([a-zA-Z-]+)"', 1),
+          '') AS meta_lang
+      FROM p),
+    t AS (
+      SELECT doc_id, header_lang, html_lang, meta_lang,
+        list_distinct(list_filter(
+          [html_lang, meta_lang, header_lang], x -> x <> '')) AS vals
+      FROM s)
+    SELECT doc_id, header_lang, html_lang, meta_lang,
+      CASE WHEN html_lang <> '' THEN html_lang
+           WHEN meta_lang <> '' THEN meta_lang
+           WHEN header_lang <> '' THEN header_lang
+           ELSE '' END AS effective_lang,
+      CAST(len(vals) AS BIGINT) AS n_distinct_decls,
+      CAST(CASE WHEN len(vals) > 1 THEN 1 ELSE 0 END AS INT)
+        AS conflict
+    FROM t
+    """
+
+
+@query("content_language_channels", _content_lang_oracle())
+def content_language_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-Language channel resolution (round 4): a page's
+    language is declared in up to three places — the HTTP
+    ``Content-Language`` header, ``<html lang>``, and the legacy
+    ``http-equiv`` meta — and they drift independently (CDN config
+    vs template vs CMS). Effective precedence is html-attr > meta >
+    header (the attribute travels WITH the markup; headers are
+    routing config), mirroring the charset precedence
+    warc_charset_extract pins for encodings. The conflict flag
+    feeds declared_lang_mismatch's audit with WHICH channel lied.
+
+    Scale shape: three regexps + in-row set ops per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    hdr = (
+        F.when(v == 0, F.lit("Content-Language: en"))
+        .when(v == 1, F.lit("Content-Language: de"))
+        .when(v == 2, F.lit("Content-Language: fr"))
+        .otherwise(F.lit(""))
+    )
+    html = (
+        F.when(v == 0, F.lit(
+            '<html lang="en"><meta http-equiv='
+            '"content-language" content="en"><body>x</body></html>'))
+        .when(v == 1, F.concat(
+            F.lit('<html lang="en"><body>disagrees with header'),
+            (i % 7).cast("string"), F.lit("</body></html>")))
+        .when(v == 2, F.lit("<html><body>header only</body></html>"))
+        .otherwise(F.lit(
+            "<html><body>no declaration anywhere</body></html>"))
+    )
+    p = d.select("doc_id", hdr.alias("hdr"), html.alias("html"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("hdr", "Content-Language: ([a-zA-Z-]+)", 1)
+        .alias("header_lang"),
+        F.regexp_extract("html", '<html lang="([a-zA-Z-]+)"', 1)
+        .alias("html_lang"),
+        F.regexp_extract(
+            "html",
+            'http-equiv="content-language" content="([a-zA-Z-]+)"', 1)
+        .alias("meta_lang"),
+    )
+    vals = F.array_distinct(F.filter(
+        F.array("html_lang", "meta_lang", "header_lang"),
+        lambda x: x != ""))
+    t = s.select(
+        "doc_id", "header_lang", "html_lang", "meta_lang",
+        vals.alias("vals"))
+    return t.select(
+        "doc_id", "header_lang", "html_lang", "meta_lang",
+        F.when(F.col("html_lang") != "", F.col("html_lang"))
+        .when(F.col("meta_lang") != "", F.col("meta_lang"))
+        .when(F.col("header_lang") != "", F.col("header_lang"))
+        .otherwise(F.lit("")).alias("effective_lang"),
+        F.size("vals").cast("long").alias("n_distinct_decls"),
+        F.when(F.size("vals") > 1, 1).otherwise(0).cast("int")
+        .alias("conflict"),
+    )
+
+
+def _exec_magic_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '4d5a9000' || lpad(CAST(doc_id % 97 AS VARCHAR),
+            8, '0')
+          WHEN 1 THEN '7f454c46' || '0201010000000000'
+          WHEN 2 THEN 'cafebabe' || '00000002'
+          WHEN 3 THEN '25504446' || '2d312e37'
+          ELSE 'feedfacf' || '01000007'
+        END AS payload_hex
+      FROM documents),
+    s AS (
+      SELECT doc_id, substr(payload_hex, 1, 8) AS magic8
+      FROM p),
+    t AS (
+      SELECT doc_id, magic8,
+        CASE WHEN magic8 LIKE '4d5a%' THEN 'pe'
+             WHEN magic8 = '7f454c46' THEN 'elf'
+             WHEN magic8 = 'feedfacf' THEN 'macho64'
+             WHEN magic8 = 'cafebabe' THEN 'class-or-fat-macho'
+             WHEN magic8 = '25504446' THEN 'pdf'
+             ELSE 'other' END AS kind
+      FROM s)
+    SELECT doc_id, magic8, kind,
+      CAST(CASE WHEN kind IN ('pe', 'elf', 'macho64') THEN 1
+        ELSE 0 END AS INT) AS executable,
+      CASE WHEN kind IN ('pe', 'elf', 'macho64') THEN 'drop'
+           WHEN kind = 'class-or-fat-macho' THEN 'quarantine'
+           WHEN kind = 'pdf' THEN 'pdf_parse'
+           ELSE 'keep' END AS disposition
+    FROM t
+    """
+
+
+@query("executable_payload_detect", _exec_magic_oracle())
+def executable_payload_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable-payload routing (round 4): crawls fetch binaries —
+    PE (MZ), ELF and Mach-O payloads carry zero training text and
+    real malware-distribution risk, so routing drops them on the
+    magic bytes alone, before any parser touches the body
+    (mime_sniff_routing handles the document formats; this is the
+    security class). The ``cafebabe`` magic is HONESTLY ambiguous —
+    Java class files and fat Mach-O binaries share it — so that
+    class quarantines for deeper inspection instead of guessing.
+    Matching runs on the hex encoding of the payload prefix, the
+    form a binary column's fingerprint actually travels in.
+
+    Scale shape: one substring + CASE per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    payload_hex = (
+        F.when(v == 0, F.concat(
+            F.lit("4d5a9000"),
+            F.lpad((i % 97).cast("string"), 8, "0")))
+        .when(v == 1, F.lit("7f454c460201010000000000"))
+        .when(v == 2, F.lit("cafebabe00000002"))
+        .when(v == 3, F.lit("255044462d312e37"))
+        .otherwise(F.lit("feedfacf01000007"))
+    )
+    p = d.select("doc_id", payload_hex.alias("payload_hex"))
+    s = p.select(
+        "doc_id", F.substring("payload_hex", 1, 8).alias("magic8"))
+    m = F.col("magic8")
+    kind = (
+        F.when(m.startswith("4d5a"), "pe")
+        .when(m == "7f454c46", "elf")
+        .when(m == "feedfacf", "macho64")
+        .when(m == "cafebabe", "class-or-fat-macho")
+        .when(m == "25504446", "pdf")
+        .otherwise("other"))
+    t = s.select("doc_id", "magic8", kind.alias("kind"))
+    return t.select(
+        "doc_id", "magic8", "kind",
+        F.when(F.col("kind").isin("pe", "elf", "macho64"), 1)
+        .otherwise(0).cast("int").alias("executable"),
+        F.when(F.col("kind").isin("pe", "elf", "macho64"), "drop")
+        .when(F.col("kind") == "class-or-fat-macho", "quarantine")
+        .when(F.col("kind") == "pdf", "pdf_parse")
+        .otherwise("keep").alias("disposition"),
+    )
+
+
+def _flac_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (fields
+    exist before the container bytes are assembled)."""
+    from ocr_spark.operators.multimodal import synth_flac_corpus
+
+    rows = ", ".join(
+        f"({r['clip_id']}, {r['is_flac']}, {r['sample_rate']}, "
+        f"{r['channels']}, {r['bits_per_sample']}, {r['total_samples']}, "
+        f"{r['duration_ms']}, {r['n_blocks']}, {r['has_tags']})"
+        for r in synth_flac_corpus()
+    )
+    return (
+        "SELECT clip_id, is_flac, sample_rate, channels,"
+        " bits_per_sample, CAST(total_samples AS BIGINT) AS"
+        " total_samples, CAST(duration_ms AS BIGINT) AS duration_ms,"
+        " n_blocks, has_tags FROM (VALUES " + rows
+        + ") AS t(clip_id, is_flac, sample_rate, channels,"
+        " bits_per_sample, total_samples, duration_ms, n_blocks,"
+        " has_tags)"
+    )
+
+
+@query("flac_streaminfo_parse", _flac_oracle())
+def flac_streaminfo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO harvest (round 4): sample rate, channels, bit
+    depth and total samples ride in the mandatory first metadata
+    block — so duration and quality filters (drop <16-bit, resample
+    ≠48k) run with ZERO frame decode, which matters because FLAC
+    frame decoding stays behind the named production call like the
+    rest of the compressed-audio family (mp3_id3_tags is the tag
+    sibling; this is the properties sibling). The packed 64-bit
+    word decodes bit-exactly; VORBIS_COMMENT presence routes clips
+    to the tag harvester; a non-FLAC clip pins the sentinel branch.
+
+    Scale shape: Arrow-batched mapInPandas over header bytes only.
+    """
+    from ocr_spark.operators.multimodal import (
+        flac_features,
+        synth_flac_corpus,
+    )
+
+    corpus = synth_flac_corpus()
+    base = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["payload"])) for r in corpus],
+        "clip_id int, media binary",
+    )
+    return flac_features(base.repartition(8, "clip_id"))
+
+
+def _mp4_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction."""
+    from ocr_spark.operators.multimodal import synth_mp4_corpus
+
+    rows = ", ".join(
+        f"({r['clip_id']}, {r['is_bmff']}, '{r['major_brand']}', "
+        f"{r['timescale']}, {r['duration_ms']}, {r['n_traks']}, "
+        f"{r['has_mdat']}, '{r['top_boxes']}')"
+        for r in synth_mp4_corpus()
+    )
+    return (
+        "SELECT clip_id, is_bmff, major_brand, timescale,"
+        " CAST(duration_ms AS BIGINT) AS duration_ms, n_traks,"
+        " has_mdat, top_boxes FROM (VALUES " + rows
+        + ") AS t(clip_id, is_bmff, major_brand, timescale,"
+        " duration_ms, n_traks, has_mdat, top_boxes)"
+    )
+
+
+@query("mp4_container_boxes", _mp4_oracle())
+def mp4_container_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF box walk (round 4): the container structure —
+    brand, movie-header timescale/duration, track count, mdat
+    presence — is everything multimodal ROUTING needs from a video
+    payload, and none of it requires the (gated) codec decode:
+    duration gates clip-length filters, track count separates
+    video+audio from audio-only, and a missing mdat marks
+    fragmented/streaming files that need their segments fetched.
+    Two timescales (1000 and 90000) pin the integer duration
+    normalization; a RIFF payload pins the non-BMFF sentinel.
+
+    Scale shape: Arrow-batched mapInPandas over box headers only.
+    """
+    from ocr_spark.operators.multimodal import (
+        mp4_features,
+        synth_mp4_corpus,
+    )
+
+    corpus = synth_mp4_corpus()
+    base = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["payload"])) for r in corpus],
+        "clip_id int, media binary",
+    )
+    return mp4_features(base.repartition(8, "clip_id"))
+
+
+def _texttrack_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<video><source src="/v0.mp4">'
+            || '<track kind="subtitles" src="/subs/en'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '.vtt" srclang="en" label="English" default>'
+            || '<track kind="captions" src="/subs/de.vtt"'
+            || ' srclang="de" label="Deutsch"></video>'
+          WHEN 1 THEN '<video><track src="/subs/fr.vtt"'
+            || ' srclang="fr"></video>'
+          WHEN 2 THEN '<video><source src="/v2.mp4"></video>'
+          ELSE '<p>no video here</p>'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(trk, 1) - 1 AS track_idx,
+        unnest(trk) AS blk
+      FROM (SELECT doc_id,
+              regexp_extract_all(html, '<track [^>]*>') AS trk
+            FROM p)),
+    f AS (
+      SELECT doc_id, track_idx,
+        COALESCE(NULLIF(regexp_extract(blk, 'kind="([a-z]+)"', 1),
+          ''), 'subtitles') AS kind,
+        regexp_extract(blk, 'src="([^"]+)"', 1) AS src,
+        regexp_extract(blk, 'srclang="([a-z-]+)"', 1) AS srclang,
+        CASE WHEN regexp_matches(blk, ' default>') THEN 1 ELSE 0 END
+          AS is_default
+      FROM b)
+    SELECT doc_id, CAST(track_idx AS INT) AS track_idx, kind, src,
+      srclang, CAST(is_default AS INT) AS is_default
+    FROM f
+    """
+
+
+@query("texttrack_discovery", _texttrack_oracle())
+def texttrack_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<track>`` text-track discovery (round 4): subtitle and
+    caption tracks declared on native video are ALIGNED speech-text
+    supervision manifests — the srclang'd .vtt url is fetchable
+    before any video byte moves (vtt_caption_parse handles the
+    payload; this finds it), and a default-flagged subtitles track
+    marks the publisher's primary language. A kind-less track is
+    'subtitles' per the HTML spec, pinned by the French rotation.
+    Track tags extract whole-first so per-field regexps can't
+    misalign across tracks (the house rule from feed/nofollow
+    parsing).
+
+    Scale shape: one extract_all + per-row field parses after a
+    posexplode, no shuffle beyond the explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<video><source src="/v0.mp4">'
+                  '<track kind="subtitles" src="/subs/en'),
+            (i % 7).cast("string"),
+            F.lit('.vtt" srclang="en" label="English" default>'
+                  '<track kind="captions" src="/subs/de.vtt"'
+                  ' srclang="de" label="Deutsch"></video>')))
+        .when(v == 1, F.lit(
+            '<video><track src="/subs/fr.vtt" srclang="fr"></video>'))
+        .when(v == 2, F.lit('<video><source src="/v2.mp4"></video>'))
+        .otherwise(F.lit("<p>no video here</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    trk = F.regexp_extract_all(F.col("html"), F.lit("<track [^>]*>"), 0)
+    b = p.select(
+        "doc_id", F.posexplode(trk).alias("track_idx", "blk"))
+    blk = F.col("blk")
+    return b.select(
+        "doc_id",
+        F.col("track_idx").cast("int").alias("track_idx"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(blk, 'kind="([a-z]+)"', 1),
+                     F.lit("")),
+            F.lit("subtitles")).alias("kind"),
+        F.regexp_extract(blk, 'src="([^"]+)"', 1).alias("src"),
+        F.regexp_extract(blk, 'srclang="([a-z-]+)"', 1).alias("srclang"),
+        F.when(blk.contains(" default>"), 1).otherwise(0).cast("int")
+        .alias("is_default"),
+    )
+
+
+def _frameset_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<frameset cols="20%,80%">'
+            || '<frame src="menu.html" name="menu">'
+            || '<frame src="main' || CAST(doc_id % 7 AS VARCHAR)
+            || '.html" name="main"><noframes>Your browser does not'
+            || ' support frames.</noframes></frameset>'
+          WHEN 1 THEN '<frameset rows="*">'
+            || '<frame src="single.html"></frameset>'
+          WHEN 2 THEN '<body><iframe src="/widget.html"></iframe>'
+            || 'Modern page with an embedded widget.</body>'
+          ELSE '<body>Plain modern page.</body>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(html, '<frameset[ >]')
+          THEN 1 ELSE 0 END AS is_frameset,
+        len(regexp_extract_all(html, '<frame [^>]*>', 0)) AS n_frames,
+        COALESCE(list_aggregate(list_transform(
+          regexp_extract_all(html, '<frame [^>]*>'),
+          x -> regexp_extract(x, 'src="([^"]+)"', 1)),
+          'string_agg', '|'), '') AS frame_srcs,
+        CASE WHEN regexp_matches(html, '<noframes>')
+          THEN 1 ELSE 0 END AS has_noframes
+      FROM p)
+    SELECT doc_id,
+      CAST(is_frameset AS INT) AS is_frameset,
+      CAST(n_frames AS BIGINT) AS n_frames,
+      frame_srcs,
+      CAST(has_noframes AS INT) AS has_noframes
+    FROM s
+    """
+
+
+@query("frameset_detect", _frameset_oracle())
+def frameset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy frameset detection (round 4): a ``<frameset>`` page has
+    NO body of its own — the content lives in the frame urls, so an
+    extractor that treats the frameset document as the page emits
+    only the ``<noframes>`` fallback (or nothing) and silently drops
+    the site. The frame srcs are the real fetch targets (the
+    frame-following frontier), and ``<iframe>`` is pinned as NOT a
+    frameset — modern embeds don't route a page into the legacy
+    branch (legacy_markup_audit scores presentation tags; this one
+    changes CRAWL behavior).
+
+    Scale shape: two regexp flags + one in-row transform per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<frameset cols="20%,80%">'
+                  '<frame src="menu.html" name="menu">'
+                  '<frame src="main'),
+            (i % 7).cast("string"),
+            F.lit('.html" name="main"><noframes>Your browser does not'
+                  " support frames.</noframes></frameset>")))
+        .when(v == 1, F.lit(
+            '<frameset rows="*"><frame src="single.html"></frameset>'))
+        .when(v == 2, F.lit(
+            '<body><iframe src="/widget.html"></iframe>'
+            "Modern page with an embedded widget.</body>"))
+        .otherwise(F.lit("<body>Plain modern page.</body>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    frames = F.regexp_extract_all(
+        F.col("html"), F.lit("<frame [^>]*>"), 0)
+    return p.select(
+        "doc_id",
+        F.when(F.regexp_extract("html", "<frameset[ >]", 0) != "", 1)
+        .otherwise(0).cast("int").alias("is_frameset"),
+        F.size(frames).cast("long").alias("n_frames"),
+        F.array_join(
+            F.transform(
+                frames,
+                lambda x: F.regexp_extract(x, 'src="([^"]+)"', 1)),
+            "|").alias("frame_srcs"),
+        F.when(F.col("html").contains("<noframes>"), 1).otherwise(0)
+        .cast("int").alias("has_noframes"),
+    )
+
+
+def _imagemap_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<img src="/nav.png" usemap="#nav">'
+            || '<map name="nav"><area shape="rect"'
+            || ' coords="0,0,82,126" href="/section-a" alt="Section A">'
+            || '<area shape="circle" coords="90,58,'
+            || CAST(3 + doc_id % 9 AS VARCHAR)
+            || '" href="/section-b" alt="Section B"></map>'
+          WHEN 1 THEN '<map name="regions"><area shape="poly"'
+            || ' coords="1,2,3,4,5,6" href="/r1" alt="Region 1">'
+            || '</map><img src="/plain.png">'
+          ELSE '<img src="/photo.jpg" alt="just a photo">'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id, html,
+        regexp_extract(html, '<map name="([^"]+)"', 1) AS map_name,
+        generate_subscripts(ar, 1) - 1 AS area_idx,
+        unnest(ar) AS blk
+      FROM (SELECT doc_id, html,
+              regexp_extract_all(html, '<area [^>]*>') AS ar
+            FROM p))
+    SELECT doc_id, map_name,
+      CAST(area_idx AS INT) AS area_idx,
+      regexp_extract(blk, 'shape="([a-z]+)"', 1) AS shape,
+      regexp_extract(blk, 'href="([^"]+)"', 1) AS href,
+      regexp_extract(blk, 'alt="([^"]+)"', 1) AS alt,
+      CAST(CASE WHEN regexp_matches(html,
+        'usemap="#' || map_name || '"') THEN 1 ELSE 0 END AS INT)
+        AS usemap_bound
+    FROM b
+    """
+
+
+@query("imagemap_area_extract", _imagemap_oracle())
+def imagemap_area_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-map area extraction (round 4): ``<map>/<area>`` is the
+    legacy-web navigation channel where OUTLINKS live inside an
+    image — an anchor-only outlink extractor reads such a page as a
+    dead end (the inverse error of frameset_detect's empty body),
+    and the alt texts are the only textual labels those links have.
+    Areas extract whole-first, then shape/href/alt per block; the
+    usemap_bound flag checks an ``<img usemap>`` actually references
+    the map (an unbound map renders nothing — its links are
+    phantom).
+
+    Scale shape: one extract_all + per-row parses after a
+    posexplode, no shuffle beyond the explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="/nav.png" usemap="#nav">'
+                  '<map name="nav"><area shape="rect"'
+                  ' coords="0,0,82,126" href="/section-a" alt="Section A">'
+                  '<area shape="circle" coords="90,58,'),
+            (3 + i % 9).cast("string"),
+            F.lit('" href="/section-b" alt="Section B"></map>')))
+        .when(v == 1, F.lit(
+            '<map name="regions"><area shape="poly"'
+            ' coords="1,2,3,4,5,6" href="/r1" alt="Region 1">'
+            '</map><img src="/plain.png">'))
+        .otherwise(F.lit('<img src="/photo.jpg" alt="just a photo">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    areas = F.regexp_extract_all(F.col("html"), F.lit("<area [^>]*>"), 0)
+    b = p.select(
+        "doc_id", "html",
+        F.regexp_extract("html", '<map name="([^"]+)"', 1)
+        .alias("map_name"),
+        F.posexplode(areas).alias("area_idx", "blk"))
+    blk = F.col("blk")
+    return b.select(
+        "doc_id", "map_name",
+        F.col("area_idx").cast("int").alias("area_idx"),
+        F.regexp_extract(blk, 'shape="([a-z]+)"', 1).alias("shape"),
+        F.regexp_extract(blk, 'href="([^"]+)"', 1).alias("href"),
+        F.regexp_extract(blk, 'alt="([^"]+)"', 1).alias("alt"),
+        F.when(
+            F.col("html").contains(
+                F.concat(F.lit('usemap="#'), F.col("map_name"),
+                         F.lit('"'))), 1)
+        .otherwise(0).cast("int").alias("usemap_bound"),
+    )
+
+
+def _js_obfuscation_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script>eval(atob(''aGVsbG8=''));'
+            || 'var s = String.fromCharCode(104,105,'
+            || CAST(32 + doc_id % 90 AS VARCHAR) || ');</script>'
+          WHEN 1 THEN '<script>document.write(unescape('
+            || '''%68%65%6c%6c%6f''));var h = "\\x68\\x65\\x6c\\x6c'
+            || '\\x6f\\x20\\x77\\x6f\\x72\\x6c\\x64";</script>'
+          WHEN 2 THEN '<script>var x = 1; analytics.evaluate('
+            || '''page''); atobTable.load();</script>'
+          ELSE '<p>no scripts at all</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html, 'eval\\(atob\\(', 0))
+          AS n_eval_atob,
+        len(regexp_extract_all(html, 'String\\.fromCharCode\\(', 0))
+          AS n_fromcharcode,
+        len(regexp_extract_all(html, 'unescape\\(', 0)) AS n_unescape,
+        len(regexp_extract_all(html, '\\\\x[0-9a-f]{2}', 0))
+          AS n_hex_escapes
+      FROM p)
+    SELECT doc_id,
+      CAST(n_eval_atob AS BIGINT) AS n_eval_atob,
+      CAST(n_fromcharcode AS BIGINT) AS n_fromcharcode,
+      CAST(n_unescape AS BIGINT) AS n_unescape,
+      CAST(n_hex_escapes AS BIGINT) AS n_hex_escapes,
+      CAST(CASE WHEN n_eval_atob > 0 OR n_unescape > 0
+        OR n_hex_escapes >= 8 THEN 1 ELSE 0 END AS INT) AS obfuscated
+    FROM s
+    """
+
+
+@query("js_obfuscation_detect", _js_obfuscation_oracle())
+def js_obfuscation_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-obfuscation signals (round 4): ``eval(atob(...))``,
+    ``unescape('%..')`` chains, ``String.fromCharCode`` assembly and
+    long ``\\xNN`` escape runs are how injected malware, cloaking
+    payloads and cryptominers hide from static review — pages
+    carrying them are compromised-site candidates whose CONTENT may
+    be victim-legitimate but whose outlinks and redirects are not
+    (js_redirect_detect covers the destination; this scores the
+    concealment). The benign branch plants ``analytics.evaluate(``
+    and an ``atobTable`` identifier — substring lexicons must not
+    fire on either.
+
+    Scale shape: four regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<script>eval(atob('aGVsbG8='));"
+                  "var s = String.fromCharCode(104,105,"),
+            (32 + i % 90).cast("string"),
+            F.lit(");</script>")))
+        .when(v == 1, F.lit(
+            "<script>document.write(unescape("
+            "'%68%65%6c%6c%6f'));var h = \"\\x68\\x65\\x6c\\x6c"
+            '\\x6f\\x20\\x77\\x6f\\x72\\x6c\\x64";</script>'))
+        .when(v == 2, F.lit(
+            "<script>var x = 1; analytics.evaluate("
+            "'page'); atobTable.load();</script>"))
+        .otherwise(F.lit("<p>no scripts at all</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(h, F.lit("eval\\(atob\\("), 0))
+        .alias("n_eval_atob"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("String\\.fromCharCode\\("), 0))
+        .alias("n_fromcharcode"),
+        F.size(F.regexp_extract_all(h, F.lit("unescape\\("), 0))
+        .alias("n_unescape"),
+        F.size(F.regexp_extract_all(h, F.lit("\\\\x[0-9a-f]{2}"), 0))
+        .alias("n_hex_escapes"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_eval_atob").cast("long").alias("n_eval_atob"),
+        F.col("n_fromcharcode").cast("long").alias("n_fromcharcode"),
+        F.col("n_unescape").cast("long").alias("n_unescape"),
+        F.col("n_hex_escapes").cast("long").alias("n_hex_escapes"),
+        F.when(
+            (F.col("n_eval_atob") > 0) | (F.col("n_unescape") > 0)
+            | (F.col("n_hex_escapes") >= 8), 1)
+        .otherwise(0).cast("int").alias("obfuscated"),
+    )
+
+
+def _docwrite_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<script>document.write(''<div class="ad">sponsor'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '</div>'');document.write(''<img src=/px.gif>'');'
+            || '</script>'
+          WHEN 1 THEN '<script>document.writeln(''loading...'');'
+            || '</script>'
+          WHEN 2 THEN '<script>renderer.write(''<b>not the document'
+            || ' API</b>'');</script>'
+          ELSE '<p>static page</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html, 'document\\.write\\(', 0))
+          AS n_write,
+        len(regexp_extract_all(html, 'document\\.writeln\\(', 0))
+          AS n_writeln,
+        len(regexp_extract_all(html, 'document\\.write(ln)?\\(''<', 0))
+          AS n_markup_writes
+      FROM p)
+    SELECT doc_id,
+      CAST(n_write AS BIGINT) AS n_write,
+      CAST(n_writeln AS BIGINT) AS n_writeln,
+      CAST(n_markup_writes AS BIGINT) AS n_markup_writes,
+      CAST(CASE WHEN n_markup_writes > 0 THEN 1 ELSE 0 END AS INT)
+        AS render_required
+    FROM s
+    """
+
+
+@query("document_write_detect", _docwrite_oracle())
+def document_write_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``document.write`` injection detection (round 4): markup
+    written at parse time exists in the RENDERED page but not in the
+    fetched bytes — a static extractor sees neither the injected ads
+    (good: they'd be boilerplate) nor injected CONTENT (bad: the
+    page looks thinner than it renders). Writes whose argument opens
+    a tag flag render_required, routing the page to the headless
+    pool next to spa_shell_detect's app-shell case; plain-text
+    writeln does not. ``renderer.write`` pins that only the document
+    API counts — the pattern anchors on the receiver, not the
+    method name.
+
+    Scale shape: three regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<script>document.write('<div class=\"ad\">sponsor"),
+            (i % 7).cast("string"),
+            F.lit("</div>');document.write('<img src=/px.gif>');"
+                  "</script>")))
+        .when(v == 1, F.lit(
+            "<script>document.writeln('loading...');</script>"))
+        .when(v == 2, F.lit(
+            "<script>renderer.write('<b>not the document"
+            " API</b>');</script>"))
+        .otherwise(F.lit("<p>static page</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            h, F.lit("document\\.write\\("), 0)).alias("n_write"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("document\\.writeln\\("), 0)).alias("n_writeln"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("document\\.write(ln)?\\('<"), 0))
+        .alias("n_markup_writes"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_write").cast("long").alias("n_write"),
+        F.col("n_writeln").cast("long").alias("n_writeln"),
+        F.col("n_markup_writes").cast("long").alias("n_markup_writes"),
+        F.when(F.col("n_markup_writes") > 0, 1).otherwise(0)
+        .cast("int").alias("render_required"),
+    )
+
+
+def _iframe_sandbox_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN '<iframe src="https://ads.adnet.example/slot'
+            || CAST(doc_id % 7 AS VARCHAR) || '"></iframe>'
+            || '<iframe sandbox="allow-scripts" src='
+            || '"https://widget.cdn.example/w"></iframe>'
+          WHEN 1 THEN '<iframe src="https://host'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '.example/own-player"></iframe>'
+          WHEN 2 THEN '<iframe sandbox src='
+            || '"https://embed.partner.example/e"></iframe>'
+          ELSE '<p>no embeds</p>'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id, host,
+        regexp_extract_all(html, '<iframe[^>]*>') AS ifr
+      FROM p),
+    s AS (
+      SELECT doc_id,
+        len(ifr) AS n_iframes,
+        len(list_filter(ifr, x -> regexp_matches(x,
+          'sandbox[ =>]'))) AS n_sandboxed,
+        len(list_filter(ifr, x ->
+          NOT regexp_matches(x, 'src="https?://' || host || '/')))
+          AS n_thirdparty,
+        len(list_filter(ifr, x ->
+          NOT regexp_matches(x, 'src="https?://' || host || '/')
+          AND NOT regexp_matches(x, 'sandbox[ =>]')))
+          AS n_unsandboxed_3p
+      FROM b)
+    SELECT doc_id,
+      CAST(n_iframes AS BIGINT) AS n_iframes,
+      CAST(n_sandboxed AS BIGINT) AS n_sandboxed,
+      CAST(n_thirdparty AS BIGINT) AS n_thirdparty,
+      CAST(n_unsandboxed_3p AS BIGINT) AS n_unsandboxed_3p,
+      CAST(CASE WHEN n_unsandboxed_3p > 0 THEN 1 ELSE 0 END AS INT)
+        AS embed_risk
+    FROM s
+    """
+
+
+@query("iframe_sandbox_audit", _iframe_sandbox_oracle())
+def iframe_sandbox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iframe sandbox audit (round 4): an UNSANDBOXED third-party
+    iframe runs arbitrary script with its own origin's powers — the
+    embed shape behind malvertising redirects, so unsandboxed-3p
+    count is a page-trust prior (third_party_dependency_ratio counts
+    the bytes; this audits the CONTAINMENT). Same-origin iframes
+    are the site's own composition and don't count as third-party;
+    a bare ``sandbox`` attribute (fully restricted) counts as
+    sandboxed — both pinned. Iframes extract whole-first.
+
+    Scale shape: one extract_all + in-row filters per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    host = F.concat(
+        F.lit("host"), (i % 97).cast("string"), F.lit(".example"))
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<iframe src="https://ads.adnet.example/slot'),
+            (i % 7).cast("string"),
+            F.lit('"></iframe><iframe sandbox="allow-scripts" src='
+                  '"https://widget.cdn.example/w"></iframe>')))
+        .when(v == 1, F.concat(
+            F.lit('<iframe src="https://host'),
+            (i % 97).cast("string"),
+            F.lit('.example/own-player"></iframe>')))
+        .when(v == 2, F.lit(
+            '<iframe sandbox src="https://embed.partner.example/e">'
+            "</iframe>"))
+        .otherwise(F.lit("<p>no embeds</p>"))
+    )
+    p = d.select("doc_id", host.alias("host"), html.alias("html"))
+    ifr = F.regexp_extract_all(F.col("html"), F.lit("<iframe[^>]*>"), 0)
+    own = F.concat(F.lit('src="https?://'), F.col("host"), F.lit("/"))
+    b = p.select("doc_id", "host", ifr.alias("ifr"))
+
+    def own_src(x: Column) -> Column:
+        return F.regexp_like(x, own)
+
+    def sandboxed(x: Column) -> Column:
+        return F.regexp_like(x, F.lit("sandbox[ =>]"))
+
+    s = b.select(
+        "doc_id",
+        F.size("ifr").alias("n_iframes"),
+        F.size(F.filter("ifr", sandboxed)).alias("n_sandboxed"),
+        F.size(F.filter("ifr", lambda x: ~own_src(x)))
+        .alias("n_thirdparty"),
+        F.size(F.filter(
+            "ifr", lambda x: ~own_src(x) & ~sandboxed(x)))
+        .alias("n_unsandboxed_3p"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_iframes").cast("long").alias("n_iframes"),
+        F.col("n_sandboxed").cast("long").alias("n_sandboxed"),
+        F.col("n_thirdparty").cast("long").alias("n_thirdparty"),
+        F.col("n_unsandboxed_3p").cast("long").alias("n_unsandboxed_3p"),
+        F.when(F.col("n_unsandboxed_3p") > 0, 1).otherwise(0)
+        .cast("int").alias("embed_risk"),
+    )
+
+
+def _mobile_alt_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<link rel="alternate" media="only screen and'
+            || ' (max-width: 640px)" href="https://m.host'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '.example/article"><body>desktop body</body>'
+          WHEN 1 THEN '<link rel="canonical" href="https://host'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '.example/article"><body>mobile body on m.host'
+            || CAST(doc_id % 97 AS VARCHAR) || '.example</body>'
+          WHEN 2 THEN '<link rel="alternate" type="application/'
+            || 'rss+xml" href="/feed.xml"><body>article</body>'
+          ELSE '<body>no alternates declared</body>'
+        END AS html,
+        CASE WHEN doc_id % 4 = 1 THEN 'm.host' ELSE 'host' END
+          || CAST(doc_id % 97 AS VARCHAR) || '.example' AS page_host
+      FROM documents),
+    s AS (
+      SELECT doc_id, page_host,
+        COALESCE(regexp_extract(html,
+          'rel="alternate" media="[^"]*max-width[^"]*" href="([^"]+)"',
+          1), '') AS mobile_url,
+        COALESCE(regexp_extract(html,
+          'rel="canonical" href="([^"]+)"', 1), '') AS canonical_url
+      FROM p)
+    SELECT doc_id, page_host, mobile_url, canonical_url,
+      CAST(CASE WHEN mobile_url <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_mobile_alt,
+      CAST(CASE WHEN page_host LIKE 'm.%' AND canonical_url <> ''
+        THEN 1 ELSE 0 END AS INT) AS is_mobile_variant
+    FROM s
+    """
+
+
+@query("mobile_alternate_pairs", _mobile_alt_oracle())
+def mobile_alternate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobile-alternate declarations (round 4): the pre-responsive
+    web's m.-subdomain mirrors are a built-in duplicate class —
+    desktop pages declare ``rel=alternate media="...max-width..."``
+    pointing at the m. twin and the twin declares ``rel=canonical``
+    back (exactly the amp_canonical_pairs shape, one era earlier;
+    subdomain_apex_rollup collapses the hosts, this recovers the
+    PAGE-level pairing that makes the collapse safe). A feed
+    alternate (no media query) pins that only media-query'd
+    alternates count as the mobile channel.
+
+    Scale shape: two regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    hostnum = (i % 97).cast("string")
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="alternate" media="only screen and'
+                  ' (max-width: 640px)" href="https://m.host'),
+            hostnum,
+            F.lit('.example/article"><body>desktop body</body>')))
+        .when(v == 1, F.concat(
+            F.lit('<link rel="canonical" href="https://host'),
+            hostnum,
+            F.lit('.example/article"><body>mobile body on m.host'),
+            hostnum, F.lit(".example</body>")))
+        .when(v == 2, F.lit(
+            '<link rel="alternate" type="application/'
+            'rss+xml" href="/feed.xml"><body>article</body>'))
+        .otherwise(F.lit("<body>no alternates declared</body>"))
+    )
+    page_host = F.concat(
+        F.when(v == 1, F.lit("m.host")).otherwise(F.lit("host")),
+        hostnum, F.lit(".example"))
+    p = d.select(
+        "doc_id", html.alias("html"), page_host.alias("page_host"))
+    s = p.select(
+        "doc_id", "page_host",
+        F.regexp_extract(
+            "html",
+            'rel="alternate" media="[^"]*max-width[^"]*" href="([^"]+)"',
+            1).alias("mobile_url"),
+        F.regexp_extract("html", 'rel="canonical" href="([^"]+)"', 1)
+        .alias("canonical_url"),
+    )
+    return s.select(
+        "doc_id", "page_host", "mobile_url", "canonical_url",
+        F.when(F.col("mobile_url") != "", 1).otherwise(0).cast("int")
+        .alias("has_mobile_alt"),
+        F.when(
+            F.col("page_host").startswith("m.")
+            & (F.col("canonical_url") != ""), 1)
+        .otherwise(0).cast("int").alias("is_mobile_variant"),
+    )
+
+
+def _article_tag_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta property="article:section" content='
+            || '"Technology"><meta property="article:tag" content='
+            || '"spark"><meta property="article:tag" content="data'
+            || CAST(doc_id % 7 AS VARCHAR) || '">'
+          WHEN 1 THEN '<meta property="article:tag" content='
+            || '"recipes"><meta property="og:title" content="Soup">'
+          ELSE '<meta property="og:title" content="untagged">'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id, html,
+        generate_subscripts(tags, 1) - 1 AS tag_idx,
+        unnest(tags) AS blk
+      FROM (SELECT doc_id, html,
+              regexp_extract_all(html,
+                '<meta property="article:tag" content="[^"]+">')
+                AS tags
+            FROM p))
+    SELECT doc_id,
+      CAST(tag_idx AS INT) AS tag_idx,
+      regexp_extract(blk, 'content="([^"]+)"', 1) AS tag,
+      COALESCE(regexp_extract(html,
+        '<meta property="article:section" content="([^"]+)"', 1), '')
+        AS section
+    FROM b
+    """
+
+
+@query("article_tag_extract", _article_tag_oracle())
+def article_tag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph article-tag harvest (round 4): ``article:tag`` and
+    ``article:section`` are the publisher's own topic labels — free
+    multi-label classification supervision at web scale, and the
+    mixture-building facet (sample by section) that url_page_type
+    can only approximate from path shape. Tags repeat the property
+    per value (the og array convention), so blocks extract
+    whole-first and explode with position; the og:title meta on
+    every branch pins that non-article properties never leak in.
+
+    Scale shape: one extract_all + posexplode, per-row parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta property="article:section" content='
+                  '"Technology"><meta property="article:tag" content='
+                  '"spark"><meta property="article:tag" content="data'),
+            (i % 7).cast("string"), F.lit('">')))
+        .when(v == 1, F.lit(
+            '<meta property="article:tag" content='
+            '"recipes"><meta property="og:title" content="Soup">'))
+        .otherwise(F.lit('<meta property="og:title" content="untagged">'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    tags = F.regexp_extract_all(
+        F.col("html"),
+        F.lit('<meta property="article:tag" content="[^"]+">'), 0)
+    b = p.select(
+        "doc_id", "html", F.posexplode(tags).alias("tag_idx", "blk"))
+    return b.select(
+        "doc_id",
+        F.col("tag_idx").cast("int").alias("tag_idx"),
+        F.regexp_extract("blk", 'content="([^"]+)"', 1).alias("tag"),
+        F.regexp_extract(
+            "html",
+            '<meta property="article:section" content="([^"]+)"', 1)
+        .alias("section"),
+    )
+
+
+def _heading_skip_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<h1>Title</h1><h3>Skipped here</h3>'
+            || '<h4>Deeper</h4><h2>Back up</h2>'
+          WHEN 1 THEN '<h2>Orphan start</h2><h3>fine</h3><p>body'
+            || CAST(doc_id % 7 AS VARCHAR) || '</p>'
+          ELSE '<h1>Proper</h1><h2>Sub</h2><h2>Sub2</h2><h3>Leaf</h3>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(html, '<h([1-6])[ >]', 1),
+          x -> CAST(x AS INT)) AS lv
+      FROM p),
+    t AS (
+      SELECT doc_id, lv, len(lv) AS n_headings,
+        CASE WHEN len(lv) >= 2 THEN
+          len(list_filter(range(2, len(lv) + 1),
+            j -> lv[j] > lv[j - 1] + 1))
+        ELSE 0 END AS n_skips
+      FROM s)
+    SELECT doc_id,
+      CAST(n_headings AS BIGINT) AS n_headings,
+      COALESCE(list_aggregate(list_transform(lv,
+        x -> CAST(x AS VARCHAR)), 'string_agg', ''), '') AS levels,
+      CAST(n_skips AS BIGINT) AS n_skips,
+      CAST(CASE WHEN len(lv) > 0 AND lv[1] > 1 THEN 1 ELSE 0 END
+        AS INT) AS starts_below_h1,
+      CAST(COALESCE(list_max(lv), 0) AS INT) AS max_depth
+    FROM t
+    """
+
+
+@query("heading_level_skips", _heading_skip_oracle())
+def heading_level_skips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-level skip audit (round 4): jumping h1→h3 (or opening
+    at h2) means the heading levels are styling choices, not
+    structure — so heading_outline's tree and the section-chunking
+    that doc_chunk_windows does on headings can't trust the depths
+    on such pages. Skips count only DOWNWARD jumps past one level
+    (returning up any distance is legal outline structure), pinned
+    by the h4→h2 transition in the planted sequence.
+
+    Scale shape: one extract_all + in-row index fold per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.lit(
+            "<h1>Title</h1><h3>Skipped here</h3>"
+            "<h4>Deeper</h4><h2>Back up</h2>"))
+        .when(v == 1, F.concat(
+            F.lit("<h2>Orphan start</h2><h3>fine</h3><p>body"),
+            (i % 7).cast("string"), F.lit("</p>")))
+        .otherwise(F.lit(
+            "<h1>Proper</h1><h2>Sub</h2><h2>Sub2</h2><h3>Leaf</h3>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    lv = F.transform(
+        F.regexp_extract_all(F.col("html"), F.lit("<h([1-6])[ >]"), 1),
+        lambda x: x.cast("int"))
+    s = p.select("doc_id", lv.alias("lv"))
+    lvc = F.col("lv")
+    n_skips = F.when(
+        F.size(lvc) >= 2,
+        F.size(F.filter(
+            F.sequence(F.lit(2), F.size(lvc)),
+            lambda j: F.element_at(lvc, j)
+            > F.element_at(lvc, j - 1) + 1))
+    ).otherwise(0)
+    return s.select(
+        "doc_id",
+        F.size("lv").cast("long").alias("n_headings"),
+        F.array_join(
+            F.transform(lvc, lambda x: x.cast("string")), "")
+        .alias("levels"),
+        n_skips.cast("long").alias("n_skips"),
+        F.when(
+            (F.size(lvc) > 0) & (F.element_at(lvc, 1) > 1), 1)
+        .otherwise(0).cast("int").alias("starts_below_h1"),
+        F.coalesce(F.array_max(lvc), F.lit(0)).cast("int")
+        .alias("max_depth"),
+    )
+
+
+def _code_lang_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'def main():' || chr(10)
+            || '    import os' || chr(10) || '    return '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'function load() { const x = require("fs"); }'
+          WHEN 2 THEN '#include <stdio.h>' || chr(10)
+            || 'int main(void) { return 0; }'
+          WHEN 3 THEN 'fn main() { let x: Vec<u32> = Vec::new(); }'
+          ELSE 'This paragraph merely mentions the function of'
+            || ' government and the definition of terms.'
+        END AS code
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(code, '#include\\s*<') THEN 1
+          ELSE 0 END AS has_include,
+        CASE WHEN regexp_matches(code, 'fn [a-z_]+\\(')
+          AND regexp_matches(code, '::') THEN 1 ELSE 0 END AS has_fn,
+        CASE WHEN regexp_matches(code, 'def [a-z_]+\\([^)]*\\):')
+          THEN 1 ELSE 0 END AS has_def,
+        CASE WHEN regexp_matches(code, 'function [a-zA-Z_]+\\(')
+          THEN 1 ELSE 0 END AS has_function
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN has_include = 1 THEN 'c'
+           WHEN has_fn = 1 THEN 'rust'
+           WHEN has_def = 1 THEN 'python'
+           WHEN has_function = 1 THEN 'javascript'
+           ELSE 'unknown' END AS lang,
+      CAST(has_include AS INT) AS has_include,
+      CAST(has_fn AS INT) AS has_fn,
+      CAST(has_def AS INT) AS has_def,
+      CAST(has_function AS INT) AS has_function
+    FROM s
+    """
+
+
+@query("code_lang_infer", _code_lang_oracle())
+def code_lang_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-language inference (round 4): code_block_extract reads
+    the language-CLASS hint, but most ``<pre>`` blocks on the web
+    carry none — content heuristics (CPP includes, rust fn+::,
+    python def-colon, JS function-paren) fill the gap so code
+    corpora can route by language anyway. Anchors are syntactic,
+    not lexical: the prose branch plants 'the function of
+    government' and 'the definition of terms' — neither matches
+    because the patterns require the call-parenthesis / colon that
+    only real code has. Precedence is fixed (include > rust >
+    python > js) so mixed-signal blocks resolve deterministically.
+
+    Scale shape: four regexp flags + CASE per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    code = (
+        F.when(v == 0, F.concat(
+            F.lit("def main():\n    import os\n    return "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit(
+            'function load() { const x = require("fs"); }'))
+        .when(v == 2, F.lit(
+            "#include <stdio.h>\nint main(void) { return 0; }"))
+        .when(v == 3, F.lit(
+            "fn main() { let x: Vec<u32> = Vec::new(); }"))
+        .otherwise(F.lit(
+            "This paragraph merely mentions the function of"
+            " government and the definition of terms."))
+    )
+    p = d.select("doc_id", code.alias("code"))
+    c = F.col("code")
+
+    def flag(pat: str) -> Column:
+        return F.when(
+            F.regexp_extract(c, pat, 0) != "", 1).otherwise(0)
+
+    s = p.select(
+        "doc_id",
+        flag("#include\\s*<").alias("has_include"),
+        F.when(
+            (F.regexp_extract(c, "fn [a-z_]+\\(", 0) != "")
+            & (F.regexp_extract(c, "::", 0) != ""), 1)
+        .otherwise(0).alias("has_fn"),
+        flag("def [a-z_]+\\([^)]*\\):").alias("has_def"),
+        flag("function [a-zA-Z_]+\\(").alias("has_function"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("has_include") == 1, "c")
+        .when(F.col("has_fn") == 1, "rust")
+        .when(F.col("has_def") == 1, "python")
+        .when(F.col("has_function") == 1, "javascript")
+        .otherwise("unknown").alias("lang"),
+        F.col("has_include").cast("int").alias("has_include"),
+        F.col("has_fn").cast("int").alias("has_fn"),
+        F.col("has_def").cast("int").alias("has_def"),
+        F.col("has_function").cast("int").alias("has_function"),
+    )
+
+
+def _stickiness_oracle() -> str:
+    return """
+    WITH triples AS (
+      SELECT DISTINCT
+        strftime(ts, '%Y-%m') AS month,
+        strftime(ts, '%Y-%m-%d') AS day,
+        user_id
+      FROM events),
+    s AS (
+      SELECT month,
+        COUNT(*) AS sum_dau,
+        COUNT(DISTINCT day) AS n_days,
+        COUNT(DISTINCT user_id) AS mau
+      FROM triples GROUP BY month)
+    SELECT month,
+      CAST(sum_dau AS BIGINT) AS sum_dau,
+      CAST(n_days AS BIGINT) AS n_days,
+      CAST(mau AS BIGINT) AS mau,
+      CAST(FLOOR(1000.0 * sum_dau / (n_days * mau)) AS BIGINT)
+        AS stickiness_permille
+    FROM s ORDER BY month
+    """
+
+
+@query("active_user_stickiness", _stickiness_oracle())
+def active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (round 4): the classic engagement ratio —
+    average daily actives over monthly actives — computed EXACTLY as
+    integers: one distinct pass over (month, day, user) triples,
+    then counts per month (sum of per-day DAU is the triple count —
+    no per-day intermediate materializes). The permille folds the
+    average and the ratio into one integer division so neither
+    engine ever compares floats.
+
+    Scale shape: dropDuplicates is a hash aggregate with map-side
+    partial dedup on (month, day, user) — uniform keys; the second
+    aggregate is month-cardinality. Two exchanges total, both tiny
+    after the map-side combine; countDistinct at 100 TB swaps to the
+    grouped-HLL surface per the house convention.
+    """
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    triples = e.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).dropDuplicates()
+    s = triples.groupBy("month").agg(
+        F.count(F.lit(1)).alias("sum_dau"),
+        F.countDistinct("day").alias("n_days"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return s.select(
+        "month",
+        F.col("sum_dau").cast("long").alias("sum_dau"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("mau").cast("long").alias("mau"),
+        F.floor(
+            F.lit(1000.0) * F.col("sum_dau")
+            / (F.col("n_days") * F.col("mau"))).cast("long")
+        .alias("stickiness_permille"),
+    ).orderBy("month")
+
+
+def _pdf_info_oracle() -> str:
+    return """
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS INT)
+        AS has_info,
+      CASE doc_id % 3
+        WHEN 0 THEN 'Report ' || CAST(doc_id % 7 AS VARCHAR)
+        WHEN 1 THEN 'Untitled Draft'
+        ELSE '' END AS title,
+      CASE doc_id % 3
+        WHEN 0 THEN 'Author ' || CAST(doc_id % 5 AS VARCHAR)
+        ELSE '' END AS author,
+      CASE doc_id % 3
+        WHEN 0 THEN '2024-03-15T12:'
+          || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00'
+        ELSE '' END AS creation_iso
+    FROM documents
+    """
+
+
+@query("pdf_info_metadata", _pdf_info_oracle())
+def pdf_info_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF /Info metadata harvest (round 4): title, author and
+    creation date ride in the trailer's /Info dictionary — document-
+    level provenance readable WITHOUT parsing a single page (the
+    metadata face of the pdf_extract family, the same zero-decode
+    argument as the codec-metadata queries). The writer gained an
+    /Info emitter (byte-identical output when absent, so every
+    existing PDF fixture holds); the reader resolves the trailer
+    reference and normalizes the ``D:YYYYMMDDHHmmSS`` date form to
+    ISO. Rotation: full info / title-only / no dictionary.
+
+    Scale shape: two Arrow stages over a binary column (writer +
+    parser), no shuffle.
+    """
+    import pandas as pd
+
+    from ocr_spark.functions.pdf_extract import make_pdf, parse_pdf_info
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                v = i % 3
+                if v == 0:
+                    info = {
+                        "Title": f"Report {i % 7}",
+                        "Author": f"Author {i % 5}",
+                        "CreationDate": f"D:2024031512{i % 60:02d}00",
+                    }
+                elif v == 1:
+                    info = {"Title": "Untitled Draft"}
+                else:
+                    info = None
+                blob = make_pdf([["body text"]], info=info)
+                m = parse_pdf_info(blob)
+                rows.append(
+                    (i, m["has_info"], m["title"], m["author"],
+                     m["creation_iso"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "has_info", "title", "author",
+                    "creation_iso",
+                ])
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, has_info int, title string, author string,"
+        " creation_iso string",
+    )
+
+
+def _ogg_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction."""
+    from ocr_spark.operators.multimodal import synth_ogg_corpus
+
+    rows = ", ".join(
+        f"({r['clip_id']}, '{r['kind']}', {r['channels']}, "
+        f"{r['sample_rate']}, {r['pre_skip']}, {r['serial']})"
+        for r in synth_ogg_corpus()
+    )
+    return (
+        "SELECT clip_id, kind, channels, sample_rate, pre_skip,"
+        " CAST(serial AS BIGINT) AS serial FROM (VALUES " + rows
+        + ") AS t(clip_id, kind, channels, sample_rate, pre_skip,"
+        " serial)"
+    )
+
+
+@query("ogg_opus_head_parse", _ogg_oracle())
+def ogg_opus_head_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg identification-header harvest (round 4): OpusHead and
+    Vorbis id packets ride in the stream's FIRST page — channels,
+    sample rate and Opus pre-skip are everything audio routing and
+    duration estimation need before deciding whether to spend the
+    (gated) audio decode; the serial number keys multiplexed streams.
+    Completes the audio-metadata family: WAV decodes natively, MP3
+    surfaces ID3, FLAC surfaces STREAMINFO, and Ogg surfaces its id
+    headers — every major audio container now harvests without a
+    codec call.
+
+    Scale shape: Arrow-batched mapInPandas over first-page bytes.
+    """
+    from ocr_spark.operators.multimodal import (
+        ogg_features,
+        synth_ogg_corpus,
+    )
+
+    corpus = synth_ogg_corpus()
+    base = spark.createDataFrame(
+        [(r["clip_id"], bytearray(r["payload"])) for r in corpus],
+        "clip_id int, media binary",
+    )
+    return ogg_features(base.repartition(8, "clip_id"))
+
+
+def _login_wall_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<form action="/login" method="post">'
+            || '<input type="password" name="pw"></form>'
+            || '<p>Please log in to continue reading.</p>'
+          WHEN 1 THEN '<a href="/login">Sign in</a><article>'
+            || repeat('Full article text available to everyone. ', 8)
+            || CAST(doc_id % 7 AS VARCHAR) || '</article>'
+          WHEN 2 THEN '<meta http-equiv="refresh" content='
+            || '"0;url=/login?next=/article'
+            || CAST(doc_id % 7 AS VARCHAR) || '"><body>Redirecting'
+            || '</body>'
+          ELSE '<article>Open content, no gate of any kind.</article>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(html, 'type="password"')
+          THEN 1 ELSE 0 END AS has_password_form,
+        CASE WHEN regexp_matches(lower(html),
+          '(log in|sign in) to (continue|read)')
+          THEN 1 ELSE 0 END AS has_login_phrase,
+        CASE WHEN regexp_matches(html,
+          'http-equiv="refresh" content="0;url=/login')
+          THEN 1 ELSE 0 END AS refresh_to_login,
+        len(regexp_replace(html, '<[^>]+>', '', 'g')) AS content_chars
+      FROM p)
+    SELECT doc_id,
+      CAST(has_password_form AS INT) AS has_password_form,
+      CAST(has_login_phrase AS INT) AS has_login_phrase,
+      CAST(refresh_to_login AS INT) AS refresh_to_login,
+      CAST(content_chars AS BIGINT) AS content_chars,
+      CAST(CASE WHEN refresh_to_login = 1
+        OR ((has_password_form = 1 OR has_login_phrase = 1)
+            AND content_chars < 200)
+        THEN 1 ELSE 0 END AS INT) AS is_login_wall
+    FROM s
+    """
+
+
+@query("login_wall_detect", _login_wall_oracle())
+def login_wall_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Login-wall detection (round 4): completes the gate family —
+    paywall_detect (payment), age_gate_detect (regulatory),
+    captcha_block_detect (bot challenge) and now AUTH: pages whose
+    fetched HTML is a sign-in prompt, not the content. The decision
+    is conjunctive: a password form or login phrase only convicts
+    when the tag-stripped content is thin (the sign-in LINK on a
+    full article — every site's header — is the planted negative),
+    while an instant meta-refresh to /login convicts outright.
+
+    Scale shape: three regexp flags + one strip-length per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.lit(
+            '<form action="/login" method="post">'
+            '<input type="password" name="pw"></form>'
+            "<p>Please log in to continue reading.</p>"))
+        .when(v == 1, F.concat(
+            F.lit('<a href="/login">Sign in</a><article>'),
+            F.repeat(
+                F.lit("Full article text available to everyone. "), 8),
+            (i % 7).cast("string"), F.lit("</article>")))
+        .when(v == 2, F.concat(
+            F.lit('<meta http-equiv="refresh" content='
+                  '"0;url=/login?next=/article'),
+            (i % 7).cast("string"),
+            F.lit('"><body>Redirecting</body>')))
+        .otherwise(F.lit(
+            "<article>Open content, no gate of any kind.</article>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.when(h.contains('type="password"'), 1).otherwise(0)
+        .alias("has_password_form"),
+        F.when(
+            F.regexp_extract(
+                F.lower(h),
+                "(log in|sign in) to (continue|read)", 0) != "", 1)
+        .otherwise(0).alias("has_login_phrase"),
+        F.when(
+            h.contains('http-equiv="refresh" content="0;url=/login'),
+            1).otherwise(0).alias("refresh_to_login"),
+        F.length(F.regexp_replace(h, "<[^>]+>", ""))
+        .alias("content_chars"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("has_password_form").cast("int").alias("has_password_form"),
+        F.col("has_login_phrase").cast("int").alias("has_login_phrase"),
+        F.col("refresh_to_login").cast("int").alias("refresh_to_login"),
+        F.col("content_chars").cast("long").alias("content_chars"),
+        F.when(
+            (F.col("refresh_to_login") == 1)
+            | (((F.col("has_password_form") == 1)
+                | (F.col("has_login_phrase") == 1))
+               & (F.col("content_chars") < 200)), 1)
+        .otherwise(0).cast("int").alias("is_login_wall"),
+    )
+
+
+def _ssi_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<!--#include virtual="/inc/header.shtml" -->'
+            || '<p>Body of page ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</p><!--#include virtual="/inc/footer.shtml" -->'
+          WHEN 1 THEN '<p>Generated <!--#echo var="DATE_LOCAL" -->'
+            || ' by server.</p>'
+          WHEN 2 THEN '<!--#exec cmd="/bin/ls" --><p>admin page</p>'
+          ELSE '<!-- regular comment --><p>clean page</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html, '<!--#include[^>]*-->', 0))
+          AS n_include,
+        len(regexp_extract_all(html, '<!--#echo[^>]*-->', 0))
+          AS n_echo,
+        len(regexp_extract_all(html, '<!--#exec[^>]*-->', 0))
+          AS n_exec
+      FROM p)
+    SELECT doc_id,
+      CAST(n_include AS BIGINT) AS n_include,
+      CAST(n_echo AS BIGINT) AS n_echo,
+      CAST(n_exec AS BIGINT) AS n_exec,
+      CAST(CASE WHEN n_include + n_echo + n_exec > 0 THEN 1 ELSE 0
+        END AS INT) AS ssi_unprocessed,
+      CAST(CASE WHEN n_exec > 0 THEN 1 ELSE 0 END AS INT)
+        AS exec_exposure
+    FROM s
+    """
+
+
+@query("ssi_artifact_detect", _ssi_oracle())
+def ssi_artifact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unprocessed server-side includes (round 4): ``<!--#include``
+    / ``#echo`` / ``#exec`` directives in CRAWLED html mean the
+    server shipped its template source instead of executing it —
+    the page is missing its header/footer content (phantom includes)
+    and the directives themselves leak filesystem paths; ``#exec``
+    additionally exposes that the host runs command-substituting
+    SSI, a security posture marker. A regular comment pins the
+    negative — only ``#``-directive comments count
+    (html_comment_extract classifies the benign classes).
+
+    Scale shape: three regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<!--#include virtual="/inc/header.shtml" -->'
+                  "<p>Body of page "),
+            (i % 7).cast("string"),
+            F.lit('</p><!--#include virtual="/inc/footer.shtml" -->')))
+        .when(v == 1, F.lit(
+            '<p>Generated <!--#echo var="DATE_LOCAL" --> by server.</p>'))
+        .when(v == 2, F.lit(
+            '<!--#exec cmd="/bin/ls" --><p>admin page</p>'))
+        .otherwise(F.lit("<!-- regular comment --><p>clean page</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            h, F.lit("<!--#include[^>]*-->"), 0)).alias("n_include"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("<!--#echo[^>]*-->"), 0)).alias("n_echo"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("<!--#exec[^>]*-->"), 0)).alias("n_exec"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_include").cast("long").alias("n_include"),
+        F.col("n_echo").cast("long").alias("n_echo"),
+        F.col("n_exec").cast("long").alias("n_exec"),
+        F.when(
+            F.col("n_include") + F.col("n_echo") + F.col("n_exec") > 0,
+            1).otherwise(0).cast("int").alias("ssi_unprocessed"),
+        F.when(F.col("n_exec") > 0, 1).otherwise(0).cast("int")
+        .alias("exec_exposure"),
+    )
+
+
+def _php_error_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<b>Warning</b>: mysqli_connect(): (HY000/1045):'
+            || ' Access denied in <b>/var/www/html/db.php</b> on line'
+            || ' <b>' || CAST(10 + doc_id % 40 AS VARCHAR) || '</b>'
+          WHEN 1 THEN 'Fatal error: Uncaught Error: Call to undefined'
+            || ' function render() in /srv/app/index.php:34'
+          WHEN 2 THEN 'Deprecated: strtolower(): Passing null to'
+            || ' parameter in /srv/app/util.php on line 7'
+          ELSE 'A fair warning: this prose mentions errors without'
+            || ' being one.'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html,
+          'Warning</b>?: [a-z_]+\\(\\)', 0)) AS n_warnings,
+        len(regexp_extract_all(html, 'Fatal error: ', 0)) AS n_fatal,
+        len(regexp_extract_all(html,
+          'Deprecated: [a-z_]+\\(\\)', 0)) AS n_deprecated,
+        COALESCE(regexp_extract(html,
+          '(/[a-z/]+\\.php)', 1), '') AS leaked_path,
+        COALESCE(regexp_extract(html,
+          'on line (?:<b>)?([0-9]+)|\\.php:([0-9]+)', 1), '')
+          AS line_a,
+        COALESCE(regexp_extract(html,
+          'on line (?:<b>)?([0-9]+)|\\.php:([0-9]+)', 2), '')
+          AS line_b
+      FROM p)
+    SELECT doc_id,
+      CAST(n_warnings AS BIGINT) AS n_warnings,
+      CAST(n_fatal AS BIGINT) AS n_fatal,
+      CAST(n_deprecated AS BIGINT) AS n_deprecated,
+      leaked_path,
+      CAST(CASE WHEN line_a <> '' THEN CAST(line_a AS BIGINT)
+           WHEN line_b <> '' THEN CAST(line_b AS BIGINT)
+           ELSE -1 END AS BIGINT) AS leaked_line,
+      CAST(CASE WHEN n_fatal > 0 THEN 1 ELSE 0 END AS INT)
+        AS is_broken_page
+    FROM s
+    """
+
+
+@query("php_error_leak_detect", _php_error_oracle())
+def php_error_leak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHP error-artifact detection (round 4): display_errors=On
+    leaks Warning/Fatal/Deprecated banners into served pages — the
+    web's single most common error artifact (stacktrace_detect
+    covers Python/Java tracebacks; this is the LAMP sibling). A
+    fatal error means the page below it never rendered (broken-page
+    drop); warnings/deprecations interleave WITH real content
+    (scrub, keep); the leaked filesystem path and line number are
+    the dev-server-leak class of disclosure. Patterns require the
+    ``name():`` call shape — prose saying 'a fair warning' stays
+    clean.
+
+    Scale shape: regexp counts + two extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<b>Warning</b>: mysqli_connect(): (HY000/1045):"
+                  " Access denied in <b>/var/www/html/db.php</b> on line"
+                  " <b>"),
+            (10 + i % 40).cast("string"), F.lit("</b>")))
+        .when(v == 1, F.lit(
+            "Fatal error: Uncaught Error: Call to undefined"
+            " function render() in /srv/app/index.php:34"))
+        .when(v == 2, F.lit(
+            "Deprecated: strtolower(): Passing null to"
+            " parameter in /srv/app/util.php on line 7"))
+        .otherwise(F.lit(
+            "A fair warning: this prose mentions errors without"
+            " being one."))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    line_pat = "on line (?:<b>)?([0-9]+)|\\.php:([0-9]+)"
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            h, F.lit("Warning</b>?: [a-z_]+\\(\\)"), 0))
+        .alias("n_warnings"),
+        F.size(F.regexp_extract_all(h, F.lit("Fatal error: "), 0))
+        .alias("n_fatal"),
+        F.size(F.regexp_extract_all(
+            h, F.lit("Deprecated: [a-z_]+\\(\\)"), 0))
+        .alias("n_deprecated"),
+        F.regexp_extract(h, "(/[a-z/]+\\.php)", 1).alias("leaked_path"),
+        F.regexp_extract(h, line_pat, 1).alias("line_a"),
+        F.regexp_extract(h, line_pat, 2).alias("line_b"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_warnings").cast("long").alias("n_warnings"),
+        F.col("n_fatal").cast("long").alias("n_fatal"),
+        F.col("n_deprecated").cast("long").alias("n_deprecated"),
+        "leaked_path",
+        F.when(F.col("line_a") != "", F.col("line_a").cast("long"))
+        .when(F.col("line_b") != "", F.col("line_b").cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("leaked_line"),
+        F.when(F.col("n_fatal") > 0, 1).otherwise(0).cast("int")
+        .alias("is_broken_page"),
+    )
+
+
+def _raw_markdown_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '## Installation' || chr(10)
+            || 'Run **make** then see [docs](https://d.example/r'
+            || CAST(doc_id % 7 AS VARCHAR) || ').'
+          WHEN 1 THEN '```python' || chr(10) || 'print(1)' || chr(10)
+            || '```' || chr(10) || 'Fenced block served as text.'
+          WHEN 2 THEN 'Citation style [1] (see notes) uses brackets'
+            || ' then a spaced paren — not a markdown link.'
+          ELSE 'Plain prose with no markup artifacts.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(body, '(^|\\n)#{1,6} ', 0))
+          AS n_atx_headings,
+        len(regexp_extract_all(body, '```', 0)) // 2 AS n_fences,
+        len(regexp_extract_all(body,
+          '\\[[^\\]]+\\]\\([^)]+\\)', 0)) AS n_md_links,
+        len(regexp_extract_all(body,
+          '\\*\\*[^*]+\\*\\*', 0)) AS n_bold_spans
+      FROM p)
+    SELECT doc_id,
+      CAST(n_atx_headings AS BIGINT) AS n_atx_headings,
+      CAST(n_fences AS BIGINT) AS n_fences,
+      CAST(n_md_links AS BIGINT) AS n_md_links,
+      CAST(n_bold_spans AS BIGINT) AS n_bold_spans,
+      CAST(CASE WHEN n_atx_headings + n_fences + n_md_links
+        + n_bold_spans >= 2 THEN 1 ELSE 0 END AS INT)
+        AS route_to_markdown
+    FROM s
+    """
+
+
+@query("raw_markdown_artifacts", _raw_markdown_oracle())
+def raw_markdown_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-markdown artifact detection (round 4): READMEs, wikis
+    and pastebins served as text/html (or extracted from a broken
+    renderer) carry ``##`` headings, fenced code, ``[text](url)``
+    links and ``**bold**`` spans LITERALLY — such documents should
+    route through the markdown renderer (html_to_markdown's
+    inverse direction) instead of entering the corpus with syntax
+    as prose. The citation branch plants ``[1] (see notes)`` — a
+    bracket followed by a SPACED paren is scholarly notation, not a
+    link, and the link pattern requires adjacency. Two or more
+    artifact classes convict (one alone is often legitimate
+    typography).
+
+    Scale shape: four regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("## Installation\n"
+                  "Run **make** then see [docs](https://d.example/r"),
+            (i % 7).cast("string"), F.lit(").")))
+        .when(v == 1, F.lit(
+            "```python\nprint(1)\n```\nFenced block served as text."))
+        .when(v == 2, F.lit(
+            "Citation style [1] (see notes) uses brackets"
+            " then a spaced paren — not a markdown link."))
+        .otherwise(F.lit("Plain prose with no markup artifacts."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(b, F.lit("(^|\\n)#{1,6} "), 0))
+        .alias("n_atx_headings"),
+        F.floor(F.size(F.regexp_extract_all(b, F.lit("```"), 0)) / 2)
+        .cast("long").alias("n_fences"),
+        F.size(F.regexp_extract_all(
+            b, F.lit("\\[[^\\]]+\\]\\([^)]+\\)"), 0))
+        .alias("n_md_links"),
+        F.size(F.regexp_extract_all(
+            b, F.lit("\\*\\*[^*]+\\*\\*"), 0)).alias("n_bold_spans"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_atx_headings").cast("long").alias("n_atx_headings"),
+        F.col("n_fences").cast("long").alias("n_fences"),
+        F.col("n_md_links").cast("long").alias("n_md_links"),
+        F.col("n_bold_spans").cast("long").alias("n_bold_spans"),
+        F.when(
+            F.col("n_atx_headings") + F.col("n_fences")
+            + F.col("n_md_links") + F.col("n_bold_spans") >= 2, 1)
+        .otherwise(0).cast("int").alias("route_to_markdown"),
+    )
+
+
+def _csv_sniff_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'name,age,city' || chr(10) || 'alice,30,berlin'
+            || chr(10) || 'bob,' || CAST(20 + doc_id % 40 AS VARCHAR)
+            || ',paris'
+          WHEN 1 THEN 'name;amount' || chr(10) || 'x;1,50'
+            || chr(10) || 'y;2,75'
+          WHEN 2 THEN 'id' || chr(9) || 'score' || chr(10) || '1'
+            || chr(9) || '10' || chr(10) || '2' || chr(9) || '20'
+          ELSE 'Plain prose, with commas, but no tabular shape at'
+            || ' all, just sentences.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        string_split(body, chr(10)) AS lines
+      FROM p),
+    c AS (
+      SELECT doc_id, len(lines) AS n_rows,
+        list_min(list_transform(lines,
+          x -> len(string_split(x, chr(9))) - 1)) AS tab_min,
+        list_max(list_transform(lines,
+          x -> len(string_split(x, chr(9))) - 1)) AS tab_max,
+        list_min(list_transform(lines,
+          x -> len(string_split(x, ';')) - 1)) AS semi_min,
+        list_max(list_transform(lines,
+          x -> len(string_split(x, ';')) - 1)) AS semi_max,
+        list_min(list_transform(lines,
+          x -> len(string_split(x, ',')) - 1)) AS com_min,
+        list_max(list_transform(lines,
+          x -> len(string_split(x, ',')) - 1)) AS com_max
+      FROM s),
+    t AS (
+      SELECT doc_id, n_rows,
+        CASE WHEN tab_min = tab_max AND tab_min > 0 THEN 'tsv'
+             WHEN semi_min = semi_max AND semi_min > 0 THEN 'ssv'
+             WHEN com_min = com_max AND com_min > 0 AND n_rows > 1
+               THEN 'csv'
+             ELSE 'not_tabular' END AS kind,
+        CASE WHEN tab_min = tab_max AND tab_min > 0 THEN tab_min + 1
+             WHEN semi_min = semi_max AND semi_min > 0
+               THEN semi_min + 1
+             WHEN com_min = com_max AND com_min > 0 AND n_rows > 1
+               THEN com_min + 1
+             ELSE 0 END AS n_cols
+      FROM c)
+    SELECT doc_id, kind,
+      CAST(n_cols AS BIGINT) AS n_cols,
+      CAST(CASE WHEN kind = 'not_tabular' THEN 0 ELSE n_rows END
+        AS BIGINT) AS n_rows
+    FROM t
+    """
+
+
+@query("csv_payload_sniff", _csv_sniff_oracle())
+def csv_payload_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter sniffing for tabular payloads (round 4): crawled
+    text/plain and mislabeled text/csv responses route to a table
+    ingester only if a delimiter is CONSISTENT across every line —
+    raw counts mislead because EU-locale CSVs use ';' as the
+    delimiter and ',' as the decimal mark (the planted semicolon
+    file has commas on data lines only, so comma fails the
+    consistency test and semicolon wins). Precedence tab > semicolon
+    > comma; single-line bodies never count as comma-tabular (prose
+    has commas).
+
+    Scale shape: in-row line split + six fold mins/maxes per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("name,age,city\nalice,30,berlin\nbob,"),
+            (20 + i % 40).cast("string"), F.lit(",paris")))
+        .when(v == 1, F.lit("name;amount\nx;1,50\ny;2,75"))
+        .when(v == 2, F.lit("id\tscore\n1\t10\n2\t20"))
+        .otherwise(F.lit(
+            "Plain prose, with commas, but no tabular shape at"
+            " all, just sentences."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    lines = F.split(F.col("body"), "\n")
+    s = p.select("doc_id", lines.alias("lines"))
+    lc = F.col("lines")
+
+    def stats(delim: str, name: str) -> list[Column]:
+        counts = F.transform(
+            lc, lambda x: F.size(F.split(x, delim)) - 1)
+        return [
+            F.array_min(counts).alias(f"{name}_min"),
+            F.array_max(counts).alias(f"{name}_max"),
+        ]
+
+    c = s.select(
+        "doc_id", F.size(lc).alias("n_rows"),
+        *stats("\t", "tab"), *stats(";", "semi"), *stats(",", "com"))
+    tab_ok = (F.col("tab_min") == F.col("tab_max")) & (F.col("tab_min") > 0)
+    semi_ok = (
+        (F.col("semi_min") == F.col("semi_max"))
+        & (F.col("semi_min") > 0))
+    com_ok = (
+        (F.col("com_min") == F.col("com_max")) & (F.col("com_min") > 0)
+        & (F.col("n_rows") > 1))
+    kind = (
+        F.when(tab_ok, "tsv").when(semi_ok, "ssv").when(com_ok, "csv")
+        .otherwise("not_tabular"))
+    n_cols = (
+        F.when(tab_ok, F.col("tab_min") + 1)
+        .when(semi_ok, F.col("semi_min") + 1)
+        .when(com_ok, F.col("com_min") + 1).otherwise(0))
+    t = c.select(
+        "doc_id", kind.alias("kind"), n_cols.alias("n_cols"), "n_rows")
+    return t.select(
+        "doc_id", "kind",
+        F.col("n_cols").cast("long").alias("n_cols"),
+        F.when(F.col("kind") == "not_tabular", 0)
+        .otherwise(F.col("n_rows")).cast("long").alias("n_rows"),
+    )
+
+
+def _text_table_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '+------+------+' || chr(10)
+            || '| name | val' || CAST(doc_id % 7 AS VARCHAR)
+            || ' |' || chr(10) || '+------+------+'
+          WHEN 1 THEN '┌──────┬──────┐' || chr(10)
+            || '│ name │ val  │' || chr(10) || '└──────┴──────┘'
+          WHEN 2 THEN 'The pipe | character used inline once, in'
+            || ' prose about unix.'
+          ELSE 'No table characters at all here.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(string_split(body, chr(10)),
+          x -> regexp_matches(x, '^\\+[-+]+\\+$')))
+          AS n_ascii_borders,
+        len(list_filter(string_split(body, chr(10)),
+          x -> regexp_matches(x, '^[┌└├][─┬┴┼]+[┐┘┤]$')))
+          AS n_unicode_borders,
+        len(list_filter(string_split(body, chr(10)),
+          x -> regexp_matches(x, '^[|│].*[|│]$'))) AS n_pipe_rows
+      FROM p)
+    SELECT doc_id,
+      CAST(n_ascii_borders AS BIGINT) AS n_ascii_borders,
+      CAST(n_unicode_borders AS BIGINT) AS n_unicode_borders,
+      CAST(n_pipe_rows AS BIGINT) AS n_pipe_rows,
+      CASE WHEN n_ascii_borders >= 2 AND n_pipe_rows >= 1
+          THEN 'ascii'
+        WHEN n_unicode_borders >= 2 AND n_pipe_rows >= 1
+          THEN 'unicode'
+        ELSE 'none' END AS style,
+      CAST(CASE WHEN (n_ascii_borders >= 2 OR n_unicode_borders >= 2)
+        AND n_pipe_rows >= 1 THEN 1 ELSE 0 END AS INT)
+        AS is_text_table
+    FROM s
+    """
+
+
+@query("text_table_detect", _text_table_oracle())
+def text_table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text table detection (round 4): console output, man
+    pages and OCR'd reports carry tables drawn in ASCII (+--+) or
+    box-drawing (┌──┐) characters — a sentence-splitter shreds
+    them, so detection routes the block to a column-aware parser
+    (html_table_extract's plain-text sibling). The decision needs
+    BOTH borders and a pipe-framed data row: the prose branch
+    plants an inline '|' (unix pipe talk) that alone must not
+    convict. Whole-line anchoring throughout — the page_artifact
+    newline-sentinel discipline.
+
+    Scale shape: three in-row line filters per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("+------+------+\n| name | val"),
+            (i % 7).cast("string"),
+            F.lit(" |\n+------+------+")))
+        .when(v == 1, F.lit(
+            "┌──────┬──────┐\n│ name │ val  │\n└──────┴──────┘"))
+        .when(v == 2, F.lit(
+            "The pipe | character used inline once, in"
+            " prose about unix."))
+        .otherwise(F.lit("No table characters at all here."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    lines = F.split(F.col("body"), "\n")
+
+    def nlines(pat: str) -> Column:
+        return F.size(F.filter(
+            lines, lambda x: F.regexp_like(x, F.lit(pat))))
+
+    s = p.select(
+        "doc_id",
+        nlines("^\\+[-+]+\\+$").alias("n_ascii_borders"),
+        nlines("^[┌└├][─┬┴┼]+[┐┘┤]$").alias("n_unicode_borders"),
+        nlines("^[|│].*[|│]$").alias("n_pipe_rows"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_ascii_borders").cast("long").alias("n_ascii_borders"),
+        F.col("n_unicode_borders").cast("long")
+        .alias("n_unicode_borders"),
+        F.col("n_pipe_rows").cast("long").alias("n_pipe_rows"),
+        F.when(
+            (F.col("n_ascii_borders") >= 2) & (F.col("n_pipe_rows") >= 1),
+            "ascii")
+        .when(
+            (F.col("n_unicode_borders") >= 2)
+            & (F.col("n_pipe_rows") >= 1), "unicode")
+        .otherwise("none").alias("style"),
+        F.when(
+            ((F.col("n_ascii_borders") >= 2)
+             | (F.col("n_unicode_borders") >= 2))
+            & (F.col("n_pipe_rows") >= 1), 1)
+        .otherwise(0).cast("int").alias("is_text_table"),
+    )
+
+
+def _dialect_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'The color of the flavor at the center will'
+            || ' organize run ' || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'The colour of the flavour at the centre will'
+            || ' organise everything.'
+          WHEN 2 THEN 'A color here but a colour there: mixed'
+            || ' editing histories.'
+          ELSE 'Neutral words carry no dialect markers at all.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(body),
+          '\\b(color|flavor|center|organize|analyze|gray)\\b', 0))
+          AS n_us,
+        len(regexp_extract_all(lower(body),
+          '\\b(colour|flavour|centre|organise|analyse|grey)\\b', 0))
+          AS n_gb
+      FROM p)
+    SELECT doc_id,
+      CAST(n_us AS BIGINT) AS n_us,
+      CAST(n_gb AS BIGINT) AS n_gb,
+      CASE WHEN n_us > 0 AND n_gb > 0 THEN 'mixed'
+           WHEN n_us > 0 THEN 'en-US'
+           WHEN n_gb > 0 THEN 'en-GB'
+           ELSE 'unknown' END AS dialect
+    FROM s
+    """
+
+
+@query("english_dialect_profile", _dialect_oracle())
+def english_dialect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English dialect profiling (round 4): -or/-our and -ize/-ise
+    spelling pairs split an 'en' corpus into en-US / en-GB facets
+    that langid cannot see (the same one-label-many-corpora argument
+    as bcp47_subtag_parse's zh-Hans/Hant) — mixture builders sample
+    them separately and MIXED documents mark multi-author editing
+    or machine translation. Word-bounded lexicon on both sides;
+    'color' never matches inside 'colour' because the boundary
+    requires a non-word char after the US form.
+
+    Scale shape: two regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The color of the flavor at the center will"
+                  " organize run "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit(
+            "The colour of the flavour at the centre will"
+            " organise everything."))
+        .when(v == 2, F.lit(
+            "A color here but a colour there: mixed"
+            " editing histories."))
+        .otherwise(F.lit(
+            "Neutral words carry no dialect markers at all."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    lb = F.lower("body")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            lb,
+            F.lit("\\b(color|flavor|center|organize|analyze|gray)\\b"),
+            0)).alias("n_us"),
+        F.size(F.regexp_extract_all(
+            lb,
+            F.lit("\\b(colour|flavour|centre|organise|analyse|grey)\\b"),
+            0)).alias("n_gb"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_us").cast("long").alias("n_us"),
+        F.col("n_gb").cast("long").alias("n_gb"),
+        F.when((F.col("n_us") > 0) & (F.col("n_gb") > 0), "mixed")
+        .when(F.col("n_us") > 0, "en-US")
+        .when(F.col("n_gb") > 0, "en-GB")
+        .otherwise("unknown").alias("dialect"),
+    )
+
+
+def _citation_style_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'As shown in [1] and refined in [2], the'
+            || ' method scales [' || CAST(3 + doc_id % 7 AS VARCHAR)
+            || '].'
+          WHEN 1 THEN 'Earlier work (Smith, 2020) and (Jones et al.,'
+            || ' 2018) established the baseline.'
+          WHEN 2 THEN 'Both [1] and (Lee, 2021) appear in this'
+            || ' hybrid bibliography.'
+          ELSE 'No scholarly citations in this text.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(body, '\\[[0-9]+\\]', 0)) AS n_numeric,
+        len(regexp_extract_all(body,
+          '\\([A-Z][a-z]+( et al\\.)?, [12][0-9]{3}\\)', 0))
+          AS n_authoryear
+      FROM p)
+    SELECT doc_id,
+      CAST(n_numeric AS BIGINT) AS n_numeric,
+      CAST(n_authoryear AS BIGINT) AS n_authoryear,
+      CASE WHEN n_numeric > 0 AND n_authoryear > 0 THEN 'mixed'
+           WHEN n_numeric > 0 THEN 'numeric'
+           WHEN n_authoryear > 0 THEN 'author-year'
+           ELSE 'none' END AS style,
+      CAST(CASE WHEN n_numeric + n_authoryear > 0 THEN 1 ELSE 0 END
+        AS INT) AS is_academic
+    FROM s
+    """
+
+
+@query("citation_style_detect", _citation_style_oracle())
+def citation_style_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-style detection (round 4): bracketed-numeric [1] and
+    author-year (Smith, 2020) in-text citations mark the academic
+    register — a quality TIER for corpus mixtures (doi_citation_
+    extract finds the outbound identifiers; this reads the prose's
+    own referencing convention, which exists even when no DOI link
+    does). The author-year pattern requires the capitalized-name +
+    comma + 4-digit-year shape so ordinary parentheticals never
+    match; 'et al.' is folded into the name group.
+
+    Scale shape: two regexp counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("As shown in [1] and refined in [2], the"
+                  " method scales ["),
+            (3 + i % 7).cast("string"), F.lit("].")))
+        .when(v == 1, F.lit(
+            "Earlier work (Smith, 2020) and (Jones et al.,"
+            " 2018) established the baseline."))
+        .when(v == 2, F.lit(
+            "Both [1] and (Lee, 2021) appear in this"
+            " hybrid bibliography."))
+        .otherwise(F.lit("No scholarly citations in this text."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(b, F.lit("\\[[0-9]+\\]"), 0))
+        .alias("n_numeric"),
+        F.size(F.regexp_extract_all(
+            b,
+            F.lit("\\([A-Z][a-z]+( et al\\.)?, [12][0-9]{3}\\)"), 0))
+        .alias("n_authoryear"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_numeric").cast("long").alias("n_numeric"),
+        F.col("n_authoryear").cast("long").alias("n_authoryear"),
+        F.when(
+            (F.col("n_numeric") > 0) & (F.col("n_authoryear") > 0),
+            "mixed")
+        .when(F.col("n_numeric") > 0, "numeric")
+        .when(F.col("n_authoryear") > 0, "author-year")
+        .otherwise("none").alias("style"),
+        F.when(F.col("n_numeric") + F.col("n_authoryear") > 0, 1)
+        .otherwise(0).cast("int").alias("is_academic"),
+    )
+
+
+def _websub_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Link: <https://hub.example/h'
+            || CAST(doc_id % 7 AS VARCHAR) || '>; rel="hub"'
+          WHEN 2 THEN 'Link: <https://hub.example/only>; rel="hub"'
+          ELSE ''
+        END AS hdr,
+        CASE doc_id % 4
+          WHEN 0 THEN '<link rel="hub" href="https://html-hub.example/">'
+            || '<link rel="self" href="https://site.example/feed">'
+          WHEN 1 THEN '<link rel="hub" href="https://hub.example/x">'
+            || '<link rel="self" href="https://site.example/feed">'
+          ELSE '<link rel="stylesheet" href="/s.css">'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(hdr,
+          '<([^>]+)>; rel="hub"', 1), '') AS hdr_hub,
+        COALESCE(regexp_extract(html,
+          'rel="hub" href="([^"]+)"', 1), '') AS html_hub,
+        COALESCE(regexp_extract(html,
+          'rel="self" href="([^"]+)"', 1), '') AS self_url
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN hdr_hub <> '' THEN hdr_hub ELSE html_hub END
+        AS hub_url,
+      self_url,
+      CASE WHEN hdr_hub <> '' THEN 'header'
+           WHEN html_hub <> '' THEN 'html'
+           ELSE 'none' END AS channel,
+      CAST(CASE WHEN hdr_hub <> '' OR html_hub <> '' THEN 1 ELSE 0
+        END AS INT) AS has_websub
+    FROM s
+    """
+
+
+@query("websub_hub_discovery", _websub_oracle())
+def websub_hub_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebSub hub discovery (round 4, W3C): a declared hub lets the
+    crawler SUBSCRIBE to change notifications instead of polling —
+    the push upgrade over rss_feed_staleness's pull heuristic, and
+    the last member of the endpoint-discovery family (webmention,
+    oembed, activitypub). Precedence is Link-header over HTML link
+    (the WebSub spec's own order, same slot logic as
+    warc_charset_extract) — the header branch plants a DIFFERENT
+    html hub so the oracle pins which channel won; rel="self" names
+    the topic url the subscription must cite.
+
+    Scale shape: three regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    hdr = (
+        F.when(v == 0, F.concat(
+            F.lit("Link: <https://hub.example/h"),
+            (i % 7).cast("string"), F.lit('>; rel="hub"')))
+        .when(v == 2, F.lit('Link: <https://hub.example/only>; rel="hub"'))
+        .otherwise(F.lit(""))
+    )
+    html = (
+        F.when(v == 0, F.lit(
+            '<link rel="hub" href="https://html-hub.example/">'
+            '<link rel="self" href="https://site.example/feed">'))
+        .when(v == 1, F.lit(
+            '<link rel="hub" href="https://hub.example/x">'
+            '<link rel="self" href="https://site.example/feed">'))
+        .otherwise(F.lit('<link rel="stylesheet" href="/s.css">'))
+    )
+    p = d.select("doc_id", hdr.alias("hdr"), html.alias("html"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("hdr", '<([^>]+)>; rel="hub"', 1)
+        .alias("hdr_hub"),
+        F.regexp_extract("html", 'rel="hub" href="([^"]+)"', 1)
+        .alias("html_hub"),
+        F.regexp_extract("html", 'rel="self" href="([^"]+)"', 1)
+        .alias("self_url"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("hdr_hub") != "", F.col("hdr_hub"))
+        .otherwise(F.col("html_hub")).alias("hub_url"),
+        "self_url",
+        F.when(F.col("hdr_hub") != "", "header")
+        .when(F.col("html_hub") != "", "html")
+        .otherwise("none").alias("channel"),
+        F.when((F.col("hdr_hub") != "") | (F.col("html_hub") != ""), 1)
+        .otherwise(0).cast("int").alias("has_websub"),
+    )
+
+
+def _robots_quota_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta name="robots" content="max-snippet:'
+            || CAST(20 + doc_id % 80 AS VARCHAR)
+            || ', max-image-preview:large, max-video-preview:-1">'
+          WHEN 1 THEN '<meta name="robots" content="max-snippet:0,'
+            || ' noarchive">'
+          WHEN 2 THEN '<meta name="robots" content="index, follow">'
+          ELSE '<p>no robots meta</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html,
+          'max-snippet:(-?[0-9]+)', 1), '') AS ms,
+        COALESCE(regexp_extract(html,
+          'max-image-preview:([a-z]+)', 1), '') AS mip,
+        COALESCE(regexp_extract(html,
+          'max-video-preview:(-?[0-9]+)', 1), '') AS mvp
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN ms <> '' THEN CAST(ms AS BIGINT) ELSE -2 END
+        AS BIGINT) AS max_snippet,
+      CASE WHEN mip <> '' THEN mip ELSE '' END AS max_image_preview,
+      CAST(CASE WHEN mvp <> '' THEN CAST(mvp AS BIGINT) ELSE -2 END
+        AS BIGINT) AS max_video_preview,
+      CAST(CASE WHEN ms = '0' THEN 1 ELSE 0 END AS INT)
+        AS snippet_forbidden,
+      CAST(CASE WHEN ms <> '' OR mip <> '' OR mvp <> '' THEN 1
+        ELSE 0 END AS INT) AS has_quota_directives
+    FROM s
+    """
+
+
+@query("robots_quota_directives", _robots_quota_oracle())
+def robots_quota_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valued robots directives (round 4): ``max-snippet`` /
+    ``max-image-preview`` / ``max-video-preview`` carry QUOTAS, not
+    booleans — a compliant corpus must cap quoted excerpts at the
+    declared length (``max-snippet:0`` forbids snippets outright —
+    the data_nosnippet page-level twin) and -1 means unlimited. The
+    sentinel for ABSENT is -2, distinct from the declared -1, so
+    downstream never conflates 'no statement' with 'no limit'
+    (meta_robots_canonical handles the boolean tokens; these are
+    the integer-valued ones).
+
+    Scale shape: three regexps per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="robots" content="max-snippet:'),
+            (20 + i % 80).cast("string"),
+            F.lit(', max-image-preview:large, max-video-preview:-1">')))
+        .when(v == 1, F.lit(
+            '<meta name="robots" content="max-snippet:0, noarchive">'))
+        .when(v == 2, F.lit(
+            '<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit("<p>no robots meta</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("html", "max-snippet:(-?[0-9]+)", 1)
+        .alias("ms"),
+        F.regexp_extract("html", "max-image-preview:([a-z]+)", 1)
+        .alias("mip"),
+        F.regexp_extract("html", "max-video-preview:(-?[0-9]+)", 1)
+        .alias("mvp"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("ms") != "", F.col("ms").cast("long"))
+        .otherwise(F.lit(-2).cast("long")).alias("max_snippet"),
+        F.col("mip").alias("max_image_preview"),
+        F.when(F.col("mvp") != "", F.col("mvp").cast("long"))
+        .otherwise(F.lit(-2).cast("long")).alias("max_video_preview"),
+        F.when(F.col("ms") == "0", 1).otherwise(0).cast("int")
+        .alias("snippet_forbidden"),
+        F.when(
+            (F.col("ms") != "") | (F.col("mip") != "")
+            | (F.col("mvp") != ""), 1)
+        .otherwise(0).cast("int").alias("has_quota_directives"),
+    )
+
+
+def _infinite_scroll_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<div data-infinite-scroll data-next-page='
+            || '"/page/2?cursor=' || CAST(doc_id % 97 AS VARCHAR)
+            || '"><button class="load-more">Load more</button></div>'
+          WHEN 1 THEN '<script>new IntersectionObserver(() =>'
+            || ' fetch("/api/posts?page=2")).observe(sentinel);'
+            || '</script>'
+          WHEN 2 THEN '<link rel="next" href="/page/2">'
+            || '<p>classic paginated archive</p>'
+          ELSE '<p>single page, nothing to load</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(html, 'data-infinite-scroll')
+          THEN 1 ELSE 0 END AS has_attr,
+        CASE WHEN regexp_matches(html,
+          'class="load-more"|>Load more<') THEN 1 ELSE 0 END
+          AS has_button,
+        CASE WHEN regexp_matches(html, 'IntersectionObserver')
+          AND regexp_matches(html, 'fetch\\("[^"]*page=')
+          THEN 1 ELSE 0 END AS has_observer,
+        COALESCE(regexp_extract(html,
+          'data-next-page="([^"]+)"', 1), '') AS next_page_url
+      FROM p)
+    SELECT doc_id,
+      CAST(has_attr AS INT) AS has_attr,
+      CAST(has_button AS INT) AS has_button,
+      CAST(has_observer AS INT) AS has_observer,
+      next_page_url,
+      CAST(CASE WHEN has_attr + has_button + has_observer > 0
+        THEN 1 ELSE 0 END AS INT) AS is_infinite_scroll
+    FROM s
+    """
+
+
+@query("infinite_scroll_detect", _infinite_scroll_oracle())
+def infinite_scroll_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infinite-scroll detection (round 4): content loaded by scroll
+    position never appears in the fetched HTML and never declares
+    ``rel=next`` — the pagination channel pagination_rel_chains
+    CANNOT see, so detection routes these pages to the API-probing
+    fetcher (the data-next-page attribute and the observer's fetch
+    url are the probe seeds). The classic rel=next archive is the
+    planted negative: declared pagination is the GOOD case and must
+    not flag.
+
+    Scale shape: three regexp flags + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<div data-infinite-scroll data-next-page='
+                  '"/page/2?cursor='),
+            (i % 97).cast("string"),
+            F.lit('"><button class="load-more">Load more</button>'
+                  "</div>")))
+        .when(v == 1, F.lit(
+            "<script>new IntersectionObserver(() =>"
+            ' fetch("/api/posts?page=2")).observe(sentinel);'
+            "</script>"))
+        .when(v == 2, F.lit(
+            '<link rel="next" href="/page/2">'
+            "<p>classic paginated archive</p>"))
+        .otherwise(F.lit("<p>single page, nothing to load</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.when(h.contains("data-infinite-scroll"), 1).otherwise(0)
+        .alias("has_attr"),
+        F.when(
+            F.regexp_extract(
+                h, 'class="load-more"|>Load more<', 0) != "", 1)
+        .otherwise(0).alias("has_button"),
+        F.when(
+            h.contains("IntersectionObserver")
+            & (F.regexp_extract(h, 'fetch\\("[^"]*page=', 0) != ""),
+            1).otherwise(0).alias("has_observer"),
+        F.regexp_extract(h, 'data-next-page="([^"]+)"', 1)
+        .alias("next_page_url"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("has_attr").cast("int").alias("has_attr"),
+        F.col("has_button").cast("int").alias("has_button"),
+        F.col("has_observer").cast("int").alias("has_observer"),
+        "next_page_url",
+        F.when(
+            F.col("has_attr") + F.col("has_button")
+            + F.col("has_observer") > 0, 1)
+        .otherwise(0).cast("int").alias("is_infinite_scroll"),
+    )
+
+
+def _correction_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Article body here.' || chr(10)
+            || 'Correction: An earlier version misstated the year'
+            || ' as 20' || lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0')
+            || '.'
+          WHEN 1 THEN 'Editor''s note: This article has been'
+            || ' retracted.' || chr(10) || 'Original text follows.'
+          WHEN 2 THEN 'Update (March 2024): Added new benchmarks.'
+            || chr(10) || 'Main text.'
+          ELSE 'A treatise on the correction of errors in general,'
+            || ' where the word appears mid-prose.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        COALESCE(regexp_extract(chr(10) || body,
+          '\\n(Correction: [^\\n]+)', 1), '') AS corr_line,
+        CASE WHEN regexp_matches(body, 'has been retracted')
+          THEN 1 ELSE 0 END AS retracted,
+        COALESCE(regexp_extract(chr(10) || body,
+          '\\n(Update \\([^)]+\\): [^\\n]+)', 1), '') AS upd_line
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN retracted = 1 THEN 'retraction'
+           WHEN corr_line <> '' THEN 'correction'
+           WHEN upd_line <> '' THEN 'update'
+           ELSE 'none' END AS kind,
+      CASE WHEN retracted = 1 THEN ''
+           WHEN corr_line <> '' THEN corr_line
+           ELSE upd_line END AS notice_text,
+      CAST(CASE WHEN retracted = 1 OR corr_line <> ''
+        OR upd_line <> '' THEN 1 ELSE 0 END AS INT) AS has_notice
+    FROM s
+    """
+
+
+@query("correction_notice_detect", _correction_oracle())
+def correction_notice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correction/retraction notices (round 4): a retracted article
+    asserts claims its own publisher withdrew — it must not enter
+    training data as fact (claimreview_extract handles third-party
+    verdicts; this is the publisher's OWN verdict), while correction
+    and update notes are edit-history supervision and a reliability
+    prior for the host. Notice lines anchor at line start (the
+    newline-sentinel discipline) — prose ABOUT 'the correction of
+    errors' stays clean; retraction outranks correction when both
+    phrases appear.
+
+    Scale shape: two anchored extracts + one flag per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Article body here.\n"
+                  "Correction: An earlier version misstated the year"
+                  " as 20"),
+            F.lpad((i % 30).cast("string"), 2, "0"), F.lit(".")))
+        .when(v == 1, F.lit(
+            "Editor's note: This article has been"
+            " retracted.\nOriginal text follows."))
+        .when(v == 2, F.lit(
+            "Update (March 2024): Added new benchmarks.\nMain text."))
+        .otherwise(F.lit(
+            "A treatise on the correction of errors in general,"
+            " where the word appears mid-prose."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    nb = F.concat(F.lit("\n"), F.col("body"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(nb, "\\n(Correction: [^\\n]+)", 1)
+        .alias("corr_line"),
+        F.when(F.col("body").contains("has been retracted"), 1)
+        .otherwise(0).alias("retracted"),
+        F.regexp_extract(nb, "\\n(Update \\([^)]+\\): [^\\n]+)", 1)
+        .alias("upd_line"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("retracted") == 1, "retraction")
+        .when(F.col("corr_line") != "", "correction")
+        .when(F.col("upd_line") != "", "update")
+        .otherwise("none").alias("kind"),
+        F.when(F.col("retracted") == 1, F.lit(""))
+        .when(F.col("corr_line") != "", F.col("corr_line"))
+        .otherwise(F.col("upd_line")).alias("notice_text"),
+        F.when(
+            (F.col("retracted") == 1) | (F.col("corr_line") != "")
+            | (F.col("upd_line") != ""), 1)
+        .otherwise(0).cast("int").alias("has_notice"),
+    )
+
+
+def _opening_hours_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<time itemprop="openingHours" datetime='
+            || '"Mo-Fr 09:00-17:' || lpad(CAST(doc_id % 60 AS
+            VARCHAR), 2, '0') || '">Weekdays</time><time itemprop='
+            || '"openingHours" datetime="Sa 10:00-14:00">Sat</time>'
+          WHEN 1 THEN '<time itemprop="openingHours" datetime='
+            || '"Su 00:00-24:00">Always open Sundays</time>'
+          ELSE '<p>no opening hours declared</p>'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(hrs, 1) - 1 AS span_idx,
+        unnest(hrs) AS spec
+      FROM (SELECT doc_id,
+              regexp_extract_all(html,
+                'itemprop="openingHours" datetime="([^"]+)"', 1)
+                AS hrs
+            FROM p))
+    SELECT doc_id,
+      CAST(span_idx AS INT) AS span_idx,
+      regexp_extract(spec, '^([A-Za-z-]+) ', 1) AS days,
+      regexp_extract(spec, ' ([0-9]{2}:[0-9]{2})-', 1) AS opens,
+      regexp_extract(spec, '-([0-9]{2}:[0-9]{2})$', 1) AS closes,
+      CAST(CASE WHEN regexp_matches(spec, '^[A-Za-z]{2}-[A-Za-z]{2} ')
+        THEN 1 ELSE 0 END AS INT) AS is_day_range
+    FROM b
+    """
+
+
+@query("opening_hours_extract", _opening_hours_oracle())
+def opening_hours_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-hours extraction (round 4): schema.org
+    ``openingHours`` microdata ("Mo-Fr 09:00-17:00") is structured
+    local-business ground truth — the grounding join for 'is it
+    open now' QA and the liveness prior for business listings
+    (event_schema_extract handles one-off times; this is the
+    recurring grammar). Specs explode per declaration with day-set
+    vs day-range distinguished, opens/closes anchored at the
+    string's ends so a stray dash inside the day token can't
+    misparse.
+
+    Scale shape: one extract_all + posexplode, per-row parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<time itemprop="openingHours" datetime='
+                  '"Mo-Fr 09:00-17:'),
+            F.lpad((i % 60).cast("string"), 2, "0"),
+            F.lit('">Weekdays</time><time itemprop='
+                  '"openingHours" datetime="Sa 10:00-14:00">Sat</time>')))
+        .when(v == 1, F.lit(
+            '<time itemprop="openingHours" datetime='
+            '"Su 00:00-24:00">Always open Sundays</time>'))
+        .otherwise(F.lit("<p>no opening hours declared</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    hrs = F.regexp_extract_all(
+        F.col("html"),
+        F.lit('itemprop="openingHours" datetime="([^"]+)"'), 1)
+    b = p.select("doc_id", F.posexplode(hrs).alias("span_idx", "spec"))
+    spec = F.col("spec")
+    return b.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.regexp_extract(spec, "^([A-Za-z-]+) ", 1).alias("days"),
+        F.regexp_extract(spec, " ([0-9]{2}:[0-9]{2})-", 1)
+        .alias("opens"),
+        F.regexp_extract(spec, "-([0-9]{2}:[0-9]{2})$", 1)
+        .alias("closes"),
+        F.when(
+            F.regexp_extract(
+                spec, "^[A-Za-z]{2}-[A-Za-z]{2} ", 0) != "", 1)
+        .otherwise(0).cast("int").alias("is_day_range"),
+    )
+
+
+def _howto_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"HowTo","name":"Fix a flat tire",'
+            || '"step":[{"@type":"HowToStep","text":"Remove the'
+            || ' wheel nut ' || CAST(doc_id % 7 AS VARCHAR)
+            || '"},{"@type":"HowToStep","text":"Patch the tube"},'
+            || '{"@type":"HowToStep","text":"Reinflate"}]}'
+          WHEN 1 THEN '{"@type":"HowTo","name":"Reset a router",'
+            || '"step":[{"@type":"HowToStep","text":"Hold the'
+            || ' button"}]}'
+          ELSE '{"@type":"Article","name":"not a howto"}'
+        END AS jsonld
+      FROM documents),
+    f AS (
+      SELECT doc_id, jsonld,
+        COALESCE(regexp_extract(jsonld, '"name":"([^"]+)"', 1), '')
+          AS title
+      FROM p
+      WHERE regexp_matches(jsonld, '"@type":"HowTo"')),
+    b AS (
+      SELECT doc_id, title,
+        generate_subscripts(steps, 1) - 1 AS step_idx,
+        unnest(steps) AS blk
+      FROM (SELECT doc_id, title,
+              regexp_extract_all(jsonld,
+                '\\{"@type":"HowToStep","text":"([^"]+)"\\}', 1)
+                AS steps
+            FROM f))
+    SELECT doc_id, title,
+      CAST(step_idx AS INT) AS step_idx,
+      blk AS step_text
+    FROM b
+    """
+
+
+@query("howto_schema_extract", _howto_oracle())
+def howto_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HowTo-schema step extraction (round 4): schema.org HowTo
+    markup carries ORDERED procedure steps — instruction-following
+    supervision with the publisher's own step segmentation
+    (list_structure_extract recovers unmarked ``<ol>`` procedures;
+    this is the declared channel, the same split as
+    faq_pair_mining's declared-vs-heading QA). Steps explode in
+    declaration order under the HowTo's name; an Article-typed
+    document pins that only HowTo objects emit rows.
+
+    Scale shape: one type filter + extract_all + posexplode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    jsonld = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"HowTo","name":"Fix a flat tire",'
+                  '"step":[{"@type":"HowToStep","text":"Remove the'
+                  " wheel nut "),
+            (i % 7).cast("string"),
+            F.lit('"},{"@type":"HowToStep","text":"Patch the tube"},'
+                  '{"@type":"HowToStep","text":"Reinflate"}]}')))
+        .when(v == 1, F.lit(
+            '{"@type":"HowTo","name":"Reset a router",'
+            '"step":[{"@type":"HowToStep","text":"Hold the'
+            ' button"}]}'))
+        .otherwise(F.lit('{"@type":"Article","name":"not a howto"}'))
+    )
+    p = d.select("doc_id", jsonld.alias("jsonld"))
+    f = p.where(
+        F.col("jsonld").contains('"@type":"HowTo"')).select(
+        "doc_id", "jsonld",
+        F.regexp_extract("jsonld", '"name":"([^"]+)"', 1)
+        .alias("title"))
+    steps = F.regexp_extract_all(
+        F.col("jsonld"),
+        F.lit('\\{"@type":"HowToStep","text":"([^"]+)"\\}'), 1)
+    b = f.select(
+        "doc_id", "title",
+        F.posexplode(steps).alias("step_idx", "step_text"))
+    return b.select(
+        "doc_id", "title",
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step_text",
+    )
+
+
+def _api_envelope_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '{"data":[{"type":"articles","id":"'
+            || CAST(doc_id % 97 AS VARCHAR)
+            || '"}],"links":{"next":"/api/a?page=2"},"meta":'
+            || '{"total":42}}'
+          WHEN 1 THEN '{"_embedded":{"orders":[]},"_links":'
+            || '{"self":{"href":"/orders"}}}'
+          WHEN 2 THEN '{"@odata.context":"$metadata#Products",'
+            || '"value":[{"ID":1}]}'
+          ELSE '{"title":"plain json config","items":[1,2,3]}'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN regexp_matches(body, '"data":\\[')
+          AND (regexp_matches(body, '"links":')
+            OR regexp_matches(body, '"meta":')) THEN 1 ELSE 0 END
+          AS jsonapi,
+        CASE WHEN regexp_matches(body, '"_embedded":')
+          OR regexp_matches(body, '"_links":') THEN 1 ELSE 0 END
+          AS hal,
+        CASE WHEN regexp_matches(body, '"@odata\\.') THEN 1 ELSE 0
+          END AS odata,
+        COALESCE(regexp_extract(body,
+          '"(next|self|href)":\\{?"?(/[^"]*)"', 2), '')
+          AS pagination_hint
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN jsonapi = 1 THEN 'jsonapi'
+           WHEN hal = 1 THEN 'hal'
+           WHEN odata = 1 THEN 'odata'
+           ELSE 'plain' END AS envelope,
+      CAST(CASE WHEN jsonapi + hal + odata > 0 THEN 1 ELSE 0 END
+        AS INT) AS is_api_response,
+      pagination_hint
+    FROM s
+    """
+
+
+@query("api_envelope_detect", _api_envelope_oracle())
+def api_envelope_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-envelope detection (round 4): crawls fetch JSON API
+    responses (SPAs expose endpoint urls; mime_sniff_routing routes
+    the JSON), and the envelope convention — JSON:API data/links/
+    meta, HAL _embedded/_links, OData @odata.* — tells the ingester
+    WHERE the records and the pagination cursor live, turning an
+    accidental fetch into a structured-data source
+    (nextdata_state_extract's off-page sibling). Plain config JSON
+    pins the negative; JSON:API requires data PLUS an envelope
+    sibling so a bare data key can't convict.
+
+    Scale shape: three regexp flags + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"data":[{"type":"articles","id":"'),
+            (i % 97).cast("string"),
+            F.lit('"}],"links":{"next":"/api/a?page=2"},"meta":'
+                  '{"total":42}}')))
+        .when(v == 1, F.lit(
+            '{"_embedded":{"orders":[]},"_links":'
+            '{"self":{"href":"/orders"}}}'))
+        .when(v == 2, F.lit(
+            '{"@odata.context":"$metadata#Products",'
+            '"value":[{"ID":1}]}'))
+        .otherwise(F.lit('{"title":"plain json config","items":[1,2,3]}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    s = p.select(
+        "doc_id",
+        F.when(
+            (F.regexp_extract(b, '"data":\\[', 0) != "")
+            & (b.contains('"links":') | b.contains('"meta":')), 1)
+        .otherwise(0).alias("jsonapi"),
+        F.when(
+            b.contains('"_embedded":') | b.contains('"_links":'), 1)
+        .otherwise(0).alias("hal"),
+        F.when(F.regexp_extract(b, '"@odata\\.', 0) != "", 1)
+        .otherwise(0).alias("odata"),
+        F.regexp_extract(
+            b, '"(next|self|href)":\\{?"?(/[^"]*)"', 2)
+        .alias("pagination_hint"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("jsonapi") == 1, "jsonapi")
+        .when(F.col("hal") == 1, "hal")
+        .when(F.col("odata") == 1, "odata")
+        .otherwise("plain").alias("envelope"),
+        F.when(F.col("jsonapi") + F.col("hal") + F.col("odata") > 0, 1)
+        .otherwise(0).cast("int").alias("is_api_response"),
+        "pagination_hint",
+    )
+
+
+def _utm_campaign_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://site.example/article?utm_source='
+            || 'newsletter&utm_medium=email&utm_campaign=spring'
+            || CAST(doc_id % 5 AS VARCHAR)
+          WHEN 1 THEN 'https://site.example/p?utm_source=twitter'
+            || '&utm_medium=social'
+          WHEN 2 THEN 'https://site.example/q?utm_source=google'
+            || '&utm_medium=cpc&utm_campaign=brand&gclid=abc'
+            || CAST(doc_id % 9 AS VARCHAR)
+          ELSE 'https://site.example/r?ref=homepage'
+        END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(url, 'utm_source=([a-z0-9]+)', 1),
+          '') AS utm_source,
+        COALESCE(regexp_extract(url, 'utm_medium=([a-z0-9]+)', 1),
+          '') AS utm_medium,
+        COALESCE(regexp_extract(url, 'utm_campaign=([a-z0-9]+)', 1),
+          '') AS utm_campaign,
+        CASE WHEN regexp_matches(url, '[?&]gclid=') THEN 1 ELSE 0
+          END AS has_click_id
+      FROM p)
+    SELECT doc_id, utm_source, utm_medium, utm_campaign,
+      CAST(has_click_id AS INT) AS has_click_id,
+      CASE WHEN utm_medium IN ('cpc', 'ppc', 'display')
+          OR has_click_id = 1 THEN 'paid'
+        WHEN utm_medium IN ('email', 'social') THEN 'owned'
+        WHEN utm_source <> '' THEN 'other'
+        ELSE 'organic' END AS acquisition_class
+    FROM s
+    """
+
+
+@query("utm_campaign_profile", _utm_campaign_oracle())
+def utm_campaign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM campaign profiling (round 4): before url_canonicalize
+    STRIPS tracking params, the params themselves are evidence —
+    paid-acquisition urls (cpc/display mediums, gclid click ids)
+    mark landing pages built for ad traffic (the MFA-adjacent
+    class ad_slot_density scores from the inside), while email/
+    social mediums mark owned-audience content. The classifier is
+    the standard source/medium taxonomy; session_param_entropy
+    learns WHICH params to strip, this reads WHAT they said before
+    stripping.
+
+    Scale shape: three regexps + CASE per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://site.example/article?utm_source="
+                  "newsletter&utm_medium=email&utm_campaign=spring"),
+            (i % 5).cast("string")))
+        .when(v == 1, F.lit(
+            "https://site.example/p?utm_source=twitter"
+            "&utm_medium=social"))
+        .when(v == 2, F.concat(
+            F.lit("https://site.example/q?utm_source=google"
+                  "&utm_medium=cpc&utm_campaign=brand&gclid=abc"),
+            (i % 9).cast("string")))
+        .otherwise(F.lit("https://site.example/r?ref=homepage"))
+    )
+    p = d.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(u, "utm_source=([a-z0-9]+)", 1)
+        .alias("utm_source"),
+        F.regexp_extract(u, "utm_medium=([a-z0-9]+)", 1)
+        .alias("utm_medium"),
+        F.regexp_extract(u, "utm_campaign=([a-z0-9]+)", 1)
+        .alias("utm_campaign"),
+        F.when(F.regexp_extract(u, "[?&]gclid=", 0) != "", 1)
+        .otherwise(0).alias("has_click_id"),
+    )
+    return s.select(
+        "doc_id", "utm_source", "utm_medium", "utm_campaign",
+        F.col("has_click_id").cast("int").alias("has_click_id"),
+        F.when(
+            F.col("utm_medium").isin("cpc", "ppc", "display")
+            | (F.col("has_click_id") == 1), "paid")
+        .when(F.col("utm_medium").isin("email", "social"), "owned")
+        .when(F.col("utm_source") != "", "other")
+        .otherwise("organic").alias("acquisition_class"),
+    )
+
+
+def _gps_oracle() -> str:
+    """Literal-VALUES oracle from the corpus construction (exact
+    integer DMS fold computed before any bytes are assembled)."""
+    from ocr_spark.operators.multimodal import synth_gps_corpus
+
+    rows = ", ".join(
+        f"({r['img_id']}, {r['has_gps']}, '{r['byte_order']}', "
+        f"{r['lat_microdeg']}, {r['lon_microdeg']})"
+        for r in synth_gps_corpus()
+    )
+    return (
+        "SELECT img_id, has_gps, byte_order,"
+        " CAST(lat_microdeg AS BIGINT) AS lat_microdeg,"
+        " CAST(lon_microdeg AS BIGINT) AS lon_microdeg,"
+        " CAST(CASE WHEN has_gps = 1 THEN 1 ELSE 0 END AS INT)"
+        " AS strip_before_publish FROM (VALUES " + rows
+        + ") AS t(img_id, has_gps, byte_order, lat_microdeg,"
+        " lon_microdeg)"
+    )
+
+
+@query("jpeg_exif_gps", _gps_oracle())
+def jpeg_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS harvest (round 4): camera-written GPS IFDs put the
+    photographer's POSITION in every unstripped upload — location
+    PII at building precision (coordinate_precision_audit grades
+    the text channel; this is the metadata channel, and the
+    sub-second rationals in the planted corpus are the ~10 m case).
+    The DMS rationals fold to signed integer micro-degrees with
+    floor division — bit-exact on both engines — and every GPS
+    carrier flags strip_before_publish: a corpus that republishes
+    image bytes must scrub the IFD, not just the caption.
+
+    Scale shape: Arrow-batched mapInPandas over segment headers; no
+    entropy decode.
+    """
+    from ocr_spark.operators.multimodal import (
+        gps_features,
+        synth_gps_corpus,
+    )
+
+    corpus = synth_gps_corpus()
+    base = spark.createDataFrame(
+        [(r["img_id"], bytearray(r["payload"])) for r in corpus],
+        "img_id int, media binary",
+    )
+    out = gps_features(base.repartition(8, "img_id"))
+    return out.select(
+        "img_id", "has_gps", "byte_order",
+        F.col("lat_microdeg").cast("long").alias("lat_microdeg"),
+        F.col("lon_microdeg").cast("long").alias("lon_microdeg"),
+        F.when(F.col("has_gps") == 1, 1).otherwise(0).cast("int")
+        .alias("strip_before_publish"),
+    )
+
+
+def _video_schema_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"VideoObject","name":"Tutorial '
+            || CAST(doc_id % 7 AS VARCHAR) || '","duration":"PT'
+            || CAST(1 + doc_id % 20 AS VARCHAR) || 'M30S",'
+            || '"contentUrl":"https://cdn.example/v'
+            || CAST(doc_id % 97 AS VARCHAR) || '.mp4",'
+            || '"transcript":"welcome to the tutorial on topic '
+            || CAST(doc_id % 7 AS VARCHAR) || '"}'
+          WHEN 1 THEN '{"@type":"VideoObject","name":"Clip",'
+            || '"duration":"PT45S","contentUrl":'
+            || '"https://cdn.example/c.mp4"}'
+          ELSE '{"@type":"ImageObject","name":"not video"}'
+        END AS jsonld
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(jsonld, '"name":"([^"]+)"', 1), '')
+          AS name,
+        COALESCE(regexp_extract(jsonld,
+          '"duration":"PT(?:([0-9]+)M)?(?:([0-9]+)S)?"', 1), '')
+          AS mins,
+        COALESCE(regexp_extract(jsonld,
+          '"duration":"PT(?:([0-9]+)M)?(?:([0-9]+)S)?"', 2), '')
+          AS secs,
+        COALESCE(regexp_extract(jsonld,
+          '"contentUrl":"([^"]+)"', 1), '') AS content_url,
+        COALESCE(regexp_extract(jsonld,
+          '"transcript":"([^"]+)"', 1), '') AS transcript
+      FROM p
+      WHERE regexp_matches(jsonld, '"@type":"VideoObject"'))
+    SELECT doc_id, name, content_url, transcript,
+      CAST(CASE WHEN mins <> '' THEN CAST(mins AS BIGINT) * 60
+        ELSE 0 END
+        + CASE WHEN secs <> '' THEN CAST(secs AS BIGINT) ELSE 0 END
+        AS BIGINT) AS duration_sec,
+      CAST(CASE WHEN transcript <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_transcript
+    FROM f
+    """
+
+
+@query("video_schema_transcript", _video_schema_oracle())
+def video_schema_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VideoObject transcript harvest (round 4): schema.org
+    VideoObject can carry the TRANSCRIPT inline — publisher-aligned
+    (video, text) supervision with zero ASR, the declared sibling
+    of texttrack_discovery's fetchable .vtt channel. Duration
+    normalizes from the ISO-8601 PT form to integer seconds
+    (iso8601_duration_parse is the general grammar; this binds it
+    to the multimodal join key contentUrl), and transcript-less
+    VideoObjects stay rows — they are the ASR work queue. An
+    ImageObject pins the type filter.
+
+    Scale shape: type filter + per-row regexps, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    jsonld = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"VideoObject","name":"Tutorial '),
+            (i % 7).cast("string"),
+            F.lit('","duration":"PT'), (1 + i % 20).cast("string"),
+            F.lit('M30S","contentUrl":"https://cdn.example/v'),
+            (i % 97).cast("string"),
+            F.lit('.mp4","transcript":"welcome to the tutorial'
+                  " on topic "),
+            (i % 7).cast("string"), F.lit('"}')))
+        .when(v == 1, F.lit(
+            '{"@type":"VideoObject","name":"Clip",'
+            '"duration":"PT45S","contentUrl":'
+            '"https://cdn.example/c.mp4"}'))
+        .otherwise(F.lit('{"@type":"ImageObject","name":"not video"}'))
+    )
+    p = d.select("doc_id", jsonld.alias("jsonld")).where(
+        F.col("jsonld").contains('"@type":"VideoObject"'))
+    dur_pat = '"duration":"PT(?:([0-9]+)M)?(?:([0-9]+)S)?"'
+    f = p.select(
+        "doc_id",
+        F.regexp_extract("jsonld", '"name":"([^"]+)"', 1).alias("name"),
+        F.regexp_extract("jsonld", dur_pat, 1).alias("mins"),
+        F.regexp_extract("jsonld", dur_pat, 2).alias("secs"),
+        F.regexp_extract("jsonld", '"contentUrl":"([^"]+)"', 1)
+        .alias("content_url"),
+        F.regexp_extract("jsonld", '"transcript":"([^"]+)"', 1)
+        .alias("transcript"),
+    )
+    return f.select(
+        "doc_id", "name", "content_url", "transcript",
+        (F.when(F.col("mins") != "", F.col("mins").cast("long") * 60)
+         .otherwise(0)
+         + F.when(F.col("secs") != "", F.col("secs").cast("long"))
+         .otherwise(0)).cast("long").alias("duration_sec"),
+        F.when(F.col("transcript") != "", 1).otherwise(0).cast("int")
+        .alias("has_transcript"),
+    )
+
+
+def _badge_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<img src="https://img.shields.io/badge/build-'
+            || 'passing-brightgreen" alt="build"> <img src='
+            || '"https://img.shields.io/pypi/v/pkg' || CAST(doc_id %
+            7 AS VARCHAR) || '" alt="version"> readme body'
+          WHEN 1 THEN '<img src="https://ci.example/status.svg"'
+            || ' alt="CI status"> project readme'
+          ELSE '<img src="/photos/team.jpg" alt="our team"> about us'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(html,
+          'src="https://img\\.shields\\.io/[^"]+"', 0))
+          AS n_shields,
+        len(regexp_extract_all(html,
+          'src="[^"]*(status|badge)[^"]*\\.svg"', 0)) AS n_svg_badges,
+        CASE WHEN regexp_matches(html,
+          'shields\\.io/badge/build-passing') THEN 1 ELSE 0 END
+          AS build_passing,
+        CASE WHEN regexp_matches(html, 'shields\\.io/pypi/v/')
+          THEN 1 ELSE 0 END AS has_version_badge
+      FROM p)
+    SELECT doc_id,
+      CAST(n_shields AS BIGINT) AS n_shields,
+      CAST(n_svg_badges AS BIGINT) AS n_svg_badges,
+      CAST(build_passing AS INT) AS build_passing,
+      CAST(has_version_badge AS INT) AS has_version_badge,
+      CAST(CASE WHEN n_shields + n_svg_badges > 0 THEN 1 ELSE 0 END
+        AS INT) AS is_readme_like
+    FROM s
+    """
+
+
+@query("readme_badge_extract", _badge_oracle())
+def readme_badge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README badge extraction (round 4): shields.io and CI status
+    badges are machine-readable PROJECT HEALTH metadata riding in
+    rendered READMEs — build-passing and released-version badges
+    date the project's maintenance the same way
+    changelog_version_extract does, and badge presence is a strong
+    README-page classifier (route to code_repo_link_extract's
+    owner/repo join). A team photo pins that ordinary images never
+    count — badges key on the badge-host path shape.
+
+    Scale shape: two regexp counts + two flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="https://img.shields.io/badge/build-'
+                  'passing-brightgreen" alt="build"> <img src='
+                  '"https://img.shields.io/pypi/v/pkg'),
+            (i % 7).cast("string"),
+            F.lit('" alt="version"> readme body')))
+        .when(v == 1, F.lit(
+            '<img src="https://ci.example/status.svg"'
+            ' alt="CI status"> project readme'))
+        .otherwise(F.lit(
+            '<img src="/photos/team.jpg" alt="our team"> about us'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    s = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            h, F.lit('src="https://img\\.shields\\.io/[^"]+"'), 0))
+        .alias("n_shields"),
+        F.size(F.regexp_extract_all(
+            h, F.lit('src="[^"]*(status|badge)[^"]*\\.svg"'), 0))
+        .alias("n_svg_badges"),
+        F.when(h.contains("shields.io/badge/build-passing"), 1)
+        .otherwise(0).alias("build_passing"),
+        F.when(h.contains("shields.io/pypi/v/"), 1).otherwise(0)
+        .alias("has_version_badge"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_shields").cast("long").alias("n_shields"),
+        F.col("n_svg_badges").cast("long").alias("n_svg_badges"),
+        F.col("build_passing").cast("int").alias("build_passing"),
+        F.col("has_version_badge").cast("int").alias("has_version_badge"),
+        F.when(F.col("n_shields") + F.col("n_svg_badges") > 0, 1)
+        .otherwise(0).cast("int").alias("is_readme_like"),
+    )
+
+
+def _dialogue_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '"Come in," she said. "The door is open."'
+            || ' He entered room ' || CAST(doc_id % 9 AS VARCHAR)
+            || ' slowly.'
+          WHEN 1 THEN 'The committee reviewed the so-called'
+            || ' "final" draft of the report in detail and voted.'
+          ELSE 'Plain narration without any quotation at all, just'
+            || ' description of events.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract_all(body, '"[^"]+"', 0) AS quotes
+      FROM p),
+    t AS (
+      SELECT doc_id, body,
+        len(quotes) AS n_quotes,
+        COALESCE(list_sum(list_transform(quotes, x -> len(x))), 0)
+          AS quoted_chars
+      FROM s)
+    SELECT doc_id,
+      CAST(n_quotes AS BIGINT) AS n_quotes,
+      CAST(quoted_chars AS BIGINT) AS quoted_chars,
+      CAST(FLOOR(1000.0 * quoted_chars / len(body)) AS BIGINT)
+        AS dialogue_permille,
+      CAST(CASE WHEN n_quotes >= 2
+        AND 1000 * quoted_chars >= 300 * len(body)
+        THEN 1 ELSE 0 END AS INT) AS is_dialogue_heavy
+    FROM t
+    """
+
+
+@query("dialogue_ratio_profile", _dialogue_oracle())
+def dialogue_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-ratio profiling (round 4): the share of a document
+    inside quotation marks separates fiction/interview registers
+    from expository prose — a mixture facet (conversational training
+    data) that lang-id and quality scores are blind to
+    (quote_attribution_extract finds WHO spoke; this measures HOW
+    MUCH). The decision needs both repetition and mass: a scare-
+    quoted "final" in committee prose is one short quote and stays
+    below both gates; the threshold compare is integer
+    cross-multiplication, no float ratio materialized.
+
+    Scale shape: one extract_all + in-row fold per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('"Come in," she said. "The door is open."'
+                  " He entered room "),
+            (i % 9).cast("string"), F.lit(" slowly.")))
+        .when(v == 1, F.lit(
+            "The committee reviewed the so-called"
+            ' "final" draft of the report in detail and voted.'))
+        .otherwise(F.lit(
+            "Plain narration without any quotation at all, just"
+            " description of events."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    quotes = F.regexp_extract_all(F.col("body"), F.lit('"[^"]+"'), 0)
+    t = p.select(
+        "doc_id",
+        F.size(quotes).alias("n_quotes"),
+        F.aggregate(
+            quotes, F.lit(0), lambda acc, x: acc + F.length(x))
+        .alias("quoted_chars"),
+        F.length("body").alias("body_len"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_quotes").cast("long").alias("n_quotes"),
+        F.col("quoted_chars").cast("long").alias("quoted_chars"),
+        F.floor(
+            F.lit(1000.0) * F.col("quoted_chars") / F.col("body_len"))
+        .cast("long").alias("dialogue_permille"),
+        F.when(
+            (F.col("n_quotes") >= 2)
+            & (1000 * F.col("quoted_chars")
+               >= 300 * F.col("body_len")), 1)
+        .otherwise(0).cast("int").alias("is_dialogue_heavy"),
+    )
+
+
+def _comment_count_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"commentCount":' || CAST(2 + doc_id % 4 AS
+            VARCHAR) || '}<div class="comment">c1</div>'
+            || '<div class="comment">c2</div>'
+          WHEN 1 THEN '{"commentCount":0}<p>article, comments'
+            || ' closed</p>'
+          ELSE '<div class="comment">undeclared c1</div>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html, '"commentCount":([0-9]+)', 1),
+          '') AS declared_s,
+        len(regexp_extract_all(html, '<div class="comment">', 0))
+          AS rendered
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN declared_s <> '' THEN CAST(declared_s AS BIGINT)
+        ELSE -1 END AS BIGINT) AS declared,
+      CAST(rendered AS BIGINT) AS rendered,
+      CAST(CASE WHEN declared_s <> ''
+        AND CAST(declared_s AS BIGINT) > rendered THEN 1 ELSE 0 END
+        AS INT) AS comments_truncated,
+      CAST(CASE WHEN declared_s = '' AND rendered > 0 THEN 1 ELSE 0
+        END AS INT) AS undeclared_ugc
+    FROM s
+    """
+
+
+@query("comment_count_audit", _comment_count_oracle())
+def comment_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-rendered comment audit (round 4): schema
+    ``commentCount`` says how much discussion EXISTS; the fetched
+    HTML shows how much was SERVED — declared > rendered means the
+    thread is paginated/lazy-loaded and the UGC fetcher has more to
+    pull (the discussion-side analog of pagination_item_count_
+    audit), while rendered-without-declared marks unstructured
+    comment sections only the DOM heuristics (comment_section_
+    split) will find. Sentinel -1 distinguishes 'no declaration'
+    from a declared zero.
+
+    Scale shape: one extract + one count per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('{"commentCount":'), (2 + i % 4).cast("string"),
+            F.lit('}<div class="comment">c1</div>'
+                  '<div class="comment">c2</div>')))
+        .when(v == 1, F.lit(
+            '{"commentCount":0}<p>article, comments closed</p>'))
+        .otherwise(F.lit('<div class="comment">undeclared c1</div>'))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("html", '"commentCount":([0-9]+)', 1)
+        .alias("declared_s"),
+        F.size(F.regexp_extract_all(
+            F.col("html"), F.lit('<div class="comment">'), 0))
+        .alias("rendered"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("declared_s") != "",
+               F.col("declared_s").cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("declared"),
+        F.col("rendered").cast("long").alias("rendered"),
+        F.when(
+            (F.col("declared_s") != "")
+            & (F.col("declared_s").cast("long") > F.col("rendered")),
+            1).otherwise(0).cast("int").alias("comments_truncated"),
+        F.when(
+            (F.col("declared_s") == "") & (F.col("rendered") > 0), 1)
+        .otherwise(0).cast("int").alias("undeclared_ugc"),
+    )
+
+
+def _inline_lang_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<html lang="en"><p>The motto <span lang="la">'
+            || 'carpe diem</span> and the greeting <span lang="fr">'
+            || 'bonjour mes amis ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</span> both appear.</p></html>'
+          WHEN 1 THEN '<html lang="de"><p>Nur deutscher Text, '
+            || '<span class="x">kein Sprachwechsel</span>.</p></html>'
+          ELSE '<html><p>No lang attributes anywhere.</p></html>'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html, '<html lang="([a-z-]+)"', 1),
+          '') AS base_lang,
+        generate_subscripts(sw, 1) - 1 AS switch_idx,
+        unnest(sw) AS blk
+      FROM (SELECT doc_id, html,
+              regexp_extract_all(html,
+                '<span lang="[a-z-]+">[^<]+</span>') AS sw
+            FROM p))
+    SELECT doc_id, base_lang,
+      CAST(switch_idx AS INT) AS switch_idx,
+      regexp_extract(blk, 'lang="([a-z-]+)"', 1) AS span_lang,
+      regexp_extract(blk, '>([^<]+)<', 1) AS span_text
+    FROM b
+    """
+
+
+@query("inline_lang_switches", _inline_lang_oracle())
+def inline_lang_switches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline language switches (round 4): ``<span lang>`` marks
+    embedded foreign phrases — the author's OWN segmentation of a
+    mixed-language document, which per-doc langid flattens away
+    (declared_lang_mismatch audits the page level; this recovers
+    the sub-document spans that make bitext miners and
+    language-pure mixtures possible without sentence-level LID).
+    Spans explode in order under the page's base lang; a classed
+    but lang-less span pins that only lang attributes count.
+
+    Scale shape: one extract_all + posexplode, per-row parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<html lang="en"><p>The motto <span lang="la">'
+                  'carpe diem</span> and the greeting <span lang="fr">'
+                  "bonjour mes amis "),
+            (i % 7).cast("string"),
+            F.lit("</span> both appear.</p></html>")))
+        .when(v == 1, F.lit(
+            '<html lang="de"><p>Nur deutscher Text, '
+            '<span class="x">kein Sprachwechsel</span>.</p></html>'))
+        .otherwise(F.lit("<html><p>No lang attributes anywhere.</p></html>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    sw = F.regexp_extract_all(
+        F.col("html"), F.lit('<span lang="[a-z-]+">[^<]+</span>'), 0)
+    b = p.select(
+        "doc_id",
+        F.regexp_extract("html", '<html lang="([a-z-]+)"', 1)
+        .alias("base_lang"),
+        F.posexplode(sw).alias("switch_idx", "blk"))
+    return b.select(
+        "doc_id", "base_lang",
+        F.col("switch_idx").cast("int").alias("switch_idx"),
+        F.regexp_extract("blk", 'lang="([a-z-]+)"', 1)
+        .alias("span_lang"),
+        F.regexp_extract("blk", ">([^<]+)<", 1).alias("span_text"),
+    )
+
+
+def _title_h1_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<title>Exact Match ' || CAST(doc_id % 7 AS
+            VARCHAR) || '</title><h1>Exact Match '
+            || CAST(doc_id % 7 AS VARCHAR) || '</h1>'
+          WHEN 1 THEN '<title>Article Name | Site Brand</title>'
+            || '<h1>Article Name</h1>'
+          WHEN 2 THEN '<title>SEO Keyword Stack Here</title>'
+            || '<h1>What Readers Actually See</h1>'
+          ELSE '<title>Only A Title</title><p>no heading</p>'
+        END AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(html, '<title>([^<]+)</title>', 1),
+          '') AS title,
+        COALESCE(regexp_extract(html, '<h1>([^<]+)</h1>', 1), '')
+          AS h1
+      FROM p)
+    SELECT doc_id, title, h1,
+      CASE WHEN h1 = '' THEN 'no_h1'
+           WHEN title = h1 THEN 'exact'
+           WHEN starts_with(title, h1 || ' | ')
+             OR starts_with(title, h1 || ' - ') THEN 'branded'
+           ELSE 'disjoint' END AS relation,
+      CAST(CASE WHEN h1 <> '' AND title <> h1
+        AND NOT starts_with(title, h1 || ' | ')
+        AND NOT starts_with(title, h1 || ' - ')
+        THEN 1 ELSE 0 END AS INT) AS seo_divergence
+    FROM s
+    """
+
+
+@query("title_h1_consistency", _title_h1_oracle())
+def title_h1_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title/H1 consistency audit (round 4): the ``<title>`` is
+    written for search engines, the ``<h1>`` for readers — when
+    they diverge beyond the standard brand suffix, the title is
+    SEO copy and the h1 is the trustworthy document label (the
+    title-side signal clickbait_title_score consumes, and the
+    field meta_description_audit's title-copy check compares
+    against). Branded suffixes (' | Site', ' - Site') classify
+    separately from true divergence.
+
+    Scale shape: two regexps + string compares per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<title>Exact Match "), (i % 7).cast("string"),
+            F.lit("</title><h1>Exact Match "), (i % 7).cast("string"),
+            F.lit("</h1>")))
+        .when(v == 1, F.lit(
+            "<title>Article Name | Site Brand</title>"
+            "<h1>Article Name</h1>"))
+        .when(v == 2, F.lit(
+            "<title>SEO Keyword Stack Here</title>"
+            "<h1>What Readers Actually See</h1>"))
+        .otherwise(F.lit("<title>Only A Title</title><p>no heading</p>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]+)</title>", 1)
+        .alias("title"),
+        F.regexp_extract("html", "<h1>([^<]+)</h1>", 1).alias("h1"),
+    )
+    t, h1 = F.col("title"), F.col("h1")
+    branded = (
+        t.startswith(F.concat(h1, F.lit(" | ")))
+        | t.startswith(F.concat(h1, F.lit(" - "))))
+    return s.select(
+        "doc_id", "title", "h1",
+        F.when(h1 == "", "no_h1")
+        .when(t == h1, "exact")
+        .when(branded, "branded")
+        .otherwise("disjoint").alias("relation"),
+        F.when((h1 != "") & (t != h1) & ~branded, 1).otherwise(0)
+        .cast("int").alias("seo_divergence"),
+    )
+
+
+def _slug_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'How to Fix a Flat Tire ' || CAST(doc_id % 7
+            AS VARCHAR)
+          WHEN 1 THEN 'Ten Ways to Save Money on Travel'
+          WHEN 2 THEN 'Quarterly Earnings Report'
+          ELSE ''
+        END AS title,
+        CASE doc_id % 4
+          WHEN 0 THEN '/guides/how-to-fix-a-flat-tire-'
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN '/posts/ten-ways-to-save'
+          WHEN 2 THEN '/p/48213'
+          ELSE '/about'
+        END AS path
+      FROM documents),
+    s AS (
+      SELECT doc_id, title, path,
+        trim(regexp_replace(lower(title), '[^a-z0-9]+', '-', 'g'),
+          '-') AS title_slug,
+        regexp_extract(path, '/([^/]+)$', 1) AS url_slug
+      FROM p)
+    SELECT doc_id, title_slug, url_slug,
+      CASE WHEN title = '' THEN 'no_title'
+           WHEN url_slug = title_slug THEN 'exact'
+           WHEN title_slug <> '' AND starts_with(title_slug, url_slug)
+             THEN 'truncated'
+           ELSE 'unrelated' END AS slug_relation,
+      CAST(CASE WHEN title <> '' AND url_slug <> title_slug
+        AND NOT starts_with(title_slug, url_slug) THEN 1 ELSE 0 END
+        AS INT) AS opaque_url
+    FROM s
+    """
+
+
+@query("slug_title_match", _slug_oracle())
+def slug_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-slug/title agreement (round 4): CMSes mint the path slug
+    FROM the title — when the in-engine slugification of the title
+    reproduces the url's last segment (exactly or as its prefix —
+    slugs truncate), the path segments are trustworthy topic labels
+    (the evidence url_page_type and breadcrumb_url_consistency
+    lean on); numeric-id paths are opaque and path-derived labels
+    must be disabled for that host. Slugify is pure Column ops:
+    lower, non-alnum runs to '-', edge-dash trim.
+
+    Scale shape: one replace chain + compares per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    title = (
+        F.when(v == 0, F.concat(
+            F.lit("How to Fix a Flat Tire "), (i % 7).cast("string")))
+        .when(v == 1, F.lit("Ten Ways to Save Money on Travel"))
+        .when(v == 2, F.lit("Quarterly Earnings Report"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(v == 0, F.concat(
+            F.lit("/guides/how-to-fix-a-flat-tire-"),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit("/posts/ten-ways-to-save"))
+        .when(v == 2, F.lit("/p/48213"))
+        .otherwise(F.lit("/about"))
+    )
+    p = d.select("doc_id", title.alias("title"), path.alias("path"))
+    title_slug = F.regexp_replace(
+        F.regexp_replace(F.lower("title"), "[^a-z0-9]+", "-"),
+        "(^-+|-+$)", "")
+    s = p.select(
+        "doc_id", "title",
+        title_slug.alias("title_slug"),
+        F.regexp_extract("path", "/([^/]+)$", 1).alias("url_slug"),
+    )
+    ts, us = F.col("title_slug"), F.col("url_slug")
+    return s.select(
+        "doc_id", "title_slug", "url_slug",
+        F.when(F.col("title") == "", "no_title")
+        .when(us == ts, "exact")
+        .when((ts != "") & ts.startswith(us), "truncated")
+        .otherwise("unrelated").alias("slug_relation"),
+        F.when(
+            (F.col("title") != "") & (us != ts) & ~ts.startswith(us),
+            1).otherwise(0).cast("int").alias("opaque_url"),
+    )
+
+
+def _hashtag_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Loving the new release! #spark #bigdata'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || ' thanks @databuilder and @ocr_team'
+          WHEN 1 THEN 'Contact user@domain.example about the #1'
+            || ' bestseller ranking.'
+          ELSE 'Formal prose without social markers.'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract_all(body,
+          '(^|[ ])#([A-Za-z][A-Za-z0-9_]*)', 2) AS tags,
+        regexp_extract_all(body,
+          '(^|[ ])@([A-Za-z][A-Za-z0-9_]*)', 2) AS mentions
+      FROM p)
+    SELECT doc_id,
+      CAST(len(tags) AS BIGINT) AS n_hashtags,
+      CAST(len(mentions) AS BIGINT) AS n_mentions,
+      COALESCE(list_aggregate(tags, 'string_agg', '|'), '')
+        AS hashtags,
+      COALESCE(list_aggregate(mentions, 'string_agg', '|'), '')
+        AS mentions,
+      CAST(CASE WHEN len(tags) + len(mentions) >= 2 THEN 1 ELSE 0
+        END AS INT) AS social_register
+    FROM s
+    """
+
+
+@query("hashtag_mention_extract", _hashtag_oracle())
+def hashtag_mention_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashtag/mention extraction (round 4): #tags and @handles mark
+    syndicated social content inside web pages — a register facet
+    for mixtures (social text trains chat style; formal prose
+    doesn't), free topic labels, and author-identity edges next to
+    rel_me_identity_links. Anchoring does the precision work: the
+    marker must open a token (start or space before), the body must
+    start alphabetic — so an email's @domain (no preceding space)
+    and '#1 bestseller' (digit) are both planted negatives that
+    stay clean.
+
+    Scale shape: two group-extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Loving the new release! #spark #bigdata"),
+            (i % 7).cast("string"),
+            F.lit(" thanks @databuilder and @ocr_team")))
+        .when(v == 1, F.lit(
+            "Contact user@domain.example about the #1"
+            " bestseller ranking."))
+        .otherwise(F.lit("Formal prose without social markers."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    b = F.col("body")
+    tags = F.regexp_extract_all(
+        b, F.lit("(^|[ ])#([A-Za-z][A-Za-z0-9_]*)"), 2)
+    mentions = F.regexp_extract_all(
+        b, F.lit("(^|[ ])@([A-Za-z][A-Za-z0-9_]*)"), 2)
+    s = p.select(
+        "doc_id", tags.alias("tags"), mentions.alias("mentions"))
+    return s.select(
+        "doc_id",
+        F.size("tags").cast("long").alias("n_hashtags"),
+        F.size("mentions").cast("long").alias("n_mentions"),
+        F.array_join("tags", "|").alias("hashtags"),
+        F.array_join("mentions", "|").alias("mentions"),
+        F.when(F.size("tags") + F.size("mentions") >= 2, 1)
+        .otherwise(0).cast("int").alias("social_register"),
+    )
+
+
+def _typosquat_oracle() -> str:
+    return """
+    WITH brands AS (
+      SELECT unnest(['paypal', 'google', 'amazon', 'microsoft'])
+        AS brand),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'paypa1'
+          WHEN 1 THEN 'goggle'
+          WHEN 2 THEN 'amazon'
+          ELSE 'quarterly-report' || CAST(doc_id % 7 AS VARCHAR)
+        END AS host_label
+      FROM documents),
+    j AS (
+      SELECT doc_id, host_label, brand,
+        levenshtein(host_label, brand) AS dist
+      FROM p CROSS JOIN brands),
+    best AS (
+      SELECT doc_id,
+        MIN(dist * 16 + len(brand)) AS enc
+      FROM j GROUP BY doc_id),
+    r AS (
+      SELECT b.doc_id, j.host_label, j.brand, j.dist
+      FROM best b JOIN j
+        ON j.doc_id = b.doc_id
+        AND j.dist * 16 + len(j.brand) = b.enc)
+    SELECT doc_id, host_label,
+      brand AS nearest_brand,
+      CAST(dist AS INT) AS edit_distance,
+      CAST(CASE WHEN dist = 1 THEN 1 ELSE 0 END AS INT)
+        AS is_typosquat,
+      CAST(CASE WHEN dist = 0 THEN 1 ELSE 0 END AS INT)
+        AS is_genuine
+    FROM r
+    """
+
+
+@query("typosquat_host_detect", _typosquat_oracle())
+def typosquat_host_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat host detection (round 4): edit-distance-1
+    neighbors of high-value brands ('paypa1', 'goggle') are the
+    phishing channel homograph_host_detect's script check cannot
+    see — same-script, one keystroke off. The brand dim is a
+    4-element literal (genuinely fixed-size — the broadcast that IS
+    correct at every scale, per the host_outlink_fanout precedent);
+    each host keeps its NEAREST brand via the single-BIGINT argmin
+    house pattern (dist*16+len encodes the (dist, brand-length)
+    order), distance 0 is the genuine brand itself, distance 1
+    convicts.
+
+    Scale shape: corpus × 4-row literal broadcast, HashAggregate
+    argmin, join-back on the tiny key — no sort, no window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    host_label = (
+        F.when(v == 0, F.lit("paypa1"))
+        .when(v == 1, F.lit("goggle"))
+        .when(v == 2, F.lit("amazon"))
+        .otherwise(F.concat(
+            F.lit("quarterly-report"), (i % 7).cast("string")))
+    )
+    p = d.select("doc_id", host_label.alias("host_label"))
+    brands = spark.createDataFrame(
+        [("paypal",), ("google",), ("amazon",), ("microsoft",)],
+        "brand string")
+    j = p.crossJoin(F.broadcast(brands)).select(
+        "doc_id", "host_label", "brand",
+        F.levenshtein("host_label", "brand").alias("dist"))
+    j = j.withColumn("enc", F.col("dist") * 16 + F.length("brand"))
+    best = j.groupBy("doc_id").agg(F.min("enc").alias("enc"))
+    r = j.join(best, on=["doc_id", "enc"])
+    return r.select(
+        "doc_id", "host_label",
+        F.col("brand").alias("nearest_brand"),
+        F.col("dist").cast("int").alias("edit_distance"),
+        F.when(F.col("dist") == 1, 1).otherwise(0).cast("int")
+        .alias("is_typosquat"),
+        F.when(F.col("dist") == 0, 1).otherwise(0).cast("int")
+        .alias("is_genuine"),
+    )
+
+
+def _mixed_token_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Verify your pаypal account number '
+            || CAST(doc_id % 7 AS VARCHAR) || ' now'
+          WHEN 1 THEN 'Москва and London appear as separate words.'
+          ELSE 'Entirely latin prose with no confusables.'
+        END AS body
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+        list_filter(string_split(body, ' '),
+          x -> regexp_matches(x, '[a-zA-Z]')
+            AND regexp_matches(x, '[а-яА-Я]')) AS mixed
+      FROM p)
+    SELECT doc_id,
+      CAST(len(mixed) AS BIGINT) AS n_mixed_tokens,
+      COALESCE(list_aggregate(mixed, 'string_agg', '|'), '')
+        AS mixed_tokens,
+      CAST(CASE WHEN len(mixed) > 0 THEN 1 ELSE 0 END AS INT)
+        AS spoofing_suspect
+    FROM t
+    """
+
+
+@query("mixed_script_tokens", _mixed_token_oracle())
+def mixed_script_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script token detection (round 4): a SINGLE word mixing
+    Latin and Cyrillic ('pаypal' with a Cyrillic а) is the
+    confusable-spoofing unit — phishing lures, filter evasion, and
+    a dedup poisoner (visually identical, hashes apart) that
+    document-level script_mix_profile cannot localize: a page
+    legitimately quoting 'Москва' next to 'London' has both scripts
+    but NO mixed token (the planted negative). Per-token
+    conjunction of the two script classes over a whitespace split.
+
+    Scale shape: one split + in-row filter per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Verify your pаypal account number "),
+            (i % 7).cast("string"), F.lit(" now")))
+        .when(v == 1, F.lit(
+            "Москва and London appear as separate words."))
+        .otherwise(F.lit("Entirely latin prose with no confusables."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    mixed = F.filter(
+        F.split(F.col("body"), " "),
+        lambda x: F.regexp_like(x, F.lit("[a-zA-Z]"))
+        & F.regexp_like(x, F.lit("[а-яА-Я]")))
+    t = p.select("doc_id", mixed.alias("mixed"))
+    return t.select(
+        "doc_id",
+        F.size("mixed").cast("long").alias("n_mixed_tokens"),
+        F.array_join("mixed", "|").alias("mixed_tokens"),
+        F.when(F.size("mixed") > 0, 1).otherwise(0).cast("int")
+        .alias("spoofing_suspect"),
+    )
+
+
+def _cross_canonical_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'host' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+          AS page_host,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+            || '.example/article' || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'https://www.host' || CAST(doc_id % 97 AS
+            VARCHAR) || '.example/article'
+          WHEN 2 THEN 'https://original-news.example/source-story'
+          ELSE ''
+        END AS canonical_url
+      FROM documents),
+    s AS (
+      SELECT doc_id, page_host, canonical_url,
+        COALESCE(regexp_extract(canonical_url,
+          '^https?://([^/]+)/', 1), '') AS canon_host
+      FROM p)
+    SELECT doc_id, page_host, canon_host,
+      CASE WHEN canonical_url = '' THEN 'none'
+           WHEN canon_host = page_host THEN 'self_host'
+           WHEN canon_host = 'www.' || page_host THEN 'www_variant'
+           ELSE 'cross_host' END AS canonical_class,
+      CAST(CASE WHEN canonical_url <> ''
+        AND canon_host <> page_host
+        AND canon_host <> 'www.' || page_host THEN 1 ELSE 0 END
+        AS INT) AS defers_to_other_host
+    FROM s
+    """
+
+
+@query("cross_host_canonical", _cross_canonical_oracle())
+def cross_host_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host canonical audit (round 4): a canonical pointing at
+    ANOTHER host is the page's own admission that it is a copy —
+    licensed syndication or a scraper leaving the source attribution
+    in — so dedup should keep the canonical target's host as the
+    representative (canonical_election picks within a dup cluster;
+    this classifies the declaration itself). The www. variant is
+    same-site normalization, not deference, and classifies
+    separately — collapsing it into cross_host would flag half the
+    web.
+
+    Scale shape: one regexp + string compares per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    hostnum = (i % 97).cast("string")
+    page_host = F.concat(F.lit("host"), hostnum, F.lit(".example"))
+    canonical_url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://host"), hostnum, F.lit(".example/article"),
+            (i % 7).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("https://www.host"), hostnum,
+            F.lit(".example/article")))
+        .when(v == 2, F.lit(
+            "https://original-news.example/source-story"))
+        .otherwise(F.lit(""))
+    )
+    p = d.select(
+        "doc_id", page_host.alias("page_host"),
+        canonical_url.alias("canonical_url"))
+    s = p.select(
+        "doc_id", "page_host", "canonical_url",
+        F.regexp_extract("canonical_url", "^https?://([^/]+)/", 1)
+        .alias("canon_host"),
+    )
+    ph, ch = F.col("page_host"), F.col("canon_host")
+    www = F.concat(F.lit("www."), ph)
+    return s.select(
+        "doc_id", "page_host", "canon_host",
+        F.when(F.col("canonical_url") == "", "none")
+        .when(ch == ph, "self_host")
+        .when(ch == www, "www_variant")
+        .otherwise("cross_host").alias("canonical_class"),
+        F.when(
+            (F.col("canonical_url") != "") & (ch != ph) & (ch != www),
+            1).otherwise(0).cast("int").alias("defers_to_other_host"),
+    )
+
+
+def _ssn_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Employee record 123-45-6789 on file, run '
+            || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 1 THEN 'Invalid area: 000-12-3456 and 666-12-3456'
+            || ' and 900-12-3456 are not issued.'
+          WHEN 2 THEN 'Group zero 123-00-4567 and serial zero'
+            || ' 123-45-0000 never occur.'
+          ELSE 'Order 55-012-345 and part 1234-56-789 resemble the'
+            || ' shape but neither matches it.'
+        END AS body
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(cands, 1) - 1 AS cand_idx,
+        unnest(cands) AS cand
+      FROM (SELECT doc_id,
+              regexp_extract_all(body,
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}') AS cands
+            FROM p)),
+    s AS (
+      SELECT doc_id, cand_idx, cand,
+        substr(cand, 1, 3) AS area,
+        substr(cand, 5, 2) AS grp,
+        substr(cand, 8, 4) AS serial
+      FROM b)
+    SELECT doc_id, CAST(cand_idx AS INT) AS cand_idx, cand,
+      CAST(CASE WHEN area <> '000' AND area <> '666'
+        AND substr(area, 1, 1) <> '9'
+        AND grp <> '00' AND serial <> '0000'
+        THEN 1 ELSE 0 END AS INT) AS is_valid_ssn_shape
+    FROM s
+    """
+
+
+@query("ssn_pattern_audit", _ssn_oracle())
+def ssn_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSN shape audit (round 4): the 3-2-4 digit pattern alone
+    over-redacts — SSA rules exclude area 000/666/9xx, group 00 and
+    serial 0000, so those candidates are product codes and phone
+    fragments, not PII (the rule-gated precision argument of
+    luhn_card_detect, for the identifier with no checksum at all —
+    issuance RULES are the only gate available). Every exclusion
+    rule is planted; candidates explode with position so multiple
+    hits per document keep their provenance.
+
+    Scale shape: one extract_all + posexplode + substrings, no
+    shuffle beyond the explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Employee record 123-45-6789 on file, run "),
+            (i % 7).cast("string")))
+        .when(v == 1, F.lit(
+            "Invalid area: 000-12-3456 and 666-12-3456"
+            " and 900-12-3456 are not issued."))
+        .when(v == 2, F.lit(
+            "Group zero 123-00-4567 and serial zero"
+            " 123-45-0000 never occur."))
+        .otherwise(F.lit(
+            "Order 55-012-345 and part 1234-56-789 resemble the"
+            " shape but neither matches it."))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    cands = F.regexp_extract_all(
+        F.col("body"), F.lit("[0-9]{3}-[0-9]{2}-[0-9]{4}"), 0)
+    b = p.select(
+        "doc_id", F.posexplode(cands).alias("cand_idx", "cand"))
+    s = b.select(
+        "doc_id",
+        F.col("cand_idx").cast("int").alias("cand_idx"), "cand",
+        F.substring("cand", 1, 3).alias("area"),
+        F.substring("cand", 5, 2).alias("grp"),
+        F.substring("cand", 8, 4).alias("serial"),
+    )
+    return s.select(
+        "doc_id", "cand_idx", "cand",
+        F.when(
+            (F.col("area") != "000") & (F.col("area") != "666")
+            & (F.substring("area", 1, 1) != "9")
+            & (F.col("grp") != "00") & (F.col("serial") != "0000"),
+            1).otherwise(0).cast("int").alias("is_valid_ssn_shape"),
+    )
+
+
+def _org_schema_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"Organization","name":"Acme News '
+            || CAST(doc_id % 7 AS VARCHAR) || '","logo":'
+            || '"https://acme.example/logo.png","sameAs":['
+            || '"https://twitter.example/acmenews",'
+            || '"https://wiki.example/Acme_News"]}'
+          WHEN 1 THEN '{"@type":"Organization","name":"Solo Blog",'
+            || '"sameAs":["https://social.example/@solo"]}'
+          ELSE '{"@type":"Person","name":"not an org"}'
+        END AS jsonld
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(jsonld, '"name":"([^"]+)"', 1), '')
+          AS org_name,
+        COALESCE(regexp_extract(jsonld, '"logo":"([^"]+)"', 1), '')
+          AS logo_url,
+        regexp_extract_all(jsonld, '"(https://[^"]+)"', 1) AS urls,
+        jsonld
+      FROM p
+      WHERE regexp_matches(jsonld, '"@type":"Organization"')),
+    b AS (
+      SELECT doc_id, org_name, logo_url,
+        generate_subscripts(sa, 1) - 1 AS same_as_idx,
+        unnest(sa) AS same_as_url
+      FROM (SELECT doc_id, org_name, logo_url,
+              list_filter(urls, x -> x <> logo_url) AS sa
+            FROM f))
+    SELECT doc_id, org_name,
+      CAST(same_as_idx AS INT) AS same_as_idx,
+      same_as_url,
+      CAST(CASE WHEN logo_url <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_logo
+    FROM b
+    """
+
+
+@query("organization_schema_extract", _org_schema_oracle())
+def organization_schema_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Organization sameAs harvest (round 4): publisher entities
+    declare their OWN identity graph — the sameAs urls (social
+    profiles, wiki entries) are entity-resolution edges that
+    collapse bylines and hosts onto one publisher node (the
+    organization-level twin of rel_me_identity_links' personal
+    identity), and logo presence gates trusting the page's
+    publisher card. sameAs urls explode in declaration order; a
+    Person object pins the type filter.
+
+    Scale shape: type filter + extract_all + posexplode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    jsonld = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"Organization","name":"Acme News '),
+            (i % 7).cast("string"),
+            F.lit('","logo":"https://acme.example/logo.png","sameAs":['
+                  '"https://twitter.example/acmenews",'
+                  '"https://wiki.example/Acme_News"]}')))
+        .when(v == 1, F.lit(
+            '{"@type":"Organization","name":"Solo Blog",'
+            '"sameAs":["https://social.example/@solo"]}'))
+        .otherwise(F.lit('{"@type":"Person","name":"not an org"}'))
+    )
+    p = d.select("doc_id", jsonld.alias("jsonld")).where(
+        F.col("jsonld").contains('"@type":"Organization"'))
+    f = p.select(
+        "doc_id",
+        F.regexp_extract("jsonld", '"name":"([^"]+)"', 1)
+        .alias("org_name"),
+        F.regexp_extract("jsonld", '"logo":"([^"]+)"', 1)
+        .alias("logo_url"),
+        F.regexp_extract_all(
+            F.col("jsonld"), F.lit('"(https://[^"]+)"'), 1)
+        .alias("urls"),
+    )
+    sa = F.filter(
+        F.col("urls"), lambda x: x != F.col("logo_url"))
+    b = f.select(
+        "doc_id", "org_name", "logo_url",
+        F.posexplode(sa).alias("same_as_idx", "same_as_url"))
+    return b.select(
+        "doc_id", "org_name",
+        F.col("same_as_idx").cast("int").alias("same_as_idx"),
+        "same_as_url",
+        F.when(F.col("logo_url") != "", 1).otherwise(0).cast("int")
+        .alias("has_logo"),
+    )
+
+
+def _rss_ttl_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<channel><ttl>' || CAST(30 + doc_id % 90 AS
+            VARCHAR) || '</ttl><title>Feed</title></channel>'
+          WHEN 1 THEN '<channel><skipHours><hour>0</hour><hour>1'
+            || '</hour><hour>2</hour></skipHours></channel>'
+          WHEN 2 THEN '<channel><ttl>60</ttl><skipDays><day>'
+            || 'Saturday</day><day>Sunday</day></skipDays>'
+            || '</channel>'
+          ELSE '<channel><title>No hints</title></channel>'
+        END AS xml
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(xml, '<ttl>([0-9]+)</ttl>', 1), '')
+          AS ttl_s,
+        len(regexp_extract_all(xml, '<hour>[0-9]+</hour>', 0))
+          AS n_skip_hours,
+        len(regexp_extract_all(xml, '<day>[A-Za-z]+</day>', 0))
+          AS n_skip_days
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN ttl_s <> '' THEN CAST(ttl_s AS BIGINT)
+        ELSE -1 END AS BIGINT) AS ttl_minutes,
+      CAST(n_skip_hours AS BIGINT) AS n_skip_hours,
+      CAST(n_skip_days AS BIGINT) AS n_skip_days,
+      CAST(CASE WHEN ttl_s <> '' OR n_skip_hours > 0
+        OR n_skip_days > 0 THEN 1 ELSE 0 END AS INT)
+        AS has_recrawl_hints
+    FROM s
+    """
+
+
+@query("rss_ttl_hints", _rss_ttl_oracle())
+def rss_ttl_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS recrawl hints (round 4): ``<ttl>``, ``<skipHours>`` and
+    ``<skipDays>`` are the feed's OWN polling contract — minutes of
+    cache validity and the hours/days the publisher asks pollers to
+    stay away — the third politeness channel after robots
+    Crawl-delay and Retry-After, specific to feeds (rss_feed_
+    staleness infers freshness; this reads the declared schedule).
+    Sentinel -1 separates no-ttl from a declared value.
+
+    Scale shape: one extract + two counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    xml = (
+        F.when(v == 0, F.concat(
+            F.lit("<channel><ttl>"), (30 + i % 90).cast("string"),
+            F.lit("</ttl><title>Feed</title></channel>")))
+        .when(v == 1, F.lit(
+            "<channel><skipHours><hour>0</hour><hour>1"
+            "</hour><hour>2</hour></skipHours></channel>"))
+        .when(v == 2, F.lit(
+            "<channel><ttl>60</ttl><skipDays><day>"
+            "Saturday</day><day>Sunday</day></skipDays></channel>"))
+        .otherwise(F.lit("<channel><title>No hints</title></channel>"))
+    )
+    p = d.select("doc_id", xml.alias("xml"))
+    x = F.col("xml")
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(x, "<ttl>([0-9]+)</ttl>", 1).alias("ttl_s"),
+        F.size(F.regexp_extract_all(
+            x, F.lit("<hour>[0-9]+</hour>"), 0)).alias("n_skip_hours"),
+        F.size(F.regexp_extract_all(
+            x, F.lit("<day>[A-Za-z]+</day>"), 0)).alias("n_skip_days"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(F.col("ttl_s") != "", F.col("ttl_s").cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("ttl_minutes"),
+        F.col("n_skip_hours").cast("long").alias("n_skip_hours"),
+        F.col("n_skip_days").cast("long").alias("n_skip_days"),
+        F.when(
+            (F.col("ttl_s") != "") | (F.col("n_skip_hours") > 0)
+            | (F.col("n_skip_days") > 0), 1)
+        .otherwise(0).cast("int").alias("has_recrawl_hints"),
+    )
+
+
+def _twocol_kv_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<table><tr><th>Founded</th><td>19'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || '</td></tr><tr><th>Employees</th><td>250</td></tr>'
+            || '<tr><th>HQ</th><td>Berlin</td></tr></table>'
+          WHEN 1 THEN '<table><tr><th>ISIN</th><td>DE000ABC</td>'
+            || '</tr></table>'
+          ELSE '<table><tr><td>layout</td><td>grid</td><td>three'
+            || '</td></tr></table>'
+        END AS html
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(rows_, 1) - 1 AS row_idx,
+        unnest(rows_) AS blk
+      FROM (SELECT doc_id,
+              regexp_extract_all(html,
+                '<tr><th>[^<]+</th><td>[^<]+</td></tr>') AS rows_
+            FROM p))
+    SELECT doc_id,
+      CAST(row_idx AS INT) AS row_idx,
+      regexp_extract(blk, '<th>([^<]+)</th>', 1) AS attr,
+      regexp_extract(blk, '<td>([^<]+)</td>', 1) AS value
+    FROM b
+    """
+
+
+@query("twocol_table_kv", _twocol_kv_oracle())
+def twocol_table_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column th/td tables as key-value pairs (round 4): the
+    HTML idiom for entity attribute sheets (company facts, product
+    specs, species data) — the rendered-web twin of
+    infobox_keyvalue_extract's wikitext channel, and typed
+    supervision table_layout_classify's data/layout split feeds
+    into. Only strict th→td rows qualify: the three-td layout row
+    is the planted negative — without a header cell there is no
+    KEY, and treating position as one produces garbage pairs.
+
+    Scale shape: one extract_all + posexplode, per-row parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<table><tr><th>Founded</th><td>19"),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lit("</td></tr><tr><th>Employees</th><td>250</td></tr>"
+                  "<tr><th>HQ</th><td>Berlin</td></tr></table>")))
+        .when(v == 1, F.lit(
+            "<table><tr><th>ISIN</th><td>DE000ABC</td></tr></table>"))
+        .otherwise(F.lit(
+            "<table><tr><td>layout</td><td>grid</td><td>three"
+            "</td></tr></table>"))
+    )
+    p = d.select("doc_id", html.alias("html"))
+    rows_ = F.regexp_extract_all(
+        F.col("html"),
+        F.lit("<tr><th>[^<]+</th><td>[^<]+</td></tr>"), 0)
+    b = p.select(
+        "doc_id", F.posexplode(rows_).alias("row_idx", "blk"))
+    return b.select(
+        "doc_id",
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.regexp_extract("blk", "<th>([^<]+)</th>", 1).alias("attr"),
+        F.regexp_extract("blk", "<td>([^<]+)</td>", 1).alias("value"),
+    )
+
+
+def _comment_density_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '# load the config' || chr(10)
+            || 'cfg = load(' || CAST(doc_id % 7 AS VARCHAR) || ')'
+            || chr(10) || '# apply defaults' || chr(10)
+            || 'cfg.apply()' || chr(10) || 'run(cfg)'
+          WHEN 1 THEN '// fast path' || chr(10) || 'int x = 1;'
+            || chr(10) || 'return x;'
+          ELSE 'x = 1' || chr(10) || 'y = x + 2' || chr(10)
+            || 'print(y)'
+        END AS code
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(string_split(code, chr(10))) AS n_lines,
+        len(list_filter(string_split(code, chr(10)),
+          x -> regexp_matches(x, '^\\s*(#|//)'))) AS n_comment_lines
+      FROM p)
+    SELECT doc_id,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(n_comment_lines AS BIGINT) AS n_comment_lines,
+      CAST(FLOOR(1000.0 * n_comment_lines / n_lines) AS BIGINT)
+        AS comment_permille,
+      CAST(CASE WHEN n_comment_lines > 0 THEN 1 ELSE 0 END AS INT)
+        AS is_documented
+    FROM s
+    """
+
+
+@query("code_comment_density", _comment_density_oracle())
+def code_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code comment density (round 4): comment-bearing code is the
+    (code, explanation) supervision code corpora prize — density
+    gates which blocks enter instruction mixtures (code_lang_infer
+    routes the language; this scores the documentation). Comment
+    lines anchor at line start (``#`` or ``//`` after optional
+    indent) so a ``#`` mid-string never counts — the same
+    whole-line discipline as running_header_scrub.
+
+    Scale shape: one split + in-row filter per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    code = (
+        F.when(v == 0, F.concat(
+            F.lit("# load the config\ncfg = load("),
+            (i % 7).cast("string"),
+            F.lit(")\n# apply defaults\ncfg.apply()\nrun(cfg)")))
+        .when(v == 1, F.lit("// fast path\nint x = 1;\nreturn x;"))
+        .otherwise(F.lit("x = 1\ny = x + 2\nprint(y)"))
+    )
+    p = d.select("doc_id", code.alias("code"))
+    lines = F.split(F.col("code"), "\n")
+    s = p.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(
+            lines,
+            lambda x: F.regexp_like(x, F.lit("^\\s*(#|//)"))))
+        .alias("n_comment_lines"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_comment_lines").cast("long").alias("n_comment_lines"),
+        F.floor(
+            F.lit(1000.0) * F.col("n_comment_lines") / F.col("n_lines"))
+        .cast("long").alias("comment_permille"),
+        F.when(F.col("n_comment_lines") > 0, 1).otherwise(0)
+        .cast("int").alias("is_documented"),
+    )
+
+
+def _notebook_cells_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"nbformat":4,"cells":['
+            || '{"cell_type":"markdown","source":["# Title"],'
+            || '"outputs":[]},'
+            || '{"cell_type":"code","source":["import m\\n",'
+            || '"print(' || CAST(doc_id % 7 AS VARCHAR) || ')"],'
+            || '"outputs":[{"output_type":"stream"}]},'
+            || '{"cell_type":"code","source":["x = 1"],"outputs":[]}]}'
+          WHEN 1 THEN '{"nbformat":4,"cells":[{"cell_type":"raw",'
+            || '"source":["raw text"],"outputs":[]}]}'
+          ELSE '{"title":"plain json, not a notebook"}'
+        END AS js
+      FROM documents),
+    n AS (
+      SELECT doc_id, CAST(json_extract(js, '$.cells') AS JSON[]) AS cells
+      FROM p WHERE json_extract(js, '$.nbformat') IS NOT NULL),
+    c AS (
+      SELECT doc_id,
+        generate_subscripts(cells, 1) - 1 AS cell_idx,
+        unnest(cells) AS cell
+      FROM n)
+    SELECT doc_id,
+      CAST(cell_idx AS INT) AS cell_idx,
+      json_extract_string(cell, '$.cell_type') AS cell_type,
+      array_to_string(CAST(json_extract(cell, '$.source')
+        AS VARCHAR[]), '') AS source_text,
+      CAST(json_array_length(cell, '$.outputs') AS INT) AS n_outputs,
+      CAST(CASE WHEN json_extract_string(cell, '$.cell_type') = 'code'
+        THEN 1 ELSE 0 END AS INT) AS is_code
+    FROM c
+    """
+
+
+@query("notebook_cell_extract", _notebook_cells_oracle())
+def notebook_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook cell shredding (round 4): .ipynb payloads are
+    JSON, not HTML — code corpora mine them for (markdown, code,
+    output) triples, and the cells array IS the document order.
+    Source arrives as the format's line-array and is rejoined;
+    executed-ness (n_outputs > 0) separates narrative code from dead
+    cells. A valid-JSON non-notebook payload pins the nbformat gate
+    (no try-parse asymmetry between engines).
+
+    Scale shape: from_json + posexplode, pure per-row parse; Spark's
+    JacksonParser and DuckDB's yyjson are independent JSON readers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    js = (
+        F.when(v == 0, F.concat(
+            F.lit('{"nbformat":4,"cells":['
+                  '{"cell_type":"markdown","source":["# Title"],'
+                  '"outputs":[]},'
+                  '{"cell_type":"code","source":["import m\\n","print('),
+            (i % 7).cast("string"),
+            F.lit(')"],"outputs":[{"output_type":"stream"}]},'
+                  '{"cell_type":"code","source":["x = 1"],'
+                  '"outputs":[]}]}')))
+        .when(v == 1, F.lit(
+            '{"nbformat":4,"cells":[{"cell_type":"raw",'
+            '"source":["raw text"],"outputs":[]}]}'))
+        .otherwise(F.lit('{"title":"plain json, not a notebook"}'))
+    )
+    schema = ("struct<nbformat:int,cells:array<struct<"
+              "cell_type:string,source:array<string>,"
+              "outputs:array<map<string,string>>>>>")
+    p = d.select("doc_id", F.from_json(js, schema).alias("nb"))
+    n = p.where(F.col("nb.nbformat").isNotNull())
+    c = n.select(
+        "doc_id", F.posexplode("nb.cells").alias("cell_idx", "cell"))
+    return c.select(
+        "doc_id",
+        F.col("cell_idx").cast("int").alias("cell_idx"),
+        F.col("cell.cell_type").alias("cell_type"),
+        F.concat_ws("", F.col("cell.source")).alias("source_text"),
+        F.size("cell.outputs").cast("int").alias("n_outputs"),
+        F.when(F.col("cell.cell_type") == "code", 1).otherwise(0)
+        .cast("int").alias("is_code"),
+    )
+
+
+def _unified_diff_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '--- a/src/main.py' || chr(10)
+            || '+++ b/src/main.py' || chr(10)
+            || '@@ -1,3 +1,' || CAST(3 + doc_id % 4 AS VARCHAR)
+            || ' @@' || chr(10) || ' import os' || chr(10)
+            || '-x = 1' || chr(10) || '+x = 2' || chr(10)
+            || '+y = 3' || chr(10) || ' print(x)'
+          WHEN 1 THEN '--- a/README.md' || chr(10)
+            || '+++ b/README.md' || chr(10)
+            || '@@ -1 +1 @@' || chr(10) || '-old title' || chr(10)
+            || '+new title' || chr(10)
+            || '--- a/setup.py' || chr(10) || '+++ b/setup.py'
+            || chr(10) || '@@ -5 +5 @@' || chr(10) || '-v1' || chr(10)
+            || '+v2'
+          ELSE 'grades: A+ and B-' || chr(10)
+            || '+1 if you agree' || chr(10) || 'no hunks here'
+        END AS txt
+      FROM documents),
+    s AS (
+      SELECT doc_id, string_split(txt, chr(10)) AS ls FROM p),
+    f AS (
+      SELECT doc_id,
+        len(list_filter(ls, x -> regexp_matches(x,
+          '^@@ -[0-9]+(,[0-9]+)? \\+[0-9]+(,[0-9]+)? @@')))
+          AS n_hunks,
+        len(list_filter(ls, x -> x LIKE '+++ %')) AS n_files,
+        len(list_filter(ls, x -> x LIKE '+%'
+          AND NOT x LIKE '+++ %')) AS added,
+        len(list_filter(ls, x -> x LIKE '-%'
+          AND NOT x LIKE '--- %')) AS removed
+      FROM s)
+    SELECT doc_id,
+      CAST(CASE WHEN n_hunks > 0 THEN 1 ELSE 0 END AS INT) AS is_diff,
+      CAST(CASE WHEN n_hunks > 0 THEN n_hunks ELSE 0 END AS BIGINT)
+        AS n_hunks,
+      CAST(CASE WHEN n_hunks > 0 THEN n_files ELSE 0 END AS BIGINT)
+        AS n_files,
+      CAST(CASE WHEN n_hunks > 0 THEN added ELSE 0 END AS BIGINT)
+        AS added_lines,
+      CAST(CASE WHEN n_hunks > 0 THEN removed ELSE 0 END AS BIGINT)
+        AS removed_lines,
+      CAST(CASE WHEN n_hunks > 0 THEN added - removed ELSE 0 END
+        AS BIGINT) AS net_lines
+    FROM f
+    """
+
+
+@query("unified_diff_stats", _unified_diff_oracle())
+def unified_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-diff detection and hunk accounting (round 4): patches
+    pasted into forums/mail archives are (before, edit, after)
+    supervision for code-editing models — but only if +/- prefixes
+    are read under a real hunk header; the planted negative ('+1 if
+    you agree', 'A+ and B-') shows prefix counting without the
+    @@-gate manufactures phantom edits. File headers (+++/---) are
+    excluded from the add/remove counts, and all counts zero out
+    when no hunk header is present.
+
+    Scale shape: one split + five in-row list folds, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("--- a/src/main.py\n+++ b/src/main.py\n@@ -1,3 +1,"),
+            (3 + i % 4).cast("string"),
+            F.lit(" @@\n import os\n-x = 1\n+x = 2\n+y = 3\n print(x)")))
+        .when(v == 1, F.lit(
+            "--- a/README.md\n+++ b/README.md\n@@ -1 +1 @@\n"
+            "-old title\n+new title\n"
+            "--- a/setup.py\n+++ b/setup.py\n@@ -5 +5 @@\n-v1\n+v2"))
+        .otherwise(F.lit(
+            "grades: A+ and B-\n+1 if you agree\nno hunks here"))
+    )
+    ls = F.split(txt, "\n")
+    hunk_re = "^@@ -[0-9]+(,[0-9]+)? \\+[0-9]+(,[0-9]+)? @@"
+    s = d.select(
+        "doc_id",
+        F.size(F.filter(ls, lambda x: F.regexp_like(
+            x, F.lit(hunk_re)))).alias("n_hunks"),
+        F.size(F.filter(ls, lambda x: x.startswith("+++ ")))
+        .alias("n_files"),
+        F.size(F.filter(ls, lambda x: x.startswith("+")
+                        & ~x.startswith("+++ "))).alias("added"),
+        F.size(F.filter(ls, lambda x: x.startswith("-")
+                        & ~x.startswith("--- "))).alias("removed"),
+    )
+    gate = F.col("n_hunks") > 0
+    z = lambda c: F.when(gate, c).otherwise(F.lit(0))  # noqa: E731
+    return s.select(
+        "doc_id",
+        F.when(gate, 1).otherwise(0).cast("int").alias("is_diff"),
+        z(F.col("n_hunks")).cast("long").alias("n_hunks"),
+        z(F.col("n_files")).cast("long").alias("n_files"),
+        z(F.col("added")).cast("long").alias("added_lines"),
+        z(F.col("removed")).cast("long").alias("removed_lines"),
+        z(F.col("added") - F.col("removed")).cast("long")
+        .alias("net_lines"),
+    )
+
+
+def _shell_transcript_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '$ ls data_' || CAST(doc_id % 5 AS VARCHAR)
+            || chr(10) || 'train.txt' || chr(10) || 'eval.txt'
+            || chr(10) || '$ sudo make install' || chr(10) || 'ok'
+          WHEN 1 THEN '$ echo hi' || chr(10) || 'hi'
+          ELSE 'it costs $5 today' || chr(10)
+            || 'price: $ 20 per seat' || chr(10) || 'plain text'
+        END AS txt
+      FROM documents),
+    s AS (
+      SELECT doc_id, string_split(txt, chr(10)) AS ls FROM p),
+    f AS (
+      SELECT doc_id, ls,
+        list_filter(ls, x -> regexp_matches(x,
+          '^\\$ [a-z]')) AS cmds
+      FROM s)
+    SELECT doc_id,
+      CAST(len(cmds) AS BIGINT) AS n_commands,
+      CAST(CASE WHEN len(cmds) > 0 THEN len(ls) - len(cmds)
+        ELSE 0 END AS BIGINT) AS n_output_lines,
+      COALESCE(cmds[1][3:], '') AS first_command,
+      CAST(CASE WHEN len(list_filter(cmds,
+        x -> x LIKE '$ sudo %')) > 0 THEN 1 ELSE 0 END AS INT)
+        AS uses_sudo,
+      CAST(CASE WHEN len(cmds) > 0 THEN 1 ELSE 0 END AS INT)
+        AS is_transcript
+    FROM f
+    """
+
+
+@query("shell_transcript_extract", _shell_transcript_oracle())
+def shell_transcript_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shell-session transcripts (round 4): '$ command' prompt lines
+    followed by output lines are (instruction, result) pairs tutorial
+    pages publish constantly — the CLI twin of notebook cells. The
+    prompt gate demands a lowercase command letter after '$ ' so
+    currency ('$ 20', '$5') never promotes prose to a transcript;
+    output-line counts only exist under the gate, and sudo usage is
+    surfaced because privileged snippets get filtered from training
+    mixes.
+
+    Scale shape: split + two list folds per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("$ ls data_"), (i % 5).cast("string"),
+            F.lit("\ntrain.txt\neval.txt\n$ sudo make install\nok")))
+        .when(v == 1, F.lit("$ echo hi\nhi"))
+        .otherwise(F.lit(
+            "it costs $5 today\nprice: $ 20 per seat\nplain text"))
+    )
+    ls = F.split(txt, "\n")
+    cmds = F.filter(ls, lambda x: F.regexp_like(
+        x, F.lit("^\\$ [a-z]")))
+    s = d.select(
+        "doc_id", F.size(ls).alias("n_lines"), cmds.alias("cmds"))
+    nc = F.size("cmds")
+    return s.select(
+        "doc_id",
+        nc.cast("long").alias("n_commands"),
+        F.when(nc > 0, (F.col("n_lines") - nc)).otherwise(0)
+        .cast("long").alias("n_output_lines"),
+        F.coalesce(F.substring(F.try_element_at("cmds", F.lit(1)),
+                               3, 1 << 30),
+                   F.lit("")).alias("first_command"),
+        F.when(F.size(F.filter(
+            F.col("cmds"),
+            lambda x: x.startswith("$ sudo "))) > 0, 1)
+        .otherwise(0).cast("int").alias("uses_sudo"),
+        F.when(nc > 0, 1).otherwise(0).cast("int")
+        .alias("is_transcript"),
+    )
+
+
+def _bibtex_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '@article{smith' || CAST(doc_id % 7 AS VARCHAR)
+            || ', title={Deep Learning}, author={Smith, J.},'
+            || ' year={2019}}' || chr(10)
+            || '@inproceedings{lee20, title={Scaling Laws},'
+            || ' year={2020}}'
+          WHEN 1 THEN 'see @book{knuth, title={TAOCP}} for details'
+          ELSE 'mention me @example on the fediverse'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(es, 1) - 1 AS entry_idx,
+        unnest(es) AS e
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              '@[a-z]+\\{[^@{}]*(\\{[^{}]*\\}[^@{}]*)*\\}') AS es
+            FROM p))
+    SELECT doc_id,
+      CAST(entry_idx AS INT) AS entry_idx,
+      regexp_extract(e, '@([a-z]+)\\{', 1) AS entry_type,
+      regexp_extract(e, '@[a-z]+\\{([^,}]+)', 1) AS cite_key,
+      COALESCE(regexp_extract(e, 'title=\\{([^}]*)\\}', 1), '')
+        AS title,
+      CAST(CASE WHEN regexp_matches(e, 'year=\\{[0-9]+\\}')
+        THEN CAST(regexp_extract(e, 'year=\\{([0-9]+)\\}', 1)
+          AS BIGINT) ELSE -1 END AS BIGINT) AS year
+    FROM b
+    """
+
+
+@query("bibtex_entry_extract", _bibtex_oracle())
+def bibtex_entry_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BibTeX entry harvesting (round 4): academic pages embed their
+    own citation records as @type{key, field={...}} blocks — typed
+    provenance (venue class, year, title) that doi_citation_extract
+    and citation_style_detect approximate from rendered text but this
+    reads from the machine form. The entry regex allows ONE level of
+    inner braces (field values) and anchors on the @type{ opener so
+    fediverse handles ('@example') never parse; year is -1 when the
+    field is absent (the @book rotation).
+
+    Scale shape: extract_all + posexplode + per-entry extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("@article{smith"), (i % 7).cast("string"),
+            F.lit(", title={Deep Learning}, author={Smith, J.},"
+                  " year={2019}}\n"
+                  "@inproceedings{lee20, title={Scaling Laws},"
+                  " year={2020}}")))
+        .when(v == 1, F.lit("see @book{knuth, title={TAOCP}} for details"))
+        .otherwise(F.lit("mention me @example on the fediverse"))
+    )
+    entry_re = "@[a-z]+\\{[^@{}]*(\\{[^{}]*\\}[^@{}]*)*\\}"
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(
+        F.regexp_extract_all(F.col("txt"), F.lit(entry_re), 0))
+        .alias("entry_idx", "e"))
+    year_s = F.regexp_extract("e", "year=\\{([0-9]+)\\}", 1)
+    return b.select(
+        "doc_id",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.regexp_extract("e", "@([a-z]+)\\{", 1).alias("entry_type"),
+        F.regexp_extract("e", "@[a-z]+\\{([^,}]+)", 1)
+        .alias("cite_key"),
+        F.regexp_extract("e", "title=\\{([^}]*)\\}", 1).alias("title"),
+        F.when(year_s != "", year_s.cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("year"),
+    )
+
+
+def _clean_param_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Clean-param: sid&ref /catalog'
+          WHEN 1 THEN 'Clean-param: token /blog'
+          ELSE 'User-agent: *'
+        END AS robots,
+        '/catalog/item?id=' || CAST(doc_id % 9 AS VARCHAR)
+          || '&sid=abc&ref=tw' AS url
+      FROM documents),
+    r AS (
+      SELECT doc_id, url,
+        COALESCE(regexp_extract(robots,
+          'Clean-param: ([^ ]+) (/[^ ]*)', 1), '') AS names_s,
+        COALESCE(regexp_extract(robots,
+          'Clean-param: ([^ ]+) (/[^ ]*)', 2), '') AS prefix
+      FROM p),
+    s AS (
+      SELECT doc_id, url,
+        str_split(url, '?')[1] AS path,
+        str_split(str_split(url, '?')[2], '&') AS params,
+        CASE WHEN names_s <> '' AND
+          starts_with(str_split(url, '?')[1], prefix)
+          THEN str_split(names_s, '&') ELSE [] END AS drop_names
+      FROM r),
+    k AS (
+      SELECT doc_id, url, path, params,
+        list_filter(params, x -> NOT list_contains(drop_names,
+          str_split(x, '=')[1])) AS kept
+      FROM s)
+    SELECT doc_id,
+      CAST(len(params) AS INT) AS n_params,
+      CAST(len(params) - len(kept) AS INT) AS n_dropped,
+      CASE WHEN len(kept) > 0
+        THEN path || '?' || array_to_string(kept, '&')
+        ELSE path END AS cleaned_url,
+      CAST(CASE WHEN len(kept) < len(params) THEN 1 ELSE 0 END
+        AS INT) AS was_cleaned
+    FROM k
+    """
+
+
+@query("robots_clean_param", _clean_param_oracle())
+def robots_clean_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yandex Clean-param directive (round 4): the robots.txt channel
+    that names WHICH query params are identity-free per path prefix —
+    a publisher-declared canonicalization rule, stronger evidence
+    than url_canonicalize's global tracking-param list because the
+    site itself asserts the equivalence. The path-prefix gate is
+    planted (variant 1's rule targets /blog so /catalog urls pass
+    through untouched) and parameter ORDER of survivors is preserved
+    (the directive only deletes, it never sorts).
+
+    Scale shape: per-row parse + list filter; the rule table joins
+    broadcast-side at corpus scale (one row per host).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    robots = (
+        F.when(v == 0, F.lit("Clean-param: sid&ref /catalog"))
+        .when(v == 1, F.lit("Clean-param: token /blog"))
+        .otherwise(F.lit("User-agent: *"))
+    )
+    url = F.concat(F.lit("/catalog/item?id="), (i % 9).cast("string"),
+                   F.lit("&sid=abc&ref=tw"))
+    cp_re = "Clean-param: ([^ ]+) (/[^ ]*)"
+    r = d.select(
+        "doc_id", url.alias("url"),
+        F.regexp_extract(robots, cp_re, 1).alias("names_s"),
+        F.regexp_extract(robots, cp_re, 2).alias("prefix"),
+    )
+    path = F.split_part(F.col("url"), F.lit("?"), F.lit(1))
+    params = F.split(F.split_part(F.col("url"), F.lit("?"), F.lit(2)),
+                     "&")
+    drop_names = F.when(
+        (F.col("names_s") != "") & path.startswith(F.col("prefix")),
+        F.split(F.col("names_s"), "&")
+    ).otherwise(F.array().cast("array<string>"))
+    s = r.select(
+        "doc_id", path.alias("path"), params.alias("params"),
+        drop_names.alias("drop_names"))
+    kept = F.filter(
+        F.col("params"),
+        lambda x: ~F.array_contains(
+            F.col("drop_names"), F.split_part(x, F.lit("="), F.lit(1))))
+    k = s.select("doc_id", "path", "params", kept.alias("kept"))
+    np_, nk = F.size("params"), F.size("kept")
+    return k.select(
+        "doc_id",
+        np_.cast("int").alias("n_params"),
+        (np_ - nk).cast("int").alias("n_dropped"),
+        F.when(nk > 0, F.concat(
+            F.col("path"), F.lit("?"),
+            F.array_join(F.col("kept"), "&")))
+        .otherwise(F.col("path")).alias("cleaned_url"),
+        F.when(nk < np_, 1).otherwise(0).cast("int")
+        .alias("was_cleaned"),
+    )
+
+
+def _ratelimit_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'X-RateLimit-Limit: 100' || chr(10)
+            || 'X-RateLimit-Remaining: '
+            || CAST(doc_id % 100 AS VARCHAR) || chr(10)
+            || 'X-RateLimit-Reset: 1700000060'
+          WHEN 1 THEN 'RateLimit-Limit: 60' || chr(10)
+            || 'RateLimit-Remaining: 0' || chr(10)
+            || 'RateLimit-Reset: 30'
+          WHEN 2 THEN 'X-RateLimit-Limit: 500' || chr(10)
+            || 'X-RateLimit-Remaining: 499'
+          ELSE 'Content-Type: text/html'
+        END AS hdrs
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(hdrs,
+          '(?m)^(?:X-)?RateLimit-Limit: ([0-9]+)', 1), '') AS lim_s,
+        COALESCE(regexp_extract(hdrs,
+          '(?m)^(?:X-)?RateLimit-Remaining: ([0-9]+)', 1), '')
+          AS rem_s,
+        COALESCE(regexp_extract(hdrs,
+          '(?m)^(?:X-)?RateLimit-Reset: ([0-9]+)', 1), '') AS rst_s
+      FROM p)
+    SELECT doc_id,
+      CAST(CASE WHEN lim_s <> '' THEN CAST(lim_s AS BIGINT)
+        ELSE -1 END AS BIGINT) AS rl_limit,
+      CAST(CASE WHEN rem_s <> '' THEN CAST(rem_s AS BIGINT)
+        ELSE -1 END AS BIGINT) AS rl_remaining,
+      CAST(CASE WHEN rst_s <> '' THEN CAST(rst_s AS BIGINT)
+        ELSE -1 END AS BIGINT) AS rl_reset,
+      CAST(CASE WHEN lim_s <> '' AND rem_s <> ''
+          AND CAST(lim_s AS BIGINT) > 0
+        THEN FLOOR(1000 * (CAST(lim_s AS BIGINT)
+          - CAST(rem_s AS BIGINT)) / CAST(lim_s AS BIGINT))
+        ELSE -1 END AS BIGINT) AS used_permille,
+      CAST(CASE WHEN rem_s = '0' THEN 1 ELSE 0 END AS INT)
+        AS exhausted
+    FROM s
+    """
+
+
+@query("ratelimit_headers_parse", _ratelimit_oracle())
+def ratelimit_headers_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rate-limit header budgeting (round 4): X-RateLimit-* (legacy)
+    and RateLimit-* (IETF draft) quotas are the API-side politeness
+    contract retry_after_parse's 429 handling reacts to AFTER the
+    fact — reading remaining/limit lets the fetcher throttle BEFORE
+    tripping the limit. Both spellings parse through one optional
+    '(?:X-)?' prefix; utilization is permille with a zero-limit
+    guard, and -1 sentinels separate absent headers from zero values
+    (remaining=0 is exhausted, absent is unknown).
+
+    Scale shape: three anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    hdrs = (
+        F.when(v == 0, F.concat(
+            F.lit("X-RateLimit-Limit: 100\nX-RateLimit-Remaining: "),
+            (i % 100).cast("string"),
+            F.lit("\nX-RateLimit-Reset: 1700000060")))
+        .when(v == 1, F.lit(
+            "RateLimit-Limit: 60\nRateLimit-Remaining: 0\n"
+            "RateLimit-Reset: 30"))
+        .when(v == 2, F.lit(
+            "X-RateLimit-Limit: 500\nX-RateLimit-Remaining: 499"))
+        .otherwise(F.lit("Content-Type: text/html"))
+    )
+    p = d.select("doc_id", hdrs.alias("hdrs"))
+    h = F.col("hdrs")
+    s = p.select(
+        "doc_id",
+        F.regexp_extract(
+            h, "(?m)^(?:X-)?RateLimit-Limit: ([0-9]+)", 1)
+        .alias("lim_s"),
+        F.regexp_extract(
+            h, "(?m)^(?:X-)?RateLimit-Remaining: ([0-9]+)", 1)
+        .alias("rem_s"),
+        F.regexp_extract(
+            h, "(?m)^(?:X-)?RateLimit-Reset: ([0-9]+)", 1)
+        .alias("rst_s"),
+    )
+    lim, rem, rst = F.col("lim_s"), F.col("rem_s"), F.col("rst_s")
+    sent = lambda c: F.when(c != "", c.cast("long")).otherwise(  # noqa: E731
+        F.lit(-1).cast("long"))
+    return s.select(
+        "doc_id",
+        sent(lim).alias("rl_limit"),
+        sent(rem).alias("rl_remaining"),
+        sent(rst).alias("rl_reset"),
+        F.when(
+            (lim != "") & (rem != "") & (lim.cast("long") > 0),
+            F.floor(F.lit(1000) * (lim.cast("long")
+                                   - rem.cast("long"))
+                    / lim.cast("long")))
+        .otherwise(F.lit(-1)).cast("long").alias("used_permille"),
+        F.when(rem == "0", 1).otherwise(0).cast("int")
+        .alias("exhausted"),
+    )
+
+
+def _humans_txt_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '/* TEAM */' || chr(10)
+            || 'Developer: Ada ' || CAST(doc_id % 5 AS VARCHAR)
+            || chr(10) || 'Designer: Grace' || chr(10) || chr(10)
+            || '/* SITE */' || chr(10) || 'Standards: HTML5, CSS3'
+            || chr(10) || 'Language: English'
+          WHEN 1 THEN '/* TEAM */' || chr(10) || 'Developer: Solo'
+          ELSE 'not a humans.txt payload'
+        END AS txt
+      FROM documents),
+    s AS (
+      SELECT doc_id, string_split(txt, chr(10)) AS ls, txt FROM p
+      WHERE txt LIKE '/* TEAM */%'),
+    f AS (
+      SELECT doc_id,
+        list_filter(ls, x -> regexp_matches(x,
+          '^[A-Za-z ]+: .')) AS kv,
+        COALESCE(regexp_extract(txt, 'Developer: ([^' || chr(10)
+          || ']+)', 1), '') AS first_dev,
+        COALESCE(regexp_extract(txt, 'Standards: ([^' || chr(10)
+          || ']+)', 1), '') AS standards
+      FROM s)
+    SELECT doc_id,
+      CAST(len(kv) AS BIGINT) AS n_fields,
+      first_dev AS first_developer,
+      CAST(CASE WHEN standards <> ''
+        THEN len(str_split(standards, ', ')) ELSE 0 END AS INT)
+        AS n_standards,
+      CAST(CASE WHEN standards <> '' THEN 1 ELSE 0 END AS INT)
+        AS has_standards
+    FROM f
+    """
+
+
+@query("humans_txt_parse", _humans_txt_oracle())
+def humans_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """humans.txt parsing (round 4): the authorship convention file
+    (humanstxt.org) — /* SECTION */ blocks of 'Role: value' lines
+    naming who built the site and to what standards; the third
+    well-known text channel after security.txt and llms.txt, and a
+    provenance signal (a declared team separates maintained sites
+    from parked shells). Only payloads opening with the TEAM block
+    qualify; field counting requires a value after the colon.
+
+    Scale shape: gate + list fold + two extracts, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("/* TEAM */\nDeveloper: Ada "),
+            (i % 5).cast("string"),
+            F.lit("\nDesigner: Grace\n\n/* SITE */\n"
+                  "Standards: HTML5, CSS3\nLanguage: English")))
+        .when(v == 1, F.lit("/* TEAM */\nDeveloper: Solo"))
+        .otherwise(F.lit("not a humans.txt payload"))
+    )
+    p = d.select("doc_id", txt.alias("txt")).where(
+        F.col("txt").startswith("/* TEAM */"))
+    ls = F.split(F.col("txt"), "\n")
+    f = p.select(
+        "doc_id",
+        F.size(F.filter(ls, lambda x: F.regexp_like(
+            x, F.lit("^[A-Za-z ]+: .")))).alias("n_fields"),
+        F.regexp_extract("txt", "Developer: ([^\\n]+)", 1)
+        .alias("first_dev"),
+        F.regexp_extract("txt", "Standards: ([^\\n]+)", 1)
+        .alias("standards"),
+    )
+    return f.select(
+        "doc_id",
+        F.col("n_fields").cast("long").alias("n_fields"),
+        F.col("first_dev").alias("first_developer"),
+        F.when(F.col("standards") != "",
+               F.size(F.split("standards", ", ")))
+        .otherwise(0).cast("int").alias("n_standards"),
+        F.when(F.col("standards") != "", 1).otherwise(0).cast("int")
+        .alias("has_standards"),
+    )
+
+
+def _magnet_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'get it at magnet:?xt=urn:btih:'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 40, '0')
+            || '&dn=dataset.tar&tr=udp%3A%2F%2Ftracker.example'
+            || '%3A80&tr=udp%3A%2F%2Fbackup.example%3A6969 now'
+          WHEN 1 THEN 'magnet:?xt=urn:btih:'
+            || repeat('a', 40)
+          ELSE 'no links here, just text about magnets'
+        END AS txt
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        regexp_extract(txt, 'magnet:\\?[^ ]+', 0) AS link
+      FROM p
+      WHERE regexp_matches(txt, 'magnet:\\?')),
+    s AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(link,
+          'xt=urn:btih:([0-9a-fA-F]{40})', 1), '') AS btih,
+        COALESCE(regexp_extract(link, 'dn=([^&]+)', 1), '')
+          AS display_name,
+        len(regexp_extract_all(link, 'tr=[^&]+', 0)) AS n_trackers
+      FROM m)
+    SELECT doc_id, lower(btih) AS btih, display_name,
+      CAST(n_trackers AS INT) AS n_trackers,
+      CAST(CASE WHEN btih <> '' THEN 1 ELSE 0 END AS INT)
+        AS valid_btih
+    FROM s
+    """
+
+
+@query("magnet_link_parse", _magnet_oracle())
+def magnet_link_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magnet-link parsing (round 4): magnet URIs name content by
+    hash, not host — the btih infohash is a provenance key that
+    groups pages distributing the SAME payload across mirrors
+    (piracy/malware filtering joins on it the way url dedup joins on
+    the surt key). The 40-hex infohash validates by shape and
+    lowercases to its canonical form; tracker count distinguishes
+    seeded distributions from bare hashes; prose about magnets (the
+    planted negative) has no 'magnet:?' scheme to match.
+
+    Scale shape: gate + three extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("get it at magnet:?xt=urn:btih:"),
+            F.lpad((i % 1000).cast("string"), 40, "0"),
+            F.lit("&dn=dataset.tar&tr=udp%3A%2F%2Ftracker.example"
+                  "%3A80&tr=udp%3A%2F%2Fbackup.example%3A6969 now")))
+        .when(v == 1, F.concat(
+            F.lit("magnet:?xt=urn:btih:"), F.repeat(F.lit("a"), 40)))
+        .otherwise(F.lit("no links here, just text about magnets"))
+    )
+    p = d.select("doc_id", txt.alias("txt")).where(
+        F.col("txt").contains("magnet:?"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("txt", "magnet:\\?[^ ]+", 0).alias("link"))
+    s = m.select(
+        "doc_id",
+        F.regexp_extract("link", "xt=urn:btih:([0-9a-fA-F]{40})", 1)
+        .alias("btih"),
+        F.regexp_extract("link", "dn=([^&]+)", 1)
+        .alias("display_name"),
+        F.size(F.regexp_extract_all(
+            F.col("link"), F.lit("tr=[^&]+"), 0)).alias("n_trackers"),
+    )
+    return s.select(
+        "doc_id",
+        F.lower("btih").alias("btih"),
+        "display_name",
+        F.col("n_trackers").cast("int").alias("n_trackers"),
+        F.when(F.col("btih") != "", 1).otherwise(0).cast("int")
+        .alias("valid_btih"),
+    )
+
+
+def _ics_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'BEGIN:VCALENDAR' || chr(10)
+            || 'BEGIN:VEVENT' || chr(10) || 'DTSTART:202603'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || 'T090000Z' || chr(10) || 'SUMMARY:Town Hall '
+            || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+            || 'RRULE:FREQ=WEEKLY;BYDAY=MO' || chr(10)
+            || 'LOCATION:Main Hall' || chr(10) || 'END:VEVENT'
+            || chr(10) || 'END:VCALENDAR'
+          WHEN 1 THEN 'BEGIN:VCALENDAR' || chr(10)
+            || 'BEGIN:VEVENT' || chr(10)
+            || 'DTSTART:20260401T120000Z' || chr(10)
+            || 'SUMMARY:Standup' || chr(10) || 'END:VEVENT'
+            || chr(10) || 'BEGIN:VEVENT' || chr(10)
+            || 'DTSTART:20260402T120000Z' || chr(10)
+            || 'SUMMARY:Retro' || chr(10) || 'END:VEVENT' || chr(10)
+            || 'END:VCALENDAR'
+          ELSE 'the calendar page, in prose only'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(es, 1) - 1 AS event_idx,
+        unnest(es) AS e
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              '(?s)BEGIN:VEVENT.*?END:VEVENT') AS es
+            FROM p))
+    SELECT doc_id,
+      CAST(event_idx AS INT) AS event_idx,
+      COALESCE(regexp_extract(e, 'SUMMARY:([^' || chr(10)
+        || ']+)', 1), '') AS summary,
+      COALESCE(regexp_extract(e, 'DTSTART:([0-9TZ]+)', 1), '')
+        AS dtstart,
+      COALESCE(regexp_extract(e, 'RRULE:FREQ=([A-Z]+)', 1), '')
+        AS freq,
+      CAST(CASE WHEN regexp_matches(e, 'RRULE:') THEN 1 ELSE 0 END
+        AS INT) AS is_recurring
+    FROM b
+    """
+
+
+@query("ics_event_parse", _ics_oracle())
+def ics_event_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar VEVENT parsing (round 4): .ics payloads linked from
+    event pages carry the MACHINE form of what opening_hours_extract
+    and event_schema_extract read from markup — BEGIN/END:VEVENT
+    blocks with DTSTART/SUMMARY/RRULE lines. Blocks shred in
+    document order under a dotall non-greedy fence (two back-to-back
+    events must not merge into one), and recurrence (RRULE FREQ)
+    separates series from one-off events for recrawl scheduling.
+
+    Scale shape: extract_all + posexplode + per-block extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("BEGIN:VCALENDAR\nBEGIN:VEVENT\nDTSTART:202603"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit("T090000Z\nSUMMARY:Town Hall "),
+            (i % 5).cast("string"),
+            F.lit("\nRRULE:FREQ=WEEKLY;BYDAY=MO\nLOCATION:Main Hall"
+                  "\nEND:VEVENT\nEND:VCALENDAR")))
+        .when(v == 1, F.lit(
+            "BEGIN:VCALENDAR\nBEGIN:VEVENT\n"
+            "DTSTART:20260401T120000Z\nSUMMARY:Standup\nEND:VEVENT\n"
+            "BEGIN:VEVENT\nDTSTART:20260402T120000Z\nSUMMARY:Retro\n"
+            "END:VEVENT\nEND:VCALENDAR"))
+        .otherwise(F.lit("the calendar page, in prose only"))
+    )
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("txt"), F.lit("(?s)BEGIN:VEVENT.*?END:VEVENT"), 0))
+        .alias("event_idx", "e"))
+    return b.select(
+        "doc_id",
+        F.col("event_idx").cast("int").alias("event_idx"),
+        F.regexp_extract("e", "SUMMARY:([^\\n]+)", 1).alias("summary"),
+        F.regexp_extract("e", "DTSTART:([0-9TZ]+)", 1)
+        .alias("dtstart"),
+        F.regexp_extract("e", "RRULE:FREQ=([A-Z]+)", 1).alias("freq"),
+        F.when(F.col("e").contains("RRULE:"), 1).otherwise(0)
+        .cast("int").alias("is_recurring"),
+    )
+
+
+def _opml_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<opml version="2.0"><body>'
+            || '<outline text="Feed ' || CAST(doc_id % 5 AS VARCHAR)
+            || '" type="rss" xmlUrl="https://k' || CAST(doc_id % 5
+            AS VARCHAR) || '.example/rss"/>'
+            || '<outline text="Tech"><outline text="Inner"'
+            || ' xmlUrl="https://inner.example/atom"/></outline>'
+            || '</body></opml>'
+          WHEN 1 THEN '<opml version="1.0"><body>'
+            || '<outline text="Just a folder"/></body></opml>'
+          ELSE '<html><body>not an opml payload</body></html>'
+        END AS xml
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(os, 1) - 1 AS outline_idx,
+        unnest(os) AS o
+      FROM (SELECT doc_id,
+              regexp_extract_all(xml, '<outline [^>]*>') AS os
+            FROM p WHERE xml LIKE '<opml %')),
+    s AS (
+      SELECT doc_id, outline_idx,
+        COALESCE(regexp_extract(o, 'text="([^"]*)"', 1), '')
+          AS title,
+        COALESCE(regexp_extract(o, 'xmlUrl="([^"]*)"', 1), '')
+          AS xml_url
+      FROM b)
+    SELECT doc_id,
+      CAST(outline_idx AS INT) AS outline_idx, title, xml_url,
+      CAST(CASE WHEN xml_url <> '' THEN 1 ELSE 0 END AS INT)
+        AS is_feed
+    FROM s
+    """
+
+
+@query("opml_outline_parse", _opml_oracle())
+def opml_outline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPML blogroll parsing (round 4): OPML outlines are published
+    feed-subscription lists — each xmlUrl is a feed endorsement edge
+    from the list's host, seeding feed_discovery_frontier with
+    curated (not crawled) candidates and giving trustrank-style
+    endorsement signals. Folder outlines (no xmlUrl) keep their
+    position but flag is_feed=0; the OPML root gate keeps HTML
+    pages with incidental <outline> markup out.
+
+    Scale shape: gated extract_all + posexplode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    k = (i % 5).cast("string")
+    xml = (
+        F.when(v == 0, F.concat(
+            F.lit('<opml version="2.0"><body><outline text="Feed '),
+            k, F.lit('" type="rss" xmlUrl="https://k'), k,
+            F.lit('.example/rss"/><outline text="Tech">'
+                  '<outline text="Inner"'
+                  ' xmlUrl="https://inner.example/atom"/></outline>'
+                  "</body></opml>")))
+        .when(v == 1, F.lit(
+            '<opml version="1.0"><body>'
+            '<outline text="Just a folder"/></body></opml>'))
+        .otherwise(F.lit("<html><body>not an opml payload</body></html>"))
+    )
+    p = d.select("doc_id", xml.alias("xml")).where(
+        F.col("xml").startswith("<opml "))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("xml"), F.lit("<outline [^>]*>"), 0))
+        .alias("outline_idx", "o"))
+    xml_url = F.regexp_extract("o", 'xmlUrl="([^"]*)"', 1)
+    return b.select(
+        "doc_id",
+        F.col("outline_idx").cast("int").alias("outline_idx"),
+        F.regexp_extract("o", 'text="([^"]*)"', 1).alias("title"),
+        xml_url.alias("xml_url"),
+        F.when(xml_url != "", 1).otherwise(0).cast("int")
+        .alias("is_feed"),
+    )
+
+
+def _sitemap_news_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<urlset><url><loc>https://h.example/a-'
+            || CAST(doc_id % 9 AS VARCHAR) || '</loc><news:news>'
+            || '<news:title>Story ' || CAST(doc_id % 9 AS VARCHAR)
+            || '</news:title><news:publication_date>2026-08-0'
+            || CAST(1 + doc_id % 9 AS VARCHAR)
+            || '</news:publication_date></news:news></url>'
+            || '<url><loc>https://h.example/about</loc></url>'
+            || '</urlset>'
+          WHEN 1 THEN '<urlset><url><loc>https://h.example/page'
+            || '</loc></url></urlset>'
+          ELSE 'not xml at all'
+        END AS xml
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(us, 1) - 1 AS url_idx,
+        unnest(us) AS u
+      FROM (SELECT doc_id,
+              regexp_extract_all(xml, '<url>.*?</url>') AS us
+            FROM p))
+    SELECT doc_id,
+      CAST(url_idx AS INT) AS url_idx,
+      COALESCE(regexp_extract(u, '<loc>([^<]+)</loc>', 1), '')
+        AS loc,
+      COALESCE(regexp_extract(u,
+        '<news:title>([^<]+)</news:title>', 1), '') AS news_title,
+      COALESCE(regexp_extract(u, '<news:publication_date>([^<]+)'
+        || '</news:publication_date>', 1), '') AS pub_date,
+      CAST(CASE WHEN regexp_matches(u, '<news:news>')
+        THEN 1 ELSE 0 END AS INT) AS is_news
+    FROM b
+    """
+
+
+@query("sitemap_news_entries", _sitemap_news_oracle())
+def sitemap_news_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google News sitemap extension (round 4): <news:news> children
+    mark urls whose freshness window is HOURS, not the days/weeks of
+    plain entries — the priority split a news-aware recrawl frontier
+    feeds on (sitemap_recrawl_frontier schedules by lastmod; this
+    reads the declared publication metadata). News and plain urls
+    from the SAME sitemap shred side by side so the classifier is
+    per-entry, not per-file.
+
+    Scale shape: extract_all + posexplode + per-entry extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    k = (i % 9).cast("string")
+    xml = (
+        F.when(v == 0, F.concat(
+            F.lit("<urlset><url><loc>https://h.example/a-"), k,
+            F.lit("</loc><news:news><news:title>Story "), k,
+            F.lit("</news:title><news:publication_date>2026-08-0"),
+            (1 + i % 9).cast("string"),
+            F.lit("</news:publication_date></news:news></url>"
+                  "<url><loc>https://h.example/about</loc></url>"
+                  "</urlset>")))
+        .when(v == 1, F.lit(
+            "<urlset><url><loc>https://h.example/page</loc></url>"
+            "</urlset>"))
+        .otherwise(F.lit("not xml at all"))
+    )
+    p = d.select("doc_id", xml.alias("xml"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("xml"), F.lit("<url>.*?</url>"), 0))
+        .alias("url_idx", "u"))
+    return b.select(
+        "doc_id",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        F.regexp_extract("u", "<loc>([^<]+)</loc>", 1).alias("loc"),
+        F.regexp_extract("u", "<news:title>([^<]+)</news:title>", 1)
+        .alias("news_title"),
+        F.regexp_extract(
+            "u", "<news:publication_date>([^<]+)"
+            "</news:publication_date>", 1).alias("pub_date"),
+        F.when(F.col("u").contains("<news:news>"), 1).otherwise(0)
+        .cast("int").alias("is_news"),
+    )
+
+
+def _encoded_word_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Subject: =?UTF-8?B?Q2Fmw6k=?= digest n.'
+            || CAST(doc_id % 50 AS VARCHAR)
+          WHEN 1 THEN 'Subject: =?utf-8?Q?Caf=C3=A9_menu_no=2E3?='
+            || ' final'
+          ELSE 'Subject: plain ascii subject'
+        END AS txt
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract(txt, 'Subject: (.*)', 1) AS subject,
+        COALESCE(upper(regexp_extract(txt,
+          '=\\?[^?]+\\?([BQbq])\\?([^?]*)\\?=', 1)), '') AS enc,
+        COALESCE(regexp_extract(txt,
+          '=\\?[^?]+\\?([BQbq])\\?([^?]*)\\?=', 2), '') AS payload
+      FROM p),
+    w AS (
+      SELECT doc_id, subject, enc,
+        CASE enc
+          WHEN 'B' THEN decode(from_base64(payload))
+          WHEN 'Q' THEN decode(from_hex(array_to_string(
+            list_transform(
+              regexp_extract_all(replace(payload, '_', ' '),
+                '=[0-9A-F]{2}|.'),
+              x -> CASE WHEN x LIKE '=%' THEN x[2:]
+                   ELSE hex(encode(x)) END), '')))
+          ELSE ''
+        END AS word
+      FROM s)
+    SELECT doc_id,
+      CASE WHEN enc <> ''
+        THEN regexp_extract(subject, '^(.*?)=\\?', 1) || word
+          || regexp_extract(subject, '\\?=(.*)$', 1)
+        ELSE subject END AS decoded_subject,
+      enc AS encoding,
+      CAST(CASE WHEN enc <> '' THEN 1 ELSE 0 END AS INT)
+        AS was_encoded
+    FROM w
+    """
+
+
+@query("mime_encoded_word_decode", _encoded_word_oracle())
+def mime_encoded_word_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFC 2047 encoded-word decoding (round 4): archived mailing
+    lists and newsgroup mirrors publish Subject lines as
+    =?charset?B|Q?payload?= words — without decoding, every
+    non-ASCII subject in a mail-archive corpus is base64/QP noise
+    (mailinglist_page_detect finds the pages; this recovers their
+    titles). B decodes as base64; Q maps _ to space and =XX hex
+    bytes — the two engines decode Q through DIFFERENT machinery
+    (Spark url_decode vs a DuckDB token-to-hex fold), so agreement
+    is evidence, not echo.
+
+    Scale shape: per-row extracts + decode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("Subject: =?UTF-8?B?Q2Fmw6k=?= digest n."),
+            (i % 50).cast("string")))
+        .when(v == 1, F.lit(
+            "Subject: =?utf-8?Q?Caf=C3=A9_menu_no=2E3?= final"))
+        .otherwise(F.lit("Subject: plain ascii subject"))
+    )
+    ew_re = "=\\?[^?]+\\?([BQbq])\\?([^?]*)\\?="
+    p = d.select("doc_id", txt.alias("txt"))
+    s = p.select(
+        "doc_id",
+        F.regexp_extract("txt", "Subject: (.*)", 1).alias("subject"),
+        F.upper(F.regexp_extract("txt", ew_re, 1)).alias("enc"),
+        F.regexp_extract("txt", ew_re, 2).alias("payload"),
+    )
+    word = (
+        F.when(F.col("enc") == "B",
+               F.decode(F.unbase64("payload"), "UTF-8"))
+        .when(F.col("enc") == "Q", F.url_decode(
+            F.replace(F.replace(F.col("payload"), F.lit("_"),
+                                F.lit(" ")),
+                      F.lit("="), F.lit("%"))))
+        .otherwise(F.lit(""))
+    )
+    w = s.select("doc_id", "subject", "enc", word.alias("word"))
+    return w.select(
+        "doc_id",
+        F.when(F.col("enc") != "", F.concat(
+            F.regexp_extract("subject", "^(.*?)=\\?", 1),
+            F.col("word"),
+            F.regexp_extract("subject", "\\?=(.*)$", 1)))
+        .otherwise(F.col("subject")).alias("decoded_subject"),
+        F.col("enc").alias("encoding"),
+        F.when(F.col("enc") != "", 1).otherwise(0).cast("int")
+        .alias("was_encoded"),
+    )
+
+
+def _po_pairs_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'msgid "Hello world ' || CAST(doc_id % 7 AS
+            VARCHAR) || '"' || chr(10) || 'msgstr "Hallo Welt '
+            || CAST(doc_id % 7 AS VARCHAR) || '"' || chr(10)
+            || chr(10) || 'msgid "Save file"' || chr(10)
+            || 'msgstr "Datei speichern"'
+          WHEN 1 THEN 'msgid "Untranslated"' || chr(10)
+            || 'msgstr ""'
+          ELSE 'no gettext content on this page'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(es, 1) - 1 AS pair_idx,
+        unnest(es) AS e
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              'msgid "[^"]*"' || chr(10) || 'msgstr "[^"]*"') AS es
+            FROM p))
+    SELECT doc_id,
+      CAST(pair_idx AS INT) AS pair_idx,
+      regexp_extract(e, 'msgid "([^"]*)"', 1) AS source_text,
+      regexp_extract(e, 'msgstr "([^"]*)"', 1) AS target_text,
+      CAST(CASE WHEN regexp_extract(e, 'msgstr "([^"]*)"', 1) <> ''
+        THEN 1 ELSE 0 END AS INT) AS is_translated
+    FROM b
+    """
+
+
+@query("po_translation_pairs", _po_pairs_oracle())
+def po_translation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gettext PO catalog mining (round 4): msgid/msgstr pairs are
+    ALIGNED bitext published by every localized open-source project —
+    unlike bitext_mine_pairs' embedding-similarity candidates, these
+    pairs carry zero alignment noise (the file format IS the
+    alignment). Empty msgstr marks untranslated entries, which count
+    as coverage holes, not pairs; pair order is document order.
+
+    Scale shape: extract_all + posexplode + two extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    k = (i % 7).cast("string")
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit('msgid "Hello world '), k,
+            F.lit('"\nmsgstr "Hallo Welt '), k,
+            F.lit('"\n\nmsgid "Save file"\n'
+                  'msgstr "Datei speichern"')))
+        .when(v == 1, F.lit('msgid "Untranslated"\nmsgstr ""'))
+        .otherwise(F.lit("no gettext content on this page"))
+    )
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("txt"), F.lit('msgid "[^"]*"\\nmsgstr "[^"]*"'), 0))
+        .alias("pair_idx", "e"))
+    tgt = F.regexp_extract("e", 'msgstr "([^"]*)"', 1)
+    return b.select(
+        "doc_id",
+        F.col("pair_idx").cast("int").alias("pair_idx"),
+        F.regexp_extract("e", 'msgid "([^"]*)"', 1)
+        .alias("source_text"),
+        tgt.alias("target_text"),
+        F.when(tgt != "", 1).otherwise(0).cast("int")
+        .alias("is_translated"),
+    )
+
+
+def _openapi_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"openapi":"3.0.' || CAST(doc_id % 4 AS
+            VARCHAR) || '","info":{"title":"Pets API","version":"1.'
+            || CAST(doc_id % 10 AS VARCHAR) || '"},"paths":{'
+            || '"/pets":{"get":{},"post":{}},"/pets/[id]":{"get":{}'
+            || '}}}'
+          WHEN 1 THEN '{"swagger":"2.0","info":{"title":"Legacy"},'
+            || '"paths":{"/v1/things":{"get":{}}}}'
+          ELSE '{"data":{"just":"an api response"}}'
+        END AS js
+      FROM documents),
+    n AS (
+      SELECT doc_id, js,
+        COALESCE(json_extract_string(js, '$.openapi'),
+          json_extract_string(js, '$.swagger')) AS spec_version
+      FROM p
+      WHERE json_extract(js, '$.openapi') IS NOT NULL
+         OR json_extract(js, '$.swagger') IS NOT NULL)
+    SELECT doc_id, spec_version,
+      COALESCE(json_extract_string(js, '$.info.title'), '')
+        AS api_title,
+      CAST(len(json_keys(js, '$.paths')) AS INT) AS n_paths,
+      CAST(CASE WHEN json_extract(js, '$.openapi') IS NOT NULL
+        THEN 1 ELSE 0 END AS INT) AS is_openapi3
+    FROM n
+    """
+
+
+@query("openapi_spec_extract", _openapi_oracle())
+def openapi_spec_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenAPI/Swagger spec harvesting (round 4): machine-readable
+    API contracts are prime code-model supervision (the paths object
+    is ground truth for endpoint-doc generation that
+    api_endpoint_doc_extract approximates from prose). Both the
+    OpenAPI 3 and Swagger 2 roots gate; path COUNT comes from the
+    paths object's key census. A generic JSON API response (the
+    planted negative) has neither root key.
+
+    Scale shape: JSON parse + key census per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    js = (
+        F.when(v == 0, F.concat(
+            F.lit('{"openapi":"3.0.'), (i % 4).cast("string"),
+            F.lit('","info":{"title":"Pets API","version":"1.'),
+            (i % 10).cast("string"),
+            F.lit('"},"paths":{"/pets":{"get":{},"post":{}},'
+                  '"/pets/[id]":{"get":{}}}}')))
+        .when(v == 1, F.lit(
+            '{"swagger":"2.0","info":{"title":"Legacy"},'
+            '"paths":{"/v1/things":{"get":{}}}}'))
+        .otherwise(F.lit('{"data":{"just":"an api response"}}'))
+    )
+    p = d.select("doc_id", js.alias("js"))
+    oa = F.get_json_object("js", "$.openapi")
+    sw = F.get_json_object("js", "$.swagger")
+    n = p.where(oa.isNotNull() | sw.isNotNull())
+    return n.select(
+        "doc_id",
+        F.coalesce(oa, sw).alias("spec_version"),
+        F.coalesce(F.get_json_object("js", "$.info.title"), F.lit(""))
+        .alias("api_title"),
+        F.size(F.json_object_keys(F.get_json_object("js", "$.paths")))
+        .cast("int").alias("n_paths"),
+        F.when(oa.isNotNull(), 1).otherwise(0).cast("int")
+        .alias("is_openapi3"),
+    )
+
+
+def _pkg_manifest_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"name":"webapp-' || CAST(doc_id % 9 AS
+            VARCHAR) || '","version":"2.' || CAST(doc_id % 6 AS
+            VARCHAR) || '.0","dependencies":{"react":"^18.0.0",'
+            || '"lodash":"~4.17.21"},"devDependencies":'
+            || '{"jest":"^29.0.0"}}'
+          WHEN 1 THEN '{"name":"tiny-lib","version":"0.1.0"}'
+          ELSE '{"user":{"name":"not a manifest"}}'
+        END AS js
+      FROM documents),
+    n AS (
+      SELECT doc_id, js FROM p
+      WHERE json_extract(js, '$.name') IS NOT NULL
+        AND json_extract(js, '$.version') IS NOT NULL),
+    s AS (
+      SELECT doc_id,
+        json_extract_string(js, '$.name') AS pkg_name,
+        json_extract_string(js, '$.version') AS pkg_version,
+        COALESCE(len(json_keys(js, '$.dependencies')), 0) AS n_deps,
+        COALESCE(len(json_keys(js, '$.devDependencies')), 0)
+          AS n_dev_deps
+      FROM n)
+    SELECT doc_id, pkg_name, pkg_version,
+      CAST(n_deps AS INT) AS n_deps,
+      CAST(n_dev_deps AS INT) AS n_dev_deps,
+      CAST(CASE WHEN n_deps + n_dev_deps > 0 THEN 1 ELSE 0 END
+        AS INT) AS has_deps
+    FROM s
+    """
+
+
+@query("package_manifest_deps", _pkg_manifest_oracle())
+def package_manifest_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """package.json manifest mining (round 4): dependency objects in
+    scraped manifests are the EDGES of the open-source dependency
+    graph (name -> dep is a typed link the way href -> host feeds
+    host_pagerank) and release cadence metadata for code corpora.
+    The name+version root gate keeps generic JSON out; dep counts
+    come from key censuses with absent objects coalescing to zero,
+    not null.
+
+    Scale shape: JSON parse + key census per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    js = (
+        F.when(v == 0, F.concat(
+            F.lit('{"name":"webapp-'), (i % 9).cast("string"),
+            F.lit('","version":"2.'), (i % 6).cast("string"),
+            F.lit('.0","dependencies":{"react":"^18.0.0",'
+                  '"lodash":"~4.17.21"},"devDependencies":'
+                  '{"jest":"^29.0.0"}}')))
+        .when(v == 1, F.lit('{"name":"tiny-lib","version":"0.1.0"}'))
+        .otherwise(F.lit('{"user":{"name":"not a manifest"}}'))
+    )
+    p = d.select("doc_id", js.alias("js"))
+    name = F.get_json_object("js", "$.name")
+    ver = F.get_json_object("js", "$.version")
+    n = p.where(name.isNotNull() & ver.isNotNull())
+    deps = F.coalesce(F.size(F.json_object_keys(
+        F.get_json_object("js", "$.dependencies"))), F.lit(0))
+    dev = F.coalesce(F.size(F.json_object_keys(
+        F.get_json_object("js", "$.devDependencies"))), F.lit(0))
+    s = n.select(
+        "doc_id", name.alias("pkg_name"), ver.alias("pkg_version"),
+        deps.alias("n_deps"), dev.alias("n_dev_deps"))
+    return s.select(
+        "doc_id", "pkg_name", "pkg_version",
+        F.col("n_deps").cast("int").alias("n_deps"),
+        F.col("n_dev_deps").cast("int").alias("n_dev_deps"),
+        F.when(F.col("n_deps") + F.col("n_dev_deps") > 0, 1)
+        .otherwise(0).cast("int").alias("has_deps"),
+    )
+
+
+def _dockerfile_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'FROM python:3.' || CAST(9 + doc_id % 4 AS
+            VARCHAR) || '-slim' || chr(10) || 'RUN pip install flask'
+            || chr(10) || 'COPY . /app' || chr(10)
+            || 'EXPOSE 8000' || chr(10) || 'USER appuser' || chr(10)
+            || 'CMD ["python", "app.py"]'
+          WHEN 1 THEN 'FROM node:20 AS build' || chr(10)
+            || 'RUN npm ci' || chr(10) || 'FROM nginx:alpine'
+            || chr(10) || 'COPY --from=build /dist /usr/share/html'
+          ELSE 'FROM my experience, containers help' || chr(10)
+            || 'no directives here'
+        END AS txt
+      FROM documents),
+    s AS (
+      SELECT doc_id, string_split(txt, chr(10)) AS ls FROM p),
+    f AS (
+      SELECT doc_id,
+        list_filter(ls, x -> regexp_matches(x,
+          '^FROM [a-z0-9][a-z0-9/.:-]*( AS [a-z]+)?$'))
+          AS froms,
+        len(list_filter(ls, x -> x LIKE 'RUN %')) AS n_run,
+        len(list_filter(ls, x -> x LIKE 'EXPOSE %')) AS n_expose,
+        len(list_filter(ls, x -> x LIKE 'USER %')) AS n_user
+      FROM s)
+    SELECT doc_id,
+      CAST(len(froms) AS INT) AS n_stages,
+      COALESCE(regexp_extract(froms[1], '^FROM ([^ ]+)', 1), '')
+        AS base_image,
+      CAST(n_run AS BIGINT) AS n_run,
+      CAST(CASE WHEN len(froms) > 1 THEN 1 ELSE 0 END AS INT)
+        AS is_multistage,
+      CAST(CASE WHEN len(froms) > 0 AND n_user = 0 THEN 1
+        ELSE 0 END AS INT) AS runs_as_root
+    FROM f
+    WHERE len(froms) > 0
+    """
+
+
+@query("dockerfile_directives", _dockerfile_oracle())
+def dockerfile_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dockerfile directive census (round 4): published Dockerfiles
+    carry the base-image provenance edge (FROM python:3.x names the
+    supply chain the way package_manifest_deps names libraries) and
+    a security posture bit — no USER directive means the container
+    runs as root. The FROM gate demands an image-reference shape
+    ('FROM my experience...' is the planted prose negative), and
+    multi-stage builds count every qualifying FROM.
+
+    Scale shape: split + four list folds per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("FROM python:3."), (9 + i % 4).cast("string"),
+            F.lit("-slim\nRUN pip install flask\nCOPY . /app\n"
+                  'EXPOSE 8000\nUSER appuser\nCMD ["python", '
+                  '"app.py"]')))
+        .when(v == 1, F.lit(
+            "FROM node:20 AS build\nRUN npm ci\nFROM nginx:alpine\n"
+            "COPY --from=build /dist /usr/share/html"))
+        .otherwise(F.lit(
+            "FROM my experience, containers help\nno directives here"))
+    )
+    ls = F.split(txt, "\n")
+    from_re = "^FROM [a-z0-9][a-z0-9/.:-]*( AS [a-z]+)?$"
+    f = d.select(
+        "doc_id",
+        F.filter(ls, lambda x: F.regexp_like(x, F.lit(from_re)))
+        .alias("froms"),
+        F.size(F.filter(ls, lambda x: x.startswith("RUN ")))
+        .alias("n_run"),
+        F.size(F.filter(ls, lambda x: x.startswith("USER ")))
+        .alias("n_user"),
+    ).where(F.size("froms") > 0)
+    return f.select(
+        "doc_id",
+        F.size("froms").cast("int").alias("n_stages"),
+        F.regexp_extract(
+            F.try_element_at("froms", F.lit(1)), "^FROM ([^ ]+)", 1)
+        .alias("base_image"),
+        F.col("n_run").cast("long").alias("n_run"),
+        F.when(F.size("froms") > 1, 1).otherwise(0).cast("int")
+        .alias("is_multistage"),
+        F.when(F.col("n_user") == 0, 1).otherwise(0).cast("int")
+        .alias("runs_as_root"),
+    )
+
+
+def _jwt_oracle() -> str:
+    return """
+    WITH raw AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"alg":"HS256","typ":"JWT"}'
+          WHEN 1 THEN '{"alg":"none"}'
+          ELSE '' END AS hdr,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"sub":"user' || CAST(doc_id % 10 AS VARCHAR)
+            || '"}'
+          WHEN 1 THEN '{"sub":"anon"}'
+          ELSE '' END AS pl
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+        CASE WHEN hdr <> '' THEN
+          rtrim(translate(to_base64(encode(hdr)), '+/', '-_'), '=')
+          || '.' ||
+          rtrim(translate(to_base64(encode(pl)), '+/', '-_'), '=')
+          || '.' || CASE WHEN hdr LIKE '%none%' THEN ''
+                    ELSE 'c2lnbmF0dXJl' END
+        ELSE '' END AS t
+      FROM raw),
+    p AS (
+      SELECT doc_id,
+        CASE WHEN t <> '' THEN 'Authorization: Bearer ' || t
+          || ' was logged' ELSE 'clean page, no tokens' END AS txt
+      FROM tok),
+    m AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(txt,
+          '(eyJ[A-Za-z0-9_-]*)\\.([A-Za-z0-9_-]*)\\.'
+          || '([A-Za-z0-9_-]*)', 1), '') AS h64,
+        COALESCE(regexp_extract(txt,
+          '(eyJ[A-Za-z0-9_-]*)\\.([A-Za-z0-9_-]*)\\.'
+          || '([A-Za-z0-9_-]*)', 2), '') AS p64,
+        COALESCE(regexp_extract(txt,
+          '(eyJ[A-Za-z0-9_-]*)\\.([A-Za-z0-9_-]*)\\.'
+          || '([A-Za-z0-9_-]*)', 3), '') AS s64
+      FROM p),
+    dec AS (
+      SELECT doc_id, s64,
+        CASE WHEN h64 <> '' THEN decode(from_base64(
+          translate(h64, '-_', '+/')
+          || repeat('=', (4 - length(h64) % 4) % 4))) ELSE '' END
+          AS hjs,
+        CASE WHEN p64 <> '' THEN decode(from_base64(
+          translate(p64, '-_', '+/')
+          || repeat('=', (4 - length(p64) % 4) % 4))) ELSE '' END
+          AS pjs
+      FROM m)
+    SELECT doc_id,
+      CAST(CASE WHEN hjs <> '' THEN 1 ELSE 0 END AS INT) AS has_jwt,
+      CASE WHEN hjs <> '' THEN COALESCE(
+        json_extract_string(hjs, '$.alg'), '') ELSE '' END AS alg,
+      CASE WHEN pjs <> '' THEN COALESCE(
+        json_extract_string(pjs, '$.sub'), '') ELSE '' END
+        AS subject,
+      CAST(CASE WHEN hjs <> '' AND (s64 = ''
+        OR json_extract_string(hjs, '$.alg') = 'none')
+        THEN 1 ELSE 0 END AS INT) AS is_unsigned
+    FROM dec
+    """
+
+
+@query("jwt_token_scan", _jwt_oracle())
+def jwt_token_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JWT leak scanning (round 4): bearer tokens pasted into logs,
+    issues, and docs are live credentials — the secret-scanning twin
+    of api_key_exposure_scan, except a JWT's header/claims DECODE
+    (base64url with stripped padding restored) so severity is
+    readable: the alg field separates signed tokens from the
+    alg=none forgery shape, and the sub claim identifies the exposed
+    principal for notification. Header and claims are decoded by
+    both engines' independent base64/JSON machinery.
+
+    Scale shape: per-row extract + decode, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    hdr = (F.when(v == 0, F.lit('{"alg":"HS256","typ":"JWT"}'))
+           .when(v == 1, F.lit('{"alg":"none"}'))
+           .otherwise(F.lit("")))
+    pl = (F.when(v == 0, F.concat(
+        F.lit('{"sub":"user'), (i % 10).cast("string"), F.lit('"}')))
+        .when(v == 1, F.lit('{"sub":"anon"}'))
+        .otherwise(F.lit("")))
+
+    def b64url(c: Column) -> Column:
+        return F.regexp_replace(
+            F.translate(F.base64(F.encode(c, "UTF-8")), "+/", "-_"),
+            "=+$", "")
+
+    t = F.when(hdr != "", F.concat(
+        b64url(hdr), F.lit("."), b64url(pl), F.lit("."),
+        F.when(hdr.contains("none"), F.lit(""))
+        .otherwise(F.lit("c2lnbmF0dXJl")))).otherwise(F.lit(""))
+    txt = F.when(t != "", F.concat(
+        F.lit("Authorization: Bearer "), t, F.lit(" was logged"))
+    ).otherwise(F.lit("clean page, no tokens"))
+    jwt_re = ("(eyJ[A-Za-z0-9_-]*)\\.([A-Za-z0-9_-]*)\\."
+              "([A-Za-z0-9_-]*)")
+    p = d.select("doc_id", txt.alias("txt"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("txt", jwt_re, 1).alias("h64"),
+        F.regexp_extract("txt", jwt_re, 2).alias("p64"),
+        F.regexp_extract("txt", jwt_re, 3).alias("s64"),
+    )
+
+    def unb64url(c: Column) -> Column:
+        repad = F.concat(c, F.repeat(
+            F.lit("="), (4 - F.length(c) % 4) % 4))
+        return F.decode(
+            F.unbase64(F.translate(repad, "-_", "+/")), "UTF-8")
+
+    dec = m.select(
+        "doc_id", "s64",
+        F.when(F.col("h64") != "", unb64url(F.col("h64")))
+        .otherwise(F.lit("")).alias("hjs"),
+        F.when(F.col("p64") != "", unb64url(F.col("p64")))
+        .otherwise(F.lit("")).alias("pjs"),
+    )
+    alg = F.get_json_object("hjs", "$.alg")
+    return dec.select(
+        "doc_id",
+        F.when(F.col("hjs") != "", 1).otherwise(0).cast("int")
+        .alias("has_jwt"),
+        F.when(F.col("hjs") != "", F.coalesce(alg, F.lit("")))
+        .otherwise(F.lit("")).alias("alg"),
+        F.when(F.col("pjs") != "", F.coalesce(
+            F.get_json_object("pjs", "$.sub"), F.lit("")))
+        .otherwise(F.lit("")).alias("subject"),
+        F.when((F.col("hjs") != "") & (
+            (F.col("s64") == "") | (alg == "none")), 1)
+        .otherwise(0).cast("int").alias("is_unsigned"),
+    )
+
+
+def _checksum_pairs_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'release-2.' || CAST(doc_id % 8 AS VARCHAR)
+            || '.tar.gz sha256: ' || repeat('ab', 32) || chr(10)
+            || 'release-2.' || CAST(doc_id % 8 AS VARCHAR)
+            || '.zip md5: ' || repeat('cd', 16)
+          WHEN 1 THEN 'tool.iso sha256: ' || repeat('12', 31)
+            || 'zz'
+          ELSE 'downloads are verified, see our docs'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(es, 1) - 1 AS pair_idx,
+        unnest(es) AS e
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              '[a-z0-9._-]+\\.(tar\\.gz|zip|iso) '
+              || '(sha256|md5): [0-9a-fz]+') AS es
+            FROM p)),
+    s AS (
+      SELECT doc_id, pair_idx,
+        regexp_extract(e, '^([a-z0-9._-]+\\.(tar\\.gz|zip|iso))', 1)
+          AS filename,
+        regexp_extract(e, ' (sha256|md5): ', 1) AS algo,
+        regexp_extract(e, ': ([0-9a-fz]+)$', 1) AS digest
+      FROM b)
+    SELECT doc_id, CAST(pair_idx AS INT) AS pair_idx,
+      filename, algo, digest,
+      CAST(CASE
+        WHEN algo = 'sha256' AND regexp_matches(digest,
+          '^[0-9a-f]{64}$') THEN 1
+        WHEN algo = 'md5' AND regexp_matches(digest,
+          '^[0-9a-f]{32}$') THEN 1
+        ELSE 0 END AS INT) AS digest_valid
+    FROM s
+    """
+
+
+@query("download_checksum_pairs", _checksum_pairs_oracle())
+def download_checksum_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Download checksum harvesting (round 4): (filename, algo,
+    digest) triples on release pages are content-addressed
+    provenance — the same artifact mirrored across hosts groups by
+    digest exactly as magnet_link_parse groups by infohash, and a
+    digest that fails its algorithm's length/alphabet shape (the
+    planted 62-hex-plus-'zz' sha256) is a broken supervision row,
+    not a weaker one. Pairs shred in page order.
+
+    Scale shape: extract_all + posexplode + shape validation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    k = (i % 8).cast("string")
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("release-2."), k, F.lit(".tar.gz sha256: "),
+            F.repeat(F.lit("ab"), 32), F.lit("\nrelease-2."), k,
+            F.lit(".zip md5: "), F.repeat(F.lit("cd"), 16)))
+        .when(v == 1, F.concat(
+            F.lit("tool.iso sha256: "), F.repeat(F.lit("12"), 31),
+            F.lit("zz")))
+        .otherwise(F.lit("downloads are verified, see our docs"))
+    )
+    pair_re = ("[a-z0-9._-]+\\.(tar\\.gz|zip|iso) "
+               "(sha256|md5): [0-9a-fz]+")
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("txt"), F.lit(pair_re), 0)).alias("pair_idx", "e"))
+    algo = F.regexp_extract("e", " (sha256|md5): ", 1)
+    digest = F.regexp_extract("e", ": ([0-9a-fz]+)$", 1)
+    return b.select(
+        "doc_id",
+        F.col("pair_idx").cast("int").alias("pair_idx"),
+        F.regexp_extract(
+            "e", "^([a-z0-9._-]+\\.(tar\\.gz|zip|iso))", 1)
+        .alias("filename"),
+        algo.alias("algo"),
+        digest.alias("digest"),
+        F.when(
+            ((algo == "sha256")
+             & F.regexp_like(digest, F.lit("^[0-9a-f]{64}$")))
+            | ((algo == "md5")
+               & F.regexp_like(digest, F.lit("^[0-9a-f]{32}$"))), 1)
+        .otherwise(0).cast("int").alias("digest_valid"),
+    )
+
+
+def _onion_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'mirror at http://' || repeat('abcdefg', 7)
+            || 'abcdef' || CAST(2 + doc_id % 6 AS VARCHAR)
+            || '.onion/path'
+          WHEN 1 THEN 'legacy http://expyuzz4wqqyqhjn.onion/ now'
+          ELSE 'onion routing is an overlay technique'
+        END AS txt
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        COALESCE(regexp_extract(txt,
+          '([a-z2-7]+)\\.onion', 1), '') AS label
+      FROM p)
+    SELECT doc_id, label AS onion_host,
+      CAST(CASE WHEN length(label) = 56 THEN 3
+        WHEN length(label) = 16 THEN 2 ELSE 0 END AS INT)
+        AS onion_version,
+      CAST(CASE WHEN length(label) IN (16, 56) THEN 1 ELSE 0 END
+        AS INT) AS is_valid
+    FROM m
+    WHERE label <> ''
+    """
+
+
+@query("onion_address_detect", _onion_oracle())
+def onion_address_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-address detection (round 4): .onion hosts in scraped
+    text mark dark-web mirror edges — provenance a crawl filter must
+    see because those hosts are unreachable (no recrawl value) and
+    often policy-relevant. Version classifies by exact base32 label
+    length (56 = v3 ed25519, 16 = legacy v2); prose containing the
+    word 'onion' has no base32 label to match. The variant digit
+    lands INSIDE the 56-char label so addresses vary per doc.
+
+    Scale shape: one extract + length classify, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("mirror at http://"),
+            F.repeat(F.lit("abcdefg"), 7), F.lit("abcdef"),
+            (2 + i % 6).cast("string"), F.lit(".onion/path")))
+        .when(v == 1, F.lit("legacy http://expyuzz4wqqyqhjn.onion/ now"))
+        .otherwise(F.lit("onion routing is an overlay technique"))
+    )
+    p = d.select("doc_id", txt.alias("txt"))
+    m = p.select(
+        "doc_id",
+        F.regexp_extract("txt", "([a-z2-7]+)\\.onion", 1)
+        .alias("label"),
+    ).where(F.col("label") != "")
+    ln = F.length("label")
+    return m.select(
+        "doc_id",
+        F.col("label").alias("onion_host"),
+        F.when(ln == 56, 3).when(ln == 16, 2).otherwise(0)
+        .cast("int").alias("onion_version"),
+        F.when(ln.isin(16, 56), 1).otherwise(0).cast("int")
+        .alias("is_valid"),
+    )
+
+
+def _sql_dump_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'CREATE TABLE users (id INT, email '
+            || 'VARCHAR(255), pass_hash CHAR(60));' || chr(10)
+            || 'INSERT INTO users VALUES (1, ''a@x.example'','
+            || ' ''h1'');' || chr(10)
+            || 'INSERT INTO users VALUES (' || CAST(2 + doc_id % 7
+            AS VARCHAR) || ', ''b@x.example'', ''h2'');'
+          WHEN 1 THEN 'CREATE TABLE posts (pid INT, body TEXT);'
+          ELSE 'to create table layouts in css, use grid'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(ts, 1) - 1 AS stmt_idx,
+        unnest(ts) AS t,
+        txt
+      FROM (SELECT doc_id, txt, regexp_extract_all(txt,
+              'CREATE TABLE [a-z_]+ \\([^;]+\\);') AS ts
+            FROM p)),
+    s AS (
+      SELECT doc_id, stmt_idx,
+        regexp_extract(t, 'CREATE TABLE ([a-z_]+)', 1)
+          AS table_name,
+        len(str_split(regexp_extract(t, '\\(([^;]+)\\)', 1), ','))
+          AS n_columns,
+        len(regexp_extract_all(txt, 'INSERT INTO '
+          || regexp_extract(t, 'CREATE TABLE ([a-z_]+)', 1)
+          || ' ')) AS n_inserts,
+        CASE WHEN regexp_matches(t, '(email|pass)') THEN 1 ELSE 0
+          END AS has_pii
+      FROM b)
+    SELECT doc_id, CAST(stmt_idx AS INT) AS stmt_idx, table_name,
+      CAST(n_columns AS INT) AS n_columns,
+      CAST(n_inserts AS BIGINT) AS n_inserts,
+      CAST(has_pii AS INT) AS has_pii_columns
+    FROM s
+    """
+
+
+@query("sql_dump_schema", _sql_dump_oracle())
+def sql_dump_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL dump detection (round 4): leaked database dumps are the
+    single worst payload a training corpus can ingest — CREATE TABLE
+    statements give the schema census (tables, column counts), the
+    per-table INSERT count sizes the leak, and email/password column
+    names raise the PII flag that routes the page to quarantine
+    instead of the corpus. CSS prose about 'create table layouts'
+    is the planted negative — no parenthesized column list.
+
+    Scale shape: extract_all + posexplode + per-stmt counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("CREATE TABLE users (id INT, email VARCHAR(255),"
+                  " pass_hash CHAR(60));\n"
+                  "INSERT INTO users VALUES (1, 'a@x.example',"
+                  " 'h1');\nINSERT INTO users VALUES ("),
+            (2 + i % 7).cast("string"),
+            F.lit(", 'b@x.example', 'h2');")))
+        .when(v == 1, F.lit("CREATE TABLE posts (pid INT, body TEXT);"))
+        .otherwise(F.lit("to create table layouts in css, use grid"))
+    )
+    ct_re = "CREATE TABLE [a-z_]+ \\([^;]+\\);"
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select(
+        "doc_id", "txt",
+        F.posexplode(F.regexp_extract_all(
+            F.col("txt"), F.lit(ct_re), 0)).alias("stmt_idx", "t"))
+    tname = F.regexp_extract("t", "CREATE TABLE ([a-z_]+)", 1)
+    return b.select(
+        "doc_id",
+        F.col("stmt_idx").cast("int").alias("stmt_idx"),
+        tname.alias("table_name"),
+        F.size(F.split(F.regexp_extract(
+            "t", "\\(([^;]+)\\)", 1), ",")).cast("int")
+        .alias("n_columns"),
+        F.size(F.regexp_extract_all(
+            F.col("txt"),
+            F.concat(F.lit("INSERT INTO "), tname, F.lit(" ")), 0))
+        .cast("long").alias("n_inserts"),
+        F.when(F.regexp_like(F.col("t"), F.lit("(email|pass)")), 1)
+        .otherwise(0).cast("int").alias("has_pii_columns"),
+    )
+
+
+def _geojson_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"type":"FeatureCollection","features":['
+            || '{"type":"Feature","geometry":{"type":"Point",'
+            || '"coordinates":[13.' || lpad(CAST(doc_id % 100 AS
+            VARCHAR), 2, '0') || ',52.52]},"properties":'
+            || '{"name":"Spot ' || CAST(doc_id % 9 AS VARCHAR)
+            || '"}},{"type":"Feature","geometry":{"type":"Point",'
+            || '"coordinates":[2.35,48.86]},"properties":'
+            || '{"name":"Paris"}}]}'
+          WHEN 1 THEN '{"type":"FeatureCollection","features":['
+            || '{"type":"Feature","geometry":{"type":"Point",'
+            || '"coordinates":[0.0,51.48]},"properties":{}}]}'
+          ELSE '{"type":"pin","coordinates":"not geojson"}'
+        END AS js
+      FROM documents),
+    n AS (
+      SELECT doc_id,
+        CAST(json_extract(js, '$.features') AS JSON[]) AS fs
+      FROM p
+      WHERE json_extract_string(js, '$.type') = 'FeatureCollection'),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(fs, 1) - 1 AS feature_idx,
+        unnest(fs) AS f
+      FROM n)
+    SELECT doc_id,
+      CAST(feature_idx AS INT) AS feature_idx,
+      json_extract_string(f, '$.geometry.type') AS geom_type,
+      COALESCE(json_extract_string(f, '$.properties.name'), '')
+        AS name,
+      ROUND(CAST(json_extract(f, '$.geometry.coordinates[0]')
+        AS DOUBLE) * 100) AS lon_cents,
+      ROUND(CAST(json_extract(f, '$.geometry.coordinates[1]')
+        AS DOUBLE) * 100) AS lat_cents
+    FROM b
+    """
+
+
+@query("geojson_features", _geojson_oracle())
+def geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON feature shredding (round 4): embedded
+    FeatureCollections are the machine channel behind
+    map_embed_coords' url-fragment heuristics — typed geometries
+    with named properties. Features shred in array order; the
+    coordinate pair surfaces as integer centi-degrees (both engines
+    parse the same decimal text to the same double, then round once)
+    so the gate's float normalization is never load-bearing.
+
+    Scale shape: JSON gate + posexplode, per-row parses.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    js = (
+        F.when(v == 0, F.concat(
+            F.lit('{"type":"FeatureCollection","features":['
+                  '{"type":"Feature","geometry":{"type":"Point",'
+                  '"coordinates":[13.'),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lit(',52.52]},"properties":{"name":"Spot '),
+            (i % 9).cast("string"),
+            F.lit('"}},{"type":"Feature","geometry":{"type":"Point",'
+                  '"coordinates":[2.35,48.86]},"properties":'
+                  '{"name":"Paris"}}]}')))
+        .when(v == 1, F.lit(
+            '{"type":"FeatureCollection","features":['
+            '{"type":"Feature","geometry":{"type":"Point",'
+            '"coordinates":[0.0,51.48]},"properties":{}}]}'))
+        .otherwise(F.lit('{"type":"pin","coordinates":"not geojson"}'))
+    )
+    schema = ("struct<type:string,features:array<struct<"
+              "type:string,geometry:struct<type:string,"
+              "coordinates:array<double>>,"
+              "properties:map<string,string>>>>")
+    p = d.select("doc_id", F.from_json(js, schema).alias("g"))
+    n = p.where(F.col("g.type") == "FeatureCollection")
+    b = n.select("doc_id", F.posexplode("g.features")
+                 .alias("feature_idx", "f"))
+    coords = F.col("f.geometry.coordinates")
+    return b.select(
+        "doc_id",
+        F.col("feature_idx").cast("int").alias("feature_idx"),
+        F.col("f.geometry.type").alias("geom_type"),
+        F.coalesce(F.col("f.properties")["name"], F.lit(""))
+        .alias("name"),
+        F.round(F.try_element_at(coords, F.lit(1)) * 100)
+        .alias("lon_cents"),
+        F.round(F.try_element_at(coords, F.lit(2)) * 100)
+        .alias("lat_cents"),
+    )
+
+
+def _turtle_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '@prefix ex: <https://ex.example/> .'
+            || chr(10) || 'ex:alice ex:knows ex:bob .' || chr(10)
+            || 'ex:alice ex:name "Alice ' || CAST(doc_id % 9 AS
+            VARCHAR) || '" .'
+          WHEN 1 THEN 'ex:post' || CAST(doc_id % 5 AS VARCHAR)
+            || ' ex:author ex:carol .'
+          ELSE 'turtles all the way down, but no rdf'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(ts, 1) - 1 AS triple_idx,
+        unnest(ts) AS t
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              '(ex:[a-z0-9]+) (ex:[a-z0-9]+) '
+              || '(ex:[a-z0-9]+|"[^"]*") \\.') AS ts
+            FROM p))
+    SELECT doc_id,
+      CAST(triple_idx AS INT) AS triple_idx,
+      regexp_extract(t, '^(ex:[a-z0-9]+)', 1) AS subj,
+      regexp_extract(t, '^ex:[a-z0-9]+ (ex:[a-z0-9]+)', 1) AS pred,
+      regexp_extract(t, ' (ex:[a-z0-9]+|"[^"]*") \\.$', 1) AS obj,
+      CAST(CASE WHEN regexp_matches(t, ' "[^"]*" \\.$')
+        THEN 1 ELSE 0 END AS INT) AS is_literal
+    FROM b
+    """
+
+
+@query("turtle_triples_parse", _turtle_oracle())
+def turtle_triples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle/N-Triples statement parsing (round 4): published RDF
+    in Turtle syntax is the text serialization rdfa_extract reads
+    out of markup attributes — subject/predicate/object statements
+    terminated by ' .', with literal objects quoted. The object
+    pattern distinguishes IRI objects (graph edges) from string
+    literals (attribute values); prefix declarations don't match
+    the statement shape, so they never emit a phantom triple.
+
+    Scale shape: extract_all + posexplode + three extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("@prefix ex: <https://ex.example/> .\n"
+                  "ex:alice ex:knows ex:bob .\n"
+                  'ex:alice ex:name "Alice '),
+            (i % 9).cast("string"), F.lit('" .')))
+        .when(v == 1, F.concat(
+            F.lit("ex:post"), (i % 5).cast("string"),
+            F.lit(" ex:author ex:carol .")))
+        .otherwise(F.lit("turtles all the way down, but no rdf"))
+    )
+    stmt_re = ('(ex:[a-z0-9]+) (ex:[a-z0-9]+) '
+               '(ex:[a-z0-9]+|"[^"]*") \\.')
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("txt"), F.lit(stmt_re), 0)).alias("triple_idx", "t"))
+    return b.select(
+        "doc_id",
+        F.col("triple_idx").cast("int").alias("triple_idx"),
+        F.regexp_extract("t", "^(ex:[a-z0-9]+)", 1).alias("subj"),
+        F.regexp_extract("t", "^ex:[a-z0-9]+ (ex:[a-z0-9]+)", 1)
+        .alias("pred"),
+        F.regexp_extract("t", ' (ex:[a-z0-9]+|"[^"]*") \\.$', 1)
+        .alias("obj"),
+        F.when(F.regexp_like(
+            F.col("t"), F.lit(' "[^"]*" \\.$')), 1).otherwise(0)
+        .cast("int").alias("is_literal"),
+    )
+
+
+def _man_page_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '.TH GREP ' || CAST(1 + doc_id % 8 AS VARCHAR)
+            || ' "2026-01-01"' || chr(10) || '.SH NAME' || chr(10)
+            || 'grep - print matching lines' || chr(10)
+            || '.SH SYNOPSIS' || chr(10) || '.B grep'
+            || chr(10) || '.SH DESCRIPTION' || chr(10)
+            || 'searches for patterns'
+          WHEN 1 THEN '.TH LS 1' || chr(10) || '.SH NAME'
+            || chr(10) || 'ls - list directory contents'
+          ELSE 'the manual says nothing about roff'
+        END AS txt
+      FROM documents),
+    m AS (
+      SELECT doc_id, txt FROM p WHERE txt LIKE '.TH %'),
+    s AS (
+      SELECT doc_id,
+        lower(regexp_extract(txt, '\\.TH ([A-Z]+) ([0-9])', 1))
+          AS cmd_name,
+        CAST(regexp_extract(txt, '\\.TH [A-Z]+ ([0-9])', 1)
+          AS INT) AS man_section,
+        len(regexp_extract_all(txt, '(?m)^\\.SH ')) AS n_sections,
+        CASE WHEN regexp_matches(txt, '\\.SH SYNOPSIS')
+          THEN 1 ELSE 0 END AS has_synopsis,
+        COALESCE(regexp_extract(txt, '\\.SH NAME' || chr(10)
+          || '[a-z]+ - ([^' || chr(10) || ']+)', 1), '')
+          AS one_line_desc
+      FROM m)
+    SELECT doc_id, cmd_name,
+      CAST(man_section AS INT) AS man_section,
+      CAST(n_sections AS INT) AS n_sections,
+      CAST(has_synopsis AS INT) AS has_synopsis,
+      one_line_desc
+    FROM s
+    """
+
+
+@query("man_page_sections", _man_page_oracle())
+def man_page_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Man-page roff parsing (round 4): mirrored manual pages reach
+    crawls as raw roff — .TH names the command and its manual
+    section (1 = user commands, 8 = admin), .SH lines partition the
+    document, and the 'name - description' line under NAME is the
+    canonical one-sentence summary (the (command, description)
+    supervision pair apropos(1) is built from). Prose about manuals
+    has no .TH header to gate in.
+
+    Scale shape: gate + anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit(".TH GREP "), (1 + i % 8).cast("string"),
+            F.lit(' "2026-01-01"\n.SH NAME\n'
+                  "grep - print matching lines\n.SH SYNOPSIS\n"
+                  ".B grep\n.SH DESCRIPTION\nsearches for patterns")))
+        .when(v == 1, F.lit(
+            ".TH LS 1\n.SH NAME\nls - list directory contents"))
+        .otherwise(F.lit("the manual says nothing about roff"))
+    )
+    m = d.select("doc_id", txt.alias("txt")).where(
+        F.col("txt").startswith(".TH "))
+    return m.select(
+        "doc_id",
+        F.lower(F.regexp_extract("txt", "\\.TH ([A-Z]+) ([0-9])", 1))
+        .alias("cmd_name"),
+        F.regexp_extract("txt", "\\.TH [A-Z]+ ([0-9])", 1)
+        .cast("int").alias("man_section"),
+        F.size(F.regexp_extract_all(
+            F.col("txt"), F.lit("(?m)^\\.SH "), 0)).cast("int")
+        .alias("n_sections"),
+        F.when(F.col("txt").contains(".SH SYNOPSIS"), 1).otherwise(0)
+        .cast("int").alias("has_synopsis"),
+        F.regexp_extract("txt", "\\.SH NAME\\n[a-z]+ - ([^\\n]+)", 1)
+        .alias("one_line_desc"),
+    )
+
+
+def _wiki_cite_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'text<ref>{{cite web|url=https://src.example/'
+            || CAST(doc_id % 9 AS VARCHAR) || '|title=Primary '
+            || 'Source|access-date=2026-08-01}}</ref> more'
+            || '<ref>{{cite journal|title=Old Paper|year=1999}}'
+            || '</ref>'
+          WHEN 1 THEN 'claim<ref>{{cite book|title=The Manual'
+            || '|isbn=978-3-16-148410-0}}</ref>'
+          ELSE 'wiki prose with {{Infobox person|name=X}} only'
+        END AS txt
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        generate_subscripts(cs, 1) - 1 AS cite_idx,
+        unnest(cs) AS c
+      FROM (SELECT doc_id, regexp_extract_all(txt,
+              '\\{\\{cite [a-z]+\\|[^}]*\\}\\}') AS cs
+            FROM p))
+    SELECT doc_id,
+      CAST(cite_idx AS INT) AS cite_idx,
+      regexp_extract(c, '\\{\\{cite ([a-z]+)', 1) AS cite_type,
+      COALESCE(regexp_extract(c, 'url=([^|}]+)', 1), '') AS url,
+      COALESCE(regexp_extract(c, 'title=([^|}]+)', 1), '')
+        AS title,
+      CAST(CASE WHEN regexp_matches(c, 'access-date=')
+        THEN 1 ELSE 0 END AS INT) AS has_access_date
+    FROM b
+    """
+
+
+@query("wiki_cite_template_parse", _wiki_cite_oracle())
+def wiki_cite_template_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MediaWiki cite-template parsing (round 4): {{cite web|...}}
+    templates inside <ref> tags are wikitext's machine-readable
+    citation records — the source-side twin of
+    citation_quality_profile's rendered-page heuristics, carrying
+    typed venue (web/journal/book), the cited url (an endorsement
+    edge into the crawl frontier), and access-date freshness. An
+    {{Infobox}} template is the planted negative — same brace
+    syntax, wrong template family.
+
+    Scale shape: extract_all + posexplode + per-cite extracts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    txt = (
+        F.when(v == 0, F.concat(
+            F.lit("text<ref>{{cite web|url=https://src.example/"),
+            (i % 9).cast("string"),
+            F.lit("|title=Primary Source|access-date=2026-08-01}}"
+                  "</ref> more<ref>{{cite journal|title=Old Paper"
+                  "|year=1999}}</ref>")))
+        .when(v == 1, F.lit(
+            "claim<ref>{{cite book|title=The Manual"
+            "|isbn=978-3-16-148410-0}}</ref>"))
+        .otherwise(F.lit(
+            "wiki prose with {{Infobox person|name=X}} only"))
+    )
+    cite_re = "\\{\\{cite [a-z]+\\|[^}]*\\}\\}"
+    p = d.select("doc_id", txt.alias("txt"))
+    b = p.select("doc_id", F.posexplode(F.regexp_extract_all(
+        F.col("txt"), F.lit(cite_re), 0)).alias("cite_idx", "c"))
+    return b.select(
+        "doc_id",
+        F.col("cite_idx").cast("int").alias("cite_idx"),
+        F.regexp_extract("c", "\\{\\{cite ([a-z]+)", 1)
+        .alias("cite_type"),
+        F.regexp_extract("c", "url=([^|}]+)", 1).alias("url"),
+        F.regexp_extract("c", "title=([^|}]+)", 1).alias("title"),
+        F.when(F.col("c").contains("access-date="), 1).otherwise(0)
+        .cast("int").alias("has_access_date"),
+    )

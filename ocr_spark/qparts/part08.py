@@ -1,0 +1,8770 @@
+"""Query registry part: continuation of the preceding part's sections
+
+Part 08 of 09 of the split query registry (VERDICT r4 next
+#7: the 72.8k-line ocr_spark/queries.py split behind the same
+QUERIES/ORACLE registry, registration order preserved — parts import
+sequentially from the ocr_spark.queries facade, which also
+back-patches call-time name resolution so intra-registry helper
+references behave exactly as in the original single module).
+"""
+
+from __future__ import annotations
+
+import ocr_spark.queries_base as _base
+
+globals().update(
+    {k: v for k, v in vars(_base).items() if not k.startswith("__")}
+)
+import ocr_spark.qparts.part07 as _prev
+
+globals().update(
+    {k: v for k, v in vars(_prev).items() if not k.startswith("__")}
+)
+
+
+
+@query("etag_strength_parse", _etag_oracle())
+def etag_strength_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETag strength parsing (round 4): the validator that
+    http_revalidation_plan spends — W/ weak etags promise only
+    semantic equivalence (good enough for a recrawl skip), while
+    strong etags promise byte identity (good enough for range
+    resumption with Content-Range). A crawler that treats weak
+    etags as strong corrupts resumed downloads; the flag IS the
+    decision. Laundry prose fails the quoted-value grammar.
+
+    Scale shape: one extract + flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('ETag: W/"rev-'), (i % 9000).cast("string"),
+            F.lit('"')))
+        .when(v == 1, F.concat(
+            F.lit('ETag: "sha-'), (i % 9000).cast("string"),
+            F.lit('"')))
+        .otherwise(F.lit("the etag was lost in the laundry"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit('ETag: (W/)?"')))
+    val = F.regexp_extract("body", '"([^"]+)"', 1)
+    return g.select(
+        "doc_id",
+        val.alias("etag_value"),
+        F.col("body").contains('W/"').cast("int").alias("is_weak"),
+        F.length(val).cast("int").alias("value_len"),
+    )
+
+
+def _content_range_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Content-Range: bytes 0-'
+            || CAST(1023 + doc_id % 9000 AS VARCHAR) || '/'
+            || CAST(100000 + doc_id * 13 AS VARCHAR)
+          WHEN 1 THEN 'Content-Range: bytes */'
+            || CAST(50000 + doc_id * 7 AS VARCHAR)
+          ELSE 'the content ranged from dull to thrilling'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          'Content-Range: bytes [0-9]+-[0-9]+/[0-9]+')
+          AS has_span
+      FROM p
+      WHERE regexp_matches(body, 'Content-Range: bytes ')),
+    s AS (
+      SELECT doc_id, has_span,
+        CASE WHEN has_span THEN CAST(regexp_extract(body,
+          'bytes ([0-9]+)-', 1) AS BIGINT) END AS start_b,
+        CASE WHEN has_span THEN CAST(regexp_extract(body,
+          'bytes [0-9]+-([0-9]+)/', 1) AS BIGINT) END AS end_b,
+        CAST(regexp_extract(body, '/([0-9]+)$', 1) AS BIGINT)
+          AS total_b
+      FROM g)
+    SELECT doc_id, start_b, end_b, total_b,
+      CASE WHEN has_span THEN CAST(end_b - start_b + 1 AS BIGINT)
+        END AS chunk_len,
+      CAST(CASE WHEN has_span AND end_b + 1 = total_b
+        THEN 1 ELSE 0 END AS INT) AS reaches_end,
+      CAST(CASE WHEN NOT has_span THEN 1 ELSE 0 END AS INT)
+        AS is_unsatisfied
+    FROM s
+    """
+
+
+@query("content_range_parse", _content_range_oracle())
+def content_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-Range parsing (round 4): partial-content
+    arithmetic decides whether a resumed fetch is COMPLETE —
+    chunk length is end−start+1 (the off-by-one every range
+    client gets wrong once), the final chunk satisfies
+    end+1 = total, and the 'bytes */N' form is a 416
+    unsatisfied-range response that still reveals the full
+    object size (free HEAD-equivalent metadata). The
+    range-request face of the CDX record-offset reads the WARC
+    source already does.
+
+    Scale shape: extracts + integer arithmetic per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Content-Range: bytes 0-"),
+            (1023 + i % 9000).cast("string"), F.lit("/"),
+            (F.lit(100000) + i * 13).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("Content-Range: bytes */"),
+            (F.lit(50000) + i * 7).cast("string")))
+        .otherwise(F.lit("the content ranged from dull to thrilling"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Content-Range: bytes ")))
+    has_span = F.regexp_like(F.col("body"), F.lit(
+        "Content-Range: bytes [0-9]+-[0-9]+/[0-9]+"))
+    start_b = F.when(has_span, F.regexp_extract(
+        "body", "bytes ([0-9]+)-", 1).cast("long"))
+    end_b = F.when(has_span, F.regexp_extract(
+        "body", "bytes [0-9]+-([0-9]+)/", 1).cast("long"))
+    total_b = F.regexp_extract("body", "/([0-9]+)$", 1).cast("long")
+    return g.select(
+        "doc_id",
+        start_b.alias("start_b"),
+        end_b.alias("end_b"),
+        total_b.alias("total_b"),
+        F.when(has_span, (end_b - start_b + 1).cast("long"))
+        .alias("chunk_len"),
+        (has_span & (end_b + 1 == total_b)).cast("int")
+        .alias("reaches_end"),
+        (~has_span).cast("int").alias("is_unsatisfied"),
+    )
+
+
+def _ipfs_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT doc_id,
+        replace(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '1'),
+          '0', 'z') AS tail
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Pinned at ipfs://bafybeigdyrzt5sfp7udm7h'
+            || 'u76uh7y26nf3efuylqabf3oclgtqy55fbz' || tail
+            || ' for archival.'
+          WHEN 1 THEN 'Mirror: https://ipfs.io/ipfs/QmYwAPJzv5CZ'
+            || 'sNA625s3Xf2nemtYgPpHdWEz79ojWnPbd' || tail
+            || ' is live.'
+          ELSE 'the ipfs of it all escapes me entirely'
+        END AS body
+      FROM v),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, 'ipfs://(baf[a-z2-7]+)') AS is_native
+      FROM p
+      WHERE regexp_matches(body,
+        'ipfs://baf[a-z2-7]+|/ipfs/Qm[1-9A-HJ-NP-Za-km-z]+'))
+    SELECT doc_id,
+      CASE WHEN is_native THEN
+        regexp_extract(body, 'ipfs://(baf[a-z2-7]+)', 1)
+      ELSE regexp_extract(body,
+        '/ipfs/(Qm[1-9A-HJ-NP-Za-km-z]+)', 1) END AS cid,
+      CAST(CASE WHEN is_native THEN 1 ELSE 0 END AS INT)
+        AS cid_version,
+      CAST(CASE WHEN is_native THEN 0 ELSE 1 END AS INT)
+        AS is_gateway
+    FROM g
+    """
+
+
+@query("ipfs_uri_parse", _ipfs_oracle())
+def ipfs_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPFS content-address mining (round 4): ipfs:// URIs and
+    gateway paths carry content-addressed ids whose PREFIX
+    encodes the CID generation — Qm... is CIDv0 (base58btc, the
+    excluded 0/O/I/l alphabet in the grammar), baf... is CIDv1
+    (base32). A CID names identical bytes wherever they're
+    served, so it's the strongest cross-mirror dedup key a crawl
+    can extract — the decentralized sibling of
+    magnet_link_parse's infohash, with gateway URLs exposing the
+    same id over plain HTTPS.
+
+    Scale shape: alphabet-anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    tail = F.replace(
+        F.lpad((i % 10000).cast("string"), 4, "1"),
+        F.lit("0"), F.lit("z"))
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Pinned at ipfs://bafybeigdyrzt5sfp7udm7h"
+                  "u76uh7y26nf3efuylqabf3oclgtqy55fbz"), tail,
+            F.lit(" for archival.")))
+        .when(v == 1, F.concat(
+            F.lit("Mirror: https://ipfs.io/ipfs/QmYwAPJzv5CZ"
+                  "sNA625s3Xf2nemtYgPpHdWEz79ojWnPbd"), tail,
+            F.lit(" is live.")))
+        .otherwise(F.lit("the ipfs of it all escapes me entirely"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "ipfs://baf[a-z2-7]+|/ipfs/Qm[1-9A-HJ-NP-Za-km-z]+")))
+    is_native = F.regexp_like(F.col("body"), F.lit(
+        "ipfs://(baf[a-z2-7]+)"))
+    return g.select(
+        "doc_id",
+        F.when(is_native, F.regexp_extract(
+            "body", "ipfs://(baf[a-z2-7]+)", 1))
+        .otherwise(F.regexp_extract(
+            "body", "/ipfs/(Qm[1-9A-HJ-NP-Za-km-z]+)", 1))
+        .alias("cid"),
+        is_native.cast("int").alias("cid_version"),
+        (~is_native).cast("int").alias("is_gateway"),
+    )
+
+
+def _fedi_handle_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Follow me at @alice'
+            || CAST(doc_id % 300 AS VARCHAR) || '@mastodon.social'
+            || ' for updates.'
+          WHEN 1 THEN 'Boosted by @bob@fosstodon'
+            || CAST(doc_id % 9 AS VARCHAR) || '.org yesterday.'
+          ELSE 'email me at support@example.com please'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '@([a-z0-9_]+)@([a-z0-9.-]+\\.[a-z]{2,})',
+          ['u', 'h']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '(^|[^a-z0-9._-])@[a-z0-9_]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+    SELECT doc_id,
+      m.u AS handle_user,
+      m.h AS instance_host,
+      '@' || m.u || '@' || m.h AS full_handle
+    FROM g
+    """
+
+
+@query("fediverse_handle_extract", _fedi_handle_oracle())
+def fediverse_handle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fediverse handle mining (round 4): @user@instance handles
+    are the author identity layer of the decentralized social
+    web — the DOUBLE-@ grammar is what separates them from
+    plain email addresses (the planted support@example.com has
+    one @ and is pinned out by requiring the leading @ with a
+    non-word left boundary). Instance hosts key the
+    cross-instance author dedup that activitypub_discovery's
+    actor ids resolve fully; together they form the account
+    graph for UGC attribution.
+
+    Scale shape: one grouped extract per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Follow me at @alice"), (i % 300).cast("string"),
+            F.lit("@mastodon.social for updates.")))
+        .when(v == 1, F.concat(
+            F.lit("Boosted by @bob@fosstodon"),
+            (i % 9).cast("string"), F.lit(".org yesterday.")))
+        .otherwise(F.lit("email me at support@example.com please"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "@([a-z0-9_]+)@([a-z0-9.-]+\\.[a-z]{2,})"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(^|[^a-z0-9._-])@[a-z0-9_]+@[a-z0-9.-]+\\.[a-z]{2,}")))
+    u = F.regexp_extract("body", pat, 1)
+    h = F.regexp_extract("body", pat, 2)
+    return g.select(
+        "doc_id",
+        u.alias("handle_user"),
+        h.alias("instance_host"),
+        F.concat(F.lit("@"), u, F.lit("@"), h).alias("full_handle"),
+    )
+
+
+def _nostr_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT doc_id,
+        replace(replace(lpad(CAST(doc_id % 100000 AS VARCHAR),
+          5, '2'), '1', 'x'), 'b', 'z') AS tail
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'My key is npub1qqszv6q4uryjzr06xfxxp0p7v4'
+            || 'swhjq9xhqrud6ewfjhqqzudnq0q' || tail || ' verify.'
+          WHEN 1 THEN 'Referenced note1fntxtkcy9pjwucqwa9mddn7v'
+            || '03wwwsu9j330jj350nvhzky2t4q' || tail
+            || ' went viral.'
+          ELSE 'no public keys were harmed in this prose'
+        END AS body
+      FROM v),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, 'npub1[a-z0-9]{40,}') AS is_npub
+      FROM p
+      WHERE regexp_matches(body,
+        'npub1[a-z0-9]{40,}|note1[a-z0-9]{40,}'))
+    SELECT doc_id,
+      CASE WHEN is_npub THEN
+        regexp_extract(body, '(npub1[a-z0-9]+)', 1)
+      ELSE regexp_extract(body, '(note1[a-z0-9]+)', 1)
+      END AS bech_id,
+      CASE WHEN is_npub THEN 'pubkey' ELSE 'note' END AS id_kind,
+      CAST(len(CASE WHEN is_npub THEN
+        regexp_extract(body, '(npub1[a-z0-9]+)', 1)
+      ELSE regexp_extract(body, '(note1[a-z0-9]+)', 1)
+      END) AS INT) AS id_len
+    FROM g
+    """
+
+
+@query("nostr_id_extract", _nostr_oracle())
+def nostr_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nostr identifier mining (round 4): bech32-prefixed npub
+    (author pubkey) and note (event id) tokens key the
+    relay-replicated social graph — the human-readable prefix
+    IS the type system (NIP-19), so classification needs no
+    decoding, and the '1' separator plus charset-bounded tail
+    distinguishes real ids from prose. Pubkeys are the author
+    dedup key across every relay mirror of the same content —
+    the crypto-social sibling of fediverse handles.
+
+    Scale shape: prefix-anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    tail = F.replace(F.replace(
+        F.lpad((i % 100000).cast("string"), 5, "2"),
+        F.lit("1"), F.lit("x")), F.lit("b"), F.lit("z"))
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("My key is npub1qqszv6q4uryjzr06xfxxp0p7v4"
+                  "swhjq9xhqrud6ewfjhqqzudnq0q"), tail,
+            F.lit(" verify.")))
+        .when(v == 1, F.concat(
+            F.lit("Referenced note1fntxtkcy9pjwucqwa9mddn7v"
+                  "03wwwsu9j330jj350nvhzky2t4q"), tail,
+            F.lit(" went viral.")))
+        .otherwise(F.lit("no public keys were harmed in this prose"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "npub1[a-z0-9]{40,}|note1[a-z0-9]{40,}")))
+    is_npub = F.regexp_like(F.col("body"), F.lit("npub1[a-z0-9]{40,}"))
+    bech = (
+        F.when(is_npub, F.regexp_extract(
+            "body", "(npub1[a-z0-9]+)", 1))
+        .otherwise(F.regexp_extract("body", "(note1[a-z0-9]+)", 1)))
+    return g.select(
+        "doc_id",
+        bech.alias("bech_id"),
+        F.when(is_npub, F.lit("pubkey")).otherwise(F.lit("note"))
+        .alias("id_kind"),
+        F.length(bech).cast("int").alias("id_len"),
+    )
+
+
+def _matrix_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Join #project'
+            || CAST(doc_id % 200 AS VARCHAR)
+            || ':matrix.org for discussion.'
+          WHEN 1 THEN 'Ping @dev' || CAST(doc_id % 200 AS VARCHAR)
+            || ':chat.example.com when ready.'
+          ELSE '#1 fan of the :matrix: movie franchise'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          '#[a-z0-9]+:[a-z0-9.-]+\\.[a-z]{2,}') AS is_room
+      FROM p
+      WHERE regexp_matches(body,
+        '[#@][a-z0-9]+:[a-z0-9.-]+\\.[a-z]{2,}'))
+    SELECT doc_id,
+      CASE WHEN is_room THEN 'room' ELSE 'user' END AS id_kind,
+      CASE WHEN is_room THEN
+        regexp_extract(body,
+          '#([a-z0-9]+):[a-z0-9.-]+\\.[a-z]{2,}', 1)
+      ELSE regexp_extract(body,
+        '@([a-z0-9]+):[a-z0-9.-]+\\.[a-z]{2,}', 1)
+      END AS localpart,
+      CASE WHEN is_room THEN
+        regexp_extract(body,
+          '#[a-z0-9]+:([a-z0-9.-]+\\.[a-z]{2,})', 1)
+      ELSE regexp_extract(body,
+        '@[a-z0-9]+:([a-z0-9.-]+\\.[a-z]{2,})', 1)
+      END AS homeserver
+    FROM g
+    """
+
+
+@query("matrix_id_extract", _matrix_oracle())
+def matrix_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix identifier mining (round 4): #room:server aliases
+    and @user:server ids are the join points into federated chat
+    — sigil (+localpart+colon+homeserver) is the whole grammar,
+    with the homeserver naming which federation node owns the
+    id (community-infrastructure census alongside IRC channels
+    and Discord invites). '#1 fan' has the sigil but no
+    colon-server; ':matrix:' emoji shortcodes have the colon but
+    no dotted host — both pinned out.
+
+    Scale shape: sigil-anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Join #project"), (i % 200).cast("string"),
+            F.lit(":matrix.org for discussion.")))
+        .when(v == 1, F.concat(
+            F.lit("Ping @dev"), (i % 200).cast("string"),
+            F.lit(":chat.example.com when ready.")))
+        .otherwise(F.lit("#1 fan of the :matrix: movie franchise"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[#@][a-z0-9]+:[a-z0-9.-]+\\.[a-z]{2,}")))
+    is_room = F.regexp_like(F.col("body"), F.lit(
+        "#[a-z0-9]+:[a-z0-9.-]+\\.[a-z]{2,}"))
+    return g.select(
+        "doc_id",
+        F.when(is_room, F.lit("room")).otherwise(F.lit("user"))
+        .alias("id_kind"),
+        F.when(is_room, F.regexp_extract(
+            "body", "#([a-z0-9]+):[a-z0-9.-]+\\.[a-z]{2,}", 1))
+        .otherwise(F.regexp_extract(
+            "body", "@([a-z0-9]+):[a-z0-9.-]+\\.[a-z]{2,}", 1))
+        .alias("localpart"),
+        F.when(is_room, F.regexp_extract(
+            "body", "#[a-z0-9]+:([a-z0-9.-]+\\.[a-z]{2,})", 1))
+        .otherwise(F.regexp_extract(
+            "body", "@[a-z0-9]+:([a-z0-9.-]+\\.[a-z]{2,})", 1))
+        .alias("homeserver"),
+    )
+
+
+def _did_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Verified as did:web:example'
+            || CAST(doc_id % 60 AS VARCHAR)
+            || '.com on the ledger.'
+          WHEN 1 THEN 'Account did:plc:z72i7hdynmk6r22z27h'
+            || CAST(doc_id % 10 AS VARCHAR)
+            || CAST((doc_id * 3) % 10 AS VARCHAR)
+            || 'aaaa migrated.'
+          WHEN 2 THEN 'Signed by did:key:z6Mkha'
+            || CAST(doc_id % 10 AS VARCHAR)
+            || 'zgoY4e3jZkW9mPqRsTuVwXyZabcdefg attest.'
+          ELSE 'what did: you expect from plain prose'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'did:([a-z]+):([a-zA-Z0-9._%-]+)', ['m', 's']) AS d
+      FROM p
+      WHERE regexp_matches(body,
+        'did:[a-z]+:[a-zA-Z0-9._%-]+')),
+    s AS (
+      SELECT doc_id, d.m AS method, d.s AS specific_id FROM g)
+    SELECT doc_id, method, specific_id,
+      'did:' || method || ':' || specific_id AS did,
+      CAST(CASE WHEN method = 'web' THEN 1 ELSE 0 END AS INT)
+        AS is_dns_anchored
+    FROM s
+    """
+
+
+@query("did_identifier_parse", _did_oracle())
+def did_identifier_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DID parsing (round 4, W3C Decentralized Identifiers):
+    did:method:specific-id tokens carry portable identity — the
+    method segment names the resolution machinery (did:web
+    anchors to DNS and is verifiable by fetching
+    /.well-known/did.json — the only method a crawler can check
+    in-band, hence the flag; did:plc and did:key live on
+    ledgers/self-certify). The method census measures which
+    identity ecosystems the indexed web actually links to.
+    'what did: you expect' has the word but no method:id shape.
+
+    Scale shape: one grouped extract per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Verified as did:web:example"),
+            (i % 60).cast("string"),
+            F.lit(".com on the ledger.")))
+        .when(v == 1, F.concat(
+            F.lit("Account did:plc:z72i7hdynmk6r22z27h"),
+            (i % 10).cast("string"),
+            ((i * 3) % 10).cast("string"),
+            F.lit("aaaa migrated.")))
+        .when(v == 2, F.concat(
+            F.lit("Signed by did:key:z6Mkha"),
+            (i % 10).cast("string"),
+            F.lit("zgoY4e3jZkW9mPqRsTuVwXyZabcdefg attest.")))
+        .otherwise(F.lit("what did: you expect from plain prose"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "did:([a-z]+):([a-zA-Z0-9._%-]+)"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "did:[a-z]+:[a-zA-Z0-9._%-]+")))
+    method = F.regexp_extract("body", pat, 1)
+    spec = F.regexp_extract("body", pat, 2)
+    return g.select(
+        "doc_id",
+        method.alias("method"),
+        spec.alias("specific_id"),
+        F.concat(F.lit("did:"), method, F.lit(":"), spec)
+        .alias("did"),
+        (method == "web").cast("int").alias("is_dns_anchored"),
+    )
+
+
+def _importmap_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script type="importmap">{"imports":'
+            || '{"react":"https://esm.sh/react@18.2.0",'
+            || '"lodash":"/vendor/lodash.' || CAST(doc_id % 40
+              AS VARCHAR) || '.js"}}</script>'
+          WHEN 1 THEN '<script type="importmap">{"imports":'
+            || '{"app":"/js/app.' || CAST(doc_id % 90 AS VARCHAR)
+            || '.js"},"scopes":{"/admin/":{"app":'
+            || '"/js/admin.js"}}}</script>'
+          ELSE '<script type="module">import x from "./x.js">'
+            || '</script>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, '<script type="importmap">')),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract_all(
+          regexp_extract(body, '"imports":\\{([^}]*)\\}', 1),
+          '"([a-z@/.-]+)":', 1) AS specs
+      FROM g)
+    SELECT doc_id,
+      CAST(len(specs) AS INT) AS n_imports,
+      specs[1] AS first_specifier,
+      CAST(len(regexp_extract_all(body, ':"https://'))
+        AS INT) AS n_external,
+      CAST(CASE WHEN contains(body, '"scopes":') THEN 1 ELSE 0
+        END AS INT) AS has_scopes
+    FROM s
+    """
+
+
+@query("importmap_parse", _importmap_oracle())
+def importmap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-map parsing (round 4): the bare-specifier
+    resolution table modern no-bundler pages ship — each
+    imports key is a module the page loads at runtime (external
+    https:// values are third-party supply-chain dependencies
+    beside sri_integrity_audit's scripts; scopes mark
+    path-dependent resolution). A type="module" script is the
+    planted negative: same element, different type attribute,
+    and the map grammar only lives in importmap blocks.
+
+    Scale shape: nested extract + extract-all per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="importmap">{"imports":'
+                  '{"react":"https://esm.sh/react@18.2.0",'
+                  '"lodash":"/vendor/lodash.'),
+            (i % 40).cast("string"), F.lit('.js"}}</script>')))
+        .when(v == 1, F.concat(
+            F.lit('<script type="importmap">{"imports":'
+                  '{"app":"/js/app.'), (i % 90).cast("string"),
+            F.lit('.js"},"scopes":{"/admin/":{"app":'
+                  '"/js/admin.js"}}}</script>')))
+        .otherwise(F.lit(
+            '<script type="module">import x from "./x.js"></script>'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains('<script type="importmap">'))
+    specs = F.regexp_extract_all(
+        F.regexp_extract("body", '"imports":\\{([^}]*)\\}', 1),
+        F.lit('"([a-z@/.-]+)":'), 1)
+    return g.select(
+        "doc_id",
+        F.size(specs).cast("int").alias("n_imports"),
+        F.element_at(specs, 1).alias("first_specifier"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit(':"https://'), 0)).cast("int")
+        .alias("n_external"),
+        F.col("body").contains('"scopes":').cast("int")
+        .alias("has_scopes"),
+    )
+
+
+def _webauthn_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script>navigator.credentials.create('
+            || '{publicKey:{challenge:c,rp:{name:"Ex'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '"},authenticatorSelection:{authenticator'
+            || 'Attachment:"platform"}}})</script>'
+          WHEN 1 THEN '<script>navigator.credentials.get('
+            || '{publicKey:{challenge:c,allowCredentials:[]}}'
+            || ')</script>'
+          ELSE 'give credit where credentials are due'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'navigator.credentials.create(')
+          AS is_create
+      FROM p
+      WHERE contains(body, 'navigator.credentials.create(')
+        OR contains(body, 'navigator.credentials.get('))
+    SELECT doc_id,
+      CASE WHEN is_create THEN 'create' ELSE 'get' END
+        AS api_call,
+      CAST(CASE WHEN is_create THEN 1 ELSE 0 END AS INT)
+        AS is_registration,
+      CAST(CASE WHEN contains(body,
+        'authenticatorAttachment:"platform"') THEN 1 ELSE 0 END
+        AS INT) AS wants_platform_authenticator,
+      CAST(CASE WHEN contains(body, 'publicKey:') THEN 1 ELSE 0
+        END AS INT) AS is_webauthn
+    FROM g
+    """
+
+
+@query("webauthn_detect", _webauthn_oracle())
+def webauthn_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebAuthn detection (round 4): navigator.credentials with a
+    publicKey argument is the passwordless ceremony — create()
+    registers a credential (the signup face), get() asserts one
+    (the login face), and a platform authenticatorAttachment
+    means the site expects built-in biometrics. Grades
+    authentication modernity one tier beyond
+    form_autocomplete_audit's current-password tokens: these
+    pages have no password to phish. Prose credits fail the
+    member-call gate.
+
+    Scale shape: substring predicates per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("<script>navigator.credentials.create("
+                  '{publicKey:{challenge:c,rp:{name:"Ex'),
+            (i % 50).cast("string"),
+            F.lit('"},authenticatorSelection:{authenticator'
+                  'Attachment:"platform"}}})</script>')))
+        .when(v == 1, F.lit(
+            "<script>navigator.credentials.get("
+            "{publicKey:{challenge:c,allowCredentials:[]}})"
+            "</script>"))
+        .otherwise(F.lit("give credit where credentials are due"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_create = F.col("body").contains("navigator.credentials.create(")
+    g = p.where(
+        is_create | F.col("body").contains("navigator.credentials.get("))
+    return g.select(
+        "doc_id",
+        F.when(is_create, F.lit("create")).otherwise(F.lit("get"))
+        .alias("api_call"),
+        is_create.cast("int").alias("is_registration"),
+        F.col("body").contains('authenticatorAttachment:"platform"')
+        .cast("int").alias("wants_platform_authenticator"),
+        F.col("body").contains("publicKey:").cast("int")
+        .alias("is_webauthn"),
+    )
+
+
+def _module_script_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<script type="module" src="/js/main.'
+            || CAST(doc_id % 60 AS VARCHAR) || '.mjs"></script>'
+            || '<script nomodule src="/js/legacy.js"></script>'
+          WHEN 1 THEN '<script type="module" src="/js/app.'
+            || CAST(doc_id % 60 AS VARCHAR) || '.js"></script>'
+            || '<script type="module">init()</script>'
+          ELSE '<script src="/js/old.js"></script>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, '<script type="module"'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, '<script type="module"'))
+        AS INT) AS n_module,
+      CAST(len(regexp_extract_all(body, '<script nomodule'))
+        AS INT) AS n_nomodule,
+      CAST(CASE WHEN contains(body, '<script nomodule')
+        THEN 1 ELSE 0 END AS INT) AS has_legacy_fallback,
+      regexp_extract(body,
+        '<script type="module" src="([^"]+)"', 1)
+        AS first_module_src
+    FROM g
+    """
+
+
+@query("module_script_profile", _module_script_oracle())
+def module_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-module script profiling (round 4): type="module" vs
+    nomodule pairs date the build toolchain — the
+    differential-serving pattern (module for evergreen browsers,
+    nomodule for legacy) marks the 2018-2021 generation, while
+    module-only pages assume a modern baseline (the
+    script-loading sibling of responsive_breakpoint_profile's
+    template dating). Classic scripts are the negative: no
+    module type, no entry.
+
+    Scale shape: substring counts + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<script type="module" src="/js/main.'),
+            (i % 60).cast("string"),
+            F.lit('.mjs"></script>'
+                  '<script nomodule src="/js/legacy.js"></script>')))
+        .when(v == 1, F.concat(
+            F.lit('<script type="module" src="/js/app.'),
+            (i % 60).cast("string"),
+            F.lit('.js"></script>'
+                  '<script type="module">init()</script>')))
+        .otherwise(F.lit('<script src="/js/old.js"></script>'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains('<script type="module"'))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('<script type="module"'), 0))
+        .cast("int").alias("n_module"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit("<script nomodule"), 0))
+        .cast("int").alias("n_nomodule"),
+        F.col("body").contains("<script nomodule").cast("int")
+        .alias("has_legacy_fallback"),
+        F.regexp_extract(
+            "body", '<script type="module" src="([^"]+)"', 1)
+        .alias("first_module_src"),
+    )
+
+
+def _x509_dump_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Certificate:' || chr(10)
+            || '    Serial Number: '
+            || CAST(doc_id % 100000 AS VARCHAR) || chr(10)
+            || '    Issuer: CN=Example CA'
+            || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+            || '    Not After : Dec 31 23:59:59 202'
+            || CAST(6 + doc_id % 3 AS VARCHAR) || ' GMT'
+            || chr(10) || '    Subject: CN=www.site'
+            || CAST(doc_id % 400 AS VARCHAR) || '.com'
+            || chr(10) || '    Public-Key: (2048 bit)'
+          WHEN 1 THEN 'Certificate:' || chr(10)
+            || '    Serial Number: 1' || chr(10)
+            || '    Issuer: CN=selfhost'
+            || CAST(doc_id % 90 AS VARCHAR) || '.lan' || chr(10)
+            || '    Not After : Jun 15 12:00:00 2027 GMT'
+            || chr(10) || '    Subject: CN=selfhost'
+            || CAST(doc_id % 90 AS VARCHAR) || '.lan' || chr(10)
+            || '    Public-Key: (4096 bit)'
+          ELSE 'my certificate of achievement hangs proudly'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, 'Subject: CN=')
+        AND contains(body, 'Issuer: CN=')),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract(body, 'Subject: CN=([^' || chr(10)
+          || ']+)', 1) AS subject_cn,
+        regexp_extract(body, 'Issuer: CN=([^' || chr(10)
+          || ']+)', 1) AS issuer_cn
+      FROM g)
+    SELECT doc_id, subject_cn, issuer_cn,
+      CAST(regexp_extract(body, 'Public-Key: \\(([0-9]+) bit\\)',
+        1) AS INT) AS key_bits,
+      CAST(regexp_extract(body,
+        'Not After : [A-Za-z]+ [0-9]+ [0-9:]+ ([0-9]{4}) GMT',
+        1) AS INT) AS expiry_year,
+      CAST(CASE WHEN subject_cn = issuer_cn THEN 1 ELSE 0 END
+        AS INT) AS is_self_signed
+    FROM s
+    """
+
+
+@query("x509_text_dump_parse", _x509_dump_oracle())
+def x509_text_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openssl x509 text-dump parsing (round 4): 'openssl x509
+    -text' output pasted into debugging threads reveals the
+    certificate facts without any DER decoding — subject/issuer
+    CNs (equal CNs = self-signed, the internal-service marker),
+    key size grading crypto strength, and the Not After year
+    bounding when the described deployment was alive (a
+    content-dating channel beside copyright_staleness). The
+    achievement-certificate prose fails the CN field gate.
+
+    Scale shape: field-anchored extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Certificate:" + nl + "    Serial Number: "),
+            (i % 100000).cast("string"),
+            F.lit(nl + "    Issuer: CN=Example CA"),
+            (i % 5).cast("string"),
+            F.lit(nl + "    Not After : Dec 31 23:59:59 202"),
+            (6 + i % 3).cast("string"),
+            F.lit(" GMT" + nl + "    Subject: CN=www.site"),
+            (i % 400).cast("string"),
+            F.lit(".com" + nl + "    Public-Key: (2048 bit)")))
+        .when(v == 1, F.concat(
+            F.lit("Certificate:" + nl + "    Serial Number: 1" + nl
+                  + "    Issuer: CN=selfhost"),
+            (i % 90).cast("string"),
+            F.lit(".lan" + nl
+                  + "    Not After : Jun 15 12:00:00 2027 GMT"
+                  + nl + "    Subject: CN=selfhost"),
+            (i % 90).cast("string"),
+            F.lit(".lan" + nl + "    Public-Key: (4096 bit)")))
+        .otherwise(F.lit("my certificate of achievement hangs proudly"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("Subject: CN=")
+                & F.col("body").contains("Issuer: CN="))
+    subject_cn = F.regexp_extract(
+        "body", "Subject: CN=([^" + nl + "]+)", 1)
+    issuer_cn = F.regexp_extract(
+        "body", "Issuer: CN=([^" + nl + "]+)", 1)
+    return g.select(
+        "doc_id",
+        subject_cn.alias("subject_cn"),
+        issuer_cn.alias("issuer_cn"),
+        F.regexp_extract(
+            "body", "Public-Key: \\(([0-9]+) bit\\)", 1).cast("int")
+        .alias("key_bits"),
+        F.regexp_extract(
+            "body",
+            "Not After : [A-Za-z]+ [0-9]+ [0-9:]+ ([0-9]{4}) GMT",
+            1).cast("int").alias("expiry_year"),
+        (subject_cn == issuer_cn).cast("int").alias("is_self_signed"),
+    )
+
+
+def _luhn_ok(digstr: str) -> bool:
+    total = 0
+    for j, ch in enumerate(reversed(digstr), start=1):
+        v = int(ch)
+        if j % 2 == 0:
+            v *= 2
+        total += v // 10 + v % 10
+    return total % 10 == 0
+
+
+def _isin_with_check(base11: str) -> str:
+    # ISO 6166: expand base-36 chars to digits, append the check digit
+    # that makes the whole digit string pass Luhn
+    exp = "".join(str(int(c, 36)) for c in base11)
+    for cd in range(10):
+        if _luhn_ok(exp + str(cd)):
+            return base11 + str(cd)
+    raise AssertionError("unreachable")
+
+
+_ISIN_ROTATION = [
+    _isin_with_check("US037833100"),  # == US0378331005 (Apple)
+    _isin_with_check("GB000263494"),
+    _isin_with_check("DE000BASF111"[:11]),
+    # corrupt: valid ISIN with one digit bumped
+    _isin_with_check("US037833100")[:11]
+    + str((int(_isin_with_check("US037833100")[11]) + 1) % 10),
+]
+
+
+def _isin_oracle() -> str:
+    case = "\n".join(
+        f"          WHEN {k} THEN '{v}'"
+        for k, v in enumerate(_ISIN_ROTATION)
+    )
+    repl = "isin"
+    for k in range(26):
+        repl = f"replace({repl}, '{chr(65 + k)}', '{10 + k}')"
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        'Listed under ISIN ' || CASE doc_id % 4
+{case}
+        END || ' since lot ' || CAST(doc_id % 9 AS VARCHAR)
+        AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract(body, 'ISIN ([A-Z]{{2}}[A-Z0-9]{{9}}[0-9])',
+          1) AS isin
+      FROM p),
+    u AS (
+      SELECT doc_id, isin,
+        regexp_extract_all({repl}, '.') AS ds
+      FROM s),
+    v AS (
+      SELECT doc_id, isin,
+        list_reduce(list_prepend(0, list_transform(
+          range(1, len(ds) + 1),
+          j -> CASE WHEN j % 2 = 0
+            THEN 2 * CAST(ds[len(ds) + 1 - j] AS INT)
+            ELSE CAST(ds[len(ds) + 1 - j] AS INT) END)),
+          (acc, x) -> acc + x // 10 + x % 10) AS luhn_sum
+      FROM u)
+    SELECT doc_id, isin,
+      substr(isin, 1, 2) AS country,
+      CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS INT)
+        AS is_valid
+    FROM v
+    """
+
+
+@query("isin_checksum_validate", _isin_oracle())
+def isin_checksum_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISIN validation (round 4, ISO 6166): the international
+    security identifier expands base-36 chars to digits and
+    applies Luhn over the EXPANDED string — so the doubling
+    parity depends on how many letters preceded each position,
+    and both engines index from the right over the
+    post-expansion digit list (the step naive validators skip).
+    Rotation is anchored by Apple's real US0378331005 (the
+    Python helper that generates it is pinned against the
+    published value in tests/test_checksums_s10.py — external
+    truth, not engine echo); one bumped check digit plants the
+    invalid class.
+
+    Scale shape: replace chain + reversed indexed fold per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    lit = F.when(v == 0, F.lit(_ISIN_ROTATION[0]))
+    for k in range(1, 4):
+        lit = lit.when(v == k, F.lit(_ISIN_ROTATION[k]))
+    body = F.concat(
+        F.lit("Listed under ISIN "), lit,
+        F.lit(" since lot "), (i % 9).cast("string"))
+    p = d.select("doc_id", body.alias("body"))
+    isin = F.regexp_extract(
+        "body", "ISIN ([A-Z]{2}[A-Z0-9]{9}[0-9])", 1)
+    s = p.select("doc_id", isin.alias("isin"))
+    num = F.col("isin")
+    for k in range(26):
+        num = F.replace(num, F.lit(chr(65 + k)), F.lit(str(10 + k)))
+    ds = F.split(num, "")
+    n = F.size(ds)
+
+    def _dig(j):
+        c = F.element_at(ds, n + 1 - j).cast("int")
+        return F.when(j % 2 == 0, c * 2).otherwise(c)
+
+    luhn_sum = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), _dig), F.lit(0),
+        lambda acc, x: acc + F.floor(x / 10).cast("int") + x % 10)
+    return s.select(
+        "doc_id", "isin",
+        F.substring("isin", 1, 2).alias("country"),
+        F.when(luhn_sum % 10 == 0, 1).otherwise(0).cast("int")
+        .alias("is_valid"),
+    )
+
+
+def _imo_check(base6: str) -> str:
+    s = sum(int(c) * w for c, w in zip(base6, [7, 6, 5, 4, 3, 2]))
+    return str(s % 10)
+
+
+_IMO_VALID = "907472" + _imo_check("907472")  # == IMO 9074729
+
+
+def _imo_oracle() -> str:
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Vessel IMO 9'
+            || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+            || CAST((doc_id * 3) % 10 AS VARCHAR)
+            || ' cleared port.'
+          WHEN 1 THEN 'Registered as IMO {_IMO_VALID} in the '
+            || 'Lloyds registry.'
+          ELSE 'in my opinion the ship has sailed'
+        END AS body
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_extract(body, 'IMO ([0-9]{{7}})', 1) AS imo
+      FROM p
+      WHERE regexp_matches(body, 'IMO [0-9]{{7}}')),
+    u AS (
+      SELECT doc_id, imo,
+        CAST(substr(imo, 1, 1) AS INT) * 7
+        + CAST(substr(imo, 2, 1) AS INT) * 6
+        + CAST(substr(imo, 3, 1) AS INT) * 5
+        + CAST(substr(imo, 4, 1) AS INT) * 4
+        + CAST(substr(imo, 5, 1) AS INT) * 3
+        + CAST(substr(imo, 6, 1) AS INT) * 2 AS wsum
+      FROM s)
+    SELECT doc_id, imo,
+      CAST(CASE WHEN wsum % 10 = CAST(substr(imo, 7, 1) AS INT)
+        THEN 1 ELSE 0 END AS INT) AS is_valid
+    FROM u
+    """
+
+
+@query("imo_ship_number_validate", _imo_oracle())
+def imo_ship_number_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMO ship-number validation (round 4): the seven-digit hull
+    identifier that follows a vessel through every reflagging —
+    digits 1-6 weighted 7..2, the seventh must equal the sum mod
+    10 (a real IMO, 9074729, rides one rotation as the
+    Python-precomputed external-truth pin; the varying branch
+    draws its check digit arithmetically so both classes
+    appear). Maritime-news and shipping-registry prose keyed by
+    IMO joins the trade-data graph. 'in my opinion' fails the
+    label-digits grammar.
+
+    Scale shape: six positional digit products per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Vessel IMO 9"),
+            F.lpad((i % 100000).cast("string"), 5, "0"),
+            ((i * 3) % 10).cast("string"),
+            F.lit(" cleared port.")))
+        .when(v == 1, F.lit(
+            f"Registered as IMO {_IMO_VALID} in the Lloyds registry.")))
+    body = body.otherwise(F.lit("in my opinion the ship has sailed"))
+    p = d.select("doc_id", body.alias("body"))
+    s = (
+        p.where(F.regexp_like(F.col("body"), F.lit("IMO [0-9]{7}")))
+        .select("doc_id", F.regexp_extract(
+            "body", "IMO ([0-9]{7})", 1).alias("imo"))
+    )
+
+    def _d(pos):
+        return F.substring("imo", pos, 1).cast("int")
+
+    wsum = (_d(1) * 7 + _d(2) * 6 + _d(3) * 5
+            + _d(4) * 4 + _d(5) * 3 + _d(6) * 2)
+    return s.select(
+        "doc_id", "imo",
+        F.when(wsum % 10 == _d(7), 1).otherwise(0).cast("int")
+        .alias("is_valid"),
+    )
+
+
+def _olc_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT doc_id,
+        translate(lpad(CAST(doc_id % 100 AS VARCHAR), 2, '2'),
+          '0123456789', '23456789CF') AS var2
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Meet at 8FVC9G8F+' || var2
+            || ' by the fountain.'
+          WHEN 1 THEN 'Short code 9G8F+' || var2
+            || ' Riverton works too.'
+          ELSE 'the plus side of codes is brevity'
+        END AS body
+      FROM v),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '([23456789CFGHJMPQRVWX]{4,8}\\+[23456789CFGHJMPQRVWX]{2,3})',
+          1) AS code
+      FROM p
+      WHERE regexp_matches(body,
+        '[23456789CFGHJMPQRVWX]{4,8}\\+[23456789CFGHJMPQRVWX]{2,3}'))
+    SELECT doc_id, code,
+      CAST(strpos(code, '+') - 1 AS INT) AS grid_chars,
+      CAST(len(code) - strpos(code, '+') AS INT) AS refine_chars,
+      CAST(CASE WHEN strpos(code, '+') - 1 >= 8 THEN 1 ELSE 0 END
+        AS INT) AS is_full_code
+    FROM g
+    """
+
+
+@query("olc_plus_code_parse", _olc_oracle())
+def olc_plus_code_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Location Code parsing (round 4): plus codes are the
+    address system for places without street addresses — the
+    base-20 alphabet (digits 2-9 and consonants chosen to avoid
+    vowel words) is the grammar gate, and the char count before
+    '+' decides FULL codes (globally unique, >= 8 grid chars)
+    vs SHORT codes that need a reference locality ('9G8F+XX
+    Riverton'). Each pre-plus pair divides the grid 20x, so
+    grid_chars IS the precision — the geo-privacy radius next
+    to coordinate_precision_audit. 'the plus side' prose fails
+    the alphabet run.
+
+    Scale shape: alphabet-anchored extract + strpos arithmetic
+    per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    var2 = F.translate(
+        F.lpad((i % 100).cast("string"), 2, "2"),
+        "0123456789", "23456789CF")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Meet at 8FVC9G8F+"), var2,
+            F.lit(" by the fountain.")))
+        .when(v == 1, F.concat(
+            F.lit("Short code 9G8F+"), var2,
+            F.lit(" Riverton works too.")))
+        .otherwise(F.lit("the plus side of codes is brevity"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("([23456789CFGHJMPQRVWX]{4,8}\\+"
+           "[23456789CFGHJMPQRVWX]{2,3})")
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit(
+            "[23456789CFGHJMPQRVWX]{4,8}\\+"
+            "[23456789CFGHJMPQRVWX]{2,3}")))
+        .select("doc_id",
+                F.regexp_extract("body", pat, 1).alias("code"))
+    )
+    plus_at = F.instr(F.col("code"), "+")
+    return g.select(
+        "doc_id", "code",
+        (plus_at - 1).cast("int").alias("grid_chars"),
+        (F.length("code") - plus_at).cast("int")
+        .alias("refine_chars"),
+        (plus_at - 1 >= 8).cast("int").alias("is_full_code"),
+    )
+
+
+def _vat_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Invoice issued under VAT DE'
+            || lpad(CAST(100000000 + doc_id * 37 AS VARCHAR),
+              9, '0') || ' net 30.'
+          WHEN 1 THEN 'Registered VAT FR'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || lpad(CAST(100000000 + doc_id * 13 AS VARCHAR),
+              9, '0') || ' applies.'
+          WHEN 2 THEN 'Dutch entity VAT NL'
+            || lpad(CAST(100000000 + doc_id * 7 AS VARCHAR),
+              9, '0') || 'B'
+            || lpad(CAST(1 + doc_id % 98 AS VARCHAR), 2, '0')
+            || ' confirmed.'
+          ELSE 'the vat of soup simmered all day'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, 'VAT ([A-Z]{2})([0-9A-Z]+)',
+          ['cc', 'tail']) AS m
+      FROM p
+      WHERE regexp_matches(body, 'VAT [A-Z]{2}[0-9A-Z]+')),
+    s AS (SELECT doc_id, m.cc AS country, m.tail AS vat_tail
+      FROM g)
+    SELECT doc_id, country, vat_tail,
+      CAST(CASE
+        WHEN country = 'DE' THEN CASE WHEN
+          regexp_matches(vat_tail, '^[0-9]{9}$') THEN 1 ELSE 0 END
+        WHEN country = 'FR' THEN CASE WHEN
+          regexp_matches(vat_tail, '^[0-9A-Z]{2}[0-9]{9}$')
+          THEN 1 ELSE 0 END
+        WHEN country = 'NL' THEN CASE WHEN
+          regexp_matches(vat_tail, '^[0-9]{9}B[0-9]{2}$')
+          THEN 1 ELSE 0 END
+        ELSE 0 END AS INT) AS format_ok
+    FROM s
+    """
+
+
+@query("vat_number_extract", _vat_oracle())
+def vat_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EU VAT-number mining (round 4): VAT ids on invoices and
+    imprint pages are per-country grammars behind one prefix —
+    DE takes 9 digits, FR prepends a 2-char key, NL embeds a
+    literal 'B' sub-number — so format validation is a
+    per-country CASE, the shape gate before any VIES lookup
+    (the business-identity sibling of lei_checksum_validate,
+    without a portable checksum: each member state owns its
+    own). Soup prose fails the country-prefix grammar.
+
+    Scale shape: one grouped extract + per-country regex CASE,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Invoice issued under VAT DE"),
+            F.lpad((F.lit(100000000) + i * 37).cast("string"),
+                   9, "0"),
+            F.lit(" net 30.")))
+        .when(v == 1, F.concat(
+            F.lit("Registered VAT FR"),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lpad((F.lit(100000000) + i * 13).cast("string"),
+                   9, "0"),
+            F.lit(" applies.")))
+        .when(v == 2, F.concat(
+            F.lit("Dutch entity VAT NL"),
+            F.lpad((F.lit(100000000) + i * 7).cast("string"),
+                   9, "0"),
+            F.lit("B"),
+            F.lpad((1 + i % 98).cast("string"), 2, "0"),
+            F.lit(" confirmed.")))
+        .otherwise(F.lit("the vat of soup simmered all day"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "VAT ([A-Z]{2})([0-9A-Z]+)"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "VAT [A-Z]{2}[0-9A-Z]+")))
+    cc = F.regexp_extract("body", pat, 1)
+    tail = F.regexp_extract("body", pat, 2)
+    fmt = (
+        F.when(cc == "DE", tail.rlike("^[0-9]{9}$"))
+        .when(cc == "FR", tail.rlike("^[0-9A-Z]{2}[0-9]{9}$"))
+        .when(cc == "NL", tail.rlike("^[0-9]{9}B[0-9]{2}$"))
+        .otherwise(F.lit(False)))
+    return g.select(
+        "doc_id",
+        cc.alias("country"),
+        tail.alias("vat_tail"),
+        fmt.cast("int").alias("format_ok"),
+    )
+
+
+def _readability_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The cat sat on the mat. It was warm. '
+            || 'Sunlight came in through the window frame '
+            || CAST(doc_id % 40 AS VARCHAR) || '.'
+          WHEN 1 THEN 'Notwithstanding considerable '
+            || 'organizational complexity, interdisciplinary '
+            || 'collaboration facilitates extraordinary '
+            || 'innovation opportunities across departmental '
+            || 'boundaries ' || CAST(doc_id % 40 AS VARCHAR) || '.'
+          ELSE ''
+        END AS body
+      FROM documents),
+    g AS (SELECT doc_id, body FROM p WHERE body <> ''),
+    s AS (
+      SELECT doc_id,
+        len(string_split(body, ' ')) AS n_words,
+        len(regexp_extract_all(body, '[.!?]')) AS n_sentences,
+        len(regexp_extract_all(lower(body), '[aeiouy]+'))
+          AS n_vowel_groups
+      FROM g)
+    SELECT doc_id,
+      CAST(n_words AS INT) AS n_words,
+      CAST(n_sentences AS INT) AS n_sentences,
+      CAST(n_vowel_groups AS INT) AS n_vowel_groups,
+      CAST((39 * n_words) // n_sentences
+        + (1180 * n_vowel_groups) // n_words - 1559 AS BIGINT)
+        AS fk_grade_x100
+    FROM s
+    """
+
+
+@query("readability_grade_score", _readability_oracle())
+def readability_grade_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (round 4): Flesch-Kincaid grade in
+    EXACT x100 integer arithmetic — words per sentence and
+    vowel-group syllable proxies feed the published 0.39/11.8/
+    15.59 coefficients as integer-scaled floor divisions, so
+    both engines produce the identical grade with no float in
+    sight (the quality-panel discipline). Short declaratives
+    score grade-school; the polysyllabic committee-prose
+    rotation scores graduate — the curation signal for
+    audience-level bucketing of the corpus.
+
+    Scale shape: three in-row counts + integer arithmetic per
+    row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The cat sat on the mat. It was warm. "
+                  "Sunlight came in through the window frame "),
+            (i % 40).cast("string"), F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("Notwithstanding considerable organizational "
+                  "complexity, interdisciplinary collaboration "
+                  "facilitates extraordinary innovation "
+                  "opportunities across departmental boundaries "),
+            (i % 40).cast("string"), F.lit(".")))
+        .otherwise(F.lit(""))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body") != "")
+    n_words = F.size(F.split("body", " "))
+    n_sent = F.size(F.regexp_extract_all(
+        F.col("body"), F.lit("[.!?]"), 0))
+    n_vow = F.size(F.regexp_extract_all(
+        F.lower("body"), F.lit("[aeiouy]+"), 0))
+    s = g.select(
+        "doc_id", n_words.alias("n_words"), n_sent.alias("n_sentences"),
+        n_vow.alias("n_vowel_groups"))
+    w, sn, vw = (F.col("n_words"), F.col("n_sentences"),
+                 F.col("n_vowel_groups"))
+    t1n = 39 * w
+    t2n = 1180 * vw
+    grade = ((t1n - t1n % sn) / sn + (t2n - t2n % w) / w - 1559)
+    return s.select(
+        "doc_id",
+        w.cast("int").alias("n_words"),
+        sn.cast("int").alias("n_sentences"),
+        vw.cast("int").alias("n_vowel_groups"),
+        grade.cast("long").alias("fk_grade_x100"),
+    )
+
+
+def _syndication_line_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+        'Copyright Example Media Network' || chr(10)
+        || 'Quote ' || CAST(doc_id % 150 AS VARCHAR)
+        || ': the market rewards patience' || chr(10)
+        || 'Local update ' || CAST(doc_id AS VARCHAR) AS body
+      FROM documents),
+    lines AS (
+      SELECT DISTINCT host,
+        unnest(string_split(body, chr(10))) AS line
+      FROM p),
+    df AS (
+      SELECT line, COUNT(*) AS n_hosts FROM lines
+      GROUP BY line),
+    keep AS (
+      SELECT line FROM df WHERE n_hosts BETWEEN 2 AND 10),
+    kl AS (
+      SELECT l.host, l.line FROM lines l
+      JOIN keep k ON l.line = k.line)
+    SELECT a.host AS host_a, b.host AS host_b,
+      CAST(COUNT(*) AS BIGINT) AS shared_lines
+    FROM kl a JOIN kl b
+      ON a.line = b.line AND a.host < b.host
+    GROUP BY a.host, b.host
+    """
+
+
+@query("cross_host_line_syndication", _syndication_line_oracle())
+def cross_host_line_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host line-syndication edges (round 4): a distinctive
+    sentence appearing on a SMALL set of hosts is a syndication
+    or plagiarism edge — the host-pair projection of
+    ccnet_line_dedup's span table. The df band (2..10 hosts) is
+    load-bearing twice: df=1 local lines never join, and the
+    universal copyright line (23 hosts) is excluded BEFORE the
+    self-join — the same cap-before-join discipline as
+    tracker_coownership_edges, which bounds the pair fan-out to
+    C(10,2) per line.
+
+    Scale shape: distinct (host, line) HashAggregate, df
+    HashAggregate, band filter, then the self-join runs only on
+    band-surviving lines; per-pair count is one more hash agg.
+    At corpus scale the line key becomes a 64-bit hash; the
+    string key here keeps both engines' join semantics
+    identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    nl = "\n"
+    body = F.concat(
+        F.lit("Copyright Example Media Network" + nl + "Quote "),
+        (i % 150).cast("string"),
+        F.lit(": the market rewards patience" + nl + "Local update "),
+        i.cast("string"))
+    p = d.select(
+        F.concat(F.lit("h"), (i % 23).cast("string")).alias("host"),
+        body.alias("body"))
+    lines = (
+        p.select("host", F.explode(F.split("body", nl)).alias("line"))
+        .distinct()
+    )
+    dfreq = lines.groupBy("line").agg(F.count("*").alias("n_hosts"))
+    keep = dfreq.where(
+        (F.col("n_hosts") >= 2) & (F.col("n_hosts") <= 10)
+    ).select("line")
+    kl = lines.join(keep, "line")
+    a = kl.select(F.col("host").alias("host_a"), "line")
+    b = kl.select(F.col("host").alias("host_b"), "line")
+    return (
+        a.join(b, "line")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_lines"))
+    )
+
+
+def _list_marker_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN chr(8226) || ' first point' || chr(10)
+            || chr(8226) || ' second point' || chr(10)
+            || '* third style ' || CAST(doc_id % 30 AS VARCHAR)
+          WHEN 1 THEN '1. step one' || chr(10)
+            || '2. step two' || chr(10) || '- dash item '
+            || CAST(doc_id % 30 AS VARCHAR)
+          ELSE 'no bullets were fired in this paragraph'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE regexp_matches(body,
+        '(?m)^(' || chr(8226) || '|\\*|-|[0-9]+\\.) ')),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(body,
+          '(?m)^' || chr(8226) || ' ')) AS n_bullet,
+        len(regexp_extract_all(body, '(?m)^\\* ')) AS n_star,
+        len(regexp_extract_all(body, '(?m)^- ')) AS n_dash,
+        len(regexp_extract_all(body, '(?m)^[0-9]+\\. '))
+          AS n_numbered
+      FROM g)
+    SELECT doc_id,
+      CAST(n_bullet AS INT) AS n_bullet,
+      CAST(n_star AS INT) AS n_star,
+      CAST(n_dash AS INT) AS n_dash,
+      CAST(n_numbered AS INT) AS n_numbered,
+      CAST(CASE WHEN (CASE WHEN n_bullet > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_star > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_dash > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_numbered > 0 THEN 1 ELSE 0 END) > 1
+        THEN 1 ELSE 0 END AS INT) AS mixed_markers,
+      regexp_replace(regexp_replace(body,
+        '(?m)^' || chr(8226) || ' ', '- ', 'g'),
+        '(?m)^\\* ', '- ', 'g') AS normalized
+    FROM s
+    """
+
+
+@query("list_marker_normalize", _list_marker_oracle())
+def list_marker_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-marker normalization (round 4): plain-text lists
+    arrive with four marker dialects — U+2022 bullets, asterisks,
+    dashes, and numbered steps — and tokenizers treat each
+    differently, so the scrub unifies unordered markers to '- '
+    (numbered lists keep their ordinals: position is content,
+    the ol_start_continuation lesson). The mixed-markers flag
+    spots paste-assembled documents; line-anchored (?m) counts
+    keep mid-sentence asterisks and hyphens untouched.
+
+    Scale shape: anchored counts + two regexp_replace passes per
+    row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    blt = "•"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit(blt + " first point" + nl + blt
+                  + " second point" + nl + "* third style "),
+            (i % 30).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("1. step one" + nl + "2. step two" + nl
+                  + "- dash item "),
+            (i % 30).cast("string")))
+        .otherwise(F.lit("no bullets were fired in this paragraph"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(?m)^(" + blt + "|\\*|-|[0-9]+\\.) ")))
+
+    def _n(pat):
+        return F.size(F.regexp_extract_all(F.col("body"), F.lit(pat), 0))
+
+    n_bullet = _n("(?m)^" + blt + " ")
+    n_star = _n("(?m)^\\* ")
+    n_dash = _n("(?m)^- ")
+    n_num = _n("(?m)^[0-9]+\\. ")
+    mixed = ((n_bullet > 0).cast("int") + (n_star > 0).cast("int")
+             + (n_dash > 0).cast("int") + (n_num > 0).cast("int")) > 1
+    normalized = F.regexp_replace(
+        F.regexp_replace("body", "(?m)^" + blt + " ", "- "),
+        "(?m)^\\* ", "- ")
+    return g.select(
+        "doc_id",
+        n_bullet.cast("int").alias("n_bullet"),
+        n_star.cast("int").alias("n_star"),
+        n_dash.cast("int").alias("n_dash"),
+        n_num.cast("int").alias("n_numbered"),
+        mixed.cast("int").alias("mixed_markers"),
+        normalized.alias("normalized"),
+    )
+
+
+def _unit_conv_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 400 AS km,
+        ((1 + doc_id % 400) * 621371 + 50000) // 100000 AS mx10
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The trail is ' || CAST(km AS VARCHAR)
+            || ' km (' || CAST(mx10 // 10 AS VARCHAR) || '.'
+            || CAST(mx10 % 10 AS VARCHAR) || ' miles) long.'
+          WHEN 1 THEN 'The route runs ' || CAST(km AS VARCHAR)
+            || ' km (' || CAST((mx10 + 30) // 10 AS VARCHAR)
+            || '.' || CAST((mx10 + 30) % 10 AS VARCHAR)
+            || ' miles) total.'
+          ELSE 'miles of smiles, kilometers of cheer'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '([0-9]+) km', 1) AS BIGINT)
+          AS km,
+        CAST(regexp_extract(body,
+          '\\(([0-9]+)\\.([0-9]) miles\\)', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          '\\(([0-9]+)\\.([0-9]) miles\\)', 2) AS BIGINT)
+          AS claimed_mx10
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+ km \\([0-9]+\\.[0-9] miles\\)')),
+    s AS (
+      SELECT doc_id, km, claimed_mx10,
+        (km * 621371 + 50000) // 100000 AS expected_mx10
+      FROM g)
+    SELECT doc_id, km, claimed_mx10,
+      CAST(expected_mx10 AS BIGINT) AS expected_mx10,
+      CAST(CASE WHEN abs(claimed_mx10 - expected_mx10) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM s
+    """
+
+
+@query("unit_conversion_audit", _unit_conv_oracle())
+def unit_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-conversion audit (round 4): 'N km (M miles)'
+    parentheticals are self-checking facts — the claimed miles
+    recompute from the kilometers via the exact integer form of
+    0.621371 (scaled x10 with half-up rounding, ±1 tenth
+    tolerance for the author's own rounding), so a page whose
+    conversion is WRONG (the planted +3-tenths rotation) is
+    flagged as numerically unreliable — the cheapest
+    hallucination-resistant quality prior there is, and QA
+    supervision where the answer grounds in the page's own
+    arithmetic. Prose without the dual-unit shape never enters.
+
+    Scale shape: extracts + integer recompute per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    km_c = 1 + i % 400
+    mx10_c = ((km_c * 621371 + 50000) - (km_c * 621371 + 50000)
+              % 100000) / 100000
+    mx10_c = mx10_c.cast("long")
+    bad = mx10_c + 30
+    v = i % 3
+
+    def _fmt(x):
+        return F.concat(((x - x % 10) / 10).cast("long").cast("string"),
+                        F.lit("."), (x % 10).cast("string"))
+
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The trail is "), km_c.cast("string"),
+            F.lit(" km ("), _fmt(mx10_c), F.lit(" miles) long.")))
+        .when(v == 1, F.concat(
+            F.lit("The route runs "), km_c.cast("string"),
+            F.lit(" km ("), _fmt(bad), F.lit(" miles) total.")))
+        .otherwise(F.lit("miles of smiles, kilometers of cheer"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+ km \\([0-9]+\\.[0-9] miles\\)")))
+    km = F.regexp_extract("body", "([0-9]+) km", 1).cast("long")
+    mpat = "\\(([0-9]+)\\.([0-9]) miles\\)"
+    claimed = (F.regexp_extract("body", mpat, 1).cast("long") * 10
+               + F.regexp_extract("body", mpat, 2).cast("long"))
+    en = km * 621371 + 50000
+    expected = ((en - en % 100000) / 100000).cast("long")
+    return g.select(
+        "doc_id", km.alias("km"),
+        claimed.alias("claimed_mx10"),
+        expected.alias("expected_mx10"),
+        (F.abs(claimed - expected) <= 1).cast("int")
+        .alias("is_consistent"),
+    )
+
+
+def _temp_conv_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 5 * (1 + doc_id % 40) AS c FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Preheat to ' || CAST(c AS VARCHAR)
+            || ' C (' || CAST(c * 9 // 5 + 32 AS VARCHAR)
+            || ' F) before baking.'
+          WHEN 1 THEN 'Store below ' || CAST(c AS VARCHAR)
+            || ' C (' || CAST(c * 9 // 5 + 42 AS VARCHAR)
+            || ' F) at all times.'
+          ELSE 'the temperature of the debate rose sharply'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '([0-9]+) C \\(', 1) AS BIGINT)
+          AS celsius,
+        CAST(regexp_extract(body, '\\(([0-9]+) F\\)', 1)
+          AS BIGINT) AS claimed_f
+      FROM p
+      WHERE regexp_matches(body, '[0-9]+ C \\([0-9]+ F\\)'))
+    SELECT doc_id, celsius, claimed_f,
+      CAST(celsius * 9 // 5 + 32 AS BIGINT) AS expected_f,
+      CAST(CASE WHEN abs(claimed_f - (celsius * 9 // 5 + 32)) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("temperature_conversion_audit", _temp_conv_oracle())
+def temperature_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-conversion audit (round 4): dual-scale
+    'N C (M F)' spans recompute exactly (C·9/5+32; the rotation
+    keeps C a multiple of 5 so the division is exact, with ±1
+    tolerance for author rounding elsewhere) — recipe and
+    science pages carrying a wrong conversion (the planted +10
+    error) get the unreliable-numbers flag. Companion to
+    unit_conversion_audit; together they audit the two most
+    common dual-unit parentheticals on the web.
+
+    Scale shape: two extracts + integer recompute per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    c = 5 * (1 + i % 40)
+    f_ok = ((c * 9 - (c * 9) % 5) / 5).cast("long") + 32
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Preheat to "), c.cast("string"), F.lit(" C ("),
+            f_ok.cast("string"), F.lit(" F) before baking.")))
+        .when(v == 1, F.concat(
+            F.lit("Store below "), c.cast("string"), F.lit(" C ("),
+            (f_ok + 10).cast("string"), F.lit(" F) at all times.")))
+        .otherwise(F.lit("the temperature of the debate rose sharply"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+ C \\([0-9]+ F\\)")))
+    cel = F.regexp_extract("body", "([0-9]+) C \\(", 1).cast("long")
+    claimed = F.regexp_extract("body", "\\(([0-9]+) F\\)", 1).cast("long")
+    exp = ((cel * 9 - (cel * 9) % 5) / 5).cast("long") + 32
+    return g.select(
+        "doc_id", cel.alias("celsius"),
+        claimed.alias("claimed_f"),
+        exp.cast("long").alias("expected_f"),
+        (F.abs(claimed - exp) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _pct_sum_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        20 + doc_id % 40 AS a,
+        15 + (doc_id * 3) % 30 AS bb
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Survey: ' || CAST(a AS VARCHAR)
+            || '% yes, ' || CAST(bb AS VARCHAR) || '% no, '
+            || CAST(100 - a - bb AS VARCHAR) || '% undecided.'
+          WHEN 1 THEN 'Poll: ' || CAST(a AS VARCHAR)
+            || '% agree, ' || CAST(bb AS VARCHAR)
+            || '% disagree, '
+            || CAST(95 - a - bb AS VARCHAR) || '% unsure.'
+          ELSE 'one hundred percent of effort, zero numbers'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(body, '([0-9]+)%', 1),
+          x -> CAST(x AS INT)) AS pcts
+      FROM p
+      WHERE len(regexp_extract_all(body, '[0-9]+%')) >= 2),
+    s AS (
+      SELECT doc_id, pcts,
+        list_reduce(list_prepend(0, pcts),
+          (acc, x) -> acc + x) AS pct_sum
+      FROM g)
+    SELECT doc_id,
+      CAST(len(pcts) AS INT) AS n_percents,
+      CAST(pct_sum AS INT) AS pct_sum,
+      CAST(CASE WHEN pct_sum = 100 THEN 1 ELSE 0 END AS INT)
+        AS sums_to_100
+    FROM s
+    """
+
+
+@query("percentage_sum_audit", _pct_sum_oracle())
+def percentage_sum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage-sum audit (round 4): a breakdown whose shares
+    don't total 100 is the classic chart-junk tell — the in-row
+    fold over every N% token checks the page's own arithmetic
+    (the planted 95-total rotation models the rounding-loss
+    error real surveys publish). Extends the verifiable-facts
+    family from single conversions to multi-value consistency;
+    needs >= 2 percent tokens so lone discount percentages
+    never enter.
+
+    Scale shape: extract-all + in-row fold per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = 20 + i % 40
+    bb = 15 + (i * 3) % 30
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Survey: "), a.cast("string"), F.lit("% yes, "),
+            bb.cast("string"), F.lit("% no, "),
+            (100 - a - bb).cast("string"), F.lit("% undecided.")))
+        .when(v == 1, F.concat(
+            F.lit("Poll: "), a.cast("string"), F.lit("% agree, "),
+            bb.cast("string"), F.lit("% disagree, "),
+            (95 - a - bb).cast("string"), F.lit("% unsure.")))
+        .otherwise(F.lit("one hundred percent of effort, zero numbers"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pcts = F.transform(
+        F.regexp_extract_all(F.col("body"), F.lit("([0-9]+)%"), 1),
+        lambda x: x.cast("int"))
+    g = p.where(F.size(F.regexp_extract_all(
+        F.col("body"), F.lit("[0-9]+%"), 0)) >= 2)
+    pct_sum = F.aggregate(pcts, F.lit(0), lambda acc, x: acc + x)
+    return g.select(
+        "doc_id",
+        F.size(pcts).cast("int").alias("n_percents"),
+        pct_sum.cast("int").alias("pct_sum"),
+        (pct_sum == 100).cast("int").alias("sums_to_100"),
+    )
+
+
+def _tz_offset_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 1 + doc_id % 6 AS h FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Call at ' || CAST(h AS VARCHAR)
+            || ' PM EST (' || CAST(h + 5 AS VARCHAR)
+            || ' PM UTC) sharp.'
+          WHEN 1 THEN 'Stream starts ' || CAST(h AS VARCHAR)
+            || ' PM EST (' || CAST(h + 4 AS VARCHAR)
+            || ' PM UTC) today.'
+          ELSE 'the est of times, the utc of times'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '([0-9]+) PM EST', 1)
+          AS INT) AS est_h,
+        CAST(regexp_extract(body, '\\(([0-9]+) PM UTC\\)', 1)
+          AS INT) AS claimed_utc_h
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+ PM EST \\([0-9]+ PM UTC\\)'))
+    SELECT doc_id, est_h, claimed_utc_h,
+      CAST(est_h + 5 AS INT) AS expected_utc_h,
+      CAST(CASE WHEN claimed_utc_h = est_h + 5 THEN 1 ELSE 0 END
+        AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("timezone_offset_audit", _tz_offset_oracle())
+def timezone_offset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-offset audit (round 4): dual-zone event times
+    ('3 PM EST (8 PM UTC)') self-check through the fixed EST =
+    UTC−5 offset — the planted +4 rotation models the
+    DST-confusion error (EDT vs EST) that makes event pages
+    wrong for half the year. The third member of the
+    dual-representation audit family (units, temperatures,
+    zones); all integer, no timestamp machinery touched.
+
+    Scale shape: two extracts + integer compare per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = 1 + i % 6
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Call at "), h.cast("string"), F.lit(" PM EST ("),
+            (h + 5).cast("string"), F.lit(" PM UTC) sharp.")))
+        .when(v == 1, F.concat(
+            F.lit("Stream starts "), h.cast("string"),
+            F.lit(" PM EST ("), (h + 4).cast("string"),
+            F.lit(" PM UTC) today.")))
+        .otherwise(F.lit("the est of times, the utc of times"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+ PM EST \\([0-9]+ PM UTC\\)")))
+    est = F.regexp_extract("body", "([0-9]+) PM EST", 1).cast("int")
+    claimed = F.regexp_extract(
+        "body", "\\(([0-9]+) PM UTC\\)", 1).cast("int")
+    return g.select(
+        "doc_id", est.alias("est_h"),
+        claimed.alias("claimed_utc_h"),
+        (est + 5).cast("int").alias("expected_utc_h"),
+        (claimed == est + 5).cast("int").alias("is_consistent"),
+    )
+
+
+def _fx_audit_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        85 + doc_id % 15 AS rate_x100,
+        100 * (1 + doc_id % 50) AS usd
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'At 0.' || CAST(rate_x100 AS VARCHAR)
+            || ' EUR per USD, USD ' || CAST(usd AS VARCHAR)
+            || ' converts to EUR '
+            || CAST(usd * rate_x100 // 100 AS VARCHAR) || '.'
+          WHEN 1 THEN 'At 0.' || CAST(rate_x100 AS VARCHAR)
+            || ' EUR per USD, USD ' || CAST(usd AS VARCHAR)
+            || ' converts to EUR '
+            || CAST(usd * rate_x100 // 100 + 7 AS VARCHAR) || '.'
+          ELSE 'euros and dollars danced without numbers'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'At 0\\.([0-9]{2}) EUR', 1)
+          AS BIGINT) AS rate_x100,
+        CAST(regexp_extract(body, 'USD ([0-9]+) converts', 1)
+          AS BIGINT) AS usd,
+        CAST(regexp_extract(body, 'to EUR ([0-9]+)\\.', 1)
+          AS BIGINT) AS claimed_eur
+      FROM p
+      WHERE regexp_matches(body,
+        'At 0\\.[0-9]{2} EUR per USD, USD [0-9]+ converts to EUR [0-9]+'))
+    SELECT doc_id, rate_x100, usd, claimed_eur,
+      CAST(usd * rate_x100 // 100 AS BIGINT) AS expected_eur,
+      CAST(CASE WHEN abs(claimed_eur - usd * rate_x100 // 100) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("fx_conversion_audit", _fx_audit_oracle())
+def fx_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FX-conversion audit (round 4): a currency conversion is
+    only checkable when the page DECLARES its rate — 'at 0.92
+    EUR per USD, USD 100 converts to EUR 92' closes the loop,
+    and the x100 integer rate keeps the recompute exact (the
+    planted +7 error flags). Pages quoting conversions without
+    a rate stay out by grammar; the money face of the
+    dual-representation audit family.
+
+    Scale shape: three extracts + integer recompute per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    rate = 85 + i % 15
+    usd = 100 * (1 + i % 50)
+    eur_ok = ((usd * rate - (usd * rate) % 100) / 100).cast("long")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("At 0."), rate.cast("string"),
+            F.lit(" EUR per USD, USD "), usd.cast("string"),
+            F.lit(" converts to EUR "), eur_ok.cast("string"),
+            F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("At 0."), rate.cast("string"),
+            F.lit(" EUR per USD, USD "), usd.cast("string"),
+            F.lit(" converts to EUR "), (eur_ok + 7).cast("string"),
+            F.lit(".")))
+        .otherwise(F.lit("euros and dollars danced without numbers"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "At 0\\.[0-9]{2} EUR per USD, USD [0-9]+ converts to EUR "
+        "[0-9]+")))
+    r = F.regexp_extract("body", "At 0\\.([0-9]{2}) EUR", 1).cast("long")
+    u = F.regexp_extract("body", "USD ([0-9]+) converts", 1).cast("long")
+    c = F.regexp_extract("body", "to EUR ([0-9]+)\\.", 1).cast("long")
+    exp = ((u * r - (u * r) % 100) / 100).cast("long")
+    return g.select(
+        "doc_id", r.alias("rate_x100"), u.alias("usd"),
+        c.alias("claimed_eur"), exp.alias("expected_eur"),
+        (F.abs(c - exp) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _interest_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        100 * (1 + doc_id % 40) AS principal,
+        1 + doc_id % 9 AS pct,
+        1 + doc_id % 5 AS years
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'At ' || CAST(pct AS VARCHAR)
+            || ' percent simple interest, USD '
+            || CAST(principal AS VARCHAR) || ' grows to USD '
+            || CAST(principal + principal * pct * years // 100
+              AS VARCHAR) || ' in ' || CAST(years AS VARCHAR)
+            || ' years.'
+          WHEN 1 THEN 'At ' || CAST(pct AS VARCHAR)
+            || ' percent simple interest, USD '
+            || CAST(principal AS VARCHAR) || ' grows to USD '
+            || CAST(principal + principal * pct * years // 100
+              + 11 AS VARCHAR) || ' in '
+            || CAST(years AS VARCHAR) || ' years.'
+          ELSE 'interest in the topic grew without bounds'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'At ([0-9]+) percent', 1)
+          AS BIGINT) AS pct,
+        CAST(regexp_extract(body, 'USD ([0-9]+) grows', 1)
+          AS BIGINT) AS principal,
+        CAST(regexp_extract(body, 'grows to USD ([0-9]+) in', 1)
+          AS BIGINT) AS claimed_total,
+        CAST(regexp_extract(body, 'in ([0-9]+) years', 1)
+          AS BIGINT) AS years
+      FROM p
+      WHERE regexp_matches(body,
+        'At [0-9]+ percent simple interest, USD [0-9]+ grows'))
+    SELECT doc_id, pct, principal, years, claimed_total,
+      CAST(principal + principal * pct * years // 100 AS BIGINT)
+        AS expected_total,
+      CAST(CASE WHEN claimed_total
+          = principal + principal * pct * years // 100
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("simple_interest_audit", _interest_oracle())
+def simple_interest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-interest audit (round 4): P·(1 + rt) claims in
+    finance explainers recompute exactly when the page states
+    all three inputs (principals are round hundreds so the
+    percentage division is exact) — the planted +11 total
+    flags. Word-problem-with-solution text is premium
+    chain-of-thought supervision precisely BECAUSE the answer
+    is checkable; this grammar harvests it with the check
+    attached.
+
+    Scale shape: four extracts + integer recompute per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    principal = 100 * (1 + i % 40)
+    pct = 1 + i % 9
+    years = 1 + i % 5
+    gain = principal * pct * years
+    total_ok = principal + ((gain - gain % 100) / 100).cast("long")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("At "), pct.cast("string"),
+            F.lit(" percent simple interest, USD "),
+            principal.cast("string"), F.lit(" grows to USD "),
+            total_ok.cast("string"), F.lit(" in "),
+            years.cast("string"), F.lit(" years.")))
+        .when(v == 1, F.concat(
+            F.lit("At "), pct.cast("string"),
+            F.lit(" percent simple interest, USD "),
+            principal.cast("string"), F.lit(" grows to USD "),
+            (total_ok + 11).cast("string"), F.lit(" in "),
+            years.cast("string"), F.lit(" years.")))
+        .otherwise(F.lit("interest in the topic grew without bounds"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "At [0-9]+ percent simple interest, USD [0-9]+ grows")))
+    pc = F.regexp_extract("body", "At ([0-9]+) percent", 1).cast("long")
+    pr = F.regexp_extract("body", "USD ([0-9]+) grows", 1).cast("long")
+    ct = F.regexp_extract(
+        "body", "grows to USD ([0-9]+) in", 1).cast("long")
+    yr = F.regexp_extract("body", "in ([0-9]+) years", 1).cast("long")
+    gn = pr * pc * yr
+    exp = pr + ((gn - gn % 100) / 100).cast("long")
+    return g.select(
+        "doc_id", pc.alias("pct"), pr.alias("principal"),
+        yr.alias("years"), ct.alias("claimed_total"),
+        exp.alias("expected_total"),
+        (ct == exp).cast("int").alias("is_consistent"),
+    )
+
+
+def _tip_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 15
+          WHEN 2 THEN 18 WHEN 3 THEN 20 ELSE 25 END AS pct,
+        100 * (1 + doc_id % 30) AS bill
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'A ' || CAST(pct AS VARCHAR)
+            || ' percent tip on USD ' || CAST(bill AS VARCHAR)
+            || ' comes to USD '
+            || CAST(bill * pct // 100 AS VARCHAR) || '.'
+          WHEN 1 THEN 'A ' || CAST(pct AS VARCHAR)
+            || ' percent tip on USD ' || CAST(bill AS VARCHAR)
+            || ' comes to USD '
+            || CAST(bill * pct // 100 + 2 AS VARCHAR) || '.'
+          ELSE 'tipping the scales of justice costs nothing'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'A ([0-9]+) percent tip', 1)
+          AS BIGINT) AS pct,
+        CAST(regexp_extract(body, 'tip on USD ([0-9]+)', 1)
+          AS BIGINT) AS bill,
+        CAST(regexp_extract(body, 'comes to USD ([0-9]+)\\.', 1)
+          AS BIGINT) AS claimed_tip
+      FROM p
+      WHERE regexp_matches(body,
+        'A [0-9]+ percent tip on USD [0-9]+ comes to USD [0-9]+'))
+    SELECT doc_id, pct, bill, claimed_tip,
+      CAST(bill * pct // 100 AS BIGINT) AS expected_tip,
+      CAST(CASE WHEN claimed_tip = bill * pct // 100
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("tip_calculation_audit", _tip_oracle())
+def tip_calculation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tip-calculation audit (round 4): percentage-of-amount
+    worked examples dominate how-to arithmetic on the web —
+    round-hundred bills keep the recompute exact, the customary
+    rate set (10/15/18/20/25) shapes the rotation, and the
+    planted +2 error flags. The simplest member of the
+    worked-example family and the highest-frequency one.
+
+    Scale shape: three extracts + one multiply-divide per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pct = (
+        F.when(i % 5 == 0, 10).when(i % 5 == 1, 15)
+        .when(i % 5 == 2, 18).when(i % 5 == 3, 20).otherwise(25))
+    bill = 100 * (1 + i % 30)
+    tp = bill * pct
+    tip_ok = ((tp - tp % 100) / 100).cast("long")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("A "), pct.cast("string"),
+            F.lit(" percent tip on USD "), bill.cast("string"),
+            F.lit(" comes to USD "), tip_ok.cast("string"),
+            F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("A "), pct.cast("string"),
+            F.lit(" percent tip on USD "), bill.cast("string"),
+            F.lit(" comes to USD "), (tip_ok + 2).cast("string"),
+            F.lit(".")))
+        .otherwise(F.lit("tipping the scales of justice costs nothing"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "A [0-9]+ percent tip on USD [0-9]+ comes to USD [0-9]+")))
+    pc = F.regexp_extract("body", "A ([0-9]+) percent tip", 1).cast("long")
+    bl = F.regexp_extract("body", "tip on USD ([0-9]+)", 1).cast("long")
+    ct = F.regexp_extract(
+        "body", "comes to USD ([0-9]+)\\.", 1).cast("long")
+    ep = bl * pc
+    exp = ((ep - ep % 100) / 100).cast("long")
+    return g.select(
+        "doc_id", pc.alias("pct"), bl.alias("bill"),
+        ct.alias("claimed_tip"), exp.alias("expected_tip"),
+        (ct == exp).cast("int").alias("is_consistent"),
+    )
+
+
+def _speed_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 40 WHEN 1 THEN 60
+          WHEN 2 THEN 80 ELSE 100 END AS speed,
+        1 + doc_id % 5 AS hours
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Driving ' || CAST(speed * hours AS VARCHAR)
+            || ' km at ' || CAST(speed AS VARCHAR)
+            || ' km/h takes ' || CAST(hours AS VARCHAR)
+            || ' hours.'
+          WHEN 1 THEN 'Driving '
+            || CAST(speed * hours + 15 AS VARCHAR)
+            || ' km at ' || CAST(speed AS VARCHAR)
+            || ' km/h takes ' || CAST(hours AS VARCHAR)
+            || ' hours.'
+          ELSE 'driving ambition takes endless hours'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'Driving ([0-9]+) km at', 1)
+          AS BIGINT) AS dist_km,
+        CAST(regexp_extract(body, 'at ([0-9]+) km/h', 1)
+          AS BIGINT) AS speed_kmh,
+        CAST(regexp_extract(body, 'takes ([0-9]+) hours', 1)
+          AS BIGINT) AS claimed_hours
+      FROM p
+      WHERE regexp_matches(body,
+        'Driving [0-9]+ km at [0-9]+ km/h takes [0-9]+ hours'))
+    SELECT doc_id, dist_km, speed_kmh, claimed_hours,
+      CAST(CASE WHEN dist_km = speed_kmh * claimed_hours
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("speed_time_distance_audit", _speed_oracle())
+def speed_time_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed-time-distance audit (round 4): d = v·t claims check
+    by cross-multiplication (no division at all, so no
+    divisibility assumptions — the most robust member of the
+    worked-example family). The planted +15 km rotation flags;
+    travel pages with consistent physics earn the
+    reliable-numbers prior.
+
+    Scale shape: three extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    speed = (
+        F.when(i % 4 == 0, 40).when(i % 4 == 1, 60)
+        .when(i % 4 == 2, 80).otherwise(100))
+    hours = 1 + i % 5
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Driving "), (speed * hours).cast("string"),
+            F.lit(" km at "), speed.cast("string"),
+            F.lit(" km/h takes "), hours.cast("string"),
+            F.lit(" hours.")))
+        .when(v == 1, F.concat(
+            F.lit("Driving "), (speed * hours + 15).cast("string"),
+            F.lit(" km at "), speed.cast("string"),
+            F.lit(" km/h takes "), hours.cast("string"),
+            F.lit(" hours.")))
+        .otherwise(F.lit("driving ambition takes endless hours"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Driving [0-9]+ km at [0-9]+ km/h takes [0-9]+ hours")))
+    dist = F.regexp_extract(
+        "body", "Driving ([0-9]+) km at", 1).cast("long")
+    spd = F.regexp_extract("body", "at ([0-9]+) km/h", 1).cast("long")
+    hrs = F.regexp_extract(
+        "body", "takes ([0-9]+) hours", 1).cast("long")
+    return g.select(
+        "doc_id", dist.alias("dist_km"), spd.alias("speed_kmh"),
+        hrs.alias("claimed_hours"),
+        (dist == spd * hrs).cast("int").alias("is_consistent"),
+    )
+
+
+def _howto_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"HowTo","name":"Fix a flat tire '
+            || CAST(doc_id % 100 AS VARCHAR)
+            || '","step":[{"text":"Remove the wheel"},'
+            || '{"text":"Patch the tube"},'
+            || '{"text":"Reinflate to '
+            || CAST(30 + doc_id % 40 AS VARCHAR)
+            || ' psi"}],"totalTime":"PT'
+            || CAST(10 + doc_id % 50 AS VARCHAR) || 'M"}'
+          WHEN 1 THEN '{"@type":"HowTo","name":"Reset router '
+            || CAST(doc_id % 100 AS VARCHAR)
+            || '","step":[{"text":"Unplug for ten seconds"},'
+            || '{"text":"Plug back in"}]}'
+          ELSE '{"@type":"Article","name":"Not a guide"}'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE json_extract_string(body, '$."@type"') = 'HowTo')
+    SELECT doc_id,
+      json_extract_string(body, '$.name') AS howto_name,
+      CAST(json_array_length(body, '$.step') AS INT) AS n_steps,
+      json_extract_string(body, '$.step[0].text') AS first_step,
+      CASE WHEN regexp_matches(body, '"totalTime":"PT[0-9]+M"')
+        THEN CAST(regexp_extract(body,
+          '"totalTime":"PT([0-9]+)M"', 1) AS INT)
+      END AS total_minutes
+    FROM g
+    """
+
+
+@query("howto_schema_extract", _howto_oracle())
+def howto_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HowTo schema extraction (round 4): schema.org HowTo is
+    publisher-structured procedural supervision — ordered step
+    arrays (the markup twin of list_structure_extract's ol
+    harvesting), a machine-readable duration, and a task name
+    that together form (task, steps, time) instruction tuples.
+    Both engines walk the JSON with their own parsers; the
+    Article negative pins the @type gate. Completes the
+    instructional family: details-blocks, heading-QA, recipe,
+    now HowTo.
+
+    Scale shape: JSON path extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"HowTo","name":"Fix a flat tire '),
+            (i % 100).cast("string"),
+            F.lit('","step":[{"text":"Remove the wheel"},'
+                  '{"text":"Patch the tube"},'
+                  '{"text":"Reinflate to '),
+            (30 + i % 40).cast("string"),
+            F.lit(' psi"}],"totalTime":"PT'),
+            (10 + i % 50).cast("string"), F.lit('M"}')))
+        .when(v == 1, F.concat(
+            F.lit('{"@type":"HowTo","name":"Reset router '),
+            (i % 100).cast("string"),
+            F.lit('","step":[{"text":"Unplug for ten seconds"},'
+                  '{"text":"Plug back in"}]}')))
+        .otherwise(F.lit('{"@type":"Article","name":"Not a guide"}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.get_json_object("body", "$['@type']") == "HowTo")
+    has_time = F.regexp_like(F.col("body"), F.lit(
+        '"totalTime":"PT[0-9]+M"'))
+    return g.select(
+        "doc_id",
+        F.get_json_object("body", "$.name").alias("howto_name"),
+        F.json_array_length(F.get_json_object("body", "$.step"))
+        .cast("int").alias("n_steps"),
+        F.get_json_object("body", "$.step[0].text")
+        .alias("first_step"),
+        F.when(has_time, F.regexp_extract(
+            "body", '"totalTime":"PT([0-9]+)M"', 1).cast("int"))
+        .alias("total_minutes"),
+    )
+
+
+def _qapage_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"QAPage","mainEntity":{"@type":'
+            || '"Question","name":"Why is build '
+            || CAST(doc_id % 500 AS VARCHAR)
+            || ' failing","answerCount":'
+            || CAST(1 + doc_id % 8 AS VARCHAR)
+            || ',"acceptedAnswer":{"text":"Clear the cache '
+            || 'first","upvoteCount":'
+            || CAST(doc_id % 90 AS VARCHAR) || '}}}'
+          WHEN 1 THEN '{"@type":"QAPage","mainEntity":{"@type":'
+            || '"Question","name":"Is port '
+            || CAST(1024 + doc_id % 9000 AS VARCHAR)
+            || ' safe to expose","answerCount":0}}'
+          ELSE '{"@type":"FAQPage","mainEntity":[]}'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE json_extract_string(body, '$."@type"') = 'QAPage')
+    SELECT doc_id,
+      json_extract_string(body, '$.mainEntity.name') AS question,
+      CAST(json_extract_string(body,
+        '$.mainEntity.answerCount') AS INT) AS answer_count,
+      json_extract_string(body,
+        '$.mainEntity.acceptedAnswer.text') AS accepted_text,
+      CASE WHEN json_extract_string(body,
+          '$.mainEntity.acceptedAnswer.upvoteCount') IS NOT NULL
+        THEN CAST(json_extract_string(body,
+          '$.mainEntity.acceptedAnswer.upvoteCount') AS INT)
+      END AS accepted_upvotes,
+      CAST(CASE WHEN json_extract_string(body,
+          '$.mainEntity.acceptedAnswer.text') IS NOT NULL
+        THEN 1 ELSE 0 END AS INT) AS has_accepted
+    FROM g
+    """
+
+
+@query("qapage_schema_extract", _qapage_oracle())
+def qapage_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QAPage schema extraction (round 4): forum platforms mark
+    their threads with Question/acceptedAnswer structure — the
+    community's OWN ranking signal (accepted + upvotes) rides
+    the markup, so (question, accepted answer, score) tuples
+    are preference-graded supervision with no heuristics. The
+    zero-answer rotation pins unanswered questions (frontier
+    for answer generation, not training pairs); FAQPage is the
+    planted sibling-type negative.
+
+    Scale shape: JSON path extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"QAPage","mainEntity":{"@type":'
+                  '"Question","name":"Why is build '),
+            (i % 500).cast("string"),
+            F.lit(' failing","answerCount":'),
+            (1 + i % 8).cast("string"),
+            F.lit(',"acceptedAnswer":{"text":"Clear the cache '
+                  'first","upvoteCount":'),
+            (i % 90).cast("string"), F.lit("}}}")))
+        .when(v == 1, F.concat(
+            F.lit('{"@type":"QAPage","mainEntity":{"@type":'
+                  '"Question","name":"Is port '),
+            (1024 + i % 9000).cast("string"),
+            F.lit(' safe to expose","answerCount":0}}')))
+        .otherwise(F.lit('{"@type":"FAQPage","mainEntity":[]}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.get_json_object("body", "$['@type']") == "QAPage")
+    acc_text = F.get_json_object(
+        "body", "$.mainEntity.acceptedAnswer.text")
+    acc_up = F.get_json_object(
+        "body", "$.mainEntity.acceptedAnswer.upvoteCount")
+    return g.select(
+        "doc_id",
+        F.get_json_object("body", "$.mainEntity.name")
+        .alias("question"),
+        F.get_json_object("body", "$.mainEntity.answerCount")
+        .cast("int").alias("answer_count"),
+        acc_text.alias("accepted_text"),
+        F.when(acc_up.isNotNull(), acc_up.cast("int"))
+        .alias("accepted_upvotes"),
+        acc_text.isNotNull().cast("int").alias("has_accepted"),
+    )
+
+
+def _softwareapp_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"SoftwareApplication","name":'
+            || '"PhotoTool ' || CAST(doc_id % 40 AS VARCHAR)
+            || '","applicationCategory":"MultimediaApplication",'
+            || '"operatingSystem":"Windows","softwareVersion":"'
+            || CAST(1 + doc_id % 9 AS VARCHAR) || '.'
+            || CAST(doc_id % 20 AS VARCHAR)
+            || '","offers":{"price":"19.99"}}'
+          WHEN 1 THEN '{"@type":"SoftwareApplication","name":'
+            || '"cli-helper ' || CAST(doc_id % 40 AS VARCHAR)
+            || '","applicationCategory":"DeveloperApplication",'
+            || '"operatingSystem":"Linux","softwareVersion":"0.'
+            || CAST(doc_id % 30 AS VARCHAR)
+            || '","offers":{"price":"0"}}'
+          ELSE '{"@type":"WebSite","name":"just a site"}'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE json_extract_string(body, '$."@type"')
+        = 'SoftwareApplication')
+    SELECT doc_id,
+      json_extract_string(body, '$.name') AS app_name,
+      json_extract_string(body, '$.applicationCategory')
+        AS category,
+      json_extract_string(body, '$.operatingSystem') AS os,
+      json_extract_string(body, '$.softwareVersion') AS version,
+      CAST(CAST(json_extract_string(body, '$.offers.price')
+        AS DECIMAL(10,2)) * 100 AS BIGINT) AS price_cents,
+      CAST(CASE WHEN json_extract_string(body, '$.offers.price')
+        = '0' THEN 1 ELSE 0 END AS INT) AS is_free
+    FROM g
+    """
+
+
+@query("softwareapp_schema_extract", _softwareapp_oracle())
+def softwareapp_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftwareApplication schema extraction (round 4): app
+    listing pages declare name/category/OS/version/price in
+    markup — the software-catalog join key connecting download
+    pages to package_manifest_deps' dependency graph and
+    changelog_version_extract's release series, with price
+    through the exact DECIMAL-cents discipline and the free
+    tier flagged for license-compatible corpus building.
+    WebSite is the planted type negative.
+
+    Scale shape: JSON path extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"SoftwareApplication","name":'
+                  '"PhotoTool '), (i % 40).cast("string"),
+            F.lit('","applicationCategory":"MultimediaApplication",'
+                  '"operatingSystem":"Windows","softwareVersion":"'),
+            (1 + i % 9).cast("string"), F.lit("."),
+            (i % 20).cast("string"),
+            F.lit('","offers":{"price":"19.99"}}')))
+        .when(v == 1, F.concat(
+            F.lit('{"@type":"SoftwareApplication","name":'
+                  '"cli-helper '), (i % 40).cast("string"),
+            F.lit('","applicationCategory":"DeveloperApplication",'
+                  '"operatingSystem":"Linux","softwareVersion":"0.'),
+            (i % 30).cast("string"),
+            F.lit('","offers":{"price":"0"}}')))
+        .otherwise(F.lit('{"@type":"WebSite","name":"just a site"}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.get_json_object("body", "$['@type']")
+                == "SoftwareApplication")
+    price = F.get_json_object("body", "$.offers.price")
+    return g.select(
+        "doc_id",
+        F.get_json_object("body", "$.name").alias("app_name"),
+        F.get_json_object("body", "$.applicationCategory")
+        .alias("category"),
+        F.get_json_object("body", "$.operatingSystem").alias("os"),
+        F.get_json_object("body", "$.softwareVersion")
+        .alias("version"),
+        (price.cast("decimal(10,2)") * 100).cast("long")
+        .alias("price_cents"),
+        (price == "0").cast("int").alias("is_free"),
+    )
+
+
+def _course_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"@type":"Course","name":"Intro to '
+            || 'Statistics ' || CAST(doc_id % 50 AS VARCHAR)
+            || '","courseCode":"STAT'
+            || CAST(100 + doc_id % 400 AS VARCHAR)
+            || '","provider":{"@type":"Organization","name":'
+            || '"State University"},"isAccessibleForFree":true}'
+          WHEN 1 THEN '{"@type":"Course","name":"Advanced '
+            || 'Welding ' || CAST(doc_id % 50 AS VARCHAR)
+            || '","courseCode":"WELD'
+            || CAST(200 + doc_id % 300 AS VARCHAR)
+            || '","provider":{"@type":"Organization","name":'
+            || '"Trade Institute"},"isAccessibleForFree":false}'
+          ELSE '{"@type":"Event","name":"Campus tour"}'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE json_extract_string(body, '$."@type"') = 'Course')
+    SELECT doc_id,
+      json_extract_string(body, '$.name') AS course_name,
+      json_extract_string(body, '$.courseCode') AS course_code,
+      json_extract_string(body, '$.provider.name') AS provider,
+      CAST(CASE WHEN json_extract_string(body,
+          '$.isAccessibleForFree') = 'true' THEN 1 ELSE 0 END
+        AS INT) AS is_free,
+      regexp_extract(json_extract_string(body, '$.courseCode'),
+        '^([A-Z]+)', 1) AS subject_prefix
+    FROM g
+    """
+
+
+@query("course_schema_extract", _course_oracle())
+def course_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Course schema extraction (round 4): educational catalogs
+    declare course name, institutional code, and provider —
+    the structured face of the open-courseware corpus, with
+    the subject prefix decoded from the course code (STAT/WELD
+    → department taxonomy) and isAccessibleForFree gating which
+    syllabi belong in a freely-trainable mixture (the
+    education sibling of license_detect's permissive bit).
+    The Event negative pins the type gate.
+
+    Scale shape: JSON path extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"@type":"Course","name":"Intro to Statistics '),
+            (i % 50).cast("string"),
+            F.lit('","courseCode":"STAT'),
+            (100 + i % 400).cast("string"),
+            F.lit('","provider":{"@type":"Organization","name":'
+                  '"State University"},"isAccessibleForFree":true}')))
+        .when(v == 1, F.concat(
+            F.lit('{"@type":"Course","name":"Advanced Welding '),
+            (i % 50).cast("string"),
+            F.lit('","courseCode":"WELD'),
+            (200 + i % 300).cast("string"),
+            F.lit('","provider":{"@type":"Organization","name":'
+                  '"Trade Institute"},"isAccessibleForFree":false}')))
+        .otherwise(F.lit('{"@type":"Event","name":"Campus tour"}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.get_json_object("body", "$['@type']") == "Course")
+    code = F.get_json_object("body", "$.courseCode")
+    return g.select(
+        "doc_id",
+        F.get_json_object("body", "$.name").alias("course_name"),
+        code.alias("course_code"),
+        F.get_json_object("body", "$.provider.name")
+        .alias("provider"),
+        (F.get_json_object("body", "$.isAccessibleForFree")
+         == "true").cast("int").alias("is_free"),
+        F.regexp_extract(code, "^([A-Z]+)", 1)
+        .alias("subject_prefix"),
+    )
+
+
+def _avro_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '{"type":"record","name":"Click'
+            || CAST(doc_id % 90 AS VARCHAR)
+            || '","fields":[{"name":"ts","type":"long"},'
+            || '{"name":"url","type":"string"},'
+            || '{"name":"user","type":["null","string"]}]}'
+          WHEN 1 THEN '{"type":"enum","name":"Color'
+            || CAST(doc_id % 90 AS VARCHAR)
+            || '","symbols":["RED","GREEN","BLUE"]}'
+          ELSE '{"type":"object","properties":{}}'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        json_extract_string(body, '$.type') AS schema_kind
+      FROM p
+      WHERE json_extract_string(body, '$.type')
+        IN ('record', 'enum'))
+    SELECT doc_id, schema_kind,
+      json_extract_string(body, '$.name') AS schema_name,
+      CAST(CASE WHEN schema_kind = 'record'
+        THEN json_array_length(body, '$.fields')
+        ELSE json_array_length(body, '$.symbols') END AS INT)
+        AS n_members,
+      CAST(len(regexp_extract_all(body, '\\["null"'))
+        AS INT) AS n_nullable,
+      CASE WHEN schema_kind = 'record' THEN
+        json_extract_string(body, '$.fields[0].name')
+        ELSE '' END AS first_field
+    FROM g
+    """
+
+
+@query("avro_schema_parse", _avro_oracle())
+def avro_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro schema parsing (round 4): .avsc documents served
+    from schema registries and repo trees declare the wire
+    layout of event streams — record vs enum kinds, member
+    census, and the ["null", T] union idiom that marks optional
+    fields (the nullability contract downstream pipelines
+    depend on). The JSON-Schema negative shares the type member
+    but not the record/enum vocabulary — the kind gate
+    separates the two schema languages.
+
+    Scale shape: JSON path extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('{"type":"record","name":"Click'),
+            (i % 90).cast("string"),
+            F.lit('","fields":[{"name":"ts","type":"long"},'
+                  '{"name":"url","type":"string"},'
+                  '{"name":"user","type":["null","string"]}]}')))
+        .when(v == 1, F.concat(
+            F.lit('{"type":"enum","name":"Color'),
+            (i % 90).cast("string"),
+            F.lit('","symbols":["RED","GREEN","BLUE"]}')))
+        .otherwise(F.lit('{"type":"object","properties":{}}'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    kind = F.get_json_object("body", "$.type")
+    g = p.where(kind.isin("record", "enum")).select(
+        "doc_id", "body", kind.alias("schema_kind"))
+    return g.select(
+        "doc_id", "schema_kind",
+        F.get_json_object("body", "$.name").alias("schema_name"),
+        F.when(F.col("schema_kind") == "record",
+               F.json_array_length(
+                   F.get_json_object("body", "$.fields")))
+        .otherwise(F.json_array_length(
+            F.get_json_object("body", "$.symbols")))
+        .cast("int").alias("n_members"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('\\["null"'), 0)).cast("int")
+        .alias("n_nullable"),
+        F.when(F.col("schema_kind") == "record",
+               F.get_json_object("body", "$.fields[0].name"))
+        .otherwise(F.lit("")).alias("first_field"),
+    )
+
+
+def _sql_refs_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'SELECT u.name, o.total FROM users u '
+            || 'JOIN orders o ON u.id = o.uid WHERE o.total > '
+            || CAST(doc_id % 900 AS VARCHAR) || ';'
+          WHEN 1 THEN 'UPDATE accounts SET balance = balance - '
+            || CAST(doc_id % 400 AS VARCHAR)
+            || ' WHERE id = 7;'
+          ELSE 'select the best option from the menu please'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract(body, '^(SELECT|UPDATE|DELETE|INSERT)', 1)
+          AS stmt_kind
+      FROM p
+      WHERE regexp_matches(body,
+        '^(SELECT|UPDATE|DELETE|INSERT)\\b')),
+    s AS (
+      SELECT doc_id, stmt_kind,
+        list_distinct(list_concat(
+          regexp_extract_all(body, 'FROM ([a-z_]+)', 1),
+          list_concat(
+            regexp_extract_all(body, 'JOIN ([a-z_]+)', 1),
+            regexp_extract_all(body, 'UPDATE ([a-z_]+)', 1))))
+          AS tables,
+        contains(body, 'JOIN ') AS has_join
+      FROM g)
+    SELECT doc_id, stmt_kind,
+      CAST(len(tables) AS INT) AS n_tables,
+      list_aggregate(list_sort(tables), 'string_agg', ',')
+        AS tables_csv,
+      CAST(CASE WHEN has_join THEN 1 ELSE 0 END AS INT)
+        AS has_join
+    FROM s
+    """
+
+
+@query("sql_query_table_refs", _sql_refs_oracle())
+def sql_query_table_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL statement table-reference mining (round 4): pasted
+    queries in tutorials and incident writeups reveal schema
+    vocabulary — statement kind from the leading keyword,
+    referenced tables from FROM/JOIN/UPDATE positions (distinct,
+    sorted, csv-folded so the row is order-stable), and the
+    join flag separating single-table lookups from relational
+    workloads. Uppercase keywords gate out conversational
+    'select the best option'. The (question, SQL) supervision
+    pair's SQL half, with its tables as the grounding check.
+
+    Scale shape: extract-alls + in-row set ops per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("SELECT u.name, o.total FROM users u "
+                  "JOIN orders o ON u.id = o.uid WHERE o.total > "),
+            (i % 900).cast("string"), F.lit(";")))
+        .when(v == 1, F.concat(
+            F.lit("UPDATE accounts SET balance = balance - "),
+            (i % 400).cast("string"), F.lit(" WHERE id = 7;")))
+        .otherwise(F.lit("select the best option from the menu please"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^(SELECT|UPDATE|DELETE|INSERT)\\b")))
+    tables = F.array_distinct(F.concat(
+        F.regexp_extract_all(F.col("body"), F.lit("FROM ([a-z_]+)"), 1),
+        F.regexp_extract_all(F.col("body"), F.lit("JOIN ([a-z_]+)"), 1),
+        F.regexp_extract_all(F.col("body"), F.lit("UPDATE ([a-z_]+)"), 1),
+    ))
+    return g.select(
+        "doc_id",
+        F.regexp_extract(
+            "body", "^(SELECT|UPDATE|DELETE|INSERT)", 1)
+        .alias("stmt_kind"),
+        F.size(tables).cast("int").alias("n_tables"),
+        F.array_join(F.array_sort(tables), ",").alias("tables_csv"),
+        F.col("body").contains("JOIN ").cast("int").alias("has_join"),
+    )
+
+
+def _graphql_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'query GetUser'
+            || CAST(doc_id % 90 AS VARCHAR) || ' { user(id: '
+            || CAST(doc_id % 900 AS VARCHAR)
+            || ') { name email posts { title } } }'
+          WHEN 1 THEN 'mutation AddPost { createPost(title: '
+            || '"draft ' || CAST(doc_id % 90 AS VARCHAR)
+            || '") { id } }'
+          ELSE 'my query is simple: where is lunch'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract(body,
+          '^(query|mutation) ([A-Za-z0-9_]+)', ['op', 'nm']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '^(query|mutation) [A-Za-z0-9_]+ \\{'))
+    SELECT doc_id,
+      m.op AS op_type,
+      m.nm AS op_name,
+      regexp_extract(body, '\\{ ([a-zA-Z]+)', 1) AS top_field,
+      CAST(len(regexp_extract_all(body, '\\{')) AS INT)
+        AS nesting_braces,
+      CAST(CASE WHEN m.op = 'mutation' THEN 1 ELSE 0 END
+        AS INT) AS is_write
+    FROM g
+    """
+
+
+@query("graphql_query_parse", _graphql_oracle())
+def graphql_query_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL operation parsing (round 4): query documents in
+    docs and devtools dumps name their operation, root field,
+    and selection depth (brace census) — the API-shape census
+    complementing graphql_endpoint_detect's transport discovery
+    and api_endpoint_doc_extract's REST templates, with
+    mutations flagged as the write surface. Conversational
+    'my query is simple' fails the operation-brace grammar.
+
+    Scale shape: grouped extract + counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("query GetUser"), (i % 90).cast("string"),
+            F.lit(" { user(id: "), (i % 900).cast("string"),
+            F.lit(") { name email posts { title } } }")))
+        .when(v == 1, F.concat(
+            F.lit('mutation AddPost { createPost(title: "draft '),
+            (i % 90).cast("string"), F.lit('") { id } }')))
+        .otherwise(F.lit("my query is simple: where is lunch"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "^(query|mutation) ([A-Za-z0-9_]+)"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^(query|mutation) [A-Za-z0-9_]+ \\{")))
+    op = F.regexp_extract("body", pat, 1)
+    return g.select(
+        "doc_id",
+        op.alias("op_type"),
+        F.regexp_extract("body", pat, 2).alias("op_name"),
+        F.regexp_extract("body", "\\{ ([a-zA-Z]+)", 1)
+        .alias("top_field"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit("\\{"), 0)).cast("int")
+        .alias("nesting_braces"),
+        (op == "mutation").cast("int").alias("is_write"),
+    )
+
+
+def _prototext_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'host: "web'
+            || CAST(doc_id % 40 AS VARCHAR) || '"' || chr(10)
+            || 'port: 80' || CAST(doc_id % 10 AS VARCHAR)
+            || chr(10) || 'enabled: true' || chr(10)
+            || 'labels { key: "env" value: "prod" }'
+          WHEN 1 THEN 'replicas: ' || CAST(1 + doc_id % 9
+              AS VARCHAR) || chr(10)
+            || 'image: "app:v' || CAST(doc_id % 30 AS VARCHAR)
+            || '"'
+          ELSE 'ports of call: lisbon, malta, crete'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE regexp_matches(body,
+        '(?m)^[a-z_]+: ("[^"]*"|[0-9]+|true|false)')),
+    s AS (
+      SELECT doc_id, body,
+        len(regexp_extract_all(body,
+          '(?m)^[a-z_]+: ("[^"]*"|[0-9]+|true|false)'))
+          AS n_scalar,
+        len(regexp_extract_all(body, '[a-z_]+ \\{'))
+          AS n_messages
+      FROM g)
+    SELECT doc_id,
+      CAST(n_scalar AS INT) AS n_scalar_fields,
+      CAST(n_messages AS INT) AS n_message_fields,
+      CAST(CASE WHEN regexp_matches(body,
+        '(?m)^[a-z_]+: (true|false)') THEN 1 ELSE 0 END AS INT)
+        AS has_bool,
+      regexp_extract(body, '(?m)^([a-z_]+): ', 1) AS first_field
+    FROM s
+    """
+
+
+@query("protobuf_text_parse", _prototext_oracle())
+def protobuf_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf text-format parsing (round 4): config files in
+    proto text format (k8s-adjacent infra, TF configs) are
+    line-anchored 'field: value' pairs plus braced message
+    blocks — scalar census by value class (string/number/bool),
+    nested-message count, and the first field as the
+    fingerprint. The line anchor keeps 'ports of call:' prose
+    out (value must be a quoted string, number, or bool — bare
+    prose fails the value grammar).
+
+    Scale shape: anchored extract-alls per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('host: "web'), (i % 40).cast("string"),
+            F.lit('"' + nl + "port: 80"), (i % 10).cast("string"),
+            F.lit(nl + "enabled: true" + nl
+                  + 'labels { key: "env" value: "prod" }')))
+        .when(v == 1, F.concat(
+            F.lit("replicas: "), (1 + i % 9).cast("string"),
+            F.lit(nl + 'image: "app:v'), (i % 30).cast("string"),
+            F.lit('"')))
+        .otherwise(F.lit("ports of call: lisbon, malta, crete"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    scalar_pat = '(?m)^[a-z_]+: ("[^"]*"|[0-9]+|true|false)'
+    g = p.where(F.regexp_like(F.col("body"), F.lit(scalar_pat)))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit(scalar_pat), 0)).cast("int")
+        .alias("n_scalar_fields"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit("[a-z_]+ \\{"), 0)).cast("int")
+        .alias("n_message_fields"),
+        F.regexp_like(F.col("body"), F.lit(
+            "(?m)^[a-z_]+: (true|false)")).cast("int")
+        .alias("has_bool"),
+        F.regexp_extract("body", "(?m)^([a-z_]+): ", 1)
+        .alias("first_field"),
+    )
+
+
+def _sandbox_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<iframe src="https://widget.example/w'
+            || CAST(doc_id % 80 AS VARCHAR)
+            || '" sandbox="allow-scripts"></iframe>'
+          WHEN 1 THEN '<iframe src="https://embed.example/e'
+            || CAST(doc_id % 80 AS VARCHAR)
+            || '" sandbox="allow-scripts allow-same-origin">'
+            || '</iframe>'
+          WHEN 2 THEN '<iframe src="https://ads.example/f'
+            || CAST(doc_id % 80 AS VARCHAR) || '"></iframe>'
+          ELSE 'a sandbox in the yard, no frames in sight'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, ' sandbox="') AS has_sandbox
+      FROM p
+      WHERE contains(body, '<iframe ')),
+    s AS (
+      SELECT doc_id, body, has_sandbox,
+        CASE WHEN has_sandbox THEN
+          regexp_extract(body, 'sandbox="([^"]*)"', 1)
+        ELSE '' END AS tokens
+      FROM g)
+    SELECT doc_id,
+      regexp_extract(body, 'src="https://([^/"]+)', 1)
+        AS frame_host,
+      CAST(CASE WHEN has_sandbox THEN 1 ELSE 0 END AS INT)
+        AS has_sandbox,
+      CAST(CASE WHEN tokens = '' THEN 0
+        ELSE len(string_split(tokens, ' ')) END AS INT)
+        AS n_tokens,
+      CAST(CASE WHEN contains(tokens, 'allow-scripts')
+          AND contains(tokens, 'allow-same-origin')
+        THEN 1 ELSE 0 END AS INT) AS escape_combo
+    FROM s
+    """
+
+
+@query("iframe_sandbox_audit", _sandbox_oracle())
+def iframe_sandbox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iframe sandbox audit (round 4): the sandbox attribute is
+    the page's declared trust boundary for embedded content —
+    absent on a third-party frame means full-privilege embedding,
+    the allow-scripts + allow-same-origin COMBINATION voids the
+    sandbox entirely (the embedded document can reach up and
+    remove its own restrictions — the spec's own warning). The
+    audit grades each embed: unsandboxed, sandboxed, or
+    self-defeating. Yard prose fails the iframe gate.
+
+    Scale shape: extracts + token flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<iframe src="https://widget.example/w'),
+            (i % 80).cast("string"),
+            F.lit('" sandbox="allow-scripts"></iframe>')))
+        .when(v == 1, F.concat(
+            F.lit('<iframe src="https://embed.example/e'),
+            (i % 80).cast("string"),
+            F.lit('" sandbox="allow-scripts allow-same-origin">'
+                  "</iframe>")))
+        .when(v == 2, F.concat(
+            F.lit('<iframe src="https://ads.example/f'),
+            (i % 80).cast("string"), F.lit('"></iframe>')))
+        .otherwise(F.lit("a sandbox in the yard, no frames in sight"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("<iframe "))
+    has_sb = F.col("body").contains(' sandbox="')
+    tokens = F.when(has_sb, F.regexp_extract(
+        "body", 'sandbox="([^"]*)"', 1)).otherwise(F.lit(""))
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", 'src="https://([^/"]+)', 1)
+        .alias("frame_host"),
+        has_sb.cast("int").alias("has_sandbox"),
+        F.when(tokens == "", 0)
+        .otherwise(F.size(F.split(tokens, " "))).cast("int")
+        .alias("n_tokens"),
+        (tokens.contains("allow-scripts")
+         & tokens.contains("allow-same-origin")).cast("int")
+        .alias("escape_combo"),
+    )
+
+
+def _referrer_policy_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<meta name="referrer" content="no-referrer">'
+            || '<a href="/p' || CAST(doc_id % 60 AS VARCHAR)
+            || '">x</a>'
+          WHEN 1 THEN '<meta name="referrer" content="unsafe-url">'
+            || '<a href="/q' || CAST(doc_id % 60 AS VARCHAR)
+            || '">y</a>'
+          WHEN 2 THEN '<a href="https://partner.example/p'
+            || CAST(doc_id % 60 AS VARCHAR)
+            || '" referrerpolicy="origin">deal</a>'
+          ELSE 'the referrer of this candidate was glowing'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, '<meta name="referrer"') AS is_meta
+      FROM p
+      WHERE contains(body, '<meta name="referrer"')
+        OR contains(body, 'referrerpolicy="')),
+    s AS (
+      SELECT doc_id, is_meta,
+        CASE WHEN is_meta THEN regexp_extract(body,
+          '<meta name="referrer" content="([^"]+)"', 1)
+        ELSE regexp_extract(body,
+          'referrerpolicy="([^"]+)"', 1) END AS policy
+      FROM g)
+    SELECT doc_id,
+      CASE WHEN is_meta THEN 'meta' ELSE 'element' END AS channel,
+      policy,
+      CAST(CASE WHEN policy IN ('unsafe-url',
+        'no-referrer-when-downgrade') THEN 1 ELSE 0 END AS INT)
+        AS is_leaky,
+      CAST(CASE WHEN policy = 'no-referrer' THEN 1 ELSE 0 END
+        AS INT) AS is_silent
+    FROM s
+    """
+
+
+@query("referrer_policy_audit", _referrer_policy_oracle())
+def referrer_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referrer-policy audit (round 4): the page-wide meta and
+    per-element referrerpolicy channels decide what URL leaks
+    to outbound destinations — unsafe-url ships full paths
+    (query strings included: session tokens cross origins, the
+    leak url_secret_params catches downstream), no-referrer
+    goes silent (breaking the referer-based analytics the
+    crawl's provenance graphs use). The audit classifies both
+    channels; HR prose about glowing referrers fails both
+    gates.
+
+    Scale shape: extracts + class flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="referrer" content="no-referrer">'
+                  '<a href="/p'), (i % 60).cast("string"),
+            F.lit('">x</a>')))
+        .when(v == 1, F.concat(
+            F.lit('<meta name="referrer" content="unsafe-url">'
+                  '<a href="/q'), (i % 60).cast("string"),
+            F.lit('">y</a>')))
+        .when(v == 2, F.concat(
+            F.lit('<a href="https://partner.example/p'),
+            (i % 60).cast("string"),
+            F.lit('" referrerpolicy="origin">deal</a>')))
+        .otherwise(F.lit("the referrer of this candidate was glowing"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_meta = F.col("body").contains('<meta name="referrer"')
+    g = p.where(is_meta | F.col("body").contains('referrerpolicy="'))
+    policy = (
+        F.when(is_meta, F.regexp_extract(
+            "body", '<meta name="referrer" content="([^"]+)"', 1))
+        .otherwise(F.regexp_extract(
+            "body", 'referrerpolicy="([^"]+)"', 1)))
+    return g.select(
+        "doc_id",
+        F.when(is_meta, F.lit("meta")).otherwise(F.lit("element"))
+        .alias("channel"),
+        policy.alias("policy"),
+        policy.isin("unsafe-url", "no-referrer-when-downgrade")
+        .cast("int").alias("is_leaky"),
+        (policy == "no-referrer").cast("int").alias("is_silent"),
+    )
+
+
+def _fetchpriority_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<img src="/hero'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '.jpg" fetchpriority="high">'
+            || '<link rel="preload" href="/font.woff2" as="font">'
+          WHEN 1 THEN '<script src="/analytics.js" '
+            || 'fetchpriority="low"></script><img src="/decor'
+            || CAST(doc_id % 50 AS VARCHAR)
+            || '.png" fetchpriority="low">'
+          ELSE 'high priority fetch the coffee first'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, 'fetchpriority="'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, 'fetchpriority="high"'))
+        AS INT) AS n_high,
+      CAST(len(regexp_extract_all(body, 'fetchpriority="low"'))
+        AS INT) AS n_low,
+      CAST(CASE WHEN regexp_matches(body,
+        '<img [^>]*fetchpriority="high"') THEN 1 ELSE 0 END
+        AS INT) AS hero_image_prioritized
+    FROM g
+    """
+
+
+@query("fetchpriority_hints", _fetchpriority_oracle())
+def fetchpriority_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetchpriority hint census (round 4): the newest resource
+    scheduling channel (after preload/prefetch in
+    resource_hints) — a high-priority img IS the author naming
+    the LCP hero image (the representative image for multimodal
+    pairing, stronger than og:image because it binds to a real
+    rendered element), while low marks author-admitted
+    deferrable furniture. Coffee prose fails the attribute
+    gate.
+
+    Scale shape: substring counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<img src="/hero'), (i % 50).cast("string"),
+            F.lit('.jpg" fetchpriority="high">'
+                  '<link rel="preload" href="/font.woff2" '
+                  'as="font">')))
+        .when(v == 1, F.concat(
+            F.lit('<script src="/analytics.js" '
+                  'fetchpriority="low"></script><img src="/decor'),
+            (i % 50).cast("string"),
+            F.lit('.png" fetchpriority="low">')))
+        .otherwise(F.lit("high priority fetch the coffee first"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains('fetchpriority="'))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('fetchpriority="high"'), 0))
+        .cast("int").alias("n_high"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('fetchpriority="low"'), 0))
+        .cast("int").alias("n_low"),
+        F.regexp_like(F.col("body"), F.lit(
+            '<img [^>]*fetchpriority="high"')).cast("int")
+        .alias("hero_image_prioritized"),
+    )
+
+
+def _download_attr_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<a href="/files/report-'
+            || CAST(doc_id % 200 AS VARCHAR)
+            || '.pdf" download="annual-report.pdf">Download</a>'
+          WHEN 1 THEN '<a href="/blob/'
+            || CAST(doc_id % 900 AS VARCHAR)
+            || '" download>Save a copy</a>'
+          ELSE '<a href="/page' || CAST(doc_id % 200 AS VARCHAR)
+            || '">read more</a>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE regexp_matches(body, ' download(="[^"]*")?>')),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract(body, 'href="([^"]+)"', 1) AS href,
+        regexp_extract(body, 'download="([^"]+)"', 1)
+          AS download_name
+      FROM g)
+    SELECT doc_id, href, download_name,
+      CAST(CASE WHEN download_name <> '' THEN 1 ELSE 0 END
+        AS INT) AS has_rename,
+      CASE WHEN download_name <> '' THEN
+        regexp_extract(download_name, '\\.([a-z0-9]+)$', 1)
+      ELSE regexp_extract(href, '\\.([a-z0-9]+)$', 1)
+      END AS effective_ext
+    FROM s
+    """
+
+
+@query("anchor_download_attr", _download_attr_oracle())
+def anchor_download_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """download-attribute mining (round 4): anchors with the
+    download attribute declare forced-download targets — the
+    page is TELLING the crawler this href is a file, not a
+    navigable document (stronger than download_link_classify's
+    extension guessing), and the rename value supplies the
+    intended filename when the href is an opaque blob path
+    (whose effective extension comes from the rename, not the
+    URL). Plain navigation anchors fail the attribute grammar.
+
+    Scale shape: extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<a href="/files/report-'),
+            (i % 200).cast("string"),
+            F.lit('.pdf" download="annual-report.pdf">'
+                  "Download</a>")))
+        .when(v == 1, F.concat(
+            F.lit('<a href="/blob/'), (i % 900).cast("string"),
+            F.lit('" download>Save a copy</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="/page'), (i % 200).cast("string"),
+            F.lit('">read more</a>')))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        ' download(="[^"]*")?>')))
+    href = F.regexp_extract("body", 'href="([^"]+)"', 1)
+    dname = F.regexp_extract("body", 'download="([^"]+)"', 1)
+    return g.select(
+        "doc_id",
+        href.alias("href"),
+        dname.alias("download_name"),
+        (dname != "").cast("int").alias("has_rename"),
+        F.when(dname != "", F.regexp_extract(
+            dname, "\\.([a-z0-9]+)$", 1))
+        .otherwise(F.regexp_extract(href, "\\.([a-z0-9]+)$", 1))
+        .alias("effective_ext"),
+    )
+
+
+def _indian_number_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 99 AS a,
+        doc_id % 1000 AS c
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Priced at Rs 2,'
+            || lpad(CAST(a AS VARCHAR), 2, '0') || ','
+            || lpad(CAST(c AS VARCHAR), 3, '0') || ' onwards.'
+          WHEN 1 THEN 'Budget of 1.'
+            || CAST(doc_id % 10 AS VARCHAR) || ' lakh approved.'
+          WHEN 2 THEN 'Valued at '
+            || CAST(1 + doc_id % 50 AS VARCHAR)
+            || ' crore by auditors.'
+          ELSE 'rs lakhs of problems, crore issues pending'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          'Rs [0-9]+(,[0-9]{2})*,[0-9]{3}') AS is_grouped,
+        regexp_matches(body, '[0-9]+\\.[0-9] lakh') AS is_lakh,
+        regexp_matches(body, '[0-9]+ crore') AS is_crore
+      FROM p
+      WHERE regexp_matches(body,
+        'Rs [0-9]+(,[0-9]{2})*,[0-9]{3}|[0-9]+\\.[0-9] lakh|[0-9]+ crore'))
+    SELECT doc_id,
+      CASE WHEN is_grouped THEN 'grouped'
+        WHEN is_lakh THEN 'lakh' ELSE 'crore' END AS notation,
+      CAST(CASE WHEN is_grouped THEN
+          CAST(replace(regexp_extract(body,
+            'Rs ([0-9,]+)', 1), ',', '') AS BIGINT)
+        WHEN is_lakh THEN
+          (CAST(regexp_extract(body,
+            '([0-9]+)\\.([0-9]) lakh', 1) AS BIGINT) * 10
+           + CAST(regexp_extract(body,
+            '([0-9]+)\\.([0-9]) lakh', 2) AS BIGINT)) * 10000
+        ELSE CAST(regexp_extract(body, '([0-9]+) crore', 1)
+          AS BIGINT) * 10000000
+      END AS BIGINT) AS amount
+    FROM g
+    """
+
+
+@query("indian_number_parse", _indian_number_oracle())
+def indian_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indian numbering normalization (round 4): the subcontinent
+    writes 2,50,000 (2-2-3 grouping) and counts in lakh (10^5) /
+    crore (10^7) — three notations that western locale parsers
+    silently misread. Comma-stripping handles the grouping
+    (the groups differ from western but the digits concatenate
+    identically), and the scale words multiply exactly through
+    x10 decimal integers. The complement to locale_number_parse's
+    European separator conventions, for the web's largest
+    English-language market.
+
+    Scale shape: extracts + integer scaling per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = 1 + i % 99
+    c = i % 1000
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Priced at Rs 2,"),
+            F.lpad(a.cast("string"), 2, "0"), F.lit(","),
+            F.lpad(c.cast("string"), 3, "0"), F.lit(" onwards.")))
+        .when(v == 1, F.concat(
+            F.lit("Budget of 1."), (i % 10).cast("string"),
+            F.lit(" lakh approved.")))
+        .when(v == 2, F.concat(
+            F.lit("Valued at "), (1 + i % 50).cast("string"),
+            F.lit(" crore by auditors.")))
+        .otherwise(F.lit("rs lakhs of problems, crore issues pending"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_grouped = F.regexp_like(F.col("body"), F.lit(
+        "Rs [0-9]+(,[0-9]{2})*,[0-9]{3}"))
+    is_lakh = F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+\\.[0-9] lakh"))
+    is_crore = F.regexp_like(F.col("body"), F.lit("[0-9]+ crore"))
+    g = p.where(is_grouped | is_lakh | is_crore)
+    lp = "([0-9]+)\\.([0-9]) lakh"
+    amount = (
+        F.when(is_grouped, F.replace(
+            F.regexp_extract("body", "Rs ([0-9,]+)", 1),
+            F.lit(","), F.lit("")).cast("long"))
+        .when(is_lakh,
+              (F.regexp_extract("body", lp, 1).cast("long") * 10
+               + F.regexp_extract("body", lp, 2).cast("long"))
+              * 10000)
+        .otherwise(F.regexp_extract(
+            "body", "([0-9]+) crore", 1).cast("long") * 10000000))
+    return g.select(
+        "doc_id",
+        F.when(is_grouped, F.lit("grouped"))
+        .when(is_lakh, F.lit("lakh")).otherwise(F.lit("crore"))
+        .alias("notation"),
+        amount.cast("long").alias("amount"),
+    )
+
+
+def _cjk_scale_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '価格は' || CAST(1 + doc_id % 9 AS VARCHAR)
+            || '万円です。'
+          WHEN 1 THEN '時価総額1.' || CAST(1 + doc_id % 9
+              AS VARCHAR) || '億円に達した。'
+          ELSE '万が一に備える話です'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, '[0-9]+万円') AS is_man,
+        regexp_matches(body, '[0-9]+\\.[0-9]億円') AS is_oku
+      FROM p
+      WHERE regexp_matches(body, '[0-9]+万円|[0-9]+\\.[0-9]億円'))
+    SELECT doc_id,
+      CASE WHEN is_man THEN 'man' ELSE 'oku' END AS scale_unit,
+      CAST(CASE WHEN is_man THEN
+          CAST(regexp_extract(body, '([0-9]+)万円', 1) AS BIGINT)
+            * 10000
+        ELSE (CAST(regexp_extract(body,
+            '([0-9]+)\\.([0-9])億円', 1) AS BIGINT) * 10
+          + CAST(regexp_extract(body,
+            '([0-9]+)\\.([0-9])億円', 2) AS BIGINT)) * 10000000
+      END AS BIGINT) AS amount_yen
+    FROM g
+    """
+
+
+@query("cjk_scale_number_parse", _cjk_scale_oracle())
+def cjk_scale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK scale-numeral parsing (round 4): Japanese prices count
+    in 万 (10^4) and 億 (10^8) — myriad grouping, not thousands —
+    so 3万円 is 30,000 yen and 1.2億円 is 120 million, exact
+    through x10 decimal integers (the lakh/crore problem in its
+    East Asian form). The digits-before-scale grammar requires a
+    number: the idiom 万が一 ('if by any chance') contains the
+    scale char with no digits and is pinned out.
+
+    Scale shape: extracts + integer scaling per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("価格は"), (1 + i % 9).cast("string"),
+            F.lit("万円です。")))
+        .when(v == 1, F.concat(
+            F.lit("時価総額1."), (1 + i % 9).cast("string"),
+            F.lit("億円に達した。")))
+        .otherwise(F.lit("万が一に備える話です"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_man = F.regexp_like(F.col("body"), F.lit("[0-9]+万円"))
+    is_oku = F.regexp_like(F.col("body"), F.lit("[0-9]+\\.[0-9]億円"))
+    g = p.where(is_man | is_oku)
+    op = "([0-9]+)\\.([0-9])億円"
+    amount = (
+        F.when(is_man, F.regexp_extract(
+            "body", "([0-9]+)万円", 1).cast("long") * 10000)
+        .otherwise(
+            (F.regexp_extract("body", op, 1).cast("long") * 10
+             + F.regexp_extract("body", op, 2).cast("long"))
+            * 10000000))
+    return g.select(
+        "doc_id",
+        F.when(is_man, F.lit("man")).otherwise(F.lit("oku"))
+        .alias("scale_unit"),
+        amount.cast("long").alias("amount_yen"),
+    )
+
+
+_ROMAN_ROTATION = ["XIV", "VIII", "XLII", "MCMXCIV"]
+
+
+def _roman_oracle() -> str:
+    case = "\n".join(
+        f"          WHEN {k} THEN '{v}'"
+        for k, v in enumerate(_ROMAN_ROTATION)
+    )
+    val = """CASE c WHEN 'M' THEN 1000 WHEN 'D' THEN 500
+            WHEN 'C' THEN 100 WHEN 'L' THEN 50 WHEN 'X' THEN 10
+            WHEN 'V' THEN 5 ELSE 1 END"""
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 4 THEN 'no numerals appear in this sentence'
+          ELSE 'Chapter ' || CASE doc_id % 4
+{case}
+          END || ' begins on page '
+            || CAST(doc_id % 400 AS VARCHAR) || '.'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, 'Chapter ([MDCLXVI]+) ', 1)
+          AS numeral
+      FROM p
+      WHERE regexp_matches(body, 'Chapter [MDCLXVI]+ ')),
+    s AS (
+      SELECT doc_id, numeral,
+        regexp_extract_all(numeral, '.') AS cs
+      FROM g),
+    v AS (
+      SELECT doc_id, numeral,
+        list_transform(cs, c -> {val}) AS vals
+      FROM s)
+    SELECT doc_id, numeral,
+      CAST(list_reduce(list_prepend(0,
+        list_transform(range(1, len(vals) + 1),
+          j -> CASE WHEN j < len(vals) AND vals[j] < vals[j + 1]
+            THEN -vals[j] ELSE vals[j] END)),
+        (acc, x) -> acc + x) AS BIGINT) AS value
+    FROM v
+    """
+
+
+@query("roman_numeral_decode", _roman_oracle())
+def roman_numeral_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roman-numeral decoding (round 4): chapter headings, monarch
+    ordinals, and film-credit years (MCMXCIV) decode via the
+    subtractive rule — each symbol adds its value unless a
+    LARGER symbol follows, in which case it subtracts (one
+    indexed in-row fold, no lookup tables beyond the seven
+    symbol values). Normalizing XIV → 14 lets section ordering
+    and heading numbering audits treat roman and arabic chapter
+    numbers as one sequence.
+
+    Scale shape: indexed fold per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 5
+    lit = F.when(i % 4 == 0, F.lit(_ROMAN_ROTATION[0]))
+    for k in range(1, 4):
+        lit = lit.when(i % 4 == k, F.lit(_ROMAN_ROTATION[k]))
+    body = F.when(v == 4, F.lit(
+        "no numerals appear in this sentence")).otherwise(
+        F.concat(F.lit("Chapter "), lit,
+                 F.lit(" begins on page "),
+                 (i % 400).cast("string"), F.lit(".")))
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit(
+            "Chapter [MDCLXVI]+ ")))
+        .select("doc_id", F.regexp_extract(
+            "body", "Chapter ([MDCLXVI]+) ", 1).alias("numeral"))
+    )
+    cs = F.split(F.col("numeral"), "")
+
+    def _val(c):
+        return (
+            F.when(c == "M", 1000).when(c == "D", 500)
+            .when(c == "C", 100).when(c == "L", 50)
+            .when(c == "X", 10).when(c == "V", 5).otherwise(1))
+
+    vals = F.transform(cs, _val)
+    n = F.size(vals)
+    signed = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.when(
+            (j < n) & (F.element_at(vals, j)
+                       < F.element_at(vals, j + 1)),
+            -F.element_at(vals, j)).otherwise(F.element_at(vals, j)))
+    value = F.aggregate(signed, F.lit(0), lambda acc, x: acc + x)
+    return g.select(
+        "doc_id", "numeral",
+        value.cast("long").alias("value"),
+    )
+
+
+def _ordinal_date_oracle() -> str:
+    months = ("January February March April May June July August "
+              "September October November December").split()
+    mcase = "\n".join(
+        f"          WHEN {k + 1} THEN '{m}'"
+        for k, m in enumerate(months)
+    )
+    rcase = "\n".join(
+        f"          WHEN '{m}' THEN {k + 1}"
+        for k, m in enumerate(months)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 12 AS m,
+        1 + doc_id % 28 AS dd
+      FROM documents),
+    c AS (
+      SELECT doc_id, m, dd,
+        CASE m
+{mcase}
+        END AS mname,
+        CASE WHEN dd % 10 = 1 AND dd <> 11 THEN 'st'
+          WHEN dd % 10 = 2 AND dd <> 12 THEN 'nd'
+          WHEN dd % 10 = 3 AND dd <> 13 THEN 'rd'
+          ELSE 'th' END AS sfx
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 2 THEN 'the 1st of never is my favorite deadline'
+          ELSE 'Published on ' || mname || ' '
+            || CAST(dd AS VARCHAR) || sfx || ', 202'
+            || CAST(doc_id % 10 AS VARCHAR) || '.'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'on ([A-Z][a-z]+) ([0-9]+)(st|nd|rd|th), ([0-9]{{4}})',
+          ['mn', 'dd', 'sfx', 'yy']) AS x
+      FROM p
+      WHERE regexp_matches(body,
+        'on [A-Z][a-z]+ [0-9]+(st|nd|rd|th), [0-9]{{4}}'))
+    SELECT doc_id,
+      x.yy || '-' || lpad(CAST(CASE x.mn
+{rcase}
+        END AS VARCHAR), 2, '0') || '-'
+        || lpad(x.dd, 2, '0') AS iso_date,
+      CAST(CASE x.mn
+{rcase}
+      END AS INT) AS month,
+      CAST(x.dd AS INT) AS day
+    FROM g
+    """
+
+
+@query("ordinal_date_normalize", _ordinal_date_oracle())
+def ordinal_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-date normalization (round 4): 'March 3rd, 2026'
+    prose dates carry the st/nd/rd/th suffix grammar (11th/12th/
+    13th exceptions constructed correctly in the rotation) and
+    normalize to ISO through a 12-way month map — the prose
+    complement to time_element_consistency's datetime-attr
+    channel and url_date_extract's path dates, covering the
+    dates that appear ONLY in running text. 'the 1st of never'
+    lacks the month-name frame.
+
+    Scale shape: grouped extract + CASE map per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    months = ("January February March April May June July August "
+              "September October November December").split()
+    m = 1 + i % 12
+    dd = 1 + i % 28
+    mname = F.when(m == 1, F.lit(months[0]))
+    for k in range(2, 13):
+        mname = mname.when(m == k, F.lit(months[k - 1]))
+    sfx = (
+        F.when((dd % 10 == 1) & (dd != 11), F.lit("st"))
+        .when((dd % 10 == 2) & (dd != 12), F.lit("nd"))
+        .when((dd % 10 == 3) & (dd != 13), F.lit("rd"))
+        .otherwise(F.lit("th")))
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "the 1st of never is my favorite deadline")).otherwise(
+        F.concat(F.lit("Published on "), mname, F.lit(" "),
+                 dd.cast("string"), sfx, F.lit(", 202"),
+                 (i % 10).cast("string"), F.lit(".")))
+    p = d.select("doc_id", body.alias("body"))
+    pat = "on ([A-Z][a-z]+) ([0-9]+)(st|nd|rd|th), ([0-9]{4})"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "on [A-Z][a-z]+ [0-9]+(st|nd|rd|th), [0-9]{4}")))
+    mn = F.regexp_extract("body", pat, 1)
+    dnum = F.regexp_extract("body", pat, 2)
+    yy = F.regexp_extract("body", pat, 4)
+    mno = F.when(mn == months[0], 1)
+    for k in range(2, 13):
+        mno = mno.when(mn == months[k - 1], k)
+    return g.select(
+        "doc_id",
+        F.concat(yy, F.lit("-"),
+                 F.lpad(mno.cast("string"), 2, "0"), F.lit("-"),
+                 F.lpad(dnum, 2, "0")).alias("iso_date"),
+        mno.cast("int").alias("month"),
+        dnum.cast("int").alias("day"),
+    )
+
+
+def _appcache_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'CACHE MANIFEST' || chr(10) || '# v'
+            || CAST(doc_id % 300 AS VARCHAR) || chr(10)
+            || 'CACHE:' || chr(10) || '/app.js' || chr(10)
+            || '/style.css' || chr(10) || 'NETWORK:' || chr(10)
+            || '*' || chr(10) || 'FALLBACK:' || chr(10)
+            || '/ /offline.html'
+          WHEN 1 THEN 'CACHE MANIFEST' || chr(10) || '/index.html'
+            || chr(10) || '/logo' || CAST(doc_id % 40 AS VARCHAR)
+            || '.png'
+          ELSE 'the cache manifest destiny of the frontier'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        string_split(body, chr(10)) AS lines
+      FROM p
+      WHERE starts_with(body, 'CACHE MANIFEST'))
+    SELECT doc_id,
+      CAST(len(list_filter(lines, l -> starts_with(l, '/')
+        AND NOT contains(l, ' '))) AS INT) AS n_cached_paths,
+      CAST(CASE WHEN contains(body, 'NETWORK:' || chr(10) || '*')
+        THEN 1 ELSE 0 END AS INT) AS network_wildcard,
+      CAST(CASE WHEN contains(body, 'FALLBACK:') THEN 1 ELSE 0
+        END AS INT) AS has_fallback,
+      regexp_extract(body, '# v([0-9]+)', 1) AS version_comment
+    FROM g
+    """
+
+
+@query("appcache_manifest_parse", _appcache_oracle())
+def appcache_manifest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppCache manifest parsing (round 4): the deprecated
+    offline-web format (CACHE MANIFEST header, CACHE/NETWORK/
+    FALLBACK sections) still sits on abandoned sites — its
+    presence DATES the template to the 2010-2017 window (the
+    predecessor of service_worker_detect's modern shells), the
+    version comment is the cache-busting convention, and a
+    NETWORK: * wildcard marks the online-required split. The
+    byte-zero header anchor keeps manifest-destiny prose out.
+
+    Scale shape: line filter + substring flags per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("CACHE MANIFEST" + nl + "# v"),
+            (i % 300).cast("string"),
+            F.lit(nl + "CACHE:" + nl + "/app.js" + nl
+                  + "/style.css" + nl + "NETWORK:" + nl + "*"
+                  + nl + "FALLBACK:" + nl + "/ /offline.html")))
+        .when(v == 1, F.concat(
+            F.lit("CACHE MANIFEST" + nl + "/index.html" + nl
+                  + "/logo"),
+            (i % 40).cast("string"), F.lit(".png")))
+        .otherwise(F.lit("the cache manifest destiny of the frontier"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").startswith("CACHE MANIFEST")).select(
+        "doc_id", "body", F.split("body", nl).alias("lines"))
+    cached = F.filter(
+        F.col("lines"),
+        lambda l: l.startswith("/") & ~l.contains(" "))
+    return g.select(
+        "doc_id",
+        F.size(cached).cast("int").alias("n_cached_paths"),
+        F.col("body").contains("NETWORK:" + nl + "*").cast("int")
+        .alias("network_wildcard"),
+        F.col("body").contains("FALLBACK:").cast("int")
+        .alias("has_fallback"),
+        F.regexp_extract("body", "# v([0-9]+)", 1)
+        .alias("version_comment"),
+    )
+
+
+def _crossdomain_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<cross-domain-policy>'
+            || '<allow-access-from domain="*"/>'
+            || '</cross-domain-policy>'
+          WHEN 1 THEN '<cross-domain-policy>'
+            || '<allow-access-from domain="*.example'
+            || CAST(doc_id % 40 AS VARCHAR) || '.com"/>'
+            || '<allow-access-from domain="cdn.example'
+            || CAST(doc_id % 40 AS VARCHAR) || '.com"/>'
+            || '</cross-domain-policy>'
+          ELSE 'crossing domains of expertise takes policy'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, '<cross-domain-policy>'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body,
+        '<allow-access-from ')) AS INT) AS n_rules,
+      regexp_extract(body, 'domain="([^"]+)"', 1) AS first_domain,
+      CAST(CASE WHEN contains(body, 'domain="*"') THEN 1 ELSE 0
+        END AS INT) AS is_wildcard
+    FROM g
+    """
+
+
+@query("crossdomain_xml_audit", _crossdomain_oracle())
+def crossdomain_xml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crossdomain.xml audit (round 4): the Flash-era
+    cross-origin policy file outlived Flash on thousands of
+    servers — a domain="*" wildcard once meant ANY site could
+    read this origin with credentials (the historic
+    vulnerability class), so its presence is both a
+    site-archaeology date marker and a neglected-config signal
+    beside dev_server_leak_detect. Scoped subdomain rules are
+    the intended use; expertise prose fails the policy-root
+    gate.
+
+    Scale shape: counts + one extract per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.lit(
+            '<cross-domain-policy>'
+            '<allow-access-from domain="*"/>'
+            "</cross-domain-policy>"))
+        .when(v == 1, F.concat(
+            F.lit('<cross-domain-policy>'
+                  '<allow-access-from domain="*.example'),
+            (i % 40).cast("string"),
+            F.lit('.com"/><allow-access-from domain="cdn.example'),
+            (i % 40).cast("string"),
+            F.lit('.com"/></cross-domain-policy>')))
+        .otherwise(F.lit("crossing domains of expertise takes policy"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("<cross-domain-policy>"))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit("<allow-access-from "), 0))
+        .cast("int").alias("n_rules"),
+        F.regexp_extract("body", 'domain="([^"]+)"', 1)
+        .alias("first_domain"),
+        F.col("body").contains('domain="*"').cast("int")
+        .alias("is_wildcard"),
+    )
+
+
+def _p3p_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'P3P: CP="IDC DSP COR ADM DEVi TAIi PSA '
+            || 'OUR IND CNT"'
+          WHEN 1 THEN 'P3P: CP="NOI NID CURa"'
+          ELSE 'the p3p of my heart beats for privacy'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, 'P3P: CP="([^"]+)"', 1) AS cp
+      FROM p
+      WHERE regexp_matches(body, 'P3P: CP="[^"]+"'))
+    SELECT doc_id,
+      CAST(len(string_split(cp, ' ')) AS INT) AS n_tokens,
+      string_split(cp, ' ')[1] AS first_token,
+      CAST(CASE WHEN contains(' ' || cp || ' ', ' OUR ')
+        THEN 1 ELSE 0 END AS INT) AS shares_with_agents,
+      CAST(CASE WHEN contains(' ' || cp || ' ', ' NID ')
+        THEN 1 ELSE 0 END AS INT) AS non_identifiable
+    FROM g
+    """
+
+
+@query("p3p_policy_detect", _p3p_oracle())
+def p3p_policy_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3P compact-policy detection (round 4): the dead W3C
+    privacy vocabulary survives in headers because IE once
+    gated third-party cookies on it — sites still ship CP
+    tokens (many deliberately bogus) purely to unlock cookies,
+    so presence is simultaneously a 2002-2016 date marker and a
+    cookie-workaround tell. Token census with the OUR
+    (shared-with-agents) and NID (non-identifiable) classes
+    space-delimited exactly; heart prose fails the CP grammar.
+
+    Scale shape: one extract + token flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.lit(
+            'P3P: CP="IDC DSP COR ADM DEVi TAIi PSA OUR IND CNT"'))
+        .when(v == 1, F.lit('P3P: CP="NOI NID CURa"'))
+        .otherwise(F.lit("the p3p of my heart beats for privacy"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit('P3P: CP="[^"]+"')))
+        .select("doc_id", F.regexp_extract(
+            "body", 'P3P: CP="([^"]+)"', 1).alias("cp"))
+    )
+    padded = F.concat(F.lit(" "), F.col("cp"), F.lit(" "))
+    return g.select(
+        "doc_id",
+        F.size(F.split("cp", " ")).cast("int").alias("n_tokens"),
+        F.element_at(F.split("cp", " "), 1).alias("first_token"),
+        padded.contains(" OUR ").cast("int")
+        .alias("shares_with_agents"),
+        padded.contains(" NID ").cast("int")
+        .alias("non_identifiable"),
+    )
+
+
+def _browserconfig_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<browserconfig><msapplication><tile>'
+            || '<square150x150logo src="/mstile-150.png"/>'
+            || '<TileColor>#'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || 'fff</TileColor></tile></msapplication>'
+            || '</browserconfig>'
+          WHEN 1 THEN '<browserconfig><msapplication><tile>'
+            || '<square70x70logo src="/small.png"/>'
+            || '<square150x150logo src="/med'
+            || CAST(doc_id % 30 AS VARCHAR) || '.png"/>'
+            || '<wide310x150logo src="/wide.png"/>'
+            || '<TileColor>#2b5797</TileColor></tile>'
+            || '</msapplication></browserconfig>'
+          ELSE 'configure your browser for maximum comfort'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, '<browserconfig>'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, 'logo src="'))
+        AS INT) AS n_logos,
+      regexp_extract(body,
+        '<square150x150logo src="([^"]+)"', 1) AS medium_logo,
+      regexp_extract(body, '<TileColor>(#[0-9a-f]+)</TileColor>',
+        1) AS tile_color
+    FROM g
+    """
+
+
+@query("browserconfig_tile_parse", _browserconfig_oracle())
+def browserconfig_tile_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """browserconfig.xml parsing (round 4): the Windows-tile
+    metadata file is the Microsoft counterpart of
+    manifest_json_parse and favicon_link_variants — tile logo
+    renditions by size plus the brand TileColor (a palette
+    fingerprint for template clustering). Presence dates the
+    site to the Windows 8/10 pin-to-start era; comfort prose
+    fails the root-element gate.
+
+    Scale shape: counts + extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("<browserconfig><msapplication><tile>"
+                  '<square150x150logo src="/mstile-150.png"/>'
+                  "<TileColor>#"),
+            F.lpad((i % 1000).cast("string"), 3, "0"),
+            F.lit("fff</TileColor></tile></msapplication>"
+                  "</browserconfig>")))
+        .when(v == 1, F.concat(
+            F.lit("<browserconfig><msapplication><tile>"
+                  '<square70x70logo src="/small.png"/>'
+                  '<square150x150logo src="/med'),
+            (i % 30).cast("string"),
+            F.lit('.png"/><wide310x150logo src="/wide.png"/>'
+                  "<TileColor>#2b5797</TileColor></tile>"
+                  "</msapplication></browserconfig>")))
+        .otherwise(F.lit("configure your browser for maximum comfort"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("<browserconfig>"))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('logo src="'), 0)).cast("int")
+        .alias("n_logos"),
+        F.regexp_extract(
+            "body", '<square150x150logo src="([^"]+)"', 1)
+        .alias("medium_logo"),
+        F.regexp_extract(
+            "body", "<TileColor>(#[0-9a-f]+)</TileColor>", 1)
+        .alias("tile_color"),
+    )
+
+
+def _emoji_shortcode_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Shipped :rocket: release '
+            || CAST(doc_id % 100 AS VARCHAR)
+            || ' today :tada: great work team :coffee:'
+          WHEN 1 THEN 'Heads up :warning: the build '
+            || CAST(doc_id % 100 AS VARCHAR)
+            || ' is flaky :warning: again'
+          ELSE 'the ratio 1:2:3 appears at 10:30 daily'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract_all(body, ':([a-z_]+):', 1) AS codes
+      FROM p
+      WHERE regexp_matches(body, ':[a-z_]+:'))
+    SELECT doc_id,
+      CAST(len(codes) AS INT) AS n_shortcodes,
+      CAST(len(list_distinct(codes)) AS INT) AS n_distinct,
+      list_aggregate(list_sort(list_distinct(codes)),
+        'string_agg', ',') AS codes_csv,
+      CAST(CASE WHEN list_contains(codes, 'warning')
+        THEN 1 ELSE 0 END AS INT) AS has_warning
+    FROM g
+    """
+
+
+@query("emoji_shortcode_decode", _emoji_shortcode_oracle())
+def emoji_shortcode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emoji shortcode mining (round 4): :rocket:-style colon
+    codes are how developer platforms (GitHub, Slack exports,
+    Discord) encode emoji in plain text — the ASCII face of
+    what emoji_density_profile counts as codepoints, and a
+    register marker for informal technical writing. The
+    letters-only inner grammar keeps clock times (10:30) and
+    ratios (1:2:3) out; the :warning: census doubles as an
+    author-flagged caveat signal.
+
+    Scale shape: extract-all + in-row set ops per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Shipped :rocket: release "),
+            (i % 100).cast("string"),
+            F.lit(" today :tada: great work team :coffee:")))
+        .when(v == 1, F.concat(
+            F.lit("Heads up :warning: the build "),
+            (i % 100).cast("string"),
+            F.lit(" is flaky :warning: again")))
+        .otherwise(F.lit("the ratio 1:2:3 appears at 10:30 daily"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    codes = F.regexp_extract_all(
+        F.col("body"), F.lit(":([a-z_]+):"), 1)
+    g = p.where(F.regexp_like(F.col("body"), F.lit(":[a-z_]+:")))
+    return g.select(
+        "doc_id",
+        F.size(codes).cast("int").alias("n_shortcodes"),
+        F.size(F.array_distinct(codes)).cast("int")
+        .alias("n_distinct"),
+        F.array_join(F.array_sort(F.array_distinct(codes)), ",")
+        .alias("codes_csv"),
+        F.array_contains(codes, "warning").cast("int")
+        .alias("has_warning"),
+    )
+
+
+def _hashtag_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Excited about #MachineLearning and '
+            || '#OpenScience today, thread '
+            || CAST(doc_id % 200 AS VARCHAR)
+          WHEN 1 THEN 'Join us for #DataEngineering meetup '
+            || CAST(doc_id % 50 AS VARCHAR) || ' #BigData'
+          ELSE 'the #1 rule is there are no rules'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract_all(body, '#([A-Z][A-Za-z0-9]+)', 1)
+          AS tags
+      FROM p
+      WHERE regexp_matches(body, '#[A-Z][A-Za-z0-9]+'))
+    SELECT doc_id,
+      CAST(len(tags) AS INT) AS n_tags,
+      tags[1] AS first_tag,
+      lower(regexp_replace(tags[1], '([a-z0-9])([A-Z])',
+        '\\1 \\2', 'g')) AS first_topic_phrase
+    FROM g
+    """
+
+
+@query("hashtag_topic_extract", _hashtag_oracle())
+def hashtag_topic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashtag topic mining (round 4): #CamelCaseTags carry
+    author-assigned topics — the case boundaries are word
+    boundaries, so a backreference replace ('$1 $2' / '\\1 \\2'
+    in each engine's dialect) decompounds #MachineLearning into
+    'machine learning' for topic indexing (the social-channel
+    complement of meta keywords, which keyword-stuffing killed).
+    The uppercase-initial grammar keeps '#1 rule' ordinals out.
+
+    Scale shape: extract-all + one replace per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Excited about #MachineLearning and "
+                  "#OpenScience today, thread "),
+            (i % 200).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("Join us for #DataEngineering meetup "),
+            (i % 50).cast("string"), F.lit(" #BigData")))
+        .otherwise(F.lit("the #1 rule is there are no rules"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    tags = F.regexp_extract_all(
+        F.col("body"), F.lit("#([A-Z][A-Za-z0-9]+)"), 1)
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "#[A-Z][A-Za-z0-9]+")))
+    first = F.element_at(tags, 1)
+    return g.select(
+        "doc_id",
+        F.size(tags).cast("int").alias("n_tags"),
+        first.alias("first_tag"),
+        F.lower(F.regexp_replace(
+            first, "([a-z0-9])([A-Z])", "$1 $2"))
+        .alias("first_topic_phrase"),
+    )
+
+
+def _social_embed_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '<blockquote class="twitter-tweet">'
+            || '<a href="https://twitter.com/user/status/'
+            || CAST(900000000 + doc_id * 17 AS VARCHAR)
+            || '">view</a></blockquote>'
+          WHEN 1 THEN '<blockquote class="instagram-media" '
+            || 'data-instgrm-permalink='
+            || '"https://www.instagram.com/p/Ab'
+            || CAST(doc_id % 1000 AS VARCHAR) || 'x/">'
+            || '</blockquote>'
+          WHEN 2 THEN '<blockquote class="tiktok-embed" '
+            || 'cite="https://www.tiktok.com/@maker/video/'
+            || CAST(700000000 + doc_id * 13 AS VARCHAR)
+            || '"></blockquote>'
+          ELSE '<blockquote>an ordinary quotation</blockquote>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'twitter-tweet') AS is_tw,
+        contains(body, 'instagram-media') AS is_ig
+      FROM p
+      WHERE contains(body, 'twitter-tweet')
+        OR contains(body, 'instagram-media')
+        OR contains(body, 'tiktok-embed'))
+    SELECT doc_id,
+      CASE WHEN is_tw THEN 'twitter'
+        WHEN is_ig THEN 'instagram' ELSE 'tiktok' END
+        AS platform,
+      CASE WHEN is_tw THEN
+        regexp_extract(body, '/status/([0-9]+)', 1)
+      WHEN is_ig THEN
+        regexp_extract(body, '/p/([A-Za-z0-9]+)/', 1)
+      ELSE regexp_extract(body, '/video/([0-9]+)', 1)
+      END AS post_id
+    FROM g
+    """
+
+
+@query("social_embed_detect", _social_embed_oracle())
+def social_embed_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-embed detection (round 4): platform blockquote
+    embeds (twitter-tweet / instagram-media / tiktok-embed
+    classes) mark third-party content that HYDRATES at runtime
+    — the crawler sees only the fallback link, so the post id
+    is the fetch key for the real content (the social sibling
+    of embed_extract's video iframes). Platform class + id
+    grammar per network; a plain blockquote (the
+    blockquote_cite_extract domain) is the negative.
+
+    Scale shape: class predicates + per-platform extract per
+    row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<blockquote class="twitter-tweet">'
+                  '<a href="https://twitter.com/user/status/'),
+            (F.lit(900000000) + i * 17).cast("string"),
+            F.lit('">view</a></blockquote>')))
+        .when(v == 1, F.concat(
+            F.lit('<blockquote class="instagram-media" '
+                  'data-instgrm-permalink='
+                  '"https://www.instagram.com/p/Ab'),
+            (i % 1000).cast("string"),
+            F.lit('x/"></blockquote>')))
+        .when(v == 2, F.concat(
+            F.lit('<blockquote class="tiktok-embed" '
+                  'cite="https://www.tiktok.com/@maker/video/'),
+            (F.lit(700000000) + i * 13).cast("string"),
+            F.lit('"></blockquote>')))
+        .otherwise(F.lit(
+            "<blockquote>an ordinary quotation</blockquote>"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_tw = F.col("body").contains("twitter-tweet")
+    is_ig = F.col("body").contains("instagram-media")
+    g = p.where(is_tw | is_ig | F.col("body").contains("tiktok-embed"))
+    return g.select(
+        "doc_id",
+        F.when(is_tw, F.lit("twitter"))
+        .when(is_ig, F.lit("instagram")).otherwise(F.lit("tiktok"))
+        .alias("platform"),
+        F.when(is_tw, F.regexp_extract(
+            "body", "/status/([0-9]+)", 1))
+        .when(is_ig, F.regexp_extract(
+            "body", "/p/([A-Za-z0-9]+)/", 1))
+        .otherwise(F.regexp_extract("body", "/video/([0-9]+)", 1))
+        .alias("post_id"),
+    )
+
+
+def _spoiler_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The ending ||the butler did it in room '
+            || CAST(doc_id % 30 AS VARCHAR)
+            || '|| shocked everyone.'
+          WHEN 1 THEN 'Spoiler ahead >!the ship sinks at minute '
+            || CAST(doc_id % 90 AS VARCHAR) || '!< sorry.'
+          ELSE 'the sum |x| + |y| is always non-negative'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, '\\|\\|[^|]+\\|\\|') AS is_discord
+      FROM p
+      WHERE regexp_matches(body, '\\|\\|[^|]+\\|\\|')
+        OR regexp_matches(body, '>![^!]+!<'))
+    SELECT doc_id,
+      CASE WHEN is_discord THEN 'discord' ELSE 'reddit' END
+        AS style,
+      CASE WHEN is_discord THEN
+        regexp_extract(body, '\\|\\|([^|]+)\\|\\|', 1)
+      ELSE regexp_extract(body, '>!([^!]+)!<', 1)
+      END AS spoiler_text,
+      CASE WHEN is_discord THEN
+        regexp_replace(body, '\\|\\|[^|]+\\|\\|', '[spoiler]')
+      ELSE regexp_replace(body, '>![^!]+!<', '[spoiler]')
+      END AS scrubbed
+    FROM g
+    """
+
+
+@query("spoiler_markup_extract", _spoiler_oracle())
+def spoiler_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spoiler-markup extraction (round 4): the ||double-pipe||
+    (Discord) and >!bang-fence!< (Reddit) conventions mark text
+    the AUTHOR hid on purpose — scrub targets for summaries
+    (don't spoil) and a labeled span corpus for
+    content-sensitivity classifiers. Single-pipe math |x| fails
+    the doubled grammar; the scrubbed column replaces the span
+    with a [spoiler] placeholder so downstream length
+    accounting stays honest.
+
+    Scale shape: fence extracts + one replace per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The ending ||the butler did it in room "),
+            (i % 30).cast("string"),
+            F.lit("|| shocked everyone.")))
+        .when(v == 1, F.concat(
+            F.lit("Spoiler ahead >!the ship sinks at minute "),
+            (i % 90).cast("string"), F.lit("!< sorry.")))
+        .otherwise(F.lit("the sum |x| + |y| is always non-negative"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_discord = F.regexp_like(F.col("body"), F.lit(
+        "\\|\\|[^|]+\\|\\|"))
+    g = p.where(is_discord
+                | F.regexp_like(F.col("body"), F.lit(">![^!]+!<")))
+    return g.select(
+        "doc_id",
+        F.when(is_discord, F.lit("discord")).otherwise(F.lit("reddit"))
+        .alias("style"),
+        F.when(is_discord, F.regexp_extract(
+            "body", "\\|\\|([^|]+)\\|\\|", 1))
+        .otherwise(F.regexp_extract("body", ">!([^!]+)!<", 1))
+        .alias("spoiler_text"),
+        F.when(is_discord, F.regexp_replace(
+            "body", "\\|\\|[^|]+\\|\\|", "[spoiler]"))
+        .otherwise(F.regexp_replace(
+            "body", ">![^!]+!<", "[spoiler]"))
+        .alias("scrubbed"),
+    )
+
+
+def _fen_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Position after 1. e4: '
+            || 'rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR'
+            || ' b KQkq e3 0 ' || CAST(1 + doc_id % 40 AS VARCHAR)
+          WHEN 1 THEN 'Endgame study: '
+            || '8/5k2/8/8/3K4/8/4P3/8 w - - '
+            || CAST(doc_id % 50 AS VARCHAR) || ' '
+            || CAST(40 + doc_id % 60 AS VARCHAR)
+          WHEN 2 THEN 'Corrupt diagram: '
+            || 'rnbqkbnr/pppppp1/8/8/8/8/PPPPPPPP/RNBQKBNR'
+            || ' w KQkq - 0 1'
+          ELSE 'the fen country of east anglia is flat'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '([rnbqkpRNBQKP1-8/]{15,}) ([wb]) ([KQkq-]+) ([a-h1-8-]+) ([0-9]+) ([0-9]+)',
+          ['pl', 'ac', 'ca', 'ep', 'hm', 'fm']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '[rnbqkpRNBQKP1-8/]{15,} [wb] [KQkq-]+ [a-h1-8-]+ [0-9]+ [0-9]+')),
+    s AS (
+      SELECT doc_id, m,
+        string_split(m.pl, '/') AS ranks
+      FROM g),
+    v AS (
+      SELECT doc_id, m, ranks,
+        list_transform(ranks, r ->
+          list_reduce(list_prepend(0,
+            list_transform(regexp_extract_all(r, '.'),
+              c -> CASE WHEN c BETWEEN '1' AND '8'
+                THEN CAST(c AS INT) ELSE 1 END)),
+            (acc, x) -> acc + x)) AS rank_sums
+      FROM s)
+    SELECT doc_id,
+      m.ac AS active_color,
+      m.ca AS castling,
+      m.ep AS ep_square,
+      CAST(m.hm AS INT) AS halfmove,
+      CAST(m.fm AS INT) AS fullmove,
+      CAST(len(ranks) AS INT) AS n_ranks,
+      CAST(CASE WHEN len(ranks) = 8
+          AND len(list_filter(rank_sums, x -> x <> 8)) = 0
+        THEN 1 ELSE 0 END AS INT) AS is_valid_board
+    FROM v
+    """
+
+
+@query("chess_fen_parse", _fen_oracle())
+def chess_fen_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEN position parsing (round 4): chess diagrams travel as
+    Forsyth-Edwards strings whose board field is CHECKABLE — 8
+    slash-ranks, each expanding to exactly 8 squares (digits are
+    empty-run lengths, letters are pieces: a nested in-row fold
+    sums each rank). The planted 7-square rank fails validation
+    the way a truncated paste does; side-to-move / castling /
+    en-passant / move clocks decode positionally. With PGN and
+    SGF this completes the board-game notation family —
+    positions, not just move lists.
+
+    Scale shape: grouped extract + nested folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Position after 1. e4: "
+                  "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR"
+                  " b KQkq e3 0 "),
+            (1 + i % 40).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("Endgame study: 8/5k2/8/8/3K4/8/4P3/8 w - - "),
+            (i % 50).cast("string"), F.lit(" "),
+            (40 + i % 60).cast("string")))
+        .when(v == 2, F.lit(
+            "Corrupt diagram: "
+            "rnbqkbnr/pppppp1/8/8/8/8/PPPPPPPP/RNBQKBNR"
+            " w KQkq - 0 1"))
+        .otherwise(F.lit("the fen country of east anglia is flat"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("([rnbqkpRNBQKP1-8/]{15,}) ([wb]) ([KQkq-]+) "
+           "([a-h1-8-]+) ([0-9]+) ([0-9]+)")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[rnbqkpRNBQKP1-8/]{15,} [wb] [KQkq-]+ [a-h1-8-]+ "
+        "[0-9]+ [0-9]+")))
+    ranks = F.split(F.regexp_extract("body", pat, 1), "/")
+    rank_sums = F.transform(
+        ranks,
+        lambda r: F.aggregate(
+            F.split(r, ""), F.lit(0),
+            lambda acc, c: acc + F.when(
+                (c >= "1") & (c <= "8"), c.cast("int"))
+            .otherwise(F.lit(1))))
+    is_valid = (
+        (F.size(ranks) == 8)
+        & (F.size(F.filter(rank_sums, lambda x: x != 8)) == 0))
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", pat, 2).alias("active_color"),
+        F.regexp_extract("body", pat, 3).alias("castling"),
+        F.regexp_extract("body", pat, 4).alias("ep_square"),
+        F.regexp_extract("body", pat, 5).cast("int").alias("halfmove"),
+        F.regexp_extract("body", pat, 6).cast("int").alias("fullmove"),
+        F.size(ranks).cast("int").alias("n_ranks"),
+        is_valid.cast("int").alias("is_valid_board"),
+    )
+
+
+def _crossword_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN CAST(1 + doc_id % 30 AS VARCHAR)
+            || ' Across: Capital of France, say ('
+            || CAST(4 + doc_id % 6 AS VARCHAR) || ')'
+          WHEN 1 THEN CAST(1 + doc_id % 30 AS VARCHAR)
+            || ' Down: Opposite of up, briefly ('
+            || CAST(3 + doc_id % 4 AS VARCHAR) || ','
+            || CAST(2 + doc_id % 3 AS VARCHAR) || ')'
+          ELSE 'walking across the street and down the lane'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '^([0-9]+) (Across|Down): (.+) \\(([0-9,]+)\\)$',
+          ['num', 'dir', 'clue', 'en']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ (Across|Down): .+ \\([0-9,]+\\)$'))
+    SELECT doc_id,
+      CAST(m.num AS INT) AS clue_num,
+      lower(m.dir) AS direction,
+      m.clue AS clue_text,
+      m.en AS enumeration,
+      CAST(list_reduce(list_prepend(0, list_transform(
+        string_split(m.en, ','), x -> CAST(x AS INT))),
+        (acc, x) -> acc + x) AS INT) AS answer_len
+    FROM g
+    """
+
+
+@query("crossword_clue_parse", _crossword_oracle())
+def crossword_clue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossword-clue parsing (round 4): the number-direction-
+    clue-enumeration grammar carries its own answer-length
+    contract — the parenthesized enumeration sums across
+    comma-separated word lengths (4,2 → 6 letters), giving
+    (clue, constraint) puzzle supervision where any proposed
+    answer is length-checkable. Line-anchored; prose 'across
+    the street' has no enumeration and fails.
+
+    Scale shape: grouped extract + in-row fold per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            (1 + i % 30).cast("string"),
+            F.lit(" Across: Capital of France, say ("),
+            (4 + i % 6).cast("string"), F.lit(")")))
+        .when(v == 1, F.concat(
+            (1 + i % 30).cast("string"),
+            F.lit(" Down: Opposite of up, briefly ("),
+            (3 + i % 4).cast("string"), F.lit(","),
+            (2 + i % 3).cast("string"), F.lit(")")))
+        .otherwise(F.lit("walking across the street and down the lane"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "^([0-9]+) (Across|Down): (.+) \\(([0-9,]+)\\)$"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ (Across|Down): .+ \\([0-9,]+\\)$")))
+    en = F.regexp_extract("body", pat, 4)
+    total = F.aggregate(
+        F.transform(F.split(en, ","), lambda x: x.cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", pat, 1).cast("int").alias("clue_num"),
+        F.lower(F.regexp_extract("body", pat, 2)).alias("direction"),
+        F.regexp_extract("body", pat, 3).alias("clue_text"),
+        en.alias("enumeration"),
+        total.cast("int").alias("answer_len"),
+    )
+
+
+_SUDOKU_ROTATION = [
+    "53..7....6..195....98....6.8...6...34..8.3..17...2...6"
+    ".6....28....419..5....8..79",
+    "..9748...7.........2.1.9.....7...24..64.1.59..98...3.."
+    "...8.3.2.........6...2759..",
+]
+
+
+def _sudoku_oracle() -> str:
+    case = "\n".join(
+        f"          WHEN {k} THEN '{v}'"
+        for k, v in enumerate(_SUDOKU_ROTATION)
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 2 THEN 'the grid of streets makes a puzzle of '
+            || 'the city'
+          ELSE 'Puzzle ' || CAST(doc_id % 500 AS VARCHAR)
+            || ': ' || CASE doc_id % 2
+{case}
+          END
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, '([1-9.]{{81}})', 1) AS grid
+      FROM p
+      WHERE regexp_matches(body, '[1-9.]{{81}}'))
+    SELECT doc_id,
+      CAST(len(replace(grid, '.', '')) AS INT) AS n_givens,
+      CAST(81 - len(replace(grid, '.', '')) AS INT) AS n_blanks,
+      CAST(CASE WHEN len(replace(grid, '.', '')) < 25
+        THEN 1 ELSE 0 END AS INT) AS is_sparse,
+      substr(grid, 1, 9) AS first_row
+    FROM g
+    """
+
+
+@query("sudoku_grid_detect", _sudoku_oracle())
+def sudoku_grid_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sudoku-grid detection (round 4): the 81-char dot-digit
+    line is the universal puzzle interchange format — given
+    count (length minus dots) grades difficulty class, the
+    exact-81 alphabet run is the gate (street-grid prose never
+    matches), and the first row keys duplicate-puzzle detection
+    across puzzle-mill sites (the same grid republished
+    thousands of times is a dedup cluster, not content).
+
+    Scale shape: one extract + length arithmetic per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    grid_lit = F.when(i % 2 == 0, F.lit(_SUDOKU_ROTATION[0])) \
+        .otherwise(F.lit(_SUDOKU_ROTATION[1]))
+    body = F.when(v == 2, F.lit(
+        "the grid of streets makes a puzzle of the city")).otherwise(
+        F.concat(F.lit("Puzzle "), (i % 500).cast("string"),
+                 F.lit(": "), grid_lit))
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit("[1-9.]{81}")))
+        .select("doc_id", F.regexp_extract(
+            "body", "([1-9.]{81})", 1).alias("grid"))
+    )
+    givens = F.length(F.replace(F.col("grid"), F.lit("."), F.lit("")))
+    return g.select(
+        "doc_id",
+        givens.cast("int").alias("n_givens"),
+        (81 - givens).cast("int").alias("n_blanks"),
+        (givens < 25).cast("int").alias("is_sparse"),
+        F.substring("grid", 1, 9).alias("first_row"),
+    )
+
+
+def _lottery_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 9 AS n1,
+        11 + doc_id % 9 AS n2,
+        21 + doc_id % 9 AS n3,
+        31 + doc_id % 9 AS n4,
+        41 + doc_id % 9 AS n5
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Winning numbers: '
+            || CAST(n1 AS VARCHAR) || ', ' || CAST(n2 AS VARCHAR)
+            || ', ' || CAST(n3 AS VARCHAR) || ', '
+            || CAST(n4 AS VARCHAR) || ', ' || CAST(n5 AS VARCHAR)
+            || '. Bonus: ' || CAST(1 + doc_id % 10 AS VARCHAR)
+            || '.'
+          WHEN 1 THEN 'Winning numbers: '
+            || CAST(n3 AS VARCHAR) || ', ' || CAST(n1 AS VARCHAR)
+            || ', ' || CAST(n5 AS VARCHAR) || ', '
+            || CAST(n2 AS VARCHAR) || ', ' || CAST(n4 AS VARCHAR)
+            || '. Bonus: ' || CAST(1 + doc_id % 10 AS VARCHAR)
+            || '.'
+          ELSE 'winning the argument has no numbers'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(
+          regexp_extract(body, 'Winning numbers: ([0-9, ]+)\\.',
+            1), '[0-9]+'), x -> CAST(x AS INT)) AS nums,
+        CAST(regexp_extract(body, 'Bonus: ([0-9]+)\\.', 1)
+          AS INT) AS bonus
+      FROM p
+      WHERE regexp_matches(body,
+        'Winning numbers: [0-9, ]+\\. Bonus: [0-9]+\\.'))
+    SELECT doc_id,
+      CAST(len(nums) AS INT) AS n_numbers,
+      CAST(nums[1] AS INT) AS first_num,
+      bonus,
+      CAST(CASE WHEN nums = list_sort(nums) THEN 1 ELSE 0 END
+        AS INT) AS is_ascending,
+      CAST(CASE WHEN len(list_filter(nums, x -> x > 49)) = 0
+        THEN 1 ELSE 0 END AS INT) AS in_range
+    FROM g
+    """
+
+
+@query("lottery_draw_parse", _lottery_oracle())
+def lottery_draw_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lottery-draw parsing (round 4): published draw results
+    follow conventions a parser can audit — official listings
+    sort ascending (the planted shuffled rotation flags
+    is_ascending=0, the tell of a scraped-then-mangled
+    syndication), every ball sits in the game's 1-49 range,
+    and the bonus ball parses separately. Draw results are
+    verifiable public facts for grounding; argument prose has
+    no number list.
+
+    Scale shape: extract-all + in-row sort compare per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n1, n2, n3, n4, n5 = (1 + i % 9, 11 + i % 9, 21 + i % 9,
+                          31 + i % 9, 41 + i % 9)
+    v = i % 3
+
+    def _draw(a, b_, c, dd, e):
+        return F.concat(
+            F.lit("Winning numbers: "), a.cast("string"),
+            F.lit(", "), b_.cast("string"), F.lit(", "),
+            c.cast("string"), F.lit(", "), dd.cast("string"),
+            F.lit(", "), e.cast("string"), F.lit(". Bonus: "),
+            (1 + i % 10).cast("string"), F.lit("."))
+
+    body = (
+        F.when(v == 0, _draw(n1, n2, n3, n4, n5))
+        .when(v == 1, _draw(n3, n1, n5, n2, n4))
+        .otherwise(F.lit("winning the argument has no numbers"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Winning numbers: [0-9, ]+\\. Bonus: [0-9]+\\.")))
+    nums = F.transform(
+        F.regexp_extract_all(
+            F.regexp_extract(
+                "body", "Winning numbers: ([0-9, ]+)\\.", 1),
+            F.lit("[0-9]+"), 0),
+        lambda x: x.cast("int"))
+    return g.select(
+        "doc_id",
+        F.size(nums).cast("int").alias("n_numbers"),
+        F.element_at(nums, 1).cast("int").alias("first_num"),
+        F.regexp_extract("body", "Bonus: ([0-9]+)\\.", 1)
+        .cast("int").alias("bonus"),
+        (nums == F.array_sort(nums)).cast("int")
+        .alias("is_ascending"),
+        (F.size(F.filter(nums, lambda x: x > 49)) == 0)
+        .cast("int").alias("in_range"),
+    )
+
+
+def _gtfs_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 1 THEN 25 ELSE 8 + doc_id % 12 END
+          AS hh,
+        doc_id % 60 AS mm,
+        10 + doc_id % 40 AS dwell_s
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 2 THEN 'the bus stops for no one at this hour'
+          ELSE lpad(CAST(hh AS VARCHAR), 2, '0') || ':'
+            || lpad(CAST(mm AS VARCHAR), 2, '0') || ':00,'
+            || lpad(CAST(hh AS VARCHAR), 2, '0') || ':'
+            || lpad(CAST(mm AS VARCHAR), 2, '0') || ':'
+            || lpad(CAST(dwell_s AS VARCHAR), 2, '0')
+            || ',stop_' || CAST(doc_id % 300 AS VARCHAR) || ','
+            || CAST(1 + doc_id % 40 AS VARCHAR)
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '^([0-9]{2}):([0-9]{2}):([0-9]{2}),([0-9]{2}):([0-9]{2}):([0-9]{2}),(stop_[0-9]+),([0-9]+)$',
+          ['ah', 'am', 'asec', 'dh', 'dm', 'dsec', 'sid', 'seq'])
+          AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]{2}:[0-9]{2}:[0-9]{2},[0-9]{2}:[0-9]{2}:[0-9]{2},stop_[0-9]+,[0-9]+$')),
+    s AS (
+      SELECT doc_id, m,
+        (CAST(m.ah AS BIGINT) * 60 + CAST(m.am AS BIGINT)) * 60
+          + CAST(m.asec AS BIGINT) AS arr_s,
+        (CAST(m.dh AS BIGINT) * 60 + CAST(m.dm AS BIGINT)) * 60
+          + CAST(m.dsec AS BIGINT) AS dep_s
+      FROM g)
+    SELECT doc_id,
+      m.sid AS stop_id,
+      CAST(m.seq AS INT) AS stop_seq,
+      arr_s, dep_s,
+      CAST(dep_s - arr_s AS BIGINT) AS dwell_s,
+      CAST(CASE WHEN CAST(m.ah AS INT) >= 24 THEN 1 ELSE 0 END
+        AS INT) AS is_next_day
+    FROM s
+    """
+
+
+@query("gtfs_stop_times_parse", _gtfs_oracle())
+def gtfs_stop_times_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTFS stop-time parsing (round 4): transit feeds publish
+    service times PAST 24:00 (25:15 = 1:15 am on the service
+    day's successor — the spec's own convention, and the reason
+    naive timestamp parsers reject valid feeds). Times fold to
+    seconds-since-service-midnight as plain integers — no
+    calendar machinery can represent hour 25, which is exactly
+    why the integer fold is the right model — and dwell =
+    departure − arrival. The transit face of the caption
+    timestamp family.
+
+    Scale shape: grouped extract + integer folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hh = F.when(i % 3 == 1, F.lit(25)).otherwise(8 + i % 12)
+    mm = i % 60
+    dwell = 10 + i % 40
+    v = i % 3
+    t1 = F.concat(F.lpad(hh.cast("string"), 2, "0"), F.lit(":"),
+                  F.lpad(mm.cast("string"), 2, "0"), F.lit(":00"))
+    t2 = F.concat(F.lpad(hh.cast("string"), 2, "0"), F.lit(":"),
+                  F.lpad(mm.cast("string"), 2, "0"), F.lit(":"),
+                  F.lpad(dwell.cast("string"), 2, "0"))
+    body = F.when(v == 2, F.lit(
+        "the bus stops for no one at this hour")).otherwise(
+        F.concat(t1, F.lit(","), t2, F.lit(",stop_"),
+                 (i % 300).cast("string"), F.lit(","),
+                 (1 + i % 40).cast("string")))
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("^([0-9]{2}):([0-9]{2}):([0-9]{2}),([0-9]{2}):"
+           "([0-9]{2}):([0-9]{2}),(stop_[0-9]+),([0-9]+)$")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]{2}:[0-9]{2}:[0-9]{2},[0-9]{2}:[0-9]{2}:[0-9]{2},"
+        "stop_[0-9]+,[0-9]+$")))
+
+    def _secs(h, m_, s_):
+        return ((F.regexp_extract("body", pat, h).cast("long") * 60
+                 + F.regexp_extract("body", pat, m_).cast("long"))
+                * 60 + F.regexp_extract("body", pat, s_).cast("long"))
+
+    arr_s = _secs(1, 2, 3)
+    dep_s = _secs(4, 5, 6)
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", pat, 7).alias("stop_id"),
+        F.regexp_extract("body", pat, 8).cast("int").alias("stop_seq"),
+        arr_s.alias("arr_s"),
+        dep_s.alias("dep_s"),
+        (dep_s - arr_s).cast("long").alias("dwell_s"),
+        (F.regexp_extract("body", pat, 1).cast("int") >= 24)
+        .cast("int").alias("is_next_day"),
+    )
+
+
+def _flight_dur_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        6 + doc_id % 10 AS dh,
+        doc_id % 60 AS dm,
+        60 + doc_id % 400 AS dur_min
+      FROM documents),
+    c AS (
+      SELECT doc_id, dh, dm, dur_min,
+        (dh * 60 + dm + dur_min) // 60 AS ah,
+        (dh * 60 + dm + dur_min) % 60 AS am
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Departs ' || CAST(dh AS VARCHAR) || ':'
+            || lpad(CAST(dm AS VARCHAR), 2, '0') || ', arrives '
+            || CAST(ah AS VARCHAR) || ':'
+            || lpad(CAST(am AS VARCHAR), 2, '0') || ' ('
+            || CAST(dur_min // 60 AS VARCHAR) || 'h '
+            || CAST(dur_min % 60 AS VARCHAR) || 'm).'
+          WHEN 1 THEN 'Departs ' || CAST(dh AS VARCHAR) || ':'
+            || lpad(CAST(dm AS VARCHAR), 2, '0') || ', arrives '
+            || CAST(ah AS VARCHAR) || ':'
+            || lpad(CAST(am AS VARCHAR), 2, '0') || ' ('
+            || CAST((dur_min + 30) // 60 AS VARCHAR) || 'h '
+            || CAST((dur_min + 30) % 60 AS VARCHAR) || 'm).'
+          ELSE 'departures from routine arrive unannounced'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'Departs ([0-9]+):([0-9]{2}), arrives ([0-9]+):([0-9]{2}) \\(([0-9]+)h ([0-9]+)m\\)',
+          ['dh', 'dm', 'ah', 'am', 'ch', 'cm']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'Departs [0-9]+:[0-9]{2}, arrives [0-9]+:[0-9]{2} \\([0-9]+h [0-9]+m\\)')),
+    s AS (
+      SELECT doc_id,
+        (CAST(m.ah AS BIGINT) * 60 + CAST(m.am AS BIGINT))
+        - (CAST(m.dh AS BIGINT) * 60 + CAST(m.dm AS BIGINT))
+          AS actual_min,
+        CAST(m.ch AS BIGINT) * 60 + CAST(m.cm AS BIGINT)
+          AS claimed_min
+      FROM g)
+    SELECT doc_id,
+      CAST(actual_min AS BIGINT) AS actual_min,
+      CAST(claimed_min AS BIGINT) AS claimed_min,
+      CAST(CASE WHEN actual_min = claimed_min THEN 1 ELSE 0 END
+        AS INT) AS is_consistent
+    FROM s
+    """
+
+
+@query("flight_duration_audit", _flight_dur_oracle())
+def flight_duration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flight-duration audit (round 4): itinerary lines state
+    departure, arrival, AND a parenthetical duration — three
+    values with one linear constraint, so the claim recomputes
+    exactly in minutes (same-day schedules by construction; the
+    cross-timezone case needs the timezone_offset_audit channel
+    first). The planted +30m claim models the stale-template
+    error; schedule pages with consistent arithmetic earn the
+    reliable-numbers prior beside the other worked-example
+    audits.
+
+    Scale shape: grouped extract + minute arithmetic per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dh = 6 + i % 10
+    dm = i % 60
+    dur = 60 + i % 400
+    tot = dh * 60 + dm + dur
+    ah = ((tot - tot % 60) / 60).cast("long")
+    am = tot % 60
+    v = i % 3
+
+    def _line(cdur):
+        ch = ((cdur - cdur % 60) / 60).cast("long")
+        cm = cdur % 60
+        return F.concat(
+            F.lit("Departs "), dh.cast("string"), F.lit(":"),
+            F.lpad(dm.cast("string"), 2, "0"), F.lit(", arrives "),
+            ah.cast("string"), F.lit(":"),
+            F.lpad(am.cast("string"), 2, "0"), F.lit(" ("),
+            ch.cast("string"), F.lit("h "), cm.cast("string"),
+            F.lit("m)."))
+
+    body = (
+        F.when(v == 0, _line(dur))
+        .when(v == 1, _line(dur + 30))
+        .otherwise(F.lit("departures from routine arrive unannounced"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("Departs ([0-9]+):([0-9]{2}), arrives ([0-9]+):"
+           "([0-9]{2}) \\(([0-9]+)h ([0-9]+)m\\)")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Departs [0-9]+:[0-9]{2}, arrives [0-9]+:[0-9]{2} "
+        "\\([0-9]+h [0-9]+m\\)")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k).cast("long")
+
+    actual = (_g(3) * 60 + _g(4)) - (_g(1) * 60 + _g(2))
+    claimed = _g(5) * 60 + _g(6)
+    return g.select(
+        "doc_id",
+        actual.cast("long").alias("actual_min"),
+        claimed.cast("long").alias("claimed_min"),
+        (actual == claimed).cast("int").alias("is_consistent"),
+    )
+
+
+def _recipe_scale_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        2 * (1 + doc_id % 3) AS s1,
+        1 + doc_id % 4 AS c1
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Serves ' || CAST(s1 AS VARCHAR)
+            || ' using ' || CAST(c1 AS VARCHAR)
+            || ' cups flour; to serve ' || CAST(s1 * 2 AS VARCHAR)
+            || ', use ' || CAST(c1 * 2 AS VARCHAR) || ' cups.'
+          WHEN 1 THEN 'Serves ' || CAST(s1 AS VARCHAR)
+            || ' using ' || CAST(c1 AS VARCHAR)
+            || ' cups flour; to serve ' || CAST(s1 * 2 AS VARCHAR)
+            || ', use ' || CAST(c1 * 2 + 1 AS VARCHAR) || ' cups.'
+          ELSE 'this recipe serves nostalgia best'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'Serves ([0-9]+) using ([0-9]+) cups flour; to serve ([0-9]+), use ([0-9]+) cups',
+          ['s1', 'c1', 's2', 'c2']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'Serves [0-9]+ using [0-9]+ cups flour; to serve [0-9]+, use [0-9]+ cups'))
+    SELECT doc_id,
+      CAST(m.s1 AS INT) AS base_servings,
+      CAST(m.c1 AS INT) AS base_cups,
+      CAST(m.s2 AS INT) AS scaled_servings,
+      CAST(m.c2 AS INT) AS scaled_cups,
+      CAST(CASE WHEN CAST(m.c2 AS BIGINT) * CAST(m.s1 AS BIGINT)
+          = CAST(m.c1 AS BIGINT) * CAST(m.s2 AS BIGINT)
+        THEN 1 ELSE 0 END AS INT) AS is_proportional
+    FROM g
+    """
+
+
+@query("recipe_scale_audit", _recipe_scale_oracle())
+def recipe_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-scaling audit (round 4): 'serves 4 with 2 cups; to
+    serve 8, use 4' is a proportionality claim that
+    cross-multiplies exactly (c2·s1 = c1·s2 — no division, no
+    rounding assumptions), and the planted +1-cup rotation
+    models the hand-scaled error recipe sites actually publish.
+    Proportional reasoning with a built-in check is premium
+    math-word-problem supervision; nostalgia prose fails the
+    grammar.
+
+    Scale shape: grouped extract + cross-multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s1 = 2 * (1 + i % 3)
+    c1 = 1 + i % 4
+    v = i % 3
+
+    def _line(c2):
+        return F.concat(
+            F.lit("Serves "), s1.cast("string"), F.lit(" using "),
+            c1.cast("string"),
+            F.lit(" cups flour; to serve "),
+            (s1 * 2).cast("string"), F.lit(", use "),
+            c2.cast("string"), F.lit(" cups."))
+
+    body = (
+        F.when(v == 0, _line(c1 * 2))
+        .when(v == 1, _line(c1 * 2 + 1))
+        .otherwise(F.lit("this recipe serves nostalgia best"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("Serves ([0-9]+) using ([0-9]+) cups flour; to serve "
+           "([0-9]+), use ([0-9]+) cups")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Serves [0-9]+ using [0-9]+ cups flour; to serve [0-9]+, "
+        "use [0-9]+ cups")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k).cast("long")
+
+    return g.select(
+        "doc_id",
+        _g(1).cast("int").alias("base_servings"),
+        _g(2).cast("int").alias("base_cups"),
+        _g(3).cast("int").alias("scaled_servings"),
+        _g(4).cast("int").alias("scaled_cups"),
+        (_g(4) * _g(1) == _g(2) * _g(3)).cast("int")
+        .alias("is_proportional"),
+    )
+
+
+def _pace_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        10 + doc_id % 10 AS km,
+        240 + doc_id % 180 AS pace_s
+      FROM documents),
+    c AS (
+      SELECT doc_id, km, pace_s,
+        km * pace_s AS total_s
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Finished ' || CAST(km AS VARCHAR)
+            || ' km in ' || CAST(total_s // 3600 AS VARCHAR)
+            || ':' || lpad(CAST(total_s % 3600 // 60 AS VARCHAR),
+              2, '0') || ':'
+            || lpad(CAST(total_s % 60 AS VARCHAR), 2, '0')
+            || ', pace ' || CAST(pace_s // 60 AS VARCHAR) || ':'
+            || lpad(CAST(pace_s % 60 AS VARCHAR), 2, '0')
+            || ' per km.'
+          WHEN 1 THEN 'Finished ' || CAST(km AS VARCHAR)
+            || ' km in ' || CAST(total_s // 3600 AS VARCHAR)
+            || ':' || lpad(CAST(total_s % 3600 // 60 AS VARCHAR),
+              2, '0') || ':'
+            || lpad(CAST(total_s % 60 AS VARCHAR), 2, '0')
+            || ', pace ' || CAST((pace_s + 20) // 60 AS VARCHAR)
+            || ':' || lpad(CAST((pace_s + 20) % 60 AS VARCHAR),
+              2, '0') || ' per km.'
+          ELSE 'finished with the pace of modern life'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'Finished ([0-9]+) km in ([0-9]+):([0-9]{2}):([0-9]{2}), pace ([0-9]+):([0-9]{2}) per km',
+          ['km', 'hh', 'mm', 'ss', 'pm', 'ps']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'Finished [0-9]+ km in [0-9]+:[0-9]{2}:[0-9]{2}, pace [0-9]+:[0-9]{2} per km')),
+    s AS (
+      SELECT doc_id,
+        CAST(m.km AS BIGINT) AS km,
+        (CAST(m.hh AS BIGINT) * 60 + CAST(m.mm AS BIGINT)) * 60
+          + CAST(m.ss AS BIGINT) AS total_s,
+        CAST(m.pm AS BIGINT) * 60 + CAST(m.ps AS BIGINT)
+          AS claimed_pace_s
+      FROM g)
+    SELECT doc_id, km, total_s, claimed_pace_s,
+      CAST(total_s // km AS BIGINT) AS actual_pace_s,
+      CAST(CASE WHEN abs(claimed_pace_s - total_s // km) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM s
+    """
+
+
+@query("running_pace_audit", _pace_oracle())
+def running_pace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-pace audit (round 4): race reports state distance,
+    finish time, AND pace — the pace recomputes as total
+    seconds div km (±1 s for the author's rounding), and the
+    planted +20 s claim models the treadmill-vs-GPS
+    inconsistency fitness content is full of. Time strings fold
+    to seconds through the same base-60 discipline as the
+    caption formats; modern-life prose fails the km-time-pace
+    grammar.
+
+    Scale shape: grouped extract + integer division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    km = 10 + i % 10
+    pace_s = 240 + i % 180
+    total_s = km * pace_s
+    v = i % 3
+
+    def _hms(t):
+        h = ((t - t % 3600) / 3600).cast("long")
+        m_ = (((t % 3600) - (t % 3600) % 60) / 60).cast("long")
+        return F.concat(h.cast("string"), F.lit(":"),
+                        F.lpad(m_.cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.lpad((t % 60).cast("string"), 2, "0"))
+
+    def _ms(t):
+        m_ = ((t - t % 60) / 60).cast("long")
+        return F.concat(m_.cast("string"), F.lit(":"),
+                        F.lpad((t % 60).cast("string"), 2, "0"))
+
+    def _line(claim):
+        return F.concat(
+            F.lit("Finished "), km.cast("string"), F.lit(" km in "),
+            _hms(total_s), F.lit(", pace "), _ms(claim),
+            F.lit(" per km."))
+
+    body = (
+        F.when(v == 0, _line(pace_s))
+        .when(v == 1, _line(pace_s + 20))
+        .otherwise(F.lit("finished with the pace of modern life"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("Finished ([0-9]+) km in ([0-9]+):([0-9]{2}):([0-9]{2})"
+           ", pace ([0-9]+):([0-9]{2}) per km")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Finished [0-9]+ km in [0-9]+:[0-9]{2}:[0-9]{2}, pace "
+        "[0-9]+:[0-9]{2} per km")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k).cast("long")
+
+    kmv = _g(1)
+    tot = (_g(2) * 60 + _g(3)) * 60 + _g(4)
+    claimed = _g(5) * 60 + _g(6)
+    actual = ((tot - tot % kmv) / kmv).cast("long")
+    return g.select(
+        "doc_id",
+        kmv.cast("long").alias("km"),
+        tot.cast("long").alias("total_s"),
+        claimed.cast("long").alias("claimed_pace_s"),
+        actual.alias("actual_pace_s"),
+        (F.abs(claimed - actual) <= 1).cast("int")
+        .alias("is_consistent"),
+    )
+
+
+def _chem_formula_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Glucose C6H12O6 fuels experiment run '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+          WHEN 1 THEN 'Ethanol C2H6O detected in sample '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+          ELSE 'ATM machines in the USA accept NATO currency'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '([A-Z][a-z]?[0-9]*(?:[A-Z][a-z]?[0-9]*)+)', 1)
+          AS formula
+      FROM p
+      WHERE regexp_matches(body, '[A-Z][a-z]?[0-9]')),
+    s AS (
+      SELECT doc_id, formula,
+        regexp_extract_all(formula, '([A-Z][a-z]?)[0-9]*', 1)
+          AS elems,
+        regexp_extract_all(formula, '[A-Z][a-z]?([0-9]*)', 1)
+          AS cnts
+      FROM g)
+    SELECT doc_id, formula,
+      CAST(len(elems) AS INT) AS n_element_tokens,
+      CAST(list_reduce(list_prepend(0, list_transform(cnts,
+        c -> CASE WHEN c = '' OR c IS NULL THEN 1
+          ELSE CAST(c AS INT) END)),
+        (acc, x) -> acc + x) AS INT) AS total_atoms,
+      CAST(CASE WHEN list_contains(elems, 'C') THEN 1 ELSE 0 END
+        AS INT) AS has_carbon
+    FROM s
+    """
+
+
+@query("chemical_formula_parse", _chem_formula_oracle())
+def chemical_formula_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chemical-formula parsing (round 4): Hill-style formulas
+    (C6H12O6) decode positionally — element symbols are an
+    uppercase letter with optional lowercase, counts default to
+    1 when omitted (the ''-vs-NULL cross-engine quirk guarded
+    per the session-6 rule), and the atom total folds in-row.
+    The digit-adjacency gate is what separates chemistry from
+    acronym runs: ATM/USA/NATO have the letter shape but no
+    count digit. Joins prose to the same chemistry graph as
+    cas_number_extract.
+
+    Scale shape: two grouped extract-alls + fold per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Glucose C6H12O6 fuels experiment run "),
+            (i % 90).cast("string"), F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("Ethanol C2H6O detected in sample "),
+            (i % 90).cast("string"), F.lit(".")))
+        .otherwise(F.lit("ATM machines in the USA accept NATO currency"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit(
+            "[A-Z][a-z]?[0-9]")))
+        .select("doc_id", F.regexp_extract(
+            "body",
+            "([A-Z][a-z]?[0-9]*(?:[A-Z][a-z]?[0-9]*)+)", 1)
+            .alias("formula"))
+    )
+    elems = F.regexp_extract_all(
+        F.col("formula"), F.lit("([A-Z][a-z]?)[0-9]*"), 1)
+    cnts = F.regexp_extract_all(
+        F.col("formula"), F.lit("[A-Z][a-z]?([0-9]*)"), 1)
+    total = F.aggregate(
+        F.transform(cnts, lambda c: F.when(
+            c.isNull() | (c == ""), 1).otherwise(c.cast("int"))),
+        F.lit(0), lambda acc, x: acc + x)
+    return g.select(
+        "doc_id", "formula",
+        F.size(elems).cast("int").alias("n_element_tokens"),
+        total.cast("int").alias("total_atoms"),
+        F.array_contains(elems, "C").cast("int").alias("has_carbon"),
+    )
+
+
+def _scinot_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'The constant measures 6.0'
+            || CAST(doc_id % 100 AS VARCHAR) || 'e23 per mole.'
+          WHEN 1 THEN 'Charge of 1.' || CAST(doc_id % 10
+              AS VARCHAR) || 'e-19 coulombs measured.'
+          WHEN 2 THEN 'Light travels 3.0 x 10^8 meters per '
+            || 'second in vacuum.'
+          ELSE 'version 2.0 released to great acclaim'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          '[0-9]+\\.[0-9]+e-?[0-9]+') AS is_e_form
+      FROM p
+      WHERE regexp_matches(body, '[0-9]+\\.[0-9]+e-?[0-9]+')
+        OR regexp_matches(body,
+          '[0-9]+\\.[0-9]+ x 10\\^-?[0-9]+')),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN is_e_form THEN regexp_extract(body,
+          '([0-9]+\\.[0-9]+)e(-?[0-9]+)', ['mant', 'ex'])
+        ELSE regexp_extract(body,
+          '([0-9]+\\.[0-9]+) x 10\\^(-?[0-9]+)', ['mant', 'ex'])
+        END AS m,
+        CASE WHEN is_e_form THEN 'e_notation'
+          ELSE 'times_ten' END AS form
+      FROM g)
+    SELECT doc_id, form,
+      m.mant AS mantissa,
+      CAST(m.ex AS INT) AS exponent,
+      CAST(CASE WHEN CAST(m.ex AS INT) < 0 THEN 1 ELSE 0 END
+        AS INT) AS is_subunity
+    FROM s
+    """
+
+
+@query("scientific_notation_parse", _scinot_oracle())
+def scientific_notation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scientific-notation parsing (round 4): both web spellings
+    — programmer 6.022e23 and typeset 3.0 x 10^8 — normalize to
+    (mantissa string, integer exponent), keeping the mantissa
+    textual so no float enters the pipeline (the exponent alone
+    orders magnitudes for quantity indexing). Negative exponents
+    flag sub-unity physical constants. 'version 2.0' has the
+    decimal shape but no exponent marker and is pinned out.
+
+    Scale shape: grouped extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The constant measures 6.0"),
+            (i % 100).cast("string"), F.lit("e23 per mole.")))
+        .when(v == 1, F.concat(
+            F.lit("Charge of 1."), (i % 10).cast("string"),
+            F.lit("e-19 coulombs measured.")))
+        .when(v == 2, F.lit(
+            "Light travels 3.0 x 10^8 meters per second in vacuum."))
+        .otherwise(F.lit("version 2.0 released to great acclaim"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_e = F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+\\.[0-9]+e-?[0-9]+"))
+    g = p.where(is_e | F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+\\.[0-9]+ x 10\\^-?[0-9]+")))
+    e_pat = "([0-9]+\\.[0-9]+)e(-?[0-9]+)"
+    t_pat = "([0-9]+\\.[0-9]+) x 10\\^(-?[0-9]+)"
+    mant = (F.when(is_e, F.regexp_extract("body", e_pat, 1))
+            .otherwise(F.regexp_extract("body", t_pat, 1)))
+    ex = (F.when(is_e, F.regexp_extract("body", e_pat, 2))
+          .otherwise(F.regexp_extract("body", t_pat, 2))
+          .cast("int"))
+    return g.select(
+        "doc_id",
+        F.when(is_e, F.lit("e_notation")).otherwise(F.lit("times_ten"))
+        .alias("form"),
+        mant.alias("mantissa"),
+        ex.alias("exponent"),
+        (ex < 0).cast("int").alias("is_subunity"),
+    )
+
+
+def _dms_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        doc_id % 90 AS latd, doc_id % 60 AS latm,
+        (doc_id * 3) % 60 AS lats,
+        doc_id % 180 AS lond, (doc_id * 7) % 60 AS lonm,
+        (doc_id * 11) % 60 AS lons
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Located at ' || CAST(latd AS VARCHAR)
+            || chr(176) || lpad(CAST(latm AS VARCHAR), 2, '0')
+            || chr(39) || lpad(CAST(lats AS VARCHAR), 2, '0')
+            || chr(34) || 'N ' || CAST(lond AS VARCHAR)
+            || chr(176) || lpad(CAST(lonm AS VARCHAR), 2, '0')
+            || chr(39) || lpad(CAST(lons AS VARCHAR), 2, '0')
+            || chr(34) || 'E near the river.'
+          WHEN 1 THEN 'Wreck site ' || CAST(latd AS VARCHAR)
+            || chr(176) || lpad(CAST(latm AS VARCHAR), 2, '0')
+            || chr(39) || lpad(CAST(lats AS VARCHAR), 2, '0')
+            || chr(34) || 'S ' || CAST(lond AS VARCHAR)
+            || chr(176) || lpad(CAST(lonm AS VARCHAR), 2, '0')
+            || chr(39) || lpad(CAST(lons AS VARCHAR), 2, '0')
+            || chr(34) || 'W charted in 1911.'
+          ELSE 'located 45 degrees of separation away'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '([0-9]+)' || chr(176) || '([0-9]{2})' || chr(39)
+          || '([0-9]{2})' || chr(34) || '([NS]) ([0-9]+)'
+          || chr(176) || '([0-9]{2})' || chr(39) || '([0-9]{2})'
+          || chr(34) || '([EW])',
+          ['lad', 'lam', 'las', 'lah', 'lod', 'lom', 'los',
+           'loh']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+' || chr(176) || '[0-9]{2}' || chr(39)
+        || '[0-9]{2}' || chr(34) || '[NS] [0-9]+' || chr(176)
+        || '[0-9]{2}' || chr(39) || '[0-9]{2}' || chr(34)
+        || '[EW]'))
+    SELECT doc_id,
+      CAST((CAST(m.lad AS BIGINT) * 3600
+        + CAST(m.lam AS BIGINT) * 60 + CAST(m.las AS BIGINT))
+        * CASE WHEN m.lah = 'N' THEN 1 ELSE -1 END AS BIGINT)
+        AS lat_arcsec,
+      CAST((CAST(m.lod AS BIGINT) * 3600
+        + CAST(m.lom AS BIGINT) * 60 + CAST(m.los AS BIGINT))
+        * CASE WHEN m.loh = 'E' THEN 1 ELSE -1 END AS BIGINT)
+        AS lon_arcsec,
+      m.lah || m.loh AS quadrant
+    FROM g
+    """
+
+
+@query("coordinate_dms_convert", _dms_oracle())
+def coordinate_dms_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS-coordinate conversion (round 4): degree-minute-second
+    coordinates (48°51'24"N) convert to SIGNED integer
+    arcseconds — base-60 folds with hemisphere signs, no
+    floating-point degrees anywhere (1 arcsecond ≈ 31 m, so the
+    integer representation out-resolves any privacy-relevant
+    radius; coordinate_precision_audit grades the decimal
+    channel, this one the sexagesimal). The degree-word prose
+    ('45 degrees of separation') lacks the symbol grammar.
+
+    Scale shape: grouped extract + signed folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    latd, latm, lats = i % 90, i % 60, (i * 3) % 60
+    lond, lonm, lons = i % 180, (i * 7) % 60, (i * 11) % 60
+    deg, mn, sec = "°", "'", '"'
+
+    def _dms(dv, mv, sv, h):
+        return F.concat(
+            dv.cast("string"), F.lit(deg),
+            F.lpad(mv.cast("string"), 2, "0"), F.lit(mn),
+            F.lpad(sv.cast("string"), 2, "0"), F.lit(sec),
+            F.lit(h))
+
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Located at "), _dms(latd, latm, lats, "N"),
+            F.lit(" "), _dms(lond, lonm, lons, "E"),
+            F.lit(" near the river.")))
+        .when(v == 1, F.concat(
+            F.lit("Wreck site "), _dms(latd, latm, lats, "S"),
+            F.lit(" "), _dms(lond, lonm, lons, "W"),
+            F.lit(" charted in 1911.")))
+        .otherwise(F.lit("located 45 degrees of separation away"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("([0-9]+)" + deg + "([0-9]{2})" + mn + "([0-9]{2})"
+           + sec + "([NS]) ([0-9]+)" + deg + "([0-9]{2})" + mn
+           + "([0-9]{2})" + sec + "([EW])")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+" + deg + "[0-9]{2}" + mn + "[0-9]{2}" + sec
+        + "[NS] [0-9]+" + deg + "[0-9]{2}" + mn + "[0-9]{2}"
+        + sec + "[EW]")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k)
+
+    lat = (_g(1).cast("long") * 3600 + _g(2).cast("long") * 60
+           + _g(3).cast("long"))
+    lon = (_g(5).cast("long") * 3600 + _g(6).cast("long") * 60
+           + _g(7).cast("long"))
+    return g.select(
+        "doc_id",
+        (lat * F.when(_g(4) == "N", 1).otherwise(-1)).cast("long")
+        .alias("lat_arcsec"),
+        (lon * F.when(_g(8) == "E", 1).otherwise(-1)).cast("long")
+        .alias("lon_arcsec"),
+        F.concat(_g(4), _g(8)).alias("quadrant"),
+    )
+
+
+def _isotope_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The carbon-14 dating placed the site at '
+            || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            || ' years old.'
+          WHEN 1 THEN 'Enrichment of U-235 reached '
+            || CAST(doc_id % 90 AS VARCHAR)
+            || ' percent purity.'
+          ELSE 'route 66 remains the most famous highway'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          '\\b(carbon|uranium|cobalt|iodine)-[0-9]+') AS is_name
+      FROM p
+      WHERE regexp_matches(body,
+        '\\b(carbon|uranium|cobalt|iodine)-[0-9]+')
+        OR regexp_matches(body, '\\b(U|Pu|Co|Cs)-[0-9]+\\b'))
+    SELECT doc_id,
+      CASE WHEN is_name THEN 'name' ELSE 'symbol' END
+        AS notation_form,
+      CASE WHEN is_name THEN regexp_extract(body,
+        '\\b(carbon|uranium|cobalt|iodine)-[0-9]+', 1)
+      ELSE regexp_extract(body, '\\b(U|Pu|Co|Cs)-[0-9]+', 1)
+      END AS element_token,
+      CAST(CASE WHEN is_name THEN regexp_extract(body,
+        '\\b(?:carbon|uranium|cobalt|iodine)-([0-9]+)', 1)
+      ELSE regexp_extract(body,
+        '\\b(?:U|Pu|Co|Cs)-([0-9]+)', 1)
+      END AS INT) AS mass_number
+    FROM g
+    """
+
+
+@query("isotope_notation_parse", _isotope_oracle())
+def isotope_notation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotope-notation parsing (round 4): element-dash-mass
+    tokens in both registers — prose names (carbon-14) and
+    symbol forms (U-235) — decode to (element, mass number)
+    keys for the nuclide graph; the mass number is the physical
+    claim a fact-checker can bound (no carbon-999). The
+    closed-vocabulary element gate is what keeps 'route 66'
+    and every other word-dash-number compound out.
+
+    Scale shape: alternation extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The carbon-14 dating placed the site at "),
+            (1000 + i % 9000).cast("string"),
+            F.lit(" years old.")))
+        .when(v == 1, F.concat(
+            F.lit("Enrichment of U-235 reached "),
+            (i % 90).cast("string"), F.lit(" percent purity.")))
+        .otherwise(F.lit("route 66 remains the most famous highway"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    name_pat = "\\b(carbon|uranium|cobalt|iodine)-[0-9]+"
+    sym_pat = "\\b(U|Pu|Co|Cs)-[0-9]+"
+    is_name = F.regexp_like(F.col("body"), F.lit(name_pat))
+    g = p.where(is_name
+                | F.regexp_like(F.col("body"), F.lit(sym_pat + "\\b")))
+    return g.select(
+        "doc_id",
+        F.when(is_name, F.lit("name")).otherwise(F.lit("symbol"))
+        .alias("notation_form"),
+        F.when(is_name, F.regexp_extract("body", name_pat, 1))
+        .otherwise(F.regexp_extract("body", sym_pat, 1))
+        .alias("element_token"),
+        F.when(is_name, F.regexp_extract(
+            "body", "\\b(?:carbon|uranium|cobalt|iodine)-([0-9]+)",
+            1))
+        .otherwise(F.regexp_extract(
+            "body", "\\b(?:U|Pu|Co|Cs)-([0-9]+)", 1))
+        .cast("int").alias("mass_number"),
+    )
+
+
+def _csrf_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<form method="POST" action="/transfer">'
+            || '<input type="hidden" name="csrf_token" value="tok'
+            || CAST(doc_id * 7919 % 1000000 AS VARCHAR)
+            || '"><input name="amount"></form>'
+          WHEN 1 THEN '<form method="POST" action="/comment">'
+            || '<input type="hidden" name="_token" value="lrv'
+            || CAST(doc_id * 104729 % 1000000 AS VARCHAR)
+            || '"><textarea name="body"></textarea></form>'
+          ELSE '<form method="GET" action="/search">'
+            || '<input name="q"></form>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract(body,
+          'name="(csrf_token|_token|authenticity_token)" value="([^"]+)"',
+          ['fn', 'tv']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'name="(csrf_token|_token|authenticity_token)" value="'))
+    SELECT doc_id,
+      m.fn AS token_field,
+      CAST(len(m.tv) AS INT) AS token_len,
+      CASE m.fn WHEN 'csrf_token' THEN 'generic'
+        WHEN '_token' THEN 'laravel' ELSE 'rails' END
+        AS framework_hint,
+      CAST(1 AS INT) AS is_session_bound
+    FROM g
+    """
+
+
+@query("csrf_token_detect", _csrf_oracle())
+def csrf_token_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSRF-token detection (round 4): hidden anti-forgery inputs
+    mark the form as SESSION-BOUND — the captured HTML can never
+    be replayed (the token in the snapshot died with the
+    session), so form-replay tooling and cache-based archives
+    must treat these pages as per-visitor; the field-name
+    dialect (csrf_token / _token / authenticity_token)
+    fingerprints the framework alongside cms_fingerprint. The
+    GET search form is the negative — no state change, no
+    token.
+
+    Scale shape: one grouped extract per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<form method="POST" action="/transfer">'
+                  '<input type="hidden" name="csrf_token" '
+                  'value="tok'),
+            (i * 7919 % 1000000).cast("string"),
+            F.lit('"><input name="amount"></form>')))
+        .when(v == 1, F.concat(
+            F.lit('<form method="POST" action="/comment">'
+                  '<input type="hidden" name="_token" value="lrv'),
+            (i * 104729 % 1000000).cast("string"),
+            F.lit('"><textarea name="body"></textarea></form>')))
+        .otherwise(F.lit('<form method="GET" action="/search">'
+                         '<input name="q"></form>'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ('name="(csrf_token|_token|authenticity_token)" '
+           'value="([^"]+)"')
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        'name="(csrf_token|_token|authenticity_token)" value="')))
+    fn = F.regexp_extract("body", pat, 1)
+    tv = F.regexp_extract("body", pat, 2)
+    return g.select(
+        "doc_id",
+        fn.alias("token_field"),
+        F.length(tv).cast("int").alias("token_len"),
+        F.when(fn == "csrf_token", F.lit("generic"))
+        .when(fn == "_token", F.lit("laravel"))
+        .otherwise(F.lit("rails")).alias("framework_hint"),
+        F.lit(1).cast("int").alias("is_session_bound"),
+    )
+
+
+def _honeypot_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<form><input name="email"><div '
+            || 'style="display:none"><input name="website" '
+            || 'tabindex="-1" autocomplete="off"></div>'
+            || '<button>Sign up ' || CAST(doc_id % 40 AS VARCHAR)
+            || '</button></form>'
+          WHEN 1 THEN '<form><input name="comment"><input '
+            || 'name="url_confirm" style="position:absolute;'
+            || 'left:-9999px"><button>Post</button></form>'
+          ELSE '<form><input name="email"><input name="website" '
+            || 'placeholder="Your site"><button>Apply '
+            || CAST(doc_id % 40 AS VARCHAR) || '</button></form>'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          'display:none[^>]*>[^<]*<input name="(website|url_confirm)"')
+          AS css_hidden,
+        regexp_matches(body,
+          '<input name="(website|url_confirm)"[^>]*left:-9999px')
+          AS offscreen
+      FROM p
+      WHERE contains(body, '<form>'))
+    SELECT doc_id,
+      CAST(CASE WHEN css_hidden OR offscreen THEN 1 ELSE 0 END
+        AS INT) AS has_honeypot,
+      CASE WHEN css_hidden THEN 'display_none'
+        WHEN offscreen THEN 'offscreen' ELSE 'none' END
+        AS hiding_method,
+      regexp_extract(body,
+        '<input name="(website|url_confirm)"', 1) AS bait_field
+    FROM g
+    """
+
+
+@query("honeypot_field_detect", _honeypot_oracle())
+def honeypot_field_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honeypot-field detection (round 4): spam-trap inputs are
+    VISIBLE to parsers but hidden from humans (display:none
+    wrappers, -9999px offsets) — a form-filling agent that
+    completes them outs itself as a bot, so automation must
+    model the hiding channel (the benign twin of
+    hidden_text_stuffing's ranking abuse). The visible
+    'website' field on the application form is the planted
+    negative: same field name, honest rendering.
+
+    Scale shape: two regexp predicates per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<form><input name="email"><div '
+                  'style="display:none"><input name="website" '
+                  'tabindex="-1" autocomplete="off"></div>'
+                  "<button>Sign up "),
+            (i % 40).cast("string"), F.lit("</button></form>")))
+        .when(v == 1, F.lit(
+            '<form><input name="comment"><input '
+            'name="url_confirm" style="position:absolute;'
+            'left:-9999px"><button>Post</button></form>'))
+        .otherwise(F.concat(
+            F.lit('<form><input name="email"><input name="website" '
+                  'placeholder="Your site"><button>Apply '),
+            (i % 40).cast("string"), F.lit("</button></form>")))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("<form>"))
+    css_hidden = F.regexp_like(F.col("body"), F.lit(
+        'display:none[^>]*>[^<]*<input name="(website|url_confirm)"'))
+    offscreen = F.regexp_like(F.col("body"), F.lit(
+        '<input name="(website|url_confirm)"[^>]*left:-9999px'))
+    return g.select(
+        "doc_id",
+        (css_hidden | offscreen).cast("int").alias("has_honeypot"),
+        F.when(css_hidden, F.lit("display_none"))
+        .when(offscreen, F.lit("offscreen")).otherwise(F.lit("none"))
+        .alias("hiding_method"),
+        F.regexp_extract(
+            "body", '<input name="(website|url_confirm)"', 1)
+        .alias("bait_field"),
+    )
+
+
+def _input_validation_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '<input name="zip" pattern="[0-9]{5}" '
+            || 'required maxlength="5"><input name="user" '
+            || 'minlength="' || CAST(3 + doc_id % 5 AS VARCHAR)
+            || '" required>'
+          WHEN 1 THEN '<input name="code" pattern="[A-Z]{2}-[0-9]+'
+            || '" title="Two letters, dash, digits">'
+          ELSE '<input name="notes"><input name="misc">'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, 'pattern="')
+        OR contains(body, 'required')
+        OR contains(body, 'minlength="'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, 'pattern="')) AS INT)
+        AS n_patterns,
+      CAST(len(regexp_extract_all(body, ' required')) AS INT)
+        AS n_required,
+      regexp_extract(body, 'pattern="([^"]+)"', 1)
+        AS first_pattern,
+      CASE WHEN regexp_matches(body, 'minlength="[0-9]+"')
+        THEN CAST(regexp_extract(body, 'minlength="([0-9]+)"', 1)
+          AS INT) END AS min_len
+    FROM g
+    """
+
+
+@query("input_validation_attrs", _input_validation_oracle())
+def input_validation_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-validation attribute mining (round 4): pattern=
+    regexes in form markup are the site DECLARING its expected
+    input grammar — free supervision for format inference (the
+    zip/SKU/code shapes actually enforced in the wild), with
+    required/minlength census grading form strictness. The
+    extracted pattern is itself a regex artifact for the code
+    corpus; unconstrained inputs are the negative.
+
+    Scale shape: counts + extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit('<input name="zip" pattern="[0-9]{5}" '
+                  'required maxlength="5"><input name="user" '
+                  'minlength="'),
+            (3 + i % 5).cast("string"), F.lit('" required>')))
+        .when(v == 1, F.lit(
+            '<input name="code" pattern="[A-Z]{2}-[0-9]+" '
+            'title="Two letters, dash, digits">'))
+        .otherwise(F.lit('<input name="notes"><input name="misc">'))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(
+        F.col("body").contains('pattern="')
+        | F.col("body").contains("required")
+        | F.col("body").contains('minlength="'))
+    has_min = F.regexp_like(F.col("body"), F.lit('minlength="[0-9]+"'))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit('pattern="'), 0)).cast("int")
+        .alias("n_patterns"),
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit(" required"), 0)).cast("int")
+        .alias("n_required"),
+        F.regexp_extract("body", 'pattern="([^"]+)"', 1)
+        .alias("first_pattern"),
+        F.when(has_min, F.regexp_extract(
+            "body", 'minlength="([0-9]+)"', 1).cast("int"))
+        .alias("min_len"),
+    )
+
+
+def _multistep_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 5 AS step,
+        3 + doc_id % 4 AS total
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Checkout: Step ' || CAST(step AS VARCHAR)
+            || ' of ' || CAST(total AS VARCHAR)
+            || ' - shipping details'
+          WHEN 1 THEN 'Survey progress: Step '
+            || CAST(total + 2 AS VARCHAR) || ' of '
+            || CAST(total AS VARCHAR) || ' - almost done'
+          ELSE 'step outside and enjoy the day'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'Step ([0-9]+) of [0-9]+', 1)
+          AS INT) AS step,
+        CAST(regexp_extract(body, 'Step [0-9]+ of ([0-9]+)', 1)
+          AS INT) AS total_steps
+      FROM p
+      WHERE regexp_matches(body, 'Step [0-9]+ of [0-9]+'))
+    SELECT doc_id, step, total_steps,
+      CAST(CASE WHEN step <= total_steps THEN 1 ELSE 0 END
+        AS INT) AS is_valid_position,
+      CAST(CASE WHEN step = total_steps THEN 1 ELSE 0 END
+        AS INT) AS is_final_step
+    FROM g
+    """
+
+
+@query("multistep_form_indicator", _multistep_oracle())
+def multistep_form_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step form indicators (round 4): 'Step 2 of 5'
+    progress markers place a captured page inside a FLOW — the
+    crawler sees one frame of a stateful sequence (dedup must
+    not collapse steps; extraction must not treat step text as
+    an article), with the step ≤ total sanity check flagging
+    broken templates (the planted step-7-of-5) and the final
+    step marking conversion pages. Outdoor prose fails the
+    of-N grammar.
+
+    Scale shape: two extracts + compares per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    step = 1 + i % 5
+    total = 3 + i % 4
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Checkout: Step "), step.cast("string"),
+            F.lit(" of "), total.cast("string"),
+            F.lit(" - shipping details")))
+        .when(v == 1, F.concat(
+            F.lit("Survey progress: Step "),
+            (total + 2).cast("string"), F.lit(" of "),
+            total.cast("string"), F.lit(" - almost done")))
+        .otherwise(F.lit("step outside and enjoy the day"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Step [0-9]+ of [0-9]+")))
+    st = F.regexp_extract("body", "Step ([0-9]+) of [0-9]+", 1).cast("int")
+    tt = F.regexp_extract("body", "Step [0-9]+ of ([0-9]+)", 1).cast("int")
+    return g.select(
+        "doc_id",
+        st.alias("step"),
+        tt.alias("total_steps"),
+        (st <= tt).cast("int").alias("is_valid_position"),
+        (st == tt).cast("int").alias("is_final_step"),
+    )
+
+
+def _league_table_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        3 + doc_id % 8 AS w,
+        doc_id % 4 AS dr,
+        doc_id % 3 AS l
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'United: played '
+            || CAST(w + dr + l AS VARCHAR) || ', won '
+            || CAST(w AS VARCHAR) || ', drawn '
+            || CAST(dr AS VARCHAR) || ', lost '
+            || CAST(l AS VARCHAR) || ', '
+            || CAST(3 * w + dr AS VARCHAR) || ' points.'
+          WHEN 1 THEN 'Rovers: played '
+            || CAST(w + dr + l AS VARCHAR) || ', won '
+            || CAST(w AS VARCHAR) || ', drawn '
+            || CAST(dr AS VARCHAR) || ', lost '
+            || CAST(l AS VARCHAR) || ', '
+            || CAST(3 * w + dr + 2 AS VARCHAR) || ' points.'
+          ELSE 'the team played well and won hearts'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'played ([0-9]+), won ([0-9]+), drawn ([0-9]+), lost ([0-9]+), ([0-9]+) points',
+          ['p', 'w', 'd', 'l', 'pts']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'played [0-9]+, won [0-9]+, drawn [0-9]+, lost [0-9]+, [0-9]+ points'))
+    SELECT doc_id,
+      CAST(m.p AS INT) AS played,
+      CAST(m.w AS INT) AS won,
+      CAST(m.d AS INT) AS drawn,
+      CAST(m.l AS INT) AS lost,
+      CAST(m.pts AS INT) AS points,
+      CAST(CASE WHEN CAST(m.p AS INT)
+          = CAST(m.w AS INT) + CAST(m.d AS INT) + CAST(m.l AS INT)
+        THEN 1 ELSE 0 END AS INT) AS games_consistent,
+      CAST(CASE WHEN CAST(m.pts AS INT)
+          = 3 * CAST(m.w AS INT) + CAST(m.d AS INT)
+        THEN 1 ELSE 0 END AS INT) AS points_consistent
+    FROM g
+    """
+
+
+@query("league_table_audit", _league_table_oracle())
+def league_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table audit (round 4): standings rows carry TWO
+    internal constraints — games played equals W+D+L, and
+    points equal 3W+D under the universal three-point rule —
+    so a scraped table that fails either is corrupted or from
+    a different scoring era (the planted +2 points). Standings
+    are verifiable public facts; the sports-table sibling of
+    game_score_parse's single-match arithmetic.
+
+    Scale shape: grouped extract + two linear checks per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = 3 + i % 8
+    dr = i % 4
+    ls = i % 3
+    v = i % 3
+
+    def _row(team, pts):
+        return F.concat(
+            F.lit(team + ": played "), (w + dr + ls).cast("string"),
+            F.lit(", won "), w.cast("string"),
+            F.lit(", drawn "), dr.cast("string"),
+            F.lit(", lost "), ls.cast("string"), F.lit(", "),
+            pts.cast("string"), F.lit(" points."))
+
+    body = (
+        F.when(v == 0, _row("United", 3 * w + dr))
+        .when(v == 1, _row("Rovers", 3 * w + dr + 2))
+        .otherwise(F.lit("the team played well and won hearts"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("played ([0-9]+), won ([0-9]+), drawn ([0-9]+), "
+           "lost ([0-9]+), ([0-9]+) points")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "played [0-9]+, won [0-9]+, drawn [0-9]+, lost [0-9]+, "
+        "[0-9]+ points")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k).cast("int")
+
+    return g.select(
+        "doc_id",
+        _g(1).alias("played"), _g(2).alias("won"),
+        _g(3).alias("drawn"), _g(4).alias("lost"),
+        _g(5).alias("points"),
+        (_g(1) == _g(2) + _g(3) + _g(4)).cast("int")
+        .alias("games_consistent"),
+        (_g(5) == 3 * _g(2) + _g(3)).cast("int")
+        .alias("points_consistent"),
+    )
+
+
+def _batting_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        30 + doc_id % 60 AS hits,
+        150 + doc_id % 200 AS ab
+      FROM documents),
+    c AS (
+      SELECT doc_id, hits, ab,
+        (1000 * hits) // ab AS avg_x1000
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Batting ' || CAST(hits AS VARCHAR)
+            || ' hits in ' || CAST(ab AS VARCHAR)
+            || ' at-bats, average .'
+            || lpad(CAST(avg_x1000 AS VARCHAR), 3, '0') || '.'
+          WHEN 1 THEN 'Batting ' || CAST(hits AS VARCHAR)
+            || ' hits in ' || CAST(ab AS VARCHAR)
+            || ' at-bats, average .'
+            || lpad(CAST(avg_x1000 + 15 AS VARCHAR), 3, '0')
+            || '.'
+          ELSE 'batting around ideas at the meeting'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '([0-9]+) hits', 1) AS BIGINT)
+          AS hits,
+        CAST(regexp_extract(body, 'in ([0-9]+) at-bats', 1)
+          AS BIGINT) AS at_bats,
+        CAST(regexp_extract(body, 'average \\.([0-9]{3})', 1)
+          AS BIGINT) AS claimed_x1000
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+ hits in [0-9]+ at-bats, average \\.[0-9]{3}'))
+    SELECT doc_id, hits, at_bats, claimed_x1000,
+      CAST((1000 * hits) // at_bats AS BIGINT) AS actual_x1000,
+      CAST(CASE WHEN abs(claimed_x1000 - (1000 * hits) // at_bats)
+        <= 1 THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("batting_average_audit", _batting_oracle())
+def batting_average_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batting-average audit (round 4): the .XXX convention IS
+    hits·1000 div at-bats, so every stat line self-checks (±1
+    for the reporter's rounding; the planted +15 models a stale
+    season total). Sports statistics are the densest verifiable
+    numbers on the web — pages whose averages recompute earn
+    the reliable-numbers prior wholesale. Meeting prose fails
+    the at-bats grammar.
+
+    Scale shape: extracts + integer division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hits = 30 + i % 60
+    ab = 150 + i % 200
+    k = 1000 * hits
+    avg = ((k - k % ab) / ab).cast("long")
+    v = i % 3
+
+    def _line(a):
+        return F.concat(
+            F.lit("Batting "), hits.cast("string"),
+            F.lit(" hits in "), ab.cast("string"),
+            F.lit(" at-bats, average ."),
+            F.lpad(a.cast("string"), 3, "0"), F.lit("."))
+
+    body = (
+        F.when(v == 0, _line(avg))
+        .when(v == 1, _line(avg + 15))
+        .otherwise(F.lit("batting around ideas at the meeting"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+ hits in [0-9]+ at-bats, average \\.[0-9]{3}")))
+    h = F.regexp_extract("body", "([0-9]+) hits", 1).cast("long")
+    a = F.regexp_extract("body", "in ([0-9]+) at-bats", 1).cast("long")
+    c = F.regexp_extract(
+        "body", "average \\.([0-9]{3})", 1).cast("long")
+    n = 1000 * h
+    actual = ((n - n % a) / a).cast("long")
+    return g.select(
+        "doc_id", h.alias("hits"), a.alias("at_bats"),
+        c.alias("claimed_x1000"), actual.alias("actual_x1000"),
+        (F.abs(c - actual) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _election_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        3000 + doc_id * 7 % 4000 AS votes,
+        10000 AS total
+      FROM documents),
+    c AS (
+      SELECT doc_id, votes, total,
+        (votes * 1000) // total AS pct_x10
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Candidate received '
+            || CAST(votes AS VARCHAR) || ' of '
+            || CAST(total AS VARCHAR) || ' votes cast ('
+            || CAST(pct_x10 // 10 AS VARCHAR) || '.'
+            || CAST(pct_x10 % 10 AS VARCHAR) || ' percent).'
+          WHEN 1 THEN 'Candidate received '
+            || CAST(votes AS VARCHAR) || ' of '
+            || CAST(total AS VARCHAR) || ' votes cast ('
+            || CAST((pct_x10 + 25) // 10 AS VARCHAR) || '.'
+            || CAST((pct_x10 + 25) % 10 AS VARCHAR)
+            || ' percent).'
+          ELSE 'the votes of confidence kept coming'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'received ([0-9]+) of', 1)
+          AS BIGINT) AS votes,
+        CAST(regexp_extract(body, 'of ([0-9]+) votes cast', 1)
+          AS BIGINT) AS total,
+        CAST(regexp_extract(body,
+          '\\(([0-9]+)\\.([0-9]) percent\\)', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          '\\(([0-9]+)\\.([0-9]) percent\\)', 2) AS BIGINT)
+          AS claimed_x10
+      FROM p
+      WHERE regexp_matches(body,
+        'received [0-9]+ of [0-9]+ votes cast \\([0-9]+\\.[0-9] percent\\)'))
+    SELECT doc_id, votes, total, claimed_x10,
+      CAST((votes * 1000) // total AS BIGINT) AS actual_x10,
+      CAST(CASE WHEN abs(claimed_x10 - (votes * 1000) // total)
+        <= 1 THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("election_result_audit", _election_oracle())
+def election_result_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Election-result audit (round 4): vote counts with a
+    stated total and percentage are triply redundant — the
+    percent recomputes as votes·1000 div total in exact tenths
+    (±1 for rounding; the planted +2.5-point error models the
+    transposed-digit mistake election-night pages publish and
+    never correct). Civic facts with internal checks are the
+    highest-stakes member of the worked-example family.
+
+    Scale shape: extracts + integer division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    votes = 3000 + (i * 7) % 4000
+    total = F.lit(10000)
+    k = votes * 1000
+    pct = ((k - k % total) / total).cast("long")
+    v = i % 3
+
+    def _fmt(x):
+        return F.concat(((x - x % 10) / 10).cast("long").cast("string"),
+                        F.lit("."), (x % 10).cast("string"))
+
+    def _line(x):
+        return F.concat(
+            F.lit("Candidate received "), votes.cast("string"),
+            F.lit(" of "), total.cast("string"),
+            F.lit(" votes cast ("), _fmt(x), F.lit(" percent)."))
+
+    body = (
+        F.when(v == 0, _line(pct))
+        .when(v == 1, _line(pct + 25))
+        .otherwise(F.lit("the votes of confidence kept coming"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "received [0-9]+ of [0-9]+ votes cast "
+        "\\([0-9]+\\.[0-9] percent\\)")))
+    vt = F.regexp_extract("body", "received ([0-9]+) of", 1).cast("long")
+    tt = F.regexp_extract(
+        "body", "of ([0-9]+) votes cast", 1).cast("long")
+    ppat = "\\(([0-9]+)\\.([0-9]) percent\\)"
+    cl = (F.regexp_extract("body", ppat, 1).cast("long") * 10
+          + F.regexp_extract("body", ppat, 2).cast("long"))
+    n = vt * 1000
+    actual = ((n - n % tt) / tt).cast("long")
+    return g.select(
+        "doc_id", vt.alias("votes"), tt.alias("total"),
+        cl.alias("claimed_x10"), actual.alias("actual_x10"),
+        (F.abs(cl - actual) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _fuel_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        40 + doc_id % 80 AS lx10
+      FROM documents),
+    c AS (
+      SELECT doc_id, lx10,
+        23521 // lx10 AS mpg_x10
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Consumption of ' || CAST(lx10 // 10
+              AS VARCHAR) || '.' || CAST(lx10 % 10 AS VARCHAR)
+            || ' L/100km (about ' || CAST(mpg_x10 // 10
+              AS VARCHAR) || '.' || CAST(mpg_x10 % 10 AS VARCHAR)
+            || ' mpg).'
+          WHEN 1 THEN 'Consumption of ' || CAST(lx10 // 10
+              AS VARCHAR) || '.' || CAST(lx10 % 10 AS VARCHAR)
+            || ' L/100km (about ' || CAST((mpg_x10 + 50) // 10
+              AS VARCHAR) || '.'
+            || CAST((mpg_x10 + 50) % 10 AS VARCHAR) || ' mpg).'
+          ELSE 'fuel for thought burns clean'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          '([0-9]+)\\.([0-9]) L/100km', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          '([0-9]+)\\.([0-9]) L/100km', 2) AS BIGINT) AS lx10,
+        CAST(regexp_extract(body,
+          '\\(about ([0-9]+)\\.([0-9]) mpg\\)', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          '\\(about ([0-9]+)\\.([0-9]) mpg\\)', 2) AS BIGINT)
+          AS claimed_x10
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+\\.[0-9] L/100km \\(about [0-9]+\\.[0-9] mpg\\)'))
+    SELECT doc_id, lx10, claimed_x10,
+      CAST(23521 // lx10 AS BIGINT) AS actual_x10,
+      CAST(CASE WHEN abs(claimed_x10 - 23521 // lx10) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("fuel_economy_audit", _fuel_oracle())
+def fuel_economy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuel-economy conversion audit (round 4): L/100km and mpg
+    are RECIPROCAL scales (235.215 / L = mpg), so the dual
+    statement self-checks through one integer division on x10
+    values (±1 tenth; the planted +5 mpg models the
+    wrong-gallon error — imperial vs US — that car pages make
+    constantly). Closes the dual-unit audit family: distance,
+    temperature, currency, time zones, now consumption.
+
+    Scale shape: extracts + one division per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lx10 = 40 + i % 80
+    mpg = ((F.lit(23521) - F.lit(23521) % lx10) / lx10).cast("long")
+    v = i % 3
+
+    def _fmt(x):
+        return F.concat(((x - x % 10) / 10).cast("long").cast("string"),
+                        F.lit("."), (x % 10).cast("string"))
+
+    def _line(m_):
+        return F.concat(
+            F.lit("Consumption of "), _fmt(lx10),
+            F.lit(" L/100km (about "), _fmt(m_), F.lit(" mpg)."))
+
+    body = (
+        F.when(v == 0, _line(mpg))
+        .when(v == 1, _line(mpg + 50))
+        .otherwise(F.lit("fuel for thought burns clean"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+\\.[0-9] L/100km \\(about [0-9]+\\.[0-9] mpg\\)")))
+    lpat = "([0-9]+)\\.([0-9]) L/100km"
+    mpat = "\\(about ([0-9]+)\\.([0-9]) mpg\\)"
+    lv = (F.regexp_extract("body", lpat, 1).cast("long") * 10
+          + F.regexp_extract("body", lpat, 2).cast("long"))
+    cl = (F.regexp_extract("body", mpat, 1).cast("long") * 10
+          + F.regexp_extract("body", mpat, 2).cast("long"))
+    actual = ((F.lit(23521) - F.lit(23521) % lv) / lv).cast("long")
+    return g.select(
+        "doc_id", lv.alias("lx10"), cl.alias("claimed_x10"),
+        actual.alias("actual_x10"),
+        (F.abs(cl - actual) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _review_star_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        100 + doc_id % 50 AS r5, 40 + doc_id % 30 AS r4,
+        10 + doc_id % 15 AS r3, 5 + doc_id % 8 AS r2,
+        10 + doc_id % 12 AS r1
+      FROM documents),
+    c AS (
+      SELECT doc_id, r5, r4, r3, r2, r1,
+        r5 + r4 + r3 + r2 + r1 AS total,
+        (10 * (5 * r5 + 4 * r4 + 3 * r3 + 2 * r2 + r1))
+          // (r5 + r4 + r3 + r2 + r1) AS avg_x10
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '5-star: ' || CAST(r5 AS VARCHAR)
+            || ', 4-star: ' || CAST(r4 AS VARCHAR)
+            || ', 3-star: ' || CAST(r3 AS VARCHAR)
+            || ', 2-star: ' || CAST(r2 AS VARCHAR)
+            || ', 1-star: ' || CAST(r1 AS VARCHAR)
+            || '. Average ' || CAST(avg_x10 // 10 AS VARCHAR)
+            || '.' || CAST(avg_x10 % 10 AS VARCHAR) || ' from '
+            || CAST(total AS VARCHAR) || ' reviews.'
+          WHEN 1 THEN '5-star: ' || CAST(r5 AS VARCHAR)
+            || ', 4-star: ' || CAST(r4 AS VARCHAR)
+            || ', 3-star: ' || CAST(r3 AS VARCHAR)
+            || ', 2-star: ' || CAST(r2 AS VARCHAR)
+            || ', 1-star: ' || CAST(r1 AS VARCHAR)
+            || '. Average ' || CAST((avg_x10 + 7) // 10
+              AS VARCHAR) || '.'
+            || CAST((avg_x10 + 7) % 10 AS VARCHAR) || ' from '
+            || CAST(total AS VARCHAR) || ' reviews.'
+          ELSE 'five stars for effort, no numbers given'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '5-star: ([0-9]+)', 1)
+          AS BIGINT) AS r5,
+        CAST(regexp_extract(body, '4-star: ([0-9]+)', 1)
+          AS BIGINT) AS r4,
+        CAST(regexp_extract(body, '3-star: ([0-9]+)', 1)
+          AS BIGINT) AS r3,
+        CAST(regexp_extract(body, '2-star: ([0-9]+)', 1)
+          AS BIGINT) AS r2,
+        CAST(regexp_extract(body, '1-star: ([0-9]+)', 1)
+          AS BIGINT) AS r1,
+        CAST(regexp_extract(body,
+          'Average ([0-9]+)\\.([0-9]) from', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          'Average ([0-9]+)\\.([0-9]) from', 2) AS BIGINT)
+          AS claimed_x10,
+        CAST(regexp_extract(body, 'from ([0-9]+) reviews', 1)
+          AS BIGINT) AS stated_total
+      FROM p
+      WHERE regexp_matches(body,
+        '5-star: [0-9]+, 4-star: [0-9]+.*Average [0-9]+\\.[0-9] from [0-9]+ reviews')),
+    s AS (
+      SELECT doc_id, claimed_x10, stated_total,
+        r5 + r4 + r3 + r2 + r1 AS count_sum,
+        (10 * (5 * r5 + 4 * r4 + 3 * r3 + 2 * r2 + r1))
+          // (r5 + r4 + r3 + r2 + r1) AS actual_x10
+      FROM g)
+    SELECT doc_id, claimed_x10, stated_total,
+      CAST(count_sum AS BIGINT) AS count_sum,
+      CAST(actual_x10 AS BIGINT) AS actual_x10,
+      CAST(CASE WHEN count_sum = stated_total THEN 1 ELSE 0 END
+        AS INT) AS totals_consistent,
+      CAST(CASE WHEN abs(claimed_x10 - actual_x10) <= 1
+        THEN 1 ELSE 0 END AS INT) AS average_consistent
+    FROM s
+    """
+
+
+@query("review_star_audit", _review_star_oracle())
+def review_star_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-histogram audit (round 4): a star breakdown plus a
+    claimed average is doubly redundant — counts must sum to
+    the stated total AND the weighted mean must recompute
+    (x10 integers, ±1 tenth) — so fabricated rich-snippet
+    ratings (the planted +0.7 average over an honest histogram)
+    are detectable from the page alone, extending
+    rating_bounds_audit from range checks to full recompute.
+
+    Scale shape: extracts + weighted integer mean per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    r5, r4, r3 = 100 + i % 50, 40 + i % 30, 10 + i % 15
+    r2, r1 = 5 + i % 8, 10 + i % 12
+    total = r5 + r4 + r3 + r2 + r1
+    wsum = 10 * (5 * r5 + 4 * r4 + 3 * r3 + 2 * r2 + r1)
+    avg = ((wsum - wsum % total) / total).cast("long")
+    v = i % 3
+
+    def _fmt(x):
+        return F.concat(((x - x % 10) / 10).cast("long").cast("string"),
+                        F.lit("."), (x % 10).cast("string"))
+
+    def _line(a):
+        return F.concat(
+            F.lit("5-star: "), r5.cast("string"),
+            F.lit(", 4-star: "), r4.cast("string"),
+            F.lit(", 3-star: "), r3.cast("string"),
+            F.lit(", 2-star: "), r2.cast("string"),
+            F.lit(", 1-star: "), r1.cast("string"),
+            F.lit(". Average "), _fmt(a), F.lit(" from "),
+            total.cast("string"), F.lit(" reviews."))
+
+    body = (
+        F.when(v == 0, _line(avg))
+        .when(v == 1, _line(avg + 7))
+        .otherwise(F.lit("five stars for effort, no numbers given"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "5-star: [0-9]+, 4-star: [0-9]+.*Average [0-9]+\\.[0-9] "
+        "from [0-9]+ reviews")))
+
+    def _r(star):
+        return F.regexp_extract(
+            "body", f"{star}-star: ([0-9]+)", 1).cast("long")
+
+    apat = "Average ([0-9]+)\\.([0-9]) from"
+    cl = (F.regexp_extract("body", apat, 1).cast("long") * 10
+          + F.regexp_extract("body", apat, 2).cast("long"))
+    st = F.regexp_extract(
+        "body", "from ([0-9]+) reviews", 1).cast("long")
+    cs = _r(5) + _r(4) + _r(3) + _r(2) + _r(1)
+    ws = 10 * (5 * _r(5) + 4 * _r(4) + 3 * _r(3) + 2 * _r(2) + _r(1))
+    act = ((ws - ws % cs) / cs).cast("long")
+    return g.select(
+        "doc_id", cl.alias("claimed_x10"), st.alias("stated_total"),
+        cs.cast("long").alias("count_sum"),
+        act.alias("actual_x10"),
+        (cs == st).cast("int").alias("totals_consistent"),
+        (F.abs(cl - act) <= 1).cast("int").alias("average_consistent"),
+    )
+
+
+def _installment_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 2 WHEN 0 THEN 4 ELSE 6 END AS n_pay,
+        15 + doc_id % 60 AS amt
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN CAST(n_pay AS VARCHAR)
+            || ' interest-free payments of USD '
+            || CAST(amt AS VARCHAR) || ' totals USD '
+            || CAST(n_pay * amt AS VARCHAR) || '.'
+          WHEN 1 THEN CAST(n_pay AS VARCHAR)
+            || ' interest-free payments of USD '
+            || CAST(amt AS VARCHAR) || ' totals USD '
+            || CAST(n_pay * amt + 12 AS VARCHAR) || '.'
+          ELSE 'payment in kind words is also welcome'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          '^([0-9]+) interest-free', 1) AS BIGINT) AS n_payments,
+        CAST(regexp_extract(body, 'payments of USD ([0-9]+)', 1)
+          AS BIGINT) AS payment_usd,
+        CAST(regexp_extract(body, 'totals USD ([0-9]+)\\.', 1)
+          AS BIGINT) AS claimed_total
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ interest-free payments of USD [0-9]+ totals USD [0-9]+\\.'))
+    SELECT doc_id, n_payments, payment_usd, claimed_total,
+      CAST(n_payments * payment_usd AS BIGINT) AS actual_total,
+      CAST(CASE WHEN claimed_total = n_payments * payment_usd
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("installment_price_audit", _installment_oracle())
+def installment_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Installment-price audit (round 4): buy-now-pay-later
+    offers state count x amount AND a total — one
+    multiplication checks whether 'interest-free' is
+    arithmetically true (the planted +12 total is a hidden fee
+    wearing free clothing — a consumer-protection signal, not
+    just a typo flag). The simplest commerce member of the
+    worked-example family.
+
+    Scale shape: three extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n_pay = F.when(i % 2 == 0, 4).otherwise(6)
+    amt = 15 + i % 60
+    v = i % 3
+
+    def _line(t):
+        return F.concat(
+            n_pay.cast("string"),
+            F.lit(" interest-free payments of USD "),
+            amt.cast("string"), F.lit(" totals USD "),
+            t.cast("string"), F.lit("."))
+
+    body = (
+        F.when(v == 0, _line(n_pay * amt))
+        .when(v == 1, _line(n_pay * amt + 12))
+        .otherwise(F.lit("payment in kind words is also welcome"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ interest-free payments of USD [0-9]+ totals "
+        "USD [0-9]+\\.")))
+    np_ = F.regexp_extract(
+        "body", "^([0-9]+) interest-free", 1).cast("long")
+    pa = F.regexp_extract(
+        "body", "payments of USD ([0-9]+)", 1).cast("long")
+    ct = F.regexp_extract(
+        "body", "totals USD ([0-9]+)\\.", 1).cast("long")
+    return g.select(
+        "doc_id", np_.alias("n_payments"), pa.alias("payment_usd"),
+        ct.alias("claimed_total"),
+        (np_ * pa).cast("long").alias("actual_total"),
+        (ct == np_ * pa).cast("int").alias("is_consistent"),
+    )
+
+
+def _discount_stack_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        10 * (1 + doc_id % 4) AS d1,
+        10 * (1 + doc_id % 2) AS d2
+      FROM documents),
+    c AS (
+      SELECT doc_id, d1, d2,
+        d1 + d2 - (d1 * d2) // 100 AS true_total
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'First ' || CAST(d1 AS VARCHAR)
+            || ' percent off, then an extra '
+            || CAST(d2 AS VARCHAR)
+            || ' percent off - a total of '
+            || CAST(true_total AS VARCHAR)
+            || ' percent off the original.'
+          WHEN 1 THEN 'First ' || CAST(d1 AS VARCHAR)
+            || ' percent off, then an extra '
+            || CAST(d2 AS VARCHAR)
+            || ' percent off - a total of '
+            || CAST(d1 + d2 AS VARCHAR)
+            || ' percent off the original.'
+          ELSE 'discount the rumors at a steep rate'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'First ([0-9]+) percent', 1)
+          AS BIGINT) AS d1,
+        CAST(regexp_extract(body, 'extra ([0-9]+) percent', 1)
+          AS BIGINT) AS d2,
+        CAST(regexp_extract(body, 'total of ([0-9]+) percent', 1)
+          AS BIGINT) AS claimed_total
+      FROM p
+      WHERE regexp_matches(body,
+        'First [0-9]+ percent off, then an extra [0-9]+ percent off - a total of [0-9]+ percent'))
+    SELECT doc_id, d1, d2, claimed_total,
+      CAST(d1 + d2 - (d1 * d2) // 100 AS BIGINT) AS actual_total,
+      CAST(CASE WHEN claimed_total
+          = d1 + d2 - (d1 * d2) // 100 THEN 1 ELSE 0 END AS INT)
+        AS is_compounded_correctly,
+      CAST(CASE WHEN claimed_total = d1 + d2 THEN 1 ELSE 0 END
+        AS INT) AS is_naive_sum
+    FROM g
+    """
+
+
+@query("discount_stack_audit", _discount_stack_oracle())
+def discount_stack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked-discount audit (round 4): sequential percentages
+    COMPOUND (20% then 10% = 28%, not 30% — multiples of 10
+    keep the d1·d2/100 cross-term exact), and the naive-sum
+    claim is one of the most common quantitative errors
+    published on commerce pages. The audit distinguishes the
+    correctly-compounded, the naive-sum (flagged separately —
+    it's a known error CLASS, diagnostic for page numeracy),
+    and everything else.
+
+    Scale shape: three extracts + compound arithmetic per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    d1 = 10 * (1 + i % 4)
+    d2 = 10 * (1 + i % 2)
+    cross = d1 * d2
+    true_total = d1 + d2 - ((cross - cross % 100) / 100).cast("long")
+    v = i % 3
+
+    def _line(t):
+        return F.concat(
+            F.lit("First "), d1.cast("string"),
+            F.lit(" percent off, then an extra "),
+            d2.cast("string"),
+            F.lit(" percent off - a total of "), t.cast("string"),
+            F.lit(" percent off the original."))
+
+    body = (
+        F.when(v == 0, _line(true_total))
+        .when(v == 1, _line(d1 + d2))
+        .otherwise(F.lit("discount the rumors at a steep rate"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "First [0-9]+ percent off, then an extra [0-9]+ percent "
+        "off - a total of [0-9]+ percent")))
+    a = F.regexp_extract("body", "First ([0-9]+) percent", 1).cast("long")
+    b_ = F.regexp_extract("body", "extra ([0-9]+) percent", 1).cast("long")
+    c_ = F.regexp_extract(
+        "body", "total of ([0-9]+) percent", 1).cast("long")
+    ab = a * b_
+    act = a + b_ - ((ab - ab % 100) / 100).cast("long")
+    return g.select(
+        "doc_id", a.alias("d1"), b_.alias("d2"),
+        c_.alias("claimed_total"),
+        act.cast("long").alias("actual_total"),
+        (c_ == act).cast("int").alias("is_compounded_correctly"),
+        (c_ == a + b_).cast("int").alias("is_naive_sum"),
+    )
+
+
+def _host_priors_oracle() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id,
+        'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+        lang, n_chars
+      FROM documents),
+    tot AS (
+      SELECT COUNT(*) AS nd, CAST(SUM(n_chars) AS BIGINT) AS sc
+      FROM h),
+    agg AS (
+      SELECT host,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        COUNT(DISTINCT lang) AS n_langs
+      FROM h GROUP BY host),
+    lng AS (
+      SELECT h.host, COUNT(*) AS n_long
+      FROM h CROSS JOIN tot
+      WHERE h.n_chars * tot.nd > 2 * tot.sc
+      GROUP BY h.host)
+    SELECT a.host AS host,
+      CAST(a.n_docs AS BIGINT) AS n_docs,
+      CAST(a.sum_chars // a.n_docs AS BIGINT) AS mean_chars,
+      CAST(a.n_langs AS INT) AS n_langs,
+      CAST((1000 * COALESCE(l.n_long, 0)) // a.n_docs AS BIGINT)
+        AS long_doc_permille
+    FROM agg a LEFT JOIN lng l ON a.host = l.host
+    """
+
+
+@query("host_quality_priors_join", _host_priors_oracle())
+def host_quality_priors_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality-prior rollup (round 4): the multi-signal
+    join that crawl-budget decisions actually consume — doc
+    volume, exact integer mean length, language spread, and the
+    long-document share measured against the CORPUS mean via
+    integer cross-multiplication (n_chars·N > 2·Σchars — no
+    float mean materialized, the lang_length_outliers
+    discipline applied host-wise). Composes the real lang and
+    n_chars columns; every signal joins back on the host key.
+
+    Scale shape: two per-host HashAggregates + a scalar-
+    broadcast total + one left join on host — the shuffle key
+    reused; countDistinct plans Spark's two-level partial
+    aggregate; no window, no sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = d.select(
+        F.concat(F.lit("h"), (i % 23).cast("string")).alias("host"),
+        "lang", "n_chars")
+    tot = h.agg(
+        F.count("*").alias("nd"),
+        F.sum("n_chars").alias("sc"))
+    agg = h.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"))
+    lng = (
+        h.crossJoin(tot)
+        .where(F.col("n_chars") * F.col("nd") > 2 * F.col("sc"))
+        .groupBy("host").agg(F.count("*").alias("n_long")))
+    j = agg.join(lng, "host", "left")
+    mean_chars = ((F.col("sum_chars")
+                   - F.col("sum_chars") % F.col("n_docs"))
+                  / F.col("n_docs")).cast("long")
+    nl = F.lit(1000) * F.coalesce(F.col("n_long"), F.lit(0))
+    permille = ((nl - nl % F.col("n_docs")) / F.col("n_docs"))
+    return j.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        mean_chars.alias("mean_chars"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        permille.cast("long").alias("long_doc_permille"),
+    )
+
+
+def _lrc_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '[00:' || lpad(CAST(10 + doc_id % 20
+              AS VARCHAR), 2, '0') || '.50]First line of verse '
+            || CAST(doc_id % 90 AS VARCHAR) || chr(10)
+            || '[00:' || lpad(CAST(31 + doc_id % 20 AS VARCHAR),
+              2, '0') || '.10]Second line follows' || chr(10)
+            || '[01:05.00]Chorus begins here'
+          WHEN 1 THEN '[00:05.00]Opening words' || chr(10)
+            || '[00:03.00]Out of order line '
+            || CAST(doc_id % 90 AS VARCHAR)
+          ELSE 'lyrics without timestamps are just poetry'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(body,
+          '\\[([0-9]{2}):([0-9]{2})\\.([0-9]{2})\\]', 0),
+          t -> CAST(substr(t, 2, 2) AS BIGINT) * 6000
+            + CAST(substr(t, 5, 2) AS BIGINT) * 100
+            + CAST(substr(t, 8, 2) AS BIGINT)) AS times_cs
+      FROM p
+      WHERE regexp_matches(body,
+        '\\[[0-9]{2}:[0-9]{2}\\.[0-9]{2}\\]'))
+    SELECT doc_id,
+      CAST(len(times_cs) AS INT) AS n_lines,
+      CAST(times_cs[1] AS BIGINT) AS first_time_cs,
+      CAST(CASE WHEN times_cs = list_sort(times_cs)
+        THEN 1 ELSE 0 END AS INT) AS is_monotonic
+    FROM g
+    """
+
+
+@query("lrc_lyrics_parse", _lrc_oracle())
+def lrc_lyrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRC lyric parsing (round 4): [mm:ss.xx] timestamped lyric
+    lines are the karaoke ecosystem's aligned text-music format
+    — centisecond times fold from fixed positions inside the
+    bracket token, and the monotonicity check (times ==
+    sorted(times)) catches the out-of-order edits shared LRC
+    files accumulate (the planted regression). Fourth member of
+    the caption-timing family, with the coarsest alignment and
+    the widest amateur corpus.
+
+    Scale shape: extract-all + positional folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("[00:"),
+            F.lpad((10 + i % 20).cast("string"), 2, "0"),
+            F.lit(".50]First line of verse "),
+            (i % 90).cast("string"), F.lit(nl + "[00:"),
+            F.lpad((31 + i % 20).cast("string"), 2, "0"),
+            F.lit(".10]Second line follows" + nl
+                  + "[01:05.00]Chorus begins here")))
+        .when(v == 1, F.concat(
+            F.lit("[00:05.00]Opening words" + nl
+                  + "[00:03.00]Out of order line "),
+            (i % 90).cast("string")))
+        .otherwise(F.lit("lyrics without timestamps are just poetry"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "\\[[0-9]{2}:[0-9]{2}\\.[0-9]{2}\\]")))
+    times = F.transform(
+        F.regexp_extract_all(
+            F.col("body"),
+            F.lit("\\[([0-9]{2}):([0-9]{2})\\.([0-9]{2})\\]"), 0),
+        lambda t: F.substring(t, 2, 2).cast("long") * 6000
+        + F.substring(t, 5, 2).cast("long") * 100
+        + F.substring(t, 8, 2).cast("long"))
+    return g.select(
+        "doc_id",
+        F.size(times).cast("int").alias("n_lines"),
+        F.element_at(times, 1).cast("long").alias("first_time_cs"),
+        (times == F.array_sort(times)).cast("int")
+        .alias("is_monotonic"),
+    )
+
+
+def _cue_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'TRACK 01 AUDIO' || chr(10)
+            || '  TITLE "Opening Song '
+            || CAST(doc_id % 200 AS VARCHAR) || '"' || chr(10)
+            || '  INDEX 01 00:02:00' || chr(10)
+            || 'TRACK 02 AUDIO' || chr(10)
+            || '  INDEX 01 03:' || lpad(CAST(doc_id % 60
+              AS VARCHAR), 2, '0') || ':50'
+          WHEN 1 THEN 'TRACK 01 AUDIO' || chr(10)
+            || '  INDEX 01 00:00:00'
+          ELSE 'stay on track, the audio book advised'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        list_transform(regexp_extract_all(body,
+          'INDEX 01 ([0-9]{2}):([0-9]{2}):([0-9]{2})', 0),
+          t -> CAST(substr(t, 10, 2) AS BIGINT) * 4500
+            + CAST(substr(t, 13, 2) AS BIGINT) * 75
+            + CAST(substr(t, 16, 2) AS BIGINT)) AS idx_frames
+      FROM p
+      WHERE regexp_matches(body, 'TRACK [0-9]{2} AUDIO'))
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(body, 'TRACK [0-9]{2} AUDIO'))
+        AS INT) AS n_tracks,
+      CAST(idx_frames[1] AS BIGINT) AS first_index_frames,
+      CASE WHEN len(idx_frames) > 1 THEN
+        CAST(idx_frames[2] - idx_frames[1] AS BIGINT)
+      END AS first_track_frames,
+      CAST(CASE WHEN contains(body, 'TITLE "') THEN 1 ELSE 0 END
+        AS INT) AS has_titles
+    FROM g
+    """
+
+
+@query("cue_sheet_parse", _cue_oracle())
+def cue_sheet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cue-sheet parsing (round 4): CD cue files measure time in
+    mm:ss:ff with SEVENTY-FIVE frames per second — the 1/75
+    sector rate of Red Book audio, the classic trap for parsers
+    that assume centiseconds — so index times fold to exact
+    frame counts (mm·4500 + ss·75 + ff) and track durations
+    subtract exactly. The rip-metadata sibling of the caption
+    family, keying album text to audio positions.
+
+    Scale shape: extract-all + positional folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("TRACK 01 AUDIO" + nl + '  TITLE "Opening Song '),
+            (i % 200).cast("string"),
+            F.lit('"' + nl + "  INDEX 01 00:02:00" + nl
+                  + "TRACK 02 AUDIO" + nl + "  INDEX 01 03:"),
+            F.lpad((i % 60).cast("string"), 2, "0"),
+            F.lit(":50")))
+        .when(v == 1, F.lit(
+            "TRACK 01 AUDIO" + nl + "  INDEX 01 00:00:00"))
+        .otherwise(F.lit("stay on track, the audio book advised"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "TRACK [0-9]{2} AUDIO")))
+    frames = F.transform(
+        F.regexp_extract_all(
+            F.col("body"),
+            F.lit("INDEX 01 ([0-9]{2}):([0-9]{2}):([0-9]{2})"), 0),
+        lambda t: F.substring(t, 10, 2).cast("long") * 4500
+        + F.substring(t, 13, 2).cast("long") * 75
+        + F.substring(t, 16, 2).cast("long"))
+    return g.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("body"), F.lit("TRACK [0-9]{2} AUDIO"), 0))
+        .cast("int").alias("n_tracks"),
+        F.element_at(frames, 1).cast("long")
+        .alias("first_index_frames"),
+        F.when(F.size(frames) > 1,
+               (F.element_at(frames, 2) - F.element_at(frames, 1))
+               .cast("long")).alias("first_track_frames"),
+        F.col("body").contains('TITLE "').cast("int")
+        .alias("has_titles"),
+    )
+
+
+def _chapters_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN '0:00 Intro' || chr(10) || '2:'
+            || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+            || ' Setup part ' || CAST(doc_id % 30 AS VARCHAR)
+            || chr(10) || '10:05 Results and discussion'
+          WHEN 1 THEN '1:30 Late start chapter '
+            || CAST(doc_id % 30 AS VARCHAR) || chr(10)
+            || '0:45 Out of order'
+          ELSE 'chapter one of my life began quietly'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(body,
+          '(?m)^([0-9]+):([0-9]{2}) ', 0),
+          t -> CAST(string_split(trim(t), ':')[1] AS BIGINT) * 60
+            + CAST(string_split(trim(t), ':')[2] AS BIGINT))
+          AS starts_s
+      FROM p
+      WHERE regexp_matches(body, '(?m)^[0-9]+:[0-9]{2} ')),
+    s AS (
+      SELECT doc_id, starts_s FROM g WHERE len(starts_s) >= 2)
+    SELECT doc_id,
+      CAST(len(starts_s) AS INT) AS n_chapters,
+      CAST(CASE WHEN starts_s[1] = 0 THEN 1 ELSE 0 END AS INT)
+        AS starts_at_zero,
+      CAST(CASE WHEN starts_s = list_sort(starts_s) THEN 1
+        ELSE 0 END AS INT) AS is_monotonic,
+      CAST(starts_s[len(starts_s)] - starts_s[1] AS BIGINT)
+        AS span_s
+    FROM s
+    """
+
+
+@query("video_chapters_parse", _chapters_oracle())
+def video_chapters_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-chapter parsing (round 4): the m:ss-per-line
+    convention video descriptions use — platforms require the
+    list to start at 0:00 and ascend before they render
+    chapters, so both checks are REAL acceptance criteria, not
+    style (the planted late-start/descending rotation fails
+    both). Chapter titles with offsets are free video
+    segmentation supervision; the >= 2 floor keeps lone
+    timestamps out.
+
+    Scale shape: line-anchored extract-all + folds per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("0:00 Intro" + nl + "2:"),
+            F.lpad((i % 60).cast("string"), 2, "0"),
+            F.lit(" Setup part "), (i % 30).cast("string"),
+            F.lit(nl + "10:05 Results and discussion")))
+        .when(v == 1, F.concat(
+            F.lit("1:30 Late start chapter "),
+            (i % 30).cast("string"),
+            F.lit(nl + "0:45 Out of order")))
+        .otherwise(F.lit("chapter one of my life began quietly"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(?m)^[0-9]+:[0-9]{2} ")))
+    starts = F.transform(
+        F.regexp_extract_all(
+            F.col("body"), F.lit("(?m)^([0-9]+):([0-9]{2}) "), 0),
+        lambda t: F.element_at(F.split(F.trim(t), ":"), 1)
+        .cast("long") * 60
+        + F.element_at(F.split(F.trim(t), ":"), 2).cast("long"))
+    s = g.select("doc_id", starts.alias("starts_s")).where(
+        F.size("starts_s") >= 2)
+    st = F.col("starts_s")
+    return s.select(
+        "doc_id",
+        F.size(st).cast("int").alias("n_chapters"),
+        (F.element_at(st, 1) == 0).cast("int").alias("starts_at_zero"),
+        (st == F.array_sort(st)).cast("int").alias("is_monotonic"),
+        (F.element_at(st, F.size(st)) - F.element_at(st, 1))
+        .cast("long").alias("span_s"),
+    )
+
+
+def _semver_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Upgraded from 1.' || CAST(doc_id % 9
+              AS VARCHAR) || '.3 to 1.'
+            || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '.0 in this release.'
+          WHEN 1 THEN 'Upgraded from 1.4.'
+            || CAST(doc_id % 9 AS VARCHAR) || ' to 1.4.'
+            || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || ' with bug fixes.'
+          WHEN 2 THEN 'Upgraded from 2.0.0 to 1.9.'
+            || CAST(doc_id % 10 AS VARCHAR)
+            || ' after the rollback.'
+          ELSE 'upgraded my commute from bus to bicycle'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'from ([0-9]+)\\.([0-9]+)\\.([0-9]+) to ([0-9]+)\\.([0-9]+)\\.([0-9]+)',
+          ['a1', 'a2', 'a3', 'b1', 'b2', 'b3']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        'from [0-9]+\\.[0-9]+\\.[0-9]+ to [0-9]+\\.[0-9]+\\.[0-9]+')),
+    s AS (
+      SELECT doc_id, m,
+        CAST(m.a1 AS BIGINT) * 1000000
+          + CAST(m.a2 AS BIGINT) * 1000 + CAST(m.a3 AS BIGINT)
+          AS from_key,
+        CAST(m.b1 AS BIGINT) * 1000000
+          + CAST(m.b2 AS BIGINT) * 1000 + CAST(m.b3 AS BIGINT)
+          AS to_key
+      FROM g)
+    SELECT doc_id,
+      m.a1 || '.' || m.a2 || '.' || m.a3 AS from_version,
+      m.b1 || '.' || m.b2 || '.' || m.b3 AS to_version,
+      CASE WHEN m.b1 <> m.a1 THEN 'major'
+        WHEN m.b2 <> m.a2 THEN 'minor'
+        WHEN m.b3 <> m.a3 THEN 'patch'
+        ELSE 'none' END AS bump_kind,
+      CAST(CASE WHEN to_key > from_key THEN 1 ELSE 0 END AS INT)
+        AS is_forward
+    FROM s
+    """
+
+
+@query("semver_bump_audit", _semver_oracle())
+def semver_bump_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semver-bump audit (round 4): from/to version pairs in
+    release prose classify by FIRST differing component (major/
+    minor/patch — the semantic-versioning contract downstream
+    dependency tooling trusts) and order by the encoded
+    major·10^6+minor·10^3+patch key — the planted 2.0.0→1.9.x
+    rotation is a ROLLBACK (is_forward=0), the event
+    changelog_version_extract's monotone series can't represent.
+    Commute prose fails the triple-dot grammar.
+
+    Scale shape: grouped extract + BIGINT encode per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Upgraded from 1."), (i % 9).cast("string"),
+            F.lit(".3 to 1."), (i % 9 + 1).cast("string"),
+            F.lit(".0 in this release.")))
+        .when(v == 1, F.concat(
+            F.lit("Upgraded from 1.4."), (i % 9).cast("string"),
+            F.lit(" to 1.4."), (i % 9 + 1).cast("string"),
+            F.lit(" with bug fixes.")))
+        .when(v == 2, F.concat(
+            F.lit("Upgraded from 2.0.0 to 1.9."),
+            (i % 10).cast("string"),
+            F.lit(" after the rollback.")))
+        .otherwise(F.lit("upgraded my commute from bus to bicycle"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = ("from ([0-9]+)\\.([0-9]+)\\.([0-9]+) to "
+           "([0-9]+)\\.([0-9]+)\\.([0-9]+)")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "from [0-9]+\\.[0-9]+\\.[0-9]+ to [0-9]+\\.[0-9]+\\.[0-9]+")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k)
+
+    from_key = (_g(1).cast("long") * 1000000
+                + _g(2).cast("long") * 1000 + _g(3).cast("long"))
+    to_key = (_g(4).cast("long") * 1000000
+              + _g(5).cast("long") * 1000 + _g(6).cast("long"))
+    return g.select(
+        "doc_id",
+        F.concat(_g(1), F.lit("."), _g(2), F.lit("."), _g(3))
+        .alias("from_version"),
+        F.concat(_g(4), F.lit("."), _g(5), F.lit("."), _g(6))
+        .alias("to_version"),
+        F.when(_g(4) != _g(1), F.lit("major"))
+        .when(_g(5) != _g(2), F.lit("minor"))
+        .when(_g(6) != _g(3), F.lit("patch"))
+        .otherwise(F.lit("none")).alias("bump_kind"),
+        (to_key > from_key).cast("int").alias("is_forward"),
+    )
+
+
+def _watermark_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Quarterly figures CONFIDENTIAL - DO NOT '
+            || 'DISTRIBUTE show growth CONFIDENTIAL - DO NOT '
+            || 'DISTRIBUTE of ' || CAST(doc_id % 30 AS VARCHAR)
+            || ' percent.'
+          WHEN 1 THEN 'DRAFT The committee DRAFT will decide '
+            || 'DRAFT on item ' || CAST(doc_id % 60 AS VARCHAR)
+            || ' next week.'
+          WHEN 2 THEN 'SAMPLE Text begins here SAMPLE and '
+            || 'continues for ' || CAST(doc_id % 40 AS VARCHAR)
+            || ' pages.'
+          ELSE 'a confidential tone crept into the draft letter'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'CONFIDENTIAL - DO NOT DISTRIBUTE')
+          AS is_conf,
+        regexp_matches(body, 'DRAFT [A-Z]') AS is_draft
+      FROM p
+      WHERE contains(body, 'CONFIDENTIAL - DO NOT DISTRIBUTE')
+        OR regexp_matches(body, 'DRAFT [A-Z]')
+        OR regexp_matches(body, 'SAMPLE [A-Z]'))
+    SELECT doc_id,
+      CASE WHEN is_conf THEN 'confidential'
+        WHEN is_draft THEN 'draft' ELSE 'sample' END
+        AS watermark_kind,
+      CAST(CASE WHEN is_conf THEN
+          len(regexp_extract_all(body,
+            'CONFIDENTIAL - DO NOT DISTRIBUTE'))
+        WHEN is_draft THEN
+          len(regexp_extract_all(body, 'DRAFT '))
+        ELSE len(regexp_extract_all(body, 'SAMPLE '))
+        END AS INT) AS n_marks,
+      CAST(CASE WHEN is_conf THEN 1 ELSE 0 END AS INT)
+        AS is_restricted
+    FROM g
+    """
+
+
+@query("watermark_text_detect", _watermark_oracle())
+def watermark_text_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-text detection (round 4): diagonal stamps
+    (CONFIDENTIAL / DRAFT / SAMPLE) survive PDF extraction as
+    repeated interleaved tokens — CONFIDENTIAL routes the
+    document OUT of any training corpus (it is the author
+    stating the text was never meant to be public — the
+    document-level sibling of ai_optout_directives), DRAFT
+    flags unfinished provenance, SAMPLE flags truncated teaser
+    content. The uppercase-inline grammar separates stamps from
+    prose ABOUT confidentiality (the planted lowercase
+    negative).
+
+    Scale shape: substring counts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Quarterly figures CONFIDENTIAL - DO NOT "
+                  "DISTRIBUTE show growth CONFIDENTIAL - DO NOT "
+                  "DISTRIBUTE of "),
+            (i % 30).cast("string"), F.lit(" percent.")))
+        .when(v == 1, F.concat(
+            F.lit("DRAFT The committee DRAFT will decide DRAFT "
+                  "on item "),
+            (i % 60).cast("string"), F.lit(" next week.")))
+        .when(v == 2, F.concat(
+            F.lit("SAMPLE Text begins here SAMPLE and "
+                  "continues for "),
+            (i % 40).cast("string"), F.lit(" pages.")))
+        .otherwise(F.lit(
+            "a confidential tone crept into the draft letter"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_conf = F.col("body").contains(
+        "CONFIDENTIAL - DO NOT DISTRIBUTE")
+    is_draft = F.regexp_like(F.col("body"), F.lit("DRAFT [A-Z]"))
+    g = p.where(is_conf | is_draft
+                | F.regexp_like(F.col("body"), F.lit("SAMPLE [A-Z]")))
+
+    def _n(pat):
+        return F.size(F.regexp_extract_all(
+            F.col("body"), F.lit(pat), 0))
+
+    return g.select(
+        "doc_id",
+        F.when(is_conf, F.lit("confidential"))
+        .when(is_draft, F.lit("draft")).otherwise(F.lit("sample"))
+        .alias("watermark_kind"),
+        F.when(is_conf, _n("CONFIDENTIAL - DO NOT DISTRIBUTE"))
+        .when(is_draft, _n("DRAFT ")).otherwise(_n("SAMPLE "))
+        .cast("int").alias("n_marks"),
+        is_conf.cast("int").alias("is_restricted"),
+    )
+
+
+def _page_seq_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Page 1 of 4' || chr(10) || 'intro text '
+            || CAST(doc_id % 60 AS VARCHAR) || chr(10)
+            || 'Page 2 of 4' || chr(10) || 'middle section'
+            || chr(10) || 'Page 3 of 4' || chr(10) || 'more'
+            || chr(10) || 'Page 4 of 4' || chr(10) || 'end'
+          WHEN 1 THEN 'Page 1 of 4' || chr(10) || 'starts '
+            || CAST(doc_id % 60 AS VARCHAR) || chr(10)
+            || 'Page 2 of 4' || chr(10) || 'continues'
+            || chr(10) || 'Page 4 of 4' || chr(10) || 'jumps'
+          ELSE 'turn the page of history gently'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(body,
+          'Page ([0-9]+) of [0-9]+', 1), x -> CAST(x AS INT))
+          AS pages,
+        CAST(regexp_extract(body, 'Page [0-9]+ of ([0-9]+)', 1)
+          AS INT) AS declared_total
+      FROM p
+      WHERE regexp_matches(body, 'Page [0-9]+ of [0-9]+'))
+    SELECT doc_id,
+      CAST(len(pages) AS INT) AS n_markers,
+      declared_total,
+      CAST(CASE WHEN len(pages) = declared_total THEN 1 ELSE 0
+        END AS INT) AS is_complete,
+      CAST(CASE WHEN list_max(pages) - list_min(pages) + 1
+          > len(pages) THEN 1 ELSE 0 END AS INT) AS has_gap
+    FROM g
+    """
+
+
+@query("page_number_sequence_audit", _page_seq_oracle())
+def page_number_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-sequence audit (round 4): multi-page extractions
+    carry their own completeness proof — 'Page N of T' folios
+    declare the total, so marker count vs T measures coverage
+    and max−min+1 > count proves an INTERIOR gap (the planted
+    missing page 3 — distinct from truncation, which
+    truncation_detect catches at the tail). The recall-side
+    companion to page_artifact_scrub, which REMOVES the folios
+    this audit first reads.
+
+    Scale shape: extract-all + in-row min/max per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Page 1 of 4" + nl + "intro text "),
+            (i % 60).cast("string"),
+            F.lit(nl + "Page 2 of 4" + nl + "middle section"
+                  + nl + "Page 3 of 4" + nl + "more" + nl
+                  + "Page 4 of 4" + nl + "end")))
+        .when(v == 1, F.concat(
+            F.lit("Page 1 of 4" + nl + "starts "),
+            (i % 60).cast("string"),
+            F.lit(nl + "Page 2 of 4" + nl + "continues" + nl
+                  + "Page 4 of 4" + nl + "jumps")))
+        .otherwise(F.lit("turn the page of history gently"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Page [0-9]+ of [0-9]+")))
+    pages = F.transform(
+        F.regexp_extract_all(
+            F.col("body"), F.lit("Page ([0-9]+) of [0-9]+"), 1),
+        lambda x: x.cast("int"))
+    total = F.regexp_extract(
+        "body", "Page [0-9]+ of ([0-9]+)", 1).cast("int")
+    return g.select(
+        "doc_id",
+        F.size(pages).cast("int").alias("n_markers"),
+        total.alias("declared_total"),
+        (F.size(pages) == total).cast("int").alias("is_complete"),
+        (F.array_max(pages) - F.array_min(pages) + 1
+         > F.size(pages)).cast("int").alias("has_gap"),
+    )
+
+
+def _ocr_confusion_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The c0mpany filed its annua1 report for '
+            || 'fisca1 year ' || CAST(2020 + doc_id % 6
+              AS VARCHAR) || ' on time.'
+          WHEN 1 THEN 'Our m0dern examp1e shows the effect '
+            || 'clearly in trial ' || CAST(doc_id % 90 AS VARCHAR)
+            || '.'
+          ELSE 'b2b sales teams use crm4 tools daily'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract_all(body, '[a-z]+[01][a-z]+')
+          AS damaged,
+        len(string_split(body, ' ')) AS n_words
+      FROM p
+      WHERE regexp_matches(body, '[a-z]+[01][a-z]+'))
+    SELECT doc_id,
+      CAST(len(damaged) AS INT) AS n_damaged,
+      damaged[1] AS first_damaged,
+      CAST((1000 * len(damaged)) // n_words AS BIGINT)
+        AS damage_permille
+    FROM g
+    """
+
+
+@query("ocr_confusion_detect", _ocr_confusion_oracle())
+def ocr_confusion_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-confusion detection (round 4): the 0/O and 1/l glyph
+    swaps that optical recognition makes leave a precise
+    fingerprint — a 0 or 1 EMBEDDED between lowercase letters
+    (c0mpany, annua1) is almost never legitimate English, while
+    other digits in words are product-speak (b2b, crm4 — the
+    planted negative the [01]-only alphabet acquits). Damage
+    density grades whether the document needs re-OCR or manual
+    repair — the detection side of the hygiene family
+    (ligatures, dropcaps, running headers) this repo's
+    extraction stack scrubs.
+
+    Scale shape: one extract-all + density per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The c0mpany filed its annua1 report for "
+                  "fisca1 year "),
+            (2020 + i % 6).cast("string"), F.lit(" on time.")))
+        .when(v == 1, F.concat(
+            F.lit("Our m0dern examp1e shows the effect clearly "
+                  "in trial "),
+            (i % 90).cast("string"), F.lit(".")))
+        .otherwise(F.lit("b2b sales teams use crm4 tools daily"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[a-z]+[01][a-z]+")))
+    damaged = F.regexp_extract_all(
+        F.col("body"), F.lit("[a-z]+[01][a-z]+"), 0)
+    n_words = F.size(F.split("body", " "))
+    nd = F.lit(1000) * F.size(damaged)
+    return g.select(
+        "doc_id",
+        F.size(damaged).cast("int").alias("n_damaged"),
+        F.element_at(damaged, 1).alias("first_damaged"),
+        ((nd - nd % n_words) / n_words).cast("long")
+        .alias("damage_permille"),
+    )
+
+
+def _dup_para_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Welcome to our store number '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+            || chr(10) || chr(10) || 'Browse the full catalog '
+            || 'online today.' || chr(10) || chr(10)
+            || 'Welcome to our store number '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+          WHEN 1 THEN 'First unique paragraph about topic '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+            || chr(10) || chr(10)
+            || 'Second unique paragraph with detail.'
+          ELSE ''
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        string_split(body, chr(10) || chr(10)) AS paras
+      FROM p WHERE body <> '')
+    SELECT doc_id,
+      CAST(len(paras) AS INT) AS n_paras,
+      CAST(len(paras) - len(list_distinct(paras)) AS INT)
+        AS n_duplicates,
+      CAST(CASE WHEN len(paras) > len(list_distinct(paras))
+        THEN 1 ELSE 0 END AS INT) AS has_template_dupe
+    FROM g
+    """
+
+
+@query("duplicate_paragraph_detect", _dup_para_oracle())
+def duplicate_paragraph_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document paragraph dedup (round 4): a template
+    that renders the same block twice (header+footer widgets,
+    double-include bugs) inflates the document with EXACT
+    internal repeats — caught in-row by count vs distinct over
+    blank-line-split paragraphs, no corpus join at all (the
+    document-internal tier below host_boilerplate_lines'
+    host-scoped and ccnet's corpus-scoped dedup). The
+    repetition signal doc_repetition_filters reads at n-gram
+    level, stated block-exact.
+
+    Scale shape: split + in-row distinct per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl2 = "\n\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Welcome to our store number "),
+            (i % 90).cast("string"), F.lit("."),
+            F.lit(nl2 + "Browse the full catalog online today."
+                  + nl2 + "Welcome to our store number "),
+            (i % 90).cast("string"), F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("First unique paragraph about topic "),
+            (i % 90).cast("string"),
+            F.lit("." + nl2
+                  + "Second unique paragraph with detail.")))
+        .otherwise(F.lit(""))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body") != "").select(
+        "doc_id", F.split("body", nl2).alias("paras"))
+    return g.select(
+        "doc_id",
+        F.size("paras").cast("int").alias("n_paras"),
+        (F.size("paras") - F.size(F.array_distinct("paras")))
+        .cast("int").alias("n_duplicates"),
+        (F.size("paras") > F.size(F.array_distinct("paras")))
+        .cast("int").alias("has_template_dupe"),
+    )
+
+
+def _retraction_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'RETRACTED: Effects of compound '
+            || CAST(doc_id % 90 AS VARCHAR)
+            || ' on growth (original DOI 10.1234/ab'
+            || CAST(doc_id % 900 AS VARCHAR) || '). This '
+            || 'article has been retracted at the request of '
+            || 'the editors.'
+          WHEN 1 THEN 'RETRACTED: Survey results batch '
+            || CAST(doc_id % 90 AS VARCHAR)
+            || ' (original DOI 10.1234/cd'
+            || CAST(doc_id % 900 AS VARCHAR) || '). This '
+            || 'article has been retracted at the request of '
+            || 'the authors.'
+          ELSE 'the retraction of his statement came too late'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE starts_with(body, 'RETRACTED: '))
+    SELECT doc_id,
+      regexp_extract(body, 'original DOI (10\\.[0-9]+/[a-z0-9]+)',
+        1) AS original_doi,
+      CASE WHEN contains(body, 'request of the editors')
+        THEN 'editors' ELSE 'authors' END AS requested_by,
+      CAST(1 AS INT) AS is_retracted
+    FROM g
+    """
+
+
+@query("retraction_notice_detect", _retraction_oracle())
+def retraction_notice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-notice detection (round 4): the RETRACTED:
+    title prefix is the publishing industry's tombstone — the
+    cited DOI must be purged from any corpus that would
+    otherwise train on withdrawn science (the publisher-page
+    channel beside OAI-PMH's deleted-status records), and
+    editor-vs-author-requested retractions grade the failure
+    mode (misconduct vs honest error). The byte-zero prefix
+    anchor keeps 'retraction of his statement' prose out.
+
+    Scale shape: prefix gate + extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("RETRACTED: Effects of compound "),
+            (i % 90).cast("string"),
+            F.lit(" on growth (original DOI 10.1234/ab"),
+            (i % 900).cast("string"),
+            F.lit("). This article has been retracted at the "
+                  "request of the editors.")))
+        .when(v == 1, F.concat(
+            F.lit("RETRACTED: Survey results batch "),
+            (i % 90).cast("string"),
+            F.lit(" (original DOI 10.1234/cd"),
+            (i % 900).cast("string"),
+            F.lit("). This article has been retracted at the "
+                  "request of the authors.")))
+        .otherwise(F.lit(
+            "the retraction of his statement came too late"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").startswith("RETRACTED: "))
+    return g.select(
+        "doc_id",
+        F.regexp_extract(
+            "body", "original DOI (10\\.[0-9]+/[a-z0-9]+)", 1)
+        .alias("original_doi"),
+        F.when(F.col("body").contains("request of the editors"),
+               F.lit("editors")).otherwise(F.lit("authors"))
+        .alias("requested_by"),
+        F.lit(1).cast("int").alias("is_retracted"),
+    )
+
+
+def _erratum_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Correction to: Study of mineral uptake '
+            || CAST(doc_id % 90 AS VARCHAR)
+            || ' (10.1234/ef' || CAST(doc_id % 900 AS VARCHAR)
+            || '). Figure 2 axis labels were swapped.'
+          WHEN 1 THEN 'Erratum for the March issue article on '
+            || 'topic ' || CAST(doc_id % 90 AS VARCHAR)
+            || ': the dosage table omitted one row.'
+          ELSE 'to err is human, to correct divine'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        starts_with(body, 'Correction to: ') AS is_correction
+      FROM p
+      WHERE starts_with(body, 'Correction to: ')
+        OR starts_with(body, 'Erratum for '))
+    SELECT doc_id,
+      CASE WHEN is_correction THEN 'correction' ELSE 'erratum'
+        END AS notice_kind,
+      regexp_extract(body, '\\((10\\.[0-9]+/[a-z0-9]+)\\)', 1)
+        AS target_doi,
+      CAST(CASE WHEN regexp_matches(body,
+        '\\(10\\.[0-9]+/[a-z0-9]+\\)') THEN 1 ELSE 0 END AS INT)
+        AS has_doi
+    FROM g
+    """
+
+
+@query("erratum_correction_link", _erratum_oracle())
+def erratum_correction_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erratum/correction linking (round 4): 'Correction to:'
+    and 'Erratum for' notices are EDGES from a fixing document
+    to a flawed one — a corpus that ingests the original
+    without the correction trains on the error the publisher
+    already fixed, so the target DOI (when cited) must join
+    back before mixture assembly; DOI-less errata route to
+    title matching. The forgiving-proverb negative fails both
+    prefix anchors.
+
+    Scale shape: prefix gates + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Correction to: Study of mineral uptake "),
+            (i % 90).cast("string"),
+            F.lit(" (10.1234/ef"), (i % 900).cast("string"),
+            F.lit("). Figure 2 axis labels were swapped.")))
+        .when(v == 1, F.concat(
+            F.lit("Erratum for the March issue article on topic "),
+            (i % 90).cast("string"),
+            F.lit(": the dosage table omitted one row.")))
+        .otherwise(F.lit("to err is human, to correct divine"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_corr = F.col("body").startswith("Correction to: ")
+    g = p.where(is_corr | F.col("body").startswith("Erratum for "))
+    return g.select(
+        "doc_id",
+        F.when(is_corr, F.lit("correction")).otherwise(F.lit("erratum"))
+        .alias("notice_kind"),
+        F.regexp_extract(
+            "body", "\\((10\\.[0-9]+/[a-z0-9]+)\\)", 1)
+        .alias("target_doi"),
+        F.regexp_like(F.col("body"), F.lit(
+            "\\(10\\.[0-9]+/[a-z0-9]+\\)")).cast("int")
+        .alias("has_doi"),
+    )
+
+
+def _peer_review_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'This preprint has not been peer reviewed '
+            || 'and reports study ' || CAST(doc_id % 90
+              AS VARCHAR) || ' results.'
+          WHEN 1 THEN 'Peer reviewed and accepted on 2026-01-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' by the journal board.'
+          ELSE 'my peers review my outfits daily without mercy'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'has not been peer reviewed')
+          AS is_preprint
+      FROM p
+      WHERE contains(body, 'has not been peer reviewed')
+        OR contains(body, 'Peer reviewed and accepted'))
+    SELECT doc_id,
+      CASE WHEN is_preprint THEN 'preprint' ELSE 'reviewed' END
+        AS evidence_tier,
+      CASE WHEN NOT is_preprint THEN
+        regexp_extract(body, 'accepted on ([0-9-]+)', 1)
+        ELSE '' END AS accepted_date,
+      CAST(CASE WHEN is_preprint THEN 0 ELSE 1 END AS INT)
+        AS is_reviewed
+    FROM g
+    """
+
+
+@query("peer_review_status_detect", _peer_review_oracle())
+def peer_review_status_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-review status detection (round 4): preprint servers
+    stamp 'has not been peer reviewed' on every page — the
+    declared evidence TIER that separates vetted findings from
+    unreviewed claims (health-misinformation triage weights the
+    two very differently; nct_trial_extract grades the same
+    axis via trial phases). Acceptance dates on the reviewed
+    side date the vetting. Outfit prose has 'peers review' but
+    neither declaration phrase.
+
+    Scale shape: phrase gates + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("This preprint has not been peer reviewed "
+                  "and reports study "),
+            (i % 90).cast("string"), F.lit(" results.")))
+        .when(v == 1, F.concat(
+            F.lit("Peer reviewed and accepted on 2026-01-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit(" by the journal board.")))
+        .otherwise(F.lit(
+            "my peers review my outfits daily without mercy"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_pre = F.col("body").contains("has not been peer reviewed")
+    g = p.where(is_pre
+                | F.col("body").contains("Peer reviewed and accepted"))
+    return g.select(
+        "doc_id",
+        F.when(is_pre, F.lit("preprint")).otherwise(F.lit("reviewed"))
+        .alias("evidence_tier"),
+        F.when(~is_pre, F.regexp_extract(
+            "body", "accepted on ([0-9-]+)", 1)).otherwise(F.lit(""))
+        .alias("accepted_date"),
+        (~is_pre).cast("int").alias("is_reviewed"),
+    )
+
+
+def _data_avail_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Data availability: datasets at '
+            || 'https://doi.org/10.5281/zenodo.'
+            || CAST(1000000 + doc_id * 13 AS VARCHAR)
+            || ' under CC-BY.'
+          WHEN 1 THEN 'Data availability: available from the '
+            || 'corresponding author upon reasonable request.'
+          WHEN 2 THEN 'Data availability: the data are '
+            || 'proprietary and cannot be shared.'
+          ELSE 'availability of parking data varies by city'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE starts_with(body, 'Data availability: ')),
+    s AS (
+      SELECT doc_id, body,
+        contains(body, 'doi.org/') AS has_doi,
+        contains(body, 'upon reasonable request') AS on_request
+      FROM g)
+    SELECT doc_id,
+      CASE WHEN has_doi THEN 'open_deposited'
+        WHEN on_request THEN 'on_request'
+        ELSE 'closed' END AS openness_class,
+      CASE WHEN has_doi THEN regexp_extract(body,
+        'doi\\.org/(10\\.[0-9]+/[a-z]+\\.[0-9]+)', 1)
+      ELSE '' END AS deposit_doi,
+      CAST(CASE WHEN has_doi THEN 1 ELSE 0 END AS INT)
+        AS is_verifiable
+    FROM s
+    """
+
+
+@query("data_availability_statement", _data_avail_oracle())
+def data_availability_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-availability parsing (round 4): the mandated
+    statement splits into three honesty tiers — a deposit DOI
+    (verifiable openness, fetchable by dataset_schema_extract's
+    machinery), the notorious 'upon reasonable request'
+    (studied to be mostly unanswered — declared-but-not-real
+    openness), and flat proprietary closure. The tier is a
+    reproducibility prior on every empirical claim the page
+    makes. Parking prose fails the statement-prefix anchor.
+
+    Scale shape: prefix gate + class flags per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Data availability: datasets at "
+                  "https://doi.org/10.5281/zenodo."),
+            (F.lit(1000000) + i * 13).cast("string"),
+            F.lit(" under CC-BY.")))
+        .when(v == 1, F.lit(
+            "Data availability: available from the corresponding "
+            "author upon reasonable request."))
+        .when(v == 2, F.lit(
+            "Data availability: the data are proprietary and "
+            "cannot be shared."))
+        .otherwise(F.lit("availability of parking data varies by city"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").startswith("Data availability: "))
+    has_doi = F.col("body").contains("doi.org/")
+    on_req = F.col("body").contains("upon reasonable request")
+    return g.select(
+        "doc_id",
+        F.when(has_doi, F.lit("open_deposited"))
+        .when(on_req, F.lit("on_request")).otherwise(F.lit("closed"))
+        .alias("openness_class"),
+        F.when(has_doi, F.regexp_extract(
+            "body", "doi\\.org/(10\\.[0-9]+/[a-z]+\\.[0-9]+)", 1))
+        .otherwise(F.lit("")).alias("deposit_doi"),
+        has_doi.cast("int").alias("is_verifiable"),
+    )
+
+
+def _realestate_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        2 + doc_id % 4 AS beds,
+        1 + doc_id % 3 AS baths,
+        900 + (doc_id * 37) % 2400 AS sqft,
+        200000 + (doc_id * 7919) % 600000 AS price
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 2 THEN 'a bedroom community with bathing beaches'
+          ELSE CAST(beds AS VARCHAR) || ' bed, '
+            || CAST(baths AS VARCHAR) || ' bath, '
+            || CAST(sqft AS VARCHAR) || ' sq ft listed at USD '
+            || CAST(price AS VARCHAR) || '.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '^([0-9]+) bed', 1) AS INT)
+          AS beds,
+        CAST(regexp_extract(body, ', ([0-9]+) bath', 1) AS INT)
+          AS baths,
+        CAST(regexp_extract(body, '([0-9]+) sq ft', 1)
+          AS BIGINT) AS sqft,
+        CAST(regexp_extract(body, 'USD ([0-9]+)\\.', 1)
+          AS BIGINT) AS price
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ bed, [0-9]+ bath, [0-9]+ sq ft listed at USD [0-9]+\\.'))
+    SELECT doc_id, beds, baths, sqft, price,
+      CAST(price // sqft AS BIGINT) AS usd_per_sqft
+    FROM g
+    """
+
+
+@query("real_estate_listing_parse", _realestate_oracle())
+def real_estate_listing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-estate listing parsing (round 4): the bed/bath/sqft/
+    price quad is the densest structured fact block in
+    classifieds — price-per-square-foot derives by integer
+    division, turning free text into the comparable metric the
+    market actually uses (and an outlier detector: a
+    three-order-of-magnitude ppsf is a typo'd listing). The
+    bedroom-community prose fails the count-noun grammar.
+
+    Scale shape: four extracts + one division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    beds = 2 + i % 4
+    baths = 1 + i % 3
+    sqft = 900 + (i * 37) % 2400
+    price = 200000 + (i * 7919) % 600000
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "a bedroom community with bathing beaches")).otherwise(
+        F.concat(beds.cast("string"), F.lit(" bed, "),
+                 baths.cast("string"), F.lit(" bath, "),
+                 sqft.cast("string"),
+                 F.lit(" sq ft listed at USD "),
+                 price.cast("string"), F.lit(".")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ bed, [0-9]+ bath, [0-9]+ sq ft listed at "
+        "USD [0-9]+\\.")))
+    bd = F.regexp_extract("body", "^([0-9]+) bed", 1).cast("int")
+    ba = F.regexp_extract("body", ", ([0-9]+) bath", 1).cast("int")
+    sf_ = F.regexp_extract("body", "([0-9]+) sq ft", 1).cast("long")
+    pr = F.regexp_extract("body", "USD ([0-9]+)\\.", 1).cast("long")
+    return g.select(
+        "doc_id", bd.alias("beds"), ba.alias("baths"),
+        sf_.alias("sqft"), pr.alias("price"),
+        ((pr - pr % sf_) / sf_).cast("long").alias("usd_per_sqft"),
+    )
+
+
+def _vehicle_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        2014 + doc_id % 11 AS yr,
+        20000 + (doc_id * 997) % 120000 AS miles,
+        8000 + (doc_id * 131) % 30000 AS price
+      FROM documents),
+    p AS (
+      SELECT doc_id, yr, miles, price,
+        CASE doc_id % 3
+          WHEN 2 THEN 'driven to succeed, priced to sell ideas'
+          ELSE CAST(yr AS VARCHAR) || ' Honda Civic, '
+            || CAST(miles AS VARCHAR) || ' miles, USD '
+            || CAST(price AS VARCHAR) || ' or best offer.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '^([0-9]{4}) ', 1) AS INT)
+          AS model_year,
+        regexp_extract(body, '^[0-9]{4} ([A-Za-z]+ [A-Za-z]+),',
+          1) AS make_model,
+        CAST(regexp_extract(body, ', ([0-9]+) miles', 1)
+          AS BIGINT) AS miles,
+        CAST(regexp_extract(body, 'USD ([0-9]+) or', 1)
+          AS BIGINT) AS price
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]{4} [A-Za-z]+ [A-Za-z]+, [0-9]+ miles, USD [0-9]+ or'))
+    SELECT doc_id, model_year, make_model, miles, price,
+      CAST(CASE WHEN 2026 - model_year > 0
+        THEN miles // (2026 - model_year) ELSE miles END
+        AS BIGINT) AS miles_per_year,
+      CAST(CASE WHEN miles // (CASE WHEN 2026 - model_year > 0
+          THEN 2026 - model_year ELSE 1 END) > 20000
+        THEN 1 ELSE 0 END AS INT) AS high_usage
+    FROM g
+    """
+
+
+@query("vehicle_listing_parse", _vehicle_oracle())
+def vehicle_listing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vehicle-listing parsing (round 4): year/make/mileage/price
+    decode positionally, and miles-per-year (against the corpus
+    snapshot year, zero-age guarded for ANSI) is the derived
+    metric buyers actually reason with — >20k/yr flags
+    fleet/rideshare history the listing text never volunteers.
+    The motivational prose fails the year-make grammar. VIN
+    checksums (vin_checksum_validate) verify identity; this
+    parses the market-facing face.
+
+    Scale shape: extracts + guarded division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    yr = 2014 + i % 11
+    miles = 20000 + (i * 997) % 120000
+    price = 8000 + (i * 131) % 30000
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "driven to succeed, priced to sell ideas")).otherwise(
+        F.concat(yr.cast("string"), F.lit(" Honda Civic, "),
+                 miles.cast("string"), F.lit(" miles, USD "),
+                 price.cast("string"), F.lit(" or best offer.")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]{4} [A-Za-z]+ [A-Za-z]+, [0-9]+ miles, "
+        "USD [0-9]+ or")))
+    my = F.regexp_extract("body", "^([0-9]{4}) ", 1).cast("int")
+    mm = F.regexp_extract(
+        "body", "^[0-9]{4} ([A-Za-z]+ [A-Za-z]+),", 1)
+    mi = F.regexp_extract("body", ", ([0-9]+) miles", 1).cast("long")
+    pr = F.regexp_extract("body", "USD ([0-9]+) or", 1).cast("long")
+    age = F.when(F.lit(2026) - my > 0, F.lit(2026) - my).otherwise(1)
+    mpy = ((mi - mi % age) / age).cast("long")
+    return g.select(
+        "doc_id", my.alias("model_year"), mm.alias("make_model"),
+        mi.alias("miles"), pr.alias("price"),
+        mpy.alias("miles_per_year"),
+        (mpy > 20000).cast("int").alias("high_usage"),
+    )
+
+
+def _salary_range_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        50000 + (doc_id * 1000) % 70000 AS lo
+      FROM documents),
+    c AS (
+      SELECT doc_id, lo, lo + 20000 + (doc_id * 500) % 30000
+        AS hi
+      FROM b),
+    p AS (
+      SELECT doc_id, lo, hi,
+        CASE doc_id % 3
+          WHEN 2 THEN 'a salary of compliments paid daily'
+          ELSE 'Compensation: USD ' || CAST(lo AS VARCHAR)
+            || ' - USD ' || CAST(hi AS VARCHAR)
+            || ' a year plus equity.'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          'USD ([0-9]+) - USD [0-9]+ a year', 1) AS BIGINT)
+          AS range_lo,
+        CAST(regexp_extract(body,
+          'USD [0-9]+ - USD ([0-9]+) a year', 1) AS BIGINT)
+          AS range_hi
+      FROM p
+      WHERE regexp_matches(body,
+        'USD [0-9]+ - USD [0-9]+ a year'))
+    SELECT doc_id, range_lo, range_hi,
+      CAST((range_lo + range_hi) // 2 AS BIGINT) AS midpoint,
+      CAST((1000 * (range_hi - range_lo)) // range_lo AS BIGINT)
+        AS spread_permille,
+      CAST(CASE WHEN range_hi > range_lo THEN 1 ELSE 0 END
+        AS INT) AS is_ordered
+    FROM g
+    """
+
+
+@query("salary_range_parse", _salary_range_oracle())
+def salary_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salary-range parsing (round 4): pay-transparency laws put
+    USD ranges into posting prose — midpoint and the
+    spread-over-base permille (wide ranges signal
+    level-ambiguous postings) derive by integer arithmetic, and
+    ordering (hi > lo) is the basic sanity gate. The prose
+    channel that complements jobposting_extract's schema.org
+    salary fields — most postings carry only one of the two.
+
+    Scale shape: two extracts + integer arithmetic per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lo = 50000 + (i * 1000) % 70000
+    hi = lo + 20000 + (i * 500) % 30000
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "a salary of compliments paid daily")).otherwise(
+        F.concat(F.lit("Compensation: USD "), lo.cast("string"),
+                 F.lit(" - USD "), hi.cast("string"),
+                 F.lit(" a year plus equity.")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "USD [0-9]+ - USD [0-9]+ a year")))
+    rl = F.regexp_extract(
+        "body", "USD ([0-9]+) - USD [0-9]+ a year", 1).cast("long")
+    rh = F.regexp_extract(
+        "body", "USD [0-9]+ - USD ([0-9]+) a year", 1).cast("long")
+    s = rl + rh
+    spread = F.lit(1000) * (rh - rl)
+    return g.select(
+        "doc_id", rl.alias("range_lo"), rh.alias("range_hi"),
+        ((s - s % 2) / 2).cast("long").alias("midpoint"),
+        ((spread - spread % rl) / rl).cast("long")
+        .alias("spread_permille"),
+        (rh > rl).cast("int").alias("is_ordered"),
+    )
+
+
+def _auction_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        50 + (doc_id * 17) % 900 AS bid,
+        3 + doc_id % 40 AS n_bids,
+        doc_id % 8 AS eh,
+        doc_id % 60 AS em
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 2 THEN 'bidding farewell takes no currency'
+          ELSE 'Current bid: USD ' || CAST(bid AS VARCHAR)
+            || ' (' || CAST(n_bids AS VARCHAR)
+            || ' bids), ends in ' || CAST(eh AS VARCHAR)
+            || 'h ' || CAST(em AS VARCHAR) || 'm.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'Current bid: USD ([0-9]+)',
+          1) AS BIGINT) AS current_bid,
+        CAST(regexp_extract(body, '\\(([0-9]+) bids\\)', 1)
+          AS INT) AS n_bids,
+        CAST(regexp_extract(body, 'ends in ([0-9]+)h', 1)
+          AS BIGINT) * 60
+        + CAST(regexp_extract(body, 'h ([0-9]+)m', 1)
+          AS BIGINT) AS ends_in_min
+      FROM p
+      WHERE regexp_matches(body,
+        'Current bid: USD [0-9]+ \\([0-9]+ bids\\), ends in [0-9]+h [0-9]+m'))
+    SELECT doc_id, current_bid, n_bids, ends_in_min,
+      CAST(CASE WHEN ends_in_min < 60 THEN 1 ELSE 0 END AS INT)
+        AS is_closing_soon
+    FROM g
+    """
+
+
+@query("auction_bid_parse", _auction_oracle())
+def auction_bid_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auction-state parsing (round 4): bid, bid count, and
+    time-remaining define a page that is STALE BY DESIGN — the
+    captured price is wrong the moment the auction moves, so
+    extraction must carry the ends-in horizon (folded to
+    minutes) as a validity TTL, with closing-soon pages the
+    most volatile (the commerce face of rss_feed_staleness).
+    Farewell prose fails the bid grammar.
+
+    Scale shape: three extracts + minute fold per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    bid = 50 + (i * 17) % 900
+    n_bids = 3 + i % 40
+    eh = i % 8
+    em = i % 60
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "bidding farewell takes no currency")).otherwise(
+        F.concat(F.lit("Current bid: USD "), bid.cast("string"),
+                 F.lit(" ("), n_bids.cast("string"),
+                 F.lit(" bids), ends in "), eh.cast("string"),
+                 F.lit("h "), em.cast("string"), F.lit("m.")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Current bid: USD [0-9]+ \\([0-9]+ bids\\), ends in "
+        "[0-9]+h [0-9]+m")))
+    cb = F.regexp_extract(
+        "body", "Current bid: USD ([0-9]+)", 1).cast("long")
+    nb = F.regexp_extract(
+        "body", "\\(([0-9]+) bids\\)", 1).cast("int")
+    mins = (F.regexp_extract("body", "ends in ([0-9]+)h", 1)
+            .cast("long") * 60
+            + F.regexp_extract("body", "h ([0-9]+)m", 1)
+            .cast("long"))
+    return g.select(
+        "doc_id", cb.alias("current_bid"), nb.alias("n_bids"),
+        mins.alias("ends_in_min"),
+        (mins < 60).cast("int").alias("is_closing_soon"),
+    )
+
+
+def _utm_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://shop.example/sale?utm_source='
+            || 'newsletter&utm_medium=email&utm_campaign=spring'
+            || CAST(doc_id % 30 AS VARCHAR)
+          WHEN 1 THEN 'https://shop.example/item?utm_source='
+            || 'google&utm_medium=cpc&utm_campaign=brand'
+            || CAST(doc_id % 30 AS VARCHAR) || '&utm_term=shoes'
+          ELSE 'https://shop.example/about?ref=footer'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, 'utm_source='))
+    SELECT doc_id,
+      regexp_extract(body, 'utm_source=([a-z0-9]+)', 1)
+        AS utm_source,
+      regexp_extract(body, 'utm_medium=([a-z0-9]+)', 1)
+        AS utm_medium,
+      regexp_extract(body, 'utm_campaign=([a-z0-9]+)', 1)
+        AS utm_campaign,
+      CAST(CASE WHEN regexp_extract(body,
+          'utm_medium=([a-z0-9]+)', 1) IN ('cpc', 'ppc',
+          'paidsearch', 'display') THEN 1 ELSE 0 END AS INT)
+        AS is_paid,
+      CAST(CASE WHEN contains(body, 'utm_term=') THEN 1 ELSE 0
+        END AS INT) AS has_term
+    FROM g
+    """
+
+
+@query("utm_campaign_parse", _utm_oracle())
+def utm_campaign_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM-campaign decomposition (round 4): the source/medium/
+    campaign triple encodes how traffic was BOUGHT — cpc-class
+    mediums are paid acquisition, utm_term leaks the purchased
+    keyword — so outlinks carrying UTM tags reveal the linking
+    site's monetization relationships (the analytics face of
+    affiliate_link_detect). url_canonicalize STRIPS these for
+    identity; this query mines them first — the two operations
+    are a pipeline, not alternatives. The bare ref= link is
+    the negative.
+
+    Scale shape: extracts + class flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("https://shop.example/sale?utm_source="
+                  "newsletter&utm_medium=email&utm_campaign="
+                  "spring"),
+            (i % 30).cast("string")))
+        .when(v == 1, F.concat(
+            F.lit("https://shop.example/item?utm_source="
+                  "google&utm_medium=cpc&utm_campaign=brand"),
+            (i % 30).cast("string"), F.lit("&utm_term=shoes")))
+        .otherwise(F.lit("https://shop.example/about?ref=footer"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("utm_source="))
+    medium = F.regexp_extract("body", "utm_medium=([a-z0-9]+)", 1)
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", "utm_source=([a-z0-9]+)", 1)
+        .alias("utm_source"),
+        medium.alias("utm_medium"),
+        F.regexp_extract("body", "utm_campaign=([a-z0-9]+)", 1)
+        .alias("utm_campaign"),
+        medium.isin("cpc", "ppc", "paidsearch", "display")
+        .cast("int").alias("is_paid"),
+        F.col("body").contains("utm_term=").cast("int")
+        .alias("has_term"),
+    )
+
+
+def _spf_result_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Received-SPF: pass (domain of example'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.com designates 192.0.2.'
+            || CAST(doc_id % 256 AS VARCHAR)
+            || ' as permitted sender)'
+          WHEN 1 THEN 'Received-SPF: fail (domain of spoofed'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.com does not designate 198.51.100.'
+            || CAST(doc_id % 256 AS VARCHAR)
+            || ' as permitted sender)'
+          WHEN 2 THEN 'Received-SPF: softfail (transitioning '
+            || 'domain of moving' || CAST(doc_id % 40 AS VARCHAR)
+            || '.org)'
+          ELSE 'the email passed along good news'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'Received-SPF: (pass|fail|softfail|neutral|none)', 1)
+          AS verdict,
+        regexp_extract(body, 'domain of ([a-z0-9.-]+)', 1)
+          AS claimed_domain,
+        regexp_extract(body, '((?:[0-9]{1,3}\\.){3}[0-9]{1,3})',
+          1) AS sender_ip
+      FROM p
+      WHERE regexp_matches(body,
+        'Received-SPF: (pass|fail|softfail|neutral|none)'))
+    SELECT doc_id, verdict, claimed_domain, sender_ip,
+      CAST(CASE WHEN verdict = 'pass' THEN 1 ELSE 0 END AS INT)
+        AS is_authenticated
+    FROM g
+    """
+
+
+@query("received_spf_result", _spf_result_oracle())
+def received_spf_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Received-SPF result parsing (round 4): the verdict header
+    is the RUNTIME outcome of the DNS policies
+    spf_record_parse reads — pass/fail/softfail per message,
+    with the claimed domain and evaluated sender IP in the
+    comment. Leaked mail archives carrying fail verdicts
+    document spoofing attempts in the wild; the
+    received_header_chain family gains its authentication leg.
+    Good-news prose fails the header grammar.
+
+    Scale shape: three extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Received-SPF: pass (domain of example"),
+            (i % 40).cast("string"),
+            F.lit(".com designates 192.0.2."),
+            (i % 256).cast("string"),
+            F.lit(" as permitted sender)")))
+        .when(v == 1, F.concat(
+            F.lit("Received-SPF: fail (domain of spoofed"),
+            (i % 40).cast("string"),
+            F.lit(".com does not designate 198.51.100."),
+            (i % 256).cast("string"),
+            F.lit(" as permitted sender)")))
+        .when(v == 2, F.concat(
+            F.lit("Received-SPF: softfail (transitioning "
+                  "domain of moving"),
+            (i % 40).cast("string"), F.lit(".org)")))
+        .otherwise(F.lit("the email passed along good news"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Received-SPF: (pass|fail|softfail|neutral|none)")))
+    verdict = F.regexp_extract(
+        "body", "Received-SPF: (pass|fail|softfail|neutral|none)", 1)
+    return g.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.regexp_extract("body", "domain of ([a-z0-9.-]+)", 1)
+        .alias("claimed_domain"),
+        F.regexp_extract(
+            "body", "((?:[0-9]{1,3}\\.){3}[0-9]{1,3})", 1)
+        .alias("sender_ip"),
+        (verdict == "pass").cast("int").alias("is_authenticated"),
+    )
+
+
+def _dpo_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'To exercise your rights under GDPR, '
+            || 'contact our data protection officer at '
+            || 'dpo@company' || CAST(doc_id % 60 AS VARCHAR)
+            || '.example. You may request access, '
+            || 'rectification, and erasure.'
+          WHEN 1 THEN 'Under GDPR you may lodge a complaint; '
+            || 'contact privacy@corp'
+            || CAST(doc_id % 60 AS VARCHAR)
+            || '.example for data portability requests.'
+          ELSE 'the general data about our protection plans'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE contains(body, 'GDPR')
+        AND regexp_matches(body, '[a-z]+@[a-z0-9.]+')),
+    s AS (
+      SELECT doc_id, body,
+        regexp_extract(body, '([a-z]+@[a-z0-9.]+[a-z])', 1)
+          AS contact_email
+      FROM g)
+    SELECT doc_id, contact_email,
+      CAST(CASE WHEN starts_with(contact_email, 'dpo@')
+        THEN 1 ELSE 0 END AS INT) AS has_named_dpo,
+      CAST(CASE WHEN contains(body, 'erasure') THEN 1 ELSE 0 END
+        + CASE WHEN contains(body, 'access') THEN 1 ELSE 0 END
+        + CASE WHEN contains(body, 'rectification') THEN 1
+          ELSE 0 END
+        + CASE WHEN contains(body, 'portability') THEN 1
+          ELSE 0 END AS INT) AS n_rights_named
+    FROM s
+    """
+
+
+@query("gdpr_dpo_contact", _dpo_oracle())
+def gdpr_dpo_contact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR contact extraction (round 4): privacy policies name
+    the data-protection contact and enumerate the rights they
+    honor — a dedicated dpo@ mailbox signals Article 37
+    compliance maturity vs a generic privacy@ alias, and the
+    named-rights census (access/rectification/erasure/
+    portability) measures policy completeness. The channel a
+    compliant crawler's own DSAR handling would need. Generic
+    data-plans prose fails the GDPR+email conjunction.
+
+    Scale shape: extracts + substring census per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("To exercise your rights under GDPR, contact "
+                  "our data protection officer at dpo@company"),
+            (i % 60).cast("string"),
+            F.lit(".example. You may request access, "
+                  "rectification, and erasure.")))
+        .when(v == 1, F.concat(
+            F.lit("Under GDPR you may lodge a complaint; "
+                  "contact privacy@corp"),
+            (i % 60).cast("string"),
+            F.lit(".example for data portability requests.")))
+        .otherwise(F.lit("the general data about our protection plans"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.col("body").contains("GDPR")
+                & F.regexp_like(F.col("body"), F.lit(
+                    "[a-z]+@[a-z0-9.]+")))
+    email = F.regexp_extract("body", "([a-z]+@[a-z0-9.]+[a-z])", 1)
+    rights = (
+        F.col("body").contains("erasure").cast("int")
+        + F.col("body").contains("access").cast("int")
+        + F.col("body").contains("rectification").cast("int")
+        + F.col("body").contains("portability").cast("int"))
+    return g.select(
+        "doc_id",
+        email.alias("contact_email"),
+        email.startswith("dpo@").cast("int").alias("has_named_dpo"),
+        rights.cast("int").alias("n_rights_named"),
+    )
+
+
+def _breach_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'On 2026-03-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' we discovered unauthorized access affecting '
+            || CAST(10000 + (doc_id * 997) % 500000 AS VARCHAR)
+            || ' users. Exposed data included email addresses '
+            || 'and hashed passwords.'
+          WHEN 1 THEN 'On 2026-05-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || ' we discovered unauthorized access affecting '
+            || CAST(500 + doc_id % 5000 AS VARCHAR)
+            || ' users. Exposed data included payment card '
+            || 'numbers.'
+          ELSE 'unauthorized parking affects all users of the lot'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, 'On ([0-9-]{10}) we discovered', 1)
+          AS discovered_date,
+        CAST(regexp_extract(body, 'affecting ([0-9]+) users', 1)
+          AS BIGINT) AS affected_users,
+        contains(body, 'payment card') AS has_payment,
+        contains(body, 'passwords') AS has_passwords
+      FROM p
+      WHERE regexp_matches(body,
+        'On [0-9-]{10} we discovered unauthorized access affecting [0-9]+ users'))
+    SELECT doc_id, discovered_date, affected_users,
+      CAST(CASE WHEN has_payment THEN 1 ELSE 0 END AS INT)
+        AS exposed_payment,
+      CAST(CASE WHEN has_passwords THEN 1 ELSE 0 END AS INT)
+        AS exposed_passwords,
+      CAST(CASE WHEN affected_users >= 100000 THEN 1 ELSE 0 END
+        AS INT) AS is_large_breach
+    FROM g
+    """
+
+
+@query("breach_notice_parse", _breach_oracle())
+def breach_notice_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breach-notice parsing (round 4): mandated disclosure
+    letters follow a tight grammar — discovery date, affected
+    count, and exposed data classes — making them the
+    structured record of which CREDENTIALS ON THE WEB ARE
+    BURNED (payment-card exposure outranks hashed passwords;
+    the 100k threshold tracks regulator reporting tiers). The
+    incident-forensics sibling of credential_dump_detect,
+    parsed from the victim's own announcement. Parking prose
+    fails the date-discovered grammar.
+
+    Scale shape: extracts + class flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("On 2026-03-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit(" we discovered unauthorized access affecting "),
+            (10000 + (i * 997) % 500000).cast("string"),
+            F.lit(" users. Exposed data included email addresses "
+                  "and hashed passwords.")))
+        .when(v == 1, F.concat(
+            F.lit("On 2026-05-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit(" we discovered unauthorized access affecting "),
+            (500 + i % 5000).cast("string"),
+            F.lit(" users. Exposed data included payment card "
+                  "numbers.")))
+        .otherwise(F.lit(
+            "unauthorized parking affects all users of the lot"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "On [0-9-]{10} we discovered unauthorized access "
+        "affecting [0-9]+ users")))
+    affected = F.regexp_extract(
+        "body", "affecting ([0-9]+) users", 1).cast("long")
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", "On ([0-9-]{10}) we discovered", 1)
+        .alias("discovered_date"),
+        affected.alias("affected_users"),
+        F.col("body").contains("payment card").cast("int")
+        .alias("exposed_payment"),
+        F.col("body").contains("passwords").cast("int")
+        .alias("exposed_passwords"),
+        (affected >= 100000).cast("int").alias("is_large_breach"),
+    )
+
+
+def _arabic_digit_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        translate(CAST(100 + doc_id % 900 AS VARCHAR),
+          '0123456789', '٠١٢٣٤٥٦٧٨٩') AS adigits
+      FROM documents),
+    p AS (
+      SELECT doc_id, adigits,
+        CASE doc_id % 3
+          WHEN 2 THEN 'the eastern markets opened early today'
+          ELSE 'تم شحن ' || adigits || ' قطعة هذا الأسبوع'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, '([٠-٩]+)', 1) AS raw_digits
+      FROM p
+      WHERE regexp_matches(body, '[٠-٩]+'))
+    SELECT doc_id, raw_digits,
+      translate(raw_digits, '٠١٢٣٤٥٦٧٨٩', '0123456789')
+        AS normalized,
+      CAST(translate(raw_digits, '٠١٢٣٤٥٦٧٨٩', '0123456789')
+        AS BIGINT) AS value
+    FROM g
+    """
+
+
+@query("arabic_indic_digit_normalize", _arabic_digit_oracle())
+def arabic_indic_digit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arabic-Indic digit normalization (round 4): ٠١٢٣-digit
+    runs in Arabic-script text are NUMBERS that every
+    ASCII-digit regex in this repo would silently miss — a
+    one-to-one translate() maps them to ASCII (codepoint-wise
+    on both engines) so quantity extraction works across the
+    script boundary. The normalize-then-parse order is the
+    lesson: grammar queries run AFTER this pass on
+    Arabic-script partitions.
+
+    Scale shape: extract + translate per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    adigits = F.translate(
+        (100 + i % 900).cast("string"),
+        "0123456789", "٠١٢٣٤٥٦٧٨٩")
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "the eastern markets opened early today")).otherwise(
+        F.concat(F.lit("تم شحن "), adigits,
+                 F.lit(" قطعة هذا الأسبوع")))
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit("[٠-٩]+")))
+        .select("doc_id", F.regexp_extract(
+            "body", "([٠-٩]+)", 1).alias("raw_digits"))
+    )
+    norm = F.translate(
+        F.col("raw_digits"), "٠١٢٣٤٥٦٧٨٩", "0123456789")
+    return g.select(
+        "doc_id", "raw_digits",
+        norm.alias("normalized"),
+        norm.cast("long").alias("value"),
+    )
+
+
+def _fullwidth_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        translate(CAST(1000 + doc_id % 9000 AS VARCHAR),
+          '0123456789', '０１２３４５６７８９') AS fw
+      FROM documents),
+    p AS (
+      SELECT doc_id, fw,
+        CASE doc_id % 3
+          WHEN 2 THEN 'regular width text flows normally here'
+          ELSE '価格：' || fw || '円（税込）'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, '([０-９]+)', 1) AS fw_digits,
+        len(regexp_extract_all(body, '[！-～０-９：（）]'))
+          AS n_fullwidth
+      FROM p
+      WHERE regexp_matches(body, '[０-９]+'))
+    SELECT doc_id, fw_digits,
+      CAST(translate(fw_digits, '０１２３４５６７８９',
+        '0123456789') AS BIGINT) AS value,
+      CAST(n_fullwidth AS INT) AS n_fullwidth_chars
+    FROM g
+    """
+
+
+@query("fullwidth_form_normalize", _fullwidth_oracle())
+def fullwidth_form_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fullwidth-form normalization (round 4): CJK typography
+    sets digits and punctuation in fullwidth codepoints
+    (１２３, ：, （）) that are semantically ASCII — prices and
+    quantities in Japanese commerce pages are INVISIBLE to
+    ASCII-digit grammars until this translate() pass runs (the
+    compatibility-codepoint problem ligature_fold solves for
+    Latin, at the other end of the width axis). The census
+    column counts how much of the page lives in the fullwidth
+    block.
+
+    Scale shape: extract + translate per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    fw = F.translate(
+        (1000 + i % 9000).cast("string"),
+        "0123456789", "０１２３４５６７８９")
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "regular width text flows normally here")).otherwise(
+        F.concat(F.lit("価格："), fw, F.lit("円（税込）")))
+    p = d.select("doc_id", body.alias("body"))
+    g = (
+        p.where(F.regexp_like(F.col("body"), F.lit("[０-９]+")))
+        .select(
+            "doc_id",
+            F.regexp_extract("body", "([０-９]+)", 1)
+            .alias("fw_digits"),
+            F.size(F.regexp_extract_all(
+                F.col("body"), F.lit("[！-～０-９：（）]"), 0))
+            .alias("n_fullwidth"))
+    )
+    return g.select(
+        "doc_id", "fw_digits",
+        F.translate(F.col("fw_digits"), "０１２３４５６７８９",
+                    "0123456789").cast("long").alias("value"),
+        F.col("n_fullwidth").cast("int").alias("n_fullwidth_chars"),
+    )
+
+
+def _jp_era_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '令和' || CAST(1 + doc_id % 8 AS VARCHAR)
+            || '年の統計によると増加した'
+          WHEN 1 THEN '平成' || CAST(1 + doc_id % 30 AS VARCHAR)
+            || '年に設立された会社です'
+          WHEN 2 THEN '昭和' || CAST(30 + doc_id % 30 AS VARCHAR)
+            || '年製の機械がまだ動く'
+          ELSE '昭和の雰囲気が残る商店街を歩いた'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, '(令和|平成|昭和)([0-9]+)年',
+          ['era', 'yr']) AS m
+      FROM p
+      WHERE regexp_matches(body, '(令和|平成|昭和)[0-9]+年'))
+    SELECT doc_id,
+      m.era AS era_name,
+      CAST(m.yr AS INT) AS era_year,
+      CAST(CASE m.era WHEN '令和' THEN 2018
+        WHEN '平成' THEN 1988 ELSE 1925 END
+        + CAST(m.yr AS INT) AS INT) AS gregorian_year
+    FROM g
+    """
+
+
+@query("japanese_era_convert", _jp_era_oracle())
+def japanese_era_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese era-year conversion (round 4): 令和/平成/昭和
+    regnal years convert by fixed offsets (Reiwa+2018,
+    Heisei+1988, Showa+1925) — the dominant date notation on
+    Japanese official pages, and a content-dating channel
+    copyright_staleness can't read. The era-without-digits
+    idiom (昭和の雰囲気, 'Showa vibes') is pinned out by the
+    digits-年 grammar — the era name alone is an aesthetic,
+    not a date.
+
+    Scale shape: grouped extract + offset CASE per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("令和"), (1 + i % 8).cast("string"),
+            F.lit("年の統計によると増加した")))
+        .when(v == 1, F.concat(
+            F.lit("平成"), (1 + i % 30).cast("string"),
+            F.lit("年に設立された会社です")))
+        .when(v == 2, F.concat(
+            F.lit("昭和"), (30 + i % 30).cast("string"),
+            F.lit("年製の機械がまだ動く")))
+        .otherwise(F.lit("昭和の雰囲気が残る商店街を歩いた"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "(令和|平成|昭和)([0-9]+)年"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(令和|平成|昭和)[0-9]+年")))
+    era = F.regexp_extract("body", pat, 1)
+    yr = F.regexp_extract("body", pat, 2).cast("int")
+    return g.select(
+        "doc_id",
+        era.alias("era_name"),
+        yr.alias("era_year"),
+        (F.when(era == "令和", 2018)
+         .when(era == "平成", 1988).otherwise(1925) + yr)
+        .cast("int").alias("gregorian_year"),
+    )
+
+
+def _buddhist_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 2560 + doc_id % 12 AS be FROM documents),
+    p AS (
+      SELECT doc_id, be,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Festival held in B.E. '
+            || CAST(be AS VARCHAR) || ' (CE '
+            || CAST(be - 543 AS VARCHAR) || ') across the region.'
+          WHEN 1 THEN 'Census taken in B.E. '
+            || CAST(be AS VARCHAR) || ' (CE '
+            || CAST(be - 542 AS VARCHAR) || ') nationwide.'
+          ELSE 'to be or not to be, asked the calendar'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'B\\.E\\. ([0-9]{4})', 1)
+          AS INT) AS be_year,
+        CAST(regexp_extract(body, '\\(CE ([0-9]{4})\\)', 1)
+          AS INT) AS claimed_ce
+      FROM p
+      WHERE regexp_matches(body,
+        'B\\.E\\. [0-9]{4} \\(CE [0-9]{4}\\)'))
+    SELECT doc_id, be_year, claimed_ce,
+      CAST(be_year - 543 AS INT) AS actual_ce,
+      CAST(CASE WHEN claimed_ce = be_year - 543 THEN 1 ELSE 0
+        END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("buddhist_era_audit", _buddhist_oracle())
+def buddhist_era_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buddhist-era audit (round 4): Thai pages date in B.E.
+    (CE + 543), and dual-dated text self-checks by the fixed
+    offset — the planted −542 conversion is the off-by-one
+    every manual converter makes (the era cousin of the DST
+    error in timezone_offset_audit). Calendar conversions join
+    the dual-representation audit family; Hamlet prose fails
+    the B.E.-digits grammar.
+
+    Scale shape: two extracts + one subtraction per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    be = 2560 + i % 12
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Festival held in B.E. "), be.cast("string"),
+            F.lit(" (CE "), (be - 543).cast("string"),
+            F.lit(") across the region.")))
+        .when(v == 1, F.concat(
+            F.lit("Census taken in B.E. "), be.cast("string"),
+            F.lit(" (CE "), (be - 542).cast("string"),
+            F.lit(") nationwide.")))
+        .otherwise(F.lit("to be or not to be, asked the calendar"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "B\\.E\\. [0-9]{4} \\(CE [0-9]{4}\\)")))
+    bey = F.regexp_extract(
+        "body", "B\\.E\\. ([0-9]{4})", 1).cast("int")
+    ce = F.regexp_extract("body", "\\(CE ([0-9]{4})\\)", 1).cast("int")
+    return g.select(
+        "doc_id", bey.alias("be_year"), ce.alias("claimed_ce"),
+        (bey - 543).cast("int").alias("actual_ce"),
+        (ce == bey - 543).cast("int").alias("is_consistent"),
+    )
+
+
+def _binary_units_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 5 * (2 + doc_id % 6) AS gbx10
+      FROM documents),
+    p AS (
+      SELECT doc_id, gbx10,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Download size ' || CAST(gbx10 // 10
+              AS VARCHAR) || '.' || CAST(gbx10 % 10 AS VARCHAR)
+            || ' GB (' || CAST(gbx10 * 1024 // 10 AS VARCHAR)
+            || ' MB) over wifi.'
+          WHEN 1 THEN 'Download size ' || CAST(gbx10 // 10
+              AS VARCHAR) || '.' || CAST(gbx10 % 10 AS VARCHAR)
+            || ' GB (' || CAST(gbx10 * 100 AS VARCHAR)
+            || ' MB) over wifi.'
+          WHEN 2 THEN 'Download size ' || CAST(gbx10 // 10
+              AS VARCHAR) || '.' || CAST(gbx10 % 10 AS VARCHAR)
+            || ' GB (' || CAST(gbx10 * 100 + 77 AS VARCHAR)
+            || ' MB) over wifi.'
+          ELSE 'gigabytes of enthusiasm, megabytes of time'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          'size ([0-9]+)\\.([0-9]) GB', 1) AS BIGINT) * 10
+        + CAST(regexp_extract(body,
+          'size ([0-9]+)\\.([0-9]) GB', 2) AS BIGINT) AS gbx10,
+        CAST(regexp_extract(body, '\\(([0-9]+) MB\\)', 1)
+          AS BIGINT) AS mb
+      FROM p
+      WHERE regexp_matches(body,
+        'size [0-9]+\\.[0-9] GB \\([0-9]+ MB\\)'))
+    SELECT doc_id, gbx10, mb,
+      CASE WHEN mb = gbx10 * 1024 // 10 THEN 'binary'
+        WHEN mb = gbx10 * 100 THEN 'decimal'
+        ELSE 'inconsistent' END AS unit_convention,
+      CAST(CASE WHEN mb = gbx10 * 1024 // 10
+          OR mb = gbx10 * 100 THEN 1 ELSE 0 END AS INT)
+        AS is_consistent
+    FROM g
+    """

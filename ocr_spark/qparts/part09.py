@@ -1,0 +1,2578 @@
+"""Query registry part: continuation of the preceding part's sections
+
+Part 09 of 09 of the split query registry (VERDICT r4 next
+#7: the 72.8k-line ocr_spark/queries.py split behind the same
+QUERIES/ORACLE registry, registration order preserved — parts import
+sequentially from the ocr_spark.queries facade, which also
+back-patches call-time name resolution so intra-registry helper
+references behave exactly as in the original single module).
+"""
+
+from __future__ import annotations
+
+import ocr_spark.queries_base as _base
+
+globals().update(
+    {k: v for k, v in vars(_base).items() if not k.startswith("__")}
+)
+import ocr_spark.qparts.part08 as _prev
+
+globals().update(
+    {k: v for k, v in vars(_prev).items() if not k.startswith("__")}
+)
+
+
+
+@query("binary_size_units_audit", _binary_units_oracle())
+def binary_size_units_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-vs-SI size audit (round 4): '1.5 GB (1536 MB)'
+    reveals WHICH gigabyte the page means — x1024 binary or
+    x1000 decimal (both conventions are live on the web and
+    differ by 7.4%; storage marketing vs OS dialogs) — and a
+    parenthetical matching NEITHER is a real error (the
+    planted +77). Classifying the convention is what makes
+    cross-page size comparisons commensurable.
+
+    Scale shape: extracts + two candidate checks per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    gbx10 = 5 * (2 + i % 6)
+    k = gbx10 * 1024
+    mb_bin = ((k - k % 10) / 10).cast("long")
+    v = i % 4
+
+    def _fmt(x):
+        return F.concat(((x - x % 10) / 10).cast("long").cast("string"),
+                        F.lit("."), (x % 10).cast("string"))
+
+    def _line(mb):
+        return F.concat(
+            F.lit("Download size "), _fmt(gbx10), F.lit(" GB ("),
+            mb.cast("string"), F.lit(" MB) over wifi."))
+
+    body = (
+        F.when(v == 0, _line(mb_bin))
+        .when(v == 1, _line(gbx10 * 100))
+        .when(v == 2, _line(gbx10 * 100 + 77))
+        .otherwise(F.lit(
+            "gigabytes of enthusiasm, megabytes of time"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "size [0-9]+\\.[0-9] GB \\([0-9]+ MB\\)")))
+    gp = "size ([0-9]+)\\.([0-9]) GB"
+    gx = (F.regexp_extract("body", gp, 1).cast("long") * 10
+          + F.regexp_extract("body", gp, 2).cast("long"))
+    mb = F.regexp_extract("body", "\\(([0-9]+) MB\\)", 1).cast("long")
+    kk = gx * 1024
+    bin_mb = ((kk - kk % 10) / 10).cast("long")
+    return g.select(
+        "doc_id", gx.alias("gbx10"), mb.alias("mb"),
+        F.when(mb == bin_mb, F.lit("binary"))
+        .when(mb == gx * 100, F.lit("decimal"))
+        .otherwise(F.lit("inconsistent")).alias("unit_convention"),
+        ((mb == bin_mb) | (mb == gx * 100)).cast("int")
+        .alias("is_consistent"),
+    )
+
+
+def _sla_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 9900 WHEN 1 THEN 9990
+          ELSE 9999 END AS slax100
+      FROM documents),
+    c AS (
+      SELECT doc_id, slax100,
+        525600 * (10000 - slax100) // 10000 AS dt_min
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Our ' || CAST(slax100 // 100 AS VARCHAR)
+            || '.' || lpad(CAST(slax100 % 100 AS VARCHAR), 2,
+              '0') || ' percent uptime SLA allows '
+            || CAST(dt_min AS VARCHAR)
+            || ' minutes of downtime per year.'
+          WHEN 1 THEN 'Our ' || CAST(slax100 // 100 AS VARCHAR)
+            || '.' || lpad(CAST(slax100 % 100 AS VARCHAR), 2,
+              '0') || ' percent uptime SLA allows '
+            || CAST(dt_min + 60 AS VARCHAR)
+            || ' minutes of downtime per year.'
+          ELSE 'our uptime is a state of mind'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          'Our ([0-9]+)\\.([0-9]{2}) percent', 1) AS BIGINT)
+          * 100
+        + CAST(regexp_extract(body,
+          'Our ([0-9]+)\\.([0-9]{2}) percent', 2) AS BIGINT)
+          AS slax100,
+        CAST(regexp_extract(body, 'allows ([0-9]+) minutes', 1)
+          AS BIGINT) AS claimed_min
+      FROM p
+      WHERE regexp_matches(body,
+        'Our [0-9]+\\.[0-9]{2} percent uptime SLA allows [0-9]+ minutes'))
+    SELECT doc_id, slax100, claimed_min,
+      CAST(525600 * (10000 - slax100) // 10000 AS BIGINT)
+        AS actual_min,
+      CAST(CASE WHEN abs(claimed_min
+          - 525600 * (10000 - slax100) // 10000) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("uptime_sla_audit", _sla_oracle())
+def uptime_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uptime-SLA audit (round 4): availability percentages map
+    deterministically to annual downtime budgets (525600 min ×
+    the complement — 99.9% IS ~525 minutes), so an SLA page
+    quoting both self-checks to the minute; the planted +60
+    claim is the marketing-rounds-up error. The nines tier
+    (99/99.9/99.99) is the service-class prior for
+    infrastructure pages.
+
+    Scale shape: extracts + one multiply-divide per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    slax100 = (
+        F.when(i % 3 == 0, 9900).when(i % 3 == 1, 9990)
+        .otherwise(9999))
+    k = F.lit(525600) * (10000 - slax100)
+    dt = ((k - k % 10000) / 10000).cast("long")
+    v = i % 4
+
+    def _fmt(x):
+        return F.concat(
+            ((x - x % 100) / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((x % 100).cast("string"), 2, "0"))
+
+    def _line(m_):
+        return F.concat(
+            F.lit("Our "), _fmt(slax100),
+            F.lit(" percent uptime SLA allows "), m_.cast("string"),
+            F.lit(" minutes of downtime per year."))
+
+    body = (
+        F.when(v == 0, _line(dt))
+        .when(v == 1, _line(dt + 60))
+        .otherwise(F.lit("our uptime is a state of mind"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Our [0-9]+\\.[0-9]{2} percent uptime SLA allows "
+        "[0-9]+ minutes")))
+    sp = "Our ([0-9]+)\\.([0-9]{2}) percent"
+    sx = (F.regexp_extract("body", sp, 1).cast("long") * 100
+          + F.regexp_extract("body", sp, 2).cast("long"))
+    cl = F.regexp_extract(
+        "body", "allows ([0-9]+) minutes", 1).cast("long")
+    kk = F.lit(525600) * (10000 - sx)
+    act = ((kk - kk % 10000) / 10000).cast("long")
+    return g.select(
+        "doc_id", sx.alias("slax100"), cl.alias("claimed_min"),
+        act.alias("actual_min"),
+        (F.abs(cl - act) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _aspect_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Renders at 1920x1080 (16:9) on desktop '
+            || CAST(doc_id % 40 AS VARCHAR) || '.'
+          WHEN 1 THEN 'Plays at 1280x720 (16:9) by default.'
+          WHEN 2 THEN 'Shown at 1920x1200 (16:9) incorrectly '
+            || 'labeled.'
+          ELSE 'the resolution of the dispute took 16 days'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          '([0-9]+)x([0-9]+) \\(([0-9]+):([0-9]+)\\)',
+          ['w', 'h', 'ra', 'rb']) AS m
+      FROM p
+      WHERE regexp_matches(body,
+        '[0-9]+x[0-9]+ \\([0-9]+:[0-9]+\\)'))
+    SELECT doc_id,
+      CAST(m.w AS INT) AS width,
+      CAST(m.h AS INT) AS height,
+      m.ra || ':' || m.rb AS claimed_ratio,
+      CAST(CASE WHEN CAST(m.ra AS BIGINT) * CAST(m.h AS BIGINT)
+          = CAST(m.rb AS BIGINT) * CAST(m.w AS BIGINT)
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("resolution_aspect_audit", _aspect_oracle())
+def resolution_aspect_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution aspect-ratio audit (round 4): WxH plus a
+    claimed a:b ratio cross-multiplies (a·H = b·W — no GCD
+    reduction needed, the division-free check), and the
+    planted 1920x1200-as-16:9 is the real mislabel 16:10
+    panels carry all over spec sheets. Display facts feed the
+    device-class priors srcset_best_image and
+    responsive_breakpoint_profile reason over.
+
+    Scale shape: grouped extract + cross-multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Renders at 1920x1080 (16:9) on desktop "),
+            (i % 40).cast("string"), F.lit(".")))
+        .when(v == 1, F.lit("Plays at 1280x720 (16:9) by default."))
+        .when(v == 2, F.lit(
+            "Shown at 1920x1200 (16:9) incorrectly labeled."))
+        .otherwise(F.lit("the resolution of the dispute took 16 days"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    pat = "([0-9]+)x([0-9]+) \\(([0-9]+):([0-9]+)\\)"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+x[0-9]+ \\([0-9]+:[0-9]+\\)")))
+
+    def _g(k):
+        return F.regexp_extract("body", pat, k)
+
+    return g.select(
+        "doc_id",
+        _g(1).cast("int").alias("width"),
+        _g(2).cast("int").alias("height"),
+        F.concat(_g(3), F.lit(":"), _g(4)).alias("claimed_ratio"),
+        (_g(3).cast("long") * _g(2).cast("long")
+         == _g(4).cast("long") * _g(1).cast("long")).cast("int")
+        .alias("is_consistent"),
+    )
+
+
+def _filesize_sum_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        10 + doc_id % 30 AS s1,
+        5 + (doc_id * 3) % 20 AS s2,
+        2 + (doc_id * 7) % 10 AS s3
+      FROM documents),
+    p AS (
+      SELECT doc_id, s1, s2, s3,
+        CASE doc_id % 3
+          WHEN 0 THEN '3 attachments totaling '
+            || CAST(s1 + s2 + s3 AS VARCHAR) || ' MB: '
+            || CAST(s1 AS VARCHAR) || ' MB, '
+            || CAST(s2 AS VARCHAR) || ' MB, '
+            || CAST(s3 AS VARCHAR) || ' MB.'
+          WHEN 1 THEN '3 attachments totaling '
+            || CAST(s1 + s2 + s3 + 9 AS VARCHAR) || ' MB: '
+            || CAST(s1 AS VARCHAR) || ' MB, '
+            || CAST(s2 AS VARCHAR) || ' MB, '
+            || CAST(s3 AS VARCHAR) || ' MB.'
+          ELSE 'attachments of sentiment weigh nothing'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '^([0-9]+) attachments', 1)
+          AS INT) AS declared_count,
+        CAST(regexp_extract(body, 'totaling ([0-9]+) MB:', 1)
+          AS BIGINT) AS claimed_total,
+        list_transform(regexp_extract_all(body,
+          ' ([0-9]+) MB[,.]', 1), x -> CAST(x AS BIGINT))
+          AS sizes
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ attachments totaling [0-9]+ MB: ')),
+    s AS (
+      SELECT doc_id, declared_count, claimed_total, sizes,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), sizes),
+          (acc, x) -> acc + x) AS actual_total
+      FROM g)
+    SELECT doc_id, declared_count, claimed_total,
+      CAST(len(sizes) AS INT) AS n_items,
+      CAST(actual_total AS BIGINT) AS actual_total,
+      CAST(CASE WHEN len(sizes) = declared_count THEN 1 ELSE 0
+        END AS INT) AS count_consistent,
+      CAST(CASE WHEN actual_total = claimed_total THEN 1 ELSE 0
+        END AS INT) AS total_consistent
+    FROM s
+    """
+
+
+@query("file_size_sum_audit", _filesize_sum_oracle())
+def file_size_sum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size sum audit (round 4): an attachment manifest
+    states count AND total AND itemized sizes — two independent
+    folds check both (the itemized list is parsed with its
+    trailing-delimiter grammar so the total before the colon
+    never double-counts), and the planted +9 MB total models
+    the forgotten-attachment edit. The manifest sibling of
+    download_checksum_pairs, at the size level instead of the
+    hash level.
+
+    Scale shape: extract-all + in-row fold per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s1 = 10 + i % 30
+    s2 = 5 + (i * 3) % 20
+    s3 = 2 + (i * 7) % 10
+    v = i % 3
+
+    def _line(total):
+        return F.concat(
+            F.lit("3 attachments totaling "), total.cast("string"),
+            F.lit(" MB: "), s1.cast("string"), F.lit(" MB, "),
+            s2.cast("string"), F.lit(" MB, "),
+            s3.cast("string"), F.lit(" MB."))
+
+    body = (
+        F.when(v == 0, _line(s1 + s2 + s3))
+        .when(v == 1, _line(s1 + s2 + s3 + 9))
+        .otherwise(F.lit("attachments of sentiment weigh nothing"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ attachments totaling [0-9]+ MB: ")))
+    dc = F.regexp_extract(
+        "body", "^([0-9]+) attachments", 1).cast("int")
+    ct = F.regexp_extract(
+        "body", "totaling ([0-9]+) MB:", 1).cast("long")
+    sizes = F.transform(
+        F.regexp_extract_all(
+            F.col("body"), F.lit(" ([0-9]+) MB[,.]"), 1),
+        lambda x: x.cast("long"))
+    at = F.aggregate(sizes, F.lit(0).cast("long"),
+                     lambda acc, x: acc + x)
+    return g.select(
+        "doc_id", dc.alias("declared_count"),
+        ct.alias("claimed_total"),
+        F.size(sizes).cast("int").alias("n_items"),
+        at.cast("long").alias("actual_total"),
+        (F.size(sizes) == dc).cast("int").alias("count_consistent"),
+        (at == ct).cast("int").alias("total_consistent"),
+    )
+
+
+def _curl_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'curl -X POST https://api.example'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.com/v2/orders -H "Authorization: Bearer '
+            || 'sk_test_' || CAST(doc_id % 10000 AS VARCHAR)
+            || '" -d "qty=2"'
+          WHEN 1 THEN 'curl https://files.example'
+            || CAST(doc_id % 40 AS VARCHAR)
+            || '.org/report.pdf -o report.pdf'
+          ELSE 'curl up with a good book tonight'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body FROM p
+      WHERE regexp_matches(body, '^curl .*https://')),
+    s AS (
+      SELECT doc_id, body,
+        regexp_matches(body, '-X ([A-Z]+)') AS has_method
+      FROM g)
+    SELECT doc_id,
+      CASE WHEN has_method THEN
+        regexp_extract(body, '-X ([A-Z]+)', 1) ELSE 'GET' END
+        AS method,
+      regexp_extract(body, '(https://[^ ]+)', 1) AS url,
+      CAST(CASE WHEN contains(body, 'Authorization: Bearer ')
+        THEN 1 ELSE 0 END AS INT) AS leaks_bearer_token,
+      CAST(CASE WHEN contains(body, ' -d ') THEN 1 ELSE 0 END
+        AS INT) AS has_body
+    FROM s
+    """
+
+
+@query("curl_command_parse", _curl_oracle())
+def curl_command_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curl-command parsing (round 4): API documentation teaches
+    by curl example — method (default GET when -X is absent,
+    the spec's own default), endpoint URL, and whether the
+    example pastes a REAL-LOOKING bearer token (the
+    documentation face of api_key_exposure_scan: sk_test_
+    prefixes are public-by-design, anything else in a crawled
+    doc is a leak candidate). (command, endpoint) pairs are
+    API-use supervision. Book prose fails the curl-URL
+    conjunction.
+
+    Scale shape: extracts + flags per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("curl -X POST https://api.example"),
+            (i % 40).cast("string"),
+            F.lit('.com/v2/orders -H "Authorization: Bearer '
+                  "sk_test_"),
+            (i % 10000).cast("string"), F.lit('" -d "qty=2"')))
+        .when(v == 1, F.concat(
+            F.lit("curl https://files.example"),
+            (i % 40).cast("string"),
+            F.lit(".org/report.pdf -o report.pdf")))
+        .otherwise(F.lit("curl up with a good book tonight"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^curl .*https://")))
+    has_method = F.regexp_like(F.col("body"), F.lit("-X ([A-Z]+)"))
+    return g.select(
+        "doc_id",
+        F.when(has_method, F.regexp_extract(
+            "body", "-X ([A-Z]+)", 1)).otherwise(F.lit("GET"))
+        .alias("method"),
+        F.regexp_extract("body", "(https://[^ ]+)", 1).alias("url"),
+        F.col("body").contains("Authorization: Bearer ")
+        .cast("int").alias("leaks_bearer_token"),
+        F.col("body").contains(" -d ").cast("int").alias("has_body"),
+    )
+
+
+def _rate_limit_doc_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'second' WHEN 1 THEN 'minute'
+          ELSE 'hour' END AS unit,
+        CASE doc_id % 3 WHEN 0 THEN 5 + doc_id % 20
+          WHEN 1 THEN 60 + doc_id % 540
+          ELSE 1000 + doc_id % 9000 END AS lim
+      FROM documents),
+    p AS (
+      SELECT doc_id, unit, lim,
+        CASE doc_id % 4
+          WHEN 3 THEN 'requests for time off are limited'
+          ELSE 'Rate limit: ' || CAST(lim AS VARCHAR)
+            || ' requests per ' || unit || ' per API key.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          'Rate limit: ([0-9]+) requests', 1) AS BIGINT)
+          AS stated_limit,
+        regexp_extract(body,
+          'requests per (second|minute|hour)', 1) AS unit
+      FROM p
+      WHERE regexp_matches(body,
+        'Rate limit: [0-9]+ requests per (second|minute|hour)'))
+    SELECT doc_id, stated_limit, unit,
+      CAST(CASE unit WHEN 'second' THEN stated_limit * 3600
+        WHEN 'minute' THEN stated_limit * 60
+        ELSE stated_limit END AS BIGINT) AS per_hour_equiv
+    FROM g
+    """
+
+
+@query("rate_limit_doc_parse", _rate_limit_doc_oracle())
+def rate_limit_doc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented rate-limit parsing (round 4): API docs state
+    quotas in mixed units — normalizing to a per-hour
+    equivalent (×3600/×60/×1, exact) makes limits comparable
+    across services and feeds the same politeness budget that
+    ratelimit_headers_parse reads from live responses;
+    docs-vs-headers disagreement is a staleness signal. The
+    time-off prose fails the rate-limit grammar.
+
+    Scale shape: two extracts + unit CASE per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    unit = (
+        F.when(i % 3 == 0, F.lit("second"))
+        .when(i % 3 == 1, F.lit("minute")).otherwise(F.lit("hour")))
+    lim = (
+        F.when(i % 3 == 0, 5 + i % 20)
+        .when(i % 3 == 1, 60 + i % 540)
+        .otherwise(1000 + i % 9000))
+    v = i % 4
+    body = F.when(v == 3, F.lit(
+        "requests for time off are limited")).otherwise(
+        F.concat(F.lit("Rate limit: "), lim.cast("string"),
+                 F.lit(" requests per "), unit,
+                 F.lit(" per API key.")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Rate limit: [0-9]+ requests per (second|minute|hour)")))
+    sl = F.regexp_extract(
+        "body", "Rate limit: ([0-9]+) requests", 1).cast("long")
+    un = F.regexp_extract(
+        "body", "requests per (second|minute|hour)", 1)
+    return g.select(
+        "doc_id", sl.alias("stated_limit"), un.alias("unit"),
+        F.when(un == "second", sl * 3600)
+        .when(un == "minute", sl * 60).otherwise(sl)
+        .cast("long").alias("per_hour_equiv"),
+    )
+
+
+def _sunset_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'API v1 will be retired on 2026-0'
+            || CAST(6 + doc_id % 4 AS VARCHAR) || '-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || '; migrate to v2 before then.'
+          WHEN 1 THEN 'Sunset: Sat, 31 Oct 2026 23:59:59 GMT'
+            || ' announced for the legacy endpoint '
+            || CAST(doc_id % 40 AS VARCHAR) || '.'
+          ELSE 'the sunset over the bay was worth the hike'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body,
+          'will be retired on [0-9]{4}-[0-9]{2}-[0-9]{2}')
+          AS is_prose
+      FROM p
+      WHERE regexp_matches(body,
+        'will be retired on [0-9]{4}-[0-9]{2}-[0-9]{2}')
+        OR regexp_matches(body, 'Sunset: [A-Za-z]{3}, '))
+    SELECT doc_id,
+      CASE WHEN is_prose THEN 'prose' ELSE 'header' END
+        AS channel,
+      CASE WHEN is_prose THEN regexp_extract(body,
+        'retired on ([0-9-]{10})', 1)
+      ELSE regexp_extract(body,
+        'Sunset: [A-Za-z]{3}, ([0-9]{2} [A-Za-z]{3} [0-9]{4})',
+        1) END AS sunset_date_raw,
+      CASE WHEN is_prose THEN
+        regexp_extract(body, 'API (v[0-9]+) will', 1)
+      ELSE '' END AS deprecated_version,
+      CASE WHEN is_prose THEN
+        regexp_extract(body, 'migrate to (v[0-9]+)', 1)
+      ELSE '' END AS successor_version
+    FROM g
+    """
+
+
+@query("api_deprecation_sunset", _sunset_oracle())
+def api_deprecation_sunset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-deprecation parsing (round 4): retirement announcements
+    travel in two channels — prose ('v1 retired on DATE,
+    migrate to v2', carrying the succession edge) and the RFC
+    8594 Sunset header (machine-readable, carrying only the
+    date) — and a crawler that caches API docs past their
+    sunset serves dead instructions. The succession pair joins
+    semver_bump_audit's version graph; sunset scenery fails
+    both grammars.
+
+    Scale shape: channel gate + extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("API v1 will be retired on 2026-0"),
+            (6 + i % 4).cast("string"), F.lit("-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit("; migrate to v2 before then.")))
+        .when(v == 1, F.concat(
+            F.lit("Sunset: Sat, 31 Oct 2026 23:59:59 GMT"
+                  " announced for the legacy endpoint "),
+            (i % 40).cast("string"), F.lit(".")))
+        .otherwise(F.lit("the sunset over the bay was worth the hike"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_prose = F.regexp_like(F.col("body"), F.lit(
+        "will be retired on [0-9]{4}-[0-9]{2}-[0-9]{2}"))
+    g = p.where(is_prose | F.regexp_like(F.col("body"), F.lit(
+        "Sunset: [A-Za-z]{3}, ")))
+    return g.select(
+        "doc_id",
+        F.when(is_prose, F.lit("prose")).otherwise(F.lit("header"))
+        .alias("channel"),
+        F.when(is_prose, F.regexp_extract(
+            "body", "retired on ([0-9-]{10})", 1))
+        .otherwise(F.regexp_extract(
+            "body",
+            "Sunset: [A-Za-z]{3}, ([0-9]{2} [A-Za-z]{3} [0-9]{4})",
+            1)).alias("sunset_date_raw"),
+        F.when(is_prose, F.regexp_extract(
+            "body", "API (v[0-9]+) will", 1)).otherwise(F.lit(""))
+        .alias("deprecated_version"),
+        F.when(is_prose, F.regexp_extract(
+            "body", "migrate to (v[0-9]+)", 1)).otherwise(F.lit(""))
+        .alias("successor_version"),
+    )
+
+
+def _incident_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Investigating - elevated API latency in '
+            || 'region ' || CAST(doc_id % 8 AS VARCHAR)
+            || '. Update 14:'
+            || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+            || ' UTC: Identified - database failover in progress.'
+          WHEN 1 THEN 'Monitoring - fix deployed for queue '
+            || 'backlog ' || CAST(doc_id % 30 AS VARCHAR)
+            || '. Update 16:05 UTC: Resolved - all systems '
+            || 'operational.'
+          WHEN 2 THEN 'Investigating - intermittent errors on '
+            || 'checkout flow ' || CAST(doc_id % 30 AS VARCHAR)
+            || '.'
+          ELSE 'we are investigating new lunch options'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract_all(body,
+          '(Investigating|Identified|Monitoring|Resolved) -', 1)
+          AS states
+      FROM p
+      WHERE regexp_matches(body,
+        '(Investigating|Identified|Monitoring|Resolved) - ')),
+    s AS (SELECT doc_id, states FROM g WHERE len(states) > 0)
+    SELECT doc_id,
+      CAST(len(states) AS INT) AS n_updates,
+      states[1] AS first_state,
+      states[len(states)] AS last_state,
+      CAST(CASE WHEN states[len(states)] = 'Resolved'
+        THEN 1 ELSE 0 END AS INT) AS is_resolved
+    FROM s
+    """
+
+
+@query("status_page_incident_parse", _incident_oracle())
+def status_page_incident_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-page incident parsing (round 4): the
+    Investigating → Identified → Monitoring → Resolved state
+    machine every status page speaks — the LAST state is the
+    incident's truth at capture time (an unresolved capture
+    means the outage was live when crawled: a freshness anchor
+    for dating the snapshot, and the narrative complement of
+    error_ratio_by_host's measured failures). Lunch
+    investigations lack the state-dash grammar.
+
+    Scale shape: extract-all + endpoint picks per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Investigating - elevated API latency in "
+                  "region "),
+            (i % 8).cast("string"), F.lit(". Update 14:"),
+            F.lpad((i % 60).cast("string"), 2, "0"),
+            F.lit(" UTC: Identified - database failover in "
+                  "progress.")))
+        .when(v == 1, F.concat(
+            F.lit("Monitoring - fix deployed for queue backlog "),
+            (i % 30).cast("string"),
+            F.lit(". Update 16:05 UTC: Resolved - all systems "
+                  "operational.")))
+        .when(v == 2, F.concat(
+            F.lit("Investigating - intermittent errors on "
+                  "checkout flow "),
+            (i % 30).cast("string"), F.lit(".")))
+        .otherwise(F.lit("we are investigating new lunch options"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(Investigating|Identified|Monitoring|Resolved) - ")))
+    states = F.regexp_extract_all(
+        F.col("body"),
+        F.lit("(Investigating|Identified|Monitoring|Resolved) -"), 1)
+    s = g.select("doc_id", states.alias("states")).where(
+        F.size("states") > 0)
+    last = F.element_at(F.col("states"), F.size("states"))
+    return s.select(
+        "doc_id",
+        F.size("states").cast("int").alias("n_updates"),
+        F.element_at("states", 1).alias("first_state"),
+        last.alias("last_state"),
+        (last == "Resolved").cast("int").alias("is_resolved"),
+    )
+
+
+def _karma_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1000 + (doc_id * 997) % 90000 AS karma,
+        1 + doc_id % 14 AS years
+      FROM documents),
+    p AS (
+      SELECT doc_id, karma, years,
+        CASE doc_id % 3
+          WHEN 2 THEN 'good karma follows kind members around'
+          ELSE 'This user has ' || CAST(karma AS VARCHAR)
+            || ' karma and has been a member for '
+            || CAST(years AS VARCHAR) || ' years.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'has ([0-9]+) karma', 1)
+          AS BIGINT) AS karma,
+        CAST(regexp_extract(body, 'for ([0-9]+) years', 1)
+          AS INT) AS tenure_years
+      FROM p
+      WHERE regexp_matches(body,
+        'has [0-9]+ karma and has been a member for [0-9]+ years'))
+    SELECT doc_id, karma, tenure_years,
+      CAST(karma // tenure_years AS BIGINT) AS karma_per_year,
+      CAST(CASE WHEN karma // tenure_years > 10000 THEN 1
+        ELSE 0 END AS INT) AS is_power_user
+    FROM g
+    """
+
+
+@query("karma_reputation_parse", _karma_oracle())
+def karma_reputation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reputation parsing (round 4): karma plus tenure yields
+    the accumulation RATE — the author-trust prior UGC
+    curation weights comments by (a ten-year account with
+    10k/year is a different signal than a month-old account
+    with the same total; forum_thread_extract gets its author
+    weighting here). Kindness prose fails the numeric grammar.
+
+    Scale shape: two extracts + one division per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    karma = 1000 + (i * 997) % 90000
+    years = 1 + i % 14
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "good karma follows kind members around")).otherwise(
+        F.concat(F.lit("This user has "), karma.cast("string"),
+                 F.lit(" karma and has been a member for "),
+                 years.cast("string"), F.lit(" years.")))
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "has [0-9]+ karma and has been a member for [0-9]+ years")))
+    k = F.regexp_extract("body", "has ([0-9]+) karma", 1).cast("long")
+    y = F.regexp_extract("body", "for ([0-9]+) years", 1).cast("int")
+    kpy = ((k - k % y) / y).cast("long")
+    return g.select(
+        "doc_id", k.alias("karma"), y.alias("tenure_years"),
+        kpy.alias("karma_per_year"),
+        (kpy > 10000).cast("int").alias("is_power_user"),
+    )
+
+
+def _upvote_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        500 + (doc_id * 13) % 2000 AS up,
+        50 + (doc_id * 7) % 400 AS down
+      FROM documents),
+    c AS (
+      SELECT doc_id, up, down,
+        (100 * up) // (up + down) AS pct
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN CAST(up AS VARCHAR) || ' upvotes, '
+            || CAST(down AS VARCHAR) || ' downvotes ('
+            || CAST(pct AS VARCHAR) || ' percent upvoted).'
+          WHEN 1 THEN CAST(up AS VARCHAR) || ' upvotes, '
+            || CAST(down AS VARCHAR) || ' downvotes ('
+            || CAST(pct + 8 AS VARCHAR) || ' percent upvoted).'
+          ELSE 'vote with your feet and your heart'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '^([0-9]+) upvotes', 1)
+          AS BIGINT) AS upvotes,
+        CAST(regexp_extract(body, ', ([0-9]+) downvotes', 1)
+          AS BIGINT) AS downvotes,
+        CAST(regexp_extract(body,
+          '\\(([0-9]+) percent upvoted\\)', 1) AS BIGINT)
+          AS claimed_pct
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ upvotes, [0-9]+ downvotes \\([0-9]+ percent upvoted\\)'))
+    SELECT doc_id, upvotes, downvotes, claimed_pct,
+      CAST((100 * upvotes) // (upvotes + downvotes) AS BIGINT)
+        AS actual_pct,
+      CAST(CASE WHEN abs(claimed_pct
+          - (100 * upvotes) // (upvotes + downvotes)) <= 1
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("upvote_ratio_audit", _upvote_oracle())
+def upvote_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upvote-ratio audit (round 4): vote counts plus a claimed
+    percentage recompute exactly (100·up div (up+down), ±1 for
+    display rounding) — the platform's own engagement numbers
+    self-check, and the planted +8 models the cached-ratio-
+    stale-counts drift aggregator sites ship. The community
+    preference signal qapage_schema_extract reads structured,
+    audited in prose form.
+
+    Scale shape: extracts + one division per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    up = 500 + (i * 13) % 2000
+    down = 50 + (i * 7) % 400
+    tot = up + down
+    k = 100 * up
+    pct = ((k - k % tot) / tot).cast("long")
+    v = i % 3
+
+    def _line(p_):
+        return F.concat(
+            up.cast("string"), F.lit(" upvotes, "),
+            down.cast("string"), F.lit(" downvotes ("),
+            p_.cast("string"), F.lit(" percent upvoted)."))
+
+    body = (
+        F.when(v == 0, _line(pct))
+        .when(v == 1, _line(pct + 8))
+        .otherwise(F.lit("vote with your feet and your heart"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ upvotes, [0-9]+ downvotes \\([0-9]+ percent "
+        "upvoted\\)")))
+    u = F.regexp_extract("body", "^([0-9]+) upvotes", 1).cast("long")
+    dn = F.regexp_extract(
+        "body", ", ([0-9]+) downvotes", 1).cast("long")
+    cl = F.regexp_extract(
+        "body", "\\(([0-9]+) percent upvoted\\)", 1).cast("long")
+    t = u + dn
+    kk = 100 * u
+    act = ((kk - kk % t) / t).cast("long")
+    return g.select(
+        "doc_id", u.alias("upvotes"), dn.alias("downvotes"),
+        cl.alias("claimed_pct"), act.alias("actual_pct"),
+        (F.abs(cl - act) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _poll_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        60 + (doc_id * 3) % 200 AS va,
+        90 + (doc_id * 7) % 300 AS vb
+      FROM documents),
+    p AS (
+      SELECT doc_id, va, vb,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Poll results: Option A '
+            || CAST(va AS VARCHAR) || ' votes, Option B '
+            || CAST(vb AS VARCHAR) || ' votes, '
+            || CAST(va + vb AS VARCHAR) || ' total ballots.'
+          WHEN 1 THEN 'Poll results: Option A '
+            || CAST(va AS VARCHAR) || ' votes, Option B '
+            || CAST(vb AS VARCHAR) || ' votes, '
+            || CAST(va + vb + 25 AS VARCHAR)
+            || ' total ballots.'
+          ELSE 'the poll position belonged to the fastest car'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'Option A ([0-9]+) votes', 1)
+          AS BIGINT) AS votes_a,
+        CAST(regexp_extract(body, 'Option B ([0-9]+) votes', 1)
+          AS BIGINT) AS votes_b,
+        CAST(regexp_extract(body, '([0-9]+) total ballots', 1)
+          AS BIGINT) AS claimed_total
+      FROM p
+      WHERE regexp_matches(body,
+        'Option A [0-9]+ votes, Option B [0-9]+ votes, [0-9]+ total ballots'))
+    SELECT doc_id, votes_a, votes_b, claimed_total,
+      CAST(votes_a + votes_b AS BIGINT) AS actual_total,
+      CAST(CASE WHEN claimed_total = votes_a + votes_b
+        THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("poll_votes_audit", _poll_oracle())
+def poll_votes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poll-total audit (round 4): per-option counts vs the
+    stated ballot total is one addition — the planted +25 total
+    models late-vote screenshots where options were captured
+    before the header refreshed. Together with
+    percentage_sum_audit (shares) and election_result_audit
+    (official tallies), completes the vote-arithmetic family
+    at the informal-poll tier. Motorsport prose fails the
+    option-votes grammar.
+
+    Scale shape: three extracts + one addition per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    va = 60 + (i * 3) % 200
+    vb = 90 + (i * 7) % 300
+    v = i % 3
+
+    def _line(t):
+        return F.concat(
+            F.lit("Poll results: Option A "), va.cast("string"),
+            F.lit(" votes, Option B "), vb.cast("string"),
+            F.lit(" votes, "), t.cast("string"),
+            F.lit(" total ballots."))
+
+    body = (
+        F.when(v == 0, _line(va + vb))
+        .when(v == 1, _line(va + vb + 25))
+        .otherwise(F.lit("the poll position belonged to the fastest car"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Option A [0-9]+ votes, Option B [0-9]+ votes, [0-9]+ "
+        "total ballots")))
+    a = F.regexp_extract(
+        "body", "Option A ([0-9]+) votes", 1).cast("long")
+    b_ = F.regexp_extract(
+        "body", "Option B ([0-9]+) votes", 1).cast("long")
+    ct = F.regexp_extract(
+        "body", "([0-9]+) total ballots", 1).cast("long")
+    return g.select(
+        "doc_id", a.alias("votes_a"), b_.alias("votes_b"),
+        ct.alias("claimed_total"),
+        (a + b_).cast("long").alias("actual_total"),
+        (ct == a + b_).cast("int").alias("is_consistent"),
+    )
+
+
+def _edit_note_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'This answer was edited '
+            || CAST(1 + doc_id % 9 AS VARCHAR)
+            || ' times, last by a moderator on 2026-02-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || '.'
+          WHEN 1 THEN 'This answer was edited 1 times, last by '
+            || 'the author on 2026-01-'
+            || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+            || '.'
+          ELSE 'editing my life story one day at a time'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'edited ([0-9]+) times', 1)
+          AS INT) AS n_edits,
+        regexp_extract(body, 'last by (a moderator|the author)',
+          1) AS last_editor,
+        regexp_extract(body, 'on ([0-9-]{10})\\.', 1)
+          AS last_edit_date
+      FROM p
+      WHERE regexp_matches(body,
+        'edited [0-9]+ times, last by (a moderator|the author) on [0-9-]{10}'))
+    SELECT doc_id, n_edits, last_edit_date,
+      CASE last_editor WHEN 'a moderator' THEN 'moderator'
+        ELSE 'author' END AS editor_role,
+      CAST(CASE WHEN last_editor = 'a moderator' THEN 1 ELSE 0
+        END AS INT) AS moderator_touched
+    FROM g
+    """
+
+
+@query("edit_history_note_parse", _edit_note_oracle())
+def edit_history_note_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-history note parsing (round 4): UGC platforms stamp
+    answers with edit count, editor role, and date — a
+    moderator-touched answer carries institutional review (a
+    quality TIER above author self-edits), edit count measures
+    content churn, and the date extends the freshness channel
+    to individual posts. The life-story prose fails the
+    edit-count grammar.
+
+    Scale shape: three extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("This answer was edited "),
+            (1 + i % 9).cast("string"),
+            F.lit(" times, last by a moderator on 2026-02-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit(".")))
+        .when(v == 1, F.concat(
+            F.lit("This answer was edited 1 times, last by "
+                  "the author on 2026-01-"),
+            F.lpad((1 + i % 28).cast("string"), 2, "0"),
+            F.lit(".")))
+        .otherwise(F.lit("editing my life story one day at a time"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "edited [0-9]+ times, last by (a moderator|the author) "
+        "on [0-9-]{10}")))
+    editor = F.regexp_extract(
+        "body", "last by (a moderator|the author)", 1)
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", "edited ([0-9]+) times", 1)
+        .cast("int").alias("n_edits"),
+        F.regexp_extract("body", "on ([0-9-]{10})\\.", 1)
+        .alias("last_edit_date"),
+        F.when(editor == "a moderator", F.lit("moderator"))
+        .otherwise(F.lit("author")).alias("editor_role"),
+        (editor == "a moderator").cast("int")
+        .alias("moderator_touched"),
+    )
+
+
+def _contingency_oracle() -> str:
+    return """
+    WITH j AS (
+      SELECT source, lang, COUNT(*) AS obs FROM documents
+      GROUP BY source, lang),
+    rs AS (
+      SELECT source, CAST(SUM(obs) AS BIGINT) AS row_total
+      FROM j GROUP BY source),
+    cs AS (
+      SELECT lang, CAST(SUM(obs) AS BIGINT) AS col_total
+      FROM j GROUP BY lang),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM j)
+    SELECT j.source AS source, j.lang AS lang,
+      CAST(j.obs AS BIGINT) AS observed,
+      CAST(rs.row_total AS BIGINT) AS row_total,
+      CAST(cs.col_total AS BIGINT) AS col_total,
+      CAST(CASE WHEN j.obs * t.grand
+          > 2 * rs.row_total * cs.col_total THEN 1 ELSE 0 END
+        AS INT) AS over_represented,
+      CAST(CASE WHEN 2 * j.obs * t.grand
+          < rs.row_total * cs.col_total THEN 1 ELSE 0 END
+        AS INT) AS under_represented
+    FROM j
+    JOIN rs ON j.source = rs.source
+    JOIN cs ON j.lang = cs.lang
+    CROSS JOIN t
+    """
+
+
+@query("source_lang_contingency", _contingency_oracle())
+def source_lang_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-language contingency audit (round 4): the joint
+    (source, lang) table against its marginals — a cell whose
+    observed count is more than 2x (or under half) its
+    independence expectation marks a source with a language
+    specialization the corpus-wide mixture must account for
+    (observed·N vs row·col by integer cross-multiplication: the
+    chi-square question asked without a single float). Runs on
+    the table's REAL source and lang columns.
+
+    Scale shape: one joint HashAggregate + two marginal
+    HashAggregates re-aggregated FROM the joint (not the corpus)
+    + equi-joins back on the cell keys + a scalar grand total —
+    no window, no sort, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    j = d.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    rs = j.groupBy("source").agg(F.sum("obs").alias("row_total"))
+    cs = j.groupBy("lang").agg(F.sum("obs").alias("col_total"))
+    t = j.agg(F.sum("obs").alias("grand"))
+    out = (
+        j.join(rs, "source").join(cs, "lang").crossJoin(t))
+    return out.select(
+        "source", "lang",
+        F.col("obs").cast("long").alias("observed"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.col("col_total").cast("long").alias("col_total"),
+        (F.col("obs") * F.col("grand")
+         > 2 * F.col("row_total") * F.col("col_total"))
+        .cast("int").alias("over_represented"),
+        (2 * F.col("obs") * F.col("grand")
+         < F.col("row_total") * F.col("col_total"))
+        .cast("int").alias("under_represented"),
+    )
+
+
+def _dominant_lang_oracle() -> str:
+    return """
+    WITH j AS (
+      SELECT source, lang, COUNT(*) AS cnt FROM documents
+      GROUP BY source, lang),
+    enc AS (
+      SELECT source, cnt,
+        CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 4
+          WHEN 'fr' THEN 3 WHEN 'es' THEN 2 WHEN 'zh' THEN 1
+          ELSE 0 END AS lang_id
+      FROM j),
+    mx AS (
+      SELECT source,
+        MAX(cnt * 8 + lang_id) AS best_key,
+        CAST(SUM(cnt) AS BIGINT) AS total
+      FROM enc GROUP BY source)
+    SELECT source,
+      CASE best_key % 8 WHEN 5 THEN 'en' WHEN 4 THEN 'de'
+        WHEN 3 THEN 'fr' WHEN 2 THEN 'es' WHEN 1 THEN 'zh'
+        ELSE 'other' END AS dominant_lang,
+      CAST(best_key // 8 AS BIGINT) AS dominant_count,
+      CAST(total AS BIGINT) AS total_docs,
+      CAST((1000 * (best_key // 8)) // total AS BIGINT)
+        AS dominance_permille
+    FROM mx
+    """
+
+
+@query("source_dominant_lang", _dominant_lang_oracle())
+def source_dominant_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dominant language (round 4): the argmax over
+    per-source language counts via the house single-BIGINT
+    encoding (cnt·8 + lang_id — count dominates, the id
+    tiebreaks deterministically and decodes back by mod/div),
+    so the whole query is HashAggregates with map-side partials
+    — no struct buffer, no SortAggregate, no window (the
+    kmeans_assign fix pattern applied to a categorical argmax).
+    Dominance permille below ~700 marks genuinely multilingual
+    sources whose docs need per-document routing rather than a
+    source-level language tag.
+
+    Scale shape: joint HashAggregate + per-source MAX/SUM
+    HashAggregate; two shuffles total, both on small keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    j = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    lang_id = (
+        F.when(F.col("lang") == "en", 5)
+        .when(F.col("lang") == "de", 4)
+        .when(F.col("lang") == "fr", 3)
+        .when(F.col("lang") == "es", 2)
+        .when(F.col("lang") == "zh", 1).otherwise(0))
+    enc = j.select(
+        "source", "cnt", lang_id.alias("lang_id"))
+    mx = enc.groupBy("source").agg(
+        F.max(F.col("cnt") * 8 + F.col("lang_id")).alias("best_key"),
+        F.sum("cnt").alias("total"))
+    bk = F.col("best_key")
+    dc = ((bk - bk % 8) / 8).cast("long")
+    nm = F.lit(1000) * dc
+    return mx.select(
+        "source",
+        F.when(bk % 8 == 5, F.lit("en"))
+        .when(bk % 8 == 4, F.lit("de"))
+        .when(bk % 8 == 3, F.lit("fr"))
+        .when(bk % 8 == 2, F.lit("es"))
+        .when(bk % 8 == 1, F.lit("zh"))
+        .otherwise(F.lit("other")).alias("dominant_lang"),
+        dc.alias("dominant_count"),
+        F.col("total").cast("long").alias("total_docs"),
+        ((nm - nm % F.col("total")) / F.col("total")).cast("long")
+        .alias("dominance_permille"),
+    )
+
+
+def _quiz_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        2 + doc_id % 11 AS x,
+        3 + doc_id % 9 AS y
+      FROM documents),
+    p AS (
+      SELECT doc_id, x, y,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Q: What is ' || CAST(x AS VARCHAR)
+            || ' times ' || CAST(y AS VARCHAR) || '? A: '
+            || CAST(x * y AS VARCHAR)
+          WHEN 1 THEN 'Q: What is ' || CAST(x AS VARCHAR)
+            || ' times ' || CAST(y AS VARCHAR) || '? A: '
+            || CAST(x * y + 2 AS VARCHAR)
+          ELSE 'questions and answers flow at every dinner'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'What is ([0-9]+) times', 1)
+          AS BIGINT) AS x,
+        CAST(regexp_extract(body, 'times ([0-9]+)\\?', 1)
+          AS BIGINT) AS y,
+        CAST(regexp_extract(body, 'A: ([0-9]+)$', 1) AS BIGINT)
+          AS given_answer
+      FROM p
+      WHERE regexp_matches(body,
+        '^Q: What is [0-9]+ times [0-9]+\\? A: [0-9]+$'))
+    SELECT doc_id, x, y, given_answer,
+      CAST(x * y AS BIGINT) AS correct_answer,
+      CAST(CASE WHEN given_answer = x * y THEN 1 ELSE 0 END
+        AS INT) AS answer_correct
+    FROM g
+    """
+
+
+@query("quiz_qa_parse", _quiz_oracle())
+def quiz_qa_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quiz Q/A parsing (round 4): the Q:/A: convention yields
+    (question, answer) supervision pairs, and arithmetic
+    questions come with a FREE grader — the stated answer
+    recomputes from the question's own operands, so wrong
+    answer keys (the planted +2) are excluded from training
+    instead of taught (answer-key errors are endemic on quiz
+    mills). Dinner prose fails the Q-A frame.
+
+    Scale shape: three extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    x = 2 + i % 11
+    y = 3 + i % 9
+    v = i % 3
+
+    def _line(a):
+        return F.concat(
+            F.lit("Q: What is "), x.cast("string"),
+            F.lit(" times "), y.cast("string"), F.lit("? A: "),
+            a.cast("string"))
+
+    body = (
+        F.when(v == 0, _line(x * y))
+        .when(v == 1, _line(x * y + 2))
+        .otherwise(F.lit("questions and answers flow at every dinner"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^Q: What is [0-9]+ times [0-9]+\\? A: [0-9]+$")))
+    xx = F.regexp_extract(
+        "body", "What is ([0-9]+) times", 1).cast("long")
+    yy = F.regexp_extract("body", "times ([0-9]+)\\?", 1).cast("long")
+    ga = F.regexp_extract("body", "A: ([0-9]+)$", 1).cast("long")
+    return g.select(
+        "doc_id", xx.alias("x"), yy.alias("y"),
+        ga.alias("given_answer"),
+        (xx * yy).cast("long").alias("correct_answer"),
+        (ga == xx * yy).cast("int").alias("answer_correct"),
+    )
+
+
+def _cloze_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'The capital of region '
+            || CAST(doc_id % 60 AS VARCHAR)
+            || ' is {{c1::Metropolis'
+            || CAST(doc_id % 60 AS VARCHAR) || '}} since {{c2::19'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || '}}.'
+          WHEN 1 THEN 'Water boils at {{c1::100}} degrees at '
+            || 'sea level pressure.'
+          ELSE 'fill in the blanks of your own story'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_extract_all(body,
+          '\\{\\{c([0-9]+)::', 1) AS cloze_ids,
+        regexp_extract_all(body,
+          '\\{\\{c[0-9]+::([^}]+)\\}\\}', 1) AS answers
+      FROM p
+      WHERE regexp_matches(body, '\\{\\{c[0-9]+::[^}]+\\}\\}'))
+    SELECT doc_id,
+      CAST(len(cloze_ids) AS INT) AS n_clozes,
+      answers[1] AS first_answer,
+      regexp_replace(body, '\\{\\{c[0-9]+::([^}]+)\\}\\}',
+        '[...]', 'g') AS front_text
+    FROM g
+    """
+
+
+@query("anki_cloze_parse", _cloze_oracle())
+def anki_cloze_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anki-cloze parsing (round 4): {{c1::answer}} deletions
+    are exported flashcard decks' native grammar — each cloze
+    is a (masked context, answer) pair, EXACTLY the
+    fill-in-the-blank supervision shape, pre-authored by
+    someone who judged the fact worth memorizing. The
+    front_text render replaces spans with [...] (DuckDB's
+    regexp_replace needs its explicit 'g' flag — the
+    first-match default the list_marker gate caught before).
+    Story prose fails the double-brace grammar.
+
+    Scale shape: two extract-alls + one replace per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("The capital of region "),
+            (i % 60).cast("string"),
+            F.lit(" is {{c1::Metropolis"),
+            (i % 60).cast("string"), F.lit("}} since {{c2::19"),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+            F.lit("}}.")))
+        .when(v == 1, F.lit(
+            "Water boils at {{c1::100}} degrees at sea level "
+            "pressure."))
+        .otherwise(F.lit("fill in the blanks of your own story"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "\\{\\{c[0-9]+::[^}]+\\}\\}")))
+    ids = F.regexp_extract_all(
+        F.col("body"), F.lit("\\{\\{c([0-9]+)::"), 1)
+    answers = F.regexp_extract_all(
+        F.col("body"), F.lit("\\{\\{c[0-9]+::([^}]+)\\}\\}"), 1)
+    return g.select(
+        "doc_id",
+        F.size(ids).cast("int").alias("n_clozes"),
+        F.element_at(answers, 1).alias("first_answer"),
+        F.regexp_replace(
+            "body", "\\{\\{c[0-9]+::([^}]+)\\}\\}", "[...]")
+        .alias("front_text"),
+    )
+
+
+def _step_list_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Step 1: Unplug the router.' || chr(10)
+            || 'Step 2: Wait ' || CAST(10 + doc_id % 50
+              AS VARCHAR) || ' seconds.' || chr(10)
+            || 'Step 3: Plug it back in.'
+          WHEN 1 THEN 'Step 1: Preheat the oven.' || chr(10)
+            || 'Step 2: Mix batch ' || CAST(doc_id % 40
+              AS VARCHAR) || '.' || chr(10)
+            || 'Step 4: Bake until golden.'
+          ELSE 'step by step the day unfolded nicely'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(regexp_extract_all(body,
+          '(?m)^Step ([0-9]+):', 1), x -> CAST(x AS INT))
+          AS steps
+      FROM p
+      WHERE regexp_matches(body, '(?m)^Step [0-9]+:'))
+    SELECT doc_id,
+      CAST(len(steps) AS INT) AS n_steps,
+      CAST(steps[1] AS INT) AS first_step,
+      CAST(CASE WHEN steps[1] = 1
+          AND steps[len(steps)] = len(steps)
+          AND steps = list_sort(steps) THEN 1 ELSE 0 END
+        AS INT) AS is_complete_sequence,
+      CAST(CASE WHEN steps[len(steps)] > len(steps) THEN 1
+        ELSE 0 END AS INT) AS has_gap
+    FROM g
+    """
+
+
+@query("step_list_integrity", _step_list_oracle())
+def step_list_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-list integrity (round 4): 'Step N:' instruction
+    sequences carry their own completeness proof — start at 1,
+    ascend, and the last ordinal equals the count; a final
+    ordinal beyond the count proves a MISSING step (the planted
+    1,2,4 — procedural text with a hole teaches a broken
+    procedure, the instruction-list sibling of
+    page_number_sequence_audit). Daily-life prose fails the
+    line-anchored grammar.
+
+    Scale shape: extract-all + in-row ordinal checks per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Step 1: Unplug the router." + nl
+                  + "Step 2: Wait "),
+            (10 + i % 50).cast("string"),
+            F.lit(" seconds." + nl + "Step 3: Plug it back in.")))
+        .when(v == 1, F.concat(
+            F.lit("Step 1: Preheat the oven." + nl
+                  + "Step 2: Mix batch "),
+            (i % 40).cast("string"),
+            F.lit("." + nl + "Step 4: Bake until golden.")))
+        .otherwise(F.lit("step by step the day unfolded nicely"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(?m)^Step [0-9]+:")))
+    steps = F.transform(
+        F.regexp_extract_all(
+            F.col("body"), F.lit("(?m)^Step ([0-9]+):"), 1),
+        lambda x: x.cast("int"))
+    last = F.element_at(steps, F.size(steps))
+    return g.select(
+        "doc_id",
+        F.size(steps).cast("int").alias("n_steps"),
+        F.element_at(steps, 1).cast("int").alias("first_step"),
+        ((F.element_at(steps, 1) == 1) & (last == F.size(steps))
+         & (steps == F.array_sort(steps))).cast("int")
+        .alias("is_complete_sequence"),
+        (last > F.size(steps)).cast("int").alias("has_gap"),
+    )
+
+
+def _glossary_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Latency - the time between request and '
+            || 'response, measured in run '
+            || CAST(doc_id % 90 AS VARCHAR) || '.' || chr(10)
+            || 'Throughput - the volume processed per unit time.'
+          WHEN 1 THEN 'Backpressure - the mechanism by which '
+            || 'consumers slow producers in pipeline '
+            || CAST(doc_id % 40 AS VARCHAR) || '.'
+          ELSE 'the trail was scenic - everyone agreed - and long'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        regexp_extract_all(body,
+          '(?m)^([A-Z][a-z]+) - ', 1) AS terms,
+        regexp_extract_all(body,
+          '(?m)^[A-Z][a-z]+ - ([^' || chr(10) || ']+)', 1)
+          AS defs
+      FROM p
+      WHERE regexp_matches(body, '(?m)^[A-Z][a-z]+ - [a-z]'))
+    SELECT doc_id,
+      CAST(len(terms) AS INT) AS n_entries,
+      terms[1] AS first_term,
+      defs[1] AS first_definition
+    FROM g
+    """
+
+
+@query("glossary_definition_parse", _glossary_oracle())
+def glossary_definition_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glossary-line parsing (round 4): 'Term - definition' lines
+    are the prose glossary convention (the unmarked-up sibling
+    of dl_spec_pairs' dt/dd and abbr_glossary_extract's
+    acronyms) — line-anchored capitalized-term-dash-lowercase
+    keeps mid-sentence dashes out (the planted scenic-trail
+    aside), and each entry is a (term, definition) pair for
+    definitional supervision.
+
+    Scale shape: two line-anchored extract-alls per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    nl = "\n"
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Latency - the time between request and "
+                  "response, measured in run "),
+            (i % 90).cast("string"),
+            F.lit("." + nl + "Throughput - the volume processed "
+                  "per unit time.")))
+        .when(v == 1, F.concat(
+            F.lit("Backpressure - the mechanism by which "
+                  "consumers slow producers in pipeline "),
+            (i % 40).cast("string"), F.lit(".")))
+        .otherwise(F.lit(
+            "the trail was scenic - everyone agreed - and long"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(?m)^[A-Z][a-z]+ - [a-z]")))
+    terms = F.regexp_extract_all(
+        F.col("body"), F.lit("(?m)^([A-Z][a-z]+) - "), 1)
+    defs = F.regexp_extract_all(
+        F.col("body"), F.lit("(?m)^[A-Z][a-z]+ - ([^" + nl + "]+)"),
+        1)
+    return g.select(
+        "doc_id",
+        F.size(terms).cast("int").alias("n_entries"),
+        F.element_at(terms, 1).alias("first_term"),
+        F.element_at(defs, 1).alias("first_definition"),
+    )
+
+
+def _crawl_budget_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 1 + doc_id % 20 AS rps FROM documents),
+    p AS (
+      SELECT doc_id, rps,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Fetching ' || CAST(rps AS VARCHAR)
+            || ' URLs per second yields '
+            || CAST(rps * 86400 AS VARCHAR)
+            || ' URLs per day per worker.'
+          WHEN 1 THEN 'Fetching ' || CAST(rps AS VARCHAR)
+            || ' URLs per second yields '
+            || CAST(rps * 86400 + 4000 AS VARCHAR)
+            || ' URLs per day per worker.'
+          ELSE 'fetching compliments all day long'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body,
+          'Fetching ([0-9]+) URLs per second', 1) AS BIGINT)
+          AS rps,
+        CAST(regexp_extract(body, 'yields ([0-9]+) URLs per day',
+          1) AS BIGINT) AS claimed_daily
+      FROM p
+      WHERE regexp_matches(body,
+        'Fetching [0-9]+ URLs per second yields [0-9]+ URLs per day'))
+    SELECT doc_id, rps, claimed_daily,
+      CAST(rps * 86400 AS BIGINT) AS actual_daily,
+      CAST(CASE WHEN claimed_daily = rps * 86400 THEN 1 ELSE 0
+        END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("crawl_budget_arithmetic_audit", _crawl_budget_oracle())
+def crawl_budget_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget arithmetic (round 4): rate-to-daily-volume
+    claims in infrastructure writeups recompute exactly
+    (rps × 86400 — the planted +4000 models the 'roughly'
+    that drifted into a number), and this repo should hold
+    crawl engineering prose to the same standard its own
+    SCALING.md arithmetic lives by. Compliment-fetching prose
+    fails the URLs-per-second grammar.
+
+    Scale shape: two extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    rps = 1 + i % 20
+    v = i % 3
+
+    def _line(daily):
+        return F.concat(
+            F.lit("Fetching "), rps.cast("string"),
+            F.lit(" URLs per second yields "),
+            daily.cast("string"),
+            F.lit(" URLs per day per worker."))
+
+    body = (
+        F.when(v == 0, _line(rps * 86400))
+        .when(v == 1, _line(rps * 86400 + 4000))
+        .otherwise(F.lit("fetching compliments all day long"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Fetching [0-9]+ URLs per second yields [0-9]+ URLs "
+        "per day")))
+    r = F.regexp_extract(
+        "body", "Fetching ([0-9]+) URLs per second", 1).cast("long")
+    c = F.regexp_extract(
+        "body", "yields ([0-9]+) URLs per day", 1).cast("long")
+    return g.select(
+        "doc_id", r.alias("rps"), c.alias("claimed_daily"),
+        (r * 86400).cast("long").alias("actual_daily"),
+        (c == r * 86400).cast("int").alias("is_consistent"),
+    )
+
+
+def _storage_projection_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        (1 + doc_id % 20) AS pages_m,
+        10 * (2 + doc_id % 8) AS kb_each
+      FROM documents),
+    c AS (
+      SELECT doc_id, pages_m, kb_each,
+        pages_m * kb_each // 1000 AS gb_needed
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN CAST(pages_m AS VARCHAR)
+            || ' million pages at ' || CAST(kb_each AS VARCHAR)
+            || ' KB each needs about ' || CAST(gb_needed
+              AS VARCHAR) || ' GB of storage.'
+          WHEN 1 THEN CAST(pages_m AS VARCHAR)
+            || ' million pages at ' || CAST(kb_each AS VARCHAR)
+            || ' KB each needs about '
+            || CAST(gb_needed * 10 AS VARCHAR)
+            || ' GB of storage.'
+          ELSE 'pages of memories need no storage fees'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, '^([0-9]+) million pages', 1)
+          AS BIGINT) AS pages_m,
+        CAST(regexp_extract(body, 'at ([0-9]+) KB each', 1)
+          AS BIGINT) AS kb_each,
+        CAST(regexp_extract(body, 'about ([0-9]+) GB', 1)
+          AS BIGINT) AS claimed_gb
+      FROM p
+      WHERE regexp_matches(body,
+        '^[0-9]+ million pages at [0-9]+ KB each needs about [0-9]+ GB'))
+    SELECT doc_id, pages_m, kb_each, claimed_gb,
+      CAST(pages_m * kb_each // 1000 AS BIGINT) AS actual_gb,
+      CAST(CASE WHEN abs(claimed_gb - pages_m * kb_each // 1000)
+        <= 1 THEN 1 ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("storage_projection_audit", _storage_projection_oracle())
+def storage_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-projection audit (round 4): pages x size-per-page
+    to total storage is the capacity arithmetic every crawl
+    design doc performs — 10^6 x KB div 1000 = GB in decimal
+    units (the planted x10 error is the real KB/MB unit slip),
+    and binary_size_units_audit's convention classes tell which
+    GB the page means. The capacity-planning face of the
+    worked-example family.
+
+    Scale shape: three extracts + integer arithmetic per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pages_m = 1 + i % 20
+    kb = 10 * (2 + i % 8)
+    prod = pages_m * kb
+    gb = ((prod - prod % 1000) / 1000).cast("long")
+    v = i % 3
+
+    def _line(g_):
+        return F.concat(
+            pages_m.cast("string"), F.lit(" million pages at "),
+            kb.cast("string"), F.lit(" KB each needs about "),
+            g_.cast("string"), F.lit(" GB of storage."))
+
+    body = (
+        F.when(v == 0, _line(gb))
+        .when(v == 1, _line(gb * 10))
+        .otherwise(F.lit("pages of memories need no storage fees"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "^[0-9]+ million pages at [0-9]+ KB each needs about "
+        "[0-9]+ GB")))
+    pm = F.regexp_extract(
+        "body", "^([0-9]+) million pages", 1).cast("long")
+    ke = F.regexp_extract(
+        "body", "at ([0-9]+) KB each", 1).cast("long")
+    cg = F.regexp_extract("body", "about ([0-9]+) GB", 1).cast("long")
+    pr = pm * ke
+    ag = ((pr - pr % 1000) / 1000).cast("long")
+    return g.select(
+        "doc_id", pm.alias("pages_m"), ke.alias("kb_each"),
+        cg.alias("claimed_gb"), ag.alias("actual_gb"),
+        (F.abs(cg - ag) <= 1).cast("int").alias("is_consistent"),
+    )
+
+
+def _compression_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 5 END
+          AS ratio,
+        3 * (1 + doc_id % 10) AS out_gb
+      FROM documents),
+    p AS (
+      SELECT doc_id, ratio, out_gb,
+        CASE doc_id % 4
+          WHEN 0 THEN 'The archive of '
+            || CAST(out_gb * ratio AS VARCHAR)
+            || ' GB compresses to ' || CAST(out_gb AS VARCHAR)
+            || ' GB (a ' || CAST(ratio AS VARCHAR)
+            || ':1 ratio).'
+          WHEN 1 THEN 'The archive of '
+            || CAST(out_gb * ratio AS VARCHAR)
+            || ' GB compresses to ' || CAST(out_gb AS VARCHAR)
+            || ' GB (a ' || CAST(ratio + 2 AS VARCHAR)
+            || ':1 ratio).'
+          ELSE 'compressing the agenda into one hour failed'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'archive of ([0-9]+) GB', 1)
+          AS BIGINT) AS in_gb,
+        CAST(regexp_extract(body, 'compresses to ([0-9]+) GB',
+          1) AS BIGINT) AS out_gb,
+        CAST(regexp_extract(body, '\\(a ([0-9]+):1 ratio\\)', 1)
+          AS BIGINT) AS claimed_ratio
+      FROM p
+      WHERE regexp_matches(body,
+        'archive of [0-9]+ GB compresses to [0-9]+ GB \\(a [0-9]+:1 ratio\\)'))
+    SELECT doc_id, in_gb, out_gb, claimed_ratio,
+      CAST(CASE WHEN in_gb = claimed_ratio * out_gb THEN 1
+        ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("compression_ratio_audit", _compression_oracle())
+def compression_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio audit (round 4): in-size, out-size, and
+    an N:1 claim cross-multiply (in = N x out, division-free —
+    the construction makes ratios exact so the check is
+    equality, and the planted +2 overclaim is the marketing
+    inflation every 'up to' footnote hides). WARC/archive
+    capacity planning runs on exactly this arithmetic.
+
+    Scale shape: three extracts + cross-multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ratio = (
+        F.when(i % 3 == 0, 4).when(i % 3 == 1, 3).otherwise(5))
+    out_gb = 3 * (1 + i % 10)
+    v = i % 4
+
+    def _line(r_):
+        return F.concat(
+            F.lit("The archive of "),
+            (out_gb * ratio).cast("string"),
+            F.lit(" GB compresses to "), out_gb.cast("string"),
+            F.lit(" GB (a "), r_.cast("string"),
+            F.lit(":1 ratio)."))
+
+    body = (
+        F.when(v == 0, _line(ratio))
+        .when(v == 1, _line(ratio + 2))
+        .otherwise(F.lit("compressing the agenda into one hour failed"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "archive of [0-9]+ GB compresses to [0-9]+ GB "
+        "\\(a [0-9]+:1 ratio\\)")))
+    ig = F.regexp_extract(
+        "body", "archive of ([0-9]+) GB", 1).cast("long")
+    og = F.regexp_extract(
+        "body", "compresses to ([0-9]+) GB", 1).cast("long")
+    cr = F.regexp_extract(
+        "body", "\\(a ([0-9]+):1 ratio\\)", 1).cast("long")
+    return g.select(
+        "doc_id", ig.alias("in_gb"), og.alias("out_gb"),
+        cr.alias("claimed_ratio"),
+        (ig == cr * og).cast("int").alias("is_consistent"),
+    )
+
+
+def _dedup_savings_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        10 * (1 + doc_id % 5) AS dup_pct,
+        (2 + doc_id % 18) AS docs_m
+      FROM documents),
+    c AS (
+      SELECT doc_id, dup_pct, docs_m,
+        docs_m * (100 - dup_pct) // 100 AS kept_m
+      FROM b),
+    p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'With ' || CAST(dup_pct AS VARCHAR)
+            || ' percent duplicates, '
+            || CAST(docs_m AS VARCHAR)
+            || ' million documents shrink to '
+            || CAST(kept_m AS VARCHAR) || ' million after dedup.'
+          WHEN 1 THEN 'With ' || CAST(dup_pct AS VARCHAR)
+            || ' percent duplicates, '
+            || CAST(docs_m AS VARCHAR)
+            || ' million documents shrink to '
+            || CAST(kept_m + 2 AS VARCHAR)
+            || ' million after dedup.'
+          ELSE 'duplicate effort shrinks team morale'
+        END AS body
+      FROM c),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'With ([0-9]+) percent', 1)
+          AS BIGINT) AS dup_pct,
+        CAST(regexp_extract(body, ', ([0-9]+) million documents',
+          1) AS BIGINT) AS docs_m,
+        CAST(regexp_extract(body, 'shrink to ([0-9]+) million',
+          1) AS BIGINT) AS claimed_kept_m
+      FROM p
+      WHERE regexp_matches(body,
+        'With [0-9]+ percent duplicates, [0-9]+ million documents shrink to [0-9]+ million'))
+    SELECT doc_id, dup_pct, docs_m, claimed_kept_m,
+      CAST(docs_m * (100 - dup_pct) // 100 AS BIGINT)
+        AS actual_kept_m,
+      CAST(CASE WHEN claimed_kept_m
+          = docs_m * (100 - dup_pct) // 100 THEN 1 ELSE 0 END
+        AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("dedup_savings_audit", _dedup_savings_oracle())
+def dedup_savings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-savings audit (round 4): duplicate share to
+    post-dedup volume is one complement multiplication
+    (docs x (100-pct) div 100; multiples of 10 keep it exact)
+    — the claim every data-curation writeup makes about this
+    repo's own MinHash/SemDeDup family, held to arithmetic.
+    The planted +2M models quoting pre-filter numbers against
+    post-filter counts. Morale prose fails the grammar.
+
+    Scale shape: three extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dup_pct = 10 * (1 + i % 5)
+    docs_m = 2 + i % 18
+    pr = docs_m * (100 - dup_pct)
+    kept = ((pr - pr % 100) / 100).cast("long")
+    v = i % 3
+
+    def _line(k):
+        return F.concat(
+            F.lit("With "), dup_pct.cast("string"),
+            F.lit(" percent duplicates, "), docs_m.cast("string"),
+            F.lit(" million documents shrink to "),
+            k.cast("string"), F.lit(" million after dedup."))
+
+    body = (
+        F.when(v == 0, _line(kept))
+        .when(v == 1, _line(kept + 2))
+        .otherwise(F.lit("duplicate effort shrinks team morale"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "With [0-9]+ percent duplicates, [0-9]+ million "
+        "documents shrink to [0-9]+ million")))
+    dp = F.regexp_extract("body", "With ([0-9]+) percent", 1).cast("long")
+    dm = F.regexp_extract(
+        "body", ", ([0-9]+) million documents", 1).cast("long")
+    ck = F.regexp_extract(
+        "body", "shrink to ([0-9]+) million", 1).cast("long")
+    pr2 = dm * (100 - dp)
+    ak = ((pr2 - pr2 % 100) / 100).cast("long")
+    return g.select(
+        "doc_id", dp.alias("dup_pct"), dm.alias("docs_m"),
+        ck.alias("claimed_kept_m"), ak.alias("actual_kept_m"),
+        (ck == ak).cast("int").alias("is_consistent"),
+    )
+
+
+def _opening_hours_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        9 * 60 AS wk_open,
+        (17 * 60) + 30 * (doc_id % 2) AS wk_close,
+        10 * 60 AS sat_open,
+        (14 + doc_id % 3) * 60 AS sat_close
+      FROM documents),
+    p AS (
+      SELECT doc_id, wk_open, wk_close, sat_open, sat_close,
+        CASE doc_id % 3
+          WHEN 2 THEN 'open to new ideas at all hours'
+          ELSE 'Hours: Mon-Fri 9:00-'
+            || CAST(wk_close // 60 AS VARCHAR) || ':'
+            || lpad(CAST(wk_close % 60 AS VARCHAR), 2, '0')
+            || ', Sat 10:00-'
+            || CAST(sat_close // 60 AS VARCHAR) || ':00.'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body,
+          'Mon-Fri ([0-9]+):([0-9]{2})-([0-9]+):([0-9]{2})',
+          ['oh', 'om', 'ch', 'cm']) AS wk,
+        regexp_extract(body,
+          'Sat ([0-9]+):([0-9]{2})-([0-9]+):([0-9]{2})',
+          ['oh', 'om', 'ch', 'cm']) AS sa
+      FROM p
+      WHERE regexp_matches(body,
+        'Mon-Fri [0-9]+:[0-9]{2}-[0-9]+:[0-9]{2}, Sat [0-9]+:[0-9]{2}-[0-9]+:[0-9]{2}')),
+    s AS (
+      SELECT doc_id,
+        (CAST(wk.ch AS BIGINT) * 60 + CAST(wk.cm AS BIGINT))
+        - (CAST(wk.oh AS BIGINT) * 60 + CAST(wk.om AS BIGINT))
+          AS wk_daily_min,
+        (CAST(sa.ch AS BIGINT) * 60 + CAST(sa.cm AS BIGINT))
+        - (CAST(sa.oh AS BIGINT) * 60 + CAST(sa.om AS BIGINT))
+          AS sat_min
+      FROM g)
+    SELECT doc_id, wk_daily_min, sat_min,
+      CAST(5 * wk_daily_min + sat_min AS BIGINT)
+        AS weekly_open_min,
+      CAST(CASE WHEN 5 * wk_daily_min + sat_min >= 45 * 60
+        THEN 1 ELSE 0 END AS INT) AS is_full_time_retail
+    FROM s
+    """
+
+
+@query("opening_hours_parse", _opening_hours_oracle())
+def opening_hours_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-hours parsing (round 4): the Mon-Fri/Sat range
+    grammar folds to a weekly open-minutes total (range spans
+    times-5 weekday multiplier plus Saturday — exact minute
+    arithmetic, the local-business analog of
+    schema.org openingHoursSpecification that most small sites
+    never mark up). Weekly volume classes retail tiers; 'open
+    to new ideas' fails the day-range grammar.
+
+    Scale shape: two grouped extracts + minute folds per row,
+    no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    wk_close = 17 * 60 + 30 * (i % 2)
+    sat_close_h = 14 + i % 3
+    v = i % 3
+    body = F.when(v == 2, F.lit(
+        "open to new ideas at all hours")).otherwise(
+        F.concat(
+            F.lit("Hours: Mon-Fri 9:00-"),
+            ((wk_close - wk_close % 60) / 60).cast("long")
+            .cast("string"),
+            F.lit(":"),
+            F.lpad((wk_close % 60).cast("string"), 2, "0"),
+            F.lit(", Sat 10:00-"), sat_close_h.cast("string"),
+            F.lit(":00.")))
+    p = d.select("doc_id", body.alias("body"))
+    wk_pat = "Mon-Fri ([0-9]+):([0-9]{2})-([0-9]+):([0-9]{2})"
+    sa_pat = "Sat ([0-9]+):([0-9]{2})-([0-9]+):([0-9]{2})"
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Mon-Fri [0-9]+:[0-9]{2}-[0-9]+:[0-9]{2}, Sat "
+        "[0-9]+:[0-9]{2}-[0-9]+:[0-9]{2}")))
+
+    def _mins(pat, a, b_):
+        return (F.regexp_extract("body", pat, a).cast("long") * 60
+                + F.regexp_extract("body", pat, b_).cast("long"))
+
+    wk_daily = _mins(wk_pat, 3, 4) - _mins(wk_pat, 1, 2)
+    sat = _mins(sa_pat, 3, 4) - _mins(sa_pat, 1, 2)
+    weekly = 5 * wk_daily + sat
+    return g.select(
+        "doc_id",
+        wk_daily.cast("long").alias("wk_daily_min"),
+        sat.cast("long").alias("sat_min"),
+        weekly.cast("long").alias("weekly_open_min"),
+        (weekly >= 45 * 60).cast("int").alias("is_full_time_retail"),
+    )
+
+
+def _warranty_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Backed by a ' || CAST(1 + doc_id % 5
+              AS VARCHAR) || '-year limited warranty on parts.'
+          WHEN 1 THEN 'Includes a ' || CAST(30 * (1 + doc_id % 6)
+              AS VARCHAR) || '-day warranty from purchase.'
+          WHEN 2 THEN 'Covered by a lifetime warranty on the '
+            || 'frame model ' || CAST(doc_id % 40 AS VARCHAR)
+            || '.'
+          ELSE 'a warranty of good faith between friends'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, '[0-9]+-year .*warranty')
+          AS is_year,
+        regexp_matches(body, '[0-9]+-day warranty') AS is_day,
+        contains(body, 'lifetime warranty') AS is_lifetime
+      FROM p
+      WHERE regexp_matches(body, '[0-9]+-year .*warranty')
+        OR regexp_matches(body, '[0-9]+-day warranty')
+        OR contains(body, 'lifetime warranty'))
+    SELECT doc_id,
+      CASE WHEN is_lifetime THEN 'lifetime'
+        WHEN is_year THEN 'years' ELSE 'days' END AS unit,
+      CAST(CASE WHEN is_lifetime THEN -1
+        WHEN is_year THEN CAST(regexp_extract(body,
+          '([0-9]+)-year', 1) AS INT) * 12
+        ELSE CAST(regexp_extract(body, '([0-9]+)-day', 1)
+          AS INT) // 30
+      END AS INT) AS months_equiv,
+      CAST(CASE WHEN is_lifetime THEN 1 ELSE 0 END AS INT)
+        AS is_lifetime
+    FROM g
+    """
+
+
+@query("warranty_period_parse", _warranty_oracle())
+def warranty_period_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warranty-period parsing (round 4): year/day/lifetime
+    warranty grammars normalize to months (x12 and div-30; the
+    lifetime sentinel stays -1 rather than faking a number) —
+    the consumer-protection term that price comparisons should
+    weight, and a product-tier prior (lifetime frames vs 30-day
+    gadgets). Good-faith prose fails the unit-dash grammar.
+
+    Scale shape: class gates + unit normalization per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Backed by a "), (1 + i % 5).cast("string"),
+            F.lit("-year limited warranty on parts.")))
+        .when(v == 1, F.concat(
+            F.lit("Includes a "),
+            (30 * (1 + i % 6)).cast("string"),
+            F.lit("-day warranty from purchase.")))
+        .when(v == 2, F.concat(
+            F.lit("Covered by a lifetime warranty on the frame "
+                  "model "),
+            (i % 40).cast("string"), F.lit(".")))
+        .otherwise(F.lit("a warranty of good faith between friends"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_year = F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+-year .*warranty"))
+    is_day = F.regexp_like(F.col("body"), F.lit("[0-9]+-day warranty"))
+    is_life = F.col("body").contains("lifetime warranty")
+    g = p.where(is_year | is_day | is_life)
+    days = F.regexp_extract("body", "([0-9]+)-day", 1).cast("int")
+    months = (
+        F.when(is_life, -1)
+        .when(is_year, F.regexp_extract(
+            "body", "([0-9]+)-year", 1).cast("int") * 12)
+        .otherwise(((days - days % 30) / 30).cast("int")))
+    return g.select(
+        "doc_id",
+        F.when(is_life, F.lit("lifetime"))
+        .when(is_year, F.lit("years")).otherwise(F.lit("days"))
+        .alias("unit"),
+        months.cast("int").alias("months_equiv"),
+        is_life.cast("int").alias("is_lifetime"),
+    )
+
+
+def _allergen_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Ingredients batch '
+            || CAST(doc_id % 90 AS VARCHAR)
+            || '. Contains: wheat, milk, soy.'
+          WHEN 1 THEN 'Baked fresh daily. Contains: peanuts. '
+            || 'May contain traces of tree nuts.'
+          ELSE 'this program contains scenes of mild peril'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        string_split(regexp_extract(body,
+          'Contains: ([a-z, ]+)\\.', 1), ', ') AS allergens,
+        contains(body, 'May contain traces') AS has_traces
+      FROM p
+      WHERE regexp_matches(body, 'Contains: [a-z, ]+\\.'))
+    SELECT doc_id,
+      CAST(len(allergens) AS INT) AS n_allergens,
+      list_aggregate(list_sort(allergens), 'string_agg', ',')
+        AS allergens_csv,
+      CAST(CASE WHEN list_contains(allergens, 'peanuts')
+        THEN 1 ELSE 0 END AS INT) AS has_peanuts,
+      CAST(CASE WHEN has_traces THEN 1 ELSE 0 END AS INT)
+        AS has_trace_warning
+    FROM g
+    """
+
+
+@query("allergen_statement_parse", _allergen_oracle())
+def allergen_statement_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allergen-statement parsing (round 4): the mandated
+    'Contains:' declaration is a closed comma-list — allergen
+    census with the peanut flag (the anaphylaxis tier) and the
+    separate 'may contain traces' advisory channel (a DIFFERENT
+    legal statement than Contains). Food-safety QA grounds on
+    the label's own list; 'scenes of mild peril' matches the
+    word but not the colon-list grammar.
+
+    Scale shape: one extract + in-row list ops per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Ingredients batch "), (i % 90).cast("string"),
+            F.lit(". Contains: wheat, milk, soy.")))
+        .when(v == 1, F.lit(
+            "Baked fresh daily. Contains: peanuts. "
+            "May contain traces of tree nuts."))
+        .otherwise(F.lit("this program contains scenes of mild peril"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Contains: [a-z, ]+\\.")))
+    allergens = F.split(F.regexp_extract(
+        "body", "Contains: ([a-z, ]+)\\.", 1), ", ")
+    return g.select(
+        "doc_id",
+        F.size(allergens).cast("int").alias("n_allergens"),
+        F.array_join(F.array_sort(allergens), ",")
+        .alias("allergens_csv"),
+        F.array_contains(allergens, "peanuts").cast("int")
+        .alias("has_peanuts"),
+        F.col("body").contains("May contain traces").cast("int")
+        .alias("has_trace_warning"),
+    )
+
+
+def _visa_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Citizens may enter visa-free for '
+            || CAST(30 * (1 + doc_id % 3) AS VARCHAR)
+            || ' days per visit.'
+          WHEN 1 THEN 'An e-visa valid for '
+            || CAST(30 + doc_id % 60 AS VARCHAR)
+            || ' days is issued online.'
+          WHEN 2 THEN 'A visa on arrival for '
+            || CAST(14 + doc_id % 16 AS VARCHAR)
+            || ' days costs a fee.'
+          ELSE 'the visa card was declined at checkout'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'visa-free for') AS is_free,
+        contains(body, 'e-visa valid for') AS is_evisa
+      FROM p
+      WHERE contains(body, 'visa-free for')
+        OR contains(body, 'e-visa valid for')
+        OR contains(body, 'visa on arrival for'))
+    SELECT doc_id,
+      CASE WHEN is_free THEN 'visa_free'
+        WHEN is_evisa THEN 'e_visa' ELSE 'on_arrival' END
+        AS regime,
+      CAST(regexp_extract(body, 'for ([0-9]+) days', 1) AS INT)
+        AS stay_days,
+      CAST(CASE WHEN is_free THEN 1 ELSE 0 END AS INT)
+        AS no_paperwork
+    FROM g
+    """
+
+
+@query("visa_requirement_parse", _visa_oracle())
+def visa_requirement_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visa-requirement parsing (round 4): travel-requirement
+    prose follows three regime grammars — visa-free, e-visa,
+    on-arrival — each with a day allowance; the regime ladder
+    plus days is the machine-usable answer travel QA needs,
+    and stale regimes are high-harm misinformation (rules
+    change; pair with the page's dates). The declined payment
+    card fails the regime-for-days grammar.
+
+    Scale shape: class gates + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Citizens may enter visa-free for "),
+            (30 * (1 + i % 3)).cast("string"),
+            F.lit(" days per visit.")))
+        .when(v == 1, F.concat(
+            F.lit("An e-visa valid for "),
+            (30 + i % 60).cast("string"),
+            F.lit(" days is issued online.")))
+        .when(v == 2, F.concat(
+            F.lit("A visa on arrival for "),
+            (14 + i % 16).cast("string"),
+            F.lit(" days costs a fee.")))
+        .otherwise(F.lit("the visa card was declined at checkout"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_free = F.col("body").contains("visa-free for")
+    is_evisa = F.col("body").contains("e-visa valid for")
+    g = p.where(is_free | is_evisa
+                | F.col("body").contains("visa on arrival for"))
+    return g.select(
+        "doc_id",
+        F.when(is_free, F.lit("visa_free"))
+        .when(is_evisa, F.lit("e_visa")).otherwise(F.lit("on_arrival"))
+        .alias("regime"),
+        F.regexp_extract("body", "for ([0-9]+) days", 1).cast("int")
+        .alias("stay_days"),
+        is_free.cast("int").alias("no_paperwork"),
+    )
+
+
+def _coupon_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id, 5 * (1 + doc_id % 8) AS pct FROM documents),
+    p AS (
+      SELECT doc_id, pct,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Use code SAVE' || CAST(pct AS VARCHAR)
+            || ' for ' || CAST(pct AS VARCHAR)
+            || ' percent off your order.'
+          WHEN 1 THEN 'Use code SAVE' || CAST(pct AS VARCHAR)
+            || ' for ' || CAST(pct + 5 AS VARCHAR)
+            || ' percent off your order.'
+          ELSE 'save your strength for the big day'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        regexp_extract(body, 'code (SAVE[0-9]+)', 1) AS code,
+        CAST(regexp_extract(body, 'code SAVE([0-9]+)', 1)
+          AS INT) AS code_pct,
+        CAST(regexp_extract(body, 'for ([0-9]+) percent off', 1)
+          AS INT) AS claimed_pct
+      FROM p
+      WHERE regexp_matches(body,
+        'code SAVE[0-9]+ for [0-9]+ percent off'))
+    SELECT doc_id, code, code_pct, claimed_pct,
+      CAST(CASE WHEN code_pct = claimed_pct THEN 1 ELSE 0 END
+        AS INT) AS code_matches_claim
+    FROM g
+    """
+
+
+@query("coupon_code_consistency", _coupon_oracle())
+def coupon_code_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coupon-code consistency (round 4): promo codes ENCODE
+    their discount (SAVE20 = 20%), and coupon-aggregator pages
+    routinely advertise a different percentage than the code
+    embeds (the planted +5 — expired codes re-listed with
+    inflated claims; the mismatch IS the coupon-spam signal).
+    Strength-saving prose fails the code-for-percent grammar.
+
+    Scale shape: three extracts + equality per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pct = 5 * (1 + i % 8)
+    v = i % 3
+
+    def _line(cl):
+        return F.concat(
+            F.lit("Use code SAVE"), pct.cast("string"),
+            F.lit(" for "), cl.cast("string"),
+            F.lit(" percent off your order."))
+
+    body = (
+        F.when(v == 0, _line(pct))
+        .when(v == 1, _line(pct + 5))
+        .otherwise(F.lit("save your strength for the big day"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "code SAVE[0-9]+ for [0-9]+ percent off")))
+    cp = F.regexp_extract("body", "code SAVE([0-9]+)", 1).cast("int")
+    cl = F.regexp_extract(
+        "body", "for ([0-9]+) percent off", 1).cast("int")
+    return g.select(
+        "doc_id",
+        F.regexp_extract("body", "code (SAVE[0-9]+)", 1).alias("code"),
+        cp.alias("code_pct"),
+        cl.alias("claimed_pct"),
+        (cp == cl).cast("int").alias("code_matches_claim"),
+    )
+
+
+def _loyalty_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        1 + doc_id % 5 AS rate,
+        50 * (1 + doc_id % 10) AS spend
+      FROM documents),
+    p AS (
+      SELECT doc_id, rate, spend,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Earn ' || CAST(rate AS VARCHAR)
+            || ' points per dollar; spending USD '
+            || CAST(spend AS VARCHAR) || ' earns '
+            || CAST(rate * spend AS VARCHAR) || ' points.'
+          WHEN 1 THEN 'Earn ' || CAST(rate AS VARCHAR)
+            || ' points per dollar; spending USD '
+            || CAST(spend AS VARCHAR) || ' earns '
+            || CAST(rate * spend + 50 AS VARCHAR) || ' points.'
+          ELSE 'earning trust takes years of showing up'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id,
+        CAST(regexp_extract(body, 'Earn ([0-9]+) points per', 1)
+          AS BIGINT) AS rate,
+        CAST(regexp_extract(body, 'USD ([0-9]+) earns', 1)
+          AS BIGINT) AS spend,
+        CAST(regexp_extract(body, 'earns ([0-9]+) points', 1)
+          AS BIGINT) AS claimed_points
+      FROM p
+      WHERE regexp_matches(body,
+        'Earn [0-9]+ points per dollar; spending USD [0-9]+ earns [0-9]+ points'))
+    SELECT doc_id, rate, spend, claimed_points,
+      CAST(rate * spend AS BIGINT) AS actual_points,
+      CAST(CASE WHEN claimed_points = rate * spend THEN 1
+        ELSE 0 END AS INT) AS is_consistent
+    FROM g
+    """
+
+
+@query("loyalty_points_audit", _loyalty_oracle())
+def loyalty_points_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loyalty-points audit (round 4): rate x spend worked
+    examples in rewards-program pages recompute in one multiply
+    (the planted +50 models the sign-up-bonus conflated into
+    the earning example — the misleading-marketing shape
+    regulators actually cite). Trust prose fails the
+    points-per-dollar grammar.
+
+    Scale shape: three extracts + one multiply per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    rate = 1 + i % 5
+    spend = 50 * (1 + i % 10)
+    v = i % 3
+
+    def _line(pts):
+        return F.concat(
+            F.lit("Earn "), rate.cast("string"),
+            F.lit(" points per dollar; spending USD "),
+            spend.cast("string"), F.lit(" earns "),
+            pts.cast("string"), F.lit(" points."))
+
+    body = (
+        F.when(v == 0, _line(rate * spend))
+        .when(v == 1, _line(rate * spend + 50))
+        .otherwise(F.lit("earning trust takes years of showing up"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "Earn [0-9]+ points per dollar; spending USD [0-9]+ "
+        "earns [0-9]+ points")))
+    r = F.regexp_extract(
+        "body", "Earn ([0-9]+) points per", 1).cast("long")
+    s = F.regexp_extract("body", "USD ([0-9]+) earns", 1).cast("long")
+    c = F.regexp_extract(
+        "body", "earns ([0-9]+) points", 1).cast("long")
+    return g.select(
+        "doc_id", r.alias("rate"), s.alias("spend"),
+        c.alias("claimed_points"),
+        (r * s).cast("long").alias("actual_points"),
+        (c == r * s).cast("int").alias("is_consistent"),
+    )
+
+
+def _returns_oracle() -> str:
+    return """
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Our ' || CAST(15 * (1 + doc_id % 4)
+              AS VARCHAR) || '-day return policy starts at '
+            || 'delivery.'
+          WHEN 1 THEN 'Returns accepted within '
+            || CAST(7 * (1 + doc_id % 8) AS VARCHAR)
+            || ' days of purchase with receipt.'
+          WHEN 2 THEN 'All sales are final on clearance item '
+            || CAST(doc_id % 90 AS VARCHAR) || '.'
+          ELSE 'no returns on kindness, it compounds'
+        END AS body
+      FROM documents),
+    g AS (
+      SELECT doc_id, body,
+        regexp_matches(body, '[0-9]+-day return policy')
+          AS is_policy_form,
+        regexp_matches(body, 'within [0-9]+ days of purchase')
+          AS is_within_form,
+        contains(body, 'All sales are final') AS is_final
+      FROM p
+      WHERE regexp_matches(body, '[0-9]+-day return policy')
+        OR regexp_matches(body, 'within [0-9]+ days of purchase')
+        OR contains(body, 'All sales are final'))
+    SELECT doc_id,
+      CAST(CASE WHEN is_final THEN 0
+        WHEN is_policy_form THEN CAST(regexp_extract(body,
+          '([0-9]+)-day return', 1) AS INT)
+        ELSE CAST(regexp_extract(body, 'within ([0-9]+) days',
+          1) AS INT)
+      END AS INT) AS window_days,
+      CASE WHEN is_final THEN 'delivery'
+        WHEN is_policy_form THEN 'delivery' ELSE 'purchase' END
+        AS clock_starts,
+      CAST(CASE WHEN is_final THEN 1 ELSE 0 END AS INT)
+        AS no_returns
+    FROM g
+    """
+
+
+@query("returns_window_parse", _returns_oracle())
+def returns_window_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns-window parsing (round 4): the N-day window plus
+    WHICH clock it runs on (delivery vs purchase — a real
+    difference of a shipping transit) and the all-sales-final
+    zero-window class — consumer-rights facts comparison
+    shopping needs structured, with final-sale items flagged
+    for the no-recourse tier. Kindness prose fails all three
+    grammars.
+
+    Scale shape: class gates + one extract per row, no
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Our "), (15 * (1 + i % 4)).cast("string"),
+            F.lit("-day return policy starts at delivery.")))
+        .when(v == 1, F.concat(
+            F.lit("Returns accepted within "),
+            (7 * (1 + i % 8)).cast("string"),
+            F.lit(" days of purchase with receipt.")))
+        .when(v == 2, F.concat(
+            F.lit("All sales are final on clearance item "),
+            (i % 90).cast("string"), F.lit(".")))
+        .otherwise(F.lit("no returns on kindness, it compounds"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_policy = F.regexp_like(F.col("body"), F.lit(
+        "[0-9]+-day return policy"))
+    is_within = F.regexp_like(F.col("body"), F.lit(
+        "within [0-9]+ days of purchase"))
+    is_final = F.col("body").contains("All sales are final")
+    g = p.where(is_policy | is_within | is_final)
+    return g.select(
+        "doc_id",
+        F.when(is_final, 0)
+        .when(is_policy, F.regexp_extract(
+            "body", "([0-9]+)-day return", 1).cast("int"))
+        .otherwise(F.regexp_extract(
+            "body", "within ([0-9]+) days", 1).cast("int"))
+        .cast("int").alias("window_days"),
+        F.when(is_final, F.lit("delivery"))
+        .when(is_policy, F.lit("delivery")).otherwise(F.lit("purchase"))
+        .alias("clock_starts"),
+        is_final.cast("int").alias("no_returns"),
+    )
+
+
+def _pnr_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT doc_id,
+        translate(lpad(CAST(doc_id % 1000000 AS VARCHAR), 6,
+          '1'), '0123456789', 'KLMNPQRSTV') AS pnr
+      FROM documents),
+    p AS (
+      SELECT doc_id, pnr,
+        CASE doc_id % 3
+          WHEN 0 THEN 'Your booking reference is ' || pnr
+            || '; check in online.'
+          WHEN 1 THEN 'Manage trip with record locator ' || pnr
+            || ' at any kiosk.'
+          ELSE 'for reference, the booking was a success'
+        END AS body
+      FROM b),
+    g AS (
+      SELECT doc_id, body,
+        contains(body, 'booking reference is ') AS is_bref
+      FROM p
+      WHERE regexp_matches(body,
+        '(booking reference is|record locator) [A-Z]{6}'))
+    SELECT doc_id,
+      CASE WHEN is_bref THEN
+        regexp_extract(body, 'booking reference is ([A-Z]{6})',
+          1)
+      ELSE regexp_extract(body, 'record locator ([A-Z]{6})', 1)
+      END AS pnr,
+      CASE WHEN is_bref THEN 'booking_reference'
+        ELSE 'record_locator' END AS label_form,
+      CAST(1 AS INT) AS is_travel_pii
+    FROM g
+    """
+
+
+@query("booking_reference_extract", _pnr_oracle())
+def booking_reference_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Booking-reference mining (round 4): six-char airline PNRs
+    behind their declaring labels ('booking reference' /
+    'record locator') are travel PII with TELLER-WINDOW power —
+    a PNR plus a surname manages the whole trip, so leaked
+    confirmations rank with credential dumps for redaction
+    (the label gate is the precision story: six capitals alone
+    are everywhere). The constructed codes use a digit-free
+    alphabet, matching real PNR conventions that avoid 0/1
+    confusables.
+
+    Scale shape: label-gated extracts per row, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pnr = F.translate(
+        F.lpad((i % 1000000).cast("string"), 6, "1"),
+        "0123456789", "KLMNPQRSTV")
+    v = i % 3
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("Your booking reference is "), pnr,
+            F.lit("; check in online.")))
+        .when(v == 1, F.concat(
+            F.lit("Manage trip with record locator "), pnr,
+            F.lit(" at any kiosk.")))
+        .otherwise(F.lit("for reference, the booking was a success"))
+    )
+    p = d.select("doc_id", body.alias("body"))
+    is_bref = F.col("body").contains("booking reference is ")
+    g = p.where(F.regexp_like(F.col("body"), F.lit(
+        "(booking reference is|record locator) [A-Z]{6}")))
+    return g.select(
+        "doc_id",
+        F.when(is_bref, F.regexp_extract(
+            "body", "booking reference is ([A-Z]{6})", 1))
+        .otherwise(F.regexp_extract(
+            "body", "record locator ([A-Z]{6})", 1)).alias("pnr"),
+        F.when(is_bref, F.lit("booking_reference"))
+        .otherwise(F.lit("record_locator")).alias("label_form"),
+        F.lit(1).cast("int").alias("is_travel_pii"),
+    )

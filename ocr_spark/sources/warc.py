@@ -488,6 +488,11 @@ def resolve_revisits(pages: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # stage the input once: responses (twice — dim + union) and
+    # revisits all derive from it, and the caller's input is typically
+    # a WARC-parse Python stage that must execute once, not once per
+    # consumer subtree (same discipline as resolve_redirects)
+    pages = pages.localCheckpoint(eager=False)
     clean = pages.where(F.col("error").isNull())
     responses = clean.where(F.col("record_type") == "response")
     dim = (

@@ -1501,8 +1501,8 @@ def test_front_coding_handcrafted(spark):
     import ocr_spark.queries as Q
     from ocr_spark.queries import QUERIES
 
-    # urls sort as host0.example/d0, host0.example/d97, host1.example/d1:
-    # build from doc_ids 0, 97, 1 (hosts 0, 0, 1)
+    # PER-SHARD front coding (r5: shard = host, each shard's first url
+    # restarts the block): doc_ids 0, 97, 1 -> hosts 0, 0, 1
     df = spark.createDataFrame([(0, "x"), (97, "x"), (1, "x")],
                                ["doc_id", "text"])
     with mock.patch.object(Q, "load_table", return_value=df):
@@ -1511,8 +1511,9 @@ def test_front_coding_handcrafted(spark):
     u97 = "https://host0.example/d97"
     u1 = "https://host1.example/d1"
     raw = len(u0) + len(u97) + len(u1)
-    # sorted order: u0, u97, u1; lcp(u0,u97)=len-1=23, lcp(u97,u1)=12
-    coded = (len(u0) + 2) + (len(u97) - 23 + 2) + (len(u1) - 12 + 2)
+    # shard host0 sorts (u0, u97): lcp(u0,u97)=len(u0)-1=23;
+    # shard host1 has only u1 — a block restart, full literal
+    coded = (len(u0) + 2) + (len(u97) - 23 + 2) + (len(u1) + 2)
     assert (r.raw_bytes, r.coded_bytes) == (raw, coded)
 
 

@@ -179,9 +179,13 @@ def test_round2_late_queries_plan_hygiene(spark):
 
 def test_no_query_duplicates_python_udfs(spark):
     """Systematic audit over EVERY registered query: no physical plan
-    may contain more than one ArrowEvalPython node — shared-lineage
-    re-evaluation of a python stage is the single most expensive silent
-    plan regression this engine can have."""
+    may contain more than one ArrowEvalPython node, and no plan may
+    contain the SAME MapInPandas/MapInArrow stage twice (identical
+    Arguments line = one python stage replanned into multiple consumer
+    subtrees — the r5 sitemap_recrawl_frontier / warc_revisit_dedup
+    finding; distinct sequential python stages are fine). Shared-
+    lineage re-evaluation of a python stage is the single most
+    expensive silent plan regression this engine can have."""
     import re
 
     from ocr_spark.queries import QUERIES
@@ -191,7 +195,23 @@ def test_no_query_duplicates_python_udfs(spark):
         plan = _plan(fn(spark, SF))
         n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
         if n > 1:
-            offenders[name] = n
+            offenders[name] = f"{n} ArrowEvalPython"
+            continue
+        lines = plan.splitlines()
+        args = []
+        for i, ln in enumerate(lines):
+            if re.match(
+                r"^\(\d+\) (MapInPandas|MapInArrow|PythonMapInArrow"
+                r"|FlatMapGroupsInPandas)",
+                ln.strip(),
+            ):
+                for j in range(i + 1, min(i + 6, len(lines))):
+                    if lines[j].startswith("Arguments: "):
+                        args.append(lines[j])
+                        break
+        dups = len(args) - len(set(args))
+        if dups:
+            offenders[name] = f"{dups} duplicated python map stage(s)"
     assert not offenders, offenders
 
 

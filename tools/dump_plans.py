@@ -359,12 +359,44 @@ COMMENTARY = {
         "final projection. No UDF anywhere."
     ),
     "pagination_rel_chains": (
-        "Reversed-edge pointer jumping: the resolver-heavy input is "
-        "staged ONCE (lazy localCheckpoint — the self-join doubling "
-        "would otherwise replan the RFC 3986 expression 2^rounds "
-        "times), then log2(max_hops) self-equi-joins on unique keys "
-        "(vertex-disjoint paths), chain sizes a HashAggregate joined "
-        "back. No Window, no sort, no skew."
+        "Reversed-edge pointer jumping, fully staged (VERDICT r4 #2): "
+        "the input is staged once, the fan-in predecessor pick "
+        "(min over a STRING url — a Sort+SortAggregate shape Spark "
+        "cannot hash-aggregate) is staged so it executes exactly "
+        "once, and EVERY doubling round materializes (lazy "
+        "localCheckpoint; a table write at warehouse scale) before "
+        "the next self-equi-join — the final plan contains ZERO "
+        "SortAggregate nodes and no 2^rounds lineage replication "
+        "(each round is one join of the previous round's "
+        "materialized output). Chain sizes are a HashAggregate "
+        "joined back. Pinned by test_pointer_jump_stages_per_round."
+    ),
+    "redirect_final_url": (
+        "WARC-parse mapInPandas -> resolve_redirects: the parsed "
+        "table is staged at operator entry, so the Python parse "
+        "stage executes exactly ONCE (the staged doubling loop never "
+        "replays it — pre-fix the plan embedded up to 2^6 copies); "
+        "each pointer-jump round is a self-equi-join of the previous "
+        "round's materialized mapping on unique url keys. Final plan: "
+        "zero Python nodes (the parse lives inside the first staged "
+        "lineage), zero SortAggregate, log2(64)=6 bounded joins."
+    ),
+    "wet_extract_roundtrip": (
+        "Single narrow Arrow stage: per-row WET member encode + "
+        "re-parse + field/digest comparison all inside ONE "
+        "MapInPandas over the input spread — zero joins, zero "
+        "aggregates, zero further shuffles; the roundtrip contract "
+        "is checked record-locally, which is why the plan is three "
+        "nodes."
+    ),
+    "sitemap_recrawl_frontier": (
+        "Two-level sitemap walk with the XML-parse Python stage "
+        "STAGED ONCE (r5: pre-fix the parse planned — and executed — "
+        "once per consumer subtree; now both the index-children "
+        "semi-join and the urlset rows scan the one materialized "
+        "parse via ExistingRDD). Downstream: a semi-join lineage "
+        "gate on the index's loc list, a left join to last-fetch "
+        "state, and a codegen string-date recrawl flag. No window."
     ),
     "srcset_best_image": (
         "Explode srcset candidates -> single-BIGINT argmax "
@@ -484,6 +516,293 @@ COMMENTARY = {
         "applied to a string category: MAX over a long hash-aggregates "
         "with map-side partials where max_by(lang, cnt) would plan a "
         "struct-buffer SortAggregate."
+    ),
+    # --- round-5 additions: full coverage of bench + curated first-50 ---
+    "q3_shipping_priority": (
+        "Classic 3-table TPC-H shape: customer filter pushed to its "
+        "scan, two hash equi-joins on the key chain (AQE free to "
+        "broadcast the filtered build sides), partial+final "
+        "HashAggregate on (orderkey, date, prio), "
+        "TakeOrderedAndProject for the top-10 — no global sort."
+    ),
+    "window_running_user_value": (
+        "Running per-user cumulative sum: ONE window partitioned by "
+        "user_id (uniform key, bounded per-user streams) over the "
+        "integer cent grid — the shuffle is the window's hash "
+        "partitioning, nothing global."
+    ),
+    "events_hourly": (
+        "Tumbling-hour rollup: date_trunc projection + one "
+        "partial+final HashAggregate on (hour, type) — the batch twin "
+        "of the streaming window, one shuffle on a uniform key."
+    ),
+    "dedup_exact": (
+        "Content-hash groupBy with map-side partial aggregation — "
+        "one shuffle on md5(text), uniform by construction; "
+        "keep-lowest-id is a MIN over one BIGINT (hash-aggregable)."
+    ),
+    "ann_cosine_topk": (
+        "Brute-force exact baseline: single-row query vector "
+        "broadcast (BroadcastNestedLoopJoin with a constant build "
+        "side), dot products as codegen zip_with/aggregate folds, "
+        "TakeOrderedAndProject caps the result — no Python, no "
+        "corpus shuffle at all."
+    ),
+    "ann_ivf_probe_topk": (
+        "The written-index probe path: the tiny centroid table is "
+        "collected driver-side, nprobe cells become a literal "
+        "``cell IN (...)`` predicate -> static parquet "
+        "PartitionFilters — the nprobe/C reduction happens at FILE "
+        "LISTING; scanned cells fold codegen dot products and "
+        "TakeOrdered caps. The 10^12-vector plan."
+    ),
+    "pipeline_training_corpus": (
+        "The composed pipeline in ONE lazy plan: page synthesis -> "
+        "single Arrow extraction UDF (fenced against pushdown "
+        "cloning) -> codegen quality gate -> content-hash dedup "
+        "window (uniform keys) -> hash-split train filter. Shuffles: "
+        "the input spread and the dedup hash — nothing else."
+    ),
+    "vocab_coverage_curve": (
+        "Token hash-agg (map-side partials) -> orderBy().limit(20) = "
+        "TakeOrderedAndProject (distributed top-k, never a "
+        "vocab-wide sort) -> rank/cumsum window over exactly 20 rows "
+        "(bounded post-limit window, allowlisted) -> broadcast total."
+    ),
+    "bpe_word_segmentations": (
+        "BPE merge chain (per-round codegen replace + tiny argmax "
+        "broadcast) reused unchanged; the top-20 emit is "
+        "orderBy().limit() — TakeOrderedAndProject, zero windows."
+    ),
+    "rrf_fusion_top10": (
+        "Two posting-list rankings via the TWO-TIER bucket rank "
+        "(head terms have corpus-sized lists — no partitionless "
+        "window), full-outer fused on doc_id, integer 1/(60+r) "
+        "weights, TakeOrdered top-10."
+    ),
+    "url_front_coding_estimate": (
+        "Per-shard front coding: lag window PARTITIONED by host "
+        "(uniform shuffle key; each shard restarts its prefix block "
+        "exactly like real front-coded dictionaries), bounded "
+        "per-pair LCP fold, one scalar aggregate. No global sort."
+    ),
+    "join_size_planner": (
+        "Two per-key count HashAggregates (map-side partials), one "
+        "key-cardinality-sized equi-join, scalar total broadcast, "
+        "TakeOrderedAndProject top-5 — the skew census never sorts "
+        "or windows the key space."
+    ),
+    "conversion_latency_quantiles": (
+        "Per-user min-aggregates + user-keyed join derive latencies; "
+        "the exact p50/p90 rank selection rides the two-tier bucket "
+        "rank (bucket counts -> tiny offset window -> per-bucket "
+        "row_number); population count is a broadcast scalar."
+    ),
+    "host_count_outliers": (
+        "Median and MAD as exact order statistics, each via the "
+        "two-tier bucket rank over the host-count table (10^7+ rows "
+        "at web scale — never a partitionless window); the two "
+        "medians broadcast back as scalars for the flag projection."
+    ),
+    "late_data_accounting": (
+        "Two-tier running MAX over arrival order: coarse arrival "
+        "buckets -> per-bucket max (HashAggregate) -> exclusive "
+        "cross-bucket prefix max on the ~256-row aggregate -> "
+        "within-bucket exclusive running max (window partitioned by "
+        "bucket). Bit-identical to the global-window frontier with "
+        "no single-task sort."
+    ),
+    "events_json_props": (
+        "get_json_object is codegen (no Python); one partial+final "
+        "HashAggregate on event_type. Oracle emits CAST(SUM AS "
+        "BIGINT) so the typed value-hash matches Spark's long."
+    ),
+    "props_schema_drift": (
+        "json_object_keys + explode (codegen) -> one key-keyed "
+        "HashAggregate; drift permille is integer floor division "
+        "typed BIGINT on both engines."
+    ),
+    "robots_ai_agent_matrix": (
+        "Corpus x constant 4-row agent dim: explicit broadcast, "
+        "per-row containment flags, no aggregation — map-only after "
+        "the broadcast."
+    ),
+    "global_rank_doc_length": (
+        "The two-tier exact-rank pattern itself: bucket counts "
+        "(tiny aggregate) -> running offsets via a window over the "
+        "aggregate -> bucket-partitioned row_number + offset. The "
+        "only corpus-wide shuffle is the bucket hash."
+    ),
+    "host_length_quantiles": (
+        "Per-host exact order statistics: row_number window "
+        "PARTITIONED by host (bounded, uniform) + conditional "
+        "aggregate — integer rank selection, no percentile_approx."
+    ),
+    "minhash_estimate_error": (
+        "Candidate pairs through the banded index; per-pair MinHash "
+        "estimate vs exact Jaccard both computed from the SAME "
+        "staged shingle table (scanned once via ExistingRDD), error "
+        "histogram is a tiny aggregate."
+    ),
+    "canonical_election": (
+        "Trust join (host-keyed, broadcastable) + per-group argmax "
+        "over bounded dup groups (window partitioned by group id) — "
+        "all integer, no global sort."
+    ),
+    "cocitation_top": (
+        "Outlink pairs via self-join on the citing page with hubs "
+        "capped at 64 outlinks BEFORE pairing (the C(L,2) blowup "
+        "guard); pair counts partial-aggregate map-side."
+    ),
+    "hits_hubs_authorities": (
+        "2 integer power-iteration rounds: edges shuffle on uniform "
+        "src/dst keys with map-side partial sums; max-normalization "
+        "is a 1-row broadcast; overflow-safe floor-divide ordering."
+    ),
+    "host_triangle_counts": (
+        "Degree-ordered wedge join (each triangle counted once): "
+        "edge list self-joined on the shared vertex with the "
+        "orientation filter applied BEFORE the join — the standard "
+        "distributed triangle shape, partial-aggregated counts."
+    ),
+    "graph_two_hop_reach": (
+        "Two chained equi-joins on uniform node keys with "
+        "distinct-pair aggregation between hops — node space scales "
+        "with the corpus so expected degree (and join output) stays "
+        "linear; no cartesian."
+    ),
+    "link_prediction_pairs": (
+        "Wedge-shaped common-neighbor join (same cost class as "
+        "triangles) + hash-derived negatives (no rand(), "
+        "reproducible); endpoint degrees join from a per-node "
+        "aggregate; all integer features."
+    ),
+    "hll_host_sketches": (
+        "Per-(host, register) MAX aggregates — 64 longs per host, "
+        "plain-MAX mergeable at any coarser grain; one uniform "
+        "shuffle, no distinct over raw content."
+    ),
+    "rendezvous_sharding": (
+        "Constant 16-row node fan-out, codegen md5 weights, both "
+        "assignments from one groupBy via two single-BIGINT max "
+        "aggregates — hash-aggregable, no window, no SortAggregate."
+    ),
+    "zorder_file_ranges": (
+        "Morton interleave as fixed codegen bit arithmetic; file "
+        "cuts every 512 key values via integer division; per-file "
+        "min/max ranges are one HashAggregate on the key prefix."
+    ),
+    "consistent_hash_rebalance": (
+        "Ring positions from codegen hashes; old/new assignments "
+        "computed side by side in one projection; the moved-share "
+        "audit is a scalar aggregate — map-only + one tiny agg."
+    ),
+    "epoch_shuffle_positions": (
+        "Per-epoch permutation = sort order of md5(doc_id:epoch); "
+        "ranks via window at driver SF (uniform hash keys; two-tier "
+        "form at scale, as global_rank_doc_length) — no stored "
+        "shuffle state, mid-epoch resumable."
+    ),
+    "doc_gopher_filters": (
+        "Pure codegen flag battery (word counts, mean word length, "
+        "symbol ratio) — map-only, zero Exchange, rides the scan."
+    ),
+    "doc_rare_term_pick": (
+        "tf/df aggregates -> integer score -> per-doc max join-back "
+        "keyed on (doc_id, score) (the join-key pin in test_plans); "
+        "MIN(term) tie-break is the one bounded SortAggregate pair."
+    ),
+    "dup_group_taxonomy": (
+        "One content-hash HashAggregate carrying count + distinct-"
+        "host count (two-level partial), three-row classification "
+        "output — no joins, no windows."
+    ),
+    "crawl_frontier_schedule": (
+        "Per-host priority rank: window partitioned by host "
+        "(uniform politeness key, bounded per-host lists) x integer "
+        "delay multiply — the timetable is map-side after the one "
+        "host-hash shuffle."
+    ),
+    "dom_template_clusters": (
+        "Opening-tag-sequence hash (one regexp codegen pass) -> one "
+        "hash aggregate; content-blind by construction — template "
+        "mass collapses before any shuffle-heavy op."
+    ),
+    "jaccard_threshold_histogram": (
+        "Candidates only through the shingle inverted index (pairs "
+        "sharing >= 1 shingle; sum-of-df^2 cost, the standard "
+        "similarity-join bound), exact verify per distinct pair, "
+        "5%-bucket integer histogram as a tiny aggregate. The "
+        "all-pairs form exists only oracle-side."
+    ),
+    "events_sliding_windows": (
+        "Each event explodes into window/slide = 3 hop windows "
+        "(exactly Structured Streaming's fan-out), then one "
+        "(type, window) HashAggregate on the integer cent grid."
+    ),
+    "retention_cohorts": (
+        "Two user-keyed HashAggregates + a join against the tiny "
+        "cohort-size table; week bucketing is epoch-day floor "
+        "division (no timezone ambiguity), shares in integer "
+        "permille."
+    ),
+    "funnel_conversion": (
+        "K aggregate+join passes all keyed on user_id — per-user "
+        "aggregates shrink inputs before each join and AQE reuses "
+        "the single hash partitioning end-to-end."
+    ),
+    "shuffle_skew_report": (
+        "Per-key count HashAggregate, then ALL reductions run on "
+        "the one-row-per-key aggregate (rank-median over it is the "
+        "allowlisted per-grouping-key window); scaled-integer ratios."
+    ),
+    "zipf_slope_estimate": (
+        "Token hash-agg -> TakeOrdered top-100 -> 100-row bounded "
+        "rank window (post-limit, allowlisted) -> closed-form "
+        "least-squares scalar aggregate."
+    ),
+    "tfidf_keywords_top3": (
+        "Explode -> (doc, term) counts (partial-agg), term-df join "
+        "(vocabulary-sized side — Catalyst broadcasts while it "
+        "fits), top-3 via a window partitioned by doc_id; rational "
+        "integer scores, no log."
+    ),
+    "feature_hash_embeddings": (
+        "Hashing-trick features: token explode -> pmod bucket -> "
+        "(doc, bucket) HashAggregate with signed counts — one "
+        "uniform shuffle, dimensionality fixed by the bucket count."
+    ),
+    "ngram_novelty": (
+        "Epoch-split shingle sets; novelty = left-anti containment "
+        "against the earlier epoch's DISTINCT shingles on the hash "
+        "key (partial-agg dedup before the join) — no windows."
+    ),
+    "user_decayed_errors": (
+        "Dense 24-hour integer fold per user (bounded recurrence, "
+        "bit-exact — no exp/pow): one (user, hour) aggregate, one "
+        "map rebuild; zero unbounded iteration."
+    ),
+    "phrase_match_positions": (
+        "Positional posting intersection: tokens explode WITH "
+        "POSITION, adjacent-term equi-join on (doc, pos+1) — a hash "
+        "join on uniform composite keys, no window, no regex scan "
+        "of full texts."
+    ),
+    "dataset_split_assignment": (
+        "Salted content-hash bucket projection — map-only, zero "
+        "Exchange; split membership decorrelated from every other "
+        "md5 use by the salt."
+    ),
+    "sitemap_parse": (
+        "Two-level regexp/posexplode projection — shuffle-free; "
+        "entry rows inherit the scan partitioning."
+    ),
+    "bitext_mine_pairs": (
+        "Candidates from the exact-recall pivot-banded cosine join "
+        "(band-key equi-join, no all-pairs); per-source best match "
+        "is an argmax over ONE BIGINT ((cos+1e6)*2^31 + reversed "
+        "id) — HashAggregate with map-side combine, no struct "
+        "buffer, no window."
     ),
 }
 
