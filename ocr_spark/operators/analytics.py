@@ -211,7 +211,15 @@ def two_tier_rank(
     ``value_col`` must be integral (rank order on it is exact);
     ``tiebreaks`` are ascending and must make the order total, or
     row_number within a bucket is nondeterministic.
+
+    The input is STAGED at entry (lazy localCheckpoint; a table write
+    at warehouse scale): the helper consumes it three times (min/max
+    probe, bucket rows, bucket counts), and an un-staged corpus-scale
+    upstream would re-execute per consumer subtree — the same
+    single-evaluation discipline as budget_apportionment's demands
+    staging.
     """
+    df = df.localCheckpoint(eager=False)
     v = F.col(value_col)
     stats = df.agg(
         F.min(v).cast("long").alias("_lo"), F.max(v).cast("long").alias("_hi")

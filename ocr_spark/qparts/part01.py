@@ -8358,13 +8358,15 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         + fast_hash(F.col("event_id").cast("string")) % 60
         - 30
     )
+    # staged once: base feeds the min/max probe AND the bucket rows
+    # (an un-staged corpus upstream would scan events per consumer)
     base = ev.select(
         "ts",
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
         .alias("win"),
         a.cast("long").alias("a"),
         "event_id",
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.min("a").alias("_lo"),
         F.expr("CAST((max(a) - min(a)) DIV 256 AS BIGINT)").alias("_w"),
@@ -8509,7 +8511,7 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")
             ).cast("long").alias("latency_s")
         )
-    )
+    ).localCheckpoint(eager=False)  # staged: feeds tot + the rank
     tot = p.agg(F.count(F.lit(1)).alias("n"))
     ranked = two_tier_rank(
         p.select("latency_s", "user_id"), "latency_s", ["user_id"], out="rn"
@@ -8630,9 +8632,12 @@ def host_count_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.analytics import two_tier_rank
 
     d = load_table(spark, sf_dir, "documents")
+    # host counts staged once: c feeds the first median, dev, and
+    # (through dev) the second median + the output — un-staged, the
+    # corpus aggregate would re-execute per consumer subtree
     c = d.groupBy((F.col("doc_id") % 97).alias("host")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)
 
     def rank_median(df, col: str, out: str) -> DataFrame:
         tot = df.agg(F.count(F.lit(1)).alias("cnt"))
@@ -8650,7 +8655,7 @@ def host_count_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = c.crossJoin(F.broadcast(med)).select(
         "host", "n", "median_n",
         F.abs(F.col("n") - F.col("median_n")).alias("ad"),
-    )
+    ).localCheckpoint(eager=False)
     mad = rank_median(dev, "ad", "mad_n")
     return dev.crossJoin(F.broadcast(mad)).select(
         "host", "n", "median_n", "mad_n",
