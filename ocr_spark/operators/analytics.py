@@ -87,10 +87,14 @@ def funnel_counts(events: DataFrame, stages: list[str]) -> DataFrame:
 
     Output: (stage, event_type, users_reached), stage 1-based.
     """
+    # each stage's reached set is staged (r5): stage k's table feeds
+    # both the k+1 join AND its own count row — un-staged, stage k's
+    # count replans stages 1..k (quadratic event scans in K)
     reached = (
         events.where(F.col("event_type") == stages[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=False)
     )
     out_rows = [(1, stages[0], reached)]
     for k, ev_type in enumerate(stages[1:], start=2):
@@ -100,6 +104,7 @@ def funnel_counts(events: DataFrame, stages: list[str]) -> DataFrame:
             .where(F.col("ts") > F.col("t"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=False)
         )
         out_rows.append((k, ev_type, nxt))
         reached = nxt

@@ -876,9 +876,13 @@ def connected_components(
     e = edges.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
+    # staged (r5): sym's lineage is the whole pair-mining pipeline
+    # (minhash bands, verify joins) and every iteration's propagate
+    # join references it — un-staged, the label loop replayed that
+    # pipeline per round (32 corpus scans in dedup_clusters' plan)
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

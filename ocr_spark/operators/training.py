@@ -513,6 +513,11 @@ def kmeans_maximin_init(vecs: DataFrame, k: int) -> DataFrame:
     beyond the partial-agg hash. Returns (cluster, cv, cid) with
     cluster = selection order.
     """
+    # staged per round (r5): vecs feeds every round's candidate set,
+    # and chosen re-enters its own derivation (anti-join + broadcast)
+    # — un-staged, round j replans rounds 0..j-1's argmax subtrees
+    # (42 corpus scans in the un-staged maximin plan)
+    vecs = vecs.localCheckpoint(eager=False)
     chosen = vecs.where(F.col("vec_id") == 0).select(
         F.lit(0).cast("int").alias("cluster"),
         F.col("qv").alias("cv"),
@@ -543,7 +548,7 @@ def kmeans_maximin_init(vecs: DataFrame, k: int) -> DataFrame:
             F.col("w.qv").alias("cv"),
             F.col("w.vec_id").alias("cid"),
         )
-        chosen = chosen.unionByName(winner)
+        chosen = chosen.unionByName(winner).localCheckpoint(eager=False)
     return chosen
 
 
@@ -663,9 +668,11 @@ def pca_power(
         "vec_id", quantize_vec(F.col("embedding")).alias("qv")
     )
     ex = q.select("vec_id", F.posexplode("qv").alias("d0", "x0"))
+    # mean staged (r5): it feeds cent AND the initial v — d tiny rows,
+    # but its lineage is the corpus explode
     mean = ex.groupBy("d0").agg(
         floor_div(F.sum("x0"), F.count(F.lit(1))).alias("m")
-    )
+    ).localCheckpoint(eager=False)
     cent = ex.join(F.broadcast(mean), "d0").select(
         "vec_id", (F.col("d0") + 1).alias("d"), (F.col("x0") - F.col("m")).alias("x")
     )

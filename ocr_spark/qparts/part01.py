@@ -3454,7 +3454,13 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import floor_div
 
     d = load_table(spark, sf_dir, "documents")
-    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    # graph state staged once (r5): hosts/edges/outdeg feed every
+    # iteration, and ranks re-enters its own derivation — un-staged,
+    # the final plan embedded the corpus-distinct subtree per
+    # reference per round (16 scans; the pointer-jump replication
+    # class) with NO runtime exchange reuse
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct() \
+        .localCheckpoint(eager=False)
     cand = hosts.select(
         "h",
         F.explode(
@@ -3467,8 +3473,9 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dst") != F.col("h")).distinct()
     edges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
-    ).select(F.col("h").alias("src"), "dst")
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ).select(F.col("h").alias("src"), "dst").localCheckpoint(eager=False)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")) \
+        .localCheckpoint(eager=False)
     ranks = hosts.select("h", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         inflow = (
@@ -3489,6 +3496,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("r"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("h").alias("host"), F.col("r").alias("rank"))
 
@@ -3761,11 +3769,11 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the self-join keys on cluster id; AQE skew-split handles a
     fat cluster, and per-cluster candidate count is (|C| choose 2) —
-    choose k so clusters stay ~10^3-10^4. NOTE: in this one lazy plan
-    the assignment subtree is re-derived for each join side (Spark
-    plans are trees); at corpus scale write the assignments to the
-    catalog first and self-join the table — the same materialization
-    boundary the capstone and curate_corpus use.
+    choose k so clusters stay ~10^3-10^4. The assignment table is
+    STAGED (r5: lazy localCheckpoint — a catalog write at warehouse
+    scale, the same materialization boundary the capstone and
+    curate_corpus use) so the k-means subtree computes once, not
+    once per join side.
     """
     from ocr_spark.operators.ann import cosine
     from ocr_spark.operators.dedup import round_det
@@ -3773,7 +3781,8 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = kmeans_quantized(emb).select("vec_id", "cluster")
-    withv = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    withv = assigned.join(emb.select("vec_id", "embedding"), "vec_id") \
+        .localCheckpoint(eager=False)
     a = withv.alias("a")
     b = withv.alias("b")
     cos = round_det(
@@ -5580,7 +5589,11 @@ def trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import floor_div
 
     d = load_table(spark, sf_dir, "documents")
-    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    # staged once (r5): same iterative-replication class as
+    # host_pagerank — hosts/edges/outdeg feed every round, ranks
+    # re-enters its own derivation
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct() \
+        .localCheckpoint(eager=False)
     trusted = (F.col("h") % 7 == 0)
     cand = hosts.select(
         "h",
@@ -5594,8 +5607,9 @@ def trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dst") != F.col("h")).distinct()
     edges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
-    ).select(F.col("h").alias("src"), "dst")
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ).select(F.col("h").alias("src"), "dst").localCheckpoint(eager=False)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")) \
+        .localCheckpoint(eager=False)
     ranks = hosts.select(
         "h",
         F.when(trusted, F.lit(1000000)).otherwise(F.lit(0))
@@ -5621,6 +5635,7 @@ def trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("r"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         F.col("h").alias("host"),
@@ -5849,7 +5864,11 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.training import floor_div
 
     d = load_table(spark, sf_dir, "documents")
-    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    # staged once (r5): the mutual hub/auth recursion otherwise
+    # embeds the corpus-distinct subtree EXPONENTIALLY (156 scans in
+    # the un-staged plan, zero runtime reuse)
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct() \
+        .localCheckpoint(eager=False)
     cand = hosts.select(
         "h",
         F.explode(
@@ -5862,7 +5881,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dst") != F.col("h")).distinct()
     edges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
-    ).select(F.col("h").alias("src"), "dst")
+    ).select(F.col("h").alias("src"), "dst").localCheckpoint(eager=False)
 
     def _norm(raw: DataFrame, out: str) -> DataFrame:
         mm = raw.agg(
@@ -5883,14 +5902,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h")
             .agg(F.coalesce(F.sum("hub"), F.lit(0)).cast("long").alias("a"))
         )
-        auth = _norm(araw, "auth")
+        auth = _norm(araw, "auth").localCheckpoint(eager=False)
         hraw = (
             hosts.join(edges.withColumnRenamed("src", "h"), "h", "left")
             .join(auth.select(F.col("h").alias("dst"), "auth"), "dst", "left")
             .groupBy("h")
             .agg(F.coalesce(F.sum("auth"), F.lit(0)).cast("long").alias("a"))
         )
-        hub = _norm(hraw, "hub")
+        hub = _norm(hraw, "hub").localCheckpoint(eager=False)
     return hub.join(auth, "h").select(
         F.col("h").alias("host"), "hub", "auth"
     )
@@ -6596,7 +6615,11 @@ def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one per-node argmax window — both on uniform host
     keys; no iteration-growing shuffle width."""
     d = load_table(spark, sf_dir, "documents")
-    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    # staged once (r5): edges feed every round and labels re-enter
+    # their own derivation — the iterative-replication class (36
+    # corpus scans in the un-staged plan)
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct() \
+        .localCheckpoint(eager=False)
     cand = hosts.select(
         "h",
         F.explode(
@@ -6612,7 +6635,7 @@ def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("h").alias("src"), "dst")
     edges = dedges.union(
         dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     labels = hosts.select("h", F.col("h").alias("lbl"))
     for _ in range(3):
         cnt = (
@@ -6636,6 +6659,7 @@ def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(win, "h", "left")
             .select("h", F.coalesce("wlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("h").alias("host"), F.col("lbl").alias("community"))
 
@@ -6772,7 +6796,10 @@ def cdc_crawl_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import cdc_chunks
     from ocr_spark.operators.training import floor_div
 
-    ch = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    # the CDC chunking (rolling-hash substring pass over the corpus)
+    # feeds BOTH the history index and the increment — staged once (r5)
+    ch = cdc_chunks(load_table(spark, sf_dir, "documents")) \
+        .localCheckpoint(eager=False)
     hist = (
         ch.where(F.col("doc_id") % 10 != 0)
         .select("chunk_hash").distinct()
@@ -6819,8 +6846,11 @@ def jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import shingle_rows, shingle_sets
     from ocr_spark.operators.training import floor_div
 
-    inv = shingle_rows(load_table(spark, sf_dir, "documents"))
-    sets = shingle_sets(inv)
+    # shingle explode staged once (r5): it feeds the verify sets and
+    # both inverted-index join sides
+    inv = shingle_rows(load_table(spark, sf_dir, "documents")) \
+        .localCheckpoint(eager=False)
+    sets = shingle_sets(inv).localCheckpoint(eager=False)
     cand = (
         inv.select(F.col("id").alias("a"), "h")
         .join(inv.select(F.col("id").alias("b"), "h"), "h")
@@ -7165,7 +7195,8 @@ def host_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dst") != F.col("h")).distinct()
     edges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
-    ).select(F.col("h").alias("src"), "dst")
+    ).select(F.col("h").alias("src"), "dst").localCheckpoint(eager=False)
+    # edges staged (r5): it feeds both self-join sides and the union
     two_hop = (
         edges.alias("a")
         .join(
@@ -7301,9 +7332,12 @@ def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
     ).select(F.col("h").alias("src"), "dst")
+    # staged (r5): und feeds deg + ori; ori feeds the wedge self-join
+    # (both sides) + the closing set; tri fans into three unions — the
+    # un-staged plan carried 90 corpus scans with zero runtime reuse
     und = dedges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
@@ -7325,6 +7359,7 @@ def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b"),
             ).otherwise(F.col("a")).alias("hi"),
         )
+        .localCheckpoint(eager=False)
     )
     wedge = (
         ori.alias("e1")
@@ -7343,7 +7378,7 @@ def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.least("u", "w") == F.col("cu"))
         & (F.greatest("u", "w") == F.col("cw")),
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     per = (
         tri.select(F.col("u").alias("host"))
         .union(tri.select(F.col("v").alias("host")))
@@ -7451,15 +7486,24 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ocr_spark.operators.training import floor_div
 
+    # the shingle explode is the corpus-scale pass and feeds SIX
+    # subtrees (sets x2, sig x2, prefix x2 across the join sides) —
+    # staged once (lazy localCheckpoint; r5: the un-staged plan
+    # carried six copies of the Scan+Generate subtree and executed
+    # them all); the derived tables are staged too so each aggregate/
+    # window over the staged rows also runs once, not per join side
     inv = shingle_rows(load_table(spark, sf_dir, "documents"))
-    sets = shingle_sets(inv)
+    inv = inv.localCheckpoint(eager=False)
+    sets = shingle_sets(inv).localCheckpoint(eager=False)
     sig = inv.groupBy("id").agg(
         *[
             F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(7919 * j)) % F.lit(MOD))
             .alias(f"s{j}")
             for j in range(MINHASH_K)
         ]
-    ).select("id", F.array(*[f"s{j}" for j in range(MINHASH_K)]).alias("sig"))
+    ).select(
+        "id", F.array(*[f"s{j}" for j in range(MINHASH_K)]).alias("sig")
+    ).localCheckpoint(eager=False)
     byid = Window.partitionBy("id").orderBy("h")
     n = F.count(F.lit(1)).over(Window.partitionBy("id"))
     pre = (
@@ -7469,6 +7513,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r")
             <= floor_div(7 * F.col("n"), F.lit(10)) + 1
         )
+        .localCheckpoint(eager=False)
     )
     cand = (
         pre.select(F.col("id").alias("a"), "h")
@@ -7566,9 +7611,14 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
     ).select(F.col("h").alias("src"), "dst")
+    # staged per round (r5): edges re-enters its own peeling
+    # derivation (degree + two semi-joins reference it per round) —
+    # the un-staged plan carried 101 corpus scans with zero runtime
+    # reuse; staged, each round is one degree agg + two semi-joins
+    # over the previous round's materialized edge set
     edges = dedges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     live = hosts
     for _ in range(3):
         deg = (
@@ -7577,10 +7627,12 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        live = deg.where(F.col("d") >= 3).select(F.col("v").alias("h"))
+        live = deg.where(F.col("d") >= 3).select(F.col("v").alias("h")) \
+            .localCheckpoint(eager=False)
         edges = edges.join(
             live.select(F.col("h").alias("a")), "a", "left_semi"
-        ).join(live.select(F.col("h").alias("b")), "b", "left_semi")
+        ).join(live.select(F.col("h").alias("b")), "b", "left_semi") \
+            .localCheckpoint(eager=False)
     return hosts.join(
         live.withColumn("flag", F.lit(1)), "h", "left"
     ).select(
@@ -7953,7 +8005,7 @@ def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as triangle counting); pair labels/negatives are corpus-free
     arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct().localCheckpoint(eager=False)
     cand = hosts.select(
         "h",
         F.explode(
@@ -7967,12 +8019,15 @@ def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedges = cand.join(
         hosts.select(F.col("h").alias("dst")), "dst"
     ).select(F.col("h").alias("src"), "dst")
+    # staged (r5): und feeds sym (x2), negs' anti-join, and lab; sym
+    # feeds deg + both wedge sides; lab feeds cn + the output — the
+    # un-staged plan carried 28 corpus scans with zero runtime reuse
     und = dedges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    ).localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     negs = (
         hosts.select(
@@ -7988,7 +8043,7 @@ def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lab = und.withColumn("label", F.lit(1).cast("long")).union(
         negs.withColumn("label", F.lit(0).cast("long"))
-    )
+    ).localCheckpoint(eager=False)
     cn = (
         lab.select("a", "b")
         .join(sym.select(F.col("u").alias("a"), F.col("v").alias("w1")), "a")

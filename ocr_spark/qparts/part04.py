@@ -2657,8 +2657,10 @@ def anchor_text_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
                   amap[(i % 5).cast("int")].alias("anchor"))
     e2 = d.select(((i * 5 + 2) % 17).alias("target"),
                   amap[((i + 3) % 5).cast("int")].alias("anchor"))
+    # c staged (r5): it feeds the rollup AND the tie join-back side —
+    # un-staged, the corpus union+count replans per consumer
     c = e1.unionAll(e2).groupBy("target", "anchor").count() \
-        .withColumnRenamed("count", "cnt")
+        .withColumnRenamed("count", "cnt").localCheckpoint(eager=False)
     m = c.groupBy("target").agg(
         F.max("cnt").alias("top_count"),
         F.sum("cnt").alias("n_links"),

@@ -5649,9 +5649,15 @@ def bigram_pmi_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, 7):
         body = body.when(v == k, F.lit(_PMI_SENTENCES[k]))
     p = d.select("doc_id", body.alias("body"))
-    tok = p.select(F.split("body", " ").alias("ts"))
+    # tok staged (r5): the tokenized corpus feeds the unigram and
+    # bigram passes; ucnt feeds the marginal join sides u1/u2 AND the
+    # totals — staged so each corpus pass runs once (the un-staged
+    # plan carried 6 corpus scans)
+    tok = p.select(F.split("body", " ").alias("ts")) \
+        .localCheckpoint(eager=False)
     uni = tok.select(F.explode("ts").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("cw")) \
+        .localCheckpoint(eager=False)
     # single-token bodies: sequence(1, 0) defaults to step -1 and
     # yields [1, 0], whose element_at(ts, 0) throws — guard to the
     # empty array (matching the oracle's empty range(1, 1))
@@ -5663,7 +5669,8 @@ def bigram_pmi_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: F.concat(
             F.element_at(F.col("ts"), j), F.lit(" "),
             F.element_at(F.col("ts"), j + 1)))).alias("bg"))
-    bcnt = bigs.groupBy("bg").agg(F.count("*").alias("cxy"))
+    bcnt = bigs.groupBy("bg").agg(F.count("*").alias("cxy")) \
+        .localCheckpoint(eager=False)
     tot = (
         p.agg(F.count("*").alias("nd"))
         .crossJoin(ucnt.agg(F.sum("cw").alias("tu")))
@@ -5768,10 +5775,14 @@ def doc_rare_term_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     tot = p.agg(F.count("*").alias("nd"))
     weight = ((F.col("nd") - F.col("nd") % F.col("df")) / F.col("df"))
+    # scored staged (r5): it feeds the per-doc max AND the tie join
+    # side, and its lineage carries the corpus token explode twice
+    # (tf + df) — staged, the explode computes once
     scored = (
         tf.join(dfreq, "w").crossJoin(tot)
         .select("doc_id", "w",
                 (F.col("tf") * weight).cast("long").alias("score"))
+        .localCheckpoint(eager=False)
     )
     mx = scored.groupBy("doc_id").agg(F.max("score").alias("top_score"))
     # alias both sides: a same-lineage join on bare columns lets the
@@ -7357,18 +7368,24 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts")
+    # per-stage tables staged (r5): each feeds the next stage AND its
+    # own count — un-staged, stage k's count replans stages 1..k
+    # (the funnel_counts staging discipline)
     s1 = (e.where(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+          .groupBy("user_id").agg(F.min("ts").alias("t1"))
+          .localCheckpoint(eager=False))
     s2 = (
         e.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False))
     s3 = (
         e.where(F.col("event_type") == "purchase")
         .join(s2, "user_id")
         .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=False))
     c = (
         e.agg(F.countDistinct("user_id").alias("n_total"))
         .crossJoin(s1.agg(F.count("*").alias("n_step1")))

@@ -308,6 +308,18 @@ def _partitionless_ordered_windows(plan: str) -> list[str]:
     return out
 
 
+# Queries allowed >5 scans of one parquet file: COMPOSITIONS of
+# distinct signal stages, each stage a different column-pruned pass
+# computing a different quantity (NOT replication of one expensive
+# subtree — that class is staged with localCheckpoint and audited
+# away; see the r5 graph-operator staging work).
+_DISTINCT_PASS_COMPOSITIONS = {
+    "doc_quality_panel",      # 5 independent quality signals + LM model
+    "curation_decisions",     # composes the panel
+    "analytics_id_extract",   # several independent ID-pattern passes
+}
+
+
 def test_no_query_has_cartesian_product_or_global_window(spark):
     """Systematic audit over EVERY registered query (single plan
     sweep): (a) CartesianProduct must never appear (constant-build-
@@ -316,10 +328,19 @@ def test_no_query_has_cartesian_product_or_global_window(spark):
     corpus scale); (b) no partitionless ORDERED WindowExec outside
     the named bounded-input allowlist — a global window over
     corpus-derived data is a single-task sort, the anti-pattern the
-    two-tier bucket rank exists to retire (VERDICT r4 #3)."""
+    two-tier bucket rank exists to retire (VERDICT r4 #3); (c) no
+    plan may scan the SAME parquet file more than 5 times outside
+    the named distinct-pass compositions — r5 found iterative
+    operators whose un-staged loops replanned (and re-executed, no
+    runtime exchange reuse) the corpus subtree up to 156 times; the
+    fix is per-round/multi-consumer staging (localCheckpoint), and
+    this cap keeps the class from growing back."""
+    import collections
+    import re
+
     from ocr_spark.queries import QUERIES
 
-    cartesian, windows = [], {}
+    cartesian, windows, scans = [], {}, {}
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, SF))
         if "CartesianProduct" in plan:
@@ -327,8 +348,17 @@ def test_no_query_has_cartesian_product_or_global_window(spark):
         pw = _partitionless_ordered_windows(plan)
         if pw and name not in _BOUNDED_GLOBAL_WINDOW_QUERIES:
             windows[name] = pw
+        files = re.findall(
+            r"Location: \S+ \[[^\]]*?([a-z_]+)\.parquet", plan
+        )
+        worst = {
+            t: c for t, c in collections.Counter(files).items() if c > 5
+        }
+        if worst and name not in _DISTINCT_PASS_COMPOSITIONS:
+            scans[name] = worst
     assert not cartesian, cartesian
     assert not windows, windows
+    assert not scans, scans
 
 
 def test_session5_heavy_ops_plan_hygiene(spark):
