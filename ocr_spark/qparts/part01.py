@@ -6638,30 +6638,38 @@ def host_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().localCheckpoint(eager=False)
     labels = hosts.select("h", F.col("h").alias("lbl"))
     for _ in range(3):
-        cnt = (
-            edges.join(labels.withColumnRenamed("h", "dst"), "dst")
-            .groupBy(F.col("src").alias("h"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # argmax-count/min-label as ONE BIGINT max (the kmeans_assign
-        # fix pattern, r4): c*128 + (127 - lbl) is monotonic in
-        # lexicographic (c, -lbl) because lbl is a host id in [0, 96]
-        # on this 97-host graph — min(struct(-c, lbl)) had an
-        # UnsafeRow-immutable struct buffer and planned a per-round
-        # corpus-wide SortAggregate. At web scale, where lbl is an
-        # unbounded host hash, the same shape is a two-stage
-        # hash-aggregate (max(c) per h, then min(lbl) at c == max).
-        win = (
-            cnt.groupBy("h")
-            .agg(F.max(F.col("c") * 128 + (127 - F.col("lbl"))).alias("m"))
-            .select("h", (127 - F.col("m") % 128).alias("wlbl"))
-        )
-        labels = (
-            labels.join(win, "h", "left")
-            .select("h", F.coalesce("wlbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
+        labels = _lp_round(edges, labels).localCheckpoint(eager=False)
     return labels.select(F.col("h").alias("host"), F.col("lbl").alias("community"))
+
+
+def _lp_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round — factored out so the
+    plan contract (HashAggregate argmax over ONE BIGINT, zero
+    SortAggregate) stays pinned by test_plans even though the query
+    stages each round behind a localCheckpoint (which truncates the
+    final plan's lineage)."""
+    cnt = (
+        edges.join(labels.withColumnRenamed("h", "dst"), "dst")
+        .groupBy(F.col("src").alias("h"), "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # argmax-count/min-label as ONE BIGINT max (the kmeans_assign
+    # fix pattern, r4): c*128 + (127 - lbl) is monotonic in
+    # lexicographic (c, -lbl) because lbl is a host id in [0, 96]
+    # on this 97-host graph — min(struct(-c, lbl)) had an
+    # UnsafeRow-immutable struct buffer and planned a per-round
+    # corpus-wide SortAggregate. At web scale, where lbl is an
+    # unbounded host hash, the same shape is a two-stage
+    # hash-aggregate (max(c) per h, then min(lbl) at c == max).
+    win = (
+        cnt.groupBy("h")
+        .agg(F.max(F.col("c") * 128 + (127 - F.col("lbl"))).alias("m"))
+        .select("h", (127 - F.col("m") % 128).alias("wlbl"))
+    )
+    return (
+        labels.join(win, "h", "left")
+        .select("h", F.coalesce("wlbl", "lbl").alias("lbl"))
+    )
 
 
 @query(
