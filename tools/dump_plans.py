@@ -98,7 +98,12 @@ COMMENTARY = {
     "host_pagerank": (
         "3 damped power iterations, each one join + one partially-"
         "aggregated sum on uniform dst keys; ranks in integer "
-        "micro-units so every sum commutes. No cartesian anywhere."
+        "micro-units so every sum commutes. Graph state (hosts, "
+        "edges, out-degrees) and each round's ranks are STAGED (r5: "
+        "lazy localCheckpoint — the un-staged loop replanned and "
+        "re-executed the corpus subtree 16x with zero runtime "
+        "reuse), so the final plan reads materialized rounds via "
+        "ExistingRDD. No cartesian anywhere."
     ),
     "doc_chunk_windows": (
         "Map-only fan-out: exploded integer range + single-reference "
@@ -657,13 +662,20 @@ COMMENTARY = {
     "hits_hubs_authorities": (
         "2 integer power-iteration rounds: edges shuffle on uniform "
         "src/dst keys with map-side partial sums; max-normalization "
-        "is a 1-row broadcast; overflow-safe floor-divide ordering."
+        "is a 1-row broadcast; overflow-safe floor-divide ordering. "
+        "The mutual hub/auth recursion is STAGED per round (r5: the "
+        "un-staged lineage grew EXPONENTIALLY — 156 corpus scans in "
+        "one plan, all executed); staged, each round is two joins "
+        "over the previous round's materialized tables."
     ),
     "host_triangle_counts": (
         "Degree-ordered wedge join (each triangle counted once): "
         "edge list self-joined on the shared vertex with the "
         "orientation filter applied BEFORE the join — the standard "
-        "distributed triangle shape, partial-aggregated counts."
+        "distributed triangle shape, partial-aggregated counts. The "
+        "undirected/oriented edge sets and the triangle rows are "
+        "staged (r5: un-staged, the three-way union + both wedge "
+        "sides replanned the edge derivation 90x)."
     ),
     "graph_two_hop_reach": (
         "Two chained equi-joins on uniform node keys with "
@@ -675,7 +687,9 @@ COMMENTARY = {
         "Wedge-shaped common-neighbor join (same cost class as "
         "triangles) + hash-derived negatives (no rand(), "
         "reproducible); endpoint degrees join from a per-node "
-        "aggregate; all integer features."
+        "aggregate; all integer features. und/sym/lab are staged "
+        "(r5: multi-consumer — the un-staged plan carried 28 corpus "
+        "scans)."
     ),
     "hll_host_sketches": (
         "Per-(host, register) MAX aggregates — 64 longs per host, "
@@ -748,8 +762,9 @@ COMMENTARY = {
     ),
     "funnel_conversion": (
         "K aggregate+join passes all keyed on user_id — per-user "
-        "aggregates shrink inputs before each join and AQE reuses "
-        "the single hash partitioning end-to-end."
+        "aggregates shrink inputs before each join; each stage's "
+        "reached set is staged (r5: un-staged, stage k's count "
+        "replanned stages 1..k — quadratic event scans in K)."
     ),
     "shuffle_skew_report": (
         "Per-key count HashAggregate, then ALL reductions run on "
